@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** End-to-end demo of the SSTable DSv2 source/sink: builds a wide-row
+  * DataFrame, writes a compressed 4-file SSTable set, reads it back with a
+  * key-range filter (partition pruning) and a key-only projection
+  * (index-only scan), and prints the physical plans.
+  *
+  * Run: `sbt "runMain graft.SSTableDemo /tmp/sstable-demo"`.
+  */
+object SSTableDemo {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/sstable-demo")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val src = spark.range(10000).select(
+      concat(lit("user"), lpad(col("id").cast("string"), 6, "0")).cast("binary").as("key"),
+      array(
+        struct(lit("email".getBytes).as("name"), lit("NORMAL").as("state"),
+          concat(lit("u"), col("id")).cast("binary").as("value"),
+          (col("id") * 1000).as("timestamp"), lit(0L).as("ttlSecs"), lit(0L).as("expiresMillis")),
+        struct(lit("session".getBytes).as("name"), lit("EXPIRING").as("state"),
+          lit("tok".getBytes).as("value"), (col("id") * 1000 + 1).as("timestamp"),
+          lit(3600L).as("ttlSecs"), lit(1700000000000L).as("expiresMillis"))
+      ).as("columns"))
+      .repartition(4)
+
+    println(s"== writing ${src.count()} rows as SSTable set(s) to $dir")
+    src.write.format("sstable").option("chunkLength", "4096").mode("overwrite").save(dir)
+    new java.io.File(dir).listFiles().sortBy(_.getName)
+      .foreach(f => println(f" ${f.length()}%9d  ${f.getName}"))
+
+    val df = spark.read.format("sstable").option("targetSplitBytes", "65536").load(dir)
+    println(s"== full read: ${df.count()} rows in ${df.rdd.getNumPartitions} partitions")
+
+    val ranged = df.filter(col("key") >= lit("user005000".getBytes) &&
+      col("key") < lit("user006000".getBytes))
+    println(s"== key-range read: ${ranged.count()} rows in ${ranged.rdd.getNumPartitions} partitions (pruned)")
+    ranged.explain()
+
+    val keysOnly = df.select("key")
+    println(s"== key-only scan (served from Index.db): ${keysOnly.count()} keys")
+    keysOnly.explain()
+
+    val merged = df.select(col("key"), explode(col("columns")).as("c"))
+      .groupBy(col("key"), col("c.name"))
+      .agg(max_by(col("c"), col("c.timestamp")).as("c"))
+      .groupBy("key").agg(collect_list("c").as("columns"))
+    println(s"== LWW-merged rows: ${merged.count()}")
+    spark.stop()
+  }
+}

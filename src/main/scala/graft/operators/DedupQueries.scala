@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import Params._
+
+/** Deduplication family for training-data pipelines: exact (hash-groupBy),
+  * MinHash+LSH banding, SimHash with Hamming-distance candidate pairs, and
+  * n-gram Jaccard verification.
+  *
+  * Hash choice: every hash is derived from `md5(...)` hex strings because
+  * md5 is bit-identical across Spark and the DuckDB oracle (murmur/xxhash
+  * are not). A MinHash "permutation" i is `min(md5(i || ':' || shingle))`
+  * under lexicographic string order — a valid random permutation proxy, and
+  * portable SQL.
+  *
+  * Scale notes: signatures are one explode + one hash-agg per doc (linear,
+  * shuffle on doc_id only). Candidate pairs come from *equi-joins on band
+  * buckets* — never an all-pairs cross join; the pairwise queries below
+  * additionally restrict to a bounded id-sample ([[Params.PairSampleIds]])
+  * because verification joins are quadratic per bucket. At 100 TB the
+  * band-bucket join shuffles only (bucket, doc_id) pairs, with salting on
+  * hot buckets if skewed.
+  */
+object DedupQueries {
+
+  /** Per-doc MinHash signatures + LSH band buckets. */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), explode(shingles(toks(col("text")))).as("sh"))
+      .distinct()
+    val sigs = (0 until MinHashPerms).map(i =>
+      min(md5(concat(lit(s"$i:"), col("sh")))).as(s"sig$i"))
+    val rowsPerBand = MinHashPerms / MinHashBands
+    val withSigs = sh.groupBy("doc_id").agg(sigs.head, sigs.tail: _*)
+    val bands = (0 until MinHashBands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col(s"sig${b * rowsPerBand + r}"))
+      md5(concat(parts: _*)).as(s"band$b")
+    }
+    withSigs.select(col("doc_id") +: bands: _*)
+  }
+
+  /** Candidate near-dup pairs: docs sharing any LSH band bucket. */
+  def minhashPairs(sigs: DataFrame): DataFrame = {
+    val pairs = (0 until MinHashBands).map { b =>
+      val l = sigs.select(col("doc_id").as("a"), col(s"band$b").as("bk"))
+      val r = sigs.select(col("doc_id").as("b"), col(s"band$b").as("bk"))
+      l.join(r, "bk").filter(col("a") < col("b")).select("a", "b")
+    }
+    pairs.reduce(_ union _).distinct()
+  }
+
+  /** Per-doc 16-bit SimHash over distinct tokens (bit j of a token = bit j
+    * of the first 16 md5 bits; doc bit j = majority vote). */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(toks(col("text"))).as("t"))
+      .distinct()
+      .withColumn("h", md5Long(col("t"), 4))
+    val bitSums = (0 until SimHashBits).map(j =>
+      sum(when(shiftright(col("h"), j) % 2 === 1, 1).otherwise(-1)).as(s"s$j"))
+    val agg = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val hash = (0 until SimHashBits)
+      .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce[Column](_ + _)
+    agg.select(col("doc_id"), hash.as("simhash"))
+  }
+
+  private def sampleDocs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).filter(col("doc_id") < PairSampleIds)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: hash-groupBy on content digest, keep min doc_id.
+    "q_dedup_docs" -> ((s, d) => {
+      Tables.documents(s, d)
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id_kept"), count(lit(1)).as("n_dups"))
+        .select("doc_id_kept", "h", "n_dups")
+        .orderBy("doc_id_kept")
+    }),
+    "q_minhash_signatures" -> ((s, d) =>
+      minhashSignatures(Tables.documents(s, d)).orderBy("doc_id")),
+    "q_dedup_minhash" -> ((s, d) =>
+      minhashPairs(minhashSignatures(sampleDocs(s, d))).orderBy("a", "b")),
+    "q_dedup_simhash" -> ((s, d) =>
+      simhash(Tables.documents(s, d)).orderBy("doc_id")),
+    // SimHash near-dup pairs by Hamming distance over the id-sample.
+    "q_simhash_pairs" -> ((s, d) => {
+      val sh = simhash(sampleDocs(s, d))
+      val l = sh.select(col("doc_id").as("a"), col("simhash").as("ha"))
+      val r = sh.select(col("doc_id").as("b"), col("simhash").as("hb"))
+      l.crossJoin(r).filter(col("a") < col("b"))
+        .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+        .filter(col("hamming") <= SimHashMaxHamming)
+        .select("a", "b", "hamming")
+        .orderBy("a", "b")
+    }),
+    // n-gram Jaccard similarity: equi-join on shared shingles, top pairs.
+    "q_dedup_ngram" -> ((s, d) => {
+      val sh = sampleDocs(s, d)
+        .select(col("doc_id"), explode(shingles(toks(col("text")))).as("sh"))
+        .distinct()
+      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = sh.select(col("doc_id").as("a"), col("sh"))
+        .join(sh.select(col("doc_id").as("b"), col("sh")), "sh")
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("i"))
+      inter
+        .join(cnt.select(col("doc_id").as("a"), col("n").as("na")), "a")
+        .join(cnt.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+        .withColumn("jacc", col("i") * lit(1.0) / (col("na") + col("nb") - col("i")))
+        .select(col("a"), col("b"), e4(col("jacc")).as("jacc_e4"), col("jacc"))
+        .orderBy(col("jacc").desc, col("a"), col("b"))
+        .limit(JaccardTopPairs)
+        .select("a", "b", "jacc_e4")
+    })
+  )
+
+  private val rowsPerBand = MinHashPerms / MinHashBands
+  private val shT = shinglesSql(toksSql("text"))
+  private val sigExprs = (0 until MinHashPerms)
+    .map(i => s"min(md5($i || ':' || sh)) AS sig$i").mkString(", ")
+  private val bandExprs = (0 until MinHashBands).map { b =>
+    val parts = (0 until rowsPerBand).map(r => s"sig${b * rowsPerBand + r}").mkString(" || ")
+    s"md5($parts) AS band$b"
+  }.mkString(", ")
+  private def sigsSql(filter: String): String =
+    s"""(SELECT doc_id, $bandExprs FROM (
+          SELECT doc_id, $sigExprs FROM (
+            SELECT DISTINCT doc_id, unnest($shT) AS sh FROM documents $filter)
+          GROUP BY doc_id))"""
+  private val simhashBitSums = (0 until SimHashBits)
+    .map(j => s"CAST(sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s$j")
+    .mkString(", ")
+  private val simhashValue = (0 until SimHashBits)
+    .map(j => s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+  private def simhashSql(filter: String): String =
+    s"""(SELECT doc_id, CAST($simhashValue AS BIGINT) AS simhash FROM (
+          SELECT doc_id, $simhashBitSums FROM (
+            SELECT DISTINCT doc_id, t, ${md5LongSql("t", 4)} AS h FROM (
+              SELECT doc_id, unnest(${toksSql("text")}) AS t FROM documents $filter))
+          GROUP BY doc_id))"""
+  private val sampleF = s"WHERE doc_id < $PairSampleIds"
+
+  def oracles: Map[String, String] = Map(
+    "q_dedup_docs" ->
+      """SELECT min(doc_id) AS doc_id_kept, md5(text) AS h, CAST(count(*) AS BIGINT) AS n_dups
+         FROM documents GROUP BY md5(text) ORDER BY doc_id_kept""",
+    "q_minhash_signatures" ->
+      s"SELECT * FROM ${sigsSql("")} ORDER BY doc_id",
+    "q_dedup_minhash" -> {
+      val joins = (0 until MinHashBands).map(b =>
+        s"""SELECT l.doc_id AS a, r.doc_id AS b FROM ${sigsSql(sampleF)} l
+            JOIN ${sigsSql(sampleF)} r ON l.band$b = r.band$b AND l.doc_id < r.doc_id""")
+        .mkString(" UNION ")
+      s"SELECT a, b FROM ($joins) ORDER BY a, b"
+    },
+    "q_dedup_simhash" ->
+      s"SELECT * FROM ${simhashSql("")} ORDER BY doc_id",
+    "q_simhash_pairs" ->
+      s"""SELECT l.doc_id AS a, r.doc_id AS b,
+                 CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS hamming
+          FROM ${simhashSql(sampleF)} l, ${simhashSql(sampleF)} r
+          WHERE l.doc_id < r.doc_id
+            AND bit_count(xor(l.simhash, r.simhash)) <= $SimHashMaxHamming
+          ORDER BY a, b""",
+    "q_dedup_ngram" ->
+      s"""SELECT a, b, ${e4Sql("jacc")} AS jacc_e4 FROM (
+            SELECT i.a, i.b, i.i * 1.0 / (ca.n + cb.n - i.i) AS jacc
+            FROM (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+                  FROM (SELECT DISTINCT doc_id, unnest($shT) AS sh FROM documents $sampleF) x
+                  JOIN (SELECT DISTINCT doc_id, unnest($shT) AS sh FROM documents $sampleF) y
+                    ON x.sh = y.sh AND x.doc_id < y.doc_id
+                  GROUP BY x.doc_id, y.doc_id) i
+            JOIN (SELECT doc_id, count(*) AS n FROM
+                   (SELECT DISTINCT doc_id, unnest($shT) AS sh FROM documents $sampleF)
+                  GROUP BY doc_id) ca ON i.a = ca.doc_id
+            JOIN (SELECT doc_id, count(*) AS n FROM
+                   (SELECT DISTINCT doc_id, unnest($shT) AS sh FROM documents $sampleF)
+                  GROUP BY doc_id) cb ON i.b = cb.doc_id)
+          ORDER BY jacc DESC, a, b LIMIT $JaccardTopPairs"""
+  )
+}

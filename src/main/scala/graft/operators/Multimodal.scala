@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column handling.
+  *
+  * Contract: media travels as an opaque `payload: binary` column; derived
+  * metadata is a typed struct column `meta` computed either (a) by
+  * codegen'd column expressions ([[withMeta]], cheap header-level fields) or
+  * (b) by a per-partition batch decoder ([[decodePartitions]], the shape a
+  * real decoder plugs into — one library init per partition, streaming over
+  * rows, never materializing the partition).
+  *
+  * The actual pixel/sample decode requires native libs absent from this
+  * container; [[decodeStub]] is the STUB — a deterministic fake keyed on
+  * byte length so tests and the oracle can pin the plumbing end-to-end.
+  * Swap it for a real JNI/FFM decoder without touching any Spark code.
+  */
+object Multimodal {
+
+  final case class MediaMeta(byte_len: Int, width: Int, height: Int, frames: Int)
+  final case class MediaRow(doc_id: Long, payload: Array[Byte])
+  final case class DecodedRow(doc_id: Long, meta: MediaMeta)
+
+  /** STUB decoder — deterministic fake of header parsing. A real
+    * implementation would hand `payload` to an image/audio library; the
+    * dimensions here are pure functions of the byte length so both the
+    * ScalaTest specs and the DuckDB oracle can verify the plumbing. */
+  def decodeStub(payload: Array[Byte]): MediaMeta = {
+    val n = payload.length
+    MediaMeta(n, 64 + (n * 7) % 1216, 64 + (n * 13) % 656, 1 + n % 30)
+  }
+
+  /** Column-expression metadata (codegen'd, stays in whole-stage codegen). */
+  def withMeta(df: DataFrame): DataFrame = {
+    val n = length(col("payload"))
+    df.withColumn("meta", struct(
+      n.as("byte_len"),
+      (lit(64) + (n * 7) % 1216).as("width"),
+      (lit(64) + (n * 13) % 656).as("height"),
+      (lit(1) + n % 30).as("frames")))
+  }
+
+  /** Per-partition batch decode: the real-decoder integration point.
+    * Initializes (stub) decoder state once per partition, then streams. */
+  def decodePartitions(ds: Dataset[MediaRow]): Dataset[DecodedRow] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      // one-time per-partition decoder init would go here
+      rows.map(r => DecodedRow(r.doc_id, decodeStub(r.payload)))
+    }
+  }
+}

@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal-column plumbing: media payloads ride as opaque `binary`
+  * columns with a typed metadata struct alongside. The real decode
+  * (image/audio libs) is not available in this container, so
+  * [[graft.operators.Multimodal.decodeStub]] is a clearly-marked
+  * deterministic fake — the Spark-side schema, partitioning, and batch
+  * shape are real and tested (see MultimodalSpec).
+  */
+object MultimodalQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Binary payload + deterministic fake feature-extraction metadata.
+    "q_multimodal_meta" -> ((s, d) => {
+      Multimodal.withMeta(
+          Tables.documents(s, d).select(col("doc_id"),
+            col("text").cast("binary").as("payload")))
+        .select(col("doc_id"), col("meta.byte_len").as("byte_len"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.frames").as("frames"))
+        .orderBy("doc_id")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_multimodal_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS byte_len,
+                CAST(64 + (octet_length(encode(text)) * 7) % 1216 AS INT) AS width,
+                CAST(64 + (octet_length(encode(text)) * 13) % 656 AS INT) AS height,
+                CAST(1 + octet_length(encode(text)) % 30 AS INT) AS frames
+         FROM documents ORDER BY doc_id"""
+  )
+}

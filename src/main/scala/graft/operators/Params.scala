@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Shared constants + Spark/DuckDB expression builders.
+  *
+  * Every query in `graft.SparkEntry.queries` has an ANSI-SQL twin in
+  * `oracleSql` that DuckDB executes over the same parquet tables; the
+  * helpers here exist to keep the two dialects computing *identical*
+  * values (tokenization regex, shingling, md5-derived integer hashes,
+  * epoch-millis arithmetic). Change a constant here and both sides move
+  * together.
+  */
+object Params {
+  /** 2024-01-20T00:00:00Z — fixed as-of instant for TTL expiry (models the
+    * reference's surfaced-but-never-evaluated TTL fields,
+    * WritableColumn.java:20-21 / SSTableData.scala:107-110). */
+  val AsOfMs: Long = 1705708800000L
+  val TtlMs: Long = 7L * 24 * 3600 * 1000 // 7 days
+
+  /** Gap threshold for range-split bucketing (models the 1 GB index-split
+    * threshold walk in GenerateSSTableIndexSplits.scala:75-91, recast over
+    * event-time). */
+  val SplitGapMs: Long = 10L * 60 * 1000 // 10 min
+  val SessionGapMs: Long = 30L * 60 * 1000 // 30 min
+
+  /** Word-shingle width for near-dup ops. */
+  val ShingleN = 3
+  /** MinHash permutations (8 sigs = 2 bands × 4 rows). */
+  val MinHashPerms = 8
+  val MinHashBands = 2
+  /** SimHash width in bits (from the first 4 hex chars of md5). */
+  val SimHashBits = 16
+  val SimHashMaxHamming = 3
+  /** Pairwise ops run over a bounded id-sample: at 100 TB you LSH/bucket
+    * first and only go pairwise inside a candidate set, never all-pairs. */
+  val PairSampleIds = 300
+  val KnnQueryIds = 10
+  val KnnK = 3
+  val NearDupCosine = 0.95
+  val TopWords = 20
+  val JaccardTopPairs = 50
+
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "it")
+  val EnRatioThreshold = 0.05
+
+  // ---------- Spark-side builders ----------
+
+  /** Lowercase alpha tokens, empties dropped. */
+  def toks(c: Column): Column =
+    filter(split(lower(c), "[^a-z]+"), t => t =!= "")
+
+  /** `n`-word shingles joined by single spaces; empty array when fewer than
+    * `n` tokens. */
+  def shingles(tokArr: Column, n: Int = ShingleN): Column =
+    when(size(tokArr) < n, array().cast("array<string>")).otherwise(
+      transform(
+        sequence(lit(0), size(tokArr) - n),
+        i => concat_ws(" ", (0 until n).map(k => element_at(tokArr, i + k + 1)): _*)))
+
+  /** First `nHex` hex chars of md5(c), as an unsigned BIGINT. Identical in
+    * DuckDB via `('0x' || substring(md5(c), 1, nHex))::BIGINT`. */
+  def md5Long(c: Column, nHex: Int): Column =
+    conv(substring(md5(c), 1, nHex), 16, 10).cast(LongType)
+
+  /** Doubles are emitted as scaled integers (`floor(x·10^k + 0.5)`) rather
+    * than `round(x, k)`: Spark's round operates on the decimal string
+    * (HALF_UP on the shortest repr) while DuckDB rounds the binary value —
+    * they disagree whenever the true value sits on a .5 decimal boundary.
+    * floor over identical IEEE doubles is bit-deterministic in both. */
+  def e4(c: Column): Column = floor(c * 10000 + 0.5).cast(LongType)
+  def e2(c: Column): Column = floor(c * 100 + 0.5).cast(LongType)
+
+  // ---------- DuckDB-side builders (oracle SQL snippets) ----------
+
+  /** DuckDB twin of [[toks]]. */
+  def toksSql(c: String): String =
+    s"list_filter(string_split_regex(lower($c), '[^a-z]+'), x -> x <> '')"
+
+  /** DuckDB twin of [[shingles]] over a token-list expression `t`. */
+  def shinglesSql(t: String, n: Int = ShingleN): String = {
+    val parts = (0 until n).map(k => s"$t[i+$k]").mkString(" || ' ' || ")
+    s"CASE WHEN len($t) < $n THEN []::VARCHAR[] " +
+      s"ELSE list_transform(range(1, len($t) - ${n - 2}), i -> $parts) END"
+  }
+
+  /** DuckDB twin of [[md5Long]]. */
+  def md5LongSql(c: String, nHex: Int): String =
+    s"('0x' || substring(md5($c), 1, $nHex))::BIGINT"
+
+  /** DuckDB twins of [[e4]]/[[e2]]. */
+  def e4Sql(x: String): String = s"CAST(floor(($x) * 10000 + 0.5) AS BIGINT)"
+  def e2Sql(x: String): String = s"CAST(floor(($x) * 100 + 0.5) AS BIGINT)"
+
+  /** DuckDB: canonical events source with epoch-millis `ts_ms` (matches
+    * [[graft.Tables.events]]). */
+  val EventsSql = "(SELECT event_id, user_id, event_type, value, props, epoch_ms(ts) AS ts_ms FROM events)"
+}

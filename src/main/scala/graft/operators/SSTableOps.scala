@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column => SCol, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.MsgPack
+
+/** Operator library over the SSTable scan schema
+  * (`key binary, columns array<struct<name, state, value, timestamp,
+  * ttlSecs, expiresMillis>>` — SURVEY.md §1.3): the reference's merge/
+  * export pipelines (E1/E2, SURVEY.md §3) as composable DataFrame
+  * transforms.
+  *
+  * All merges are hash-aggregations on (key[, name]) — partial+final with
+  * map-side combine, strictly better than the reference's combiner-less
+  * MR shuffles of raw columns (SURVEY.md §4 "Partial aggregation").
+  * Tie-breaks are made deterministic via (timestamp, name, state) ordering
+  * (the reference's strict `>` kept first-seen — iteration-order dependent,
+  * SSTableData.scala:52,93; documented divergence SURVEY.md §7 risk 2).
+  */
+object SSTableOps {
+
+  /** P2 — flatten rows to one record per column
+    * (`SSTableDataMapper`, mapred/SSTableData.scala:21-33). */
+  def explodeColumns(df: DataFrame): DataFrame =
+    df.select(col("key"), explode(col("columns")).as("c"))
+
+  /** A1 — latest column per row key (`SSTableDataReducer`,
+    * mapred/SSTableData.scala:45-62). */
+  def latestColumnPerKey(df: DataFrame): DataFrame =
+    explodeColumns(df)
+      .groupBy("key")
+      .agg(max_by(col("c"), struct(col("c.timestamp"), col("c.name"), col("c.state")))
+        .as("c"))
+
+  /** A2 — full-row compaction: latest version of each column, re-nested
+    * (`MsgPackSSTableDataReducer`, mapred/SSTableData.scala:79-119).
+    * DELETED/EXPIRING states are preserved (no tombstone GC), matching
+    * the reference. */
+  def compactRows(df: DataFrame): DataFrame =
+    explodeColumns(df)
+      .groupBy(col("key"), col("c.name").as("_n"))
+      .agg(max_by(col("c"), struct(col("c.timestamp"), col("c.state"))).as("c"))
+      .groupBy("key")
+      .agg(sort_array(collect_list(col("c"))).as("columns"))
+
+  /** P7 — drop DELETED columns, and any NORMAL/EXPIRING column shadowed by
+    * a same-name tombstone with a newer-or-equal timestamp. */
+  def suppressTombstones(df: DataFrame): DataFrame = {
+    val compacted = compactRows(df)
+    compacted.select(col("key"),
+      filter(col("columns"), c => c.getField("state") =!= "DELETED").as("columns"))
+  }
+
+  /** P8 — TTL expiry as an explicit opt-in reader-side filter (the
+    * reference ships ttl/expiration raw and never evaluates them,
+    * WritableColumn.java:20-21): keep columns that are not EXPIRING, or
+    * whose expiresMillis is still in the future at `asOfMs`. */
+  def applyTtl(df: DataFrame, asOfMs: Long): DataFrame =
+    df.select(col("key"),
+      filter(col("columns"), c =>
+        c.getField("state") =!= "EXPIRING" ||
+          c.getField("expiresMillis") > lit(asOfMs)).as("columns"))
+
+  private val msgpackUdf = udf {
+    (key: Array[Byte],
+     cols: Seq[org.apache.spark.sql.Row]) =>
+      MsgPack.encodeRow(key, cols.map { r =>
+        (r.getAs[Array[Byte]]("name"), r.getAs[Array[Byte]]("value"),
+          r.getAs[Long]("timestamp"), r.getAs[Long]("expiresMillis"),
+          r.getAs[Long]("ttlSecs"))
+      })
+  }
+
+  /** K2 — msgpack/Base64 export: one `base64(msgpack(row))` text line per
+    * (typically compacted) row — the reference's E1 sink
+    * (mapred/SSTableData.scala:97-115). Scalar UDF per SURVEY.md §2.7
+    * (upgrade to a codegen Expression only if the bench says it's hot). */
+  def exportMsgpackBase64(df: DataFrame): DataFrame =
+    df.select(base64(msgpackUdf(col("key"), col("columns"))).as("line"))
+
+  /** E1 end-to-end: scan → compact (LWW per column) → msgpack/Base64
+    * lines (`ReadSSTableWithoutSplits`, tools/ReadSSTableWithoutSplits
+    * .scala:14-33). */
+  def exportCompacted(df: DataFrame): DataFrame =
+    exportMsgpackBase64(compactRows(df))
+}

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import Params._
+
+/** Similarity search over the `embeddings` table (`embedding:
+  * array<float>`): brute-force cosine top-k as the correctness baseline,
+  * and an IVF-style variant that probes only the query's coarse cell
+  * (the `label` column acts as the coarse quantizer) — the scale path:
+  * candidates shrink by the number of cells, and the candidate join is a
+  * broadcast-equi-join on the cell id rather than a cross join.
+  *
+  * Dot products use `zip_with` + `aggregate` over double-cast arrays
+  * (codegen'd built-ins; no UDF). At 100 TB: queries are broadcast
+  * (small), candidates stream; norms are precomputed once per side.
+  */
+object SimilarityQueries {
+
+  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** vec_id, v (double array), nrm. */
+  private def embWithNorm(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+
+  private def topK(joined: DataFrame): DataFrame = {
+    val sim = (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("sim")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+    joined.select(col("q_id"), col("c_id"), sim)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= KnnK)
+      .select(col("q_id"), col("rk"), col("c_id"), e4(col("sim")).as("sim_e4"))
+      .orderBy("q_id", "rk")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Brute-force cosine top-k (baseline; queries broadcast against all).
+    "q_knn_cosine" -> ((s, d) => {
+      val e = embWithNorm(s, d)
+      val q = e.filter(col("vec_id") < KnnQueryIds)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val c = e.select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+      topK(broadcast(q).crossJoin(c).filter(col("q_id") =!= col("c_id")))
+    }),
+    // IVF-style ANN: probe only the query's coarse cell (label).
+    "q_ann_ivf" -> ((s, d) => {
+      val e = embWithNorm(s, d)
+      val q = e.filter(col("vec_id") < KnnQueryIds)
+        .select(col("vec_id").as("q_id"), col("label").as("cell"),
+          col("v").as("qv"), col("nrm").as("qn"))
+      val c = e.select(col("vec_id").as("c_id"), col("label").as("cell"),
+        col("v").as("cv"), col("nrm").as("cn"))
+      topK(broadcast(q).join(c, "cell").filter(col("q_id") =!= col("c_id")))
+    }),
+    // Embedding-cosine near-dup: canonical id per vector over the
+    // id-sample (min partner above threshold, else self).
+    "q_dedup_embedding" -> ((s, d) => {
+      val e = embWithNorm(s, d).filter(col("vec_id") < PairSampleIds)
+      val a = e.select(col("vec_id").as("a"), col("v").as("qv"), col("nrm").as("qn"))
+      val b = e.select(col("vec_id").as("b"), col("v").as("cv"), col("nrm").as("cn"))
+      val dups = broadcast(a).crossJoin(b).filter(col("a") < col("b"))
+        .withColumn("sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+        .filter(col("sim") > NearDupCosine)
+        .groupBy(col("b").as("vec_id")).agg(min(col("a")).as("canon_min"))
+      e.select("vec_id").join(dups, Seq("vec_id"), "left")
+        .select(col("vec_id"), coalesce(col("canon_min"), col("vec_id")).as("canon"))
+        .orderBy("vec_id")
+    })
+  )
+
+  private val V = "CAST(embedding AS DOUBLE[])"
+  private val embSql =
+    s"(SELECT vec_id, label, $V AS v, sqrt(list_dot_product($V, $V)) AS nrm FROM embeddings)"
+
+  def oracles: Map[String, String] = Map(
+    "q_knn_cosine" ->
+      s"""SELECT q_id, rk, c_id, ${e4Sql("sim")} AS sim_e4 FROM (
+            SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                   list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS sim,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY list_dot_product(q.v, c.v) / (q.nrm * c.nrm) DESC, c.vec_id) AS rk
+            FROM $embSql q, $embSql c
+            WHERE q.vec_id < $KnnQueryIds AND q.vec_id <> c.vec_id)
+          WHERE rk <= $KnnK ORDER BY q_id, rk""",
+    "q_ann_ivf" ->
+      s"""SELECT q_id, rk, c_id, ${e4Sql("sim")} AS sim_e4 FROM (
+            SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                   list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS sim,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY list_dot_product(q.v, c.v) / (q.nrm * c.nrm) DESC, c.vec_id) AS rk
+            FROM $embSql q JOIN $embSql c ON q.label = c.label
+            WHERE q.vec_id < $KnnQueryIds AND q.vec_id <> c.vec_id)
+          WHERE rk <= $KnnK ORDER BY q_id, rk""",
+    "q_dedup_embedding" ->
+      s"""SELECT e.vec_id, coalesce(d.canon_min, e.vec_id) AS canon
+          FROM (SELECT vec_id FROM embeddings WHERE vec_id < $PairSampleIds) e
+          LEFT JOIN (SELECT b.vec_id AS vec_id, min(a.vec_id) AS canon_min
+                     FROM $embSql a, $embSql b
+                     WHERE a.vec_id < $PairSampleIds AND b.vec_id < $PairSampleIds
+                       AND a.vec_id < b.vec_id
+                       AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm) > $NearDupCosine
+                     GROUP BY b.vec_id) d
+            ON e.vec_id = d.vec_id
+          ORDER BY e.vec_id"""
+  )
+}

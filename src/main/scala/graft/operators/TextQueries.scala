@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import Params._
+
+/** Text-analysis ops for a large-scale training-data pipeline: word
+  * frequency, n-gram-heuristic language ID, quality scoring, token
+  * counting (whitespace + BPE-ish estimate), document fingerprinting.
+  * All are per-document narrow transforms (no shuffle except the final
+  * word-frequency aggregation) — they stream at 100 TB.
+  */
+object TextQueries {
+
+  private def docToks = toks(col("text"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // North-star text analysis — tokenize, explode, word frequency top-k.
+    "q_text_stats" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(explode(docToks).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word"))
+        .limit(TopWords)
+    }),
+    // Language ID via stopword-hit ratio (n-gram heuristic).
+    "q_lang_id" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), docToks.as("t"))
+        .select(col("doc_id"), size(col("t")).as("n_toks"),
+          size(filter(col("t"), t => t.isin(Stopwords: _*))).as("n_stop"))
+        .select(col("doc_id"), col("n_toks"),
+          e4(col("n_stop") / col("n_toks")).as("en_ratio_e4"),
+          when(col("n_stop") / col("n_toks") >= EnRatioThreshold, "en")
+            .otherwise("und").as("pred"))
+        .orderBy("doc_id")
+    }),
+    // Quality scoring: length / alpha-ratio / stopword-ratio composite.
+    "q_quality_score" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), docToks.as("t"))
+        .select(col("doc_id"),
+          length(col("text")).as("n_chars"),
+          size(col("t")).as("n_toks"),
+          (length(concat_ws("", col("t"))).cast("double") / size(col("t"))).as("atl"),
+          (size(filter(col("t"), t => t.isin(Stopwords: _*))).cast("double") /
+            size(col("t"))).as("sr"),
+          (length(regexp_replace(col("text"), "[^a-z ]", "")).cast("double") /
+            length(col("text"))).as("ar"))
+        .select(col("doc_id"), col("n_chars"), col("n_toks"),
+          e4(col("atl")).as("avg_tok_len_e4"),
+          e4(col("sr")).as("stop_ratio_e4"),
+          e4(lit(0.4) * col("sr") + lit(0.3) * least(col("n_toks") / 100.0, lit(1.0)) +
+            lit(0.3) * col("ar")).as("score_e4"))
+        .orderBy("doc_id")
+    }),
+    // Token counting: whitespace tokens, alpha tokens, BPE-ish estimate.
+    "q_token_count" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(filter(split(col("text"), "\\s+"), t => t =!= "")).as("ws_tokens"),
+          size(docToks).as("alpha_tokens"),
+          ceil(length(col("text")) / 4.0).as("bpe_est"))
+        .orderBy("doc_id")
+    }),
+    // Document fingerprinting: exact fp over normalized text + min shingle
+    // hash (1-permutation MinHash — rolling-hash flavored).
+    "q_fingerprint" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(concat_ws(" ", docToks)).as("exact_fp"),
+          coalesce(array_min(transform(shingles(docToks), sh => md5(sh))), lit(""))
+            .as("shingle_fp"))
+        .orderBy("doc_id")
+    })
+  )
+
+  private val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
+  private val toksT = toksSql("text")
+
+  def oracles: Map[String, String] = Map(
+    "q_text_stats" ->
+      s"""SELECT word, CAST(count(*) AS BIGINT) AS cnt
+          FROM (SELECT unnest($toksT) AS word FROM documents)
+          GROUP BY word ORDER BY cnt DESC, word LIMIT $TopWords""",
+    "q_lang_id" ->
+      s"""SELECT doc_id, CAST(len(t) AS INT) AS n_toks,
+                 ${e4Sql(s"len(list_filter(t, x -> x IN ($stopList))) * 1.0 / len(t)")} AS en_ratio_e4,
+                 CASE WHEN len(list_filter(t, x -> x IN ($stopList))) * 1.0 / len(t) >= $EnRatioThreshold
+                      THEN 'en' ELSE 'und' END AS pred
+          FROM (SELECT doc_id, $toksT AS t FROM documents) ORDER BY doc_id""",
+    "q_quality_score" ->
+      s"""SELECT doc_id, CAST(length(text) AS INT) AS n_chars, CAST(len(t) AS INT) AS n_toks,
+                 ${e4Sql("length(array_to_string(t, '')) * 1.0 / len(t)")} AS avg_tok_len_e4,
+                 ${e4Sql("sr")} AS stop_ratio_e4,
+                 ${e4Sql("0.4 * sr + 0.3 * least(len(t) / 100.0, 1.0) + 0.3 * (length(regexp_replace(text, '[^a-z ]', '', 'g')) * 1.0 / length(text))")} AS score_e4
+          FROM (SELECT doc_id, text, $toksT AS t,
+                       len(list_filter($toksT, x -> x IN ($stopList))) * 1.0 / len($toksT) AS sr
+                FROM documents) ORDER BY doc_id""",
+    "q_token_count" ->
+      s"""SELECT doc_id,
+                 CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS INT) AS ws_tokens,
+                 CAST(len($toksT) AS INT) AS alpha_tokens,
+                 CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_est
+          FROM documents ORDER BY doc_id""",
+    "q_fingerprint" ->
+      s"""SELECT doc_id, md5(array_to_string(t, ' ')) AS exact_fp,
+                 coalesce(list_aggregate(list_transform(${shinglesSql("t")}, s -> md5(s)), 'min'), '') AS shingle_fp
+          FROM (SELECT doc_id, $toksT AS t FROM documents) ORDER BY doc_id"""
+  )
+}

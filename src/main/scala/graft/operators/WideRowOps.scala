@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Cassandra read-path merge semantics (last-writer-wins, tombstones, TTL)
+  * re-expressed as declarative DataFrame transforms, plus the gap-threshold
+  * range bucketing that the reference runs as an offline split-planning job.
+  *
+  * Reference semantics re-owned here (see SURVEY.md §2.4):
+  *  - `SSTableDataReducer` (mapred/SSTableData.scala:45-62): keep the
+  *    max-timestamp column per row key → [[latestPerKey]].
+  *  - `MsgPackSSTableDataReducer` (mapred/SSTableData.scala:79-119): keep the
+  *    max-timestamp version of *each* column per row → [[latestPerCell]].
+  *    The reference's strict `>` makes ties first-seen (iteration-order
+  *    dependent, SSTableData.scala:52,93); we instead define the
+  *    deterministic tie-break (timestamp, name) DESC — documented divergence.
+  *  - Tombstone suppression (DELETED state, WritableColumn.java:12-14):
+  *    [[suppressTombstoned]] — anti-filter against the newest tombstone.
+  *  - TTL expiry (exposed-but-never-evaluated in the reference,
+  *    WritableColumn.java:20-21): [[ttlLive]] as an explicit opt-in filter.
+  *  - `GenerateSSTableIndexSplits` boundary-threshold walk
+  *    (tools/GenerateSSTableIndexSplits.scala:59-96): [[gapBuckets]] as a
+  *    cumulative-flag window aggregation.
+  *
+  * Scale notes: latestPerKey/latestPerCell are single hash-aggregations
+  * (partial + final, map-side combined — strictly better than the
+  * reference's combiner-less MR shuffle of raw columns).
+  * [[suppressTombstoned]] aggregates tombstones first (tiny relation) and
+  * broadcast-joins it back, so the big fact table is never shuffled.
+  * [[gapBuckets]] over a *global* ordering is inherently sequential — the
+  * reference runs it per-file (map-side, parallel across files); at scale
+  * callers partition by file/day first.
+  */
+object WideRowOps {
+
+  /** Latest record per `key`, ordering by `(ts, tieCols...)` descending —
+    * a single `max_by(struct(payload), struct(orderCols))` hash-agg, no
+    * window/sort. */
+  def latestPerKey(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                   tieCols: Seq[String]): DataFrame = {
+    val ordCols = (tsCol +: tieCols).map(col)
+    val payload = df.columns.filterNot(keyCols.contains).map(col)
+    val ord = struct(ordCols: _*)
+    val keep = max_by(struct(payload: _*), ord).as("_keep")
+    df.groupBy(keyCols.map(col): _*).agg(keep)
+      .select(keyCols.map(col) ++
+        df.columns.filterNot(keyCols.contains).map(c => col(s"_keep.$c").as(c)): _*)
+  }
+
+  /** Latest version of each cell `(key, name)` — Cassandra compaction
+    * without tombstone GC (SSTableData.scala:85-95). */
+  def latestPerCell(df: DataFrame, keyCols: Seq[String], nameCol: String,
+                    tsCol: String): DataFrame =
+    latestPerKey(df, keyCols :+ nameCol, tsCol, Nil)
+
+  /** Drop every non-tombstone record at-or-before its key's newest
+    * tombstone, and drop the tombstones themselves. `isTombstone` marks
+    * delete markers. The tombstone max-ts relation is one tiny aggregate,
+    * broadcast back onto the fact table. */
+  def suppressTombstoned(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                         isTombstone: Column): DataFrame = {
+    val tombs = df.filter(isTombstone)
+      .groupBy(keyCols.map(col): _*)
+      .agg(max(col(tsCol)).as("_tomb_ts"))
+    df.filter(!isTombstone)
+      .join(broadcast(tombs), keyCols, "left")
+      .filter(col("_tomb_ts").isNull || col(tsCol) > col("_tomb_ts"))
+      .drop("_tomb_ts")
+  }
+
+  /** Records still live at `asOfMs` given a uniform TTL: `ts + ttl > asOf`.
+    * Off-by-default in the source (matching the reference, which ships TTL
+    * fields raw); exposed here as an explicit filter. */
+  def ttlLive(df: DataFrame, tsMsCol: String, ttlMs: Long, asOfMs: Long): Column =
+    col(tsMsCol) + lit(ttlMs) > lit(asOfMs)
+
+  /** Bucket a stream of positions by cumulative gap threshold: a new bucket
+    * starts whenever `pos - lag(pos) > gap`. Returns df + `bucket` column.
+    * `partitionCols` empty = single global sequence (the reference's
+    * per-file walk). */
+  def gapBuckets(df: DataFrame, posCol: String, gapMs: Long,
+                 partitionCols: Seq[String] = Nil): DataFrame = {
+    val w =
+      if (partitionCols.isEmpty) Window.orderBy(col(posCol))
+      else Window.partitionBy(partitionCols.map(col): _*).orderBy(col(posCol))
+    val gap = col(posCol) - lag(col(posCol), 1).over(w)
+    df.withColumn("_new", when(gap > lit(gapMs), 1).otherwise(0))
+      .withColumn("bucket", sum(col("_new")).over(
+        w.rangeBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("_new")
+  }
+}

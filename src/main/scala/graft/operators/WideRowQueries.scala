@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import Params._
+
+/** Declared queries for the SSTable merge-semantics surface (SURVEY.md §2.8,
+  * rows q_lww_* / q_tombstone_filter / q_ttl_expiry / q_range_splits /
+  * q_export_b64). The `events` table models the wide-row world: `user_id` ≈
+  * row key, `event_type` ≈ column name, `ts` ≈ write timestamp; the newest
+  * `error` event per user stands in for a tombstone (the harness data has
+  * no literal `delete` type).
+  */
+object WideRowQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1 — SSTableDataReducer: latest column per row key.
+    "q_lww_latest_per_key" -> ((s, d) => {
+      val e = Tables.events(s, d).select("user_id", "event_type", "ts_ms", "value")
+      WideRowOps.latestPerKey(e, Seq("user_id"), "ts_ms", Seq("event_type"))
+        .select(col("user_id"), col("ts_ms"), col("event_type"),
+          e4(col("value")).as("value_e4"))
+        .orderBy("user_id")
+    }),
+    // A2 — MsgPackSSTableDataReducer: latest version of each (row, column).
+    "q_lww_merge_columns" -> ((s, d) => {
+      val e = Tables.events(s, d).select("user_id", "event_type", "ts_ms", "value")
+      WideRowOps.latestPerCell(e, Seq("user_id"), "event_type", "ts_ms")
+        .select(col("user_id"), col("event_type"), col("ts_ms"),
+          e4(col("value")).as("value_e4"))
+        .orderBy("user_id", "event_type")
+    }),
+    // P7 — tombstone suppression (DELETED state dispatch).
+    "q_tombstone_filter" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      WideRowOps.suppressTombstoned(e, Seq("user_id"), "ts_ms",
+          col("event_type") === "error")
+        .select("event_id", "user_id", "event_type", "ts_ms")
+        .orderBy("event_id")
+    }),
+    // P8 — TTL expiry as an explicit opt-in filter.
+    "q_ttl_expiry" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      e.filter(WideRowOps.ttlLive(e, "ts_ms", TtlMs, AsOfMs))
+        .select("event_id", "user_id", "event_type", "ts_ms")
+        .orderBy("event_id")
+    }),
+    // A4 — boundary-threshold split planning as window aggregation.
+    "q_range_splits" -> ((s, d) => {
+      val e = Tables.events(s, d).select("ts_ms")
+      WideRowOps.gapBuckets(e, "ts_ms", SplitGapMs)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), min("ts_ms").as("ts_min_ms"),
+          max("ts_ms").as("ts_max_ms"))
+        .orderBy("bucket")
+    }),
+    // P5/K2 — Base64 text-transport export (msgpack sink's oracle-able half).
+    "q_export_b64" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(base64(concat_ws("|", col("user_id"), col("event_type"),
+          col("ts_ms")).cast("binary")).as("line"))
+        .orderBy("line")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_lww_latest_per_key" ->
+      s"""SELECT user_id, ts_ms, event_type, ${e4Sql("value")} AS value_e4
+          FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts_ms DESC, event_type DESC) AS rn
+                FROM $EventsSql) WHERE rn = 1 ORDER BY user_id""",
+    "q_lww_merge_columns" ->
+      s"""SELECT user_id, event_type, ts_ms, ${e4Sql("value")} AS value_e4
+          FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts_ms DESC) AS rn
+                FROM $EventsSql) WHERE rn = 1 ORDER BY user_id, event_type""",
+    "q_tombstone_filter" ->
+      s"""SELECT e.event_id, e.user_id, e.event_type, e.ts_ms
+          FROM $EventsSql e
+          LEFT JOIN (SELECT user_id, max(ts_ms) AS tomb_ts FROM $EventsSql
+                     WHERE event_type = 'error' GROUP BY user_id) t
+            ON e.user_id = t.user_id
+          WHERE e.event_type <> 'error' AND (t.tomb_ts IS NULL OR e.ts_ms > t.tomb_ts)
+          ORDER BY e.event_id""",
+    "q_ttl_expiry" ->
+      s"""SELECT event_id, user_id, event_type, ts_ms FROM $EventsSql
+          WHERE ts_ms + $TtlMs > $AsOfMs ORDER BY event_id""",
+    "q_range_splits" ->
+      s"""SELECT bucket, CAST(count(*) AS BIGINT) AS n, min(ts_ms) AS ts_min_ms, max(ts_ms) AS ts_max_ms
+          FROM (SELECT ts_ms, CAST(sum(CASE WHEN gap > $SplitGapMs THEN 1 ELSE 0 END)
+                         OVER (ORDER BY ts_ms) AS BIGINT) AS bucket
+                FROM (SELECT ts_ms, ts_ms - lag(ts_ms) OVER (ORDER BY ts_ms) AS gap
+                      FROM $EventsSql))
+          GROUP BY bucket ORDER BY bucket""",
+    "q_export_b64" ->
+      s"""SELECT to_base64(encode(concat_ws('|', user_id, event_type, ts_ms))) AS line
+          FROM $EventsSql ORDER BY line"""
+  )
+}

@@ -1,0 +1,158 @@
+package graft.sources.sstable
+
+import java.io.{DataInputStream, DataOutputStream}
+import java.util.zip.Adler32
+import org.xerial.snappy.Snappy
+
+/** CompressionInfo.db codec + the chunk-framed Snappy layer.
+  *
+  * Re-implements (from the public Cassandra 1.x layout, not by copying) the
+  * surface the reference consumed from its external codec (SURVEY.md §1.4):
+  * `CompressionInfoReader` exposing `chunkLength` (uncompressed chunk
+  * size), `dataLength` (total uncompressed length) and the sequence of
+  * compressed chunk offsets (GenerateSSTableDataSplits.scala:129-135,
+  * 180-202).
+  *
+  * Physical layout of a compressed `*-Data.db`: chunks back-to-back, each
+  * `[u32 compressedLen][compressed bytes][u32 adler32(uncompressed)]`.
+  * `*-CompressionInfo.db`: `[magic GSSC][u16 version][u32 chunkLength]
+  * [i64 dataLength][u32 chunkCount][chunkCount × i64 offset]`.
+  *
+  * Unlike the reference's whole-split buffer + `decompressEntireStream`
+  * (SplitSSTableDataRecordReader.scala:58-71 — memory ∝ split size), reads
+  * here are chunk-at-a-time with a single-chunk cache: memory is O(64 KB)
+  * per open reader regardless of split size — the 100 TB-safe trade.
+  */
+final case class CompressionInfo(chunkLength: Int, dataLength: Long,
+                                 chunkOffsets: Array[Long]) {
+  def chunkCount: Int = chunkOffsets.length
+}
+
+object CompressionInfo {
+  val Magic = 0x47535343 // "GSSC"
+  val Version = 1
+  val DefaultChunkLength = 64 * 1024
+
+  def write(out: DataOutputStream, info: CompressionInfo): Unit = {
+    out.writeInt(Magic)
+    out.writeShort(Version)
+    out.writeInt(info.chunkLength)
+    out.writeLong(info.dataLength)
+    out.writeInt(info.chunkOffsets.length)
+    info.chunkOffsets.foreach(out.writeLong)
+  }
+
+  def read(in: DataInputStream): CompressionInfo = {
+    val magic = in.readInt()
+    if (magic != Magic)
+      throw new CorruptSSTableException(f"CompressionInfo bad magic 0x$magic%08x")
+    val v = in.readUnsignedShort()
+    if (v != Version)
+      throw new CorruptSSTableException(s"CompressionInfo unsupported version $v")
+    val chunkLength = in.readInt()
+    val dataLength = in.readLong()
+    val n = in.readInt()
+    if (n < 0 || chunkLength <= 0)
+      throw new CorruptSSTableException(s"CompressionInfo invalid geometry n=$n chunk=$chunkLength")
+    CompressionInfo(chunkLength, dataLength, Array.fill(n)(in.readLong()))
+  }
+}
+
+/** Loud-failure exception for any structural corruption — the reference
+  * swallowed mid-file errors and silently truncated the scan
+  * (SSTableDataRecordReader.scala:95-97, defect SURVEY.md §2.9-5). */
+final class CorruptSSTableException(msg: String, cause: Throwable = null)
+    extends java.io.IOException(msg, cause)
+
+/** Uncompressed-domain view over a chunk-compressed physical stream.
+  * `seek`/`read` address uncompressed positions; chunks are located via
+  * CompressionInfo offsets, decompressed on demand, one chunk cached. */
+final class SnappyChunkedInput(physical: SeekableInput, info: CompressionInfo)
+    extends SeekableInput {
+  private var pos = 0L
+  private var cachedChunk = -1
+  private var cached: Array[Byte] = _
+
+  def position: Long = pos
+  def seek(p: Long): Unit = pos = p
+  def length: Long = info.dataLength
+
+  private def loadChunk(idx: Int): Array[Byte] = {
+    if (idx == cachedChunk) return cached
+    if (idx < 0 || idx >= info.chunkCount)
+      throw new CorruptSSTableException(s"chunk $idx out of range 0..${info.chunkCount - 1}")
+    physical.seek(info.chunkOffsets(idx))
+    val din = physical.asDataInput
+    val compLen = din.readInt()
+    if (compLen < 0 || compLen > (info.chunkLength.toLong * 2 + 1024))
+      throw new CorruptSSTableException(s"chunk $idx absurd compressed length $compLen")
+    val comp = new Array[Byte](compLen)
+    din.readFully(comp)
+    val expectedCrc = din.readInt()
+    val raw = Snappy.uncompress(comp)
+    val adler = new Adler32
+    adler.update(raw)
+    if (adler.getValue.toInt != expectedCrc)
+      throw new CorruptSSTableException(s"chunk $idx checksum mismatch")
+    cachedChunk = idx
+    cached = raw
+    raw
+  }
+
+  def read(buf: Array[Byte], off: Int, len: Int): Int = {
+    if (pos >= info.dataLength) return -1
+    val chunkIdx = (pos / info.chunkLength).toInt
+    val within = (pos % info.chunkLength).toInt
+    val chunk = loadChunk(chunkIdx)
+    if (within >= chunk.length)
+      throw new CorruptSSTableException(s"position $pos beyond chunk $chunkIdx payload")
+    val n = math.min(len, chunk.length - within)
+    System.arraycopy(chunk, within, buf, off, n)
+    pos += n
+    n
+  }
+
+  def close(): Unit = physical.close()
+}
+
+/** Chunking Snappy writer: buffers up to `chunkLength` uncompressed bytes,
+  * flushes each as one framed chunk, records offsets for CompressionInfo. */
+final class SnappyChunkedOutput(sink: DataOutputStream, chunkLength: Int) {
+  private val buf = new Array[Byte](chunkLength)
+  private var used = 0
+  private var uncompressedTotal = 0L
+  private var physicalOffset = 0L
+  private val offsets = scala.collection.mutable.ArrayBuffer.empty[Long]
+
+  def write(bytes: Array[Byte], off: Int, len: Int): Unit = {
+    var o = off
+    var remaining = len
+    while (remaining > 0) {
+      val n = math.min(remaining, chunkLength - used)
+      System.arraycopy(bytes, o, buf, used, n)
+      used += n; o += n; remaining -= n
+      if (used == chunkLength) flushChunk()
+    }
+  }
+
+  private def flushChunk(): Unit = {
+    if (used == 0) return
+    val raw = java.util.Arrays.copyOf(buf, used)
+    val comp = Snappy.compress(raw)
+    val adler = new Adler32
+    adler.update(raw)
+    offsets += physicalOffset
+    sink.writeInt(comp.length)
+    sink.write(comp)
+    sink.writeInt(adler.getValue.toInt)
+    physicalOffset += 4L + comp.length + 4L
+    uncompressedTotal += used
+    used = 0
+  }
+
+  /** Flush the tail chunk and return the CompressionInfo. */
+  def finish(): CompressionInfo = {
+    flushChunk()
+    CompressionInfo(chunkLength, uncompressedTotal, offsets.toArray)
+  }
+}

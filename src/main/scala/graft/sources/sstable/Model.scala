@@ -1,0 +1,53 @@
+package graft.sources.sstable
+
+/** Data model of the SSTable wide row — the recovered ADT of the
+  * reference's external codec (`com.tehasdf.sstable`, surface catalogued in
+  * SURVEY.md §1.4; call sites SSTableDataRecordReader.scala:62-72):
+  * `Column(name, data, ts)` / `Deleted(name, ts)` /
+  * `Expiring(name, data, ttl, expiration, ts)`.
+  *
+  * Timestamps are µs writer clocks; `ttlSecs` seconds; `expiresMillis` ms
+  * epoch (WritableColumn.java:16-21). DELETED columns carry no payload
+  * (WritableColumn.java:51-58).
+  */
+sealed trait Column {
+  def name: Array[Byte]
+  def timestamp: Long
+}
+object Column {
+  final case class Normal(name: Array[Byte], value: Array[Byte], timestamp: Long)
+      extends Column
+  final case class Deleted(name: Array[Byte], timestamp: Long) extends Column
+  final case class Expiring(name: Array[Byte], value: Array[Byte], ttlSecs: Long,
+                            expiresMillis: Long, timestamp: Long) extends Column
+}
+
+final case class SSTableRow(key: Array[Byte], columns: Seq[Column])
+
+object SSTableFiles {
+  /** File-naming contract (SURVEY.md §1.4): siblings derived by suffix
+    * rewrite from the `-Data.db` path. */
+  val DataSuffix = "-Data.db"
+  val IndexSuffix = "-Index.db"
+  val SummarySuffix = "-Summary.db"
+  val CompressionSuffix = "-CompressionInfo.db"
+
+  def sibling(dataPath: String, suffix: String): String = {
+    require(dataPath.endsWith(DataSuffix), s"not a Data.db path: $dataPath")
+    dataPath.dropRight(DataSuffix.length) + suffix
+  }
+
+  /** Unsigned lexicographic byte comparison — the total order of row keys
+    * (required for Summary/Index range pruning). */
+  def compareKeys(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i) & 0xff
+      val y = b(i) & 0xff
+      if (x != y) return x - y
+      i += 1
+    }
+    a.length - b.length
+  }
+}

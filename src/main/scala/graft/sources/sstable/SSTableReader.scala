@@ -1,0 +1,153 @@
+package graft.sources.sstable
+
+import java.io.File
+
+/** Opens a 4-file SSTable set and provides: full scans, byte-ranged split
+  * scans, plan-time split planning, and Summary/Index-driven key-range
+  * pruning.
+  *
+  * Split planning (plan-time, collapses the reference's two offline MR
+  * jobs `GenerateSSTableIndexSplits` + `GenerateSSTableDataSplits` —
+  * SURVEY.md §3-E3): walk Summary.db (sampled row offsets, tiny), emit
+  * splits of ~`targetBytes` of uncompressed data aligned to row
+  * boundaries. Offsets stay in the uncompressed domain end-to-end (fixes
+  * defect §2.9-3); a split reader seeks the chunked-decompressing stream
+  * directly to its first row (the overlap-by-one chunk behaviour of the
+  * reference, GenerateSSTableDataSplits.scala:136, falls out naturally:
+  * a row crossing the last chunk boundary of a split just pulls the next
+  * chunk).
+  */
+/** A planned split: rows whose start offset ∈ [start, end) of the
+  * uncompressed Data.db; [idxStart, idxEnd) is the matching Index.db byte
+  * range; `firstKey`/`lastKeyBound` bound the keys contained (lastKeyBound
+  * is the first key of the NEXT split — or None for the tail). */
+final case class PlannedSplit(start: Long, end: Long, idxStart: Long, idxEnd: Long,
+                              firstKey: Array[Byte], lastKeyBound: Option[Array[Byte]])
+
+final class SSTableReader(val dataPath: String) extends AutoCloseable {
+  import SSTableFiles._
+
+  val compressed: Boolean = new File(sibling(dataPath, CompressionSuffix)).exists()
+
+  val compressionInfo: Option[CompressionInfo] =
+    if (!compressed) None
+    else {
+      val in = new FileSeekableInput(sibling(dataPath, CompressionSuffix))
+      try Some(CompressionInfo.read(in.asDataInput)) finally in.close()
+    }
+
+  /** Total uncompressed Data.db length. */
+  val dataLength: Long = compressionInfo match {
+    case Some(ci) => ci.dataLength
+    case None => new File(dataPath).length()
+  }
+
+  /** New uncompressed-domain stream over Data.db. */
+  def openData(): SeekableInput = {
+    val phys = new FileSeekableInput(dataPath)
+    compressionInfo match {
+      case Some(ci) => new SnappyChunkedInput(phys, ci)
+      case None => phys
+    }
+  }
+
+  /** Full scan from the header. */
+  def rows(): DataReader = {
+    val in = openData()
+    val r = new DataReader(in)
+    r.readHeader()
+    r
+  }
+
+  /** Scan rows whose start offset lies in [startOffset, endOffset). */
+  def rows(startOffset: Long, endOffset: Long): DataReader = {
+    val in = openData()
+    in.seek(startOffset)
+    new DataReader(in, endOffset)
+  }
+
+  def indexReader(): IndexReader = {
+    val in = new FileSeekableInput(sibling(dataPath, IndexSuffix))
+    val r = new IndexReader(in)
+    r.readHeader()
+    r
+  }
+
+  def summary(): (Int, Vector[SummaryEntry]) = {
+    val in = new FileSeekableInput(sibling(dataPath, SummarySuffix))
+    try {
+      val rd = new SummaryReader(in)
+      val interval = rd.readHeader()
+      (interval, rd.entries.toVector)
+    } finally in.close()
+  }
+
+  /** Plan row-aligned splits of ~targetBytes uncompressed data using only
+    * Summary.db + O(#splits) point reads of Index.db. Covers every row
+    * exactly once: split boundaries are row start offsets. `idxStart`/
+    * `idxEnd` give the matching Index.db byte range (key-only scans). */
+  def planSplits(targetBytes: Long): Vector[PlannedSplit] = {
+    val indexLength = new File(sibling(dataPath, IndexSuffix)).length()
+    val (_, sum) = summary()
+    if (sum.isEmpty)
+      return Vector(PlannedSplit(DataFile.HeaderLen, dataLength,
+        IndexFile.HeaderLen, indexLength, Array.emptyByteArray, None))
+    val idxIn = new FileSeekableInput(sibling(dataPath, IndexSuffix))
+    try {
+      // dataOffset of the row a summary entry points at
+      def dataOffsetAt(indexOffset: Long): Long = {
+        idxIn.seek(indexOffset)
+        new IndexReader(idxIn).next().dataOffset
+      }
+      val bounds = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Array[Byte])]
+      var lastStart = -1L
+      sum.foreach { se =>
+        val off = dataOffsetAt(se.indexOffset)
+        if (lastStart < 0 || off - lastStart >= targetBytes) {
+          bounds += ((off, se.indexOffset, se.key))
+          lastStart = off
+        }
+      }
+      val out = Vector.newBuilder[PlannedSplit]
+      var i = 0
+      while (i < bounds.length) {
+        val (start, idxStart, key) = bounds(i)
+        val (end, idxEnd, nextKey) =
+          if (i + 1 < bounds.length)
+            (bounds(i + 1)._1, bounds(i + 1)._2, Some(bounds(i + 1)._3))
+          else (dataLength, indexLength, None)
+        out += PlannedSplit(start, end, idxStart, idxEnd, key, nextKey)
+        i += 1
+      }
+      out.result()
+    } finally idxIn.close()
+  }
+
+  /** Drop splits that cannot contain keys in [lo, hi] (unsigned byte
+    * order; None = unbounded). Sound because rows are key-sorted. */
+  def pruneSplits(splits: Vector[PlannedSplit], lo: Option[Array[Byte]],
+                  hi: Option[Array[Byte]]): Vector[PlannedSplit] =
+    splits.filter { s =>
+      val aboveLo = lo.forall(l => s.lastKeyBound.forall(ub => compareKeys(ub, l) > 0))
+      val belowHi = hi.forall(h => compareKeys(s.firstKey, h) <= 0)
+      aboveLo && belowHi
+    }
+
+  def close(): Unit = ()
+}
+
+object SSTableReader {
+  /** All `*-Data.db` files under a directory (the S1 listing filter,
+    * SSTableDataInputFormat.scala:15-17). */
+  def listDataFiles(dir: String): Seq[String] = {
+    val f = new File(dir)
+    if (!f.isDirectory) {
+      if (f.getName.endsWith(SSTableFiles.DataSuffix)) Seq(f.getPath)
+      else throw new IllegalArgumentException(s"$dir is neither a dir nor a -Data.db file")
+    } else {
+      f.listFiles().toSeq
+        .filter(_.getName.endsWith(SSTableFiles.DataSuffix))
+        .map(_.getPath).sorted
+    }
+  }
+}

@@ -1,0 +1,89 @@
+package graft.sources.sstable
+
+import java.io.{BufferedOutputStream, ByteArrayOutputStream, DataOutputStream, FileOutputStream}
+
+/** Writes a complete 4-file SSTable set (`-Data.db`, `-Index.db`,
+  * `-Summary.db`, optional `-CompressionInfo.db`).
+  *
+  * The reference is a read-only library (SURVEY.md §2.2 — no writer
+  * exists); this writer is the new capability that enables round-trip
+  * tests and the DSv2 write path. Rows should arrive sorted by key
+  * (unsigned byte order) for Summary-based range pruning to be usable;
+  * sortedness is the caller's contract (the DSv2 write path requests it
+  * from Spark via RequiresDistributionAndOrdering) and is validated here.
+  *
+  * Streaming: rows are encoded one at a time into a reusable scratch
+  * buffer, then streamed into the (optionally chunk-compressing) sink —
+  * memory is O(row + chunk), never O(file).
+  */
+final class SSTableWriter(dataPath: String,
+                          compress: Boolean = true,
+                          chunkLength: Int = CompressionInfo.DefaultChunkLength,
+                          summaryInterval: Int = IndexFile.DefaultSummaryInterval,
+                          enforceSorted: Boolean = true) extends AutoCloseable {
+  import SSTableFiles._
+
+  private val dataOut = new DataOutputStream(
+    new BufferedOutputStream(new FileOutputStream(dataPath), 1 << 16))
+  private val snappy =
+    if (compress) new SnappyChunkedOutput(dataOut, chunkLength) else null
+
+  private val indexOut = new DataOutputStream(
+    new BufferedOutputStream(new FileOutputStream(sibling(dataPath, IndexSuffix)), 1 << 16))
+  private val summaryOut = new DataOutputStream(
+    new BufferedOutputStream(new FileOutputStream(sibling(dataPath, SummarySuffix)), 1 << 16))
+
+  private val scratch = new ByteArrayOutputStream(1 << 16)
+  private var uncompressedPos = 0L // uncompressed-domain Data.db position
+  private var indexPos = IndexFile.HeaderLen
+  private var rowCount = 0L
+  private var lastKey: Array[Byte] = _
+  private var closed = false
+
+  // headers
+  {
+    val headerScratch = new DataOutputStream(scratch)
+    DataFile.writeHeader(headerScratch)
+    val hdr = scratch.toByteArray
+    scratch.reset()
+    if (compress) snappy.write(hdr, 0, hdr.length) else dataOut.write(hdr)
+    uncompressedPos = DataFile.HeaderLen
+    IndexFile.writeHeader(indexOut)
+    IndexFile.writeSummaryHeader(summaryOut, summaryInterval)
+  }
+
+  def append(row: SSTableRow): Unit = {
+    require(!closed, "writer closed")
+    if (enforceSorted && lastKey != null && compareKeys(lastKey, row.key) > 0)
+      throw new IllegalArgumentException(
+        "rows must be appended in unsigned-lexicographic key order")
+    lastKey = row.key
+
+    val rowOffset = uncompressedPos
+    val enc = new DataOutputStream(scratch)
+    DataFile.writeRow(enc, row)
+    val bytes = scratch.toByteArray
+    scratch.reset()
+    if (compress) snappy.write(bytes, 0, bytes.length) else dataOut.write(bytes)
+    uncompressedPos += bytes.length
+
+    if (rowCount % summaryInterval == 0)
+      IndexFile.writeSummaryEntry(summaryOut, row.key, indexPos)
+    indexPos += IndexFile.writeEntry(indexOut, row.key, rowOffset)
+    rowCount += 1
+  }
+
+  def close(): Unit = {
+    if (closed) return
+    closed = true
+    if (compress) {
+      val info = snappy.finish()
+      dataOut.close()
+      val ciOut = new DataOutputStream(new BufferedOutputStream(
+        new FileOutputStream(sibling(dataPath, CompressionSuffix)), 1 << 16))
+      try CompressionInfo.write(ciOut, info) finally ciOut.close()
+    } else dataOut.close()
+    indexOut.close()
+    summaryOut.close()
+  }
+}

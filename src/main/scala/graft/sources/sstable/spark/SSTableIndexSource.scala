@@ -1,0 +1,77 @@
+package graft.sources.sstable.spark
+
+import java.util
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import graft.sources.sstable._
+
+/** `format("sstable-index")`: scans `*-Index.db` as `(key binary,
+  * position long)` — the reference's S5/S8 surface
+  * (SSTableIndexRecordReader.scala:51, SSTableIndexLoader.scala:14-48).
+  * Unlike the reference's Pig loader, `position` is exposed and dropping
+  * it is a plain `select` (SURVEY.md §1.3). */
+class SSTableIndexSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "sstable-index"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SSTableSchema.indexSchema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new SSTableIndexTable(properties.asScala.toMap)
+}
+
+final class SSTableIndexTable(properties: Map[String, String])
+    extends Table with SupportsRead {
+  private def path: String = properties.getOrElse("path",
+    throw new IllegalArgumentException("sstable-index source requires a path"))
+  override def name(): String = s"sstable-index(`$path`)"
+  override def schema(): StructType = SSTableSchema.indexSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with Scan with Batch {
+      private var required: StructType = SSTableSchema.indexSchema
+      override def build(): Scan = this
+      override def readSchema(): StructType = required
+      override def toBatch: Batch = this
+      override def planInputPartitions(): Array[InputPartition] =
+        SSTableReader.listDataFiles(path).flatMap { f =>
+          new SSTableReader(f).planSplits(SSTableSource.DefaultTargetSplitBytes)
+            .map(s => SSTablePartition(f, s.start, s.end, s.idxStart, s.idxEnd))
+        }.toArray
+      override def createReaderFactory(): PartitionReaderFactory =
+        new IndexReaderFactory(required)
+    }
+}
+
+final class IndexReaderFactory(required: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[SSTablePartition]
+    new PartitionReader[InternalRow] {
+      private val in = new FileSeekableInput(
+        SSTableFiles.sibling(p.dataPath, SSTableFiles.IndexSuffix))
+      in.seek(p.idxStart)
+      private val reader = new IndexReader(in, p.idxEnd)
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (reader.hasNext) {
+          val e = reader.next()
+          current = new GenericInternalRow(required.fields.map[Any] { f =>
+            f.name match {
+              case "key" => e.key
+              case "position" => e.dataOffset
+            }
+          })
+          true
+        } else false
+      override def get(): InternalRow = current
+      override def close(): Unit = reader.close()
+    }
+  }
+}

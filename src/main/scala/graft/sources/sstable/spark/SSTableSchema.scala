@@ -1,0 +1,59 @@
+package graft.sources.sstable.spark
+
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import graft.sources.sstable._
+
+/** The Spark-facing schema of an SSTable scan (SURVEY.md §1.3 normative
+  * mapping) and InternalRow conversion.
+  *
+  * `state` keeps the Pig-surface spellings NORMAL | DELETED | EXPIRING
+  * (SSTableDataLoader.scala:16) for oracle comparability; DELETED columns
+  * have `value IS NULL` (mirrors WritableColumn.java:51-58).
+  */
+object SSTableSchema {
+  val StateNormal = UTF8String.fromString("NORMAL")
+  val StateDeleted = UTF8String.fromString("DELETED")
+  val StateExpiring = UTF8String.fromString("EXPIRING")
+
+  val columnStruct: StructType = StructType(Seq(
+    StructField("name", BinaryType, nullable = false),
+    StructField("state", StringType, nullable = false),
+    StructField("value", BinaryType, nullable = true),
+    StructField("timestamp", LongType, nullable = false),
+    StructField("ttlSecs", LongType, nullable = false),
+    StructField("expiresMillis", LongType, nullable = false)))
+
+  val schema: StructType = StructType(Seq(
+    StructField("key", BinaryType, nullable = false),
+    StructField("columns", ArrayType(columnStruct, containsNull = false), nullable = false)))
+
+  val indexSchema: StructType = StructType(Seq(
+    StructField("key", BinaryType, nullable = false),
+    StructField("position", LongType, nullable = false)))
+
+  def columnToInternal(c: Column): InternalRow = c match {
+    case Column.Normal(n, v, ts) =>
+      new GenericInternalRow(Array[Any](n, StateNormal, v, ts, 0L, 0L))
+    case Column.Deleted(n, ts) =>
+      new GenericInternalRow(Array[Any](n, StateDeleted, null, ts, 0L, 0L))
+    case Column.Expiring(n, v, ttl, exp, ts) =>
+      new GenericInternalRow(Array[Any](n, StateExpiring, v, ts, ttl, exp))
+  }
+
+  /** Project a row onto the required top-level fields (column pruning). */
+  def rowToInternal(row: SSTableRow, required: StructType): InternalRow = {
+    val values = required.fields.map { f =>
+      f.name match {
+        case "key" => row.key
+        case "columns" =>
+          new GenericArrayData(row.columns.map(columnToInternal).toArray[Any])
+        case other => throw new IllegalStateException(s"unknown field $other")
+      }
+    }
+    new GenericInternalRow(values.asInstanceOf[Array[Any]])
+  }
+}

@@ -1,0 +1,203 @@
+package graft.sources.sstable.spark
+
+import java.util
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import graft.sources.sstable._
+
+/** DataSource V2 for the SSTable 4-file set: `spark.read.format("sstable")
+  * .load(dir)` / `df.write.format("sstable").save(dir)`.
+  *
+  * Replaces the reference's whole scan stack (S1–S4, SURVEY.md §2.1) and
+  * collapses its two offline split-planning MR jobs into plan time
+  * (§3-E3): `planInputPartitions` walks each file's Summary.db (tiny:
+  * one entry per 128 rows) and emits row-aligned, ~`targetSplitBytes`
+  * partitions in the uncompressed domain.
+  *
+  * Pushdown:
+  *  - key-range filters (=, <, <=, >, >=, And over `key`) prune whole
+  *    partitions via Summary key bounds (`SupportsPushDownFilters`); rows
+  *    are still re-filtered by Spark (we report every filter as residual,
+  *    so pruning can never change results — only skip IO).
+  *  - column pruning (`SupportsPushDownRequiredColumns`): a scan that
+  *    doesn't need `columns` switches its physical access path to
+  *    Index.db — key-only queries never touch Data.db at all.
+  *
+  * Write: each Spark partition produces one sorted SSTable set
+  * (`part-NNNNN-<task>-Data.db` + siblings); sortedness is requested from
+  * Spark via `RequiresDistributionAndOrdering` (cluster + sort by `key`),
+  * so no writer-side buffering is needed.
+  */
+class SSTableSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "sstable"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SSTableSchema.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new SSTableTable(properties.asScala.toMap)
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object SSTableSource {
+  val PathOption = "path"
+  val TargetSplitBytesOption = "targetsplitbytes"
+  val CompressOption = "compress"
+  val ChunkLengthOption = "chunklength"
+  val SummaryIntervalOption = "summaryinterval"
+  /** 128 MB uncompressed per partition by default (the reference used
+    * 256 MB of compressed chunks, GenerateSSTableDataSplits.scala:238). */
+  val DefaultTargetSplitBytes: Long = 128L * 1024 * 1024
+}
+
+final class SSTableTable(properties: Map[String, String])
+    extends Table with SupportsRead with SupportsWrite {
+  private def path: String = properties.getOrElse(SSTableSource.PathOption,
+    throw new IllegalArgumentException("sstable source requires a path"))
+  override def name(): String = s"sstable(`$path`)"
+  override def schema(): StructType = SSTableSchema.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SSTableScanBuilder(path, options)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new SSTableWriteBuilder(path, info, properties)
+}
+
+final class SSTableScanBuilder(path: String, options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var requiredSchema: StructType = SSTableSchema.schema
+  private var pushed: Array[Filter] = Array.empty
+  private var keyLo: Option[(Array[Byte], Boolean)] = None // (bound, inclusive)
+  private var keyHi: Option[(Array[Byte], Boolean)] = None
+
+  private def tightenLo(b: Array[Byte], incl: Boolean): Unit = keyLo = keyLo match {
+    case None => Some((b, incl))
+    case Some((cur, curIncl)) =>
+      val c = SSTableFiles.compareKeys(b, cur)
+      if (c > 0 || (c == 0 && !incl)) Some((b, incl)) else Some((cur, curIncl))
+  }
+  private def tightenHi(b: Array[Byte], incl: Boolean): Unit = keyHi = keyHi match {
+    case None => Some((b, incl))
+    case Some((cur, curIncl)) =>
+      val c = SSTableFiles.compareKeys(b, cur)
+      if (c < 0 || (c == 0 && !incl)) Some((b, incl)) else Some((cur, curIncl))
+  }
+
+  private def accept(f: Filter): Boolean = f match {
+    case EqualTo("key", v: Array[Byte]) => tightenLo(v, incl = true); tightenHi(v, incl = true); true
+    case GreaterThan("key", v: Array[Byte]) => tightenLo(v, incl = false); true
+    case GreaterThanOrEqual("key", v: Array[Byte]) => tightenLo(v, incl = true); true
+    case LessThan("key", v: Array[Byte]) => tightenHi(v, incl = false); true
+    case LessThanOrEqual("key", v: Array[Byte]) => tightenHi(v, incl = true); true
+    case And(l, r) => accept(l) | accept(r)
+    case _ => false
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(accept)
+    filters // all residual: pruning only skips IO, Spark re-verifies rows
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(required: StructType): Unit = {
+    // keep only our top-level fields, in our canonical order
+    val names = required.fields.map(_.name).toSet
+    requiredSchema = StructType(SSTableSchema.schema.fields.filter(f => names.contains(f.name)))
+  }
+
+  override def build(): Scan = {
+    val target = Option(options.get(SSTableSource.TargetSplitBytesOption))
+      .map(_.toLong).getOrElse(SSTableSource.DefaultTargetSplitBytes)
+    new SSTableScan(path, requiredSchema, keyLo, keyHi, target)
+  }
+}
+
+/** One planned partition: a row-aligned byte range of one SSTable's
+  * uncompressed Data.db, plus the matching Index.db range for key-only
+  * scans. */
+final case class SSTablePartition(dataPath: String, start: Long, end: Long,
+                                  idxStart: Long, idxEnd: Long)
+    extends InputPartition
+
+final class SSTableScan(path: String, requiredSchema: StructType,
+                        keyLo: Option[(Array[Byte], Boolean)],
+                        keyHi: Option[(Array[Byte], Boolean)],
+                        targetSplitBytes: Long) extends Scan with Batch {
+  override def readSchema(): StructType = requiredSchema
+  override def toBatch: Batch = this
+  override def description(): String = {
+    val prune = if (keyLo.isDefined || keyHi.isDefined) " keyRangePruned" else ""
+    val keyOnly = if (!requiredSchema.fieldNames.contains("columns")) " indexOnly" else ""
+    s"sstable $path$prune$keyOnly"
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    SSTableReader.listDataFiles(path).flatMap { f =>
+      val r = new SSTableReader(f)
+      val splits = r.planSplits(targetSplitBytes)
+      val pruned = r.pruneSplits(splits, keyLo.map(_._1), keyHi.map(_._1))
+      pruned.map(s => SSTablePartition(f, s.start, s.end, s.idxStart, s.idxEnd))
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SSTableReaderFactory(requiredSchema)
+}
+
+final class SSTableReaderFactory(requiredSchema: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[SSTablePartition]
+    if (requiredSchema.fieldNames.contains("columns"))
+      new SSTableRowReader(p, requiredSchema)
+    else
+      new SSTableKeyOnlyReader(p, requiredSchema)
+  }
+}
+
+/** Full-row reader over the partition's Data.db byte range. */
+final class SSTableRowReader(p: SSTablePartition, requiredSchema: StructType)
+    extends PartitionReader[InternalRow] {
+  private val table = new SSTableReader(p.dataPath)
+  private val reader = table.rows(p.start, p.end)
+  private var current: InternalRow = _
+  override def next(): Boolean =
+    if (reader.hasNext) {
+      current = SSTableSchema.rowToInternal(reader.next(), requiredSchema)
+      true
+    } else false
+  override def get(): InternalRow = current
+  override def close(): Unit = reader.close()
+}
+
+/** Key-only reader: never opens Data.db — scans the Index.db range
+  * instead (column pruning changing the physical access path). */
+final class SSTableKeyOnlyReader(p: SSTablePartition, requiredSchema: StructType)
+    extends PartitionReader[InternalRow] {
+  private val in = new FileSeekableInput(
+    SSTableFiles.sibling(p.dataPath, SSTableFiles.IndexSuffix))
+  in.seek(p.idxStart)
+  private val reader = new IndexReader(in, p.idxEnd)
+  private var current: InternalRow = _
+  override def next(): Boolean =
+    if (reader.hasNext) {
+      val e = reader.next()
+      current = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        requiredSchema.fields.map[Any] {
+          case f if f.name == "key" => e.key
+          case _ => throw new IllegalStateException("key-only reader got non-key field")
+        })
+      true
+    } else false
+  override def get(): InternalRow = current
+  override def close(): Unit = reader.close()
+}

@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.MsgPack
+import graft.functions.MsgPack.{VArr, VBin, VLong, VNil}
+
+/** SSTable merge-semantics ops over the nested scan schema + msgpack
+  * round-trip (SURVEY.md §5.2-3: LWW merge properties, tombstone
+  * invariant). */
+class SSTableOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def col3(name: String, state: String, value: String, ts: Long,
+                   ttl: Long = 0L, exp: Long = 0L) =
+    (name.getBytes, state, if (value == null) null else value.getBytes, ts, ttl, exp)
+
+  /** Build a nested SSTable-schema DF from (key, columns) pairs. */
+  private def widerows(rows: (String, Seq[(Array[Byte], String, Array[Byte], Long, Long, Long)])*) = {
+    val flat = rows.flatMap { case (k, cols) => cols.map(c => (k.getBytes, c._1, c._2, c._3, c._4, c._5, c._6)) }
+    flat.toDF("key", "name", "state", "value", "timestamp", "ttlSecs", "expiresMillis")
+      .groupBy("key")
+      .agg(collect_list(struct(col("name"), col("state"), col("value"),
+        col("timestamp"), col("ttlSecs"), col("expiresMillis"))).as("columns"))
+  }
+
+  test("latestColumnPerKey keeps max-timestamp column (A1)") {
+    val df = widerows(
+      "r1" -> Seq(col3("a", "NORMAL", "old", 10), col3("b", "NORMAL", "new", 20)),
+      "r2" -> Seq(col3("x", "NORMAL", "only", 5)))
+    val got = SSTableOps.latestColumnPerKey(df)
+      .select(col("key").cast("string"), col("c.name").cast("string"), col("c.timestamp"))
+      .as[(String, String, Long)].collect()
+      .map { case (k, n, t) => k -> ((n, t)) }.toMap
+    assert(got == Map("r1" -> (("b", 20L)), "r2" -> (("x", 5L))))
+  }
+
+  test("compactRows merges LWW per column across row versions (A2)") {
+    // same row key appearing twice (two "sstables"), overlapping columns
+    val v1 = widerows("r" -> Seq(col3("a", "NORMAL", "a1", 10), col3("b", "NORMAL", "b1", 10)))
+    val v2 = widerows("r" -> Seq(col3("a", "NORMAL", "a2", 20), col3("c", "DELETED", null, 30)))
+    val merged = SSTableOps.compactRows(v1.union(v2))
+    assert(merged.count() == 1)
+    val cols = merged.select(explode(col("columns")).as("c"))
+      .select(col("c.name").cast("string"), col("c.state"),
+        col("c.value").cast("string"), col("c.timestamp"))
+      .as[(String, String, String, Long)].collect().sortBy(_._1)
+    assert(cols.toSeq == Seq(
+      ("a", "NORMAL", "a2", 20L), // newer version wins
+      ("b", "NORMAL", "b1", 10L),
+      ("c", "DELETED", null, 30L))) // tombstone preserved (no GC)
+  }
+
+  test("compactRows is order-insensitive (merge commutativity)") {
+    val v1 = widerows("r" -> Seq(col3("a", "NORMAL", "a1", 10)))
+    val v2 = widerows("r" -> Seq(col3("a", "NORMAL", "a2", 20)))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("key").cast("string"), to_json(col("columns"))).as[(String, String)].collect().toSet
+    assert(canon(SSTableOps.compactRows(v1.union(v2))) ==
+      canon(SSTableOps.compactRows(v2.union(v1))))
+  }
+
+  test("suppressTombstones: no NORMAL column older than same-name DELETED survives") {
+    val df = widerows(
+      "r" -> Seq(col3("a", "NORMAL", "old", 10), col3("a", "DELETED", null, 20),
+        col3("b", "NORMAL", "keep", 5)),
+      "s" -> Seq(col3("a", "DELETED", null, 10), col3("a", "NORMAL", "resurrected", 30)))
+    val got = SSTableOps.suppressTombstones(df)
+      .select(col("key").cast("string"), explode(col("columns")).as("c"))
+      .select(col("key"), col("c.name").cast("string"), col("c.value").cast("string"))
+      .as[(String, String, String)].collect().toSet
+    assert(got == Set(("r", "b", "keep"), ("s", "a", "resurrected")))
+  }
+
+  test("applyTtl drops only expired EXPIRING columns") {
+    val asOf = 1000L
+    val df = widerows(
+      "r" -> Seq(col3("live", "EXPIRING", "v", 1, ttl = 60, exp = 2000),
+        col3("dead", "EXPIRING", "v", 2, ttl = 60, exp = 500),
+        col3("norm", "NORMAL", "v", 3)))
+    val got = SSTableOps.applyTtl(df, asOf)
+      .select(explode(col("columns")).as("c")).select(col("c.name").cast("string"))
+      .as[String].collect().toSet
+    assert(got == Set("live", "norm"))
+  }
+
+  test("msgpack encode/decode round-trip incl. nil value and negative ints") {
+    val row = ("key1".getBytes,
+      Seq(("n1".getBytes, "v1".getBytes, 123456789012L, 0L, 0L),
+        ("n2".getBytes, null: Array[Byte], -5L, 1700000000000L, 3600L)))
+    val bytes = MsgPack.encodeRow(row._1, row._2)
+    MsgPack.decode(bytes) match {
+      case VArr(Vector(VBin(k), VArr(cols))) =>
+        assert(k.sameElements("key1".getBytes))
+        assert(cols.length == 2)
+        cols(0) match {
+          case VArr(Vector(VBin(n), VBin(v), VLong(ts), VLong(e), VLong(t))) =>
+            assert(n.sameElements("n1".getBytes) && v.sameElements("v1".getBytes))
+            assert(ts == 123456789012L && e == 0L && t == 0L)
+          case other => fail(s"unexpected $other")
+        }
+        cols(1) match {
+          case VArr(Vector(VBin(n), VNil, VLong(ts), VLong(e), VLong(t))) =>
+            assert(n.sameElements("n2".getBytes))
+            assert(ts == -5L && e == 1700000000000L && t == 3600L)
+          case other => fail(s"unexpected $other")
+        }
+      case other => fail(s"unexpected $other")
+    }
+  }
+
+  test("exportCompacted emits one base64 line per row (E1 pipeline)") {
+    val df = widerows(
+      "r1" -> Seq(col3("a", "NORMAL", "x", 10)),
+      "r2" -> Seq(col3("b", "DELETED", null, 20)))
+    val lines = SSTableOps.exportCompacted(df).as[String].collect()
+    assert(lines.length == 2)
+    // every line decodes back to a msgpack row
+    lines.foreach { l =>
+      val v = MsgPack.decode(java.util.Base64.getDecoder.decode(l))
+      assert(v.isInstanceOf[VArr])
+    }
+  }
+}

@@ -1,0 +1,175 @@
+package graft.sources.sstable
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Codec round-trip + split-planning unit tests (SURVEY.md §5.2-2/-3;
+  * fixture cases from FIXTURES.md §B). No Spark involved. */
+class CodecSpec extends AnyFunSuite {
+
+  private def tmpData(prefix: String): String = {
+    val dir = Files.createTempDirectory("sstable-codec").toFile
+    dir.deleteOnExit()
+    new java.io.File(dir, s"$prefix-Data.db").getPath
+  }
+
+  private def write(path: String, rows: Seq[SSTableRow], compress: Boolean,
+                    chunkLength: Int = 256, summaryInterval: Int = 4): Unit = {
+    val w = new SSTableWriter(path, compress, chunkLength, summaryInterval)
+    try rows.foreach(w.append) finally w.close()
+  }
+
+  private def sortedRows(rows: Seq[SSTableRow]): Seq[SSTableRow] =
+    rows.sortWith((a, b) => SSTableFiles.compareKeys(a.key, b.key) < 0)
+
+  private def assertRowsEqual(got: Seq[SSTableRow], want: Seq[SSTableRow]): Unit = {
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.key.sameElements(w.key), "key mismatch")
+      assert(g.columns.length == w.columns.length)
+      g.columns.zip(w.columns).foreach {
+        case (Column.Normal(n1, v1, t1), Column.Normal(n2, v2, t2)) =>
+          assert(n1.sameElements(n2) && v1.sameElements(v2) && t1 == t2)
+        case (Column.Deleted(n1, t1), Column.Deleted(n2, t2)) =>
+          assert(n1.sameElements(n2) && t1 == t2)
+        case (Column.Expiring(n1, v1, ttl1, e1, t1), Column.Expiring(n2, v2, ttl2, e2, t2)) =>
+          assert(n1.sameElements(n2) && v1.sameElements(v2) &&
+            ttl1 == ttl2 && e1 == e2 && t1 == t2)
+        case (g0, w0) => fail(s"state mismatch: $g0 vs $w0")
+      }
+    }
+  }
+
+  // FIXTURES.md B2 "states": all three column states incl. all-DELETED row
+  // and past/future expirations.
+  private val statesRows = sortedRows(Seq(
+    SSTableRow("alpha".getBytes, Seq(
+      Column.Normal("c1".getBytes, "v1".getBytes, 1000L),
+      Column.Expiring("c2".getBytes, "v2".getBytes, 60L, 1700000000000L, 2000L))),
+    SSTableRow("beta".getBytes, Seq(
+      Column.Deleted("c1".getBytes, 3000L),
+      Column.Deleted("c9".getBytes, 3500L))),
+    SSTableRow("gamma".getBytes, Seq(
+      Column.Expiring("c3".getBytes, Array[Byte](), 1L, 1L, 4000L),
+      Column.Normal("c4".getBytes, Array[Byte](9, 8, 7), 5000L)))))
+
+  test("round-trip uncompressed (states fixture)") {
+    val p = tmpData("states-plain")
+    write(p, statesRows, compress = false)
+    val r = new SSTableReader(p)
+    assertRowsEqual(r.rows().toSeq, statesRows)
+  }
+
+  test("round-trip compressed (states fixture)") {
+    val p = tmpData("states-comp")
+    write(p, statesRows, compress = true)
+    val r = new SSTableReader(p)
+    assert(r.compressed)
+    assertRowsEqual(r.rows().toSeq, statesRows)
+  }
+
+  // FIXTURES.md B5 "binary-keys": 0x00, high bytes, invalid UTF-8, empty.
+  test("binary keys survive round-trip and sort unsigned") {
+    val rows = sortedRows(Seq(
+      SSTableRow(Array[Byte](), Seq(Column.Normal("n".getBytes, "empty-key".getBytes, 1L))),
+      SSTableRow(Array[Byte](0, 0, 1), Seq(Column.Normal(Array[Byte](0), Array[Byte](0xff.toByte), 2L))),
+      SSTableRow(Array[Byte](0xff.toByte, 0xfe.toByte), Seq(Column.Deleted(Array[Byte](0x80.toByte), 3L))),
+      SSTableRow(Array[Byte](0x7f), Seq(Column.Normal("x".getBytes, Array[Byte](), 4L)))))
+    val p = tmpData("binkeys")
+    write(p, rows, compress = true)
+    val got = new SSTableReader(p).rows().toSeq
+    assertRowsEqual(got, rows)
+    // unsigned order: empty < 00 00 01 < 7f < ff fe
+    assert(got.map(_.key.toSeq) == rows.map(_.key.toSeq))
+  }
+
+  test("writer rejects out-of-order keys") {
+    val p = tmpData("unsorted")
+    val w = new SSTableWriter(p)
+    w.append(SSTableRow("b".getBytes, Nil))
+    intercept[IllegalArgumentException] {
+      w.append(SSTableRow("a".getBytes, Nil))
+    }
+    w.close()
+  }
+
+  // FIXTURES.md B4 "compressed-multichunk": ≥8 chunks, rows crossing chunk
+  // and split boundaries; every row read exactly once across splits.
+  test("multichunk: splits cover every row exactly once") {
+    val rows = sortedRows((0 until 200).map { i =>
+      SSTableRow(f"key$i%05d".getBytes,
+        Seq(Column.Normal("col".getBytes, Array.fill(37)(i.toByte), i.toLong)))
+    })
+    val p = tmpData("multichunk")
+    write(p, rows, compress = true, chunkLength = 256, summaryInterval = 4)
+    val r = new SSTableReader(p)
+    assert(r.compressionInfo.get.chunkCount >= 8, s"want >=8 chunks, got ${r.compressionInfo.get.chunkCount}")
+
+    val splits = r.planSplits(targetBytes = 1000)
+    assert(splits.length > 3, s"want multiple splits, got ${splits.length}")
+    // coverage: contiguous, starts at header, ends at dataLength
+    assert(splits.head.start == DataFile.HeaderLen)
+    assert(splits.last.end == r.dataLength)
+    splits.sliding(2).foreach { case Vector(a, b) => assert(a.end == b.start); case _ => }
+
+    val gathered = splits.flatMap(s => r.rows(s.start, s.end).toSeq)
+    assertRowsEqual(gathered, rows)
+  }
+
+  test("key-range pruning is sound and effective") {
+    val rows = sortedRows((0 until 500).map { i =>
+      SSTableRow(f"k$i%05d".getBytes,
+        Seq(Column.Normal("c".getBytes, s"v$i".getBytes, i.toLong)))
+    })
+    val p = tmpData("prune")
+    write(p, rows, compress = true, chunkLength = 512, summaryInterval = 8)
+    val r = new SSTableReader(p)
+    val splits = r.planSplits(2000)
+    val lo = "k00100".getBytes
+    val hi = "k00150".getBytes
+    val pruned = r.pruneSplits(splits, Some(lo), Some(hi))
+    assert(pruned.length < splits.length, "pruning should drop splits")
+    val got = pruned.flatMap(s => r.rows(s.start, s.end).toSeq)
+      .filter(row => SSTableFiles.compareKeys(row.key, lo) >= 0 &&
+        SSTableFiles.compareKeys(row.key, hi) <= 0)
+    assert(got.length == 51) // k00100..k00150 inclusive
+  }
+
+  test("corruption fails loudly, not silently") {
+    val p = tmpData("corrupt")
+    write(p, statesRows, compress = true)
+    // flip bytes in the middle of the compressed data file
+    val raf = new java.io.RandomAccessFile(p, "rw")
+    raf.seek(raf.length() / 2)
+    raf.writeInt(0xdeadbeef)
+    raf.close()
+    val r = new SSTableReader(p)
+    intercept[Exception] { r.rows().toSeq } // checksum or snappy failure
+  }
+
+  test("property: random rows round-trip compressed and uncompressed") {
+    val rnd = new scala.util.Random(42)
+    def bytes(): Array[Byte] = {
+      val a = new Array[Byte](rnd.nextInt(41))
+      rnd.nextBytes(a)
+      a
+    }
+    def column(): Column = rnd.nextInt(3) match {
+      case 0 => Column.Normal(bytes(), bytes(), rnd.nextLong(1L << 60))
+      case 1 => Column.Deleted(bytes(), rnd.nextLong(1L << 60))
+      case _ => Column.Expiring(bytes(), bytes(), rnd.nextLong(1L << 30),
+        rnd.nextLong(1L << 45), rnd.nextLong(1L << 60))
+    }
+    for (trial <- 0 until 30) {
+      val compress = trial % 2 == 0
+      val rows = sortedRows(Seq.fill(rnd.nextInt(31))(
+        SSTableRow(bytes(), Seq.fill(rnd.nextInt(6))(column()))))
+      val p = tmpData("prop")
+      val w = new SSTableWriter(p, compress, chunkLength = 128,
+        summaryInterval = 3, enforceSorted = false)
+      try rows.foreach(w.append) finally w.close()
+      val got = new SSTableReader(p).rows().toSeq
+      assertRowsEqual(got, rows)
+    }
+  }
+}
