@@ -25,24 +25,48 @@ import Params._
   */
 object DedupQueries {
 
-  /** Per-doc MinHash signatures + LSH band buckets. */
+  /** (doc_id, sh) pairs — staged selects so tokens/shingles materialize
+    * once per row instead of re-evaluating inside HOFs (see PerfProbe).
+    * `dedup` adds a distinct-shuffle — needed only when duplicate shingles
+    * would change the consumer's result (set intersection counts). */
+  private def explodedShingles(docs: DataFrame, dedup: Boolean): DataFrame = {
+    val exploded = docs.select(col("doc_id"), toks(col("text")).as("t"))
+      .select(col("doc_id"), shingles(col("t")).as("shs"))
+      .select(col("doc_id"), explode(col("shs")).as("sh"))
+    if (dedup) exploded.distinct() else exploded
+  }
+
+  /** MinHash permutation i over a 32-bit md5-derived base hash:
+    * `(A_i·h + B_i) mod P` — one md5 per shingle (instead of one per
+    * permutation) then cheap integer arithmetic; all values < 2^37 so the
+    * arithmetic is overflow-safe in both Spark (wrapping) and DuckDB
+    * (checked). */
+  private def permA(i: Int): Long = 2L * i + 1
+  private def permB(i: Int): Long = 999331L * i + 12345L
+  private val PermP = 4294967311L // prime > 2^32
+
+  /** Per-doc MinHash signatures + LSH band buckets. No pre-distinct:
+    * `min` is idempotent over duplicate shingles, so the dedup shuffle
+    * would be pure waste (one hash-agg total). */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val sh = docs
-      .select(col("doc_id"), explode(shingles(toks(col("text")))).as("sh"))
-      .distinct()
+    val sh = explodedShingles(docs, dedup = false)
+      .withColumn("h", md5Long(col("sh"), 8))
     val sigs = (0 until MinHashPerms).map(i =>
-      min(md5(concat(lit(s"$i:"), col("sh")))).as(s"sig$i"))
+      min((col("h") * permA(i) + permB(i)) % PermP).as(s"sig$i"))
     val rowsPerBand = MinHashPerms / MinHashBands
     val withSigs = sh.groupBy("doc_id").agg(sigs.head, sigs.tail: _*)
     val bands = (0 until MinHashBands).map { b =>
       val parts = (0 until rowsPerBand).map(r => col(s"sig${b * rowsPerBand + r}"))
-      md5(concat(parts: _*)).as(s"band$b")
+      concat_ws(":", parts: _*).as(s"band$b")
     }
-    withSigs.select(col("doc_id") +: bands: _*)
+    withSigs.select(col("doc_id") +: ((0 until MinHashPerms).map(i => col(s"sig$i")) ++ bands): _*)
   }
 
-  /** Candidate near-dup pairs: docs sharing any LSH band bucket. */
-  def minhashPairs(sigs: DataFrame): DataFrame = {
+  /** Candidate near-dup pairs: docs sharing any LSH band bucket. The
+    * signature relation is persisted — it feeds one self-join per band and
+    * would otherwise be recomputed 2×bands times. */
+  def minhashPairs(sigs0: DataFrame): DataFrame = {
+    val sigs = sigs0.persist()
     val pairs = (0 until MinHashBands).map { b =>
       val l = sigs.select(col("doc_id").as("a"), col(s"band$b").as("bk"))
       val r = sigs.select(col("doc_id").as("b"), col(s"band$b").as("bk"))
@@ -87,7 +111,7 @@ object DedupQueries {
       simhash(Tables.documents(s, d)).orderBy("doc_id")),
     // SimHash near-dup pairs by Hamming distance over the id-sample.
     "q_simhash_pairs" -> ((s, d) => {
-      val sh = simhash(sampleDocs(s, d))
+      val sh = simhash(sampleDocs(s, d)).persist() // feeds both join sides
       val l = sh.select(col("doc_id").as("a"), col("simhash").as("ha"))
       val r = sh.select(col("doc_id").as("b"), col("simhash").as("hb"))
       l.crossJoin(r).filter(col("a") < col("b"))
@@ -98,9 +122,8 @@ object DedupQueries {
     }),
     // n-gram Jaccard similarity: equi-join on shared shingles, top pairs.
     "q_dedup_ngram" -> ((s, d) => {
-      val sh = sampleDocs(s, d)
-        .select(col("doc_id"), explode(shingles(toks(col("text")))).as("sh"))
-        .distinct()
+      // persisted: feeds both join sides + the two per-doc count lookups
+      val sh = explodedShingles(sampleDocs(s, d), dedup = true).persist()
       val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = sh.select(col("doc_id").as("a"), col("sh"))
         .join(sh.select(col("doc_id").as("b"), col("sh")), "sh")
@@ -120,15 +143,17 @@ object DedupQueries {
   private val rowsPerBand = MinHashPerms / MinHashBands
   private val shT = shinglesSql(toksSql("text"))
   private val sigExprs = (0 until MinHashPerms)
-    .map(i => s"min(md5($i || ':' || sh)) AS sig$i").mkString(", ")
+    .map(i => s"min((h * ${permA(i)} + ${permB(i)}) % $PermP) AS sig$i").mkString(", ")
+  private val sigCols = (0 until MinHashPerms).map(i => s"sig$i").mkString(", ")
   private val bandExprs = (0 until MinHashBands).map { b =>
-    val parts = (0 until rowsPerBand).map(r => s"sig${b * rowsPerBand + r}").mkString(" || ")
-    s"md5($parts) AS band$b"
+    val parts = (0 until rowsPerBand).map(r => s"sig${b * rowsPerBand + r}").mkString(", ")
+    s"concat_ws(':', $parts) AS band$b"
   }.mkString(", ")
   private def sigsSql(filter: String): String =
-    s"""(SELECT doc_id, $bandExprs FROM (
+    s"""(SELECT doc_id, $sigCols, $bandExprs FROM (
           SELECT doc_id, $sigExprs FROM (
-            SELECT DISTINCT doc_id, unnest($shT) AS sh FROM documents $filter)
+            SELECT doc_id, ${md5LongSql("sh", 8)} AS h FROM (
+              SELECT doc_id, unnest($shT) AS sh FROM documents $filter))
           GROUP BY doc_id))"""
   private val simhashBitSums = (0 until SimHashBits)
     .map(j => s"CAST(sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s$j")

@@ -66,11 +66,16 @@ object TextQueries {
     }),
     // Document fingerprinting: exact fp over normalized text + min shingle
     // hash (1-permutation MinHash — rolling-hash flavored).
+    // Staged selects: tokens and shingles are materialized once per row —
+    // inlining them into the consuming HOFs re-evaluates the tokenizer per
+    // array element (measured 25-100x slower, see PerfProbe).
     "q_fingerprint" -> ((s, d) => {
       Tables.documents(s, d)
-        .select(col("doc_id"),
-          md5(concat_ws(" ", docToks)).as("exact_fp"),
-          coalesce(array_min(transform(shingles(docToks), sh => md5(sh))), lit(""))
+        .select(col("doc_id"), docToks.as("t"))
+        .select(col("doc_id"), md5(concat_ws(" ", col("t"))).as("exact_fp"),
+          shingles(col("t")).as("sh"))
+        .select(col("doc_id"), col("exact_fp"),
+          coalesce(array_min(transform(col("sh"), sh => md5(sh))), lit(""))
             .as("shingle_fp"))
         .orderBy("doc_id")
     })
