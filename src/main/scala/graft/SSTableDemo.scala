@@ -50,6 +50,14 @@ object SSTableDemo {
     println(s"== key-only scan (served from Index.db): ${keysOnly.count()} keys")
     keysOnly.explain()
 
+    // P8 opt-in TTL evaluation at scan time (sessions expire at the fixed
+    // epoch below; default read surfaces them raw like the reference)
+    val ttlRead = spark.read.format("sstable")
+      .option("ttlAsOfMs", "1700000000001").load(dir)
+      .select(explode(col("columns")).as("c"))
+    println(s"== ttlAsOf read: ${ttlRead.count()} live columns " +
+      s"(vs ${df.select(explode(col("columns"))).count()} raw)")
+
     val merged = df.select(col("key"), explode(col("columns")).as("c"))
       .groupBy(col("key"), col("c.name"))
       .agg(max_by(col("c"), col("c.timestamp")).as("c"))

@@ -48,6 +48,11 @@ class SSTableSource extends TableProvider with DataSourceRegister {
 object SSTableSource {
   val PathOption = "path"
   val TargetSplitBytesOption = "targetsplitbytes"
+  /** Optional: evaluate TTLs at read time — EXPIRING columns whose
+    * expiresMillis <= the given epoch-ms are dropped by the reader. OFF by
+    * default to match the reference, which surfaces TTL fields but never
+    * evaluates them (WritableColumn.java:20-21, SURVEY.md §2.3-P8). */
+  val TtlAsOfMsOption = "ttlasofms"
   val CompressOption = "compress"
   val ChunkLengthOption = "chunklength"
   val SummaryIntervalOption = "summaryinterval"
@@ -114,10 +119,19 @@ final class SSTableScanBuilder(path: String, options: CaseInsensitiveStringMap)
     requiredSchema = StructType(SSTableSchema.schema.fields.filter(f => names.contains(f.name)))
   }
 
+  private def longOption(name: String): Option[Long] =
+    Option(options.get(name)).map { v =>
+      try v.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"sstable option '$name' must be a long, got '$v'")
+      }
+    }
+
   override def build(): Scan = {
-    val target = Option(options.get(SSTableSource.TargetSplitBytesOption))
-      .map(_.toLong).getOrElse(SSTableSource.DefaultTargetSplitBytes)
-    new SSTableScan(path, requiredSchema, keyLo, keyHi, target)
+    val target = longOption(SSTableSource.TargetSplitBytesOption)
+      .getOrElse(SSTableSource.DefaultTargetSplitBytes)
+    val ttlAsOf = longOption(SSTableSource.TtlAsOfMsOption)
+    new SSTableScan(path, requiredSchema, keyLo, keyHi, target, ttlAsOf)
   }
 }
 
@@ -131,17 +145,25 @@ final case class SSTablePartition(dataPath: String, start: Long, end: Long,
 final class SSTableScan(path: String, requiredSchema: StructType,
                         keyLo: Option[(Array[Byte], Boolean)],
                         keyHi: Option[(Array[Byte], Boolean)],
-                        targetSplitBytes: Long) extends Scan with Batch {
+                        targetSplitBytes: Long,
+                        ttlAsOfMs: Option[Long] = None) extends Scan with Batch {
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
   override def description(): String = {
     val prune = if (keyLo.isDefined || keyHi.isDefined) " keyRangePruned" else ""
     val keyOnly = if (!requiredSchema.fieldNames.contains("columns")) " indexOnly" else ""
-    s"sstable $path$prune$keyOnly"
+    val ttl = ttlAsOfMs.map(ms => s" ttlAsOf=$ms").getOrElse("")
+    s"sstable $path$prune$keyOnly$ttl"
   }
 
+  /** Per-file planning is independent metadata work (Summary walk +
+    * O(#splits) index point reads) — run it on a parallel collection so a
+    * directory of thousands of SSTables doesn't serialize the driver.
+    * (On a real cluster with very large file counts the same closure can
+    * be shipped through `spark.parallelize(files).flatMap`, SURVEY §3-E3.) */
   override def planInputPartitions(): Array[InputPartition] = {
-    SSTableReader.listDataFiles(path).flatMap { f =>
+    import scala.collection.parallel.CollectionConverters._
+    SSTableReader.listDataFiles(path).par.flatMap { f =>
       val r = new SSTableReader(f)
       val splits = r.planSplits(targetSplitBytes)
       val pruned = r.pruneSplits(splits, keyLo.map(_._1), keyHi.map(_._1))
@@ -150,29 +172,40 @@ final class SSTableScan(path: String, requiredSchema: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new SSTableReaderFactory(requiredSchema)
+    new SSTableReaderFactory(requiredSchema, ttlAsOfMs)
 }
 
-final class SSTableReaderFactory(requiredSchema: StructType)
+final class SSTableReaderFactory(requiredSchema: StructType,
+                                 ttlAsOfMs: Option[Long])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[SSTablePartition]
     if (requiredSchema.fieldNames.contains("columns"))
-      new SSTableRowReader(p, requiredSchema)
+      new SSTableRowReader(p, requiredSchema, ttlAsOfMs)
     else
       new SSTableKeyOnlyReader(p, requiredSchema)
   }
 }
 
-/** Full-row reader over the partition's Data.db byte range. */
-final class SSTableRowReader(p: SSTablePartition, requiredSchema: StructType)
+/** Full-row reader over the partition's Data.db byte range. With
+  * `ttlAsOfMs` set, expired EXPIRING columns are dropped during decode
+  * (the opt-in P8 semantics). */
+final class SSTableRowReader(p: SSTablePartition, requiredSchema: StructType,
+                             ttlAsOfMs: Option[Long] = None)
     extends PartitionReader[InternalRow] {
   private val table = new SSTableReader(p.dataPath)
   private val reader = table.rows(p.start, p.end)
   private var current: InternalRow = _
+  private def applyTtl(row: SSTableRow): SSTableRow = ttlAsOfMs match {
+    case None => row
+    case Some(asOf) => row.copy(columns = row.columns.filter {
+      case Column.Expiring(_, _, _, exp, _) => exp > asOf
+      case _ => true
+    })
+  }
   override def next(): Boolean =
     if (reader.hasNext) {
-      current = SSTableSchema.rowToInternal(reader.next(), requiredSchema)
+      current = SSTableSchema.rowToInternal(applyTtl(reader.next()), requiredSchema)
       true
     } else false
   override def get(): InternalRow = current
