@@ -55,6 +55,32 @@ object WideRowOps {
                     tsCol: String): DataFrame =
     latestPerKey(df, keyCols :+ nameCol, tsCol, Nil)
 
+  /** Skew-resistant [[latestPerKey]]: two-phase max_by through a
+    * deterministic salt. A pathological hot key (one row key with millions
+    * of versions — routine in Cassandra wide rows) would put its whole
+    * group on one reducer in the plain aggregation; here phase 1 reduces
+    * each (key, salt) slice locally, so no task ever sees more than
+    * ~group/buckets rows, and phase 2 merges the `buckets` survivors.
+    * max_by composes associatively, so the result is identical. */
+  def latestPerKeySalted(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                         tieCols: Seq[String], buckets: Int = 32): DataFrame = {
+    val ordCols = (tsCol +: tieCols).map(col)
+    val payload = df.columns.filterNot(keyCols.contains).map(col)
+    val ord = struct(ordCols: _*)
+    val salted = df.withColumn("_salt",
+      pmod(hash((tsCol +: tieCols).map(col): _*), lit(buckets)))
+    val phase1 = salted
+      .groupBy((keyCols :+ "_salt").map(col): _*)
+      .agg(max_by(struct(payload: _*), ord).as("_keep"))
+    val phase2 = phase1
+      .select(keyCols.map(col) :+ col("_keep"): _*)
+      .groupBy(keyCols.map(col): _*)
+      .agg(max_by(col("_keep"), struct((tsCol +: tieCols).map(n =>
+        col(s"_keep.$n")): _*)).as("_keep"))
+    phase2.select(keyCols.map(col) ++
+      df.columns.filterNot(keyCols.contains).map(c => col(s"_keep.$c").as(c)): _*)
+  }
+
   /** Drop every non-tombstone record at-or-before its key's newest
     * tombstone, and drop the tombstones themselves. `isTombstone` marks
     * delete markers. The tombstone max-ts relation is one tiny aggregate,
