@@ -25,14 +25,15 @@ import Params._
   */
 object DedupQueries {
 
-  /** (doc_id, sh) pairs — staged selects so tokens/shingles materialize
-    * once per row instead of re-evaluating inside HOFs (see PerfProbe).
-    * `dedup` adds a distinct-shuffle — needed only when duplicate shingles
-    * would change the consumer's result (set intersection counts). */
+  /** (doc_id, sh) pairs via the native [[graft.functions.WordShingles]]
+    * expression (one-pass tokenize+shingle; the HOF composition costs 17 s
+    * just to shingle 50k docs — see TextExpressions scaladoc; outputs are
+    * spec-pinned identical). `dedup` adds a distinct-shuffle — needed only
+    * when duplicate shingles would change the consumer's result (set
+    * intersection counts). */
   private def explodedShingles(docs: DataFrame, dedup: Boolean): DataFrame = {
-    val exploded = docs.select(col("doc_id"), toks(col("text")).as("t"))
-      .select(col("doc_id"), shingles(col("t")).as("shs"))
-      .select(col("doc_id"), explode(col("shs")).as("sh"))
+    val exploded = docs.select(col("doc_id"),
+      explode(graft.functions.TextExpressions.word_shingles(col("text"), ShingleN)).as("sh"))
     if (dedup) exploded.distinct() else exploded
   }
 

@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge to the `private[sql]` Column↔Expression converters (Spark 4's
+  * Column wraps a ColumnNode, not an Expression). Standard extension-
+  * library pattern: the only code in this repo living outside the `graft`
+  * namespace, and the only reason is visibility. */
+object GraftColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
