@@ -31,6 +31,13 @@ for name, sql in sorted(oracle.items()):
     exp = exp.reindex(sorted(exp.columns), axis=1)
     if list(got.columns) != list(exp.columns):
         fails.append((name, f"cols {list(got.columns)} vs {list(exp.columns)}")); continue
+    # strict type agreement (a type-sensitive driver hash would catch these)
+    sp_t = {r[0]: r[1] for r in con.execute(
+        f"DESCRIBE SELECT * FROM parquet_scan('{pdir}/*.parquet')").fetchall()}
+    du_t = {r[0]: r[1] for r in con.execute(f"DESCRIBE {sql}").fetchall()}
+    badtypes = [(c, sp_t[c], du_t[c]) for c in sp_t if c in du_t and sp_t[c] != du_t[c]]
+    if badtypes:
+        fails.append((name, f"type mismatch {badtypes}")); continue
     if len(got) != len(exp):
         fails.append((name, f"rows {len(got)} vs {len(exp)}")); continue
     ok = True

@@ -116,7 +116,7 @@ object DedupQueries {
       val l = sh.select(col("doc_id").as("a"), col("simhash").as("ha"))
       val r = sh.select(col("doc_id").as("b"), col("simhash").as("hb"))
       l.crossJoin(r).filter(col("a") < col("b"))
-        .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+        .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
         .filter(col("hamming") <= SimHashMaxHamming)
         .select("a", "b", "hamming")
         .orderBy("a", "b")
@@ -186,7 +186,7 @@ object DedupQueries {
       s"SELECT * FROM ${simhashSql("")} ORDER BY doc_id",
     "q_simhash_pairs" ->
       s"""SELECT l.doc_id AS a, r.doc_id AS b,
-                 CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS hamming
+                 CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
           FROM ${simhashSql(sampleF)} l, ${simhashSql(sampleF)} r
           WHERE l.doc_id < r.doc_id
             AND bit_count(xor(l.simhash, r.simhash)) <= $SimHashMaxHamming

@@ -34,12 +34,12 @@ object Multimodal {
 
   /** Column-expression metadata (codegen'd, stays in whole-stage codegen). */
   def withMeta(df: DataFrame): DataFrame = {
-    val n = length(col("payload"))
+    val n = length(col("payload")).cast("long")
     df.withColumn("meta", struct(
       n.as("byte_len"),
-      (lit(64) + (n * 7) % 1216).as("width"),
-      (lit(64) + (n * 13) % 656).as("height"),
-      (lit(1) + n % 30).as("frames")))
+      (lit(64L) + (n * 7) % 1216).as("width"),
+      (lit(64L) + (n * 13) % 656).as("height"),
+      (lit(1L) + n % 30).as("frames")))
   }
 
   /** Per-partition batch decode: the real-decoder integration point.

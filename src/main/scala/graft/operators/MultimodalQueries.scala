@@ -28,10 +28,10 @@ object MultimodalQueries {
 
   def oracles: Map[String, String] = Map(
     "q_multimodal_meta" ->
-      """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS byte_len,
-                CAST(64 + (octet_length(encode(text)) * 7) % 1216 AS INT) AS width,
-                CAST(64 + (octet_length(encode(text)) * 13) % 656 AS INT) AS height,
-                CAST(1 + octet_length(encode(text)) % 30 AS INT) AS frames
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+                CAST(64 + (octet_length(encode(text)) * 7) % 1216 AS BIGINT) AS width,
+                CAST(64 + (octet_length(encode(text)) * 13) % 656 AS BIGINT) AS height,
+                CAST(1 + octet_length(encode(text)) % 30 AS BIGINT) AS frames
          FROM documents ORDER BY doc_id"""
   )
 }

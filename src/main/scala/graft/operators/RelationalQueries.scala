@@ -36,7 +36,7 @@ object RelationalQueries {
     "q_explode" -> ((s, d) => {
       Tables.embeddings(s, d)
         .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .select(col("vec_id"), col("pos"),
+        .select(col("vec_id"), col("pos").cast("long").as("pos"),
           e4(col("v").cast("double")).as("val_e4"))
         .orderBy("vec_id", "pos")
     }),
@@ -44,7 +44,7 @@ object RelationalQueries {
     "q_cast_utf8" -> ((s, d) => {
       Tables.documents(s, d)
         .select(col("doc_id"), upper(col("lang")).as("lang_norm"),
-          length(col("text")).as("text_chars"))
+          length(col("text")).cast("long").as("text_chars"))
         .orderBy("doc_id")
     }),
     // A3/O1 — per-group min/max/count + in-group sort.
@@ -76,7 +76,7 @@ object RelationalQueries {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       Tables.orders(s, d)
-        .withColumn("rk", row_number().over(w))
+        .withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= 2)
         .select("o_custkey", "rk", "o_orderkey", "o_totalprice")
         .orderBy("o_custkey", "rk")
@@ -112,11 +112,11 @@ object RelationalQueries {
     "q_index_keys" ->
       "SELECT DISTINCT o_custkey FROM orders ORDER BY o_custkey",
     "q_explode" ->
-      s"""SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+      s"""SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
                 ${Params.e4Sql("CAST(unnest(embedding) AS DOUBLE)")} AS val_e4
          FROM embeddings ORDER BY vec_id, pos""",
     "q_cast_utf8" ->
-      """SELECT doc_id, upper(lang) AS lang_norm, length(text) AS text_chars
+      """SELECT doc_id, upper(lang) AS lang_norm, CAST(length(text) AS BIGINT) AS text_chars
          FROM documents ORDER BY doc_id""",
     "q_group_minmax_sort" ->
       """SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines,
@@ -135,7 +135,7 @@ object RelationalQueries {
     "q_window_topk" ->
       """SELECT o_custkey, rk, o_orderkey, o_totalprice
          FROM (SELECT o_custkey, o_orderkey, o_totalprice,
-                      row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+                      CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
                FROM orders) WHERE rk <= 2 ORDER BY o_custkey, rk""",
     "q_setops" ->
       """SELECT c_custkey FROM (

@@ -33,7 +33,7 @@ object SimilarityQueries {
     val sim = (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("sim")
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
     joined.select(col("q_id"), col("c_id"), sim)
-      .withColumn("rk", row_number().over(w))
+      .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= KnnK)
       .select(col("q_id"), col("rk"), col("c_id"), e4(col("sim")).as("sim_e4"))
       .orderBy("q_id", "rk")

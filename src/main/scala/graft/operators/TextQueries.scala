@@ -28,7 +28,7 @@ object TextQueries {
     "q_lang_id" -> ((s, d) => {
       Tables.documents(s, d)
         .select(col("doc_id"), docToks.as("t"))
-        .select(col("doc_id"), size(col("t")).as("n_toks"),
+        .select(col("doc_id"), size(col("t")).cast("long").as("n_toks"),
           size(filter(col("t"), t => t.isin(Stopwords: _*))).as("n_stop"))
         .select(col("doc_id"), col("n_toks"),
           e4(col("n_stop") / col("n_toks")).as("en_ratio_e4"),
@@ -41,8 +41,8 @@ object TextQueries {
       Tables.documents(s, d)
         .select(col("doc_id"), col("text"), docToks.as("t"))
         .select(col("doc_id"),
-          length(col("text")).as("n_chars"),
-          size(col("t")).as("n_toks"),
+          length(col("text")).cast("long").as("n_chars"),
+          size(col("t")).cast("long").as("n_toks"),
           (length(concat_ws("", col("t"))).cast("double") / size(col("t"))).as("atl"),
           (size(filter(col("t"), t => t.isin(Stopwords: _*))).cast("double") /
             size(col("t"))).as("sr"),
@@ -59,8 +59,8 @@ object TextQueries {
     "q_token_count" -> ((s, d) => {
       Tables.documents(s, d)
         .select(col("doc_id"),
-          size(filter(split(col("text"), "\\s+"), t => t =!= "")).as("ws_tokens"),
-          size(docToks).as("alpha_tokens"),
+          size(filter(split(col("text"), "\\s+"), t => t =!= "")).cast("long").as("ws_tokens"),
+          size(docToks).cast("long").as("alpha_tokens"),
           ceil(length(col("text")) / 4.0).as("bpe_est"))
         .orderBy("doc_id")
     }),
@@ -90,13 +90,13 @@ object TextQueries {
           FROM (SELECT unnest($toksT) AS word FROM documents)
           GROUP BY word ORDER BY cnt DESC, word LIMIT $TopWords""",
     "q_lang_id" ->
-      s"""SELECT doc_id, CAST(len(t) AS INT) AS n_toks,
+      s"""SELECT doc_id, CAST(len(t) AS BIGINT) AS n_toks,
                  ${e4Sql(s"len(list_filter(t, x -> x IN ($stopList))) * 1.0 / len(t)")} AS en_ratio_e4,
                  CASE WHEN len(list_filter(t, x -> x IN ($stopList))) * 1.0 / len(t) >= $EnRatioThreshold
                       THEN 'en' ELSE 'und' END AS pred
           FROM (SELECT doc_id, $toksT AS t FROM documents) ORDER BY doc_id""",
     "q_quality_score" ->
-      s"""SELECT doc_id, CAST(length(text) AS INT) AS n_chars, CAST(len(t) AS INT) AS n_toks,
+      s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, CAST(len(t) AS BIGINT) AS n_toks,
                  ${e4Sql("length(array_to_string(t, '')) * 1.0 / len(t)")} AS avg_tok_len_e4,
                  ${e4Sql("sr")} AS stop_ratio_e4,
                  ${e4Sql("0.4 * sr + 0.3 * least(len(t) / 100.0, 1.0) + 0.3 * (length(regexp_replace(text, '[^a-z ]', '', 'g')) * 1.0 / length(text))")} AS score_e4
@@ -105,8 +105,8 @@ object TextQueries {
                 FROM documents) ORDER BY doc_id""",
     "q_token_count" ->
       s"""SELECT doc_id,
-                 CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS INT) AS ws_tokens,
-                 CAST(len($toksT) AS INT) AS alpha_tokens,
+                 CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS ws_tokens,
+                 CAST(len($toksT) AS BIGINT) AS alpha_tokens,
                  CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_est
           FROM documents ORDER BY doc_id""",
     "q_fingerprint" ->

@@ -24,10 +24,11 @@ class MultimodalSpec extends AnyFunSuite {
     val viaExpr = withMeta(ds.toDF("doc_id", "payload"))
       .select(col("doc_id"), col("meta.byte_len"), col("meta.width"),
         col("meta.height"), col("meta.frames"))
-      .as[(Long, Int, Int, Int, Int)].collect().sortBy(_._1)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
 
     val viaPartitions = decodePartitions(ds).collect().sortBy(_.doc_id)
-      .map(r => (r.doc_id, r.meta.byte_len, r.meta.width, r.meta.height, r.meta.frames))
+      .map(r => (r.doc_id, r.meta.byte_len.toLong, r.meta.width.toLong,
+        r.meta.height.toLong, r.meta.frames.toLong))
 
     assert(viaExpr.toSeq == viaPartitions.toSeq)
   }
