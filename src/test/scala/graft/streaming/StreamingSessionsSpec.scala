@@ -45,6 +45,29 @@ class StreamingSessionsSpec extends AnyFunSuite {
     assert(out.contains((1L, 2L, 3.0)), s"got ${out.mkString(", ")}")
   }
 
+  test("flatMapGroupsWithState sessionizer closes sessions on gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingSessions.{ClosedSession, Ev}
+    val input = MemoryStream[Ev]
+    val q = StreamingSessions.sessionizeWithState(input.toDS(), gapMs = 10 * 60 * 1000)
+      .writeStream.outputMode("append").format("memory").queryName("fmgs")
+      .option("checkpointLocation", Files.createTempDirectory("fmgs-ck").toString)
+      .start()
+
+    val t0 = 1700000000000L
+    input.addData(Ev(1, t0, 1.0), Ev(1, t0 + 60000, 2.0))
+    q.processAllAvailable()
+    // a 30-min-later event closes the first session within the batch
+    input.addData(Ev(1, t0 + 30 * 60 * 1000, 5.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("fmgs").as[ClosedSession].collect()
+    assert(out.contains(ClosedSession(1L, t0, t0 + 60000, 2L, 3.0)),
+      s"got ${out.mkString(", ")}")
+  }
+
   test("windowed counts aggregate per window and type") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
