@@ -91,6 +91,19 @@ object RelationalQueries {
       withOrders.except(building).union(building.intersect(lowBal))
         .distinct().orderBy("c_custkey")
     }),
+    // Grouping sets / rollup — absent from the reference (SURVEY §2.4
+    // note), provided natively by Spark; subtotal rows surface as 'ALL'
+    // (never null: null sort keys order differently across engines).
+    "q_rollup_pricing" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(e2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("rev_e2"),
+          count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+          col("rev_e2"), col("n"))
+        .orderBy("rflag", "lstatus")
+    }),
     // TPC-H Q1-shaped grouped aggregation (bench anchor; Spark partial-agg
     // map-side combine vs. the reference's combiner-less MR shuffle).
     "q_agg_summary" -> ((s, d) => {
@@ -145,6 +158,12 @@ object RelationalQueries {
            (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
             INTERSECT SELECT c_custkey FROM customer WHERE c_acctbal < 0.0)
          ) ORDER BY c_custkey""",
+    "q_rollup_pricing" ->
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS rflag, coalesce(l_linestatus, 'ALL') AS lstatus,
+                ${Params.e2Sql("sum(l_extendedprice * (1.0 - l_discount))")} AS rev_e2,
+                CAST(count(*) AS BIGINT) AS n
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY rflag, lstatus""",
     "q_agg_summary" ->
       s"""SELECT l_returnflag, l_linestatus, ${Params.e2Sql("sum(l_quantity)")} AS sum_qty_e2,
                 ${Params.e2Sql("sum(l_extendedprice * (1.0 - l_discount))")} AS sum_disc_price_e2,
