@@ -4,19 +4,30 @@ import java.io.{DataInputStream, DataOutputStream}
 import java.util.zip.Adler32
 import org.xerial.snappy.Snappy
 
-/** CompressionInfo.db codec + the chunk-framed Snappy layer.
-  *
-  * Re-implements (from the public Cassandra 1.x layout, not by copying) the
-  * surface the reference consumed from its external codec (SURVEY.md §1.4):
-  * `CompressionInfoReader` exposing `chunkLength` (uncompressed chunk
-  * size), `dataLength` (total uncompressed length) and the sequence of
-  * compressed chunk offsets (GenerateSSTableDataSplits.scala:129-135,
+/** CompressionInfo.db codec + the chunk-framed Snappy layer — the real
+  * Cassandra 1.x layout, re-implemented from the public format (not by
+  * copying). Provides the surface the reference consumed from its external
+  * codec (SURVEY.md §1.4): `CompressionInfoReader` exposing `chunkLength`
+  * (uncompressed chunk size), `dataLength` (total uncompressed length) and
+  * the compressed chunk offsets (GenerateSSTableDataSplits.scala:129-135,
   * 180-202).
   *
-  * Physical layout of a compressed `*-Data.db`: chunks back-to-back, each
-  * `[u32 compressedLen][compressed bytes][u32 adler32(uncompressed)]`.
-  * `*-CompressionInfo.db`: `[magic GSSC][u16 version][u32 chunkLength]
-  * [i64 dataLength][u32 chunkCount][chunkCount × i64 offset]`.
+  * `*-CompressionInfo.db`, per Cassandra 1.2's `CompressionParameters` +
+  * `CompressionMetadata.Writer`:
+  * {{{
+  * [UTF algorithm]            // DataOutput.writeUTF, e.g. "SnappyCompressor"
+  * [u32 optionCount] ([UTF key][UTF value])*
+  * [u32 chunkLength][u64 dataLength]
+  * [u32 chunkCount] [u64 offset]*
+  * }}}
+  *
+  * Physical `*-Data.db` layout (per `CompressedSequentialWriter`): chunks
+  * back-to-back, each `[compressed bytes][u32 adler32]`. There is NO
+  * length prefix — chunk i's compressed length is
+  * `offset(i+1) - offset(i) - 4` (last chunk bounded by file length), and
+  * the Adler32 is computed over the *uncompressed* chunk (Cassandra
+  * checksummed uncompressed data throughout 1.x/2.x; the switch to CRC32
+  * over compressed bytes came in 3.0).
   *
   * Unlike the reference's whole-split buffer + `decompressEntireStream`
   * (SplitSSTableDataRecordReader.scala:58-71 — memory ∝ split size), reads
@@ -24,18 +35,18 @@ import org.xerial.snappy.Snappy
   * per open reader regardless of split size — the 100 TB-safe trade.
   */
 final case class CompressionInfo(chunkLength: Int, dataLength: Long,
-                                 chunkOffsets: Array[Long]) {
+                                 chunkOffsets: Array[Long],
+                                 algorithm: String = CompressionInfo.SnappyAlgorithm) {
   def chunkCount: Int = chunkOffsets.length
 }
 
 object CompressionInfo {
-  val Magic = 0x47535343 // "GSSC"
-  val Version = 1
+  val SnappyAlgorithm = "SnappyCompressor"
   val DefaultChunkLength = 64 * 1024
 
   def write(out: DataOutputStream, info: CompressionInfo): Unit = {
-    out.writeInt(Magic)
-    out.writeShort(Version)
+    out.writeUTF(info.algorithm)
+    out.writeInt(0) // no extra compression options
     out.writeInt(info.chunkLength)
     out.writeLong(info.dataLength)
     out.writeInt(info.chunkOffsets.length)
@@ -43,18 +54,20 @@ object CompressionInfo {
   }
 
   def read(in: DataInputStream): CompressionInfo = {
-    val magic = in.readInt()
-    if (magic != Magic)
-      throw new CorruptSSTableException(f"CompressionInfo bad magic 0x$magic%08x")
-    val v = in.readUnsignedShort()
-    if (v != Version)
-      throw new CorruptSSTableException(s"CompressionInfo unsupported version $v")
+    val algorithm = in.readUTF()
+    if (algorithm != SnappyAlgorithm)
+      throw new CorruptSSTableException(
+        s"unsupported compression algorithm '$algorithm' (only $SnappyAlgorithm)")
+    val optionCount = in.readInt()
+    if (optionCount < 0 || optionCount > 64)
+      throw new CorruptSSTableException(s"CompressionInfo absurd option count $optionCount")
+    (0 until optionCount).foreach { _ => in.readUTF(); in.readUTF() } // ignored
     val chunkLength = in.readInt()
     val dataLength = in.readLong()
     val n = in.readInt()
     if (n < 0 || chunkLength <= 0)
       throw new CorruptSSTableException(s"CompressionInfo invalid geometry n=$n chunk=$chunkLength")
-    CompressionInfo(chunkLength, dataLength, Array.fill(n)(in.readLong()))
+    CompressionInfo(chunkLength, dataLength, Array.fill(n)(in.readLong()), algorithm)
   }
 }
 
@@ -81,14 +94,15 @@ final class SnappyChunkedInput(physical: SeekableInput, info: CompressionInfo)
     if (idx == cachedChunk) return cached
     if (idx < 0 || idx >= info.chunkCount)
       throw new CorruptSSTableException(s"chunk $idx out of range 0..${info.chunkCount - 1}")
-    physical.seek(info.chunkOffsets(idx))
-    val din = physical.asDataInput
-    val compLen = din.readInt()
-    if (compLen < 0 || compLen > (info.chunkLength.toLong * 2 + 1024))
+    val chunkEnd =
+      if (idx + 1 < info.chunkCount) info.chunkOffsets(idx + 1) else physical.length
+    val compLen = chunkEnd - info.chunkOffsets(idx) - 4 // trailing adler32
+    if (compLen <= 0 || compLen > info.chunkLength.toLong * 2 + 1024)
       throw new CorruptSSTableException(s"chunk $idx absurd compressed length $compLen")
-    val comp = new Array[Byte](compLen)
-    din.readFully(comp)
-    val expectedCrc = din.readInt()
+    physical.seek(info.chunkOffsets(idx))
+    val comp = new Array[Byte](compLen.toInt)
+    physical.readFully(comp)
+    val expectedCrc = physical.asDataInput.readInt()
     val raw = Snappy.uncompress(comp)
     val adler = new Adler32
     adler.update(raw)
@@ -116,7 +130,8 @@ final class SnappyChunkedInput(physical: SeekableInput, info: CompressionInfo)
 }
 
 /** Chunking Snappy writer: buffers up to `chunkLength` uncompressed bytes,
-  * flushes each as one framed chunk, records offsets for CompressionInfo. */
+  * flushes each as `[compressed][u32 adler32(uncompressed)]`, records
+  * offsets for CompressionInfo. */
 final class SnappyChunkedOutput(sink: DataOutputStream, chunkLength: Int) {
   private val buf = new Array[Byte](chunkLength)
   private var used = 0
@@ -142,10 +157,9 @@ final class SnappyChunkedOutput(sink: DataOutputStream, chunkLength: Int) {
     val adler = new Adler32
     adler.update(raw)
     offsets += physicalOffset
-    sink.writeInt(comp.length)
     sink.write(comp)
     sink.writeInt(adler.getValue.toInt)
-    physicalOffset += 4L + comp.length + 4L
+    physicalOffset += comp.length.toLong + 4L
     uncompressedTotal += used
     used = 0
   }

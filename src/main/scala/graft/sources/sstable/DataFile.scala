@@ -2,82 +2,122 @@ package graft.sources.sstable
 
 import java.io.{DataOutputStream, EOFException}
 
-/** `*-Data.db` row codec.
+/** `*-Data.db` row codec — the real Cassandra 1.2-era ("ic") on-disk
+  * layout, re-implemented from the public Cassandra 1.2 format (the only
+  * 1.x line that ships the full 4-file `Data/Index/Summary/CompressionInfo`
+  * set the reference consumes). Provides the recovered `DataReader`
+  * surface (SURVEY.md §1.4; call sites SSTableDataRecordReader.scala:47,
+  * 85-94): an iterator of rows over a seekable uncompressed-domain stream.
   *
-  * Re-implements the recovered `DataReader` surface (SURVEY.md §1.4;
-  * call sites SSTableDataRecordReader.scala:47,85-94): an iterator of
-  * rows over a seekable (uncompressed-domain) stream, with `position`
-  * exposed so callers can bound a scan to a split's byte range.
+  * Layout (big-endian, NO file header — rows start at offset 0, as in
+  * Cassandra):
+  * {{{
+  * row    := [u16 keyLen][key]
+  *           [u64 rowSize]                  // bytes after this field
+  *           [u32 localDeletionTime]        // row tombstone, seconds epoch
+  *           [u64 markedForDeleteAt]        // row tombstone, µs
+  *           [u32 columnCount]
+  *           column*
+  * column := [u16 nameLen][name]
+  *           [u8 flags]                     // 0x01 DELETION, 0x02 EXPIRATION
+  *           [u32 ttlSecs][u32 localExpirationTime]   // EXPIRATION only
+  *           [u64 timestamp]                // µs writer clock
+  *           [u32 valueLen][value]
+  * }}}
+  * matching Cassandra 1.2's `SSTableWriter.append` (key + long row size),
+  * `DeletionTime.Serializer` (int localDeletionTime, long markedForDeleteAt;
+  * LIVE = `(Int.MaxValue, Long.MinValue)`), and `ColumnSerializer` (short
+  * name, byte flags, [int ttl + int localExpirationTime], long timestamp,
+  * int-length value). A DELETED column's value payload is the 4-byte
+  * localDeletionTime, per Cassandra's `DeletedColumn`.
   *
-  * Layout (big-endian): file header `[u32 magic GSSD][u16 version]`, then
-  * rows `[u16 keyLen][key][u32 nCols][cols…]`; column =
-  * `[u16 nameLen][name][u8 state][i64 timestampMicros]` +
-  * state-dependent payload: NORMAL `[u32 valLen][value]`, DELETED nothing
-  * (WritableColumn.java:51-58), EXPIRING `[i64 ttlSecs][i64 expiresMillis]
-  * [u32 valLen][value]` (WritableColumn.java:64-72).
+  * Model mapping (our ADT mirrors the reference codec's,
+  * WritableColumn.java:16-21):
+  *  - `Expiring.expiresMillis` ⇄ `localExpirationTime` (u32 *seconds*
+  *    epoch) — the format stores whole seconds, so ms precision is
+  *    truncated on write (and must fit in u32 seconds).
+  *  - `Deleted` carries no payload at the model level
+  *    (WritableColumn.java:51-58); the on-disk 4-byte localDeletionTime is
+  *    derived from its µs timestamp on write and ignored on read.
+  *  - Row-level tombstones are parsed but not surfaced — the reference's
+  *    codec `Row { key, columns }` doesn't expose them either
+  *    (SSTableDataRecordReader.scala:62-64); we always write LIVE.
+  *
+  * Counter columns (flags 0x04/0x08) and range tombstones (0x10) are
+  * rejected loudly — out of scope, as in the reference.
   *
   * Corruption fails loudly ([[CorruptSSTableException]]) instead of the
   * reference's silent catch-and-truncate (SSTableDataRecordReader.scala:95-97).
   */
 object DataFile {
-  val Magic = 0x47535344 // "GSSD"
-  val Version = 1
-  val HeaderLen = 6L
+  /** Real Cassandra Data.db files have no header; kept for call sites that
+    * express "offset of the first row". */
+  val HeaderLen = 0L
 
-  val StateNormal = 0
-  val StateDeleted = 1
-  val StateExpiring = 2
+  // ColumnSerializer masks (Cassandra 1.2).
+  val DeletionMask = 0x01
+  val ExpirationMask = 0x02
+  val CounterMask = 0x04
+  val CounterUpdateMask = 0x08
+  val RangeTombstoneMask = 0x10
 
-  def writeHeader(out: DataOutputStream): Unit = {
-    out.writeInt(Magic)
-    out.writeShort(Version)
+  // DeletionTime.LIVE
+  val LiveLocalDeletionTime: Int = Int.MaxValue
+  val LiveMarkedForDeleteAt: Long = Long.MinValue
+
+  private def columnDiskSize(c: Column): Long = c match {
+    case Column.Normal(n, v, _) => 2L + n.length + 1 + 8 + 4 + v.length
+    case Column.Deleted(n, _) => 2L + n.length + 1 + 8 + 4 + 4 // value = u32 localDeletionTime
+    case Column.Expiring(n, v, _, _, _) => 2L + n.length + 1 + 4 + 4 + 8 + 4 + v.length
   }
 
-  def writeRow(out: DataOutputStream, row: SSTableRow): Int = {
-    var bytes = 0
-    def u16(n: Int): Unit = { out.writeShort(n); bytes += 2 }
-    def u32(n: Int): Unit = { out.writeInt(n); bytes += 4 }
-    def i64(n: Long): Unit = { out.writeLong(n); bytes += 8 }
-    def u8(n: Int): Unit = { out.writeByte(n); bytes += 1 }
-    def arr(a: Array[Byte]): Unit = { out.write(a); bytes += a.length }
+  /** Size of the row body after the u64 rowSize field: deletion info (12) +
+    * column count (4) + columns. */
+  def rowBodySize(row: SSTableRow): Long =
+    12L + 4L + row.columns.iterator.map(columnDiskSize).sum
 
+  def writeRow(out: DataOutputStream, row: SSTableRow): Long = {
     require(row.key.length <= 0xffff, s"key too long: ${row.key.length}")
-    u16(row.key.length); arr(row.key)
-    u32(row.columns.size)
+    val body = rowBodySize(row)
+    out.writeShort(row.key.length); out.write(row.key)
+    out.writeLong(body)
+    out.writeInt(LiveLocalDeletionTime)
+    out.writeLong(LiveMarkedForDeleteAt)
+    out.writeInt(row.columns.size)
     row.columns.foreach { c =>
       require(c.name.length <= 0xffff, s"column name too long: ${c.name.length}")
-      u16(c.name.length); arr(c.name)
+      out.writeShort(c.name.length); out.write(c.name)
       c match {
         case Column.Normal(_, v, ts) =>
-          u8(StateNormal); i64(ts); u32(v.length); arr(v)
+          out.writeByte(0)
+          out.writeLong(ts)
+          out.writeInt(v.length); out.write(v)
         case Column.Deleted(_, ts) =>
-          u8(StateDeleted); i64(ts)
-        case Column.Expiring(_, v, ttl, exp, ts) =>
-          u8(StateExpiring); i64(ts); i64(ttl); i64(exp); u32(v.length); arr(v)
+          out.writeByte(DeletionMask)
+          out.writeLong(ts)
+          out.writeInt(4); out.writeInt((ts / 1000000L).toInt) // localDeletionTime (s)
+        case Column.Expiring(_, v, ttl, expMs, ts) =>
+          val expSec = expMs / 1000L
+          require(ttl >= 0 && ttl <= Int.MaxValue, s"ttlSecs out of u32 range: $ttl")
+          require(expSec >= 0 && expSec <= Int.MaxValue,
+            s"expiresMillis out of range for u32 localExpirationTime: $expMs")
+          out.writeByte(ExpirationMask)
+          out.writeInt(ttl.toInt)
+          out.writeInt(expSec.toInt)
+          out.writeLong(ts)
+          out.writeInt(v.length); out.write(v)
       }
     }
-    bytes
+    2L + row.key.length + 8L + body
   }
 }
 
 /** Streaming row iterator over an uncompressed-domain stream, optionally
   * bounded to `[in.position, endOffset)`. The caller seeks `in` to a row
-  * boundary first (header or an Index-derived offset). */
+  * boundary first (offset 0 or an Index-derived offset). */
 final class DataReader(in: SeekableInput, endOffset: Long = Long.MaxValue)
     extends Iterator[SSTableRow] with AutoCloseable {
   private val din = in.asDataInput
-
-  /** Validate header; returns offset of first row. Call only when
-    * positioned at 0. */
-  def readHeader(): Long = {
-    val magic = din.readInt()
-    if (magic != DataFile.Magic)
-      throw new CorruptSSTableException(f"Data.db bad magic 0x$magic%08x")
-    val v = din.readUnsignedShort()
-    if (v != DataFile.Version)
-      throw new CorruptSSTableException(s"Data.db unsupported version $v")
-    DataFile.HeaderLen
-  }
 
   def position: Long = in.position
 
@@ -89,6 +129,12 @@ final class DataReader(in: SeekableInput, endOffset: Long = Long.MaxValue)
       val keyLen = din.readUnsignedShort()
       val key = new Array[Byte](keyLen)
       din.readFully(key)
+      val rowSize = din.readLong()
+      if (rowSize < 16L)
+        throw new CorruptSSTableException(s"row size $rowSize too small at ${in.position}")
+      val rowEnd = in.position + rowSize
+      din.readInt() // row localDeletionTime — not surfaced (see scaladoc)
+      din.readLong() // row markedForDeleteAt — not surfaced
       val nCols = din.readInt()
       if (nCols < 0)
         throw new CorruptSSTableException(s"negative column count $nCols at ${in.position}")
@@ -98,26 +144,38 @@ final class DataReader(in: SeekableInput, endOffset: Long = Long.MaxValue)
         val nameLen = din.readUnsignedShort()
         val name = new Array[Byte](nameLen)
         din.readFully(name)
-        val state = din.readUnsignedByte()
-        val ts = din.readLong()
-        cols(i) = state match {
-          case DataFile.StateNormal =>
+        val flags = din.readUnsignedByte()
+        if ((flags & (DataFile.CounterMask | DataFile.CounterUpdateMask |
+            DataFile.RangeTombstoneMask)) != 0)
+          throw new CorruptSSTableException(
+            f"unsupported column flags 0x$flags%02x (counter/range-tombstone) at ${in.position}")
+        cols(i) =
+          if ((flags & DataFile.ExpirationMask) != 0) {
+            val ttl = din.readInt().toLong & 0xffffffffL
+            val expSec = din.readInt().toLong & 0xffffffffL
+            val ts = din.readLong()
+            val v = new Array[Byte](din.readInt())
+            din.readFully(v)
+            Column.Expiring(name, v, ttl, expSec * 1000L, ts)
+          } else if ((flags & DataFile.DeletionMask) != 0) {
+            val ts = din.readLong()
+            val vLen = din.readInt()
+            if (vLen != 4)
+              throw new CorruptSSTableException(
+                s"DELETED column value must be 4 bytes, got $vLen at ${in.position}")
+            din.readInt() // localDeletionTime — not surfaced at the model level
+            Column.Deleted(name, ts)
+          } else {
+            val ts = din.readLong()
             val v = new Array[Byte](din.readInt())
             din.readFully(v)
             Column.Normal(name, v, ts)
-          case DataFile.StateDeleted =>
-            Column.Deleted(name, ts)
-          case DataFile.StateExpiring =>
-            val ttl = din.readLong()
-            val exp = din.readLong()
-            val v = new Array[Byte](din.readInt())
-            din.readFully(v)
-            Column.Expiring(name, v, ttl, exp, ts)
-          case other =>
-            throw new CorruptSSTableException(s"unknown column state $other at ${in.position}")
-        }
+          }
         i += 1
       }
+      if (in.position != rowEnd)
+        throw new CorruptSSTableException(
+          s"row size mismatch: declared end $rowEnd, parsed to ${in.position}")
       SSTableRow(key, cols.toSeq)
     } catch {
       case e: EOFException =>

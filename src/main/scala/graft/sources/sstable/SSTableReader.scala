@@ -51,13 +51,8 @@ final class SSTableReader(val dataPath: String) extends AutoCloseable {
     }
   }
 
-  /** Full scan from the header. */
-  def rows(): DataReader = {
-    val in = openData()
-    val r = new DataReader(in)
-    r.readHeader()
-    r
-  }
+  /** Full scan from offset 0 (real Cassandra Data.db has no file header). */
+  def rows(): DataReader = new DataReader(openData())
 
   /** Scan rows whose start offset lies in [startOffset, endOffset). */
   def rows(startOffset: Long, endOffset: Long): DataReader = {
@@ -66,12 +61,8 @@ final class SSTableReader(val dataPath: String) extends AutoCloseable {
     new DataReader(in, endOffset)
   }
 
-  def indexReader(): IndexReader = {
-    val in = new FileSeekableInput(sibling(dataPath, IndexSuffix))
-    val r = new IndexReader(in)
-    r.readHeader()
-    r
-  }
+  def indexReader(): IndexReader =
+    new IndexReader(new FileSeekableInput(sibling(dataPath, IndexSuffix)))
 
   def summary(): (Int, Vector[SummaryEntry]) = {
     val in = new FileSeekableInput(sibling(dataPath, SummarySuffix))
@@ -124,11 +115,16 @@ final class SSTableReader(val dataPath: String) extends AutoCloseable {
   }
 
   /** Drop splits that cannot contain keys in [lo, hi] (unsigned byte
-    * order; None = unbounded). Sound because rows are key-sorted. */
+    * order; None = unbounded). Sound because rows are key-sorted — and
+    * duplicate-key-safe: `lastKeyBound` is the first key of the NEXT
+    * split, but a run of equal keys may straddle the boundary (the writer
+    * allows duplicates), so a split can still contain keys EQUAL to its
+    * bound. A split is prunable for `lo` only when its bound is strictly
+    * below `lo` (`compareKeys(ub, l) >= 0` keeps it). */
   def pruneSplits(splits: Vector[PlannedSplit], lo: Option[Array[Byte]],
                   hi: Option[Array[Byte]]): Vector[PlannedSplit] =
     splits.filter { s =>
-      val aboveLo = lo.forall(l => s.lastKeyBound.forall(ub => compareKeys(ub, l) > 0))
+      val aboveLo = lo.forall(l => s.lastKeyBound.forall(ub => compareKeys(ub, l) >= 0))
       val belowHi = hi.forall(h => compareKeys(s.firstKey, h) <= 0)
       aboveLo && belowHi
     }

@@ -30,27 +30,16 @@ final class SSTableWriter(dataPath: String,
 
   private val indexOut = new DataOutputStream(
     new BufferedOutputStream(new FileOutputStream(sibling(dataPath, IndexSuffix)), 1 << 16))
-  private val summaryOut = new DataOutputStream(
-    new BufferedOutputStream(new FileOutputStream(sibling(dataPath, SummarySuffix)), 1 << 16))
 
   private val scratch = new ByteArrayOutputStream(1 << 16)
   private var uncompressedPos = 0L // uncompressed-domain Data.db position
-  private var indexPos = IndexFile.HeaderLen
+  private var indexPos = 0L // real Cassandra Index.db has no header
   private var rowCount = 0L
   private var lastKey: Array[Byte] = _
   private var closed = false
-
-  // headers
-  {
-    val headerScratch = new DataOutputStream(scratch)
-    DataFile.writeHeader(headerScratch)
-    val hdr = scratch.toByteArray
-    scratch.reset()
-    if (compress) snappy.write(hdr, 0, hdr.length) else dataOut.write(hdr)
-    uncompressedPos = DataFile.HeaderLen
-    IndexFile.writeHeader(indexOut)
-    IndexFile.writeSummaryHeader(summaryOut, summaryInterval)
-  }
+  // Summary.db's header carries the entry count, so entries are buffered
+  // (tiny: 1 per `summaryInterval` rows) and the file written at close.
+  private val summaryEntries = scala.collection.mutable.ArrayBuffer.empty[SummaryEntry]
 
   def append(row: SSTableRow): Unit = {
     require(!closed, "writer closed")
@@ -68,7 +57,7 @@ final class SSTableWriter(dataPath: String,
     uncompressedPos += bytes.length
 
     if (rowCount % summaryInterval == 0)
-      IndexFile.writeSummaryEntry(summaryOut, row.key, indexPos)
+      summaryEntries += SummaryEntry(row.key, indexPos)
     indexPos += IndexFile.writeEntry(indexOut, row.key, rowOffset)
     rowCount += 1
   }
@@ -84,6 +73,9 @@ final class SSTableWriter(dataPath: String,
       try CompressionInfo.write(ciOut, info) finally ciOut.close()
     } else dataOut.close()
     indexOut.close()
-    summaryOut.close()
+    val summaryOut = new DataOutputStream(new BufferedOutputStream(
+      new FileOutputStream(sibling(dataPath, SummarySuffix)), 1 << 16))
+    try IndexFile.writeSummary(summaryOut, summaryInterval, summaryEntries.toSeq)
+    finally summaryOut.close()
   }
 }

@@ -50,7 +50,7 @@ class CodecSpec extends AnyFunSuite {
       Column.Deleted("c1".getBytes, 3000L),
       Column.Deleted("c9".getBytes, 3500L))),
     SSTableRow("gamma".getBytes, Seq(
-      Column.Expiring("c3".getBytes, Array[Byte](), 1L, 1L, 4000L),
+      Column.Expiring("c3".getBytes, Array[Byte](), 1L, 1000L, 4000L),
       Column.Normal("c4".getBytes, Array[Byte](9, 8, 7), 5000L)))))
 
   test("round-trip uncompressed (states fixture)") {
@@ -135,6 +135,31 @@ class CodecSpec extends AnyFunSuite {
     assert(got.length == 51) // k00100..k00150 inclusive
   }
 
+  test("pruning keeps splits whose bound equals the filter key (duplicate-key runs)") {
+    // Duplicate keys are allowed by the writer and can straddle a split
+    // boundary: a split may then contain keys EQUAL to its lastKeyBound.
+    // A key = 'dup' filter must not lose any of those rows to pruning.
+    val rows =
+      (0 until 5).map(i => SSTableRow("aaa".getBytes,
+        Seq(Column.Normal(s"a$i".getBytes, "v".getBytes, i.toLong)))) ++
+      (0 until 40).map(i => SSTableRow("dup".getBytes,
+        Seq(Column.Normal(f"c$i%03d".getBytes, Array.fill(29)(i.toByte), i.toLong)))) ++
+      (0 until 5).map(i => SSTableRow("zzz".getBytes,
+        Seq(Column.Normal(s"z$i".getBytes, "v".getBytes, i.toLong))))
+    val p = tmpData("dupkeys")
+    write(p, rows, compress = false, summaryInterval = 4)
+    val r = new SSTableReader(p)
+    val splits = r.planSplits(targetBytes = 200)
+    assert(splits.length > 2, s"need multiple splits, got ${splits.length}")
+    // boundaries land inside the 'dup' run
+    assert(splits.exists(_.lastKeyBound.exists(_.sameElements("dup".getBytes))))
+    val dup = "dup".getBytes
+    val kept = r.pruneSplits(splits, Some(dup), Some(dup))
+    val got = kept.flatMap(s => r.rows(s.start, s.end).toSeq)
+      .filter(_.key.sameElements(dup))
+    assert(got.length == 40, s"pruning dropped duplicate-key rows: ${got.length}/40")
+  }
+
   test("corruption fails loudly, not silently") {
     val p = tmpData("corrupt")
     write(p, statesRows, compress = true)
@@ -157,8 +182,10 @@ class CodecSpec extends AnyFunSuite {
     def column(): Column = rnd.nextInt(3) match {
       case 0 => Column.Normal(bytes(), bytes(), rnd.nextLong(1L << 60))
       case 1 => Column.Deleted(bytes(), rnd.nextLong(1L << 60))
+      // expiresMillis second-aligned and within u32-seconds — the format's
+      // domain (localExpirationTime is a u32 seconds epoch)
       case _ => Column.Expiring(bytes(), bytes(), rnd.nextLong(1L << 30),
-        rnd.nextLong(1L << 45), rnd.nextLong(1L << 60))
+        rnd.nextInt(Int.MaxValue).toLong * 1000L, rnd.nextLong(1L << 60))
     }
     for (trial <- 0 until 30) {
       val compress = trial % 2 == 0
