@@ -31,6 +31,7 @@ object SSTableFiles {
   val IndexSuffix = "-Index.db"
   val SummarySuffix = "-Summary.db"
   val CompressionSuffix = "-CompressionInfo.db"
+  val AllSuffixes: Seq[String] = Seq(DataSuffix, IndexSuffix, SummarySuffix, CompressionSuffix)
 
   def sibling(dataPath: String, suffix: String): String = {
     require(dataPath.endsWith(DataSuffix), s"not a Data.db path: $dataPath")

@@ -1,7 +1,5 @@
 package graft.sources.sstable
 
-import java.io.File
-
 /** Opens a 4-file SSTable set and provides: full scans, byte-ranged split
   * scans, plan-time split planning, and Summary/Index-driven key-range
   * pruning.
@@ -24,31 +22,42 @@ import java.io.File
 final case class PlannedSplit(start: Long, end: Long, idxStart: Long, idxEnd: Long,
                               firstKey: Array[Byte], lastKeyBound: Option[Array[Byte]])
 
-final class SSTableReader(val dataPath: String) extends AutoCloseable {
+final class SSTableReader(val dataPath: String,
+                          storage: Storage = LocalStorage) extends AutoCloseable {
   import SSTableFiles._
 
-  val compressed: Boolean = new File(sibling(dataPath, CompressionSuffix)).exists()
+  val compressed: Boolean = storage.exists(sibling(dataPath, CompressionSuffix))
 
   val compressionInfo: Option[CompressionInfo] =
     if (!compressed) None
     else {
-      val in = new FileSeekableInput(sibling(dataPath, CompressionSuffix))
+      val in = storage.open(sibling(dataPath, CompressionSuffix))
       try Some(CompressionInfo.read(in.asDataInput)) finally in.close()
     }
 
   /** Total uncompressed Data.db length. */
   val dataLength: Long = compressionInfo match {
     case Some(ci) => ci.dataLength
-    case None => new File(dataPath).length()
+    case None => storage.length(dataPath)
   }
 
   /** New uncompressed-domain stream over Data.db. */
   def openData(): SeekableInput = {
-    val phys = new FileSeekableInput(dataPath)
+    val phys = storage.open(dataPath)
     compressionInfo match {
       case Some(ci) => new SnappyChunkedInput(phys, ci)
       case None => phys
     }
+  }
+
+  /** Physical byte offset backing uncompressed offset `u` (identity for
+    * uncompressed files; the containing chunk's start otherwise) — used to
+    * ask the store for block locations of a split's real byte range. */
+  def physicalOffset(u: Long): Long = compressionInfo match {
+    case None => u
+    case Some(ci) =>
+      if (ci.chunkCount == 0) 0L
+      else ci.chunkOffsets(math.min((u / ci.chunkLength).toInt, ci.chunkCount - 1))
   }
 
   /** Full scan from offset 0 (real Cassandra Data.db has no file header). */
@@ -62,10 +71,10 @@ final class SSTableReader(val dataPath: String) extends AutoCloseable {
   }
 
   def indexReader(): IndexReader =
-    new IndexReader(new FileSeekableInput(sibling(dataPath, IndexSuffix)))
+    new IndexReader(storage.open(sibling(dataPath, IndexSuffix)))
 
   def summary(): (Int, Vector[SummaryEntry]) = {
-    val in = new FileSeekableInput(sibling(dataPath, SummarySuffix))
+    val in = storage.open(sibling(dataPath, SummarySuffix))
     try {
       val rd = new SummaryReader(in)
       val interval = rd.readHeader()
@@ -78,12 +87,12 @@ final class SSTableReader(val dataPath: String) extends AutoCloseable {
     * exactly once: split boundaries are row start offsets. `idxStart`/
     * `idxEnd` give the matching Index.db byte range (key-only scans). */
   def planSplits(targetBytes: Long): Vector[PlannedSplit] = {
-    val indexLength = new File(sibling(dataPath, IndexSuffix)).length()
+    val indexLength = storage.length(sibling(dataPath, IndexSuffix))
     val (_, sum) = summary()
     if (sum.isEmpty)
       return Vector(PlannedSplit(DataFile.HeaderLen, dataLength,
         IndexFile.HeaderLen, indexLength, Array.emptyByteArray, None))
-    val idxIn = new FileSeekableInput(sibling(dataPath, IndexSuffix))
+    val idxIn = storage.open(sibling(dataPath, IndexSuffix))
     try {
       // dataOffset of the row a summary entry points at
       def dataOffsetAt(indexOffset: Long): Long = {
@@ -135,15 +144,5 @@ final class SSTableReader(val dataPath: String) extends AutoCloseable {
 object SSTableReader {
   /** All `*-Data.db` files under a directory (the S1 listing filter,
     * SSTableDataInputFormat.scala:15-17). */
-  def listDataFiles(dir: String): Seq[String] = {
-    val f = new File(dir)
-    if (!f.isDirectory) {
-      if (f.getName.endsWith(SSTableFiles.DataSuffix)) Seq(f.getPath)
-      else throw new IllegalArgumentException(s"$dir is neither a dir nor a -Data.db file")
-    } else {
-      f.listFiles().toSeq
-        .filter(_.getName.endsWith(SSTableFiles.DataSuffix))
-        .map(_.getPath).sorted
-    }
-  }
+  def listDataFiles(dir: String): Seq[String] = LocalStorage.listDataFiles(dir)
 }

@@ -1,6 +1,6 @@
 package graft.sources.sstable
 
-import java.io.{BufferedOutputStream, ByteArrayOutputStream, DataOutputStream, FileOutputStream}
+import java.io.{ByteArrayOutputStream, DataOutputStream}
 
 /** Writes a complete 4-file SSTable set (`-Data.db`, `-Index.db`,
   * `-Summary.db`, optional `-CompressionInfo.db`).
@@ -20,16 +20,15 @@ final class SSTableWriter(dataPath: String,
                           compress: Boolean = true,
                           chunkLength: Int = CompressionInfo.DefaultChunkLength,
                           summaryInterval: Int = IndexFile.DefaultSummaryInterval,
-                          enforceSorted: Boolean = true) extends AutoCloseable {
+                          enforceSorted: Boolean = true,
+                          storage: Storage = LocalStorage) extends AutoCloseable {
   import SSTableFiles._
 
-  private val dataOut = new DataOutputStream(
-    new BufferedOutputStream(new FileOutputStream(dataPath), 1 << 16))
+  private val dataOut = storage.create(dataPath)
   private val snappy =
     if (compress) new SnappyChunkedOutput(dataOut, chunkLength) else null
 
-  private val indexOut = new DataOutputStream(
-    new BufferedOutputStream(new FileOutputStream(sibling(dataPath, IndexSuffix)), 1 << 16))
+  private val indexOut = storage.create(sibling(dataPath, IndexSuffix))
 
   private val scratch = new ByteArrayOutputStream(1 << 16)
   private var uncompressedPos = 0L // uncompressed-domain Data.db position
@@ -68,13 +67,11 @@ final class SSTableWriter(dataPath: String,
     if (compress) {
       val info = snappy.finish()
       dataOut.close()
-      val ciOut = new DataOutputStream(new BufferedOutputStream(
-        new FileOutputStream(sibling(dataPath, CompressionSuffix)), 1 << 16))
+      val ciOut = storage.create(sibling(dataPath, CompressionSuffix))
       try CompressionInfo.write(ciOut, info) finally ciOut.close()
     } else dataOut.close()
     indexOut.close()
-    val summaryOut = new DataOutputStream(new BufferedOutputStream(
-      new FileOutputStream(sibling(dataPath, SummarySuffix)), 1 << 16))
+    val summaryOut = storage.create(sibling(dataPath, SummarySuffix))
     try IndexFile.writeSummary(summaryOut, summaryInterval, summaryEntries.toSeq)
     finally summaryOut.close()
   }

@@ -1,0 +1,164 @@
+package graft.sources.sstable
+
+import java.io.{BufferedOutputStream, DataOutputStream, File, FileOutputStream, OutputStream, RandomAccessFile}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Storage abstraction behind the SSTable codec: the reference ran on HDFS
+  * (`FSSeekableDataInputStream.scala:7-11` wrapped `FSDataInputStream`);
+  * this trait is the same seam for any `SeekableInput`-capable store.
+  *
+  * [[LocalStorage]] is pure-JVM (unit tests, single node). [[HadoopStorage]]
+  * adapts any Hadoop `FileSystem` (`hdfs://`, `file://`, object stores with
+  * the right connector on the classpath) and exposes block locations so the
+  * DSv2 scan can attach `preferredLocations` to partitions — the
+  * reference's locality feature (SplitSSTableDataInputFormat.scala:66-67,
+  * SplitSSTableIndexInputFormat.scala:48-50).
+  */
+trait Storage {
+  def open(path: String): SeekableInput
+  def length(path: String): Long
+  def exists(path: String): Boolean
+  /** All `*-Data.db` files under a directory (the S1 listing filter,
+    * SSTableDataInputFormat.scala:15-17); `dir` may also be a single
+    * Data.db path. */
+  def listDataFiles(dir: String): Seq[String]
+  /** Create (overwrite) a file for writing. */
+  def create(path: String): DataOutputStream
+  def delete(path: String): Unit
+  def rename(src: String, dst: String): Unit
+  /** Hosts holding the physical byte range [start, end) of `path`; empty
+    * when locality is unknown (local fs). */
+  def blockHosts(path: String, start: Long, end: Long): Array[String] = Array.empty
+}
+
+object LocalStorage extends Storage {
+  def open(path: String): SeekableInput = new FileSeekableInput(path)
+  def length(path: String): Long = new File(path).length()
+  def exists(path: String): Boolean = new File(path).exists()
+  def listDataFiles(dir: String): Seq[String] = {
+    val f = new File(dir)
+    if (!f.isDirectory) {
+      if (f.getName.endsWith(SSTableFiles.DataSuffix)) Seq(f.getPath)
+      else throw new IllegalArgumentException(s"$dir is neither a dir nor a -Data.db file")
+    } else {
+      f.listFiles().toSeq
+        .filter(_.getName.endsWith(SSTableFiles.DataSuffix))
+        .map(_.getPath).sorted
+    }
+  }
+  def create(path: String): DataOutputStream =
+    new DataOutputStream(new BufferedOutputStream(new FileOutputStream(path), 1 << 16))
+  def delete(path: String): Unit = new File(path).delete()
+  def rename(src: String, dst: String): Unit = {
+    val ok = new File(src).renameTo(new File(dst))
+    if (!ok) throw new java.io.IOException(s"rename $src -> $dst failed")
+  }
+}
+
+/** Hadoop `FileSystem` adapter. Streams are positioned reads over
+  * `FSDataInputStream` (thread-confined, one per reader — the reference's
+  * `SeekableDataInputStreamProxy` pattern). */
+final class HadoopStorage(conf: Configuration) extends Storage {
+  private def fs(p: Path): FileSystem = p.getFileSystem(conf)
+
+  def open(path: String): SeekableInput = {
+    val p = new Path(path)
+    val f = fs(p)
+    val status = f.getFileStatus(p)
+    val in = f.open(p)
+    new SeekableInput {
+      private val len = status.getLen
+      def position: Long = in.getPos
+      def seek(pos: Long): Unit = in.seek(pos)
+      def length: Long = len
+      def read(buf: Array[Byte], off: Int, n: Int): Int = in.read(buf, off, n)
+      def close(): Unit = in.close()
+    }
+  }
+
+  def length(path: String): Long = {
+    val p = new Path(path)
+    fs(p).getFileStatus(p).getLen
+  }
+
+  def exists(path: String): Boolean = {
+    val p = new Path(path)
+    fs(p).exists(p)
+  }
+
+  def listDataFiles(dir: String): Seq[String] = {
+    val p = new Path(dir)
+    val f = fs(p)
+    val status = f.getFileStatus(p)
+    if (!status.isDirectory) {
+      if (p.getName.endsWith(SSTableFiles.DataSuffix)) Seq(p.toString)
+      else throw new IllegalArgumentException(s"$dir is neither a dir nor a -Data.db file")
+    } else {
+      f.listStatus(p).toSeq
+        .filter(_.getPath.getName.endsWith(SSTableFiles.DataSuffix))
+        .map(_.getPath.toString).sorted
+    }
+  }
+
+  def create(path: String): DataOutputStream = {
+    val p = new Path(path)
+    new DataOutputStream(new BufferedOutputStream(
+      fs(p).create(p, true): OutputStream, 1 << 16))
+  }
+
+  def delete(path: String): Unit = {
+    val p = new Path(path)
+    fs(p).delete(p, false)
+  }
+
+  def rename(src: String, dst: String): Unit = {
+    val s = new Path(src); val d = new Path(dst)
+    if (!fs(s).rename(s, d))
+      throw new java.io.IOException(s"rename $src -> $dst failed")
+  }
+
+  def deleteRecursive(dir: String): Unit = {
+    val p = new Path(dir)
+    fs(p).delete(p, true)
+  }
+
+  override def blockHosts(path: String, start: Long, end: Long): Array[String] = {
+    val p = new Path(path)
+    val f = fs(p)
+    val status = f.getFileStatus(p)
+    f.getFileBlockLocations(status, start, math.max(1L, end - start))
+      .flatMap(_.getHosts).distinct
+      // cap like the reference (GenerateSSTableDataSplits.scala:237) — a
+      // split spanning many blocks would otherwise claim every host
+      .take(5)
+  }
+}
+
+object Storage {
+  /** Local paths (no scheme) get the zero-dependency local implementation;
+    * anything with a scheme (`hdfs://`, `file://`, `s3a://`, …) goes
+    * through the Hadoop adapter. */
+  def forPath(path: String, conf: => Configuration): Storage =
+    if (hasScheme(path)) new HadoopStorage(conf) else LocalStorage
+
+  def hasScheme(path: String): Boolean =
+    (try new java.net.URI(path).getScheme catch { case _: Exception => null }) != null
+}
+
+/** Java-serializable Hadoop `Configuration` carrier (the class itself is
+  * `Writable` but not `Serializable`) — lets DSv2 plan-time conf ride
+  * inside partition reader factories to executors. */
+final class SerializableHadoopConf(@transient private var conf: Configuration)
+    extends Serializable {
+  def value: Configuration = conf
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    conf.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    conf = new Configuration(false)
+    conf.readFields(in)
+  }
+}

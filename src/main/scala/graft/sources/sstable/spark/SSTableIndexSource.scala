@@ -37,24 +37,38 @@ final class SSTableIndexTable(properties: Map[String, String])
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with Scan with Batch {
       private var required: StructType = SSTableSchema.indexSchema
+      private val serConf: Option[SerializableHadoopConf] =
+        if (Storage.hasScheme(path))
+          Some(new SerializableHadoopConf(
+            org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()))
+        else None
       override def build(): Scan = this
       override def readSchema(): StructType = required
       override def toBatch: Batch = this
-      override def planInputPartitions(): Array[InputPartition] =
-        SSTableReader.listDataFiles(path).flatMap { f =>
-          new SSTableReader(f).planSplits(SSTableSource.DefaultTargetSplitBytes)
-            .map(s => SSTablePartition(f, s.start, s.end, s.idxStart, s.idxEnd))
+      override def planInputPartitions(): Array[InputPartition] = {
+        val st = serConf.map(c => new HadoopStorage(c.value): Storage)
+          .getOrElse(LocalStorage)
+        st.listDataFiles(path).flatMap { f =>
+          val idxPath = SSTableFiles.sibling(f, SSTableFiles.IndexSuffix)
+          new SSTableReader(f, st).planSplits(SSTableSource.DefaultTargetSplitBytes)
+            .map(s => SSTablePartition(f, s.start, s.end, s.idxStart, s.idxEnd,
+              st.blockHosts(idxPath, s.idxStart, s.idxEnd)))
         }.toArray
+      }
       override def createReaderFactory(): PartitionReaderFactory =
-        new IndexReaderFactory(required)
+        new IndexReaderFactory(required, serConf)
     }
 }
 
-final class IndexReaderFactory(required: StructType) extends PartitionReaderFactory {
+final class IndexReaderFactory(required: StructType,
+                               serConf: Option[SerializableHadoopConf] = None)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[SSTablePartition]
+    val storage = serConf.map(c => new HadoopStorage(c.value): Storage)
+      .getOrElse(LocalStorage)
     new PartitionReader[InternalRow] {
-      private val in = new FileSeekableInput(
+      private val in = storage.open(
         SSTableFiles.sibling(p.dataPath, SSTableFiles.IndexSuffix))
       in.seek(p.idxStart)
       private val reader = new IndexReader(in, p.idxEnd)

@@ -137,16 +137,32 @@ final class SSTableScanBuilder(path: String, options: CaseInsensitiveStringMap)
 
 /** One planned partition: a row-aligned byte range of one SSTable's
   * uncompressed Data.db, plus the matching Index.db range for key-only
-  * scans. */
+  * scans. `hosts` are the storage block locations of the split's physical
+  * byte range (empty on local fs) — Spark schedules the task on one of
+  * them when possible, the reference's locality feature
+  * (SplitSSTableDataInputFormat.scala:66-67). */
 final case class SSTablePartition(dataPath: String, start: Long, end: Long,
-                                  idxStart: Long, idxEnd: Long)
-    extends InputPartition
+                                  idxStart: Long, idxEnd: Long,
+                                  hosts: Array[String] = Array.empty)
+    extends InputPartition {
+  override def preferredLocations(): Array[String] = hosts
+}
 
 final class SSTableScan(path: String, requiredSchema: StructType,
                         keyLo: Option[(Array[Byte], Boolean)],
                         keyHi: Option[(Array[Byte], Boolean)],
                         targetSplitBytes: Long,
                         ttlAsOfMs: Option[Long] = None) extends Scan with Batch {
+  /** Hadoop conf rides to executors only when the path needs the Hadoop
+    * adapter (scheme present); plain local paths stay dependency-free. */
+  private val serConf: Option[SerializableHadoopConf] =
+    if (Storage.hasScheme(path))
+      Some(new SerializableHadoopConf(
+        org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()))
+    else None
+  private def storage: Storage =
+    serConf.map(c => new HadoopStorage(c.value): Storage).getOrElse(LocalStorage)
+
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
   override def description(): String = {
@@ -163,27 +179,34 @@ final class SSTableScan(path: String, requiredSchema: StructType,
     * be shipped through `spark.parallelize(files).flatMap`, SURVEY §3-E3.) */
   override def planInputPartitions(): Array[InputPartition] = {
     import scala.collection.parallel.CollectionConverters._
-    SSTableReader.listDataFiles(path).par.flatMap { f =>
-      val r = new SSTableReader(f)
+    val st = storage
+    st.listDataFiles(path).par.flatMap { f =>
+      val r = new SSTableReader(f, st)
       val splits = r.planSplits(targetSplitBytes)
       val pruned = r.pruneSplits(splits, keyLo.map(_._1), keyHi.map(_._1))
-      pruned.map(s => SSTablePartition(f, s.start, s.end, s.idxStart, s.idxEnd))
+      pruned.map { s =>
+        val hosts = st.blockHosts(f, r.physicalOffset(s.start), r.physicalOffset(s.end))
+        SSTablePartition(f, s.start, s.end, s.idxStart, s.idxEnd, hosts)
+      }
     }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new SSTableReaderFactory(requiredSchema, ttlAsOfMs)
+    new SSTableReaderFactory(requiredSchema, ttlAsOfMs, serConf)
 }
 
 final class SSTableReaderFactory(requiredSchema: StructType,
-                                 ttlAsOfMs: Option[Long])
+                                 ttlAsOfMs: Option[Long],
+                                 serConf: Option[SerializableHadoopConf] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[SSTablePartition]
+    val storage = serConf.map(c => new HadoopStorage(c.value): Storage)
+      .getOrElse(LocalStorage)
     if (requiredSchema.fieldNames.contains("columns"))
-      new SSTableRowReader(p, requiredSchema, ttlAsOfMs)
+      new SSTableRowReader(p, requiredSchema, ttlAsOfMs, storage)
     else
-      new SSTableKeyOnlyReader(p, requiredSchema)
+      new SSTableKeyOnlyReader(p, requiredSchema, storage)
   }
 }
 
@@ -191,9 +214,10 @@ final class SSTableReaderFactory(requiredSchema: StructType,
   * `ttlAsOfMs` set, expired EXPIRING columns are dropped during decode
   * (the opt-in P8 semantics). */
 final class SSTableRowReader(p: SSTablePartition, requiredSchema: StructType,
-                             ttlAsOfMs: Option[Long] = None)
+                             ttlAsOfMs: Option[Long] = None,
+                             storage: Storage = LocalStorage)
     extends PartitionReader[InternalRow] {
-  private val table = new SSTableReader(p.dataPath)
+  private val table = new SSTableReader(p.dataPath, storage)
   private val reader = table.rows(p.start, p.end)
   private var current: InternalRow = _
   private def applyTtl(row: SSTableRow): SSTableRow = ttlAsOfMs match {
@@ -214,9 +238,10 @@ final class SSTableRowReader(p: SSTablePartition, requiredSchema: StructType,
 
 /** Key-only reader: never opens Data.db — scans the Index.db range
   * instead (column pruning changing the physical access path). */
-final class SSTableKeyOnlyReader(p: SSTablePartition, requiredSchema: StructType)
+final class SSTableKeyOnlyReader(p: SSTablePartition, requiredSchema: StructType,
+                                 storage: Storage = LocalStorage)
     extends PartitionReader[InternalRow] {
-  private val in = new FileSeekableInput(
+  private val in = storage.open(
     SSTableFiles.sibling(p.dataPath, SSTableFiles.IndexSuffix))
   in.seek(p.idxStart)
   private val reader = new IndexReader(in, p.idxEnd)

@@ -1,6 +1,7 @@
 package graft.sources.sstable.spark
 
-import java.io.File
+import java.util.UUID
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
 import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
 import org.apache.spark.sql.connector.write._
@@ -16,6 +17,15 @@ import graft.sources.sstable._
   * `RequiresDistributionAndOrdering` (cluster by `key`, sort by `key`
   * asc) — the engine's sort-merge machinery does the heavy lifting and the
   * writer itself is a streaming pass (O(chunk) memory).
+  *
+  * Commit protocol (cluster-safe): tasks write their 4-file sets under a
+  * job-unique `_staging-<uuid>/` subdirectory — invisible to readers,
+  * which list only `*-Data.db` directly under the target. Spark's commit
+  * coordinator admits exactly one task attempt per partition; the driver's
+  * job-level `commit` renames the winning attempts' files into the target
+  * and removes staging. Task/job `abort` deletes the attempt's staged
+  * files, so failed or speculative attempts can never leave readable
+  * output (they previously could — ADVICE r1 medium).
   */
 final class SSTableWriteBuilder(path: String, info: LogicalWriteInfo,
                                 properties: Map[String, String])
@@ -39,45 +49,103 @@ final class SSTableWrite(path: String, schema: StructType,
   override def toBatch: BatchWrite = new SSTableBatchWrite(path, schema, properties, truncate)
 }
 
-final case class SSTableCommit(files: Seq[String]) extends WriterCommitMessage
+/** Staged 4-file set of one committed task attempt. */
+final case class SSTableCommit(stagedDataPaths: Seq[String]) extends WriterCommitMessage
 
 final class SSTableBatchWrite(path: String, schema: StructType,
                               properties: Map[String, String], truncate: Boolean)
     extends BatchWrite {
+  private val serConf: Option[SerializableHadoopConf] =
+    if (Storage.hasScheme(path))
+      Some(new SerializableHadoopConf(
+        SparkSession.active.sessionState.newHadoopConf()))
+    else None
+  private def storage: Storage =
+    serConf.map(c => new HadoopStorage(c.value): Storage).getOrElse(LocalStorage)
+
+  private val stagingDir = s"$path/_staging-${UUID.randomUUID().toString.take(8)}"
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-    val dir = new File(path)
-    if (truncate && dir.isDirectory)
-      dir.listFiles().filter(_.getName.endsWith(".db")).foreach(_.delete())
-    dir.mkdirs()
+    val st = storage
+    if (truncate && st.exists(path))
+      st.listDataFiles(path).foreach { data =>
+        SSTableFiles.AllSuffixes.foreach { suf =>
+          val f = SSTableFiles.sibling(data, suf)
+          if (st.exists(f)) st.delete(f)
+        }
+      }
+    mkdirs(st, stagingDir)
     val compress = properties.getOrElse(SSTableSource.CompressOption, "true").toBoolean
     val chunkLength = properties.getOrElse(SSTableSource.ChunkLengthOption,
       CompressionInfo.DefaultChunkLength.toString).toInt
     val summaryInterval = properties.getOrElse(SSTableSource.SummaryIntervalOption,
       IndexFile.DefaultSummaryInterval.toString).toInt
-    new SSTableWriterFactory(path, schema, compress, chunkLength, summaryInterval)
+    new SSTableWriterFactory(stagingDir, schema, compress, chunkLength,
+      summaryInterval, serConf)
   }
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+
+  private def mkdirs(st: Storage, dir: String): Unit = st match {
+    case LocalStorage => new java.io.File(dir).mkdirs()
+    case _ => // Hadoop create() makes parents; nothing to do
+  }
+
+  /** Rename the winning attempts' staged files into the target dir. */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val st = storage
+    messages.foreach {
+      case SSTableCommit(staged) => staged.foreach { data =>
+        SSTableFiles.AllSuffixes.foreach { suf =>
+          val src = SSTableFiles.sibling(data, suf)
+          if (st.exists(src)) {
+            val name = src.substring(src.lastIndexOf('/') + 1)
+            st.rename(src, s"$path/$name")
+          }
+        }
+      }
+      case _ =>
+    }
+    removeStaging(st)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    removeStaging(storage)
+
+  private def removeStaging(st: Storage): Unit = st match {
+    case LocalStorage =>
+      val d = new java.io.File(stagingDir)
+      Option(d.listFiles()).foreach(_.foreach(_.delete()))
+      d.delete()
+    case h: HadoopStorage =>
+      h.deleteRecursive(stagingDir)
+  }
 }
 
-final class SSTableWriterFactory(path: String, schema: StructType, compress: Boolean,
-                                 chunkLength: Int, summaryInterval: Int)
+final class SSTableWriterFactory(stagingDir: String, schema: StructType,
+                                 compress: Boolean, chunkLength: Int,
+                                 summaryInterval: Int,
+                                 serConf: Option[SerializableHadoopConf])
     extends DataWriterFactory {
-  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new SSTablePartitionWriter(path, schema, partitionId, taskId, compress,
-      chunkLength, summaryInterval)
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    val storage = serConf.map(c => new HadoopStorage(c.value): Storage)
+      .getOrElse(LocalStorage)
+    new SSTablePartitionWriter(stagingDir, schema, partitionId, taskId, compress,
+      chunkLength, summaryInterval, storage)
+  }
 }
 
 /** Streams one partition's rows (already key-sorted by Spark) into a
-  * 4-file SSTable set. Accepts either the full nested schema or a bare
-  * `key` plus nested `columns` in any field order. */
-final class SSTablePartitionWriter(dir: String, schema: StructType, partitionId: Int,
-                                   taskId: Long, compress: Boolean, chunkLength: Int,
-                                   summaryInterval: Int)
+  * 4-file SSTable set under the job staging dir. Accepts either the full
+  * nested schema or a bare `key` plus nested `columns` in any field
+  * order. */
+final class SSTablePartitionWriter(stagingDir: String, schema: StructType,
+                                   partitionId: Int, taskId: Long, compress: Boolean,
+                                   chunkLength: Int, summaryInterval: Int,
+                                   storage: Storage)
     extends DataWriter[InternalRow] {
   private val dataPath =
-    f"$dir/part-$partitionId%05d-$taskId-Data.db"
-  private val writer = new SSTableWriter(dataPath, compress, chunkLength, summaryInterval)
+    f"$stagingDir/part-$partitionId%05d-$taskId-Data.db"
+  private val writer = new SSTableWriter(dataPath, compress, chunkLength,
+    summaryInterval, storage = storage)
   private val keyIdx = schema.fieldIndex("key")
   private val colsIdx = if (schema.fieldNames.contains("columns")) schema.fieldIndex("columns") else -1
   private val colStruct = SSTableSchema.columnStruct
@@ -104,7 +172,19 @@ final class SSTablePartitionWriter(dir: String, schema: StructType, partitionId:
     writer.append(SSTableRow(key, cols))
   }
 
-  override def commit(): WriterCommitMessage = { writer.close(); SSTableCommit(Seq(dataPath)) }
-  override def abort(): Unit = writer.close()
+  override def commit(): WriterCommitMessage = {
+    writer.close()
+    SSTableCommit(Seq(dataPath))
+  }
+
+  /** Delete this attempt's staged files — a failed/speculative attempt
+    * must leave nothing behind (it used to close() into a readable set). */
+  override def abort(): Unit = {
+    writer.close()
+    SSTableFiles.AllSuffixes.foreach { suf =>
+      val f = SSTableFiles.sibling(dataPath, suf)
+      if (storage.exists(f)) storage.delete(f)
+    }
+  }
   override def close(): Unit = ()
 }

@@ -123,6 +123,54 @@ class SSTableSourceSpec extends AnyFunSuite {
     assert(back.select(col("key").cast("string")).distinct().count() == 300)
   }
 
+  test("hadoop storage: file:// URI reads through the FileSystem adapter with locality hints") {
+    val dir = freshDir()
+    writeFixture(dir)
+    val uri = s"file://$dir"
+    val df = spark.read.format("sstable").option("targetSplitBytes", "2000").load(uri)
+    assert(df.count() == 500)
+    assert(df.select(col("key").cast("string")).distinct().count() == 500)
+    // partitions carry block-location hints (local FS reports localhost)
+    val scan = new SSTableScan(uri, SSTableSchema.schema, None, None, 2000L)
+    val parts = scan.planInputPartitions().map(_.asInstanceOf[SSTablePartition])
+    assert(parts.length > 3)
+    assert(parts.forall(_.hosts.nonEmpty), "expected preferredLocations hints from HadoopStorage")
+    // index source through the same adapter
+    assert(spark.read.format("sstable-index").load(uri).count() == 500)
+    // write path through the adapter: staging + rename commit on file://
+    val outDir = freshDir()
+    spark.read.format("sstable").load(uri).write.format("sstable")
+      .mode("overwrite").save(s"file://$outDir")
+    assert(spark.read.format("sstable").load(outDir).count() == 500)
+    assert(!new java.io.File(outDir).listFiles().exists(_.getName.startsWith("_staging")),
+      "staging dir must be removed after commit")
+  }
+
+  test("aborted task attempts leave no readable output (staging commit protocol)") {
+    val dir = freshDir()
+    val schema = SSTableSchema.schema
+    val factory = new SSTableWriterFactory(s"$dir/_staging-test", schema,
+      compress = true, chunkLength = 512, summaryInterval = 8, serConf = None)
+    new java.io.File(s"$dir/_staging-test").mkdirs()
+
+    // attempt 0 writes some rows then aborts (simulated task failure)
+    val w0 = factory.createWriter(0, 0L)
+    val row = org.apache.spark.sql.catalyst.InternalRow(
+      "k1".getBytes, new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any]))
+    w0.write(row)
+    w0.abort()
+    assert(new java.io.File(s"$dir/_staging-test").listFiles().isEmpty,
+      "abort must delete the attempt's staged files")
+
+    // attempt 1 commits; files stay in staging until job-level commit
+    val w1 = factory.createWriter(0, 1L)
+    w1.write(row)
+    val msg = w1.commit()
+    assert(msg.asInstanceOf[SSTableCommit].stagedDataPaths.forall(_.contains("_staging")))
+    // nothing readable in the target dir yet
+    assert(SSTableReader.listDataFiles(dir).isEmpty)
+  }
+
   test("corrupt file fails the scan loudly") {
     val dir = freshDir()
     writeFixture(dir)
