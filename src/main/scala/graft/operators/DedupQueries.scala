@@ -46,34 +46,38 @@ object DedupQueries {
   private def permB(i: Int): Long = 999331L * i + 12345L
   private val PermP = 4294967311L // prime > 2^32
 
-  /** Per-doc MinHash signatures + LSH band buckets. No pre-distinct:
-    * `min` is idempotent over duplicate shingles, so the dedup shuffle
-    * would be pure waste (one hash-agg total). */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
+  /** Per-doc MinHash signatures + LSH band buckets; `perms`/`bands` are
+    * per-call knobs (defaults [[Params.MinHashPerms]]/[[Params.MinHashBands]]).
+    * No pre-distinct: `min` is idempotent over duplicate shingles, so the
+    * dedup shuffle would be pure waste (one hash-agg total; all `perms`
+    * mins come out of the single pass). */
+  def minhashSignatures(docs: DataFrame, perms: Int = MinHashPerms,
+                        bands: Int = MinHashBands): DataFrame = {
+    require(perms % bands == 0, s"perms $perms must divide into bands $bands")
     val sh = explodedShingles(docs, dedup = false)
       .withColumn("h", md5Long(col("sh"), 8))
-    val sigs = (0 until MinHashPerms).map(i =>
+    val sigs = (0 until perms).map(i =>
       min((col("h") * permA(i) + permB(i)) % PermP).as(s"sig$i"))
-    val rowsPerBand = MinHashPerms / MinHashBands
+    val rowsPerBand = perms / bands
     val withSigs = sh.groupBy("doc_id").agg(sigs.head, sigs.tail: _*)
-    val bands = (0 until MinHashBands).map { b =>
+    val bandCols = (0 until bands).map { b =>
       val parts = (0 until rowsPerBand).map(r => col(s"sig${b * rowsPerBand + r}"))
       concat_ws(":", parts: _*).as(s"band$b")
     }
-    withSigs.select(col("doc_id") +: ((0 until MinHashPerms).map(i => col(s"sig$i")) ++ bands): _*)
+    withSigs.select(col("doc_id") +: ((0 until perms).map(i => col(s"sig$i")) ++ bandCols): _*)
   }
 
-  /** Candidate near-dup pairs: docs sharing any LSH band bucket. The
-    * signature relation is persisted — it feeds one self-join per band and
-    * would otherwise be recomputed 2×bands times. */
-  def minhashPairs(sigs0: DataFrame): DataFrame = {
+  /** Candidate near-dup pairs: docs sharing any LSH band bucket. One
+    * unpivot (band-id, bucket) explode + ONE self-equi-join on the bucket
+    * — not a join per band — so shuffle count is independent of `bands`.
+    * The signature relation is persisted (feeds both join sides). */
+  def minhashPairs(sigs0: DataFrame, bands: Int = MinHashBands): DataFrame = {
     val sigs = sigs0.persist()
-    val pairs = (0 until MinHashBands).map { b =>
-      val l = sigs.select(col("doc_id").as("a"), col(s"band$b").as("bk"))
-      val r = sigs.select(col("doc_id").as("b"), col(s"band$b").as("bk"))
-      l.join(r, "bk").filter(col("a") < col("b")).select("a", "b")
-    }
-    pairs.reduce(_ union _).distinct()
+    val buckets = sigs.select(col("doc_id"),
+      posexplode(array((0 until bands).map(b => col(s"band$b")): _*)).as(Seq("bnd", "bk")))
+    val l = buckets.select(col("doc_id").as("a"), col("bnd"), col("bk"))
+    val r = buckets.select(col("doc_id").as("b"), col("bnd"), col("bk"))
+    l.join(r, Seq("bnd", "bk")).filter(col("a") < col("b")).select("a", "b").distinct()
   }
 
   /** Per-doc 16-bit SimHash over distinct tokens (bit j of a token = bit j
@@ -110,12 +114,24 @@ object DedupQueries {
       minhashPairs(minhashSignatures(sampleDocs(s, d))).orderBy("a", "b")),
     "q_dedup_simhash" -> ((s, d) =>
       simhash(Tables.documents(s, d)).orderBy("doc_id")),
-    // SimHash near-dup pairs by Hamming distance over the id-sample.
+    // SimHash near-dup pairs by Hamming distance. Candidates come from
+    // bit-block banding (pigeonhole: hamming ≤ 3 over 4 4-bit blocks ⇒
+    // some block matches exactly), so the join is an equi-join on
+    // (block-id, block-value) — the 100 TB shape; Hamming is verified on
+    // candidates only. No cross join anywhere (PlanQualitySpec pins it).
     "q_simhash_pairs" -> ((s, d) => {
-      val sh = simhash(sampleDocs(s, d)).persist() // feeds both join sides
-      val l = sh.select(col("doc_id").as("a"), col("simhash").as("ha"))
-      val r = sh.select(col("doc_id").as("b"), col("simhash").as("hb"))
-      l.crossJoin(r).filter(col("a") < col("b"))
+      val bitsPerBlock = SimHashBits / SimHashBlocks
+      val sh = simhash(sampleDocs(s, d))
+      val blocks = sh.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until SimHashBlocks).map(blk =>
+          shiftright(col("simhash"), blk * bitsPerBlock) % (1 << bitsPerBlock)): _*))
+          .as(Seq("blk", "bv")))
+      val l = blocks.select(col("doc_id").as("a"), col("simhash").as("ha"),
+        col("blk"), col("bv"))
+      val r = blocks.select(col("doc_id").as("b"), col("simhash").as("hb"),
+        col("blk"), col("bv"))
+      l.join(r, Seq("blk", "bv")).filter(col("a") < col("b"))
+        .select("a", "b", "ha", "hb").distinct() // same pair can share >1 block
         .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
         .filter(col("hamming") <= SimHashMaxHamming)
         .select("a", "b", "hamming")

@@ -28,12 +28,19 @@ object Params {
 
   /** Word-shingle width for near-dup ops. */
   val ShingleN = 3
-  /** MinHash permutations (8 sigs = 2 bands × 4 rows). */
-  val MinHashPerms = 8
-  val MinHashBands = 2
+  /** MinHash defaults: 64 permutations in 8 bands × 8 rows — the credible
+    * LSH operating point (P(candidate) = 1-(1-j^8)^8 ≈ 0.97 at j=0.8,
+    * ≈ 0.17 at j=0.5). Per-call overrides on the ops. */
+  val MinHashPerms = 64
+  val MinHashBands = 8
   /** SimHash width in bits (from the first 4 hex chars of md5). */
   val SimHashBits = 16
   val SimHashMaxHamming = 3
+  /** Bit-block banding for simhash candidate pairs: hamming ≤ maxH over
+    * `maxH + 1` equal-width blocks guarantees (pigeonhole) at least one
+    * block matches exactly — candidates come from a block equi-join, never
+    * all-pairs. */
+  val SimHashBlocks = SimHashMaxHamming + 1
   /** Pairwise ops run over a bounded id-sample: at 100 TB you LSH/bucket
     * first and only go pairwise inside a candidate set, never all-pairs. */
   val PairSampleIds = 300

@@ -58,13 +58,19 @@ object SimilarityQueries {
         col("v").as("cv"), col("nrm").as("cn"))
       topK(broadcast(q).join(c, "cell").filter(col("q_id") =!= col("c_id")))
     }),
-    // Embedding-cosine near-dup: canonical id per vector over the
-    // id-sample (min partner above threshold, else self).
+    // Embedding-cosine near-dup: canonical id per vector (min partner
+    // above threshold in the same IVF cell, else self). Candidates come
+    // from the coarse-cell equi-join — the same bucketing as q_ann_ivf,
+    // never all-pairs: at 100 TB each cell joins only against itself
+    // (shuffle on cell id, salting for hot cells). Cosine is verified on
+    // candidates only.
     "q_dedup_embedding" -> ((s, d) => {
       val e = embWithNorm(s, d).filter(col("vec_id") < PairSampleIds)
-      val a = e.select(col("vec_id").as("a"), col("v").as("qv"), col("nrm").as("qn"))
-      val b = e.select(col("vec_id").as("b"), col("v").as("cv"), col("nrm").as("cn"))
-      val dups = broadcast(a).crossJoin(b).filter(col("a") < col("b"))
+      val a = e.select(col("vec_id").as("a"), col("label").as("cell"),
+        col("v").as("qv"), col("nrm").as("qn"))
+      val b = e.select(col("vec_id").as("b"), col("label").as("cell"),
+        col("v").as("cv"), col("nrm").as("cn"))
+      val dups = a.join(b, "cell").filter(col("a") < col("b"))
         .withColumn("sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
         .filter(col("sim") > NearDupCosine)
         .groupBy(col("b").as("vec_id")).agg(min(col("a")).as("canon_min"))
@@ -101,7 +107,7 @@ object SimilarityQueries {
       s"""SELECT e.vec_id, coalesce(d.canon_min, e.vec_id) AS canon
           FROM (SELECT vec_id FROM embeddings WHERE vec_id < $PairSampleIds) e
           LEFT JOIN (SELECT b.vec_id AS vec_id, min(a.vec_id) AS canon_min
-                     FROM $embSql a, $embSql b
+                     FROM $embSql a JOIN $embSql b ON a.label = b.label
                      WHERE a.vec_id < $PairSampleIds AND b.vec_id < $PairSampleIds
                        AND a.vec_id < b.vec_id
                        AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm) > $NearDupCosine

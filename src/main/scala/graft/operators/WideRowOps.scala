@@ -105,7 +105,8 @@ object WideRowOps {
   /** Bucket a stream of positions by cumulative gap threshold: a new bucket
     * starts whenever `pos - lag(pos) > gap`. Returns df + `bucket` column.
     * `partitionCols` empty = single global sequence (the reference's
-    * per-file walk). */
+    * per-file walk) — fine for bounded inputs; use [[gapBucketsStitched]]
+    * for an unbounded global sequence. */
   def gapBuckets(df: DataFrame, posCol: String, gapMs: Long,
                  partitionCols: Seq[String] = Nil): DataFrame = {
     val w =
@@ -116,5 +117,48 @@ object WideRowOps {
       .withColumn("bucket", sum(col("_new")).over(
         w.rangeBetween(Window.unboundedPreceding, Window.currentRow)))
       .drop("_new")
+  }
+
+  /** Scale-safe [[gapBuckets]] over a single global sequence: identical
+    * bucket ids, no full-data single-partition window.
+    *
+    * Two levels, the standard stitched cumulative-sum shape:
+    *  1. rows are windowed *within* coarse ranges (`pos div coarseMs`) —
+    *     parallel across ranges, each window sees only its range's rows;
+    *  2. per-range break counts + boundary gaps are stitched over the tiny
+    *     per-range summary (one row per `coarseMs` of time span — metadata
+    *     scale, O(span/coarseMs) ≪ O(rows); this is the one ordered pass,
+    *     mirroring the reference's offline walk over *summaries*,
+    *     GenerateSSTableIndexSplits.scala:59-96) and broadcast back.
+    *
+    * A row's bucket = breaks in earlier ranges (incl. its range's boundary
+    * break) + running breaks within its range — exactly the global
+    * cumulative count. Range-frame running sums keep tied positions in one
+    * bucket, matching [[gapBuckets]] bit-for-bit. */
+  def gapBucketsStitched(df: DataFrame, posCol: String, gapMs: Long,
+                         coarseMs: Long): DataFrame = {
+    require(coarseMs > gapMs, s"coarse range $coarseMs must exceed gap $gapMs")
+    val wcb = Window.partitionBy(col("_cb")).orderBy(col(posCol))
+    val withFlags = df
+      .withColumn("_cb", expr(s"$posCol div $coarseMs"))
+      .withColumn("_new",
+        when(col(posCol) - lag(col(posCol), 1).over(wcb) > lit(gapMs), 1L)
+          .otherwise(0L))
+    val summary = withFlags.groupBy("_cb").agg(
+      min(col(posCol)).as("_first"), max(col(posCol)).as("_last"),
+      sum(col("_new")).as("_brks"))
+    val wt = Window.orderBy(col("_cb")) // tiny: one row per coarse range
+    val base = summary
+      .withColumn("_cb_brk",
+        when(col("_first") - lag(col("_last"), 1).over(wt) > lit(gapMs), 1L)
+          .otherwise(0L))
+      .withColumn("_base",
+        coalesce(sum(col("_brks") + col("_cb_brk")).over(
+          wt.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) + col("_cb_brk"))
+      .select("_cb", "_base")
+    withFlags.join(broadcast(base), "_cb")
+      .withColumn("bucket", col("_base") + sum(col("_new")).over(
+        wcb.rangeBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("_cb", "_new", "_base")
   }
 }

@@ -46,10 +46,12 @@ object WideRowQueries {
         .select("event_id", "user_id", "event_type", "ts_ms")
         .orderBy("event_id")
     }),
-    // A4 — boundary-threshold split planning as window aggregation.
+    // A4 — boundary-threshold split planning as window aggregation; the
+    // stitched form keeps row-level windows partitioned (by coarse day
+    // range), with the one ordered pass over the per-range summary only.
     "q_range_splits" -> ((s, d) => {
       val e = Tables.events(s, d).select("ts_ms")
-      WideRowOps.gapBuckets(e, "ts_ms", SplitGapMs)
+      WideRowOps.gapBucketsStitched(e, "ts_ms", SplitGapMs, coarseMs = 86400000L)
         .groupBy("bucket")
         .agg(count(lit(1)).as("n"), min("ts_ms").as("ts_min_ms"),
           max("ts_ms").as("ts_max_ms"))

@@ -44,6 +44,27 @@ class TextExpressionsSpec extends AnyFunSuite {
       Seq("a b c", "b c d")))
   }
 
+  test("min_shingle_hash == array_min(transform(shingles, md5)) on real docs") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val both = docs.select(
+      TextExpressions.min_shingle_hash(col("text"), Params.ShingleN).as("fast"),
+      array_min(transform(Params.shingles(Params.toks(col("text"))),
+        sh => md5(sh))).as("hof"))
+    assert(both.filter(not(col("fast") <=> col("hof"))).count() == 0)
+    assert(both.filter(col("fast").isNotNull).count() > 0)
+  }
+
+  test("min_shingle_hash edge cases: short text null, known value") {
+    import spark.implicits._
+    val df = Seq("one two", "one two three").toDF("text")
+    val got = df.select(TextExpressions.min_shingle_hash(col("text"), 3)).collect()
+    assert(got(0).isNullAt(0))
+    // md5("one two three") — single shingle, so also the min
+    assert(got(1).getString(0) ==
+      java.security.MessageDigest.getInstance("MD5")
+        .digest("one two three".getBytes("UTF-8")).map(b => f"$b%02x").mkString)
+  }
+
   test("null text yields null (UnaryExpression null propagation)") {
     import spark.implicits._
     val df = Seq(Option("x y z w"), None).toDF("text")
