@@ -46,6 +46,8 @@ object Params {
   val PairSampleIds = 300
   val KnnQueryIds = 10
   val KnnK = 3
+  /** Cells probed per query in multi-probe IVF (q_ann_recall). */
+  val NProbe = 2
   val NearDupCosine = 0.95
   val TopWords = 20
   val JaccardTopPairs = 50

@@ -29,6 +29,32 @@ object SimilarityQueries {
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
 
+  /** Coordinate-wise-median cell centroids `(cell, cv, cn)` — tiny (one
+    * row per cell). Median rather than mean: exact medians are
+    * bit-deterministic across engines (mean = a float sum whose value
+    * depends on partial-aggregation order), so probe rankings can't flip
+    * between Spark and the oracle. */
+  def cellCentroids(e: DataFrame): DataFrame =
+    e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("label", "pos").agg(median(col("x")).as("av"))
+      .groupBy("label").agg(array_sort(collect_list(struct(col("pos"), col("av")))).as("pa"))
+      .select(col("label").as("cell"),
+        transform(col("pa"), p => p.getField("av")).as("cv"))
+      .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
+
+  /** Multi-probe cell selection: each query keeps its `nprobe`
+    * closest-centroid cells (centroids broadcast; ranking window is per
+    * query over #cells rows). Returns `(q_id, cell, qv, qn)`. */
+  def probedCells(q: DataFrame, cent: DataFrame, nprobe: Int): DataFrame = {
+    val csim = (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("csim")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("cell"))
+    q.crossJoin(broadcast(cent))
+      .select(col("q_id"), col("cell"), col("qv"), col("qn"), csim)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= nprobe)
+      .select("q_id", "cell", "qv", "qn")
+  }
+
   private def topK(joined: DataFrame): DataFrame = {
     val sim = (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("sim")
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
@@ -57,6 +83,32 @@ object SimilarityQueries {
       val c = e.select(col("vec_id").as("c_id"), col("label").as("cell"),
         col("v").as("cv"), col("nrm").as("cn"))
       topK(broadcast(q).join(c, "cell").filter(col("q_id") =!= col("c_id")))
+    }),
+    // Multi-probe IVF with measured recall@k: each query probes its
+    // NProbe closest-centroid cells; the query's top-k over probed
+    // candidates is compared against the brute-force top-k — recall is a
+    // first-class checked value, not a claim. Candidate access stays a
+    // broadcast equi-join on the cell; only the tiny centroid ranking
+    // cross-joins (queries × cells).
+    "q_ann_recall" -> ((s, d) => {
+      val e = embWithNorm(s, d)
+      val q = e.filter(col("vec_id") < KnnQueryIds)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val c = e.select(col("vec_id").as("c_id"), col("label").as("cell"),
+        col("v").as("cv"), col("nrm").as("cn"))
+      val probes = probedCells(q, cellCentroids(e), NProbe)
+      val ivf = topK(broadcast(probes).join(c, "cell")
+          .filter(col("q_id") =!= col("c_id")))
+        .select(col("q_id").as("q_id_i"), col("c_id").as("c_id_i"))
+      val bf = topK(broadcast(q).crossJoin(c.drop("cell"))
+          .filter(col("q_id") =!= col("c_id")))
+        .select(col("q_id"), col("c_id"))
+      bf.join(ivf, col("q_id") === col("q_id_i") && col("c_id") === col("c_id_i"),
+          "left")
+        .groupBy("q_id").agg(count(col("c_id_i")).as("n_hits"))
+        .select(col("q_id"), col("n_hits"),
+          e4(col("n_hits").cast("double") / KnnK).as("recall_e4"))
+        .orderBy("q_id")
     }),
     // Embedding-cosine near-dup: canonical id per vector (min partner
     // above threshold in the same IVF cell, else self). Candidates come
@@ -103,6 +155,42 @@ object SimilarityQueries {
             FROM $embSql q JOIN $embSql c ON q.label = c.label
             WHERE q.vec_id < $KnnQueryIds AND q.vec_id <> c.vec_id)
           WHERE rk <= $KnnK ORDER BY q_id, rk""",
+    "q_ann_recall" ->
+      s"""WITH cellmed AS (
+            SELECT label, pos, median(x) AS av FROM (
+              SELECT label, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM $embSql)
+            GROUP BY label, pos),
+          cent AS (
+            SELECT label AS cell, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM (
+              SELECT label, list(av ORDER BY pos) AS cv FROM cellmed GROUP BY label)),
+          q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM $embSql
+                WHERE vec_id < $KnnQueryIds),
+          probes AS (
+            SELECT q_id, cell, qv, qn FROM (
+              SELECT q.q_id, c.cell, q.qv, q.qn,
+                     row_number() OVER (PARTITION BY q.q_id
+                       ORDER BY list_dot_product(q.qv, c.cv) / (q.qn * c.cn) DESC, c.cell) AS rk
+              FROM q, cent c)
+            WHERE rk <= $NProbe),
+          ivf AS (
+            SELECT q_id, c_id FROM (
+              SELECT p.q_id, e.vec_id AS c_id,
+                     row_number() OVER (PARTITION BY p.q_id
+                       ORDER BY list_dot_product(p.qv, e.v) / (p.qn * e.nrm) DESC, e.vec_id) AS rk
+              FROM probes p JOIN $embSql e ON e.label = p.cell
+              WHERE e.vec_id <> p.q_id)
+            WHERE rk <= $KnnK),
+          bf AS (
+            SELECT q_id, c_id FROM (
+              SELECT q.q_id, e.vec_id AS c_id,
+                     row_number() OVER (PARTITION BY q.q_id
+                       ORDER BY list_dot_product(q.qv, e.v) / (q.qn * e.nrm) DESC, e.vec_id) AS rk
+              FROM q, $embSql e WHERE e.vec_id <> q.q_id)
+            WHERE rk <= $KnnK)
+          SELECT b.q_id, CAST(count(i.c_id) AS BIGINT) AS n_hits,
+                 ${e4Sql(s"count(i.c_id) * 1.0 / $KnnK")} AS recall_e4
+          FROM bf b LEFT JOIN ivf i ON b.q_id = i.q_id AND b.c_id = i.c_id
+          GROUP BY b.q_id ORDER BY b.q_id""",
     "q_dedup_embedding" ->
       s"""SELECT e.vec_id, coalesce(d.canon_min, e.vec_id) AS canon
           FROM (SELECT vec_id FROM embeddings WHERE vec_id < $PairSampleIds) e
