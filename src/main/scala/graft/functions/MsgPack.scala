@@ -40,10 +40,14 @@ object MsgPack {
       this
     }
 
+    /** Old-spec raw family (fixraw/raw16/raw32) — what msgpack-java 0.6
+      * (the reference's serializer, pom.xml:102) emits for `byte[]`; the
+      * new-spec bin family (0xc4-0xc6) postdates it, and downstream
+      * consumers of the reference's export expect raw (ADVICE r1). */
     def packBin(b: Array[Byte]): this.type = {
-      if (b.length <= 0xff) { out.write(0xc4); out.write(b.length) }
-      else if (b.length <= 0xffff) { out.write(0xc5); be(b.length.toLong, 2) }
-      else { out.write(0xc6); be(b.length.toLong, 4) }
+      if (b.length <= 31) out.write(0xa0 | b.length)
+      else if (b.length <= 0xffff) { out.write(0xda); be(b.length.toLong, 2) }
+      else { out.write(0xdb); be(b.length.toLong, 4) }
       out.write(b, 0, b.length)
       this
     }
@@ -95,9 +99,12 @@ object MsgPack {
       if (t < 0x80) VLong(t)
       else if (t >= 0xe0) VLong((t & 0x1f) - 32)
       else if ((t & 0xf0) == 0x90) VArr(Vector.fill(t & 0x0f)(next()))
+      else if ((t & 0xe0) == 0xa0) VBin(bin(t & 0x1f)) // old-spec fixraw
       else t match {
         case 0xc0 => VNil
-        case 0xc4 => VBin(bin(u8()))
+        case 0xda => VBin(bin(beN(2).toInt)) // old-spec raw16
+        case 0xdb => VBin(bin(beN(4).toInt)) // old-spec raw32
+        case 0xc4 => VBin(bin(u8())) // new-spec bin accepted on read
         case 0xc5 => VBin(bin(beN(2).toInt))
         case 0xc6 => VBin(bin(beN(4).toInt))
         case 0xcc => VLong(beN(1))

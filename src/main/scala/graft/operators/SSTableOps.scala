@@ -35,11 +35,15 @@ object SSTableOps {
   /** A2 — full-row compaction: latest version of each column, re-nested
     * (`MsgPackSSTableDataReducer`, mapred/SSTableData.scala:79-119).
     * DELETED/EXPIRING states are preserved (no tombstone GC), matching
-    * the reference. */
+    * the reference. Equal-timestamp tie: the tombstone wins (Cassandra's
+    * reconcile rule — a delete at ts T shadows a write at ts T), then
+    * state string for NORMAL/EXPIRING determinism. */
   def compactRows(df: DataFrame): DataFrame =
     explodeColumns(df)
       .groupBy(col("key"), col("c.name").as("_n"))
-      .agg(max_by(col("c"), struct(col("c.timestamp"), col("c.state"))).as("c"))
+      .agg(max_by(col("c"), struct(col("c.timestamp"),
+        when(col("c.state") === "DELETED", 1).otherwise(0),
+        col("c.state"))).as("c"))
       .groupBy("key")
       .agg(sort_array(collect_list(col("c"))).as("columns"))
 
@@ -65,9 +69,12 @@ object SSTableOps {
     (key: Array[Byte],
      cols: Seq[org.apache.spark.sql.Row]) =>
       MsgPack.encodeRow(key, cols.map { r =>
+        // DELETED exports ts=0 (MsgPackSSTableDataReducer only sets ts on
+        // puts, mapred/SSTableData.scala:85-95 — byte parity, ADVICE r1)
+        val ts = if (r.getAs[String]("state") == "DELETED") 0L
+                 else r.getAs[Long]("timestamp")
         (r.getAs[Array[Byte]]("name"), r.getAs[Array[Byte]]("value"),
-          r.getAs[Long]("timestamp"), r.getAs[Long]("expiresMillis"),
-          r.getAs[Long]("ttlSecs"))
+          ts, r.getAs[Long]("expiresMillis"), r.getAs[Long]("ttlSecs"))
       })
   }
 

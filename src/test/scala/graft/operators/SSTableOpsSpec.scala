@@ -59,6 +59,28 @@ class SSTableOpsSpec extends AnyFunSuite {
       ("c", "DELETED", null, 30L))) // tombstone preserved (no GC)
   }
 
+  test("compactRows: tombstone wins an equal-timestamp tie (Cassandra reconcile)") {
+    val df = widerows(
+      "r" -> Seq(col3("a", "NORMAL", "write", 10), col3("a", "DELETED", null, 10)))
+    val got = SSTableOps.compactRows(df)
+      .select(explode(col("columns")).as("c"))
+      .select(col("c.state")).as[String].collect()
+    assert(got.toSeq == Seq("DELETED"))
+  }
+
+  test("msgpack export: old-spec raw family bytes, DELETED exports ts=0") {
+    // fixraw for <=31 bytes: first byte of packBin("key1") = 0xa4
+    val bytes = MsgPack.encodeRow("key1".getBytes, Seq(("n".getBytes, "v".getBytes, 1L, 0L, 0L)))
+    assert((bytes(1) & 0xff) == (0xa0 | 4), f"expected fixraw key, got 0x${bytes(1)}%02x")
+    val df = widerows("r" -> Seq(col3("a", "DELETED", null, 999)))
+    val line = SSTableOps.exportMsgpackBase64(df).as[String].collect().head
+    MsgPack.decode(java.util.Base64.getDecoder.decode(line)) match {
+      case VArr(Vector(VBin(_), VArr(Vector(VArr(Vector(VBin(_), VNil, VLong(ts), _, _)))))) =>
+        assert(ts == 0L, "DELETED must export ts=0 like MsgPackSSTableDataReducer")
+      case other => fail(s"unexpected $other")
+    }
+  }
+
   test("compactRows is order-insensitive (merge commutativity)") {
     val v1 = widerows("r" -> Seq(col3("a", "NORMAL", "a1", 10)))
     val v2 = widerows("r" -> Seq(col3("a", "NORMAL", "a2", 20)))
