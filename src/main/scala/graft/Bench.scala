@@ -14,13 +14,20 @@ import org.apache.spark.sql.SparkSession
   * number that scales.
   *
   * Robustness (this container shares a host; single runs intermittently
-  * catch 10-50× external stalls on arbitrary queries):
+  * catch 10-50× external stalls on arbitrary queries, and a stall window
+  * can swallow BOTH back-to-back timed runs — BENCH r1 recorded 31 s for
+  * a query that reproduces at 1.3 s):
   *  - `value` per query = min of the timed runs (the reproducible plan
   *    cost);
   *  - `spread` per query = max/min of the timed runs, so a contended
   *    measurement is self-identifying in the artifact;
   *  - when the two runs disagree >3×, a third run is taken before the
   *    min/spread are computed;
+  *  - after the sweep, queries whose value is >3× the median query time
+  *    are re-timed once more — minutes later, outside the original stall
+  *    window (temporal diversity is the only defense when a stall spans
+  *    a whole query's samples); the min wins and the re-check is flagged
+  *    in `rechecked`;
   *  - a query that throws reports -1 and lands in `errors` instead of
   *    silently contributing a small "time to throw" (ADVICE r1).
   */
@@ -43,26 +50,38 @@ object Bench {
       catch { case e: Throwable => Some(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def timed(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      run(fn).foreach(err => errors(name) = err)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       run(fn) match { // warm-up: one-time codegen/JIT for this query shape
         case Some(err) =>
           errors(name) = err
           spark.catalog.clearCache()
           name -> (-1.0, -1.0)
         case None =>
-          def timed(): Double = {
-            val t0 = System.nanoTime()
-            run(fn).foreach(err => errors(name) = err)
-            (System.nanoTime() - t0) / 1e9
-          }
-          var runs = List(timed(), timed())
-          if (runs.max / runs.min > 3.0) runs = timed() :: runs
+          var runs = List(timed(name, fn), timed(name, fn))
+          if (runs.max / runs.min > 3.0) runs = timed(name, fn) :: runs
           // queries are independent: drop relations persisted inside query
           // builders so cache memory doesn't leak into later measurements
           spark.catalog.clearCache()
           if (errors.contains(name)) name -> (-1.0, -1.0)
           else name -> (runs.min, runs.max / runs.min)
       }
+    }
+    // outlier re-check in a fresh time window (see scaladoc)
+    val ok = firstPass.collect { case (_, (v, _)) if v >= 0 => v }.sorted
+    val median = if (ok.isEmpty) 0.0 else ok(ok.length / 2)
+    val rechecked = scala.collection.mutable.ArrayBuffer.empty[String]
+    val results = firstPass.map {
+      case (name, (v, s)) if v >= 0 && median > 0 && v > 3 * median =>
+        val again = timed(name, SparkEntry.queries(name))
+        spark.catalog.clearCache()
+        rechecked += name
+        name -> (math.min(v, again), s)
+      case other => other
     }
     val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
@@ -71,8 +90,9 @@ object Bench {
     val errs = errors.map { case (k, e) =>
       "\"" + k + "\":\"" + e.replaceAll("[\"\\\\\n]", " ").take(160) + "\"" }
       .mkString("{", ",", "}")
+    val rech = rechecked.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2._1).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"errors":$errs,"rechecked":$rech,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
