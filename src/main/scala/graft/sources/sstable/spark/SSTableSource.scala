@@ -59,6 +59,10 @@ object SSTableSource {
   /** 128 MB uncompressed per partition by default (the reference used
     * 256 MB of compressed chunks, GenerateSSTableDataSplits.scala:238). */
   val DefaultTargetSplitBytes: Long = 128L * 1024 * 1024
+  /** Above this many Data.db files, split planning ships to executors as
+    * a Spark job instead of running on driver threads. */
+  val PlanningThresholdOption = "distributedplanningthreshold"
+  val DefaultDistributedPlanningThreshold = 1024
 }
 
 final class SSTableTable(properties: Map[String, String])
@@ -131,7 +135,9 @@ final class SSTableScanBuilder(path: String, options: CaseInsensitiveStringMap)
     val target = longOption(SSTableSource.TargetSplitBytesOption)
       .getOrElse(SSTableSource.DefaultTargetSplitBytes)
     val ttlAsOf = longOption(SSTableSource.TtlAsOfMsOption)
-    new SSTableScan(path, requiredSchema, keyLo, keyHi, target, ttlAsOf)
+    val planThreshold = longOption(SSTableSource.PlanningThresholdOption)
+      .map(_.toInt).getOrElse(SSTableSource.DefaultDistributedPlanningThreshold)
+    new SSTableScan(path, requiredSchema, keyLo, keyHi, target, ttlAsOf, planThreshold)
   }
 }
 
@@ -152,7 +158,10 @@ final class SSTableScan(path: String, requiredSchema: StructType,
                         keyLo: Option[(Array[Byte], Boolean)],
                         keyHi: Option[(Array[Byte], Boolean)],
                         targetSplitBytes: Long,
-                        ttlAsOfMs: Option[Long] = None) extends Scan with Batch {
+                        ttlAsOfMs: Option[Long] = None,
+                        distributedPlanningThreshold: Int =
+                          SSTableSource.DefaultDistributedPlanningThreshold)
+    extends Scan with Batch {
   /** Hadoop conf rides to executors only when the path needs the Hadoop
     * adapter (scheme present); plain local paths stay dependency-free. */
   private val serConf: Option[SerializableHadoopConf] =
@@ -173,26 +182,55 @@ final class SSTableScan(path: String, requiredSchema: StructType,
   }
 
   /** Per-file planning is independent metadata work (Summary walk +
-    * O(#splits) index point reads) — run it on a parallel collection so a
-    * directory of thousands of SSTables doesn't serialize the driver.
-    * (On a real cluster with very large file counts the same closure can
-    * be shipped through `spark.parallelize(files).flatMap`, SURVEY §3-E3.) */
+    * O(#splits) index point reads) — parallelized two ways by file count:
+    * below [[SSTableSource.DefaultDistributedPlanningThreshold]] a driver
+    * parallel collection (no job overhead); above it the planning closure
+    * ships through `spark.parallelize(files).flatMap` so ten-thousand-file
+    * directories don't bottleneck on one machine's metadata round-trips
+    * (SURVEY §3-E3; the reference ran planning as offline MR jobs for the
+    * same reason). */
   override def planInputPartitions(): Array[InputPartition] = {
-    import scala.collection.parallel.CollectionConverters._
-    val st = storage
-    st.listDataFiles(path).par.flatMap { f =>
-      val r = new SSTableReader(f, st)
-      val splits = r.planSplits(targetSplitBytes)
-      val pruned = r.pruneSplits(splits, keyLo.map(_._1), keyHi.map(_._1))
-      pruned.map { s =>
-        val hosts = st.blockHosts(f, r.physicalOffset(s.start), r.physicalOffset(s.end))
-        SSTablePartition(f, s.start, s.end, s.idxStart, s.idxEnd, hosts)
-      }
-    }.toArray
+    val files = storage.listDataFiles(path)
+    val threshold = distributedPlanningThreshold
+    val lo = keyLo.map(_._1)
+    val hi = keyHi.map(_._1)
+    val target = targetSplitBytes
+    val conf = serConf
+    if (files.length <= threshold) {
+      import scala.collection.parallel.CollectionConverters._
+      val st = storage
+      files.par.flatMap(SSTableScan.planFile(st, target, lo, hi)).toArray
+    } else {
+      val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+      val slices = math.min(files.length, math.max(sc.defaultParallelism, 1) * 4)
+      sc.parallelize(files, slices)
+        .flatMap { f =>
+          val st: Storage =
+            conf.map(c => new HadoopStorage(c.value): Storage).getOrElse(LocalStorage)
+          SSTableScan.planFile(st, target, lo, hi)(f)
+        }
+        .collect().toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new SSTableReaderFactory(requiredSchema, ttlAsOfMs, serConf)
+}
+
+object SSTableScan {
+  /** Plan one file's splits (Summary walk + index point reads + block
+    * hosts). Standalone function so the distributed-planning closure
+    * captures only serializable arguments, never the Scan. */
+  private[spark] def planFile(st: Storage, targetSplitBytes: Long,
+                              lo: Option[Array[Byte]], hi: Option[Array[Byte]])
+                             (f: String): Seq[SSTablePartition] = {
+    val r = new SSTableReader(f, st)
+    val splits = r.planSplits(targetSplitBytes)
+    r.pruneSplits(splits, lo, hi).map { s =>
+      val hosts = st.blockHosts(f, r.physicalOffset(s.start), r.physicalOffset(s.end))
+      SSTablePartition(f, s.start, s.end, s.idxStart, s.idxEnd, hosts)
+    }
+  }
 }
 
 final class SSTableReaderFactory(requiredSchema: StructType,

@@ -146,6 +146,27 @@ class SSTableSourceSpec extends AnyFunSuite {
       "staging dir must be removed after commit")
   }
 
+  test("distributed split planning (threshold 0) plans the same partitions as driver planning") {
+    val dir = freshDir()
+    writeFixture(dir)
+    val driver = spark.read.format("sstable")
+      .option("targetSplitBytes", "2000").load(dir)
+    val shipped = spark.read.format("sstable")
+      .option("targetSplitBytes", "2000")
+      .option("distributedPlanningThreshold", "0").load(dir)
+    assert(shipped.rdd.getNumPartitions == driver.rdd.getNumPartitions)
+    assert(shipped.count() == 500)
+    assert(shipped.select(col("key").cast("string")).collect().map(_.getString(0)).sorted
+      sameElements driver.select(col("key").cast("string")).collect().map(_.getString(0)).sorted)
+    // pushed key-range pruning rides into the shipped closure too
+    val pruned = spark.read.format("sstable")
+      .option("targetSplitBytes", "2000")
+      .option("distributedPlanningThreshold", "0").load(dir)
+      .filter(col("key") >= lit("key00100".getBytes) && col("key") <= lit("key00120".getBytes))
+    assert(pruned.count() == 21)
+    assert(pruned.rdd.getNumPartitions < driver.rdd.getNumPartitions)
+  }
+
   test("aborted task attempts leave no readable output (staging commit protocol)") {
     val dir = freshDir()
     val schema = SSTableSchema.schema
