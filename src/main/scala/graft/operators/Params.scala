@@ -48,6 +48,11 @@ object Params {
   val KnnK = 3
   /** Cells probed per query in multi-probe IVF (q_ann_recall). */
   val NProbe = 2
+  /** Learned coarse quantizer (q_ann_kmeans): k-medians cells + Lloyd
+    * iterations. Medians (not means) keep every centroid coordinate
+    * bit-deterministic across engines. */
+  val KMedK = 8
+  val KMedIters = 2
   val NearDupCosine = 0.95
   val TopWords = 20
   val JaccardTopPairs = 50

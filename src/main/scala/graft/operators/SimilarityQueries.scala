@@ -35,12 +35,50 @@ object SimilarityQueries {
     * depends on partial-aggregation order), so probe rankings can't flip
     * between Spark and the oracle. */
   def cellCentroids(e: DataFrame): DataFrame =
-    e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy("label", "pos").agg(median(col("x")).as("av"))
-      .groupBy("label").agg(array_sort(collect_list(struct(col("pos"), col("av")))).as("pa"))
-      .select(col("label").as("cell"),
-        transform(col("pa"), p => p.getField("av")).as("cv"))
+    medianCentroids(e.select(col("label").as("cell"), col("v")))
+
+  /** Coordinate-wise-median centroids of an already-assigned relation
+    * `(…, cell, v, nrm)` — the shared primitive of [[cellCentroids]]
+    * (label cells) and [[kmediansCells]] (learned cells). */
+  private def medianCentroids(assigned: DataFrame): DataFrame =
+    assigned.select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("cell", "pos").agg(median(col("x")).as("av"))
+      .groupBy("cell").agg(array_sort(collect_list(struct(col("pos"), col("av")))).as("pa"))
+      .select(col("cell"), transform(col("pa"), p => p.getField("av")).as("cv"))
       .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
+
+  /** Learned coarse quantizer: k-medians Lloyd iterations over cosine
+    * assignment. Deterministic end-to-end — init cells are `vec_id mod k`
+    * and every centroid coordinate is an exact median, so Spark and the
+    * SQL oracle converge to identical cells (a float-sum mean would
+    * diverge by partial-aggregation order). Each iteration is one linear
+    * pass: centroids broadcast against the vectors (n×k exploded rows),
+    * best cell picked by a `max_by` hash-agg — no window over the fact
+    * table, no iteration-to-iteration growth. Returns the final
+    * assignment `(vec_id, cell, v, nrm)` plus the centroids that
+    * produced it (probe against THOSE — membership and probe ranking
+    * must see the same cells). */
+  def kmediansCells(e: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
+    var assigned = e.select(col("vec_id"), pmod(col("vec_id"), lit(k)).as("cell"),
+      col("v"), col("nrm"))
+    var lastCent: DataFrame = null
+    for (_ <- 1 to iters) {
+      val cent = medianCentroids(assigned)
+      lastCent = cent
+      val sim = dot(col("v"), col("cv")) / (col("nrm") * col("cn"))
+      assigned = e.select(col("vec_id"), col("v"), col("nrm"))
+        .crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("v"), col("nrm"), col("cell"), sim.as("csim"))
+        .groupBy("vec_id")
+        // max cosine wins; exact-tie → lowest cell id (negated in the
+        // max_by ordering) — same rule as the oracle's (csim DESC, cell)
+        .agg(max_by(struct(col("cell"), col("v"), col("nrm")),
+          struct(col("csim"), -col("cell"))).as("_best"))
+        .select(col("vec_id"), col("_best.cell").as("cell"),
+          col("_best.v").as("v"), col("_best.nrm").as("nrm"))
+    }
+    (assigned, lastCent)
+  }
 
   /** Multi-probe cell selection: each query keeps its `nprobe`
     * closest-centroid cells (centroids broadcast; ranking window is per
@@ -110,6 +148,32 @@ object SimilarityQueries {
           e4(col("n_hits").cast("double") / KnnK).as("recall_e4"))
         .orderBy("q_id")
     }),
+    // IVF with a LEARNED coarse quantizer: k-medians Lloyd iterations
+    // (deterministic across engines — see kmediansCells) instead of the
+    // given label column; multi-probe + recall@k exactly as q_ann_recall.
+    // Shows the quantizer itself can be trained in-engine at scale: each
+    // iteration is a broadcast-centroids linear pass + hash-agg.
+    "q_ann_kmeans" -> ((s, d) => {
+      val e = embWithNorm(s, d)
+      val (assigned, cent) = kmediansCells(e, KMedK, KMedIters)
+      val q = assigned.filter(col("vec_id") < KnnQueryIds)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val c = assigned.select(col("vec_id").as("c_id"), col("cell"),
+        col("v").as("cv"), col("nrm").as("cn"))
+      val probes = probedCells(q, cent, NProbe)
+      val ivf = topK(broadcast(probes).join(c, "cell")
+          .filter(col("q_id") =!= col("c_id")))
+        .select(col("q_id").as("q_id_i"), col("c_id").as("c_id_i"))
+      val bf = topK(broadcast(q).crossJoin(c.drop("cell"))
+          .filter(col("q_id") =!= col("c_id")))
+        .select(col("q_id"), col("c_id"))
+      bf.join(ivf, col("q_id") === col("q_id_i") && col("c_id") === col("c_id_i"),
+          "left")
+        .groupBy("q_id").agg(count(col("c_id_i")).as("n_hits"))
+        .select(col("q_id"), col("n_hits"),
+          e4(col("n_hits").cast("double") / KnnK).as("recall_e4"))
+        .orderBy("q_id")
+    }),
     // Embedding-cosine near-dup: canonical id per vector (min partner
     // above threshold in the same IVF cell, else self). Candidates come
     // from the coarse-cell equi-join — the same bucketing as q_ann_ivf,
@@ -135,6 +199,33 @@ object SimilarityQueries {
   private val V = "CAST(embedding AS DOUBLE[])"
   private val embSql =
     s"(SELECT vec_id, label, $V AS v, sqrt(list_dot_product($V, $V)) AS nrm FROM embeddings)"
+
+  /** CTE chain for the oracle's k-medians: a0 (mod-k init) then
+    * `iters` × (median centroids cI, reassignment aI+1) — mirrors
+    * [[kmediansCells]] exactly. Exposes `a$iters` (final assignment) and
+    * `c${iters - 1}n` (the centroids that produced it). */
+  private def kmedCtes(k: Int, iters: Int): String = {
+    val init = s"a0 AS (SELECT vec_id, v, nrm, vec_id % $k AS cell FROM $embSql)"
+    val steps = (1 to iters).map { i =>
+      s"""c${i - 1} AS (
+            SELECT cell, list(av ORDER BY pos) AS cv FROM (
+              SELECT cell, pos, median(x) AS av FROM (
+                SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS x
+                FROM a${i - 1})
+              GROUP BY cell, pos)
+            GROUP BY cell),
+          c${i - 1}n AS (
+            SELECT cell, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM c${i - 1}),
+          a$i AS (
+            SELECT vec_id, v, nrm, cell FROM (
+              SELECT e.vec_id, e.v, e.nrm, c.cell,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cn) DESC, c.cell) AS rk
+              FROM $embSql e, c${i - 1}n c)
+            WHERE rk = 1)"""
+    }
+    (init +: steps).mkString(",\n")
+  }
 
   def oracles: Map[String, String] = Map(
     "q_knn_cosine" ->
@@ -178,6 +269,36 @@ object SimilarityQueries {
                      row_number() OVER (PARTITION BY p.q_id
                        ORDER BY list_dot_product(p.qv, e.v) / (p.qn * e.nrm) DESC, e.vec_id) AS rk
               FROM probes p JOIN $embSql e ON e.label = p.cell
+              WHERE e.vec_id <> p.q_id)
+            WHERE rk <= $KnnK),
+          bf AS (
+            SELECT q_id, c_id FROM (
+              SELECT q.q_id, e.vec_id AS c_id,
+                     row_number() OVER (PARTITION BY q.q_id
+                       ORDER BY list_dot_product(q.qv, e.v) / (q.qn * e.nrm) DESC, e.vec_id) AS rk
+              FROM q, $embSql e WHERE e.vec_id <> q.q_id)
+            WHERE rk <= $KnnK)
+          SELECT b.q_id, CAST(count(i.c_id) AS BIGINT) AS n_hits,
+                 ${e4Sql(s"count(i.c_id) * 1.0 / $KnnK")} AS recall_e4
+          FROM bf b LEFT JOIN ivf i ON b.q_id = i.q_id AND b.c_id = i.c_id
+          GROUP BY b.q_id ORDER BY b.q_id""",
+    "q_ann_kmeans" ->
+      s"""WITH ${kmedCtes(KMedK, KMedIters)},
+          q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM a$KMedIters
+                WHERE vec_id < $KnnQueryIds),
+          probes AS (
+            SELECT q_id, cell, qv, qn FROM (
+              SELECT q.q_id, c.cell, q.qv, q.qn,
+                     row_number() OVER (PARTITION BY q.q_id
+                       ORDER BY list_dot_product(q.qv, c.cv) / (q.qn * c.cn) DESC, c.cell) AS rk
+              FROM q, c${KMedIters - 1}n c)
+            WHERE rk <= $NProbe),
+          ivf AS (
+            SELECT q_id, c_id FROM (
+              SELECT p.q_id, e.vec_id AS c_id,
+                     row_number() OVER (PARTITION BY p.q_id
+                       ORDER BY list_dot_product(p.qv, e.v) / (p.qn * e.nrm) DESC, e.vec_id) AS rk
+              FROM probes p JOIN a$KMedIters e ON e.cell = p.cell
               WHERE e.vec_id <> p.q_id)
             WHERE rk <= $KnnK),
           bf AS (
