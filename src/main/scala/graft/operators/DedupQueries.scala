@@ -80,13 +80,14 @@ object DedupQueries {
     l.join(r, Seq("bnd", "bk")).filter(col("a") < col("b")).select("a", "b").distinct()
   }
 
-  /** Per-doc 16-bit SimHash over distinct tokens (bit j of a token = bit j
-    * of the first 16 md5 bits; doc bit j = majority vote). */
+  /** Per-doc [[Params.SimHashBits]]-bit SimHash over distinct tokens
+    * (bit j of a token = bit j of the md5-derived hash; doc bit j =
+    * majority vote). */
   def simhash(docs: DataFrame): DataFrame = {
     val tok = docs
       .select(col("doc_id"), explode(toks(col("text"))).as("t"))
       .distinct()
-      .withColumn("h", md5Long(col("t"), 4))
+      .withColumn("h", md5Long(col("t"), SimHashBits / 4))
     val bitSums = (0 until SimHashBits).map(j =>
       sum(when(shiftright(col("h"), j) % 2 === 1, 1).otherwise(-1)).as(s"s$j"))
     val agg = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
@@ -180,7 +181,7 @@ object DedupQueries {
   private def simhashSql(filter: String): String =
     s"""(SELECT doc_id, CAST($simhashValue AS BIGINT) AS simhash FROM (
           SELECT doc_id, $simhashBitSums FROM (
-            SELECT DISTINCT doc_id, t, ${md5LongSql("t", 4)} AS h FROM (
+            SELECT DISTINCT doc_id, t, ${md5LongSql("t", SimHashBits / 4)} AS h FROM (
               SELECT doc_id, unnest(${toksSql("text")}) AS t FROM documents $filter))
           GROUP BY doc_id))"""
   private val sampleF = s"WHERE doc_id < $PairSampleIds"

@@ -33,8 +33,10 @@ object Params {
     * ≈ 0.17 at j=0.5). Per-call overrides on the ops. */
   val MinHashPerms = 64
   val MinHashBands = 8
-  /** SimHash width in bits (from the first 4 hex chars of md5). */
-  val SimHashBits = 16
+  /** SimHash width in bits — 60 = 15 md5 hex chars, the widest that fits
+    * a signed BIGINT in both engines (64 would overflow DuckDB's
+    * `('0x'||…)::BIGINT` and Spark's conv-cast alike). */
+  val SimHashBits = 60
   val SimHashMaxHamming = 3
   /** Bit-block banding for simhash candidate pairs: hamming ≤ maxH over
     * `maxH + 1` equal-width blocks guarantees (pigeonhole) at least one
