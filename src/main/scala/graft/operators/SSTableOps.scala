@@ -90,4 +90,27 @@ object SSTableOps {
     * .scala:14-33). */
   def exportCompacted(df: DataFrame): DataFrame =
     exportMsgpackBase64(compactRows(df))
+
+  /** Full compaction job: read every SSTable generation under `inDir`,
+    * merge to the newest version of each cell (LWW + delete-wins ties,
+    * optional tombstone GC), and write ONE new sorted generation to
+    * `outDir`. This is the operation Cassandra runs forever and the
+    * reference could never do (read-only library, SURVEY.md §2.2) —
+    * here it's a three-line composition: DSv2 scan (splits + locality) →
+    * [[compactRows]] hash-agg → DSv2 sorted write (staged commit). The
+    * only shuffles are the merge's (key, name) hash-agg and the writer's
+    * cluster-by-key sort — both scale-shaped. */
+  def compact(spark: org.apache.spark.sql.SparkSession, inDir: String,
+              outDir: String, gcTombstones: Boolean = false): Unit = {
+    val merged = compactRows(spark.read.format("sstable").load(inDir))
+    val out = if (gcTombstones) suppressTombstones2(merged) else merged
+    out.write.format("sstable").mode("overwrite").save(outDir)
+  }
+
+  /** Tombstone GC over an already-compacted relation (columns are
+    * already newest-version: just drop the DELETED markers). */
+  private def suppressTombstones2(compacted: DataFrame): DataFrame =
+    compacted.select(col("key"),
+      filter(col("columns"), c => c.getField("state") =!= "DELETED").as("columns"))
+      .filter(size(col("columns")) > 0)
 }

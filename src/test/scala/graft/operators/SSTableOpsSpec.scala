@@ -1,5 +1,6 @@
 package graft.operators
 
+import java.nio.file.Files
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -137,6 +138,42 @@ class SSTableOpsSpec extends AnyFunSuite {
         }
       case other => fail(s"unexpected $other")
     }
+  }
+
+  test("compact: N generations in, one merged sorted generation out") {
+    val dir = Files.createTempDirectory("compact-in").toString
+    val out = Files.createTempDirectory("compact-out").toString
+    // generation 1: two rows; generation 2: newer version of one cell,
+    // a tombstone for another, and a brand-new row
+    widerows(
+      "apple" -> Seq(col3("c1", "NORMAL", "v1", 10), col3("c2", "NORMAL", "x", 11)),
+      "banana" -> Seq(col3("c1", "NORMAL", "b1", 20)))
+      .write.format("sstable").mode("append").save(dir)
+    widerows(
+      "apple" -> Seq(col3("c1", "NORMAL", "v2", 30), col3("c2", "DELETED", null, 40)),
+      "cherry" -> Seq(col3("c9", "NORMAL", "new", 50)))
+      .write.format("sstable").mode("append").save(dir)
+    assert(graft.sources.sstable.SSTableReader.listDataFiles(dir).size >= 2)
+
+    SSTableOps.compact(spark, dir, out)
+    val merged = spark.read.format("sstable").load(out)
+      .select(col("key").cast("string").as("k"), explode(col("columns")).as("c"))
+      .select(col("k"), col("c.name").cast("string"), col("c.state"),
+        col("c.value").cast("string"), col("c.timestamp"))
+      .as[(String, String, String, String, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(merged.toSeq == Seq(
+      ("apple", "c1", "NORMAL", "v2", 30L), // newer generation won
+      ("apple", "c2", "DELETED", null, 40L), // tombstone preserved (no GC)
+      ("banana", "c1", "NORMAL", "b1", 20L),
+      ("cherry", "c9", "NORMAL", "new", 50L)))
+
+    // with GC: tombstones dropped, fully-deleted rows vanish
+    val outGc = Files.createTempDirectory("compact-gc").toString
+    SSTableOps.compact(spark, dir, outGc, gcTombstones = true)
+    val gc = spark.read.format("sstable").load(outGc)
+      .select(explode(col("columns")).as("c")).select(col("c.state"))
+      .as[String].collect()
+    assert(!gc.contains("DELETED") && gc.length == 3)
   }
 
   test("exportCompacted emits one base64 line per row (E1 pipeline)") {
