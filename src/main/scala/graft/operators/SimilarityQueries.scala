@@ -141,8 +141,8 @@ object SimilarityQueries {
       val bf = topK(broadcast(q).crossJoin(c.drop("cell"))
           .filter(col("q_id") =!= col("c_id")))
         .select(col("q_id"), col("c_id"))
-      bf.join(ivf, col("q_id") === col("q_id_i") && col("c_id") === col("c_id_i"),
-          "left")
+      bf.join(broadcast(ivf),
+          col("q_id") === col("q_id_i") && col("c_id") === col("c_id_i"), "left")
         .groupBy("q_id").agg(count(col("c_id_i")).as("n_hits"))
         .select(col("q_id"), col("n_hits"),
           e4(col("n_hits").cast("double") / KnnK).as("recall_e4"))
@@ -167,8 +167,8 @@ object SimilarityQueries {
       val bf = topK(broadcast(q).crossJoin(c.drop("cell"))
           .filter(col("q_id") =!= col("c_id")))
         .select(col("q_id"), col("c_id"))
-      bf.join(ivf, col("q_id") === col("q_id_i") && col("c_id") === col("c_id_i"),
-          "left")
+      bf.join(broadcast(ivf),
+          col("q_id") === col("q_id_i") && col("c_id") === col("c_id_i"), "left")
         .groupBy("q_id").agg(count(col("c_id_i")).as("n_hits"))
         .select(col("q_id"), col("n_hits"),
           e4(col("n_hits").cast("double") / KnnK).as("recall_e4"))

@@ -91,6 +91,17 @@ class PlanQualitySpec extends AnyFunSuite {
       s"embedding dedup must not nested-loop-join:\n$plan")
   }
 
+  test("q_ann_kmeans: candidate access is a broadcast equi-join; vectors never sort-merge-join") {
+    val plan = finalPlan("q_ann_kmeans")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe/candidate join should broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no vector relation should sort-merge-join:\n$plan")
+    // the only nested-loop joins are the tiny (queries|vectors) × centroids
+    // assignment/ranking passes — never candidate × candidate
+    assert(!plan.contains("CartesianProduct"), s"no cartesian product:\n$plan")
+  }
+
   test("q_range_splits: row-level windows are partitioned; only the per-range summary is globally ordered") {
     val plan = finalPlan("q_range_splits").split("== Initial Plan ==").head
     // A window spec that STARTS with the ts ordering column has no
