@@ -51,4 +51,37 @@ object Multimodal {
       rows.map(r => DecodedRow(r.doc_id, decodeStub(r.payload)))
     }
   }
+
+  /** Frame sampling: one row per every-`every`-th frame of each video
+    * payload — the standard pre-processing fan-out before per-frame
+    * feature extraction. Declarative (`sequence` + `explode`, codegen'd):
+    * the fan-out itself never touches pixel data, so at 100 TB it's a
+    * narrow transform and only the sampled frames reach the (expensive)
+    * decoder downstream. `frame_ts_ms` assumes 25 fps (40 ms/frame). */
+  def sampleFrames(df: DataFrame, every: Int): DataFrame =
+    withMeta(df)
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), col("meta.frames") - 1, lit(every.toLong)))
+          .as("frame_idx"))
+      .withColumn("frame_ts_ms", col("frame_idx") * 40)
+
+  final case class FeatureRow(doc_id: Long, features: Array[Float])
+
+  /** Per-partition batch feature extraction (the resize→embed shape): a
+    * real implementation decodes + resizes + runs a vision encoder per
+    * BATCH of rows (model weights loaded once per partition); the stub
+    * derives a deterministic 8-dim vector from the byte length so the
+    * batch shape is testable. */
+  def extractFeatures(ds: Dataset[MediaRow], dim: Int = 8): Dataset[FeatureRow] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      // per-partition: decoder + model init would go here, then batched
+      // inference over grouped rows
+      rows.map { r =>
+        val n = r.payload.length
+        FeatureRow(r.doc_id,
+          Array.tabulate(dim)(i => ((n.toLong * (i + 3)) % 997).toFloat / 997f))
+      }
+    }
+  }
 }

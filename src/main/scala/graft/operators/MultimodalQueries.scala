@@ -23,6 +23,15 @@ object MultimodalQueries {
           col("meta.width").as("width"), col("meta.height").as("height"),
           col("meta.frames").as("frames"))
         .orderBy("doc_id")
+    }),
+    // Frame-sampling fan-out: every 10th frame of each "video" payload,
+    // with 25fps timestamps — the narrow pre-decoder transform.
+    "q_multimodal_frames" -> ((s, d) => {
+      Multimodal.sampleFrames(
+          Tables.documents(s, d).select(col("doc_id"),
+            col("text").cast("binary").as("payload")),
+          every = 10)
+        .orderBy("doc_id", "frame_idx")
     })
   )
 
@@ -32,6 +41,12 @@ object MultimodalQueries {
                 CAST(64 + (octet_length(encode(text)) * 7) % 1216 AS BIGINT) AS width,
                 CAST(64 + (octet_length(encode(text)) * 13) % 656 AS BIGINT) AS height,
                 CAST(1 + octet_length(encode(text)) % 30 AS BIGINT) AS frames
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+    "q_multimodal_frames" ->
+      """SELECT doc_id, frame_idx, frame_idx * 40 AS frame_ts_ms FROM (
+           SELECT doc_id,
+                  unnest(range(0, CAST(1 + octet_length(encode(text)) % 30 AS BIGINT), 10)) AS frame_idx
+           FROM documents)
+         ORDER BY doc_id, frame_idx"""
   )
 }

@@ -33,6 +33,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(viaExpr.toSeq == viaPartitions.toSeq)
   }
 
+  test("sampleFrames: every-Nth-frame fan-out matches the stub frame count") {
+    import spark.implicits._
+    // 25-byte payload -> frames = 1 + 25 % 30 = 26 -> sampled idx 0,10,20
+    val ds = spark.createDataset(Seq(MediaRow(1L, Array.fill(25)(1.toByte))))
+    val got = sampleFrames(ds.toDF("doc_id", "payload"), every = 10)
+      .select("frame_idx", "frame_ts_ms").as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((0L, 0L), (10L, 400L), (20L, 800L)))
+  }
+
+  test("extractFeatures: deterministic batch shape, partitioning preserved") {
+    import spark.implicits._
+    val ds = spark.createDataset((0 until 32).map(i =>
+      MediaRow(i.toLong, Array.fill(i + 1)(0.toByte)))).repartition(4)
+    val feats = extractFeatures(ds)
+    assert(feats.rdd.getNumPartitions == 4)
+    val r = feats.collect().find(_.doc_id == 9L).get // payload length 10
+    assert(r.features.length == 8)
+    assert(r.features(0) == ((10L * 3) % 997).toFloat / 997f)
+  }
+
   test("decodePartitions preserves partitioning (no shuffle)") {
     import spark.implicits._
     val ds = spark.createDataset((0 until 64).map(i => MediaRow(i.toLong, Array(i.toByte))))
