@@ -11,3 +11,19 @@ object GraftColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** Live-session function registration (the `sessionState` accessor is
+  * `private[sql]`) — backs `graft.GraftExtensions.register`. */
+object GraftFunctionRegistrar {
+  def register(spark: SparkSession,
+               fns: Seq[(org.apache.spark.sql.catalyst.FunctionIdentifier,
+                 org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+                 Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+                   org.apache.spark.sql.catalyst.expressions.Expression)]): Unit = {
+    val registry =
+      spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+    fns.foreach { case (ident, info, builder) =>
+      registry.registerFunction(ident, info, builder)
+    }
+  }
+}
