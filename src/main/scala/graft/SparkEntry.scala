@@ -26,7 +26,8 @@ object SparkEntry {
       DedupQueries.queries ++
       SimilarityQueries.queries ++
       SessionQueries.queries ++
-      MultimodalQueries.queries
+      MultimodalQueries.queries ++
+      PipelineQueries.queries
 
   /** DuckDB twins, same column names + total ORDER BY as the Spark side. */
   def oracleSql: Map[String, String] =
@@ -36,5 +37,6 @@ object SparkEntry {
       DedupQueries.oracles ++
       SimilarityQueries.oracles ++
       SessionQueries.oracles ++
-      MultimodalQueries.oracles
+      MultimodalQueries.oracles ++
+      PipelineQueries.oracles
 }

@@ -59,6 +59,22 @@ object Params {
   val TopWords = 20
   val JaccardTopPairs = 50
 
+  /** Interval join (q_interval_join): incident windows = error bursts
+    * (gap-bucketed, [[SplitGapMs]]) padded by this much after the last
+    * error; pad < gap keeps the intervals disjoint. */
+  val IncidentPadMs: Long = 5L * 60 * 1000
+  /** Bucket width for the bucketed range join — near the typical interval
+    * span so the per-bucket candidate fan-out stays bounded. */
+  val IntervalBucketMs: Long = 3600000L
+  /** Deterministic train/val/test split: md5(doc_id) mod 100 thresholds. */
+  val SampleTrainPct = 80
+  val SampleValPct = 90
+  /** Token-budget shard packing (q_shard_pack): docs hash into
+    * [[ShardBuckets]] independent packing streams (window partitions —
+    * no global window), greedy-packed to [[ShardTokenBudget]] tokens. */
+  val ShardBuckets = 8
+  val ShardTokenBudget = 256L
+
   val Stopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "it")
   val EnRatioThreshold = 0.05

@@ -1,0 +1,206 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import Params._
+
+/** Training-data-pipeline operators beyond the text/dedup/similarity
+  * families: temporal joins (as-of, interval containment) and corpus
+  * curation (repetition scoring, deterministic split assignment,
+  * token-budget shard packing, exact group quantiles).
+  *
+  * Scale notes per query:
+  *  - q_asof_join: [[TemporalJoins.asOf]] — one shuffle on the key, no
+  *    inequality join (which would be a BNLJ).
+  *  - q_interval_join: [[TemporalJoins.intervalJoinBucketed]] — coarse
+  *    time-bucket equi-join with residual containment filter; interval
+  *    derivation reuses the stitched gap bucketing (no global window).
+  *  - q_repetition: narrow per-doc (native `word_shingles` + array ops),
+  *    zero shuffles before the final sort — streams at 100 TB.
+  *  - q_sample_split: narrow hash-mod assignment + one hash-agg.
+  *  - q_shard_pack: cumulative-sum windows partitioned by a hash bucket —
+  *    parallel packing streams, never a global window; at 100 TB the
+  *    bucket count scales with the cluster, shards stay reproducible
+  *    because the hash and the in-bucket order are deterministic.
+  *  - q_quantiles: exact rank-statistic percentiles via row_number —
+  *    one shuffle per grouping key; for very hot groups switch to
+  *    `approx_percentile` (t-digest) — exactness is the point here
+  *    (bit-identical across engines, unlike interpolated percentiles).
+  */
+object PipelineQueries {
+
+  private def docToks = toks(col("text"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // As-of join: each purchase picks up the latest signup at-or-before
+    // it for the same user (point-in-time-correct feature lookup).
+    "q_asof_join" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("user_id", "event_id", "ts_ms")
+      val signups = e.filter(col("event_type") === "signup")
+        .groupBy("user_id", "ts_ms")
+        .agg(max("event_id").as("signup_event_id"))
+        .withColumnRenamed("ts_ms", "signup_ts_ms")
+      TemporalJoins.asOf(purchases, signups, Seq("user_id"), "ts_ms", "signup_ts_ms")
+        .select(col("user_id"), col("event_id"), col("ts_ms"),
+          coalesce(col("signup_ts_ms"), lit(-1L)).as("signup_ts_ms"),
+          coalesce(col("signup_event_id"), lit(-1L)).as("signup_event_id"))
+        .orderBy("user_id", "ts_ms", "event_id")
+    }),
+    // Interval-containment join: non-error events attributed to the
+    // disjoint "incident window" (error burst ± pad) containing them.
+    "q_interval_join" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val errors = e.filter(col("event_type") === "error").select("ts_ms")
+      val intervals = WideRowOps
+        .gapBucketsStitched(errors, "ts_ms", SplitGapMs, coarseMs = 86400000L)
+        .groupBy("bucket")
+        .agg(min("ts_ms").as("start_ms"),
+          (max("ts_ms") + lit(IncidentPadMs)).as("end_ms"))
+        .select("start_ms", "end_ms")
+      val points = e.filter(col("event_type") =!= "error")
+        .select(col("user_id"), col("ts_ms").as("ev_ms"), e2(col("value")).as("value_e2"))
+      TemporalJoins.intervalJoinBucketed(intervals, points,
+          "start_ms", "end_ms", "ev_ms", IntervalBucketMs)
+        .groupBy("start_ms", "end_ms")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("value_e2")).as("value_sum_e2"))
+        .orderBy("start_ms")
+    }),
+    // Repetition / boilerplate scoring: duplicated-shingle and
+    // duplicated-token fractions per document (Gopher-style quality rule).
+    "q_repetition" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.TextExpressions.word_shingles(col("text"), ShingleN).as("sh"),
+          docToks.as("tk"))
+        .select(col("doc_id"),
+          size(col("sh")).cast("long").as("n_shingles"),
+          size(array_distinct(col("sh"))).cast("long").as("n_distinct_shingles"),
+          size(col("tk")).cast("long").as("n_tokens"),
+          size(array_distinct(col("tk"))).cast("long").as("n_distinct_tokens"))
+        .select(col("doc_id"), col("n_shingles"), col("n_distinct_shingles"),
+          col("n_tokens"), col("n_distinct_tokens"),
+          when(col("n_shingles") > 0,
+            e4(lit(1.0) - col("n_distinct_shingles").cast("double") / col("n_shingles")))
+            .otherwise(lit(0L)).as("dup_shingle_frac_e4"))
+        .orderBy("doc_id")
+    }),
+    // Deterministic train/val/test assignment by content-independent hash
+    // (stable under reruns and repartitioning), summarized per split+lang.
+    "q_sample_split" -> ((s, d) => {
+      val h = pmod(md5Long(col("doc_id").cast("string"), 8), lit(100))
+      Tables.documents(s, d)
+        .select(col("lang"), size(docToks).cast("long").as("tok"),
+          when(h < SampleTrainPct, "train")
+            .when(h < SampleValPct, "val").otherwise("test").as("split"))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum("tok").as("n_tokens"))
+        .orderBy("split", "lang")
+    }),
+    // Token-budget shard packing: docs hash into independent packing
+    // streams; greedy exclusive-prefix-sum packing to the token budget.
+    "q_shard_pack" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), size(docToks).cast("long").as("tok"))
+        .withColumn("bucket", pmod(md5Long(col("doc_id").cast("string"), 8),
+          lit(ShardBuckets.toLong)))
+      val w = Window.partitionBy("bucket").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs.withColumn("cum", sum("tok").over(w))
+        .withColumn("shard", expr(s"(cum - tok) div $ShardTokenBudget"))
+        .groupBy("bucket", "shard")
+        .agg(count(lit(1)).as("n_docs"), sum("tok").as("n_tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("bucket", "shard")
+    }),
+    // Exact per-group rank-statistic percentiles (p50/p90 token counts):
+    // deterministic discrete percentile — value at rank ceil(q·n).
+    "q_quantiles" -> ((s, d) => {
+      val t = Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"), size(docToks).cast("long").as("tok"))
+      val wr = Window.partitionBy("lang").orderBy(col("tok"), col("doc_id"))
+      t.withColumn("rn", row_number().over(wr).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+        .groupBy("lang")
+        .agg(max("n").as("n_docs"),
+          max(when(col("rn") === expr("(n + 1) div 2"), col("tok"))).as("p50_tokens"),
+          max(when(col("rn") === expr("(9 * n + 9) div 10"), col("tok"))).as("p90_tokens"))
+        .orderBy("lang")
+    })
+  )
+
+  private val toksT = toksSql("text")
+
+  def oracles: Map[String, String] = Map(
+    "q_asof_join" ->
+      s"""SELECT p.user_id, p.event_id, p.ts_ms,
+                 coalesce(s.signup_ts_ms, -1) AS signup_ts_ms,
+                 coalesce(s.signup_event_id, -1) AS signup_event_id
+          FROM (SELECT user_id, event_id, ts_ms FROM $EventsSql WHERE event_type = 'purchase') p
+          ASOF LEFT JOIN (SELECT user_id, ts_ms AS signup_ts_ms, max(event_id) AS signup_event_id
+                          FROM $EventsSql WHERE event_type = 'signup' GROUP BY user_id, ts_ms) s
+            ON p.user_id = s.user_id AND p.ts_ms >= s.signup_ts_ms
+          ORDER BY p.user_id, p.ts_ms, p.event_id""",
+    "q_interval_join" ->
+      s"""WITH iv AS (
+            SELECT min(ts_ms) AS start_ms, max(ts_ms) + $IncidentPadMs AS end_ms
+            FROM (SELECT ts_ms, CAST(sum(CASE WHEN gap > $SplitGapMs THEN 1 ELSE 0 END)
+                           OVER (ORDER BY ts_ms) AS BIGINT) AS bucket
+                  FROM (SELECT ts_ms, ts_ms - lag(ts_ms) OVER (ORDER BY ts_ms) AS gap
+                        FROM $EventsSql WHERE event_type = 'error'))
+            GROUP BY bucket)
+          SELECT iv.start_ms, iv.end_ms, CAST(count(*) AS BIGINT) AS n_events,
+                 CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+                 CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_sum_e2
+          FROM iv JOIN $EventsSql e
+            ON e.event_type <> 'error' AND e.ts_ms >= iv.start_ms AND e.ts_ms <= iv.end_ms
+          GROUP BY iv.start_ms, iv.end_ms ORDER BY iv.start_ms""",
+    "q_repetition" ->
+      s"""SELECT doc_id, n_shingles, n_distinct_shingles, n_tokens, n_distinct_tokens,
+                 CASE WHEN n_shingles > 0
+                      THEN CAST(floor((1.0 - n_distinct_shingles * 1.0 / n_shingles) * 10000 + 0.5) AS BIGINT)
+                      ELSE 0 END AS dup_shingle_frac_e4
+          FROM (SELECT doc_id,
+                       CAST(len(sh) AS BIGINT) AS n_shingles,
+                       CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct_shingles,
+                       CAST(len(tk) AS BIGINT) AS n_tokens,
+                       CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct_tokens
+                FROM (SELECT doc_id, ${shinglesSql("tk")} AS sh, tk
+                      FROM (SELECT doc_id, $toksT AS tk FROM documents)))
+          ORDER BY doc_id""",
+    "q_sample_split" ->
+      s"""SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(tok) AS BIGINT) AS n_tokens
+          FROM (SELECT lang, CAST(len($toksT) AS BIGINT) AS tok,
+                       CASE WHEN ${md5LongSql("CAST(doc_id AS VARCHAR)", 8)} % 100 < $SampleTrainPct THEN 'train'
+                            WHEN ${md5LongSql("CAST(doc_id AS VARCHAR)", 8)} % 100 < $SampleValPct THEN 'val'
+                            ELSE 'test' END AS split
+                FROM documents)
+          GROUP BY split, lang ORDER BY split, lang""",
+    "q_shard_pack" ->
+      s"""SELECT bucket, (cum - tok) // $ShardTokenBudget AS shard,
+                 CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens,
+                 min(doc_id) AS first_doc, max(doc_id) AS last_doc
+          FROM (SELECT doc_id, tok, bucket,
+                       CAST(sum(tok) OVER (PARTITION BY bucket ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+                FROM (SELECT doc_id, CAST(len($toksT) AS BIGINT) AS tok,
+                             ${md5LongSql("CAST(doc_id AS VARCHAR)", 8)} % $ShardBuckets AS bucket
+                      FROM documents))
+          GROUP BY bucket, shard ORDER BY bucket, shard""",
+    "q_quantiles" ->
+      s"""SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
+                 max(CASE WHEN rn = (n + 1) // 2 THEN tok END) AS p50_tokens,
+                 max(CASE WHEN rn = (9 * n + 9) // 10 THEN tok END) AS p90_tokens
+          FROM (SELECT lang, tok,
+                       CAST(row_number() OVER (PARTITION BY lang ORDER BY tok, doc_id) AS BIGINT) AS rn,
+                       CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+                FROM (SELECT lang, doc_id, CAST(len($toksT) AS BIGINT) AS tok FROM documents))
+          GROUP BY lang ORDER BY lang"""
+  )
+}

@@ -102,6 +102,35 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"no cartesian product:\n$plan")
   }
 
+  test("q_asof_join: union-window shape — no inequality join anywhere") {
+    val plan = finalPlan("q_asof_join")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"as-of join must not materialize the range condition as a BNLJ:\n$plan")
+    assert(plan.contains("Window"), s"expected the union-window formulation:\n$plan")
+  }
+
+  test("q_interval_join: bucketed equi-join — containment is a residual filter, not a BNLJ") {
+    val plan = finalPlan("q_interval_join").split("== Initial Plan ==").head
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"interval join must equi-join on the bucket:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin"), s"expected an equi-join on the bucket:\n$plan")
+  }
+
+  test("q_shard_pack: packing windows are partitioned by the hash bucket") {
+    val plan = finalPlan("q_shard_pack").split("== Initial Plan ==").head
+    val unpartitioned = "windowspecdefinition\\(doc_id#".r.findAllIn(plan).size
+    assert(unpartitioned == 0, s"found unpartitioned global packing window:\n$plan")
+    assert("windowspecdefinition\\(bucket#\\d+L?, doc_id#".r.findAllIn(plan).nonEmpty,
+      s"expected bucket-partitioned cumulative-sum windows:\n$plan")
+  }
+
+  test("q_repetition: narrow per-doc plan — no shuffle before the presentation sort") {
+    val plan = finalPlan("q_repetition").split("== Initial Plan ==").head
+    val exchanges = "Exchange (hash|range)partitioning".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"repetition scoring must not shuffle (only the order-by):\n$plan")
+  }
+
   test("q_range_splits: row-level windows are partitioned; only the per-range summary is globally ordered") {
     val plan = finalPlan("q_range_splits").split("== Initial Plan ==").head
     // A window spec that STARTS with the ts ordering column has no
