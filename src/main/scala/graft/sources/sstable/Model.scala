@@ -31,7 +31,9 @@ object SSTableFiles {
   val IndexSuffix = "-Index.db"
   val SummarySuffix = "-Summary.db"
   val CompressionSuffix = "-CompressionInfo.db"
-  val AllSuffixes: Seq[String] = Seq(DataSuffix, IndexSuffix, SummarySuffix, CompressionSuffix)
+  val FilterSuffix = "-Filter.db"
+  val AllSuffixes: Seq[String] =
+    Seq(DataSuffix, IndexSuffix, SummarySuffix, CompressionSuffix, FilterSuffix)
 
   def sibling(dataPath: String, suffix: String): String = {
     require(dataPath.endsWith(DataSuffix), s"not a Data.db path: $dataPath")

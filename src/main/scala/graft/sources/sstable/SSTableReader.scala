@@ -73,6 +73,22 @@ final class SSTableReader(val dataPath: String,
   def indexReader(): IndexReader =
     new IndexReader(storage.open(sibling(dataPath, IndexSuffix)))
 
+  /** Bloom filter over row keys (`-Filter.db`, Cassandra 1.2 layout) when
+    * present — Cassandra's negative-lookup elimination. */
+  lazy val bloom: Option[FilterFile.BloomFilter] = {
+    val p = sibling(dataPath, FilterSuffix)
+    if (!storage.exists(p)) None
+    else {
+      val in = storage.open(p)
+      try Some(FilterFile.read(in.asDataInput)) finally in.close()
+    }
+  }
+
+  /** False only when Filter.db is present and definitively excludes the
+    * key — the whole file can then be skipped for a point lookup. No
+    * filter ⇒ true (never prunes). */
+  def mightContainKey(key: Array[Byte]): Boolean = bloom.forall(_.mightContain(key))
+
   def summary(): (Int, Vector[SummaryEntry]) = {
     val in = storage.open(sibling(dataPath, SummarySuffix))
     try {

@@ -21,6 +21,7 @@ final class SSTableWriter(dataPath: String,
                           chunkLength: Int = CompressionInfo.DefaultChunkLength,
                           summaryInterval: Int = IndexFile.DefaultSummaryInterval,
                           enforceSorted: Boolean = true,
+                          bloomBitsPerKey: Int = FilterFile.DefaultBitsPerKey,
                           storage: Storage = LocalStorage) extends AutoCloseable {
   import SSTableFiles._
 
@@ -39,6 +40,11 @@ final class SSTableWriter(dataPath: String,
   // Summary.db's header carries the entry count, so entries are buffered
   // (tiny: 1 per `summaryInterval` rows) and the file written at close.
   private val summaryEntries = scala.collection.mutable.ArrayBuffer.empty[SummaryEntry]
+  // Filter.db needs the key count before sizing, so the murmur halves are
+  // buffered (16 B/row — ~16 MB per million rows) and the filter built at
+  // close. bloomBitsPerKey = 0 disables the filter (and the buffer).
+  private val bloomHashes =
+    if (bloomBitsPerKey > 0) new scala.collection.mutable.ArrayBuffer[Long]() else null
 
   def append(row: SSTableRow): Unit = {
     require(!closed, "writer closed")
@@ -57,6 +63,11 @@ final class SSTableWriter(dataPath: String,
 
     if (rowCount % summaryInterval == 0)
       summaryEntries += SummaryEntry(row.key, indexPos)
+    if (bloomHashes != null) {
+      val (h1, h2) = MurmurHash3x64.hash128(row.key)
+      bloomHashes += h1
+      bloomHashes += h2
+    }
     indexPos += IndexFile.writeEntry(indexOut, row.key, rowOffset)
     rowCount += 1
   }
@@ -74,5 +85,11 @@ final class SSTableWriter(dataPath: String,
     val summaryOut = storage.create(sibling(dataPath, SummarySuffix))
     try IndexFile.writeSummary(summaryOut, summaryInterval, summaryEntries.toSeq)
     finally summaryOut.close()
+    if (bloomHashes != null) {
+      val bf = FilterFile.build(
+        bloomHashes.grouped(2).map(p => (p(0), p(1))), rowCount, bloomBitsPerKey)
+      val filterOut = storage.create(sibling(dataPath, FilterSuffix))
+      try FilterFile.write(filterOut, bf) finally filterOut.close()
+    }
   }
 }

@@ -56,6 +56,8 @@ object SSTableSource {
   val CompressOption = "compress"
   val ChunkLengthOption = "chunklength"
   val SummaryIntervalOption = "summaryinterval"
+  /** Bloom filter density for written Filter.db files; 0 disables. */
+  val BloomBitsPerKeyOption = "bloombitsperkey"
   /** 128 MB uncompressed per partition by default (the reference used
     * 256 MB of compressed chunks, GenerateSSTableDataSplits.scala:238). */
   val DefaultTargetSplitBytes: Long = 128L * 1024 * 1024
@@ -172,6 +174,15 @@ final class SSTableScan(path: String, requiredSchema: StructType,
   private def storage: Storage =
     serConf.map(c => new HadoopStorage(c.value): Storage).getOrElse(LocalStorage)
 
+  /** Point-lookup key (`key = X` pushed down): both bounds present,
+    * inclusive, and byte-equal. Files whose bloom filter excludes it are
+    * skipped wholesale — Cassandra's negative-lookup elimination, now at
+    * plan time (false positives only cost IO; Spark re-filters rows). */
+  private val eqKey: Option[Array[Byte]] = (keyLo, keyHi) match {
+    case (Some((lo, true)), Some((hi, true))) if java.util.Arrays.equals(lo, hi) => Some(lo)
+    case _ => None
+  }
+
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
   override def description(): String = {
@@ -194,12 +205,13 @@ final class SSTableScan(path: String, requiredSchema: StructType,
     val threshold = distributedPlanningThreshold
     val lo = keyLo.map(_._1)
     val hi = keyHi.map(_._1)
+    val eqk = eqKey
     val target = targetSplitBytes
     val conf = serConf
     if (files.length <= threshold) {
       import scala.collection.parallel.CollectionConverters._
       val st = storage
-      files.par.flatMap(SSTableScan.planFile(st, target, lo, hi)).toArray
+      files.par.flatMap(SSTableScan.planFile(st, target, lo, hi, eqk)).toArray
     } else {
       val sc = org.apache.spark.sql.SparkSession.active.sparkContext
       val slices = math.min(files.length, math.max(sc.defaultParallelism, 1) * 4)
@@ -207,7 +219,7 @@ final class SSTableScan(path: String, requiredSchema: StructType,
         .flatMap { f =>
           val st: Storage =
             conf.map(c => new HadoopStorage(c.value): Storage).getOrElse(LocalStorage)
-          SSTableScan.planFile(st, target, lo, hi)(f)
+          SSTableScan.planFile(st, target, lo, hi, eqk)(f)
         }
         .collect().toArray
     }
@@ -222,9 +234,13 @@ object SSTableScan {
     * hosts). Standalone function so the distributed-planning closure
     * captures only serializable arguments, never the Scan. */
   private[spark] def planFile(st: Storage, targetSplitBytes: Long,
-                              lo: Option[Array[Byte]], hi: Option[Array[Byte]])
+                              lo: Option[Array[Byte]], hi: Option[Array[Byte]],
+                              eq: Option[Array[Byte]] = None)
                              (f: String): Seq[SSTablePartition] = {
     val r = new SSTableReader(f, st)
+    // bloom check first: a definitive miss skips the Summary walk and
+    // index point reads entirely, not just the data scan
+    if (eq.exists(k => !r.mightContainKey(k))) return Nil
     val splits = r.planSplits(targetSplitBytes)
     r.pruneSplits(splits, lo, hi).map { s =>
       val hosts = st.blockHosts(f, r.physicalOffset(s.start), r.physicalOffset(s.end))

@@ -80,8 +80,10 @@ final class SSTableBatchWrite(path: String, schema: StructType,
       CompressionInfo.DefaultChunkLength.toString).toInt
     val summaryInterval = properties.getOrElse(SSTableSource.SummaryIntervalOption,
       IndexFile.DefaultSummaryInterval.toString).toInt
+    val bloomBitsPerKey = properties.getOrElse(SSTableSource.BloomBitsPerKeyOption,
+      FilterFile.DefaultBitsPerKey.toString).toInt
     new SSTableWriterFactory(stagingDir, schema, compress, chunkLength,
-      summaryInterval, serConf)
+      summaryInterval, bloomBitsPerKey, serConf)
   }
 
   private def mkdirs(st: Storage, dir: String): Unit = st match {
@@ -122,14 +124,14 @@ final class SSTableBatchWrite(path: String, schema: StructType,
 
 final class SSTableWriterFactory(stagingDir: String, schema: StructType,
                                  compress: Boolean, chunkLength: Int,
-                                 summaryInterval: Int,
+                                 summaryInterval: Int, bloomBitsPerKey: Int,
                                  serConf: Option[SerializableHadoopConf])
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val storage = serConf.map(c => new HadoopStorage(c.value): Storage)
       .getOrElse(LocalStorage)
     new SSTablePartitionWriter(stagingDir, schema, partitionId, taskId, compress,
-      chunkLength, summaryInterval, storage)
+      chunkLength, summaryInterval, bloomBitsPerKey, storage)
   }
 }
 
@@ -140,12 +142,12 @@ final class SSTableWriterFactory(stagingDir: String, schema: StructType,
 final class SSTablePartitionWriter(stagingDir: String, schema: StructType,
                                    partitionId: Int, taskId: Long, compress: Boolean,
                                    chunkLength: Int, summaryInterval: Int,
-                                   storage: Storage)
+                                   bloomBitsPerKey: Int, storage: Storage)
     extends DataWriter[InternalRow] {
   private val dataPath =
     f"$stagingDir/part-$partitionId%05d-$taskId-Data.db"
   private val writer = new SSTableWriter(dataPath, compress, chunkLength,
-    summaryInterval, storage = storage)
+    summaryInterval, bloomBitsPerKey = bloomBitsPerKey, storage = storage)
   private val keyIdx = schema.fieldIndex("key")
   private val colsIdx = if (schema.fieldNames.contains("columns")) schema.fieldIndex("columns") else -1
   private val colStruct = SSTableSchema.columnStruct

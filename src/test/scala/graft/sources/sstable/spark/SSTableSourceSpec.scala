@@ -82,6 +82,28 @@ class SSTableSourceSpec extends AnyFunSuite {
     assert(scan(withFilter = true).count() == 21)
   }
 
+  test("bloom filter skips whole files on point lookups for absent keys") {
+    val dir = freshDir()
+    writeFixture(dir)
+    // a second file with a disjoint key range — a present-key lookup must
+    // keep only the file whose bloom admits it
+    val w = new SSTableWriter(s"$dir/fix2-Data.db", compress = true,
+      chunkLength = 512, summaryInterval = 8)
+    (0 until 100).foreach(i => w.append(SSTableRow(f"zzz$i%05d".getBytes,
+      Seq(Column.Normal("c1".getBytes, "v".getBytes, i.toLong)))))
+    w.close()
+    assert(new java.io.File(s"$dir/fix-Filter.db").exists(), "writer must emit Filter.db")
+
+    def point(key: String) = spark.read.format("sstable").load(dir)
+      .filter(col("key") === lit(key.getBytes))
+    // absent key INSIDE fix's key range: Summary bounds can't prune it,
+    // only the bloom filter can — expect zero planned partitions
+    assert(point("key00100x").rdd.getNumPartitions == 0)
+    assert(point("key00100x").count() == 0)
+    // present key: correct row comes back (bloom may keep, never drops)
+    assert(point("key00100").count() == 1)
+  }
+
   test("key-only projection uses the index, not Data.db") {
     val dir = freshDir()
     writeFixture(dir)
@@ -171,7 +193,8 @@ class SSTableSourceSpec extends AnyFunSuite {
     val dir = freshDir()
     val schema = SSTableSchema.schema
     val factory = new SSTableWriterFactory(s"$dir/_staging-test", schema,
-      compress = true, chunkLength = 512, summaryInterval = 8, serConf = None)
+      compress = true, chunkLength = 512, summaryInterval = 8,
+      bloomBitsPerKey = 10, serConf = None)
     new java.io.File(s"$dir/_staging-test").mkdirs()
 
     // attempt 0 writes some rows then aborts (simulated task failure)
