@@ -75,7 +75,7 @@ final class SSTableTable(properties: Map[String, String])
   override def schema(): StructType = SSTableSchema.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SSTableScanBuilder(path, options)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =

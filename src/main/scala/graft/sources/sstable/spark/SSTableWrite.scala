@@ -5,6 +5,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
 import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.StreamingWrite
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.types.StructType
 import graft.sources.sstable._
@@ -47,6 +48,15 @@ final class SSTableWrite(path: String, schema: StructType,
     Array(Expressions.sort(Expressions.column("key"), SortDirection.ASCENDING))
 
   override def toBatch: BatchWrite = new SSTableBatchWrite(path, schema, properties, truncate)
+
+  /** Micro-batch streaming sink: each epoch commits one SSTable
+    * generation (a set of sorted filesets) into the target directory —
+    * continuous ingestion that [[graft.operators.SSTableOps.compact]]
+    * periodically folds into a single generation. Spark honors the same
+    * clustering+ordering requirement per micro-batch, so every epoch's
+    * tasks stream sorted rows just like the batch path. */
+  override def toStreaming: StreamingWrite =
+    new SSTableStreamingWrite(path, schema, properties)
 }
 
 /** Staged 4-file set of one committed task attempt. */
@@ -122,6 +132,93 @@ final class SSTableBatchWrite(path: String, schema: StructType,
   }
 }
 
+/** Streaming (micro-batch) write: tasks stage under
+  * `_streaming-staging/`, and epoch commit renames winners into the
+  * target. File names are `(partition, epoch)`-deterministic — no task
+  * id — so a replayed epoch (driver recovery re-running a committed
+  * micro-batch) renames onto the same names instead of duplicating
+  * rows: the sink is idempotent per epoch, giving effective
+  * exactly-once on top of Spark's at-least-once epoch replay. */
+final class SSTableStreamingWrite(path: String, schema: StructType,
+                                  properties: Map[String, String])
+    extends StreamingWrite {
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+  private val serConf: Option[SerializableHadoopConf] =
+    if (Storage.hasScheme(path))
+      Some(new SerializableHadoopConf(
+        SparkSession.active.sessionState.newHadoopConf()))
+    else None
+  private def storage: Storage =
+    serConf.map(c => new HadoopStorage(c.value): Storage).getOrElse(LocalStorage)
+
+  private val stagingDir = s"$path/_streaming-staging"
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    storage match {
+      case LocalStorage => new java.io.File(stagingDir).mkdirs()
+      case _ => // Hadoop create() makes parents
+    }
+    val compress = properties.getOrElse(SSTableSource.CompressOption, "true").toBoolean
+    val chunkLength = properties.getOrElse(SSTableSource.ChunkLengthOption,
+      CompressionInfo.DefaultChunkLength.toString).toInt
+    val summaryInterval = properties.getOrElse(SSTableSource.SummaryIntervalOption,
+      IndexFile.DefaultSummaryInterval.toString).toInt
+    val bloomBitsPerKey = properties.getOrElse(SSTableSource.BloomBitsPerKeyOption,
+      FilterFile.DefaultBitsPerKey.toString).toInt
+    new SSTableStreamingWriterFactory(stagingDir, schema, compress, chunkLength,
+      summaryInterval, bloomBitsPerKey, serConf)
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val st = storage
+    messages.foreach {
+      case SSTableCommit(staged) => staged.foreach { data =>
+        SSTableFiles.AllSuffixes.foreach { suf =>
+          val src = SSTableFiles.sibling(data, suf)
+          if (st.exists(src)) {
+            val name = src.substring(src.lastIndexOf('/') + 1)
+            val dst = s"$path/$name"
+            if (st.exists(dst)) st.delete(dst) // epoch replay: same name, overwrite
+            st.rename(src, dst)
+          }
+        }
+      }
+      case _ =>
+    }
+  }
+
+  /** Delete the aborted epoch's staged files (matched by the epoch stem). */
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val st = storage
+    messages.foreach {
+      case SSTableCommit(staged) => staged.foreach { data =>
+        SSTableFiles.AllSuffixes.foreach { suf =>
+          val f = SSTableFiles.sibling(data, suf)
+          if (st.exists(f)) st.delete(f)
+        }
+      }
+      case _ =>
+    }
+  }
+}
+
+final class SSTableStreamingWriterFactory(stagingDir: String, schema: StructType,
+                                          compress: Boolean, chunkLength: Int,
+                                          summaryInterval: Int, bloomBitsPerKey: Int,
+                                          serConf: Option[SerializableHadoopConf])
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] = {
+    val storage = serConf.map(c => new HadoopStorage(c.value): Storage)
+      .getOrElse(LocalStorage)
+    new SSTablePartitionWriter(stagingDir, schema, partitionId, taskId, compress,
+      chunkLength, summaryInterval, bloomBitsPerKey, storage,
+      fileStem = f"part-$partitionId%05d-epoch-$epochId")
+  }
+}
+
 final class SSTableWriterFactory(stagingDir: String, schema: StructType,
                                  compress: Boolean, chunkLength: Int,
                                  summaryInterval: Int, bloomBitsPerKey: Int,
@@ -142,10 +239,12 @@ final class SSTableWriterFactory(stagingDir: String, schema: StructType,
 final class SSTablePartitionWriter(stagingDir: String, schema: StructType,
                                    partitionId: Int, taskId: Long, compress: Boolean,
                                    chunkLength: Int, summaryInterval: Int,
-                                   bloomBitsPerKey: Int, storage: Storage)
+                                   bloomBitsPerKey: Int, storage: Storage,
+                                   fileStem: String = null)
     extends DataWriter[InternalRow] {
   private val dataPath =
-    f"$stagingDir/part-$partitionId%05d-$taskId-Data.db"
+    if (fileStem != null) s"$stagingDir/$fileStem-Data.db"
+    else f"$stagingDir/part-$partitionId%05d-$taskId-Data.db"
   private val writer = new SSTableWriter(dataPath, compress, chunkLength,
     summaryInterval, bloomBitsPerKey = bloomBitsPerKey, storage = storage)
   private val keyIdx = schema.fieldIndex("key")
