@@ -50,6 +50,16 @@ object SSTableDemo {
     println(s"== key-only scan (served from Index.db): ${keysOnly.count()} keys")
     keysOnly.explain()
 
+    // Bloom point lookups (Filter.db): an absent key inside the key range
+    // plans ZERO partitions — whole files skipped before any Summary/Index
+    // IO; a present key still reads its one split.
+    def point(k: String) = df.filter(col("key") === lit(k.getBytes))
+    println(s"== point lookup, absent key (bloom-pruned): " +
+      s"${point("user005000x").rdd.getNumPartitions} partitions, " +
+      s"${point("user005000x").count()} rows")
+    println(s"== point lookup, present key: ${point("user005000").count()} row " +
+      s"in ${point("user005000").rdd.getNumPartitions} partition(s)")
+
     // P8 opt-in TTL evaluation at scan time (sessions expire at the fixed
     // epoch below; default read surfaces them raw like the reference)
     val ttlRead = spark.read.format("sstable")
