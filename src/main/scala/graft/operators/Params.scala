@@ -75,6 +75,12 @@ object Params {
   val ShardBuckets = 8
   val ShardTokenBudget = 256L
 
+  /** Decontamination (q_decontaminate): docs below this id are the
+    * held-out "benchmark"; training docs sharing more than
+    * [[ContamThresholdE4]]/1e4 of their shingles with it are flagged. */
+  val EvalDocIds = 10
+  val ContamThresholdE4 = 5000L // flag when >50% of a doc's shingles overlap
+
   val Stopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "it")
   val EnRatioThreshold = 0.05

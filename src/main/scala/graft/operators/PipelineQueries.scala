@@ -118,6 +118,51 @@ object PipelineQueries {
           min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
         .orderBy("bucket", "shard")
     }),
+    // Benchmark decontamination: flag training docs whose shingle overlap
+    // with the held-out eval set exceeds the threshold. The eval shingle
+    // set is tiny → broadcast; the training side is one linear pass +
+    // hash-agg (no shuffle of the eval side, no pairwise doc join).
+    "q_decontaminate" -> ((s, d) => {
+      val sh = Tables.documents(s, d).select(col("doc_id"),
+        explode(array_distinct(
+          graft.functions.TextExpressions.word_shingles(col("text"), ShingleN))).as("sh"))
+      val eval_ = sh.filter(col("doc_id") < EvalDocIds).select("sh").distinct()
+      val train = sh.filter(col("doc_id") >= EvalDocIds)
+      val overlap = train.join(broadcast(eval_), Seq("sh"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+      train.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+        .join(overlap, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_shingles"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+        .withColumn("contam_e4",
+          e4(col("n_overlap").cast("double") / col("n_shingles")))
+        .withColumn("flagged",
+          (col("contam_e4") > ContamThresholdE4).cast("boolean"))
+        .orderBy("doc_id")
+    }),
+    // Curation filter chain: first failing rule names the drop reason —
+    // the end-to-end keep/drop decision built from the quality signals
+    // (length bounds, repetition, stopword ratio). Narrow per-doc
+    // scoring + one tiny summary agg.
+    "q_curation_filter" -> ((s, d) => {
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), docToks.as("tk"),
+          graft.functions.TextExpressions.word_shingles(col("text"), ShingleN).as("sh"))
+        .select(col("doc_id"),
+          size(col("tk")).cast("long").as("n_tok"),
+          size(filter(col("tk"), x => x.isin(Stopwords: _*))).cast("long").as("n_stop"),
+          size(col("sh")).cast("long").as("n_sh"),
+          size(array_distinct(col("sh"))).cast("long").as("n_dsh"))
+      val reason = when(col("n_tok") < 5, "too_short")
+        .when(col("n_tok") > 1000, "too_long")
+        .when(col("n_sh") > 0 &&
+          (lit(1.0) - col("n_dsh").cast("double") / col("n_sh")) > 0.6, "repetitive")
+        .when(col("n_stop").cast("double") / col("n_tok") < EnRatioThreshold, "low_stopword")
+        .otherwise("kept")
+      t.select(reason.as("reason"))
+        .groupBy("reason").agg(count(lit(1)).as("n_docs"))
+        .orderBy("reason")
+    }),
     // Exact per-group rank-statistic percentiles (p50/p90 token counts):
     // deterministic discrete percentile — value at rank ceil(q·n).
     "q_quantiles" -> ((s, d) => {
@@ -193,6 +238,34 @@ object PipelineQueries {
                              ${md5LongSql("CAST(doc_id AS VARCHAR)", 8)} % $ShardBuckets AS bucket
                       FROM documents))
           GROUP BY bucket, shard ORDER BY bucket, shard""",
+    "q_decontaminate" ->
+      s"""WITH sh AS (SELECT doc_id, unnest(list_distinct(${shinglesSql("tk")})) AS sh
+                      FROM (SELECT doc_id, $toksT AS tk FROM documents)),
+            ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id < $EvalDocIds),
+            tr AS (SELECT doc_id, sh FROM sh WHERE doc_id >= $EvalDocIds),
+            ov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+                   FROM tr WHERE sh IN (SELECT sh FROM ev) GROUP BY doc_id)
+          SELECT t.doc_id, t.n_shingles, coalesce(ov.n_overlap, 0) AS n_overlap,
+                 ${e4Sql("coalesce(ov.n_overlap, 0) * 1.0 / t.n_shingles")} AS contam_e4,
+                 ${e4Sql("coalesce(ov.n_overlap, 0) * 1.0 / t.n_shingles")} > $ContamThresholdE4 AS flagged
+          FROM (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+                FROM tr GROUP BY doc_id) t
+          LEFT JOIN ov ON t.doc_id = ov.doc_id
+          ORDER BY t.doc_id""",
+    "q_curation_filter" ->
+      s"""SELECT reason, CAST(count(*) AS BIGINT) AS n_docs FROM (
+            SELECT CASE WHEN n_tok < 5 THEN 'too_short'
+                        WHEN n_tok > 1000 THEN 'too_long'
+                        WHEN n_sh > 0 AND (1.0 - n_dsh * 1.0 / n_sh) > 0.6 THEN 'repetitive'
+                        WHEN n_stop * 1.0 / n_tok < $EnRatioThreshold THEN 'low_stopword'
+                        ELSE 'kept' END AS reason
+            FROM (SELECT CAST(len(tk) AS BIGINT) AS n_tok,
+                         CAST(len(list_filter(tk, x -> x IN (${Stopwords.map(w => s"'$w'").mkString(", ")}))) AS BIGINT) AS n_stop,
+                         CAST(len(sh) AS BIGINT) AS n_sh,
+                         CAST(len(list_distinct(sh)) AS BIGINT) AS n_dsh
+                  FROM (SELECT tk, ${shinglesSql("tk")} AS sh
+                        FROM (SELECT $toksT AS tk FROM documents))))
+          GROUP BY reason ORDER BY reason""",
     "q_quantiles" ->
       s"""SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
                  max(CASE WHEN rn = (n + 1) // 2 THEN tok END) AS p50_tokens,
