@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.{MinShingleHash, WordShingles}
+import graft.functions.{MinShingleHash, VectorDot, WordShingles}
 import graft.operators.Params
 
 /** SQL-surface registration of the library's native expressions, so
@@ -19,6 +19,8 @@ import graft.operators.Params
   *    (default n = [[Params.ShingleN]]).
   *  - `min_shingle_hash(text[, n])` — min md5-hex over the n-shingles
   *    (1-permutation MinHash fingerprint); NULL below n tokens.
+  *  - `vector_dot(a, b)` — ordered dot product over float/double arrays
+  *    (codegen'd; ≡ DuckDB `list_dot_product`).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -51,6 +53,13 @@ object GraftExtensions {
         case Seq(text, n) => MinShingleHash(text, intLiteral(n, "min_shingle_hash"))
         case args => throw new IllegalArgumentException(
           s"min_shingle_hash expects (text[, n]), got ${args.length} arguments")
+      }),
+    (FunctionIdentifier("vector_dot"),
+      new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
+      {
+        case Seq(a, b) => VectorDot(a, b)
+        case args => throw new IllegalArgumentException(
+          s"vector_dot expects (a, b), got ${args.length} arguments")
       }))
 
   /** Register on an already-running session (tests, notebooks). */

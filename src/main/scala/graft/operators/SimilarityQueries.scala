@@ -20,8 +20,12 @@ import Params._
 object SimilarityQueries {
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+  /** Native codegen'd ordered dot (see [[graft.functions.VectorDot]]) —
+    * bit-identical to the `aggregate(zip_with(...))` HOF composition it
+    * replaced and to DuckDB's `list_dot_product`, without the
+    * per-element interpreted dispatch. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorExpressions.vector_dot(a, b)
 
   /** vec_id, v (double array), nrm. */
   private def embWithNorm(s: SparkSession, d: String): DataFrame =
