@@ -75,6 +75,10 @@ object Params {
   val ShardBuckets = 8
   val ShardTokenBudget = 256L
 
+  /** Forward as-of tolerance (q_asof_forward): a next-signup match
+    * farther than this from the purchase becomes a miss. */
+  val AsOfToleranceMs: Long = 2L * 24 * 3600 * 1000
+
   /** Decontamination (q_decontaminate): docs below this id are the
     * held-out "benchmark"; training docs sharing more than
     * [[ContamThresholdE4]]/1e4 of their shingles with it are flagged. */

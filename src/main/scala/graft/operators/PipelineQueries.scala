@@ -50,6 +50,24 @@ object PipelineQueries {
           coalesce(col("signup_event_id"), lit(-1L)).as("signup_event_id"))
         .orderBy("user_id", "ts_ms", "event_id")
     }),
+    // Forward as-of with tolerance: each purchase picks up the EARLIEST
+    // signup at-or-after it, but only within the tolerance window — a
+    // farther match is a miss (pandas merge_asof semantics).
+    "q_asof_forward" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("user_id", "event_id", "ts_ms")
+      val signups = e.filter(col("event_type") === "signup")
+        .groupBy("user_id", "ts_ms")
+        .agg(max("event_id").as("signup_event_id"))
+        .withColumnRenamed("ts_ms", "signup_ts_ms")
+      TemporalJoins.asOf(purchases, signups, Seq("user_id"), "ts_ms", "signup_ts_ms",
+          direction = "forward", toleranceMs = Some(AsOfToleranceMs))
+        .select(col("user_id"), col("event_id"), col("ts_ms"),
+          coalesce(col("signup_ts_ms"), lit(-1L)).as("signup_ts_ms"),
+          coalesce(col("signup_event_id"), lit(-1L)).as("signup_event_id"))
+        .orderBy("user_id", "ts_ms", "event_id")
+    }),
     // Interval-containment join: non-error events attributed to the
     // disjoint "incident window" (error burst ± pad) containing them.
     "q_interval_join" -> ((s, d) => {
@@ -191,6 +209,17 @@ object PipelineQueries {
                           FROM $EventsSql WHERE event_type = 'signup' GROUP BY user_id, ts_ms) s
             ON p.user_id = s.user_id AND p.ts_ms >= s.signup_ts_ms
           ORDER BY p.user_id, p.ts_ms, p.event_id""",
+    "q_asof_forward" ->
+      s"""SELECT user_id, event_id, ts_ms,
+                 coalesce(CASE WHEN m_ts - ts_ms <= $AsOfToleranceMs THEN m_ts END, -1) AS signup_ts_ms,
+                 coalesce(CASE WHEN m_ts - ts_ms <= $AsOfToleranceMs THEN m_id END, -1) AS signup_event_id
+          FROM (
+            SELECT p.user_id, p.event_id, p.ts_ms, s.signup_ts_ms AS m_ts, s.signup_event_id AS m_id
+            FROM (SELECT user_id, event_id, ts_ms FROM $EventsSql WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (SELECT user_id, ts_ms AS signup_ts_ms, max(event_id) AS signup_event_id
+                            FROM $EventsSql WHERE event_type = 'signup' GROUP BY user_id, ts_ms) s
+              ON p.user_id = s.user_id AND p.ts_ms <= s.signup_ts_ms)
+          ORDER BY user_id, ts_ms, event_id""",
     "q_interval_join" ->
       s"""WITH iv AS (
             SELECT min(ts_ms) AS start_ms, max(ts_ms) + $IncidentPadMs AS end_ms

@@ -26,16 +26,27 @@ import org.apache.spark.sql.functions._
   */
 object TemporalJoins {
 
-  /** As-of (point-in-time) join: for each left row, attach the right row
-    * with the greatest `rightTs` ≤ `leftTs` within the same `by` group
-    * (inclusive — a right row at exactly `leftTs` matches). Left rows
-    * with no prior right row get nulls. Right payload columns (everything
-    * except `by`) must not clash with left column names; if several right
-    * rows share (`by`, `rightTs`) the survivor is unspecified — dedupe
-    * the right side first (e.g. aggregate per key+ts).
+  /** As-of (point-in-time) join. `backward` (default): for each left row,
+    * attach the right row with the greatest `rightTs` ≤ `leftTs` within
+    * the same `by` group; `forward`: the smallest `rightTs` ≥ `leftTs`.
+    * Both inclusive — a right row at exactly `leftTs` matches.
+    * `toleranceMs` bounds the match distance (a farther match becomes a
+    * miss, as in pandas `merge_asof`). Left rows with no match get
+    * nulls. Right payload columns (everything except `by`) must not
+    * clash with left column names; if several right rows share (`by`,
+    * `rightTs`) the survivor is unspecified — dedupe the right side
+    * first (e.g. aggregate per key+ts).
     */
   def asOf(left: DataFrame, right: DataFrame, by: Seq[String],
-           leftTs: String, rightTs: String): DataFrame = {
+           leftTs: String, rightTs: String,
+           direction: String = "backward",
+           toleranceMs: Option[Long] = None): DataFrame = {
+    val backward = direction match {
+      case "backward" => true
+      case "forward" => false
+      case other => throw new IllegalArgumentException(
+        s"asOf direction must be backward|forward, got $other")
+    }
     val rPayload = right.columns.filterNot(by.contains).toSeq
     require(rPayload.nonEmpty, "right side has no payload columns")
     val clash = rPayload.toSet.intersect(left.columns.toSet)
@@ -50,14 +61,24 @@ object TemporalJoins {
       .withColumn("_side", lit(0))
       .withColumn("_r", rStruct)
       .select((by ++ Seq("_ats", "_side", "_r")).map(col): _*)
-    // _side orders right (0) before left (1) at equal timestamps → inclusive.
+    // backward walks time ascending, forward descending — either way the
+    // running `last` right row is the nearest eligible one, and _side
+    // orders right (0) before left (1) at equal timestamps → inclusive.
+    val ord = if (backward) col("_ats").asc else col("_ats").desc
     val w = Window.partitionBy(by.map(col): _*)
-      .orderBy(col("_ats"), col("_side"))
+      .orderBy(ord, col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l2.unionByName(r2, allowMissingColumns = true)
+    val matched = l2.unionByName(r2, allowMissingColumns = true)
       .withColumn("_m", last(col("_r"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
-      .select(left.columns.map(col) ++ rPayload.map(c => col(s"_m.$c").as(c)): _*)
+    val withTol = toleranceMs match {
+      case None => matched
+      case Some(t) =>
+        val dist = if (backward) col(leftTs) - col(s"_m.$rightTs")
+        else col(s"_m.$rightTs") - col(leftTs)
+        matched.withColumn("_m", when(dist <= t, col("_m"))) // else null: a miss
+    }
+    withTol.select(left.columns.map(col) ++ rPayload.map(c => col(s"_m.$c").as(c)): _*)
   }
 
   /** Join `points` to the disjoint `intervals` containing them

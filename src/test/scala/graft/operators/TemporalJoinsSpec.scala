@@ -38,6 +38,26 @@ class TemporalJoinsSpec extends AnyFunSuite {
       (3L, 50L, "d", -1L, "-"))) // no prior right row → nulls
   }
 
+  test("asOf forward: earliest right row at-or-after; tolerance turns far matches into misses") {
+    val sp = spark
+    import sp.implicits._
+    val left = Seq((1L, 100L, "a"), (1L, 200L, "b"), (2L, 50L, "c")).toDF("k", "ts", "tag")
+    val right = Seq((1L, 100L, "r100"), (1L, 150L, "r150"), (2L, 500L, "r500"))
+      .toDF("k", "rts", "rv")
+    def run(tol: Option[Long]) =
+      TemporalJoins.asOf(left, right, Seq("k"), "ts", "rts", "forward", tol)
+        .orderBy("k", "ts").select("k", "ts", "rts")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2)))
+    assert(run(None).toSeq == Seq(
+      (1L, 100L, 100L), // inclusive at equal ts
+      (1L, 200L, -1L), // nothing at-or-after 200
+      (2L, 50L, 500L))) // earliest ≥ 50
+    assert(run(Some(100L)).toSeq == Seq(
+      (1L, 100L, 100L), (1L, 200L, -1L),
+      (2L, 50L, -1L)), "match at distance 450 > tolerance 100 becomes a miss")
+  }
+
   test("intervalJoinBucketed: exact containment; multi-bucket intervals join once") {
     val sp = spark
     import sp.implicits._
