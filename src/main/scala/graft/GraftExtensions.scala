@@ -23,10 +23,13 @@ import graft.operators.Params
   *    (codegen'd; ≡ DuckDB `list_dot_product`).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (ident, info, builder) =>
       ext.injectFunction((ident, info, builder))
     }
+    // users write aggregate(zip_with(...)); plans run the native VectorDot
+    ext.injectOptimizerRule(_ => graft.plans.RewriteHofDotProduct)
+  }
 }
 
 object GraftExtensions {

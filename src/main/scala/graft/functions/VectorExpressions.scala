@@ -22,8 +22,11 @@ import org.apache.spark.sql.types._
   *
   * Summation is in element order, bit-identical to both the HOF
   * foldLeft it replaces and DuckDB's `list_dot_product` (the oracle
-  * twin). Null elements are not expected (embedding vectors); lengths
-  * are zipped to the shorter side. */
+  * twin). Corner semantics deliberately MATCH the HOF composition, so
+  * the [[graft.plans.RewriteHofDotProduct]] optimizer rule can swap one
+  * for the other without observable change: unequal lengths → null
+  * (zip_with pads with null, which poisons the fold) and a null element
+  * → null. */
 case class VectorDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -38,20 +41,26 @@ case class VectorDot(left: Expression, right: Expression)
         s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
   }
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "vector_dot"
 
   private def isFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private def mayHaveNullElems: Boolean =
+    left.dataType.asInstanceOf[ArrayType].containsNull ||
+      right.dataType.asInstanceOf[ArrayType].containsNull
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     val lf = isFloat(left)
     val rf = isFloat(right)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       acc += xv * yv
@@ -67,13 +76,21 @@ case class VectorDot(left: Expression, right: Expression)
       val acc = ctx.freshName("acc")
       val xe = if (isFloat(left)) s"(double) $x.getFloat($i)" else s"$x.getDouble($i)"
       val ye = if (isFloat(right)) s"(double) $y.getFloat($i)" else s"$y.getDouble($i)"
+      val nullElemCheck = if (mayHaveNullElems)
+        s"if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }"
+      else ""
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $xe * $ye;
+         |int $n = $x.numElements();
+         |if ($y.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullElemCheck
+         |    $acc += $xe * $ye;
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -104,6 +104,18 @@ object RelationalQueries {
           col("rev_e2"), col("n"))
         .orderBy("rflag", "lstatus")
     }),
+    // Semi-structured surface: JSON property extraction feeding a grouped
+    // aggregation (props is a JSON text column, as event payloads are in
+    // practice). Narrow extract + one hash-agg; per-row e2 scaling keeps
+    // the float sum order-independent across engines.
+    "q_json_extract" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(pmod(get_json_object(col("props"), "$.k").cast("long"), lit(10L)).as("kb"),
+          e2(col("value")).as("v2"))
+        .groupBy("kb")
+        .agg(count(lit(1)).as("n"), sum(col("v2")).as("value_sum_e2"))
+        .orderBy("kb")
+    }),
     // TPC-H Q1-shaped grouped aggregation (bench anchor; Spark partial-agg
     // map-side combine vs. the reference's combiner-less MR shuffle).
     "q_agg_summary" -> ((s, d) => {
@@ -164,6 +176,11 @@ object RelationalQueries {
                 CAST(count(*) AS BIGINT) AS n
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
          ORDER BY rflag, lstatus""",
+    "q_json_extract" ->
+      s"""SELECT CAST(json_extract_string(props, '$$.k') AS BIGINT) % 10 AS kb,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_sum_e2
+         FROM ${Params.EventsSql} GROUP BY kb ORDER BY kb""",
     "q_agg_summary" ->
       s"""SELECT l_returnflag, l_linestatus, ${Params.e2Sql("sum(l_quantity)")} AS sum_qty_e2,
                 ${Params.e2Sql("sum(l_extendedprice * (1.0 - l_discount))")} AS sum_disc_price_e2,

@@ -38,6 +38,36 @@ class VectorExpressionsSpec extends AnyFunSuite {
       s"${r.getDouble(0)} != ${r.getDouble(1)}"))
   }
 
+  test("corner semantics match the HOF form: unequal lengths and null elements → null") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq((Array(1.0, 2.0), Array(1.0, 2.0, 3.0)))
+      .toDF("a", "b")
+      .select(VectorExpressions.vector_dot(col("a"), col("b")).as("d"))
+    assert(df.head().isNullAt(0), "unequal lengths must yield null, as zip_with+fold does")
+    val withNullElem = spark.sql(
+      "SELECT array(1.0D, CAST(NULL AS DOUBLE)) AS a, array(1.0D, 2.0D) AS b")
+    assert(withNullElem.select(
+      VectorExpressions.vector_dot(col("a"), col("b"))).head().isNullAt(0))
+  }
+
+  test("optimizer rule rewrites the HOF dot idiom into vector_dot") {
+    val sp = spark
+    import sp.implicits._
+    sp.experimental.extraOptimizations = Seq(graft.plans.RewriteHofDotProduct)
+    try {
+      // a non-local source, or ConvertToLocalRelation folds the whole
+      // projection into literal rows before the plan can be inspected
+      val df = sp.range(1, 3)
+        .selectExpr("array(CAST(id AS DOUBLE), 2.0D) AS a", "array(3.0D, 4.0D) AS b")
+        .select(aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x).as("d"))
+      assert(df.queryExecution.optimizedPlan.toString.contains("vector_dot"),
+        s"HOF idiom not rewritten:\n${df.queryExecution.optimizedPlan}")
+      assert(df.orderBy("d").collect().map(_.getDouble(0)).toSeq == Seq(11.0, 14.0))
+    } finally sp.experimental.extraOptimizations = Nil
+  }
+
   test("float arrays promote per element, exactly as cast-then-multiply") {
     val sp = spark
     import sp.implicits._

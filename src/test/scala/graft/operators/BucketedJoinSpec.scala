@@ -13,13 +13,9 @@ import org.scalatest.funsuite.AnyFunSuite
 class BucketedJoinSpec extends AnyFunSuite {
 
   private lazy val spark = {
-    val wh = Files.createTempDirectory("graft-wh").toString
     val s = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.warehouse.dir", wh)
-      .config("spark.sql.autoBroadcastJoinThreshold", "-1") // force the issue
-      .config("spark.sql.ui.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
@@ -29,19 +25,39 @@ class BucketedJoinSpec extends AnyFunSuite {
   test("bucketed+sorted tables join with zero exchanges") {
     val sp = spark
     import sp.implicits._
-    val docs = (0L until 1000L).map(i => (i, s"text-$i")).toDF("doc_id", "text")
-    val scores = (0L until 1000L).map(i => (i, i * 2)).toDF("doc_id", "score")
-    docs.write.bucketBy(8, "doc_id").sortBy("doc_id")
-      .mode("overwrite").saveAsTable("b_docs")
-    scores.write.bucketBy(8, "doc_id").sortBy("doc_id")
-      .mode("overwrite").saveAsTable("b_scores")
+    // runtime conf, not builder conf: the JVM-wide test session is shared
+    // across suites, so builder-time settings may never apply here
+    val prevThreshold = sp.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    sp.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force a real join
+    try {
+      // a previously-crashed run can leave the managed location behind with
+      // no catalog entry — DROP TABLE alone won't clear it
+      for (t <- Seq("b_docs", "b_scores")) {
+        sp.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = new java.io.File(
+          sp.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+        if (loc.exists()) {
+          loc.listFiles().foreach(_.delete()); loc.delete()
+        }
+      }
+      val docs = (0L until 1000L).map(i => (i, s"text-$i")).toDF("doc_id", "text")
+      val scores = (0L until 1000L).map(i => (i, i * 2)).toDF("doc_id", "score")
+      docs.write.bucketBy(8, "doc_id").sortBy("doc_id")
+        .mode("overwrite").saveAsTable("b_docs")
+      scores.write.bucketBy(8, "doc_id").sortBy("doc_id")
+        .mode("overwrite").saveAsTable("b_scores")
 
-    val joined = sp.table("b_docs").join(sp.table("b_scores"), "doc_id")
-    assert(joined.count() == 1000)
-    val plan = joined.queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"),
-      s"bucketed join must not shuffle either side:\n$plan")
-    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
-      s"expected a non-broadcast join over bucketed scans:\n$plan")
+      val joined = sp.table("b_docs").join(sp.table("b_scores"), "doc_id")
+      assert(joined.count() == 1000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a non-broadcast join over bucketed scans:\n$plan")
+    } finally {
+      sp.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      sp.sql("DROP TABLE IF EXISTS b_docs")
+      sp.sql("DROP TABLE IF EXISTS b_scores")
+    }
   }
 }
