@@ -42,7 +42,19 @@ final case class CompressionInfo(chunkLength: Int, dataLength: Long,
 
 object CompressionInfo {
   val SnappyAlgorithm = "SnappyCompressor"
+  val DeflateAlgorithm = "DeflateCompressor"
+  val Algorithms: Set[String] = Set(SnappyAlgorithm, DeflateAlgorithm)
   val DefaultChunkLength = 64 * 1024
+
+  /** Accepts either the Cassandra compressor class name or a short
+    * alias ("snappy" / "deflate"). */
+  def algorithmFor(name: String): String = name match {
+    case SnappyAlgorithm | "snappy" => SnappyAlgorithm
+    case DeflateAlgorithm | "deflate" => DeflateAlgorithm
+    case other => throw new IllegalArgumentException(
+      s"unsupported compression algorithm '$other' " +
+        s"(supported: snappy, deflate)")
+  }
 
   def write(out: DataOutputStream, info: CompressionInfo): Unit = {
     out.writeUTF(info.algorithm)
@@ -55,9 +67,9 @@ object CompressionInfo {
 
   def read(in: DataInputStream): CompressionInfo = {
     val algorithm = in.readUTF()
-    if (algorithm != SnappyAlgorithm)
+    if (!Algorithms.contains(algorithm))
       throw new CorruptSSTableException(
-        s"unsupported compression algorithm '$algorithm' (only $SnappyAlgorithm)")
+        s"unsupported compression algorithm '$algorithm' (supported: ${Algorithms.mkString(", ")})")
     val optionCount = in.readInt()
     if (optionCount < 0 || optionCount > 64)
       throw new CorruptSSTableException(s"CompressionInfo absurd option count $optionCount")
@@ -77,11 +89,67 @@ object CompressionInfo {
 final class CorruptSSTableException(msg: String, cause: Throwable = null)
     extends java.io.IOException(msg, cause)
 
+/** Per-chunk compression codec, selected by the CompressionInfo
+  * algorithm string — Cassandra 1.2 shipped `SnappyCompressor` and
+  * `DeflateCompressor` (zlib-wrapped `java.util.zip.Deflater`, its
+  * default level). */
+private[sstable] sealed trait ChunkCodec {
+  def compress(raw: Array[Byte]): Array[Byte]
+  def uncompress(comp: Array[Byte], maxRawLen: Int): Array[Byte]
+}
+
+private[sstable] object ChunkCodec {
+  def forAlgorithm(algorithm: String): ChunkCodec = algorithm match {
+    case CompressionInfo.SnappyAlgorithm => SnappyCodec
+    case CompressionInfo.DeflateAlgorithm => DeflateCodec
+    case other => throw new CorruptSSTableException(s"no codec for '$other'")
+  }
+
+  object SnappyCodec extends ChunkCodec {
+    def compress(raw: Array[Byte]): Array[Byte] = Snappy.compress(raw)
+    def uncompress(comp: Array[Byte], maxRawLen: Int): Array[Byte] =
+      Snappy.uncompress(comp)
+  }
+
+  object DeflateCodec extends ChunkCodec {
+    def compress(raw: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      try {
+        d.setInput(raw); d.finish()
+        val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+        val buf = new Array[Byte](8192)
+        while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+        out.toByteArray
+      } finally d.end()
+    }
+    def uncompress(comp: Array[Byte], maxRawLen: Int): Array[Byte] = {
+      val inf = new java.util.zip.Inflater()
+      try {
+        inf.setInput(comp)
+        val out = new Array[Byte](maxRawLen)
+        var n = 0
+        while (!inf.finished() && n < maxRawLen) {
+          val got = inf.inflate(out, n, maxRawLen - n)
+          if (got == 0 && !inf.finished())
+            throw new CorruptSSTableException("deflate chunk truncated or corrupt")
+          n += got
+        }
+        java.util.Arrays.copyOf(out, n)
+      } catch {
+        case e: java.util.zip.DataFormatException =>
+          throw new CorruptSSTableException("deflate chunk corrupt", e)
+      } finally inf.end()
+    }
+  }
+}
+
 /** Uncompressed-domain view over a chunk-compressed physical stream.
   * `seek`/`read` address uncompressed positions; chunks are located via
-  * CompressionInfo offsets, decompressed on demand, one chunk cached. */
-final class SnappyChunkedInput(physical: SeekableInput, info: CompressionInfo)
+  * CompressionInfo offsets, decompressed on demand (codec from the
+  * header's algorithm), one chunk cached. */
+final class CompressedChunkedInput(physical: SeekableInput, info: CompressionInfo)
     extends SeekableInput {
+  private val codec = ChunkCodec.forAlgorithm(info.algorithm)
   private var pos = 0L
   private var cachedChunk = -1
   private var cached: Array[Byte] = _
@@ -103,7 +171,7 @@ final class SnappyChunkedInput(physical: SeekableInput, info: CompressionInfo)
     val comp = new Array[Byte](compLen.toInt)
     physical.readFully(comp)
     val expectedCrc = physical.asDataInput.readInt()
-    val raw = Snappy.uncompress(comp)
+    val raw = codec.uncompress(comp, info.chunkLength)
     val adler = new Adler32
     adler.update(raw)
     if (adler.getValue.toInt != expectedCrc)
@@ -129,10 +197,12 @@ final class SnappyChunkedInput(physical: SeekableInput, info: CompressionInfo)
   def close(): Unit = physical.close()
 }
 
-/** Chunking Snappy writer: buffers up to `chunkLength` uncompressed bytes,
-  * flushes each as `[compressed][u32 adler32(uncompressed)]`, records
-  * offsets for CompressionInfo. */
-final class SnappyChunkedOutput(sink: DataOutputStream, chunkLength: Int) {
+/** Chunking compressed writer: buffers up to `chunkLength` uncompressed
+  * bytes, flushes each as `[compressed][u32 adler32(uncompressed)]`,
+  * records offsets for CompressionInfo. */
+final class CompressedChunkedOutput(sink: DataOutputStream, chunkLength: Int,
+    algorithm: String = CompressionInfo.SnappyAlgorithm) {
+  private val codec = ChunkCodec.forAlgorithm(algorithm)
   private val buf = new Array[Byte](chunkLength)
   private var used = 0
   private var uncompressedTotal = 0L
@@ -153,7 +223,7 @@ final class SnappyChunkedOutput(sink: DataOutputStream, chunkLength: Int) {
   private def flushChunk(): Unit = {
     if (used == 0) return
     val raw = java.util.Arrays.copyOf(buf, used)
-    val comp = Snappy.compress(raw)
+    val comp = codec.compress(raw)
     val adler = new Adler32
     adler.update(raw)
     offsets += physicalOffset
@@ -167,6 +237,6 @@ final class SnappyChunkedOutput(sink: DataOutputStream, chunkLength: Int) {
   /** Flush the tail chunk and return the CompressionInfo. */
   def finish(): CompressionInfo = {
     flushChunk()
-    CompressionInfo(chunkLength, uncompressedTotal, offsets.toArray)
+    CompressionInfo(chunkLength, uncompressedTotal, offsets.toArray, algorithm)
   }
 }

@@ -45,7 +45,7 @@ final class SSTableReader(val dataPath: String,
   def openData(): SeekableInput = {
     val phys = storage.open(dataPath)
     compressionInfo match {
-      case Some(ci) => new SnappyChunkedInput(phys, ci)
+      case Some(ci) => new CompressedChunkedInput(phys, ci)
       case None => phys
     }
   }

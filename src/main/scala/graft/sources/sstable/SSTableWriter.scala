@@ -22,12 +22,14 @@ final class SSTableWriter(dataPath: String,
                           summaryInterval: Int = IndexFile.DefaultSummaryInterval,
                           enforceSorted: Boolean = true,
                           bloomBitsPerKey: Int = FilterFile.DefaultBitsPerKey,
+                          algorithm: String = CompressionInfo.SnappyAlgorithm,
                           storage: Storage = LocalStorage) extends AutoCloseable {
   import SSTableFiles._
 
   private val dataOut = storage.create(dataPath)
   private val snappy =
-    if (compress) new SnappyChunkedOutput(dataOut, chunkLength) else null
+    if (compress) new CompressedChunkedOutput(dataOut, chunkLength,
+      CompressionInfo.algorithmFor(algorithm)) else null
 
   private val indexOut = storage.create(sibling(dataPath, IndexSuffix))
 

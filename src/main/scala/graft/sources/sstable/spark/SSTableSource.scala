@@ -58,6 +58,9 @@ object SSTableSource {
   val SummaryIntervalOption = "summaryinterval"
   /** Bloom filter density for written Filter.db files; 0 disables. */
   val BloomBitsPerKeyOption = "bloombitsperkey"
+  /** Chunk compression algorithm for written Data.db files: "snappy"
+    * (default) or "deflate" — the two compressors Cassandra 1.2 shipped. */
+  val CompressionAlgorithmOption = "compressionalgorithm"
   /** 128 MB uncompressed per partition by default (the reference used
     * 256 MB of compressed chunks, GenerateSSTableDataSplits.scala:238). */
   val DefaultTargetSplitBytes: Long = 128L * 1024 * 1024

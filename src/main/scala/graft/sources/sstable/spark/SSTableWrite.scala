@@ -92,8 +92,10 @@ final class SSTableBatchWrite(path: String, schema: StructType,
       IndexFile.DefaultSummaryInterval.toString).toInt
     val bloomBitsPerKey = properties.getOrElse(SSTableSource.BloomBitsPerKeyOption,
       FilterFile.DefaultBitsPerKey.toString).toInt
+    val algorithm = CompressionInfo.algorithmFor(properties.getOrElse(
+      SSTableSource.CompressionAlgorithmOption, CompressionInfo.SnappyAlgorithm))
     new SSTableWriterFactory(stagingDir, schema, compress, chunkLength,
-      summaryInterval, bloomBitsPerKey, serConf)
+      summaryInterval, bloomBitsPerKey, algorithm, serConf)
   }
 
   private def mkdirs(st: Storage, dir: String): Unit = st match {
@@ -167,8 +169,10 @@ final class SSTableStreamingWrite(path: String, schema: StructType,
       IndexFile.DefaultSummaryInterval.toString).toInt
     val bloomBitsPerKey = properties.getOrElse(SSTableSource.BloomBitsPerKeyOption,
       FilterFile.DefaultBitsPerKey.toString).toInt
+    val algorithm = CompressionInfo.algorithmFor(properties.getOrElse(
+      SSTableSource.CompressionAlgorithmOption, CompressionInfo.SnappyAlgorithm))
     new SSTableStreamingWriterFactory(stagingDir, schema, compress, chunkLength,
-      summaryInterval, bloomBitsPerKey, serConf)
+      summaryInterval, bloomBitsPerKey, algorithm, serConf)
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -207,6 +211,7 @@ final class SSTableStreamingWrite(path: String, schema: StructType,
 final class SSTableStreamingWriterFactory(stagingDir: String, schema: StructType,
                                           compress: Boolean, chunkLength: Int,
                                           summaryInterval: Int, bloomBitsPerKey: Int,
+                                          algorithm: String,
                                           serConf: Option[SerializableHadoopConf])
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
@@ -215,20 +220,26 @@ final class SSTableStreamingWriterFactory(stagingDir: String, schema: StructType
       .getOrElse(LocalStorage)
     new SSTablePartitionWriter(stagingDir, schema, partitionId, taskId, compress,
       chunkLength, summaryInterval, bloomBitsPerKey, storage,
-      fileStem = f"part-$partitionId%05d-epoch-$epochId")
+      fileStem = f"part-$partitionId%05d-epoch-$epochId", algorithm = algorithm)
   }
 }
 
 final class SSTableWriterFactory(stagingDir: String, schema: StructType,
                                  compress: Boolean, chunkLength: Int,
                                  summaryInterval: Int, bloomBitsPerKey: Int,
-                                 serConf: Option[SerializableHadoopConf])
+                                 serConf: Option[SerializableHadoopConf],
+                                 algorithm: String = CompressionInfo.SnappyAlgorithm)
     extends DataWriterFactory {
+  def this(stagingDir: String, schema: StructType, compress: Boolean,
+           chunkLength: Int, summaryInterval: Int, bloomBitsPerKey: Int,
+           algorithm: String, serConf: Option[SerializableHadoopConf]) =
+    this(stagingDir, schema, compress, chunkLength, summaryInterval,
+      bloomBitsPerKey, serConf, algorithm)
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val storage = serConf.map(c => new HadoopStorage(c.value): Storage)
       .getOrElse(LocalStorage)
     new SSTablePartitionWriter(stagingDir, schema, partitionId, taskId, compress,
-      chunkLength, summaryInterval, bloomBitsPerKey, storage)
+      chunkLength, summaryInterval, bloomBitsPerKey, storage, algorithm = algorithm)
   }
 }
 
@@ -240,13 +251,15 @@ final class SSTablePartitionWriter(stagingDir: String, schema: StructType,
                                    partitionId: Int, taskId: Long, compress: Boolean,
                                    chunkLength: Int, summaryInterval: Int,
                                    bloomBitsPerKey: Int, storage: Storage,
-                                   fileStem: String = null)
+                                   fileStem: String = null,
+                                   algorithm: String = CompressionInfo.SnappyAlgorithm)
     extends DataWriter[InternalRow] {
   private val dataPath =
     if (fileStem != null) s"$stagingDir/$fileStem-Data.db"
     else f"$stagingDir/part-$partitionId%05d-$taskId-Data.db"
   private val writer = new SSTableWriter(dataPath, compress, chunkLength,
-    summaryInterval, bloomBitsPerKey = bloomBitsPerKey, storage = storage)
+    summaryInterval, bloomBitsPerKey = bloomBitsPerKey, algorithm = algorithm,
+    storage = storage)
   private val keyIdx = schema.fieldIndex("key")
   private val colsIdx = if (schema.fieldNames.contains("columns")) schema.fieldIndex("columns") else -1
   private val colStruct = SSTableSchema.columnStruct

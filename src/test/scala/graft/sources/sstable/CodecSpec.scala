@@ -69,6 +69,21 @@ class CodecSpec extends AnyFunSuite {
   }
 
   // FIXTURES.md B5 "binary-keys": 0x00, high bytes, invalid UTF-8, empty.
+  test("round-trip deflate-compressed; header names DeflateCompressor") {
+    val p = tmpData("states-deflate")
+    val w = new SSTableWriter(p, compress = true, chunkLength = 256,
+      summaryInterval = 4, algorithm = "deflate")
+    try statesRows.foreach(w.append) finally w.close()
+    val r = new SSTableReader(p)
+    assert(r.compressed)
+    assert(r.compressionInfo.get.algorithm == CompressionInfo.DeflateAlgorithm)
+    assertRowsEqual(r.rows().toSeq, statesRows)
+    // a snappy reader decoding deflate chunks would fail the magic/adler —
+    // the algorithm string is what routes the codec; bad names fail loudly
+    assertThrows[IllegalArgumentException](
+      new SSTableWriter(tmpData("bad-algo"), algorithm = "lz77"))
+  }
+
   test("binary keys survive round-trip and sort unsigned") {
     val rows = sortedRows(Seq(
       SSTableRow(Array[Byte](), Seq(Column.Normal("n".getBytes, "empty-key".getBytes, 1L))),

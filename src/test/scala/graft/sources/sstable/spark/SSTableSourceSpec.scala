@@ -82,6 +82,21 @@ class SSTableSourceSpec extends AnyFunSuite {
     assert(scan(withFilter = true).count() == 21)
   }
 
+  test("deflate-compressed write round-trips through the source") {
+    val dir = freshDir()
+    val df = spark.range(200).selectExpr(
+      "CAST(concat('k', lpad(CAST(id AS STRING), 5, '0')) AS BINARY) AS key",
+      "array(named_struct('name', CAST('c' AS BINARY), 'state', 'NORMAL', " +
+        "'value', CAST(CAST(id AS STRING) AS BINARY), 'timestamp', id, " +
+        "'ttlSecs', 0L, 'expiresMillis', 0L)) AS columns")
+    df.write.format("sstable").option("compressionalgorithm", "deflate")
+      .option("chunkLength", "512").mode("overwrite").save(dir)
+    val back = spark.read.format("sstable").load(dir)
+    assert(back.count() == 200)
+    val ci = new SSTableReader(SSTableReader.listDataFiles(dir).head).compressionInfo
+    assert(ci.get.algorithm == CompressionInfo.DeflateAlgorithm)
+  }
+
   test("bloom filter skips whole files on point lookups for absent keys") {
     val dir = freshDir()
     writeFixture(dir)
