@@ -98,6 +98,47 @@ final class SSTableReader(val dataPath: String,
     } finally in.close()
   }
 
+  /** Cassandra's point-read path: bloom filter (definitive miss → free
+    * no) → Summary binary search (in-memory, one entry per
+    * `summaryInterval` rows) → scan ≤ interval Index.db entries → one
+    * Data.db seek. Cost for a miss is O(1) memory probes; for a hit,
+    * one bounded index window + one row decode. Duplicate keys: returns
+    * the FIRST row with the key in file order. */
+  def get(key: Array[Byte]): Option[SSTableRow] = {
+    if (!mightContainKey(key)) return None
+    val (_, sum) = summary()
+    if (sum.isEmpty) return None
+    // last summary entry with entry.key <= key (unsigned order)
+    var lo = 0
+    var hi = sum.length - 1
+    if (compareKeys(sum(0).key, key) > 0) return None // before first key
+    while (lo < hi) {
+      val mid = (lo + hi + 1) >>> 1
+      if (compareKeys(sum(mid).key, key) <= 0) lo = mid else hi = mid - 1
+    }
+    val idxStart = sum(lo).indexOffset
+    val idxEnd = if (lo + 1 < sum.length) sum(lo + 1).indexOffset
+      else storage.length(sibling(dataPath, IndexSuffix))
+    val idxIn = storage.open(sibling(dataPath, IndexSuffix))
+    try {
+      idxIn.seek(idxStart)
+      val ir = new IndexReader(idxIn, idxEnd)
+      while (ir.hasNext) {
+        val e = ir.next()
+        val c = compareKeys(e.key, key)
+        if (c == 0) {
+          val in = openData()
+          try {
+            in.seek(e.dataOffset)
+            return Some(new DataReader(in).next())
+          } finally in.close()
+        }
+        if (c > 0) return None // sorted: passed the key
+      }
+      None
+    } finally idxIn.close()
+  }
+
   /** Plan row-aligned splits of ~targetBytes uncompressed data using only
     * Summary.db + O(#splits) point reads of Index.db. Covers every row
     * exactly once: split boundaries are row start offsets. `idxStart`/

@@ -175,6 +175,25 @@ class CodecSpec extends AnyFunSuite {
     assert(got.length == 40, s"pruning dropped duplicate-key rows: ${got.length}/40")
   }
 
+  test("point read: bloom → summary search → bounded index window → one row") {
+    val p = tmpData("pointread")
+    val rows = sortedRows((0 until 500).map(i =>
+      SSTableRow(f"row$i%05d".getBytes,
+        Seq(Column.Normal("c".getBytes, s"v$i".getBytes, i.toLong)))))
+    write(p, rows, compress = true)
+    val r = new SSTableReader(p)
+    // hits across summary windows (interval 4 → 125 windows)
+    for (i <- Seq(0, 1, 127, 128, 129, 250, 498, 499)) {
+      val got = r.get(f"row$i%05d".getBytes)
+      assert(got.isDefined, s"row$i missing")
+      assert(new String(got.get.columns.head.asInstanceOf[Column.Normal].value) == s"v$i")
+    }
+    // misses: before-first, between keys (bloom may pass; index must say no), after-last
+    assert(r.get("aaa".getBytes).isEmpty)
+    assert(r.get("row00250x".getBytes).isEmpty)
+    assert(r.get("zzz".getBytes).isEmpty)
+  }
+
   test("corruption fails loudly, not silently") {
     val p = tmpData("corrupt")
     write(p, statesRows, compress = true)
