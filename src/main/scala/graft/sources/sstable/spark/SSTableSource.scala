@@ -78,7 +78,8 @@ final class SSTableTable(properties: Map[String, String])
   override def schema(): StructType = SSTableSchema.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE)
+      TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SSTableScanBuilder(path, options)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -188,6 +189,13 @@ final class SSTableScan(path: String, requiredSchema: StructType,
 
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
+
+  /** Streaming read: new SSTable generations become micro-batches (the
+    * Cassandra flush-ingestion model — see [[SSTableMicroBatchStream]]). */
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new SSTableMicroBatchStream(path, requiredSchema, targetSplitBytes,
+      ttlAsOfMs, serConf)
   override def description(): String = {
     val prune = if (keyLo.isDefined || keyHi.isDefined) " keyRangePruned" else ""
     val keyOnly = if (!requiredSchema.fieldNames.contains("columns")) " indexOnly" else ""

@@ -64,4 +64,32 @@ class StreamingSinkSpec extends AnyFunSuite {
       .collect().map(r => (new String(r.getAs[Array[Byte]](0)), r.getLong(1)))
     assert(aRow.toSeq == Seq(("v2", 20L)))
   }
+
+  test("streaming source: newly landed generations arrive as micro-batches, exactly once") {
+    val dir = Files.createTempDirectory("sstable-stream-src").toString
+
+    def writeGen(prefix: String, keys: Seq[String]): Unit = {
+      val w = new graft.sources.sstable.SSTableWriter(s"$dir/$prefix-Data.db",
+        compress = true, chunkLength = 512, summaryInterval = 8)
+      keys.sorted.foreach(k => w.append(graft.sources.sstable.SSTableRow(
+        k.getBytes, Seq(graft.sources.sstable.Column.Normal(
+          "c".getBytes, s"$prefix-$k".getBytes, 1L)))))
+      w.close()
+    }
+    writeGen("gen1", Seq("a", "b"))
+
+    val q = spark.readStream.format("sstable").load(dir)
+      .select(col("key").cast("string").as("k"))
+      .writeStream.outputMode("append").format("memory").queryName("sst_stream")
+      .option("checkpointLocation", Files.createTempDirectory("sst-src-ck").toString)
+      .start()
+    q.processAllAvailable()
+    writeGen("gen2", Seq("c", "d")) // a new generation lands mid-stream
+    q.processAllAvailable()
+    q.processAllAvailable() // no new files -> no duplicate batch
+    q.stop()
+
+    val keys = spark.table("sst_stream").collect().map(_.getString(0)).sorted
+    assert(keys.toSeq == Seq("a", "b", "c", "d"), s"got ${keys.mkString(", ")}")
+  }
 }
