@@ -160,7 +160,12 @@ object SimilarityQueries {
     "q_ann_kmeans" -> ((s, d) => {
       val e = embWithNorm(s, d)
       val (assigned, cent) = kmediansCells(e, KMedK, KMedIters)
-      val q = assigned.filter(col("vec_id") < KnnQueryIds)
+      // query + brute-force sides read the RAW vector relation: their
+      // values are identical to assigned's (training only adds `cell`),
+      // and routing them through `assigned` would re-run the whole Lloyd
+      // pipeline once per consumer. Only the probe ranking and the IVF
+      // candidate join need the trained cells.
+      val q = e.filter(col("vec_id") < KnnQueryIds)
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
       val c = assigned.select(col("vec_id").as("c_id"), col("cell"),
         col("v").as("cv"), col("nrm").as("cn"))
@@ -168,7 +173,8 @@ object SimilarityQueries {
       val ivf = topK(broadcast(probes).join(c, "cell")
           .filter(col("q_id") =!= col("c_id")))
         .select(col("q_id").as("q_id_i"), col("c_id").as("c_id_i"))
-      val bf = topK(broadcast(q).crossJoin(c.drop("cell"))
+      val bf = topK(broadcast(q).crossJoin(
+            e.select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn")))
           .filter(col("q_id") =!= col("c_id")))
         .select(col("q_id"), col("c_id"))
       bf.join(broadcast(ivf),
