@@ -9,15 +9,24 @@ import graft.sources.sstable._
   * SSTable generations are immutable once committed (the staged-commit
   * write paths rename complete filesets in), so "new data" is exactly
   * "new files" — the Cassandra memtable-flush ingestion model. The
-  * offset serializes as one file name per line; growth is O(#files),
-  * acceptable at generation granularity (compaction keeps it bounded). */
+  * offset serializes as a single-line JSON array (Spark's offset log is
+  * line-oriented — a newline inside an offset would corrupt checkpoint
+  * recovery); growth is O(#files), acceptable at generation granularity
+  * (compaction keeps it bounded). */
 final case class SSTableOffset(files: Set[String]) extends Offset {
-  override def json(): String = files.toSeq.sorted.mkString("\n")
+  override def json(): String = {
+    import org.json4s.JsonDSL._
+    org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(files.toSeq.sorted))
+  }
 }
 
 object SSTableOffset {
-  def fromJson(s: String): SSTableOffset =
-    SSTableOffset(if (s.isEmpty) Set.empty else s.split('\n').toSet)
+  def fromJson(s: String): SSTableOffset = {
+    implicit val fmt: org.json4s.Formats = org.json4s.DefaultFormats
+    SSTableOffset(org.json4s.jackson.JsonMethods.parse(s)
+      .extract[List[String]].toSet)
+  }
 }
 
 /** Micro-batch streaming read over an SSTable directory: every batch
