@@ -131,6 +131,21 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(exchanges <= 1, s"repetition scoring must not shuffle (only the order-by):\n$plan")
   }
 
+  test("q_decontaminate: eval shingles broadcast into a semi-join; no pairwise doc join") {
+    val plan = finalPlan("q_decontaminate").split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"eval-set membership should be a broadcast left-semi join:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"decontamination must never go pairwise:\n$plan")
+  }
+
+  test("q_json_extract: narrow extract + one aggregation shuffle") {
+    val plan = finalPlan("q_json_extract").split("== Initial Plan ==").head
+    val exchanges = "Exchange (hash|range)partitioning".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"expected agg + order-by exchanges only, got $exchanges:\n$plan")
+    assert(plan.contains("partial_"), s"no map-side partial aggregation:\n$plan")
+  }
+
   test("q_range_splits: row-level windows are partitioned; only the per-range summary is globally ordered") {
     val plan = finalPlan("q_range_splits").split("== Initial Plan ==").head
     // A window spec that STARTS with the ts ordering column has no
