@@ -75,6 +75,9 @@ object Params {
   val ShardBuckets = 8
   val ShardTokenBudget = 256L
 
+  /** Stratified sampling (q_stratified): docs kept per language stratum. */
+  val StratumK = 50
+
   /** Forward as-of tolerance (q_asof_forward): a next-signup match
     * farther than this from the purchase becomes a miss. */
   val AsOfToleranceMs: Long = 2L * 24 * 3600 * 1000

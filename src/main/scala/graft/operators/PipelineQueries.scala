@@ -181,6 +181,20 @@ object PipelineQueries {
         .groupBy("reason").agg(count(lit(1)).as("n_docs"))
         .orderBy("reason")
     }),
+    // Deterministic stratified sampling: exactly min(K, |stratum|) docs
+    // per language, chosen by hash order — a balanced, rerun-stable
+    // uniform sample without replacement. One shuffle on the stratum
+    // key; stratum skew is bounded by the per-language row counts.
+    "q_stratified" -> ((s, d) => {
+      val h = md5Long(col("doc_id").cast("string"), 8)
+      val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), h.as("h"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= StratumK)
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    }),
     // Exact per-group rank-statistic percentiles (p50/p90 token counts):
     // deterministic discrete percentile — value at rank ceil(q·n).
     "q_quantiles" -> ((s, d) => {
@@ -295,6 +309,13 @@ object PipelineQueries {
                   FROM (SELECT tk, ${shinglesSql("tk")} AS sh
                         FROM (SELECT $toksT AS tk FROM documents))))
           GROUP BY reason ORDER BY reason""",
+    "q_stratified" ->
+      s"""SELECT lang, doc_id FROM (
+            SELECT lang, doc_id,
+                   row_number() OVER (PARTITION BY lang
+                     ORDER BY ${md5LongSql("CAST(doc_id AS VARCHAR)", 8)}, doc_id) AS rn
+            FROM documents)
+          WHERE rn <= $StratumK ORDER BY lang, doc_id""",
     "q_quantiles" ->
       s"""SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
                  max(CASE WHEN rn = (n + 1) // 2 THEN tok END) AS p50_tokens,
