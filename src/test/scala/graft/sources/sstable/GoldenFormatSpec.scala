@@ -44,6 +44,63 @@ class GoldenFormatSpec extends AnyFunSuite {
     assert(got == want, s"fixture bytes changed (Data/Index/Summary): $got")
   }
 
+  test("reader accepts a hand-authored fileset (bytes written from the format doc, not our writer)") {
+    // The inverse direction of the field-by-field pin: these bytes are
+    // laid down with raw DataOutputStream calls straight from the
+    // Cassandra 1.2 layout — if the reader parses them, it parses
+    // externally produced files, not merely its own writer's output.
+    val dir = Files.createTempDirectory("golden-hand").toFile
+    dir.deleteOnExit()
+    val dataPath = s"${dir.getPath}/hand-Data.db"
+
+    def out(p: String) = new java.io.DataOutputStream(new java.io.FileOutputStream(p))
+    val d = out(dataPath)
+    // row "aa": one NORMAL column c=v ts=7; body = 12 + 4 + (2+1+1+8+4+1)
+    d.writeShort(2); d.write("aa".getBytes)
+    d.writeLong(12L + 4 + 17)
+    d.writeInt(Int.MaxValue); d.writeLong(Long.MinValue) // LIVE
+    d.writeInt(1)
+    d.writeShort(1); d.write("c".getBytes)
+    d.writeByte(0); d.writeLong(7L)
+    d.writeInt(1); d.write("v".getBytes)
+    val row2Off = 2 + 2 + 8 + 12 + 4 + 17
+    // row "bb": one DELETED column ts=9_000_000 (localDeletionTime 9s)
+    d.writeShort(2); d.write("bb".getBytes)
+    d.writeLong(12L + 4 + (2 + 1 + 1 + 8 + 4 + 4))
+    d.writeInt(Int.MaxValue); d.writeLong(Long.MinValue)
+    d.writeInt(1)
+    d.writeShort(1); d.write("d".getBytes)
+    d.writeByte(0x01); d.writeLong(9000000L)
+    d.writeInt(4); d.writeInt(9)
+    d.close()
+
+    val ix = out(s"${dir.getPath}/hand-Index.db")
+    ix.writeShort(2); ix.write("aa".getBytes); ix.writeLong(0L); ix.writeInt(0)
+    ix.writeShort(2); ix.write("bb".getBytes); ix.writeLong(row2Off.toLong); ix.writeInt(0)
+    ix.close()
+
+    val sm = out(s"${dir.getPath}/hand-Summary.db")
+    sm.writeInt(128); sm.writeInt(1) // interval, entryCount
+    sm.writeLong(0L); sm.writeInt(2); sm.write("aa".getBytes)
+    sm.close()
+
+    val r = new SSTableReader(dataPath)
+    val rows = r.rows().toSeq
+    assert(rows.map(x => new String(x.key)) == Seq("aa", "bb"))
+    val Column.Normal(nn, nv, nts) = rows.head.columns.head: @unchecked
+    assert(new String(nn) == "c" && new String(nv) == "v" && nts == 7L)
+    val Column.Deleted(dn, dts) = rows(1).columns.head: @unchecked
+    assert(new String(dn) == "d" && dts == 9000000L)
+    // index + summary are readable and consistent
+    val idx = r.indexReader().toSeq
+    assert(idx.map(_.dataOffset) == Seq(0L, row2Off.toLong))
+    assert(r.planSplits(1L << 20).nonEmpty)
+    // point-read path over the hand-authored files (no Filter.db: bloom
+    // is optional, absent filter never prunes)
+    assert(r.get("bb".getBytes).isDefined)
+    assert(r.get("ab".getBytes).isEmpty)
+  }
+
   test("Data.db bytes follow the Cassandra 1.2 wire layout, field by field") {
     val dir = Files.createTempDirectory("golden-wire").toFile
     dir.deleteOnExit()
