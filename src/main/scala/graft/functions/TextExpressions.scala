@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.GraftColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native text expressions for the hot tokenize/shingle path.
@@ -135,6 +135,82 @@ case class MinShingleHash(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** One-pass full MinHash signature: all `perms` permutation minima over
+  * the text's word n-shingles, in a single tokenize→digest→update pass.
+  * Value-identical to the explode + `perms`-way min-aggregation
+  * formulation (pinned by TextExpressionsSpec) with a fundamentally
+  * better plan shape: signature computation becomes a NARROW projection
+  * — no explode, no shuffle, no 64-column aggregation buffer — which is
+  * the difference between "one pass over the corpus" and "shuffle the
+  * corpus's shingles" at 100 TB. Permutation `i` is
+  * `(A_i·h + B_i) mod P` over the 32-bit md5-derived base hash `h`
+  * (constants shared with the oracle via `Params.minHashA/B/P`).
+  * Returns an EMPTY array when the text has fewer than `n` tokens —
+  * matching the aggregation formulation, where such docs produce no
+  * shingle rows and therefore no output row (callers filter empties). */
+case class MinHashSignature(child: Expression, n: Int,
+                            as: Seq[Long], bs: Seq[Long], permP: Long)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1 && as.nonEmpty && as.length == bs.length,
+    s"invalid shingle width $n / coefficient arrays ${as.length}/${bs.length}")
+  private def perms: Int = as.length
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  @transient private lazy val sep: Pattern = Pattern.compile("[^a-z]+")
+  @transient private lazy val digest = java.security.MessageDigest.getInstance("MD5")
+  @transient private lazy val aArr: Array[Long] = as.toArray
+  @transient private lazy val bArr: Array[Long] = bs.toArray
+
+  /** First 8 hex chars of md5 = first 4 bytes, big-endian unsigned —
+    * exactly `Params.md5Long(c, 8)` / the oracle's
+    * `('0x' || substring(md5(c), 1, 8))::BIGINT`. */
+  private def baseHash(s: String): Long = {
+    digest.reset()
+    val d = digest.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString.toLowerCase
+    val raw = sep.split(text, -1)
+    var m = 0
+    val toks = new Array[String](raw.length)
+    var i = 0
+    while (i < raw.length) {
+      if (raw(i).nonEmpty) { toks(m) = raw(i); m += 1 }
+      i += 1
+    }
+    if (m < n) return new GenericArrayData(Array.emptyLongArray)
+    val sigs = Array.fill(perms)(Long.MaxValue)
+    val sb = new java.lang.StringBuilder(48)
+    i = 0
+    while (i <= m - n) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks(i + k))
+        k += 1
+      }
+      val h = baseHash(sb.toString)
+      var p = 0
+      while (p < perms) {
+        val v = (h * aArr(p) + bArr(p)) % permP
+        if (v < sigs(p)) sigs(p) = v
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sigs)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   /** `word_shingles(text, n)`: lowercase-alpha word n-gram shingles of a
     * text column, joined by single spaces. */
@@ -145,4 +221,12 @@ object TextExpressions {
     * `text`; NULL when the text has fewer than n tokens. */
   def min_shingle_hash(c: Column, n: Int): Column =
     GraftColumnBridge.column(MinShingleHash(GraftColumnBridge.expression(c), n))
+
+  /** `minhash_signature(text, n, A, B, P)`: the full MinHash signature
+    * (one long per permutation) in one narrow pass; empty array below
+    * `n` tokens. */
+  def minhash_signature(c: Column, n: Int, as: Seq[Long], bs: Seq[Long],
+                        permP: Long): Column =
+    GraftColumnBridge.column(MinHashSignature(
+      GraftColumnBridge.expression(c), n, as, bs, permP))
 }

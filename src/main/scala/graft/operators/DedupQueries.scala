@@ -42,29 +42,38 @@ object DedupQueries {
     * permutation) then cheap integer arithmetic; all values < 2^37 so the
     * arithmetic is overflow-safe in both Spark (wrapping) and DuckDB
     * (checked). */
-  private def permA(i: Int): Long = 2L * i + 1
-  private def permB(i: Int): Long = 999331L * i + 12345L
-  private val PermP = 4294967311L // prime > 2^32
+  private def permA(i: Int): Long = Params.minHashA(i)
+  private def permB(i: Int): Long = Params.minHashB(i)
+  private val PermP = Params.MinHashP
 
   /** Per-doc MinHash signatures + LSH band buckets; `perms`/`bands` are
     * per-call knobs (defaults [[Params.MinHashPerms]]/[[Params.MinHashBands]]).
-    * No pre-distinct: `min` is idempotent over duplicate shingles, so the
-    * dedup shuffle would be pure waste (one hash-agg total; all `perms`
-    * mins come out of the single pass). */
+    *
+    * Runs on the native one-pass [[graft.functions.MinHashSignature]]
+    * expression: signature computation is a NARROW projection — no
+    * shingle explode, no `perms`-column aggregation shuffle. The staged
+    * `_sig` projection matters: extracting 64 elements directly from the
+    * expression would re-evaluate it per element (the multi-reference
+    * HOF trap); a named intermediate column evaluates it once per row.
+    * Docs with fewer than [[Params.ShingleN]] tokens produce an empty
+    * signature and are filtered — identical to the aggregation
+    * formulation, where they contribute no shingle rows. */
   def minhashSignatures(docs: DataFrame, perms: Int = MinHashPerms,
                         bands: Int = MinHashBands): DataFrame = {
     require(perms % bands == 0, s"perms $perms must divide into bands $bands")
-    val sh = explodedShingles(docs, dedup = false)
-      .withColumn("h", md5Long(col("sh"), 8))
-    val sigs = (0 until perms).map(i =>
-      min((col("h") * permA(i) + permB(i)) % PermP).as(s"sig$i"))
     val rowsPerBand = perms / bands
-    val withSigs = sh.groupBy("doc_id").agg(sigs.head, sigs.tail: _*)
+    val sig = graft.functions.TextExpressions.minhash_signature(
+      col("text"), ShingleN,
+      (0 until perms).map(permA), (0 until perms).map(permB), PermP)
+    val staged = docs.select(col("doc_id"), sig.as("_sig"))
+      .filter(size(col("_sig")) > 0)
+      .select(col("doc_id") +:
+        (0 until perms).map(i => element_at(col("_sig"), i + 1).as(s"sig$i")): _*)
     val bandCols = (0 until bands).map { b =>
       val parts = (0 until rowsPerBand).map(r => col(s"sig${b * rowsPerBand + r}"))
       concat_ws(":", parts: _*).as(s"band$b")
     }
-    withSigs.select(col("doc_id") +: ((0 until perms).map(i => col(s"sig$i")) ++ bandCols): _*)
+    staged.select(col("doc_id") +: ((0 until perms).map(i => col(s"sig$i")) ++ bandCols): _*)
   }
 
   /** Candidate near-dup pairs: docs sharing any LSH band bucket. One

@@ -33,6 +33,13 @@ object Params {
     * ≈ 0.17 at j=0.5). Per-call overrides on the ops. */
   val MinHashPerms = 64
   val MinHashBands = 8
+  /** MinHash permutation i over the 32-bit md5-derived base hash:
+    * `(A_i·h + B_i) mod P` — shared by the native one-pass expression,
+    * the DataFrame formulation, and the DuckDB oracle; values < 2^37 so
+    * the arithmetic is overflow-safe in all three. */
+  def minHashA(i: Int): Long = 2L * i + 1
+  def minHashB(i: Int): Long = 999331L * i + 12345L
+  val MinHashP = 4294967311L // prime > 2^32
   /** SimHash width in bits — 60 = 15 md5 hex chars, the widest that fits
     * a signed BIGINT in both engines (64 would overflow DuckDB's
     * `('0x'||…)::BIGINT` and Spark's conv-cast alike). */

@@ -65,6 +65,38 @@ class TextExpressionsSpec extends AnyFunSuite {
         .digest("one two three".getBytes("UTF-8")).map(b => f"$b%02x").mkString)
   }
 
+  test("minhash_signature == explode + per-permutation min aggregation on real docs") {
+    val perms = 16
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val native = docs.select(col("doc_id"),
+        TextExpressions.minhash_signature(col("text"), Params.ShingleN,
+          (0 until perms).map(Params.minHashA),
+          (0 until perms).map(Params.minHashB), Params.MinHashP).as("sig"))
+      .filter(size(col("sig")) > 0)
+    // the aggregation formulation the oracle SQL mirrors
+    val agg = docs.select(col("doc_id"),
+        explode(Params.shingles(Params.toks(col("text")))).as("sh"))
+      .withColumn("h", Params.md5Long(col("sh"), 8))
+      .groupBy("doc_id")
+      .agg(array((0 until perms).map(i =>
+        min((col("h") * Params.minHashA(i) + Params.minHashB(i)) % Params.MinHashP)): _*)
+        .as("sig_agg"))
+    val joined = native.join(agg, "doc_id")
+    assert(joined.count() == 500)
+    assert(joined.filter(col("sig") =!= col("sig_agg")).count() == 0,
+      "native one-pass signature must equal the aggregation formulation")
+  }
+
+  test("minhash_signature: short text yields an empty signature") {
+    val sp = spark
+    import sp.implicits._
+    val out = Seq("one two", "").toDF("text")
+      .select(TextExpressions.minhash_signature(col("text"), 3,
+        Seq(1L, 3L), Seq(5L, 7L), Params.MinHashP).as("sig"))
+      .collect().map(_.getSeq[Long](0))
+    assert(out.forall(_.isEmpty), "fewer than n tokens -> empty, as the agg form drops the doc")
+  }
+
   test("null text yields null (UnaryExpression null propagation)") {
     import spark.implicits._
     val df = Seq(Option("x y z w"), None).toDF("text")

@@ -131,6 +131,14 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(exchanges <= 1, s"repetition scoring must not shuffle (only the order-by):\n$plan")
   }
 
+  test("q_minhash_signatures: narrow one-pass signatures — no aggregation shuffle") {
+    val plan = finalPlan("q_minhash_signatures").split("== Initial Plan ==").head
+    val exchanges = "Exchange (hash|range)partitioning".r.findAllIn(plan).size
+    assert(exchanges <= 1,
+      s"signatures must not shuffle (only the presentation order-by may):\n$plan")
+    assert(plan.contains("minhash_signature"), s"expected the native expression:\n$plan")
+  }
+
   test("q_decontaminate: eval shingles broadcast into a semi-join; no pairwise doc join") {
     val plan = finalPlan("q_decontaminate").split("== Initial Plan ==").head
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
