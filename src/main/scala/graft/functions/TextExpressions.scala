@@ -211,6 +211,78 @@ case class MinHashSignature(child: Expression, n: Int,
     copy(child = newChild)
 }
 
+/** One-pass SimHash over a document's DISTINCT tokens: each distinct
+  * token votes ±1 on every bit of its md5-derived `bits`-wide hash;
+  * the document hash sets bit j where the vote is strictly positive.
+  * Value-identical to the explode → per-doc distinct → `bits`-column
+  * vote aggregation (pinned by TextExpressionsSpec) with a narrow
+  * plan: no token explode, no distinct shuffle, no vote-sum
+  * aggregation. NULL for token-less docs — the aggregation form emits
+  * no row for them (callers filter). `bits` must be a multiple of 4
+  * (the hash is the first `bits/4` md5 hex chars, matching
+  * `Params.md5Long(token, bits/4)` and the oracle). */
+case class SimHash64(child: Expression, bits: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(bits >= 4 && bits % 4 == 0 && bits <= 60,
+    s"bits must be a multiple of 4 in [4, 60], got $bits")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "simhash64"
+
+  @transient private lazy val sep: Pattern = Pattern.compile("[^a-z]+")
+  @transient private lazy val digest = java.security.MessageDigest.getInstance("MD5")
+
+  /** First `bits/4` md5 hex chars parsed base-16 — nibble-exact twin of
+    * `conv(substring(md5(t), 1, bits/4), 16, 10)`. */
+  private def tokenHash(s: String): Long = {
+    digest.reset()
+    val d = digest.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val nibbles = bits / 4
+    var v = 0L
+    var i = 0
+    while (i < nibbles) {
+      val b = d(i / 2)
+      val nib = if (i % 2 == 0) (b >> 4) & 0xf else b & 0xf
+      v = (v << 4) | nib
+      i += 1
+    }
+    v
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString.toLowerCase
+    val raw = sep.split(text, -1)
+    val seen = new java.util.HashSet[String]()
+    val votes = new Array[Int](bits)
+    var i = 0
+    while (i < raw.length) {
+      val t = raw(i)
+      if (t.nonEmpty && seen.add(t)) {
+        val h = tokenHash(t)
+        var j = 0
+        while (j < bits) {
+          votes(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1)
+          j += 1
+        }
+      }
+      i += 1
+    }
+    if (seen.isEmpty) return null
+    var out = 0L
+    var j = 0
+    while (j < bits) {
+      if (votes(j) > 0) out |= 1L << j
+      j += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   /** `word_shingles(text, n)`: lowercase-alpha word n-gram shingles of a
     * text column, joined by single spaces. */
@@ -229,4 +301,9 @@ object TextExpressions {
                         permP: Long): Column =
     GraftColumnBridge.column(MinHashSignature(
       GraftColumnBridge.expression(c), n, as, bs, permP))
+
+  /** `simhash64(text, bits)`: majority-vote SimHash over distinct tokens
+    * in one narrow pass; NULL for token-less text. */
+  def simhash64(c: Column, bits: Int): Column =
+    GraftColumnBridge.column(SimHash64(GraftColumnBridge.expression(c), bits))
 }

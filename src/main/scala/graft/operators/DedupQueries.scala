@@ -91,20 +91,16 @@ object DedupQueries {
 
   /** Per-doc [[Params.SimHashBits]]-bit SimHash over distinct tokens
     * (bit j of a token = bit j of the md5-derived hash; doc bit j =
-    * majority vote). */
-  def simhash(docs: DataFrame): DataFrame = {
-    val tok = docs
-      .select(col("doc_id"), explode(toks(col("text"))).as("t"))
-      .distinct()
-      .withColumn("h", md5Long(col("t"), SimHashBits / 4))
-    val bitSums = (0 until SimHashBits).map(j =>
-      sum(when(shiftright(col("h"), j) % 2 === 1, 1).otherwise(-1)).as(s"s$j"))
-    val agg = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val hash = (0 until SimHashBits)
-      .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce[Column](_ + _)
-    agg.select(col("doc_id"), hash.as("simhash"))
-  }
+    * majority vote). Runs on the native one-pass
+    * [[graft.functions.SimHash64]] expression — a narrow projection
+    * (no token explode, no distinct shuffle, no 60-column vote agg);
+    * value parity with the aggregation formulation is spec-pinned.
+    * Token-less docs hash to NULL and are dropped, matching the
+    * aggregation form where they contribute no token rows. */
+  def simhash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        graft.functions.TextExpressions.simhash64(col("text"), SimHashBits).as("simhash"))
+      .filter(col("simhash").isNotNull)
 
   private def sampleDocs(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).filter(col("doc_id") < PairSampleIds)

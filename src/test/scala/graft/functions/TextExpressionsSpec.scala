@@ -97,6 +97,35 @@ class TextExpressionsSpec extends AnyFunSuite {
     assert(out.forall(_.isEmpty), "fewer than n tokens -> empty, as the agg form drops the doc")
   }
 
+  test("simhash64 == explode + distinct + per-bit vote aggregation on real docs") {
+    val bits = Params.SimHashBits
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val native = docs.select(col("doc_id"),
+      TextExpressions.simhash64(col("text"), bits).as("sh_native"))
+    // the aggregation formulation the oracle SQL mirrors
+    val tok = docs.select(col("doc_id"), explode(Params.toks(col("text"))).as("t"))
+      .distinct()
+      .withColumn("h", Params.md5Long(col("t"), bits / 4))
+    val bitSums = (0 until bits).map(j =>
+      sum(when(shiftright(col("h"), j) % 2 === 1, 1).otherwise(-1)).as(s"s$j"))
+    val agg = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), (0 until bits)
+        .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce[org.apache.spark.sql.Column](_ + _).as("sh_agg"))
+    val joined = native.join(agg, "doc_id")
+    assert(joined.count() == 500)
+    assert(joined.filter(col("sh_native") =!= col("sh_agg")).count() == 0,
+      "native one-pass simhash must equal the vote-aggregation formulation")
+  }
+
+  test("simhash64: token-less text yields null") {
+    val sp = spark
+    import sp.implicits._
+    val out = Seq("...", "actual words here").toDF("text")
+      .select(TextExpressions.simhash64(col("text"), 8).as("h")).collect()
+    assert(out(0).isNullAt(0) && !out(1).isNullAt(0))
+  }
+
   test("null text yields null (UnaryExpression null propagation)") {
     import spark.implicits._
     val df = Seq(Option("x y z w"), None).toDF("text")
