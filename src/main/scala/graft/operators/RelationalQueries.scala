@@ -177,7 +177,9 @@ object RelationalQueries {
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
          ORDER BY rflag, lstatus""",
     "q_json_extract" ->
-      s"""SELECT CAST(json_extract_string(props, '$$.k') AS BIGINT) % 10 AS kb,
+      // ((x % 10) + 10) % 10 mirrors Spark's pmod (always in [0,10)) —
+      // DuckDB's bare % keeps the dividend's sign (ADVICE r2 low)
+      s"""SELECT ((CAST(json_extract_string(props, '$$.k') AS BIGINT) % 10) + 10) % 10 AS kb,
                 CAST(count(*) AS BIGINT) AS n,
                 CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_sum_e2
          FROM ${Params.EventsSql} GROUP BY kb ORDER BY kb""",

@@ -89,10 +89,17 @@ object FilterFile {
   }
 }
 
-/** MurmurHash3 x64 128-bit — Austin Appleby's public-domain algorithm,
-  * the hash behind Cassandra 1.2's `Murmur3BloomFilter`
-  * (`MurmurHash.hash3_x64_128`, seed 0). Little-endian block assembly
-  * with unsigned tail bytes, exactly as the canonical implementation. */
+/** MurmurHash3 x64 128-bit as Cassandra 1.2 computes it
+  * (`MurmurHash.hash3_x64_128`, seed 0) — Austin Appleby's public-domain
+  * algorithm with Cassandra's well-known Java quirk: tail bytes are
+  * SIGN-EXTENDED (`(long) data.get(i)`, no `& 0xff`), unlike the
+  * canonical C/Guava variant. Every Cassandra driver reproduces this
+  * deliberately; diverging from it would make bloom probes against real
+  * Cassandra-written Filter.db files yield false NEGATIVES for keys whose
+  * tail (len % 16 trailing bytes) contains a byte ≥ 0x80 — silently
+  * dropping present rows on point lookups. Body blocks remain unsigned
+  * little-endian, identical to canonical. For ASCII-only tails (all
+  * bytes < 0x80) the two variants agree. */
 object MurmurHash3x64 {
   private final val C1 = 0x87c37b91114253d5L
   private final val C2 = 0x4cf5ad432745937fL
@@ -133,19 +140,22 @@ object MurmurHash3x64 {
     }
 
     // fallthrough-free tail: accumulate the remaining bytes explicitly
-    // (equivalent to the reference switch with its fallthrough cases)
+    // (equivalent to Cassandra's switch with its fallthrough cases).
+    // data(i).toLong sign-extends — Cassandra's `(long) data.get(i)`
+    // quirk; do NOT mask with & 0xffL here (that's the Guava variant,
+    // and it breaks interop with real Cassandra Filter.db files).
     val tail = nBlocks * 16
     var k1 = 0L
     var k2 = 0L
     val rem = len & 15
     if (rem > 8) {
       var i = rem - 1
-      while (i >= 8) { k2 ^= (data(tail + i) & 0xffL) << ((i - 8) * 8); i -= 1 }
+      while (i >= 8) { k2 ^= data(tail + i).toLong << ((i - 8) * 8); i -= 1 }
       k2 *= C2; k2 = rotl(k2, 33); k2 *= C1; h2 ^= k2
     }
     if (rem > 0) {
       var i = math.min(rem, 8) - 1
-      while (i >= 0) { k1 ^= (data(tail + i) & 0xffL) << (i * 8); i -= 1 }
+      while (i >= 0) { k1 ^= data(tail + i).toLong << (i * 8); i -= 1 }
       k1 *= C1; k1 = rotl(k1, 31); k1 *= C2; h1 ^= k1
     }
 

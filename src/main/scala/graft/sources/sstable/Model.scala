@@ -35,6 +35,14 @@ object SSTableFiles {
   val AllSuffixes: Seq[String] =
     Seq(DataSuffix, IndexSuffix, SummarySuffix, CompressionSuffix, FilterSuffix)
 
+  /** Commit-ordering contract: readers discover filesets by listing
+    * `*-Data.db`, so a visible Data.db must imply its siblings are in
+    * place. Publish renames siblings FIRST and Data.db LAST; conversely,
+    * unpublish (overwrite/truncate) deletes Data.db FIRST so the set
+    * vanishes from listings before any sibling goes missing. */
+  val PublishOrderSuffixes: Seq[String] =
+    Seq(IndexSuffix, SummarySuffix, CompressionSuffix, FilterSuffix, DataSuffix)
+
   def sibling(dataPath: String, suffix: String): String = {
     require(dataPath.endsWith(DataSuffix), s"not a Data.db path: $dataPath")
     dataPath.dropRight(DataSuffix.length) + suffix

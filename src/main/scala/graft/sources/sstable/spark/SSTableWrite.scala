@@ -79,6 +79,8 @@ final class SSTableBatchWrite(path: String, schema: StructType,
     val st = storage
     if (truncate && st.exists(path))
       st.listDataFiles(path).foreach { data =>
+        // AllSuffixes leads with Data.db: the set disappears from reader
+        // listings before any sibling is removed (unpublish order)
         SSTableFiles.AllSuffixes.foreach { suf =>
           val f = SSTableFiles.sibling(data, suf)
           if (st.exists(f)) st.delete(f)
@@ -103,12 +105,14 @@ final class SSTableBatchWrite(path: String, schema: StructType,
     case _ => // Hadoop create() makes parents; nothing to do
   }
 
-  /** Rename the winning attempts' staged files into the target dir. */
+  /** Rename the winning attempts' staged files into the target dir —
+    * siblings first, Data.db LAST, so a concurrent reader that lists a
+    * Data.db always finds its complete fileset (ADVICE r2 medium). */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val st = storage
     messages.foreach {
       case SSTableCommit(staged) => staged.foreach { data =>
-        SSTableFiles.AllSuffixes.foreach { suf =>
+        SSTableFiles.PublishOrderSuffixes.foreach { suf =>
           val src = SSTableFiles.sibling(data, suf)
           if (st.exists(src)) {
             val name = src.substring(src.lastIndexOf('/') + 1)
@@ -135,12 +139,18 @@ final class SSTableBatchWrite(path: String, schema: StructType,
 }
 
 /** Streaming (micro-batch) write: tasks stage under
-  * `_streaming-staging/`, and epoch commit renames winners into the
-  * target. File names are `(partition, epoch)`-deterministic — no task
-  * id — so a replayed epoch (driver recovery re-running a committed
-  * micro-batch) renames onto the same names instead of duplicating
-  * rows: the sink is idempotent per epoch, giving effective
-  * exactly-once on top of Spark's at-least-once epoch replay. */
+  * `_streaming-staging/` with ATTEMPT-UNIQUE names (taskId in the stem,
+  * so concurrent attempts of one task — speculation, zombie retries —
+  * can never interleave bytes in a shared staged file; ADVICE r2
+  * medium), and epoch commit renames the winning attempt onto the
+  * `(partition, epoch)`-deterministic published name. A replayed epoch
+  * (driver recovery re-running a committed micro-batch) therefore
+  * renames onto the same names instead of duplicating rows: the sink is
+  * idempotent per epoch, giving effective exactly-once on top of
+  * Spark's at-least-once epoch replay. Publish order is siblings-first,
+  * Data.db last (and Data.db deleted first on replay overwrite), so the
+  * polling [[SSTableMicroBatchStream]] never plans a Data.db whose
+  * siblings are missing. */
 final class SSTableStreamingWrite(path: String, schema: StructType,
                                   properties: Map[String, String])
     extends StreamingWrite {
@@ -179,12 +189,16 @@ final class SSTableStreamingWrite(path: String, schema: StructType,
     val st = storage
     messages.foreach {
       case SSTableCommit(staged) => staged.foreach { data =>
-        SSTableFiles.AllSuffixes.foreach { suf =>
+        val stagedName = data.substring(data.lastIndexOf('/') + 1)
+        val dstData = s"$path/${SSTableStreamingWrite.publishedName(stagedName)}"
+        // epoch replay: unpublish the prior copy Data.db-FIRST so the
+        // old set leaves reader listings before any sibling churns
+        if (st.exists(dstData)) st.delete(dstData)
+        SSTableFiles.PublishOrderSuffixes.foreach { suf =>
           val src = SSTableFiles.sibling(data, suf)
           if (st.exists(src)) {
-            val name = src.substring(src.lastIndexOf('/') + 1)
-            val dst = s"$path/$name"
-            if (st.exists(dst)) st.delete(dst) // epoch replay: same name, overwrite
+            val dst = SSTableFiles.sibling(dstData, suf)
+            if (st.exists(dst)) st.delete(dst)
             st.rename(src, dst)
           }
         }
@@ -218,10 +232,21 @@ final class SSTableStreamingWriterFactory(stagingDir: String, schema: StructType
                             epochId: Long): DataWriter[InternalRow] = {
     val storage = serConf.map(c => new HadoopStorage(c.value): Storage)
       .getOrElse(LocalStorage)
+    // attempt-unique stem: concurrent attempts of the same (partition,
+    // epoch) each get their own staged files; commit strips the
+    // `-attempt-T` part to publish the deterministic replay-stable name
     new SSTablePartitionWriter(stagingDir, schema, partitionId, taskId, compress,
       chunkLength, summaryInterval, bloomBitsPerKey, storage,
-      fileStem = f"part-$partitionId%05d-epoch-$epochId", algorithm = algorithm)
+      fileStem = f"part-$partitionId%05d-epoch-$epochId-attempt-$taskId",
+      algorithm = algorithm)
   }
+}
+
+object SSTableStreamingWrite {
+  private val AttemptPart = "-attempt-\\d+".r
+  /** `part-P-epoch-E-attempt-T-Data.db` → `part-P-epoch-E-Data.db`. */
+  def publishedName(stagedName: String): String =
+    AttemptPart.replaceAllIn(stagedName, "")
 }
 
 final class SSTableWriterFactory(stagingDir: String, schema: StructType,

@@ -32,9 +32,11 @@ object StreamingJoins {
                    windowMs: Long, delay: String): DataFrame = {
     val l = left.withWatermark(leftTs, delay)
     val r = right.withWatermark(rightTs, delay).withColumnRenamed(key, s"_r_$key")
+    // millisecond-granular bound: `INTERVAL ${ms/1000} SECOND` would
+    // silently truncate a non-multiple-of-1000 window (ADVICE r2 low)
     l.join(r,
       col(key) === col(s"_r_$key") &&
-        col(rightTs) >= col(leftTs) - expr(s"INTERVAL ${windowMs / 1000} SECOND") &&
+        col(rightTs) >= col(leftTs) - expr(s"INTERVAL $windowMs MILLISECOND") &&
         col(rightTs) <= col(leftTs))
       .drop(s"_r_$key")
   }

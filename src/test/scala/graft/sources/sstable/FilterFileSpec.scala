@@ -4,22 +4,33 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
 import scala.util.Random
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Filter.db codec pins: the murmur3 x64-128 hash is checked against an
-  * independent public implementation (Guava's `Hashing.murmur3_128`, on
-  * the Spark classpath) — the property that makes our Filter.db
-  * interoperable with real Cassandra 1.2 files, which use the same
-  * algorithm. Plus: serialization round-trip, the no-false-negative
-  * guarantee, a sane false-positive rate, and the exact wire layout. */
+/** Filter.db codec pins: the murmur3 x64-128 hash reproduces Cassandra
+  * 1.2's `MurmurHash.hash3_x64_128` (seed 0) — including its signature
+  * Java quirk of SIGN-EXTENDING tail bytes, which every Cassandra driver
+  * deliberately copies and which diverges from Guava/canonical murmur3
+  * whenever a tail byte is ≥ 0x80. Pinned two ways: golden vectors from
+  * an independent transcription of Cassandra's published algorithm, and
+  * agreement with Guava on inputs whose tails are ASCII-safe (where the
+  * variants coincide). Plus: serialization round-trip, the
+  * no-false-negative guarantee, a sane false-positive rate, and the
+  * exact wire layout. */
 class FilterFileSpec extends AnyFunSuite {
 
-  test("murmur3 x64-128 matches Guava's independent implementation") {
+  test("murmur3 matches Guava where the variants agree (ASCII-safe tails)") {
     val rnd = new Random(42)
     val cases = Seq(
       Array.emptyByteArray,
       "a".getBytes, "abc".getBytes, "0123456789abcde".getBytes, // 15 = max tail
       "0123456789abcdef".getBytes, // exactly one block
       "The quick brown fox jumps over the lazy dog".getBytes) ++
-      (0 until 50).map { _ => val b = new Array[Byte](rnd.nextInt(64)); rnd.nextBytes(b); b }
+      (0 until 50).map { _ =>
+        val b = new Array[Byte](rnd.nextInt(64)); rnd.nextBytes(b)
+        // body blocks may hold any bytes (identical in both variants);
+        // clamp only the tail (len % 16 trailing bytes) to ASCII range
+        val tail = b.length - (b.length & 15)
+        (tail until b.length).foreach(i => b(i) = (b(i) & 0x7f).toByte)
+        b
+      }
     cases.foreach { data =>
       val (h1, h2) = MurmurHash3x64.hash128(data)
       val g = com.google.common.hash.Hashing.murmur3_128()
@@ -28,6 +39,35 @@ class FilterFileSpec extends AnyFunSuite {
       assert(h1 == le(0) && h2 == le(8),
         s"murmur mismatch for ${data.length} bytes: ($h1,$h2) vs (${le(0)},${le(8)})")
     }
+  }
+
+  test("murmur3 reproduces Cassandra's sign-extended tail (golden vectors)") {
+    // Vectors computed by an independent big-integer transcription of
+    // Cassandra 1.2's MurmurHash.hash3_x64_128 (sign-extended tail bytes).
+    def bytes(is: Int*): Array[Byte] = is.map(_.toByte).toArray
+    val vectors: Seq[(Array[Byte], Long, Long)] = Seq(
+      (bytes(0x80), -5284281814142962636L, 7980414882014114757L),
+      (bytes(0xff, 0xfe, 0xfd), 4778542740094909933L, -8472617770952608660L),
+      (bytes(240 to 254: _*), -7737243313669454511L, 6850168737387597374L),
+      (bytes((Seq.fill(16)(1) ++ Seq(0x90, 0x05, 0xff)): _*),
+        3893739582372264040L, 2375114460947737859L),
+      (bytes(Seq.fill(5)(Seq(0xde, 0xad, 0xbe, 0xef)).flatten: _*),
+        -6709390677619628861L, 8716583155612461043L),
+      // ASCII vectors (agree with Guava) to anchor the shared body path
+      (bytes(), 0L, 0L),
+      ("abc".getBytes, -5434086359492102041L, 4297124817637354834L),
+      ("0123456789abcdef".getBytes, 5467490433528156583L, -8663980805763692326L))
+    vectors.foreach { case (data, e1, e2) =>
+      val (h1, h2) = MurmurHash3x64.hash128(data)
+      assert(h1 == e1 && h2 == e2,
+        s"cassandra murmur mismatch for ${data.toSeq}: got ($h1,$h2), want ($e1,$e2)")
+    }
+    // and the divergence itself: a high tail byte must NOT match Guava
+    val high = bytes(0x80)
+    val g = com.google.common.hash.Hashing.murmur3_128().hashBytes(high).asBytes()
+    def le(off: Int): Long = (0 until 8).map(i => (g(off + i) & 0xffL) << (8 * i)).reduce(_ | _)
+    assert(MurmurHash3x64.hash128(high)._1 != le(0),
+      "expected Cassandra variant to diverge from Guava on a 0x80 tail byte")
   }
 
   test("build → serialize → read round-trip preserves membership") {

@@ -52,6 +52,19 @@ class StreamingSinkSpec extends AnyFunSuite {
     assert(files.count(_.endsWith("-Data.db")) >= 2, files.mkString(", "))
     assert(files.forall(f => !f.contains("_streaming-staging") || // staging dir itself
       new java.io.File(s"$dir/$f").isDirectory))
+    // published names are (partition, epoch)-deterministic: the staged
+    // attempt id must be stripped at commit (replay idempotency), and
+    // every visible Data.db must have its complete sibling set in place
+    assert(files.filter(_.endsWith(".db")).forall(!_.contains("-attempt-")),
+      files.mkString(", "))
+    files.filter(_.endsWith("-Data.db")).foreach { data =>
+      graft.sources.sstable.SSTableFiles.AllSuffixes.foreach { suf =>
+        val sib = graft.sources.sstable.SSTableFiles.sibling(s"$dir/$data", suf)
+        assert(new java.io.File(sib).exists(), s"missing sibling $sib")
+      }
+    }
+    assert(SSTableStreamingWrite.publishedName("part-00003-epoch-7-attempt-42-Data.db")
+      == "part-00003-epoch-7-Data.db")
 
     val all = spark.read.format("sstable").load(dir)
     assert(all.count() == 4) // a(e0), b(e0), a(e1), c(e1)
