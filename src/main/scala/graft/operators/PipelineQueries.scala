@@ -24,10 +24,18 @@ import Params._
   *    parallel packing streams, never a global window; at 100 TB the
   *    bucket count scales with the cluster, shards stay reproducible
   *    because the hash and the in-bucket order are deterministic.
-  *  - q_quantiles: exact rank-statistic percentiles via row_number —
-  *    one shuffle per grouping key; for very hot groups switch to
-  *    `approx_percentile` (t-digest) — exactness is the point here
-  *    (bit-identical across engines, unlike interpolated percentiles).
+  *  - q_quantiles: exact rank-statistic percentiles in counting-sort
+  *    form — the value at rank r depends only on the value DISTRIBUTION,
+  *    so the full data passes through one map-side-combinable hash-agg
+  *    on (lang, tok) and the cumulative windows run over the tiny
+  *    distinct-value relation only. No per-stratum full-row sort
+  *    anywhere: a hot language at 100 TB costs a hash-agg (parallel by
+  *    key), and the per-lang window sorts at most #distinct document
+  *    lengths rows — bounded by max doc length, not corpus size.
+  *    Exactness is the point (bit-identical across engines, unlike
+  *    interpolated percentiles); `approx_percentile` (t-digest) remains
+  *    the one-pass alternative when even the distinct-value relation is
+  *    too wide (continuous-valued metrics).
   */
 object PipelineQueries {
 
@@ -196,17 +204,28 @@ object PipelineQueries {
         .orderBy("lang", "doc_id")
     }),
     // Exact per-group rank-statistic percentiles (p50/p90 token counts):
-    // deterministic discrete percentile — value at rank ceil(q·n).
+    // deterministic discrete percentile — value at rank ceil(q·n) —
+    // computed counting-sort style: aggregate (lang, tok) counts first
+    // (the only pass over full rows, map-side combinable), then find the
+    // value whose cumulative-count range covers the target rank. The
+    // row_number formulation's per-stratum full sort is gone: windows
+    // here see one row per DISTINCT token count, not one per document.
     "q_quantiles" -> ((s, d) => {
       val t = Tables.documents(s, d)
-        .select(col("lang"), col("doc_id"), size(docToks).cast("long").as("tok"))
-      val wr = Window.partitionBy("lang").orderBy(col("tok"), col("doc_id"))
-      t.withColumn("rn", row_number().over(wr).cast("long"))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+        .select(col("lang"), size(docToks).cast("long").as("tok"))
+      val counts = t.groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+      val wc = Window.partitionBy("lang").orderBy("tok")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      counts
+        .withColumn("cum", sum("c").over(wc))
+        .withColumn("n", sum("c").over(Window.partitionBy("lang")))
         .groupBy("lang")
         .agg(max("n").as("n_docs"),
-          max(when(col("rn") === expr("(n + 1) div 2"), col("tok"))).as("p50_tokens"),
-          max(when(col("rn") === expr("(9 * n + 9) div 10"), col("tok"))).as("p90_tokens"))
+          // value v covers rank r iff cum-c < r <= cum; exactly one v per lang
+          max(when(col("cum") - col("c") < expr("(n + 1) div 2") &&
+            expr("(n + 1) div 2") <= col("cum"), col("tok"))).as("p50_tokens"),
+          max(when(col("cum") - col("c") < expr("(9 * n + 9) div 10") &&
+            expr("(9 * n + 9) div 10") <= col("cum"), col("tok"))).as("p90_tokens"))
         .orderBy("lang")
     })
   )

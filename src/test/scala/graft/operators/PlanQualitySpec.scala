@@ -167,4 +167,17 @@ class PlanQualitySpec extends AnyFunSuite {
     assert("windowspecdefinition\\(_cb#\\d+L?, ts_ms#".r.findAllIn(plan).nonEmpty,
       s"expected _cb-partitioned row-level windows:\n$plan")
   }
+
+  test("q_quantiles: windows consume the (lang,tok) count relation, never full rows") {
+    val plan = finalPlan("q_quantiles").split("== Initial Plan ==").head
+    // counting-sort form: the only full-data pass is a map-side-combinable
+    // (lang, tok) hash aggregate; the cumulative windows then sort one row
+    // per DISTINCT token count. A hot stratum at 100× costs a parallel
+    // hash-agg, not one task's full sort (VERDICT r2 wrong-#1).
+    assert("HashAggregate\\(keys=\\[lang#\\d+, tok#\\d+L?\\]".r.findAllIn(plan).nonEmpty,
+      s"expected the (lang,tok) count aggregate feeding the windows:\n$plan")
+    assert(plan.contains("partial_count"), s"no map-side partial count:\n$plan")
+    assert(!plan.contains("row_number"),
+      s"row-level rank window crept back into q_quantiles:\n$plan")
+  }
 }
