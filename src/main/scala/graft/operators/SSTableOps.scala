@@ -32,23 +32,58 @@ object SSTableOps {
       .agg(max_by(col("c"), struct(col("c.timestamp"), col("c.name"), col("c.state")))
         .as("c"))
 
+  private val RowTombstoneSql = "struct<localDeletionTime:int,markedForDeleteAt:long>"
+  /** Live sentinel for the merged markedForDeleteAt fold (Cassandra's
+    * `DeletionTime.LIVE.markedForDeleteAt`). */
+  private val LiveMfda = Long.MinValue
+
   /** A2 — full-row compaction: latest version of each column, re-nested
     * (`MsgPackSSTableDataReducer`, mapred/SSTableData.scala:79-119).
-    * DELETED/EXPIRING states are preserved (no tombstone GC), matching
-    * the reference. Equal-timestamp tie: the tombstone wins (Cassandra's
-    * reconcile rule — a delete at ts T shadows a write at ts T), then
-    * state string for NORMAL/EXPIRING determinism. */
-  def compactRows(df: DataFrame): DataFrame =
-    explodeColumns(df)
+    * DELETED/EXPIRING cell states are preserved (no tombstone GC),
+    * matching the reference. Equal-timestamp tie: the tombstone wins
+    * (Cassandra's reconcile rule — a delete at ts T shadows a write at
+    * ts T), then state string for NORMAL/EXPIRING determinism.
+    *
+    * Row-level tombstones (the `rowTombstone` scan field, absent in the
+    * reference's model) are honored across generations: the per-key
+    * superseding tombstone is max by `markedForDeleteAt` (Cassandra's
+    * `DeletionInfo` ordering), every same-key column with
+    * `timestamp <= markedForDeleteAt` is shadowed out — including older
+    * cell tombstones — and the merged tombstone is carried on the output
+    * so a written compaction result still shadows yet-older generations.
+    * Pure-tombstone rows (zero columns) survive via `explode_outer`.
+    * Inputs without the `rowTombstone` column behave as before.
+    *
+    * Still one (key, name) hash-agg + one per-key fold — partial+final
+    * with map-side combine; no extra shuffle for the tombstone merge. */
+  def compactRows(df: DataFrame): DataFrame = {
+    val withT =
+      if (df.columns.contains("rowTombstone")) df
+      else df.withColumn("rowTombstone", lit(null).cast(RowTombstoneSql))
+    withT
+      .select(col("key"), explode_outer(col("columns")).as("c"),
+        coalesce(col("rowTombstone.markedForDeleteAt"), lit(LiveMfda)).as("_mfda"),
+        coalesce(col("rowTombstone.localDeletionTime"), lit(Int.MaxValue)).as("_ldt"))
       .groupBy(col("key"), col("c.name").as("_n"))
       .agg(max_by(col("c"), struct(col("c.timestamp"),
         when(col("c.state") === "DELETED", 1).otherwise(0),
-        col("c.state"))).as("c"))
+        col("c.state"))).as("c"),
+        max(struct(col("_mfda"), col("_ldt"))).as("_t"))
       .groupBy("key")
-      .agg(sort_array(collect_list(col("c"))).as("columns"))
+      // collect_list drops the null `c` of pure-tombstone rows
+      .agg(sort_array(collect_list(col("c"))).as("_cols"), max(col("_t")).as("_t"))
+      .select(col("key"),
+        filter(col("_cols"), c => c.getField("timestamp") > col("_t._mfda"))
+          .as("columns"),
+        when(col("_t._mfda") =!= lit(LiveMfda),
+          struct(col("_t._ldt").as("localDeletionTime"),
+            col("_t._mfda").as("markedForDeleteAt"))).as("rowTombstone"))
+  }
 
-  /** P7 — drop DELETED columns, and any NORMAL/EXPIRING column shadowed by
-    * a same-name tombstone with a newer-or-equal timestamp. */
+  /** P7 — drop DELETED columns, any NORMAL/EXPIRING column shadowed by a
+    * same-name tombstone with a newer-or-equal timestamp, and (via
+    * [[compactRows]]) anything shadowed by a row-level tombstone. The
+    * surviving relation is live data only (row tombstone GC'd). */
   def suppressTombstones(df: DataFrame): DataFrame = {
     val compacted = compactRows(df)
     compacted.select(col("key"),
@@ -107,8 +142,9 @@ object SSTableOps {
     out.write.format("sstable").mode("overwrite").save(outDir)
   }
 
-  /** Tombstone GC over an already-compacted relation (columns are
-    * already newest-version: just drop the DELETED markers). */
+  /** Tombstone GC over an already-compacted relation: row-shadowed columns
+    * are already gone ([[compactRows]]), so drop the DELETED cell markers
+    * and the row tombstone itself, and elide rows with nothing live left. */
   private def suppressTombstones2(compacted: DataFrame): DataFrame =
     compacted.select(col("key"),
       filter(col("columns"), c => c.getField("state") =!= "DELETED").as("columns"))

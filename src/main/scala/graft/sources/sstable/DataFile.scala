@@ -39,9 +39,11 @@ import java.io.{DataOutputStream, EOFException}
   *  - `Deleted` carries no payload at the model level
   *    (WritableColumn.java:51-58); the on-disk 4-byte localDeletionTime is
   *    derived from its µs timestamp on write and ignored on read.
-  *  - Row-level tombstones are parsed but not surfaced — the reference's
-  *    codec `Row { key, columns }` doesn't expose them either
-  *    (SSTableDataRecordReader.scala:62-64); we always write LIVE.
+  *  - Row-level deletion info IS surfaced ([[SSTableRow.tombstone]],
+  *    `None` ⇔ on-disk `DeletionTime.LIVE`) and written back — beyond the
+  *    reference, whose codec `Row { key, columns }` silently discards it
+  *    (SSTableDataRecordReader.scala:62-64) and would surface wholesale-
+  *    deleted rows' columns as live against real Cassandra files.
   *
   * Counter columns (flags 0x04/0x08) and range tombstones (0x10) are
   * rejected loudly — out of scope, as in the reference.
@@ -81,8 +83,16 @@ object DataFile {
     val body = rowBodySize(row)
     out.writeShort(row.key.length); out.write(row.key)
     out.writeLong(body)
-    out.writeInt(LiveLocalDeletionTime)
-    out.writeLong(LiveMarkedForDeleteAt)
+    row.tombstone match {
+      case Some(t) =>
+        require(t.markedForDeleteAtMicros != LiveMarkedForDeleteAt,
+          "markedForDeleteAt == Long.MinValue is reserved for DeletionTime.LIVE")
+        out.writeInt(t.localDeletionTimeSecs)
+        out.writeLong(t.markedForDeleteAtMicros)
+      case None =>
+        out.writeInt(LiveLocalDeletionTime)
+        out.writeLong(LiveMarkedForDeleteAt)
+    }
     out.writeInt(row.columns.size)
     row.columns.foreach { c =>
       require(c.name.length <= 0xffff, s"column name too long: ${c.name.length}")
@@ -133,8 +143,12 @@ final class DataReader(in: SeekableInput, endOffset: Long = Long.MaxValue)
       if (rowSize < 16L)
         throw new CorruptSSTableException(s"row size $rowSize too small at ${in.position}")
       val rowEnd = in.position + rowSize
-      din.readInt() // row localDeletionTime — not surfaced (see scaladoc)
-      din.readLong() // row markedForDeleteAt — not surfaced
+      val localDeletionTime = din.readInt()
+      val markedForDeleteAt = din.readLong()
+      // Cassandra's DeletionTime.isLive checks markedForDeleteAt alone
+      val tombstone =
+        if (markedForDeleteAt == DataFile.LiveMarkedForDeleteAt) None
+        else Some(RowTombstone(localDeletionTime, markedForDeleteAt))
       val nCols = din.readInt()
       if (nCols < 0)
         throw new CorruptSSTableException(s"negative column count $nCols at ${in.position}")
@@ -176,7 +190,7 @@ final class DataReader(in: SeekableInput, endOffset: Long = Long.MaxValue)
       if (in.position != rowEnd)
         throw new CorruptSSTableException(
           s"row size mismatch: declared end $rowEnd, parsed to ${in.position}")
-      SSTableRow(key, cols.toSeq)
+      SSTableRow(key, cols.toSeq, tombstone)
     } catch {
       case e: EOFException =>
         throw new CorruptSSTableException(s"truncated row at ${in.position}", e)

@@ -22,7 +22,21 @@ object Column {
                             expiresMillis: Long, timestamp: Long) extends Column
 }
 
-final case class SSTableRow(key: Array[Byte], columns: Seq[Column])
+/** Row-level deletion info (Cassandra 1.2 `DeletionTime`):
+  * `localDeletionTimeSecs` is the u32 seconds-epoch server clock when the
+  * deletion was recorded (used for GC grace), `markedForDeleteAtMicros`
+  * the µs writer timestamp that SHADOWS every same-key column with
+  * `timestamp <= markedForDeleteAtMicros` — Cassandra's reconcile rule.
+  * A live row has no [[RowTombstone]] (on disk:
+  * `(Int.MaxValue, Long.MinValue)` — `DeletionTime.LIVE`). */
+final case class RowTombstone(localDeletionTimeSecs: Int,
+                              markedForDeleteAtMicros: Long) {
+  /** Does this tombstone shadow a column written at `tsMicros`? */
+  def shadows(tsMicros: Long): Boolean = tsMicros <= markedForDeleteAtMicros
+}
+
+final case class SSTableRow(key: Array[Byte], columns: Seq[Column],
+                            tombstone: Option[RowTombstone] = None)
 
 object SSTableFiles {
   /** File-naming contract (SURVEY.md §1.4): siblings derived by suffix

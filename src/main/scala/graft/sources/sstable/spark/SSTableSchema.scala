@@ -27,9 +27,18 @@ object SSTableSchema {
     StructField("ttlSecs", LongType, nullable = false),
     StructField("expiresMillis", LongType, nullable = false)))
 
+  /** Row-level deletion info (Cassandra `DeletionTime`); null ⇔ LIVE.
+    * `markedForDeleteAt` (µs) shadows same-key columns with
+    * `timestamp <= markedForDeleteAt`; `localDeletionTime` is the
+    * seconds-epoch GC-grace clock. */
+  val rowTombstoneStruct: StructType = StructType(Seq(
+    StructField("localDeletionTime", IntegerType, nullable = false),
+    StructField("markedForDeleteAt", LongType, nullable = false)))
+
   val schema: StructType = StructType(Seq(
     StructField("key", BinaryType, nullable = false),
-    StructField("columns", ArrayType(columnStruct, containsNull = false), nullable = false)))
+    StructField("columns", ArrayType(columnStruct, containsNull = false), nullable = false),
+    StructField("rowTombstone", rowTombstoneStruct, nullable = true)))
 
   val indexSchema: StructType = StructType(Seq(
     StructField("key", BinaryType, nullable = false),
@@ -51,6 +60,9 @@ object SSTableSchema {
         case "key" => row.key
         case "columns" =>
           new GenericArrayData(row.columns.map(columnToInternal).toArray[Any])
+        case "rowTombstone" =>
+          row.tombstone.map(t => new GenericInternalRow(Array[Any](
+            t.localDeletionTimeSecs, t.markedForDeleteAtMicros))).orNull
         case other => throw new IllegalStateException(s"unknown field $other")
       }
     }

@@ -198,7 +198,9 @@ final class SSTableScan(path: String, requiredSchema: StructType,
       ttlAsOfMs, serConf)
   override def description(): String = {
     val prune = if (keyLo.isDefined || keyHi.isDefined) " keyRangePruned" else ""
-    val keyOnly = if (!requiredSchema.fieldNames.contains("columns")) " indexOnly" else ""
+    val keyOnly =
+      if (!requiredSchema.fieldNames.exists(n => n == "columns" || n == "rowTombstone"))
+        " indexOnly" else ""
     val ttl = ttlAsOfMs.map(ms => s" ttlAsOf=$ms").getOrElse("")
     s"sstable $path$prune$keyOnly$ttl"
   }
@@ -268,7 +270,9 @@ final class SSTableReaderFactory(requiredSchema: StructType,
     val p = partition.asInstanceOf[SSTablePartition]
     val storage = serConf.map(c => new HadoopStorage(c.value): Storage)
       .getOrElse(LocalStorage)
-    if (requiredSchema.fieldNames.contains("columns"))
+    // rowTombstone also lives in Data.db, so its presence forces the row
+    // reader; only pure-key projections may take the Index.db-only path
+    if (requiredSchema.fieldNames.exists(n => n == "columns" || n == "rowTombstone"))
       new SSTableRowReader(p, requiredSchema, ttlAsOfMs, storage)
     else
       new SSTableKeyOnlyReader(p, requiredSchema, storage)

@@ -288,6 +288,15 @@ final class SSTablePartitionWriter(stagingDir: String, schema: StructType,
   private val keyIdx = schema.fieldIndex("key")
   private val colsIdx = if (schema.fieldNames.contains("columns")) schema.fieldIndex("columns") else -1
   private val colStruct = SSTableSchema.columnStruct
+  // optional row-level deletion info; inner field positions resolved from
+  // the incoming schema so any struct field order round-trips
+  private val tombIdx =
+    if (schema.fieldNames.contains("rowTombstone")) schema.fieldIndex("rowTombstone") else -1
+  private val (tombLdtIdx, tombMfdaIdx) =
+    if (tombIdx >= 0) {
+      val st = schema(tombIdx).dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      (st.fieldIndex("localDeletionTime"), st.fieldIndex("markedForDeleteAt"))
+    } else (-1, -1)
 
   override def write(record: InternalRow): Unit = {
     val key = record.getBinary(keyIdx)
@@ -308,7 +317,13 @@ final class SSTablePartitionWriter(stagingDir: String, schema: StructType,
           }
         }
       }
-    writer.append(SSTableRow(key, cols))
+    val tombstone =
+      if (tombIdx < 0 || record.isNullAt(tombIdx)) None
+      else {
+        val t = record.getStruct(tombIdx, 2)
+        Some(RowTombstone(t.getInt(tombLdtIdx), t.getLong(tombMfdaIdx)))
+      }
+    writer.append(SSTableRow(key, cols, tombstone))
   }
 
   override def commit(): WriterCommitMessage = {

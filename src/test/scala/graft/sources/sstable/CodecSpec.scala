@@ -26,6 +26,7 @@ class CodecSpec extends AnyFunSuite {
     assert(got.length == want.length)
     got.zip(want).foreach { case (g, w) =>
       assert(g.key.sameElements(w.key), "key mismatch")
+      assert(g.tombstone == w.tombstone, "row tombstone mismatch")
       assert(g.columns.length == w.columns.length)
       g.columns.zip(w.columns).foreach {
         case (Column.Normal(n1, v1, t1), Column.Normal(n2, v2, t2)) =>
@@ -52,6 +53,27 @@ class CodecSpec extends AnyFunSuite {
     SSTableRow("gamma".getBytes, Seq(
       Column.Expiring("c3".getBytes, Array[Byte](), 1L, 1000L, 4000L),
       Column.Normal("c4".getBytes, Array[Byte](9, 8, 7), 5000L)))))
+
+  test("row-level tombstones round-trip (incl. pure-tombstone zero-column row)") {
+    val rows = sortedRows(Seq(
+      SSTableRow("live".getBytes, Seq(Column.Normal("c".getBytes, "v".getBytes, 10L))),
+      // wholesale-deleted row: deletion info set, zero columns (body = 16 bytes)
+      SSTableRow("gone".getBytes, Nil, Some(RowTombstone(1700000000, 5000L))),
+      // deleted-then-rewritten: tombstone AND newer columns coexist on disk
+      SSTableRow("mixed".getBytes, Seq(Column.Normal("c".getBytes, "new".getBytes, 9000L)),
+        Some(RowTombstone(1690000000, 8000L)))))
+    for (compress <- Seq(false, true)) {
+      val p = tmpData(s"rowtomb-$compress")
+      write(p, rows, compress)
+      assertRowsEqual(new SSTableReader(p).rows().toSeq, rows)
+    }
+    // the LIVE sentinel value is unrepresentable as a tombstone
+    val p2 = tmpData("rowtomb-reserved")
+    val w = new SSTableWriter(p2, compress = false)
+    try intercept[IllegalArgumentException] {
+      w.append(SSTableRow("x".getBytes, Nil, Some(RowTombstone(0, Long.MinValue))))
+    } finally w.close()
+  }
 
   test("round-trip uncompressed (states fixture)") {
     val p = tmpData("states-plain")

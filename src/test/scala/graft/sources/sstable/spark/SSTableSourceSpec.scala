@@ -215,7 +215,8 @@ class SSTableSourceSpec extends AnyFunSuite {
     // attempt 0 writes some rows then aborts (simulated task failure)
     val w0 = factory.createWriter(0, 0L)
     val row = org.apache.spark.sql.catalyst.InternalRow(
-      "k1".getBytes, new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any]))
+      "k1".getBytes, new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any]),
+      null) // rowTombstone: LIVE
     w0.write(row)
     w0.abort()
     assert(new java.io.File(s"$dir/_staging-test").listFiles().isEmpty,
