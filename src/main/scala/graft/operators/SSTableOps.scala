@@ -83,12 +83,10 @@ object SSTableOps {
   /** P7 — drop DELETED columns, any NORMAL/EXPIRING column shadowed by a
     * same-name tombstone with a newer-or-equal timestamp, and (via
     * [[compactRows]]) anything shadowed by a row-level tombstone. The
-    * surviving relation is live data only (row tombstone GC'd). */
-  def suppressTombstones(df: DataFrame): DataFrame = {
-    val compacted = compactRows(df)
-    compacted.select(col("key"),
-      filter(col("columns"), c => c.getField("state") =!= "DELETED").as("columns"))
-  }
+    * surviving relation is live data only: keys with nothing live left
+    * (wholesale-deleted rows) are elided, not emitted as `(key, [])`. */
+  def suppressTombstones(df: DataFrame): DataFrame =
+    suppressTombstones2(compactRows(df))
 
   /** P8 — TTL expiry as an explicit opt-in reader-side filter (the
     * reference ships ttl/expiration raw and never evaluates them,

@@ -85,8 +85,9 @@ object DataFile {
     out.writeLong(body)
     row.tombstone match {
       case Some(t) =>
-        require(t.markedForDeleteAtMicros != LiveMarkedForDeleteAt,
-          "markedForDeleteAt == Long.MinValue is reserved for DeletionTime.LIVE")
+        require(t.markedForDeleteAtMicros != LiveMarkedForDeleteAt ||
+            t.localDeletionTimeSecs != LiveLocalDeletionTime,
+          "the (Int.MaxValue, Long.MinValue) pair is reserved for DeletionTime.LIVE")
         out.writeInt(t.localDeletionTimeSecs)
         out.writeLong(t.markedForDeleteAtMicros)
       case None =>
@@ -145,9 +146,14 @@ final class DataReader(in: SeekableInput, endOffset: Long = Long.MaxValue)
       val rowEnd = in.position + rowSize
       val localDeletionTime = din.readInt()
       val markedForDeleteAt = din.readLong()
-      // Cassandra's DeletionTime.isLive checks markedForDeleteAt alone
+      // Cassandra's DeletionTime.LIVE is the PAIR (ldt=Int.MaxValue,
+      // mfda=Long.MinValue). Matching on the pair (not mfda alone) keeps
+      // the pathological on-disk case mfda=MIN with a non-MAX ldt
+      // byte-identical on rewrite: it surfaces as a (shadows-nothing)
+      // tombstone instead of silently losing its ldt (ADVICE r3).
       val tombstone =
-        if (markedForDeleteAt == DataFile.LiveMarkedForDeleteAt) None
+        if (markedForDeleteAt == DataFile.LiveMarkedForDeleteAt &&
+            localDeletionTime == DataFile.LiveLocalDeletionTime) None
         else Some(RowTombstone(localDeletionTime, markedForDeleteAt))
       val nCols = din.readInt()
       if (nCols < 0)

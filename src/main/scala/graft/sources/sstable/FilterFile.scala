@@ -99,7 +99,13 @@ object FilterFile {
   * tail (len % 16 trailing bytes) contains a byte ≥ 0x80 — silently
   * dropping present rows on point lookups. Body blocks remain unsigned
   * little-endian, identical to canonical. For ASCII-only tails (all
-  * bytes < 0x80) the two variants agree. */
+  * bytes < 0x80) the two variants agree.
+  *
+  * FORMAT BREAK (round 3): builds prior to this change hashed tails
+  * UNSIGNED, so a Filter.db they wrote can yield false negatives for keys
+  * whose tail bytes are ≥ 0x80 when probed by this build. This is a
+  * pre-release format; regenerate any such filters (rewrite the fileset,
+  * or delete Filter.db — absent filters never prune). */
 object MurmurHash3x64 {
   private final val C1 = 0x87c37b91114253d5L
   private final val C2 = 0x4cf5ad432745937fL

@@ -192,15 +192,18 @@ final class SSTableStreamingWrite(path: String, schema: StructType,
         val stagedName = data.substring(data.lastIndexOf('/') + 1)
         val dstData = s"$path/${SSTableStreamingWrite.publishedName(stagedName)}"
         // epoch replay: unpublish the prior copy Data.db-FIRST so the
-        // old set leaves reader listings before any sibling churns
-        if (st.exists(dstData)) st.delete(dstData)
+        // old set leaves reader listings before any sibling churns.
+        // Every existing sibling goes, whether or not this replay staged
+        // a counterpart — a replay with different write options (e.g.
+        // compression off, so no CompressionInfo.db staged) must not
+        // leave a stale sibling next to the new Data.db (ADVICE r3).
+        SSTableFiles.AllSuffixes.foreach { suf => // AllSuffixes leads with Data.db
+          val dst = SSTableFiles.sibling(dstData, suf)
+          if (st.exists(dst)) st.delete(dst)
+        }
         SSTableFiles.PublishOrderSuffixes.foreach { suf =>
           val src = SSTableFiles.sibling(data, suf)
-          if (st.exists(src)) {
-            val dst = SSTableFiles.sibling(dstData, suf)
-            if (st.exists(dst)) st.delete(dst)
-            st.rename(src, dst)
-          }
+          if (st.exists(src)) st.rename(src, SSTableFiles.sibling(dstData, suf))
         }
       }
       case _ =>

@@ -176,6 +176,119 @@ class SSTableOpsSpec extends AnyFunSuite {
     assert(!gc.contains("DELETED") && gc.length == 3)
   }
 
+  import org.apache.spark.sql.Row
+  import graft.sources.sstable.spark.SSTableSchema
+
+  /** Full scan-schema DF — (key, tombstone, columns) with tombstone as
+    * Option[(localDeletionTime, markedForDeleteAt)]; empty column lists
+    * allowed (pure-tombstone rows). */
+  private def tombrows(rows: (String, Option[(Int, Long)],
+                              Seq[(Array[Byte], String, Array[Byte], Long, Long, Long)])*) = {
+    val data = rows.map { case (k, tomb, cols) =>
+      Row(k.getBytes,
+        cols.map(c => Row(c._1, c._2, c._3, c._4, c._5, c._6)),
+        tomb.map { case (ldt, mfda) => Row(ldt, mfda) }.orNull)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(data, 2), SSTableSchema.schema)
+  }
+
+  private def mergedCells(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("key").cast("string").as("k"), explode(col("columns")).as("c"))
+      .select(col("k"), col("c.name").cast("string"), col("c.state"), col("c.timestamp"))
+      .as[(String, String, String, Long)].collect().toSet
+
+  test("compactRows: row tombstone shadows ts<=mfda incl. older cell tombstones; newer survive") {
+    // gen1: a@10 NORMAL, b@20 DELETED (cell tombstone), c@30 NORMAL
+    // gen2: row tombstone mfda=20 + d@25 NORMAL (deleted-then-rewritten row)
+    val gen1 = tombrows(("r", None, Seq(
+      col3("a", "NORMAL", "va", 10), col3("b", "DELETED", null, 20),
+      col3("c", "NORMAL", "vc", 30))))
+    val gen2 = tombrows(("r", Some((1700000000, 20L)), Seq(col3("d", "NORMAL", "vd", 25))))
+    val out = SSTableOps.compactRows(gen1.union(gen2))
+    // a@10 shadowed; b@20 shadowed at EQUAL timestamp (ts == mfda); the
+    // older cell tombstone b is shadowed too; c@30 and d@25 survive
+    assert(mergedCells(out) == Set(
+      ("r", "c", "NORMAL", 30L), ("r", "d", "NORMAL", 25L)))
+    // merged tombstone carried on output so it still shadows older gens
+    val t = out.select(col("rowTombstone.markedForDeleteAt"),
+      col("rowTombstone.localDeletionTime")).as[(Long, Int)].collect()
+    assert(t.toSeq == Seq((20L, 1700000000)))
+  }
+
+  test("compactRows: newest row tombstone wins across generations; pure-tombstone row survives") {
+    val gen1 = tombrows(("r", Some((100, 10L)), Nil))
+    val gen2 = tombrows(("r", Some((200, 50L)), Nil)) // newer tombstone
+    val gen3 = tombrows(("r", None, Seq(col3("x", "NORMAL", "old", 40))))
+    val out = SSTableOps.compactRows(gen1.union(gen2).union(gen3))
+    assert(out.count() == 1) // explode_outer keeps the zero-live-column row
+    assert(out.select(size(col("columns"))).as[Int].collect().toSeq == Seq(0))
+    assert(out.select(col("rowTombstone.markedForDeleteAt"),
+      col("rowTombstone.localDeletionTime")).as[(Long, Int)].collect()
+      .toSeq == Seq((50L, 200)))
+  }
+
+  test("compactRows: mixed live + tombstoned keys; live keys get null tombstone") {
+    val df = tombrows(
+      ("live", None, Seq(col3("a", "NORMAL", "v", 10))),
+      ("gone", Some((7, 99L)), Seq(col3("a", "NORMAL", "v", 10))))
+    val out = SSTableOps.compactRows(df)
+    val got = out.select(col("key").cast("string"), size(col("columns")),
+      col("rowTombstone").isNull).as[(String, Int, Boolean)].collect().toSet
+    assert(got == Set(("live", 1, true), ("gone", 0, false)))
+  }
+
+  test("suppressTombstones elides wholesale-deleted keys (no phantom (key,[]) rows)") {
+    val df = tombrows(
+      ("live", None, Seq(col3("a", "NORMAL", "v", 10))),
+      ("gone", Some((7, 99L)), Seq(col3("a", "NORMAL", "v", 10))),
+      ("allcelldead", None, Seq(col3("a", "DELETED", null, 10))))
+    val got = SSTableOps.suppressTombstones(df)
+      .select(col("key").cast("string")).as[String].collect().toSeq
+    assert(got == Seq("live"))
+  }
+
+  test("DSv2 write→read round-trips a non-null row tombstone; compact output shadows an older generation") {
+    val dir = Files.createTempDirectory("tomb-rt").toString
+    // gen1: data for two keys
+    tombrows(
+      ("gone", None, Seq(col3("x", "NORMAL", "old", 10))),
+      ("kept", None, Seq(col3("y", "NORMAL", "keep", 10))))
+      .write.format("sstable").mode("append").save(dir)
+    // gen2: pure-tombstone row for "gone" (wholesale delete at mfda=50)
+    tombrows(("gone", Some((1700000001, 50L)), Nil))
+      .write.format("sstable").mode("append").save(dir)
+
+    // round-trip: the tombstone survives the DSv2 writer+reader unchanged
+    val back = spark.read.format("sstable").load(dir)
+      .filter(col("rowTombstone").isNotNull)
+      .select(col("key").cast("string"), col("rowTombstone.localDeletionTime"),
+        col("rowTombstone.markedForDeleteAt")).as[(String, Int, Long)].collect()
+    assert(back.toSeq == Seq(("gone", 1700000001, 50L)))
+
+    // compact the two generations: "gone" persists as a pure-tombstone row
+    val out = Files.createTempDirectory("tomb-compact").toString
+    SSTableOps.compact(spark, dir, out)
+    val compacted = spark.read.format("sstable").load(out)
+    val gone = compacted.filter(col("key") === lit("gone".getBytes))
+    assert(gone.count() == 1)
+    assert(gone.select(size(col("columns"))).as[Int].collect().toSeq == Seq(0))
+
+    // ...and the carried tombstone still shadows a yet-older generation:
+    // drop an even older write of "gone" next to the compacted output
+    tombrows(("gone", None, Seq(col3("x", "NORMAL", "resurrect-nope", 30))))
+      .write.format("sstable").mode("append").save(out)
+    val remerged = SSTableOps.suppressTombstones(spark.read.format("sstable").load(out))
+    assert(remerged.select(col("key").cast("string")).as[String].collect().toSeq
+      == Seq("kept"))
+
+    // GC compaction drops the tombstone row entirely
+    val outGc = Files.createTempDirectory("tomb-gc").toString
+    SSTableOps.compact(spark, dir, outGc, gcTombstones = true)
+    val gcKeys = spark.read.format("sstable").load(outGc)
+      .select(col("key").cast("string")).as[String].collect().toSeq
+    assert(gcKeys == Seq("kept"))
+  }
+
   test("exportCompacted emits one base64 line per row (E1 pipeline)") {
     val df = widerows(
       "r1" -> Seq(col3("a", "NORMAL", "x", 10)),

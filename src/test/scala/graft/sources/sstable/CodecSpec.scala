@@ -67,12 +67,21 @@ class CodecSpec extends AnyFunSuite {
       write(p, rows, compress)
       assertRowsEqual(new SSTableReader(p).rows().toSeq, rows)
     }
-    // the LIVE sentinel value is unrepresentable as a tombstone
+    // the LIVE sentinel PAIR is unrepresentable as a tombstone
     val p2 = tmpData("rowtomb-reserved")
     val w = new SSTableWriter(p2, compress = false)
     try intercept[IllegalArgumentException] {
-      w.append(SSTableRow("x".getBytes, Nil, Some(RowTombstone(0, Long.MinValue))))
+      w.append(SSTableRow("x".getBytes, Nil,
+        Some(RowTombstone(Int.MaxValue, Long.MinValue))))
     } finally w.close()
+    // ...but the pathological half-LIVE pair (mfda=MIN, ldt!=MAX) is a
+    // representable shadows-nothing tombstone and round-trips byte-exactly
+    // instead of silently losing its ldt (ADVICE r3)
+    val p3 = tmpData("rowtomb-halflive")
+    val odd = Seq(SSTableRow("x".getBytes, Nil, Some(RowTombstone(0, Long.MinValue))))
+    write(p3, odd, compress = false)
+    assertRowsEqual(new SSTableReader(p3).rows().toSeq, odd)
+    assert(!odd.head.tombstone.get.shadows(0L))
   }
 
   test("round-trip uncompressed (states fixture)") {
