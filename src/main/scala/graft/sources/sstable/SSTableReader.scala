@@ -23,17 +23,27 @@ final case class PlannedSplit(start: Long, end: Long, idxStart: Long, idxEnd: Lo
                               firstKey: Array[Byte], lastKeyBound: Option[Array[Byte]])
 
 final class SSTableReader(val dataPath: String,
-                          storage: Storage = LocalStorage) extends AutoCloseable {
+                          storage: Storage = LocalStorage,
+                          useCache: Boolean = true) extends AutoCloseable {
   import SSTableFiles._
 
-  val compressed: Boolean = storage.exists(sibling(dataPath, CompressionSuffix))
+  /** Memoized metadata — shared across readers of the same (path, len,
+    * mtime) when caching is on (every repeated scan and every streaming
+    * micro-batch re-plans the same immutable files; SSTableMetadataCache
+    * scaladoc). Per-reader when off. */
+  private val meta: SSTableMetadataCache.Entry =
+    if (useCache) SSTableMetadataCache.entryFor(dataPath, storage)
+    else SSTableMetadataCache.fresh()
 
-  val compressionInfo: Option[CompressionInfo] =
-    if (!compressed) None
+  val compressionInfo: Option[CompressionInfo] = meta.compressionInfo.getOrCompute {
+    if (!storage.exists(sibling(dataPath, CompressionSuffix))) None
     else {
       val in = storage.open(sibling(dataPath, CompressionSuffix))
       try Some(CompressionInfo.read(in.asDataInput)) finally in.close()
     }
+  }
+
+  val compressed: Boolean = compressionInfo.isDefined
 
   /** Total uncompressed Data.db length. */
   val dataLength: Long = compressionInfo match {
@@ -75,7 +85,7 @@ final class SSTableReader(val dataPath: String,
 
   /** Bloom filter over row keys (`-Filter.db`, Cassandra 1.2 layout) when
     * present — Cassandra's negative-lookup elimination. */
-  lazy val bloom: Option[FilterFile.BloomFilter] = {
+  lazy val bloom: Option[FilterFile.BloomFilter] = meta.bloom.getOrCompute {
     val p = sibling(dataPath, FilterSuffix)
     if (!storage.exists(p)) None
     else {
@@ -89,7 +99,7 @@ final class SSTableReader(val dataPath: String,
     * filter ⇒ true (never prunes). */
   def mightContainKey(key: Array[Byte]): Boolean = bloom.forall(_.mightContain(key))
 
-  def summary(): (Int, Vector[SummaryEntry]) = {
+  def summary(): (Int, Vector[SummaryEntry]) = meta.summary.getOrCompute {
     val in = storage.open(sibling(dataPath, SummarySuffix))
     try {
       val rd = new SummaryReader(in)
@@ -143,7 +153,10 @@ final class SSTableReader(val dataPath: String,
     * Summary.db + O(#splits) point reads of Index.db. Covers every row
     * exactly once: split boundaries are row start offsets. `idxStart`/
     * `idxEnd` give the matching Index.db byte range (key-only scans). */
-  def planSplits(targetBytes: Long): Vector[PlannedSplit] = {
+  def planSplits(targetBytes: Long): Vector[PlannedSplit] =
+    meta.splitsFor(targetBytes)(planSplitsUncached(targetBytes))
+
+  private def planSplitsUncached(targetBytes: Long): Vector[PlannedSplit] = {
     val indexLength = storage.length(sibling(dataPath, IndexSuffix))
     val (_, sum) = summary()
     if (sum.isEmpty)
@@ -199,7 +212,73 @@ final class SSTableReader(val dataPath: String,
 }
 
 object SSTableReader {
+  import SSTableFiles.compareKeys
+
   /** All `*-Data.db` files under a directory (the S1 listing filter,
     * SSTableDataInputFormat.scala:15-17). */
   def listDataFiles(dir: String): Seq[String] = LocalStorage.listDataFiles(dir)
+
+  /** Multi-generation point read — Cassandra's real read path over a
+    * whole table directory (the reference's scan-everything model,
+    * SSTableDataInputFormat.scala:15-17, never had one): probe every
+    * generation's bloom→summary→index chain (a miss costs O(1) in-memory
+    * probes per file), then reconcile the hits with the SAME rules as
+    * [[graft.operators.SSTableOps.compactRows]] — latest version per
+    * column (delete-wins on timestamp tie), newest row tombstone wins,
+    * every column with `timestamp <= markedForDeleteAt` shadowed.
+    *
+    * `gcTombstones = false` returns the merged storage view (cell
+    * tombstones and the row tombstone preserved); `true` returns the
+    * live view — DELETED cells dropped, and `None` for a key with
+    * nothing live left (wholesale-deleted or never written).
+    *
+    * All generations are probed rather than scanned newest-first with
+    * early-out: without per-file min/max timestamp metadata (Cassandra's
+    * Statistics.db, not part of the 4-file set here) an early-out would
+    * be unsound, and the bloom filters already make misses ~free. */
+  def get(dir: String, key: Array[Byte], storage: Storage = LocalStorage,
+          gcTombstones: Boolean = false): Option[SSTableRow] = {
+    val hits = storage.listDataFiles(dir).flatMap { f =>
+      val r = new SSTableReader(f, storage)
+      try r.get(key) finally r.close()
+    }
+    if (hits.isEmpty) return None
+    val merged = reconcile(key, hits)
+    if (!gcTombstones) Some(merged)
+    else {
+      val live = merged.columns.filterNot(_.isInstanceOf[Column.Deleted])
+      if (live.isEmpty) None else Some(SSTableRow(key, live, None))
+    }
+  }
+
+  /** Merge one key's row versions from N generations (the Scala twin of
+    * `compactRows`' DataFrame algebra — same winner per column, same
+    * tie-breaks, same row-tombstone shadowing, name-sorted output). */
+  private[sstable] def reconcile(key: Array[Byte], rows: Seq[SSTableRow]): SSTableRow = {
+    // newest row tombstone: max by (markedForDeleteAt, localDeletionTime)
+    val tomb = rows.flatMap(_.tombstone)
+      .sortBy(t => (t.markedForDeleteAtMicros, t.localDeletionTimeSecs))
+      .lastOption
+    val mfda = tomb.map(_.markedForDeleteAtMicros).getOrElse(Long.MinValue)
+    // latest per column name; tie on timestamp → tombstone wins, then
+    // state string (mirrors compactRows' max_by struct ordering)
+    def rank(c: Column): (Long, Int, String) = c match {
+      case Column.Deleted(_, ts) => (ts, 1, "DELETED")
+      case Column.Normal(_, _, ts) => (ts, 0, "NORMAL")
+      case Column.Expiring(_, _, _, _, ts) => (ts, 0, "EXPIRING")
+    }
+    val byName = scala.collection.mutable.HashMap.empty[Seq[Byte], Column]
+    rows.iterator.flatMap(_.columns).foreach { c =>
+      val k = scala.collection.immutable.ArraySeq.unsafeWrapArray(c.name)
+      byName.updateWith(k) {
+        case Some(prev) =>
+          Some(if (Ordering[(Long, Int, String)].gt(rank(c), rank(prev))) c else prev)
+        case None => Some(c)
+      }
+    }
+    val cols = byName.values.toSeq
+      .filter(_.timestamp > mfda) // row-tombstone shadowing (ts <= mfda dies)
+      .sortWith((a, b) => compareKeys(a.name, b.name) < 0)
+    SSTableRow(key, cols, tomb)
+  }
 }

@@ -18,6 +18,9 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 trait Storage {
   def open(path: String): SeekableInput
   def length(path: String): Long
+  /** Last-modification time (epoch ms) — with `length`, the validity key
+    * of [[SSTableMetadataCache]]. */
+  def mtime(path: String): Long
   def exists(path: String): Boolean
   /** All `*-Data.db` files under a directory (the S1 listing filter,
     * SSTableDataInputFormat.scala:15-17); `dir` may also be a single
@@ -35,6 +38,7 @@ trait Storage {
 object LocalStorage extends Storage {
   def open(path: String): SeekableInput = new FileSeekableInput(path)
   def length(path: String): Long = new File(path).length()
+  def mtime(path: String): Long = new File(path).lastModified()
   def exists(path: String): Boolean = new File(path).exists()
   def listDataFiles(dir: String): Seq[String] = {
     val f = new File(dir)
@@ -80,6 +84,11 @@ final class HadoopStorage(conf: Configuration) extends Storage {
   def length(path: String): Long = {
     val p = new Path(path)
     fs(p).getFileStatus(p).getLen
+  }
+
+  def mtime(path: String): Long = {
+    val p = new Path(path)
+    fs(p).getFileStatus(p).getModificationTime
   }
 
   def exists(path: String): Boolean = {

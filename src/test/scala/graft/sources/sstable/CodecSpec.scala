@@ -225,6 +225,54 @@ class CodecSpec extends AnyFunSuite {
     assert(r.get("zzz".getBytes).isEmpty)
   }
 
+  test("multi-generation point read reconciles LWW + row tombstone across files") {
+    val dir = Files.createTempDirectory("multigen").toString
+    def gen(name: String, rows: Seq[SSTableRow]): Unit =
+      write(s"$dir/$name-Data.db", sortedRows(rows), compress = true)
+
+    // gen1: apple{c1@10, c2@20}, banana{c1@15}, cherry{c1@5}
+    gen("gen1", Seq(
+      SSTableRow("apple".getBytes, Seq(
+        Column.Normal("c1".getBytes, "old".getBytes, 10L),
+        Column.Normal("c2".getBytes, "keep".getBytes, 20L))),
+      SSTableRow("banana".getBytes, Seq(Column.Normal("c1".getBytes, "b".getBytes, 15L))),
+      SSTableRow("cherry".getBytes, Seq(Column.Normal("c1".getBytes, "ch".getBytes, 5L)))))
+    // gen2: apple.c1 rewritten @30 + cell tombstone c3@25; cherry wholesale-
+    // deleted at mfda=50 (pure-tombstone row)
+    gen("gen2", Seq(
+      SSTableRow("apple".getBytes, Seq(
+        Column.Normal("c1".getBytes, "new".getBytes, 30L),
+        Column.Deleted("c3".getBytes, 25L))),
+      SSTableRow("cherry".getBytes, Nil, Some(RowTombstone(1700000000, 50L)))))
+
+    // apple: merged across generations, c1 LWW'd to gen2's version
+    val apple = SSTableReader.get(dir, "apple".getBytes).get
+    assert(apple.tombstone.isEmpty)
+    assert(apple.columns.map(c => new String(c.name)) == Seq("c1", "c2", "c3"))
+    assert(new String(apple.columns.head.asInstanceOf[Column.Normal].value) == "new")
+    // GC view: the c3 cell tombstone drops, live cells remain
+    assert(SSTableReader.get(dir, "apple".getBytes, gcTombstones = true)
+      .get.columns.map(c => new String(c.name)) == Seq("c1", "c2"))
+
+    // banana: single-generation hit passes through
+    assert(SSTableReader.get(dir, "banana".getBytes).get.columns.length == 1)
+
+    // cherry: storage view = pure-tombstone row (older column shadowed);
+    // GC view = None — the key reads as deleted across generations
+    val cherry = SSTableReader.get(dir, "cherry".getBytes).get
+    assert(cherry.columns.isEmpty && cherry.tombstone.contains(RowTombstone(1700000000, 50L)))
+    assert(SSTableReader.get(dir, "cherry".getBytes, gcTombstones = true).isEmpty)
+
+    // a newer write above the tombstone resurrects the key in GC view
+    gen("gen3", Seq(
+      SSTableRow("cherry".getBytes, Seq(Column.Normal("c1".getBytes, "back".getBytes, 60L)))))
+    val back = SSTableReader.get(dir, "cherry".getBytes, gcTombstones = true).get
+    assert(new String(back.columns.head.asInstanceOf[Column.Normal].value) == "back")
+
+    // absent key: every generation's bloom/index says no
+    assert(SSTableReader.get(dir, "durian".getBytes).isEmpty)
+  }
+
   test("corruption fails loudly, not silently") {
     val p = tmpData("corrupt")
     write(p, statesRows, compress = true)

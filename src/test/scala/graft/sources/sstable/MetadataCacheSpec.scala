@@ -1,0 +1,88 @@
+package graft.sources.sstable
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Split-planning metadata cache (VERDICT r3 #4): a second scan of an
+  * unchanged fileset performs NO metadata IO — no Summary/CompressionInfo/
+  * Filter/Index opens — and a rewritten file (new len/mtime) misses. */
+class MetadataCacheSpec extends AnyFunSuite {
+
+  /** Storage spy: delegates to LocalStorage, counts open() by suffix. */
+  private final class SpyStorage extends Storage {
+    val opens = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    private def record(path: String): Unit = synchronized {
+      val suf = SSTableFiles.AllSuffixes.find(path.endsWith).getOrElse("other")
+      opens(suf) += 1
+    }
+    def open(path: String): SeekableInput = { record(path); LocalStorage.open(path) }
+    def length(path: String): Long = LocalStorage.length(path)
+    def mtime(path: String): Long = LocalStorage.mtime(path)
+    def exists(path: String): Boolean = LocalStorage.exists(path)
+    def listDataFiles(dir: String): Seq[String] = LocalStorage.listDataFiles(dir)
+    def create(path: String): java.io.DataOutputStream = LocalStorage.create(path)
+    def delete(path: String): Unit = LocalStorage.delete(path)
+    def rename(src: String, dst: String): Unit = LocalStorage.rename(src, dst)
+    def metadataOpens: Int = synchronized {
+      opens(SSTableFiles.SummarySuffix) + opens(SSTableFiles.CompressionSuffix) +
+        opens(SSTableFiles.FilterSuffix) + opens(SSTableFiles.IndexSuffix)
+    }
+  }
+
+  private def writeFileset(path: String, n: Int): Unit = {
+    val w = new SSTableWriter(path, compress = true, chunkLength = 256,
+      summaryInterval = 4)
+    try (0 until n).foreach(i => w.append(SSTableRow(f"k$i%05d".getBytes,
+      Seq(Column.Normal("c".getBytes, s"v$i".getBytes, i.toLong)))))
+    finally w.close()
+  }
+
+  test("second plan of an unchanged fileset does no metadata IO") {
+    val dir = Files.createTempDirectory("metacache").toString
+    val p = s"$dir/gen1-Data.db"
+    writeFileset(p, 200)
+    val spy = new SpyStorage
+
+    val r1 = new SSTableReader(p, spy)
+    r1.planSplits(1024)
+    assert(r1.mightContainKey("k00007".getBytes))
+    val afterFirst = spy.metadataOpens
+    assert(afterFirst > 0, "first plan must actually read metadata")
+
+    // same (path, len, mtime) → every metadata artifact served from cache
+    val r2 = new SSTableReader(p, spy)
+    assert(r2.planSplits(1024) == r1.planSplits(1024))
+    r2.summary()
+    assert(r2.mightContainKey("k00007".getBytes))
+    assert(spy.metadataOpens == afterFirst,
+      s"second plan re-read metadata: ${spy.opens}")
+
+    // a DIFFERENT split target re-plans (index point reads) but still
+    // reuses the cached Summary
+    val sumOpens = spy.opens(SSTableFiles.SummarySuffix)
+    r2.planSplits(4096)
+    assert(spy.opens(SSTableFiles.SummarySuffix) == sumOpens)
+  }
+
+  test("rewritten fileset (changed len/mtime) invalidates; useCache=false bypasses") {
+    val dir = Files.createTempDirectory("metacache-inv").toString
+    val p = s"$dir/gen1-Data.db"
+    writeFileset(p, 100)
+    val spy = new SpyStorage
+    new SSTableReader(p, spy).planSplits(1024)
+    val afterFirst = spy.metadataOpens
+
+    // rewrite with different content — length changes, entry misses
+    writeFileset(p, 150)
+    val r = new SSTableReader(p, spy)
+    r.planSplits(1024)
+    assert(spy.metadataOpens > afterFirst, "rewrite must invalidate the cache")
+    assert(r.rows().toSeq.length == 150)
+
+    // uncached readers always hit storage
+    val before = spy.metadataOpens
+    new SSTableReader(p, spy, useCache = false).summary()
+    new SSTableReader(p, spy, useCache = false).summary()
+    assert(spy.metadataOpens >= before + 2)
+  }
+}
