@@ -219,13 +219,14 @@ case class MinHashSignature(child: Expression, n: Int,
   * plan: no token explode, no distinct shuffle, no vote-sum
   * aggregation. NULL for token-less docs — the aggregation form emits
   * no row for them (callers filter). `bits` must be a multiple of 4
-  * (the hash is the first `bits/4` md5 hex chars, matching
-  * `Params.md5Long(token, bits/4)` and the oracle). */
+  * (the hash is the first `bits/4` md5 hex chars read big-endian; at 64
+  * bits that is SIGNED two's complement, matching `Params.md5Long64`
+  * and the oracle's `md5Long64Sql`). */
 case class SimHash64(child: Expression, bits: Int)
     extends UnaryExpression with CodegenFallback {
 
-  require(bits >= 4 && bits % 4 == 0 && bits <= 60,
-    s"bits must be a multiple of 4 in [4, 60], got $bits")
+  require(bits >= 4 && bits % 4 == 0 && bits <= 64,
+    s"bits must be a multiple of 4 in [4, 64], got $bits")
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = true

@@ -128,9 +128,13 @@ object DedupQueries {
     "q_simhash_pairs" -> ((s, d) => {
       val bitsPerBlock = SimHashBits / SimHashBlocks
       val sh = simhash(sampleDocs(s, d))
+      // pmod(shiftrightunsigned(...)) — at 64 bits the simhash can be
+      // negative; arithmetic shift + signed % would give two docs with
+      // identical block bits different bucket values (missed candidates)
       val blocks = sh.select(col("doc_id"), col("simhash"),
         posexplode(array((0 until SimHashBlocks).map(blk =>
-          shiftright(col("simhash"), blk * bitsPerBlock) % (1 << bitsPerBlock)): _*))
+          pmod(shiftrightunsigned(col("simhash"), blk * bitsPerBlock),
+            lit(1L << bitsPerBlock))): _*))
           .as(Seq("blk", "bv")))
       val l = blocks.select(col("doc_id").as("a"), col("simhash").as("ha"),
         col("blk"), col("bv"))
@@ -179,14 +183,18 @@ object DedupQueries {
               SELECT doc_id, unnest($shT) AS sh FROM documents $filter))
           GROUP BY doc_id))"""
   private val simhashBitSums = (0 until SimHashBits)
+    // (h >> j) & 1 extracts bit j even under DuckDB's arithmetic shift —
+    // sign-fill only touches high bits, & 1 reads bit 0
     .map(j => s"CAST(sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s$j")
     .mkString(", ")
   private val simhashValue = (0 until SimHashBits)
+    // bit 63 contributes -2^63: the signed two's-complement total stays
+    // in BIGINT range and equals Spark's `out |= 1L << 63` long exactly
     .map(j => s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
   private def simhashSql(filter: String): String =
     s"""(SELECT doc_id, CAST($simhashValue AS BIGINT) AS simhash FROM (
           SELECT doc_id, $simhashBitSums FROM (
-            SELECT DISTINCT doc_id, t, ${md5LongSql("t", SimHashBits / 4)} AS h FROM (
+            SELECT DISTINCT doc_id, t, ${md5Long64Sql("t")} AS h FROM (
               SELECT doc_id, unnest(${toksSql("text")}) AS t FROM documents $filter))
           GROUP BY doc_id))"""
   private val sampleF = s"WHERE doc_id < $PairSampleIds"

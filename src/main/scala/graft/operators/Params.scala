@@ -40,10 +40,12 @@ object Params {
   def minHashA(i: Int): Long = 2L * i + 1
   def minHashB(i: Int): Long = 999331L * i + 12345L
   val MinHashP = 4294967311L // prime > 2^32
-  /** SimHash width in bits — 60 = 15 md5 hex chars, the widest that fits
-    * a signed BIGINT in both engines (64 would overflow DuckDB's
-    * `('0x'||…)::BIGINT` and Spark's conv-cast alike). */
-  val SimHashBits = 60
+  /** SimHash width in bits — the standard 64. The value is the SIGNED
+    * two's-complement reading of the first 16 md5 hex chars' votes: bit
+    * 63 contributes -2^63, which both engines represent exactly in a
+    * BIGINT ([[md5Long64Sql]] builds the oracle's per-token hash from
+    * two 8-hex halves to dodge DuckDB's '0x'::BIGINT overflow). */
+  val SimHashBits = 64
   val SimHashMaxHamming = 3
   /** Bit-block banding for simhash candidate pairs: hamming ≤ maxH over
     * `maxH + 1` equal-width blocks guarantees (pigeonhole) at least one
@@ -118,6 +120,17 @@ object Params {
   def md5Long(c: Column, nHex: Int): Column =
     conv(substring(md5(c), 1, nHex), 16, 10).cast(LongType)
 
+  /** First 16 md5 hex chars as a SIGNED 64-bit long (bit 63 = sign) —
+    * `conv(...).cast(long)` nulls out above 2^63-1, so compose signed
+    * high half × 2^32 + low half, mirroring [[md5Long64Sql]] exactly. */
+  def md5Long64(c: Column): Column = {
+    val hex = md5(c)
+    val high = conv(substring(hex, 1, 8), 16, 10).cast(LongType)
+    val low = conv(substring(hex, 9, 8), 16, 10).cast(LongType)
+    (when(high >= lit(1L << 31), high - lit(1L << 32)).otherwise(high)) *
+      lit(1L << 32) + low
+  }
+
   /** Doubles are emitted as scaled integers (`floor(x·10^k + 0.5)`) rather
     * than `round(x, k)`: Spark's round operates on the decimal string
     * (HALF_UP on the shortest repr) while DuckDB rounds the binary value —
@@ -142,6 +155,18 @@ object Params {
   /** DuckDB twin of [[md5Long]]. */
   def md5LongSql(c: String, nHex: Int): String =
     s"('0x' || substring(md5($c), 1, $nHex))::BIGINT"
+
+  /** Signed 64-bit from the first 16 md5 hex chars (DuckDB): the '0x'
+    * literal route overflows BIGINT when the top bit is set and HUGEINT
+    * rejects the prefix, so compose two 8-hex halves — sign the high
+    * half (first hex char ≥ '8' ⇔ bit 63 set), then
+    * `signed_high * 2^32 + low` stays in BIGINT range throughout.
+    * Bit-exact twin of reading the first 8 md5 bytes big-endian signed
+    * (what [[graft.functions.SimHash64]]'s tokenHash builds at 64 bits). */
+  def md5Long64Sql(c: String): String =
+    s"""((('0x' || substring(md5($c), 1, 8))::BIGINT
+          - CASE WHEN substring(md5($c), 1, 1) >= '8' THEN 4294967296 ELSE 0 END)
+         * 4294967296 + ('0x' || substring(md5($c), 9, 8))::BIGINT)"""
 
   /** DuckDB twins of [[e4]]/[[e2]]. */
   def e4Sql(x: String): String = s"CAST(floor(($x) * 10000 + 0.5) AS BIGINT)"

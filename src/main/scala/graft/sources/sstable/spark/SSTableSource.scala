@@ -86,28 +86,27 @@ final class SSTableTable(properties: Map[String, String])
     new SSTableWriteBuilder(path, info, properties)
 }
 
-final class SSTableScanBuilder(path: String, options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+/** Accumulates pushed `key` comparison filters into the tightest
+  * [lo, hi] bounds — the shared pruning state of the data and index scan
+  * builders (both prune planned splits by Summary key bounds). */
+final class KeyBounds {
+  var lo: Option[(Array[Byte], Boolean)] = None // (bound, inclusive)
+  var hi: Option[(Array[Byte], Boolean)] = None
 
-  private var requiredSchema: StructType = SSTableSchema.schema
-  private var pushed: Array[Filter] = Array.empty
-  private var keyLo: Option[(Array[Byte], Boolean)] = None // (bound, inclusive)
-  private var keyHi: Option[(Array[Byte], Boolean)] = None
-
-  private def tightenLo(b: Array[Byte], incl: Boolean): Unit = keyLo = keyLo match {
+  private def tightenLo(b: Array[Byte], incl: Boolean): Unit = lo = lo match {
     case None => Some((b, incl))
     case Some((cur, curIncl)) =>
       val c = SSTableFiles.compareKeys(b, cur)
       if (c > 0 || (c == 0 && !incl)) Some((b, incl)) else Some((cur, curIncl))
   }
-  private def tightenHi(b: Array[Byte], incl: Boolean): Unit = keyHi = keyHi match {
+  private def tightenHi(b: Array[Byte], incl: Boolean): Unit = hi = hi match {
     case None => Some((b, incl))
     case Some((cur, curIncl)) =>
       val c = SSTableFiles.compareKeys(b, cur)
       if (c < 0 || (c == 0 && !incl)) Some((b, incl)) else Some((cur, curIncl))
   }
 
-  private def accept(f: Filter): Boolean = f match {
+  def accept(f: Filter): Boolean = f match {
     case EqualTo("key", v: Array[Byte]) => tightenLo(v, incl = true); tightenHi(v, incl = true); true
     case GreaterThan("key", v: Array[Byte]) => tightenLo(v, incl = false); true
     case GreaterThanOrEqual("key", v: Array[Byte]) => tightenLo(v, incl = true); true
@@ -117,8 +116,22 @@ final class SSTableScanBuilder(path: String, options: CaseInsensitiveStringMap)
     case _ => false
   }
 
+  /** Point-lookup key: both bounds present, inclusive, byte-equal. */
+  def eqKey: Option[Array[Byte]] = (lo, hi) match {
+    case (Some((l, true)), Some((h, true))) if java.util.Arrays.equals(l, h) => Some(l)
+    case _ => None
+  }
+}
+
+final class SSTableScanBuilder(path: String, options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var requiredSchema: StructType = SSTableSchema.schema
+  private var pushed: Array[Filter] = Array.empty
+  private val bounds = new KeyBounds
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pushed = filters.filter(accept)
+    pushed = filters.filter(bounds.accept)
     filters // all residual: pruning only skips IO, Spark re-verifies rows
   }
   override def pushedFilters(): Array[Filter] = pushed
@@ -143,7 +156,7 @@ final class SSTableScanBuilder(path: String, options: CaseInsensitiveStringMap)
     val ttlAsOf = longOption(SSTableSource.TtlAsOfMsOption)
     val planThreshold = longOption(SSTableSource.PlanningThresholdOption)
       .map(_.toInt).getOrElse(SSTableSource.DefaultDistributedPlanningThreshold)
-    new SSTableScan(path, requiredSchema, keyLo, keyHi, target, ttlAsOf, planThreshold)
+    new SSTableScan(path, requiredSchema, bounds.lo, bounds.hi, target, ttlAsOf, planThreshold)
   }
 }
 

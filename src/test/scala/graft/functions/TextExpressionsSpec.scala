@@ -105,9 +105,12 @@ class TextExpressionsSpec extends AnyFunSuite {
     // the aggregation formulation the oracle SQL mirrors
     val tok = docs.select(col("doc_id"), explode(Params.toks(col("text"))).as("t"))
       .distinct()
-      .withColumn("h", Params.md5Long(col("t"), bits / 4))
+      .withColumn("h", Params.md5Long64(col("t")))
+    // & 1, not % 2: at 64 bits h is signed, and srl(h, 0) is a no-op so
+    // a signed % would read bit 0 of negative hashes as -1 (the oracle's
+    // (h >> j) & 1 has the same property)
     val bitSums = (0 until bits).map(j =>
-      sum(when(shiftright(col("h"), j) % 2 === 1, 1).otherwise(-1)).as(s"s$j"))
+      sum(when(shiftrightunsigned(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$j"))
     val agg = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), (0 until bits)
         .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))

@@ -139,6 +139,33 @@ class SSTableSourceSpec extends AnyFunSuite {
     assert(pos.zip(pos.tail).forall { case (a, b) => a < b })
   }
 
+  test("sstable-index key-range pushdown prunes index windows and bloom-skips files") {
+    val dir = freshDir()
+    writeFixture(dir)
+    def scan(withFilter: Boolean) = {
+      val base = spark.read.format("sstable-index")
+        .option("targetSplitBytes", "2000").load(dir)
+      if (withFilter)
+        base.filter(col("key") >= lit("key00100".getBytes) &&
+          col("key") <= lit("key00120".getBytes))
+      else base
+    }
+    val all = scan(withFilter = false).rdd.getNumPartitions
+    val pruned = scan(withFilter = true).rdd.getNumPartitions
+    assert(pruned < all, s"pruned=$pruned all=$all")
+    assert(scan(withFilter = true).count() == 21)
+    assert(scan(withFilter = true).queryExecution.executedPlan.toString
+      .contains("keyRangePruned"))
+
+    // point lookup for a key inside the range but absent: only the bloom
+    // filter can prune it — expect zero planned partitions
+    def point(key: String) = spark.read.format("sstable-index").load(dir)
+      .filter(col("key") === lit(key.getBytes))
+    assert(point("key00100x").rdd.getNumPartitions == 0)
+    assert(point("key00100x").count() == 0)
+    assert(point("key00100").count() == 1)
+  }
+
   test("write path: spark sorts, round-trips through the 4-file set") {
     val dir = freshDir()
     import spark.implicits._
