@@ -63,7 +63,9 @@ object Params {
     * iterations. Medians (not means) keep every centroid coordinate
     * bit-deterministic across engines. */
   val KMedK = 8
-  val KMedIters = 2
+  /** 5 Lloyd passes — flat per-iteration cost now that kmediansCells
+    * persists the base relation and checkpoints each assignment. */
+  val KMedIters = 5
   val NearDupCosine = 0.95
   val TopWords = 20
   val JaccardTopPairs = 50

@@ -63,14 +63,19 @@ object SimilarityQueries {
     * produced it (probe against THOSE — membership and probe ranking
     * must see the same cells). */
   def kmediansCells(e: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
-    var assigned = e.select(col("vec_id"), pmod(col("vec_id"), lit(k)).as("cell"),
+    // persist: every Lloyd iteration re-reads the vectors; the per-
+    // iteration localCheckpoint truncates lineage so plan size and
+    // recompute cost stay FLAT in `iters` (without it each iteration
+    // re-derives every prior one and analysis time grows superlinearly).
+    val base = e.select(col("vec_id"), col("v"), col("nrm")).persist()
+    var assigned = base.select(col("vec_id"), pmod(col("vec_id"), lit(k)).as("cell"),
       col("v"), col("nrm"))
     var lastCent: DataFrame = null
     for (_ <- 1 to iters) {
       val cent = medianCentroids(assigned)
       lastCent = cent
       val sim = dot(col("v"), col("cv")) / (col("nrm") * col("cn"))
-      assigned = e.select(col("vec_id"), col("v"), col("nrm"))
+      assigned = base
         .crossJoin(broadcast(cent))
         .select(col("vec_id"), col("v"), col("nrm"), col("cell"), sim.as("csim"))
         .groupBy("vec_id")
@@ -80,7 +85,13 @@ object SimilarityQueries {
           struct(col("csim"), -col("cell"))).as("_best"))
         .select(col("vec_id"), col("_best.cell").as("cell"),
           col("_best.v").as("v"), col("_best.nrm").as("nrm"))
+        .localCheckpoint()
     }
+    // centroids are k tiny rows: checkpoint them too, then release the
+    // persisted base — both returned frames are materialized and no
+    // longer reference it
+    lastCent = lastCent.localCheckpoint()
+    base.unpersist()
     (assigned, lastCent)
   }
 

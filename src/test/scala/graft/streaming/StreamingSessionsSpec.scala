@@ -45,6 +45,52 @@ class StreamingSessionsSpec extends AnyFunSuite {
     assert(out.contains((1L, 2L, 3.0)), s"got ${out.mkString(", ")}")
   }
 
+  test("streaming sessionization equals batch q_session_windows on sf0.001 (oracle twin)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Params
+    val gapMs = Params.SessionGapMs
+    val d = "/root/testdata/sf0.001"
+    val ev = graft.Tables.events(spark, d).select("user_id", "ts_ms", "value")
+      .as[(Long, Long, Double)].collect()
+    // verified: the dataset has no intra-user gap EXACTLY == gapMs (batch
+    // gapBuckets merges a boundary gap, session_window starts a new
+    // session there — the one semantic the two forms disagree on)
+    val batch = graft.operators.SessionQueries
+      .sessionize(graft.Tables.events(spark, d).select("user_id", "ts_ms", "value"), gapMs)
+      .select(col("user_id"), col("session_start_ms"), col("session_end_ms"),
+        col("n_events"), col("value_sum_e4"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+
+    val input = MemoryStream[(Long, Long, Double)]
+    val events = input.toDF().toDF("user_id", "ts_ms", "value")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+    val q = StreamingSessions.sessionize(events,
+        gap = s"$gapMs milliseconds", watermark = "0 seconds")
+      .writeStream.outputMode("append").format("memory").queryName("sess_twin")
+      .option("checkpointLocation", Files.createTempDirectory("twin-ck").toString)
+      .start()
+    input.addData(ev.toSeq)
+    q.processAllAvailable()
+    // sentinel batches (excluded user -1) push the watermark beyond every
+    // real session's end so append mode seals them all
+    val far = ev.map(_._2).max + 86400000L
+    input.addData((-1L, far, 0.0))
+    q.processAllAvailable()
+    input.addData((-1L, far + 86400000L, 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("sess_twin").filter(col("user_id") >= 0)
+      .select(col("user_id"), unix_millis(col("session_start")),
+        // session_window.end = last event + gap; batch reports last event
+        unix_millis(col("session_end")) - gapMs,
+        col("n_events"), Params.e4(col("value_sum")))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == batch,
+      s"streaming != batch: only-streaming=${(got -- batch).take(3)} only-batch=${(batch -- got).take(3)}")
+  }
+
   test("flatMapGroupsWithState sessionizer closes sessions on gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
