@@ -24,6 +24,10 @@ object Tables {
     *    (never emitted in query output).
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
+    // session-wide set, deliberately: TIMESTAMP(NANOS) is unreadable
+    // without it, no per-read option exists, and re-setting is
+    // idempotent (a caller-set false would only make this loader throw
+    // PARQUET_TYPE_ILLEGAL anyway)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(spark, sfDir, "events")
       .withColumnRenamed("ts", "ts_ns")
