@@ -140,6 +140,56 @@ object SSTableOps {
     out.write.format("sstable").mode("overwrite").save(outDir)
   }
 
+  /** Size-tiered compaction planning (Cassandra's STCS): bucket the
+    * directory's generations by size similarity — walking files
+    * smallest-first, a file joins the current bucket while its size is
+    * ≤ `bucketHigh` × the bucket's running average (and tiny files
+    * below `minSize` all share one bucket) — and return the buckets
+    * holding at least `minThreshold` files, smallest-first, each capped
+    * at `maxThreshold` files. These are the generation sets worth
+    * folding with [[compactFiles]]: merging similar sizes bounds write
+    * amplification to O(log(total/flush)) rewrites per row, where
+    * merging a tiny flush into a huge generation would rewrite the
+    * giant for every flush. Pure metadata — one stat per file. */
+  def planCompaction(dir: String, minThreshold: Int = 4, maxThreshold: Int = 32,
+                     bucketHigh: Double = 1.5, minSize: Long = 50L * 1024 * 1024,
+                     storage: graft.sources.sstable.Storage =
+                       graft.sources.sstable.LocalStorage): Seq[Seq[String]] = {
+    val bySize = storage.listDataFiles(dir).map(f => f -> storage.length(f))
+      .sortBy(_._2)
+    val buckets = scala.collection.mutable.ArrayBuffer.empty[
+      (scala.collection.mutable.ArrayBuffer[String], Long)] // (files, total)
+    bySize.foreach { case (f, sz) =>
+      buckets.lastOption match {
+        case Some((files, total))
+            if sz <= bucketHigh * (total.toDouble / files.length) ||
+              (sz < minSize && total.toDouble / files.length < minSize) =>
+          files += f
+          buckets(buckets.length - 1) = (files, total + sz)
+        case _ =>
+          buckets += ((scala.collection.mutable.ArrayBuffer(f), sz))
+      }
+    }
+    buckets.collect { case (files, _) if files.length >= minThreshold =>
+      files.take(maxThreshold).toSeq
+    }.toSeq
+  }
+
+  /** Fold ONE planned bucket of generations into a single sorted
+    * generation in `outDir` (the [[compact]] shape restricted to the
+    * bucket's files — generations outside the bucket are untouched, the
+    * STCS maintenance step). */
+  def compactFiles(spark: org.apache.spark.sql.SparkSession, files: Seq[String],
+                   outDir: String, gcTombstones: Boolean = false): Unit = {
+    require(files.nonEmpty, "empty compaction bucket")
+    // each Data.db path is its own single-file scan (listDataFiles
+    // accepts a file); union of scans keeps per-file split planning
+    val merged = compactRows(
+      files.map(f => spark.read.format("sstable").load(f)).reduce(_.union(_)))
+    val out = if (gcTombstones) suppressTombstones2(merged) else merged
+    out.write.format("sstable").mode("append").save(outDir)
+  }
+
   /** Tombstone GC over an already-compacted relation: row-shadowed columns
     * are already gone ([[compactRows]]), so drop the DELETED cell markers
     * and the row tombstone itself, and elide rows with nothing live left. */
@@ -147,4 +197,46 @@ object SSTableOps {
     compacted.select(col("key"),
       filter(col("columns"), c => c.getField("state") =!= "DELETED").as("columns"))
       .filter(size(col("columns")) > 0)
+
+  /** Index-nested-loop point-read join: probe the SSTable directory once
+    * per key in `keys` (binary `key` column) instead of scanning it —
+    * the access shape for a small probe set against a huge table (IO
+    * proportional to probe count × generations, never table size; a
+    * scan+filter reads everything). Per executor partition the 4-file
+    * metadata is opened once (and served from [[graft.sources.sstable
+    * .SSTableMetadataCache]] across partitions/queries); each probe is
+    * bloom → Summary search → one bounded Index.db window → one Data.db
+    * seek per generation that might contain the key, reconciled across
+    * generations with [[compactRows]]' exact rules.
+    *
+    * Inner-join semantics: one output row per probe key that exists
+    * (after reconcile — with `gcTombstones` the live view, so wholesale-
+    * deleted keys don't match); duplicate probe keys yield duplicate
+    * outputs. Output schema = the scan schema.
+    *
+    * `mapPartitions` is the honest tier here (SURVEY §2.7 ladder): the
+    * probe loop is per-partition imperative access to an external index,
+    * not relational algebra Catalyst could optimize. */
+  def lookupJoin(keys: DataFrame, dir: String,
+                 gcTombstones: Boolean = true): DataFrame = {
+    import graft.sources.sstable.{SSTableReader, LocalStorage, Storage, HadoopStorage, SerializableHadoopConf}
+    import graft.sources.sstable.spark.SSTableSchema
+    val spark = keys.sparkSession
+    val serConf: Option[SerializableHadoopConf] =
+      if (Storage.hasScheme(dir))
+        Some(new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
+      else None
+    val gc = gcTombstones
+    val out = keys.select(col("key")).queryExecution.toRdd.mapPartitions { it =>
+      val storage: Storage =
+        serConf.map(c => new HadoopStorage(c.value): Storage).getOrElse(LocalStorage)
+      it.flatMap { row =>
+        val k = row.getBinary(0)
+        SSTableReader.get(dir, k, storage, gc)
+          .map(r => SSTableSchema.rowToInternal(r, SSTableSchema.schema))
+      }
+    }
+    org.apache.spark.sql.GraftColumnBridge.internalCreateDataFrame(
+      spark, out, SSTableSchema.schema)
+  }
 }

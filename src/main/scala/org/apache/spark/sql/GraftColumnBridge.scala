@@ -10,6 +10,15 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** DataFrame over already-converted InternalRows (`private[sql]` on
+    * the session) — backs operators that produce rows imperatively,
+    * e.g. `SSTableOps.lookupJoin`'s per-partition probe loop. */
+  def internalCreateDataFrame(spark: SparkSession,
+                              rdd: org.apache.spark.rdd.RDD[
+                                org.apache.spark.sql.catalyst.InternalRow],
+                              schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(rdd, schema)
 }
 
 /** Live-session function registration (the `sessionState` accessor is

@@ -289,6 +289,91 @@ class SSTableOpsSpec extends AnyFunSuite {
     assert(gcKeys == Seq("kept"))
   }
 
+  test("lookupJoin probes generations instead of scanning; reconciles LWW + tombstones") {
+    val dir = Files.createTempDirectory("lookup").toString
+    tombrows(
+      ("apple", None, Seq(col3("c1", "NORMAL", "old", 10), col3("c2", "NORMAL", "keep", 20))),
+      ("banana", None, Seq(col3("c1", "NORMAL", "b", 15))),
+      ("cherry", None, Seq(col3("c1", "NORMAL", "ch", 5))))
+      .write.format("sstable").mode("append").save(dir)
+    tombrows(
+      ("apple", None, Seq(col3("c1", "NORMAL", "new", 30))),
+      ("cherry", Some((1700000000, 50L)), Nil)) // wholesale delete
+      .write.format("sstable").mode("append").save(dir)
+
+    val probes = Seq("apple", "apple", "banana", "cherry", "durian")
+      .map(_.getBytes).toDF("key")
+    // live view: cherry (deleted) and durian (absent) don't match;
+    // duplicate probe keys give duplicate outputs
+    val live = SSTableOps.lookupJoin(probes, dir)
+      .select(col("key").cast("string"), explode(col("columns")).as("c"))
+      .select(col("key"), col("c.name").cast("string"), col("c.value").cast("string"))
+      .as[(String, String, String)].collect().sorted
+    assert(live.toSeq == Seq(
+      ("apple", "c1", "new"), ("apple", "c1", "new"),
+      ("apple", "c2", "keep"), ("apple", "c2", "keep"),
+      ("banana", "c1", "b")))
+
+    // storage view keeps the tombstoned key with its deletion info
+    val storageView = SSTableOps.lookupJoin(probes, dir, gcTombstones = false)
+    assert(storageView.filter(col("key") === lit("cherry".getBytes))
+      .select(col("rowTombstone.markedForDeleteAt")).as[Long].collect().toSeq == Seq(50L))
+
+    // matches the scan-everything formulation on the probed keys
+    val viaScan = SSTableOps.suppressTombstones(
+      spark.read.format("sstable").load(dir))
+      .filter(col("key").isin(Seq("apple", "banana", "cherry", "durian")
+        .map(k => lit(k.getBytes)): _*))
+      .select(col("key").cast("string"), to_json(col("columns")))
+      .as[(String, String)].collect().toSet
+    val viaProbe = SSTableOps.lookupJoin(probes.distinct(), dir)
+      .select(col("key").cast("string"), to_json(col("columns")))
+      .as[(String, String)].collect().toSet
+    assert(viaProbe == viaScan)
+  }
+
+  test("planCompaction buckets similar sizes (STCS); compactFiles folds one bucket") {
+    val dir = Files.createTempDirectory("stcs").toString
+    def gen(name: String, rows: Int, keyPrefix: String = "k", ts: Long = 1L): Unit = {
+      val w = new graft.sources.sstable.SSTableWriter(s"$dir/$name-Data.db",
+        compress = false, summaryInterval = 16)
+      (0 until rows).foreach(i => w.append(graft.sources.sstable.SSTableRow(
+        f"$keyPrefix$i%06d".getBytes,
+        Seq(graft.sources.sstable.Column.Normal("c".getBytes, s"$name$i".getBytes, ts)))))
+      w.close()
+    }
+    // four flush-sized generations (overlapping keys; flush1 carries the
+    // HIGHEST timestamp so its 100 keys must win the merge) + one giant
+    gen("flush1", 100, ts = 10); gen("flush2", 110, ts = 2)
+    gen("flush3", 120, ts = 3); gen("flush4", 130, ts = 4)
+    gen("giant", 20000, keyPrefix = "g")
+
+    val plan = SSTableOps.planCompaction(dir, minThreshold = 4, minSize = 0L)
+    assert(plan.length == 1, s"want one bucket, got $plan")
+    assert(plan.head.map(f => f.substring(f.lastIndexOf('/') + 1)).toSet ==
+      Set("flush1-Data.db", "flush2-Data.db", "flush3-Data.db", "flush4-Data.db"),
+      "the four flush-sized generations bucket together; the giant stays out")
+
+    // tiny-file rule: with a large minSize everything below it shares a bucket
+    val lumped = SSTableOps.planCompaction(dir, minThreshold = 4,
+      minSize = 1L << 40)
+    assert(lumped.length == 1 && lumped.head.length == 5)
+
+    // fold the planned bucket: giant untouched, bucket becomes one
+    // generation with LWW-correct cells
+    val out = Files.createTempDirectory("stcs-out").toString
+    SSTableOps.compactFiles(spark, plan.head, out)
+    assert(graft.sources.sstable.SSTableReader.listDataFiles(out).size >= 1)
+    val merged = spark.read.format("sstable").load(out)
+      .select(col("key").cast("string"), explode(col("columns")).as("c"))
+      .select(col("c.value").cast("string")).as[String].collect()
+    assert(merged.length == 130) // union of k000000..k000129
+    assert(merged.count(_.startsWith("flush1")) == 100,
+      "highest-ts generation wins its keys")
+    assert(merged.count(_.startsWith("flush4")) == 30,
+      "keys only flush4 wrote keep its values")
+  }
+
   test("exportCompacted emits one base64 line per row (E1 pipeline)") {
     val df = widerows(
       "r1" -> Seq(col3("a", "NORMAL", "x", 10)),
