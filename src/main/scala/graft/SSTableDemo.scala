@@ -73,6 +73,33 @@ object SSTableDemo {
       .agg(max_by(col("c"), col("c.timestamp")).as("c"))
       .groupBy("key").agg(collect_list("c").as("columns"))
     println(s"== LWW-merged rows: ${merged.count()}")
+
+    // lookup join: probe 5 keys (one absent) across generations — IO is
+    // per-probe bloom/summary/index, never a table scan
+    import spark.implicits._
+    val probes = Seq("user000007", "user004999", "user005000", "user009999", "nosuchkey")
+      .map(_.getBytes).toDF("key")
+    val hits = operators.SSTableOps.lookupJoin(probes, dir)
+    println(s"== lookup join: ${hits.count()} of ${probes.count()} probe keys found " +
+      "(point reads, no scan)")
+
+    // embedded multi-generation point read (Cassandra's read path)
+    val got = sources.sstable.SSTableReader.get(dir, "user001234".getBytes,
+      gcTombstones = true)
+    println(s"== multi-generation get: user001234 -> " +
+      s"${got.map(_.columns.length).getOrElse(0)} live columns")
+
+    // size-tiered compaction planning: append two flush-sized generations
+    // next to the big one — STCS buckets the similar-sized pair and
+    // leaves the giant out of the fold
+    src.filter(col("key") < lit("user000100".getBytes))
+      .write.format("sstable").mode("append").save(dir)
+    src.filter(col("key") >= lit("user009900".getBytes))
+      .write.format("sstable").mode("append").save(dir)
+    val plan = operators.SSTableOps.planCompaction(dir, minThreshold = 2, minSize = 0L)
+    println(s"== STCS planning over ${sources.sstable.SSTableReader.listDataFiles(dir).size} " +
+      s"generations: ${plan.length} bucket(s) of " +
+      plan.map(_.length).mkString("[", ",", "]") + " files (giant excluded)")
     spark.stop()
   }
 }

@@ -230,9 +230,10 @@ object SSTableOps {
     val out = keys.select(col("key")).queryExecution.toRdd.mapPartitions { it =>
       val storage: Storage =
         serConf.map(c => new HadoopStorage(c.value): Storage).getOrElse(LocalStorage)
+      // one listing + one (cached) metadata load per partition, not per key
+      val prober = new SSTableReader.DirectoryProber(dir, storage)
       it.flatMap { row =>
-        val k = row.getBinary(0)
-        SSTableReader.get(dir, k, storage, gc)
+        prober.get(row.getBinary(0), gc)
           .map(r => SSTableSchema.rowToInternal(r, SSTableSchema.schema))
       }
     }

@@ -237,17 +237,27 @@ object SSTableReader {
     * Statistics.db, not part of the 4-file set here) an early-out would
     * be unsound, and the bloom filters already make misses ~free. */
   def get(dir: String, key: Array[Byte], storage: Storage = LocalStorage,
-          gcTombstones: Boolean = false): Option[SSTableRow] = {
-    val hits = storage.listDataFiles(dir).flatMap { f =>
-      val r = new SSTableReader(f, storage)
-      try r.get(key) finally r.close()
-    }
-    if (hits.isEmpty) return None
-    val merged = reconcile(key, hits)
-    if (!gcTombstones) Some(merged)
-    else {
-      val live = merged.columns.filterNot(_.isInstanceOf[Column.Deleted])
-      if (live.isEmpty) None else Some(SSTableRow(key, live, None))
+          gcTombstones: Boolean = false): Option[SSTableRow] =
+    new DirectoryProber(dir, storage).get(key, gcTombstones)
+
+  /** Reusable multi-generation prober over a FIXED directory listing:
+    * one listing + one metadata load (cache-served), many probes — the
+    * shape a probe loop wants (`SSTableOps.lookupJoin` creates one per
+    * partition; re-listing per key would add a storage round-trip per
+    * probe on object stores). */
+  final class DirectoryProber(dir: String, storage: Storage = LocalStorage) {
+    private val readers = storage.listDataFiles(dir).map(f => new SSTableReader(f, storage))
+
+    /** Same semantics as the directory-level `SSTableReader.get`. */
+    def get(key: Array[Byte], gcTombstones: Boolean = false): Option[SSTableRow] = {
+      val hits = readers.flatMap(_.get(key))
+      if (hits.isEmpty) return None
+      val merged = reconcile(key, hits)
+      if (!gcTombstones) Some(merged)
+      else {
+        val live = merged.columns.filterNot(_.isInstanceOf[Column.Deleted])
+        if (live.isEmpty) None else Some(SSTableRow(key, live, None))
+      }
     }
   }
 
