@@ -374,6 +374,64 @@ class SSTableOpsSpec extends AnyFunSuite {
       "keys only flush4 wrote keep its values")
   }
 
+  test("property: multi-generation get(dir,key) == compactRows on random generations") {
+    // The point-read reconcile (Scala, SSTableReader.reconcile) and the
+    // compaction merge (DataFrame, compactRows) implement the same
+    // semantics twice — this pin stops them drifting. Timestamps are
+    // globally unique so every per-cell winner is well-defined (the
+    // deterministic tie rules have their own unit cases above).
+    import graft.sources.sstable.{Column, RowTombstone, SSTableRow, SSTableWriter}
+    val rnd = new scala.util.Random(20260812)
+    var tsCounter = 1000L
+    def nextTs(): Long = { tsCounter += rnd.nextInt(50) + 1; tsCounter }
+    val keyUniverse = (0 until 10).map(i => f"k$i%02d")
+    val names = Seq("a", "b", "c", "d")
+
+    for (trial <- 0 until 5) {
+      val dir = Files.createTempDirectory(s"prop-mg-$trial").toString
+      val gens = (0 until 3).map { g =>
+        keyUniverse.filter(_ => rnd.nextDouble() < 0.7).map { k =>
+          val cols = names.filter(_ => rnd.nextDouble() < 0.6).map { n =>
+            if (rnd.nextDouble() < 0.25) Column.Deleted(n.getBytes, nextTs())
+            else Column.Normal(n.getBytes, s"$k$n$g".getBytes, nextTs())
+          }
+          val tomb = if (rnd.nextDouble() < 0.25)
+            // mfda inside the live ts range so shadowing actually bites
+            Some(RowTombstone(1700000000 + g, tsCounter - rnd.nextInt(200)))
+          else None
+          SSTableRow(k.getBytes, cols, tomb)
+        }
+      }
+      gens.zipWithIndex.foreach { case (rows, g) =>
+        val w = new SSTableWriter(s"$dir/gen$g-Data.db", compress = g % 2 == 0,
+          chunkLength = 256, summaryInterval = 4)
+        try rows.sortBy(r => new String(r.key)).foreach(w.append) finally w.close()
+      }
+
+      val expected = SSTableOps.compactRows(spark.read.format("sstable").load(dir))
+        .select(col("key").cast("string"), to_json(struct(col("columns"), col("rowTombstone"))))
+        .as[(String, String)].collect().toMap
+      keyUniverse.foreach { k =>
+        val got = graft.sources.sstable.SSTableReader.get(dir, k.getBytes)
+        (expected.get(k), got) match {
+          case (None, None) => // key in no generation: both say absent
+          case (Some(exp), Some(row)) =>
+            val gotJson = tombrows((k, row.tombstone.map(t =>
+                (t.localDeletionTimeSecs, t.markedForDeleteAtMicros)),
+                row.columns.map {
+                  case Column.Normal(n, v, ts) => (n, "NORMAL", v, ts, 0L, 0L)
+                  case Column.Deleted(n, ts) => (n, "DELETED", null, ts, 0L, 0L)
+                  case Column.Expiring(n, v, ttl, exp2, ts) => (n, "EXPIRING", v, ts, ttl, exp2)
+                }))
+              .select(to_json(struct(col("columns"), col("rowTombstone"))))
+              .as[String].collect().head
+            assert(gotJson == exp, s"trial $trial key $k: probe=$gotJson compact=$exp")
+          case (e, g2) => fail(s"trial $trial key $k: presence mismatch exp=$e got=$g2")
+        }
+      }
+    }
+  }
+
   test("exportCompacted emits one base64 line per row (E1 pipeline)") {
     val df = widerows(
       "r1" -> Seq(col3("a", "NORMAL", "x", 10)),
