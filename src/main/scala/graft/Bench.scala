@@ -120,8 +120,11 @@ object Bench {
     // artifact is sf-labeled so other SFs' ratios read as what they are)
     val ratios = results.collect { case (k, (v, _)) if v >= 0 && BaselineSf01.contains(k) =>
       "\"" + k + "\":" + f"${v / BaselineSf01(k)}%.2f" }.mkString("{", ",", "}")
-    val baseTotal = results.collect { case (k, (v, _)) if v >= 0 => BaselineSf01.getOrElse(k, 0.0) }.sum
-    val totalRatio = if (baseTotal > 0) f"${total / baseTotal}%.3f" else "null"
+    // both sums restricted to baseline-covered queries, or a new query's
+    // honest cost would read as a regression of the covered set
+    val covered = results.collect { case (k, (v, _)) if v >= 0 && BaselineSf01.contains(k) => (k, v) }
+    val baseTotal = covered.map { case (k, _) => BaselineSf01(k) }.sum
+    val totalRatio = if (baseTotal > 0) f"${covered.map(_._2).sum / baseTotal}%.3f" else "null"
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"ratio":$ratios,"total_ratio":$totalRatio,"errors":$errs,"rechecked":$rech,"sf":"$sfDir"}""")
     spark.stop()
   }

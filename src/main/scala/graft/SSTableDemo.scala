@@ -97,9 +97,12 @@ object SSTableDemo {
     src.filter(col("key") >= lit("user009900".getBytes))
       .write.format("sstable").mode("append").save(dir)
     val plan = operators.SSTableOps.planCompaction(dir, minThreshold = 2, minSize = 0L)
-    println(s"== STCS planning over ${sources.sstable.SSTableReader.listDataFiles(dir).size} " +
-      s"generations: ${plan.length} bucket(s) of " +
-      plan.map(_.length).mkString("[", ",", "]") + " files (giant excluded)")
+    val all = sources.sstable.SSTableReader.listDataFiles(dir)
+    val biggest = all.maxBy(f => new java.io.File(f).length())
+    val biggestBucketed = plan.exists(_.contains(biggest))
+    println(s"== STCS planning over ${all.size} generations: ${plan.length} bucket(s) of " +
+      plan.map(_.length).mkString("[", ",", "]") + " files; largest generation " +
+      (if (biggestBucketed) "IN a bucket" else "excluded"))
     spark.stop()
   }
 }

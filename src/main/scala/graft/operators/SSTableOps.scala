@@ -227,7 +227,10 @@ object SSTableOps {
         Some(new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
       else None
     val gc = gcTombstones
-    val out = keys.select(col("key")).queryExecution.toRdd.mapPartitions { it =>
+    // SQL equi-join semantics: a NULL probe key matches nothing (and the
+    // probe loop would NPE on it)
+    val out = keys.select(col("key")).filter(col("key").isNotNull)
+      .queryExecution.toRdd.mapPartitions { it =>
       val storage: Storage =
         serConf.map(c => new HadoopStorage(c.value): Storage).getOrElse(LocalStorage)
       // one listing + one (cached) metadata load per partition, not per key

@@ -63,6 +63,7 @@ object SimilarityQueries {
     * produced it (probe against THOSE — membership and probe ranking
     * must see the same cells). */
   def kmediansCells(e: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
+    require(iters >= 1, s"kmediansCells needs at least one Lloyd iteration, got $iters")
     // persist: every Lloyd iteration re-reads the vectors; the per-
     // iteration localCheckpoint truncates lineage so plan size and
     // recompute cost stay FLAT in `iters` (without it each iteration

@@ -113,39 +113,58 @@ final class SSTableReader(val dataPath: String,
     * `summaryInterval` rows) → scan ≤ interval Index.db entries → one
     * Data.db seek. Cost for a miss is O(1) memory probes; for a hit,
     * one bounded index window + one row decode. Duplicate keys: returns
-    * the FIRST row with the key in file order. */
-  def get(key: Array[Byte]): Option[SSTableRow] = {
-    if (!mightContainKey(key)) return None
+    * the FIRST row with the key in file order ([[getAll]] returns every
+    * version). */
+  def get(key: Array[Byte]): Option[SSTableRow] = getAll(key).headOption
+
+  /** Every row with `key`, in file order — the writer permits duplicate
+    * keys (same-key DataFrame rows land adjacently in one sorted file),
+    * so a merge-exact probe must see all of them, not just the first.
+    * Same probe cost as [[get]] plus the adjacent duplicate decodes. */
+  def getAll(key: Array[Byte]): Seq[SSTableRow] = {
+    if (!mightContainKey(key)) return Nil
     val (_, sum) = summary()
-    if (sum.isEmpty) return None
+    if (sum.isEmpty) return Nil
     // last summary entry with entry.key <= key (unsigned order)
     var lo = 0
     var hi = sum.length - 1
-    if (compareKeys(sum(0).key, key) > 0) return None // before first key
+    // duplicates of the first key may precede summary entry 0's row only
+    // if they ARE entry 0's key; a key strictly below it is absent
+    if (compareKeys(sum(0).key, key) > 0) return Nil
     while (lo < hi) {
       val mid = (lo + hi + 1) >>> 1
       if (compareKeys(sum(mid).key, key) <= 0) lo = mid else hi = mid - 1
     }
+    // a duplicate run can straddle summary window starts: walk back past
+    // every window whose first key EQUALS the probe (a long run can span
+    // several), so the index scan starts before the run's first row
+    while (lo > 0 && compareKeys(sum(lo).key, key) == 0) lo -= 1
     val idxStart = sum(lo).indexOffset
-    val idxEnd = if (lo + 1 < sum.length) sum(lo + 1).indexOffset
-      else storage.length(sibling(dataPath, IndexSuffix))
+    val idxEnd = storage.length(sibling(dataPath, IndexSuffix)) // run may span windows
     val idxIn = storage.open(sibling(dataPath, IndexSuffix))
     try {
       idxIn.seek(idxStart)
       val ir = new IndexReader(idxIn, idxEnd)
-      while (ir.hasNext) {
+      var firstOffset = -1L
+      var n = 0
+      var done = false
+      while (!done && ir.hasNext) {
         val e = ir.next()
         val c = compareKeys(e.key, key)
         if (c == 0) {
-          val in = openData()
-          try {
-            in.seek(e.dataOffset)
-            return Some(new DataReader(in).next())
-          } finally in.close()
-        }
-        if (c > 0) return None // sorted: passed the key
+          if (firstOffset < 0) firstOffset = e.dataOffset
+          n += 1
+        } else if (c > 0) done = true // sorted: passed the key (and any run)
       }
-      None
+      if (firstOffset < 0) Nil
+      else {
+        val in = openData()
+        try {
+          in.seek(firstOffset)
+          val dr = new DataReader(in)
+          Vector.fill(n)(dr.next()) // duplicates are adjacent in Data.db
+        } finally in.close()
+      }
     } finally idxIn.close()
   }
 
@@ -250,7 +269,7 @@ object SSTableReader {
 
     /** Same semantics as the directory-level `SSTableReader.get`. */
     def get(key: Array[Byte], gcTombstones: Boolean = false): Option[SSTableRow] = {
-      val hits = readers.flatMap(_.get(key))
+      val hits = readers.flatMap(_.getAll(key)) // every version, every generation
       if (hits.isEmpty) return None
       val merged = reconcile(key, hits)
       if (!gcTombstones) Some(merged)
@@ -265,8 +284,13 @@ object SSTableReader {
     * `compactRows`' DataFrame algebra — same winner per column, same
     * tie-breaks, same row-tombstone shadowing, name-sorted output). */
   private[sstable] def reconcile(key: Array[Byte], rows: Seq[SSTableRow]): SSTableRow = {
-    // newest row tombstone: max by (markedForDeleteAt, localDeletionTime)
+    // newest row tombstone: max by (markedForDeleteAt, localDeletionTime).
+    // The pathological half-LIVE pair (mfda=Long.MinValue, ldt≠MAX) the
+    // codec round-trips is normalized away on MERGE — it shadows nothing,
+    // and compactRows' sentinel fold can't represent it; both merge paths
+    // therefore agree (raw single-file reads still surface it verbatim).
     val tomb = rows.flatMap(_.tombstone)
+      .filter(_.markedForDeleteAtMicros != Long.MinValue)
       .sortBy(t => (t.markedForDeleteAtMicros, t.localDeletionTimeSecs))
       .lastOption
     val mfda = tomb.map(_.markedForDeleteAtMicros).getOrElse(Long.MinValue)

@@ -319,6 +319,22 @@ class SSTableOpsSpec extends AnyFunSuite {
     assert(storageView.filter(col("key") === lit("cherry".getBytes))
       .select(col("rowTombstone.markedForDeleteAt")).as[Long].collect().toSeq == Seq(50L))
 
+    // duplicate key WITHIN one generation: both versions merge (the DSv2
+    // writer lands same-key DF rows adjacently in one sorted file)
+    val dupDir = Files.createTempDirectory("lookup-dup").toString
+    tombrows(
+      ("dup", None, Seq(col3("c1", "NORMAL", "v1", 10))),
+      ("dup", None, Seq(col3("c2", "NORMAL", "v2", 20))))
+      .write.format("sstable").mode("append").save(dupDir)
+    val dupGot = SSTableOps.lookupJoin(Seq("dup".getBytes).toDF("key"), dupDir)
+      .select(explode(col("columns")).as("c")).select(col("c.name").cast("string"))
+      .as[String].collect().sorted
+    assert(dupGot.toSeq == Seq("c1", "c2"))
+
+    // NULL probe key: SQL equi-join semantics — no match, no NPE
+    val withNull = Seq(Some("apple".getBytes), None).toDF("key")
+    assert(SSTableOps.lookupJoin(withNull, dir).count() == 1)
+
     // matches the scan-everything formulation on the probed keys
     val viaScan = SSTableOps.suppressTombstones(
       spark.read.format("sstable").load(dir))
@@ -390,16 +406,26 @@ class SSTableOpsSpec extends AnyFunSuite {
     for (trial <- 0 until 5) {
       val dir = Files.createTempDirectory(s"prop-mg-$trial").toString
       val gens = (0 until 3).map { g =>
-        keyUniverse.filter(_ => rnd.nextDouble() < 0.7).map { k =>
-          val cols = names.filter(_ => rnd.nextDouble() < 0.6).map { n =>
-            if (rnd.nextDouble() < 0.25) Column.Deleted(n.getBytes, nextTs())
-            else Column.Normal(n.getBytes, s"$k$n$g".getBytes, nextTs())
+        keyUniverse.filter(_ => rnd.nextDouble() < 0.7).flatMap { k =>
+          def mkRow() = {
+            val cols = names.filter(_ => rnd.nextDouble() < 0.6).map { n =>
+              if (rnd.nextDouble() < 0.25) Column.Deleted(n.getBytes, nextTs())
+              else Column.Normal(n.getBytes, s"$k$n$g".getBytes, nextTs())
+            }
+            val tomb =
+              if (rnd.nextDouble() < 0.2)
+                // mfda inside the live ts range so shadowing actually bites
+                Some(RowTombstone(1700000000 + g, tsCounter - rnd.nextInt(200)))
+              else if (rnd.nextDouble() < 0.1)
+                // pathological half-LIVE pair: codec-representable,
+                // shadows nothing, normalized away by BOTH merge paths
+                Some(RowTombstone(g, Long.MinValue))
+              else None
+            SSTableRow(k.getBytes, cols, tomb)
           }
-          val tomb = if (rnd.nextDouble() < 0.25)
-            // mfda inside the live ts range so shadowing actually bites
-            Some(RowTombstone(1700000000 + g, tsCounter - rnd.nextInt(200)))
-          else None
-          SSTableRow(k.getBytes, cols, tomb)
+          // occasional duplicate key within one generation (writer
+          // permits non-decreasing keys; versions land adjacently)
+          if (rnd.nextDouble() < 0.15) Seq(mkRow(), mkRow()) else Seq(mkRow())
         }
       }
       gens.zipWithIndex.foreach { case (rows, g) =>

@@ -225,6 +225,28 @@ class CodecSpec extends AnyFunSuite {
     assert(r.get("zzz".getBytes).isEmpty)
   }
 
+  test("getAll returns every duplicate-key row, incl. runs straddling summary windows") {
+    val p = tmpData("dups")
+    // summaryInterval=4 (write() default): a 6-row duplicate run is
+    // guaranteed to straddle a window boundary somewhere
+    val dup = (0 until 6).map(i =>
+      SSTableRow("dup".getBytes, Seq(Column.Normal(s"c$i".getBytes, s"v$i".getBytes, i.toLong))))
+    val rows = sortedRows(Seq(
+      SSTableRow("aaa".getBytes, Seq(Column.Normal("c".getBytes, "a".getBytes, 1L))),
+      SSTableRow("zzz".getBytes, Seq(Column.Normal("c".getBytes, "z".getBytes, 1L)))) ++ dup)
+    write(p, rows, compress = true)
+    val r = new SSTableReader(p)
+    val got = r.getAll("dup".getBytes)
+    assert(got.length == 6, s"want all 6 duplicates, got ${got.length}")
+    assert(got.map(x => new String(x.columns.head.name)) == (0 until 6).map(s"c" + _))
+    assert(r.get("dup".getBytes).get.columns.head.name.sameElements("c0".getBytes),
+      "get returns the FIRST duplicate in file order")
+    assert(r.getAll("aaa".getBytes).length == 1 && r.getAll("nope".getBytes).isEmpty)
+    // directory-level get merges the duplicates like compactRows would
+    val merged = SSTableReader.get(p, "dup".getBytes).get
+    assert(merged.columns.length == 6, "all six distinct column names survive the merge")
+  }
+
   test("multi-generation point read reconciles LWW + row tombstone across files") {
     val dir = Files.createTempDirectory("multigen").toString
     def gen(name: String, rows: Seq[SSTableRow]): Unit =
