@@ -78,6 +78,49 @@ class StreamingSinkSpec extends AnyFunSuite {
     assert(aRow.toSeq == Seq(("v2", 20L)))
   }
 
+  test("epoch replay with fewer staged siblings leaves no stale sibling behind") {
+    // ADVICE r3: a replayed epoch that stages FEWER siblings (e.g.
+    // compression disabled across a restart, so no CompressionInfo.db)
+    // must unpublish ALL of the prior copy's siblings — a stale
+    // CompressionInfo.db next to an uncompressed Data.db would make the
+    // reader misinterpret the bytes. Drives commit() directly: the
+    // publish/unpublish protocol is pure file choreography.
+    import graft.sources.sstable.SSTableFiles
+    val dir = Files.createTempDirectory("replay-siblings").toString
+    val staging = s"$dir/_streaming-staging"
+    new java.io.File(staging).mkdirs()
+    val w = new SSTableStreamingWrite(dir, SSTableSchema.schema, Map.empty)
+
+    def stage(attempt: Int, suffixes: Seq[String]): String = {
+      val data = s"$staging/part-00000-epoch-7-attempt-$attempt-Data.db"
+      suffixes.foreach { suf =>
+        val f = new java.io.FileOutputStream(SSTableFiles.sibling(data, suf))
+        f.write(s"attempt$attempt$suf".getBytes); f.close()
+      }
+      data
+    }
+    def published(suf: String) = new java.io.File(
+      SSTableFiles.sibling(s"$dir/part-00000-epoch-7-Data.db", suf))
+
+    // first commit: full compressed fileset
+    w.commit(7, Array(SSTableCommit(Seq(stage(1, Seq(
+      SSTableFiles.DataSuffix, SSTableFiles.IndexSuffix, SSTableFiles.SummarySuffix,
+      SSTableFiles.CompressionSuffix, SSTableFiles.FilterSuffix))))))
+    assert(published(SSTableFiles.CompressionSuffix).exists())
+
+    // replay: same (partition, epoch) staged WITHOUT CompressionInfo/Filter
+    w.commit(7, Array(SSTableCommit(Seq(stage(2, Seq(
+      SSTableFiles.DataSuffix, SSTableFiles.IndexSuffix, SSTableFiles.SummarySuffix))))))
+    assert(!published(SSTableFiles.CompressionSuffix).exists(),
+      "stale CompressionInfo.db survived the replay unpublish")
+    assert(!published(SSTableFiles.FilterSuffix).exists(),
+      "stale Filter.db survived the replay unpublish")
+    val dataBytes = java.nio.file.Files.readAllBytes(
+      published(SSTableFiles.DataSuffix).toPath)
+    assert(new String(dataBytes) == s"attempt2${SSTableFiles.DataSuffix}",
+      "replayed attempt's Data.db must win")
+  }
+
   test("streaming source: newly landed generations arrive as micro-batches, exactly once") {
     val dir = Files.createTempDirectory("sstable-stream-src").toString
 
