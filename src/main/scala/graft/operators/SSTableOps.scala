@@ -190,6 +190,40 @@ object SSTableOps {
     out.write.format("sstable").mode("append").save(outDir)
   }
 
+  /** One STCS maintenance pass IN PLACE: fold every planned bucket into
+    * a new generation inside the SAME directory, then unpublish the
+    * bucket's input filesets (Data.db first, so each set leaves reader
+    * listings atomically). Returns the number of buckets folded.
+    *
+    * Concurrent-reader window: after the fold lands and before the
+    * inputs disappear, a reader sees BOTH the merged generation and its
+    * inputs — harmless, because the LWW merge is idempotent (duplicate
+    * versions reconcile to the same winners). A reader that planned a
+    * split on an input file exactly as it is deleted fails loudly and
+    * re-plans — the same contract Cassandra offers without reference
+    * counting. Run to fixpoint by calling repeatedly until it returns 0
+    * (each pass halves the generation count per bucket). */
+  def compactInPlace(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     minThreshold: Int = 4, maxThreshold: Int = 32,
+                     minSize: Long = 50L * 1024 * 1024,
+                     gcTombstones: Boolean = false): Int = {
+    import graft.sources.sstable.SSTableFiles
+    val storage = graft.sources.sstable.Storage.forPath(
+      dir, spark.sessionState.newHadoopConf())
+    val buckets = planCompaction(dir, minThreshold, maxThreshold,
+      minSize = minSize, storage = storage)
+    buckets.foreach { bucket =>
+      compactFiles(spark, bucket, dir, gcTombstones)
+      bucket.foreach { data =>
+        SSTableFiles.AllSuffixes.foreach { suf => // leads with Data.db
+          val f = SSTableFiles.sibling(data, suf)
+          if (storage.exists(f)) storage.delete(f)
+        }
+      }
+    }
+    buckets.length
+  }
+
   /** Tombstone GC over an already-compacted relation: row-shadowed columns
     * are already gone ([[compactRows]]), so drop the DELETED cell markers
     * and the row tombstone itself, and elide rows with nothing live left. */

@@ -388,6 +388,19 @@ class SSTableOpsSpec extends AnyFunSuite {
       "highest-ts generation wins its keys")
     assert(merged.count(_.startsWith("flush4")) == 30,
       "keys only flush4 wrote keep its values")
+
+    // in-place maintenance pass: folds the flush bucket INTO dir,
+    // unpublishes the four inputs, leaves the giant generation alone
+    assert(graft.sources.sstable.SSTableReader.listDataFiles(dir).size == 5)
+    assert(SSTableOps.compactInPlace(spark, dir, minThreshold = 4, minSize = 0L) == 1)
+    val after = graft.sources.sstable.SSTableReader.listDataFiles(dir)
+    assert(after.size == 2, s"want merged + giant, got $after")
+    assert(after.exists(_.endsWith("giant-Data.db")), "giant untouched")
+    val inPlace = spark.read.format("sstable").load(dir)
+      .select(col("key").cast("string")).as[String].collect()
+    assert(inPlace.length == 130 + 20000) // folded flushes + giant
+    // fixpoint: nothing left to fold at this threshold
+    assert(SSTableOps.compactInPlace(spark, dir, minThreshold = 4, minSize = 0L) == 0)
   }
 
   test("property: multi-generation get(dir,key) == compactRows on random generations") {
