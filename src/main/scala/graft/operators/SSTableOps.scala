@@ -54,8 +54,16 @@ object SSTableOps {
     * Pure-tombstone rows (zero columns) survive via `explode_outer`.
     * Inputs without the `rowTombstone` column behave as before.
     *
-    * Still one (key, name) hash-agg + one per-key fold — partial+final
-    * with map-side combine; no extra shuffle for the tombstone merge. */
+    * Range tombstones (state RANGE_TOMBSTONE, Cassandra 1.2 slice
+    * deletes) shadow same-key cells with `name ∈ [min, max]` and
+    * `timestamp <= mfda` — including older cell tombstones — and are
+    * carried on the output; ranges never suppress other ranges
+    * (union-of-predicates). Ranges older than the row tombstone die
+    * with everything they could have shadowed.
+    *
+    * Still one (key, name[, rangeMax]) hash-agg + one per-key fold —
+    * partial+final with map-side combine; the range shadowing is a
+    * per-key array HOF, no extra shuffle. */
   def compactRows(df: DataFrame): DataFrame = {
     val withT =
       if (df.columns.contains("rowTombstone")) df
@@ -64,7 +72,10 @@ object SSTableOps {
       .select(col("key"), explode_outer(col("columns")).as("c"),
         coalesce(col("rowTombstone.markedForDeleteAt"), lit(LiveMfda)).as("_mfda"),
         coalesce(col("rowTombstone.localDeletionTime"), lit(Int.MaxValue)).as("_ldt"))
-      .groupBy(col("key"), col("c.name").as("_n"))
+      // ranges group by (min, max) so distinct ranges sharing a min bound
+      // both survive; cells group by name as before (_rmax null)
+      .groupBy(col("key"), col("c.name").as("_n"),
+        when(col("c.state") === "RANGE_TOMBSTONE", col("c.value")).as("_rmax"))
       .agg(max_by(col("c"), struct(col("c.timestamp"),
         when(col("c.state") === "DELETED", 1).otherwise(0),
         col("c.state"))).as("c"),
@@ -72,8 +83,20 @@ object SSTableOps {
       .groupBy("key")
       // collect_list drops the null `c` of pure-tombstone rows
       .agg(sort_array(collect_list(col("c"))).as("_cols"), max(col("_t")).as("_t"))
+      // live range tombstones (not superseded by the row tombstone);
+      // a row-shadowed range only covers cells the row tombstone already
+      // shadows (range.mfda <= row.mfda bounds every cell it shadows)
+      .withColumn("_rts", filter(col("_cols"), r =>
+        r.getField("state") === "RANGE_TOMBSTONE" &&
+          r.getField("timestamp") > col("_t._mfda")))
       .select(col("key"),
-        filter(col("_cols"), c => c.getField("timestamp") > col("_t._mfda"))
+        filter(col("_cols"), c =>
+          c.getField("timestamp") > col("_t._mfda") &&
+            (c.getField("state") === "RANGE_TOMBSTONE" ||
+              !exists(col("_rts"), r =>
+                c.getField("name") >= r.getField("name") &&
+                  c.getField("name") <= r.getField("value") &&
+                  c.getField("timestamp") <= r.getField("timestamp"))))
           .as("columns"),
         when(col("_t._mfda") =!= lit(LiveMfda),
           struct(col("_t._ldt").as("localDeletionTime"),
@@ -229,7 +252,8 @@ object SSTableOps {
     * and the row tombstone itself, and elide rows with nothing live left. */
   private def suppressTombstones2(compacted: DataFrame): DataFrame =
     compacted.select(col("key"),
-      filter(col("columns"), c => c.getField("state") =!= "DELETED").as("columns"))
+      filter(col("columns"), c => c.getField("state") =!= "DELETED" &&
+        c.getField("state") =!= "RANGE_TOMBSTONE").as("columns"))
       .filter(size(col("columns")) > 0)
 
   /** Index-nested-loop point-read join: probe the SSTable directory once

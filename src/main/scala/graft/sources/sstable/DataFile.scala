@@ -71,6 +71,7 @@ object DataFile {
     case Column.Normal(n, v, _) => 2L + n.length + 1 + 8 + 4 + v.length
     case Column.Deleted(n, _) => 2L + n.length + 1 + 8 + 4 + 4 // value = u32 localDeletionTime
     case Column.Expiring(n, v, _, _, _) => 2L + n.length + 1 + 4 + 4 + 8 + 4 + v.length
+    case Column.RangeTombstone(n, mx, _, _) => 2L + n.length + 1 + 2 + mx.length + 4 + 8
   }
 
   /** Size of the row body after the u64 rowSize field: deletion info (12) +
@@ -117,6 +118,14 @@ object DataFile {
           out.writeInt(expSec.toInt)
           out.writeLong(ts)
           out.writeInt(v.length); out.write(v)
+        case Column.RangeTombstone(_, maxName, ldt, mfda) =>
+          // RangeTombstone.Serializer: min name (already written as the
+          // column name), flags 0x10, max name, DeletionTime(ldt, mfda)
+          require(maxName.length <= 0xffff, s"range max name too long: ${maxName.length}")
+          out.writeByte(RangeTombstoneMask)
+          out.writeShort(maxName.length); out.write(maxName)
+          out.writeInt(ldt)
+          out.writeLong(mfda)
       }
     }
     2L + row.key.length + 8L + body
@@ -165,12 +174,20 @@ final class DataReader(in: SeekableInput, endOffset: Long = Long.MaxValue)
         val name = new Array[Byte](nameLen)
         din.readFully(name)
         val flags = din.readUnsignedByte()
-        if ((flags & (DataFile.CounterMask | DataFile.CounterUpdateMask |
-            DataFile.RangeTombstoneMask)) != 0)
+        if ((flags & (DataFile.CounterMask | DataFile.CounterUpdateMask)) != 0)
           throw new CorruptSSTableException(
-            f"unsupported column flags 0x$flags%02x (counter/range-tombstone) at ${in.position}")
+            f"unsupported column flags 0x$flags%02x (counter) at ${in.position}")
         cols(i) =
-          if ((flags & DataFile.ExpirationMask) != 0) {
+          if ((flags & DataFile.RangeTombstoneMask) != 0) {
+            // RangeTombstone.Serializer: the name already read is the MIN
+            // bound; then max name + DeletionTime(ldt, mfda)
+            val maxLen = din.readUnsignedShort()
+            val maxName = new Array[Byte](maxLen)
+            din.readFully(maxName)
+            val ldt = din.readInt()
+            val mfda = din.readLong()
+            Column.RangeTombstone(name, maxName, ldt, mfda)
+          } else if ((flags & DataFile.ExpirationMask) != 0) {
             val ttl = din.readInt().toLong & 0xffffffffL
             val expSec = din.readInt().toLong & 0xffffffffL
             val ts = din.readLong()

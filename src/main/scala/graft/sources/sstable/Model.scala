@@ -20,6 +20,24 @@ object Column {
   final case class Deleted(name: Array[Byte], timestamp: Long) extends Column
   final case class Expiring(name: Array[Byte], value: Array[Byte], ttlSecs: Long,
                             expiresMillis: Long, timestamp: Long) extends Column
+
+  /** Range tombstone (Cassandra 1.2 `RangeTombstone`, column flag 0x10):
+    * shadows every same-key column with `name ∈ [name, maxName]`
+    * (inclusive, unsigned byte order — BytesType comparator semantics;
+    * this engine's columns are untyped bytes throughout) and
+    * `timestamp <= markedForDeleteAtMicros`. `name` is the range's MIN
+    * bound; `timestamp` is the µs deletion clock (`markedForDeleteAt`),
+    * so the existing timestamp-ordered merge rules apply unchanged.
+    * The reference never read these (its codec predates them surfacing
+    * in its data); real 1.2 files carry them for slice deletes. */
+  final case class RangeTombstone(name: Array[Byte], maxName: Array[Byte],
+                                  localDeletionTimeSecs: Int,
+                                  timestamp: Long) extends Column {
+    /** Does this range shadow a column `n@ts`? */
+    def shadows(n: Array[Byte], ts: Long): Boolean =
+      SSTableFiles.compareKeys(n, name) >= 0 &&
+        SSTableFiles.compareKeys(n, maxName) <= 0 && ts <= timestamp
+  }
 }
 
 /** Row-level deletion info (Cassandra 1.2 `DeletionTime`):

@@ -295,24 +295,62 @@ object SSTableReader {
       .lastOption
     val mfda = tomb.map(_.markedForDeleteAtMicros).getOrElse(Long.MinValue)
     // latest per column name; tie on timestamp → tombstone wins, then
-    // state string (mirrors compactRows' max_by struct ordering)
-    def rank(c: Column): (Long, Int, String) = c match {
-      case Column.Deleted(_, ts) => (ts, 1, "DELETED")
-      case Column.Normal(_, _, ts) => (ts, 0, "NORMAL")
-      case Column.Expiring(_, _, _, _, ts) => (ts, 0, "EXPIRING")
+    // state string (mirrors compactRows' max_by struct ordering).
+    // Range tombstones key by (min, max) so distinct ranges sharing a
+    // min bound both survive — exactly compactRows' group key.
+    def stateOf(c: Column): String = c match {
+      case _: Column.Deleted => "DELETED"
+      case _: Column.Normal => "NORMAL"
+      case _: Column.Expiring => "EXPIRING"
+      case _: Column.RangeTombstone => "RANGE_TOMBSTONE"
     }
-    val byName = scala.collection.mutable.HashMap.empty[Seq[Byte], Column]
+    def rank(c: Column): (Long, Int, String) =
+      (c.timestamp, if (c.isInstanceOf[Column.Deleted]) 1 else 0, stateOf(c))
+    def wrap(a: Array[Byte]) = scala.collection.immutable.ArraySeq.unsafeWrapArray(a)
+    val byName = scala.collection.mutable.HashMap.empty[(Seq[Byte], Option[Seq[Byte]]), Column]
     rows.iterator.flatMap(_.columns).foreach { c =>
-      val k = scala.collection.immutable.ArraySeq.unsafeWrapArray(c.name)
+      val k = (wrap(c.name), c match {
+        case r: Column.RangeTombstone => Some(wrap(r.maxName))
+        case _ => None
+      })
       byName.updateWith(k) {
         case Some(prev) =>
           Some(if (Ordering[(Long, Int, String)].gt(rank(c), rank(prev))) c else prev)
         case None => Some(c)
       }
     }
-    val cols = byName.values.toSeq
-      .filter(_.timestamp > mfda) // row-tombstone shadowing (ts <= mfda dies)
-      .sortWith((a, b) => compareKeys(a.name, b.name) < 0)
+    // row-tombstone shadowing (ts <= mfda dies), then live ranges shadow
+    // cells in [min, max] with ts <= range mfda — cells only, ranges
+    // never suppress other ranges (union-of-predicates semantics)
+    val alive = byName.values.filter(_.timestamp > mfda).toSeq
+    val ranges = alive.collect { case r: Column.RangeTombstone => r }
+    def valueOf(c: Column): Array[Byte] = c match {
+      case Column.Normal(_, v, _) => v
+      case Column.Expiring(_, v, _, _, _) => v
+      case r: Column.RangeTombstone => r.maxName
+      case _: Column.Deleted => null
+    }
+    val cols = alive
+      .filter {
+        case _: Column.RangeTombstone => true
+        case c => !ranges.exists(_.shadows(c.name, c.timestamp))
+      }
+      // mirror sort_array's struct order: (name, state, value, timestamp)
+      .sortWith { (a, b) =>
+        val n = compareKeys(a.name, b.name)
+        if (n != 0) n < 0
+        else {
+          val s = stateOf(a).compareTo(stateOf(b))
+          if (s != 0) s < 0
+          else {
+            val (va, vb) = (valueOf(a), valueOf(b))
+            val v = if (va == null && vb == null) 0
+              else if (va == null) -1 else if (vb == null) 1
+              else compareKeys(va, vb)
+            if (v != 0) v < 0 else a.timestamp < b.timestamp
+          }
+        }
+      }
     SSTableRow(key, cols, tomb)
   }
 }

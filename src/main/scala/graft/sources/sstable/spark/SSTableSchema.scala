@@ -18,6 +18,12 @@ object SSTableSchema {
   val StateNormal = UTF8String.fromString("NORMAL")
   val StateDeleted = UTF8String.fromString("DELETED")
   val StateExpiring = UTF8String.fromString("EXPIRING")
+  /** Range tombstone surface encoding (beyond the Pig-era states): `name`
+    * = MIN bound, `value` = MAX bound (inclusive), `timestamp` =
+    * markedForDeleteAt µs, `ttlSecs` = localDeletionTime seconds-epoch
+    * (the GC-grace clock — reusing the field keeps the scan schema
+    * stable), `expiresMillis` = 0. */
+  val StateRangeTombstone = UTF8String.fromString("RANGE_TOMBSTONE")
 
   val columnStruct: StructType = StructType(Seq(
     StructField("name", BinaryType, nullable = false),
@@ -51,6 +57,8 @@ object SSTableSchema {
       new GenericInternalRow(Array[Any](n, StateDeleted, null, ts, 0L, 0L))
     case Column.Expiring(n, v, ttl, exp, ts) =>
       new GenericInternalRow(Array[Any](n, StateExpiring, v, ts, ttl, exp))
+    case Column.RangeTombstone(min, max, ldt, mfda) =>
+      new GenericInternalRow(Array[Any](min, StateRangeTombstone, max, mfda, ldt.toLong, 0L))
   }
 
   /** Project a row onto the required top-level fields (column pruning). */

@@ -316,6 +316,10 @@ final class SSTablePartitionWriter(stagingDir: String, schema: StructType,
             case "NORMAL" => Column.Normal(name, c.getBinary(2), ts)
             case "DELETED" => Column.Deleted(name, ts)
             case "EXPIRING" => Column.Expiring(name, c.getBinary(2), c.getLong(4), c.getLong(5), ts)
+            case "RANGE_TOMBSTONE" =>
+              // value = max bound, timestamp = mfda, ttlSecs = ldt (the
+              // SSTableSchema surface encoding)
+              Column.RangeTombstone(name, c.getBinary(2), c.getLong(4).toInt, ts)
             case other => throw new IllegalArgumentException(s"unknown column state $other")
           }
         }

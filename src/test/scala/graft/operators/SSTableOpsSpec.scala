@@ -403,6 +403,42 @@ class SSTableOpsSpec extends AnyFunSuite {
     assert(SSTableOps.compactInPlace(spark, dir, minThreshold = 4, minSize = 0L) == 0)
   }
 
+  test("compactRows: range tombstone shadows [min,max] cells incl. cell tombstones; carried on output") {
+    // gen1: a@10, b@10, c@20(DELETED cell), d@60, e@10
+    // gen2: range [b, d] @ mfda=50 — shadows b@10 and c@20; d@60 newer
+    // survives; a/e outside the range survive; the range itself carries
+    def rangeRow(k: String, min: String, max: String, ldt: Int, mfda: Long) =
+      Row(k.getBytes, Seq(Row(min.getBytes, "RANGE_TOMBSTONE", max.getBytes,
+        mfda, ldt.toLong, 0L)), null)
+    val gen1 = tombrows(("r", None, Seq(
+      col3("a", "NORMAL", "va", 10), col3("b", "NORMAL", "vb", 10),
+      col3("c", "DELETED", null, 20), col3("d", "NORMAL", "vd", 60),
+      col3("e", "NORMAL", "ve", 10))))
+    val gen2 = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(rangeRow("r", "b", "d", 1700000000, 50L)), 1),
+      SSTableSchema.schema)
+    val out = SSTableOps.compactRows(gen1.union(gen2))
+    val cells = out.select(explode(col("columns")).as("c"))
+      .select(col("c.name").cast("string"), col("c.state"), col("c.timestamp"))
+      .as[(String, String, Long)].collect().toSet
+    assert(cells == Set(
+      ("a", "NORMAL", 10L), ("d", "NORMAL", 60L), ("e", "NORMAL", 10L),
+      ("b", "RANGE_TOMBSTONE", 50L))) // range carried, b/c shadowed
+    // GC view: range dropped alongside cell tombstones
+    val live = SSTableOps.suppressTombstones(gen1.union(gen2))
+      .select(explode(col("columns")).as("c")).select(col("c.name").cast("string"))
+      .as[String].collect().toSet
+    assert(live == Set("a", "d", "e"))
+    // two ranges sharing a min bound with different maxes both survive
+    val twoRanges = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      rangeRow("r", "b", "c", 1, 30L), rangeRow("r", "b", "d", 2, 40L)), 1),
+      SSTableSchema.schema)
+    val rts = SSTableOps.compactRows(twoRanges)
+      .select(explode(col("columns")).as("c"))
+      .select(col("c.value").cast("string")).as[String].collect().toSet
+    assert(rts == Set("c", "d"))
+  }
+
   test("property: multi-generation get(dir,key) == compactRows on random generations") {
     // The point-read reconcile (Scala, SSTableReader.reconcile) and the
     // compaction merge (DataFrame, compactRows) implement the same
@@ -424,7 +460,14 @@ class SSTableOpsSpec extends AnyFunSuite {
             val cols = names.filter(_ => rnd.nextDouble() < 0.6).map { n =>
               if (rnd.nextDouble() < 0.25) Column.Deleted(n.getBytes, nextTs())
               else Column.Normal(n.getBytes, s"$k$n$g".getBytes, nextTs())
-            }
+            } ++ (if (rnd.nextDouble() < 0.2) {
+              // slice delete over a random name interval, mfda inside the
+              // live ts range so cell shadowing actually bites
+              val i = rnd.nextInt(names.length)
+              val j = i + rnd.nextInt(names.length - i)
+              Seq(Column.RangeTombstone(names(i).getBytes, names(j).getBytes,
+                1700000100 + g, tsCounter - rnd.nextInt(150)))
+            } else Nil)
             val tomb =
               if (rnd.nextDouble() < 0.2)
                 // mfda inside the live ts range so shadowing actually bites
@@ -461,6 +504,8 @@ class SSTableOpsSpec extends AnyFunSuite {
                   case Column.Normal(n, v, ts) => (n, "NORMAL", v, ts, 0L, 0L)
                   case Column.Deleted(n, ts) => (n, "DELETED", null, ts, 0L, 0L)
                   case Column.Expiring(n, v, ttl, exp2, ts) => (n, "EXPIRING", v, ts, ttl, exp2)
+                  case Column.RangeTombstone(n, mx, ldt, mfda) =>
+                    (n, "RANGE_TOMBSTONE", mx, mfda, ldt.toLong, 0L)
                 }))
               .select(to_json(struct(col("columns"), col("rowTombstone"))))
               .as[String].collect().head

@@ -225,6 +225,42 @@ class CodecSpec extends AnyFunSuite {
     assert(r.get("zzz".getBytes).isEmpty)
   }
 
+  test("range tombstones round-trip (flag 0x10: min name, max name, deletion time)") {
+    val rows = sortedRows(Seq(
+      SSTableRow("row1".getBytes, Seq(
+        Column.Normal("a".getBytes, "va".getBytes, 10L),
+        // slice delete of [b, d] recorded at ts 50
+        Column.RangeTombstone("b".getBytes, "d".getBytes, 1700000000, 50L),
+        Column.Normal("e".getBytes, "ve".getBytes, 20L))),
+      SSTableRow("row2".getBytes, Seq(
+        Column.RangeTombstone(Array[Byte](0), Array[Byte](-1, -1), 1, 99L)))))
+    for (compress <- Seq(false, true)) {
+      val p = tmpData(s"rangetomb-$compress")
+      write(p, rows, compress)
+      assertRowsEqual2(new SSTableReader(p).rows().toSeq, rows)
+    }
+    // shadows(): inclusive bounds, ts <= mfda, unsigned name order
+    val rt = Column.RangeTombstone("b".getBytes, "d".getBytes, 0, 50L)
+    assert(rt.shadows("b".getBytes, 50L) && rt.shadows("d".getBytes, 1L))
+    assert(!rt.shadows("b".getBytes, 51L)) // newer than the delete
+    assert(!rt.shadows("a".getBytes, 1L) && !rt.shadows("e".getBytes, 1L))
+  }
+
+  /** assertRowsEqual extended with the RangeTombstone case. */
+  private def assertRowsEqual2(got: Seq[SSTableRow], want: Seq[SSTableRow]): Unit = {
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.key.sameElements(w.key))
+      g.columns.zip(w.columns).foreach {
+        case (Column.RangeTombstone(n1, m1, l1, t1), Column.RangeTombstone(n2, m2, l2, t2)) =>
+          assert(n1.sameElements(n2) && m1.sameElements(m2) && l1 == l2 && t1 == t2)
+        case (Column.Normal(n1, v1, t1), Column.Normal(n2, v2, t2)) =>
+          assert(n1.sameElements(n2) && v1.sameElements(v2) && t1 == t2)
+        case (g0, w0) => fail(s"state mismatch: $g0 vs $w0")
+      }
+    }
+  }
+
   test("getAll returns every duplicate-key row, incl. runs straddling summary windows") {
     val p = tmpData("dups")
     // summaryInterval=4 (write() default): a 6-row duplicate run is
