@@ -147,4 +147,33 @@ class GoldenFormatSpec extends AnyFunSuite {
     in.skipBytes(2)
     assert(in.available() == 0, "trailing bytes after last row")
   }
+
+  test("range tombstone bytes follow RangeTombstone.Serializer, field by field") {
+    val dir = Files.createTempDirectory("golden-rt").toFile
+    dir.deleteOnExit()
+    val path = s"${dir.getPath}/rt-Data.db"
+    val w = new SSTableWriter(path, compress = false)
+    w.append(SSTableRow("row".getBytes, Seq(
+      Column.RangeTombstone("bb".getBytes, "dd".getBytes, 1700000000, 5000L))))
+    w.close()
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(
+      Files.readAllBytes(Paths.get(path))))
+    assert(in.readUnsignedShort() == 3)
+    in.skipBytes(3) // "row"
+    // rowSize = deletionInfo(12) + count(4) + (2+2 +1 +2+2 +4 +8) = 37
+    assert(in.readLong() == 37L)
+    assert(in.readInt() == Int.MaxValue) // LIVE row deletion
+    assert(in.readLong() == Long.MinValue)
+    assert(in.readInt() == 1)
+    assert(in.readUnsignedShort() == 2) // min bound = the column name slot
+    val mn = new Array[Byte](2); in.readFully(mn)
+    assert(new String(mn) == "bb")
+    assert(in.readUnsignedByte() == DataFile.RangeTombstoneMask) // 0x10
+    assert(in.readUnsignedShort() == 2) // max bound
+    val mx = new Array[Byte](2); in.readFully(mx)
+    assert(new String(mx) == "dd")
+    assert(in.readInt() == 1700000000) // localDeletionTime (s)
+    assert(in.readLong() == 5000L) // markedForDeleteAt (µs)
+    assert(in.available() == 0)
+  }
 }
