@@ -136,10 +136,15 @@ object SSTableOps {
 
   /** K2 — msgpack/Base64 export: one `base64(msgpack(row))` text line per
     * (typically compacted) row — the reference's E1 sink
-    * (mapred/SSTableData.scala:97-115). Scalar UDF per SURVEY.md §2.7
-    * (upgrade to a codegen Expression only if the bench says it's hot). */
+    * (mapred/SSTableData.scala:97-115). Range tombstones are dropped:
+    * the reference's export model (MsgPackCol) predates them and a line
+    * carrying one could never come from the original pipeline. Scalar
+    * UDF per SURVEY.md §2.7 (upgrade to a codegen Expression only if
+    * the bench says it's hot). */
   def exportMsgpackBase64(df: DataFrame): DataFrame =
-    df.select(base64(msgpackUdf(col("key"), col("columns"))).as("line"))
+    df.select(base64(msgpackUdf(col("key"),
+      filter(col("columns"), c => c.getField("state") =!= "RANGE_TOMBSTONE")))
+      .as("line"))
 
   /** E1 end-to-end: scan → compact (LWW per column) → msgpack/Base64
     * lines (`ReadSSTableWithoutSplits`, tools/ReadSSTableWithoutSplits
