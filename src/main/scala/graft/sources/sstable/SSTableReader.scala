@@ -274,7 +274,12 @@ object SSTableReader {
       val merged = reconcile(key, hits)
       if (!gcTombstones) Some(merged)
       else {
-        val live = merged.columns.filterNot(_.isInstanceOf[Column.Deleted])
+        // live view drops cell AND range tombstones (suppressTombstones'
+        // GC twin) — range-shadowed cells are already gone via reconcile
+        val live = merged.columns.filter {
+          case _: Column.Deleted | _: Column.RangeTombstone => false
+          case _ => true
+        }
         if (live.isEmpty) None else Some(SSTableRow(key, live, None))
       }
     }

@@ -239,6 +239,15 @@ class CodecSpec extends AnyFunSuite {
       write(p, rows, compress)
       assertRowsEqual2(new SSTableReader(p).rows().toSeq, rows)
     }
+    // GC (live) view of the point read: the range itself is dropped like
+    // a cell tombstone; un-shadowed cells remain
+    val p = tmpData("rangetomb-gc")
+    write(p, rows, compress = false)
+    val live = SSTableReader.get(p, "row1".getBytes, gcTombstones = true).get
+    assert(live.columns.map(c => new String(c.name)) == Seq("a", "e"))
+    assert(SSTableReader.get(p, "row2".getBytes, gcTombstones = true).isEmpty,
+      "a pure-range row has nothing live")
+
     // shadows(): inclusive bounds, ts <= mfda, unsigned name order
     val rt = Column.RangeTombstone("b".getBytes, "d".getBytes, 0, 50L)
     assert(rt.shadows("b".getBytes, 50L) && rt.shadows("d".getBytes, 1L))
