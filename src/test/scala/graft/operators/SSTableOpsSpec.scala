@@ -439,6 +439,14 @@ class SSTableOpsSpec extends AnyFunSuite {
     assert(rts == Set("c", "d"))
   }
 
+  test("compactRows plan: two agg shuffles, no join — range shadowing is a per-key HOF") {
+    val df = tombrows(("r", Some((1, 10L)), Seq(col3("a", "NORMAL", "v", 10))))
+    val plan = SSTableOps.compactRows(df).queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 2, s"want the (key,name,rangeMax) + (key) agg shuffles only:\n$plan")
+    assert(!plan.contains("Join"), s"range shadowing must not introduce a join:\n$plan")
+  }
+
   test("property: multi-generation get(dir,key) == compactRows on random generations") {
     // The point-read reconcile (Scala, SSTableReader.reconcile) and the
     // compaction merge (DataFrame, compactRows) implement the same
