@@ -142,9 +142,13 @@ object SSTableOps {
     * UDF per SURVEY.md §2.7 (upgrade to a codegen Expression only if
     * the bench says it's hot). */
   def exportMsgpackBase64(df: DataFrame): DataFrame =
-    df.select(base64(msgpackUdf(col("key"),
-      filter(col("columns"), c => c.getField("state") =!= "RANGE_TOMBSTONE")))
-      .as("line"))
+    df.select(col("key"),
+        filter(col("columns"), c => c.getField("state") =!= "RANGE_TOMBSTONE")
+          .as("_exportable"))
+      // no phantom lines for keys with nothing exportable (range-only or
+      // wholesale-deleted rows — shapes the original pipeline never saw)
+      .filter(size(col("_exportable")) > 0)
+      .select(base64(msgpackUdf(col("key"), col("_exportable"))).as("line"))
 
   /** E1 end-to-end: scan → compact (LWW per column) → msgpack/Base64
     * lines (`ReadSSTableWithoutSplits`, tools/ReadSSTableWithoutSplits
@@ -206,16 +210,21 @@ object SSTableOps {
   /** Fold ONE planned bucket of generations into a single sorted
     * generation in `outDir` (the [[compact]] shape restricted to the
     * bucket's files — generations outside the bucket are untouched, the
-    * STCS maintenance step). */
+    * STCS maintenance step).
+    *
+    * Deliberately NO tombstone-GC option: GCing a bucket-scoped fold
+    * resurrects data — a tombstone dropped here can still be shadowing
+    * older values in generations OUTSIDE the bucket (Cassandra only GCs
+    * a tombstone when no overlapping older sstable exists). Tombstones
+    * always carry through partial folds; GC only via the whole-directory
+    * [[compact]]. */
   def compactFiles(spark: org.apache.spark.sql.SparkSession, files: Seq[String],
-                   outDir: String, gcTombstones: Boolean = false): Unit = {
+                   outDir: String): Unit = {
     require(files.nonEmpty, "empty compaction bucket")
     // each Data.db path is its own single-file scan (listDataFiles
     // accepts a file); union of scans keeps per-file split planning
-    val merged = compactRows(
-      files.map(f => spark.read.format("sstable").load(f)).reduce(_.union(_)))
-    val out = if (gcTombstones) suppressTombstones2(merged) else merged
-    out.write.format("sstable").mode("append").save(outDir)
+    compactRows(files.map(f => spark.read.format("sstable").load(f)).reduce(_.union(_)))
+      .write.format("sstable").mode("append").save(outDir)
   }
 
   /** One STCS maintenance pass IN PLACE: fold every planned bucket into
@@ -233,21 +242,15 @@ object SSTableOps {
     * (each pass halves the generation count per bucket). */
   def compactInPlace(spark: org.apache.spark.sql.SparkSession, dir: String,
                      minThreshold: Int = 4, maxThreshold: Int = 32,
-                     minSize: Long = 50L * 1024 * 1024,
-                     gcTombstones: Boolean = false): Int = {
+                     minSize: Long = 50L * 1024 * 1024): Int = {
     import graft.sources.sstable.SSTableFiles
     val storage = graft.sources.sstable.Storage.forPath(
       dir, spark.sessionState.newHadoopConf())
     val buckets = planCompaction(dir, minThreshold, maxThreshold,
       minSize = minSize, storage = storage)
     buckets.foreach { bucket =>
-      compactFiles(spark, bucket, dir, gcTombstones)
-      bucket.foreach { data =>
-        SSTableFiles.AllSuffixes.foreach { suf => // leads with Data.db
-          val f = SSTableFiles.sibling(data, suf)
-          if (storage.exists(f)) storage.delete(f)
-        }
-      }
+      compactFiles(spark, bucket, dir) // no GC — see compactFiles
+      bucket.foreach(SSTableFiles.unpublish(storage, _))
     }
     buckets.length
   }

@@ -19,10 +19,14 @@ import java.io.{DataOutputStream, EOFException}
   *           [u32 columnCount]
   *           column*
   * column := [u16 nameLen][name]
-  *           [u8 flags]                     // 0x01 DELETION, 0x02 EXPIRATION
+  *           [u8 flags]          // 0x01 DELETION, 0x02 EXPIRATION, 0x10 RANGE
   *           [u32 ttlSecs][u32 localExpirationTime]   // EXPIRATION only
   *           [u64 timestamp]                // µs writer clock
   *           [u32 valueLen][value]
+  * range  := [u16 minLen][minName]          // in the column name slot
+  *           [u8 flags = 0x10]
+  *           [u16 maxLen][maxName]
+  *           [u32 localDeletionTime][u64 markedForDeleteAt]
   * }}}
   * matching Cassandra 1.2's `SSTableWriter.append` (key + long row size),
   * `DeletionTime.Serializer` (int localDeletionTime, long markedForDeleteAt;
@@ -45,8 +49,10 @@ import java.io.{DataOutputStream, EOFException}
   *    (SSTableDataRecordReader.scala:62-64) and would surface wholesale-
   *    deleted rows' columns as live against real Cassandra files.
   *
-  * Counter columns (flags 0x04/0x08) and range tombstones (0x10) are
-  * rejected loudly — out of scope, as in the reference.
+  * Range tombstones (0x10, `RangeTombstone.Serializer`) ARE read and
+  * written — beyond the reference, which predates them surfacing in its
+  * data. Counter columns (flags 0x04/0x08) are rejected loudly: their
+  * partitioned replication contexts don't fit an untyped byte model.
   *
   * Corruption fails loudly ([[CorruptSSTableException]]) instead of the
   * reference's silent catch-and-truncate (SSTableDataRecordReader.scala:95-97).

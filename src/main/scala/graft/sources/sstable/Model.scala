@@ -80,6 +80,16 @@ object SSTableFiles {
     dataPath.dropRight(DataSuffix.length) + suffix
   }
 
+  /** Remove a fileset from `storage` honoring the unpublish ordering
+    * contract (Data.db FIRST — AllSuffixes leads with it): the set
+    * leaves reader listings before any sibling goes missing. The single
+    * home of an invariant previously restated at five call sites. */
+  def unpublish(storage: Storage, dataPath: String): Unit =
+    AllSuffixes.foreach { suf =>
+      val f = sibling(dataPath, suf)
+      if (storage.exists(f)) storage.delete(f)
+    }
+
   /** Unsigned lexicographic byte comparison — the total order of row keys
     * (required for Summary/Index range pruning). */
   def compareKeys(a: Array[Byte], b: Array[Byte]): Int = {

@@ -55,6 +55,12 @@ object LocalStorage extends Storage {
     new DataOutputStream(new BufferedOutputStream(new FileOutputStream(path), 1 << 16))
   def delete(path: String): Unit = new File(path).delete()
   def rename(src: String, dst: String): Unit = {
+    // POSIX rename(2) silently replaces an existing dst; Hadoop's rename
+    // refuses. Match the refusing semantics so a published-name
+    // collision fails LOUDLY instead of overwriting a live generation —
+    // callers that mean to replace (streaming epoch replay) delete first.
+    if (new File(dst).exists())
+      throw new java.io.IOException(s"rename $src -> $dst: destination exists")
     val ok = new File(src).renameTo(new File(dst))
     if (!ok) throw new java.io.IOException(s"rename $src -> $dst failed")
   }

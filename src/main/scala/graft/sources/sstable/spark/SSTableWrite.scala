@@ -73,19 +73,18 @@ final class SSTableBatchWrite(path: String, schema: StructType,
   private def storage: Storage =
     serConf.map(c => new HadoopStorage(c.value): Storage).getOrElse(LocalStorage)
 
-  private val stagingDir = s"$path/_staging-${UUID.randomUUID().toString.take(8)}"
+  /** Job-unique token: part of the staging dir AND the published file
+    * names, so two applications' writes into one directory can never
+    * collide (Spark task IDs restart at 0 per application — a bare
+    * `part-P-taskId` name recurs across runs and a colliding rename
+    * must never overwrite a live generation). */
+  private val jobTag = UUID.randomUUID().toString.take(8)
+  private val stagingDir = s"$path/_staging-$jobTag"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val st = storage
     if (truncate && st.exists(path))
-      st.listDataFiles(path).foreach { data =>
-        // AllSuffixes leads with Data.db: the set disappears from reader
-        // listings before any sibling is removed (unpublish order)
-        SSTableFiles.AllSuffixes.foreach { suf =>
-          val f = SSTableFiles.sibling(data, suf)
-          if (st.exists(f)) st.delete(f)
-        }
-      }
+      st.listDataFiles(path).foreach(SSTableFiles.unpublish(st, _))
     mkdirs(st, stagingDir)
     val compress = properties.getOrElse(SSTableSource.CompressOption, "true").toBoolean
     val chunkLength = properties.getOrElse(SSTableSource.ChunkLengthOption,
@@ -97,7 +96,7 @@ final class SSTableBatchWrite(path: String, schema: StructType,
     val algorithm = CompressionInfo.algorithmFor(properties.getOrElse(
       SSTableSource.CompressionAlgorithmOption, CompressionInfo.SnappyAlgorithm))
     new SSTableWriterFactory(stagingDir, schema, compress, chunkLength,
-      summaryInterval, bloomBitsPerKey, algorithm, serConf)
+      summaryInterval, bloomBitsPerKey, algorithm, serConf, jobTag)
   }
 
   private def mkdirs(st: Storage, dir: String): Unit = st match {
@@ -191,16 +190,12 @@ final class SSTableStreamingWrite(path: String, schema: StructType,
       case SSTableCommit(staged) => staged.foreach { data =>
         val stagedName = data.substring(data.lastIndexOf('/') + 1)
         val dstData = s"$path/${SSTableStreamingWrite.publishedName(stagedName)}"
-        // epoch replay: unpublish the prior copy Data.db-FIRST so the
-        // old set leaves reader listings before any sibling churns.
-        // Every existing sibling goes, whether or not this replay staged
-        // a counterpart — a replay with different write options (e.g.
+        // epoch replay: unpublish the prior copy (Data.db first). Every
+        // existing sibling goes, whether or not this replay staged a
+        // counterpart — a replay with different write options (e.g.
         // compression off, so no CompressionInfo.db staged) must not
         // leave a stale sibling next to the new Data.db (ADVICE r3).
-        SSTableFiles.AllSuffixes.foreach { suf => // AllSuffixes leads with Data.db
-          val dst = SSTableFiles.sibling(dstData, suf)
-          if (st.exists(dst)) st.delete(dst)
-        }
+        SSTableFiles.unpublish(st, dstData)
         SSTableFiles.PublishOrderSuffixes.foreach { suf =>
           val src = SSTableFiles.sibling(data, suf)
           if (st.exists(src)) st.rename(src, SSTableFiles.sibling(dstData, suf))
@@ -214,12 +209,7 @@ final class SSTableStreamingWrite(path: String, schema: StructType,
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val st = storage
     messages.foreach {
-      case SSTableCommit(staged) => staged.foreach { data =>
-        SSTableFiles.AllSuffixes.foreach { suf =>
-          val f = SSTableFiles.sibling(data, suf)
-          if (st.exists(f)) st.delete(f)
-        }
-      }
+      case SSTableCommit(staged) => staged.foreach(SSTableFiles.unpublish(st, _))
       case _ =>
     }
   }
@@ -255,19 +245,17 @@ object SSTableStreamingWrite {
 final class SSTableWriterFactory(stagingDir: String, schema: StructType,
                                  compress: Boolean, chunkLength: Int,
                                  summaryInterval: Int, bloomBitsPerKey: Int,
+                                 algorithm: String,
                                  serConf: Option[SerializableHadoopConf],
-                                 algorithm: String = CompressionInfo.SnappyAlgorithm)
+                                 jobTag: String)
     extends DataWriterFactory {
-  def this(stagingDir: String, schema: StructType, compress: Boolean,
-           chunkLength: Int, summaryInterval: Int, bloomBitsPerKey: Int,
-           algorithm: String, serConf: Option[SerializableHadoopConf]) =
-    this(stagingDir, schema, compress, chunkLength, summaryInterval,
-      bloomBitsPerKey, serConf, algorithm)
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val storage = serConf.map(c => new HadoopStorage(c.value): Storage)
       .getOrElse(LocalStorage)
+    // job-tagged stem: published names stay unique across applications
     new SSTablePartitionWriter(stagingDir, schema, partitionId, taskId, compress,
-      chunkLength, summaryInterval, bloomBitsPerKey, storage, algorithm = algorithm)
+      chunkLength, summaryInterval, bloomBitsPerKey, storage,
+      fileStem = f"part-$partitionId%05d-$taskId-$jobTag", algorithm = algorithm)
   }
 }
 
@@ -319,7 +307,10 @@ final class SSTablePartitionWriter(stagingDir: String, schema: StructType,
             case "RANGE_TOMBSTONE" =>
               // value = max bound, timestamp = mfda, ttlSecs = ldt (the
               // SSTableSchema surface encoding)
-              Column.RangeTombstone(name, c.getBinary(2), c.getLong(4).toInt, ts)
+              val ldt = c.getLong(4)
+              require(ldt >= 0 && ldt <= Int.MaxValue,
+                s"range tombstone localDeletionTime out of u32-seconds range: $ldt")
+              Column.RangeTombstone(name, c.getBinary(2), ldt.toInt, ts)
             case other => throw new IllegalArgumentException(s"unknown column state $other")
           }
         }
@@ -342,10 +333,7 @@ final class SSTablePartitionWriter(stagingDir: String, schema: StructType,
     * must leave nothing behind (it used to close() into a readable set). */
   override def abort(): Unit = {
     writer.close()
-    SSTableFiles.AllSuffixes.foreach { suf =>
-      val f = SSTableFiles.sibling(dataPath, suf)
-      if (storage.exists(f)) storage.delete(f)
-    }
+    SSTableFiles.unpublish(storage, dataPath)
   }
   override def close(): Unit = ()
 }

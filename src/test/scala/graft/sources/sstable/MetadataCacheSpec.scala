@@ -64,6 +64,16 @@ class MetadataCacheSpec extends AnyFunSuite {
     assert(spy.opens(SSTableFiles.SummarySuffix) == sumOpens)
   }
 
+  test("LocalStorage.rename refuses an existing destination (no silent generation overwrite)") {
+    val dir = Files.createTempDirectory("rename-refuse").toString
+    val a = s"$dir/a"; val b = s"$dir/b"
+    LocalStorage.create(a).close(); LocalStorage.create(b).close()
+    intercept[java.io.IOException](LocalStorage.rename(a, b))
+    LocalStorage.delete(b)
+    LocalStorage.rename(a, b) // free destination: fine
+    assert(LocalStorage.exists(b) && !LocalStorage.exists(a))
+  }
+
   test("rewritten fileset (changed len/mtime) invalidates; useCache=false bypasses") {
     val dir = Files.createTempDirectory("metacache-inv").toString
     val p = s"$dir/gen1-Data.db"

@@ -236,7 +236,8 @@ class SSTableSourceSpec extends AnyFunSuite {
     val schema = SSTableSchema.schema
     val factory = new SSTableWriterFactory(s"$dir/_staging-test", schema,
       compress = true, chunkLength = 512, summaryInterval = 8,
-      bloomBitsPerKey = 10, serConf = None)
+      bloomBitsPerKey = 10, algorithm = CompressionInfo.SnappyAlgorithm,
+      serConf = None, jobTag = "testjob")
     new java.io.File(s"$dir/_staging-test").mkdirs()
 
     // attempt 0 writes some rows then aborts (simulated task failure)
