@@ -524,6 +524,45 @@ class SSTableOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("property: random rows round-trip the DSv2 writer+reader (InternalRow conversion layer)") {
+    // The codec property (CodecSpec) covers DataFile bytes; this covers
+    // the Spark layer above it — schema→Column conversion on write and
+    // Column→InternalRow on read — for every state incl. ranges and
+    // row tombstones, across compressed and uncompressed filesets.
+    val rnd = new scala.util.Random(424242)
+    var ts = 0L
+    def nextTs(): Long = { ts += rnd.nextInt(40) + 1; ts }
+    for (trial <- 0 until 3) {
+      val dir = Files.createTempDirectory(s"dsv2-prop-$trial").toString
+      val rows = (0 until 40).map { i =>
+        val k = f"key$i%04d"
+        val cols = (0 until rnd.nextInt(5)).map { j =>
+          rnd.nextInt(4) match {
+            case 0 => (s"n$j".getBytes, "NORMAL", s"v$i$j".getBytes, nextTs(), 0L, 0L)
+            case 1 => (s"n$j".getBytes, "DELETED", null: Array[Byte], nextTs(), 0L, 0L)
+            case 2 => (s"n$j".getBytes, "EXPIRING", s"e$i$j".getBytes, nextTs(),
+              rnd.nextInt(100000).toLong, rnd.nextInt(Int.MaxValue).toLong * 1000L)
+            case _ => (s"n$j".getBytes, "RANGE_TOMBSTONE", s"n${j + 2}".getBytes,
+              nextTs(), rnd.nextInt(Int.MaxValue).toLong, 0L)
+          }
+        }
+        val tomb = if (rnd.nextDouble() < 0.2)
+          Some((rnd.nextInt(Int.MaxValue - 1), nextTs())) else None
+        (k, tomb, cols)
+      }
+      val df = tombrows(rows: _*)
+      df.write.format("sstable")
+        .option("compress", (trial % 2 == 0).toString)
+        .option("chunkLength", "512").mode("overwrite").save(dir)
+      def canon(d: org.apache.spark.sql.DataFrame) =
+        d.select(col("key").cast("string"),
+          to_json(struct(sort_array(col("columns")).as("columns"), col("rowTombstone"))))
+          .as[(String, String)].collect().toMap
+      assert(canon(spark.read.format("sstable").load(dir)) == canon(df),
+        s"trial $trial: DSv2 round-trip diverged")
+    }
+  }
+
   test("exportCompacted emits one base64 line per row (E1 pipeline)") {
     val df = widerows(
       "r1" -> Seq(col3("a", "NORMAL", "x", 10)),
