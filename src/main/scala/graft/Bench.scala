@@ -24,14 +24,25 @@ import org.apache.spark.sql.SparkSession
   *  - when the two runs disagree >3×, a third run is taken before the
   *    min/spread are computed;
   *  - after the sweep, queries whose value is >3× the median query time
-  *    are re-timed once more — minutes later, outside the original stall
-  *    window (temporal diversity is the only defense when a stall spans
-  *    a whole query's samples); the min wins and the re-check is flagged
-  *    in `rechecked`;
+  *    OR >2× their frozen [[BaselineSf01]] entry are re-timed once
+  *    more — minutes later, outside the original stall window (temporal
+  *    diversity is the only defense when a stall spans a whole query's
+  *    samples). The median trigger catches absolute outliers; the ratio
+  *    trigger catches contention spikes on CHEAP queries that are far
+  *    from the median but would ship as phantom regressions (BENCH r4
+  *    recorded q_index_keys at 5.96× baseline — ~1 s, under the median
+  *    trigger — for code untouched that round). The min wins and the
+  *    re-check is flagged in `rechecked`;
   *  - a query that throws reports -1 and lands in `errors` instead of
   *    silently contributing a small "time to throw" (ADVICE r1).
   */
 object Bench {
+  /** Locale-independent fixed-point formatting: the scala `f` interpolator
+    * formats with the JVM default locale, which on comma-decimal locales
+    * (de_DE) would make the BENCH artifact invalid JSON (ADVICE r4). */
+  private def fmt(v: Double, digits: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
+
   /** Frozen per-query steady-state seconds at sf0.1, local[32], quiet
     * host (measured round 4, after the 5-iteration k-medians change).
     * Emitted as per-query `ratio` = measured/baseline so regressions —
@@ -95,22 +106,25 @@ object Bench {
           else name -> (runs.min, runs.max / runs.min)
       }
     }
-    // outlier re-check in a fresh time window (see scaladoc)
+    // outlier re-check in a fresh time window (see scaladoc): absolute
+    // (vs median) OR relative (vs the frozen baseline ratio)
     val ok = firstPass.collect { case (_, (v, _)) if v >= 0 => v }.sorted
     val median = if (ok.isEmpty) 0.0 else ok(ok.length / 2)
     val rechecked = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = firstPass.map {
-      case (name, (v, s)) if v >= 0 && median > 0 && v > 3 * median =>
+      case (name, (v, s)) if v >= 0 &&
+          ((median > 0 && v > 3 * median) ||
+            BaselineSf01.get(name).exists(b => v > 2 * b)) =>
         val again = timed(name, SparkEntry.queries(name))
         spark.catalog.clearCache()
         rechecked += name
         name -> (math.min(v, again), s)
       case other => other
     }
-    val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + fmt(v, 3) }
       .mkString("{", ",", "}")
     val spreads = results.collect { case (k, (v, s)) if v >= 0 =>
-      "\"" + k + "\":" + f"$s%.2f" }.mkString("{", ",", "}")
+      "\"" + k + "\":" + fmt(s, 2) }.mkString("{", ",", "}")
     val errs = errors.map { case (k, e) =>
       "\"" + k + "\":\"" + e.replaceAll("[\"\\\\\n]", " ").take(160) + "\"" }
       .mkString("{", ",", "}")
@@ -119,12 +133,12 @@ object Bench {
     // ratios vs the frozen sf0.1 map (only meaningful at sf0.1, but the
     // artifact is sf-labeled so other SFs' ratios read as what they are)
     val ratios = results.collect { case (k, (v, _)) if v >= 0 && BaselineSf01.contains(k) =>
-      "\"" + k + "\":" + f"${v / BaselineSf01(k)}%.2f" }.mkString("{", ",", "}")
+      "\"" + k + "\":" + fmt(v / BaselineSf01(k), 2) }.mkString("{", ",", "}")
     // both sums restricted to baseline-covered queries, or a new query's
     // honest cost would read as a regression of the covered set
     val covered = results.collect { case (k, (v, _)) if v >= 0 && BaselineSf01.contains(k) => (k, v) }
     val baseTotal = covered.map { case (k, _) => BaselineSf01(k) }.sum
-    val totalRatio = if (baseTotal > 0) f"${covered.map(_._2).sum / baseTotal}%.3f" else "null"
+    val totalRatio = if (baseTotal > 0) fmt(covered.map(_._2).sum / baseTotal, 3) else "null"
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"ratio":$ratios,"total_ratio":$totalRatio,"errors":$errs,"rechecked":$rech,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -76,9 +76,15 @@ object SSTableOps {
       // both survive; cells group by name as before (_rmax null)
       .groupBy(col("key"), col("c.name").as("_n"),
         when(col("c.state") === "RANGE_TOMBSTONE", col("c.value")).as("_rmax"))
+      // the ordering's (value, ttlSecs, expiresMillis) tail makes exact
+      // (timestamp, state) collisions deterministic — without it max_by
+      // keeps the first-encountered on a full tie (shuffle-order-
+      // dependent) while the probe-path reconcile kept file order
+      // (ADVICE r4); binary comparison is unsigned, same as compareKeys
       .agg(max_by(col("c"), struct(col("c.timestamp"),
         when(col("c.state") === "DELETED", 1).otherwise(0),
-        col("c.state"))).as("c"),
+        col("c.state"), col("c.value"), col("c.ttlSecs"),
+        col("c.expiresMillis"))).as("c"),
         max(struct(col("_mfda"), col("_ldt"))).as("_t"))
       .groupBy("key")
       // collect_list drops the null `c` of pure-tombstone rows
@@ -182,7 +188,16 @@ object SSTableOps {
     * folding with [[compactFiles]]: merging similar sizes bounds write
     * amplification to O(log(total/flush)) rewrites per row, where
     * merging a tiny flush into a huge generation would rewrite the
-    * giant for every flush. Pure metadata — one stat per file. */
+    * giant for every flush.
+    *
+    * Buckets are returned highest-droppable-work first: stable-sorted by
+    * descending per-bucket tombstone ratio (Σ tombstones / Σ rows from
+    * each file's `-Statistics.db`; files without stats count 0/0), so a
+    * bounded maintenance budget folds the generations whose merge
+    * reclaims the most shadowed data first — Cassandra's droppable-
+    * tombstone prioritization, VERDICT r4 #1(c). Ties (the common
+    * all-zero case) keep the smallest-first size order. Pure metadata —
+    * one stat + one tiny cache-served Statistics.db read per file. */
   def planCompaction(dir: String, minThreshold: Int = 4, maxThreshold: Int = 32,
                      bucketHigh: Double = 1.5, minSize: Long = 50L * 1024 * 1024,
                      storage: graft.sources.sstable.Storage =
@@ -204,7 +219,12 @@ object SSTableOps {
     }
     buckets.collect { case (files, _) if files.length >= minThreshold =>
       files.take(maxThreshold).toSeq
-    }.toSeq
+    }.toSeq.sortBy { bucket =>
+      val st = bucket.flatMap(f =>
+        new graft.sources.sstable.SSTableReader(f, storage).statistics)
+      val rows = st.map(_.rowCount).sum
+      if (rows <= 0) 0.0 else -(st.map(_.tombstoneCount).sum.toDouble / rows)
+    }
   }
 
   /** Fold ONE planned bucket of generations into a single sorted

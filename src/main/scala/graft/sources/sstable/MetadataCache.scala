@@ -25,7 +25,13 @@ object SSTableMetadataCache {
     * drivers planning very wide directories). */
   @volatile var maxEntries: Int = 1024
 
-  private final case class K(path: String, len: Long, mtime: Long)
+  /** Validity key: Data.db stat PLUS a sibling stat (Summary.db length) —
+    * a same-path rewrite whose Data.db is byte-identical within one mtime
+    * tick (1 s-granularity filesystems; streaming replay reuses published
+    * names) can still differ in sibling content, e.g. a different
+    * `summaryInterval` produces an identical Data.db with a different
+    * Summary.db (ADVICE r4). */
+  private final case class K(path: String, len: Long, mtime: Long, summaryLen: Long)
 
   /** One fileset's memoized metadata. Obtained via [[entryFor]] (shared,
     * validity-keyed) or [[fresh]] (per-reader, uncached mode). */
@@ -33,6 +39,8 @@ object SSTableMetadataCache {
     private[sstable] val compressionInfo = new Memo[Option[CompressionInfo]]
     private[sstable] val bloom = new Memo[Option[FilterFile.BloomFilter]]
     private[sstable] val summary = new Memo[(Int, Vector[SummaryEntry])]
+    private[sstable] val indexLength = new Memo[Long]
+    private[sstable] val statistics = new Memo[Option[SSTableStatistics]]
     private[sstable] val splits =
       new java.util.concurrent.ConcurrentHashMap[java.lang.Long, Vector[PlannedSplit]]
     private[sstable] def splitsFor(targetBytes: Long)
@@ -60,10 +68,14 @@ object SSTableMetadataCache {
       size() > maxEntries
   }
 
-  /** Shared entry for `path` as it currently stats; two stat calls, no
-    * file IO. A concurrent rewrite changes (len, mtime) → fresh entry. */
+  /** Shared entry for `path` as it currently stats; three stat calls, no
+    * file IO. A concurrent rewrite changes (len, mtime, summaryLen) →
+    * fresh entry. */
   def entryFor(path: String, storage: Storage): Entry = {
-    val k = K(path, storage.length(path), storage.mtime(path))
+    val summaryLen =
+      try storage.length(SSTableFiles.sibling(path, SSTableFiles.SummarySuffix))
+      catch { case _: Exception => -1L } // absent sibling: constant sentinel
+    val k = K(path, storage.length(path), storage.mtime(path), summaryLen)
     lru.synchronized {
       val e = lru.get(k)
       if (e != null) e

@@ -64,8 +64,10 @@ object SSTableFiles {
   val SummarySuffix = "-Summary.db"
   val CompressionSuffix = "-CompressionInfo.db"
   val FilterSuffix = "-Filter.db"
+  val StatisticsSuffix = "-Statistics.db"
   val AllSuffixes: Seq[String] =
-    Seq(DataSuffix, IndexSuffix, SummarySuffix, CompressionSuffix, FilterSuffix)
+    Seq(DataSuffix, IndexSuffix, SummarySuffix, CompressionSuffix, FilterSuffix,
+      StatisticsSuffix)
 
   /** Commit-ordering contract: readers discover filesets by listing
     * `*-Data.db`, so a visible Data.db must imply its siblings are in
@@ -73,7 +75,8 @@ object SSTableFiles {
     * unpublish (overwrite/truncate) deletes Data.db FIRST so the set
     * vanishes from listings before any sibling goes missing. */
   val PublishOrderSuffixes: Seq[String] =
-    Seq(IndexSuffix, SummarySuffix, CompressionSuffix, FilterSuffix, DataSuffix)
+    Seq(IndexSuffix, SummarySuffix, CompressionSuffix, FilterSuffix,
+      StatisticsSuffix, DataSuffix)
 
   def sibling(dataPath: String, suffix: String): String = {
     require(dataPath.endsWith(DataSuffix), s"not a Data.db path: $dataPath")

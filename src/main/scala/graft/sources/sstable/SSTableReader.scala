@@ -83,6 +83,15 @@ final class SSTableReader(val dataPath: String,
   def indexReader(): IndexReader =
     new IndexReader(storage.open(sibling(dataPath, IndexSuffix)))
 
+  /** Index.db byte length, memoized with the rest of the fileset metadata
+    * (sound under the cache's validity key — the fileset is immutable once
+    * published): [[getAll]] needs it per probe, and an uncached stat would
+    * be one metadata RPC per probe per generation on object stores,
+    * counter to lookupJoin's one-metadata-load-per-partition shape
+    * (ADVICE r4). */
+  def indexLength: Long =
+    meta.indexLength.getOrCompute(storage.length(sibling(dataPath, IndexSuffix)))
+
   /** Bloom filter over row keys (`-Filter.db`, Cassandra 1.2 layout) when
     * present — Cassandra's negative-lookup elimination. */
   lazy val bloom: Option[FilterFile.BloomFilter] = meta.bloom.getOrCompute {
@@ -98,6 +107,21 @@ final class SSTableReader(val dataPath: String,
     * key — the whole file can then be skipped for a point lookup. No
     * filter ⇒ true (never prunes). */
   def mightContainKey(key: Array[Byte]): Boolean = bloom.forall(_.mightContain(key))
+
+  /** Per-generation planning metadata (`-Statistics.db`) when present and
+    * recognized; None otherwise — including REAL Cassandra 1.2
+    * directories, whose Statistics.db uses the histogram layout
+    * ([[StatisticsFile.read]] detects via magic and declines). Purely an
+    * optimization input: consumers must produce identical results
+    * without it. */
+  lazy val statistics: Option[SSTableStatistics] = meta.statistics.getOrCompute {
+    val p = sibling(dataPath, StatisticsSuffix)
+    if (!storage.exists(p)) None
+    else {
+      val in = storage.open(p)
+      try StatisticsFile.read(in.asDataInput) finally in.close()
+    }
+  }
 
   def summary(): (Int, Vector[SummaryEntry]) = meta.summary.getOrCompute {
     val in = storage.open(sibling(dataPath, SummarySuffix))
@@ -140,7 +164,7 @@ final class SSTableReader(val dataPath: String,
     // several), so the index scan starts before the run's first row
     while (lo > 0 && compareKeys(sum(lo).key, key) == 0) lo -= 1
     val idxStart = sum(lo).indexOffset
-    val idxEnd = storage.length(sibling(dataPath, IndexSuffix)) // run may span windows
+    val idxEnd = indexLength // run may span windows; length is cache-served
     val idxIn = storage.open(sibling(dataPath, IndexSuffix))
     try {
       idxIn.seek(idxStart)
@@ -176,11 +200,11 @@ final class SSTableReader(val dataPath: String,
     meta.splitsFor(targetBytes)(planSplitsUncached(targetBytes))
 
   private def planSplitsUncached(targetBytes: Long): Vector[PlannedSplit] = {
-    val indexLength = storage.length(sibling(dataPath, IndexSuffix))
+    val idxLen = indexLength
     val (_, sum) = summary()
     if (sum.isEmpty)
       return Vector(PlannedSplit(DataFile.HeaderLen, dataLength,
-        IndexFile.HeaderLen, indexLength, Array.emptyByteArray, None))
+        IndexFile.HeaderLen, idxLen, Array.emptyByteArray, None))
     val idxIn = storage.open(sibling(dataPath, IndexSuffix))
     try {
       // dataOffset of the row a summary entry points at
@@ -204,7 +228,7 @@ final class SSTableReader(val dataPath: String,
         val (end, idxEnd, nextKey) =
           if (i + 1 < bounds.length)
             (bounds(i + 1)._1, bounds(i + 1)._2, Some(bounds(i + 1)._3))
-          else (dataLength, indexLength, None)
+          else (dataLength, idxLen, None)
         out += PlannedSplit(start, end, idxStart, idxEnd, key, nextKey)
         i += 1
       }
@@ -251,10 +275,11 @@ object SSTableReader {
     * live view — DELETED cells dropped, and `None` for a key with
     * nothing live left (wholesale-deleted or never written).
     *
-    * All generations are probed rather than scanned newest-first with
-    * early-out: without per-file min/max timestamp metadata (Cassandra's
-    * Statistics.db, not part of the 4-file set here) an early-out would
-    * be unsound, and the bloom filters already make misses ~free. */
+    * Generations carrying `-Statistics.db` (every fileset this engine
+    * writes) are probed newest-first with two prunes — see
+    * [[DirectoryProber.get]]. Stats-less generations (pre-statistics
+    * filesets, real Cassandra directories) are probed unconditionally,
+    * preserving exact semantics; blooms still make those misses ~free. */
   def get(dir: String, key: Array[Byte], storage: Storage = LocalStorage,
           gcTombstones: Boolean = false): Option[SSTableRow] =
     new DirectoryProber(dir, storage).get(key, gcTombstones)
@@ -265,13 +290,49 @@ object SSTableReader {
     * partition; re-listing per key would add a storage round-trip per
     * probe on object stores). */
   final class DirectoryProber(dir: String, storage: Storage = LocalStorage) {
+    // newest-first by per-generation max LWW timestamp, so a freshly
+    // probed row tombstone can rule out the (older) remainder; a
+    // generation without statistics sorts FIRST — "unknown" must be
+    // treated as possibly-newest and is never pruned by either rule
     private val readers = storage.listDataFiles(dir).map(f => new SSTableReader(f, storage))
+      .sortBy(r => r.statistics.map(_.maxTimestamp).getOrElse(Long.MaxValue))(
+        Ordering[Long].reverse)
 
-    /** Same semantics as the directory-level `SSTableReader.get`. */
+    /** Same semantics as the directory-level `SSTableReader.get`, with
+      * two statistics-driven prunes (VERDICT r4 #1), both sound because
+      * they only skip generations that cannot change the merged result:
+      *  - key bounds: `key ∉ [minKey, maxKey]` ⇒ the sorted file cannot
+      *    contain it — skips even the bloom probe;
+      *  - tombstone early-out: once a probed row tombstone has
+      *    `mfda > gen.maxTimestamp` (strict), EVERY clock in that
+      *    generation — cell timestamps, range-tombstone mfda, row-
+      *    tombstone mfda — is `<= maxTimestamp < mfda`, so its cells are
+      *    row-shadowed, its ranges dead, and its row tombstone strictly
+      *    loses the (mfda, ldt) max; it contributes nothing. Strictness
+      *    matters: at `maxTimestamp == mfda` an equal-mfda tombstone
+      *    with a larger ldt could still win the merged tombstone. */
     def get(key: Array[Byte], gcTombstones: Boolean = false): Option[SSTableRow] = {
-      val hits = readers.flatMap(_.getAll(key)) // every version, every generation
-      if (hits.isEmpty) return None
-      val merged = reconcile(key, hits)
+      var bestMfda = Long.MinValue // strongest row tombstone probed so far
+      val hits = Vector.newBuilder[SSTableRow]
+      var nHits = 0
+      readers.foreach { r =>
+        val skip = r.statistics.exists(s =>
+          !s.mightContainKey(key) || s.maxTimestamp < bestMfda)
+        if (!skip) {
+          val rs = r.getAll(key)
+          rs.foreach { row =>
+            row.tombstone.foreach { t =>
+              if (t.markedForDeleteAtMicros != Long.MinValue && // LIVE sentinel
+                  t.markedForDeleteAtMicros > bestMfda)
+                bestMfda = t.markedForDeleteAtMicros
+            }
+          }
+          hits ++= rs
+          nHits += rs.size
+        }
+      }
+      if (nHits == 0) return None
+      val merged = reconcile(key, hits.result())
       if (!gcTombstones) Some(merged)
       else {
         // live view drops cell AND range tombstones (suppressTombstones'
@@ -309,8 +370,43 @@ object SSTableReader {
       case _: Column.Expiring => "EXPIRING"
       case _: Column.RangeTombstone => "RANGE_TOMBSTONE"
     }
-    def rank(c: Column): (Long, Int, String) =
-      (c.timestamp, if (c.isInstanceOf[Column.Deleted]) 1 else 0, stateOf(c))
+    def valueOf(c: Column): Array[Byte] = c match {
+      case Column.Normal(_, v, _) => v
+      case Column.Expiring(_, v, _, _, _) => v
+      case r: Column.RangeTombstone => r.maxName
+      case _: Column.Deleted => null
+    }
+    def ttlOf(c: Column): Long = c match {
+      case e: Column.Expiring => e.ttlSecs
+      case r: Column.RangeTombstone => r.localDeletionTimeSecs.toLong
+      case _ => 0L
+    }
+    def expOf(c: Column): Long = c match {
+      case e: Column.Expiring => e.expiresMillis
+      case _ => 0L
+    }
+    /** Strictly-greater under compactRows' max_by struct ordering
+      * `(timestamp, deleted, state, value, ttlSecs, expiresMillis)` —
+      * the (value, ttl, exp) tail resolves exact (timestamp, state)
+      * collisions identically on both merge paths (ADVICE r4; max_by's
+      * bare tie kept the shuffle-order first-encountered while this path
+      * kept file order). Null value sorts below any bytes, mirroring
+      * Spark's nulls-first struct-field comparison. */
+    def rankGt(a: Column, b: Column): Boolean = {
+      if (a.timestamp != b.timestamp) return a.timestamp > b.timestamp
+      val d = (if (a.isInstanceOf[Column.Deleted]) 1 else 0) -
+        (if (b.isInstanceOf[Column.Deleted]) 1 else 0)
+      if (d != 0) return d > 0
+      val s = stateOf(a).compareTo(stateOf(b))
+      if (s != 0) return s > 0
+      val (va, vb) = (valueOf(a), valueOf(b))
+      val v = if (va == null && vb == null) 0
+        else if (va == null) -1 else if (vb == null) 1
+        else compareKeys(va, vb)
+      if (v != 0) return v > 0
+      if (ttlOf(a) != ttlOf(b)) return ttlOf(a) > ttlOf(b)
+      expOf(a) > expOf(b)
+    }
     def wrap(a: Array[Byte]) = scala.collection.immutable.ArraySeq.unsafeWrapArray(a)
     val byName = scala.collection.mutable.HashMap.empty[(Seq[Byte], Option[Seq[Byte]]), Column]
     rows.iterator.flatMap(_.columns).foreach { c =>
@@ -319,8 +415,7 @@ object SSTableReader {
         case _ => None
       })
       byName.updateWith(k) {
-        case Some(prev) =>
-          Some(if (Ordering[(Long, Int, String)].gt(rank(c), rank(prev))) c else prev)
+        case Some(prev) => Some(if (rankGt(c, prev)) c else prev)
         case None => Some(c)
       }
     }
@@ -329,12 +424,6 @@ object SSTableReader {
     // never suppress other ranges (union-of-predicates semantics)
     val alive = byName.values.filter(_.timestamp > mfda).toSeq
     val ranges = alive.collect { case r: Column.RangeTombstone => r }
-    def valueOf(c: Column): Array[Byte] = c match {
-      case Column.Normal(_, v, _) => v
-      case Column.Expiring(_, v, _, _, _) => v
-      case r: Column.RangeTombstone => r.maxName
-      case _: Column.Deleted => null
-    }
     val cols = alive
       .filter {
         case _: Column.RangeTombstone => true

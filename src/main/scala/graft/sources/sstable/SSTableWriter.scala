@@ -47,6 +47,9 @@ final class SSTableWriter(dataPath: String,
   // close. bloomBitsPerKey = 0 disables the filter (and the buffer).
   private val bloomHashes =
     if (bloomBitsPerKey > 0) new scala.collection.mutable.ArrayBuffer[Long]() else null
+  // Per-generation planning metadata (min/max LWW timestamp, key bounds,
+  // row/tombstone counts) — O(1) state, written as -Statistics.db at close.
+  private val stats = new StatisticsFile.Tracker
 
   def append(row: SSTableRow): Unit = {
     require(!closed, "writer closed")
@@ -71,6 +74,7 @@ final class SSTableWriter(dataPath: String,
       bloomHashes += h2
     }
     indexPos += IndexFile.writeEntry(indexOut, row.key, rowOffset)
+    stats.see(row)
     rowCount += 1
   }
 
@@ -93,5 +97,7 @@ final class SSTableWriter(dataPath: String,
       val filterOut = storage.create(sibling(dataPath, FilterSuffix))
       try FilterFile.write(filterOut, bf) finally filterOut.close()
     }
+    val statsOut = storage.create(sibling(dataPath, StatisticsSuffix))
+    try StatisticsFile.write(statsOut, stats.result()) finally statsOut.close()
   }
 }
