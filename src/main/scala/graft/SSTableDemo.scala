@@ -83,6 +83,22 @@ object SSTableDemo {
     println(s"== lookup join: ${hits.count()} of ${probes.count()} probe keys found " +
       "(point reads, no scan)")
 
+    // runtime (join-driven) split pruning: a plain SQL join against a
+    // small filtered dim hands the dim's keys to the scan at runtime
+    // (dynamic pruning) — same Summary/bloom pruning as lookupJoin, but
+    // triggered by ordinary join syntax
+    val dim = spark.range(10000)
+      .filter(col("id").isin(7, 5000))
+      .select(concat(lit("user"), lpad(col("id").cast("string"), 6, "0"))
+        .cast("binary").as("k"))
+    val dpp = df.join(broadcast(dim), col("key") === col("k"))
+    val dppRows = dpp.count()
+    val dppPruned = dpp.queryExecution.executedPlan.toString
+      .contains("dynamicpruningexpression(key")
+    println(s"== runtime-filtered join: $dppRows rows, dynamic pruning " +
+      (if (dppPruned) "ACTIVE" else "inactive") +
+      s" (full scan would read ${df.rdd.getNumPartitions} partitions)")
+
     // embedded multi-generation point read (Cassandra's read path)
     val got = sources.sstable.SSTableReader.get(dir, "user001234".getBytes,
       gcTombstones = true)

@@ -180,7 +180,7 @@ final class SSTableScan(path: String, requiredSchema: StructType,
                         ttlAsOfMs: Option[Long] = None,
                         distributedPlanningThreshold: Int =
                           SSTableSource.DefaultDistributedPlanningThreshold)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsRuntimeFiltering {
   /** Hadoop conf rides to executors only when the path needs the Hadoop
     * adapter (scheme present); plain local paths stay dependency-free. */
   private val serConf: Option[SerializableHadoopConf] =
@@ -198,6 +198,31 @@ final class SSTableScan(path: String, requiredSchema: StructType,
   private val eqKey: Option[Array[Byte]] = (keyLo, keyHi) match {
     case (Some((lo, true)), Some((hi, true))) if java.util.Arrays.equals(lo, hi) => Some(lo)
     case _ => None
+  }
+
+  /** Runtime (join-driven) split pruning, VERDICT r4 #2: a plain SQL join
+    * `dim JOIN sstable ON key = …` lets Spark's dynamic-pruning machinery
+    * collect the dim side's key set at runtime and hand it here as an
+    * `In("key", …)` filter BEFORE partitions are planned — so small-dim
+    * joins prune with the same Summary-bounds + bloom machinery as an
+    * explicit `lookupJoin`, instead of scanning every split. Sorted for
+    * per-split binary-search membership; None (no runtime filter, or a
+    * shape we don't understand) means no extra pruning. Like the pushed
+    * key-range filters, this only skips IO — Spark still applies the
+    * join itself, so an over-approximation can never change results. */
+  private var runtimeKeys: Option[Array[Array[Byte]]] = None
+
+  override def filterAttributes(): Array[
+      org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("key"))
+
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case In("key", vs) =>
+      val keys = vs.collect { case b: Array[Byte] => b }
+      if (keys.length == vs.length) // all-binary, else not our shape
+        runtimeKeys = Some(keys.sortWith(SSTableFiles.compareKeys(_, _) < 0))
+    case EqualTo("key", v: Array[Byte]) => runtimeKeys = Some(Array(v))
+    case _ => // unsupported runtime filter shape: plan unpruned
   }
 
   override def readSchema(): StructType = requiredSchema
@@ -232,12 +257,13 @@ final class SSTableScan(path: String, requiredSchema: StructType,
     val lo = keyLo.map(_._1)
     val hi = keyHi.map(_._1)
     val eqk = eqKey
+    val keys = runtimeKeys
     val target = targetSplitBytes
     val conf = serConf
     if (files.length <= threshold) {
       import scala.collection.parallel.CollectionConverters._
       val st = storage
-      files.par.flatMap(SSTableScan.planFile(st, target, lo, hi, eqk)).toArray
+      files.par.flatMap(SSTableScan.planFile(st, target, lo, hi, eqk, keys)).toArray
     } else {
       val sc = org.apache.spark.sql.SparkSession.active.sparkContext
       val slices = math.min(files.length, math.max(sc.defaultParallelism, 1) * 4)
@@ -245,7 +271,7 @@ final class SSTableScan(path: String, requiredSchema: StructType,
         .flatMap { f =>
           val st: Storage =
             conf.map(c => new HadoopStorage(c.value): Storage).getOrElse(LocalStorage)
-          SSTableScan.planFile(st, target, lo, hi, eqk)(f)
+          SSTableScan.planFile(st, target, lo, hi, eqk, keys)(f)
         }
         .collect().toArray
     }
@@ -256,22 +282,54 @@ final class SSTableScan(path: String, requiredSchema: StructType,
 }
 
 object SSTableScan {
+  /** Max runtime-IN-set size that still pays per-key bloom probes at plan
+    * time; larger sets fall back to range/split membership pruning only
+    * (a huge probe set is a scan anyway). */
+  private val MaxBloomProbeKeys = 16 * 1024
+
+  /** Is some sorted key within [lo, hi]? (hi None = unbounded tail split;
+    * bounds inclusive — a duplicate-key run can equal a split's bound.) */
+  private def anyKeyInRange(keys: Array[Array[Byte]], lo: Array[Byte],
+                            hi: Option[Array[Byte]]): Boolean = {
+    var l = 0
+    var h = keys.length
+    while (l < h) { // first key >= lo
+      val m = (l + h) >>> 1
+      if (SSTableFiles.compareKeys(keys(m), lo) < 0) l = m + 1 else h = m
+    }
+    l < keys.length && hi.forall(ub => SSTableFiles.compareKeys(keys(l), ub) <= 0)
+  }
+
   /** Plan one file's splits (Summary walk + index point reads + block
     * hosts). Standalone function so the distributed-planning closure
-    * captures only serializable arguments, never the Scan. */
+    * captures only serializable arguments, never the Scan. `keys` is the
+    * runtime join-key set: files are dropped via Statistics key bounds +
+    * bloom (every key misses ⇒ the file has none of them), splits via
+    * sorted-set membership against their [firstKey, lastKeyBound]. */
   private[spark] def planFile(st: Storage, targetSplitBytes: Long,
                               lo: Option[Array[Byte]], hi: Option[Array[Byte]],
-                              eq: Option[Array[Byte]] = None)
+                              eq: Option[Array[Byte]] = None,
+                              keys: Option[Array[Array[Byte]]] = None)
                              (f: String): Seq[SSTablePartition] = {
     val r = new SSTableReader(f, st)
     // bloom check first: a definitive miss skips the Summary walk and
     // index point reads entirely, not just the data scan
     if (eq.exists(k => !r.mightContainKey(k))) return Nil
-    val splits = r.planSplits(targetSplitBytes)
-    r.pruneSplits(splits, lo, hi).map { s =>
-      val hosts = st.blockHosts(f, r.physicalOffset(s.start), r.physicalOffset(s.end))
-      SSTablePartition(f, s.start, s.end, s.idxStart, s.idxEnd, hosts)
+    keys.foreach { ks =>
+      r.statistics.foreach { s => // key-bounds: no runtime key in [minKey, maxKey]
+        if (s.rowCount == 0 || !anyKeyInRange(ks, s.minKey, Some(s.maxKey)))
+          return Nil
+      }
+      if (ks.length <= MaxBloomProbeKeys && !ks.exists(r.mightContainKey))
+        return Nil
     }
+    val splits = r.planSplits(targetSplitBytes)
+    r.pruneSplits(splits, lo, hi)
+      .filter(s => keys.forall(ks => anyKeyInRange(ks, s.firstKey, s.lastKeyBound)))
+      .map { s =>
+        val hosts = st.blockHosts(f, r.physicalOffset(s.start), r.physicalOffset(s.end))
+        SSTablePartition(f, s.start, s.end, s.idxStart, s.idxEnd, hosts)
+      }
   }
 }
 

@@ -259,6 +259,98 @@ class SSTableSourceSpec extends AnyFunSuite {
     assert(SSTableReader.listDataFiles(dir).isEmpty)
   }
 
+  test("runtime IN-set filter prunes files and splits (scan-level)") {
+    val dir = freshDir()
+    writeFixture(dir) // keys key00000..key00499, several splits at 2000 B
+    // second generation with a disjoint key range
+    val w = new SSTableWriter(s"$dir/zzz-Data.db", compress = true,
+      chunkLength = 512, summaryInterval = 8)
+    (0 until 200).foreach(i => w.append(SSTableRow(f"zzz$i%05d".getBytes,
+      Seq(Column.Normal("c1".getBytes, "v".getBytes, i.toLong)))))
+    w.close()
+
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    def scan(): SSTableScan = {
+      val opts = new java.util.HashMap[String, String]()
+      opts.put("path", dir)
+      opts.put("targetSplitBytes", "2000")
+      new SSTableScanBuilder(dir, new CaseInsensitiveStringMap(opts))
+        .build().asInstanceOf[SSTableScan]
+    }
+    val unfiltered = scan().planInputPartitions().length
+    assert(unfiltered > 4, s"fixture should plan several splits, got $unfiltered")
+
+    // two keys from one generation: the zzz file drops wholesale (key
+    // bounds), fix narrows to the split(s) holding the keys
+    val s1 = scan()
+    s1.filter(Array[org.apache.spark.sql.sources.Filter](org.apache.spark.sql.sources.In("key",
+      Array[Any]("key00007".getBytes, "key00008".getBytes))))
+    val pruned = s1.planInputPartitions()
+    assert(pruned.length < unfiltered && pruned.nonEmpty,
+      s"pruned=${pruned.length} all=$unfiltered")
+    assert(pruned.forall(_.asInstanceOf[SSTablePartition].dataPath.contains("fix")),
+      "disjoint-range generation must be pruned wholesale")
+
+    // absent key inside fix's range: Summary bounds keep it, bloom drops it
+    val s2 = scan()
+    s2.filter(Array[org.apache.spark.sql.sources.Filter](org.apache.spark.sql.sources.In("key",
+      Array[Any]("key00007x".getBytes))))
+    assert(s2.planInputPartitions().isEmpty, "bloom must drop all files for an absent key")
+
+    // unsupported value shape: no pruning, full plan (never wrong results)
+    val s3 = scan()
+    s3.filter(Array[org.apache.spark.sql.sources.Filter](org.apache.spark.sql.sources.In("key", Array[Any]("key00007", 7))))
+    assert(s3.planInputPartitions().length == unfiltered)
+  }
+
+  test("broadcast join against a small dim prunes the scan at runtime (DPP)") {
+    val dir = freshDir()
+    writeFixture(dir)
+    val w = new SSTableWriter(s"$dir/zzz-Data.db", compress = true,
+      chunkLength = 512, summaryInterval = 8)
+    (0 until 200).foreach(i => w.append(SSTableRow(f"zzz$i%05d".getBytes,
+      Seq(Column.Normal("c1".getBytes, "v".getBytes, i.toLong)))))
+    w.close()
+
+    val fact = spark.read.format("sstable").option("targetSplitBytes", "2000").load(dir)
+    val allParts = fact.rdd.getNumPartitions
+    // the dim must keep a SELECTIVE predicate in its optimized plan for
+    // Spark to consider runtime pruning — a local Seq would be constant-
+    // folded into a bare LocalTableScan, so build it over Range
+    val dim = spark.range(0, 1000)
+      .filter(col("id").isin(7, 8))
+      .select(concat(lit("key"), lpad(col("id").cast("string"), 5, "0"))
+        .cast("binary").as("k"))
+    val joined = fact.join(broadcast(dim), col("key") === col("k"))
+    val rows = joined.collect()
+    assert(rows.length == 2, s"join correctness: got ${rows.length} rows")
+
+    // the executed plan must carry a runtime filter on our scan…
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression(key"),
+      s"expected a runtime filter on the sstable scan, plan:\n$plan")
+    // …and the scan's planned partitions must have dropped
+    val scans = collectBatchScans(joined.queryExecution.executedPlan)
+    assert(scans.nonEmpty)
+    val prunedParts = scans.map(_.inputRDD.getNumPartitions).min
+    assert(prunedParts < allParts,
+      s"runtime-pruned partitions $prunedParts should be < $allParts")
+  }
+
+  private def collectBatchScans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] = {
+    val self = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        collectBatchScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        collectBatchScans(q.plan) // AQE stages hide their subtree from children
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => Seq(b)
+      case _ => Nil
+    }
+    self ++ p.children.flatMap(collectBatchScans) ++
+      p.subqueries.flatMap(collectBatchScans)
+  }
+
   test("corrupt file fails the scan loudly") {
     val dir = freshDir()
     writeFixture(dir)
