@@ -251,31 +251,11 @@ final class SSTableScan(path: String, requiredSchema: StructType,
     * directories don't bottleneck on one machine's metadata round-trips
     * (SURVEY §3-E3; the reference ran planning as offline MR jobs for the
     * same reason). */
-  override def planInputPartitions(): Array[InputPartition] = {
-    val files = storage.listDataFiles(path)
-    val threshold = distributedPlanningThreshold
-    val lo = keyLo.map(_._1)
-    val hi = keyHi.map(_._1)
-    val eqk = eqKey
-    val keys = runtimeKeys
-    val target = targetSplitBytes
-    val conf = serConf
-    if (files.length <= threshold) {
-      import scala.collection.parallel.CollectionConverters._
-      val st = storage
-      files.par.flatMap(SSTableScan.planFile(st, target, lo, hi, eqk, keys)).toArray
-    } else {
-      val sc = org.apache.spark.sql.SparkSession.active.sparkContext
-      val slices = math.min(files.length, math.max(sc.defaultParallelism, 1) * 4)
-      sc.parallelize(files, slices)
-        .flatMap { f =>
-          val st: Storage =
-            conf.map(c => new HadoopStorage(c.value): Storage).getOrElse(LocalStorage)
-          SSTableScan.planFile(st, target, lo, hi, eqk, keys)(f)
-        }
-        .collect().toArray
-    }
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    SSTableScan.planPartitions(storage.listDataFiles(path), serConf,
+      distributedPlanningThreshold, targetSplitBytes,
+      keyLo.map(_._1), keyHi.map(_._1), eqKey, runtimeKeys,
+      hostsFromIndex = false)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new SSTableReaderFactory(requiredSchema, ttlAsOfMs, serConf)
@@ -305,11 +285,14 @@ object SSTableScan {
     * captures only serializable arguments, never the Scan. `keys` is the
     * runtime join-key set: files are dropped via Statistics key bounds +
     * bloom (every key misses ⇒ the file has none of them), splits via
-    * sorted-set membership against their [firstKey, lastKeyBound]. */
+    * sorted-set membership against their [firstKey, lastKeyBound].
+    * `hostsFromIndex` attaches Index.db block locations instead of
+    * Data.db's (the index source never opens Data.db). */
   private[spark] def planFile(st: Storage, targetSplitBytes: Long,
                               lo: Option[Array[Byte]], hi: Option[Array[Byte]],
                               eq: Option[Array[Byte]] = None,
-                              keys: Option[Array[Array[Byte]]] = None)
+                              keys: Option[Array[Array[Byte]]] = None,
+                              hostsFromIndex: Boolean = false)
                              (f: String): Seq[SSTablePartition] = {
     val r = new SSTableReader(f, st)
     // bloom check first: a definitive miss skips the Summary walk and
@@ -327,9 +310,50 @@ object SSTableScan {
     r.pruneSplits(splits, lo, hi)
       .filter(s => keys.forall(ks => anyKeyInRange(ks, s.firstKey, s.lastKeyBound)))
       .map { s =>
-        val hosts = st.blockHosts(f, r.physicalOffset(s.start), r.physicalOffset(s.end))
+        val hosts =
+          if (hostsFromIndex)
+            st.blockHosts(SSTableFiles.sibling(f, SSTableFiles.IndexSuffix),
+              s.idxStart, s.idxEnd)
+          else st.blockHosts(f, r.physicalOffset(s.start), r.physicalOffset(s.end))
         SSTablePartition(f, s.start, s.end, s.idxStart, s.idxEnd, hosts)
       }
+  }
+
+  /** Per-file planning is independent metadata work, parallelized two
+    * ways by file count: below `threshold` a driver parallel collection
+    * (no job overhead); above it the planning closure ships through
+    * `spark.parallelize(files).flatMap` so ten-thousand-file directories
+    * don't bottleneck on one machine's metadata round-trips (SURVEY
+    * §3-E3; the reference ran planning as offline MR jobs for the same
+    * reason). Shared by the data and index sources (VERDICT r4 #5 —
+    * the index source previously planned sequentially on the driver). */
+  private[spark] def planPartitions(files: Seq[String],
+                                    serConf: Option[SerializableHadoopConf],
+                                    threshold: Int, targetSplitBytes: Long,
+                                    lo: Option[Array[Byte]],
+                                    hi: Option[Array[Byte]],
+                                    eqk: Option[Array[Byte]],
+                                    keys: Option[Array[Array[Byte]]],
+                                    hostsFromIndex: Boolean): Array[InputPartition] = {
+    def storageOf: Storage =
+      serConf.map(c => new HadoopStorage(c.value): Storage).getOrElse(LocalStorage)
+    if (files.length <= threshold) {
+      import scala.collection.parallel.CollectionConverters._
+      val st = storageOf
+      files.par.flatMap(
+        planFile(st, targetSplitBytes, lo, hi, eqk, keys, hostsFromIndex)).toArray
+    } else {
+      val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+      val slices = math.min(files.length, math.max(sc.defaultParallelism, 1) * 4)
+      val conf = serConf // closure captures only the serializable carrier
+      sc.parallelize(files, slices)
+        .flatMap { f =>
+          val st: Storage =
+            conf.map(c => new HadoopStorage(c.value): Storage).getOrElse(LocalStorage)
+          planFile(st, targetSplitBytes, lo, hi, eqk, keys, hostsFromIndex)(f)
+        }
+        .collect().toArray
+    }
   }
 }
 

@@ -524,6 +524,57 @@ class SSTableOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("property: compactRowsSalted == compactRows on random generations (incl. ties)") {
+    // The salted variant re-routes the per-key assembly through hash
+    // buckets; this pin proves the rerouting is invisible — same columns,
+    // same order, same merged tombstone — including on exact-timestamp
+    // ties (generated below by reusing timestamps across generations),
+    // which only the (value, ttl, exp) ordering tail keeps deterministic.
+    val rnd = new scala.util.Random(20260813)
+    val names = Seq("a", "b", "c", "d", "e")
+    for (trial <- 0 until 4) {
+      val rows = (0 until 3).flatMap { g =>
+        (0 until 12).filter(_ => rnd.nextDouble() < 0.8).map { ki =>
+          val k = f"k$ki%02d"
+          val cols = names.filter(_ => rnd.nextDouble() < 0.6).map { n =>
+            val ts = rnd.nextInt(40).toLong // small range: ties across gens
+            rnd.nextInt(3) match {
+              case 0 => col3(n, "DELETED", null, ts)
+              case 1 => col3(n, "EXPIRING", s"e$g$n", ts, 60L + rnd.nextInt(3), 1000L)
+              case _ => col3(n, "NORMAL", s"v$g$n${rnd.nextInt(2)}", ts)
+            }
+          } ++ (if (rnd.nextDouble() < 0.25) {
+            val i = rnd.nextInt(names.length)
+            val j = i + rnd.nextInt(names.length - i)
+            Seq((names(i).getBytes, "RANGE_TOMBSTONE", names(j).getBytes,
+              rnd.nextInt(40).toLong, 1700000000L + g, 0L))
+          } else Nil)
+          val tomb = if (rnd.nextDouble() < 0.2)
+            Some((1700000000 + g, rnd.nextInt(30).toLong)) else None
+          (k, tomb, cols)
+        }
+      }
+      val df = tombrows(rows: _*)
+      def canon(d: org.apache.spark.sql.DataFrame) =
+        d.select(col("key").cast("string"),
+          to_json(struct(col("columns"), col("rowTombstone"))))
+          .as[(String, String)].collect().sorted.toSeq
+      val base = canon(SSTableOps.compactRows(df))
+      for (buckets <- Seq(1, 3, 64))
+        assert(canon(SSTableOps.compactRowsSalted(df, buckets)) == base,
+          s"trial $trial buckets=$buckets diverged from compactRows")
+    }
+  }
+
+  test("compactRowsSalted plan: three agg shuffles, no join") {
+    val df = tombrows(("r", Some((1, 10L)), Seq(col3("a", "NORMAL", "v", 10))))
+    val plan = SSTableOps.compactRowsSalted(df).queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 3,
+      s"want (key,name,rangeMax) + (key,bucket) + (key) agg shuffles only:\n$plan")
+    assert(!plan.contains("Join"), s"salting must not introduce a join:\n$plan")
+  }
+
   test("property: random rows round-trip the DSv2 writer+reader (InternalRow conversion layer)") {
     // The codec property (CodecSpec) covers DataFile bytes; this covers
     // the Spark layer above it — schema→Column conversion on write and
