@@ -110,14 +110,24 @@ object SSTableOps {
   /** Phase 0 of the merge: one record per (key, column version), with the
     * row-level deletion clock alongside (`_mfda`/`_ldt`; LIVE sentinels
     * when absent). Inputs without a `rowTombstone` column get the LIVE
-    * default. */
+    * default. Counter states fail LOUDLY here — a timestamp merge over
+    * counter replication contexts silently loses increments, so the
+    * whole merge family (compactRows / compactRowsSalted /
+    * suppressTombstones / compact*) refuses them; scan/export paths that
+    * never merge surface them raw. */
   private def explodeWithTombstone(df: DataFrame): DataFrame = {
     val withT =
       if (df.columns.contains("rowTombstone")) df
       else df.withColumn("rowTombstone", lit(null).cast(RowTombstoneSql))
-    withT.select(col("key"), explode_outer(col("columns")).as("c"),
-      coalesce(col("rowTombstone.markedForDeleteAt"), lit(LiveMfda)).as("_mfda"),
-      coalesce(col("rowTombstone.localDeletionTime"), lit(Int.MaxValue)).as("_ldt"))
+    withT.select(col("key"), explode_outer(col("columns")).as("_c0"),
+        coalesce(col("rowTombstone.markedForDeleteAt"), lit(LiveMfda)).as("_mfda"),
+        coalesce(col("rowTombstone.localDeletionTime"), lit(Int.MaxValue)).as("_ldt"))
+      .withColumn("c", when(
+        col("_c0.state").isin("COUNTER", "COUNTER_UPDATE"),
+        raise_error(concat(lit("counter columns have no LWW merge semantics " +
+          "(partitioned replication contexts); key="), base64(col("key")))))
+        .otherwise(col("_c0")))
+      .drop("_c0")
   }
 
   /** Phase 1: newest version per cell — hash-agg on (key, name[, range
@@ -196,14 +206,16 @@ object SSTableOps {
 
   /** K2 — msgpack/Base64 export: one `base64(msgpack(row))` text line per
     * (typically compacted) row — the reference's E1 sink
-    * (mapred/SSTableData.scala:97-115). Range tombstones are dropped:
-    * the reference's export model (MsgPackCol) predates them and a line
-    * carrying one could never come from the original pipeline. Scalar
-    * UDF per SURVEY.md §2.7 (upgrade to a codegen Expression only if
-    * the bench says it's hot). */
+    * (mapred/SSTableData.scala:97-115). Range tombstones and counters are
+    * dropped: the reference's export model (MsgPackCol) predates both,
+    * a line carrying one could never come from the original pipeline,
+    * and a counter context exported as a plain value would read as
+    * garbage downstream. Scalar UDF per SURVEY.md §2.7 (upgrade to a
+    * codegen Expression only if the bench says it's hot). */
   def exportMsgpackBase64(df: DataFrame): DataFrame =
     df.select(col("key"),
-        filter(col("columns"), c => c.getField("state") =!= "RANGE_TOMBSTONE")
+        filter(col("columns"), c => !c.getField("state")
+          .isin("RANGE_TOMBSTONE", "COUNTER", "COUNTER_UPDATE"))
           .as("_exportable"))
       // no phantom lines for keys with nothing exportable (range-only or
       // wholesale-deleted rows — shapes the original pipeline never saw)

@@ -51,8 +51,11 @@ import java.io.{DataOutputStream, EOFException}
   *
   * Range tombstones (0x10, `RangeTombstone.Serializer`) ARE read and
   * written — beyond the reference, which predates them surfacing in its
-  * data. Counter columns (flags 0x04/0x08) are rejected loudly: their
-  * partitioned replication contexts don't fit an untyped byte model.
+  * data. Counter columns (0x04 `CounterColumn`: extra leading i64
+  * timestampOfLastDelete; 0x08 `CounterUpdateColumn`: normal layout) are
+  * read and written as RAW bytes so real 1.2 counter CFs scan — but the
+  * merge paths reject them loudly, because their partitioned replication
+  * contexts carry no LWW semantics (see [[Column.Counter]]).
   *
   * Corruption fails loudly ([[CorruptSSTableException]]) instead of the
   * reference's silent catch-and-truncate (SSTableDataRecordReader.scala:95-97).
@@ -78,6 +81,8 @@ object DataFile {
     case Column.Deleted(n, _) => 2L + n.length + 1 + 8 + 4 + 4 // value = u32 localDeletionTime
     case Column.Expiring(n, v, _, _, _) => 2L + n.length + 1 + 4 + 4 + 8 + 4 + v.length
     case Column.RangeTombstone(n, mx, _, _) => 2L + n.length + 1 + 2 + mx.length + 4 + 8
+    case Column.Counter(n, v, _, _) => 2L + n.length + 1 + 8 + 8 + 4 + v.length
+    case Column.CounterUpdate(n, v, _) => 2L + n.length + 1 + 8 + 4 + v.length
   }
 
   /** Size of the row body after the u64 rowSize field: deletion info (12) +
@@ -132,6 +137,18 @@ object DataFile {
           out.writeShort(maxName.length); out.write(maxName)
           out.writeInt(ldt)
           out.writeLong(mfda)
+        case Column.Counter(_, v, tsd, ts) =>
+          // CounterColumn: flags 0x04, long timestampOfLastDelete, long
+          // timestamp, int-length context bytes
+          out.writeByte(CounterMask)
+          out.writeLong(tsd)
+          out.writeLong(ts)
+          out.writeInt(v.length); out.write(v)
+        case Column.CounterUpdate(_, v, ts) =>
+          // CounterUpdateColumn: flags 0x08, NORMAL wire layout
+          out.writeByte(CounterUpdateMask)
+          out.writeLong(ts)
+          out.writeInt(v.length); out.write(v)
       }
     }
     2L + row.key.length + 8L + body
@@ -180,11 +197,17 @@ final class DataReader(in: SeekableInput, endOffset: Long = Long.MaxValue)
         val name = new Array[Byte](nameLen)
         din.readFully(name)
         val flags = din.readUnsignedByte()
-        if ((flags & (DataFile.CounterMask | DataFile.CounterUpdateMask)) != 0)
-          throw new CorruptSSTableException(
-            f"unsupported column flags 0x$flags%02x (counter) at ${in.position}")
         cols(i) =
-          if ((flags & DataFile.RangeTombstoneMask) != 0) {
+          if ((flags & DataFile.CounterMask) != 0) {
+            // CounterColumn: long timestampOfLastDelete precedes the
+            // normal (timestamp, value) tail; surfaced RAW (no merge
+            // semantics — see Column.Counter)
+            val tsd = din.readLong()
+            val ts = din.readLong()
+            val v = new Array[Byte](din.readInt())
+            din.readFully(v)
+            Column.Counter(name, v, tsd, ts)
+          } else if ((flags & DataFile.RangeTombstoneMask) != 0) {
             // RangeTombstone.Serializer: the name already read is the MIN
             // bound; then max name + DeletionTime(ldt, mfda)
             val maxLen = din.readUnsignedShort()
@@ -212,7 +235,9 @@ final class DataReader(in: SeekableInput, endOffset: Long = Long.MaxValue)
             val ts = din.readLong()
             val v = new Array[Byte](din.readInt())
             din.readFully(v)
-            Column.Normal(name, v, ts)
+            if ((flags & DataFile.CounterUpdateMask) != 0)
+              Column.CounterUpdate(name, v, ts) // normal layout, 0x08 tag
+            else Column.Normal(name, v, ts)
           }
         i += 1
       }

@@ -350,6 +350,14 @@ object SSTableReader {
     * `compactRows`' DataFrame algebra — same winner per column, same
     * tie-breaks, same row-tombstone shadowing, name-sorted output). */
   private[sstable] def reconcile(key: Array[Byte], rows: Seq[SSTableRow]): SSTableRow = {
+    // same refusal as compactRows' merge family: counter replication
+    // contexts have no LWW semantics — merging by timestamp would
+    // silently lose increments (raw scans still surface them)
+    if (rows.exists(_.columns.exists(c => c.isInstanceOf[Column.Counter] ||
+        c.isInstanceOf[Column.CounterUpdate])))
+      throw new IllegalArgumentException(
+        "counter columns have no LWW merge semantics (partitioned " +
+          s"replication contexts); key=${java.util.Base64.getEncoder.encodeToString(key)}")
     // newest row tombstone: max by (markedForDeleteAt, localDeletionTime).
     // The pathological half-LIVE pair (mfda=Long.MinValue, ldt≠MAX) the
     // codec round-trips is normalized away on MERGE — it shadows nothing,
@@ -369,12 +377,14 @@ object SSTableReader {
       case _: Column.Normal => "NORMAL"
       case _: Column.Expiring => "EXPIRING"
       case _: Column.RangeTombstone => "RANGE_TOMBSTONE"
+      case _: Column.Counter | _: Column.CounterUpdate =>
+        throw new IllegalStateException("unreachable: counters rejected on entry")
     }
     def valueOf(c: Column): Array[Byte] = c match {
       case Column.Normal(_, v, _) => v
       case Column.Expiring(_, v, _, _, _) => v
       case r: Column.RangeTombstone => r.maxName
-      case _: Column.Deleted => null
+      case _ => null // Deleted; counters rejected on entry
     }
     def ttlOf(c: Column): Long = c match {
       case e: Column.Expiring => e.ttlSecs

@@ -24,6 +24,13 @@ object SSTableSchema {
     * (the GC-grace clock — reusing the field keeps the scan schema
     * stable), `expiresMillis` = 0. */
   val StateRangeTombstone = UTF8String.fromString("RANGE_TOMBSTONE")
+  /** Counter surface encoding (raw bytes, no merge semantics — see
+    * [[graft.sources.sstable.Column.Counter]]): `value` = serialized
+    * replication context, `expiresMillis` = timestampOfLastDelete µs
+    * (field reuse keeps the scan schema stable), `ttlSecs` = 0. */
+  val StateCounter = UTF8String.fromString("COUNTER")
+  /** Local counter increment — normal field mapping, raw value bytes. */
+  val StateCounterUpdate = UTF8String.fromString("COUNTER_UPDATE")
 
   val columnStruct: StructType = StructType(Seq(
     StructField("name", BinaryType, nullable = false),
@@ -59,6 +66,10 @@ object SSTableSchema {
       new GenericInternalRow(Array[Any](n, StateExpiring, v, ts, ttl, exp))
     case Column.RangeTombstone(min, max, ldt, mfda) =>
       new GenericInternalRow(Array[Any](min, StateRangeTombstone, max, mfda, ldt.toLong, 0L))
+    case Column.Counter(n, v, tsd, ts) =>
+      new GenericInternalRow(Array[Any](n, StateCounter, v, ts, 0L, tsd))
+    case Column.CounterUpdate(n, v, ts) =>
+      new GenericInternalRow(Array[Any](n, StateCounterUpdate, v, ts, 0L, 0L))
   }
 
   /** Project a row onto the required top-level fields (column pruning). */

@@ -311,6 +311,9 @@ final class SSTablePartitionWriter(stagingDir: String, schema: StructType,
               require(ldt >= 0 && ldt <= Int.MaxValue,
                 s"range tombstone localDeletionTime out of u32-seconds range: $ldt")
               Column.RangeTombstone(name, c.getBinary(2), ldt.toInt, ts)
+            case "COUNTER" => // expiresMillis = timestampOfLastDelete µs
+              Column.Counter(name, c.getBinary(2), c.getLong(5), ts)
+            case "COUNTER_UPDATE" => Column.CounterUpdate(name, c.getBinary(2), ts)
             case other => throw new IllegalArgumentException(s"unknown column state $other")
           }
         }

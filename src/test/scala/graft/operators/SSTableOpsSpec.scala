@@ -614,6 +614,49 @@ class SSTableOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("counters: DSv2 scan surfaces them raw; compactRows refuses loudly; export drops them") {
+    import graft.sources.sstable.{Column, SSTableRow, SSTableWriter}
+    val dir = Files.createTempDirectory("counter-scan").toString
+    val w = new SSTableWriter(s"$dir/cnt-Data.db", compress = false)
+    w.append(SSTableRow("k1".getBytes, Seq(
+      Column.Counter("hits".getBytes, Array[Byte](1, 2, 3), 100L, 5000L),
+      Column.Normal("plain".getBytes, "v".getBytes, 10L))))
+    w.append(SSTableRow("k2".getBytes, Seq(
+      Column.CounterUpdate("hits".getBytes, Array[Byte](0, 7), 6000L))))
+    w.close()
+
+    // raw scan works — a real 1.2 counter CF is readable
+    val df = spark.read.format("sstable").load(dir)
+    val cells = df.select(col("key").cast("string"), explode(col("columns")).as("c"))
+      .select(col("key"), col("c.state"), col("c.timestamp"), col("c.expiresMillis"))
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(cells == Set(
+      ("k1", "COUNTER", 5000L, 100L), // expiresMillis carries timestampOfLastDelete
+      ("k1", "NORMAL", 10L, 0L),
+      ("k2", "COUNTER_UPDATE", 6000L, 0L)))
+
+    // DSv2 write path round-trips the raw surface
+    val dir2 = Files.createTempDirectory("counter-rt").toString
+    df.write.format("sstable").mode("overwrite").save(dir2)
+    assert(spark.read.format("sstable").load(dir2)
+      .select(explode(col("columns")).as("c")).where(col("c.state").startsWith("COUNTER"))
+      .count() == 2)
+
+    // every merge-family entry point refuses them loudly
+    val e = intercept[Exception] { SSTableOps.compactRows(df).collect() }
+    assert(e.getMessage.contains("no LWW merge semantics"), e.getMessage)
+    val e2 = intercept[Exception] { SSTableOps.compactRowsSalted(df).collect() }
+    assert(e2.getMessage.contains("no LWW merge semantics"), e2.getMessage)
+    val e3 = intercept[Exception] { SSTableOps.lookupJoin(
+      Seq("k1".getBytes).toDF("key"), dir).collect() }
+    assert(e3.getMessage.contains("no LWW merge semantics"), e3.getMessage)
+
+    // the reference-era export pipeline never saw counters: dropped, and
+    // the counter-only row k2 produces no phantom line
+    val lines = SSTableOps.exportMsgpackBase64(df).as[String].collect()
+    assert(lines.length == 1, "only k1's NORMAL cell is exportable")
+  }
+
   test("exportCompacted emits one base64 line per row (E1 pipeline)") {
     val df = widerows(
       "r1" -> Seq(col3("a", "NORMAL", "x", 10)),

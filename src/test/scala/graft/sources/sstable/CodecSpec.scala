@@ -255,6 +255,40 @@ class CodecSpec extends AnyFunSuite {
     assert(!rt.shadows("a".getBytes, 1L) && !rt.shadows("e".getBytes, 1L))
   }
 
+  test("counter columns round-trip raw (flags 0x04/0x08); merge paths refuse them") {
+    val ctx = Array[Byte](0, 1, 2, 3, 4, 5, 6, 7, 8, 9) // opaque replication context
+    val rows = sortedRows(Seq(
+      SSTableRow("cnt1".getBytes, Seq(
+        Column.Counter("hits".getBytes, ctx, 100L, 5000L),
+        Column.Normal("plain".getBytes, "v".getBytes, 10L))),
+      SSTableRow("cnt2".getBytes, Seq(
+        Column.CounterUpdate("hits".getBytes, Array[Byte](0, 0, 0, 0, 0, 0, 0, 3), 6000L)))))
+    for (compress <- Seq(false, true)) {
+      val p = tmpData(s"counter-$compress")
+      write(p, rows, compress)
+      val got = new SSTableReader(p).rows().toSeq
+      assert(got.length == 2)
+      got.zip(rows).foreach { case (g, w) =>
+        g.columns.zip(w.columns).foreach {
+          case (Column.Counter(n1, v1, d1, t1), Column.Counter(n2, v2, d2, t2)) =>
+            assert(n1.sameElements(n2) && v1.sameElements(v2) && d1 == d2 && t1 == t2)
+          case (Column.CounterUpdate(n1, v1, t1), Column.CounterUpdate(n2, v2, t2)) =>
+            assert(n1.sameElements(n2) && v1.sameElements(v2) && t1 == t2)
+          case (Column.Normal(n1, v1, t1), Column.Normal(n2, v2, t2)) =>
+            assert(n1.sameElements(n2) && v1.sameElements(v2) && t1 == t2)
+          case (g0, w0) => fail(s"state mismatch: $g0 vs $w0")
+        }
+      }
+    }
+    // the Scala merge twin refuses counters with a clear message (the
+    // DataFrame path's refusal is pinned in SSTableOpsSpec)
+    val p = tmpData("counter-merge")
+    write(p, rows, compress = false)
+    val e = intercept[IllegalArgumentException](
+      SSTableReader.get(p, "cnt1".getBytes))
+    assert(e.getMessage.contains("no LWW merge semantics"))
+  }
+
   /** assertRowsEqual extended with the RangeTombstone case. */
   private def assertRowsEqual2(got: Seq[SSTableRow], want: Seq[SSTableRow]): Unit = {
     assert(got.length == want.length)
