@@ -341,6 +341,122 @@ object SSTableOps {
     buckets.length
   }
 
+  /** Manifest-free leveled-compaction view of a directory (LCS option,
+    * VERDICT r4 #7): group the generations into sorted RUNS — sets of
+    * files whose `-Statistics.db` key ranges are pairwise non-overlapping
+    * (the defining LCS invariant; within a run a point read touches at
+    * most one file). Files are taken newest-first (per-generation max
+    * LWW timestamp) and each goes to the SHALLOWEST run it doesn't
+    * overlap, so recent data sits in shallow runs like Cassandra's L0.
+    * That greedy rule also guarantees progress for [[planCompactionLeveled]]:
+    * every file in run i+1 overlaps some file in run i (else it would
+    * have been placed there), so adjacent runs always have a foldable
+    * component. A file without statistics can't prove non-overlap and
+    * conservatively overlaps everything (it lands in its own run).
+    * Pure metadata — one cache-served Statistics.db read per file. */
+  /** Do two generations' key ranges overlap? Stats-less files cannot
+    * prove disjointness and conservatively overlap everything; empty
+    * generations overlap nothing. */
+  private def overlaps(a: Option[graft.sources.sstable.SSTableStatistics],
+                       b: Option[graft.sources.sstable.SSTableStatistics]): Boolean =
+    (a, b) match {
+      case (Some(x), Some(y)) =>
+        if (x.rowCount == 0 || y.rowCount == 0) false
+        else graft.sources.sstable.SSTableFiles.compareKeys(x.minKey, y.maxKey) <= 0 &&
+          graft.sources.sstable.SSTableFiles.compareKeys(y.minKey, x.maxKey) <= 0
+      case _ => true
+    }
+
+  def leveledRuns(dir: String,
+                  storage: graft.sources.sstable.Storage =
+                    graft.sources.sstable.LocalStorage): Seq[Seq[String]] =
+    leveledRunsWithStats(dir, storage).map(_.map(_._1))
+
+  private def leveledRunsWithStats(dir: String,
+                                   storage: graft.sources.sstable.Storage)
+      : Seq[Seq[(String, Option[graft.sources.sstable.SSTableStatistics])]] = {
+    import graft.sources.sstable.{SSTableReader, SSTableStatistics}
+    val files = storage.listDataFiles(dir)
+      .map(f => (f, new SSTableReader(f, storage).statistics))
+      .sortBy { case (f, st) => (st.map(_.maxTimestamp).getOrElse(Long.MaxValue), f) }(
+        Ordering.Tuple2(Ordering[Long].reverse, Ordering[String]))
+    val runs = scala.collection.mutable.ArrayBuffer
+      .empty[scala.collection.mutable.ArrayBuffer[(String, Option[SSTableStatistics])]]
+    files.foreach { case (f, st) =>
+      runs.find(r => !r.exists(m => overlaps(st, m._2))) match {
+        case Some(r) => r += ((f, st))
+        case None => runs += scala.collection.mutable.ArrayBuffer((f, st))
+      }
+    }
+    runs.map(_.toSeq).toSeq
+  }
+
+  /** Leveled-compaction planning: when the directory holds more than
+    * `maxRuns` sorted runs, pick the ADJACENT run pair with the smallest
+    * combined bytes (bounds write amplification — Cassandra's LCS
+    * similarly merges a file into the next level's overlapping files)
+    * and return the key-overlap connected components of their union as
+    * fold buckets for [[compactFiles]]. Distinct components have
+    * disjoint key spans (a connected set of intervals unions to one
+    * interval), so after folding every returned bucket the two runs
+    * collapse into one — run count strictly decreases per pass until
+    * `maxRuns` is reached. Buckets cap at `maxThreshold` files; a capped
+    * fold still converges, it just takes another pass.
+    *
+    * Like [[compactFiles]], folds carry tombstones (no GC — a partial
+    * fold can't know what older generations outside the bucket still
+    * need shadowing). Empty result ⇔ the directory is already within
+    * `maxRuns` runs. */
+  def planCompactionLeveled(dir: String, maxRuns: Int = 4, maxThreshold: Int = 32,
+                            storage: graft.sources.sstable.Storage =
+                              graft.sources.sstable.LocalStorage): Seq[Seq[String]] = {
+    require(maxRuns >= 1, s"maxRuns must be >= 1: $maxRuns")
+    val runs = leveledRunsWithStats(dir, storage)
+    if (runs.length <= maxRuns) return Nil
+    val sizes = runs.map(_.map(f => storage.length(f._1)).sum)
+    val i = (0 until runs.length - 1).minBy(j => sizes(j) + sizes(j + 1))
+    val pool = (runs(i) ++ runs(i + 1)).toArray
+    // connected components of the overlap graph (pool is one pass's two
+    // runs — small; O(n^2) metadata comparisons)
+    val seen = new Array[Boolean](pool.length)
+    val components = Seq.newBuilder[Seq[String]]
+    for (s <- pool.indices if !seen(s)) {
+      val comp = scala.collection.mutable.ArrayBuffer(s)
+      seen(s) = true
+      var qi = 0
+      while (qi < comp.length) {
+        val cur = comp(qi)
+        for (t <- pool.indices if !seen(t) && overlaps(pool(cur)._2, pool(t)._2)) {
+          seen(t) = true
+          comp += t
+        }
+        qi += 1
+      }
+      if (comp.length >= 2)
+        components += comp.toSeq.sorted.map(pool(_)._1).take(maxThreshold)
+    }
+    components.result()
+  }
+
+  /** One leveled maintenance pass IN PLACE (the [[compactInPlace]] twin
+    * for [[planCompactionLeveled]]): fold every planned overlap
+    * component into a new generation inside the same directory, then
+    * unpublish the inputs. Returns the number of buckets folded; run
+    * repeatedly until 0 to reach the `maxRuns` invariant (same
+    * concurrent-reader window argument as [[compactInPlace]]). */
+  def compactLeveledInPlace(spark: org.apache.spark.sql.SparkSession, dir: String,
+                            maxRuns: Int = 4, maxThreshold: Int = 32): Int = {
+    import graft.sources.sstable.SSTableFiles
+    val storage = graft.sources.sstable.Storage.forPath(
+      dir, spark.sessionState.newHadoopConf())
+    val buckets = planCompactionLeveled(dir, maxRuns, maxThreshold, storage)
+    buckets.foreach { bucket =>
+      compactFiles(spark, bucket, dir) // no GC — see compactFiles
+      bucket.foreach(SSTableFiles.unpublish(storage, _))
+    }
+    buckets.length
+  }
+
   /** Tombstone GC over an already-compacted relation: row-shadowed columns
     * are already gone ([[compactRows]]), so drop the DELETED cell markers
     * and the row tombstone itself, and elide rows with nothing live left. */

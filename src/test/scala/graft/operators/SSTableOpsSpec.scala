@@ -614,6 +614,69 @@ class SSTableOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("leveled compaction: runs are overlap-free; folding planned buckets reduces run count") {
+    import graft.sources.sstable.{Column, SSTableReader, SSTableRow, SSTableWriter}
+    val dir = Files.createTempDirectory("lcs").toString
+    // four generations with controlled key ranges and increasing ages:
+    //   genA [a..f] ts~400 (newest, whole span)
+    //   genB [a..c] ts~300, genC [d..f] ts~200 (disjoint pair: one run)
+    //   genD [b..e] ts~100 (oldest, overlaps both B and C)
+    def gen(stem: String, keys: Seq[String], ts: Long): Unit = {
+      val w = new SSTableWriter(s"$dir/$stem-Data.db", compress = false,
+        summaryInterval = 4)
+      try keys.sorted.foreach(k => w.append(SSTableRow(k.getBytes,
+        Seq(Column.Normal("c".getBytes, s"$stem$k".getBytes, ts)))))
+      finally w.close()
+    }
+    gen("genA", Seq("a", "b", "c", "d", "e", "f"), 400L)
+    gen("genB", Seq("a", "b", "c"), 300L)
+    gen("genC", Seq("d", "e", "f"), 200L)
+    gen("genD", Seq("b", "c", "d", "e"), 100L)
+
+    def runStats(runs: Seq[Seq[String]]) = runs.map(_.map { f =>
+      new SSTableReader(f).statistics.get
+    })
+    def assertOverlapFree(runs: Seq[Seq[String]]): Unit =
+      runStats(runs).zipWithIndex.foreach { case (run, i) =>
+        for (a <- run; b <- run if a ne b)
+          assert(graft.sources.sstable.SSTableFiles.compareKeys(a.minKey, b.maxKey) > 0 ||
+            graft.sources.sstable.SSTableFiles.compareKeys(b.minKey, a.maxKey) > 0,
+            s"run $i holds overlapping files: $runs")
+      }
+
+    val runs = SSTableOps.leveledRuns(dir)
+    assertOverlapFree(runs)
+    assert(runs.length == 3, s"A | B+C | D expected, got $runs")
+    assert(runs(0).exists(_.contains("genA")), "newest file in the shallowest run")
+    assert(runs(1).map(f => f.substring(f.lastIndexOf('/') + 1)).sorted
+      == Seq("genB-Data.db", "genC-Data.db"), "disjoint B+C share a run")
+
+    // within maxRuns: nothing to do
+    assert(SSTableOps.planCompactionLeveled(dir, maxRuns = 3).isEmpty)
+    // tighter invariant: fold the cheapest adjacent pair's overlap
+    // components (B+C vs D: D overlaps both → one 3-file component)
+    val plan = SSTableOps.planCompactionLeveled(dir, maxRuns = 2)
+    assert(plan.length == 1 && plan.head.length == 3, s"got $plan")
+    assert(!plan.head.exists(_.contains("genA")), "newest run not in the cheapest pair")
+
+    // drive to the invariant in place; LWW correctness preserved
+    var folded = 0
+    var passes = 0
+    while ({ val n = SSTableOps.compactLeveledInPlace(spark, dir, maxRuns = 2)
+             folded += n; passes += 1; n > 0 && passes < 5 }) ()
+    val after = SSTableOps.leveledRuns(dir)
+    assertOverlapFree(after)
+    assert(after.length <= 2, s"fixpoint should reach maxRuns, got $after")
+    val winners = spark.read.format("sstable").load(dir)
+    val got = SSTableOps.compactRows(winners)
+      .select(col("key").cast("string"),
+        element_at(col("columns"), 1).getField("value").cast("string"))
+      .as[(String, String)].collect().toMap
+    assert(got == Map("a" -> "genAa", "b" -> "genAb", "c" -> "genAc",
+      "d" -> "genAd", "e" -> "genAe", "f" -> "genAf"),
+      "newest generation's values must win after leveled folds")
+  }
+
   test("counters: DSv2 scan surfaces them raw; compactRows refuses loudly; export drops them") {
     import graft.sources.sstable.{Column, SSTableRow, SSTableWriter}
     val dir = Files.createTempDirectory("counter-scan").toString
