@@ -296,21 +296,49 @@ object SSTableOps {
   /** Fold ONE planned bucket of generations into a single sorted
     * generation in `outDir` (the [[compact]] shape restricted to the
     * bucket's files — generations outside the bucket are untouched, the
-    * STCS maintenance step).
+    * STCS/LCS maintenance step).
     *
-    * Deliberately NO tombstone-GC option: GCing a bucket-scoped fold
-    * resurrects data — a tombstone dropped here can still be shadowing
-    * older values in generations OUTSIDE the bucket (Cassandra only GCs
-    * a tombstone when no overlapping older sstable exists). Tombstones
-    * always carry through partial folds; GC only via the whole-directory
-    * [[compact]]. */
+    * `gc = true` additionally drops tombstones from the fold output —
+    * ONLY legal when the caller has PROVEN the bucket key-isolated: no
+    * generation outside `files` overlaps any bucket file's key range
+    * (Cassandra's rule — a tombstone is droppable only when no
+    * overlapping older sstable could still hold shadowed data; dropping
+    * it otherwise RESURRECTS that data). [[compactInPlace]] and
+    * [[compactLeveledInPlace]] derive the proof from `-Statistics.db`
+    * key bounds and fall back to carrying tombstones when any involved
+    * file lacks statistics. Direct callers without such a proof must
+    * leave the default `gc = false`. */
   def compactFiles(spark: org.apache.spark.sql.SparkSession, files: Seq[String],
-                   outDir: String): Unit = {
+                   outDir: String, gc: Boolean = false): Unit = {
     require(files.nonEmpty, "empty compaction bucket")
     // each Data.db path is its own single-file scan (listDataFiles
     // accepts a file); union of scans keeps per-file split planning
-    compactRows(files.map(f => spark.read.format("sstable").load(f)).reduce(_.union(_)))
+    val merged = compactRows(
+      files.map(f => spark.read.format("sstable").load(f)).reduce(_.union(_)))
+    (if (gc) suppressTombstones2(merged) else merged)
       .write.format("sstable").mode("append").save(outDir)
+  }
+
+  /** Is `bucket` key-isolated within `allFiles`? True iff every bucket
+    * file has statistics and no non-bucket file (stats-less files
+    * conservatively overlap everything) overlaps any of them — the
+    * precondition that makes bucket-scoped tombstone GC safe. Pure
+    * metadata (cache-served Statistics.db reads).
+    *
+    * Note: unlike Cassandra, no gc_grace delay applies — grace exists
+    * for replica anti-entropy (a tombstone must outlive repair so other
+    * replicas learn the delete), and this engine's directories are
+    * single-copy analytical stores where the overlap proof alone decides
+    * safety. */
+  private[operators] def bucketIsolated(bucket: Seq[String], allFiles: Seq[String],
+                                        storage: graft.sources.sstable.Storage): Boolean = {
+    import graft.sources.sstable.SSTableReader
+    val inBucket = bucket.toSet
+    val bucketStats = bucket.map(f => new SSTableReader(f, storage).statistics)
+    if (bucketStats.exists(_.isEmpty)) return false
+    val outside = allFiles.filterNot(inBucket)
+      .map(f => new SSTableReader(f, storage).statistics)
+    outside.forall(o => bucketStats.forall(b => !overlaps(b, o)))
   }
 
   /** One STCS maintenance pass IN PLACE: fold every planned bucket into
@@ -318,14 +346,23 @@ object SSTableOps {
     * bucket's input filesets (Data.db first, so each set leaves reader
     * listings atomically). Returns the number of buckets folded.
     *
+    * Tombstone GC rides along for free where it's provably safe: a
+    * bucket whose key ranges no outside generation overlaps
+    * ([[bucketIsolated]], from Statistics.db bounds) folds WITH GC —
+    * its tombstones cannot be shadowing anything outside the fold, so
+    * dropping them reclaims the space compaction exists to reclaim.
+    * Overlapped (or stats-less) buckets carry tombstones as before.
+    *
     * Concurrent-reader window: after the fold lands and before the
     * inputs disappear, a reader sees BOTH the merged generation and its
     * inputs — harmless, because the LWW merge is idempotent (duplicate
-    * versions reconcile to the same winners). A reader that planned a
-    * split on an input file exactly as it is deleted fails loudly and
-    * re-plans — the same contract Cassandra offers without reference
-    * counting. Run to fixpoint by calling repeatedly until it returns 0
-    * (each pass halves the generation count per bucket). */
+    * versions reconcile to the same winners; a GC'd fold plus its
+    * still-listed inputs reconciles to the inputs' own merge). A reader
+    * that planned a split on an input file exactly as it is deleted
+    * fails loudly and re-plans — the same contract Cassandra offers
+    * without reference counting. Run to fixpoint by calling repeatedly
+    * until it returns 0 (each pass halves the generation count per
+    * bucket). */
   def compactInPlace(spark: org.apache.spark.sql.SparkSession, dir: String,
                      minThreshold: Int = 4, maxThreshold: Int = 32,
                      minSize: Long = 50L * 1024 * 1024): Int = {
@@ -335,7 +372,11 @@ object SSTableOps {
     val buckets = planCompaction(dir, minThreshold, maxThreshold,
       minSize = minSize, storage = storage)
     buckets.foreach { bucket =>
-      compactFiles(spark, bucket, dir) // no GC — see compactFiles
+      // fresh listing per bucket: earlier folds changed the directory
+      // (their outputs must count as overlap candidates, their deleted
+      // inputs must not be stat'd)
+      compactFiles(spark, bucket, dir,
+        gc = bucketIsolated(bucket, storage.listDataFiles(dir), storage))
       bucket.foreach(SSTableFiles.unpublish(storage, _))
     }
     buckets.length
@@ -441,7 +482,8 @@ object SSTableOps {
   /** One leveled maintenance pass IN PLACE (the [[compactInPlace]] twin
     * for [[planCompactionLeveled]]): fold every planned overlap
     * component into a new generation inside the same directory, then
-    * unpublish the inputs. Returns the number of buckets folded; run
+    * unpublish the inputs. Key-isolated components fold with tombstone
+    * GC, like the STCS pass. Returns the number of buckets folded; run
     * repeatedly until 0 to reach the `maxRuns` invariant (same
     * concurrent-reader window argument as [[compactInPlace]]). */
   def compactLeveledInPlace(spark: org.apache.spark.sql.SparkSession, dir: String,
@@ -451,7 +493,8 @@ object SSTableOps {
       dir, spark.sessionState.newHadoopConf())
     val buckets = planCompactionLeveled(dir, maxRuns, maxThreshold, storage)
     buckets.foreach { bucket =>
-      compactFiles(spark, bucket, dir) // no GC — see compactFiles
+      compactFiles(spark, bucket, dir,
+        gc = bucketIsolated(bucket, storage.listDataFiles(dir), storage))
       bucket.foreach(SSTableFiles.unpublish(storage, _))
     }
     buckets.length

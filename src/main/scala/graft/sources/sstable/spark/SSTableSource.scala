@@ -180,7 +180,8 @@ final class SSTableScan(path: String, requiredSchema: StructType,
                         ttlAsOfMs: Option[Long] = None,
                         distributedPlanningThreshold: Int =
                           SSTableSource.DefaultDistributedPlanningThreshold)
-    extends Scan with Batch with SupportsRuntimeFiltering {
+    extends Scan with Batch with SupportsRuntimeFiltering
+    with SupportsReportStatistics {
   /** Hadoop conf rides to executors only when the path needs the Hadoop
     * adapter (scheme present); plain local paths stay dependency-free. */
   private val serConf: Option[SerializableHadoopConf] =
@@ -223,6 +224,38 @@ final class SSTableScan(path: String, requiredSchema: StructType,
         runtimeKeys = Some(keys.sortWith(SSTableFiles.compareKeys(_, _) < 0))
     case EqualTo("key", v: Array[Byte]) => runtimeKeys = Some(Array(v))
     case _ => // unsupported runtime filter shape: plan unpruned
+  }
+
+  /** Table statistics for Catalyst's cost decisions — most importantly
+    * the broadcast-join threshold: a small SSTable directory joined
+    * against a big fact now auto-broadcasts without a hint. Sizes are
+    * UNCOMPRESSED Data.db bytes (the logical row payload Spark would
+    * process — matching how file sources report pre-codec sizes);
+    * row counts sum `-Statistics.db` and are omitted when any
+    * generation lacks them. Metadata-cache-served: one stat + one tiny
+    * sidecar read per file, no data IO. Conservative by design: no
+    * discount for pushed key ranges (over-estimating never breaks a
+    * plan, under-estimating can broadcast something huge). */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val st = storage
+    var bytes = 0L
+    var rows = 0L
+    var allRowsKnown = true
+    st.listDataFiles(path).foreach { f =>
+      val r = new SSTableReader(f, st)
+      bytes += r.dataLength
+      r.statistics match {
+        case Some(s) => rows += s.rowCount
+        case None => allRowsKnown = false
+      }
+    }
+    val b = bytes
+    val n = rows
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(b)
+      override def numRows(): java.util.OptionalLong =
+        if (allRowsKnown) java.util.OptionalLong.of(n) else java.util.OptionalLong.empty()
+    }
   }
 
   override def readSchema(): StructType = requiredSchema

@@ -614,6 +614,74 @@ class SSTableOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("compactInPlace GCs tombstones only when the bucket is key-isolated") {
+    import graft.sources.sstable.{Column, RowTombstone, SSTableRow, SSTableWriter}
+    def flush(dir: String, stem: String, rows: Seq[SSTableRow]): Unit = {
+      val w = new SSTableWriter(s"$dir/$stem-Data.db", compress = false,
+        summaryInterval = 4)
+      try rows.sortWith((a, b) =>
+        graft.sources.sstable.SSTableFiles.compareKeys(a.key, b.key) < 0).foreach(w.append)
+      finally w.close()
+    }
+    def norm(n: String, v: String, ts: Long) = Column.Normal(n.getBytes, v.getBytes, ts)
+
+    // CASE A — isolated: four flushes, nothing else in the directory.
+    // The fold may GC: DELETED cells vanish, the wholesale-deleted key
+    // is elided, shadowed values are gone.
+    // two rows per flush so the STCS size-similarity rule buckets all four
+    val dirA = Files.createTempDirectory("gc-isolated").toString
+    flush(dirA, "f1", Seq(
+      SSTableRow("ka".getBytes, Seq(norm("c", "old", 10L))),
+      SSTableRow("kb".getBytes, Seq(norm("c", "keep", 10L)))))
+    flush(dirA, "f2", Seq(
+      SSTableRow("ka".getBytes, Seq(Column.Deleted("c".getBytes, 20L))), // shadows ka
+      SSTableRow("kp1".getBytes, Seq(norm("c", "fill", 20L)))))
+    flush(dirA, "f3", Seq(
+      SSTableRow("kc".getBytes, Nil, Some(RowTombstone(1700000000, 30L))),
+      SSTableRow("kp2".getBytes, Seq(norm("c", "fill", 30L)))))
+    flush(dirA, "f4", Seq(
+      SSTableRow("kd".getBytes, Seq(norm("c", "live", 40L))),
+      SSTableRow("kp3".getBytes, Seq(norm("c", "fill", 40L)))))
+    assert(SSTableOps.compactInPlace(spark, dirA, minThreshold = 4, minSize = 0L) == 1)
+    val a = spark.read.format("sstable").load(dirA)
+    val statesA = a.select(explode(col("columns")).as("c"))
+      .select(col("c.state")).as[String].collect().toSet
+    assert(statesA == Set("NORMAL"), s"isolated fold must GC tombstones: $statesA")
+    assert(a.select(col("key").cast("string")).as[String].collect().toSet
+      == Set("kb", "kd", "kp1", "kp2", "kp3"), "deleted keys elided after GC")
+
+    // CASE B — the same flushes next to a giant OVERLAPPING old
+    // generation (outside the size bucket): GC must be withheld, and the
+    // carried tombstones must still shadow the giant on a full merge.
+    val dirB = Files.createTempDirectory("gc-overlapped").toString
+    flush(dirB, "agiant", (0 until 2000).map(i =>
+      SSTableRow(f"k$i%04d".getBytes, Seq(norm("c", "ancient", 1L)))) ++
+      Seq(SSTableRow("ka".getBytes, Seq(norm("c", "ancient", 1L)))))
+    // two rows per flush so the STCS size-similarity rule buckets all four
+    flush(dirB, "f1", Seq(
+      SSTableRow("ka".getBytes, Seq(norm("c", "old", 10L))),
+      SSTableRow("kb".getBytes, Seq(norm("c", "keep", 10L)))))
+    flush(dirB, "f2", Seq(
+      SSTableRow("ka".getBytes, Seq(Column.Deleted("c".getBytes, 20L))),
+      SSTableRow("kzx".getBytes, Seq(norm("c", "fill", 20L)))))
+    flush(dirB, "f3", Seq(
+      SSTableRow("kb2".getBytes, Seq(norm("c", "x", 30L))),
+      SSTableRow("kzy".getBytes, Seq(norm("c", "fill", 30L)))))
+    flush(dirB, "f4", Seq(
+      SSTableRow("kd".getBytes, Seq(norm("c", "live", 40L))),
+      SSTableRow("kzz".getBytes, Seq(norm("c", "fill", 40L)))))
+    assert(SSTableOps.compactInPlace(spark, dirB, minThreshold = 4, minSize = 0L) == 1)
+    assert(graft.sources.sstable.SSTableReader.listDataFiles(dirB).size == 2)
+    val b = spark.read.format("sstable").load(dirB)
+    assert(b.select(explode(col("columns")).as("c"))
+      .where(col("c.state") === "DELETED").count() == 1,
+      "overlapped fold must carry the tombstone")
+    // the carried tombstone still shadows the giant's 'ancient' ka value
+    val mergedKa = SSTableOps.suppressTombstones(b)
+      .where(col("key") === lit("ka".getBytes)).count()
+    assert(mergedKa == 0, "ka stays dead — GC withholding prevented resurrection")
+  }
+
   test("leveled compaction: runs are overlap-free; folding planned buckets reduces run count") {
     import graft.sources.sstable.{Column, SSTableReader, SSTableRow, SSTableWriter}
     val dir = Files.createTempDirectory("lcs").toString

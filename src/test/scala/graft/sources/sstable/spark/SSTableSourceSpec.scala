@@ -351,6 +351,37 @@ class SSTableSourceSpec extends AnyFunSuite {
       p.subqueries.flatMap(collectBatchScans)
   }
 
+  test("scan reports statistics; a small sstable dir auto-broadcasts without a hint") {
+    val dir = freshDir()
+    writeFixture(dir) // 500 rows, a few tens of KB
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val opts = new java.util.HashMap[String, String]()
+    opts.put("path", dir)
+    val scan = new SSTableScanBuilder(dir, new CaseInsensitiveStringMap(opts))
+      .build().asInstanceOf[SSTableScan]
+    val st = scan.estimateStatistics()
+    assert(st.numRows().getAsLong == 500)
+    assert(st.sizeInBytes().getAsLong > 1000, "uncompressed payload bytes")
+
+    // a fact side with a larger estimate: Range reports 8 bytes/row
+    val fact = spark.range(2L * 1000 * 1000)
+      .select(concat(lit("key"), lpad(col("id").cast("string"), 5, "0"))
+        .cast("binary").as("fk"))
+    val small = spark.read.format("sstable").load(dir)
+    val joined = fact.join(small, col("fk") === col("key")) // no broadcast() hint
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"size estimate should auto-broadcast the small sstable side:\n$plan")
+
+    // a generation without Statistics.db: size still reported, rows not
+    LocalStorage.delete(s"$dir/fix-Statistics.db")
+    SSTableMetadataCache.clear()
+    val scan2 = new SSTableScanBuilder(dir, new CaseInsensitiveStringMap(opts))
+      .build().asInstanceOf[SSTableScan]
+    assert(!scan2.estimateStatistics().numRows().isPresent)
+    assert(scan2.estimateStatistics().sizeInBytes().getAsLong > 1000)
+  }
+
   test("corrupt file fails the scan loudly") {
     val dir = freshDir()
     writeFixture(dir)
