@@ -83,6 +83,13 @@ object SSTableDemo {
     println(s"== lookup join: ${hits.count()} of ${probes.count()} probe keys found " +
       "(point reads, no scan)")
 
+    // whole-table count(*)/min/max answered from -Statistics.db alone
+    // (complete aggregate pushdown — zero data IO)
+    val aggPushed = df.groupBy().count().queryExecution.executedPlan
+      .toString.contains("statsOnlyAggregate")
+    println(s"== count(*) via Statistics.db: ${df.count()} rows " +
+      (if (aggPushed) "(stats-only plan, zero data IO)" else "(scan fallback)"))
+
     // runtime (join-driven) split pruning: a plain SQL join against a
     // small filtered dim hands the dim's keys to the scan at runtime
     // (dynamic pruning) — same Summary/bloom pruning as lookupJoin, but

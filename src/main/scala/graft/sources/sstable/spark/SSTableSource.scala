@@ -124,11 +124,13 @@ final class KeyBounds {
 }
 
 final class SSTableScanBuilder(path: String, options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var requiredSchema: StructType = SSTableSchema.schema
   private var pushed: Array[Filter] = Array.empty
   private val bounds = new KeyBounds
+  private var aggResult: Option[(StructType, Array[Any])] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(bounds.accept)
@@ -150,7 +152,83 @@ final class SSTableScanBuilder(path: String, options: CaseInsensitiveStringMap)
       }
     }
 
+  /** Whole-table COUNT(*) / MIN(key) / MAX(key) answered from
+    * `-Statistics.db` alone — zero data IO, one tiny cache-served
+    * sidecar read per generation (on 100 TB, the difference between a
+    * plan-time metadata sum and a full Index.db sweep). Complete
+    * pushdown, accepted only when:
+    *  - no grouping and no pushed key-range filters (our filters are
+    *    residual, so Spark already withholds aggregates behind a Filter
+    *    node — the bounds check is defense in depth);
+    *  - every aggregate is COUNT(*), MIN(key) or MAX(key);
+    *  - EVERY generation carries recognized statistics (one stats-less
+    *    file ⇒ decline, the normal scan runs).
+    * Row counts include duplicate-key row versions — exactly what an
+    * unmerged scan would count. */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    aggResult.isDefined || tryPushAggregation(agg, dryRun = true)
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    tryPushAggregation(agg, dryRun = false)
+
+  private def tryPushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation,
+      dryRun: Boolean): Boolean = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    def isKey(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+      e match {
+        case r: NamedReference => r.fieldNames.toSeq == Seq("key")
+        case _ => false
+      }
+    if (agg.groupByExpressions.nonEmpty || bounds.lo.isDefined || bounds.hi.isDefined)
+      return false
+    val supported = agg.aggregateExpressions.forall {
+      case _: CountStar => true
+      case m: Min => isKey(m.column)
+      case m: Max => isKey(m.column)
+      case _ => false
+    }
+    if (!supported || agg.aggregateExpressions.isEmpty) return false
+    val storage = Storage.forPath(path,
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+    val stats = storage.listDataFiles(path)
+      .map(f => new SSTableReader(f, storage).statistics)
+    if (stats.exists(_.isEmpty)) return false // a stats-less generation: scan instead
+    if (dryRun) return true
+    val s = stats.flatten.filter(_.rowCount > 0)
+    val rows = stats.flatten.map(_.rowCount).sum
+    val minKey = if (s.isEmpty) null
+      else s.map(_.minKey).reduce((a, b) => if (SSTableFiles.compareKeys(a, b) <= 0) a else b)
+    val maxKey = if (s.isEmpty) null
+      else s.map(_.maxKey).reduce((a, b) => if (SSTableFiles.compareKeys(a, b) >= 0) a else b)
+    val fields = Array.newBuilder[org.apache.spark.sql.types.StructField]
+    val values = Array.newBuilder[Any]
+    agg.aggregateExpressions.foreach {
+      case _: CountStar =>
+        fields += org.apache.spark.sql.types.StructField("count(*)",
+          org.apache.spark.sql.types.LongType, nullable = false)
+        values += rows
+      case _: Min =>
+        fields += org.apache.spark.sql.types.StructField("min(key)",
+          org.apache.spark.sql.types.BinaryType, nullable = true)
+        values += minKey
+      case _: Max =>
+        fields += org.apache.spark.sql.types.StructField("max(key)",
+          org.apache.spark.sql.types.BinaryType, nullable = true)
+        values += maxKey
+      case _ => // unreachable: `supported` checked above
+    }
+    aggResult = Some((StructType(fields.result()), values.result()))
+    true
+  }
+
   override def build(): Scan = {
+    aggResult.foreach { case (schema, values) =>
+      return new SSTableAggScan(path, schema, values)
+    }
     val target = longOption(SSTableSource.TargetSplitBytesOption)
       .getOrElse(SSTableSource.DefaultTargetSplitBytes)
     val ttlAsOf = longOption(SSTableSource.TtlAsOfMsOption)
@@ -158,6 +236,35 @@ final class SSTableScanBuilder(path: String, options: CaseInsensitiveStringMap)
       .map(_.toInt).getOrElse(SSTableSource.DefaultDistributedPlanningThreshold)
     new SSTableScan(path, requiredSchema, bounds.lo, bounds.hi, target, ttlAsOf, planThreshold)
   }
+}
+
+/** Completely-pushed-down aggregate scan: one partition, one row — the
+  * COUNT(*)/MIN(key)/MAX(key) values already computed from every
+  * generation's `-Statistics.db` at pushdown time (see
+  * [[SSTableScanBuilder.pushAggregation]]). */
+final class SSTableAggScan(path: String, schema: StructType, values: Array[Any])
+    extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String = s"sstable $path statsOnlyAggregate"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(SSTableAggScan.AggPartition(values))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private var served = false
+          override def next(): Boolean = if (served) false else { served = true; true }
+          override def get(): InternalRow =
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              p.asInstanceOf[SSTableAggScan.AggPartition].values.clone())
+          override def close(): Unit = ()
+        }
+    }
+}
+
+object SSTableAggScan {
+  final case class AggPartition(values: Array[Any]) extends InputPartition
 }
 
 /** One planned partition: a row-aligned byte range of one SSTable's

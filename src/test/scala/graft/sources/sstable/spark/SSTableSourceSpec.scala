@@ -382,6 +382,45 @@ class SSTableSourceSpec extends AnyFunSuite {
     assert(scan2.estimateStatistics().sizeInBytes().getAsLong > 1000)
   }
 
+  test("count(*)/min(key)/max(key) are answered from Statistics.db (aggregate pushdown)") {
+    val dir = freshDir()
+    writeFixture(dir) // 500 rows key00000..key00499
+    val w = new SSTableWriter(s"$dir/zzz-Data.db", compress = false,
+      summaryInterval = 8)
+    (0 until 100).foreach(i => w.append(SSTableRow(f"zzz$i%05d".getBytes,
+      Seq(Column.Normal("c1".getBytes, "v".getBytes, i.toLong)))))
+    w.close()
+
+    val df = spark.read.format("sstable").load(dir)
+    val aggDf = df.agg(count(lit(1)).as("n"),
+      min(col("key")).cast("string").as("mn"), max(col("key")).cast("string").as("mx"))
+    val plan = aggDf.queryExecution.executedPlan.toString
+    assert(plan.contains("statsOnlyAggregate"),
+      s"expected the pushed-down aggregate scan, plan:\n$plan")
+    assert(!plan.contains("-Data.db"), "no data files in a stats-only plan")
+    val row = aggDf.collect().head
+    assert(row.getLong(0) == 600 && row.getString(1) == "key00000"
+      && row.getString(2) == "zzz00099")
+    assert(df.count() == 600, "df.count() takes the same stats path")
+
+    // a filter blocks the pushdown (filters are residual → Spark keeps
+    // the Filter node and never offers the aggregate); result correct
+    val filtered = df.filter(col("key") >= lit("zzz00000".getBytes)).count()
+    assert(filtered == 100)
+
+    // grouped aggregation: not pushable, normal scan path
+    assert(df.select(col("key")).groupBy(length(col("key"))).count().count() == 1)
+
+    // a stats-less generation declines the pushdown; the scan still counts
+    LocalStorage.delete(s"$dir/zzz-Statistics.db")
+    SSTableMetadataCache.clear()
+    val noStats = spark.read.format("sstable").load(dir)
+    val plan2 = noStats.agg(count(lit(1))).queryExecution.executedPlan.toString
+    assert(!plan2.contains("statsOnlyAggregate"),
+      "stats-less generation must fall back to the real scan")
+    assert(noStats.count() == 600)
+  }
+
   test("corrupt file fails the scan loudly") {
     val dir = freshDir()
     writeFixture(dir)
