@@ -161,4 +161,11 @@ object WideRowOps {
         wcb.rangeBetween(Window.unboundedPreceding, Window.currentRow)))
       .drop("_cb", "_new", "_base")
   }
+
+  /** Which full-row merge implementation a query drives
+    * ([[SSTableOps.compactRows]] vs the skew-safe salted twin) — lets the
+    * oracle harness exercise both against one SQL twin. */
+  sealed trait CompactVariant
+  case object CompactPlain extends CompactVariant
+  final case class CompactSalted(buckets: Int) extends CompactVariant
 }

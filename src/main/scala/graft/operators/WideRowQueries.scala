@@ -31,6 +31,17 @@ object WideRowQueries {
           e4(col("value")).as("value_e4"))
         .orderBy("user_id", "event_type")
     }),
+    // A2 through the REAL merge operator: events lifted into the nested
+    // SSTable scan schema (user_id ≈ row key, event_type ≈ column name,
+    // e4-scaled value as bytes), folded by SSTableOps.compactRows, and
+    // exploded back — same LWW winners as q_lww_merge_columns, but the
+    // oracle now drives the exact operator the compaction/probe paths
+    // run, not a relational twin.
+    "q_compact_rows" -> ((s, d) =>
+      compactedEvents(s, d, WideRowOps.CompactPlain)),
+    // the skew-safe salted variant must be indistinguishable end-to-end
+    "q_compact_salted" -> ((s, d) =>
+      compactedEvents(s, d, WideRowOps.CompactSalted(8))),
     // P7 — tombstone suppression (DELETED state dispatch).
     "q_tombstone_filter" -> ((s, d) => {
       val e = Tables.events(s, d)
@@ -66,7 +77,38 @@ object WideRowQueries {
     })
   )
 
+  /** Lift events into the nested scan schema, compact with the selected
+    * merge variant, and explode back to a comparable relation. */
+  private def compactedEvents(s: SparkSession, d: String,
+                              variant: WideRowOps.CompactVariant): DataFrame = {
+    val e = Tables.events(s, d).select("user_id", "event_type", "ts_ms", "value")
+    val wide = e.select(col("user_id").cast("string").cast("binary").as("key"),
+        struct(col("event_type").cast("binary").as("name"),
+          lit("NORMAL").as("state"),
+          e4(col("value")).cast("string").cast("binary").as("value"),
+          col("ts_ms").as("timestamp"),
+          lit(0L).as("ttlSecs"), lit(0L).as("expiresMillis")).as("c"))
+      .groupBy("key").agg(collect_list(col("c")).as("columns"))
+    val merged = variant match {
+      case WideRowOps.CompactPlain => SSTableOps.compactRows(wide)
+      case WideRowOps.CompactSalted(b) => SSTableOps.compactRowsSalted(wide, b)
+    }
+    merged.select(col("key"), explode(col("columns")).as("c"))
+      .select(col("key").cast("string").cast("long").as("user_id"),
+        col("c.name").cast("string").as("event_type"),
+        col("c.timestamp").as("ts_ms"),
+        col("c.value").cast("string").cast("long").as("value_e4"))
+      .orderBy("user_id", "event_type")
+  }
+
+  private val CompactOracle =
+    s"""SELECT user_id, event_type, ts_ms, ${e4Sql("value")} AS value_e4
+        FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts_ms DESC) AS rn
+              FROM $EventsSql) WHERE rn = 1 ORDER BY user_id, event_type"""
+
   def oracles: Map[String, String] = Map(
+    "q_compact_rows" -> CompactOracle,
+    "q_compact_salted" -> CompactOracle,
     "q_lww_latest_per_key" ->
       s"""SELECT user_id, ts_ms, event_type, ${e4Sql("value")} AS value_e4
           FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts_ms DESC, event_type DESC) AS rn
