@@ -78,17 +78,19 @@ object WideRowQueries {
   )
 
   /** Lift events into the nested scan schema, compact with the selected
-    * merge variant, and explode back to a comparable relation. */
+    * merge variant, and explode back to a comparable relation. Each event
+    * becomes a one-column row VERSION (multiple rows per key are exactly
+    * what compaction merges) — no pre-nesting shuffle; the merge's own
+    * hash-aggs do all the grouping. */
   private def compactedEvents(s: SparkSession, d: String,
                               variant: WideRowOps.CompactVariant): DataFrame = {
     val e = Tables.events(s, d).select("user_id", "event_type", "ts_ms", "value")
     val wide = e.select(col("user_id").cast("string").cast("binary").as("key"),
-        struct(col("event_type").cast("binary").as("name"),
+        array(struct(col("event_type").cast("binary").as("name"),
           lit("NORMAL").as("state"),
           e4(col("value")).cast("string").cast("binary").as("value"),
           col("ts_ms").as("timestamp"),
-          lit(0L).as("ttlSecs"), lit(0L).as("expiresMillis")).as("c"))
-      .groupBy("key").agg(collect_list(col("c")).as("columns"))
+          lit(0L).as("ttlSecs"), lit(0L).as("expiresMillis"))).as("columns"))
     val merged = variant match {
       case WideRowOps.CompactPlain => SSTableOps.compactRows(wide)
       case WideRowOps.CompactSalted(b) => SSTableOps.compactRowsSalted(wide, b)
