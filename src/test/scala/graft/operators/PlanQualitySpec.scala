@@ -57,6 +57,22 @@ class PlanQualitySpec extends AnyFunSuite {
       s"no map-side partial aggregation:\n$plan")
   }
 
+  test("q_compact_rows: no pre-nesting shuffle — the merge's two aggs + presentation sort only") {
+    val plan = finalPlan("q_compact_rows").split("== Initial Plan ==").head
+    val hash = "Exchange hashpartitioning".r.findAllIn(plan).size
+    val range = "Exchange rangepartitioning".r.findAllIn(plan).size
+    assert(hash == 2 && range <= 1,
+      s"expected the (key,name,rangeMax) + (key) agg shuffles + order-by, got hash=$hash range=$range:\n$plan")
+    assert(!plan.contains("Join"), s"compaction must not join:\n$plan")
+  }
+
+  test("q_compact_salted: exactly one extra salt shuffle over the plain shape") {
+    val plan = finalPlan("q_compact_salted").split("== Initial Plan ==").head
+    val hash = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hash == 3, s"expected plain's 2 agg shuffles + the (key,bucket) salt, got $hash:\n$plan")
+    assert(!plan.contains("Join"), s"salting must not introduce a join:\n$plan")
+  }
+
   test("q_tombstone_filter: tombstone relation broadcasts; fact table is not shuffled") {
     // the tiny tombstone agg itself may shuffle; the JOIN must broadcast so
     // the fact side is never hash-repartitioned for it
