@@ -5,13 +5,16 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.Params._
 
-/** Scratch perf probe for the shingle-pipeline variants (dev tool). */
+/** Scratch perf probe for the shingle-pipeline variants, plus a hot-key
+  * skew probe for the compactRows/compactRowsSalted pair (dev tool).
+  * `runMain graft.PerfProbe skew` runs the skew comparison. */
 object PerfProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -21,6 +24,8 @@ object PerfProbe {
       df.write.format("noop").mode("overwrite").save()
       println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2fs")
     }
+
+    if (args.headOption.contains("skew")) { skewProbe(spark, time); spark.stop(); return }
 
     val docs = Tables.documents(spark, sfDir)
 
@@ -50,5 +55,34 @@ object PerfProbe {
         .groupBy("doc_id").agg(min(md5(col("sh"))).as("fp"))
     }
     spark.stop()
+  }
+
+  /** Hot-key skew: ONE key holding `hot` cell versions next to `normal`
+    * ordinary keys — the wide-row shape where the unsalted merge funnels
+    * the hot key's whole per-cell stream through one aggregation buffer.
+    * Each variant runs twice; read the second (steady-state) line. */
+  private def skewProbe(spark: SparkSession,
+                        time: String => (=> DataFrame) => Unit): Unit = {
+    import graft.operators.SSTableOps
+    val hot = 2000000L
+    val normal = 100000L
+    val wide = spark.range(hot).select(
+        lit("hotkey").cast("binary").as("key"),
+        array(struct(
+          concat(lit("c"), pmod(col("id"), lit(200000L))).cast("binary").as("name"),
+          lit("NORMAL").as("state"), col("id").cast("string").cast("binary").as("value"),
+          col("id").as("timestamp"), lit(0L).as("ttlSecs"),
+          lit(0L).as("expiresMillis"))).as("columns"))
+      .union(spark.range(normal).select(
+        concat(lit("k"), col("id")).cast("binary").as("key"),
+        array(struct(
+          lit("c").cast("binary").as("name"), lit("NORMAL").as("state"),
+          col("id").cast("string").cast("binary").as("value"),
+          col("id").as("timestamp"), lit(0L).as("ttlSecs"),
+          lit(0L).as("expiresMillis"))).as("columns")))
+    for (pass <- 1 to 2) {
+      time(s"compactRows_pass$pass")(SSTableOps.compactRows(wide))
+      time(s"compactRowsSalted_pass$pass")(SSTableOps.compactRowsSalted(wide))
+    }
   }
 }

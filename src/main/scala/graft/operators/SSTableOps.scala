@@ -75,8 +75,13 @@ object SSTableOps {
   def compactRows(df: DataFrame): DataFrame = {
     val perCell = latestVersionPerCell(explodeWithTombstone(df))
       .groupBy("key")
-      // collect_list drops the null `c` of pure-tombstone rows
-      .agg(sort_array(collect_list(col("c"))).as("_cols"), max(col("_t")).as("_t"))
+      // collect_list drops the null `c` of pure-tombstone rows; ranges
+      // are ALSO collected separately — see applyTombstoneShadowing's
+      // quadratic-inlining note (the when() yields null for non-ranges,
+      // which collect_list drops)
+      .agg(sort_array(collect_list(col("c"))).as("_cols"),
+        collect_list(when(col("c.state") === "RANGE_TOMBSTONE", col("c"))).as("_art"),
+        max(col("_t")).as("_t"))
     applyTombstoneShadowing(perCell)
   }
 
@@ -100,9 +105,12 @@ object SSTableOps {
       // so bucket sub-merges are independent; null name (pure-tombstone
       // rows) buckets together and is dropped by collect_list below
       .groupBy(col("key"), pmod(xxhash64(col("c.name")), lit(buckets.toLong)).as("_b"))
-      .agg(collect_list(col("c")).as("_sub"), max(col("_t")).as("_t"))
+      .agg(collect_list(col("c")).as("_sub"),
+        collect_list(when(col("c.state") === "RANGE_TOMBSTONE", col("c"))).as("_subrt"),
+        max(col("_t")).as("_t"))
       .groupBy("key")
       .agg(sort_array(flatten(collect_list(col("_sub")))).as("_cols"),
+        flatten(collect_list(col("_subrt"))).as("_art"),
         max(col("_t")).as("_t"))
     applyTombstoneShadowing(perCell)
   }
@@ -150,16 +158,26 @@ object SSTableOps {
         max(struct(col("_mfda"), col("_ldt"))).as("_t"))
 
   /** Final phase: row- and range-tombstone shadowing over the assembled
-    * per-key column array (`_cols` sorted, `_t` the merged deletion
-    * clock) — per-key array HOFs, no extra shuffle. Live range tombstones
-    * (not superseded by the row tombstone) shadow cells in [min, max]
-    * with ts <= range mfda; a row-shadowed range only covers cells the
-    * row tombstone already shadows. */
+    * per-key column array (`_cols` sorted, `_art` the key's range
+    * tombstones only, `_t` the merged deletion clock) — per-key array
+    * HOFs, no extra shuffle. Live range tombstones (not superseded by
+    * the row tombstone) shadow cells in [min, max] with ts <= range
+    * mfda; a row-shadowed range only covers cells the row tombstone
+    * already shadows.
+    *
+    * Why `_rts` must derive from `_art` and NOT from `_cols`: Catalyst's
+    * CollapseProject inlines a once-referenced projection into its use
+    * site, so `_rts` ends up INSIDE the outer filter's per-element
+    * lambda — recomputed for every element of `_cols`. Deriving it from
+    * `_cols` made the merge O(width²) interpreted-HOF work per row
+    * (measured: a 200k-column hot key pinned one core for >10 min in
+    * the skew probe, vs seconds expected); over `_art` the recomputation
+    * scans only the key's range tombstones, restoring
+    * O(width × #ranges). */
   private def applyTombstoneShadowing(perKey: DataFrame): DataFrame =
     perKey
-      .withColumn("_rts", filter(col("_cols"), r =>
-        r.getField("state") === "RANGE_TOMBSTONE" &&
-          r.getField("timestamp") > col("_t._mfda")))
+      .withColumn("_rts", filter(col("_art"), r =>
+        r.getField("timestamp") > col("_t._mfda")))
       .select(col("key"),
         filter(col("_cols"), c =>
           c.getField("timestamp") > col("_t._mfda") &&
