@@ -176,4 +176,64 @@ class GoldenFormatSpec extends AnyFunSuite {
     assert(in.readLong() == 5000L) // markedForDeleteAt (µs)
     assert(in.available() == 0)
   }
+
+  test("counter column bytes follow ColumnSerializer's counter layouts, field by field") {
+    val dir = Files.createTempDirectory("golden-cnt").toFile
+    dir.deleteOnExit()
+    val path = s"${dir.getPath}/cnt-Data.db"
+    val w = new SSTableWriter(path, compress = false)
+    w.append(SSTableRow("row".getBytes, Seq(
+      Column.Counter("aa".getBytes, Array[Byte](1, 2, 3), 777L, 9000L),
+      Column.CounterUpdate("bb".getBytes, Array[Byte](9), 9500L))))
+    w.close()
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(
+      Files.readAllBytes(Paths.get(path))))
+    assert(in.readUnsignedShort() == 3)
+    in.skipBytes(3) // "row"
+    // rowSize = 12 + 4 + counter(2+2+1+8+8+4+3) + update(2+2+1+8+4+1)
+    assert(in.readLong() == (12L + 4 + 28 + 18))
+    in.skipBytes(12) // LIVE row deletion
+    assert(in.readInt() == 2)
+    // CounterColumn: name, 0x04, i64 timestampOfLastDelete, i64 ts, value
+    assert(in.readUnsignedShort() == 2)
+    in.skipBytes(2) // "aa"
+    assert(in.readUnsignedByte() == DataFile.CounterMask) // 0x04
+    assert(in.readLong() == 777L) // timestampOfLastDelete
+    assert(in.readLong() == 9000L) // timestamp
+    assert(in.readInt() == 3) // context length
+    in.skipBytes(3)
+    // CounterUpdateColumn: name, 0x08, NORMAL layout
+    assert(in.readUnsignedShort() == 2)
+    in.skipBytes(2) // "bb"
+    assert(in.readUnsignedByte() == DataFile.CounterUpdateMask) // 0x08
+    assert(in.readLong() == 9500L)
+    assert(in.readInt() == 1)
+    in.skipBytes(1)
+    assert(in.available() == 0)
+  }
+
+  test("Statistics.db bytes are stable, field by field (own layout, magic-guarded)") {
+    // A drift here would be silent: readers treat unrecognized bytes as
+    // "no statistics" and every optimization (early-out, bounds prune,
+    // count pushdown, size estimates) quietly degrades to worst-case.
+    val dir = Files.createTempDirectory("golden-stats").toFile
+    dir.deleteOnExit()
+    val data = writeFixture(dir) // apple/banana/cherry, ts 1000..4000
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(
+      Files.readAllBytes(Paths.get(
+        SSTableFiles.sibling(data, SSTableFiles.StatisticsSuffix)))))
+    assert(in.readInt() == 0x47525354) // 'GRST'
+    assert(in.readInt() == 1) // version
+    assert(in.readLong() == 1000L) // min cell timestamp
+    assert(in.readLong() == 4000L) // max cell timestamp
+    assert(in.readUnsignedShort() == 5)
+    val mn = new Array[Byte](5); in.readFully(mn)
+    assert(new String(mn) == "apple")
+    assert(in.readUnsignedShort() == 6)
+    val mx = new Array[Byte](6); in.readFully(mx)
+    assert(new String(mx) == "cherry")
+    assert(in.readLong() == 3L) // rows
+    assert(in.readLong() == 1L) // tombstones: banana's DELETED cell
+    assert(in.available() == 0)
+  }
 }
