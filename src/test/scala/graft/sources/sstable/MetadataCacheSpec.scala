@@ -64,6 +64,61 @@ class MetadataCacheSpec extends AnyFunSuite {
     assert(spy.opens(SSTableFiles.SummarySuffix) == sumOpens)
   }
 
+  /** Counts seeks on Index.db streams — each split-planning point read
+    * is one seek (the stream is opened once and reused). */
+  private final class SeekCountingStorage extends Storage {
+    var indexSeeks = 0
+    def open(path: String): SeekableInput = {
+      val underlying = LocalStorage.open(path)
+      if (!path.endsWith(SSTableFiles.IndexSuffix)) underlying
+      else new SeekableInput {
+        def position: Long = underlying.position
+        def seek(pos: Long): Unit = {
+          SeekCountingStorage.this.synchronized { indexSeeks += 1 }
+          underlying.seek(pos)
+        }
+        def length: Long = underlying.length
+        def read(buf: Array[Byte], off: Int, nn: Int): Int = underlying.read(buf, off, nn)
+        def close(): Unit = underlying.close()
+      }
+    }
+    def length(path: String): Long = LocalStorage.length(path)
+    def mtime(path: String): Long = LocalStorage.mtime(path)
+    def exists(path: String): Boolean = LocalStorage.exists(path)
+    def listDataFiles(dir: String): Seq[String] = LocalStorage.listDataFiles(dir)
+    def create(path: String): java.io.DataOutputStream = LocalStorage.create(path)
+    def delete(path: String): Unit = LocalStorage.delete(path)
+    def rename(src: String, dst: String): Unit = LocalStorage.rename(src, dst)
+  }
+
+  test("split planning does O(#splits) index point reads, not O(#summary entries)") {
+    SSTableMetadataCache.clear()
+    val dir = Files.createTempDirectory("plan-io").toString
+    val p = s"$dir/big-Data.db"
+    writeFileset(p, 20000) // summaryInterval 4 → 5000 summary entries
+    val spy = new SeekCountingStorage
+    val r = new SSTableReader(p, spy)
+    // rows are ~26 B: a ~50 KB target yields a handful of splits
+    val splits = r.planSplits(50000)
+    assert(splits.length >= 4 && splits.length <= 32, s"got ${splits.length} splits")
+    assert(spy.indexSeeks < 200,
+      s"planning a ${splits.length}-split file cost ${spy.indexSeeks} index point reads " +
+        "— the per-summary-entry walk is back")
+    // coverage invariant unchanged: splits abut exactly, first at 0,
+    // last at dataLength
+    assert(splits.head.start == 0L && splits.last.end == r.dataLength)
+    splits.zip(splits.tail).foreach { case (a, b) =>
+      assert(a.end == b.start, "splits must abut")
+      assert(a.lastKeyBound.get.sameElements(b.firstKey))
+    }
+    // sizes estimate-shaped: every split ∈ [target, ~2×target] except
+    // possibly the tail remainder
+    splits.init.foreach { s =>
+      assert(s.end - s.start >= 50000, s"undersized split ${s.end - s.start}")
+      assert(s.end - s.start <= 2 * 50000 + 4096, s"oversized split ${s.end - s.start}")
+    }
+  }
+
   test("LocalStorage.rename refuses an existing destination (no silent generation overwrite)") {
     val dir = Files.createTempDirectory("rename-refuse").toString
     val a = s"$dir/a"; val b = s"$dir/b"
