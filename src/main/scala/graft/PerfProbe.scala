@@ -26,6 +26,7 @@ object PerfProbe {
     }
 
     if (args.headOption.contains("skew")) { skewProbe(spark, time); spark.stop(); return }
+    if (args.headOption.contains("lookup")) { lookupProbe(spark, time); spark.stop(); return }
 
     val docs = Tables.documents(spark, sfDir)
 
@@ -55,6 +56,38 @@ object PerfProbe {
         .groupBy("doc_id").agg(min(md5(col("sh"))).as("fp"))
     }
     spark.stop()
+  }
+
+  /** Probe-vs-scan at many-generation scale: 16 generations × 50k rows,
+    * 1000 probe keys. Expect lookupJoin ≪ scan+filter, and warm probes
+    * (metadata cache hit) ≪ cold. */
+  private def lookupProbe(spark: SparkSession,
+                          time: String => (=> DataFrame) => Unit): Unit = {
+    import graft.operators.SSTableOps
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("lookup-probe").toString
+    val t0 = System.nanoTime()
+    (0 until 16).foreach { g =>
+      spark.range(50000).select(
+          concat(lit("user"), lpad(col("id").cast("string"), 7, "0"))
+            .cast("binary").as("key"),
+          array(struct(lit("c").cast("binary").as("name"), lit("NORMAL").as("state"),
+            concat(lit(s"g$g-"), col("id")).cast("binary").as("value"),
+            (col("id") * 16 + g).as("timestamp"), lit(0L).as("ttlSecs"),
+            lit(0L).as("expiresMillis"))).as("columns"))
+        .write.format("sstable").mode("append").save(dir)
+    }
+    println(f"write 16 generations        ${(System.nanoTime() - t0) / 1e9}%8.2fs")
+    val probes = spark.range(1000)
+      .select(concat(lit("user"), lpad((col("id") * 37 % 50000).cast("string"), 7, "0"))
+        .cast("binary").as("key"))
+    time("lookupJoin_cold")(SSTableOps.lookupJoin(probes, dir))
+    time("lookupJoin_warm")(SSTableOps.lookupJoin(probes, dir))
+    time("scan_filter_equiv") {
+      SSTableOps.compactRows(spark.read.format("sstable").load(dir))
+        .join(broadcast(probes.withColumnRenamed("key", "pk")),
+          col("key") === col("pk"), "left_semi")
+    }
   }
 
   /** Hot-key skew: ONE key holding `hot` cell versions next to `normal`
