@@ -421,6 +421,27 @@ class SSTableSourceSpec extends AnyFunSuite {
     assert(noStats.count() == 600)
   }
 
+  test("SQL DDL surface: CREATE TABLE ... USING sstable reads and writes") {
+    val dir = freshDir()
+    writeFixture(dir)
+    spark.sql(s"CREATE TABLE sst_ddl USING sstable OPTIONS (path '$dir')")
+    try {
+      assert(spark.sql("SELECT count(*) AS n FROM sst_ddl").head().getLong(0) == 500)
+      val one = spark.sql(
+        "SELECT cast(key AS STRING) AS k, size(columns) AS nc FROM sst_ddl " +
+          "WHERE key = cast('key00007' AS BINARY)").head()
+      assert(one.getString(0) == "key00007" && one.getInt(1) == 2)
+      // INSERT goes through the same sorted staged-commit write path
+      spark.sql(
+        "INSERT INTO sst_ddl SELECT cast('zzz-extra' AS BINARY) AS key, " +
+          "array(named_struct('name', cast('c' AS BINARY), 'state', 'NORMAL', " +
+          "'value', cast('v' AS BINARY), 'timestamp', 1L, 'ttlSecs', 0L, " +
+          "'expiresMillis', 0L)) AS columns, " +
+          "cast(null AS struct<localDeletionTime:int,markedForDeleteAt:bigint>) AS rowTombstone")
+      assert(spark.sql("SELECT count(*) AS n FROM sst_ddl").head().getLong(0) == 501)
+    } finally spark.sql("DROP TABLE sst_ddl")
+  }
+
   test("corrupt file fails the scan loudly") {
     val dir = freshDir()
     writeFixture(dir)
