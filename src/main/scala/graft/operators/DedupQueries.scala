@@ -105,6 +105,33 @@ object DedupQueries {
   private def sampleDocs(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).filter(col("doc_id") < PairSampleIds)
 
+  /** SimHash near-dup pairs by Hamming distance. Candidates come from
+    * bit-block banding (pigeonhole: hamming ≤ 3 over 4 4-bit blocks ⇒
+    * some block matches exactly), so the join is an equi-join on
+    * (block-id, block-value) — the 100 TB shape; Hamming is verified on
+    * candidates only. No cross join anywhere (PlanQualitySpec pins it). */
+  private def simhashPairs(s: SparkSession, d: String): DataFrame = {
+    val bitsPerBlock = SimHashBits / SimHashBlocks
+    val sh = simhash(sampleDocs(s, d))
+    // pmod(shiftrightunsigned(...)) — at 64 bits the simhash can be
+    // negative; arithmetic shift + signed % would give two docs with
+    // identical block bits different bucket values (missed candidates)
+    val blocks = sh.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until SimHashBlocks).map(blk =>
+        pmod(shiftrightunsigned(col("simhash"), blk * bitsPerBlock),
+          lit(1L << bitsPerBlock))): _*))
+        .as(Seq("blk", "bv")))
+    val l = blocks.select(col("doc_id").as("a"), col("simhash").as("ha"),
+      col("blk"), col("bv"))
+    val r = blocks.select(col("doc_id").as("b"), col("simhash").as("hb"),
+      col("blk"), col("bv"))
+    l.join(r, Seq("blk", "bv")).filter(col("a") < col("b"))
+      .select("a", "b", "ha", "hb").distinct() // same pair can share >1 block
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+      .filter(col("hamming") <= SimHashMaxHamming)
+      .select("a", "b", "hamming")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: hash-groupBy on content digest, keep min doc_id.
     "q_dedup_docs" -> ((s, d) => {
@@ -125,28 +152,16 @@ object DedupQueries {
     // some block matches exactly), so the join is an equi-join on
     // (block-id, block-value) — the 100 TB shape; Hamming is verified on
     // candidates only. No cross join anywhere (PlanQualitySpec pins it).
-    "q_simhash_pairs" -> ((s, d) => {
-      val bitsPerBlock = SimHashBits / SimHashBlocks
-      val sh = simhash(sampleDocs(s, d))
-      // pmod(shiftrightunsigned(...)) — at 64 bits the simhash can be
-      // negative; arithmetic shift + signed % would give two docs with
-      // identical block bits different bucket values (missed candidates)
-      val blocks = sh.select(col("doc_id"), col("simhash"),
-        posexplode(array((0 until SimHashBlocks).map(blk =>
-          pmod(shiftrightunsigned(col("simhash"), blk * bitsPerBlock),
-            lit(1L << bitsPerBlock))): _*))
-          .as(Seq("blk", "bv")))
-      val l = blocks.select(col("doc_id").as("a"), col("simhash").as("ha"),
-        col("blk"), col("bv"))
-      val r = blocks.select(col("doc_id").as("b"), col("simhash").as("hb"),
-        col("blk"), col("bv"))
-      l.join(r, Seq("blk", "bv")).filter(col("a") < col("b"))
-        .select("a", "b", "ha", "hb").distinct() // same pair can share >1 block
-        .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
-        .filter(col("hamming") <= SimHashMaxHamming)
-        .select("a", "b", "hamming")
-        .orderBy("a", "b")
-    }),
+    "q_simhash_pairs" -> ((s, d) => simhashPairs(s, d).orderBy("a", "b")),
+    // Near-dup CLUSTERS: the step after candidate pairs that every real
+    // dedup pipeline needs — collapse the pair graph into connected
+    // components so one canonical doc per cluster survives. cluster_id =
+    // min doc_id reachable, deterministic; the DuckDB twin computes the
+    // same thing via a recursive-CTE transitive closure.
+    "q_dedup_clusters" -> ((s, d) =>
+      GraphOps.connectedComponents(simhashPairs(s, d).select("a", "b"), "a", "b")
+        .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+        .orderBy("doc_id")),
     // n-gram Jaccard similarity: equi-join on shared shingles, top pairs.
     "q_dedup_ngram" -> ((s, d) => {
       // persisted: feeds both join sides + the two per-doc count lookups
@@ -221,6 +236,22 @@ object DedupQueries {
           WHERE l.doc_id < r.doc_id
             AND bit_count(xor(l.simhash, r.simhash)) <= $SimHashMaxHamming
           ORDER BY a, b""",
+    // transitive closure of the pair graph; cluster = min reachable id
+    // (incl. self) — the relational twin of iterated label propagation
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE p AS (
+            SELECT l.doc_id AS a, r.doc_id AS b
+            FROM ${simhashSql(sampleF)} l, ${simhashSql(sampleF)} r
+            WHERE l.doc_id < r.doc_id
+              AND bit_count(xor(l.simhash, r.simhash)) <= $SimHashMaxHamming),
+          e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+          reach(a, b) AS (
+            SELECT a, b FROM e
+            UNION
+            SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a)
+          SELECT a AS doc_id, min(b) AS cluster_id
+          FROM (SELECT a, b FROM reach UNION SELECT a, a FROM e)
+          GROUP BY a ORDER BY doc_id""",
     "q_dedup_ngram" ->
       s"""SELECT a, b, ${e4Sql("jacc")} AS jacc_e4 FROM (
             SELECT i.a, i.b, i.i * 1.0 / (ca.n + cb.n - i.i) AS jacc
