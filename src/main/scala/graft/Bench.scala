@@ -57,7 +57,8 @@ object Bench {
     "q_asof_forward" -> 0.462, "q_asof_join" -> 0.415,
     "q_cast_utf8" -> 0.159, "q_compact_rows" -> 0.624,
     "q_compact_salted" -> 0.723, "q_curation_filter" -> 0.415,
-    "q_decontaminate" -> 0.518, "q_dedup_clusters" -> 2.720,
+    "q_decontaminate" -> 0.518, "q_dedup_apply" -> 3.058,
+    "q_dedup_clusters" -> 2.720,
     "q_dedup_docs" -> 0.187,
     "q_dedup_embedding" -> 0.257, "q_dedup_minhash" -> 0.189,
     "q_dedup_ngram" -> 0.627, "q_dedup_simhash" -> 0.437,

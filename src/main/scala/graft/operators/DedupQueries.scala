@@ -162,6 +162,20 @@ object DedupQueries {
       GraphOps.connectedComponents(simhashPairs(s, d).select("a", "b"), "a", "b")
         .select(col("id").as("doc_id"), col("component").as("cluster_id"))
         .orderBy("doc_id")),
+    // The APPLY step: keep one canonical doc per cluster (the minimum
+    // id) and every unpaired doc — broadcast anti-join of the tiny
+    // non-canonical set against the corpus, the 100 TB shape (the
+    // corpus is never shuffled).
+    "q_dedup_apply" -> ((s, d) => {
+      val dropped = GraphOps
+        .connectedComponents(simhashPairs(s, d).select("a", "b"), "a", "b")
+        .filter(col("id") =!= col("component"))
+        .select(col("id").as("doc_id"))
+      sampleDocs(s, d)
+        .join(broadcast(dropped), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), length(col("text")).cast("long").as("text_chars"))
+        .orderBy("doc_id")
+    }),
     // n-gram Jaccard similarity: equi-join on shared shingles, top pairs.
     "q_dedup_ngram" -> ((s, d) => {
       // persisted: feeds both join sides + the two per-doc count lookups
@@ -252,6 +266,25 @@ object DedupQueries {
           SELECT a AS doc_id, min(b) AS cluster_id
           FROM (SELECT a, b FROM reach UNION SELECT a, a FROM e)
           GROUP BY a ORDER BY doc_id""",
+    "q_dedup_apply" ->
+      s"""WITH RECURSIVE p AS (
+            SELECT l.doc_id AS a, r.doc_id AS b
+            FROM ${simhashSql(sampleF)} l, ${simhashSql(sampleF)} r
+            WHERE l.doc_id < r.doc_id
+              AND bit_count(xor(l.simhash, r.simhash)) <= $SimHashMaxHamming),
+          e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+          reach(a, b) AS (
+            SELECT a, b FROM e
+            UNION
+            SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+          clusters AS (
+            SELECT a AS doc_id, min(b) AS cluster_id
+            FROM (SELECT a, b FROM reach UNION SELECT a, a FROM e)
+            GROUP BY a)
+          SELECT doc_id, CAST(length(text) AS BIGINT) AS text_chars
+          FROM documents $sampleF
+            AND doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
+          ORDER BY doc_id""",
     "q_dedup_ngram" ->
       s"""SELECT a, b, ${e4Sql("jacc")} AS jacc_e4 FROM (
             SELECT i.a, i.b, i.i * 1.0 / (ca.n + cb.n - i.i) AS jacc
