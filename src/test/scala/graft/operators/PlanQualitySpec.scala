@@ -73,6 +73,12 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"salting must not introduce a join:\n$plan")
   }
 
+  test("q_dedup_apply: the non-canonical set broadcasts into an anti-join — corpus never shuffled") {
+    val plan = finalPlan("q_dedup_apply")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"apply must broadcast-anti-join the dropped set:\n$plan")
+  }
+
   test("q_tombstone_filter: tombstone relation broadcasts; fact table is not shuffled") {
     // the tiny tombstone agg itself may shuffle; the JOIN must broadcast so
     // the fact side is never hash-repartitioned for it
