@@ -572,4 +572,94 @@ object SSTableOps {
     org.apache.spark.sql.GraftColumnBridge.internalCreateDataFrame(
       spark, out, SSTableSchema.schema)
   }
+
+  /** Keys whose MERGED state differs between two SSTable directories —
+    * the migration/compaction validator: `diffDirs(inputs, compacted)`
+    * empty ⇔ the rewrite preserved every key's reconciled row
+    * (compaction, re-compression, a copy between stores, or a port from
+    * another engine). Both sides go through [[compactRows]], so
+    * generation layout differences (N flushes vs 1 fold) never count as
+    * differences — only the merged (columns, rowTombstone) state does.
+    *
+    * One full-outer hash-join on `key` over two compacted relations —
+    * the honest cost of comparing everything once; output is only the
+    * differing keys. `side` ∈ A_ONLY | B_ONLY | DIFFERENT. */
+  def diffDirs(spark: org.apache.spark.sql.SparkSession, dirA: String,
+               dirB: String): DataFrame = {
+    def merged(d: String) = compactRows(spark.read.format("sstable").load(d))
+    val a = merged(dirA).select(col("key").as("ka"),
+      col("columns").as("ca"), col("rowTombstone").as("ta"))
+    val b = merged(dirB).select(col("key").as("kb"),
+      col("columns").as("cb"), col("rowTombstone").as("tb"))
+    a.join(b, col("ka") === col("kb"), "full_outer")
+      .withColumn("side",
+        when(col("kb").isNull, "A_ONLY")
+          .when(col("ka").isNull, "B_ONLY")
+          .otherwise("DIFFERENT"))
+      .filter(col("kb").isNull || col("ka").isNull ||
+        !(col("ca") <=> col("cb")) || !(col("ta") <=> col("tb")))
+      .select(coalesce(col("ka"), col("kb")).as("key"), col("side"))
+  }
+
+  /** Scrub job: decode EVERY row of every generation under `dir` and
+    * verify the per-file invariants a storage layer can silently lose —
+    * key sort order, and `-Statistics.db` agreement (row count, key
+    * bounds) where stats exist. One Spark task per generation (a
+    * fileset is the unit of corruption and of repair-by-rewrite;
+    * offline admin shape). Corruption is REPORTED per file, not thrown
+    * — a scrub must survey the damage, not stop at the first hit.
+    *
+    * Returns `(file, rows, sorted, statsMatch, error)`:
+    * `statsMatch` is null when no recognized statistics sidecar exists;
+    * `error` carries the decode failure message for corrupt files
+    * (rows = rows decoded before the failure).
+    *
+    * Detection limits, honestly: scrub verifies STRUCTURE (decodable
+    * rows, sort order, statistics agreement). A flipped byte inside a
+    * value payload of an UNCOMPRESSED Data.db is structurally valid and
+    * passes — the 1.2-era format carries no per-row checksum (real
+    * Cassandra pairs the file with Digest.sha1). Compressed files fare
+    * better: every chunk is Adler32-verified on read, so payload
+    * corruption there fails loudly and lands in `error`. */
+  def scrub(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import graft.sources.sstable.{HadoopStorage, LocalStorage, SSTableFiles, SSTableReader, SerializableHadoopConf, Storage}
+    import spark.implicits._
+    val serConf: Option[SerializableHadoopConf] =
+      if (Storage.hasScheme(dir))
+        Some(new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
+      else None
+    val files = Storage.forPath(dir, spark.sessionState.newHadoopConf())
+      .listDataFiles(dir)
+    spark.sparkContext.parallelize(files, math.max(1, files.length))
+      .map { f =>
+        val storage: Storage =
+          serConf.map(c => new HadoopStorage(c.value): Storage).getOrElse(LocalStorage)
+        val r = new SSTableReader(f, storage)
+        var rows = 0L
+        var sorted = true
+        var minKey: Array[Byte] = null
+        var lastKey: Array[Byte] = null
+        var error: String = null
+        val it = r.rows()
+        try {
+          while (it.hasNext) {
+            val row = it.next()
+            if (lastKey != null && SSTableFiles.compareKeys(lastKey, row.key) > 0)
+              sorted = false
+            if (minKey == null) minKey = row.key
+            lastKey = row.key
+            rows += 1
+          }
+        } catch {
+          case e: Exception => error = s"${e.getClass.getSimpleName}: ${e.getMessage}"
+        } finally it.close()
+        val statsMatch: Option[Boolean] = r.statistics.map { s =>
+          s.rowCount == rows && error == null &&
+            (rows == 0 || (java.util.Arrays.equals(s.minKey, minKey) &&
+              java.util.Arrays.equals(s.maxKey, lastKey)))
+        }
+        (f, rows, sorted, statsMatch, Option(error))
+      }
+      .toDF("file", "rows", "sorted", "statsMatch", "error")
+  }
 }

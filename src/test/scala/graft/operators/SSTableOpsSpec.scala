@@ -788,6 +788,62 @@ class SSTableOpsSpec extends AnyFunSuite {
     assert(lines.length == 1, "only k1's NORMAL cell is exportable")
   }
 
+  test("diffDirs: compaction-preserving rewrites diff empty; real drift is localized") {
+    import graft.sources.sstable.{Column, SSTableRow, SSTableWriter}
+    def gen(dir: String, stem: String, rows: Seq[(String, String, Long)]): Unit = {
+      val w = new SSTableWriter(s"$dir/$stem-Data.db", compress = false)
+      rows.sortBy(_._1).foreach { case (k, v, ts) =>
+        w.append(SSTableRow(k.getBytes,
+          Seq(Column.Normal("c".getBytes, v.getBytes, ts)))) }
+      w.close()
+    }
+    val in = Files.createTempDirectory("diff-in").toString
+    gen(in, "g1", Seq(("a", "old", 1L), ("b", "bv", 2L)))
+    gen(in, "g2", Seq(("a", "new", 5L), ("c", "cv", 3L)))
+    // compacting into a single generation must be diff-invisible
+    val out = Files.createTempDirectory("diff-out").toString
+    SSTableOps.compact(spark, in, out)
+    assert(SSTableOps.diffDirs(spark, in, out).count() == 0,
+      "compaction changed the merged state")
+    // drift: a copy missing one key, one key changed, one key extra
+    val bad = Files.createTempDirectory("diff-bad").toString
+    gen(bad, "g1", Seq(("a", "new", 5L), ("b", "DRIFT", 9L), ("d", "dv", 4L)))
+    val diff = SSTableOps.diffDirs(spark, in, bad)
+      .select(col("key").cast("string"), col("side"))
+      .as[(String, String)].collect().toMap
+    assert(diff == Map("b" -> "DIFFERENT", "c" -> "A_ONLY", "d" -> "B_ONLY"))
+  }
+
+  test("scrub reports per-file integrity: sorted, stats-consistent, corruption localized") {
+    import graft.sources.sstable.{Column, SSTableRow, SSTableWriter}
+    val dir = Files.createTempDirectory("scrub").toString
+    def gen(stem: String, n: Int): Unit = {
+      val w = new SSTableWriter(s"$dir/$stem-Data.db", compress = false,
+        summaryInterval = 4)
+      (0 until n).foreach(i => w.append(SSTableRow(f"$stem-k$i%04d".getBytes,
+        Seq(Column.Normal("c".getBytes, s"v$i".getBytes, i.toLong)))))
+      w.close()
+    }
+    gen("clean", 100)
+    gen("victim", 100)
+    // structural corruption: truncate the tail (an in-place byte flip in
+    // a VALUE region parses fine — uncompressed Data.db carries no
+    // checksums, scrub verifies structure; see the scrub scaladoc)
+    val raf = new java.io.RandomAccessFile(s"$dir/victim-Data.db", "rw")
+    raf.setLength(raf.length() - 10)
+    raf.close()
+    graft.sources.sstable.SSTableMetadataCache.clear() // victim was rewritten in place
+    val rep = SSTableOps.scrub(spark, dir).collect()
+      .map(r => r.getString(0).split('/').last -> r).toMap
+    val clean = rep("clean-Data.db")
+    assert(clean.getLong(1) == 100 && clean.getBoolean(2)
+      && clean.getBoolean(3) && clean.isNullAt(4))
+    val victim = rep("victim-Data.db")
+    assert(!victim.isNullAt(4), "corruption must be reported")
+    assert(victim.getLong(1) < 100, "decoded row count stops at the damage")
+    assert(!victim.getBoolean(3), "stats cannot match a truncated decode")
+  }
+
   test("exportCompacted emits one base64 line per row (E1 pipeline)") {
     val df = widerows(
       "r1" -> Seq(col3("a", "NORMAL", "x", 10)),
