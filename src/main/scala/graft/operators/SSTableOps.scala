@@ -325,16 +325,27 @@ object SSTableOps {
     * [[compactLeveledInPlace]] derive the proof from `-Statistics.db`
     * key bounds and fall back to carrying tombstones when any involved
     * file lacks statistics. Direct callers without such a proof must
-    * leave the default `gc = false`. */
+    * leave the default `gc = false`.
+    *
+    * Returns the published Data.db paths of the fold output (identified
+    * by a fold-unique job tag in the file names), so in-place callers
+    * can re-validate GC safety against a fresh listing and unpublish a
+    * fold that a concurrent flush invalidated. */
   def compactFiles(spark: org.apache.spark.sql.SparkSession, files: Seq[String],
-                   outDir: String, gc: Boolean = false): Unit = {
+                   outDir: String, gc: Boolean = false): Seq[String] = {
     require(files.nonEmpty, "empty compaction bucket")
     // each Data.db path is its own single-file scan (listDataFiles
     // accepts a file); union of scans keeps per-file split planning
     val merged = compactRows(
       files.map(f => spark.read.format("sstable").load(f)).reduce(_.union(_)))
+    val tag = "fold-" + java.util.UUID.randomUUID().toString.take(8)
     (if (gc) suppressTombstones2(merged) else merged)
-      .write.format("sstable").mode("append").save(outDir)
+      .write.format("sstable")
+      .option(graft.sources.sstable.spark.SSTableSource.JobTagOption, tag)
+      .mode("append").save(outDir)
+    val storage = graft.sources.sstable.Storage.forPath(
+      outDir, spark.sessionState.newHadoopConf())
+    storage.listDataFiles(outDir).filter(_.endsWith(s"-$tag-Data.db"))
   }
 
   /** Is `bucket` key-isolated within `allFiles`? True iff every bucket
@@ -359,6 +370,38 @@ object SSTableOps {
     outside.forall(o => bucketStats.forall(b => !overlaps(b, o)))
   }
 
+  /** Fold one bucket in place with GC when provably safe, re-validating
+    * the isolation proof AFTER the fold (ADVICE r5): [[bucketIsolated]]
+    * is check-then-act, and a generation flushed concurrently during the
+    * fold could overlap the bucket — its older shadowed data would be
+    * resurrected once the bucket's tombstones are dropped. So a GC'd fold
+    * re-checks isolation against a fresh listing (excluding the fold's
+    * own output) before the inputs are unpublished; on mismatch the GC'd
+    * output is unpublished (inputs still carry the tombstones, so readers
+    * stay correct throughout) and the fold redoes without GC.
+    *
+    * This narrows the unsafe window from the whole fold duration to the
+    * metadata round-trip between the re-check and the input unpublish; a
+    * flush landing inside THAT window still requires the documented
+    * deployment rule — in-place compaction assumes a single maintainer
+    * and no concurrent writers to the directory, like Cassandra's one
+    * compaction manager per node. */
+  private[operators] def foldBucketInPlace(spark: org.apache.spark.sql.SparkSession,
+                                           dir: String, bucket: Seq[String],
+                                           storage: graft.sources.sstable.Storage): Unit = {
+    import graft.sources.sstable.SSTableFiles
+    val gc = bucketIsolated(bucket, storage.listDataFiles(dir), storage)
+    val outputs = compactFiles(spark, bucket, dir, gc = gc)
+    if (gc) {
+      val world = storage.listDataFiles(dir).filterNot(outputs.toSet)
+      if (!bucketIsolated(bucket, world, storage)) {
+        outputs.foreach(SSTableFiles.unpublish(storage, _))
+        compactFiles(spark, bucket, dir, gc = false)
+      }
+    }
+    bucket.foreach(SSTableFiles.unpublish(storage, _))
+  }
+
   /** One STCS maintenance pass IN PLACE: fold every planned bucket into
     * a new generation inside the SAME directory, then unpublish the
     * bucket's input filesets (Data.db first, so each set leaves reader
@@ -380,23 +423,25 @@ object SSTableOps {
     * fails loudly and re-plans — the same contract Cassandra offers
     * without reference counting. Run to fixpoint by calling repeatedly
     * until it returns 0 (each pass halves the generation count per
-    * bucket). */
+    * bucket).
+    *
+    * Concurrent WRITERS are a different story: GC'd folds re-validate
+    * their isolation proof post-fold ([[foldBucketInPlace]]), but a
+    * flush landing in the final metadata window can still slip through —
+    * run in-place compaction as the directory's single maintainer with
+    * no concurrent writers (Cassandra's per-node compaction-manager
+    * model). */
   def compactInPlace(spark: org.apache.spark.sql.SparkSession, dir: String,
                      minThreshold: Int = 4, maxThreshold: Int = 32,
                      minSize: Long = 50L * 1024 * 1024): Int = {
-    import graft.sources.sstable.SSTableFiles
     val storage = graft.sources.sstable.Storage.forPath(
       dir, spark.sessionState.newHadoopConf())
     val buckets = planCompaction(dir, minThreshold, maxThreshold,
       minSize = minSize, storage = storage)
-    buckets.foreach { bucket =>
-      // fresh listing per bucket: earlier folds changed the directory
-      // (their outputs must count as overlap candidates, their deleted
-      // inputs must not be stat'd)
-      compactFiles(spark, bucket, dir,
-        gc = bucketIsolated(bucket, storage.listDataFiles(dir), storage))
-      bucket.foreach(SSTableFiles.unpublish(storage, _))
-    }
+    // fresh listing per bucket inside the fold helper: earlier folds
+    // changed the directory (their outputs must count as overlap
+    // candidates, their deleted inputs must not be stat'd)
+    buckets.foreach(foldBucketInPlace(spark, dir, _, storage))
     buckets.length
   }
 
@@ -506,15 +551,10 @@ object SSTableOps {
     * concurrent-reader window argument as [[compactInPlace]]). */
   def compactLeveledInPlace(spark: org.apache.spark.sql.SparkSession, dir: String,
                             maxRuns: Int = 4, maxThreshold: Int = 32): Int = {
-    import graft.sources.sstable.SSTableFiles
     val storage = graft.sources.sstable.Storage.forPath(
       dir, spark.sessionState.newHadoopConf())
     val buckets = planCompactionLeveled(dir, maxRuns, maxThreshold, storage)
-    buckets.foreach { bucket =>
-      compactFiles(spark, bucket, dir,
-        gc = bucketIsolated(bucket, storage.listDataFiles(dir), storage))
-      bucket.foreach(SSTableFiles.unpublish(storage, _))
-    }
+    buckets.foreach(foldBucketInPlace(spark, dir, _, storage))
     buckets.length
   }
 

@@ -224,8 +224,11 @@ final class SSTableReader(val dataPath: String,
         new IndexReader(idxIn).next().dataOffset
       }
       val n = sum.length
-      val stride = math.max(1L,
-        math.round(n.toDouble * targetBytes / math.max(1L, dataLength))).toInt
+      // clamp to [1, n] BEFORE the Long→Int conversion: a huge (legal)
+      // targetBytes must saturate at "one sample", not truncate to a zero
+      // or negative stride that spins the sampling loop forever
+      val stride = math.min(n.toLong, math.max(1L,
+        math.round(n.toDouble * targetBytes / math.max(1L, dataLength)))).toInt
       // sampled (summaryIdx, dataOffset) points, in index order
       val sampled = scala.collection.mutable.TreeMap.empty[Int, Long]
       var i = 0
@@ -240,7 +243,8 @@ final class SSTableReader(val dataPath: String,
       }
       while (gaps.nonEmpty) {
         val (i1, i2) = gaps.dequeue()
-        if (offsetOf(i2) - offsetOf(i1) > 2 * targetBytes && i2 - i1 > 1) {
+        // gap > 2×target, written overflow-safe (2 * targetBytes can wrap)
+        if (offsetOf(i2) - offsetOf(i1) - targetBytes > targetBytes && i2 - i1 > 1) {
           val mid = (i1 + i2) >>> 1
           sampled(mid) = dataOffsetAt(sum(mid).indexOffset)
           gaps.enqueue((i1, mid))

@@ -113,9 +113,13 @@ object StatisticsFile {
         }
       }
       row.tombstone.foreach { t =>
-        tombstones += 1
-        if (t.markedForDeleteAtMicros != Long.MinValue) // LIVE-mfda shadows nothing
+        // only non-LIVE row tombstones count: a round-tripped half-LIVE pair
+        // (mfda=MinValue, ldt set) shadows nothing and must not inflate the
+        // ratio that drives compaction prioritization
+        if (t.markedForDeleteAtMicros != Long.MinValue) {
+          tombstones += 1
           seeTs(t.markedForDeleteAtMicros)
+        }
       }
     }
 

@@ -68,6 +68,12 @@ object SSTableSource {
     * a Spark job instead of running on driver threads. */
   val PlanningThresholdOption = "distributedplanningthreshold"
   val DefaultDistributedPlanningThreshold = 1024
+  /** Optional caller-supplied job tag embedded in published file names
+    * (default: a random 8-char token). Lets a maintenance job identify
+    * exactly the filesets IT published — compaction uses this to
+    * re-validate GC safety against a fresh listing post-fold. Must be
+    * unique per write; path separators are rejected. */
+  val JobTagOption = "jobtag"
 }
 
 final class SSTableTable(properties: Map[String, String])
@@ -130,7 +136,7 @@ final class SSTableScanBuilder(path: String, options: CaseInsensitiveStringMap)
   private var requiredSchema: StructType = SSTableSchema.schema
   private var pushed: Array[Filter] = Array.empty
   private val bounds = new KeyBounds
-  private var aggResult: Option[(StructType, Array[Any])] = None
+  private var aggResult: Option[(StructType, Seq[SSTableAggScan.AggKind])] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(bounds.accept)
@@ -192,42 +198,43 @@ final class SSTableScanBuilder(path: String, options: CaseInsensitiveStringMap)
       case _ => false
     }
     if (!supported || agg.aggregateExpressions.isEmpty) return false
+    // acceptance (not the values) is decided here: every generation must
+    // carry recognized statistics RIGHT NOW or the normal scan runs. The
+    // VALUES are computed later, per batch planning (ADVICE r5: a
+    // retained DataFrame re-executed after a flush/compaction must see
+    // current state, like the non-pushed scan re-planning partitions) —
+    // a generation that arrives stats-less after this check is handled
+    // there by an Index.db-walk fallback, never a wrong answer.
     val storage = Storage.forPath(path,
       org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
     val stats = storage.listDataFiles(path)
       .map(f => new SSTableReader(f, storage).statistics)
     if (stats.exists(_.isEmpty)) return false // a stats-less generation: scan instead
     if (dryRun) return true
-    val s = stats.flatten.filter(_.rowCount > 0)
-    val rows = stats.flatten.map(_.rowCount).sum
-    val minKey = if (s.isEmpty) null
-      else s.map(_.minKey).reduce((a, b) => if (SSTableFiles.compareKeys(a, b) <= 0) a else b)
-    val maxKey = if (s.isEmpty) null
-      else s.map(_.maxKey).reduce((a, b) => if (SSTableFiles.compareKeys(a, b) >= 0) a else b)
     val fields = Array.newBuilder[org.apache.spark.sql.types.StructField]
-    val values = Array.newBuilder[Any]
+    val kinds = Seq.newBuilder[SSTableAggScan.AggKind]
     agg.aggregateExpressions.foreach {
       case _: CountStar =>
         fields += org.apache.spark.sql.types.StructField("count(*)",
           org.apache.spark.sql.types.LongType, nullable = false)
-        values += rows
+        kinds += SSTableAggScan.CountStarKind
       case _: Min =>
         fields += org.apache.spark.sql.types.StructField("min(key)",
           org.apache.spark.sql.types.BinaryType, nullable = true)
-        values += minKey
+        kinds += SSTableAggScan.MinKeyKind
       case _: Max =>
         fields += org.apache.spark.sql.types.StructField("max(key)",
           org.apache.spark.sql.types.BinaryType, nullable = true)
-        values += maxKey
+        kinds += SSTableAggScan.MaxKeyKind
       case _ => // unreachable: `supported` checked above
     }
-    aggResult = Some((StructType(fields.result()), values.result()))
+    aggResult = Some((StructType(fields.result()), kinds.result()))
     true
   }
 
   override def build(): Scan = {
-    aggResult.foreach { case (schema, values) =>
-      return new SSTableAggScan(path, schema, values)
+    aggResult.foreach { case (schema, kinds) =>
+      return new SSTableAggScan(path, schema, kinds)
     }
     val target = longOption(SSTableSource.TargetSplitBytesOption)
       .getOrElse(SSTableSource.DefaultTargetSplitBytes)
@@ -239,16 +246,23 @@ final class SSTableScanBuilder(path: String, options: CaseInsensitiveStringMap)
 }
 
 /** Completely-pushed-down aggregate scan: one partition, one row — the
-  * COUNT(*)/MIN(key)/MAX(key) values already computed from every
-  * generation's `-Statistics.db` at pushdown time (see
-  * [[SSTableScanBuilder.pushAggregation]]). */
-final class SSTableAggScan(path: String, schema: StructType, values: Array[Any])
+  * COUNT(*)/MIN(key)/MAX(key) values computed from every generation's
+  * `-Statistics.db` when the BATCH IS PLANNED, not when the aggregate
+  * was pushed (ADVICE r5): a retained DataFrame re-executed after the
+  * directory changed (new flush, compaction pass) re-reads the sidecars
+  * and returns current values, matching the non-pushed scan's
+  * re-planning behavior. A generation that lost/never had statistics by
+  * then (pushdown-time acceptance requires them, but the directory can
+  * drift) falls back to a key-only Index.db walk for that generation —
+  * still zero Data.db IO, never a wrong answer. */
+final class SSTableAggScan(path: String, schema: StructType,
+                           aggKinds: Seq[SSTableAggScan.AggKind])
     extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String = s"sstable $path statsOnlyAggregate"
   override def planInputPartitions(): Array[InputPartition] =
-    Array(SSTableAggScan.AggPartition(values))
+    Array(SSTableAggScan.AggPartition(SSTableAggScan.compute(path, aggKinds)))
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] =
@@ -264,7 +278,58 @@ final class SSTableAggScan(path: String, schema: StructType, values: Array[Any])
 }
 
 object SSTableAggScan {
+  sealed trait AggKind extends Serializable
+  case object CountStarKind extends AggKind
+  case object MinKeyKind extends AggKind
+  case object MaxKeyKind extends AggKind
+
   final case class AggPartition(values: Array[Any]) extends InputPartition
+
+  /** (rowCount, minKey, maxKey) of one generation from its Statistics.db,
+    * or — stats absent — from a key-only Index.db walk (one entry per
+    * row; first/last keys are min/max because entries are key-sorted). */
+  private def generationBounds(dataPath: String, storage: Storage)
+      : (Long, Array[Byte], Array[Byte]) = {
+    val r = new SSTableReader(dataPath, storage)
+    r.statistics match {
+      case Some(s) =>
+        (s.rowCount, if (s.rowCount > 0) s.minKey else null,
+          if (s.rowCount > 0) s.maxKey else null)
+      case None =>
+        val in = storage.open(SSTableFiles.sibling(dataPath, SSTableFiles.IndexSuffix))
+        try {
+          in.seek(IndexFile.HeaderLen)
+          val ir = new IndexReader(in, r.indexLength)
+          var n = 0L
+          var first: Array[Byte] = null
+          var last: Array[Byte] = null
+          while (ir.hasNext) {
+            val e = ir.next()
+            if (first == null) first = e.key
+            last = e.key
+            n += 1
+          }
+          (n, first, last)
+        } finally in.close()
+    }
+  }
+
+  private[spark] def compute(path: String, aggKinds: Seq[AggKind]): Array[Any] = {
+    val storage = Storage.forPath(path,
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+    val per = storage.listDataFiles(path).map(generationBounds(_, storage))
+    val nonEmpty = per.filter(_._1 > 0)
+    val rows = per.map(_._1).sum
+    val minKey = if (nonEmpty.isEmpty) null
+      else nonEmpty.map(_._2).reduce((a, b) => if (SSTableFiles.compareKeys(a, b) <= 0) a else b)
+    val maxKey = if (nonEmpty.isEmpty) null
+      else nonEmpty.map(_._3).reduce((a, b) => if (SSTableFiles.compareKeys(a, b) >= 0) a else b)
+    aggKinds.map[Any] {
+      case CountStarKind => rows
+      case MinKeyKind => minKey
+      case MaxKeyKind => maxKey
+    }.toArray
+  }
 }
 
 /** One planned partition: a row-aligned byte range of one SSTable's

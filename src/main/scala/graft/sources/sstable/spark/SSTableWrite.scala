@@ -78,7 +78,13 @@ final class SSTableBatchWrite(path: String, schema: StructType,
     * collide (Spark task IDs restart at 0 per application — a bare
     * `part-P-taskId` name recurs across runs and a colliding rename
     * must never overwrite a live generation). */
-  private val jobTag = UUID.randomUUID().toString.take(8)
+  private val jobTag = {
+    val t = properties.getOrElse(SSTableSource.JobTagOption,
+      UUID.randomUUID().toString.take(8))
+    require(t.nonEmpty && !t.contains('/') && !t.contains('\\'),
+      s"illegal jobTag: '$t'")
+    t
+  }
   private val stagingDir = s"$path/_staging-$jobTag"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {

@@ -682,6 +682,59 @@ class SSTableOpsSpec extends AnyFunSuite {
     assert(mergedKa == 0, "ka stays dead — GC withholding prevented resurrection")
   }
 
+  test("GC'd fold re-validates isolation post-fold: a concurrent flush cannot resurrect (ADVICE r5)") {
+    import graft.sources.sstable.{Column, LocalStorage, RowTombstone, SSTableRow,
+      SSTableWriter, SeekableInput, Storage}
+    def flush(dir: String, stem: String, rows: Seq[SSTableRow]): Unit = {
+      val w = new SSTableWriter(s"$dir/$stem-Data.db", compress = false,
+        summaryInterval = 4)
+      try rows.sortWith((a, b) =>
+        graft.sources.sstable.SSTableFiles.compareKeys(a.key, b.key) < 0).foreach(w.append)
+      finally w.close()
+    }
+    val dir = Files.createTempDirectory("gc-concurrent-flush").toString
+    // bucket: ka cell (old) + ka row tombstone mfda=100 — isolated at
+    // check time, so the fold starts out GC-eligible
+    flush(dir, "f1", Seq(
+      SSTableRow("ka".getBytes, Seq(Column.Normal("c".getBytes, "old".getBytes, 10L))),
+      SSTableRow("kb".getBytes, Seq(Column.Normal("c".getBytes, "keep".getBytes, 10L)))))
+    flush(dir, "f2", Seq(
+      SSTableRow("ka".getBytes, Nil, Some(RowTombstone(1700000000, 100L)))))
+    val bucket = LocalStorage.listDataFiles(dir)
+    assert(bucket.size == 2)
+    // storage spy: the SECOND directory listing is foldBucketInPlace's
+    // post-fold re-check — land an overlapping flush (ka cell ts=50,
+    // OLDER than the tombstone) right before it, simulating a concurrent
+    // writer racing the fold
+    var listings = 0
+    val racing: Storage = new Storage {
+      def open(path: String): SeekableInput = LocalStorage.open(path)
+      def length(path: String): Long = LocalStorage.length(path)
+      def mtime(path: String): Long = LocalStorage.mtime(path)
+      def exists(path: String): Boolean = LocalStorage.exists(path)
+      def create(path: String): java.io.DataOutputStream = LocalStorage.create(path)
+      def delete(path: String): Unit = LocalStorage.delete(path)
+      def rename(src: String, dst: String): Unit = LocalStorage.rename(src, dst)
+      def listDataFiles(d: String): Seq[String] = {
+        listings += 1
+        if (listings == 2)
+          flush(dir, "late", Seq(SSTableRow("ka".getBytes,
+            Seq(Column.Normal("c".getBytes, "shadowed".getBytes, 50L)))))
+        LocalStorage.listDataFiles(d)
+      }
+    }
+    SSTableOps.foldBucketInPlace(spark, dir, bucket, racing)
+    assert(listings >= 2, "the post-fold re-check listing must have run")
+    // the re-check must have withheld GC: the fold output still carries
+    // the ka tombstone, so the racing ts=50 cell stays shadowed
+    val merged = SSTableOps.suppressTombstones(
+      spark.read.format("sstable").load(dir))
+    val keys = merged.select(col("key").cast("string")).as[String].collect().toSet
+    assert(!keys.contains("ka"),
+      s"concurrent flush resurrected ka through a GC'd fold: $keys")
+    assert(keys.contains("kb"))
+  }
+
   test("leveled compaction: runs are overlap-free; folding planned buckets reduces run count") {
     import graft.sources.sstable.{Column, SSTableReader, SSTableRow, SSTableWriter}
     val dir = Files.createTempDirectory("lcs").toString

@@ -162,6 +162,27 @@ class CodecSpec extends AnyFunSuite {
     assertRowsEqual(gathered, rows)
   }
 
+  // Regression (ADVICE r5): a huge legal targetBytes used to truncate the
+  // sampling stride to <=0 after Long→Int conversion, spinning the planning
+  // loop forever; it must saturate at one whole-file split and terminate.
+  test("planSplits terminates and yields one split for huge targetBytes") {
+    val rows = sortedRows((0 until 200).map { i =>
+      SSTableRow(f"big$i%05d".getBytes,
+        Seq(Column.Normal("col".getBytes, Array.fill(37)(i.toByte), i.toLong)))
+    })
+    val p = tmpData("hugetarget")
+    write(p, rows, compress = true, chunkLength = 256, summaryInterval = 4)
+    val r = new SSTableReader(p)
+    for (target <- Seq(Long.MaxValue, Long.MaxValue / 2, Int.MaxValue.toLong * 3)) {
+      val splits = r.planSplits(target)
+      assert(splits.length == 1, s"target=$target want 1 split, got ${splits.length}")
+      assert(splits.head.start == DataFile.HeaderLen)
+      assert(splits.head.end == r.dataLength)
+      val gathered = splits.flatMap(s => r.rows(s.start, s.end).toSeq)
+      assertRowsEqual(gathered, rows)
+    }
+  }
+
   test("key-range pruning is sound and effective") {
     val rows = sortedRows((0 until 500).map { i =>
       SSTableRow(f"k$i%05d".getBytes,

@@ -79,7 +79,8 @@ class StatisticsSpec extends AnyFunSuite {
     val s2 = new SSTableReader(p2).statistics.get
     assert(s2.minTimestamp == Long.MaxValue && s2.maxTimestamp == Long.MinValue,
       "half-LIVE mfda sentinel shadows nothing and must not enter the ts bounds")
-    assert(s2.tombstoneCount == 1)
+    assert(s2.tombstoneCount == 0,
+      "half-LIVE row tombstone shadows nothing and must not count (ADVICE r5)")
   }
 
   private def writeGen(dir: String, stem: String, rows: Seq[SSTableRow]): Unit = {
