@@ -90,6 +90,18 @@ object SSTableDemo {
     println(s"== count(*) via Statistics.db: ${df.count()} rows " +
       (if (aggPushed) "(stats-only plan, zero data IO)" else "(scan fallback)"))
 
+    // cells view (source-side explode) with cell-level aggregate pushdown:
+    // min/max(timestamp) over every cell answered from v2 Statistics.db
+    val cellsDf = spark.read.format("sstable").option("view", "cells").load(dir)
+    val tsAgg = cellsDf.agg(count(lit(1)).as("cells"),
+      min(col("timestamp")).as("min_ts"), max(col("timestamp")).as("max_ts"))
+    val tsPushed = tsAgg.queryExecution.executedPlan
+      .toString.contains("statsOnlyAggregate")
+    val tsRow = tsAgg.collect().head
+    println(s"== cells view: ${tsRow.getLong(0)} cells, timestamps " +
+      s"[${tsRow.getLong(1)}, ${tsRow.getLong(2)}] " +
+      (if (tsPushed) "(stats-only plan, zero data IO)" else "(scan fallback)"))
+
     // runtime (join-driven) split pruning: a plain SQL join against a
     // small filtered dim hands the dim's keys to the scan at runtime
     // (dynamic pruning) — same Summary/bloom pruning as lookupJoin, but

@@ -25,10 +25,11 @@ import java.io.{DataInput, DataOutputStream, EOFException}
   *
   * Layout (big-endian):
   * {{{
-  * [u32 magic 'GRST'][u32 version=1]
+  * [u32 magic 'GRST'][u32 version=2]
   * [i64 minTimestampMicros][i64 maxTimestampMicros]   // see tracking rules
   * [u16 minKeyLen][minKey][u16 maxKeyLen][maxKey]
   * [i64 rowCount][i64 tombstoneCount]
+  * [i64 cellCount][i64 minCellTimestamp][i64 maxCellTimestamp]   // v2
   * }}}
   *
   * Timestamp tracking covers every µs clock that participates in LWW
@@ -39,10 +40,20 @@ import java.io.{DataInput, DataOutputStream, EOFException}
   * and empty keys. `tombstoneCount` counts DELETED cells + range
   * tombstones + non-LIVE row tombstones — the droppable-work signal for
   * compaction planning.
-  */
+  *
+  * v2 adds CELL-scoped statistics — the `columns` entries alone, row
+  * tombstones excluded — for the `view=cells` scan surface: `cellCount`
+  * is exactly the cells-view row count, `min/maxCellTimestamp` bound the
+  * entries' `timestamp` field (a range tombstone's timestamp IS its
+  * markedForDeleteAt). A v1 file reads fine with `cellStats = None`; any
+  * consumer needing cell stats must decline when they're absent. */
+final case class CellStatistics(cellCount: Long, minCellTimestamp: Long,
+                                maxCellTimestamp: Long)
+
 final case class SSTableStatistics(minTimestamp: Long, maxTimestamp: Long,
                                    minKey: Array[Byte], maxKey: Array[Byte],
-                                   rowCount: Long, tombstoneCount: Long) {
+                                   rowCount: Long, tombstoneCount: Long,
+                                   cellStats: Option[CellStatistics] = None) {
   /** Can `key` possibly live in this generation? (Unsigned byte order;
     * an empty generation contains nothing.) */
   def mightContainKey(key: Array[Byte]): Boolean =
@@ -56,10 +67,11 @@ final case class SSTableStatistics(minTimestamp: Long, maxTimestamp: Long,
 
 object StatisticsFile {
   val Magic = 0x47525354 // "GRST" — never the first bytes of Cassandra's own layout
-  val Version = 1
+  val Version = 2
 
   def write(out: DataOutputStream, s: SSTableStatistics): Unit = {
     require(s.minKey.length <= 0xffff && s.maxKey.length <= 0xffff, "key too long")
+    require(s.cellStats.isDefined, "v2 writer always carries cell statistics")
     out.writeInt(Magic)
     out.writeInt(Version)
     out.writeLong(s.minTimestamp)
@@ -68,19 +80,30 @@ object StatisticsFile {
     out.writeShort(s.maxKey.length); out.write(s.maxKey)
     out.writeLong(s.rowCount)
     out.writeLong(s.tombstoneCount)
+    val c = s.cellStats.get
+    out.writeLong(c.cellCount)
+    out.writeLong(c.minCellTimestamp)
+    out.writeLong(c.maxCellTimestamp)
   }
 
   /** None (never a throw) for unrecognized or truncated content — a real
     * Cassandra `-Statistics.db`, a future version, or a torn write all
-    * read as "no statistics available". */
+    * read as "no statistics available". A v1 file (previous releases)
+    * reads with `cellStats = None`. */
   def read(in: DataInput): Option[SSTableStatistics] =
     try {
-      if (in.readInt() != Magic || in.readInt() != Version) return None
+      if (in.readInt() != Magic) return None
+      val version = in.readInt()
+      if (version != 1 && version != Version) return None
       val minTs = in.readLong(); val maxTs = in.readLong()
       val minKey = new Array[Byte](in.readUnsignedShort()); in.readFully(minKey)
       val maxKey = new Array[Byte](in.readUnsignedShort()); in.readFully(maxKey)
-      Some(SSTableStatistics(minTs, maxTs, minKey, maxKey,
-        in.readLong(), in.readLong()))
+      val rows = in.readLong(); val tombstones = in.readLong()
+      val cells =
+        if (version >= 2)
+          Some(CellStatistics(in.readLong(), in.readLong(), in.readLong()))
+        else None
+      Some(SSTableStatistics(minTs, maxTs, minKey, maxKey, rows, tombstones, cells))
     } catch {
       case _: EOFException | _: IndexOutOfBoundsException => None
     }
@@ -93,6 +116,9 @@ object StatisticsFile {
     private var maxKey: Array[Byte] = _
     private var rows = 0L
     private var tombstones = 0L
+    private var cells = 0L
+    private var minCellTs = Long.MaxValue
+    private var maxCellTs = Long.MinValue
 
     private def seeTs(ts: Long): Unit = {
       if (ts < minTs) minTs = ts
@@ -107,6 +133,9 @@ object StatisticsFile {
       rows += 1
       row.columns.foreach { c =>
         seeTs(c.timestamp) // RangeTombstone.timestamp IS its markedForDeleteAt
+        cells += 1
+        if (c.timestamp < minCellTs) minCellTs = c.timestamp
+        if (c.timestamp > maxCellTs) maxCellTs = c.timestamp
         c match {
           case _: Column.Deleted | _: Column.RangeTombstone => tombstones += 1
           case _ =>
@@ -127,6 +156,7 @@ object StatisticsFile {
       minTs, maxTs,
       if (minKey == null) Array.emptyByteArray else minKey,
       if (maxKey == null) Array.emptyByteArray else maxKey,
-      rows, tombstones)
+      rows, tombstones,
+      Some(CellStatistics(cells, minCellTs, maxCellTs)))
   }
 }

@@ -57,6 +57,30 @@ object SSTableSchema {
     StructField("key", BinaryType, nullable = false),
     StructField("position", LongType, nullable = false)))
 
+  /** `view=cells` scan surface: one row per COLUMN CELL, the source-side
+    * form of the explode operator (SURVEY §2.3-P2) — `key` plus the
+    * [[columnStruct]] fields flattened to the top level. Row tombstones
+    * are not cells and don't appear (exactly explode's semantics: a
+    * cell-less row contributes nothing); read the default view for
+    * deletion info. Flat top-level `timestamp` is what makes cell-level
+    * aggregate pushdown expressible at all — MIN/MAX over a field inside
+    * an array never reaches a DSv2 scan. */
+  val cellsSchema: StructType = StructType(
+    StructField("key", BinaryType, nullable = false) +: columnStruct.fields.toSeq)
+
+  /** Project one cell onto the required cells-view fields. */
+  def cellToInternal(key: Array[Byte], c: Column, required: StructType): InternalRow = {
+    val full = columnToInternal(c)
+    val values = required.fields.map { f =>
+      f.name match {
+        case "key" => key
+        case other => full.get(columnStruct.fieldIndex(other),
+          columnStruct(other).dataType)
+      }
+    }
+    new GenericInternalRow(values.asInstanceOf[Array[Any]])
+  }
+
   def columnToInternal(c: Column): InternalRow = c match {
     case Column.Normal(n, v, ts) =>
       new GenericInternalRow(Array[Any](n, StateNormal, v, ts, 0L, 0L))

@@ -38,7 +38,9 @@ import graft.sources.sstable._
 class SSTableSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "sstable"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    SSTableSchema.schema
+    if (SSTableSource.isCellsView(Option(options.get(SSTableSource.ViewOption))))
+      SSTableSchema.cellsSchema
+    else SSTableSchema.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
     new SSTableTable(properties.asScala.toMap)
@@ -74,22 +76,39 @@ object SSTableSource {
     * re-validate GC safety against a fresh listing post-fold. Must be
     * unique per write; path separators are rejected. */
   val JobTagOption = "jobtag"
+  /** Read-side view: "rows" (default — one row per SSTable row, columns
+    * as an array) or "cells" ([[SSTableSchema.cellsSchema]] — one row per
+    * column cell, flattened; the source-side explode). Batch read only. */
+  val ViewOption = "view"
+
+  private[spark] def isCellsView(v: Option[String]): Boolean = v match {
+    case None => false
+    case Some(s) if s.equalsIgnoreCase("cells") => true
+    case Some(s) if s.equalsIgnoreCase("rows") => false
+    case Some(other) => throw new IllegalArgumentException(
+      s"sstable option '$ViewOption' must be 'rows' or 'cells', got '$other'")
+  }
 }
 
 final class SSTableTable(properties: Map[String, String])
     extends Table with SupportsRead with SupportsWrite {
   private def path: String = properties.getOrElse(SSTableSource.PathOption,
     throw new IllegalArgumentException("sstable source requires a path"))
+  private def cellsView: Boolean =
+    SSTableSource.isCellsView(properties.get(SSTableSource.ViewOption))
   override def name(): String = s"sstable(`$path`)"
-  override def schema(): StructType = SSTableSchema.schema
+  override def schema(): StructType =
+    if (cellsView) SSTableSchema.cellsSchema else SSTableSchema.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SSTableScanBuilder(path, options)
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(!cellsView, "the cells view is read-only: write the default view")
     new SSTableWriteBuilder(path, info, properties)
+  }
 }
 
 /** Accumulates pushed `key` comparison filters into the tightest
@@ -133,7 +152,11 @@ final class SSTableScanBuilder(path: String, options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
 
-  private var requiredSchema: StructType = SSTableSchema.schema
+  private val cellsView =
+    SSTableSource.isCellsView(Option(options.get(SSTableSource.ViewOption)))
+  private def baseSchema: StructType =
+    if (cellsView) SSTableSchema.cellsSchema else SSTableSchema.schema
+  private var requiredSchema: StructType = baseSchema
   private var pushed: Array[Filter] = Array.empty
   private val bounds = new KeyBounds
   private var aggResult: Option[(StructType, Seq[SSTableAggScan.AggKind])] = None
@@ -147,7 +170,7 @@ final class SSTableScanBuilder(path: String, options: CaseInsensitiveStringMap)
   override def pruneColumns(required: StructType): Unit = {
     // keep only our top-level fields, in our canonical order
     val names = required.fields.map(_.name).toSet
-    requiredSchema = StructType(SSTableSchema.schema.fields.filter(f => names.contains(f.name)))
+    requiredSchema = StructType(baseSchema.fields.filter(f => names.contains(f.name)))
   }
 
   private def longOption(name: String): Option[Long] =
@@ -158,17 +181,21 @@ final class SSTableScanBuilder(path: String, options: CaseInsensitiveStringMap)
       }
     }
 
-  /** Whole-table COUNT(*) / MIN(key) / MAX(key) answered from
-    * `-Statistics.db` alone — zero data IO, one tiny cache-served
-    * sidecar read per generation (on 100 TB, the difference between a
-    * plan-time metadata sum and a full Index.db sweep). Complete
-    * pushdown, accepted only when:
+  /** Whole-table aggregates answered from `-Statistics.db` alone — zero
+    * data IO, one tiny cache-served sidecar read per generation (on
+    * 100 TB, the difference between a plan-time metadata sum and a full
+    * Index.db sweep). Complete pushdown, accepted only when:
     *  - no grouping and no pushed key-range filters (our filters are
     *    residual, so Spark already withholds aggregates behind a Filter
     *    node — the bounds check is defense in depth);
-    *  - every aggregate is COUNT(*), MIN(key) or MAX(key);
-    *  - EVERY generation carries recognized statistics (one stats-less
-    *    file ⇒ decline, the normal scan runs).
+    *  - default view: every aggregate is COUNT(*), MIN(key) or MAX(key);
+    *  - cells view (VERDICT r5 #7): COUNT(*), MIN(timestamp) or
+    *    MAX(timestamp) — cellCount and the cell-timestamp bounds are
+    *    v2 statistics; `ttlAsOfMs` must be unset (TTL filtering changes
+    *    cell multiplicity in ways no static sidecar can know);
+    *  - EVERY generation carries recognized statistics of the needed
+    *    version (one stats-less or v1-only file on the cells view ⇒
+    *    decline, the normal scan runs).
     * Row counts include duplicate-key row versions — exactly what an
     * unmerged scan would count. */
   override def supportCompletePushDown(
@@ -184,51 +211,54 @@ final class SSTableScanBuilder(path: String, options: CaseInsensitiveStringMap)
       dryRun: Boolean): Boolean = {
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
-    def isKey(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+    import org.apache.spark.sql.types.{BinaryType, LongType, StructField}
+    def refTo(e: org.apache.spark.sql.connector.expressions.Expression,
+              field: String): Boolean =
       e match {
-        case r: NamedReference => r.fieldNames.toSeq == Seq("key")
+        case r: NamedReference => r.fieldNames.toSeq == Seq(field)
         case _ => false
       }
     if (agg.groupByExpressions.nonEmpty || bounds.lo.isDefined || bounds.hi.isDefined)
       return false
-    val supported = agg.aggregateExpressions.forall {
-      case _: CountStar => true
-      case m: Min => isKey(m.column)
-      case m: Max => isKey(m.column)
-      case _ => false
-    }
-    if (!supported || agg.aggregateExpressions.isEmpty) return false
+    if (cellsView && longOption(SSTableSource.TtlAsOfMsOption).isDefined)
+      return false
+    // (schema field, value kind) per aggregate, or None = unsupported
+    val mapped: Seq[Option[(StructField, SSTableAggScan.AggKind)]] =
+      agg.aggregateExpressions.toSeq.map {
+        case _: CountStar => Some((StructField("count(*)", LongType, nullable = false),
+          if (cellsView) SSTableAggScan.CellCountKind else SSTableAggScan.CountStarKind))
+        case m: Min if !cellsView && refTo(m.column, "key") =>
+          Some((StructField("min(key)", BinaryType, nullable = true),
+            SSTableAggScan.MinKeyKind))
+        case m: Max if !cellsView && refTo(m.column, "key") =>
+          Some((StructField("max(key)", BinaryType, nullable = true),
+            SSTableAggScan.MaxKeyKind))
+        case m: Min if cellsView && refTo(m.column, "timestamp") =>
+          Some((StructField("min(timestamp)", LongType, nullable = true),
+            SSTableAggScan.MinCellTsKind))
+        case m: Max if cellsView && refTo(m.column, "timestamp") =>
+          Some((StructField("max(timestamp)", LongType, nullable = true),
+            SSTableAggScan.MaxCellTsKind))
+        case _ => None
+      }
+    if (mapped.isEmpty || mapped.exists(_.isEmpty)) return false
     // acceptance (not the values) is decided here: every generation must
     // carry recognized statistics RIGHT NOW or the normal scan runs. The
     // VALUES are computed later, per batch planning (ADVICE r5: a
     // retained DataFrame re-executed after a flush/compaction must see
     // current state, like the non-pushed scan re-planning partitions) —
     // a generation that arrives stats-less after this check is handled
-    // there by an Index.db-walk fallback, never a wrong answer.
+    // there by a metadata-walk fallback, never a wrong answer.
     val storage = Storage.forPath(path,
       org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
     val stats = storage.listDataFiles(path)
       .map(f => new SSTableReader(f, storage).statistics)
     if (stats.exists(_.isEmpty)) return false // a stats-less generation: scan instead
+    if (cellsView && stats.exists(_.exists(_.cellStats.isEmpty)))
+      return false // v1 sidecar: no cell stats, scan instead
     if (dryRun) return true
-    val fields = Array.newBuilder[org.apache.spark.sql.types.StructField]
-    val kinds = Seq.newBuilder[SSTableAggScan.AggKind]
-    agg.aggregateExpressions.foreach {
-      case _: CountStar =>
-        fields += org.apache.spark.sql.types.StructField("count(*)",
-          org.apache.spark.sql.types.LongType, nullable = false)
-        kinds += SSTableAggScan.CountStarKind
-      case _: Min =>
-        fields += org.apache.spark.sql.types.StructField("min(key)",
-          org.apache.spark.sql.types.BinaryType, nullable = true)
-        kinds += SSTableAggScan.MinKeyKind
-      case _: Max =>
-        fields += org.apache.spark.sql.types.StructField("max(key)",
-          org.apache.spark.sql.types.BinaryType, nullable = true)
-        kinds += SSTableAggScan.MaxKeyKind
-      case _ => // unreachable: `supported` checked above
-    }
-    aggResult = Some((StructType(fields.result()), kinds.result()))
+    aggResult = Some((StructType(mapped.map(_.get._1).toArray),
+      mapped.map(_.get._2)))
     true
   }
 
@@ -241,7 +271,8 @@ final class SSTableScanBuilder(path: String, options: CaseInsensitiveStringMap)
     val ttlAsOf = longOption(SSTableSource.TtlAsOfMsOption)
     val planThreshold = longOption(SSTableSource.PlanningThresholdOption)
       .map(_.toInt).getOrElse(SSTableSource.DefaultDistributedPlanningThreshold)
-    new SSTableScan(path, requiredSchema, bounds.lo, bounds.hi, target, ttlAsOf, planThreshold)
+    new SSTableScan(path, requiredSchema, bounds.lo, bounds.hi, target, ttlAsOf,
+      planThreshold, cellsView = cellsView)
   }
 }
 
@@ -282,6 +313,10 @@ object SSTableAggScan {
   case object CountStarKind extends AggKind
   case object MinKeyKind extends AggKind
   case object MaxKeyKind extends AggKind
+  // cells view (VERDICT r5 #7): COUNT(*) over cells, MIN/MAX(timestamp)
+  case object CellCountKind extends AggKind
+  case object MinCellTsKind extends AggKind
+  case object MaxCellTsKind extends AggKind
 
   final case class AggPartition(values: Array[Any]) extends InputPartition
 
@@ -314,20 +349,48 @@ object SSTableAggScan {
     }
   }
 
+  /** Cell statistics of one generation from its v2 Statistics.db, or —
+    * cell stats absent by execution time (pushdown acceptance saw them,
+    * but the directory can drift) — from a full decode of that
+    * generation: the honest degraded path, correct over fast. */
+  private def generationCells(dataPath: String, storage: Storage): CellStatistics = {
+    val r = new SSTableReader(dataPath, storage)
+    r.statistics.flatMap(_.cellStats).getOrElse {
+      var n = 0L
+      var lo = Long.MaxValue
+      var hi = Long.MinValue
+      val it = r.rows(DataFile.HeaderLen, r.dataLength)
+      try it.foreach(_.columns.foreach { c =>
+        n += 1
+        if (c.timestamp < lo) lo = c.timestamp
+        if (c.timestamp > hi) hi = c.timestamp
+      }) finally it.close()
+      CellStatistics(n, lo, hi)
+    }
+  }
+
   private[spark] def compute(path: String, aggKinds: Seq[AggKind]): Array[Any] = {
     val storage = Storage.forPath(path,
       org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
-    val per = storage.listDataFiles(path).map(generationBounds(_, storage))
-    val nonEmpty = per.filter(_._1 > 0)
-    val rows = per.map(_._1).sum
-    val minKey = if (nonEmpty.isEmpty) null
+    val files = storage.listDataFiles(path)
+    lazy val per = files.map(generationBounds(_, storage))
+    lazy val nonEmpty = per.filter(_._1 > 0)
+    lazy val minKey = if (nonEmpty.isEmpty) null
       else nonEmpty.map(_._2).reduce((a, b) => if (SSTableFiles.compareKeys(a, b) <= 0) a else b)
-    val maxKey = if (nonEmpty.isEmpty) null
+    lazy val maxKey = if (nonEmpty.isEmpty) null
       else nonEmpty.map(_._3).reduce((a, b) => if (SSTableFiles.compareKeys(a, b) >= 0) a else b)
+    lazy val cells = files.map(generationCells(_, storage))
+    lazy val cellCount = cells.map(_.cellCount).sum
+    lazy val withCells = cells.filter(_.cellCount > 0)
     aggKinds.map[Any] {
-      case CountStarKind => rows
+      case CountStarKind => per.map(_._1).sum
       case MinKeyKind => minKey
       case MaxKeyKind => maxKey
+      case CellCountKind => cellCount
+      case MinCellTsKind =>
+        if (withCells.isEmpty) null else withCells.map(_.minCellTimestamp).min
+      case MaxCellTsKind =>
+        if (withCells.isEmpty) null else withCells.map(_.maxCellTimestamp).max
     }.toArray
   }
 }
@@ -351,7 +414,8 @@ final class SSTableScan(path: String, requiredSchema: StructType,
                         targetSplitBytes: Long,
                         ttlAsOfMs: Option[Long] = None,
                         distributedPlanningThreshold: Int =
-                          SSTableSource.DefaultDistributedPlanningThreshold)
+                          SSTableSource.DefaultDistributedPlanningThreshold,
+                        cellsView: Boolean = false)
     extends Scan with Batch with SupportsRuntimeFiltering
     with SupportsReportStatistics {
   /** Hadoop conf rides to executors only when the path needs the Hadoop
@@ -416,8 +480,10 @@ final class SSTableScan(path: String, requiredSchema: StructType,
     st.listDataFiles(path).foreach { f =>
       val r = new SSTableReader(f, st)
       bytes += r.dataLength
-      r.statistics match {
-        case Some(s) => rows += s.rowCount
+      // cells view: logical rows are cells (v2 stats), not SSTable rows
+      (if (cellsView) r.statistics.flatMap(_.cellStats).map(_.cellCount)
+       else r.statistics.map(_.rowCount)) match {
+        case Some(n) => rows += n
         case None => allRowsKnown = false
       }
     }
@@ -436,16 +502,20 @@ final class SSTableScan(path: String, requiredSchema: StructType,
   /** Streaming read: new SSTable generations become micro-batches (the
     * Cassandra flush-ingestion model — see [[SSTableMicroBatchStream]]). */
   override def toMicroBatchStream(checkpointLocation: String):
-      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(!cellsView, "the cells view is batch-only: stream the default view")
     new SSTableMicroBatchStream(path, requiredSchema, targetSplitBytes,
       ttlAsOfMs, serConf)
+  }
   override def description(): String = {
     val prune = if (keyLo.isDefined || keyHi.isDefined) " keyRangePruned" else ""
     val keyOnly =
-      if (!requiredSchema.fieldNames.exists(n => n == "columns" || n == "rowTombstone"))
+      if (!cellsView &&
+          !requiredSchema.fieldNames.exists(n => n == "columns" || n == "rowTombstone"))
         " indexOnly" else ""
+    val view = if (cellsView) " view=cells" else ""
     val ttl = ttlAsOfMs.map(ms => s" ttlAsOf=$ms").getOrElse("")
-    s"sstable $path$prune$keyOnly$ttl"
+    s"sstable $path$prune$keyOnly$view$ttl"
   }
 
   /** Per-file planning is independent metadata work (Summary walk +
@@ -463,7 +533,7 @@ final class SSTableScan(path: String, requiredSchema: StructType,
       hostsFromIndex = false)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new SSTableReaderFactory(requiredSchema, ttlAsOfMs, serConf)
+    new SSTableReaderFactory(requiredSchema, ttlAsOfMs, serConf, cellsView)
 }
 
 object SSTableScan {
@@ -564,19 +634,59 @@ object SSTableScan {
 
 final class SSTableReaderFactory(requiredSchema: StructType,
                                  ttlAsOfMs: Option[Long],
-                                 serConf: Option[SerializableHadoopConf] = None)
+                                 serConf: Option[SerializableHadoopConf] = None,
+                                 cellsView: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[SSTablePartition]
     val storage = serConf.map(c => new HadoopStorage(c.value): Storage)
       .getOrElse(LocalStorage)
+    // cells view always decodes Data.db: even a key-only projection has
+    // per-CELL multiplicity only the row bodies know
+    if (cellsView)
+      new SSTableCellReader(p, requiredSchema, ttlAsOfMs, storage)
     // rowTombstone also lives in Data.db, so its presence forces the row
     // reader; only pure-key projections may take the Index.db-only path
-    if (requiredSchema.fieldNames.exists(n => n == "columns" || n == "rowTombstone"))
+    else if (requiredSchema.fieldNames.exists(n => n == "columns" || n == "rowTombstone"))
       new SSTableRowReader(p, requiredSchema, ttlAsOfMs, storage)
     else
       new SSTableKeyOnlyReader(p, requiredSchema, storage)
   }
+}
+
+/** Cells-view reader: one output row per column cell (the source-side
+  * explode — SURVEY §2.3-P2 at the scan). Row tombstones are not cells
+  * and are not emitted; `ttlAsOfMs` drops expired EXPIRING cells like
+  * the row reader. */
+final class SSTableCellReader(p: SSTablePartition, requiredSchema: StructType,
+                              ttlAsOfMs: Option[Long] = None,
+                              storage: Storage = LocalStorage)
+    extends PartitionReader[InternalRow] {
+  private val table = new SSTableReader(p.dataPath, storage)
+  private val reader = table.rows(p.start, p.end)
+  private var key: Array[Byte] = _
+  private var cells: Iterator[Column] = Iterator.empty
+  private var current: InternalRow = _
+  private def live(c: Column): Boolean = ttlAsOfMs match {
+    case None => true
+    case Some(asOf) => c match {
+      case Column.Expiring(_, _, _, exp, _) => exp > asOf
+      case _ => true
+    }
+  }
+  @annotation.tailrec
+  override final def next(): Boolean =
+    if (cells.hasNext) {
+      current = SSTableSchema.cellToInternal(key, cells.next(), requiredSchema)
+      true
+    } else if (reader.hasNext) {
+      val row = reader.next()
+      key = row.key
+      cells = row.columns.iterator.filter(live)
+      next()
+    } else false
+  override def get(): InternalRow = current
+  override def close(): Unit = reader.close()
 }
 
 /** Full-row reader over the partition's Data.db byte range. With

@@ -223,9 +223,9 @@ class GoldenFormatSpec extends AnyFunSuite {
       Files.readAllBytes(Paths.get(
         SSTableFiles.sibling(data, SSTableFiles.StatisticsSuffix)))))
     assert(in.readInt() == 0x47525354) // 'GRST'
-    assert(in.readInt() == 1) // version
-    assert(in.readLong() == 1000L) // min cell timestamp
-    assert(in.readLong() == 4000L) // max cell timestamp
+    assert(in.readInt() == 2) // version (v2: + cell statistics)
+    assert(in.readLong() == 1000L) // min shadowing timestamp
+    assert(in.readLong() == 4000L) // max shadowing timestamp
     assert(in.readUnsignedShort() == 5)
     val mn = new Array[Byte](5); in.readFully(mn)
     assert(new String(mn) == "apple")
@@ -234,6 +234,26 @@ class GoldenFormatSpec extends AnyFunSuite {
     assert(new String(mx) == "cherry")
     assert(in.readLong() == 3L) // rows
     assert(in.readLong() == 1L) // tombstones: banana's DELETED cell
+    assert(in.readLong() == 4L) // cells: 2 + 1 + 1
+    assert(in.readLong() == 1000L) // min cell timestamp
+    assert(in.readLong() == 4000L) // max cell timestamp
     assert(in.available() == 0)
+  }
+
+  test("a v1 Statistics.db still reads (cellStats absent)") {
+    // previous releases wrote version 1 without cell statistics; those
+    // sidecars must keep serving row-level consumers, with cell-level
+    // consumers declining
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(0x47525354); out.writeInt(1)
+    out.writeLong(10L); out.writeLong(20L)
+    out.writeShort(1); out.write("a".getBytes)
+    out.writeShort(1); out.write("z".getBytes)
+    out.writeLong(7L); out.writeLong(2L)
+    val got = StatisticsFile.read(new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray))).get
+    assert(got.rowCount == 7L && got.tombstoneCount == 2L)
+    assert(got.cellStats.isEmpty)
   }
 }

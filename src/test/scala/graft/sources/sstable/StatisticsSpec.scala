@@ -34,11 +34,13 @@ class StatisticsSpec extends AnyFunSuite {
   }
 
   test("statistics codec round-trips; foreign/truncated layouts read as None") {
-    val s = SSTableStatistics(12L, 9876543210L, "aa".getBytes, "zz".getBytes, 41L, 7L)
+    val s = SSTableStatistics(12L, 9876543210L, "aa".getBytes, "zz".getBytes, 41L, 7L,
+      Some(CellStatistics(100L, 12L, 9876543210L)))
     val got = roundTrip(s).get
     assert(got.minTimestamp == 12L && got.maxTimestamp == 9876543210L)
     assert(new String(got.minKey) == "aa" && new String(got.maxKey) == "zz")
     assert(got.rowCount == 41L && got.tombstoneCount == 7L)
+    assert(got.cellStats.contains(CellStatistics(100L, 12L, 9876543210L)))
 
     // no magic (a real Cassandra 1.2 Statistics.db opens with histogram
     // bucket counts, never 'GRST') → recognized as foreign, not a throw
@@ -69,6 +71,8 @@ class StatisticsSpec extends AnyFunSuite {
     assert(s.minTimestamp == 90L && s.maxTimestamp == 300L)
     assert(new String(s.minKey) == "a" && new String(s.maxKey) == "z")
     assert(s.rowCount == 3 && s.tombstoneCount == 3) // Deleted + range + row
+    // cell stats (v2) exclude the row tombstone's mfda=300
+    assert(s.cellStats.contains(CellStatistics(3L, 90L, 250L)))
     assert(s.mightContainKey("m".getBytes) && !s.mightContainKey("zz".getBytes))
 
     val dir2 = Files.createTempDirectory("stats-live").toString

@@ -421,6 +421,95 @@ class SSTableSourceSpec extends AnyFunSuite {
     assert(noStats.count() == 600)
   }
 
+  test("cells view: one row per cell, equal to the explode of the default view") {
+    val dir = freshDir()
+    writeFixture(dir) // 500 rows x 2 cells
+    val cells = spark.read.format("sstable").option("view", "cells").load(dir)
+    assert(cells.schema == SSTableSchema.cellsSchema)
+    assert(cells.count() == 1000)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("key").cast("string"), col("name").cast("string"),
+        col("state"), coalesce(col("value").cast("string"), lit("<null>")),
+        col("timestamp"), col("ttlSecs"), col("expiresMillis"))
+        .collect().map(_.toString).sorted.toSeq
+    val exploded = spark.read.format("sstable").load(dir)
+      .select(col("key"), explode(col("columns")).as("c")).select("key", "c.*")
+    assert(canon(cells) == canon(exploded), "cells view must equal explode")
+
+    // key filters prune cells-view partitions through the same machinery
+    val base = spark.read.format("sstable").option("view", "cells")
+      .option("targetSplitBytes", "2000").load(dir)
+    val pruned = base.filter(col("key") >= lit("key00100".getBytes) &&
+      col("key") <= lit("key00120".getBytes))
+    assert(pruned.rdd.getNumPartitions < base.rdd.getNumPartitions,
+      "key-range pruning must apply to the cells view")
+    assert(pruned.count() == 42)
+
+    // ttlAsOf drops expired EXPIRING cells during decode
+    val live = spark.read.format("sstable").option("view", "cells")
+      .option("ttlAsOfMs", "1800000000000").load(dir)
+    assert(live.count() == 1000 - 428)
+
+    // read-only, batch-only surface (rejection surfaces as an analysis
+    // error when Spark validates the write schema against the table)
+    intercept[Exception] {
+      spark.range(1).selectExpr("cast(id as binary) key")
+        .write.format("sstable").option("view", "cells").mode("append").save(dir)
+    }
+  }
+
+  test("cells view: count(*)/min/max(timestamp) answered from v2 Statistics.db") {
+    val dir = freshDir()
+    writeFixture(dir) // cell timestamps 0 .. 501
+    val cells = spark.read.format("sstable").option("view", "cells").load(dir)
+    val aggDf = cells.agg(count(lit(1)).as("n"),
+      min(col("timestamp")).as("mn"), max(col("timestamp")).as("mx"))
+    // run LOGICAL optimization first: the aggregate pushdown happens here
+    // (and, before the ADVICE r5 fix, so did the value computation) —
+    // executedPlan is deliberately NOT touched yet, because building the
+    // physical scan is what plans partitions
+    aggDf.queryExecution.optimizedPlan // (the statsOnlyAggregate assert below proves it pushed)
+
+    // ADVICE r5: values are computed at BATCH PLANNING, not pushdown — a
+    // flush landing between pushdown and execution is seen
+    val w = new SSTableWriter(s"$dir/later-Data.db", compress = false,
+      summaryInterval = 8)
+    w.append(SSTableRow("zzz".getBytes,
+      Seq(Column.Normal("c9".getBytes, "v".getBytes, 9999L))))
+    w.close()
+    val row = aggDf.collect().head
+    assert(row.getLong(0) == 1001 && row.getLong(1) == 0L && row.getLong(2) == 9999L,
+      "executed aggregate must reflect the post-pushdown flush")
+    val plan = aggDf.queryExecution.executedPlan.toString
+    assert(plan.contains("statsOnlyAggregate"),
+      s"expected the pushed-down aggregate scan, plan:\n$plan")
+    assert(!plan.contains("-Data.db"), "no data files in a stats-only plan")
+
+    // a v1 sidecar (no cell stats) declines: normal scan, same answer
+    val statsPath = s"$dir/fix-Statistics.db"
+    val fos = new java.io.DataOutputStream(new java.io.FileOutputStream(statsPath))
+    fos.writeInt(0x47525354); fos.writeInt(1) // v1
+    fos.writeLong(0L); fos.writeLong(501L)
+    fos.writeShort(8); fos.write("key00000".getBytes)
+    fos.writeShort(8); fos.write("key00499".getBytes)
+    fos.writeLong(500L); fos.writeLong(72L)
+    fos.close()
+    SSTableMetadataCache.clear()
+    val declined = spark.read.format("sstable").option("view", "cells").load(dir)
+      .agg(count(lit(1)).as("n"), max(col("timestamp")).as("mx"))
+    val plan2 = declined.queryExecution.executedPlan.toString
+    assert(!plan2.contains("statsOnlyAggregate"),
+      "v1 statistics must decline the cells-view aggregate pushdown")
+    val r2 = declined.collect().head
+    assert(r2.getLong(0) == 1001 && r2.getLong(1) == 9999L)
+
+    // ttlAsOf changes cell multiplicity: always declined, still correct
+    val ttl = spark.read.format("sstable").option("view", "cells")
+      .option("ttlAsOfMs", "1800000000000").load(dir).agg(count(lit(1)).as("n"))
+    assert(!ttl.queryExecution.executedPlan.toString.contains("statsOnlyAggregate"))
+    assert(ttl.collect().head.getLong(0) == 1001 - 428)
+  }
+
   test("SQL DDL surface: CREATE TABLE ... USING sstable reads and writes") {
     val dir = freshDir()
     writeFixture(dir)
