@@ -7,15 +7,21 @@ import org.apache.spark.sql.functions._
   *
   * Contract: media travels as an opaque `payload: binary` column; derived
   * metadata is a typed struct column `meta` computed either (a) by
-  * codegen'd column expressions ([[withMeta]], cheap header-level fields) or
-  * (b) by a per-partition batch decoder ([[decodePartitions]], the shape a
-  * real decoder plugs into — one library init per partition, streaming over
-  * rows, never materializing the partition).
+  * codegen'd column expressions ([[withMeta]], cheap length-derived
+  * fields for payloads known to be non-image) or (b) by a per-partition
+  * batch decoder ([[decodePartitions]] → [[decode]], real header decode —
+  * one decoder init per partition, streaming over rows, never
+  * materializing the partition).
   *
-  * The actual pixel/sample decode requires native libs absent from this
-  * container; [[decodeStub]] is the STUB — a deterministic fake keyed on
-  * byte length so tests and the oracle can pin the plumbing end-to-end.
-  * Swap it for a real JNI/FFM decoder without touching any Spark code.
+  * [[decode]] is REAL for the formats the JDK ships readers for
+  * (PNG/JPEG/BMP/GIF/WBMP via `javax.imageio`, header-only — pixels are
+  * never decoded): width/height/frames come from the actual image
+  * header. Payloads no installed reader recognizes — video containers
+  * and arbitrary bytes; those codecs need native libs absent from this
+  * container — fall back to [[decodeStub]], a clearly-marked
+  * deterministic fake keyed on byte length so tests and the DuckDB
+  * oracle can pin the plumbing end-to-end. Swap the fallback for a real
+  * JNI/FFM video decoder without touching any Spark code.
   */
 object Multimodal {
 
@@ -23,16 +29,55 @@ object Multimodal {
   final case class MediaRow(doc_id: Long, payload: Array[Byte])
   final case class DecodedRow(doc_id: Long, meta: MediaMeta)
 
-  /** STUB decoder — deterministic fake of header parsing. A real
-    * implementation would hand `payload` to an image/audio library; the
-    * dimensions here are pure functions of the byte length so both the
-    * ScalaTest specs and the DuckDB oracle can verify the plumbing. */
+  /** STUB decoder — deterministic fake of header parsing, used only for
+    * payloads [[decode]] finds no JDK image reader for (video and junk
+    * bytes). Pure function of the byte length so both the ScalaTest
+    * specs and the DuckDB oracle can verify the plumbing. */
   def decodeStub(payload: Array[Byte]): MediaMeta = {
     val n = payload.length
     MediaMeta(n, 64 + (n * 7) % 1216, 64 + (n * 13) % 656, 1 + n % 30)
   }
 
-  /** Column-expression metadata (codegen'd, stays in whole-stage codegen). */
+  /** REAL header decode via the JDK's `javax.imageio` (pure JVM, no
+    * native libs): for any payload a shipped reader recognizes
+    * (PNG/JPEG/BMP/GIF/WBMP), width/height are read from the image
+    * header WITHOUT decoding pixels, and frames counts the container's
+    * images (multi-frame GIFs report their true frame count; single-image
+    * formats report 1). Unrecognized or corrupt payloads fall back to
+    * the deterministic stub — decode never throws on arbitrary bytes,
+    * the property a 100 TB ingest of scraped media needs. */
+  def decode(payload: Array[Byte]): MediaMeta = {
+    val n = payload.length
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    if (iis == null) return decodeStub(payload)
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) decodeStub(payload)
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          val w = r.getWidth(0)
+          val h = r.getHeight(0)
+          // allowSearch: the payload is an in-memory buffer, so counting a
+          // GIF's frames is a bounded header walk, not real IO
+          val frames = try r.getNumImages(true) catch {
+            case _: java.io.IOException => -1
+          }
+          MediaMeta(n, w, h, if (frames > 0) frames else 1)
+        } finally r.dispose()
+      }
+    } catch {
+      case _: java.io.IOException | _: RuntimeException => decodeStub(payload)
+    } finally iis.close()
+  }
+
+  /** Column-expression metadata (codegen'd, stays in whole-stage
+    * codegen) — the cheap tier for payloads KNOWN non-image (documents,
+    * synthetic fixtures), where the length-derived stub fields apply.
+    * Image payloads belong on [[decodePartitions]], which decodes real
+    * headers. */
   def withMeta(df: DataFrame): DataFrame = {
     val n = length(col("payload")).cast("long")
     df.withColumn("meta", struct(
@@ -42,13 +87,14 @@ object Multimodal {
       (lit(1L) + n % 30).as("frames")))
   }
 
-  /** Per-partition batch decode: the real-decoder integration point.
-    * Initializes (stub) decoder state once per partition, then streams. */
+  /** Per-partition batch decode through [[decode]]: real image headers,
+    * stub fallback for everything else. */
   def decodePartitions(ds: Dataset[MediaRow]): Dataset[DecodedRow] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { rows =>
-      // one-time per-partition decoder init would go here
-      rows.map(r => DecodedRow(r.doc_id, decodeStub(r.payload)))
+      // one-time per-partition decoder state (javax.imageio registry is
+      // JVM-global; a native decoder would init here)
+      rows.map(r => DecodedRow(r.doc_id, decode(r.payload)))
     }
   }
 

@@ -5,11 +5,12 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** Multimodal-column plumbing: media payloads ride as opaque `binary`
-  * columns with a typed metadata struct alongside. The real decode
-  * (image/audio libs) is not available in this container, so
-  * [[graft.operators.Multimodal.decodeStub]] is a clearly-marked
-  * deterministic fake — the Spark-side schema, partitioning, and batch
-  * shape are real and tested (see MultimodalSpec).
+  * columns with a typed metadata struct alongside.
+  * [[graft.operators.Multimodal.decode]] reads REAL image headers for
+  * the JDK-shipped formats (PNG/JPEG/BMP/GIF via javax.imageio); these
+  * oracle queries use text payloads (non-image by construction), so the
+  * oracle-visible dimensions come from the documented length-derived
+  * fallback on both sides — see MultimodalSpec for the real decodes.
   */
 object MultimodalQueries {
 

@@ -53,6 +53,64 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r.features(0) == ((10L * 3) % 997).toFloat / 997f)
   }
 
+  private def image(w: Int, h: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h)
+      img.setRGB(x, y, (x * 31 + y * 17) & 0xffffff)
+    img
+  }
+
+  private def imageBytes(fmt: String, w: Int, h: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(image(w, h), fmt, bos), s"no $fmt writer")
+    bos.toByteArray
+  }
+
+  test("decode reads REAL PNG/JPEG/BMP/GIF headers (pure JDK, no pixels)") {
+    for ((fmt, w, h) <- Seq(("png", 320, 200), ("jpg", 64, 48),
+        ("bmp", 17, 23), ("gif", 5, 9))) {
+      val bytes = imageBytes(fmt, w, h)
+      assert(Multimodal.decode(bytes) == MediaMeta(bytes.length, w, h, 1),
+        s"$fmt header decode")
+    }
+  }
+
+  test("decode counts a multi-frame GIF's true frame count") {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    (0 until 3).foreach { _ =>
+      writer.writeToSequence(
+        new javax.imageio.IIOImage(image(12, 7), null, null), null)
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    val bytes = bos.toByteArray
+    assert(Multimodal.decode(bytes) == MediaMeta(bytes.length, 12, 7, 3))
+  }
+
+  test("unrecognized and corrupt payloads fall back to the deterministic stub") {
+    val junk = Array.tabulate(37)(_.toByte)
+    assert(Multimodal.decode(junk) == decodeStub(junk))
+    val truncated = imageBytes("png", 10, 10).take(12) // magic, no IHDR
+    assert(Multimodal.decode(truncated) == decodeStub(truncated))
+    assert(Multimodal.decode(Array.emptyByteArray) == decodeStub(Array.emptyByteArray))
+  }
+
+  test("decodePartitions decodes image rows for real, stubs the rest") {
+    import spark.implicits._
+    val png = imageBytes("png", 33, 21)
+    val junk = Array.fill(25)(9.toByte)
+    val ds = spark.createDataset(Seq(MediaRow(1L, png), MediaRow(2L, junk)))
+    val got = decodePartitions(ds).collect().map(r => r.doc_id -> r.meta).toMap
+    assert(got(1L) == MediaMeta(png.length, 33, 21, 1), "real image header")
+    assert(got(2L) == decodeStub(junk), "non-image payload stubs")
+  }
+
   test("decodePartitions preserves partitioning (no shuffle)") {
     import spark.implicits._
     val ds = spark.createDataset((0 until 64).map(i => MediaRow(i.toLong, Array(i.toByte))))
