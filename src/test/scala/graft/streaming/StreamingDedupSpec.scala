@@ -65,4 +65,39 @@ class StreamingDedupSpec extends AnyFunSuite {
     val ids = spark.table("dedup_near").select("doc_id").as[Long].collect().sorted
     assert(ids.toSeq == Seq(1L, 3L, 4L), s"got ${ids.mkString(", ")}")
   }
+
+  test("streaming exact dedup equals batch exact dedup on sf0.001 (oracle twin)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    // batch twin = q_dedup_docs' grouping: one survivor per content digest
+    val batchDigests = graft.Tables.documents(spark, d)
+      .select(md5(col("text")).as("h")).distinct().as[String].collect().toSet
+
+    val docs = graft.Tables.documents(spark, d)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .sortBy(_._1)
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val stream = input.toDF().toDF("doc_id", "text", "ts")
+    val q = StreamingDedup.exactDedup(stream, watermark = "1 day")
+      .writeStream.outputMode("append").format("memory").queryName("dedup_twin")
+      .option("checkpointLocation", Files.createTempDirectory("sdt-ck").toString)
+      .start()
+    // all docs share one event-time instant: every duplicate is inside the
+    // horizon, so the streaming survivors must be exactly one per digest
+    val at = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    input.addData(docs.map { case (id, tx) => (id, tx, at) }.toIndexedSeq)
+    q.processAllAvailable()
+    // replaying the first 100 docs is all-duplicate content: zero new rows
+    input.addData(docs.take(100).map { case (id, tx) => (id, tx, at) }.toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("dedup_twin")
+      .select(md5(col("text")).as("h")).as[String].collect()
+    assert(got.length == batchDigests.size,
+      s"one survivor per digest: got ${got.length}, want ${batchDigests.size}")
+    assert(got.toSet == batchDigests, "survivor content must cover every batch digest")
+  }
 }

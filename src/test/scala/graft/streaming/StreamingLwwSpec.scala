@@ -73,4 +73,44 @@ class StreamingLwwSpec extends AnyFunSuite {
     assert(last.value == "v2" && last.ts == 200L)
     assert(last.superseded == 2L) // the stale write AND the replaced v1
   }
+
+  test("streaming latestPerCell equals the batch LWW merge on sf0.001 (oracle twin)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val ev = graft.Tables.events(spark, d)
+      .select(col("user_id").cast("string").as("key"),
+        col("event_type").as("name"),
+        col("value").cast("string").as("value"),
+        col("ts_ms").as("ts"))
+    val batch = graft.operators.WideRowOps
+      .latestPerCell(ev, Seq("key"), "name", "ts")
+      .select("key", "name", "value", "ts")
+      .as[(String, String, String, Long)].collect().toSet
+
+    val rows = ev.as[(String, String, String, Long)].collect()
+    val input = MemoryStream[(String, String, String, Long)]
+    val q = StreamingLww.latestPerCell(input.toDF().toDF("key", "name", "value", "ts"))
+      .writeStream.outputMode("update").format("memory").queryName("lww_twin")
+      .option("checkpointLocation", Files.createTempDirectory("lwt-ck").toString)
+      .start()
+    // three arrival chunks (update mode re-emits a cell whenever a newer
+    // write lands); arrival order must not matter, so feed ts-descending
+    rows.sortBy(-_._4).grouped(math.max(1, rows.length / 3 + 1)).foreach { chunk =>
+      input.addData(chunk.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    // final state per cell = the newest emission = max (ts, value)
+    val got = spark.table("lww_twin")
+      .groupBy("key", "name")
+      .agg(max_by(struct(col("value"), col("ts")), struct(col("ts"), col("value")))
+        .as("w"))
+      .select(col("key"), col("name"), col("w.value"), col("w.ts"))
+      .as[(String, String, String, Long)].collect().toSet
+    assert(got == batch,
+      s"streaming != batch: only-streaming=${(got -- batch).take(3)} only-batch=${(batch -- got).take(3)}")
+  }
 }
