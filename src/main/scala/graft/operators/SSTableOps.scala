@@ -660,8 +660,24 @@ object SSTableOps {
     * passes — the 1.2-era format carries no per-row checksum (real
     * Cassandra pairs the file with Digest.sha1). Compressed files fare
     * better: every chunk is Adler32-verified on read, so payload
-    * corruption there fails loudly and lands in `error`. */
-  def scrub(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    * corruption there fails loudly and lands in `error`.
+    *
+    * REPAIR mode (`repair = true`, VERDICT r5 #5 — Cassandra's
+    * `sstablescrub`): a generation that fails decode or sort order is
+    * salvaged instead of just reported — the decodable good prefix
+    * (re-sorted if that's the damage) is rewritten as a fresh staged
+    * generation in the same directory, published siblings-first/
+    * Data.db-last, and only then is the corrupt fileset unpublished
+    * Data.db-first — readers see old-then-new, never neither, and a
+    * crash mid-repair leaves the corrupt original still in place plus
+    * at worst an invisible `_scrub-*` staging dir. The salvage decodes
+    * at most one generation per task (truncation streams row-by-row; a
+    * sort repair buffers the file's rows — a rare admin action, priced
+    * honestly). Healthy generations are never touched. Output gains
+    * `repairedTo` (the new Data.db, or null = not repaired /
+    * nothing salvageable) and `repairError`. */
+  def scrub(spark: org.apache.spark.sql.SparkSession, dir: String,
+            repair: Boolean = false): DataFrame = {
     import graft.sources.sstable.{HadoopStorage, LocalStorage, SSTableFiles, SSTableReader, SerializableHadoopConf, Storage}
     import spark.implicits._
     val serConf: Option[SerializableHadoopConf] =
@@ -698,8 +714,82 @@ object SSTableOps {
             (rows == 0 || (java.util.Arrays.equals(s.minKey, minKey) &&
               java.util.Arrays.equals(s.maxKey, lastKey)))
         }
-        (f, rows, sorted, statsMatch, Option(error))
+        var repairedTo: Option[String] = None
+        var repairError: Option[String] = None
+        if (repair && (error != null || !sorted)) {
+          try repairedTo = repairGeneration(f, storage, resort = !sorted)
+          catch {
+            case e: Exception =>
+              repairError = Some(s"${e.getClass.getSimpleName}: ${e.getMessage}")
+          }
+        }
+        (f, rows, sorted, statsMatch, Option(error), repairedTo, repairError)
       }
-      .toDF("file", "rows", "sorted", "statsMatch", "error")
+      .toDF("file", "rows", "sorted", "statsMatch", "error",
+        "repairedTo", "repairError")
+  }
+
+  /** Salvage one corrupt generation: stream its decodable rows into a
+    * fresh staged fileset (sorting them first when the damage is order,
+    * not truncation), publish siblings-first/Data.db-last under a
+    * scrub-unique name, then unpublish the corrupt original
+    * Data.db-first. Returns the new Data.db path, or None (original
+    * unpublished, nothing written) when no row is salvageable. */
+  private def repairGeneration(f: String,
+                               storage: graft.sources.sstable.Storage,
+                               resort: Boolean): Option[String] = {
+    import graft.sources.sstable.{LocalStorage, SSTableFiles, SSTableReader, SSTableRow, SSTableWriter}
+    val r = new SSTableReader(f, storage)
+    val dirPath = f.substring(0, f.lastIndexOf('/'))
+    val baseName = f.substring(f.lastIndexOf('/') + 1)
+      .dropRight(SSTableFiles.DataSuffix.length)
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val stagingDir = s"$dirPath/_scrub-$tag"
+    storage match {
+      case LocalStorage => new java.io.File(stagingDir).mkdirs()
+      case _ => // Hadoop create() makes parents
+    }
+    val stagedData = s"$stagingDir/$baseName-scrub-$tag${SSTableFiles.DataSuffix}"
+
+    // decode the good prefix; the first structural failure ends the salvage
+    def salvageable: Iterator[SSTableRow] = {
+      val it = r.rows()
+      new Iterator[SSTableRow] {
+        private var nextRow: SSTableRow = advance()
+        private def advance(): SSTableRow =
+          try { if (it.hasNext) it.next() else { it.close(); null } }
+          catch { case _: Exception => it.close(); null }
+        def hasNext: Boolean = nextRow != null
+        def next(): SSTableRow = { val row = nextRow; nextRow = advance(); row }
+      }
+    }
+    val rows: Iterator[SSTableRow] =
+      if (resort) salvageable.toVector
+        .sortWith((a, b) => SSTableFiles.compareKeys(a.key, b.key) < 0).iterator
+      else salvageable
+
+    var wrote = false
+    if (rows.hasNext) {
+      val w = new SSTableWriter(stagedData,
+        compress = r.compressionInfo.isDefined, storage = storage)
+      try { rows.foreach(w.append); wrote = true } finally w.close()
+    }
+    val published = s"$dirPath/$baseName-scrub-$tag${SSTableFiles.DataSuffix}"
+    if (wrote) {
+      SSTableFiles.PublishOrderSuffixes.foreach { suf =>
+        val src = SSTableFiles.sibling(stagedData, suf)
+        if (storage.exists(src))
+          storage.rename(src, SSTableFiles.sibling(published, suf))
+      }
+    }
+    storage match {
+      case LocalStorage => new java.io.File(stagingDir).delete()
+      case h: graft.sources.sstable.HadoopStorage => h.deleteRecursive(stagingDir)
+      case _ =>
+    }
+    // the good data is visible (or nothing was salvageable): now — and
+    // only now — drop the corrupt fileset, Data.db first
+    SSTableFiles.unpublish(storage, f)
+    if (wrote) Some(published) else None
   }
 }

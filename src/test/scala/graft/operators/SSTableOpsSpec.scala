@@ -897,6 +897,107 @@ class SSTableOpsSpec extends AnyFunSuite {
     assert(!victim.getBoolean(3), "stats cannot match a truncated decode")
   }
 
+  test("scrub repair: truncated generation salvages its good prefix (VERDICT r5 #5)") {
+    import graft.sources.sstable.{Column, SSTableRow, SSTableWriter}
+    val dir = Files.createTempDirectory("scrub-repair").toString
+    def gen(d: String, stem: String, n: Int, from: Int = 0): Unit = {
+      val w = new SSTableWriter(s"$d/$stem-Data.db", compress = false,
+        summaryInterval = 4)
+      (from until n).foreach(i => w.append(SSTableRow(f"$stem-k$i%04d".getBytes,
+        Seq(Column.Normal("c".getBytes, s"v$i".getBytes, i.toLong)))))
+      w.close()
+    }
+    gen(dir, "clean", 100)
+    gen(dir, "victim", 100)
+    val raf = new java.io.RandomAccessFile(s"$dir/victim-Data.db", "rw")
+    raf.setLength(raf.length() - 10)
+    raf.close()
+    graft.sources.sstable.SSTableMetadataCache.clear()
+
+    val rep = SSTableOps.scrub(spark, dir, repair = true).collect()
+      .map(r => r.getString(0).split('/').last -> r).toMap
+    val victim = rep("victim-Data.db")
+    assert(!victim.isNullAt(4), "corruption still reported")
+    val salvaged = victim.getLong(1)
+    assert(salvaged > 0 && salvaged < 100)
+    assert(!victim.isNullAt(5), "repairedTo must name the salvage generation")
+    assert(victim.isNullAt(6), s"repair must succeed: ${victim.get(6)}")
+    assert(rep("clean-Data.db").isNullAt(5), "healthy generations are not rewritten")
+
+    // the corrupt fileset is gone; the directory scans end-to-end with
+    // exactly the decodable rows
+    graft.sources.sstable.SSTableMetadataCache.clear()
+    val names = graft.sources.sstable.SSTableReader.listDataFiles(dir)
+      .map(_.split('/').last)
+    assert(!names.contains("victim-Data.db") && names.size == 2, s"$names")
+    val keys = spark.read.format("sstable").load(dir)
+      .select(col("key").cast("string")).as[String].collect()
+    assert(keys.count(_.startsWith("clean")) == 100)
+    assert(keys.count(_.startsWith("victim")) == salvaged)
+
+    // diffDirs against a freshly-written expected state confirms the
+    // survivors are bit-equal: clean + the victim prefix
+    val expect = Files.createTempDirectory("scrub-expect").toString
+    gen(expect, "clean", 100)
+    gen(expect, "victim", salvaged.toInt)
+    assert(SSTableOps.diffDirs(spark, dir, expect).count() == 0,
+      "repaired directory must equal the expected survivor state")
+  }
+
+  test("scrub repair: an out-of-order generation is re-sorted; hopeless one just unpublishes") {
+    import graft.sources.sstable.{Column, SSTableRow, SSTableWriter}
+    val tmp = Files.createTempDirectory("scrub-sort-src").toString
+    def gen(d: String, stem: String, keys: Seq[String]): Unit = {
+      val w = new SSTableWriter(s"$d/$stem-Data.db", compress = false,
+        summaryInterval = 4)
+      keys.foreach(k => w.append(SSTableRow(k.getBytes,
+        Seq(Column.Normal("c".getBytes, "v".getBytes, 1L)))))
+      w.close()
+    }
+    gen(tmp, "z", (0 until 30).map(i => f"z-k$i%04d"))
+    gen(tmp, "m", (0 until 30).map(i => f"m-k$i%04d"))
+    // hand-build an unsorted generation: z's rows then m's rows in one
+    // Data.db (rows are self-delimiting; header length is 0), under z's
+    // siblings — sequential decode works, order is broken
+    val dir = Files.createTempDirectory("scrub-sort").toString
+    val zBytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$tmp/z-Data.db"))
+    val mBytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$tmp/m-Data.db"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/weird-Data.db"),
+      zBytes ++ mBytes)
+    for (suf <- Seq("-Index.db", "-Summary.db"))
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$tmp/z$suf"),
+        java.nio.file.Paths.get(s"$dir/weird$suf"))
+    graft.sources.sstable.SSTableMetadataCache.clear()
+
+    val rep = SSTableOps.scrub(spark, dir, repair = true).collect()
+    assert(rep.length == 1 && !rep.head.getBoolean(2), "must detect unsorted")
+    assert(!rep.head.isNullAt(5), "unsorted generation must be repaired")
+    graft.sources.sstable.SSTableMetadataCache.clear()
+    val keys = spark.read.format("sstable").load(dir)
+      .select(col("key").cast("string")).as[String].collect()
+    assert(keys.length == 60 && keys.count(_.startsWith("z-")) == 30
+      && keys.count(_.startsWith("m-")) == 30, s"got ${keys.length}")
+    // the rewritten generation satisfies a fresh scrub
+    val clean = SSTableOps.scrub(spark, dir).collect()
+    assert(clean.forall(r => r.getBoolean(2) && r.isNullAt(4)))
+
+    // hopeless: a generation whose FIRST row is already undecodable has
+    // nothing to salvage — repair unpublishes it and writes nothing
+    val dir2 = Files.createTempDirectory("scrub-hopeless").toString
+    gen(dir2, "dead", (0 until 10).map(i => f"d-k$i%04d"))
+    val raf = new java.io.RandomAccessFile(s"$dir2/dead-Data.db", "rw")
+    raf.setLength(3) // not even one row header
+    raf.close()
+    graft.sources.sstable.SSTableMetadataCache.clear()
+    val rep2 = SSTableOps.scrub(spark, dir2, repair = true).collect()
+    assert(rep2.head.getLong(1) == 0 && rep2.head.isNullAt(5))
+    graft.sources.sstable.SSTableMetadataCache.clear()
+    assert(graft.sources.sstable.SSTableReader.listDataFiles(dir2).isEmpty,
+      "nothing salvageable: the corrupt fileset is simply unpublished")
+  }
+
   test("exportCompacted emits one base64 line per row (E1 pipeline)") {
     val df = widerows(
       "r1" -> Seq(col3("a", "NORMAL", "x", 10)),
