@@ -102,6 +102,20 @@ object SSTableDemo {
       s"[${tsRow.getLong(1)}, ${tsRow.getLong(2)}] " +
       (if (tsPushed) "(stats-only plan, zero data IO)" else "(scan fallback)"))
 
+    // bucketed layout: hash(key) buckets written one generation each;
+    // the bucketed read reports key-grouped partitioning, so the LWW
+    // merge's aggregations are satisfied from storage — zero exchange
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val bucketDir = s"$dir-bucketed"
+    operators.SSTableOps.writeBucketed(df, bucketDir, buckets = 8)
+    val bucketScan = spark.read.format("sstable").option("buckets", "8").load(bucketDir)
+    val bucketMerged = operators.SSTableOps.compactRows(bucketScan)
+    val mergedRows = bucketMerged.count()
+    val exchanges = "Exchange".r
+      .findAllIn(bucketMerged.queryExecution.executedPlan.toString).length
+    println(s"== bucketed merge: $mergedRows rows over 8 buckets, " +
+      s"$exchanges exchanges in the compaction plan (want 0)")
+
     // runtime (join-driven) split pruning: a plain SQL join against a
     // small filtered dim hands the dim's keys to the scan at runtime
     // (dynamic pruning) — same Summary/bloom pruning as lookupJoin, but

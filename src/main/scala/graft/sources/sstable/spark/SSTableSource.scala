@@ -37,10 +37,14 @@ import graft.sources.sstable._
   */
 class SSTableSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "sstable"
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    if (SSTableSource.isCellsView(Option(options.get(SSTableSource.ViewOption))))
-      SSTableSchema.cellsSchema
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val cells = SSTableSource.isCellsView(Option(options.get(SSTableSource.ViewOption)))
+    val buckets = SSTableSource.bucketsOf(Option(options.get(SSTableSource.BucketsOption)))
+    require(!(cells && buckets.isDefined), "view=cells and buckets are exclusive")
+    if (cells) SSTableSchema.cellsSchema
+    else if (buckets.isDefined) SSTableSchema.bucketedSchema
     else SSTableSchema.schema
+  }
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
     new SSTableTable(properties.asScala.toMap)
@@ -88,6 +92,25 @@ object SSTableSource {
     case Some(other) => throw new IllegalArgumentException(
       s"sstable option '$ViewOption' must be 'rows' or 'cells', got '$other'")
   }
+
+  /** Read option for directories laid out by
+    * [[graft.operators.SSTableOps.writeBucketed]]: declares the bucket
+    * count, adds the leading `_bucket` column, and makes the scan report
+    * key-grouped partitioning (one task per bucket) so key-clustered
+    * aggregations and joins skip their exchange. Read-side only. */
+  val BucketsOption = "buckets"
+  /** Published generation name prefix for bucket `b`: `bucket-NNNNN-`. */
+  private[graft] def bucketStem(b: Int): String = f"bucket-$b%05d-"
+  private[graft] val BucketNameRe = "bucket-(\\d{5})-.*".r
+
+  private[spark] def bucketsOf(v: Option[String]): Option[Int] = v.map { s =>
+    val n = try s.toInt catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"sstable option '$BucketsOption' must be an int, got '$s'")
+    }
+    require(n > 0, s"sstable option '$BucketsOption' must be positive: $n")
+    n
+  }
 }
 
 final class SSTableTable(properties: Map[String, String])
@@ -96,9 +119,13 @@ final class SSTableTable(properties: Map[String, String])
     throw new IllegalArgumentException("sstable source requires a path"))
   private def cellsView: Boolean =
     SSTableSource.isCellsView(properties.get(SSTableSource.ViewOption))
+  private def buckets: Option[Int] =
+    SSTableSource.bucketsOf(properties.get(SSTableSource.BucketsOption))
   override def name(): String = s"sstable(`$path`)"
   override def schema(): StructType =
-    if (cellsView) SSTableSchema.cellsSchema else SSTableSchema.schema
+    if (cellsView) SSTableSchema.cellsSchema
+    else if (buckets.isDefined) SSTableSchema.bucketedSchema
+    else SSTableSchema.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE,
@@ -107,6 +134,8 @@ final class SSTableTable(properties: Map[String, String])
     new SSTableScanBuilder(path, options)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(!cellsView, "the cells view is read-only: write the default view")
+    require(buckets.isEmpty,
+      "bucketed layouts are written by SSTableOps.writeBucketed, not the generic sink")
     new SSTableWriteBuilder(path, info, properties)
   }
 }
@@ -154,8 +183,13 @@ final class SSTableScanBuilder(path: String, options: CaseInsensitiveStringMap)
 
   private val cellsView =
     SSTableSource.isCellsView(Option(options.get(SSTableSource.ViewOption)))
+  private val bucketsOpt =
+    SSTableSource.bucketsOf(Option(options.get(SSTableSource.BucketsOption)))
+  require(!(cellsView && bucketsOpt.isDefined), "view=cells and buckets are exclusive")
   private def baseSchema: StructType =
-    if (cellsView) SSTableSchema.cellsSchema else SSTableSchema.schema
+    if (cellsView) SSTableSchema.cellsSchema
+    else if (bucketsOpt.isDefined) SSTableSchema.bucketedSchema
+    else SSTableSchema.schema
   private var requiredSchema: StructType = baseSchema
   private var pushed: Array[Filter] = Array.empty
   private val bounds = new KeyBounds
@@ -222,6 +256,9 @@ final class SSTableScanBuilder(path: String, options: CaseInsensitiveStringMap)
       return false
     if (cellsView && longOption(SSTableSource.TtlAsOfMsOption).isDefined)
       return false
+    // bucketed reads never push aggregates: a stats-only answer would
+    // bypass the loud bucket-layout validation the scan performs
+    if (bucketsOpt.isDefined) return false
     // (schema field, value kind) per aggregate, or None = unsupported
     val mapped: Seq[Option[(StructField, SSTableAggScan.AggKind)]] =
       agg.aggregateExpressions.toSeq.map {
@@ -272,7 +309,7 @@ final class SSTableScanBuilder(path: String, options: CaseInsensitiveStringMap)
     val planThreshold = longOption(SSTableSource.PlanningThresholdOption)
       .map(_.toInt).getOrElse(SSTableSource.DefaultDistributedPlanningThreshold)
     new SSTableScan(path, requiredSchema, bounds.lo, bounds.hi, target, ttlAsOf,
-      planThreshold, cellsView = cellsView)
+      planThreshold, cellsView = cellsView, buckets = bucketsOpt)
   }
 }
 
@@ -415,9 +452,11 @@ final class SSTableScan(path: String, requiredSchema: StructType,
                         ttlAsOfMs: Option[Long] = None,
                         distributedPlanningThreshold: Int =
                           SSTableSource.DefaultDistributedPlanningThreshold,
-                        cellsView: Boolean = false)
+                        cellsView: Boolean = false,
+                        buckets: Option[Int] = None)
     extends Scan with Batch with SupportsRuntimeFiltering
-    with SupportsReportStatistics {
+    with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   /** Hadoop conf rides to executors only when the path needs the Hadoop
     * adapter (scheme present); plain local paths stay dependency-free. */
   private val serConf: Option[SerializableHadoopConf] =
@@ -451,7 +490,10 @@ final class SSTableScan(path: String, requiredSchema: StructType,
 
   override def filterAttributes(): Array[
       org.apache.spark.sql.connector.expressions.NamedReference] =
-    Array(org.apache.spark.sql.connector.expressions.Expressions.column("key"))
+    // bucketed scans decline runtime filtering: dropping whole buckets
+    // would contradict the declared key-grouped partitioning
+    if (buckets.isDefined) Array.empty
+    else Array(org.apache.spark.sql.connector.expressions.Expressions.column("key"))
 
   override def filter(filters: Array[Filter]): Unit = filters.foreach {
     case In("key", vs) =>
@@ -504,6 +546,7 @@ final class SSTableScan(path: String, requiredSchema: StructType,
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     require(!cellsView, "the cells view is batch-only: stream the default view")
+    require(buckets.isEmpty, "bucketed reads are batch-only")
     new SSTableMicroBatchStream(path, requiredSchema, targetSplitBytes,
       ttlAsOfMs, serConf)
   }
@@ -514,8 +557,9 @@ final class SSTableScan(path: String, requiredSchema: StructType,
           !requiredSchema.fieldNames.exists(n => n == "columns" || n == "rowTombstone"))
         " indexOnly" else ""
     val view = if (cellsView) " view=cells" else ""
+    val bkt = buckets.map(n => s" buckets=$n keyGrouped").getOrElse("")
     val ttl = ttlAsOfMs.map(ms => s" ttlAsOf=$ms").getOrElse("")
-    s"sstable $path$prune$keyOnly$view$ttl"
+    s"sstable $path$prune$keyOnly$view$bkt$ttl"
   }
 
   /** Per-file planning is independent metadata work (Summary walk +
@@ -526,14 +570,76 @@ final class SSTableScan(path: String, requiredSchema: StructType,
     * directories don't bottleneck on one machine's metadata round-trips
     * (SURVEY §3-E3; the reference ran planning as offline MR jobs for the
     * same reason). */
-  override def planInputPartitions(): Array[InputPartition] =
-    SSTableScan.planPartitions(storage.listDataFiles(path), serConf,
-      distributedPlanningThreshold, targetSplitBytes,
-      keyLo.map(_._1), keyHi.map(_._1), eqKey, runtimeKeys,
-      hostsFromIndex = false)
+  override def planInputPartitions(): Array[InputPartition] = buckets match {
+    case None =>
+      SSTableScan.planPartitions(storage.listDataFiles(path), serConf,
+        distributedPlanningThreshold, targetSplitBytes,
+        keyLo.map(_._1), keyHi.map(_._1), eqKey, runtimeKeys,
+        hostsFromIndex = false)
+    case Some(_) => bucketPartitions.toArray
+  }
+
+  /** Bucketed planning: ONE partition per bucket, each holding every
+    * split of that bucket's generations, carrying the bucket id as its
+    * partition key ([[HasPartitionKey]]) so Spark's key-grouped
+    * machinery sees storage-aligned clustering. Computed once — the
+    * declared [[outputPartitioning]] and the planned partitions must
+    * agree on the partition count. Key-range pruning still applies
+    * inside a bucket (an empty bucket still plans, preserving the
+    * count); runtime join filters are deliberately NOT applied here —
+    * they could drop whole buckets and break the declared partitioning.
+    * Every file must carry the `bucket-NNNNN-` stem with id < the
+    * declared count. */
+  private lazy val bucketPartitions: Seq[SSTableBucketPartition] = {
+    val n = buckets.get
+    val byBucket = storage.listDataFiles(path).groupBy { f =>
+      val name = f.substring(f.lastIndexOf('/') + 1)
+      name match {
+        case SSTableSource.BucketNameRe(b) =>
+          val id = b.toInt
+          require(id < n, s"bucket id $id >= declared bucket count $n: $f")
+          id
+        case _ => throw new IllegalArgumentException(
+          s"not a bucketed generation (want bucket-NNNNN-*): $f")
+      }
+    }
+    (0 until n).map { b =>
+      val splits = SSTableScan.planPartitions(
+        byBucket.getOrElse(b, Nil), serConf, distributedPlanningThreshold,
+        targetSplitBytes, keyLo.map(_._1), keyHi.map(_._1), eqKey, keys = None,
+        hostsFromIndex = false)
+      SSTableBucketPartition(b, splits.map(_.asInstanceOf[SSTablePartition]))
+    }
+  }
+
+  /** Key-grouped output for bucketed directories: partitions are
+    * clustered by the `_bucket` OUTPUT COLUMN (identity transform — no
+    * function catalog needed), one partition per bucket. Declared only
+    * when `_bucket` survives column pruning; a projection without it
+    * has nothing for Catalyst to match. */
+  override def outputPartitioning():
+      org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    buckets match {
+      case Some(n) if requiredSchema.fieldNames.contains("_bucket") =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(org.apache.spark.sql.connector.expressions.Expressions.identity("_bucket")), n)
+      case _ =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new SSTableReaderFactory(requiredSchema, ttlAsOfMs, serConf, cellsView)
+}
+
+/** One whole bucket of a bucketed directory: every split of its
+  * generations, scheduled as a single task keyed by the bucket id. */
+final case class SSTableBucketPartition(bucket: Int, splits: Array[SSTablePartition])
+    extends InputPartition with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bucket))
+  override def preferredLocations(): Array[String] =
+    splits.flatMap(_.preferredLocations()).distinct
 }
 
 object SSTableScan {
@@ -638,20 +744,62 @@ final class SSTableReaderFactory(requiredSchema: StructType,
                                  cellsView: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[SSTablePartition]
     val storage = serConf.map(c => new HadoopStorage(c.value): Storage)
       .getOrElse(LocalStorage)
-    // cells view always decodes Data.db: even a key-only projection has
-    // per-CELL multiplicity only the row bodies know
-    if (cellsView)
-      new SSTableCellReader(p, requiredSchema, ttlAsOfMs, storage)
-    // rowTombstone also lives in Data.db, so its presence forces the row
-    // reader; only pure-key projections may take the Index.db-only path
-    else if (requiredSchema.fieldNames.exists(n => n == "columns" || n == "rowTombstone"))
-      new SSTableRowReader(p, requiredSchema, ttlAsOfMs, storage)
-    else
-      new SSTableKeyOnlyReader(p, requiredSchema, storage)
+    partition match {
+      case bp: SSTableBucketPartition =>
+        new SSTableBucketReader(bp, requiredSchema, ttlAsOfMs, storage)
+      case _ =>
+        val p = partition.asInstanceOf[SSTablePartition]
+        // cells view always decodes Data.db: even a key-only projection has
+        // per-CELL multiplicity only the row bodies know
+        if (cellsView)
+          new SSTableCellReader(p, requiredSchema, ttlAsOfMs, storage)
+        // rowTombstone also lives in Data.db, so its presence forces the row
+        // reader; only pure-key projections may take the Index.db-only path
+        else if (requiredSchema.fieldNames.exists(n => n == "columns" || n == "rowTombstone"))
+          new SSTableRowReader(p, requiredSchema, ttlAsOfMs, storage)
+        else
+          new SSTableKeyOnlyReader(p, requiredSchema, storage)
+    }
   }
+}
+
+/** Bucketed-partition reader: chains the bucket's splits through the
+  * plain row reader and prepends the constant `_bucket` column when the
+  * projection kept it. */
+final class SSTableBucketReader(bp: SSTableBucketPartition,
+                                requiredSchema: StructType,
+                                ttlAsOfMs: Option[Long],
+                                storage: Storage)
+    extends PartitionReader[InternalRow] {
+  private val withBucket = requiredSchema.fieldNames.headOption.contains("_bucket")
+  private val innerSchema =
+    if (withBucket) StructType(requiredSchema.fields.drop(1)) else requiredSchema
+  private val bucketRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bp.bucket))
+  private var idx = 0
+  private var current: PartitionReader[InternalRow] = _
+  private def nextReader(): Boolean = {
+    if (current != null) { current.close(); current = null }
+    if (idx >= bp.splits.length) false
+    else {
+      current = new SSTableRowReader(bp.splits(idx), innerSchema, ttlAsOfMs, storage)
+      idx += 1
+      true
+    }
+  }
+  @annotation.tailrec
+  override final def next(): Boolean =
+    if (current != null && current.next()) true
+    else if (nextReader()) next()
+    else false
+  override def get(): InternalRow =
+    if (withBucket)
+      new org.apache.spark.sql.catalyst.expressions.JoinedRow(bucketRow, current.get())
+    else current.get()
+  override def close(): Unit = if (current != null) current.close()
 }
 
 /** Cells-view reader: one output row per column cell (the source-side

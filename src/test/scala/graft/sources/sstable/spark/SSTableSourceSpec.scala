@@ -510,6 +510,80 @@ class SSTableSourceSpec extends AnyFunSuite {
     assert(ttl.collect().head.getLong(0) == 1001 - 428)
   }
 
+  test("bucketed layout: the LWW merge runs with ZERO exchange (VERDICT r5 #4)") {
+    import graft.operators.SSTableOps
+    import spark.implicits._
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val dir = freshDir()
+    def gen(ts: Long, n: Int) = spark.range(n).select(
+      concat(lit("k"), lpad(col("id").cast("string"), 5, "0")).cast("binary").as("key"),
+      array(struct(lit("c").cast("binary").as("name"), lit("NORMAL").as("state"),
+        concat(lit("v"), lit(ts)).cast("binary").as("value"),
+        lit(ts).as("timestamp"),
+        lit(0L).as("ttlSecs"), lit(0L).as("expiresMillis"))).as("columns"),
+      lit(null).cast("struct<localDeletionTime:int,markedForDeleteAt:bigint>")
+        .as("rowTombstone"))
+    // two flush rounds: every key has two versions, in the same bucket of
+    // two different generations — exactly what compaction merges
+    SSTableOps.writeBucketed(gen(1L, 400), dir, buckets = 4)
+    SSTableOps.writeBucketed(gen(2L, 400), dir, buckets = 4)
+
+    val scan = spark.read.format("sstable").option("buckets", "4").load(dir)
+    assert(scan.schema == SSTableSchema.bucketedSchema)
+    assert(scan.rdd.getNumPartitions == 4, "one task per bucket")
+
+    val merged = SSTableOps.compactRows(scan)
+    merged.collect() // force planning + execution before reading the plan
+    val plan = merged.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucketed merge must satisfy its distribution from storage:\n$plan")
+
+    // same answer as the unbucketed merge over the same files
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("key").cast("string"),
+        to_json(struct(col("columns"), col("rowTombstone"))))
+        .as[(String, String)].collect().sorted.toSeq
+    val plain = SSTableOps.compactRows(spark.read.format("sstable").load(dir))
+    assert(canon(merged.drop("_bucket")) == canon(plain))
+    assert(merged.count() == 400)
+
+    // storage-partitioned JOIN: two directories bucketed the same way
+    // join on (_bucket, key) with no exchange on either side
+    val dirB = freshDir()
+    SSTableOps.writeBucketed(gen(5L, 300), dirB, buckets = 4)
+    val right = spark.read.format("sstable").option("buckets", "4").load(dirB)
+      .select(col("_bucket"), col("key"), col("columns").as("rcols"))
+    val joined = scan.select(col("_bucket"), col("key"), col("columns"))
+      .join(right, Seq("_bucket", "key"))
+    // broadcast would also be exchange-ish but hides the SPJ path — force
+    // the shuffle-join planner to prove co-partitioning carries the join
+    val savedThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // the storage clusters on _bucket — a coarser key than the join's
+      // (_bucket, key); co-partition compatibility on a clustering SUBSET
+      // is gated by this conf (same knob Spark's storage-partitioned
+      // joins use for partially-clustered sources)
+      spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      joined.collect()
+      val jplan = joined.queryExecution.executedPlan.toString
+      assert(!jplan.contains("Exchange"),
+        s"co-bucketed join must be storage-partitioned:\n$jplan")
+      // 300 right keys x 2 unmerged left versions per key
+      assert(joined.count() == 600)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedThreshold)
+
+    // a foreign (unbucketed) generation name fails the bucketed read loudly
+    val w = new SSTableWriter(s"$dir/rogue-Data.db", compress = false)
+    w.append(SSTableRow("zz".getBytes,
+      Seq(Column.Normal("c".getBytes, "v".getBytes, 1L))))
+    w.close()
+    SSTableMetadataCache.clear()
+    intercept[Exception] {
+      spark.read.format("sstable").option("buckets", "4").load(dir).collect()
+    }
+  }
+
   test("SQL DDL surface: CREATE TABLE ... USING sstable reads and writes") {
     val dir = freshDir()
     writeFixture(dir)
