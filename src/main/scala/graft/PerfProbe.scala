@@ -27,6 +27,7 @@ object PerfProbe {
 
     if (args.headOption.contains("skew")) { skewProbe(spark, time); spark.stop(); return }
     if (args.headOption.contains("lookup")) { lookupProbe(spark, time); spark.stop(); return }
+    if (args.headOption.contains("scale")) { scaleProbe(spark, time); spark.stop(); return }
 
     val docs = Tables.documents(spark, sfDir)
 
@@ -87,6 +88,53 @@ object PerfProbe {
       SSTableOps.compactRows(spark.read.format("sstable").load(dir))
         .join(broadcast(probes.withColumnRenamed("key", "pk")),
           col("key") === col("pk"), "left_semi")
+    }
+  }
+
+  /** Scale probe (VERDICT r5 #8): synthetic documents/embeddings at 1×
+    * and 10× the sf0.1 row counts, in memory, timing the iterative
+    * family's shapes — MinHash signatures (narrow one-pass), the
+    * signatures→pairs→clusters dedup chain (banded equi-join + iterated
+    * CC fixpoint), and k-medians Lloyd training. The pin: per-shape cost
+    * must grow roughly linearly with input (each pass is a linear scan /
+    * equi-join; pass COUNT is data-independent for quasi-clique graphs
+    * and fixed Lloyd iterations). Read the two runs' ratio — super-linear
+    * growth means an accidental all-pairs join or lineage blow-up crept
+    * in. Every 20th doc clones its neighbor's text so the pair graph has
+    * real clusters at both scales. */
+  private def scaleProbe(spark: SparkSession,
+                         time: String => (=> DataFrame) => Unit): Unit = {
+    import graft.operators.{DedupQueries, GraphOps, SimilarityQueries}
+    def docs(n: Long): DataFrame = {
+      val src = when(pmod(col("id"), lit(20L)) === 0 && col("id") > 0,
+        col("id") - 1).otherwise(col("id"))
+      // words must be lowercase-ALPHA — the tokenizer splits on [^a-z]+,
+      // so digit suffixes would collapse every word to "w"
+      spark.range(n).select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 60).map(i =>
+          translate(pmod(xxhash64(src * lit(i.toLong + 7L)), lit(9973L))
+            .cast("string"), "0123456789", "abcdefghij")): _*)
+          .as("text"))
+    }
+    def emb(n: Long, dim: Int = 32): DataFrame =
+      spark.range(n).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)), i =>
+          (pmod(xxhash64(col("id") * (i.cast("long") + 3L)), lit(1000L)) / 500.0 - 1.0))
+          .as("v"))
+        .withColumn("nrm", sqrt(graft.functions.VectorExpressions
+          .vector_dot(col("v"), col("v"))))
+    for (scale <- Seq(1L, 10L, 100L)) {
+      val d = docs(5000L * scale).persist()
+      d.count() // materialize: the probe times operators, not generation
+      time(f"signatures_${scale}%02dx")(DedupQueries.minhashSignatures(d))
+      time(f"clusters_${scale}%02dx") {
+        GraphOps.connectedComponents(
+          DedupQueries.minhashPairs(DedupQueries.minhashSignatures(d)), "a", "b")
+      }
+      val e = emb(2000L * scale).persist()
+      e.count()
+      time(f"kmeans_${scale}%02dx")(SimilarityQueries.kmediansCells(e, 16, 5)._1)
+      d.unpersist(); e.unpersist()
     }
   }
 
