@@ -74,8 +74,47 @@ object WideRowQueries {
         .select(base64(concat_ws("|", col("user_id"), col("event_type"),
           col("ts_ms")).cast("binary")).as("line"))
         .orderBy("line")
+    }),
+    // S1-S7 through the REAL physical path: events lifted into the scan
+    // schema, written ONCE through the DSv2 sstable writer (staged
+    // commit, real Cassandra 1.2 codec, blooms, Statistics), read back
+    // through the cells view (one row per cell), and hash-compared to
+    // DuckDB over the source parquet — the correctness gate now drives
+    // writer + reader + codec end-to-end, not just relational twins.
+    "q_sstable_cells" -> ((s, d) => {
+      val dir = sstableFixture(s, d)
+      s.read.format("sstable").option("view", "cells").load(dir)
+        .select(col("key").cast("string").cast("long").as("user_id"),
+          col("name").cast("string").as("event_type"),
+          col("value").cast("string").cast("long").as("value_e4"),
+          col("timestamp").as("ts_ms"))
+        .orderBy("user_id", "event_type", "ts_ms", "value_e4")
     })
   )
+
+  /** One physical sstable copy of the events table per (session, corpus):
+    * the lifted relation written through the real DSv2 writer into a
+    * deterministic temp directory (overwrite = truncate + staged commit),
+    * shared by every fixture-driven query and across the bench's repeat
+    * runs. Content is a pure function of the corpus, so a stale directory
+    * from a previous process is simply rewritten. */
+  private val fixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), String]
+  private def sstableFixture(s: SparkSession, d: String): String =
+    fixtureCache.computeIfAbsent((System.identityHashCode(s), d), _ => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-fixture-" +
+        java.security.MessageDigest.getInstance("MD5").digest(d.getBytes)
+          .map("%02x".format(_)).mkString.take(16)
+      val e = Tables.events(s, d).select("user_id", "event_type", "ts_ms", "value")
+      e.select(col("user_id").cast("string").cast("binary").as("key"),
+          array(struct(col("event_type").cast("binary").as("name"),
+            lit("NORMAL").as("state"),
+            e4(col("value")).cast("string").cast("binary").as("value"),
+            col("ts_ms").as("timestamp"),
+            lit(0L).as("ttlSecs"), lit(0L).as("expiresMillis"))).as("columns"))
+        .write.format("sstable").mode("overwrite").save(dir)
+      dir
+    })
 
   /** Lift events into the nested scan schema, compact with the selected
     * merge variant, and explode back to a comparable relation. Each event
@@ -139,6 +178,10 @@ object WideRowQueries {
           GROUP BY bucket ORDER BY bucket""",
     "q_export_b64" ->
       s"""SELECT to_base64(encode(concat_ws('|', user_id, event_type, ts_ms))) AS line
-          FROM $EventsSql ORDER BY line"""
+          FROM $EventsSql ORDER BY line""",
+    // the physical round-trip preserves the events relation cell-for-cell
+    "q_sstable_cells" ->
+      s"""SELECT user_id, event_type, ${e4Sql("value")} AS value_e4, ts_ms
+          FROM $EventsSql ORDER BY user_id, event_type, ts_ms, value_e4"""
   )
 }
