@@ -89,6 +89,21 @@ object WideRowQueries {
           col("value").cast("string").cast("long").as("value_e4"),
           col("timestamp").as("ts_ms"))
         .orderBy("user_id", "event_type", "ts_ms", "value_e4")
+    }),
+    // A2 over the REAL files: scan the physical fixture (every event its
+    // own single-cell row version), fold through compactRows — the exact
+    // operator compaction and the probe path run — and explode back; the
+    // oracle is the same per-(user, event) LWW winner the in-memory
+    // q_compact_rows proves, now derived from bytes the codec wrote.
+    "q_sstable_compact" -> ((s, d) => {
+      val dir = sstableFixture(s, d)
+      SSTableOps.compactRows(s.read.format("sstable").load(dir))
+        .select(col("key"), explode(col("columns")).as("c"))
+        .select(col("key").cast("string").cast("long").as("user_id"),
+          col("c.name").cast("string").as("event_type"),
+          col("c.timestamp").as("ts_ms"),
+          col("c.value").cast("string").cast("long").as("value_e4"))
+        .orderBy("user_id", "event_type")
     })
   )
 
@@ -182,6 +197,11 @@ object WideRowQueries {
     // the physical round-trip preserves the events relation cell-for-cell
     "q_sstable_cells" ->
       s"""SELECT user_id, event_type, ${e4Sql("value")} AS value_e4, ts_ms
-          FROM $EventsSql ORDER BY user_id, event_type, ts_ms, value_e4"""
+          FROM $EventsSql ORDER BY user_id, event_type, ts_ms, value_e4""",
+    // same LWW winner as q_compact_rows, derived from real written bytes
+    "q_sstable_compact" ->
+      s"""SELECT user_id, event_type, ts_ms, ${e4Sql("value")} AS value_e4
+          FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts_ms DESC) AS rn
+                FROM $EventsSql) WHERE rn = 1 ORDER BY user_id, event_type"""
   )
 }
