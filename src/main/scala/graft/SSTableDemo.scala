@@ -116,6 +116,23 @@ object SSTableDemo {
     println(s"== bucketed merge: $mergedRows rows over 8 buckets, " +
       s"$exchanges exchanges in the compaction plan (want 0)")
 
+    // pushed top-n: ORDER BY key LIMIT n decodes at most n rows per split
+    // (generations are key-sorted), and a plain LIMIT additionally plans
+    // only a statistics-covered prefix of generations
+    val topDf = df.orderBy("key").limit(3)
+    val topPushed = topDf.queryExecution.executedPlan.toString.contains("topN=3")
+    val headKeys = topDf.collect()
+      .map(r => new String(r.getAs[Array[Byte]]("key"))).mkString(", ")
+    val lim = spark.read.format("sstable").load(dir).limit(5)
+    lim.collect()
+    val limParts = lim.queryExecution.executedPlan.collectLeaves().collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.inputRDD.getNumPartitions
+    }.headOption.getOrElse(-1)
+    println(s"== top-n pushdown: first keys [$headKeys] " +
+      (if (topPushed) "(per-split head reads)" else "(NOT pushed)") +
+      s"; LIMIT 5 planned $limParts partition(s) of ${df.rdd.getNumPartitions}")
+
     // runtime (join-driven) split pruning: a plain SQL join against a
     // small filtered dim hands the dim's keys to the scan at runtime
     // (dynamic pruning) — same Summary/bloom pruning as lookupJoin, but

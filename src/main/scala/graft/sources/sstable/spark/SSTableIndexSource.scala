@@ -50,12 +50,17 @@ final class SSTableIndexTable(properties: Map[String, String])
 final class SSTableIndexScanBuilder(path: String, targetSplitBytes: Long)
     extends ScanBuilder with Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
-    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
   import org.apache.spark.sql.sources.Filter
 
   private var required: StructType = SSTableSchema.indexSchema
   private var pushed: Array[Filter] = Array.empty
   private val bounds = new KeyBounds
+  private var limit: Option[Int] = None
+  private var topN = false
   private val serConf: Option[SerializableHadoopConf] =
     if (Storage.hasScheme(path))
       Some(new SerializableHadoopConf(
@@ -72,12 +77,43 @@ final class SSTableIndexScanBuilder(path: String, targetSplitBytes: Long)
     required = StructType(SSTableSchema.indexSchema.fields.filter(f => names.contains(f.name)))
   }
 
+  /** Same LIMIT / top-n-on-key pushdown as the data source: index
+    * windows stream entries in key order, so a partition's first `n`
+    * entries are its top-n, and a plain limit just caps each reader.
+    * Partial on both paths — Spark keeps the global limit / final sort. */
+  override def pushLimit(n: Int): Boolean =
+    if (n < 0) false else { limit = Some(n); true }
+  override def pushTopN(orders: Array[
+      org.apache.spark.sql.connector.expressions.SortOrder], n: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
+    val keyAsc = orders.length == 1 &&
+      orders(0).direction == SortDirection.ASCENDING &&
+      (orders(0).expression match {
+        case r: NamedReference => r.fieldNames.toSeq == Seq("key")
+        case _ => false
+      })
+    if (!keyAsc || n < 0) false else { limit = Some(n); topN = true; true }
+  }
+  override def isPartiallyPushed(): Boolean = true
+
+  /** Each partition is one Index.db window of one generation — entries
+    * ascend in Spark's BinaryType key order. */
+  override def outputOrdering():
+      Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    if (required.fieldNames.contains("key"))
+      Array(org.apache.spark.sql.connector.expressions.Expressions.sort(
+        org.apache.spark.sql.connector.expressions.Expressions.column("key"),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+    else Array.empty
+
   override def build(): Scan = this
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = {
     val prune = if (bounds.lo.isDefined || bounds.hi.isDefined) " keyRangePruned" else ""
-    s"sstable-index $path$prune"
+    val lim = limit.map(n => if (topN) s" topN=$n(key asc)" else s" limit=$n")
+      .getOrElse("")
+    s"sstable-index $path$prune$lim"
   }
   /** Shared parallel planner with the data source (VERDICT r4 #5 closed
     * the consistency gap: this used to loop files sequentially on the
@@ -91,17 +127,18 @@ final class SSTableIndexScanBuilder(path: String, targetSplitBytes: Long)
       hostsFromIndex = true)
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new IndexReaderFactory(required, serConf)
+    new IndexReaderFactory(required, serConf, limit)
 }
 
 final class IndexReaderFactory(required: StructType,
-                               serConf: Option[SerializableHadoopConf] = None)
+                               serConf: Option[SerializableHadoopConf] = None,
+                               rowLimit: Option[Int] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[SSTablePartition]
     val storage = serConf.map(c => new HadoopStorage(c.value): Storage)
       .getOrElse(LocalStorage)
-    new PartitionReader[InternalRow] {
+    val inner: PartitionReader[InternalRow] = new PartitionReader[InternalRow] {
       private val in = storage.open(
         SSTableFiles.sibling(p.dataPath, SSTableFiles.IndexSuffix))
       in.seek(p.idxStart)
@@ -121,5 +158,6 @@ final class IndexReaderFactory(required: StructType,
       override def get(): InternalRow = current
       override def close(): Unit = reader.close()
     }
+    rowLimit.map(new CappedReader(inner, _)).getOrElse(inner)
   }
 }

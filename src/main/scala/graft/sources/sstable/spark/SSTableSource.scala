@@ -179,7 +179,7 @@ final class KeyBounds {
 
 final class SSTableScanBuilder(path: String, options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownLimit with SupportsPushDownTopN {
 
   private val cellsView =
     SSTableSource.isCellsView(Option(options.get(SSTableSource.ViewOption)))
@@ -194,6 +194,44 @@ final class SSTableScanBuilder(path: String, options: CaseInsensitiveStringMap)
   private var pushed: Array[Filter] = Array.empty
   private val bounds = new KeyBounds
   private var aggResult: Option[(StructType, Seq[SSTableAggScan.AggKind])] = None
+  private var limit: Option[Int] = None
+  private var topN = false
+
+  /** LIMIT pushdown. Spark only pushes a limit when no post-scan filters
+    * sit between it and the scan (and ours are all residual), so every
+    * decoded row counts toward the limit — each partition reader stops
+    * after `n` rows and, for a plain limit, planning keeps only a prefix
+    * of generations whose statistics already guarantee `n` rows. Always
+    * partial: Spark applies the final global limit. */
+  override def pushLimit(n: Int): Boolean =
+    if (aggResult.isDefined || n < 0) false
+    else { limit = Some(n); true }
+
+  /** ORDER BY key [ASC] LIMIT n. Every non-bucketed partition is one
+    * split of one generation, and generations are key-sorted in exactly
+    * Spark's BinaryType order (unsigned lexicographic, shorter prefix
+    * first — `SSTableFiles.compareKeys`), so a partition's first `n`
+    * rows ARE its top-n: the per-partition cap is the whole pushdown.
+    * 100 TB effect: `ORDER BY key LIMIT 10` decodes ≤10 rows per split
+    * instead of every row of every split, and Spark's TakeOrdered merges
+    * the per-partition heads. Declined for DESC (would need tail reads),
+    * non-key orders, and bucketed scans (a bucket partition chains
+    * multiple generations — not sorted as a whole). */
+  override def pushTopN(orders: Array[
+      org.apache.spark.sql.connector.expressions.SortOrder], n: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
+    val keyAsc = orders.length == 1 &&
+      orders(0).direction == SortDirection.ASCENDING &&
+      (orders(0).expression match {
+        case r: NamedReference => r.fieldNames.toSeq == Seq("key")
+        case _ => false
+      })
+    if (!keyAsc || bucketsOpt.isDefined || aggResult.isDefined || n < 0) false
+    else { limit = Some(n); topN = true; true }
+  }
+
+  /** Partial on both paths: Spark keeps the global limit / final sort. */
+  override def isPartiallyPushed(): Boolean = true
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(bounds.accept)
@@ -309,7 +347,8 @@ final class SSTableScanBuilder(path: String, options: CaseInsensitiveStringMap)
     val planThreshold = longOption(SSTableSource.PlanningThresholdOption)
       .map(_.toInt).getOrElse(SSTableSource.DefaultDistributedPlanningThreshold)
     new SSTableScan(path, requiredSchema, bounds.lo, bounds.hi, target, ttlAsOf,
-      planThreshold, cellsView = cellsView, buckets = bucketsOpt)
+      planThreshold, cellsView = cellsView, buckets = bucketsOpt,
+      limit = limit, topN = topN)
   }
 }
 
@@ -453,10 +492,13 @@ final class SSTableScan(path: String, requiredSchema: StructType,
                         distributedPlanningThreshold: Int =
                           SSTableSource.DefaultDistributedPlanningThreshold,
                         cellsView: Boolean = false,
-                        buckets: Option[Int] = None)
+                        buckets: Option[Int] = None,
+                        limit: Option[Int] = None,
+                        topN: Boolean = false)
     extends Scan with Batch with SupportsRuntimeFiltering
     with SupportsReportStatistics
-    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
   /** Hadoop conf rides to executors only when the path needs the Hadoop
     * adapter (scheme present); plain local paths stay dependency-free. */
   private val serConf: Option[SerializableHadoopConf] =
@@ -559,7 +601,9 @@ final class SSTableScan(path: String, requiredSchema: StructType,
     val view = if (cellsView) " view=cells" else ""
     val bkt = buckets.map(n => s" buckets=$n keyGrouped").getOrElse("")
     val ttl = ttlAsOfMs.map(ms => s" ttlAsOf=$ms").getOrElse("")
-    s"sstable $path$prune$keyOnly$view$bkt$ttl"
+    val lim = limit.map(n => if (topN) s" topN=$n(key asc)" else s" limit=$n")
+      .getOrElse("")
+    s"sstable $path$prune$keyOnly$view$bkt$ttl$lim"
   }
 
   /** Per-file planning is independent metadata work (Summary walk +
@@ -572,12 +616,56 @@ final class SSTableScan(path: String, requiredSchema: StructType,
     * same reason). */
   override def planInputPartitions(): Array[InputPartition] = buckets match {
     case None =>
-      SSTableScan.planPartitions(storage.listDataFiles(path), serConf,
-        distributedPlanningThreshold, targetSplitBytes,
+      SSTableScan.planPartitions(limitFilePrefix(storage.listDataFiles(path)),
+        serConf, distributedPlanningThreshold, targetSplitBytes,
         keyLo.map(_._1), keyHi.map(_._1), eqKey, runtimeKeys,
         hostsFromIndex = false)
     case Some(_) => bucketPartitions.toArray
   }
+
+  /** Plain-LIMIT file pruning: any `n` rows satisfy a pushed limit (Spark
+    * pushes one only with no post-scan filters), so keep generations in
+    * listing order just until their `-Statistics.db` row counts (cell
+    * counts on the cells view) already guarantee `n` rows — `LIMIT 10`
+    * over a 100 TB directory plans one generation's splits, not ~800k.
+    * Stats-less generations count as unknown (kept, guarantee nothing),
+    * so the prefix is never under-planned. TopN never file-prunes: any
+    * generation can hold the globally-smallest keys; its saving is the
+    * per-reader row cap. Inapplicable under key bounds or runtime join
+    * keys (those rows might not survive, so counts don't transfer). */
+  private def limitFilePrefix(files: Seq[String]): Seq[String] = limit match {
+    case Some(n) if !topN && keyLo.isEmpty && keyHi.isEmpty && runtimeKeys.isEmpty =>
+      val st = storage
+      var known = 0L
+      val keep = Seq.newBuilder[String]
+      val it = files.iterator
+      while (it.hasNext && known < n) {
+        val f = it.next()
+        keep += f
+        val r = new SSTableReader(f, st)
+        known += (if (cellsView) r.statistics.flatMap(_.cellStats).map(_.cellCount)
+                  else r.statistics.map(_.rowCount)).getOrElse(0L)
+      }
+      keep.result()
+    case _ => files
+  }
+
+  /** Per-partition output ordering (`SupportsReportOrdering`): every
+    * non-bucketed partition is one split of one key-sorted generation
+    * (Index.db order for key-only reads, Data.db order otherwise, cells
+    * grouped under ascending keys on the cells view), and SSTable key
+    * order is exactly Spark's BinaryType sort (unsigned lexicographic,
+    * shorter prefix first) — so `sortWithinPartitions("key")` and other
+    * partition-local key sorts are free. Bucketed partitions chain
+    * multiple generations (key order restarts per generation) and report
+    * nothing. */
+  override def outputOrdering():
+      Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    if (buckets.isEmpty && requiredSchema.fieldNames.contains("key"))
+      Array(org.apache.spark.sql.connector.expressions.Expressions.sort(
+        org.apache.spark.sql.connector.expressions.Expressions.column("key"),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+    else Array.empty
 
   /** Bucketed planning: ONE partition per bucket, each holding every
     * split of that bucket's generations, carrying the bucket id as its
@@ -628,7 +716,8 @@ final class SSTableScan(path: String, requiredSchema: StructType,
     }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new SSTableReaderFactory(requiredSchema, ttlAsOfMs, serConf, cellsView)
+    new SSTableReaderFactory(requiredSchema, ttlAsOfMs, serConf, cellsView,
+      rowLimit = limit)
 }
 
 /** One whole bucket of a bucketed directory: every split of its
@@ -741,12 +830,13 @@ object SSTableScan {
 final class SSTableReaderFactory(requiredSchema: StructType,
                                  ttlAsOfMs: Option[Long],
                                  serConf: Option[SerializableHadoopConf] = None,
-                                 cellsView: Boolean = false)
+                                 cellsView: Boolean = false,
+                                 rowLimit: Option[Int] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val storage = serConf.map(c => new HadoopStorage(c.value): Storage)
       .getOrElse(LocalStorage)
-    partition match {
+    val inner = partition match {
       case bp: SSTableBucketPartition =>
         new SSTableBucketReader(bp, requiredSchema, ttlAsOfMs, storage)
       case _ =>
@@ -762,7 +852,22 @@ final class SSTableReaderFactory(requiredSchema: StructType,
         else
           new SSTableKeyOnlyReader(p, requiredSchema, storage)
     }
+    rowLimit.map(new CappedReader(inner, _)).getOrElse(inner)
   }
+}
+
+/** Pushed-limit enforcement: stops after `cap` rows WITHOUT advancing the
+  * underlying reader further — since rows stream in file order, a capped
+  * task's IO is bounded by the first `cap` rows' bytes, not the split
+  * size. Serves both the plain limit and the key-asc top-n (partitions
+  * already emit key order, so their first `cap` rows are their top-n). */
+private final class CappedReader(inner: PartitionReader[InternalRow], cap: Int)
+    extends PartitionReader[InternalRow] {
+  private var emitted = 0
+  override def next(): Boolean =
+    emitted < cap && inner.next() && { emitted += 1; true }
+  override def get(): InternalRow = inner.get()
+  override def close(): Unit = inner.close()
 }
 
 /** Bucketed-partition reader: chains the bucket's splits through the

@@ -617,4 +617,157 @@ class SSTableSourceSpec extends AnyFunSuite {
     // touch `columns` to force the corrupted Data.db read.
     intercept[Exception] { df.select(explode(col("columns"))).count() }
   }
+
+  /** One plain generation of `n` rows `key$from..` under `$dir/$stem-`. */
+  private def writeGen(dir: String, stem: String, from: Int, n: Int,
+                       step: Int = 1): Unit = {
+    val w = new SSTableWriter(s"$dir/$stem-Data.db", compress = false)
+    (0 until n).foreach { j =>
+      val i = from + j * step
+      w.append(SSTableRow(f"key$i%05d".getBytes,
+        Seq(Column.Normal("c".getBytes, s"v$i".getBytes, i.toLong))))
+    }
+    w.close()
+  }
+
+  private def collectSorts(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SortExec] = {
+    val self = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        collectSorts(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        collectSorts(q.plan)
+      case s: org.apache.spark.sql.execution.SortExec => Seq(s)
+      case _ => Nil
+    }
+    self ++ p.children.flatMap(collectSorts) ++ p.subqueries.flatMap(collectSorts)
+  }
+
+  test("pushed LIMIT caps readers and plans only a statistics-covered file prefix") {
+    val dir = freshDir()
+    writeGen(dir, "aaa", 0, 500)
+    writeGen(dir, "bbb", 500, 500)
+    writeGen(dir, "ccc", 1000, 500)
+    val all = spark.read.format("sstable").load(dir)
+    assert(collectBatchScans(all.queryExecution.executedPlan)
+      .head.inputRDD.getNumPartitions == 3, "three one-split generations")
+
+    val limited = spark.read.format("sstable").load(dir).limit(5)
+    assert(limited.collect().length == 5)
+    val plan = limited.queryExecution.executedPlan
+    assert(plan.toString.contains(" limit=5"),
+      s"limit not pushed to the sstable scan:\n$plan")
+    // the first generation's statistics already guarantee 5 rows — the
+    // other two generations are never planned (nor opened)
+    assert(collectBatchScans(plan).head.inputRDD.getNumPartitions == 1,
+      "LIMIT 5 must plan only the first generation's splits")
+
+    // larger than one generation: the prefix grows just enough
+    val wide = spark.read.format("sstable").load(dir).limit(600)
+    assert(wide.count() == 600)
+    assert(collectBatchScans(wide.queryExecution.executedPlan)
+      .head.inputRDD.getNumPartitions == 2)
+
+    // under a filter Spark keeps the limit above the scan — nothing pushed,
+    // nothing pruned, answer unchanged
+    val filtered = spark.read.format("sstable").load(dir)
+      .filter(col("key") >= lit("key01400".getBytes)).limit(5)
+    assert(!filtered.queryExecution.executedPlan.toString.contains(" limit="))
+    assert(filtered.count() == 5)
+  }
+
+  test("pushed top-n on key: per-partition heads merge globally; desc declined") {
+    val dir = freshDir()
+    // interleaved generations: even keys in one, odd in the other — the
+    // global head must mix both, so file pruning would be WRONG here
+    writeGen(dir, "even", 0, 300, step = 2)
+    writeGen(dir, "odd", 1, 300, step = 2)
+    val df = spark.read.format("sstable").load(dir)
+
+    val top = df.orderBy("key").limit(4)
+    val keys = top.collect().map(r => new String(r.getAs[Array[Byte]]("key")))
+    assert(keys.toSeq == Seq("key00000", "key00001", "key00002", "key00003"))
+    val plan = top.queryExecution.executedPlan
+    assert(plan.toString.contains(" topN=4(key asc)"),
+      s"top-n not pushed to the sstable scan:\n$plan")
+    assert(collectBatchScans(plan).head.inputRDD.getNumPartitions == 2,
+      "top-n keeps every generation (any of them may hold the head)")
+
+    // descending would need tail reads — declined, Spark sorts fully
+    val bottom = df.orderBy(col("key").desc).limit(2)
+    assert(!bottom.queryExecution.executedPlan.toString.contains(" topN="))
+    assert(bottom.collect().map(r => new String(r.getAs[Array[Byte]]("key")))
+      .toSeq == Seq("key00599", "key00598"))
+
+    // key-only projection: the pushed top-n rides the Index.db-only path
+    val keyTop = df.select("key").orderBy("key").limit(3)
+    assert(keyTop.queryExecution.executedPlan.toString.contains(" topN=3(key asc)"))
+    assert(keyTop.collect().map(r => new String(r.getAs[Array[Byte]]("key")))
+      .toSeq == Seq("key00000", "key00001", "key00002"))
+  }
+
+  test("reported key ordering elides partition-local sorts; bucketed scans decline") {
+    val dir = freshDir()
+    writeGen(dir, "aaa", 0, 200)
+    writeGen(dir, "bbb", 200, 200)
+    val df = spark.read.format("sstable").load(dir)
+
+    // partition = one split of one sorted generation ⇒ the sort is free
+    val swp = df.sortWithinPartitions("key")
+    swp.collect()
+    assert(collectSorts(swp.queryExecution.executedPlan).isEmpty,
+      s"key-asc partition sort should be satisfied by the reported ordering:\n" +
+        swp.queryExecution.executedPlan)
+
+    // an ordering the report does NOT satisfy still sorts
+    val desc = df.sortWithinPartitions(col("key").desc)
+    assert(collectSorts(desc.queryExecution.executedPlan).nonEmpty)
+
+    // cells view partitions also ascend by key
+    val cellsDir = freshDir()
+    writeFixture(cellsDir)
+    val cells = spark.read.format("sstable").option("view", "cells").load(cellsDir)
+      .sortWithinPartitions("key")
+    assert(collectSorts(cells.queryExecution.executedPlan).isEmpty)
+
+    // bucketed partitions chain generations — ordering must NOT be reported
+    import graft.operators.SSTableOps
+    val bdir = freshDir()
+    def gen(ts: Long, n: Int) = spark.range(n).select(
+      concat(lit("k"), lpad(col("id").cast("string"), 5, "0")).cast("binary").as("key"),
+      array(struct(lit("c").cast("binary").as("name"), lit("NORMAL").as("state"),
+        lit("v".getBytes).as("value"), lit(ts).as("timestamp"),
+        lit(0L).as("ttlSecs"), lit(0L).as("expiresMillis"))).as("columns"),
+      lit(null).cast("struct<localDeletionTime:int,markedForDeleteAt:bigint>")
+        .as("rowTombstone"))
+    SSTableOps.writeBucketed(gen(1L, 100), bdir, buckets = 2)
+    SSTableOps.writeBucketed(gen(2L, 100), bdir, buckets = 2)
+    val bucketed = spark.read.format("sstable").option("buckets", "2").load(bdir)
+      .sortWithinPartitions("key")
+    assert(collectSorts(bucketed.queryExecution.executedPlan).nonEmpty,
+      "a bucket partition is not key-sorted as a whole")
+    // …and top-n is declined there for the same reason
+    val btop = spark.read.format("sstable").option("buckets", "2").load(bdir)
+      .orderBy("key").limit(3)
+    assert(!btop.queryExecution.executedPlan.toString.contains(" topN="))
+  }
+
+  test("index source: pushed limit/top-n and reported ordering") {
+    val dir = freshDir()
+    writeGen(dir, "even", 0, 200, step = 2)
+    writeGen(dir, "odd", 1, 200, step = 2)
+    val idx = spark.read.format("sstable-index").load(dir)
+
+    val top = idx.orderBy("key").limit(3)
+    assert(top.queryExecution.executedPlan.toString.contains(" topN=3(key asc)"))
+    assert(top.collect().map(r => new String(r.getAs[Array[Byte]]("key")))
+      .toSeq == Seq("key00000", "key00001", "key00002"))
+
+    val limited = idx.limit(7)
+    assert(limited.queryExecution.executedPlan.toString.contains(" limit=7"))
+    assert(limited.count() == 7)
+
+    val swp = idx.sortWithinPartitions("key")
+    assert(collectSorts(swp.queryExecution.executedPlan).isEmpty)
+  }
 }
