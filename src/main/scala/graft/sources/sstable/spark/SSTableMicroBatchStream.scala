@@ -1,7 +1,7 @@
 package graft.sources.sstable.spark
 
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxBytes, ReadMaxFiles, SupportsAdmissionControl}
 import org.apache.spark.sql.types.StructType
 import graft.sources.sstable._
 
@@ -38,15 +38,67 @@ object SSTableOffset {
 final class SSTableMicroBatchStream(path: String, requiredSchema: StructType,
                                     targetSplitBytes: Long,
                                     ttlAsOfMs: Option[Long],
-                                    serConf: Option[SerializableHadoopConf])
-    extends MicroBatchStream {
+                                    serConf: Option[SerializableHadoopConf],
+                                    maxFilesPerTrigger: Option[Int] = None,
+                                    maxBytesPerTrigger: Option[Long] = None)
+    extends MicroBatchStream with SupportsAdmissionControl {
   private def storage: Storage =
     serConf.map(c => new HadoopStorage(c.value): Storage).getOrElse(LocalStorage)
 
   override def initialOffset(): Offset = SSTableOffset(Set.empty)
   override def deserializeOffset(json: String): Offset = SSTableOffset.fromJson(json)
-  override def latestOffset(): Offset =
+  override def latestOffset(): Offset = throw new UnsupportedOperationException(
+    "latestOffset(Offset, ReadLimit) should be called with admission control")
+
+  /** Backpressure (`SupportsAdmissionControl`): `maxFilesPerTrigger` /
+    * `maxBytesPerTrigger` bound each micro-batch to a prefix of the new
+    * generations (in sorted-name order — the deterministic replay order
+    * the offset log already relies on). Without a cap, a restart after
+    * long downtime — or pointing a fresh checkpoint at a year-old
+    * directory — makes batch #1 the entire backlog; with it, the stream
+    * drains in bounded, checkpointed steps and AvailableNow triggers
+    * chunk the catch-up the same way. Bytes are uncompressed Data.db
+    * lengths (matching the batch planner's split math); a single
+    * generation larger than the byte cap still admits alone (progress
+    * over starvation, like Spark's file source). */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val seen = start.asInstanceOf[SSTableOffset].files
+    val fresh = (storage.listDataFiles(path).toSet -- seen).toSeq.sorted
+    SSTableOffset(seen ++ admit(fresh, limit))
+  }
+
+  override def reportLatestOffset(): Offset =
     SSTableOffset(storage.listDataFiles(path).toSet)
+
+  override def getDefaultReadLimit: ReadLimit = {
+    val lims: Seq[ReadLimit] =
+      maxFilesPerTrigger.map(ReadLimit.maxFiles).toSeq ++
+        maxBytesPerTrigger.map(ReadLimit.maxBytes).toSeq
+    lims match {
+      case Nil => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
+
+  private def admit(fresh: Seq[String], limit: ReadLimit): Seq[String] =
+    limit match {
+      case _: ReadAllAvailable => fresh
+      case mf: ReadMaxFiles => fresh.take(mf.maxFiles)
+      case mb: ReadMaxBytes =>
+        val st = storage
+        var bytes = 0L
+        fresh.takeWhile { f =>
+          bytes += new SSTableReader(f, st).dataLength
+          bytes <= mb.maxBytes
+        } match {
+          case Seq() if fresh.nonEmpty => fresh.take(1) // oversized head: admit it alone
+          case prefix => prefix
+        }
+      case c: CompositeReadLimit => // most restrictive wins: shortest prefix
+        c.getReadLimits.map(admit(fresh, _)).minBy(_.length)
+      case _ => fresh // an unrecognized limit must never drop data
+    }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val seen = start.asInstanceOf[SSTableOffset].files

@@ -84,6 +84,11 @@ object SSTableSource {
     * as an array) or "cells" ([[SSTableSchema.cellsSchema]] — one row per
     * column cell, flattened; the source-side explode). Batch read only. */
   val ViewOption = "view"
+  /** Streaming backpressure: cap each micro-batch at this many new
+    * generations / this many uncompressed Data.db bytes (the same names
+    * and semantics as Spark's file stream source). Unset = drain all. */
+  val MaxFilesPerTriggerOption = "maxfilespertrigger"
+  val MaxBytesPerTriggerOption = "maxbytespertrigger"
 
   private[spark] def isCellsView(v: Option[String]): Boolean = v match {
     case None => false
@@ -348,7 +353,18 @@ final class SSTableScanBuilder(path: String, options: CaseInsensitiveStringMap)
       .map(_.toInt).getOrElse(SSTableSource.DefaultDistributedPlanningThreshold)
     new SSTableScan(path, requiredSchema, bounds.lo, bounds.hi, target, ttlAsOf,
       planThreshold, cellsView = cellsView, buckets = bucketsOpt,
-      limit = limit, topN = topN)
+      limit = limit, topN = topN,
+      maxFilesPerTrigger =
+        longOption(SSTableSource.MaxFilesPerTriggerOption).map { v =>
+          require(v > 0 && v <= Int.MaxValue,
+            s"maxFilesPerTrigger must be a positive int: $v")
+          v.toInt
+        },
+      maxBytesPerTrigger =
+        longOption(SSTableSource.MaxBytesPerTriggerOption).map { v =>
+          require(v > 0, s"maxBytesPerTrigger must be positive: $v")
+          v
+        })
   }
 }
 
@@ -494,7 +510,9 @@ final class SSTableScan(path: String, requiredSchema: StructType,
                         cellsView: Boolean = false,
                         buckets: Option[Int] = None,
                         limit: Option[Int] = None,
-                        topN: Boolean = false)
+                        topN: Boolean = false,
+                        maxFilesPerTrigger: Option[Int] = None,
+                        maxBytesPerTrigger: Option[Long] = None)
     extends Scan with Batch with SupportsRuntimeFiltering
     with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -590,7 +608,7 @@ final class SSTableScan(path: String, requiredSchema: StructType,
     require(!cellsView, "the cells view is batch-only: stream the default view")
     require(buckets.isEmpty, "bucketed reads are batch-only")
     new SSTableMicroBatchStream(path, requiredSchema, targetSplitBytes,
-      ttlAsOfMs, serConf)
+      ttlAsOfMs, serConf, maxFilesPerTrigger, maxBytesPerTrigger)
   }
   override def description(): String = {
     val prune = if (keyLo.isDefined || keyHi.isDefined) " keyRangePruned" else ""

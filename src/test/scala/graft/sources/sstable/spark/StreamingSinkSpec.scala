@@ -184,4 +184,69 @@ class StreamingSinkSpec extends AnyFunSuite {
     val keys = spark.read.parquet(outDir).collect().map(_.getString(0)).sorted
     assert(keys.toSeq == Seq("a", "b", "c"), s"got ${keys.mkString(", ")}")
   }
+
+  test("admission control: maxFilesPerTrigger drains a backlog in bounded batches") {
+    val dir = Files.createTempDirectory("sstable-stream-adm").toString
+
+    def writeGen(prefix: String, keys: Seq[String]): Unit = {
+      val w = new graft.sources.sstable.SSTableWriter(s"$dir/$prefix-Data.db",
+        compress = false, summaryInterval = 8)
+      keys.sorted.foreach(k => w.append(graft.sources.sstable.SSTableRow(
+        k.getBytes, Seq(graft.sources.sstable.Column.Normal(
+          "c".getBytes, k.getBytes, 1L)))))
+      w.close()
+    }
+    // a 5-generation backlog BEFORE the stream starts — the restart-after-
+    // downtime shape where an uncapped batch #1 would be the whole pile
+    (1 to 5).foreach(i => writeGen(s"g$i", Seq(s"k$i-a", s"k$i-b")))
+
+    val q = spark.readStream.format("sstable")
+      .option("maxFilesPerTrigger", "2").load(dir)
+      .select(col("key").cast("string").as("k"))
+      .writeStream.outputMode("append").format("memory").queryName("sst_adm")
+      .option("checkpointLocation", Files.createTempDirectory("sst-adm-ck").toString)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    // every row exactly once…
+    val keys = spark.table("sst_adm").collect().map(_.getString(0)).sorted
+    assert(keys.length == 10 && keys.distinct.length == 10, s"got ${keys.mkString(", ")}")
+    // …across ceil(5/2)=3 bounded batches, none above 2 files = 4 rows
+    val batches = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+    assert(batches.length == 3 && batches.forall(_ <= 4),
+      s"want 3 bounded batches, got ${batches.mkString(", ")}")
+  }
+
+  test("admission control: maxBytesPerTrigger admits file prefixes, oversized head alone") {
+    val dir = Files.createTempDirectory("sstable-stream-admb").toString
+
+    def writeGen(prefix: String, rows: Int): Unit = {
+      val w = new graft.sources.sstable.SSTableWriter(s"$dir/$prefix-Data.db",
+        compress = false, summaryInterval = 8)
+      (0 until rows).foreach(i => w.append(graft.sources.sstable.SSTableRow(
+        f"$prefix%s-$i%04d".getBytes, Seq(graft.sources.sstable.Column.Normal(
+          "c".getBytes, ("v" * 50).getBytes, 1L)))))
+      w.close()
+    }
+    writeGen("g1", 200) // ~15 KB — far above the byte cap: must admit alone
+    writeGen("g2", 5)
+    writeGen("g3", 5)
+
+    val q = spark.readStream.format("sstable")
+      .option("maxBytesPerTrigger", "4096").load(dir)
+      .select(col("key").cast("string").as("k"))
+      .writeStream.outputMode("append").format("memory").queryName("sst_admb")
+      .option("checkpointLocation", Files.createTempDirectory("sst-admb-ck").toString)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    assert(spark.table("sst_admb").count() == 210)
+    val batches = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+    // batch 1: the oversized g1 alone (progress over starvation);
+    // batch 2: g2+g3 fit the cap together
+    assert(batches.toSeq == Seq(200L, 10L),
+      s"want Seq(200, 10), got ${batches.mkString(", ")}")
+  }
 }
