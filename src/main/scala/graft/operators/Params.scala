@@ -68,6 +68,8 @@ object Params {
   val KMedIters = 5
   val NearDupCosine = 0.95
   val TopWords = 20
+  /** Distinctive terms kept per document by q_tfidf_topk. */
+  val TfidfTopK = 3
   val JaccardTopPairs = 50
 
   /** Interval join (q_interval_join): incident windows = error bursts

@@ -227,6 +227,38 @@ object PipelineQueries {
           max(when(col("cum") - col("c") < expr("(9 * n + 9) div 10") &&
             expr("(9 * n + 9) div 10") <= col("cum"), col("tok"))).as("p90_tokens"))
         .orderBy("lang")
+    }),
+    // PII detection + redaction: email / phone / IPv4 regexes flag each
+    // document and a chained regexp_replace scrubs them (the standard
+    // pre-training scrub pass). Narrow per-doc — zero shuffles, streams
+    // at 100 TB. The synthetic corpus carries no PII, so the query
+    // plants deterministic PII in a derived column first (doc_id-keyed,
+    // bit-identical on both engines) — the flags and the redaction then
+    // exercise the real regexp paths, not a vacuous all-false scan. The
+    // redacted text is emitted as (md5, length): hash-comparable without
+    // shipping the full scrubbed corpus through the oracle.
+    "q_pii_redact" -> ((s, d) => {
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+      val ipRe = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+      def redact(c: org.apache.spark.sql.Column) =
+        regexp_replace(regexp_replace(regexp_replace(c,
+          emailRe, "<EMAIL>"), phoneRe, "<PHONE>"), ipRe, "<IP>")
+      Tables.documents(s, d)
+        .withColumn("t2",
+          when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com or 555-867-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+              lit(" ip 10.0."), (col("doc_id") % 256).cast("string"), lit(".7")))
+            .otherwise(col("text")))
+        .select(col("doc_id"),
+          when(col("t2").rlike(emailRe), 1L).otherwise(0L).as("has_email"),
+          when(col("t2").rlike(phoneRe), 1L).otherwise(0L).as("has_phone"),
+          when(col("t2").rlike(ipRe), 1L).otherwise(0L).as("has_ip"),
+          md5(redact(col("t2"))).as("redacted_fp"),
+          length(redact(col("t2"))).cast("long").as("redacted_len"))
+        .orderBy("doc_id")
     })
   )
 
@@ -343,6 +375,28 @@ object PipelineQueries {
                        CAST(row_number() OVER (PARTITION BY lang ORDER BY tok, doc_id) AS BIGINT) AS rn,
                        CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n
                 FROM (SELECT lang, doc_id, CAST(len($toksT) AS BIGINT) AS tok FROM documents))
-          GROUP BY lang ORDER BY lang"""
+          GROUP BY lang ORDER BY lang""",
+    "q_pii_redact" ->
+      s"""SELECT doc_id,
+                 CAST(CASE WHEN regexp_matches(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}') THEN 1 ELSE 0 END AS BIGINT) AS has_email,
+                 CAST(CASE WHEN regexp_matches(t2, '[0-9]{3}-[0-9]{3}-[0-9]{4}') THEN 1 ELSE 0 END AS BIGINT) AS has_phone,
+                 CAST(CASE WHEN regexp_matches(t2, '([0-9]{1,3}\\.){3}[0-9]{1,3}') THEN 1 ELSE 0 END AS BIGINT) AS has_ip,
+                 md5(regexp_replace(regexp_replace(regexp_replace(t2,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+                   '([0-9]{1,3}\\.){3}[0-9]{1,3}', '<IP>', 'g')) AS redacted_fp,
+                 CAST(length(regexp_replace(regexp_replace(regexp_replace(t2,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+                   '([0-9]{1,3}\\.){3}[0-9]{1,3}', '<IP>', 'g')) AS BIGINT) AS redacted_len
+          FROM (SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0
+                            THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                                 || '@example.com or 555-867-'
+                                 || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                                 || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                            ELSE text END AS t2
+                FROM documents)
+          ORDER BY doc_id"""
   )
 }

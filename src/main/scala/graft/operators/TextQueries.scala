@@ -78,6 +78,33 @@ object TextQueries {
         .select(col("doc_id"), md5(concat_ws(" ", col("t"))).as("exact_fp"),
           col("shingle_fp"))
         .orderBy("doc_id")
+    }),
+    // TF-IDF top terms per document — the classic distinctive-term
+    // extractor. Shape at 100 TB: one map-side-combinable hash-agg for
+    // (doc, term) counts, one vocabulary-sized hash-agg for document
+    // frequencies, a term equi-join (the df relation is vocabulary-sized
+    // — Catalyst broadcasts it when small, shuffles when not), a one-row
+    // broadcast for N, and a per-doc window for the top-k. The score is
+    // the integer-exact rational tf·N/df scaled by 10^4 (floor division):
+    // monotone in the real tf·idf for fixed tf sign, chosen over
+    // tf·ln(N/df) because ln is not IEEE-exact across engines (see
+    // Params.e4 scaladoc) — ranking semantics are what the operator is
+    // for, and those are preserved.
+    "q_tfidf_topk" -> ((s, d) => {
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), explode(docToks).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = Tables.documents(s, d)
+        .agg(count_distinct(col("doc_id")).as("n_docs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("score_e4").desc, col("term"))
+      tf.join(docFreq, "term").crossJoin(broadcast(n))
+        .withColumn("score_e4", expr("(tf * n_docs * 10000) div df"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= TfidfTopK)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score_e4"))
+        .orderBy(col("doc_id"), col("score_e4").desc, col("term"))
     })
   )
 
@@ -112,6 +139,19 @@ object TextQueries {
     "q_fingerprint" ->
       s"""SELECT doc_id, md5(array_to_string(t, ' ')) AS exact_fp,
                  coalesce(list_aggregate(list_transform(${shinglesSql("t")}, s -> md5(s)), 'min'), '') AS shingle_fp
-          FROM (SELECT doc_id, $toksT AS t FROM documents) ORDER BY doc_id"""
+          FROM (SELECT doc_id, $toksT AS t FROM documents) ORDER BY doc_id""",
+    "q_tfidf_topk" ->
+      s"""WITH tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                      FROM (SELECT doc_id, unnest($toksT) AS term FROM documents)
+                      GROUP BY doc_id, term),
+               dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+               n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM documents)
+          SELECT doc_id, term, tf, df, score_e4 FROM (
+            SELECT tf.doc_id, tf.term, tf.tf, dfr.df,
+                   (tf.tf * n.n_docs * 10000) // dfr.df AS score_e4,
+                   row_number() OVER (PARTITION BY tf.doc_id
+                     ORDER BY (tf.tf * n.n_docs * 10000) // dfr.df DESC, tf.term) AS rk
+            FROM tf JOIN dfr USING (term) CROSS JOIN n)
+          WHERE rk <= $TfidfTopK ORDER BY doc_id, score_e4 DESC, term"""
   )
 }
