@@ -70,6 +70,8 @@ object Params {
   val TopWords = 20
   /** Distinctive terms kept per document by q_tfidf_topk. */
   val TfidfTopK = 3
+  /** Head rows taken by the physical top-n query q_sstable_topk. */
+  val SstableTopK = 100
   val JaccardTopPairs = 50
 
   /** Interval join (q_interval_join): incident windows = error bursts

@@ -104,6 +104,21 @@ object WideRowQueries {
           col("c.timestamp").as("ts_ms"),
           col("c.value").cast("string").cast("long").as("value_e4"))
         .orderBy("user_id", "event_type")
+    }),
+    // The pushed top-n, oracled over REAL written bytes: ORDER BY key
+    // LIMIT k on the physical fixture rides SupportsPushDownTopN (each
+    // split decodes at most k head rows — generations are key-sorted),
+    // and the oracle re-derives the same multiset from the parquet
+    // source. Binary key order == UTF-8 string order of the decimal
+    // user_id, matched by DuckDB's binary VARCHAR collation; equal-key
+    // row versions are interchangeable because only the key is projected,
+    // so the smallest-k multiset is unique.
+    "q_sstable_topk" -> ((s, d) => {
+      val dir = sstableFixture(s, d)
+      s.read.format("sstable").load(dir)
+        .orderBy("key").limit(SstableTopK)
+        .select(col("key").cast("string").as("user_key"))
+        .orderBy("user_key")
     })
   )
 
@@ -202,6 +217,12 @@ object WideRowQueries {
     "q_sstable_compact" ->
       s"""SELECT user_id, event_type, ts_ms, ${e4Sql("value")} AS value_e4
           FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts_ms DESC) AS rn
-                FROM $EventsSql) WHERE rn = 1 ORDER BY user_id, event_type"""
+                FROM $EventsSql) WHERE rn = 1 ORDER BY user_id, event_type""",
+    // the same smallest-k key multiset the pushed top-n produces
+    "q_sstable_topk" ->
+      s"""SELECT user_key FROM (
+            SELECT CAST(user_id AS VARCHAR) AS user_key FROM $EventsSql
+            ORDER BY user_key LIMIT $SstableTopK)
+          ORDER BY user_key"""
   )
 }

@@ -89,6 +89,13 @@ object SSTableSource {
     * and semantics as Spark's file stream source). Unset = drain all. */
   val MaxFilesPerTriggerOption = "maxfilespertrigger"
   val MaxBytesPerTriggerOption = "maxbytespertrigger"
+  /** Write-side partitioning: "hash" (default — clustered by key) or
+    * "range" (ordered distribution: each generation covers a disjoint
+    * key span, so key-range reads prune whole files). */
+  val LayoutOption = "layout"
+  /** Pin the write exchange's partition count (= generations written);
+    * 0/unset lets Spark (incl. AQE coalescing) size it. */
+  val WritePartitionsOption = "writepartitions"
 
   private[spark] def isCellsView(v: Option[String]): Boolean = v match {
     case None => false

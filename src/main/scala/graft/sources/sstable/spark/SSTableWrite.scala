@@ -42,10 +42,47 @@ final class SSTableWrite(path: String, schema: StructType,
   require(schema.fieldNames.contains("key"),
     s"sstable write requires a `key` column, got ${schema.simpleString}")
 
-  override def requiredDistribution(): Distribution =
-    Distributions.clustered(Array(Expressions.identity("key")))
-  override def requiredOrdering(): Array[SortOrder] =
+  /** `option("layout", "range")` asks Spark for an ORDERED (range)
+    * distribution instead of the default hash clustering: rows are
+    * globally range-partitioned by key, so each written generation
+    * covers a DISJOINT key span. The payoff is plan-time: pushed
+    * key-range filters and Statistics key bounds then prune whole
+    * generations (a hash layout intersects every filter with every
+    * file), and the directory is born a single LCS-style sorted run —
+    * the at-most-one-file-per-point-read shape without any compaction.
+    * Costs one range exchange (with sampling) at write time; the
+    * default stays "hash" (clustered), which avoids the sampling pass
+    * and suits LWW-heavy ingest where compaction folds anyway. */
+  private val rangeLayout: Boolean =
+    properties.get(SSTableSource.LayoutOption) match {
+      case None => false
+      case Some(s) if s.equalsIgnoreCase("range") => true
+      case Some(s) if s.equalsIgnoreCase("hash") => false
+      case Some(other) => throw new IllegalArgumentException(
+        s"sstable option '${SSTableSource.LayoutOption}' must be 'hash' or 'range', got '$other'")
+    }
+
+  private def keyAsc: Array[SortOrder] =
     Array(Expressions.sort(Expressions.column("key"), SortDirection.ASCENDING))
+  override def requiredDistribution(): Distribution =
+    if (rangeLayout) Distributions.ordered(keyAsc)
+    else Distributions.clustered(Array(Expressions.identity("key")))
+  override def requiredOrdering(): Array[SortOrder] = keyAsc
+
+  /** `option("writepartitions", n)`: pin the distribution's partition
+    * count — and therefore the number of generations written (one
+    * fileset per partition). 0 (default) lets Spark size the exchange,
+    * including AQE coalescing tiny outputs into fewer files. */
+  override def requiredNumPartitions(): Int =
+    properties.get(SSTableSource.WritePartitionsOption).map { v =>
+      val n = try v.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"sstable option '${SSTableSource.WritePartitionsOption}' must be an int, got '$v'")
+      }
+      require(n >= 0,
+        s"sstable option '${SSTableSource.WritePartitionsOption}' must be >= 0: $n")
+      n
+    }.getOrElse(0)
 
   override def toBatch: BatchWrite = new SSTableBatchWrite(path, schema, properties, truncate)
 

@@ -752,6 +752,57 @@ class SSTableSourceSpec extends AnyFunSuite {
     assert(!btop.queryExecution.executedPlan.toString.contains(" topN="))
   }
 
+  test("range layout: generations cover disjoint key spans and range reads prune files") {
+    import graft.operators.SSTableOps
+    def src(n: Int) = spark.range(n)
+      .select(concat(lit("key"), lpad(col("id").cast("string"), 5, "0"))
+        .cast("binary").as("key"),
+        array(struct(lit("c").cast("binary").as("name"), lit("NORMAL").as("state"),
+          lit("v".getBytes).as("value"), col("id").as("timestamp"),
+          lit(0L).as("ttlSecs"), lit(0L).as("expiresMillis"))).as("columns"),
+        lit(null).cast("struct<localDeletionTime:int,markedForDeleteAt:bigint>")
+          .as("rowTombstone"))
+      .repartition(4) // pre-shuffled: the write's distribution must redo it
+
+    val rangeDir = freshDir()
+    src(2000).write.format("sstable").mode("append")
+      .option("layout", "range").option("writepartitions", "4").save(rangeDir)
+    val hashDir = freshDir()
+    src(2000).write.format("sstable").mode("append")
+      .option("writepartitions", "4").save(hashDir)
+
+    // every row survives, and the written generations' Statistics key
+    // bounds are pairwise disjoint (the layout's whole point)
+    assert(spark.read.format("sstable").load(rangeDir).count() == 2000)
+    val bounds = LocalStorage.listDataFiles(rangeDir)
+      .map(f => new SSTableReader(f, LocalStorage).statistics.get)
+      .map(s => (s.minKey, s.maxKey))
+      .sortWith((a, b) => SSTableFiles.compareKeys(a._1, b._1) < 0)
+    assert(bounds.length > 1, "want multiple generations to prove disjointness")
+    bounds.sliding(2).foreach {
+      case Seq((_, hiA), (loB, _)) =>
+        assert(SSTableFiles.compareKeys(hiA, loB) < 0,
+          "range-layout generations must not overlap")
+      case _ =>
+    }
+    // …which makes the directory a single LCS sorted run from birth
+    assert(SSTableOps.leveledRuns(rangeDir).length == 1)
+    assert(SSTableOps.leveledRuns(hashDir).length > 1,
+      "hash layout overlaps by construction at this size")
+
+    // a key-range read prunes whole generations on the range layout only
+    def planned(dir: String) = {
+      val df = spark.read.format("sstable").load(dir)
+        .filter(col("key") >= lit("key00100".getBytes) &&
+          col("key") <= lit("key00120".getBytes))
+      collectBatchScans(df.queryExecution.executedPlan).head.inputRDD.getNumPartitions
+    }
+    assert(planned(rangeDir) == 1,
+      "a 21-key range must hit exactly one disjoint generation")
+    assert(planned(hashDir) == LocalStorage.listDataFiles(hashDir).length,
+      "every hash-layout generation intersects the range")
+  }
+
   test("index source: pushed limit/top-n and reported ordering") {
     val dir = freshDir()
     writeGen(dir, "even", 0, 200, step = 2)
