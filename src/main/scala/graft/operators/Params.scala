@@ -66,6 +66,13 @@ object Params {
   /** 5 Lloyd passes — flat per-iteration cost now that kmediansCells
     * persists the base relation and checkpoints each assignment. */
   val KMedIters = 5
+  /** Product quantization (q_ann_pq): subspace count, codes per
+    * subspace, Lloyd passes per codebook. 4×8 codes = 4 bytes/vector vs
+    * 256 raw — the billion-scale ANN memory story; oracle-scale knobs,
+    * per-call parameters for real use. */
+  val PqM = 4
+  val PqK = 8
+  val PqIters = 2
   val NearDupCosine = 0.95
   val TopWords = 20
   /** Distinctive terms kept per document by q_tfidf_topk. */

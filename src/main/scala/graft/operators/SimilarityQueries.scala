@@ -45,10 +45,16 @@ object SimilarityQueries {
     * `(…, cell, v, nrm)` — the shared primitive of [[cellCentroids]]
     * (label cells) and [[kmediansCells]] (learned cells). */
   private def medianCentroids(assigned: DataFrame): DataFrame =
-    assigned.select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy("cell", "pos").agg(median(col("x")).as("av"))
-      .groupBy("cell").agg(array_sort(collect_list(struct(col("pos"), col("av")))).as("pa"))
-      .select(col("cell"), transform(col("pa"), p => p.getField("av")).as("cv"))
+    medianCentroidsKeyed(assigned, Seq("cell"))
+
+  /** Same exact-median centroids, grouped by `keys` (e.g. `(sub, cell)`
+    * for per-subspace PQ codebooks — one aggregation trains them all). */
+  private def medianCentroidsKeyed(assigned: DataFrame, keys: Seq[String]): DataFrame =
+    assigned.select(keys.map(col) :+ posexplode(col("v")).as(Seq("pos", "x")): _*)
+      .groupBy((keys :+ "pos").map(col): _*).agg(median(col("x")).as("av"))
+      .groupBy(keys.map(col): _*)
+      .agg(array_sort(collect_list(struct(col("pos"), col("av")))).as("pa"))
+      .select(keys.map(col) :+ transform(col("pa"), p => p.getField("av")).as("cv"): _*)
       .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
 
   /** Learned coarse quantizer: k-medians Lloyd iterations over cosine
@@ -94,6 +100,44 @@ object SimilarityQueries {
     lastCent = lastCent.localCheckpoint()
     base.unpersist()
     (assigned, lastCent)
+  }
+
+  /** All `m` PQ subspace codebooks trained in ONE Lloyd loop: the
+    * relation is (sub, vec_id, subvector), medians group by (sub, cell)
+    * and assignment ranks within (sub, vec_id) — so the loop pays
+    * `iters` checkpoint rounds TOTAL instead of iters × m (subspaces
+    * are independent, so this is bit-identical to training each
+    * separately, which is exactly what the oracle's m separate CTE
+    * chains do). Returns assigned `(sub, vec_id, cell)` and centroids
+    * `(sub, cell, cv, cn)`. */
+  def pqTrain(e: DataFrame, m: Int, k: Int, iters: Int): (DataFrame, DataFrame) = {
+    require(iters >= 1, s"pqTrain needs at least one Lloyd iteration, got $iters")
+    val subLen = (size(col("v")) / m).cast("int")
+    val base = e.select(col("vec_id"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"), col("v"))
+      .select(col("sub"), col("vec_id"),
+        slice(col("v"), col("sub") * subLen + 1, subLen).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .persist()
+    var assigned = base.withColumn("cell", pmod(col("vec_id"), lit(k)))
+    var lastCent: DataFrame = null
+    for (_ <- 1 to iters) {
+      val cent = medianCentroidsKeyed(assigned, Seq("sub", "cell"))
+      lastCent = cent
+      val sim = dot(col("v"), col("cv")) / (col("nrm") * col("cn"))
+      assigned = base.join(broadcast(cent), "sub")
+        .select(col("sub"), col("vec_id"), col("v"), col("nrm"), col("cell"),
+          sim.as("csim"))
+        .groupBy("sub", "vec_id")
+        .agg(max_by(struct(col("cell"), col("v"), col("nrm")),
+          struct(col("csim"), -col("cell"))).as("_best"))
+        .select(col("sub"), col("vec_id"), col("_best.cell").as("cell"),
+          col("_best.v").as("v"), col("_best.nrm").as("nrm"))
+        .localCheckpoint()
+    }
+    lastCent = lastCent.localCheckpoint()
+    base.unpersist()
+    (assigned.select(col("sub"), col("vec_id"), col("cell")), lastCent)
   }
 
   /** Multi-probe cell selection: each query keeps its `nprobe`
@@ -196,6 +240,67 @@ object SimilarityQueries {
           e4(col("n_hits").cast("double") / KnnK).as("recall_e4"))
         .orderBy("q_id")
     }),
+    // Product quantization ANN with measured recall@k — the
+    // billion-scale memory path: each vector is compressed to PqM
+    // sub-codes (4 bytes here vs 256 raw bytes at 64×float), one
+    // k-medians codebook trained per subspace with the same
+    // deterministic Lloyd machinery as q_ann_kmeans, and queries rank
+    // candidates by asymmetric distance (query subvector · centroid
+    // lookup) — vectors themselves are never touched at query time.
+    // Scale shape: codebooks are M×k tiny rows (broadcast); the
+    // per-query score is FOUR broadcast lookup joins on the code columns
+    // + one fixed-order arithmetic expression (NO float sum aggregation
+    // — partial-agg order would flip bits across engines, Params.e4
+    // scaladoc); candidates stream, queries broadcast. Recall vs the
+    // exact brute-force top-k is a first-class checked value.
+    "q_ann_pq" -> ((s, d) => {
+      val e = embWithNorm(s, d)
+      val (assigned, cents) = pqTrain(e, PqM, PqK, PqIters)
+      // pivot codes to one row per vector: (vec_id, code0..code3) —
+      // exactly one cell per (sub, vec), so max(when(...)) is exact
+      val codeAggs = (0 until PqM).map(m =>
+        max(when(col("sub") === m, col("cell"))).as(s"code$m"))
+      val codes = assigned.groupBy("vec_id").agg(codeAggs.head, codeAggs.tail: _*)
+      val q = e.filter(col("vec_id") < KnnQueryIds)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      // asymmetric-distance lookup tables: query subvector · each
+      // subspace centroid (queries × PqK rows per subspace — tiny)
+      val luts = (0 until PqM).map { m =>
+        val qLen = (size(col("qv")) / PqM).cast("int")
+        q.crossJoin(broadcast(cents.filter(col("sub") === m)))
+          .select(col("q_id").as(s"q$m"), col("cell").as(s"cell$m"),
+            dot(slice(col("qv"), lit(m) * qLen + 1, qLen), col("cv"))
+              .as(s"d$m"), col("cn").as(s"cn$m"))
+      }
+      // one broadcast join per code column; the approximate similarity is
+      // a single left-to-right expression, bit-identical to the oracle's
+      val scored = luts.zipWithIndex.foldLeft(codes) { case (acc, (lut, m)) =>
+        acc.join(broadcast(lut),
+          acc(s"code$m") === lut(s"cell$m") &&
+            (if (m == 0) lit(true) else acc("q0") === lut(s"q$m")))
+      }
+      val adot = col("d0") + col("d1") + col("d2") + col("d3")
+      val rn = sqrt(col("cn0") * col("cn0") + col("cn1") * col("cn1") +
+        col("cn2") * col("cn2") + col("cn3") * col("cn3"))
+      val approx = scored.join(broadcast(q), col("q0") === col("q_id"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("c_id"),
+          (adot / (col("qn") * rn)).as("sim"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+      val pq = approx.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= KnnK)
+        .select(col("q_id").as("q_id_p"), col("c_id").as("c_id_p"))
+      val bf = topK(broadcast(q).crossJoin(
+            e.select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn")))
+          .filter(col("q_id") =!= col("c_id")))
+        .select(col("q_id"), col("c_id"))
+      bf.join(broadcast(pq),
+          col("q_id") === col("q_id_p") && col("c_id") === col("c_id_p"), "left")
+        .groupBy("q_id").agg(count(col("c_id_p")).as("n_hits"))
+        .select(col("q_id"), col("n_hits"),
+          e4(col("n_hits").cast("double") / KnnK).as("recall_e4"))
+        .orderBy("q_id")
+    }),
     // Embedding-cosine near-dup: canonical id per vector (min partner
     // above threshold in the same IVF cell, else self). Candidates come
     // from the coarse-cell equi-join — the same bucketing as q_ann_ivf,
@@ -224,26 +329,29 @@ object SimilarityQueries {
 
   /** CTE chain for the oracle's k-medians: a0 (mod-k init) then
     * `iters` × (median centroids cI, reassignment aI+1) — mirrors
-    * [[kmediansCells]] exactly. Exposes `a$iters` (final assignment) and
-    * `c${iters - 1}n` (the centroids that produced it). */
-  private def kmedCtes(k: Int, iters: Int): String = {
-    val init = s"a0 AS (SELECT vec_id, v, nrm, vec_id % $k AS cell FROM $embSql)"
+    * [[kmediansCells]] exactly. Exposes `${p}a$iters` (final assignment)
+    * and `${p}c${iters - 1}n` (the centroids that produced it). `src` is
+    * any relation exposing (vec_id, v, nrm); `p` prefixes the CTE names
+    * so several chains can coexist (one per PQ subspace). */
+  private def kmedCtes(k: Int, iters: Int, src: String = embSql,
+                       p: String = ""): String = {
+    val init = s"${p}a0 AS (SELECT vec_id, v, nrm, vec_id % $k AS cell FROM $src)"
     val steps = (1 to iters).map { i =>
-      s"""c${i - 1} AS (
+      s"""${p}c${i - 1} AS (
             SELECT cell, list(av ORDER BY pos) AS cv FROM (
               SELECT cell, pos, median(x) AS av FROM (
                 SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS x
-                FROM a${i - 1})
+                FROM ${p}a${i - 1})
               GROUP BY cell, pos)
             GROUP BY cell),
-          c${i - 1}n AS (
-            SELECT cell, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM c${i - 1}),
-          a$i AS (
+          ${p}c${i - 1}n AS (
+            SELECT cell, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM ${p}c${i - 1}),
+          ${p}a$i AS (
             SELECT vec_id, v, nrm, cell FROM (
               SELECT e.vec_id, e.v, e.nrm, c.cell,
                      row_number() OVER (PARTITION BY e.vec_id
                        ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cn) DESC, c.cell) AS rk
-              FROM $embSql e, c${i - 1}n c)
+              FROM $src e, ${p}c${i - 1}n c)
             WHERE rk = 1)"""
     }
     (init +: steps).mkString(",\n")
@@ -334,6 +442,62 @@ object SimilarityQueries {
                  ${e4Sql(s"count(i.c_id) * 1.0 / $KnnK")} AS recall_e4
           FROM bf b LEFT JOIN ivf i ON b.q_id = i.q_id AND b.c_id = i.c_id
           GROUP BY b.q_id ORDER BY b.q_id""",
+    "q_ann_pq" -> {
+      val I = PqIters
+      val subCtes = (0 until PqM).map { m =>
+        val b = s"$m * (len(v) // $PqM) + 1"
+        val e2b = s"${m + 1} * (len(v) // $PqM)"
+        s"""sub$m AS (
+              SELECT vec_id, sv AS v, sqrt(list_dot_product(sv, sv)) AS nrm FROM (
+                SELECT vec_id, list_slice(v, $b, $e2b) AS sv FROM $embSql)),
+            ${kmedCtes(PqK, I, s"sub$m", s"s$m")}"""
+      }.mkString(",\n")
+      val lutCtes = (0 until PqM).map { m =>
+        val b = s"$m * (len(q.qv) // $PqM) + 1"
+        val e2b = s"${m + 1} * (len(q.qv) // $PqM)"
+        s"""lut$m AS (
+              SELECT q.q_id, c.cell,
+                     list_dot_product(list_slice(q.qv, $b, $e2b), c.cv) AS d, c.cn
+              FROM q, s${m}c${I - 1}n c)"""
+      }.mkString(",\n")
+      s"""WITH $subCtes,
+          codes AS (
+            SELECT s0.vec_id, s0.cell AS code0, s1.cell AS code1,
+                   s2.cell AS code2, s3.cell AS code3
+            FROM s0a$I s0 JOIN s1a$I s1 USING (vec_id)
+                 JOIN s2a$I s2 USING (vec_id) JOIN s3a$I s3 USING (vec_id)),
+          q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM $embSql
+                WHERE vec_id < $KnnQueryIds),
+          $lutCtes,
+          approx AS (
+            SELECT q.q_id, codes.vec_id AS c_id,
+                   (l0.d + l1.d + l2.d + l3.d) /
+                   (q.qn * sqrt(l0.cn * l0.cn + l1.cn * l1.cn
+                                + l2.cn * l2.cn + l3.cn * l3.cn)) AS sim
+            FROM codes CROSS JOIN q
+            JOIN lut0 l0 ON l0.q_id = q.q_id AND l0.cell = codes.code0
+            JOIN lut1 l1 ON l1.q_id = q.q_id AND l1.cell = codes.code1
+            JOIN lut2 l2 ON l2.q_id = q.q_id AND l2.cell = codes.code2
+            JOIN lut3 l3 ON l3.q_id = q.q_id AND l3.cell = codes.code3
+            WHERE codes.vec_id <> q.q_id),
+          pq AS (
+            SELECT q_id, c_id FROM (
+              SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+                       ORDER BY sim DESC, c_id) AS rk
+              FROM approx)
+            WHERE rk <= $KnnK),
+          bf AS (
+            SELECT q_id, c_id FROM (
+              SELECT q.q_id, e.vec_id AS c_id,
+                     row_number() OVER (PARTITION BY q.q_id
+                       ORDER BY list_dot_product(q.qv, e.v) / (q.qn * e.nrm) DESC, e.vec_id) AS rk
+              FROM q, $embSql e WHERE e.vec_id <> q.q_id)
+            WHERE rk <= $KnnK)
+          SELECT b.q_id, CAST(count(p.c_id) AS BIGINT) AS n_hits,
+                 ${e4Sql(s"count(p.c_id) * 1.0 / $KnnK")} AS recall_e4
+          FROM bf b LEFT JOIN pq p ON b.q_id = p.q_id AND b.c_id = p.c_id
+          GROUP BY b.q_id ORDER BY b.q_id"""
+    },
     "q_dedup_embedding" ->
       s"""SELECT e.vec_id, coalesce(d.canon_min, e.vec_id) AS canon
           FROM (SELECT vec_id FROM embeddings WHERE vec_id < $PairSampleIds) e
