@@ -13,30 +13,54 @@ import org.apache.spark.sql.functions._
   * one decoder init per partition, streaming over rows, never
   * materializing the partition).
   *
-  * [[decode]] is REAL for the formats the JDK ships readers for
-  * (PNG/JPEG/BMP/GIF/WBMP via `javax.imageio`, header-only — pixels are
-  * never decoded): width/height/frames come from the actual image
-  * header. Payloads no installed reader recognizes — video containers
-  * and arbitrary bytes; those codecs need native libs absent from this
-  * container — fall back to [[decodeStub]], a clearly-marked
-  * deterministic fake keyed on byte length so tests and the DuckDB
-  * oracle can pin the plumbing end-to-end. Swap the fallback for a real
-  * JNI/FFM video decoder without touching any Spark code.
+  * [[decode]] is REAL for the formats the JDK ships readers for:
+  * images (PNG/JPEG/BMP/GIF/WBMP via `javax.imageio`, header-only —
+  * pixels are never decoded) and audio containers (WAV/AIFF/AU/SND via
+  * `javax.sound.sampled`, header-only — sample data is never read);
+  * `meta.kind` says which decoder spoke. Payloads no installed reader
+  * recognizes — video containers and arbitrary bytes; those codecs need
+  * native libs absent from this container — fall back to [[decodeStub]],
+  * a clearly-marked deterministic fake keyed on byte length so tests and
+  * the DuckDB oracle can pin the plumbing end-to-end. Swap the fallback
+  * for a real JNI/FFM video decoder without touching any Spark code.
   */
 object Multimodal {
 
-  final case class MediaMeta(byte_len: Int, width: Int, height: Int, frames: Int)
+  /** Modality-neutral header metadata. `kind` says which decoder spoke:
+    * "image" (width/height in pixels, frames = container images),
+    * "audio" (width = sample rate Hz, height = channels, frames =
+    * sample frames — the audio analogue of pixel dimensions), or
+    * "opaque" (the deterministic stub fields). */
+  final case class MediaMeta(byte_len: Int, width: Int, height: Int, frames: Int,
+                             kind: String = "image")
   final case class MediaRow(doc_id: Long, payload: Array[Byte])
   final case class DecodedRow(doc_id: Long, meta: MediaMeta)
 
   /** STUB decoder — deterministic fake of header parsing, used only for
-    * payloads [[decode]] finds no JDK image reader for (video and junk
-    * bytes). Pure function of the byte length so both the ScalaTest
-    * specs and the DuckDB oracle can verify the plumbing. */
+    * payloads [[decode]] finds no JDK image or audio reader for (video
+    * and junk bytes). Pure function of the byte length so both the
+    * ScalaTest specs and the DuckDB oracle can verify the plumbing. */
   def decodeStub(payload: Array[Byte]): MediaMeta = {
     val n = payload.length
-    MediaMeta(n, 64 + (n * 7) % 1216, 64 + (n * 13) % 656, 1 + n % 30)
+    MediaMeta(n, 64 + (n * 7) % 1216, 64 + (n * 13) % 656, 1 + n % 30, "opaque")
   }
+
+  /** REAL audio header decode via the JDK's `javax.sound.sampled` (pure
+    * JVM): WAV/AIFF/AU/SND headers parse without touching sample data.
+    * None = not an audio container this JVM recognizes. */
+  private def decodeAudio(payload: Array[Byte]): Option[MediaMeta] =
+    try {
+      val fmt = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(payload))
+      val af = fmt.getFormat
+      val frames = fmt.getFrameLength
+      Some(MediaMeta(payload.length,
+        math.round(af.getSampleRate), math.max(af.getChannels, 0),
+        if (frames >= 0) frames else 0, "audio"))
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
 
   /** REAL header decode via the JDK's `javax.imageio` (pure JVM, no
     * native libs): for any payload a shipped reader recognizes
@@ -50,10 +74,11 @@ object Multimodal {
     val n = payload.length
     val iis = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(payload))
-    if (iis == null) return decodeStub(payload)
+    if (iis == null) return decodeAudio(payload).getOrElse(decodeStub(payload))
     try {
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) decodeStub(payload)
+      if (!readers.hasNext)
+        decodeAudio(payload).getOrElse(decodeStub(payload))
       else {
         val r = readers.next()
         try {
@@ -65,11 +90,12 @@ object Multimodal {
           val frames = try r.getNumImages(true) catch {
             case _: java.io.IOException => -1
           }
-          MediaMeta(n, w, h, if (frames > 0) frames else 1)
+          MediaMeta(n, w, h, if (frames > 0) frames else 1, "image")
         } finally r.dispose()
       }
     } catch {
-      case _: java.io.IOException | _: RuntimeException => decodeStub(payload)
+      case _: java.io.IOException | _: RuntimeException =>
+        decodeAudio(payload).getOrElse(decodeStub(payload))
     } finally iis.close()
   }
 
@@ -84,7 +110,8 @@ object Multimodal {
       n.as("byte_len"),
       (lit(64L) + (n * 7) % 1216).as("width"),
       (lit(64L) + (n * 13) % 656).as("height"),
-      (lit(1L) + n % 30).as("frames")))
+      (lit(1L) + n % 30).as("frames"),
+      lit("opaque").as("kind")))
   }
 
   /** Per-partition batch decode through [[decode]]: real image headers,

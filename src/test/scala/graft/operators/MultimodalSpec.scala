@@ -93,6 +93,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decode(bytes) == MediaMeta(bytes.length, 12, 7, 3))
   }
 
+  test("decode reads REAL WAV/AIFF audio headers (sample rate, channels, frames)") {
+    def audioBytes(tpe: javax.sound.sampled.AudioFileFormat.Type,
+                   rateHz: Float, channels: Int, frames: Int): Array[Byte] = {
+      val af = new javax.sound.sampled.AudioFormat(rateHz, 16, channels, true,
+        tpe == javax.sound.sampled.AudioFileFormat.Type.AIFF) // AIFF = big-endian
+      val pcm = new Array[Byte](frames * af.getFrameSize)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), af, frames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais, tpe, bos)
+      bos.toByteArray
+    }
+    val wav = audioBytes(javax.sound.sampled.AudioFileFormat.Type.WAVE,
+      8000f, 2, 100)
+    assert(Multimodal.decode(wav) == MediaMeta(wav.length, 8000, 2, 100, "audio"),
+      "WAV header decode")
+    val aiff = audioBytes(javax.sound.sampled.AudioFileFormat.Type.AIFF,
+      44100f, 1, 250)
+    assert(Multimodal.decode(aiff) ==
+      MediaMeta(aiff.length, 44100, 1, 250, "audio"), "AIFF header decode")
+  }
+
   test("unrecognized and corrupt payloads fall back to the deterministic stub") {
     val junk = Array.tabulate(37)(_.toByte)
     assert(Multimodal.decode(junk) == decodeStub(junk))
