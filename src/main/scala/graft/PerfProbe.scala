@@ -28,6 +28,7 @@ object PerfProbe {
     if (args.headOption.contains("skew")) { skewProbe(spark, time); spark.stop(); return }
     if (args.headOption.contains("lookup")) { lookupProbe(spark, time); spark.stop(); return }
     if (args.headOption.contains("scale")) { scaleProbe(spark, time); spark.stop(); return }
+    if (args.headOption.contains("topn")) { topnProbe(spark, time); spark.stop(); return }
 
     val docs = Tables.documents(spark, sfDir)
 
@@ -57,6 +58,36 @@ object PerfProbe {
         .groupBy("doc_id").agg(min(md5(col("sh"))).as("fp"))
     }
     spark.stop()
+  }
+
+  /** Pushed limit / top-n vs full scans: 8 generations × 100k rows with
+    * wide-ish values. Expect LIMIT 10 ≈ free (one generation planned,
+    * 10 rows decoded), ORDER BY key LIMIT 10 ≈ per-generation head reads
+    * (8 × 10 rows decoded), both ≪ the full decode they'd cost without
+    * the pushdown. */
+  private def topnProbe(spark: SparkSession,
+                        time: String => (=> DataFrame) => Unit): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("topn-probe").toString
+    val t0 = System.nanoTime()
+    (0 until 8).foreach { g =>
+      spark.range(100000).select(
+          concat(lit("user"), lpad((col("id") * 8 + g).cast("string"), 8, "0"))
+            .cast("binary").as("key"),
+          array(struct(lit("c").cast("binary").as("name"), lit("NORMAL").as("state"),
+            concat(lit("v" * 64), col("id")).cast("binary").as("value"),
+            col("id").as("timestamp"), lit(0L).as("ttlSecs"),
+            lit(0L).as("expiresMillis"))).as("columns"))
+        .write.format("sstable").mode("append").save(dir)
+    }
+    println(f"write 8 generations         ${(System.nanoTime() - t0) / 1e9}%8.2fs")
+    def scan = spark.read.format("sstable").load(dir)
+    time("full_scan_decode")(scan.select("key", "columns"))
+    time("limit10_pushed")(scan.limit(10))
+    time("topn10_key_pushed")(scan.orderBy("key").limit(10))
+    time("topn10_keys_only_indexed")(scan.select("key").orderBy("key").limit(10))
+    // the unpushed shape for contrast: order by a derived column
+    time("topn10_derived_unpushed")(
+      scan.orderBy(substring(col("key").cast("string"), 1, 12)).limit(10))
   }
 
   /** Probe-vs-scan at many-generation scale: 16 generations × 50k rows,

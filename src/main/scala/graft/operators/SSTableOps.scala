@@ -627,6 +627,26 @@ object SSTableOps {
       spark, out, SSTableSchema.schema)
   }
 
+  /** Remove `_staging-*` scratch directories older than `olderThanMs` —
+    * the leftovers of write jobs whose JVM died before commit OR abort
+    * could run (the staged-commit protocol guarantees no READABLE
+    * half-output, but a killed driver leaves its invisible staging tree
+    * on disk forever). Age is the liveness guard: a healthy job stages
+    * and commits within its own runtime, so choose a horizon comfortably
+    * above the longest write job (default 24 h) and this can run beside
+    * live writers. Returns (removed, kept) staging paths. Published
+    * generations are never touched — only `_staging-` subdirectories. */
+  def vacuumStaging(dir: String,
+                    olderThanMs: Long = 24L * 3600 * 1000,
+                    nowMs: Long = System.currentTimeMillis(),
+                    storage: graft.sources.sstable.Storage =
+                      graft.sources.sstable.LocalStorage): (Seq[String], Seq[String]) = {
+    val (stale, live) = storage.listSubdirs(dir, "_staging-")
+      .partition(d => nowMs - storage.mtime(d) > olderThanMs)
+    stale.foreach(storage.deleteRecursive)
+    (stale, live)
+  }
+
   /** Keys whose MERGED state differs between two SSTable directories —
     * the migration/compaction validator: `diffDirs(inputs, compacted)`
     * empty ⇔ the rewrite preserved every key's reconciled row

@@ -30,6 +30,12 @@ trait Storage {
   def create(path: String): DataOutputStream
   def delete(path: String): Unit
   def rename(src: String, dst: String): Unit
+  /** Immediate subdirectories of `dir` whose NAME starts with `prefix`
+    * (e.g. the write paths' `_staging-` scratch space). Empty when `dir`
+    * is not a directory. */
+  def listSubdirs(dir: String, prefix: String): Seq[String]
+  /** Delete a directory tree (no-op if absent). */
+  def deleteRecursive(dir: String): Unit
   /** Hosts holding the physical byte range [start, end) of `path`; empty
     * when locality is unknown (local fs). */
   def blockHosts(path: String, start: Long, end: Long): Array[String] = Array.empty
@@ -63,6 +69,20 @@ object LocalStorage extends Storage {
       throw new java.io.IOException(s"rename $src -> $dst: destination exists")
     val ok = new File(src).renameTo(new File(dst))
     if (!ok) throw new java.io.IOException(s"rename $src -> $dst failed")
+  }
+  def listSubdirs(dir: String, prefix: String): Seq[String] = {
+    val f = new File(dir)
+    if (!f.isDirectory) Nil
+    else f.listFiles().toSeq
+      .filter(d => d.isDirectory && d.getName.startsWith(prefix))
+      .map(_.getPath).sorted
+  }
+  def deleteRecursive(dir: String): Unit = {
+    def walk(f: File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(walk))
+      f.delete()
+    }
+    walk(new File(dir))
   }
 }
 
@@ -136,6 +156,15 @@ final class HadoopStorage(conf: Configuration) extends Storage {
   def deleteRecursive(dir: String): Unit = {
     val p = new Path(dir)
     fs(p).delete(p, true)
+  }
+
+  def listSubdirs(dir: String, prefix: String): Seq[String] = {
+    val p = new Path(dir)
+    val f = fs(p)
+    if (!f.exists(p) || !f.getFileStatus(p).isDirectory) Nil
+    else f.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+      .map(_.getPath.toString).sorted
   }
 
   override def blockHosts(path: String, start: Long, end: Long): Array[String] = {

@@ -170,14 +170,7 @@ final class SSTableBatchWrite(path: String, schema: StructType,
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     removeStaging(storage)
 
-  private def removeStaging(st: Storage): Unit = st match {
-    case LocalStorage =>
-      val d = new java.io.File(stagingDir)
-      Option(d.listFiles()).foreach(_.foreach(_.delete()))
-      d.delete()
-    case h: HadoopStorage =>
-      h.deleteRecursive(stagingDir)
-  }
+  private def removeStaging(st: Storage): Unit = st.deleteRecursive(stagingDir)
 }
 
 /** Streaming (micro-batch) write: tasks stage under

@@ -715,6 +715,9 @@ class SSTableOpsSpec extends AnyFunSuite {
       def create(path: String): java.io.DataOutputStream = LocalStorage.create(path)
       def delete(path: String): Unit = LocalStorage.delete(path)
       def rename(src: String, dst: String): Unit = LocalStorage.rename(src, dst)
+      def listSubdirs(dir: String, prefix: String): Seq[String] =
+        LocalStorage.listSubdirs(dir, prefix)
+      def deleteRecursive(dir: String): Unit = LocalStorage.deleteRecursive(dir)
       def listDataFiles(d: String): Seq[String] = {
         listings += 1
         if (listings == 2)
@@ -865,6 +868,35 @@ class SSTableOpsSpec extends AnyFunSuite {
       .select(col("key").cast("string"), col("side"))
       .as[(String, String)].collect().toMap
     assert(diff == Map("b" -> "DIFFERENT", "c" -> "A_ONLY", "d" -> "B_ONLY"))
+  }
+
+  test("vacuumStaging removes only stale _staging-* trees, never published data") {
+    import graft.sources.sstable.{Column, LocalStorage, SSTableRow, SSTableWriter}
+    val dir = Files.createTempDirectory("vacuum").toString
+    val w = new SSTableWriter(s"$dir/live-Data.db", compress = false)
+    w.append(SSTableRow("k".getBytes,
+      Seq(Column.Normal("c".getBytes, "v".getBytes, 1L))))
+    w.close()
+    // a crashed job's scratch tree (old) and a running job's (fresh)
+    def staging(name: String, ageMs: Long): java.io.File = {
+      val d = new java.io.File(s"$dir/$name/nested")
+      d.mkdirs()
+      java.nio.file.Files.write(new java.io.File(d, "part-0-Data.db").toPath,
+        "partial".getBytes)
+      val top = d.getParentFile
+      top.setLastModified(System.currentTimeMillis() - ageMs)
+      top
+    }
+    val dead = staging("_staging-dead", ageMs = 48L * 3600 * 1000)
+    val fresh = staging("_staging-fresh", ageMs = 0L)
+
+    val (removed, kept) = SSTableOps.vacuumStaging(dir)
+    assert(removed.map(_.split('/').last) == Seq("_staging-dead"))
+    assert(kept.map(_.split('/').last) == Seq("_staging-fresh"))
+    assert(!dead.exists(), "stale tree must be fully removed")
+    assert(fresh.exists(), "a possibly-live job's staging must survive")
+    assert(LocalStorage.listDataFiles(dir) == Seq(s"$dir/live-Data.db"),
+      "published generations untouched; staged partials never listed")
   }
 
   test("scrub reports per-file integrity: sorted, stats-consistent, corruption localized") {

@@ -23,6 +23,9 @@ class MetadataCacheSpec extends AnyFunSuite {
     def create(path: String): java.io.DataOutputStream = LocalStorage.create(path)
     def delete(path: String): Unit = LocalStorage.delete(path)
     def rename(src: String, dst: String): Unit = LocalStorage.rename(src, dst)
+    def listSubdirs(dir: String, prefix: String): Seq[String] =
+      LocalStorage.listSubdirs(dir, prefix)
+    def deleteRecursive(dir: String): Unit = LocalStorage.deleteRecursive(dir)
     def metadataOpens: Int = synchronized {
       opens(SSTableFiles.SummarySuffix) + opens(SSTableFiles.CompressionSuffix) +
         opens(SSTableFiles.FilterSuffix) + opens(SSTableFiles.IndexSuffix)
@@ -89,6 +92,9 @@ class MetadataCacheSpec extends AnyFunSuite {
     def create(path: String): java.io.DataOutputStream = LocalStorage.create(path)
     def delete(path: String): Unit = LocalStorage.delete(path)
     def rename(src: String, dst: String): Unit = LocalStorage.rename(src, dst)
+    def listSubdirs(dir: String, prefix: String): Seq[String] =
+      LocalStorage.listSubdirs(dir, prefix)
+    def deleteRecursive(dir: String): Unit = LocalStorage.deleteRecursive(dir)
   }
 
   test("split planning does O(#splits) index point reads, not O(#summary entries)") {
