@@ -301,6 +301,63 @@ object SimilarityQueries {
           e4(col("n_hits").cast("double") / KnnK).as("recall_e4"))
         .orderBy("q_id")
     }),
+    // IVF+PQ — the standard billion-scale serving shape (FAISS IVFPQ):
+    // a learned coarse quantizer prunes candidates to the query's NProbe
+    // closest cells (the IO/shuffle win), then PQ asymmetric distance
+    // ranks ONLY those candidates from their 4-byte codes (the memory
+    // win — raw vectors never touched at query time). Composes the two
+    // oracled quantizer trainings (kmediansCells + pqTrain) unchanged;
+    // recall@k vs exact brute force is the checked value. At 100 TB:
+    // codes+cells are a narrow (vec_id, cell, code0..3) relation,
+    // candidates come from a broadcast probe equi-join on the cell, and
+    // scoring is the same fixed-order lookup arithmetic as q_ann_pq.
+    "q_ann_ivfpq" -> ((s, d) => {
+      val e = embWithNorm(s, d)
+      val (assignedC, coarse) = kmediansCells(e, KMedK, IvfPqIters)
+      val (assignedP, cents) = pqTrain(e, PqM, PqK, PqIters)
+      val codeAggs = (0 until PqM).map(m =>
+        max(when(col("sub") === m, col("cell"))).as(s"code$m"))
+      val codes = assignedP.groupBy("vec_id").agg(codeAggs.head, codeAggs.tail: _*)
+        .join(assignedC.select(col("vec_id"), col("cell")), "vec_id")
+      val q = e.filter(col("vec_id") < KnnQueryIds)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val probes = probedCells(q, coarse, NProbe)
+        .select(col("q_id").as("qp"), col("cell"))
+      // candidates: probed cells only — the IVF pruning step
+      val cand = codes.join(broadcast(probes), "cell")
+      val luts = (0 until PqM).map { m =>
+        val qLen = (size(col("qv")) / PqM).cast("int")
+        q.crossJoin(broadcast(cents.filter(col("sub") === m)))
+          .select(col("q_id").as(s"q$m"), col("cell").as(s"cell$m"),
+            dot(slice(col("qv"), lit(m) * qLen + 1, qLen), col("cv"))
+              .as(s"d$m"), col("cn").as(s"cn$m"))
+      }
+      val scored = luts.zipWithIndex.foldLeft(cand) { case (acc, (lut, m)) =>
+        acc.join(broadcast(lut),
+          acc(s"code$m") === lut(s"cell$m") && acc("qp") === lut(s"q$m"))
+      }
+      val adot = col("d0") + col("d1") + col("d2") + col("d3")
+      val rn = sqrt(col("cn0") * col("cn0") + col("cn1") * col("cn1") +
+        col("cn2") * col("cn2") + col("cn3") * col("cn3"))
+      val approx = scored.join(broadcast(q), col("qp") === col("q_id"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("c_id"),
+          (adot / (col("qn") * rn)).as("sim"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+      val ivfpq = approx.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= KnnK)
+        .select(col("q_id").as("q_id_p"), col("c_id").as("c_id_p"))
+      val bf = topK(broadcast(q).crossJoin(
+            e.select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn")))
+          .filter(col("q_id") =!= col("c_id")))
+        .select(col("q_id"), col("c_id"))
+      bf.join(broadcast(ivfpq),
+          col("q_id") === col("q_id_p") && col("c_id") === col("c_id_p"), "left")
+        .groupBy("q_id").agg(count(col("c_id_p")).as("n_hits"))
+        .select(col("q_id"), col("n_hits"),
+          e4(col("n_hits").cast("double") / KnnK).as("recall_e4"))
+        .orderBy("q_id")
+    }),
     // Embedding-cosine near-dup: canonical id per vector (min partner
     // above threshold in the same IVF cell, else self). Candidates come
     // from the coarse-cell equi-join — the same bucketing as q_ann_ivf,
@@ -496,6 +553,74 @@ object SimilarityQueries {
           SELECT b.q_id, CAST(count(p.c_id) AS BIGINT) AS n_hits,
                  ${e4Sql(s"count(p.c_id) * 1.0 / $KnnK")} AS recall_e4
           FROM bf b LEFT JOIN pq p ON b.q_id = p.q_id AND b.c_id = p.c_id
+          GROUP BY b.q_id ORDER BY b.q_id"""
+    },
+    "q_ann_ivfpq" -> {
+      val I = PqIters
+      val G = IvfPqIters
+      val subCtes = (0 until PqM).map { m =>
+        val b = s"$m * (len(v) // $PqM) + 1"
+        val e2b = s"${m + 1} * (len(v) // $PqM)"
+        s"""sub$m AS (
+              SELECT vec_id, sv AS v, sqrt(list_dot_product(sv, sv)) AS nrm FROM (
+                SELECT vec_id, list_slice(v, $b, $e2b) AS sv FROM $embSql)),
+            ${kmedCtes(PqK, I, s"sub$m", s"s$m")}"""
+      }.mkString(",\n")
+      val lutCtes = (0 until PqM).map { m =>
+        val b = s"$m * (len(q.qv) // $PqM) + 1"
+        val e2b = s"${m + 1} * (len(q.qv) // $PqM)"
+        s"""lut$m AS (
+              SELECT q.q_id, c.cell,
+                     list_dot_product(list_slice(q.qv, $b, $e2b), c.cv) AS d, c.cn
+              FROM q, s${m}c${I - 1}n c)"""
+      }.mkString(",\n")
+      s"""WITH ${kmedCtes(KMedK, G, embSql, "g")},
+          $subCtes,
+          codes AS (
+            SELECT s0.vec_id, g.cell, s0.cell AS code0, s1.cell AS code1,
+                   s2.cell AS code2, s3.cell AS code3
+            FROM s0a$I s0 JOIN s1a$I s1 USING (vec_id)
+                 JOIN s2a$I s2 USING (vec_id) JOIN s3a$I s3 USING (vec_id)
+                 JOIN ga$G g USING (vec_id)),
+          q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM $embSql
+                WHERE vec_id < $KnnQueryIds),
+          probes AS (
+            SELECT q_id, cell FROM (
+              SELECT q.q_id, c.cell,
+                     row_number() OVER (PARTITION BY q.q_id
+                       ORDER BY list_dot_product(q.qv, c.cv) / (q.qn * c.cn) DESC, c.cell) AS rk
+              FROM q, gc${G - 1}n c)
+            WHERE rk <= $NProbe),
+          $lutCtes,
+          approx AS (
+            SELECT q.q_id, codes.vec_id AS c_id,
+                   (l0.d + l1.d + l2.d + l3.d) /
+                   (q.qn * sqrt(l0.cn * l0.cn + l1.cn * l1.cn
+                                + l2.cn * l2.cn + l3.cn * l3.cn)) AS sim
+            FROM probes p
+            JOIN codes ON codes.cell = p.cell
+            JOIN q ON q.q_id = p.q_id
+            JOIN lut0 l0 ON l0.q_id = p.q_id AND l0.cell = codes.code0
+            JOIN lut1 l1 ON l1.q_id = p.q_id AND l1.cell = codes.code1
+            JOIN lut2 l2 ON l2.q_id = p.q_id AND l2.cell = codes.code2
+            JOIN lut3 l3 ON l3.q_id = p.q_id AND l3.cell = codes.code3
+            WHERE codes.vec_id <> p.q_id),
+          pqk AS (
+            SELECT q_id, c_id FROM (
+              SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+                       ORDER BY sim DESC, c_id) AS rk
+              FROM approx)
+            WHERE rk <= $KnnK),
+          bf AS (
+            SELECT q_id, c_id FROM (
+              SELECT q.q_id, e.vec_id AS c_id,
+                     row_number() OVER (PARTITION BY q.q_id
+                       ORDER BY list_dot_product(q.qv, e.v) / (q.qn * e.nrm) DESC, e.vec_id) AS rk
+              FROM q, $embSql e WHERE e.vec_id <> q.q_id)
+            WHERE rk <= $KnnK)
+          SELECT b.q_id, CAST(count(p.c_id) AS BIGINT) AS n_hits,
+                 ${e4Sql(s"count(p.c_id) * 1.0 / $KnnK")} AS recall_e4
+          FROM bf b LEFT JOIN pqk p ON b.q_id = p.q_id AND b.c_id = p.c_id
           GROUP BY b.q_id ORDER BY b.q_id"""
     },
     "q_dedup_embedding" ->
