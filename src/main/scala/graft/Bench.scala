@@ -53,6 +53,10 @@ object Bench {
     * have no ratio until this map is re-frozen. */
   val BaselineSf01: Map[String, Double] = Map(
     "q_agg_summary" -> 0.471, "q_ann_ivf" -> 0.521,
+    "q_ann_ivfpq" -> 0.979, "q_ann_pq" -> 2.307,
+    "q_pii_redact" -> 0.623, "q_sstable_cells" -> 0.234,
+    "q_sstable_compact" -> 0.350, "q_sstable_topk" -> 0.038,
+    "q_tfidf_topk" -> 0.823,
     "q_ann_kmeans" -> 3.092, "q_ann_recall" -> 0.834,
     "q_asof_forward" -> 0.462, "q_asof_join" -> 0.415,
     "q_cast_utf8" -> 0.159, "q_compact_rows" -> 0.624,

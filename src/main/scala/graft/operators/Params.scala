@@ -73,9 +73,6 @@ object Params {
   val PqM = 4
   val PqK = 8
   val PqIters = 2
-  /** Coarse-quantizer Lloyd passes inside q_ann_ivfpq (kept below
-    * KMedIters: the combined query trains BOTH quantizers). */
-  val IvfPqIters = 2
   val NearDupCosine = 0.95
   val TopWords = 20
   /** Distinctive terms kept per document by q_tfidf_topk. */
