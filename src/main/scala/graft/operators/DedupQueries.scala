@@ -216,6 +216,43 @@ object DedupQueries {
         .orderBy(col("jacc").desc, col("a"), col("b"))
         .limit(JaccardTopPairs)
         .select("a", "b", "jacc_e4")
+    }),
+    // Paragraph-level dedup (CCNet/RefinedWeb boilerplate removal): split
+    // each doc into paragraph units, drop every paragraph whose DISTINCT-
+    // doc frequency reaches ParaMinDocs (shared boilerplate), reassemble
+    // the survivors in document order. 100 TB shape: the frequency table
+    // is a hash-agg on the md5 DIGEST (the shuffle carries 32-hex
+    // strings, never paragraph text), the boilerplate set is tiny and
+    // broadcasts, and the corpus-side drop is a broadcast anti-join on
+    // the digest — the corpus is never shuffled by content. Clean text is
+    // compared as (md5, length) like q_pii_redact.
+    "q_para_dedup" -> ((s, d) => {
+      val words = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      // paras feeds the frequency agg, the anti-join, and the per-doc
+      // totals — persist instead of recomputing the explode three times
+      val paras = words
+        .groupBy(col("doc_id"), floor(col("pos") / ParaWords).as("chunk"))
+        .agg(array_join(transform(array_sort(collect_list(struct(col("pos"), col("word")))),
+          x => x.getField("word")), " ").as("para"))
+        .withColumn("h", md5(col("para")))
+        .persist()
+      val boiler = paras.groupBy("h")
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+        .filter(col("n_docs") >= ParaMinDocs)
+        .select("h")
+      val clean = paras.join(broadcast(boiler), Seq("h"), "left_anti")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("paras_kept"),
+          array_join(transform(array_sort(collect_list(struct(col("chunk"), col("para")))),
+            x => x.getField("para")), " ").as("clean_text"))
+      paras.groupBy("doc_id").agg(count(lit(1)).as("paras_total"))
+        .join(clean, Seq("doc_id"), "left") // a doc can lose every paragraph
+        .select(col("doc_id"), col("paras_total"),
+          coalesce(col("paras_kept"), lit(0L)).as("paras_kept"),
+          md5(coalesce(col("clean_text"), lit(""))).as("clean_md5"),
+          length(coalesce(col("clean_text"), lit(""))).cast("long").as("clean_chars"))
+        .orderBy("doc_id")
     })
   )
 
@@ -322,6 +359,28 @@ object DedupQueries {
             JOIN (SELECT doc_id, count(*) AS n FROM
                    (SELECT DISTINCT doc_id, unnest($shT) AS sh FROM documents $sampleF)
                   GROUP BY doc_id) cb ON i.b = cb.doc_id)
-          ORDER BY jacc DESC, a, b LIMIT $JaccardTopPairs"""
+          ORDER BY jacc DESC, a, b LIMIT $JaccardTopPairs""",
+    // same unit definition: 1-based ws[i] with (i-1)//ParaWords chunks ==
+    // Spark's 0-based pos with floor(pos/ParaWords)
+    "q_para_dedup" ->
+      s"""WITH s AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          w AS (SELECT doc_id, u.i AS idx, ws[u.i] AS word
+                FROM s CROSS JOIN LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i) u),
+          p AS (SELECT doc_id, (idx - 1) // $ParaWords AS chunk,
+                       string_agg(word, ' ' ORDER BY idx) AS para
+                FROM w GROUP BY doc_id, (idx - 1) // $ParaWords),
+          ph AS (SELECT doc_id, chunk, para, md5(para) AS h FROM p),
+          boiler AS (SELECT h FROM (
+              SELECT h, count(DISTINCT doc_id) AS n_docs FROM ph GROUP BY h)
+            WHERE n_docs >= $ParaMinDocs),
+          cl AS (SELECT doc_id, count(*) AS paras_kept,
+                        string_agg(para, ' ' ORDER BY chunk) AS clean_text
+                 FROM ph WHERE h NOT IN (SELECT h FROM boiler) GROUP BY doc_id),
+          t AS (SELECT doc_id, count(*) AS paras_total FROM ph GROUP BY doc_id)
+          SELECT t.doc_id, t.paras_total,
+                 coalesce(cl.paras_kept, 0) AS paras_kept,
+                 md5(coalesce(cl.clean_text, '')) AS clean_md5,
+                 CAST(length(coalesce(cl.clean_text, '')) AS BIGINT) AS clean_chars
+          FROM t LEFT JOIN cl USING (doc_id) ORDER BY t.doc_id"""
   )
 }

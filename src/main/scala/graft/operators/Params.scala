@@ -74,6 +74,20 @@ object Params {
   val PqK = 8
   val PqIters = 2
   val NearDupCosine = 0.95
+  /** Paragraph unit (words) for q_para_dedup — the synthetic corpus has
+    * no newline breaks, so a "paragraph" is a fixed word window; the
+    * operator semantics (split → global doc-frequency → drop frequent →
+    * reassemble) are the CCNet/RefinedWeb boilerplate-removal shape. */
+  val ParaWords = 4
+  /** A paragraph seen in at least this many DISTINCT docs is boilerplate. */
+  val ParaMinDocs = 3
+  /** q_mix_sample quota scale: a domain with n docs contributes
+    * min(n, ceil(MixTempC * sqrt(n))) — temperature α=0.5 upweights rare
+    * domains vs proportional sampling. sqrt/×/ceil are each a SINGLE
+    * correctly-rounded IEEE op, so the quota is bit-identical across
+    * engines (no float SUM anywhere — normalized p_d^α / Σ would depend
+    * on reduction order). */
+  val MixTempC = 4
   val TopWords = 20
   /** Distinctive terms kept per document by q_tfidf_topk. */
   val TfidfTopK = 3

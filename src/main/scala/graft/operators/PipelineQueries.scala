@@ -189,6 +189,28 @@ object PipelineQueries {
         .groupBy("reason").agg(count(lit(1)).as("n_docs"))
         .orderBy("reason")
     }),
+    // Temperature-scaled domain-mixture sampling — the data-mix pass of
+    // every multi-domain pretraining corpus: per-source quotas are
+    // min(n, ceil(C·sqrt(n))) (α=0.5 upweights rare domains relative to
+    // proportional sampling; see Params.MixTempC for why this form is
+    // bit-deterministic across engines), selection within a domain is
+    // hash-ordered (rerun-stable pseudo-random). Scale shape: quotas are
+    // a tiny per-domain broadcast relation; selection is one per-domain
+    // window — shuffle on the domain key only, never a global sort.
+    "q_mix_sample" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val quotas = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .withColumn("quota",
+          least(col("n_docs"), ceil(sqrt(col("n_docs")) * MixTempC)))
+      val h = md5Long(col("doc_id").cast("string"), 8)
+      val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+      docs.select(col("doc_id"), col("source"), h.as("h"))
+        .withColumn("rn", row_number().over(w))
+        .join(broadcast(quotas), "source")
+        .filter(col("rn") <= col("quota"))
+        .select("source", "doc_id")
+        .orderBy("source", "doc_id")
+    }),
     // Deterministic stratified sampling: exactly min(K, |stratum|) docs
     // per language, chosen by hash order — a balanced, rerun-stable
     // uniform sample without replacement. One shuffle on the stratum
@@ -360,6 +382,17 @@ object PipelineQueries {
                   FROM (SELECT tk, ${shinglesSql("tk")} AS sh
                         FROM (SELECT $toksT AS tk FROM documents))))
           GROUP BY reason ORDER BY reason""",
+    "q_mix_sample" ->
+      s"""WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+          q AS (SELECT source,
+                       least(n_docs, CAST(ceil(sqrt(n_docs) * $MixTempC) AS BIGINT)) AS quota
+                FROM c),
+          r AS (SELECT source, doc_id,
+                       row_number() OVER (PARTITION BY source
+                         ORDER BY ${md5LongSql("CAST(doc_id AS VARCHAR)", 8)}, doc_id) AS rn
+                FROM documents)
+          SELECT r.source, r.doc_id FROM r JOIN q USING (source)
+          WHERE rn <= quota ORDER BY source, doc_id""",
     "q_stratified" ->
       s"""SELECT lang, doc_id FROM (
             SELECT lang, doc_id,
