@@ -647,6 +647,113 @@ object SSTableOps {
     (stale, live)
   }
 
+  /** Snapshot subdirectory prefix. Distinct from `_staging-` so
+    * [[vacuumStaging]] never touches snapshots, and invisible to live
+    * readers (fileset discovery lists files, not subdirectories). */
+  val SnapshotPrefix = "_snapshot-"
+
+  def snapshotPath(dir: String, tag: String): String = s"$dir/$SnapshotPrefix$tag"
+
+  /** Pin the directory's current published state as a named snapshot —
+    * Cassandra's `nodetool snapshot` design: every component of every
+    * published fileset is HARDLINKED (byte-copied on backends without
+    * links) under `_snapshot-<tag>/`. Filesets are immutable once
+    * published, so the snapshot is a true point-in-time view: later
+    * flushes land after the cut, and later compaction/GC unpublishes
+    * only the LIVE names — the snapshot's links keep the bytes alive.
+    * This is what makes a 100 TB pipeline run REPRODUCIBLE: snapshot
+    * once, read `spark.read.format("sstable").load(snapshotPath)` for
+    * the whole run, compact/flush freely underneath.
+    *
+    * Lock-free and safe under concurrent compaction: compaction
+    * publishes its merged output BEFORE unpublishing inputs, so at
+    * every instant the published set covers the full merged state. If a
+    * source file vanishes mid-capture (its fileset was just
+    * unpublished), that fileset's partial links are removed and the
+    * directory is relisted — the replacement output appears in the new
+    * listing. Passes are bounded; pathological churn throws rather than
+    * returning an inconsistent cut. Within a fileset, links go in
+    * publish order (Data.db LAST), so the snapshot directory itself is
+    * reader-consistent even mid-capture. NOTE: capturing a compaction's
+    * inputs AND its output is merge-equivalent (the fold output IS the
+    * inputs' reconciled state), so overlap across passes is harmless.
+    *
+    * Returns the snapshot path. Refuses an existing tag. */
+  def snapshot(dir: String, tag: String,
+               storage: graft.sources.sstable.Storage =
+                 graft.sources.sstable.LocalStorage,
+               maxPasses: Int = 10): String = {
+    import graft.sources.sstable.SSTableFiles
+    require(tag.nonEmpty && !tag.exists(c => c == '/' || c == '\\'),
+      s"bad snapshot tag: '$tag'")
+    val snap = snapshotPath(dir, tag)
+    if (storage.exists(snap))
+      throw new IllegalStateException(s"snapshot already exists: $snap")
+    storage.mkdirs(snap)
+    val captured = scala.collection.mutable.Set.empty[String] // Data.db names
+    var pass = 0
+    var stable = false
+    while (!stable) {
+      pass += 1
+      if (pass > maxPasses)
+        throw new IllegalStateException(
+          s"snapshot $snap not stable after $maxPasses passes (directory churn)")
+      val wanted = storage.listDataFiles(dir)
+        .filterNot(p => captured.contains(fileName(p)))
+      var failed = false
+      wanted.foreach { dataPath =>
+        val name = fileName(dataPath)
+        val done = scala.collection.mutable.ArrayBuffer.empty[String]
+        var dataLinked = false
+        try {
+          SSTableFiles.PublishOrderSuffixes.foreach { suf =>
+            val src = SSTableFiles.sibling(dataPath, suf)
+            // optional siblings (bloom off, stats-less old gens) may be
+            // absent; Data.db itself must link or the fileset failed —
+            // unpublish deletes Data.db FIRST, so a vanished Data.db
+            // with lingering siblings means "unpublished mid-capture"
+            if (storage.exists(src)) {
+              storage.link(src, s"$snap/${fileName(src)}")
+              done += s"$snap/${fileName(src)}"
+              if (suf == SSTableFiles.DataSuffix) dataLinked = true
+            }
+          }
+          if (!dataLinked) throw new java.io.IOException(s"$dataPath unpublished")
+          captured += name
+        } catch {
+          case _: java.io.IOException | _: java.nio.file.NoSuchFileException =>
+            // fileset unpublished mid-capture; its merged state is in a
+            // newer published generation — drop partials, relist
+            done.foreach(storage.delete)
+            failed = true
+        }
+      }
+      // stable ⇔ a pass with zero link failures whose FRESH listing is
+      // fully captured. A concurrent flush stream extends the cut until
+      // a quiet instant (each new generation joins the snapshot);
+      // maxPasses bounds that.
+      stable = !failed &&
+        storage.listDataFiles(dir).forall(p => captured.contains(fileName(p)))
+    }
+    snap
+  }
+
+  /** Tags of the snapshots under `dir`, sorted. */
+  def listSnapshots(dir: String,
+                    storage: graft.sources.sstable.Storage =
+                      graft.sources.sstable.LocalStorage): Seq[String] =
+    storage.listSubdirs(dir, SnapshotPrefix).map(p => fileName(p).drop(SnapshotPrefix.length))
+
+  /** Drop a snapshot (the live directory is never touched; bytes shared
+    * via hardlinks survive under their live names). */
+  def dropSnapshot(dir: String, tag: String,
+                   storage: graft.sources.sstable.Storage =
+                     graft.sources.sstable.LocalStorage): Unit =
+    storage.deleteRecursive(snapshotPath(dir, tag))
+
+  private def fileName(path: String): String =
+    path.substring(path.lastIndexOf('/') + 1)
+
   /** Keys whose MERGED state differs between two SSTable directories —
     * the migration/compaction validator: `diffDirs(inputs, compacted)`
     * empty ⇔ the rewrite preserved every key's reconciled row

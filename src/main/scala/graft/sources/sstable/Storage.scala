@@ -36,6 +36,31 @@ trait Storage {
   def listSubdirs(dir: String, prefix: String): Seq[String]
   /** Delete a directory tree (no-op if absent). */
   def deleteRecursive(dir: String): Unit
+  /** Create `dir` and any missing parents (no-op when present). */
+  def mkdirs(dir: String): Unit
+  /** Publish `src`'s bytes under a second name `dst`: a HARDLINK where
+    * the backend supports it (O(1), shares the immutable inode —
+    * Cassandra's snapshot design), a byte copy otherwise. Published
+    * filesets are immutable, so either form yields an immutable pinned
+    * view. Fails if `src` vanished (callers retry against a fresh
+    * listing) or `dst` exists on link-capable backends. */
+  def link(src: String, dst: String): Unit = {
+    val in = open(src)
+    try {
+      val out = create(dst)
+      try {
+        val buf = new Array[Byte](1 << 16)
+        val n = in.length
+        var pos = 0L
+        while (pos < n) {
+          val r = in.read(buf, 0, math.min(buf.length.toLong, n - pos).toInt)
+          if (r < 0) throw new java.io.EOFException(s"$src truncated at $pos/$n")
+          out.write(buf, 0, r)
+          pos += r
+        }
+      } finally out.close()
+    } finally in.close()
+  }
   /** Hosts holding the physical byte range [start, end) of `path`; empty
     * when locality is unknown (local fs). */
   def blockHosts(path: String, start: Long, end: Long): Array[String] = Array.empty
@@ -84,6 +109,17 @@ object LocalStorage extends Storage {
     }
     walk(new File(dir))
   }
+  def mkdirs(dir: String): Unit = { new File(dir).mkdirs(); () }
+  override def link(src: String, dst: String): Unit =
+    try {
+      java.nio.file.Files.createLink(
+        java.nio.file.Paths.get(dst), java.nio.file.Paths.get(src))
+      ()
+    } catch {
+      // filesystem without hardlinks → byte copy; everything else
+      // (vanished src, existing dst) propagates to the caller
+      case _: UnsupportedOperationException => super.link(src, dst)
+    }
 }
 
 /** Hadoop `FileSystem` adapter. Streams are positioned reads over
@@ -156,6 +192,12 @@ final class HadoopStorage(conf: Configuration) extends Storage {
   def deleteRecursive(dir: String): Unit = {
     val p = new Path(dir)
     fs(p).delete(p, true)
+  }
+
+  def mkdirs(dir: String): Unit = {
+    val p = new Path(dir)
+    fs(p).mkdirs(p)
+    ()
   }
 
   def listSubdirs(dir: String, prefix: String): Seq[String] = {

@@ -128,7 +128,7 @@ final class SSTableBatchWrite(path: String, schema: StructType,
     val st = storage
     if (truncate && st.exists(path))
       st.listDataFiles(path).foreach(SSTableFiles.unpublish(st, _))
-    mkdirs(st, stagingDir)
+    st.mkdirs(stagingDir)
     val compress = properties.getOrElse(SSTableSource.CompressOption, "true").toBoolean
     val chunkLength = properties.getOrElse(SSTableSource.ChunkLengthOption,
       CompressionInfo.DefaultChunkLength.toString).toInt
@@ -140,11 +140,6 @@ final class SSTableBatchWrite(path: String, schema: StructType,
       SSTableSource.CompressionAlgorithmOption, CompressionInfo.SnappyAlgorithm))
     new SSTableWriterFactory(stagingDir, schema, compress, chunkLength,
       summaryInterval, bloomBitsPerKey, algorithm, serConf, jobTag)
-  }
-
-  private def mkdirs(st: Storage, dir: String): Unit = st match {
-    case LocalStorage => new java.io.File(dir).mkdirs()
-    case _ => // Hadoop create() makes parents; nothing to do
   }
 
   /** Rename the winning attempts' staged files into the target dir —
@@ -203,10 +198,7 @@ final class SSTableStreamingWrite(path: String, schema: StructType,
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
-    storage match {
-      case LocalStorage => new java.io.File(stagingDir).mkdirs()
-      case _ => // Hadoop create() makes parents
-    }
+    storage.mkdirs(stagingDir)
     val compress = properties.getOrElse(SSTableSource.CompressOption, "true").toBoolean
     val chunkLength = properties.getOrElse(SSTableSource.ChunkLengthOption,
       CompressionInfo.DefaultChunkLength.toString).toInt

@@ -718,6 +718,7 @@ class SSTableOpsSpec extends AnyFunSuite {
       def listSubdirs(dir: String, prefix: String): Seq[String] =
         LocalStorage.listSubdirs(dir, prefix)
       def deleteRecursive(dir: String): Unit = LocalStorage.deleteRecursive(dir)
+      def mkdirs(dir: String): Unit = LocalStorage.mkdirs(dir)
       def listDataFiles(d: String): Seq[String] = {
         listings += 1
         if (listings == 2)
@@ -897,6 +898,120 @@ class SSTableOpsSpec extends AnyFunSuite {
     assert(fresh.exists(), "a possibly-live job's staging must survive")
     assert(LocalStorage.listDataFiles(dir) == Seq(s"$dir/live-Data.db"),
       "published generations untouched; staged partials never listed")
+  }
+
+  test("snapshot pins published state across compaction and later flushes") {
+    import graft.sources.sstable.{Column, SSTableReader, SSTableRow, SSTableWriter}
+    def flush(dir: String, stem: String, rows: Seq[SSTableRow]): Unit = {
+      val w = new SSTableWriter(s"$dir/$stem-Data.db", compress = false,
+        summaryInterval = 4)
+      try rows.sortWith((a, b) =>
+        graft.sources.sstable.SSTableFiles.compareKeys(a.key, b.key) < 0).foreach(w.append)
+      finally w.close()
+    }
+    def norm(n: String, v: String, ts: Long) = Column.Normal(n.getBytes, v.getBytes, ts)
+    val dir = Files.createTempDirectory("snap").toString
+    flush(dir, "f1", Seq(
+      SSTableRow("ka".getBytes, Seq(norm("c", "old", 10L))),
+      SSTableRow("kb".getBytes, Seq(norm("c", "b1", 10L)))))
+    flush(dir, "f2", Seq(
+      SSTableRow("ka".getBytes, Seq(norm("c", "new", 20L))),
+      SSTableRow("kc".getBytes, Seq(norm("c", "c1", 20L)))))
+    flush(dir, "f3", Seq(
+      SSTableRow("kd".getBytes, Seq(norm("c", "d1", 30L))),
+      SSTableRow("ke".getBytes, Seq(norm("c", "e1", 30L)))))
+
+    val snap = SSTableOps.snapshot(dir, "run-2026-08-13")
+    assert(SSTableReader.listDataFiles(snap).size == 3,
+      "snapshot captures every published generation")
+    assert(SSTableOps.listSnapshots(dir) == Seq("run-2026-08-13"))
+    intercept[IllegalStateException](SSTableOps.snapshot(dir, "run-2026-08-13"))
+
+    // the snapshot subdir is invisible to the live reader
+    assert(SSTableReader.listDataFiles(dir).size == 3)
+
+    // compact the live dir to one generation; the snapshot keeps its
+    // three filesets AND the identical merged state (hardlinked bytes
+    // outlive the live names' unpublish)
+    assert(SSTableOps.compactInPlace(spark, dir, minThreshold = 3, minSize = 0L) == 1)
+    assert(SSTableReader.listDataFiles(dir).size == 1)
+    assert(SSTableReader.listDataFiles(snap).size == 3)
+    assert(SSTableOps.diffDirs(spark, dir, snap).count() == 0,
+      "merged state must be identical pre/post compaction")
+
+    // a flush AFTER the cut lands only in the live dir
+    flush(dir, "late", Seq(SSTableRow("kf".getBytes, Seq(norm("c", "f1", 40L)))))
+    assert(spark.read.format("sstable").load(dir)
+      .select(col("key")).distinct().count() == 6)
+    val snapKeys = spark.read.format("sstable").load(snap)
+      .select(col("key").cast("string")).as[String].collect().toSet
+    assert(snapKeys == Set("ka", "kb", "kc", "kd", "ke"), s"got $snapKeys")
+    // LWW semantics inside the snapshot unchanged
+    val kaVal = SSTableOps.compactRows(spark.read.format("sstable").load(snap))
+      .filter(col("key").cast("string") === "ka")
+      .select(explode(col("columns")).as("c"))
+      .select(col("c.value").cast("string")).as[String].collect()
+    assert(kaVal.toSeq == Seq("new"))
+
+    // vacuumStaging never touches snapshots (different prefix)
+    val (removed, _) = SSTableOps.vacuumStaging(dir, olderThanMs = -1L)
+    assert(removed.isEmpty && SSTableReader.listDataFiles(snap).size == 3)
+
+    SSTableOps.dropSnapshot(dir, "run-2026-08-13")
+    assert(SSTableOps.listSnapshots(dir).isEmpty)
+    assert(spark.read.format("sstable").load(dir)
+      .select(col("key")).distinct().count() == 6,
+      "dropping a snapshot never touches live data")
+  }
+
+  test("snapshot retries past a fileset unpublished mid-capture") {
+    import graft.sources.sstable.{Column, LocalStorage, SSTableFiles, SSTableRow,
+      SSTableWriter, SeekableInput, Storage}
+    def flush(dir: String, stem: String, rows: Seq[SSTableRow]): Unit = {
+      val w = new SSTableWriter(s"$dir/$stem-Data.db", compress = false,
+        summaryInterval = 4)
+      try rows.foreach(w.append)
+      finally w.close()
+    }
+    def norm(n: String, v: String, ts: Long) = Column.Normal(n.getBytes, v.getBytes, ts)
+    val dir = Files.createTempDirectory("snapr").toString
+    flush(dir, "a", Seq(SSTableRow("k1".getBytes, Seq(norm("c", "v1", 10L)))))
+    flush(dir, "b", Seq(SSTableRow("k2".getBytes, Seq(norm("c", "v2", 10L)))))
+    // spy: when the capture loop reaches generation b's Data.db link, a
+    // "compaction" has already published a replacement (c) and
+    // unpublished b — exactly the publish-before-unpublish window
+    var fired = false
+    val racing: Storage = new Storage {
+      def open(path: String): SeekableInput = LocalStorage.open(path)
+      def length(path: String): Long = LocalStorage.length(path)
+      def mtime(path: String): Long = LocalStorage.mtime(path)
+      def exists(path: String): Boolean = LocalStorage.exists(path)
+      def create(path: String): java.io.DataOutputStream = LocalStorage.create(path)
+      def delete(path: String): Unit = LocalStorage.delete(path)
+      def rename(src: String, dst: String): Unit = LocalStorage.rename(src, dst)
+      def listSubdirs(dir: String, prefix: String): Seq[String] =
+        LocalStorage.listSubdirs(dir, prefix)
+      def deleteRecursive(dir: String): Unit = LocalStorage.deleteRecursive(dir)
+      def mkdirs(dir: String): Unit = LocalStorage.mkdirs(dir)
+      def listDataFiles(d: String): Seq[String] = LocalStorage.listDataFiles(d)
+      override def link(src: String, dst: String): Unit = {
+        if (!fired && src.endsWith(s"b${SSTableFiles.DataSuffix}")) {
+          fired = true
+          flush(dir, "c", Seq(SSTableRow("k2".getBytes, Seq(norm("c", "v2", 10L)))))
+          SSTableFiles.unpublish(LocalStorage, s"$dir/b${SSTableFiles.DataSuffix}")
+        }
+        LocalStorage.link(src, dst)
+      }
+    }
+    val snap = SSTableOps.snapshot(dir, "cut", racing)
+    assert(fired, "the race must have fired")
+    val names = graft.sources.sstable.SSTableReader.listDataFiles(snap)
+      .map(_.split('/').last).toSet
+    assert(names == Set("a-Data.db", "c-Data.db"),
+      s"replacement captured, vanished input dropped: $names")
+    val keys = spark.read.format("sstable").load(snap)
+      .select(col("key").cast("string")).as[String].collect().toSet
+    assert(keys == Set("k1", "k2"), "full merged state captured")
   }
 
   test("scrub reports per-file integrity: sorted, stats-consistent, corruption localized") {

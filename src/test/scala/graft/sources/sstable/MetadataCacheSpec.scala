@@ -26,6 +26,7 @@ class MetadataCacheSpec extends AnyFunSuite {
     def listSubdirs(dir: String, prefix: String): Seq[String] =
       LocalStorage.listSubdirs(dir, prefix)
     def deleteRecursive(dir: String): Unit = LocalStorage.deleteRecursive(dir)
+    def mkdirs(dir: String): Unit = LocalStorage.mkdirs(dir)
     def metadataOpens: Int = synchronized {
       opens(SSTableFiles.SummarySuffix) + opens(SSTableFiles.CompressionSuffix) +
         opens(SSTableFiles.FilterSuffix) + opens(SSTableFiles.IndexSuffix)
@@ -95,6 +96,7 @@ class MetadataCacheSpec extends AnyFunSuite {
     def listSubdirs(dir: String, prefix: String): Seq[String] =
       LocalStorage.listSubdirs(dir, prefix)
     def deleteRecursive(dir: String): Unit = LocalStorage.deleteRecursive(dir)
+    def mkdirs(dir: String): Unit = LocalStorage.mkdirs(dir)
   }
 
   test("split planning does O(#splits) index point reads, not O(#summary entries)") {

@@ -26,6 +26,7 @@ class StatisticsSpec extends AnyFunSuite {
     def listSubdirs(dir: String, prefix: String): Seq[String] =
       LocalStorage.listSubdirs(dir, prefix)
     def deleteRecursive(dir: String): Unit = LocalStorage.deleteRecursive(dir)
+    def mkdirs(dir: String): Unit = LocalStorage.mkdirs(dir)
     def opensOf(stem: String, suffix: String): Int =
       synchronized(opened.count(p => p.contains(stem) && p.endsWith(suffix)))
   }
