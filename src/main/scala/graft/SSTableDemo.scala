@@ -68,6 +68,13 @@ object SSTableDemo {
     println(s"== ttlAsOf read: ${ttlRead.count()} live columns " +
       s"(vs ${df.select(explode(col("columns"))).count()} raw)")
 
+    // data-level time travel: rows whose every cell is post-cut vanish
+    // (cell ts here = id*1000, so the cut keeps exactly ids 0..4999)
+    val asOfRead = spark.read.format("sstable")
+      .option("asofmicros", "4999999").load(dir)
+    println(s"== asOf read (time travel): ${asOfRead.count()} of " +
+      s"${df.count()} rows existed at the cut")
+
     val merged = df.select(col("key"), explode(col("columns")).as("c"))
       .groupBy(col("key"), col("c.name"))
       .agg(max_by(col("c"), col("c.timestamp")).as("c"))

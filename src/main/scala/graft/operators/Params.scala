@@ -93,6 +93,11 @@ object Params {
   val TfidfTopK = 3
   /** Head rows taken by the physical top-n query q_sstable_topk. */
   val SstableTopK = 100
+  /** q_sstable_asof's time-travel cut (2024-01-15T00:00Z, mid-range of
+    * the events table at every SF). The fixture's cell timestamps are
+    * the events' epoch-ms ts, so the asofmicros cut is in the same
+    * unit (the option compares raw write-timestamps, unit-agnostic). */
+  val SstableAsOfCutMs = 1705276800000L
   val JaccardTopPairs = 50
 
   /** Interval join (q_interval_join): incident windows = error bursts

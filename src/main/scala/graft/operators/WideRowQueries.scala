@@ -119,6 +119,24 @@ object WideRowQueries {
         .orderBy("key").limit(SstableTopK)
         .select(col("key").cast("string").as("user_key"))
         .orderBy("user_key")
+    }),
+    // Time travel over the REAL files: the asofmicros read option drops
+    // post-cut cell versions at decode (and whole post-cut generations
+    // at plan time via Statistics minTimestamp), so compactRows yields
+    // exactly the LWW state a reader at the cut would have reconciled —
+    // the oracle recomputes it as "winners among events at ts <= cut".
+    // Rows born after the cut vanish entirely (the reader skips
+    // anchor-less rows), which the oracle's WHERE mirrors.
+    "q_sstable_asof" -> ((s, d) => {
+      val dir = sstableFixture(s, d)
+      SSTableOps.compactRows(s.read.format("sstable")
+          .option("asofmicros", SstableAsOfCutMs).load(dir))
+        .select(col("key"), explode(col("columns")).as("c"))
+        .select(col("key").cast("string").cast("long").as("user_id"),
+          col("c.name").cast("string").as("event_type"),
+          col("c.timestamp").as("ts_ms"),
+          col("c.value").cast("string").cast("long").as("value_e4"))
+        .orderBy("user_id", "event_type")
     })
   )
 
@@ -218,6 +236,12 @@ object WideRowQueries {
       s"""SELECT user_id, event_type, ts_ms, ${e4Sql("value")} AS value_e4
           FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts_ms DESC) AS rn
                 FROM $EventsSql) WHERE rn = 1 ORDER BY user_id, event_type""",
+    // the LWW state at the cut: winners among pre-cut versions only
+    "q_sstable_asof" ->
+      s"""SELECT user_id, event_type, ts_ms, ${e4Sql("value")} AS value_e4
+          FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts_ms DESC) AS rn
+                FROM $EventsSql WHERE ts_ms <= $SstableAsOfCutMs)
+          WHERE rn = 1 ORDER BY user_id, event_type""",
     // the same smallest-k key multiset the pushed top-n produces
     "q_sstable_topk" ->
       s"""SELECT user_key FROM (

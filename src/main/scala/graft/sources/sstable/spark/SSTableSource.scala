@@ -59,6 +59,24 @@ object SSTableSource {
     * default to match the reference, which surfaces TTL fields but never
     * evaluates them (WritableColumn.java:20-21, SURVEY.md §2.3-P8). */
   val TtlAsOfMsOption = "ttlasofms"
+  /** Optional: DATA-level time travel — reconstruct the LWW state as of a
+    * past write-timestamp (micros). The reader drops cells (incl. DELETED
+    * / range-tombstone / counter entries) whose timestamp is AFTER the
+    * cut, hides row tombstones marked after it, and SKIPS rows with no
+    * surviving anchor (the key did not exist yet at `t`). Downstream
+    * merge ops ([[graft.operators.SSTableOps.compactRows]]) then yield
+    * exactly the state a reader at time `t` would have reconciled.
+    * Plan-time: generations whose `-Statistics.db` minTimestamp is after
+    * the cut are never opened (a 100 TB directory time-travels by
+    * reading only old-enough files). Complements `_snapshot-` dirs:
+    * snapshots pin a FILE set, asof pins a WRITE-time cut — asof works
+    * retroactively but only while shadowed versions haven't been
+    * compacted away (LWW compaction keeps winners only; time-travel
+    * across a compaction needs the snapshot, same trade as Cassandra).
+    * Forces Data.db decode on key-only projections (Index.db cannot
+    * know timestamps) and declines pushed aggregates (sidecar totals
+    * describe the full contents). */
+  val AsOfMicrosOption = "asofmicros"
   val CompressOption = "compress"
   val ChunkLengthOption = "chunklength"
   val SummaryIntervalOption = "summaryinterval"
@@ -306,6 +324,9 @@ final class SSTableScanBuilder(path: String, options: CaseInsensitiveStringMap)
       return false
     if (cellsView && longOption(SSTableSource.TtlAsOfMsOption).isDefined)
       return false
+    // as-of reads drop whole rows/cells; sidecar totals describe the
+    // full contents, so any pushed aggregate would over-count
+    if (longOption(SSTableSource.AsOfMicrosOption).isDefined) return false
     // bucketed reads never push aggregates: a stats-only answer would
     // bypass the loud bucket-layout validation the scan performs
     if (bucketsOpt.isDefined) return false
@@ -361,6 +382,7 @@ final class SSTableScanBuilder(path: String, options: CaseInsensitiveStringMap)
     new SSTableScan(path, requiredSchema, bounds.lo, bounds.hi, target, ttlAsOf,
       planThreshold, cellsView = cellsView, buckets = bucketsOpt,
       limit = limit, topN = topN,
+      asOfMicros = longOption(SSTableSource.AsOfMicrosOption),
       maxFilesPerTrigger =
         longOption(SSTableSource.MaxFilesPerTriggerOption).map { v =>
           require(v > 0 && v <= Int.MaxValue,
@@ -518,6 +540,7 @@ final class SSTableScan(path: String, requiredSchema: StructType,
                         buckets: Option[Int] = None,
                         limit: Option[Int] = None,
                         topN: Boolean = false,
+                        asOfMicros: Option[Long] = None,
                         maxFilesPerTrigger: Option[Int] = None,
                         maxBytesPerTrigger: Option[Long] = None)
     extends Scan with Batch with SupportsRuntimeFiltering
@@ -614,21 +637,24 @@ final class SSTableScan(path: String, requiredSchema: StructType,
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     require(!cellsView, "the cells view is batch-only: stream the default view")
     require(buckets.isEmpty, "bucketed reads are batch-only")
+    require(asOfMicros.isEmpty,
+      "asofmicros is batch-only: a stream tails NEW generations, which an as-of cut excludes by definition")
     new SSTableMicroBatchStream(path, requiredSchema, targetSplitBytes,
       ttlAsOfMs, serConf, maxFilesPerTrigger, maxBytesPerTrigger)
   }
   override def description(): String = {
     val prune = if (keyLo.isDefined || keyHi.isDefined) " keyRangePruned" else ""
     val keyOnly =
-      if (!cellsView &&
+      if (!cellsView && asOfMicros.isEmpty &&
           !requiredSchema.fieldNames.exists(n => n == "columns" || n == "rowTombstone"))
         " indexOnly" else ""
     val view = if (cellsView) " view=cells" else ""
     val bkt = buckets.map(n => s" buckets=$n keyGrouped").getOrElse("")
     val ttl = ttlAsOfMs.map(ms => s" ttlAsOf=$ms").getOrElse("")
+    val asOf = asOfMicros.map(t => s" asOf=$t").getOrElse("")
     val lim = limit.map(n => if (topN) s" topN=$n(key asc)" else s" limit=$n")
       .getOrElse("")
-    s"sstable $path$prune$keyOnly$view$bkt$ttl$lim"
+    s"sstable $path$prune$keyOnly$view$bkt$ttl$asOf$lim"
   }
 
   /** Per-file planning is independent metadata work (Summary walk +
@@ -641,11 +667,26 @@ final class SSTableScan(path: String, requiredSchema: StructType,
     * same reason). */
   override def planInputPartitions(): Array[InputPartition] = buckets match {
     case None =>
-      SSTableScan.planPartitions(limitFilePrefix(storage.listDataFiles(path)),
+      SSTableScan.planPartitions(
+        limitFilePrefix(asOfFilePrune(storage.listDataFiles(path))),
         serConf, distributedPlanningThreshold, targetSplitBytes,
         keyLo.map(_._1), keyHi.map(_._1), eqKey, runtimeKeys,
         hostsFromIndex = false)
     case Some(_) => bucketPartitions.toArray
+  }
+
+  /** As-of generation pruning: a generation whose `-Statistics.db`
+    * minTimestamp is after the cut contains ONLY post-cut writes (the
+    * sidecar min covers cell timestamps AND tombstone mfda) — nothing in
+    * it is visible at `t`, so it is never opened. Stats-less generations
+    * are kept (the reader filters row-by-row; never wrong, just
+    * unpruned). */
+  private def asOfFilePrune(files: Seq[String]): Seq[String] = asOfMicros match {
+    case None => files
+    case Some(t) =>
+      val st = storage
+      files.filter(f =>
+        new SSTableReader(f, st).statistics.forall(_.minTimestamp <= t))
   }
 
   /** Plain-LIMIT file pruning: any `n` rows satisfy a pushed limit (Spark
@@ -659,7 +700,10 @@ final class SSTableScan(path: String, requiredSchema: StructType,
     * per-reader row cap. Inapplicable under key bounds or runtime join
     * keys (those rows might not survive, so counts don't transfer). */
   private def limitFilePrefix(files: Seq[String]): Seq[String] = limit match {
-    case Some(n) if !topN && keyLo.isEmpty && keyHi.isEmpty && runtimeKeys.isEmpty =>
+    // asOf drops whole rows, so sidecar counts no longer guarantee the
+    // limit — keep every (asOf-surviving) generation
+    case Some(n) if !topN && keyLo.isEmpty && keyHi.isEmpty &&
+        runtimeKeys.isEmpty && asOfMicros.isEmpty =>
       val st = storage
       var known = 0L
       val keep = Seq.newBuilder[String]
@@ -718,7 +762,7 @@ final class SSTableScan(path: String, requiredSchema: StructType,
     }
     (0 until n).map { b =>
       val splits = SSTableScan.planPartitions(
-        byBucket.getOrElse(b, Nil), serConf, distributedPlanningThreshold,
+        asOfFilePrune(byBucket.getOrElse(b, Nil)), serConf, distributedPlanningThreshold,
         targetSplitBytes, keyLo.map(_._1), keyHi.map(_._1), eqKey, keys = None,
         hostsFromIndex = false)
       SSTableBucketPartition(b, splits.map(_.asInstanceOf[SSTablePartition]))
@@ -742,7 +786,7 @@ final class SSTableScan(path: String, requiredSchema: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new SSTableReaderFactory(requiredSchema, ttlAsOfMs, serConf, cellsView,
-      rowLimit = limit)
+      rowLimit = limit, asOfMicros = asOfMicros)
 }
 
 /** One whole bucket of a bucketed directory: every split of its
@@ -856,24 +900,28 @@ final class SSTableReaderFactory(requiredSchema: StructType,
                                  ttlAsOfMs: Option[Long],
                                  serConf: Option[SerializableHadoopConf] = None,
                                  cellsView: Boolean = false,
-                                 rowLimit: Option[Int] = None)
+                                 rowLimit: Option[Int] = None,
+                                 asOfMicros: Option[Long] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val storage = serConf.map(c => new HadoopStorage(c.value): Storage)
       .getOrElse(LocalStorage)
     val inner = partition match {
       case bp: SSTableBucketPartition =>
-        new SSTableBucketReader(bp, requiredSchema, ttlAsOfMs, storage)
+        new SSTableBucketReader(bp, requiredSchema, ttlAsOfMs, storage, asOfMicros)
       case _ =>
         val p = partition.asInstanceOf[SSTablePartition]
         // cells view always decodes Data.db: even a key-only projection has
         // per-CELL multiplicity only the row bodies know
         if (cellsView)
-          new SSTableCellReader(p, requiredSchema, ttlAsOfMs, storage)
+          new SSTableCellReader(p, requiredSchema, ttlAsOfMs, storage, asOfMicros)
         // rowTombstone also lives in Data.db, so its presence forces the row
-        // reader; only pure-key projections may take the Index.db-only path
-        else if (requiredSchema.fieldNames.exists(n => n == "columns" || n == "rowTombstone"))
-          new SSTableRowReader(p, requiredSchema, ttlAsOfMs, storage)
+        // reader; only pure-key projections may take the Index.db-only path.
+        // asOf also forces row decode: Index.db cannot know which keys
+        // existed at the cut
+        else if (asOfMicros.isDefined ||
+            requiredSchema.fieldNames.exists(n => n == "columns" || n == "rowTombstone"))
+          new SSTableRowReader(p, requiredSchema, ttlAsOfMs, storage, asOfMicros)
         else
           new SSTableKeyOnlyReader(p, requiredSchema, storage)
     }
@@ -901,7 +949,8 @@ private final class CappedReader(inner: PartitionReader[InternalRow], cap: Int)
 final class SSTableBucketReader(bp: SSTableBucketPartition,
                                 requiredSchema: StructType,
                                 ttlAsOfMs: Option[Long],
-                                storage: Storage)
+                                storage: Storage,
+                                asOfMicros: Option[Long] = None)
     extends PartitionReader[InternalRow] {
   private val withBucket = requiredSchema.fieldNames.headOption.contains("_bucket")
   private val innerSchema =
@@ -915,7 +964,8 @@ final class SSTableBucketReader(bp: SSTableBucketPartition,
     if (current != null) { current.close(); current = null }
     if (idx >= bp.splits.length) false
     else {
-      current = new SSTableRowReader(bp.splits(idx), innerSchema, ttlAsOfMs, storage)
+      current = new SSTableRowReader(bp.splits(idx), innerSchema, ttlAsOfMs,
+        storage, asOfMicros)
       idx += 1
       true
     }
@@ -938,20 +988,21 @@ final class SSTableBucketReader(bp: SSTableBucketPartition,
   * the row reader. */
 final class SSTableCellReader(p: SSTablePartition, requiredSchema: StructType,
                               ttlAsOfMs: Option[Long] = None,
-                              storage: Storage = LocalStorage)
+                              storage: Storage = LocalStorage,
+                              asOfMicros: Option[Long] = None)
     extends PartitionReader[InternalRow] {
   private val table = new SSTableReader(p.dataPath, storage)
   private val reader = table.rows(p.start, p.end)
   private var key: Array[Byte] = _
   private var cells: Iterator[Column] = Iterator.empty
   private var current: InternalRow = _
-  private def live(c: Column): Boolean = ttlAsOfMs match {
+  private def live(c: Column): Boolean = (ttlAsOfMs match {
     case None => true
     case Some(asOf) => c match {
       case Column.Expiring(_, _, _, exp, _) => exp > asOf
       case _ => true
     }
-  }
+  }) && asOfMicros.forall(c.timestamp <= _) // post-cut cells invisible
   @annotation.tailrec
   override final def next(): Boolean =
     if (cells.hasNext) {
@@ -972,7 +1023,8 @@ final class SSTableCellReader(p: SSTablePartition, requiredSchema: StructType,
   * (the opt-in P8 semantics). */
 final class SSTableRowReader(p: SSTablePartition, requiredSchema: StructType,
                              ttlAsOfMs: Option[Long] = None,
-                             storage: Storage = LocalStorage)
+                             storage: Storage = LocalStorage,
+                             asOfMicros: Option[Long] = None)
     extends PartitionReader[InternalRow] {
   private val table = new SSTableReader(p.dataPath, storage)
   private val reader = table.rows(p.start, p.end)
@@ -984,10 +1036,31 @@ final class SSTableRowReader(p: SSTablePartition, requiredSchema: StructType,
       case _ => true
     })
   }
-  override def next(): Boolean =
+  /** As-of cut: drop cells written after `t` (uniform on the timestamp
+    * every cell kind carries — a range tombstone's ts IS its mfda), hide
+    * row tombstones marked after `t`, and drop the ROW when nothing
+    * anchors its existence at `t` (no surviving cell, no real surviving
+    * tombstone — half-LIVE mfda=MIN pairs shadow nothing and are carried
+    * for fidelity but don't anchor). */
+  private def applyAsOf(row: SSTableRow): Option[SSTableRow] = asOfMicros match {
+    case None => Some(row)
+    case Some(t) =>
+      val cols = row.columns.filter(_.timestamp <= t)
+      val tomb = row.tombstone.filter(_.markedForDeleteAtMicros <= t)
+      if (cols.nonEmpty ||
+          tomb.exists(_.markedForDeleteAtMicros != Long.MinValue))
+        Some(row.copy(columns = cols, tombstone = tomb))
+      else None
+  }
+  @annotation.tailrec
+  override final def next(): Boolean =
     if (reader.hasNext) {
-      current = SSTableSchema.rowToInternal(applyTtl(reader.next()), requiredSchema)
-      true
+      applyAsOf(applyTtl(reader.next())) match {
+        case Some(row) =>
+          current = SSTableSchema.rowToInternal(row, requiredSchema)
+          true
+        case None => next()
+      }
     } else false
   override def get(): InternalRow = current
   override def close(): Unit = reader.close()

@@ -821,4 +821,78 @@ class SSTableSourceSpec extends AnyFunSuite {
     val swp = idx.sortWithinPartitions("key")
     assert(collectSorts(swp.queryExecution.executedPlan).isEmpty)
   }
+
+  test("asofmicros reconstructs past LWW state and prunes post-cut generations") {
+    import spark.implicits._
+    val dir = freshDir()
+    def gen(stem: String, rows: Seq[SSTableRow]): Unit = {
+      val w = new SSTableWriter(s"$dir/$stem-Data.db", compress = false,
+        summaryInterval = 4)
+      try rows.sortWith((a, b) => SSTableFiles.compareKeys(a.key, b.key) < 0)
+        .foreach(w.append)
+      finally w.close()
+    }
+    def norm(n: String, v: String, ts: Long) = Column.Normal(n.getBytes, v.getBytes, ts)
+    // epoch 100s: ten keys + kdel
+    gen("g1", (0 until 10).map(i =>
+      SSTableRow(f"k$i%02d".getBytes, Seq(norm("c", s"old$i", 100L + i)))) :+
+      SSTableRow("kdel".getBytes, Seq(norm("c", "doomed", 105L))))
+    // epoch 200s: k00 overwritten, knew born, kdel deleted
+    gen("g2", Seq(
+      SSTableRow("k00".getBytes, Seq(norm("c", "newer", 200L))),
+      SSTableRow("kdel".getBytes, Nil, Some(RowTombstone(1700000000, 205L))),
+      SSTableRow("knew".getBytes, Seq(norm("c", "born", 210L)))))
+    // epoch 300s: kfuture only
+    gen("g3", Seq(SSTableRow("kfuture".getBytes, Seq(norm("c", "later", 300L)))))
+
+    def read(asOf: Long) = spark.read.format("sstable")
+      .option(SSTableSource.AsOfMicrosOption, asOf).load(dir)
+
+    // t=150: only g1 visible — and only g1 PLANNED (statistics minTs
+    // pruning: g2/g3 never opened)
+    val at150 = read(150)
+    assert(at150.rdd.getNumPartitions == 1,
+      "post-cut generations must be pruned at plan time")
+    assert(spark.read.format("sstable").load(dir).rdd.getNumPartitions == 3)
+    val rows150 = at150
+      .select(col("key").cast("string").as("k"),
+        explode(col("columns")).as("c"), col("rowTombstone"))
+      .select(col("k"), col("c.value").cast("string").as("v"),
+        col("rowTombstone").isNotNull.as("tomb"))
+      .collect()
+    assert(rows150.map(_.getString(0)).toSet ==
+      ((0 until 10).map(i => f"k$i%02d").toSet + "kdel"))
+    assert(rows150.find(_.getString(0) == "k00").get.getString(1) == "old0",
+      "the post-cut overwrite must be invisible")
+    assert(!rows150.find(_.getString(0) == "kdel").get.getBoolean(2),
+      "a deletion marked after the cut is hidden")
+
+    // t=250: overwrite + deletion + knew visible, kfuture still absent
+    val at250 = read(250)
+    val keys250 = at250.select(col("key").cast("string")).as[String].collect().toSet
+    assert(keys250 == ((0 until 10).map(i => f"k$i%02d").toSet ++ Set("kdel", "knew")))
+    val merged250 = graft.operators.SSTableOps.compactRows(at250)
+    val k00 = merged250.filter(col("key").cast("string") === "k00")
+      .select(explode(col("columns")).as("c"))
+      .select(col("c.value").cast("string")).as[String].collect()
+    assert(k00.toSeq == Seq("newer"))
+    val kdel = merged250.filter(col("key").cast("string") === "kdel")
+      .select(size(col("columns")).as("n"), col("rowTombstone").isNotNull)
+      .collect().head
+    assert(kdel.getInt(0) == 0 && kdel.getBoolean(1),
+      "at t=250 the merged row is wholesale-deleted")
+
+    // key-only projection can't serve from Index.db under asof: plan
+    // says asOf, not indexOnly, and future-born keys are absent
+    val keyOnly = read(150).select("key")
+    val plan = keyOnly.queryExecution.executedPlan.toString
+    assert(plan.contains(" asOf=150") && !plan.contains("indexOnly"))
+    assert(!keyOnly.select(col("key").cast("string")).as[String]
+      .collect().contains("knew"))
+
+    // pushed aggregates decline under asof (sidecar totals over-count)
+    val cnt = read(150).agg(count(lit(1)))
+    assert(!cnt.queryExecution.executedPlan.toString.contains("statsOnlyAggregate"))
+    assert(cnt.as[Long].collect().head == 11L)
+  }
 }
