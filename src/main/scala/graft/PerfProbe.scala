@@ -29,6 +29,7 @@ object PerfProbe {
     if (args.headOption.contains("lookup")) { lookupProbe(spark, time); spark.stop(); return }
     if (args.headOption.contains("scale")) { scaleProbe(spark, time); spark.stop(); return }
     if (args.headOption.contains("topn")) { topnProbe(spark, time); spark.stop(); return }
+    if (args.headOption.contains("slice")) { sliceProbe(spark, time); spark.stop(); return }
 
     val docs = Tables.documents(spark, sfDir)
 
@@ -65,6 +66,34 @@ object PerfProbe {
     * 10 rows decoded), ORDER BY key LIMIT 10 ≈ per-generation head reads
     * (8 × 10 rows decoded), both ≪ the full decode they'd cost without
     * the pushdown. */
+  /** Column-slice decode vs full wide-row decode: 50 rows × 20k cells of
+    * 64 B (~64 MB of values). A pushed 100-name slice should read ~0.5%
+    * of the value bytes (length-skip below the range, row-end seek at the
+    * first name above it). */
+  private def sliceProbe(spark: SparkSession,
+                         time: String => (=> DataFrame) => Unit): Unit = {
+    import graft.sources.sstable.{Column, SSTableRow, SSTableWriter}
+    val dir = java.nio.file.Files.createTempDirectory("slice-probe").toString
+    val w = new SSTableWriter(s"$dir/wide-Data.db") // compressed: the production path
+    val v = Array.fill[Byte](64)(7)
+    (0 until 50).foreach { r =>
+      w.append(SSTableRow(f"row$r%04d".getBytes,
+        (0 until 20000).map(i => Column.Normal(f"c$i%06d".getBytes, v, i.toLong))))
+    }
+    w.close()
+    val cells = spark.read.format("sstable").option("view", "cells").load(dir)
+    time("full_cells_scan") { cells.select("key", "name", "value") }
+    time("sliced_100_names") {
+      cells.filter(col("name") >= lit("c010000".getBytes) &&
+          col("name") < lit("c010100".getBytes))
+        .select("key", "name", "value")
+    }
+    time("sliced_point_name") {
+      cells.filter(col("name") === lit("c019999".getBytes))
+        .select("key", "name", "value")
+    }
+  }
+
   private def topnProbe(spark: SparkSession,
                         time: String => (=> DataFrame) => Unit): Unit = {
     val dir = java.nio.file.Files.createTempDirectory("topn-probe").toString

@@ -76,6 +76,17 @@ object DataFile {
   val LiveLocalDeletionTime: Int = Int.MaxValue
   val LiveMarkedForDeleteAt: Long = Long.MinValue
 
+  /** Are the cells already in comparator (unsigned-lexicographic name)
+    * order? The write path's fast-path check. */
+  def namesSorted(cols: Seq[Column]): Boolean = {
+    var prev: Array[Byte] = null
+    cols.forall { c =>
+      val ok = prev == null || SSTableFiles.compareKeys(prev, c.name) <= 0
+      prev = c.name
+      ok
+    }
+  }
+
   private def columnDiskSize(c: Column): Long = c match {
     case Column.Normal(n, v, _) => 2L + n.length + 1 + 8 + 4 + v.length
     case Column.Deleted(n, _) => 2L + n.length + 1 + 8 + 4 + 4 // value = u32 localDeletionTime
@@ -158,13 +169,84 @@ object DataFile {
 /** Streaming row iterator over an uncompressed-domain stream, optionally
   * bounded to `[in.position, endOffset)`. The caller seeks `in` to a row
   * boundary first (offset 0 or an Index-derived offset). */
-final class DataReader(in: SeekableInput, endOffset: Long = Long.MaxValue)
+final class DataReader(in: SeekableInput, endOffset: Long = Long.MaxValue,
+                       nameLo: Option[(Array[Byte], Boolean)] = None,
+                       nameHi: Option[(Array[Byte], Boolean)] = None)
     extends Iterator[SSTableRow] with AutoCloseable {
   private val din = in.asDataInput
 
   def position: Long = in.position
 
   def hasNext: Boolean = in.position < math.min(endOffset, in.length)
+
+  private def decodeColumnBody(name: Array[Byte], flags: Int): Column =
+    if ((flags & DataFile.CounterMask) != 0) {
+      // CounterColumn: long timestampOfLastDelete precedes the
+      // normal (timestamp, value) tail; surfaced RAW (no merge
+      // semantics — see Column.Counter)
+      val tsd = din.readLong()
+      val ts = din.readLong()
+      val v = new Array[Byte](din.readInt())
+      din.readFully(v)
+      Column.Counter(name, v, tsd, ts)
+    } else if ((flags & DataFile.RangeTombstoneMask) != 0) {
+      // RangeTombstone.Serializer: the name already read is the MIN
+      // bound; then max name + DeletionTime(ldt, mfda)
+      val maxLen = din.readUnsignedShort()
+      val maxName = new Array[Byte](maxLen)
+      din.readFully(maxName)
+      val ldt = din.readInt()
+      val mfda = din.readLong()
+      Column.RangeTombstone(name, maxName, ldt, mfda)
+    } else if ((flags & DataFile.ExpirationMask) != 0) {
+      val ttl = din.readInt().toLong & 0xffffffffL
+      val expSec = din.readInt().toLong & 0xffffffffL
+      val ts = din.readLong()
+      val v = new Array[Byte](din.readInt())
+      din.readFully(v)
+      Column.Expiring(name, v, ttl, expSec * 1000L, ts)
+    } else if ((flags & DataFile.DeletionMask) != 0) {
+      val ts = din.readLong()
+      val vLen = din.readInt()
+      if (vLen != 4)
+        throw new CorruptSSTableException(
+          s"DELETED column value must be 4 bytes, got $vLen at ${in.position}")
+      din.readInt() // localDeletionTime — not surfaced at the model level
+      Column.Deleted(name, ts)
+    } else {
+      val ts = din.readLong()
+      val v = new Array[Byte](din.readInt())
+      din.readFully(v)
+      if ((flags & DataFile.CounterUpdateMask) != 0)
+        Column.CounterUpdate(name, v, ts) // normal layout, 0x08 tag
+      else Column.Normal(name, v, ts)
+    }
+
+  /** Seek past a column body WITHOUT materializing its value bytes (the
+    * name and flags were already read). Length fields must still be
+    * read — bodies are variable-width — but value payloads are skipped
+    * by position, so a sliced read of a wide row never copies the
+    * out-of-range cells' data. */
+  private def skipColumnBody(flags: Int): Unit = {
+    def skipValue(): Unit = { val n = din.readInt(); in.seek(in.position + n) }
+    if ((flags & DataFile.CounterMask) != 0) { in.seek(in.position + 16); skipValue() }
+    else if ((flags & DataFile.RangeTombstoneMask) != 0) {
+      val maxLen = din.readUnsignedShort()
+      in.seek(in.position + maxLen + 12) // max name + ldt(4) + mfda(8)
+    } else if ((flags & DataFile.ExpirationMask) != 0) {
+      in.seek(in.position + 16) // ttl(4) + exp(4) + ts(8)
+      skipValue()
+    } else { in.seek(in.position + 8); skipValue() } // ts(8) + value (Deleted: 4-byte body)
+  }
+
+  private def belowLo(name: Array[Byte]): Boolean = nameLo.exists { case (lo, incl) =>
+    val c = SSTableFiles.compareKeys(name, lo)
+    c < 0 || (c == 0 && !incl)
+  }
+  private def aboveHi(name: Array[Byte]): Boolean = nameHi.exists { case (hi, incl) =>
+    val c = SSTableFiles.compareKeys(name, hi)
+    c > 0 || (c == 0 && !incl)
+  }
 
   def next(): SSTableRow = {
     if (!hasNext) throw new NoSuchElementException
@@ -190,61 +272,46 @@ final class DataReader(in: SeekableInput, endOffset: Long = Long.MaxValue)
       val nCols = din.readInt()
       if (nCols < 0)
         throw new CorruptSSTableException(s"negative column count $nCols at ${in.position}")
-      val cols = new Array[Column](nCols)
-      var i = 0
-      while (i < nCols) {
-        val nameLen = din.readUnsignedShort()
-        val name = new Array[Byte](nameLen)
-        din.readFully(name)
-        val flags = din.readUnsignedByte()
-        cols(i) =
-          if ((flags & DataFile.CounterMask) != 0) {
-            // CounterColumn: long timestampOfLastDelete precedes the
-            // normal (timestamp, value) tail; surfaced RAW (no merge
-            // semantics — see Column.Counter)
-            val tsd = din.readLong()
-            val ts = din.readLong()
-            val v = new Array[Byte](din.readInt())
-            din.readFully(v)
-            Column.Counter(name, v, tsd, ts)
-          } else if ((flags & DataFile.RangeTombstoneMask) != 0) {
-            // RangeTombstone.Serializer: the name already read is the MIN
-            // bound; then max name + DeletionTime(ldt, mfda)
-            val maxLen = din.readUnsignedShort()
-            val maxName = new Array[Byte](maxLen)
-            din.readFully(maxName)
-            val ldt = din.readInt()
-            val mfda = din.readLong()
-            Column.RangeTombstone(name, maxName, ldt, mfda)
-          } else if ((flags & DataFile.ExpirationMask) != 0) {
-            val ttl = din.readInt().toLong & 0xffffffffL
-            val expSec = din.readInt().toLong & 0xffffffffL
-            val ts = din.readLong()
-            val v = new Array[Byte](din.readInt())
-            din.readFully(v)
-            Column.Expiring(name, v, ttl, expSec * 1000L, ts)
-          } else if ((flags & DataFile.DeletionMask) != 0) {
-            val ts = din.readLong()
-            val vLen = din.readInt()
-            if (vLen != 4)
-              throw new CorruptSSTableException(
-                s"DELETED column value must be 4 bytes, got $vLen at ${in.position}")
-            din.readInt() // localDeletionTime — not surfaced at the model level
-            Column.Deleted(name, ts)
-          } else {
-            val ts = din.readLong()
-            val v = new Array[Byte](din.readInt())
-            din.readFully(v)
-            if ((flags & DataFile.CounterUpdateMask) != 0)
-              Column.CounterUpdate(name, v, ts) // normal layout, 0x08 tag
-            else Column.Normal(name, v, ts)
-          }
-        i += 1
+      if (nameLo.isEmpty && nameHi.isEmpty) {
+        val cols = new Array[Column](nCols)
+        var i = 0
+        while (i < nCols) {
+          val nameLen = din.readUnsignedShort()
+          val name = new Array[Byte](nameLen)
+          din.readFully(name)
+          val flags = din.readUnsignedByte()
+          cols(i) = decodeColumnBody(name, flags)
+          i += 1
+        }
+        if (in.position != rowEnd)
+          throw new CorruptSSTableException(
+            s"row size mismatch: declared end $rowEnd, parsed to ${in.position}")
+        SSTableRow(key, cols.toSeq, tombstone)
+      } else {
+        // column slice (Cassandra's SliceQueryFilter shape): names within
+        // a row are comparator-sorted on disk (the format invariant; the
+        // writer enforces it), so pre-range bodies are length-skipped and
+        // the FIRST post-range name seeks straight to the row end — a
+        // slice of a million-column row touches only the slice's bytes
+        // (plus name headers up to it)
+        val cols = Seq.newBuilder[Column]
+        var i = 0
+        var pastHi = false
+        while (i < nCols && !pastHi) {
+          val nameLen = din.readUnsignedShort()
+          val name = new Array[Byte](nameLen)
+          din.readFully(name)
+          val flags = din.readUnsignedByte()
+          if (aboveHi(name)) { in.seek(rowEnd); pastHi = true }
+          else if (belowLo(name)) skipColumnBody(flags)
+          else cols += decodeColumnBody(name, flags)
+          i += 1
+        }
+        if (!pastHi && in.position != rowEnd)
+          throw new CorruptSSTableException(
+            s"row size mismatch: declared end $rowEnd, parsed to ${in.position}")
+        SSTableRow(key, cols.result(), tombstone)
       }
-      if (in.position != rowEnd)
-        throw new CorruptSSTableException(
-          s"row size mismatch: declared end $rowEnd, parsed to ${in.position}")
-      SSTableRow(key, cols.toSeq, tombstone)
     } catch {
       case e: EOFException =>
         throw new CorruptSSTableException(s"truncated row at ${in.position}", e)

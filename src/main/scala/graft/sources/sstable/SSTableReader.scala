@@ -80,6 +80,18 @@ final class SSTableReader(val dataPath: String,
     new DataReader(in, endOffset)
   }
 
+  /** Column-sliced scan (Cassandra's SliceQueryFilter): only cells with
+    * `nameLo <= name <= nameHi` (per-bound inclusivity) are decoded;
+    * pre-slice bodies are length-skipped and the first post-slice name
+    * seeks to the row end — see [[DataReader]]. */
+  def rows(startOffset: Long, endOffset: Long,
+           nameLo: Option[(Array[Byte], Boolean)],
+           nameHi: Option[(Array[Byte], Boolean)]): DataReader = {
+    val in = openData()
+    in.seek(startOffset)
+    new DataReader(in, endOffset, nameLo, nameHi)
+  }
+
   def indexReader(): IndexReader =
     new IndexReader(storage.open(sibling(dataPath, IndexSuffix)))
 

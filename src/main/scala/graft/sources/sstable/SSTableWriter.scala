@@ -60,7 +60,16 @@ final class SSTableWriter(dataPath: String,
 
     val rowOffset = uncompressedPos
     val enc = new DataOutputStream(scratch)
-    DataFile.writeRow(enc, row)
+    // the format invariant real Cassandra guarantees: cells within a row
+    // are comparator-sorted by name (sliced reads early-exit on it).
+    // Stable, so equal names (not produced by our merge paths) keep
+    // caller order. Skipped when already sorted — the common case for
+    // merge outputs — to avoid the allocation.
+    val sortedRow =
+      if (DataFile.namesSorted(row.columns)) row
+      else row.copy(columns = row.columns.sortWith((a, b) =>
+        compareKeys(a.name, b.name) < 0))
+    DataFile.writeRow(enc, sortedRow)
     val bytes = scratch.toByteArray
     scratch.reset()
     if (compress) snappy.write(bytes, 0, bytes.length) else dataOut.write(bytes)

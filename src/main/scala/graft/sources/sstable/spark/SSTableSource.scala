@@ -173,7 +173,7 @@ final class SSTableTable(properties: Map[String, String])
 /** Accumulates pushed `key` comparison filters into the tightest
   * [lo, hi] bounds — the shared pruning state of the data and index scan
   * builders (both prune planned splits by Summary key bounds). */
-final class KeyBounds {
+final class KeyBounds(field: String = "key") {
   var lo: Option[(Array[Byte], Boolean)] = None // (bound, inclusive)
   var hi: Option[(Array[Byte], Boolean)] = None
 
@@ -191,11 +191,12 @@ final class KeyBounds {
   }
 
   def accept(f: Filter): Boolean = f match {
-    case EqualTo("key", v: Array[Byte]) => tightenLo(v, incl = true); tightenHi(v, incl = true); true
-    case GreaterThan("key", v: Array[Byte]) => tightenLo(v, incl = false); true
-    case GreaterThanOrEqual("key", v: Array[Byte]) => tightenLo(v, incl = true); true
-    case LessThan("key", v: Array[Byte]) => tightenHi(v, incl = false); true
-    case LessThanOrEqual("key", v: Array[Byte]) => tightenHi(v, incl = true); true
+    case EqualTo(a, v: Array[Byte]) if a == field =>
+      tightenLo(v, incl = true); tightenHi(v, incl = true); true
+    case GreaterThan(a, v: Array[Byte]) if a == field => tightenLo(v, incl = false); true
+    case GreaterThanOrEqual(a, v: Array[Byte]) if a == field => tightenLo(v, incl = true); true
+    case LessThan(a, v: Array[Byte]) if a == field => tightenHi(v, incl = false); true
+    case LessThanOrEqual(a, v: Array[Byte]) if a == field => tightenHi(v, incl = true); true
     case And(l, r) => accept(l) | accept(r)
     case _ => false
   }
@@ -223,6 +224,12 @@ final class SSTableScanBuilder(path: String, options: CaseInsensitiveStringMap)
   private var requiredSchema: StructType = baseSchema
   private var pushed: Array[Filter] = Array.empty
   private val bounds = new KeyBounds
+  /** Cells-view column slice (Cassandra's SliceQueryFilter): pushed
+    * `name` range predicates reach the decoder, which length-skips
+    * pre-slice cells and seeks past the row at the first post-slice
+    * name — names are comparator-sorted on disk. Residual like all our
+    * filters (Spark re-verifies rows), so pure IO savings. */
+  private val nameBounds = new KeyBounds("name")
   private var aggResult: Option[(StructType, Seq[SSTableAggScan.AggKind])] = None
   private var limit: Option[Int] = None
   private var topN = false
@@ -264,7 +271,8 @@ final class SSTableScanBuilder(path: String, options: CaseInsensitiveStringMap)
   override def isPartiallyPushed(): Boolean = true
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pushed = filters.filter(bounds.accept)
+    pushed = filters.filter(f =>
+      bounds.accept(f) | (cellsView && nameBounds.accept(f)))
     filters // all residual: pruning only skips IO, Spark re-verifies rows
   }
   override def pushedFilters(): Array[Filter] = pushed
@@ -320,7 +328,8 @@ final class SSTableScanBuilder(path: String, options: CaseInsensitiveStringMap)
         case r: NamedReference => r.fieldNames.toSeq == Seq(field)
         case _ => false
       }
-    if (agg.groupByExpressions.nonEmpty || bounds.lo.isDefined || bounds.hi.isDefined)
+    if (agg.groupByExpressions.nonEmpty || bounds.lo.isDefined || bounds.hi.isDefined ||
+        nameBounds.lo.isDefined || nameBounds.hi.isDefined)
       return false
     if (cellsView && longOption(SSTableSource.TtlAsOfMsOption).isDefined)
       return false
@@ -383,6 +392,7 @@ final class SSTableScanBuilder(path: String, options: CaseInsensitiveStringMap)
       planThreshold, cellsView = cellsView, buckets = bucketsOpt,
       limit = limit, topN = topN,
       asOfMicros = longOption(SSTableSource.AsOfMicrosOption),
+      nameLo = nameBounds.lo, nameHi = nameBounds.hi,
       maxFilesPerTrigger =
         longOption(SSTableSource.MaxFilesPerTriggerOption).map { v =>
           require(v > 0 && v <= Int.MaxValue,
@@ -541,6 +551,8 @@ final class SSTableScan(path: String, requiredSchema: StructType,
                         limit: Option[Int] = None,
                         topN: Boolean = false,
                         asOfMicros: Option[Long] = None,
+                        nameLo: Option[(Array[Byte], Boolean)] = None,
+                        nameHi: Option[(Array[Byte], Boolean)] = None,
                         maxFilesPerTrigger: Option[Int] = None,
                         maxBytesPerTrigger: Option[Long] = None)
     extends Scan with Batch with SupportsRuntimeFiltering
@@ -652,9 +664,10 @@ final class SSTableScan(path: String, requiredSchema: StructType,
     val bkt = buckets.map(n => s" buckets=$n keyGrouped").getOrElse("")
     val ttl = ttlAsOfMs.map(ms => s" ttlAsOf=$ms").getOrElse("")
     val asOf = asOfMicros.map(t => s" asOf=$t").getOrElse("")
+    val slice = if (nameLo.isDefined || nameHi.isDefined) " nameSliced" else ""
     val lim = limit.map(n => if (topN) s" topN=$n(key asc)" else s" limit=$n")
       .getOrElse("")
-    s"sstable $path$prune$keyOnly$view$bkt$ttl$asOf$lim"
+    s"sstable $path$prune$keyOnly$view$bkt$ttl$asOf$slice$lim"
   }
 
   /** Per-file planning is independent metadata work (Summary walk +
@@ -703,7 +716,8 @@ final class SSTableScan(path: String, requiredSchema: StructType,
     // asOf drops whole rows, so sidecar counts no longer guarantee the
     // limit — keep every (asOf-surviving) generation
     case Some(n) if !topN && keyLo.isEmpty && keyHi.isEmpty &&
-        runtimeKeys.isEmpty && asOfMicros.isEmpty =>
+        runtimeKeys.isEmpty && asOfMicros.isEmpty &&
+        nameLo.isEmpty && nameHi.isEmpty => // sliced cells break count guarantees
       val st = storage
       var known = 0L
       val keep = Seq.newBuilder[String]
@@ -786,7 +800,8 @@ final class SSTableScan(path: String, requiredSchema: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new SSTableReaderFactory(requiredSchema, ttlAsOfMs, serConf, cellsView,
-      rowLimit = limit, asOfMicros = asOfMicros)
+      rowLimit = limit, asOfMicros = asOfMicros,
+      nameLo = nameLo, nameHi = nameHi)
 }
 
 /** One whole bucket of a bucketed directory: every split of its
@@ -901,7 +916,9 @@ final class SSTableReaderFactory(requiredSchema: StructType,
                                  serConf: Option[SerializableHadoopConf] = None,
                                  cellsView: Boolean = false,
                                  rowLimit: Option[Int] = None,
-                                 asOfMicros: Option[Long] = None)
+                                 asOfMicros: Option[Long] = None,
+                                 nameLo: Option[(Array[Byte], Boolean)] = None,
+                                 nameHi: Option[(Array[Byte], Boolean)] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val storage = serConf.map(c => new HadoopStorage(c.value): Storage)
@@ -914,7 +931,8 @@ final class SSTableReaderFactory(requiredSchema: StructType,
         // cells view always decodes Data.db: even a key-only projection has
         // per-CELL multiplicity only the row bodies know
         if (cellsView)
-          new SSTableCellReader(p, requiredSchema, ttlAsOfMs, storage, asOfMicros)
+          new SSTableCellReader(p, requiredSchema, ttlAsOfMs, storage, asOfMicros,
+            nameLo, nameHi)
         // rowTombstone also lives in Data.db, so its presence forces the row
         // reader; only pure-key projections may take the Index.db-only path.
         // asOf also forces row decode: Index.db cannot know which keys
@@ -989,10 +1007,12 @@ final class SSTableBucketReader(bp: SSTableBucketPartition,
 final class SSTableCellReader(p: SSTablePartition, requiredSchema: StructType,
                               ttlAsOfMs: Option[Long] = None,
                               storage: Storage = LocalStorage,
-                              asOfMicros: Option[Long] = None)
+                              asOfMicros: Option[Long] = None,
+                              nameLo: Option[(Array[Byte], Boolean)] = None,
+                              nameHi: Option[(Array[Byte], Boolean)] = None)
     extends PartitionReader[InternalRow] {
   private val table = new SSTableReader(p.dataPath, storage)
-  private val reader = table.rows(p.start, p.end)
+  private val reader = table.rows(p.start, p.end, nameLo, nameHi)
   private var key: Array[Byte] = _
   private var cells: Iterator[Column] = Iterator.empty
   private var current: InternalRow = _

@@ -431,7 +431,69 @@ class CodecSpec extends AnyFunSuite {
         summaryInterval = 3, enforceSorted = false)
       try rows.foreach(w.append) finally w.close()
       val got = new SSTableReader(p).rows().toSeq
-      assertRowsEqual(got, rows)
+      // the writer normalizes cells to comparator order (the format
+      // invariant); stable, so equal random names keep input order
+      assertRowsEqual(got, rows.map(r => r.copy(columns =
+        r.columns.sortWith((a, b) => SSTableFiles.compareKeys(a.name, b.name) < 0))))
     }
+  }
+
+  test("writer normalizes cells to comparator order (the format invariant)") {
+    val p = tmpData("colsort")
+    write(p, Seq(SSTableRow("k".getBytes, Seq(
+      Column.Normal("zz".getBytes, "3".getBytes, 3L),
+      Column.Deleted("aa".getBytes, 1L),
+      Column.Normal("mm".getBytes, "2".getBytes, 2L)))), compress = false)
+    val got = new SSTableReader(p).rows().toSeq.head
+    assert(got.columns.map(c => new String(c.name)) == Seq("aa", "mm", "zz"))
+  }
+
+  test("column slice decodes only in-range bodies; out-of-range value bytes are never read") {
+    // one wide row: 200 cells of 1 KiB each, names c000..c199. The slice
+    // [c050, c059] must (a) return exactly those cells and (b) read far
+    // fewer bytes than a full decode — pre-slice values are length-skipped
+    // and the first post-slice name seeks to the row end. Uncompressed, so
+    // a counting SeekableInput sees the decoder's true byte appetite.
+    val p = tmpData("slice")
+    val big = Array.fill[Byte](1024)(7)
+    write(p, Seq(SSTableRow("wide".getBytes,
+      (0 until 200).map(i => Column.Normal(f"c$i%03d".getBytes, big, i.toLong)))),
+      compress = false)
+    final class CountingInput(inner: SeekableInput) extends SeekableInput {
+      var bytesRead = 0L
+      def position: Long = inner.position
+      def seek(pos: Long): Unit = inner.seek(pos)
+      def length: Long = inner.length
+      def read(buf: Array[Byte], off: Int, len: Int): Int = {
+        val n = inner.read(buf, off, len)
+        if (n > 0) bytesRead += n
+        n
+      }
+      def close(): Unit = inner.close()
+    }
+    def scan(lo: Option[(Array[Byte], Boolean)],
+             hi: Option[(Array[Byte], Boolean)]): (Seq[SSTableRow], Long) = {
+      val cin = new CountingInput(new FileSeekableInput(p))
+      val r = new DataReader(cin, Long.MaxValue, lo, hi)
+      val rows = r.toSeq
+      r.close()
+      (rows, cin.bytesRead)
+    }
+    val (full, fullBytes) = scan(None, None)
+    assert(full.head.columns.length == 200)
+    val (sliced, slicedBytes) = scan(
+      Some(("c050".getBytes, true)), Some(("c059".getBytes, true)))
+    assert(sliced.head.columns.map(c => new String(c.name)) ==
+      (50 to 59).map(i => f"c$i%03d"))
+    // full decode reads ~200 KiB of values; the slice needs 10 KiB of
+    // values + headers up to the exit — well under a quarter of full
+    assert(slicedBytes < fullBytes / 4,
+      s"slice read $slicedBytes of $fullBytes bytes — skip not effective")
+
+    // exclusive bounds drop the endpoints
+    val (excl, _) = scan(
+      Some(("c050".getBytes, false)), Some(("c059".getBytes, false)))
+    assert(excl.head.columns.map(c => new String(c.name)) ==
+      (51 to 58).map(i => f"c$i%03d"))
   }
 }

@@ -822,6 +822,47 @@ class SSTableSourceSpec extends AnyFunSuite {
     assert(collectSorts(swp.queryExecution.executedPlan).isEmpty)
   }
 
+  test("cells view: pushed name range slices wide rows at the decoder") {
+    import spark.implicits._
+    val dir = freshDir()
+    val w = new SSTableWriter(s"$dir/wide-Data.db", compress = false,
+      summaryInterval = 4)
+    // two wide rows + one narrow, cells c000..c099
+    Seq("ka", "kb").foreach { k =>
+      w.append(SSTableRow(k.getBytes,
+        (0 until 100).map(i => Column.Normal(f"c$i%03d".getBytes,
+          s"$k-$i".getBytes, i.toLong))))
+    }
+    w.append(SSTableRow("kc".getBytes,
+      Seq(Column.Normal("c042".getBytes, "kc-42".getBytes, 1L))))
+    w.close()
+
+    val cells = spark.read.format("sstable").option("view", "cells").load(dir)
+    val sliced = cells.filter(col("name") >= lit("c010".getBytes) &&
+      col("name") < lit("c013".getBytes))
+    assert(sliced.queryExecution.executedPlan.toString.contains(" nameSliced"),
+      "the name range must reach the scan")
+    val got = sliced
+      .select(col("key").cast("string"), col("name").cast("string"))
+      .as[(String, String)].collect().toSet
+    assert(got == Set("ka", "kb").flatMap(k =>
+      (10 until 13).map(i => (k, f"c$i%03d"))), s"got $got")
+
+    // point slice: name = X composes with the narrow row; an unpushed
+    // scan + filter agrees exactly
+    val eq = cells.filter(col("name") === lit("c042".getBytes))
+    val eqKeys = eq.select(col("key").cast("string")).as[String].collect().toSet
+    assert(eqKeys == Set("ka", "kb", "kc"))
+    assert(eq.count() ==
+      cells.collect().count(r => new String(
+        r.getAs[Array[Byte]]("name")) == "c042"))
+
+    // pushed cell aggregates decline under a slice (stats would over-count)
+    val cnt = cells.filter(col("name") >= lit("c090".getBytes)).agg(count(lit(1)))
+    assert(!cnt.queryExecution.executedPlan.toString.contains("statsOnlyAggregate"))
+    assert(cnt.as[Long].collect().head == 20L)
+  }
+
   test("asofmicros reconstructs past LWW state and prunes post-cut generations") {
     import spark.implicits._
     val dir = freshDir()
