@@ -141,18 +141,17 @@ object DedupQueries {
     * relation is `localCheckpoint`-backed (connectedComponents returns
     * its checkpointed labels), so reuse reads cached partitions — no
     * recomputation, no lineage growth. */
-  private val clustersCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]
+  private val clustersCache = new SessionCache[DataFrame]
   private def clusterEdges(s: SparkSession, d: String): DataFrame =
     simhashPairs(s, d).select("a", "b")
   private def freshClusters(s: SparkSession, d: String): DataFrame = {
     val cc = GraphOps.connectedComponents(clusterEdges(s, d), "a", "b")
-    clustersCache.put((System.identityHashCode(s), d), cc)
+    clustersCache.put(s, d, cc)
     cc
   }
   private def cachedClusters(s: SparkSession, d: String): DataFrame =
-    clustersCache.computeIfAbsent((System.identityHashCode(s), d),
-      _ => GraphOps.connectedComponents(clusterEdges(s, d), "a", "b"))
+    clustersCache.getOrCompute(s, d)(
+      GraphOps.connectedComponents(clusterEdges(s, d), "a", "b"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: hash-groupBy on content digest, keep min doc_id.

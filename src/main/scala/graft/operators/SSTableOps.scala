@@ -808,10 +808,13 @@ object SSTableOps {
     * salvaged instead of just reported — the decodable good prefix
     * (re-sorted if that's the damage) is rewritten as a fresh staged
     * generation in the same directory, published siblings-first/
-    * Data.db-last, and only then is the corrupt fileset unpublished
-    * Data.db-first — readers see old-then-new, never neither, and a
-    * crash mid-repair leaves the corrupt original still in place plus
-    * at worst an invisible `_scrub-*` staging dir. The salvage decodes
+    * Data.db-last, and only then is the corrupt fileset moved
+    * Data.db-first into a `_corrupt-<tag>/` quarantine subdirectory
+    * (invisible to readers, recoverable by offline tooling — the
+    * original is never destroyed, even when nothing was salvageable) —
+    * readers see old-then-new, never neither, and a crash mid-repair
+    * leaves the corrupt original still in place plus at worst an
+    * invisible `_scrub-*` staging dir. The salvage decodes
     * at most one generation per task (truncation streams row-by-row; a
     * sort repair buffers the file's rows — a rare admin action, priced
     * honestly). Healthy generations are never touched. Output gains
@@ -934,11 +937,17 @@ object SSTableOps {
       else {
         val storage: Storage =
           serConf.map(c => new HadoopStorage(c.value): Storage).getOrElse(LocalStorage)
+        // attempt-unique staged stem: under speculation (or a zombie
+        // first attempt) two attempts of the same bucket write disjoint
+        // staging files; only the attempt whose result reaches collect()
+        // is published, renamed to the canonical attempt-less stem below
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
         val w = new SSTablePartitionWriter(stagingDir, schema, bucket, bucket,
           compress, graft.sources.sstable.CompressionInfo.DefaultChunkLength,
           graft.sources.sstable.IndexFile.DefaultSummaryInterval,
           graft.sources.sstable.FilterFile.DefaultBitsPerKey, storage,
-          fileStem = SSTableSource.bucketStem(bucket) + tag)
+          fileStem = SSTableSource.bucketStem(bucket) + tag + s"-attempt-$attempt")
         var ok = false
         try {
           rows.foreach { case (_, r) => w.write(r) }
@@ -948,30 +957,30 @@ object SSTableOps {
         } finally if (!ok) w.abort()
       }
     }.collect() // tiny: one Data.db path per non-empty bucket
-    // job "commit": publish every staged fileset siblings-first/Data-last,
-    // then drop the staging dir
+    // job "commit": publish every staged fileset siblings-first/Data-last
+    // under the canonical attempt-less name (exactly one winner per
+    // bucket — collect() carries one successful attempt's paths), then
+    // drop the staging dir with any losing attempts' leftovers
     staged.foreach { data =>
       SSTableFiles.PublishOrderSuffixes.foreach { suf =>
         val src = SSTableFiles.sibling(data, suf)
         if (driverStorage.exists(src)) {
           val name = src.substring(src.lastIndexOf('/') + 1)
+            .replaceFirst("-attempt-\\d+", "")
           driverStorage.rename(src, s"$dir/$name")
         }
       }
     }
-    driverStorage match {
-      case LocalStorage => new java.io.File(stagingDir).delete()
-      case h: HadoopStorage => h.deleteRecursive(stagingDir)
-      case _ =>
-    }
+    driverStorage.deleteRecursive(stagingDir)
   }
 
   /** Salvage one corrupt generation: stream its decodable rows into a
     * fresh staged fileset (sorting them first when the damage is order,
     * not truncation), publish siblings-first/Data.db-last under a
-    * scrub-unique name, then unpublish the corrupt original
-    * Data.db-first. Returns the new Data.db path, or None (original
-    * unpublished, nothing written) when no row is salvageable. */
+    * scrub-unique name, then quarantine the corrupt original under
+    * `_corrupt-<tag>/` Data.db-first. Returns the new Data.db path, or
+    * None (original quarantined, nothing written) when no row is
+    * salvageable. */
   private def repairGeneration(f: String,
                                storage: graft.sources.sstable.Storage,
                                resort: Boolean): Option[String] = {
@@ -1025,8 +1034,19 @@ object SSTableOps {
       case _ =>
     }
     // the good data is visible (or nothing was salvageable): now — and
-    // only now — drop the corrupt fileset, Data.db first
-    SSTableFiles.unpublish(storage, f)
+    // only now — QUARANTINE the corrupt fileset, Data.db first (it
+    // leaves reader listings before any sibling moves). Cassandra's
+    // sstablescrub likewise snapshots the original before scrubbing:
+    // moving into `_corrupt-<tag>/` instead of deleting keeps a
+    // recovery path for better offline tooling — without it, a repair
+    // that salvaged nothing would destroy the only copy.
+    val quarantineDir = s"$dirPath/_corrupt-$tag"
+    storage.mkdirs(quarantineDir)
+    val base = f.substring(f.lastIndexOf('/') + 1).dropRight(SSTableFiles.DataSuffix.length)
+    SSTableFiles.AllSuffixes.foreach { suf =>
+      val src = SSTableFiles.sibling(f, suf)
+      if (storage.exists(src)) storage.rename(src, s"$quarantineDir/$base$suf")
+    }
     if (wrote) Some(published) else None
   }
 }

@@ -148,26 +148,23 @@ object SimilarityQueries {
     * same pattern as q_dedup_clusters/q_dedup_apply). Both trainings
     * return localCheckpoint-backed frames, so reuse reads cached
     * partitions — no recomputation, no lineage growth. */
-  private val coarseCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), (DataFrame, DataFrame)]
-  private val pqCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), (DataFrame, DataFrame)]
+  private val coarseCache = new SessionCache[(DataFrame, DataFrame)]
+  private val pqCache = new SessionCache[(DataFrame, DataFrame)]
   private def freshCoarse(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val r = kmediansCells(embWithNorm(s, d), KMedK, KMedIters)
-    coarseCache.put((System.identityHashCode(s), d), r)
+    coarseCache.put(s, d, r)
     r
   }
   private def cachedCoarse(s: SparkSession, d: String): (DataFrame, DataFrame) =
-    coarseCache.computeIfAbsent((System.identityHashCode(s), d),
-      _ => kmediansCells(embWithNorm(s, d), KMedK, KMedIters))
+    coarseCache.getOrCompute(s, d)(
+      kmediansCells(embWithNorm(s, d), KMedK, KMedIters))
   private def freshPq(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val r = pqTrain(embWithNorm(s, d), PqM, PqK, PqIters)
-    pqCache.put((System.identityHashCode(s), d), r)
+    pqCache.put(s, d, r)
     r
   }
   private def cachedPq(s: SparkSession, d: String): (DataFrame, DataFrame) =
-    pqCache.computeIfAbsent((System.identityHashCode(s), d),
-      _ => pqTrain(embWithNorm(s, d), PqM, PqK, PqIters))
+    pqCache.getOrCompute(s, d)(pqTrain(embWithNorm(s, d), PqM, PqK, PqIters))
 
   /** Multi-probe cell selection: each query keeps its `nprobe`
     * closest-centroid cells (centroids broadcast; ranking window is per

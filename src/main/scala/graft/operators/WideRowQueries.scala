@@ -146,10 +146,9 @@ object WideRowQueries {
     * shared by every fixture-driven query and across the bench's repeat
     * runs. Content is a pure function of the corpus, so a stale directory
     * from a previous process is simply rewritten. */
-  private val fixtureCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), String]
+  private val fixtureCache = new SessionCache[String]
   private def sstableFixture(s: SparkSession, d: String): String =
-    fixtureCache.computeIfAbsent((System.identityHashCode(s), d), _ => {
+    fixtureCache.getOrCompute(s, d) {
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft-fixture-" +
         java.security.MessageDigest.getInstance("MD5").digest(d.getBytes)
           .map("%02x".format(_)).mkString.take(16)
@@ -162,7 +161,7 @@ object WideRowQueries {
             lit(0L).as("ttlSecs"), lit(0L).as("expiresMillis"))).as("columns"))
         .write.format("sstable").mode("overwrite").save(dir)
       dir
-    })
+    }
 
   /** Lift events into the nested scan schema, compact with the selected
     * merge variant, and explode back to a comparable relation. Each event

@@ -171,7 +171,8 @@ object DataFile {
   * boundary first (offset 0 or an Index-derived offset). */
 final class DataReader(in: SeekableInput, endOffset: Long = Long.MaxValue,
                        nameLo: Option[(Array[Byte], Boolean)] = None,
-                       nameHi: Option[(Array[Byte], Boolean)] = None)
+                       nameHi: Option[(Array[Byte], Boolean)] = None,
+                       sortedNames: Boolean = false)
     extends Iterator[SSTableRow] with AutoCloseable {
   private val din = in.asDataInput
 
@@ -288,12 +289,17 @@ final class DataReader(in: SeekableInput, endOffset: Long = Long.MaxValue,
             s"row size mismatch: declared end $rowEnd, parsed to ${in.position}")
         SSTableRow(key, cols.toSeq, tombstone)
       } else {
-        // column slice (Cassandra's SliceQueryFilter shape): names within
-        // a row are comparator-sorted on disk (the format invariant; the
-        // writer enforces it), so pre-range bodies are length-skipped and
-        // the FIRST post-range name seeks straight to the row end — a
+        // column slice (Cassandra's SliceQueryFilter shape): out-of-range
+        // bodies are length-skipped, never materialized. When the
+        // generation GUARANTEES comparator-sorted names (`sortedNames`,
+        // from the Statistics v3 flag the writer sets), the FIRST
+        // post-range name additionally seeks straight to the row end — a
         // slice of a million-column row touches only the slice's bytes
-        // (plus name headers up to it)
+        // (plus name headers up to it). Without the guarantee (v1/v2
+        // generations: earlier releases encoded caller column order) the
+        // seek would silently drop in-range cells appearing after an
+        // out-of-order one, so every name is tested individually — same
+        // results, post-slice tail costs its name headers.
         val cols = Seq.newBuilder[Column]
         var i = 0
         var pastHi = false
@@ -302,7 +308,10 @@ final class DataReader(in: SeekableInput, endOffset: Long = Long.MaxValue,
           val name = new Array[Byte](nameLen)
           din.readFully(name)
           val flags = din.readUnsignedByte()
-          if (aboveHi(name)) { in.seek(rowEnd); pastHi = true }
+          if (aboveHi(name)) {
+            if (sortedNames) { in.seek(rowEnd); pastHi = true }
+            else skipColumnBody(flags)
+          }
           else if (belowLo(name)) skipColumnBody(flags)
           else cols += decodeColumnBody(name, flags)
           i += 1

@@ -82,14 +82,16 @@ final class SSTableReader(val dataPath: String,
 
   /** Column-sliced scan (Cassandra's SliceQueryFilter): only cells with
     * `nameLo <= name <= nameHi` (per-bound inclusivity) are decoded;
-    * pre-slice bodies are length-skipped and the first post-slice name
-    * seeks to the row end — see [[DataReader]]. */
+    * out-of-slice bodies are length-skipped, and when the generation's
+    * Statistics v3 flag guarantees comparator-sorted names the first
+    * post-slice name seeks to the row end — see [[DataReader]]. */
   def rows(startOffset: Long, endOffset: Long,
            nameLo: Option[(Array[Byte], Boolean)],
            nameHi: Option[(Array[Byte], Boolean)]): DataReader = {
     val in = openData()
     in.seek(startOffset)
-    new DataReader(in, endOffset, nameLo, nameHi)
+    new DataReader(in, endOffset, nameLo, nameHi,
+      sortedNames = statistics.exists(_.namesSorted))
   }
 
   def indexReader(): IndexReader =

@@ -25,11 +25,12 @@ import java.io.{DataInput, DataOutputStream, EOFException}
   *
   * Layout (big-endian):
   * {{{
-  * [u32 magic 'GRST'][u32 version=2]
+  * [u32 magic 'GRST'][u32 version=3]
   * [i64 minTimestampMicros][i64 maxTimestampMicros]   // see tracking rules
   * [u16 minKeyLen][minKey][u16 maxKeyLen][maxKey]
   * [i64 rowCount][i64 tombstoneCount]
   * [i64 cellCount][i64 minCellTimestamp][i64 maxCellTimestamp]   // v2
+  * [u8 namesSorted]                                              // v3
   * }}}
   *
   * Timestamp tracking covers every µs clock that participates in LWW
@@ -46,14 +47,23 @@ import java.io.{DataInput, DataOutputStream, EOFException}
   * is exactly the cells-view row count, `min/maxCellTimestamp` bound the
   * entries' `timestamp` field (a range tombstone's timestamp IS its
   * markedForDeleteAt). A v1 file reads fine with `cellStats = None`; any
-  * consumer needing cell stats must decline when they're absent. */
+  * consumer needing cell stats must decline when they're absent.
+  *
+  * v3 adds `namesSorted`: true iff every row's cells were written in
+  * comparator (unsigned-lexicographic) name order — the invariant the
+  * column-slice fast path's seek-to-row-end needs ([[DataReader]]).
+  * The writer sorts unordered callers' columns, so v3 files always
+  * carry true; v1/v2 files (earlier releases accepted caller order)
+  * read as false and sliced reads take the order-independent safe walk
+  * instead — never wrong, just header-walking the post-slice tail. */
 final case class CellStatistics(cellCount: Long, minCellTimestamp: Long,
                                 maxCellTimestamp: Long)
 
 final case class SSTableStatistics(minTimestamp: Long, maxTimestamp: Long,
                                    minKey: Array[Byte], maxKey: Array[Byte],
                                    rowCount: Long, tombstoneCount: Long,
-                                   cellStats: Option[CellStatistics] = None) {
+                                   cellStats: Option[CellStatistics] = None,
+                                   namesSorted: Boolean = false) {
   /** Can `key` possibly live in this generation? (Unsigned byte order;
     * an empty generation contains nothing.) */
   def mightContainKey(key: Array[Byte]): Boolean =
@@ -67,11 +77,11 @@ final case class SSTableStatistics(minTimestamp: Long, maxTimestamp: Long,
 
 object StatisticsFile {
   val Magic = 0x47525354 // "GRST" — never the first bytes of Cassandra's own layout
-  val Version = 2
+  val Version = 3
 
   def write(out: DataOutputStream, s: SSTableStatistics): Unit = {
     require(s.minKey.length <= 0xffff && s.maxKey.length <= 0xffff, "key too long")
-    require(s.cellStats.isDefined, "v2 writer always carries cell statistics")
+    require(s.cellStats.isDefined, "the v2+ writer always carries cell statistics")
     out.writeInt(Magic)
     out.writeInt(Version)
     out.writeLong(s.minTimestamp)
@@ -84,17 +94,19 @@ object StatisticsFile {
     out.writeLong(c.cellCount)
     out.writeLong(c.minCellTimestamp)
     out.writeLong(c.maxCellTimestamp)
+    out.writeBoolean(s.namesSorted)
   }
 
   /** None (never a throw) for unrecognized or truncated content — a real
     * Cassandra `-Statistics.db`, a future version, or a torn write all
     * read as "no statistics available". A v1 file (previous releases)
-    * reads with `cellStats = None`. */
+    * reads with `cellStats = None`; v1/v2 read with `namesSorted =
+    * false` (those releases wrote cells in caller order). */
   def read(in: DataInput): Option[SSTableStatistics] =
     try {
       if (in.readInt() != Magic) return None
       val version = in.readInt()
-      if (version != 1 && version != Version) return None
+      if (version < 1 || version > Version) return None
       val minTs = in.readLong(); val maxTs = in.readLong()
       val minKey = new Array[Byte](in.readUnsignedShort()); in.readFully(minKey)
       val maxKey = new Array[Byte](in.readUnsignedShort()); in.readFully(maxKey)
@@ -103,7 +115,9 @@ object StatisticsFile {
         if (version >= 2)
           Some(CellStatistics(in.readLong(), in.readLong(), in.readLong()))
         else None
-      Some(SSTableStatistics(minTs, maxTs, minKey, maxKey, rows, tombstones, cells))
+      val sorted = version >= 3 && in.readBoolean()
+      Some(SSTableStatistics(minTs, maxTs, minKey, maxKey, rows, tombstones,
+        cells, sorted))
     } catch {
       case _: EOFException | _: IndexOutOfBoundsException => None
     }
@@ -157,6 +171,9 @@ object StatisticsFile {
       if (minKey == null) Array.emptyByteArray else minKey,
       if (maxKey == null) Array.emptyByteArray else maxKey,
       rows, tombstones,
-      Some(CellStatistics(cells, minCellTs, maxCellTs)))
+      Some(CellStatistics(cells, minCellTs, maxCellTs)),
+      // the writer sorts every row's columns before encoding
+      // (SSTableWriter.append), so tracked generations always qualify
+      namesSorted = true)
   }
 }

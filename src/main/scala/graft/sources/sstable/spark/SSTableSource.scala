@@ -714,9 +714,13 @@ final class SSTableScan(path: String, requiredSchema: StructType,
     * keys (those rows might not survive, so counts don't transfer). */
   private def limitFilePrefix(files: Seq[String]): Seq[String] = limit match {
     // asOf drops whole rows, so sidecar counts no longer guarantee the
-    // limit — keep every (asOf-surviving) generation
+    // limit — keep every (asOf-surviving) generation. Likewise TTL
+    // evaluation on the cells view drops expired EXPIRING cells, so
+    // cellCount stops guaranteeing `n` output rows (rows view is safe:
+    // TTL empties columns but never removes the row itself).
     case Some(n) if !topN && keyLo.isEmpty && keyHi.isEmpty &&
         runtimeKeys.isEmpty && asOfMicros.isEmpty &&
+        !(cellsView && ttlAsOfMs.isDefined) &&
         nameLo.isEmpty && nameHi.isEmpty => // sliced cells break count guarantees
       val st = storage
       var known = 0L

@@ -1071,12 +1071,18 @@ class SSTableOpsSpec extends AnyFunSuite {
     assert(victim.isNullAt(6), s"repair must succeed: ${victim.get(6)}")
     assert(rep("clean-Data.db").isNullAt(5), "healthy generations are not rewritten")
 
-    // the corrupt fileset is gone; the directory scans end-to-end with
-    // exactly the decodable rows
+    // the corrupt fileset left the listing — QUARANTINED under
+    // `_corrupt-*/`, not destroyed (ADVICE r6: offline tooling keeps a
+    // recovery path, like Cassandra's pre-scrub snapshot)
     graft.sources.sstable.SSTableMetadataCache.clear()
     val names = graft.sources.sstable.SSTableReader.listDataFiles(dir)
       .map(_.split('/').last)
     assert(!names.contains("victim-Data.db") && names.size == 2, s"$names")
+    val quarantined = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("_corrupt-"))
+    assert(quarantined.length == 1 &&
+      quarantined.head.listFiles().map(_.getName).contains("victim-Data.db"),
+      "corrupt original must be preserved in quarantine")
     val keys = spark.read.format("sstable").load(dir)
       .select(col("key").cast("string")).as[String].collect()
     assert(keys.count(_.startsWith("clean")) == 100)
@@ -1142,7 +1148,13 @@ class SSTableOpsSpec extends AnyFunSuite {
     assert(rep2.head.getLong(1) == 0 && rep2.head.isNullAt(5))
     graft.sources.sstable.SSTableMetadataCache.clear()
     assert(graft.sources.sstable.SSTableReader.listDataFiles(dir2).isEmpty,
-      "nothing salvageable: the corrupt fileset is simply unpublished")
+      "nothing salvageable: the corrupt fileset leaves the listing")
+    // … but the only copy is NOT destroyed: it sits in quarantine
+    val q2 = new java.io.File(dir2).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("_corrupt-"))
+    assert(q2.length == 1 &&
+      q2.head.listFiles().map(_.getName).contains("dead-Data.db"),
+      "a hopeless repair must quarantine, never delete, the original")
   }
 
   test("exportCompacted emits one base64 line per row (E1 pipeline)") {

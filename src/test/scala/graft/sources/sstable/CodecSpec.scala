@@ -472,9 +472,10 @@ class CodecSpec extends AnyFunSuite {
       def close(): Unit = inner.close()
     }
     def scan(lo: Option[(Array[Byte], Boolean)],
-             hi: Option[(Array[Byte], Boolean)]): (Seq[SSTableRow], Long) = {
+             hi: Option[(Array[Byte], Boolean)],
+             sortedNames: Boolean = true): (Seq[SSTableRow], Long) = {
       val cin = new CountingInput(new FileSeekableInput(p))
-      val r = new DataReader(cin, Long.MaxValue, lo, hi)
+      val r = new DataReader(cin, Long.MaxValue, lo, hi, sortedNames)
       val rows = r.toSeq
       r.close()
       (rows, cin.bytesRead)
@@ -495,5 +496,47 @@ class CodecSpec extends AnyFunSuite {
       Some(("c050".getBytes, false)), Some(("c059".getBytes, false)))
     assert(excl.head.columns.map(c => new String(c.name)) ==
       (51 to 58).map(i => f"c$i%03d"))
+
+    // WITHOUT the sorted-names guarantee the early seek is off: same
+    // results, still body-skipping (headers cost a little extra)
+    val (safe, safeBytes) = scan(
+      Some(("c050".getBytes, true)), Some(("c059".getBytes, true)),
+      sortedNames = false)
+    assert(safe.head.columns.map(c => new String(c.name)) ==
+      (50 to 59).map(i => f"c$i%03d"))
+    assert(safeBytes < fullBytes / 4,
+      s"safe walk read $safeBytes of $fullBytes bytes — body skip not effective")
+  }
+
+  test("sliced reads stay correct on unsorted-name generations (pre-v3 layout, ADVICE r6)") {
+    // Hand-encode a row whose names are OUT of comparator order — the
+    // shape earlier releases produced (the writer then encoded caller
+    // column order; it normalizes today). The seek-to-row-end fast path
+    // would early-exit at "cz" and silently drop the in-range "ab"/"ba"
+    // behind it; without the v3 sorted-names guarantee the reader must
+    // take the per-name walk and return every in-range cell.
+    val p = tmpData("unsorted-names")
+    val out = new java.io.DataOutputStream(new java.io.FileOutputStream(p))
+    try DataFile.writeRow(out, SSTableRow("k".getBytes, Seq(
+      Column.Normal("aa".getBytes, "1".getBytes, 1L),
+      Column.Normal("cz".getBytes, "4".getBytes, 4L), // above the slice, early
+      Column.Normal("ab".getBytes, "2".getBytes, 2L), // in range, after it
+      Column.Normal("ba".getBytes, "3".getBytes, 3L))))
+    finally out.close()
+    def slice(sortedNames: Boolean): Seq[String] = {
+      val r = new DataReader(new FileSeekableInput(p), Long.MaxValue,
+        Some(("ab".getBytes, true)), Some(("bb".getBytes, true)), sortedNames)
+      val rows = r.toSeq
+      r.close()
+      rows.head.columns.map(c => new String(c.name))
+    }
+    assert(slice(sortedNames = false) == Seq("ab", "ba"),
+      "safe walk must surface in-range cells hiding behind an out-of-order name")
+    // and the reader's file-level entry point takes the safe path when no
+    // statistics sidecar vouches for sort order
+    val viaReader = new SSTableReader(p).rows(0L, Long.MaxValue,
+      Some(("ab".getBytes, true)), Some(("bb".getBytes, true)))
+    assert(viaReader.toSeq.head.columns.map(c => new String(c.name)) ==
+      Seq("ab", "ba"))
   }
 }

@@ -223,7 +223,7 @@ class GoldenFormatSpec extends AnyFunSuite {
       Files.readAllBytes(Paths.get(
         SSTableFiles.sibling(data, SSTableFiles.StatisticsSuffix)))))
     assert(in.readInt() == 0x47525354) // 'GRST'
-    assert(in.readInt() == 2) // version (v2: + cell statistics)
+    assert(in.readInt() == 3) // version (v2: + cell statistics; v3: + namesSorted)
     assert(in.readLong() == 1000L) // min shadowing timestamp
     assert(in.readLong() == 4000L) // max shadowing timestamp
     assert(in.readUnsignedShort() == 5)
@@ -237,6 +237,7 @@ class GoldenFormatSpec extends AnyFunSuite {
     assert(in.readLong() == 4L) // cells: 2 + 1 + 1
     assert(in.readLong() == 1000L) // min cell timestamp
     assert(in.readLong() == 4000L) // max cell timestamp
+    assert(in.readBoolean()) // namesSorted: the writer normalizes cell order
     assert(in.available() == 0)
   }
 
@@ -255,5 +256,24 @@ class GoldenFormatSpec extends AnyFunSuite {
       new java.io.ByteArrayInputStream(bos.toByteArray))).get
     assert(got.rowCount == 7L && got.tombstoneCount == 2L)
     assert(got.cellStats.isEmpty)
+    assert(!got.namesSorted)
+  }
+
+  test("a v2 Statistics.db still reads (namesSorted defaults false)") {
+    // v2 sidecars (round-6 releases) carry cell statistics but no
+    // sorted-names flag; sliced reads of those generations must take the
+    // order-independent walk
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(0x47525354); out.writeInt(2)
+    out.writeLong(10L); out.writeLong(20L)
+    out.writeShort(1); out.write("a".getBytes)
+    out.writeShort(1); out.write("z".getBytes)
+    out.writeLong(7L); out.writeLong(2L)
+    out.writeLong(9L); out.writeLong(10L); out.writeLong(20L)
+    val got = StatisticsFile.read(new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray))).get
+    assert(got.cellStats.contains(CellStatistics(9L, 10L, 20L)))
+    assert(!got.namesSorted)
   }
 }

@@ -676,6 +676,35 @@ class SSTableSourceSpec extends AnyFunSuite {
     assert(filtered.count() == 5)
   }
 
+  test("LIMIT file-prefix pruning declines on the cells view under TTL evaluation (ADVICE r6)") {
+    val dir = freshDir()
+    // first-listed generation: every cell EXPIRING and already expired at
+    // the probe time — its sidecar cellCount "guarantees" the limit, but
+    // the TTL filter drops every row it would produce
+    val w = new SSTableWriter(s"$dir/aaa-Data.db", compress = false)
+    (0 until 100).foreach { i =>
+      w.append(SSTableRow(f"exp$i%05d".getBytes,
+        Seq(Column.Expiring("c".getBytes, s"v$i".getBytes, 60L, 1000L, i.toLong))))
+    }
+    w.close()
+    writeGen(dir, "bbb", 0, 100) // live NORMAL cells
+    val df = spark.read.format("sstable").option("view", "cells")
+      .option("ttlasofms", "2000").load(dir).limit(5)
+    // a cellCount-based file prefix would plan only `aaa` and return 0
+    // rows; with TTL set the pruning must decline and plan everything
+    assert(collectBatchScans(df.queryExecution.executedPlan)
+      .head.inputRDD.getNumPartitions == 2,
+      "TTL-filtered cells view must not file-prune on sidecar cell counts")
+    assert(df.collect().length == 5,
+      "pushed LIMIT under TTL returned fewer rows than exist")
+    // without TTL evaluation the prefix prune stays on
+    val plain = spark.read.format("sstable").option("view", "cells")
+      .load(dir).limit(5)
+    assert(collectBatchScans(plain.queryExecution.executedPlan)
+      .head.inputRDD.getNumPartitions == 1)
+    assert(plain.collect().length == 5)
+  }
+
   test("pushed top-n on key: per-partition heads merge globally; desc declined") {
     val dir = freshDir()
     // interleaved generations: even keys in one, odd in the other — the
