@@ -189,7 +189,11 @@ object PerfProbe {
       time(f"signatures_${scale}%02dx")(DedupQueries.minhashSignatures(d))
       time(f"clusters_${scale}%02dx") {
         GraphOps.connectedComponents(
-          DedupQueries.minhashPairs(DedupQueries.minhashSignatures(d)), "a", "b")
+          DedupQueries.minhashPairs(DedupQueries.minhashSignatures(d)), "a", "b",
+          // pass-count pin (VERDICT r6 #6): wall time alone hid the
+          // pass-9 jump activation that regressed q_dedup_clusters
+          onConverged = (passes, jumpPasses) => println(
+            f"  clusters_${scale}%02dx passes=$passes jumpPasses=$jumpPasses"))
       }
       val e = emb(2000L * scale).persist()
       e.count()
