@@ -25,8 +25,12 @@ import graft.sources.sstable.{LocalStorage, SSTableFiles, Storage}
   *    generation (the Cassandra flush model — no read-modify-write of
   *    the store, ever);
   *  - the store self-maintains with the normal machinery:
-  *    [[SSTableOps.compactInPlace]] folds generations between runs to
-  *    keep the per-probe generation count flat.
+  *    [[SSTableOps.compactInPlace]] folds generations at epoch
+  *    boundaries whenever the count crosses `maintainAboveGenerations`
+  *    (the stream is quiesced inside `foreachBatch`, so the epoch is
+  *    the single maintainer), keeping per-probe cost flat without any
+  *    out-of-band maintenance job; [[compactStore]] remains for manual
+  *    folds between runs.
   *
   * Per micro-batch (`foreachBatch`, so the probe join and the store
   * append are batch-plan steps):
@@ -44,19 +48,28 @@ import graft.sources.sstable.{LocalStorage, SSTableFiles, Storage}
 object StreamingIncrementalDedup {
 
   def start(docs: DataFrame, storeDir: String, checkpointDir: String,
-            emit: (DataFrame, Long) => Unit): StreamingQuery =
+            emit: (DataFrame, Long) => Unit,
+            maintainAboveGenerations: Int = DefaultMaintainAbove): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        processBatch(batch, storeDir, epochId, emit)
+        processBatch(batch, storeDir, epochId, emit,
+          maintainAboveGenerations = maintainAboveGenerations)
       }
       .start()
+
+  /** Epoch-boundary self-maintenance threshold (VERDICT r6 #4): when an
+    * epoch's append leaves the store with more generations than this,
+    * the epoch folds them before returning. 0 disables (manual
+    * [[compactStore]] only). */
+  val DefaultMaintainAbove = 8
 
   /** One epoch of the pipeline — public so tests (and backfills) can
     * drive it with batch DataFrames directly. */
   def processBatch(batch: DataFrame, storeDir: String, epochId: Long,
                    emit: (DataFrame, Long) => Unit,
-                   storage: Storage = LocalStorage): Unit = {
+                   storage: Storage = LocalStorage,
+                   maintainAboveGenerations: Int = DefaultMaintainAbove): Unit = {
     val spark = batch.sparkSession
     val jobTag = f"sigs$epochId%09d"
 
@@ -92,6 +105,16 @@ object StreamingIncrementalDedup {
         .option(graft.sources.sstable.spark.SSTableSource.JobTagOption, jobTag)
         .mode("append").save(storeDir)
     } finally novel.unpersist()
+
+    // epoch-boundary self-maintenance: the stream is quiesced inside
+    // foreachBatch, so this epoch IS the directory's single maintainer —
+    // exactly the compactInPlace contract. Folding preserves the store's
+    // signature SET (LWW merge of immutable fingerprints), so novelty
+    // decisions — including a replay of a LATER epoch that now probes
+    // the folded store — are unchanged; only probe cost is.
+    if (maintainAboveGenerations > 0 &&
+        storage.listDataFiles(storeDir).length > maintainAboveGenerations)
+      compactStore(spark, storeDir)
   }
 
   /** Store maintenance between runs: fold the signature generations so
