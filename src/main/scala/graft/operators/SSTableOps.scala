@@ -647,10 +647,12 @@ object SSTableOps {
     (stale, live)
   }
 
-  /** Snapshot subdirectory prefix. Distinct from `_staging-` so
-    * [[vacuumStaging]] never touches snapshots, and invisible to live
+  /** Snapshot subdirectory prefix (the layout contract shared with the
+    * read side's `option("snapshot", tag)`). Distinct from `_staging-`
+    * so [[vacuumStaging]] never touches snapshots, and invisible to live
     * readers (fileset discovery lists files, not subdirectories). */
-  val SnapshotPrefix = "_snapshot-"
+  val SnapshotPrefix: String =
+    graft.sources.sstable.spark.SSTableSource.SnapshotDirPrefix
 
   def snapshotPath(dir: String, tag: String): String = s"$dir/$SnapshotPrefix$tag"
 

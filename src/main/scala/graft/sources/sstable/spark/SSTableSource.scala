@@ -102,6 +102,19 @@ object SSTableSource {
     * as an array) or "cells" ([[SSTableSchema.cellsSchema]] — one row per
     * column cell, flattened; the source-side explode). Batch read only. */
   val ViewOption = "view"
+  /** Read a NAMED SNAPSHOT of the directory: `option("snapshot", tag)`
+    * resolves the load path to the `_snapshot-<tag>/` hardlink pin that
+    * [[graft.operators.SSTableOps.snapshot]] created, without callers
+    * knowing the layout. Every pruning/pushdown surface (key ranges,
+    * limit/top-n, asofmicros, stats aggregates, views) operates on the
+    * pinned fileset unchanged — it's the same directory shape. Batch
+    * read only (a snapshot is an immutable point-in-time view; tailing
+    * it for new generations is meaningless) and rejected on writes. An
+    * unknown tag fails loudly at planning, never an empty result. */
+  val SnapshotOption = "snapshot"
+  /** Snapshot directory naming — the layout contract with
+    * [[graft.operators.SSTableOps]] (which owns creation/deletion). */
+  private[graft] val SnapshotDirPrefix = "_snapshot-"
   /** Streaming backpressure: cap each micro-batch at this many new
     * generations / this many uncompressed Data.db bytes (the same names
     * and semantics as Spark's file stream source). Unset = drain all. */
@@ -145,8 +158,18 @@ object SSTableSource {
 
 final class SSTableTable(properties: Map[String, String])
     extends Table with SupportsRead with SupportsWrite {
-  private def path: String = properties.getOrElse(SSTableSource.PathOption,
+  private def basePath: String = properties.getOrElse(SSTableSource.PathOption,
     throw new IllegalArgumentException("sstable source requires a path"))
+  private def snapshotTag: Option[String] =
+    properties.get(SSTableSource.SnapshotOption)
+  /** Effective directory: the snapshot pin when one is named. */
+  private def path: String = snapshotTag match {
+    case Some(tag) =>
+      require(tag.nonEmpty && !tag.contains('/') && !tag.contains('\\'),
+        s"bad snapshot tag: '$tag'")
+      s"$basePath/${SSTableSource.SnapshotDirPrefix}$tag"
+    case None => basePath
+  }
   private def cellsView: Boolean =
     SSTableSource.isCellsView(properties.get(SSTableSource.ViewOption))
   private def buckets: Option[Int] =
@@ -160,12 +183,22 @@ final class SSTableTable(properties: Map[String, String])
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    if (snapshotTag.isDefined) {
+      // loud unknown-tag failure beats an empty scan of a missing dir
+      val storage = Storage.forPath(path,
+        org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+      require(storage.exists(path),
+        s"snapshot '${snapshotTag.get}' does not exist under $basePath")
+    }
     new SSTableScanBuilder(path, options)
+  }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(!cellsView, "the cells view is read-only: write the default view")
     require(buckets.isEmpty,
       "bucketed layouts are written by SSTableOps.writeBucketed, not the generic sink")
+    require(snapshotTag.isEmpty,
+      "snapshots are immutable point-in-time views: write the live directory")
     new SSTableWriteBuilder(path, info, properties)
   }
 }
@@ -393,6 +426,7 @@ final class SSTableScanBuilder(path: String, options: CaseInsensitiveStringMap)
       limit = limit, topN = topN,
       asOfMicros = longOption(SSTableSource.AsOfMicrosOption),
       nameLo = nameBounds.lo, nameHi = nameBounds.hi,
+      snapshotRead = options.containsKey(SSTableSource.SnapshotOption),
       maxFilesPerTrigger =
         longOption(SSTableSource.MaxFilesPerTriggerOption).map { v =>
           require(v > 0 && v <= Int.MaxValue,
@@ -554,7 +588,8 @@ final class SSTableScan(path: String, requiredSchema: StructType,
                         nameLo: Option[(Array[Byte], Boolean)] = None,
                         nameHi: Option[(Array[Byte], Boolean)] = None,
                         maxFilesPerTrigger: Option[Int] = None,
-                        maxBytesPerTrigger: Option[Long] = None)
+                        maxBytesPerTrigger: Option[Long] = None,
+                        snapshotRead: Boolean = false)
     extends Scan with Batch with SupportsRuntimeFiltering
     with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -651,6 +686,8 @@ final class SSTableScan(path: String, requiredSchema: StructType,
     require(buckets.isEmpty, "bucketed reads are batch-only")
     require(asOfMicros.isEmpty,
       "asofmicros is batch-only: a stream tails NEW generations, which an as-of cut excludes by definition")
+    require(!snapshotRead,
+      "snapshot reads are batch-only: a snapshot is immutable, nothing ever arrives to stream")
     new SSTableMicroBatchStream(path, requiredSchema, targetSplitBytes,
       ttlAsOfMs, serConf, maxFilesPerTrigger, maxBytesPerTrigger)
   }

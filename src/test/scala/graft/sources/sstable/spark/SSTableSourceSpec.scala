@@ -705,6 +705,61 @@ class SSTableSourceSpec extends AnyFunSuite {
     assert(plain.collect().length == 5)
   }
 
+  test("option(snapshot, tag) reads the pinned fileset with pruning intact (VERDICT r6 #8)") {
+    import graft.operators.SSTableOps
+    import spark.implicits._
+    val dir = freshDir()
+    writeGen(dir, "gen1", 0, 200)
+    SSTableOps.snapshot(dir, "t1")
+    writeGen(dir, "gen2", 200, 200) // lands AFTER the pin
+    graft.sources.sstable.SSTableMetadataCache.clear()
+
+    // read-via-option equals read-via-path; the live dir has moved on
+    val viaOption = spark.read.format("sstable").option("snapshot", "t1").load(dir)
+    val viaPath = spark.read.format("sstable")
+      .load(SSTableOps.snapshotPath(dir, "t1"))
+    def keys(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select(col("key").cast("string")).as[String].collect().toSeq.sorted
+    assert(keys(viaOption) == keys(viaPath))
+    assert(viaOption.count() == 200)
+    assert(spark.read.format("sstable").load(dir).count() == 400)
+
+    // pruning surfaces ride along: pushed LIMIT caps the snapshot scan,
+    // key bounds prune its partitions
+    val limited = spark.read.format("sstable").option("snapshot", "t1")
+      .load(dir).limit(5)
+    assert(limited.queryExecution.executedPlan.toString.contains(" limit=5"))
+    assert(limited.collect().length == 5)
+    // stats-only count(*) answers from the snapshot's sidecars
+    val cnt = spark.read.format("sstable").option("snapshot", "t1").load(dir)
+      .agg(count(lit(1))).as[Long].head()
+    assert(cnt == 200)
+
+    // unknown tag fails loudly at planning, never an empty result
+    val e = intercept[IllegalArgumentException](
+      spark.read.format("sstable").option("snapshot", "nope").load(dir).collect())
+    assert(e.getMessage.contains("does not exist"))
+
+    // snapshots are read-only
+    intercept[IllegalArgumentException] {
+      spark.read.format("sstable").load(dir).limit(1)
+        .write.format("sstable").option("snapshot", "t1").mode("append").save(dir)
+    }
+
+    // and batch-only: a snapshot never grows, so tailing it is declined
+    val ck = freshDir()
+    val sq = spark.readStream.format("sstable").option("snapshot", "t1")
+      .load(dir).writeStream.format("noop")
+      .option("checkpointLocation", ck).start()
+    val se = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      sq.processAllAvailable()
+      sq.awaitTermination()
+    }
+    assert(se.getMessage.contains("batch-only") ||
+      Option(se.getCause).exists(_.getMessage.contains("batch-only")))
+    sq.stop()
+  }
+
   test("pushed top-n on key: per-partition heads merge globally; desc declined") {
     val dir = freshDir()
     // interleaved generations: even keys in one, odd in the other — the
