@@ -30,6 +30,7 @@ object PerfProbe {
     if (args.headOption.contains("scale")) { scaleProbe(spark, time); spark.stop(); return }
     if (args.headOption.contains("topn")) { topnProbe(spark, time); spark.stop(); return }
     if (args.headOption.contains("slice")) { sliceProbe(spark, time); spark.stop(); return }
+    if (args.headOption.contains("columnar")) { columnarProbe(); spark.stop(); return }
 
     val docs = Tables.documents(spark, sfDir)
 
@@ -59,6 +60,102 @@ object PerfProbe {
         .groupBy("doc_id").agg(min(md5(col("sh"))).as("fp"))
     }
     spark.stop()
+  }
+
+  /** Columnar-vs-row boundary probe for the cells view (VERDICT r6
+    * Missing #3 — the bench gate for `SupportsColumnarReads`, same
+    * contract as the declined A2 Aggregator): one compressed generation
+    * of 400k rows × 2 cells (800k cells), decoded driver-side with no
+    * Spark job so ONLY the decode + materialization boundary is timed.
+    *  - `row path`: the shipping [[SSTableCellReader]] — one
+    *    GenericInternalRow per cell — consumed field-by-field;
+    *  - `columnar path`: the same decoded cells filled into
+    *    `OnHeapColumnVector`s (4096-row `ColumnarBatch`es) and consumed
+    *    through `batch.rowIterator` — what a `SupportsColumnarReads`
+    *    partition reader would hand Spark, including the
+    *    ColumnarToRow-style row view on top.
+    * Implement the columnar reader ONLY if this shows ≥1.5×: the decode
+    * (varint/length parsing + Snappy) is shared by both paths, so the
+    * delta is pure materialization. */
+  private def columnarProbe(): Unit = {
+    import graft.sources.sstable.{Column, SSTableReader, SSTableRow, SSTableWriter}
+    import graft.sources.sstable.spark.{SSTableCellReader, SSTablePartition}
+    import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+    val dir = java.nio.file.Files.createTempDirectory("columnar-probe").toString
+    val path = s"$dir/gen-Data.db"
+    val w = new SSTableWriter(path) // compressed: the production path
+    val v = Array.fill[Byte](32)(5)
+    (0 until 400000).foreach { r =>
+      w.append(SSTableRow(f"key$r%07d".getBytes,
+        (0 until 2).map(i => Column.Normal(f"c$i%02d".getBytes, v, i.toLong))))
+    }
+    w.close()
+    val schema = StructType(Seq(StructField("key", BinaryType),
+      StructField("name", BinaryType), StructField("value", BinaryType),
+      StructField("timestamp", LongType)))
+    val end = new SSTableReader(path).dataLength
+    val part = SSTablePartition(path, 0L, end, 0L, 0L)
+
+    def rowPath(): (Long, Long) = {
+      val r = new SSTableCellReader(part, schema)
+      var n = 0L; var sum = 0L
+      try while (r.next()) {
+        val row = r.get()
+        sum += row.getLong(3) + row.getBinary(0).length +
+          row.getBinary(1).length + row.getBinary(2).length
+        n += 1
+      } finally r.close()
+      (n, sum)
+    }
+
+    def columnarPath(): (Long, Long) = {
+      import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+      import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+      val capacity = 4096
+      val vecs = OnHeapColumnVector.allocateColumns(capacity, schema)
+      val batch = new ColumnarBatch(vecs.asInstanceOf[Array[ColumnVector]])
+      val it = new SSTableReader(path).rows(0L, end)
+      var n = 0L; var sum = 0L; var rowIdx = 0
+      def flush(): Unit = {
+        batch.setNumRows(rowIdx)
+        val rit = batch.rowIterator()
+        while (rit.hasNext) {
+          val row = rit.next()
+          sum += row.getLong(3) + row.getBinary(0).length +
+            row.getBinary(1).length + row.getBinary(2).length
+          n += 1
+        }
+        vecs.foreach(_.reset())
+        rowIdx = 0
+      }
+      try while (it.hasNext) {
+        val srow = it.next()
+        srow.columns.foreach {
+          case Column.Normal(name, value, ts) =>
+            if (rowIdx == capacity) flush()
+            vecs(0).putByteArray(rowIdx, srow.key)
+            vecs(1).putByteArray(rowIdx, name)
+            vecs(2).putByteArray(rowIdx, value)
+            vecs(3).putLong(rowIdx, ts)
+            rowIdx += 1
+          case _ =>
+        }
+      } finally { flush(); it.close() }
+      (n, sum)
+    }
+
+    // warm-up (JIT + page cache), then min of 3 timed runs each
+    rowPath(); columnarPath()
+    def best(f: () => (Long, Long)): Double = (0 until 3).map { _ =>
+      val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
+    }.min
+    val rowS = best(rowPath _)
+    val colS = best(columnarPath _)
+    val (nr, sr) = rowPath(); val (nc, sc) = columnarPath()
+    require(nr == nc && sr == sc, s"paths disagree: ($nr,$sr) vs ($nc,$sc)")
+    println(f"row_cells_scan     ${rowS}%8.3fs  ($nr cells)")
+    println(f"columnar_cells_scan${colS}%8.3fs  ($nc cells)")
+    println(f"row/columnar ratio ${rowS / colS}%8.2f  (gate: implement only if >= 1.5)")
   }
 
   /** Pushed limit / top-n vs full scans: 8 generations × 100k rows with
