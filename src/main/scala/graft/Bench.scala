@@ -44,44 +44,48 @@ object Bench {
     String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
 
   /** Frozen per-query steady-state seconds at sf0.1, local[32], quiet
-    * host (re-frozen round 5 after VERDICT r4 items 1-5 landed: min of
-    * two full sweeps, cross-run spread <=1.3 on every query, old-map
-    * total_ratio 1.03/1.05 — the r4 map's ~1.17x ambient haze is gone).
+    * host (re-frozen round 7, closing VERDICT r6 #2: per-query min of
+    * THREE full sweeps — totals 38.2/35.5/37.5 s, total_ratio vs the r5
+    * map 1.107/1.029/1.087 — with the freeze rule that every entry must
+    * have a second run within 1.3x of it; for the two queries whose min
+    * lacked that corroboration (q_agg_summary, q_simhash_pairs) the
+    * second-smallest — corroborated — value is frozen instead of the
+    * lucky outlier. Covers all 60 queries incl. the three the r6 map
+    * lacked: q_sstable_asof, q_para_dedup, q_mix_sample.)
     * Emitted as per-query `ratio` = measured/baseline so regressions —
     * and host-contention noise (see the r3 lww false alarm) — are
     * self-diagnosing in the BENCH artifact. Queries added later simply
     * have no ratio until this map is re-frozen. */
   val BaselineSf01: Map[String, Double] = Map(
-    "q_agg_summary" -> 0.471, "q_ann_ivf" -> 0.521,
-    "q_ann_ivfpq" -> 0.979, "q_ann_pq" -> 2.307,
-    "q_pii_redact" -> 0.623, "q_sstable_cells" -> 0.234,
-    "q_sstable_compact" -> 0.350, "q_sstable_topk" -> 0.038,
-    "q_tfidf_topk" -> 0.823,
-    "q_ann_kmeans" -> 3.092, "q_ann_recall" -> 0.834,
-    "q_asof_forward" -> 0.462, "q_asof_join" -> 0.415,
-    "q_cast_utf8" -> 0.159, "q_compact_rows" -> 0.624,
-    "q_compact_salted" -> 0.723, "q_curation_filter" -> 0.415,
-    "q_decontaminate" -> 0.518, "q_dedup_apply" -> 3.058,
-    "q_dedup_clusters" -> 2.720,
-    "q_dedup_docs" -> 0.187,
-    "q_dedup_embedding" -> 0.257, "q_dedup_minhash" -> 0.189,
-    "q_dedup_ngram" -> 0.627, "q_dedup_simhash" -> 0.437,
-    "q_explode" -> 0.228, "q_export_b64" -> 0.320,
-    "q_fingerprint" -> 0.458, "q_group_minmax_sort" -> 0.819,
-    "q_index_keys" -> 0.187, "q_interval_join" -> 0.605,
-    "q_join_pricing" -> 0.408, "q_json_extract" -> 0.348,
-    "q_knn_cosine" -> 0.276, "q_lang_id" -> 0.350,
-    "q_lww_latest_per_key" -> 0.245, "q_lww_merge_columns" -> 0.305,
-    "q_minhash_signatures" -> 1.138, "q_multimodal_frames" -> 0.152,
-    "q_multimodal_meta" -> 0.139, "q_quality_score" -> 0.485,
-    "q_quantiles" -> 0.278, "q_range_splits" -> 0.406,
-    "q_repetition" -> 0.540, "q_rollup_pricing" -> 0.339,
-    "q_sample_split" -> 0.230, "q_scan_project" -> 0.296,
-    "q_session_windows" -> 0.548, "q_setops" -> 0.361,
-    "q_shard_pack" -> 0.259, "q_simhash_pairs" -> 0.249,
-    "q_stratified" -> 0.162, "q_text_stats" -> 0.231,
-    "q_token_count" -> 0.375, "q_tombstone_filter" -> 0.264,
-    "q_ttl_expiry" -> 0.205, "q_window_topk" -> 0.356)
+    "q_agg_summary" -> 0.541, "q_ann_ivf" -> 0.423, "q_ann_ivfpq" -> 1.083,
+    "q_ann_kmeans" -> 3.155, "q_ann_pq" -> 2.607, "q_ann_recall" -> 0.846,
+    "q_asof_forward" -> 0.491, "q_asof_join" -> 0.442,
+    "q_cast_utf8" -> 0.180, "q_compact_rows" -> 0.728,
+    "q_compact_salted" -> 0.720, "q_curation_filter" -> 0.413,
+    "q_decontaminate" -> 0.573, "q_dedup_apply" -> 0.189,
+    "q_dedup_clusters" -> 1.992, "q_dedup_docs" -> 0.203,
+    "q_dedup_embedding" -> 0.254, "q_dedup_minhash" -> 0.180,
+    "q_dedup_ngram" -> 0.858, "q_dedup_simhash" -> 0.470,
+    "q_explode" -> 0.257, "q_export_b64" -> 0.351,
+    "q_fingerprint" -> 0.533, "q_group_minmax_sort" -> 1.061,
+    "q_index_keys" -> 0.226, "q_interval_join" -> 0.641,
+    "q_join_pricing" -> 0.511, "q_json_extract" -> 0.370,
+    "q_knn_cosine" -> 0.280, "q_lang_id" -> 0.378,
+    "q_lww_latest_per_key" -> 0.303, "q_lww_merge_columns" -> 0.330,
+    "q_minhash_signatures" -> 1.236, "q_mix_sample" -> 0.249,
+    "q_multimodal_frames" -> 0.175, "q_multimodal_meta" -> 0.162,
+    "q_para_dedup" -> 1.234, "q_pii_redact" -> 0.825,
+    "q_quality_score" -> 0.542, "q_quantiles" -> 0.332,
+    "q_range_splits" -> 0.477, "q_repetition" -> 0.656,
+    "q_rollup_pricing" -> 0.379, "q_sample_split" -> 0.271,
+    "q_scan_project" -> 0.336, "q_session_windows" -> 0.562,
+    "q_setops" -> 0.430, "q_shard_pack" -> 0.308,
+    "q_simhash_pairs" -> 0.347, "q_sstable_asof" -> 0.415,
+    "q_sstable_cells" -> 0.287, "q_sstable_compact" -> 0.427,
+    "q_sstable_topk" -> 0.046, "q_stratified" -> 0.173,
+    "q_text_stats" -> 0.249, "q_tfidf_topk" -> 0.990,
+    "q_token_count" -> 0.425, "q_tombstone_filter" -> 0.312,
+    "q_ttl_expiry" -> 0.233, "q_window_topk" -> 0.422)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
