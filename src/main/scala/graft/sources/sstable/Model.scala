@@ -101,6 +101,15 @@ object SSTableFiles {
     dataPath.dropRight(DataSuffix.length) + suffix
   }
 
+  /** Fileset stem of a Data.db path — the generation's identity (file
+    * name minus directory and `-Data.db`): what the `_generation`
+    * metadata column surfaces and what snapshot-diff reads compare. */
+  def generationStem(dataPath: String): String = {
+    require(dataPath.endsWith(DataSuffix), s"not a Data.db path: $dataPath")
+    val name = dataPath.substring(dataPath.lastIndexOf('/') + 1)
+    name.dropRight(DataSuffix.length)
+  }
+
   /** Remove a fileset from `storage` honoring the unpublish ordering
     * contract (Data.db FIRST — AllSuffixes leads with it): the set
     * leaves reader listings before any sibling goes missing. The single

@@ -112,6 +112,25 @@ object SSTableSource {
     * it for new generations is meaningless) and rejected on writes. An
     * unknown tag fails loudly at planning, never an empty result. */
   val SnapshotOption = "snapshot"
+  /** Incremental (CDC-style) batch reads: `option("sincesnapshot", tag)`
+    * plans ONLY the generations NOT present in the `_snapshot-<tag>/`
+    * pin — the batch-epoch twin of the streaming source's tailing. The
+    * intended loop: each pipeline run reads `sincesnapshot = <previous
+    * epoch's tag>`, processes just the new data, then takes its own
+    * snapshot as the next epoch's floor — a 100 TB directory re-processes
+    * only its delta. Composes with `snapshot` (read pin B minus pin A =
+    * a reproducible epoch diff) and with every pruning surface (the
+    * exclusion happens at file listing, before key-range/limit/stats
+    * planning). File-level contract: compaction REWRITES old rows into
+    * new filesets, which a since-read would count as new — run
+    * compaction/maintenance outside the snapshot→diff window (the same
+    * single-maintainer contract as the rest of the maintenance family).
+    * Batch read only; rejected on writes and streaming. */
+  val SinceSnapshotOption = "sincesnapshot"
+  /** Per-row provenance metadata column (`SupportsMetadataColumns`):
+    * `SELECT *, _generation` surfaces the publishing fileset's stem.
+    * Hidden from `SELECT *`; joins the scan only when asked for. */
+  val GenerationColumn = "_generation"
   /** Snapshot directory naming — the layout contract with
     * [[graft.operators.SSTableOps]] (which owns creation/deletion). */
   private[graft] val SnapshotDirPrefix = "_snapshot-"
@@ -157,17 +176,23 @@ object SSTableSource {
 }
 
 final class SSTableTable(properties: Map[String, String])
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   private def basePath: String = properties.getOrElse(SSTableSource.PathOption,
     throw new IllegalArgumentException("sstable source requires a path"))
   private def snapshotTag: Option[String] =
     properties.get(SSTableSource.SnapshotOption)
+  private def sinceSnapshotTag: Option[String] =
+    properties.get(SSTableSource.SinceSnapshotOption)
+  private def validTag(tag: String): String = {
+    require(tag.nonEmpty && !tag.contains('/') && !tag.contains('\\'),
+      s"bad snapshot tag: '$tag'")
+    tag
+  }
   /** Effective directory: the snapshot pin when one is named. */
   private def path: String = snapshotTag match {
     case Some(tag) =>
-      require(tag.nonEmpty && !tag.contains('/') && !tag.contains('\\'),
-        s"bad snapshot tag: '$tag'")
-      s"$basePath/${SSTableSource.SnapshotDirPrefix}$tag"
+      s"$basePath/${SSTableSource.SnapshotDirPrefix}${validTag(tag)}"
     case None => basePath
   }
   private def cellsView: Boolean =
@@ -183,13 +208,29 @@ final class SSTableTable(properties: Map[String, String])
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE)
+  /** `_generation` — per-row fileset provenance, available on every batch
+    * view (rows, cells, bucketed) and hidden from `SELECT *`. */
+  override def metadataColumns():
+      Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = SSTableSource.GenerationColumn
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "publishing fileset stem (file name minus -Data.db)"
+    })
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    if (snapshotTag.isDefined) {
-      // loud unknown-tag failure beats an empty scan of a missing dir
-      val storage = Storage.forPath(path,
-        org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+    // loud unknown-tag failure beats an empty scan of a missing dir
+    lazy val storage = Storage.forPath(basePath,
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+    if (snapshotTag.isDefined)
       require(storage.exists(path),
         s"snapshot '${snapshotTag.get}' does not exist under $basePath")
+    sinceSnapshotTag.foreach { tag =>
+      val d = s"$basePath/${SSTableSource.SnapshotDirPrefix}${validTag(tag)}"
+      require(storage.exists(d),
+        s"sincesnapshot '$tag' does not exist under $basePath")
     }
     new SSTableScanBuilder(path, options)
   }
@@ -199,6 +240,8 @@ final class SSTableTable(properties: Map[String, String])
       "bucketed layouts are written by SSTableOps.writeBucketed, not the generic sink")
     require(snapshotTag.isEmpty,
       "snapshots are immutable point-in-time views: write the live directory")
+    require(sinceSnapshotTag.isEmpty,
+      "sincesnapshot is a read-side diff: write the live directory")
     new SSTableWriteBuilder(path, info, properties)
   }
 }
@@ -311,9 +354,18 @@ final class SSTableScanBuilder(path: String, options: CaseInsensitiveStringMap)
   override def pushedFilters(): Array[Filter] = pushed
 
   override def pruneColumns(required: StructType): Unit = {
-    // keep only our top-level fields, in our canonical order
+    // keep only our top-level fields, in our canonical order; the
+    // `_generation` metadata column (SupportsMetadataColumns) rides LAST
+    // when the query asked for it — readers append it after data fields
     val names = required.fields.map(_.name).toSet
-    requiredSchema = StructType(baseSchema.fields.filter(f => names.contains(f.name)))
+    val data = baseSchema.fields.filter(f => names.contains(f.name))
+    val meta =
+      if (names.contains(SSTableSource.GenerationColumn))
+        Array(org.apache.spark.sql.types.StructField(
+          SSTableSource.GenerationColumn,
+          org.apache.spark.sql.types.StringType, nullable = false))
+      else Array.empty[org.apache.spark.sql.types.StructField]
+    requiredSchema = StructType(data ++ meta)
   }
 
   private def longOption(name: String): Option[Long] =
@@ -412,9 +464,22 @@ final class SSTableScanBuilder(path: String, options: CaseInsensitiveStringMap)
     true
   }
 
+  /** Snapshot-diff floor (`sincesnapshot`): the pin whose generations are
+    * EXCLUDED from this scan. Resolved against the BASE path — when
+    * `snapshot` is also set, `path` is already pin B and this is pin A:
+    * the read is the B−A epoch diff. */
+  private def sinceDir: Option[String] =
+    Option(options.get(SSTableSource.SinceSnapshotOption)).map { tag =>
+      require(tag.nonEmpty && !tag.contains('/') && !tag.contains('\\'),
+        s"bad snapshot tag: '$tag'")
+      val base = Option(options.get(SSTableSource.PathOption)).getOrElse(
+        throw new IllegalArgumentException("sstable source requires a path"))
+      s"$base/${SSTableSource.SnapshotDirPrefix}$tag"
+    }
+
   override def build(): Scan = {
     aggResult.foreach { case (schema, kinds) =>
-      return new SSTableAggScan(path, schema, kinds)
+      return new SSTableAggScan(path, schema, kinds, sinceDir)
     }
     val target = longOption(SSTableSource.TargetSplitBytesOption)
       .getOrElse(SSTableSource.DefaultTargetSplitBytes)
@@ -437,7 +502,8 @@ final class SSTableScanBuilder(path: String, options: CaseInsensitiveStringMap)
         longOption(SSTableSource.MaxBytesPerTriggerOption).map { v =>
           require(v > 0, s"maxBytesPerTrigger must be positive: $v")
           v
-        })
+        },
+      sinceDir = sinceDir)
   }
 }
 
