@@ -16,10 +16,15 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.parquet` carries TIMESTAMP(NANOS), rejected by Spark's parquet
-    * reader (PARQUET_TYPE_ILLEGAL). We read nanos as raw longs and derive:
+  /** `events.parquet` has shipped with two physical `ts` layouts across
+    * harness revisions — TIMESTAMP(NANOS) (which Spark only reads as a
+    * raw nano BIGINT via `nanosAsLong`) and plain TIMESTAMP(MICROS)
+    * (read natively, as NTZ under parquet timestamp inference). The
+    * loader accepts both and derives the same canonical columns:
     *  - `ts_ms`: epoch millis (BIGINT) — the canonical column every query
-    *    uses; identical to DuckDB's `epoch_ms(ts)` (floor division).
+    *    uses; identical to DuckDB's `epoch_ms(ts)` (floor division; the
+    *    session timezone is UTC everywhere, so NTZ == instant).
+    *  - `ts_ns`: epoch nanos (BIGINT) — micro files carry 000 tails.
     *  - `ts`: µs-precision TIMESTAMP for Spark-internal windowing only
     *    (never emitted in query output).
     */
@@ -29,10 +34,17 @@ object Tables {
     // idempotent (a caller-set false would only make this loader throw
     // PARQUET_TYPE_ILLEGAL anyway)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, sfDir, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts_ms", expr("ts_ns div 1000000"))
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    val raw = load(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS) as raw longs
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts_ms", expr("ts_ns div 1000000"))
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case _ => // TIMESTAMP/TIMESTAMP_NTZ (micros)
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+          .withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+          .withColumn("ts_ms", expr("ts_ns div 1000000"))
+    }
   }
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")

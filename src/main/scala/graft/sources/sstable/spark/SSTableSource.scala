@@ -518,13 +518,17 @@ final class SSTableScanBuilder(path: String, options: CaseInsensitiveStringMap)
   * drift) falls back to a key-only Index.db walk for that generation —
   * still zero Data.db IO, never a wrong answer. */
 final class SSTableAggScan(path: String, schema: StructType,
-                           aggKinds: Seq[SSTableAggScan.AggKind])
+                           aggKinds: Seq[SSTableAggScan.AggKind],
+                           sinceDir: Option[String] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
-  override def description(): String = s"sstable $path statsOnlyAggregate"
+  override def description(): String =
+    s"sstable $path statsOnlyAggregate" +
+      (if (sinceDir.isDefined) " sinceSnapshot" else "")
   override def planInputPartitions(): Array[InputPartition] =
-    Array(SSTableAggScan.AggPartition(SSTableAggScan.compute(path, aggKinds)))
+    Array(SSTableAggScan.AggPartition(
+      SSTableAggScan.compute(path, aggKinds, sinceDir)))
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] =
@@ -600,10 +604,12 @@ object SSTableAggScan {
     }
   }
 
-  private[spark] def compute(path: String, aggKinds: Seq[AggKind]): Array[Any] = {
+  private[spark] def compute(path: String, aggKinds: Seq[AggKind],
+                             sinceDir: Option[String] = None): Array[Any] = {
     val storage = Storage.forPath(path,
       org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
-    val files = storage.listDataFiles(path)
+    val files = SSTableScan.sinceFilePrune(
+      storage.listDataFiles(path), sinceDir, storage)
     lazy val per = files.map(generationBounds(_, storage))
     lazy val nonEmpty = per.filter(_._1 > 0)
     lazy val minKey = if (nonEmpty.isEmpty) null
@@ -655,7 +661,8 @@ final class SSTableScan(path: String, requiredSchema: StructType,
                         nameHi: Option[(Array[Byte], Boolean)] = None,
                         maxFilesPerTrigger: Option[Int] = None,
                         maxBytesPerTrigger: Option[Long] = None,
-                        snapshotRead: Boolean = false)
+                        snapshotRead: Boolean = false,
+                        sinceDir: Option[String] = None)
     extends Scan with Batch with SupportsRuntimeFiltering
     with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -722,7 +729,7 @@ final class SSTableScan(path: String, requiredSchema: StructType,
     var bytes = 0L
     var rows = 0L
     var allRowsKnown = true
-    st.listDataFiles(path).foreach { f =>
+    SSTableScan.sinceFilePrune(st.listDataFiles(path), sinceDir, st).foreach { f =>
       val r = new SSTableReader(f, st)
       bytes += r.dataLength
       // cells view: logical rows are cells (v2 stats), not SSTable rows
@@ -754,6 +761,8 @@ final class SSTableScan(path: String, requiredSchema: StructType,
       "asofmicros is batch-only: a stream tails NEW generations, which an as-of cut excludes by definition")
     require(!snapshotRead,
       "snapshot reads are batch-only: a snapshot is immutable, nothing ever arrives to stream")
+    require(sinceDir.isEmpty,
+      "sincesnapshot is batch-only: the streaming source already tails new generations")
     new SSTableMicroBatchStream(path, requiredSchema, targetSplitBytes,
       ttlAsOfMs, serConf, maxFilesPerTrigger, maxBytesPerTrigger)
   }
@@ -770,7 +779,8 @@ final class SSTableScan(path: String, requiredSchema: StructType,
     val slice = if (nameLo.isDefined || nameHi.isDefined) " nameSliced" else ""
     val lim = limit.map(n => if (topN) s" topN=$n(key asc)" else s" limit=$n")
       .getOrElse("")
-    s"sstable $path$prune$keyOnly$view$bkt$ttl$asOf$slice$lim"
+    val since = if (sinceDir.isDefined) " sinceSnapshot" else ""
+    s"sstable $path$prune$keyOnly$view$bkt$ttl$asOf$slice$lim$since"
   }
 
   /** Per-file planning is independent metadata work (Summary walk +
@@ -784,12 +794,19 @@ final class SSTableScan(path: String, requiredSchema: StructType,
   override def planInputPartitions(): Array[InputPartition] = buckets match {
     case None =>
       SSTableScan.planPartitions(
-        limitFilePrefix(asOfFilePrune(storage.listDataFiles(path))),
+        limitFilePrefix(asOfFilePrune(listedFiles)),
         serConf, distributedPlanningThreshold, targetSplitBytes,
         keyLo.map(_._1), keyHi.map(_._1), eqKey, runtimeKeys,
         hostsFromIndex = false)
     case Some(_) => bucketPartitions.toArray
   }
+
+  /** The scan's file listing with the `sincesnapshot` floor applied —
+    * the exclusion happens HERE, before every other pruning surface
+    * (as-of, limit prefix, key bounds, stats), so the whole planning
+    * pipeline sees only the epoch's new generations. */
+  private def listedFiles: Seq[String] =
+    SSTableScan.sinceFilePrune(storage.listDataFiles(path), sinceDir, storage)
 
   /** As-of generation pruning: a generation whose `-Statistics.db`
     * minTimestamp is after the cut contains ONLY post-cut writes (the
@@ -869,6 +886,9 @@ final class SSTableScan(path: String, requiredSchema: StructType,
     * Every file must carry the `bucket-NNNNN-` stem with id < the
     * declared count. */
   private lazy val bucketPartitions: Seq[SSTableBucketPartition] = {
+    require(sinceDir.isEmpty,
+      "sincesnapshot is not supported on bucketed reads: a partial bucket " +
+        "listing would contradict the declared key-grouped layout")
     val n = buckets.get
     val byBucket = storage.listDataFiles(path).groupBy { f =>
       val name = f.substring(f.lastIndexOf('/') + 1)
@@ -927,6 +947,23 @@ object SSTableScan {
     * time; larger sets fall back to range/split membership pruning only
     * (a huge probe set is a scan anyway). */
   private val MaxBloomProbeKeys = 16 * 1024
+
+  /** `sincesnapshot` floor: drop generations whose fileset is hardlink-
+    * pinned in the floor snapshot. Filesets are immutable and generation
+    * names are unique within a directory, so basename identity IS
+    * generation identity — the pin holds links to the very same files.
+    * Metadata-only (two listings); shared by the data scan and the
+    * stats-only aggregate scan. */
+  private[spark] def sinceFilePrune(files: Seq[String],
+                                    sinceDir: Option[String],
+                                    storage: Storage): Seq[String] =
+    sinceDir match {
+      case None => files
+      case Some(d) =>
+        val pinned = storage.listDataFiles(d)
+          .map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
+        files.filterNot(f => pinned(f.substring(f.lastIndexOf('/') + 1)))
+    }
 
   /** Is some sorted key within [lo, hi]? (hi None = unbounded tail split;
     * bounds inclusive — a duplicate-key run can equal a split's bound.) */

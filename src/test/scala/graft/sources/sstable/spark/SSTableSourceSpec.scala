@@ -760,6 +760,74 @@ class SSTableSourceSpec extends AnyFunSuite {
     sq.stop()
   }
 
+  test("option(sincesnapshot, tag) plans only generations outside the floor pin") {
+    import graft.operators.SSTableOps
+    import spark.implicits._
+    val dir = freshDir()
+    writeGen(dir, "gen1", 0, 200)
+    SSTableOps.snapshot(dir, "e1")
+    writeGen(dir, "gen2", 200, 200) // the epoch's new data
+    graft.sources.sstable.SSTableMetadataCache.clear()
+    def keys(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select(col("key").cast("string")).as[String].collect().toSeq.sorted
+
+    // the diff is exactly the generations NOT in the pin
+    val since = spark.read.format("sstable").option("sincesnapshot", "e1").load(dir)
+    assert(since.count() == 200)
+    val epoch2Keys = keys(since)
+    assert(epoch2Keys == keys(spark.read.format("sstable").load(dir))
+      .diff(keys(spark.read.format("sstable").option("snapshot", "e1").load(dir))))
+    assert(since.queryExecution.executedPlan.toString.contains("sinceSnapshot"))
+
+    // stats-only count(*) sums only the diff's sidecars
+    val cnt = spark.read.format("sstable").option("sincesnapshot", "e1").load(dir)
+      .agg(count(lit(1))).as[Long].head()
+    assert(cnt == 200)
+
+    // pushed LIMIT composes: the prefix is taken within the diff
+    val limited = spark.read.format("sstable").option("sincesnapshot", "e1")
+      .load(dir).limit(5)
+    assert(limited.queryExecution.executedPlan.toString.contains(" limit=5"))
+    assert(limited.collect().forall(r =>
+      new String(r.getAs[Array[Byte]]("key")).drop(3).toInt >= 200))
+
+    // snapshot + sincesnapshot = a reproducible epoch diff (pin B − pin A):
+    // later writes don't change it
+    SSTableOps.snapshot(dir, "e2")
+    writeGen(dir, "gen3", 400, 100)
+    graft.sources.sstable.SSTableMetadataCache.clear()
+    val epochDiff = spark.read.format("sstable")
+      .option("snapshot", "e2").option("sincesnapshot", "e1").load(dir)
+    assert(epochDiff.count() == 200)
+    assert(keys(epochDiff) == epoch2Keys)
+    assert(spark.read.format("sstable")
+      .option("sincesnapshot", "e1").load(dir).count() == 300) // live diff grew
+
+    // unknown floor tag fails loudly at planning
+    val e = intercept[IllegalArgumentException](spark.read.format("sstable")
+      .option("sincesnapshot", "nope").load(dir).collect())
+    assert(e.getMessage.contains("does not exist"))
+
+    // read-side only: writes reject it
+    intercept[IllegalArgumentException] {
+      spark.read.format("sstable").load(dir).limit(1)
+        .write.format("sstable").option("sincesnapshot", "e1").mode("append").save(dir)
+    }
+
+    // and batch-only: the streaming source already tails new generations
+    val ck = freshDir()
+    val sq = spark.readStream.format("sstable").option("sincesnapshot", "e1")
+      .load(dir).writeStream.format("noop")
+      .option("checkpointLocation", ck).start()
+    val se = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      sq.processAllAvailable()
+      sq.awaitTermination()
+    }
+    assert(se.getMessage.contains("batch-only") ||
+      Option(se.getCause).exists(_.getMessage.contains("batch-only")))
+    sq.stop()
+  }
+
   test("pushed top-n on key: per-partition heads merge globally; desc declined") {
     val dir = freshDir()
     // interleaved generations: even keys in one, odd in the other — the
