@@ -98,6 +98,10 @@ object Params {
     * the events' epoch-ms ts, so the asofmicros cut is in the same
     * unit (the option compares raw write-timestamps, unit-agnostic). */
   val SstableAsOfCutMs = 1705276800000L
+  /** Floor-snapshot tag of q_sstable_since's two-epoch fixture (epoch 1 =
+    * events at/before [[SstableAsOfCutMs]], pinned; epoch 2 = the rest,
+    * appended after the pin — the sincesnapshot read returns exactly it). */
+  val SinceFloorTag = "epoch1"
   val JaccardTopPairs = 50
 
   /** Interval join (q_interval_join): incident windows = error bursts

@@ -120,6 +120,24 @@ object WideRowQueries {
         .select(col("key").cast("string").as("user_key"))
         .orderBy("user_key")
     }),
+    // Incremental epoch-diff over the REAL files: the fixture is built
+    // as two write epochs split on the asof cut — epoch 1 written, then
+    // hardlink-snapshotted as the floor tag, then epoch 2 appended. The
+    // sincesnapshot read plans ONLY the generations outside the pin
+    // (exclusion at file listing), so the cells view yields exactly the
+    // post-cut events; the oracle re-derives them with a WHERE on the
+    // same cut. This is the 100 TB re-processing loop under the hash
+    // gate: read since the previous epoch's tag, touch only the delta.
+    "q_sstable_since" -> ((s, d) => {
+      val dir = sstableSinceFixture(s, d)
+      s.read.format("sstable").option("sincesnapshot", SinceFloorTag)
+        .option("view", "cells").load(dir)
+        .select(col("key").cast("string").cast("long").as("user_id"),
+          col("name").cast("string").as("event_type"),
+          col("value").cast("string").cast("long").as("value_e4"),
+          col("timestamp").as("ts_ms"))
+        .orderBy("user_id", "event_type", "ts_ms", "value_e4")
+    }),
     // Time travel over the REAL files: the asofmicros read option drops
     // post-cut cell versions at decode (and whole post-cut generations
     // at plan time via Statistics minTimestamp), so compactRows yields
@@ -160,6 +178,40 @@ object WideRowQueries {
             col("ts_ms").as("timestamp"),
             lit(0L).as("ttlSecs"), lit(0L).as("expiresMillis"))).as("columns"))
         .write.format("sstable").mode("overwrite").save(dir)
+      dir
+    }
+
+  /** Two-epoch physical fixture for the sincesnapshot query: epoch 1
+    * (events at/before the asof cut) written fresh, snapshotted as
+    * [[Params.SinceFloorTag]], epoch 2 (post-cut events) appended. The
+    * directory is rebuilt from scratch each session (stale trees from a
+    * dead process deleted wholesale) — content is a pure function of the
+    * corpus, so the rebuild is deterministic. */
+  private val sinceFixtureCache = new SessionCache[String]
+  private def sstableSinceFixture(s: SparkSession, d: String): String =
+    sinceFixtureCache.getOrCompute(s, d) {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-since-" +
+        java.security.MessageDigest.getInstance("MD5").digest(d.getBytes)
+          .map("%02x".format(_)).mkString.take(16)
+      val root = java.nio.file.Paths.get(dir)
+      if (java.nio.file.Files.exists(root)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+      val e = Tables.events(s, d).select("user_id", "event_type", "ts_ms", "value")
+      def lifted(df: DataFrame): DataFrame =
+        df.select(col("user_id").cast("string").cast("binary").as("key"),
+          array(struct(col("event_type").cast("binary").as("name"),
+            lit("NORMAL").as("state"),
+            e4(col("value")).cast("string").cast("binary").as("value"),
+            col("ts_ms").as("timestamp"),
+            lit(0L).as("ttlSecs"), lit(0L).as("expiresMillis"))).as("columns"))
+      lifted(e.filter(col("ts_ms") <= SstableAsOfCutMs))
+        .write.format("sstable").mode("overwrite").save(dir)
+      SSTableOps.snapshot(dir, SinceFloorTag)
+      lifted(e.filter(col("ts_ms") > SstableAsOfCutMs))
+        .write.format("sstable").mode("append").save(dir)
       dir
     }
 
@@ -241,6 +293,11 @@ object WideRowQueries {
           FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts_ms DESC) AS rn
                 FROM $EventsSql WHERE ts_ms <= $SstableAsOfCutMs)
           WHERE rn = 1 ORDER BY user_id, event_type""",
+    // the epoch diff: exactly the events written after the floor snapshot
+    "q_sstable_since" ->
+      s"""SELECT user_id, event_type, ${e4Sql("value")} AS value_e4, ts_ms
+          FROM $EventsSql WHERE ts_ms > $SstableAsOfCutMs
+          ORDER BY user_id, event_type, ts_ms, value_e4""",
     // the same smallest-k key multiset the pushed top-n produces
     "q_sstable_topk" ->
       s"""SELECT user_key FROM (
