@@ -1,0 +1,183 @@
+package graft.sources.sstable.spark
+
+import java.util
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import graft.sources.sstable.Storage
+
+/** SQL front door for SSTable directories — a DSv2 `TableCatalog` over a
+  * warehouse root, so plain SQL reaches the whole engine:
+  *
+  * {{{
+  * spark.sql.catalog.graft           = graft.sources.sstable.spark.GraftCatalog
+  * spark.sql.catalog.graft.warehouse = /data/warehouse
+  *
+  * CREATE TABLE graft.ns.events;                    -- an sstable directory
+  * INSERT INTO graft.ns.events SELECT ...;          -- the DSv2 sink (LWW upsert)
+  * SELECT * FROM graft.ns.events WHERE key = X'..'; -- pruned scan
+  * DELETE FROM graft.ns.events WHERE key = X'..';   -- tombstone append
+  * DROP TABLE graft.ns.events;
+  * }}}
+  *
+  * Layout is the obvious one — namespaces are directories under the
+  * warehouse, tables are SSTable directories inside them — so every
+  * existing directory (written by this sink, by `SSTableOps`, or by
+  * Cassandra 1.2 itself) is queryable by path-shaped name with zero
+  * registration, and everything the catalog writes remains readable by
+  * the path API. The one semantic the catalog ADDS: its tables read
+  * delete-aware ([[SSTableSource.ApplyDeletesOption]]) so SQL `DELETE`
+  * (tombstone appends — see [[SSTableTable.deleteWhere]]) is visible to
+  * SQL `SELECT`, Cassandra's merge-on-read contract. Path-API readers
+  * opt in with the same option.
+  *
+  * The schema is the format's fixed one, so `CREATE TABLE` takes no
+  * column list (or exactly the canonical columns) — like registering an
+  * external table over fixed-layout files. Buckets/views stay read
+  * options; `RENAME` is a directory move (atomic where the backend's
+  * rename is); `ALTER` has nothing alterable. */
+final class GraftCatalog extends TableCatalog with SupportsNamespaces {
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).map(_.stripSuffix("/")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog '$name' requires option 'warehouse' (spark.sql.catalog.$name.warehouse)"))
+  }
+  override def name(): String = catalogName
+
+  private def storage: Storage =
+    Storage.forPath(warehouse, SparkSession.active.sessionState.newHadoopConf())
+  private def segOk(s: String): Boolean =
+    s.nonEmpty && !s.contains('/') && !s.contains('\\') &&
+      !s.startsWith("_") && !s.startsWith(".")
+  private def nsDir(ns: Array[String]): String = {
+    require(ns.forall(segOk), s"bad namespace: ${ns.mkString(".")}")
+    (warehouse +: ns).mkString("/")
+  }
+  private def tableDir(ident: Identifier): String = {
+    require(segOk(ident.name), s"bad table name: ${ident.name}")
+    s"${nsDir(ident.namespace)}/${ident.name}"
+  }
+  /** A directory is a table iff it holds (or once held) generations —
+    * i.e. it exists and isn't claimed as a namespace by having only
+    * subdirectory children. Empty directories are valid empty tables,
+    * so the catalog keeps the two spaces apart by convention: a name is
+    * a table when `loadTable` is asked for it and the directory exists. */
+  private def dirExists(d: String): Boolean = storage.exists(d)
+
+  // ---- TableCatalog ----
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val d = nsDir(namespace)
+    if (!dirExists(d)) throw new NoSuchNamespaceException(catalogName +: namespace)
+    storage.listSubdirs(d, "").map(p => p.substring(p.lastIndexOf('/') + 1))
+      .filter(segOk).sorted.map(Identifier.of(namespace, _)).toArray
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val d = tableDir(ident)
+    if (!dirExists(d))
+      throw new NoSuchTableException(ident)
+    new SSTableTable(Map(
+      SSTableSource.PathOption -> d,
+      SSTableSource.ApplyDeletesOption -> "true"))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    dirExists(tableDir(ident))
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "sstable tables are key-clustered by the format; PARTITIONED BY is not supported")
+    require(schema.isEmpty || schema.fieldNames.sameElements(
+        SSTableSchema.schema.fieldNames),
+      "sstable tables have the fixed schema (key, columns, rowTombstone); " +
+        "omit the column list or repeat it exactly")
+    val d = tableDir(ident)
+    if (dirExists(d))
+      throw new TableAlreadyExistsException(ident)
+    storage.mkdirs(d)
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "sstable tables have a fixed schema and no alterable properties")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val d = tableDir(ident)
+    dirExists(d) && { storage.deleteRecursive(d); true }
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = tableDir(oldIdent)
+    val to = tableDir(newIdent)
+    if (!dirExists(from))
+      throw new NoSuchTableException(oldIdent)
+    if (dirExists(to))
+      throw new TableAlreadyExistsException(newIdent)
+    require(dirExists(nsDir(newIdent.namespace)),
+      s"target namespace does not exist: ${newIdent.namespace.mkString(".")}")
+    storage.rename(from, to)
+  }
+
+  // ---- SupportsNamespaces ----
+
+  override def listNamespaces(): Array[Array[String]] =
+    storage.listSubdirs(warehouse, "")
+      .map(p => p.substring(p.lastIndexOf('/') + 1))
+      .filter(segOk).sorted.map(Array(_)).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else {
+      val d = nsDir(namespace)
+      if (!dirExists(d)) throw new NoSuchNamespaceException(catalogName +: namespace)
+      // tables and child namespaces share the directory space; children
+      // reported here are the subdirectories (a table listed as a
+      // namespace is harmless — it just has no tables inside)
+      storage.listSubdirs(d, "").map(p => p.substring(p.lastIndexOf('/') + 1))
+        .filter(segOk).sorted.map(namespace :+ _).toArray
+    }
+
+  override def loadNamespaceMetadata(namespace: Array[String]):
+      util.Map[String, String] = {
+    val d = nsDir(namespace)
+    if (!dirExists(d)) throw new NoSuchNamespaceException(catalogName +: namespace)
+    Map("location" -> d).asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit = {
+    val d = nsDir(namespace)
+    require(!dirExists(d), s"namespace already exists: ${namespace.mkString(".")}")
+    storage.mkdirs(d)
+  }
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("graft namespaces have no properties")
+
+  override def dropNamespace(namespace: Array[String],
+                             cascade: Boolean): Boolean = {
+    val d = nsDir(namespace)
+    if (!dirExists(d)) return false
+    if (!cascade)
+      require(storage.listSubdirs(d, "").isEmpty && storage.listDataFiles(d).isEmpty,
+        s"namespace not empty: ${namespace.mkString(".")} (use CASCADE)")
+    storage.deleteRecursive(d)
+    true
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || dirExists(nsDir(namespace))
+}

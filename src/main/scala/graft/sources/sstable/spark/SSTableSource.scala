@@ -127,6 +127,29 @@ object SSTableSource {
     * single-maintainer contract as the rest of the maintenance family).
     * Batch read only; rejected on writes and streaming. */
   val SinceSnapshotOption = "sincesnapshot"
+  /** Delete-aware reads: `option("applydeletes", "true")` (set
+    * automatically by [[GraftCatalog]] tables) applies the directory's
+    * DELETE-ONLY generations — those a SQL `DELETE` appended, provable
+    * from their v2 sidecars alone ([[DeleteShadow.isDeleteOnly]]) — as
+    * reader-side shadowing: cells with `timestamp <= markedAt` vanish,
+    * fully-shadowed rows vanish, and the delete generations themselves
+    * are excluded from split planning (their entire content IS the
+    * shadow map). Merge-on-read, O(deleted keys): nothing is rewritten
+    * until compaction folds the tombstones in. Batch read only; forces
+    * Data.db decode for key-only projections (Index.db can't know cell
+    * timestamps), declines pushed aggregates and LIMIT file-prefix
+    * pruning while deletes are pending (sidecar totals over-count).
+    * Composes with `asofmicros` (only deletes marked at/before the cut
+    * apply). */
+  val ApplyDeletesOption = "applydeletes"
+  /** Upper bound on pending deleted keys a delete-aware scan will carry
+    * to executors (loud failure pointing at compaction beyond it). */
+  val MaxDeleteKeysOption = "maxdeletekeys"
+  val DefaultMaxDeleteKeys: Int = 4 << 20
+  /** Deterministic override for the delete mark written by SQL DELETE
+    * (tests, replayable pipelines); default = max timestamp across the
+    * directory's statistics + 1, which shadows everything present. */
+  val DeleteMarkMicrosOption = "deletemarkmicros"
   /** Per-row provenance metadata column (`SupportsMetadataColumns`):
     * `SELECT *, _generation` surfaces the publishing fileset's stem.
     * Hidden from `SELECT *`; joins the scan only when asked for. */
@@ -177,7 +200,8 @@ object SSTableSource {
 
 final class SSTableTable(properties: Map[String, String])
     extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   private def basePath: String = properties.getOrElse(SSTableSource.PathOption,
     throw new IllegalArgumentException("sstable source requires a path"))
   private def snapshotTag: Option[String] =
@@ -232,7 +256,13 @@ final class SSTableTable(properties: Map[String, String])
       require(storage.exists(d),
         s"sincesnapshot '$tag' does not exist under $basePath")
     }
-    new SSTableScanBuilder(path, options)
+    // table-level properties (catalog tables carry applydeletes etc.
+    // there) merge under the per-read options — the path API passes its
+    // options through both, so this is the identity for it
+    val merged = new java.util.HashMap[String, String]()
+    properties.foreach { case (k, v) => merged.put(k, v) }
+    merged.putAll(options)
+    new SSTableScanBuilder(path, new CaseInsensitiveStringMap(merged))
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(!cellsView, "the cells view is read-only: write the default view")
@@ -243,6 +273,72 @@ final class SSTableTable(properties: Map[String, String])
     require(sinceSnapshotTag.isEmpty,
       "sincesnapshot is a read-side diff: write the live directory")
     new SSTableWriteBuilder(path, info, properties)
+  }
+
+  /** SQL `DELETE FROM` (SupportsDelete) — the LSM way: matched keys get
+    * ONE appended generation of row tombstones (O(deleted keys) IO, no
+    * rewrite), which delete-aware reads ([[SSTableSource
+    * .ApplyDeletesOption]], set by every [[GraftCatalog]] table) shadow
+    * at decode and compaction later folds away. Supported predicates:
+    * `key = X`, `key IN (...)`, and the unconditional delete (truncate).
+    * Anything else returns false — Spark then refuses the DELETE rather
+    * than run it with different semantics. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    deletableKeys(filters).isDefined
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(snapshotTag.isEmpty && sinceSnapshotTag.isEmpty && buckets.isEmpty
+      && !cellsView, "DELETE targets the live rows-view directory")
+    val storage = Storage.forPath(path,
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+    deletableKeys(filters) match {
+      case Some(None) => // unconditional: truncate the directory
+        if (storage.exists(path))
+          storage.listDataFiles(path).foreach(SSTableFiles.unpublish(storage, _))
+      case Some(Some(keys)) if keys.nonEmpty =>
+        val spark = org.apache.spark.sql.SparkSession.active
+        val gens = if (storage.exists(path)) storage.listDataFiles(path) else Nil
+        // the mark must shadow every cell currently present; the max
+        // sidecar timestamp + 1 does, deterministically. Stats-less
+        // (foreign/v0) generations make that unprovable — fail loudly
+        // rather than delete incompletely.
+        val mark = properties.get(SSTableSource.DeleteMarkMicrosOption) match {
+          case Some(v) => v.toLong
+          case None =>
+            val stats = gens.map(f => new SSTableReader(f, storage).statistics)
+            require(stats.forall(_.isDefined),
+              "DELETE needs -Statistics.db on every generation to choose a " +
+                s"shadowing mark; set ${SSTableSource.DeleteMarkMicrosOption} " +
+                "explicitly for stats-less directories")
+            stats.flatten.map(_.maxTimestamp).foldLeft(0L)(math.max) + 1
+        }
+        val ldtSecs = (System.currentTimeMillis() / 1000).toInt
+        import org.apache.spark.sql.Row
+        val rows: java.util.List[Row] = keys
+          .distinctBy(new String(_, java.nio.charset.StandardCharsets.ISO_8859_1))
+          .map(k => Row(k, Seq.empty[Row], Row(ldtSecs, mark))).asJava
+        spark.createDataFrame(rows, SSTableSchema.schema)
+          .write.format("sstable")
+          .option(SSTableSource.JobTagOption,
+            "delete-" + java.util.UUID.randomUUID().toString.take(8))
+          .option(SSTableSource.WritePartitionsOption, "1")
+          .mode("append").save(path)
+      case _ => // empty IN-list: nothing to delete
+    }
+  }
+  /** None = unsupported shape; Some(None) = delete everything;
+    * Some(Some(keys)) = delete exactly these keys. */
+  private def deletableKeys(filters: Array[Filter])
+      : Option[Option[Seq[Array[Byte]]]] = {
+    if (filters.isEmpty || filters.forall(_.isInstanceOf[AlwaysTrue]))
+      return Some(None)
+    val keys = Seq.newBuilder[Array[Byte]]
+    val ok = filters.forall {
+      case EqualTo("key", v: Array[Byte]) => keys += v; true
+      case In("key", vs) if vs.forall(_.isInstanceOf[Array[Byte]]) =>
+        vs.foreach(v => keys += v.asInstanceOf[Array[Byte]]); true
+      case _ => false
+    }
+    if (ok) Some(Some(keys.result())) else None
   }
 }
 
@@ -293,6 +389,14 @@ final class SSTableScanBuilder(path: String, options: CaseInsensitiveStringMap)
   private val bucketsOpt =
     SSTableSource.bucketsOf(Option(options.get(SSTableSource.BucketsOption)))
   require(!(cellsView && bucketsOpt.isDefined), "view=cells and buckets are exclusive")
+  private val applyDeletes = Option(options.get(SSTableSource.ApplyDeletesOption))
+    .exists { v =>
+      require(v.equalsIgnoreCase("true") || v.equalsIgnoreCase("false"),
+        s"sstable option '${SSTableSource.ApplyDeletesOption}' must be true/false, got '$v'")
+      v.toBoolean
+    }
+  require(!(applyDeletes && bucketsOpt.isDefined),
+    "applydeletes is not supported on bucketed reads")
   private def baseSchema: StructType =
     if (cellsView) SSTableSchema.cellsSchema
     else if (bucketsOpt.isDefined) SSTableSchema.bucketedSchema
@@ -421,6 +525,10 @@ final class SSTableScanBuilder(path: String, options: CaseInsensitiveStringMap)
     // as-of reads drop whole rows/cells; sidecar totals describe the
     // full contents, so any pushed aggregate would over-count
     if (longOption(SSTableSource.AsOfMicrosOption).isDefined) return false
+    // delete-aware reads shadow rows/cells the sidecars still count —
+    // and a delete generation can land between pushdown and execution,
+    // so even a zero-pending check here wouldn't stay true
+    if (applyDeletes) return false
     // bucketed reads never push aggregates: a stats-only answer would
     // bypass the loud bucket-layout validation the scan performs
     if (bucketsOpt.isDefined) return false
@@ -503,7 +611,12 @@ final class SSTableScanBuilder(path: String, options: CaseInsensitiveStringMap)
           require(v > 0, s"maxBytesPerTrigger must be positive: $v")
           v
         },
-      sinceDir = sinceDir)
+      sinceDir = sinceDir,
+      applyDeletes = applyDeletes,
+      maxDeleteKeys = longOption(SSTableSource.MaxDeleteKeysOption).map { v =>
+        require(v > 0 && v <= Int.MaxValue, s"maxdeletekeys must be a positive int: $v")
+        v.toInt
+      }.getOrElse(SSTableSource.DefaultMaxDeleteKeys))
   }
 }
 
@@ -662,7 +775,9 @@ final class SSTableScan(path: String, requiredSchema: StructType,
                         maxFilesPerTrigger: Option[Int] = None,
                         maxBytesPerTrigger: Option[Long] = None,
                         snapshotRead: Boolean = false,
-                        sinceDir: Option[String] = None)
+                        sinceDir: Option[String] = None,
+                        applyDeletes: Boolean = false,
+                        maxDeleteKeys: Int = SSTableSource.DefaultMaxDeleteKeys)
     extends Scan with Batch with SupportsRuntimeFiltering
     with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -729,7 +844,12 @@ final class SSTableScan(path: String, requiredSchema: StructType,
     var bytes = 0L
     var rows = 0L
     var allRowsKnown = true
-    SSTableScan.sinceFilePrune(st.listDataFiles(path), sinceDir, st).foreach { f =>
+    val listed0 = SSTableScan.sinceFilePrune(st.listDataFiles(path), sinceDir, st)
+    val listed =
+      if (applyDeletes) listed0.filterNot(f =>
+        DeleteShadow.isDeleteOnly(new SSTableReader(f, st).statistics))
+      else listed0
+    listed.foreach { f =>
       val r = new SSTableReader(f, st)
       bytes += r.dataLength
       // cells view: logical rows are cells (v2 stats), not SSTable rows
@@ -763,13 +883,15 @@ final class SSTableScan(path: String, requiredSchema: StructType,
       "snapshot reads are batch-only: a snapshot is immutable, nothing ever arrives to stream")
     require(sinceDir.isEmpty,
       "sincesnapshot is batch-only: the streaming source already tails new generations")
+    require(!applyDeletes,
+      "applydeletes is batch-only: micro-batches tail whole new generations")
     new SSTableMicroBatchStream(path, requiredSchema, targetSplitBytes,
       ttlAsOfMs, serConf, maxFilesPerTrigger, maxBytesPerTrigger)
   }
   override def description(): String = {
     val prune = if (keyLo.isDefined || keyHi.isDefined) " keyRangePruned" else ""
     val keyOnly =
-      if (!cellsView && asOfMicros.isEmpty &&
+      if (!cellsView && asOfMicros.isEmpty && !applyDeletes &&
           !requiredSchema.fieldNames.exists(n => n == "columns" || n == "rowTombstone"))
         " indexOnly" else ""
     val view = if (cellsView) " view=cells" else ""
@@ -780,7 +902,8 @@ final class SSTableScan(path: String, requiredSchema: StructType,
     val lim = limit.map(n => if (topN) s" topN=$n(key asc)" else s" limit=$n")
       .getOrElse("")
     val since = if (sinceDir.isDefined) " sinceSnapshot" else ""
-    s"sstable $path$prune$keyOnly$view$bkt$ttl$asOf$slice$lim$since"
+    val del = if (applyDeletes) " deleteAware" else ""
+    s"sstable $path$prune$keyOnly$view$bkt$ttl$asOf$slice$lim$since$del"
   }
 
   /** Per-file planning is independent metadata work (Summary walk +
@@ -793,13 +916,33 @@ final class SSTableScan(path: String, requiredSchema: StructType,
     * same reason). */
   override def planInputPartitions(): Array[InputPartition] = buckets match {
     case None =>
-      SSTableScan.planPartitions(
-        limitFilePrefix(asOfFilePrune(listedFiles)),
+      val (dataGens, shadow) = splitDeletes(listedFiles)
+      latestShadow = shadow
+      // pending deletes void the LIMIT prefix guarantee (sidecar counts
+      // include shadowed rows), so the prefix prune is skipped for them
+      val files = if (shadow.exists(_.nonEmpty)) asOfFilePrune(dataGens)
+        else limitFilePrefix(asOfFilePrune(dataGens))
+      SSTableScan.planPartitions(files,
         serConf, distributedPlanningThreshold, targetSplitBytes,
         keyLo.map(_._1), keyHi.map(_._1), eqKey, runtimeKeys,
         hostsFromIndex = false)
     case Some(_) => bucketPartitions.toArray
   }
+
+  /** Delete-aware listing split: delete-only generations (provable from
+    * their sidecars — [[DeleteShadow.isDeleteOnly]]) become the driver-
+    * side shadow map; the rest plan as data. Loaded per batch planning —
+    * the same freshness contract as the listing itself. */
+  @volatile private var latestShadow: Option[DeleteShadow] = None
+  private def splitDeletes(files: Seq[String])
+      : (Seq[String], Option[DeleteShadow]) =
+    if (!applyDeletes) (files, None)
+    else {
+      val st = storage
+      val (del, data) = files.partition(f =>
+        DeleteShadow.isDeleteOnly(new SSTableReader(f, st).statistics))
+      (data, Some(DeleteShadow.load(del, st, asOfMicros, maxDeleteKeys)))
+    }
 
   /** The scan's file listing with the `sincesnapshot` floor applied —
     * the exclusion happens HERE, before every other pruning surface
@@ -925,10 +1068,16 @@ final class SSTableScan(path: String, requiredSchema: StructType,
         new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
     }
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // planInputPartitions (same batch, driver, just before this) stashed
+    // the shadow; self-heal if an exotic call order skipped it
+    val shadow =
+      (if (applyDeletes) latestShadow.orElse(splitDeletes(listedFiles)._2)
+       else None).filter(_.nonEmpty)
     new SSTableReaderFactory(requiredSchema, ttlAsOfMs, serConf, cellsView,
       rowLimit = limit, asOfMicros = asOfMicros,
-      nameLo = nameLo, nameHi = nameHi)
+      nameLo = nameLo, nameHi = nameHi, shadow = shadow)
+  }
 }
 
 /** One whole bucket of a bucketed directory: every split of its
@@ -1062,7 +1211,8 @@ final class SSTableReaderFactory(requiredSchema: StructType,
                                  rowLimit: Option[Int] = None,
                                  asOfMicros: Option[Long] = None,
                                  nameLo: Option[(Array[Byte], Boolean)] = None,
-                                 nameHi: Option[(Array[Byte], Boolean)] = None)
+                                 nameHi: Option[(Array[Byte], Boolean)] = None,
+                                 shadow: Option[DeleteShadow] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val storage = serConf.map(c => new HadoopStorage(c.value): Storage)
@@ -1076,14 +1226,16 @@ final class SSTableReaderFactory(requiredSchema: StructType,
         // per-CELL multiplicity only the row bodies know
         if (cellsView)
           new SSTableCellReader(p, requiredSchema, ttlAsOfMs, storage, asOfMicros,
-            nameLo, nameHi)
+            nameLo, nameHi, shadow)
         // rowTombstone also lives in Data.db, so its presence forces the row
         // reader; only pure-key projections may take the Index.db-only path.
         // asOf also forces row decode: Index.db cannot know which keys
-        // existed at the cut
-        else if (asOfMicros.isDefined ||
+        // existed at the cut. Pending deletes force it too: whether a key
+        // survives its shadow depends on cell timestamps only Data.db has
+        else if (asOfMicros.isDefined || shadow.isDefined ||
             requiredSchema.fieldNames.exists(n => n == "columns" || n == "rowTombstone"))
-          new SSTableRowReader(p, requiredSchema, ttlAsOfMs, storage, asOfMicros)
+          new SSTableRowReader(p, requiredSchema, ttlAsOfMs, storage, asOfMicros,
+            shadow)
         else
           new SSTableKeyOnlyReader(p, requiredSchema, storage)
     }
@@ -1153,11 +1305,13 @@ final class SSTableCellReader(p: SSTablePartition, requiredSchema: StructType,
                               storage: Storage = LocalStorage,
                               asOfMicros: Option[Long] = None,
                               nameLo: Option[(Array[Byte], Boolean)] = None,
-                              nameHi: Option[(Array[Byte], Boolean)] = None)
+                              nameHi: Option[(Array[Byte], Boolean)] = None,
+                              shadow: Option[DeleteShadow] = None)
     extends PartitionReader[InternalRow] {
   private val table = new SSTableReader(p.dataPath, storage)
   private val reader = table.rows(p.start, p.end, nameLo, nameHi)
   private var key: Array[Byte] = _
+  private var shadowMark: Long = Long.MinValue // current row's delete mark
   private var cells: Iterator[Column] = Iterator.empty
   private var current: InternalRow = _
   private def live(c: Column): Boolean = (ttlAsOfMs match {
@@ -1166,7 +1320,8 @@ final class SSTableCellReader(p: SSTablePartition, requiredSchema: StructType,
       case Column.Expiring(_, _, _, exp, _) => exp > asOf
       case _ => true
     }
-  }) && asOfMicros.forall(c.timestamp <= _) // post-cut cells invisible
+  }) && asOfMicros.forall(c.timestamp <= _) && // post-cut cells invisible
+    c.timestamp > shadowMark // pending-delete shadowing (applydeletes)
   @annotation.tailrec
   override final def next(): Boolean =
     if (cells.hasNext) {
@@ -1175,6 +1330,7 @@ final class SSTableCellReader(p: SSTablePartition, requiredSchema: StructType,
     } else if (reader.hasNext) {
       val row = reader.next()
       key = row.key
+      shadowMark = shadow.map(_.markedAt(key)).getOrElse(Long.MinValue)
       cells = row.columns.iterator.filter(live)
       next()
     } else false
@@ -1188,11 +1344,31 @@ final class SSTableCellReader(p: SSTablePartition, requiredSchema: StructType,
 final class SSTableRowReader(p: SSTablePartition, requiredSchema: StructType,
                              ttlAsOfMs: Option[Long] = None,
                              storage: Storage = LocalStorage,
-                             asOfMicros: Option[Long] = None)
+                             asOfMicros: Option[Long] = None,
+                             shadow: Option[DeleteShadow] = None)
     extends PartitionReader[InternalRow] {
   private val table = new SSTableReader(p.dataPath, storage)
   private val reader = table.rows(p.start, p.end)
   private var current: InternalRow = _
+  /** Pending-delete shadowing (`applydeletes`): drop cells at/before the
+    * key's delete mark — Cassandra's reconcile rule, applied at decode —
+    * and the whole row when nothing survives (a later re-insert does:
+    * its cells outdate the mark). The row's own tombstone is likewise
+    * superseded when the mark is newer. */
+  private def applyShadow(row: SSTableRow): Option[SSTableRow] = shadow match {
+    case None => Some(row)
+    case Some(sh) =>
+      val m = sh.markedAt(row.key)
+      if (m == Long.MinValue) Some(row)
+      else {
+        val cols = row.columns.filter(_.timestamp > m)
+        val tomb = row.tombstone.filter(_.markedForDeleteAtMicros > m)
+        if (cols.nonEmpty ||
+            tomb.exists(_.markedForDeleteAtMicros != Long.MinValue))
+          Some(row.copy(columns = cols, tombstone = tomb))
+        else None
+      }
+  }
   private def applyTtl(row: SSTableRow): SSTableRow = ttlAsOfMs match {
     case None => row
     case Some(asOf) => row.copy(columns = row.columns.filter {
@@ -1219,7 +1395,7 @@ final class SSTableRowReader(p: SSTablePartition, requiredSchema: StructType,
   @annotation.tailrec
   override final def next(): Boolean =
     if (reader.hasNext) {
-      applyAsOf(applyTtl(reader.next())) match {
+      applyAsOf(applyTtl(reader.next())).flatMap(applyShadow) match {
         case Some(row) =>
           current = SSTableSchema.rowToInternal(row, requiredSchema)
           true

@@ -1,0 +1,173 @@
+package graft.sources.sstable.spark
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.SSTableOps
+
+/** SQL front door (GraftCatalog) + row-level DELETE (tombstone appends,
+  * merge-on-read shadowing): the full DDL/DML lifecycle over sstable
+  * directories, and the interplay between catalog (delete-aware) reads
+  * and raw path-API reads. */
+class GraftCatalogSpec extends AnyFunSuite {
+
+  private lazy val warehouse: String = {
+    val d = Files.createTempDirectory("graft-warehouse").toFile
+    d.deleteOnExit()
+    d.getPath
+  }
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    // catalogs resolve lazily, so conf-set works on a shared session
+    s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.warehouse", warehouse)
+    s
+  }
+
+  /** INSERT a batch of simple (key → one NORMAL cell) rows via SQL. */
+  private def insertRows(table: String, rows: Seq[(String, String, Long)]): Unit = {
+    val values = rows.map { case (k, v, ts) =>
+      s"(CAST('$k' AS BINARY), array(named_struct(" +
+        s"'name', CAST('c' AS BINARY), 'state', 'NORMAL', " +
+        s"'value', CAST('$v' AS BINARY), 'timestamp', CAST($ts AS BIGINT), " +
+        s"'ttlSecs', CAST(0 AS BIGINT), 'expiresMillis', CAST(0 AS BIGINT))), " +
+        "CAST(NULL AS STRUCT<localDeletionTime: INT, markedForDeleteAt: BIGINT>))"
+    }.mkString(", ")
+    spark.sql(s"INSERT INTO $table VALUES $values")
+  }
+
+  private def keysOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.select(col("key").cast("string")).collect().map(_.getString(0)).toSeq.sorted
+
+  test("DDL lifecycle: namespaces, create, list, rename, drop") {
+    spark.sql("CREATE NAMESPACE graft.ddl")
+    assert(spark.sql("SHOW NAMESPACES IN graft").collect()
+      .map(_.getString(0)).contains("ddl"))
+    spark.sql("CREATE TABLE graft.ddl.t1")
+    spark.sql("CREATE TABLE graft.ddl.t2")
+    assert(spark.sql("SHOW TABLES IN graft.ddl").collect()
+      .map(_.getString(1)).sorted.toSeq == Seq("t1", "t2"))
+    // duplicate create fails loudly; IF NOT EXISTS is quiet
+    intercept[Exception](spark.sql("CREATE TABLE graft.ddl.t1"))
+    spark.sql("CREATE TABLE IF NOT EXISTS graft.ddl.t1")
+    spark.sql("ALTER TABLE graft.ddl.t2 RENAME TO ddl.t3")
+    assert(spark.sql("SHOW TABLES IN graft.ddl").collect()
+      .map(_.getString(1)).sorted.toSeq == Seq("t1", "t3"))
+    spark.sql("DROP TABLE graft.ddl.t3")
+    spark.sql("DROP TABLE graft.ddl.t1")
+    assert(spark.sql("SHOW TABLES IN graft.ddl").collect().isEmpty)
+    // created tables are plain directories: the path API reads them too
+    spark.sql("CREATE TABLE graft.ddl.t4")
+    insertRows("graft.ddl.t4", Seq(("a", "1", 10L)))
+    assert(spark.read.format("sstable").load(s"$warehouse/ddl/t4").count() == 1)
+    spark.sql("DROP NAMESPACE graft.ddl CASCADE")
+    assert(!spark.sql("SHOW NAMESPACES IN graft").collect()
+      .map(_.getString(0)).contains("ddl"))
+  }
+
+  test("INSERT + SELECT round-trip through pure SQL") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.q")
+    spark.sql("CREATE TABLE graft.q.events")
+    insertRows("graft.q.events",
+      Seq(("k1", "v1", 100L), ("k2", "v2", 200L), ("k3", "v3", 300L)))
+    assert(keysOf(spark.sql("SELECT key FROM graft.q.events")) ==
+      Seq("k1", "k2", "k3"))
+    // key-range pushdown works through the catalog identifier
+    val pruned = spark.sql(
+      "SELECT key FROM graft.q.events WHERE key >= CAST('k2' AS BINARY)")
+    assert(keysOf(pruned) == Seq("k2", "k3"))
+    assert(pruned.queryExecution.executedPlan.toString.contains("keyRangePruned"))
+    spark.sql("DROP TABLE graft.q.events")
+  }
+
+  test("DELETE WHERE key: tombstone append, merge-on-read, compaction folds it") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.d")
+    spark.sql("CREATE TABLE graft.d.t")
+    val dir = s"$warehouse/d/t"
+    insertRows("graft.d.t", Seq(("a", "1", 100L), ("b", "2", 200L)))
+    insertRows("graft.d.t", Seq(("c", "3", 300L)))
+    assert(spark.sql("SELECT * FROM graft.d.t").count() == 3)
+    val gensBefore = graft.sources.sstable.LocalStorage.listDataFiles(dir).length
+
+    spark.sql("DELETE FROM graft.d.t WHERE key = CAST('b' AS BINARY)")
+
+    // O(delta): ONE generation appended, nothing rewritten
+    val gens = graft.sources.sstable.LocalStorage.listDataFiles(dir)
+    assert(gens.length == gensBefore + 1)
+    // catalog reads shadow the key — full rows, key-only projection,
+    // cells view via the path API with applydeletes
+    assert(keysOf(spark.sql("SELECT * FROM graft.d.t")) == Seq("a", "c"))
+    assert(keysOf(spark.sql("SELECT key FROM graft.d.t")) == Seq("a", "c"))
+    assert(spark.sql("SELECT count(*) FROM graft.d.t").head().getLong(0) == 2)
+    assert(spark.read.format("sstable").option("applydeletes", "true")
+      .option("view", "cells").load(dir).count() == 2)
+    // the raw path view keeps full fidelity: three data rows plus the
+    // tombstone row, visible as rowTombstone
+    val raw = spark.read.format("sstable").load(dir)
+    assert(raw.count() == 4)
+    assert(raw.filter(col("rowTombstone").isNotNull).count() == 1)
+    // and the operator merge reconciles to the same LIVE state
+    // (compactRows keeps the merged tombstone row by design — other
+    // directories may still hold shadowed data; suppressTombstones is
+    // the live view)
+    assert(keysOf(SSTableOps.suppressTombstones(raw)) == Seq("a", "c"))
+
+    // a re-insert AFTER the delete outdates the tombstone — the LWW way.
+    // (the delete mark is max-ts+1, so the new cell must be newer still)
+    insertRows("graft.d.t", Seq(("b", "reborn", 1000L)))
+    assert(keysOf(spark.sql("SELECT * FROM graft.d.t")) == Seq("a", "b", "c"))
+
+    // compaction folds the whole directory — tombstones and the delete
+    // generation disappear; delete-aware and raw reads now agree
+    while (SSTableOps.compactInPlace(spark, dir, minThreshold = 2) > 0) ()
+    assert(keysOf(spark.sql("SELECT * FROM graft.d.t")) == Seq("a", "b", "c"))
+    assert(spark.read.format("sstable").load(dir)
+      .filter(col("rowTombstone").isNotNull).count() == 0)
+    spark.sql("DROP TABLE graft.d.t")
+  }
+
+  test("DELETE IN-list and unconditional DELETE; unsupported predicates refuse") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.d2")
+    spark.sql("CREATE TABLE graft.d2.t")
+    insertRows("graft.d2.t",
+      Seq(("a", "1", 1L), ("b", "2", 2L), ("c", "3", 3L), ("d", "4", 4L)))
+    spark.sql("DELETE FROM graft.d2.t WHERE key IN " +
+      "(CAST('a' AS BINARY), CAST('d' AS BINARY))")
+    assert(keysOf(spark.sql("SELECT * FROM graft.d2.t")) == Seq("b", "c"))
+    // non-key predicate: refused (no silent full-scan rewrite), data intact
+    intercept[Exception](
+      spark.sql("DELETE FROM graft.d2.t WHERE size(columns) > 0"))
+    assert(spark.sql("SELECT * FROM graft.d2.t").count() == 2)
+    // unconditional delete truncates
+    spark.sql("DELETE FROM graft.d2.t")
+    assert(spark.sql("SELECT * FROM graft.d2.t").count() == 0)
+    assert(graft.sources.sstable.LocalStorage.listDataFiles(
+      s"$warehouse/d2/t").isEmpty)
+    spark.sql("DROP TABLE graft.d2.t")
+  }
+
+  test("delete-aware scans decline stats-only aggregates; raw scans keep them") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.agg")
+    spark.sql("CREATE TABLE graft.agg.t")
+    val dir = s"$warehouse/agg/t"
+    insertRows("graft.agg.t", Seq(("a", "1", 1L), ("b", "2", 2L)))
+    val viaCatalog = spark.sql("SELECT count(*) FROM graft.agg.t")
+    assert(!viaCatalog.queryExecution.executedPlan.toString
+      .contains("statsOnlyAggregate"),
+      "delete-aware reads must not answer counts from sidecars")
+    assert(viaCatalog.head().getLong(0) == 2)
+    import spark.implicits._
+    val viaPath = spark.read.format("sstable").load(dir).agg(count(lit(1)))
+    assert(viaPath.queryExecution.executedPlan.toString
+      .contains("statsOnlyAggregate"))
+    assert(viaPath.as[Long].head() == 2)
+    spark.sql("DROP TABLE graft.agg.t")
+  }
+}
