@@ -102,6 +102,10 @@ object Params {
     * events at/before [[SstableAsOfCutMs]], pinned; epoch 2 = the rest,
     * appended after the pin — the sincesnapshot read returns exactly it). */
   val SinceFloorTag = "epoch1"
+  /** q_sstable_delete drops every user with `user_id % 10 == this` via
+    * the row-level DELETE path (tombstone generation + delete-aware
+    * read); the oracle keeps the complement. */
+  val DeleteUserMod = 3
   val JaccardTopPairs = 50
 
   /** Interval join (q_interval_join): incident windows = error bursts

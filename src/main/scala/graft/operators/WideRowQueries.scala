@@ -138,6 +138,24 @@ object WideRowQueries {
           col("timestamp").as("ts_ms"))
         .orderBy("user_id", "event_type", "ts_ms", "value_e4")
     }),
+    // Row-level DELETE over the REAL files: a deterministic user subset
+    // (user_id % 10 == DeleteUserMod) is deleted through the table's
+    // SupportsDelete path — ONE appended tombstone generation, mark
+    // pinned via the deletemarkmicros property for rerun determinism —
+    // and the delete-aware cells view must show exactly the complement;
+    // the oracle keeps the same complement with a WHERE. Exercises
+    // tombstone write + sidecar classification + shadow map + reader
+    // shadowing under the hash gate.
+    "q_sstable_delete" -> ((s, d) => {
+      val dir = sstableDeleteFixture(s, d)
+      s.read.format("sstable").option("applydeletes", "true")
+        .option("view", "cells").load(dir)
+        .select(col("key").cast("string").cast("long").as("user_id"),
+          col("name").cast("string").as("event_type"),
+          col("value").cast("string").cast("long").as("value_e4"),
+          col("timestamp").as("ts_ms"))
+        .orderBy("user_id", "event_type", "ts_ms", "value_e4")
+    }),
     // Time travel over the REAL files: the asofmicros read option drops
     // post-cut cell versions at decode (and whole post-cut generations
     // at plan time via Statistics minTimestamp), so compactRows yields
@@ -212,6 +230,45 @@ object WideRowQueries {
       SSTableOps.snapshot(dir, SinceFloorTag)
       lifted(e.filter(col("ts_ms") > SstableAsOfCutMs))
         .write.format("sstable").mode("append").save(dir)
+      dir
+    }
+
+  /** Physical fixture for the row-level DELETE query: the events corpus
+    * written once, then every user with `user_id % 10 == DeleteUserMod`
+    * deleted through [[graft.sources.sstable.spark.SSTableTable]]'s
+    * `SupportsDelete` (the real tombstone-append path, one generation).
+    * The delete mark is pinned (max event ts_ms + 1, deterministic)
+    * so rebuilds and the DuckDB twin agree bit-for-bit. */
+  private val deleteFixtureCache = new SessionCache[String]
+  private def sstableDeleteFixture(s: SparkSession, d: String): String =
+    deleteFixtureCache.getOrCompute(s, d) {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-del-" +
+        java.security.MessageDigest.getInstance("MD5").digest(d.getBytes)
+          .map("%02x".format(_)).mkString.take(16)
+      val root = java.nio.file.Paths.get(dir)
+      if (java.nio.file.Files.exists(root)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+      val e = Tables.events(s, d).select("user_id", "event_type", "ts_ms", "value")
+      e.select(col("user_id").cast("string").cast("binary").as("key"),
+          array(struct(col("event_type").cast("binary").as("name"),
+            lit("NORMAL").as("state"),
+            e4(col("value")).cast("string").cast("binary").as("value"),
+            col("ts_ms").as("timestamp"),
+            lit(0L).as("ttlSecs"), lit(0L).as("expiresMillis"))).as("columns"))
+        .write.format("sstable").mode("overwrite").save(dir)
+      val doomed = e.select(col("user_id")).distinct()
+        .filter(col("user_id") % 10 === DeleteUserMod)
+        .collect().map(_.getLong(0).toString.getBytes: Any)
+      val mark = e.agg(max(col("ts_ms"))).head().getLong(0) + 1
+      new graft.sources.sstable.spark.SSTableTable(Map(
+          graft.sources.sstable.spark.SSTableSource.PathOption -> dir,
+          graft.sources.sstable.spark.SSTableSource.DeleteMarkMicrosOption ->
+            mark.toString))
+        .deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+          org.apache.spark.sql.sources.In("key", doomed)))
       dir
     }
 
@@ -297,6 +354,11 @@ object WideRowQueries {
     "q_sstable_since" ->
       s"""SELECT user_id, event_type, ${e4Sql("value")} AS value_e4, ts_ms
           FROM $EventsSql WHERE ts_ms > $SstableAsOfCutMs
+          ORDER BY user_id, event_type, ts_ms, value_e4""",
+    // the complement of the deleted user set, cell-for-cell
+    "q_sstable_delete" ->
+      s"""SELECT user_id, event_type, ${e4Sql("value")} AS value_e4, ts_ms
+          FROM $EventsSql WHERE user_id % 10 <> $DeleteUserMod
           ORDER BY user_id, event_type, ts_ms, value_e4""",
     // the same smallest-k key multiset the pushed top-n produces
     "q_sstable_topk" ->

@@ -1,0 +1,94 @@
+package graft.sources.sstable.spark
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.unsafe.types.UTF8String
+import graft.sources.sstable._
+
+/** `view=generations` — the directory's published filesets as a
+  * relation (one row per generation, fields from the planning sidecars:
+  * Statistics/CompressionInfo + file lengths). The ops view: compaction
+  * debt, tombstone debt, key-span overlap, format-version audits are
+  * plain SQL over it, and none of it touches Data.db. Values are
+  * computed at batch planning (the same freshness contract as the agg
+  * pushdown scan: a retained DataFrame re-executed after a flush or
+  * compaction sees the current directory). Metadata work is one cached
+  * sidecar read per file, parallelized on the driver like split
+  * planning; the result rides in ONE partition because it is
+  * metadata-sized (a row per file, not per data row).
+  *
+  * Composes with `snapshot` (the pinned fileset's metadata) and
+  * `sincesnapshot` (only the epoch's new generations). Read-only,
+  * batch-only. */
+final class GenerationsScanBuilder(path: String, sinceDir: Option[String])
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = SSTableSchema.generationsSchema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = StructType(SSTableSchema.generationsSchema.fields
+      .filter(f => requiredSchema.fieldNames.contains(f.name)))
+  override def build(): Scan = new GenerationsScan(path, required, sinceDir)
+}
+
+final class GenerationsScan(path: String, required: StructType,
+                            sinceDir: Option[String])
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"sstable $path view=generations" +
+      (if (sinceDir.isDefined) " sinceSnapshot" else "")
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val storage = Storage.forPath(path,
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+    val files = SSTableScan.sinceFilePrune(
+      storage.listDataFiles(path), sinceDir, storage)
+    import scala.collection.parallel.CollectionConverters._
+    val rows: Array[Array[Any]] = files.par.map { f =>
+      val r = new SSTableReader(f, storage)
+      val st = r.statistics
+      val name = f.substring(f.lastIndexOf('/') + 1)
+        .stripSuffix(SSTableFiles.DataSuffix)
+      required.fields.map[Any] { field =>
+        field.name match {
+          case "generation" => UTF8String.fromString(name)
+          case "dataBytes" => r.dataLength
+          case "physicalBytes" => storage.length(f)
+          case "compressed" => r.compressed
+          case "rowCount" => st.map(_.rowCount).orNull
+          case "tombstoneCount" => st.map(_.tombstoneCount).orNull
+          case "cellCount" => st.flatMap(_.cellStats).map(_.cellCount).orNull
+          case "minKey" => st.filter(_.rowCount > 0).map(_.minKey).orNull
+          case "maxKey" => st.filter(_.rowCount > 0).map(_.maxKey).orNull
+          case "minTimestamp" => st.map(_.minTimestamp).orNull
+          case "maxTimestamp" => st.map(_.maxTimestamp).orNull
+          case "namesSorted" => st.map(_.namesSorted).orNull
+          case "deleteOnly" =>
+            if (st.isEmpty) null else DeleteShadow.isDeleteOnly(st)
+          case other => throw new IllegalStateException(
+            s"unknown generations-view field: $other")
+        }
+      }
+    }.toArray
+    Array(GenerationsScan.GenerationsPartition(rows))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private val rows = p.asInstanceOf[GenerationsScan.GenerationsPartition].rows
+          private var i = -1
+          override def next(): Boolean = { i += 1; i < rows.length }
+          override def get(): InternalRow = new GenericInternalRow(rows(i))
+          override def close(): Unit = ()
+        }
+    }
+}
+
+object GenerationsScan {
+  final case class GenerationsPartition(rows: Array[Array[Any]])
+      extends InputPartition
+}

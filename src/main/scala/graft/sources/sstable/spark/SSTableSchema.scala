@@ -81,6 +81,29 @@ object SSTableSchema {
   val cellsSchema: StructType = StructType(
     StructField("key", BinaryType, nullable = false) +: columnStruct.fields.toSeq)
 
+  /** `view=generations` scan surface: one row per PUBLISHED FILESET with
+    * its planning metadata — the ops/observability view (this format's
+    * `DESCRIBE DETAIL`): fleet-wide questions like "how many
+    * generations, how much logical data, how skewed, how much pending
+    * tombstone debt, which files predate the namesSorted guarantee"
+    * answer from sidecars only, zero Data.db IO. Nullable fields are
+    * null on stats-less (foreign/v0) generations; `cellCount` also on
+    * v1 sidecars. */
+  val generationsSchema: StructType = StructType(Seq(
+    StructField("generation", StringType, nullable = false),
+    StructField("dataBytes", LongType, nullable = false), // uncompressed
+    StructField("physicalBytes", LongType, nullable = false), // on-disk
+    StructField("compressed", BooleanType, nullable = false),
+    StructField("rowCount", LongType, nullable = true),
+    StructField("tombstoneCount", LongType, nullable = true),
+    StructField("cellCount", LongType, nullable = true),
+    StructField("minKey", BinaryType, nullable = true),
+    StructField("maxKey", BinaryType, nullable = true),
+    StructField("minTimestamp", LongType, nullable = true),
+    StructField("maxTimestamp", LongType, nullable = true),
+    StructField("namesSorted", BooleanType, nullable = true),
+    StructField("deleteOnly", BooleanType, nullable = true)))
+
   /** Project one cell onto the required cells-view fields. */
   def cellToInternal(key: Array[Byte], c: Column, required: StructType): InternalRow = {
     val full = columnToInternal(c)

@@ -99,8 +99,12 @@ object SSTableSource {
     * unique per write; path separators are rejected. */
   val JobTagOption = "jobtag"
   /** Read-side view: "rows" (default — one row per SSTable row, columns
-    * as an array) or "cells" ([[SSTableSchema.cellsSchema]] — one row per
-    * column cell, flattened; the source-side explode). Batch read only. */
+    * as an array), "cells" ([[SSTableSchema.cellsSchema]] — one row per
+    * column cell, flattened; the source-side explode), or "generations"
+    * ([[SSTableSchema.generationsSchema]] — one row per published
+    * fileset with its sidecar metadata: the ops/observability view, the
+    * `DESCRIBE DETAIL` of this format; zero Data.db IO). Batch read
+    * only. */
   val ViewOption = "view"
   /** Read a NAMED SNAPSHOT of the directory: `option("snapshot", tag)`
     * resolves the load path to the `_snapshot-<tag>/` hardlink pin that
@@ -170,13 +174,16 @@ object SSTableSource {
     * 0/unset lets Spark (incl. AQE coalescing) size it. */
   val WritePartitionsOption = "writepartitions"
 
-  private[spark] def isCellsView(v: Option[String]): Boolean = v match {
-    case None => false
-    case Some(s) if s.equalsIgnoreCase("cells") => true
-    case Some(s) if s.equalsIgnoreCase("rows") => false
+  private[spark] def viewOf(v: Option[String]): String = v match {
+    case None => "rows"
+    case Some(s) if s.equalsIgnoreCase("rows") => "rows"
+    case Some(s) if s.equalsIgnoreCase("cells") => "cells"
+    case Some(s) if s.equalsIgnoreCase("generations") => "generations"
     case Some(other) => throw new IllegalArgumentException(
-      s"sstable option '$ViewOption' must be 'rows' or 'cells', got '$other'")
+      s"sstable option '$ViewOption' must be 'rows', 'cells' or 'generations', got '$other'")
   }
+  private[spark] def isCellsView(v: Option[String]): Boolean =
+    viewOf(v) == "cells"
 
   /** Read option for directories laid out by
     * [[graft.operators.SSTableOps.writeBucketed]]: declares the bucket
@@ -219,13 +226,16 @@ final class SSTableTable(properties: Map[String, String])
       s"$basePath/${SSTableSource.SnapshotDirPrefix}${validTag(tag)}"
     case None => basePath
   }
-  private def cellsView: Boolean =
-    SSTableSource.isCellsView(properties.get(SSTableSource.ViewOption))
+  private def view: String =
+    SSTableSource.viewOf(properties.get(SSTableSource.ViewOption))
+  private def cellsView: Boolean = view == "cells"
+  private def generationsView: Boolean = view == "generations"
   private def buckets: Option[Int] =
     SSTableSource.bucketsOf(properties.get(SSTableSource.BucketsOption))
   override def name(): String = s"sstable(`$path`)"
   override def schema(): StructType =
-    if (cellsView) SSTableSchema.cellsSchema
+    if (generationsView) SSTableSchema.generationsSchema
+    else if (cellsView) SSTableSchema.cellsSchema
     else if (buckets.isDefined) SSTableSchema.bucketedSchema
     else SSTableSchema.schema
   override def capabilities(): util.Set[TableCapability] =
@@ -262,10 +272,17 @@ final class SSTableTable(properties: Map[String, String])
     val merged = new java.util.HashMap[String, String]()
     properties.foreach { case (k, v) => merged.put(k, v) }
     merged.putAll(options)
-    new SSTableScanBuilder(path, new CaseInsensitiveStringMap(merged))
+    if (generationsView) {
+      require(buckets.isEmpty, "view=generations lists raw generations; drop 'buckets'")
+      new GenerationsScanBuilder(path,
+        Option(merged.get(SSTableSource.SinceSnapshotOption)).map { tag =>
+          s"$basePath/${SSTableSource.SnapshotDirPrefix}${validTag(tag)}"
+        })
+    } else new SSTableScanBuilder(path, new CaseInsensitiveStringMap(merged))
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
-    require(!cellsView, "the cells view is read-only: write the default view")
+    require(!cellsView && !generationsView,
+      "this view is read-only: write the default view")
     require(buckets.isEmpty,
       "bucketed layouts are written by SSTableOps.writeBucketed, not the generic sink")
     require(snapshotTag.isEmpty,
@@ -287,7 +304,7 @@ final class SSTableTable(properties: Map[String, String])
     deletableKeys(filters).isDefined
   override def deleteWhere(filters: Array[Filter]): Unit = {
     require(snapshotTag.isEmpty && sinceSnapshotTag.isEmpty && buckets.isEmpty
-      && !cellsView, "DELETE targets the live rows-view directory")
+      && view == "rows", "DELETE targets the live rows-view directory")
     val storage = Storage.forPath(path,
       org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
     deletableKeys(filters) match {

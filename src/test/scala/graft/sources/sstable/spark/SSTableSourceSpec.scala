@@ -828,6 +828,48 @@ class SSTableSourceSpec extends AnyFunSuite {
     sq.stop()
   }
 
+  test("view=generations: one metadata row per fileset, zero data IO surfaces") {
+    import graft.operators.SSTableOps
+    val dir = freshDir()
+    writeGen(dir, "aaa", 0, 100)
+    writeGen(dir, "bbb", 100, 200)
+    graft.sources.sstable.SSTableMetadataCache.clear()
+    val g = spark.read.format("sstable").option("view", "generations").load(dir)
+    assert(g.schema == SSTableSchema.generationsSchema)
+    val rows = g.orderBy("generation").collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getString(0)).toSeq == Seq("aaa", "bbb"))
+    assert(rows.map(_.getLong(rows(0).fieldIndex("rowCount"))).toSeq == Seq(100L, 200L))
+    assert(rows.forall(r => !r.getBoolean(r.fieldIndex("deleteOnly"))))
+    assert(rows.forall(r => r.getLong(r.fieldIndex("dataBytes")) > 0))
+    // minKey/maxKey are the sidecar bounds
+    assert(new String(rows(0).getAs[Array[Byte]]("minKey")) == "key00000")
+    assert(new String(rows(1).getAs[Array[Byte]]("maxKey")) == "key00299")
+
+    // SQL over the view: compaction-debt style questions are one query
+    g.createOrReplaceTempView("gens")
+    assert(spark.sql("SELECT sum(rowCount) FROM gens").head().getLong(0) == 300)
+
+    // snapshot/sincesnapshot compose at the listing, like every read
+    SSTableOps.snapshot(dir, "g1")
+    writeGen(dir, "ccc", 300, 50)
+    graft.sources.sstable.SSTableMetadataCache.clear()
+    assert(spark.read.format("sstable").option("view", "generations")
+      .option("snapshot", "g1").load(dir).count() == 2)
+    val sinceGens = spark.read.format("sstable").option("view", "generations")
+      .option("sincesnapshot", "g1").load(dir)
+    assert(sinceGens.collect().map(_.getString(0)).toSeq == Seq("ccc"))
+
+    // the view is read-only (Spark rejects at schema resolution — the
+    // payload can never match the generations schema; the write builder
+    // backstops with its own require for by-position writers)
+    intercept[Exception] {
+      spark.read.format("sstable").load(dir).limit(1)
+        .write.format("sstable").option("view", "generations")
+        .mode("append").save(dir)
+    }
+  }
+
   test("pushed top-n on key: per-partition heads merge globally; desc declined") {
     val dir = freshDir()
     // interleaved generations: even keys in one, odd in the other — the
