@@ -176,6 +176,37 @@ object SSTableDemo {
     println(s"== STCS planning over ${all.size} generations: ${plan.length} bucket(s) of " +
       plan.map(_.length).mkString("[", ",", "]") + " files; largest generation " +
       (if (biggestBucketed) "IN a bucket" else "excluded"))
+
+    // generations metadata view: the format's DESCRIBE DETAIL — one row
+    // per fileset from sidecars only, zero Data.db IO
+    val gens = spark.read.format("sstable").option("view", "generations").load(dir)
+    val debt = gens.agg(sum("rowCount"), sum("tombstoneCount")).head()
+    println(s"== generations view: ${gens.count()} filesets, " +
+      s"${debt.getLong(0)} rows, ${debt.getLong(1)} tombstones (sidecars only)")
+
+    // SQL catalog + LSM DELETE: namespace/table DDL over directories,
+    // DELETE as a tombstone-generation append, merge-on-read SELECT
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[sources.sstable.spark.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", s"$dir-warehouse")
+    spark.sql("CREATE NAMESPACE graft.demo")
+    spark.sql("CREATE TABLE graft.demo.t")
+    spark.sql("INSERT INTO graft.demo.t VALUES " +
+      "(CAST('alice' AS BINARY), array(named_struct('name', CAST('c' AS BINARY), " +
+      "'state', 'NORMAL', 'value', CAST('1' AS BINARY), 'timestamp', CAST(10 AS BIGINT), " +
+      "'ttlSecs', CAST(0 AS BIGINT), 'expiresMillis', CAST(0 AS BIGINT))), " +
+      "CAST(NULL AS STRUCT<localDeletionTime: INT, markedForDeleteAt: BIGINT>)), " +
+      "(CAST('bob' AS BINARY), array(named_struct('name', CAST('c' AS BINARY), " +
+      "'state', 'NORMAL', 'value', CAST('2' AS BINARY), 'timestamp', CAST(20 AS BIGINT), " +
+      "'ttlSecs', CAST(0 AS BIGINT), 'expiresMillis', CAST(0 AS BIGINT))), " +
+      "CAST(NULL AS STRUCT<localDeletionTime: INT, markedForDeleteAt: BIGINT>))")
+    spark.sql("DELETE FROM graft.demo.t WHERE key = CAST('bob' AS BINARY)")
+    val live = spark.sql("SELECT key FROM graft.demo.t").collect()
+      .map(r => new String(r.getAs[Array[Byte]](0))).sorted.mkString(", ")
+    val rawGens = sources.sstable.SSTableReader
+      .listDataFiles(s"$dir-warehouse/demo/t").length
+    println(s"== SQL catalog: DELETE appended a tombstone generation " +
+      s"($rawGens filesets on disk); SELECT sees [$live] (merge-on-read)")
     spark.stop()
   }
 }
