@@ -252,6 +252,47 @@ object DedupQueries {
           md5(coalesce(col("clean_text"), lit(""))).as("clean_md5"),
           length(coalesce(col("clean_text"), lit(""))).cast("long").as("clean_chars"))
         .orderBy("doc_id")
+    }),
+    // Exact-substring dedup (Lee et al. 2022, the suffix-array pass of
+    // real training pipelines, recast as distributed SQL): every
+    // DupSpanTokens-token window is digested; windows whose digest
+    // appears in >= 2 DISTINCT documents are duplicated text; per doc,
+    // overlapping/adjacent duplicated windows merge into MAXIMAL spans
+    // (the removable substrings). 100 TB shape: one narrow
+    // window-explode (shuffle carries 32-hex digests + positions, never
+    // text), one digest hash-agg for the frequency table, one equi-join
+    // back, one per-doc window merge — no suffix array, no all-pairs,
+    // every step linear in total windows. Output is (doc, span) token
+    // intervals — integer-exact across engines.
+    "q_dup_spans" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.{Window => W}
+      val wins = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= DupSpanTokens)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(0), size(col("ws")) - DupSpanTokens),
+          i => struct(i.cast("long").as("start"),
+            md5(array_join(slice(col("ws"), i + 1, lit(DupSpanTokens)), " ")).as("h")))).as("w"))
+        .select(col("doc_id"), col("w.start"), col("w.h"))
+        .persist() // feeds the frequency agg AND the join back
+      val dup = wins.groupBy("h")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select("h")
+      val prevMax = W.partitionBy("doc_id").orderBy("start")
+        .rowsBetween(W.unboundedPreceding, -1)
+      val runSum = W.partitionBy("doc_id").orderBy("start")
+        .rowsBetween(W.unboundedPreceding, 0)
+      wins.join(dup, "h")
+        .withColumn("e", col("start") + (DupSpanTokens - 1))
+        .withColumn("pm", max(col("e")).over(prevMax))
+        .withColumn("ns",
+          when(col("pm").isNull || col("start") > col("pm") + 1, 1).otherwise(0))
+        .withColumn("span", sum(col("ns")).over(runSum))
+        .groupBy("doc_id", "span")
+        .agg(min(col("start")).as("span_start"), max(col("e")).as("span_end"))
+        .select(col("doc_id"), col("span_start"), col("span_end"),
+          (col("span_end") - col("span_start") + 1).as("span_tokens"))
+        .orderBy("doc_id", "span_start")
     })
   )
 
@@ -288,6 +329,30 @@ object DedupQueries {
   private val sampleF = s"WHERE doc_id < $PairSampleIds"
 
   def oracles: Map[String, String] = Map(
+    "q_dup_spans" ->
+      s"""WITH s AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          w AS (SELECT doc_id, u.i - 1 AS start,
+                       md5(array_to_string(ws[u.i : u.i + ${DupSpanTokens - 1}], ' ')) AS h
+                FROM s CROSS JOIN LATERAL
+                  (SELECT unnest(range(1, len(ws) - ${DupSpanTokens - 2})) AS i) u
+                WHERE len(ws) >= $DupSpanTokens),
+          dup AS (SELECT h FROM (
+              SELECT h, count(DISTINCT doc_id) AS nd FROM w GROUP BY h)
+            WHERE nd >= 2),
+          dw AS (SELECT doc_id, start, start + ${DupSpanTokens - 1} AS e
+                 FROM w WHERE h IN (SELECT h FROM dup)),
+          m AS (SELECT doc_id, start, e,
+                       max(e) OVER (PARTITION BY doc_id ORDER BY start
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+                FROM dw),
+          g AS (SELECT doc_id, start, e,
+                       sum(CASE WHEN pm IS NULL OR start > pm + 1 THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY doc_id ORDER BY start) AS span
+                FROM m)
+          SELECT doc_id, min(start) AS span_start, max(e) AS span_end,
+                 max(e) - min(start) + 1 AS span_tokens
+          FROM g GROUP BY doc_id, span
+          ORDER BY doc_id, span_start""",
     "q_dedup_docs" ->
       """SELECT min(doc_id) AS doc_id_kept, md5(text) AS h, CAST(count(*) AS BIGINT) AS n_dups
          FROM documents GROUP BY md5(text) ORDER BY doc_id_kept""",

@@ -106,6 +106,12 @@ object Params {
     * the row-level DELETE path (tombstone generation + delete-aware
     * read); the oracle keeps the complement. */
   val DeleteUserMod = 3
+  /** Exact-substring dedup (q_dup_spans): window width in tokens. Real
+    * pipelines use ~50 (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better"); the synthetic corpus' shared runs are
+    * shorter, so the harness value is 8 — the algorithm is width-
+    * agnostic. */
+  val DupSpanTokens = 8
   val JaccardTopPairs = 50
 
   /** Interval join (q_interval_join): incident windows = error bursts
