@@ -90,8 +90,9 @@ object Bench {
     "q_setops" -> 0.430, "q_shard_pack" -> 0.308,
     "q_simhash_pairs" -> 0.347, "q_sstable_asof" -> 0.415,
     "q_sstable_cells" -> 0.287, "q_sstable_compact" -> 0.427,
-    // r7 additions, corroborated min of three same-session sweeps
+    // r7 additions, corroborated min of same-session sweeps
     "q_sstable_since" -> 0.189, "q_sstable_delete" -> 0.235,
+    "q_dup_spans" -> 0.936,
     "q_sstable_topk" -> 0.046, "q_stratified" -> 0.173,
     "q_text_stats" -> 0.249, "q_tfidf_topk" -> 0.990,
     "q_token_count" -> 0.425, "q_tombstone_filter" -> 0.312,

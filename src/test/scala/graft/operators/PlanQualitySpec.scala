@@ -190,6 +190,23 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected _cb-partitioned row-level windows:\n$plan")
   }
 
+  test("q_dup_spans: digests shuffle, text never does; no pairwise doc join") {
+    val plan = finalPlan("q_dup_spans").split("== Initial Plan ==").head
+    // linear pipeline: the only joins are digest equi-joins (the dup set
+    // back onto the window relation); an all-pairs/suffix-array shape
+    // would surface as a cartesian or a doc×doc join
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"q_dup_spans must not do pairwise document comparison:\n$plan")
+    // every exchange carries digests/positions, never the text column
+    val exchanges = "Exchange [a-z]+partitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(exchanges.nonEmpty && exchanges.forall(!_.contains("text")),
+      s"an exchange carries document text:\n$exchanges")
+    // frequency table is a map-side-combinable hash agg on the digest
+    assert(plan.contains("partial_count(distinct"),
+      s"no partial distinct-doc count on the digest table:\n$plan")
+  }
+
   test("q_quantiles: windows consume the (lang,tok) count relation, never full rows") {
     val plan = finalPlan("q_quantiles").split("== Initial Plan ==").head
     // counting-sort form: the only full-data pass is a map-side-combinable
