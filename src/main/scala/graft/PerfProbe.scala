@@ -31,6 +31,7 @@ object PerfProbe {
     if (args.headOption.contains("topn")) { topnProbe(spark, time); spark.stop(); return }
     if (args.headOption.contains("slice")) { sliceProbe(spark, time); spark.stop(); return }
     if (args.headOption.contains("columnar")) { columnarProbe(); spark.stop(); return }
+    if (args.headOption.contains("deletes")) { deletesProbe(spark); spark.stop(); return }
 
     val docs = Tables.documents(spark, sfDir)
 
@@ -326,5 +327,62 @@ object PerfProbe {
       time(s"compactRows_pass$pass")(SSTableOps.compactRows(wide))
       time(s"compactRowsSalted_pass$pass")(SSTableOps.compactRowsSalted(wide))
     }
+  }
+
+  /** Price the delete-shadow machinery at scale: a 400k-row directory
+    * with 100k pending deleted keys — shadow load (driver, plan time),
+    * delete-aware scan vs raw scan, and the post-compaction scan once
+    * the debt is folded away. `runMain graft.PerfProbe deletes`. */
+  private def deletesProbe(spark: SparkSession): Unit = {
+    import graft.operators.SSTableOps
+    import graft.sources.sstable.LocalStorage
+    val dir = java.nio.file.Files.createTempDirectory("delprobe").toString
+    val n = 400000L
+    val dels = 100000L
+    spark.range(n).select(
+        concat(lit("k"), lpad(col("id").cast("string"), 7, "0")).cast("binary").as("key"),
+        array(struct(lit("c").cast("binary").as("name"), lit("NORMAL").as("state"),
+          col("id").cast("string").cast("binary").as("value"),
+          col("id").as("timestamp"), lit(0L).as("ttlSecs"),
+          lit(0L).as("expiresMillis"))).as("columns"))
+      .write.format("sstable").mode("overwrite").save(dir)
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2fs")
+      r
+    }
+    val doomed = (0L until dels).map(i =>
+      s"k${"%07d".format(i * (n / dels))}".getBytes: Any).toArray
+    t("deleteWhere_100k_keys") {
+      new graft.sources.sstable.spark.SSTableTable(Map(
+          graft.sources.sstable.spark.SSTableSource.PathOption -> dir))
+        .deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+          org.apache.spark.sql.sources.In("key", doomed)))
+    }
+    t("shadow_load_driver") {
+      val delGens = LocalStorage.listDataFiles(dir).filter(f =>
+        graft.sources.sstable.spark.DeleteShadow.isDeleteOnly(
+          new graft.sources.sstable.SSTableReader(f, LocalStorage).statistics))
+      val sh = graft.sources.sstable.spark.DeleteShadow.load(
+        delGens, LocalStorage, None, 4 << 20)
+      println(s"  shadow entries: ${sh.size}")
+    }
+    for (pass <- 1 to 2) {
+      t(s"scan_raw_pass$pass")(
+        spark.read.format("sstable").load(dir).count())
+      t(s"scan_deleteAware_pass$pass") {
+        val c = spark.read.format("sstable").option("applydeletes", "true")
+          .load(dir).count()
+        if (pass == 1) println(s"  live rows: $c (want ${n - dels})")
+        c
+      }
+    }
+    t("compact_fold_debt") {
+      while (SSTableOps.compactInPlace(spark, dir, minThreshold = 2) > 0) ()
+    }
+    t("scan_deleteAware_folded")(
+      spark.read.format("sstable").option("applydeletes", "true")
+        .load(dir).count())
   }
 }

@@ -356,6 +356,17 @@ object SSTableOps {
     (if (gc) suppressTombstones2(merged) else merged)
       .write.format("sstable")
       .option(graft.sources.sstable.spark.SSTableSource.JobTagOption, tag)
+      // ONE output generation per bucket — the fold contract STCS
+      // convergence depends on: outputs must number FEWER than inputs,
+      // and with the merge's shuffle sized by spark.sql.shuffle
+      // .partitions a bucket of k similar generations would otherwise
+      // fold into min(k, partitions) new similar generations and
+      // `while (compactInPlace > 0)` never terminates (observed live:
+      // 4 → 4 → … for 870+ passes). Cassandra's shape too — one
+      // compaction thread streams one output sstable per bucket;
+      // parallelism lives ACROSS buckets, and the writer is O(chunk)
+      // memory so one task per fold holds at any bucket size.
+      .option(graft.sources.sstable.spark.SSTableSource.WritePartitionsOption, "1")
       .mode("append").save(outDir)
     val storage = graft.sources.sstable.Storage.forPath(
       outDir, spark.sessionState.newHadoopConf())
@@ -457,6 +468,43 @@ object SSTableOps {
     // candidates, their deleted inputs must not be stat'd)
     buckets.foreach(foldBucketInPlace(spark, dir, _, storage))
     buckets.length
+  }
+
+  /** Single-generation tombstone compaction (Cassandra's
+    * `unchecked_tombstone_compaction` family): pick generations whose
+    * sidecar tombstone ratio reaches `ratioThreshold` AND whose key
+    * range no other generation overlaps — the isolation proof that
+    * makes their tombstones droppable — and plan each as a singleton
+    * fold. STCS ([[planCompaction]]) triggers on SIZE tiers, so a
+    * lone delete-heavy generation (a big `DELETE`, an expired-data
+    * purge) can sit un-folded for a long time while every delete-aware
+    * read carries its shadow map; this planner triggers on the DEBT
+    * itself. Non-isolated generations are skipped — a singleton fold
+    * would have to carry the tombstones, rewriting bytes for nothing. */
+  def planTombstoneCompaction(dir: String, ratioThreshold: Double = 0.2,
+                              storage: graft.sources.sstable.Storage =
+                                graft.sources.sstable.LocalStorage): Seq[Seq[String]] = {
+    val files = storage.listDataFiles(dir)
+    files.filter { f =>
+      new graft.sources.sstable.SSTableReader(f, storage).statistics.exists(s =>
+        s.tombstoneRatio >= ratioThreshold) &&
+        bucketIsolated(Seq(f), files, storage)
+    }.map(Seq(_))
+  }
+
+  /** Fold every [[planTombstoneCompaction]] pick in place (tombstones
+    * GC'd — the picks are isolated by construction, and
+    * [[foldBucketInPlace]] re-proves it against a fresh listing before
+    * and after each fold). Returns the number of generations folded.
+    * Same single-maintainer contract as [[compactInPlace]]. */
+  def compactTombstonesInPlace(spark: org.apache.spark.sql.SparkSession,
+                               dir: String,
+                               ratioThreshold: Double = 0.2): Int = {
+    val storage = graft.sources.sstable.Storage.forPath(
+      dir, spark.sessionState.newHadoopConf())
+    val picks = planTombstoneCompaction(dir, ratioThreshold, storage)
+    picks.foreach(foldBucketInPlace(spark, dir, _, storage))
+    picks.length
   }
 
   /** Manifest-free leveled-compaction view of a directory (LCS option,

@@ -682,6 +682,55 @@ class SSTableOpsSpec extends AnyFunSuite {
     assert(mergedKa == 0, "ka stays dead — GC withholding prevented resurrection")
   }
 
+  test("tombstone-debt compaction folds isolated delete-heavy generations only") {
+    import graft.sources.sstable.{Column, RowTombstone, SSTableRow, SSTableWriter}
+    def flush(dir: String, stem: String, rows: Seq[SSTableRow]): Unit = {
+      val w = new SSTableWriter(s"$dir/$stem-Data.db", compress = false,
+        summaryInterval = 4)
+      try rows.sortWith((a, b) =>
+        graft.sources.sstable.SSTableFiles.compareKeys(a.key, b.key) < 0).foreach(w.append)
+      finally w.close()
+    }
+    def norm(n: String, v: String, ts: Long) = Column.Normal(n.getBytes, v.getBytes, ts)
+    val dir = Files.createTempDirectory("tomb-debt").toString
+    // clean generation over keys a*: below every threshold, never picked
+    flush(dir, "clean", (0 until 50).map(i =>
+      SSTableRow(f"a$i%03d".getBytes, Seq(norm("c", "v", 10L)))))
+    // debt generation over keys d* (disjoint from a* and z*): half its
+    // rows tombstoned INTERNALLY — newer same-generation deletions of
+    // its own keys — so isolation makes the debt droppable
+    flush(dir, "debt", (0 until 40).map { i =>
+      if (i % 2 == 0)
+        SSTableRow(f"d$i%03d".getBytes, Nil, Some(RowTombstone(1700000000, 50L)))
+      else SSTableRow(f"d$i%03d".getBytes, Seq(norm("c", "live", 20L)))
+    })
+    // debt generation over keys z* that OVERLAPS a newer small flush —
+    // not isolated, must be skipped no matter the ratio
+    flush(dir, "zdebt", (0 until 40).map { i =>
+      if (i % 2 == 0)
+        SSTableRow(f"z$i%03d".getBytes, Nil, Some(RowTombstone(1700000000, 50L)))
+      else SSTableRow(f"z$i%03d".getBytes, Seq(norm("c", "live", 20L)))
+    })
+    flush(dir, "zover", Seq(SSTableRow("z001".getBytes, Seq(norm("c", "newer", 60L)))))
+
+    val picks = SSTableOps.planTombstoneCompaction(dir, ratioThreshold = 0.2)
+    assert(picks.map(_.map(f => f.substring(f.lastIndexOf('/') + 1))) ==
+      Seq(Seq("debt-Data.db")),
+      s"only the isolated debt generation qualifies: $picks")
+    assert(SSTableOps.compactTombstonesInPlace(spark, dir, 0.2) == 1)
+    // the fold GC'd the internal tombstones: only live d* rows remain,
+    // other generations untouched
+    val d = spark.read.format("sstable").load(dir)
+    assert(d.filter(col("rowTombstone").isNotNull).count() == 20,
+      "zdebt keeps its tombstones (not isolated)")
+    val dKeys = d.select(col("key").cast("string")).as[String].collect()
+      .filter(_.startsWith("d"))
+    assert(dKeys.length == 20 && dKeys.forall(k => k.drop(1).toInt % 2 == 1),
+      "isolated fold dropped tombstoned d* rows and their tombstones")
+    // rerun: nothing left to pick (the folded output is debt-free)
+    assert(SSTableOps.compactTombstonesInPlace(spark, dir, 0.2) == 0)
+  }
+
   test("GC'd fold re-validates isolation post-fold: a concurrent flush cannot resurrect (ADVICE r5)") {
     import graft.sources.sstable.{Column, LocalStorage, RowTombstone, SSTableRow,
       SSTableWriter, SeekableInput, Storage}
