@@ -149,6 +149,38 @@ class StreamingSinkSpec extends AnyFunSuite {
     assert(keys.toSeq == Seq("a", "b", "c", "d"), s"got ${keys.mkString(", ")}")
   }
 
+  test("streaming source is a change feed: a SQL DELETE's tombstones arrive as delete events") {
+    val dir = Files.createTempDirectory("sstable-stream-cdc").toString
+    val w = new graft.sources.sstable.SSTableWriter(s"$dir/base-Data.db",
+      compress = false, summaryInterval = 8)
+    Seq("a", "b").foreach(k => w.append(graft.sources.sstable.SSTableRow(
+      k.getBytes, Seq(graft.sources.sstable.Column.Normal(
+        "c".getBytes, k.getBytes, 10L)))))
+    w.close()
+
+    val q = spark.readStream.format("sstable").load(dir)
+      .select(col("key").cast("string").as("k"),
+        col("rowTombstone").isNotNull.as("deleted"))
+      .writeStream.outputMode("append").format("memory").queryName("sst_cdc")
+      .option("checkpointLocation", Files.createTempDirectory("sst-cdc-ck").toString)
+      .start()
+    q.processAllAvailable()
+    // the DELETE lands mid-stream as one tombstone generation — the raw
+    // change feed surfaces it as a delete EVENT (merge-on-read belongs
+    // to batch readers; a stream consumer applies it to its own state)
+    new graft.sources.sstable.spark.SSTableTable(Map(
+        graft.sources.sstable.spark.SSTableSource.PathOption -> dir,
+        graft.sources.sstable.spark.SSTableSource.DeleteMarkMicrosOption -> "99"))
+      .deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.EqualTo("key", "b".getBytes)))
+    q.processAllAvailable()
+    q.stop()
+    val events = spark.table("sst_cdc").collect()
+      .map(r => (r.getString(0), r.getBoolean(1))).sortBy(e => (e._1, e._2))
+    assert(events.toSeq == Seq(("a", false), ("b", false), ("b", true)),
+      s"expected upserts then a delete event, got ${events.mkString(", ")}")
+  }
+
   test("streaming source survives restart: offsets recover from the checkpoint, no replays") {
     val dir = Files.createTempDirectory("sstable-stream-rst").toString
     val ck = Files.createTempDirectory("sst-rst-ck").toString
