@@ -153,6 +153,36 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.d2.t")
   }
 
+  test("point reads and INSERT OVERWRITE compose with catalog DELETE") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.pr")
+    spark.sql("CREATE TABLE graft.pr.t")
+    val dir = s"$warehouse/pr/t"
+    insertRows("graft.pr.t", Seq(("a", "1", 100L), ("b", "2", 200L)))
+    spark.sql("DELETE FROM graft.pr.t WHERE key = CAST('b' AS BINARY)")
+    // the probe path (lookupJoin) reconciles the tombstone generation
+    // newest-first: the deleted key is a miss, the live key a hit
+    import spark.implicits._
+    val probes = Seq("a", "b").toDF("s")
+      .select(col("s").cast("binary").as("key"))
+    val hits = SSTableOps.lookupJoin(probes, dir)
+      .select(col("key").cast("string")).as[String].collect().toSeq
+    assert(hits == Seq("a"), s"lookupJoin must see the delete: $hits")
+    // and the embedded single-key read path agrees
+    assert(graft.sources.sstable.SSTableReader
+      .get(dir, "b".getBytes, gcTombstones = true).isEmpty)
+
+    // INSERT OVERWRITE = truncate + append through the same sink:
+    // everything (including the tombstone generation) is replaced
+    spark.sql("INSERT OVERWRITE graft.pr.t VALUES " +
+      "(CAST('z' AS BINARY), array(named_struct('name', CAST('c' AS BINARY), " +
+      "'state', 'NORMAL', 'value', CAST('9' AS BINARY), 'timestamp', CAST(999 AS BIGINT), " +
+      "'ttlSecs', CAST(0 AS BIGINT), 'expiresMillis', CAST(0 AS BIGINT))), " +
+      "CAST(NULL AS STRUCT<localDeletionTime: INT, markedForDeleteAt: BIGINT>))")
+    assert(keysOf(spark.sql("SELECT * FROM graft.pr.t")) == Seq("z"))
+    assert(graft.sources.sstable.LocalStorage.listDataFiles(dir).length == 1)
+    spark.sql("DROP TABLE graft.pr.t")
+  }
+
   test("delete-aware scans decline stats-only aggregates; raw scans keep them") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.agg")
     spark.sql("CREATE TABLE graft.agg.t")
