@@ -40,10 +40,15 @@ object Tables {
         raw.withColumnRenamed("ts", "ts_ns")
           .withColumn("ts_ms", expr("ts_ns div 1000000"))
           .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
-      case _ => // TIMESTAMP/TIMESTAMP_NTZ (micros)
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType => // TIMESTAMP(MICROS)
         raw.withColumn("ts", col("ts").cast("timestamp"))
           .withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
           .withColumn("ts_ms", expr("ts_ns div 1000000"))
+      case other => // a THIRD layout must fail loudly, not null-coerce
+        throw new IllegalStateException(
+          s"events.ts has unsupported physical type $other — " +
+            "teach Tables.events the new harness layout")
     }
   }
 

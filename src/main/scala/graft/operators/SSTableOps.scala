@@ -412,19 +412,43 @@ object SSTableOps {
     * and no concurrent writers to the directory, like Cassandra's one
     * compaction manager per node. */
   private[operators] def foldBucketInPlace(spark: org.apache.spark.sql.SparkSession,
-                                           dir: String, bucket: Seq[String],
-                                           storage: graft.sources.sstable.Storage): Unit = {
+                                           dir: String, bucket0: Seq[String],
+                                           storage: graft.sources.sstable.Storage): Boolean = {
     import graft.sources.sstable.SSTableFiles
-    val gc = bucketIsolated(bucket, storage.listDataFiles(dir), storage)
-    val outputs = compactFiles(spark, bucket, dir, gc = gc)
-    if (gc) {
-      val world = storage.listDataFiles(dir).filterNot(outputs.toSet)
-      if (!bucketIsolated(bucket, world, storage)) {
-        outputs.foreach(SSTableFiles.unpublish(storage, _))
-        compactFiles(spark, bucket, dir, gc = false)
-      }
+    import graft.sources.sstable.spark.DeleteShadow
+    val gc = bucketIsolated(bucket0, storage.listDataFiles(dir), storage)
+    // A non-GC fold must leave DELETE-ONLY generations alone: folding one
+    // into a mixed output would keep its tombstone ROWS (compactRows
+    // carries them) but destroy the sidecar delete-only signature that
+    // delete-aware reads hoist into their shadow map — the pending
+    // deletes would silently stop applying while overlapping generations
+    // outside the bucket still hold the deleted data (resurrection in
+    // the SQL-visible view). An isolated (GC) fold is the opposite: it
+    // resolves the debt properly, dropping tombstones AND shadowed data.
+    def nonDeleteOnly(fs: Seq[String]): Seq[String] =
+      fs.filterNot(f => DeleteShadow.isDeleteOnly(
+        new graft.sources.sstable.SSTableReader(f, storage).statistics))
+    def foldCarrying(fs: Seq[String]): Boolean = {
+      // carrying fold: delete-only members withheld (above); a singleton
+      // carrying fold is a pointless rewrite. Returns whether anything
+      // folded — repeat-until-zero callers need withheld buckets to
+      // count as NO-OPS or they would spin on them forever.
+      val keep = nonDeleteOnly(fs)
+      if (keep.length < 2) return false
+      compactFiles(spark, keep, dir, gc = false)
+      keep.foreach(SSTableFiles.unpublish(storage, _))
+      true
     }
-    bucket.foreach(SSTableFiles.unpublish(storage, _))
+    if (!gc) return foldCarrying(bucket0)
+    val outputs = compactFiles(spark, bucket0, dir, gc = true)
+    val world = storage.listDataFiles(dir).filterNot(outputs.toSet)
+    if (!bucketIsolated(bucket0, world, storage)) {
+      // a racing flush invalidated the GC proof: withdraw, refold
+      // carrying (delete-only members withheld here too)
+      outputs.foreach(SSTableFiles.unpublish(storage, _))
+      foldCarrying(bucket0)
+    } else { bucket0.foreach(SSTableFiles.unpublish(storage, _)) }
+    true
   }
 
   /** One STCS maintenance pass IN PLACE: fold every planned bucket into
@@ -466,8 +490,7 @@ object SSTableOps {
     // fresh listing per bucket inside the fold helper: earlier folds
     // changed the directory (their outputs must count as overlap
     // candidates, their deleted inputs must not be stat'd)
-    buckets.foreach(foldBucketInPlace(spark, dir, _, storage))
-    buckets.length
+    buckets.count(foldBucketInPlace(spark, dir, _, storage))
   }
 
   /** Single-generation tombstone compaction (Cassandra's
@@ -503,8 +526,7 @@ object SSTableOps {
     val storage = graft.sources.sstable.Storage.forPath(
       dir, spark.sessionState.newHadoopConf())
     val picks = planTombstoneCompaction(dir, ratioThreshold, storage)
-    picks.foreach(foldBucketInPlace(spark, dir, _, storage))
-    picks.length
+    picks.count(foldBucketInPlace(spark, dir, _, storage))
   }
 
   /** Manifest-free leveled-compaction view of a directory (LCS option,
@@ -616,8 +638,7 @@ object SSTableOps {
     val storage = graft.sources.sstable.Storage.forPath(
       dir, spark.sessionState.newHadoopConf())
     val buckets = planCompactionLeveled(dir, maxRuns, maxThreshold, storage)
-    buckets.foreach(foldBucketInPlace(spark, dir, _, storage))
-    buckets.length
+    buckets.count(foldBucketInPlace(spark, dir, _, storage))
   }
 
   /** Tombstone GC over an already-compacted relation: row-shadowed columns

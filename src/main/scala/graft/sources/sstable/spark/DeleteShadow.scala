@@ -80,14 +80,16 @@ object DeleteShadow {
           if (mfda != Long.MinValue && asOfMicros.forall(mfda <= _)) {
             val cur = m.get(row.key)
             if (cur == null || cur.longValue() < mfda) m.put(row.key, mfda)
+            // per-ROW bound: the check must fire before one oversized
+            // generation builds a multi-GB driver map, not after it
+            if (m.size > maxKeys)
+              throw new IllegalStateException(
+                s"delete shadow exceeds $maxKeys keys (${deleteGens.length} delete " +
+                  "generations pending) — run SSTableOps.compactInPlace to fold " +
+                  s"deletes into the data, or raise ${SSTableSource.MaxDeleteKeysOption}")
           }
         }
       } finally it.close()
-      if (m.size > maxKeys)
-        throw new IllegalStateException(
-          s"delete shadow exceeds $maxKeys keys (${deleteGens.length} delete " +
-            "generations pending) — run SSTableOps.compactInPlace to fold " +
-            s"deletes into the data, or raise ${SSTableSource.MaxDeleteKeysOption}")
     }
     val ks = new Array[Array[Byte]](m.size)
     val ts = new Array[Long](m.size)

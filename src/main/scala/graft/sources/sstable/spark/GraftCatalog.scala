@@ -65,12 +65,17 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     require(segOk(ident.name), s"bad table name: ${ident.name}")
     s"${nsDir(ident.namespace)}/${ident.name}"
   }
-  /** A directory is a table iff it holds (or once held) generations —
-    * i.e. it exists and isn't claimed as a namespace by having only
-    * subdirectory children. Empty directories are valid empty tables,
-    * so the catalog keeps the two spaces apart by convention: a name is
-    * a table when `loadTable` is asked for it and the directory exists. */
   private def dirExists(d: String): Boolean = storage.exists(d)
+  /** Tables and namespaces share the directory space, so destructive
+    * table DDL must not hit a namespace: a directory with visible
+    * (non-underscore) SUBDIRECTORIES is a namespace — table directories
+    * only ever contain generation files and `_`-prefixed internals
+    * (snapshots, staging, quarantine). An empty directory is ambiguous
+    * and treated as an (empty) table; a namespace becomes protected the
+    * moment it holds its first table. */
+  private def isTableDir(d: String): Boolean =
+    dirExists(d) && storage.listSubdirs(d, "")
+      .map(p => p.substring(p.lastIndexOf('/') + 1)).forall(!segOk(_))
 
   // ---- TableCatalog ----
 
@@ -83,7 +88,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def loadTable(ident: Identifier): Table = {
     val d = tableDir(ident)
-    if (!dirExists(d))
+    if (!isTableDir(d))
       throw new NoSuchTableException(ident)
     new SSTableTable(Map(
       SSTableSource.PathOption -> d,
@@ -91,20 +96,22 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def tableExists(ident: Identifier): Boolean =
-    dirExists(tableDir(ident))
+    isTableDir(tableDir(ident))
 
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
     require(partitions.isEmpty,
       "sstable tables are key-clustered by the format; PARTITIONED BY is not supported")
-    require(schema.isEmpty || schema.fieldNames.sameElements(
-        SSTableSchema.schema.fieldNames),
-      "sstable tables have the fixed schema (key, columns, rowTombstone); " +
-        "omit the column list or repeat it exactly")
+    require(schema.isEmpty || schema.fields.toSeq.map(f => (f.name, f.dataType)) ==
+        SSTableSchema.schema.fields.toSeq.map(f => (f.name, f.dataType)),
+      "sstable tables have the fixed schema (key BINARY, columns ARRAY<STRUCT<...>>, " +
+        "rowTombstone STRUCT<...>); omit the column list or repeat it exactly")
     val d = tableDir(ident)
     if (dirExists(d))
       throw new TableAlreadyExistsException(ident)
+    if (!dirExists(nsDir(ident.namespace)))
+      throw new NoSuchNamespaceException(catalogName +: ident.namespace)
     storage.mkdirs(d)
     loadTable(ident)
   }
@@ -115,13 +122,15 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def dropTable(ident: Identifier): Boolean = {
     val d = tableDir(ident)
-    dirExists(d) && { storage.deleteRecursive(d); true }
+    // a namespace (a directory holding tables) must survive DROP TABLE —
+    // dropNamespace with CASCADE is the only way to remove it
+    isTableDir(d) && { storage.deleteRecursive(d); true }
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     val from = tableDir(oldIdent)
     val to = tableDir(newIdent)
-    if (!dirExists(from))
+    if (!isTableDir(from))
       throw new NoSuchTableException(oldIdent)
     if (dirExists(to))
       throw new TableAlreadyExistsException(newIdent)

@@ -274,6 +274,18 @@ final class SSTableTable(properties: Map[String, String])
     merged.putAll(options)
     if (generationsView) {
       require(buckets.isEmpty, "view=generations lists raw generations; drop 'buckets'")
+      // data-read options that can't shape a metadata listing are
+      // rejected, not ignored — a silently dropped asofmicros would
+      // return post-cut generations against the caller's intent.
+      // (applydeletes is tolerated: catalog tables carry it as a table
+      // property, and the view ALWAYS reports raw metadata — its
+      // deleteOnly column is the delete-generation fact itself.)
+      Seq(SSTableSource.AsOfMicrosOption, SSTableSource.TtlAsOfMsOption)
+        .foreach { o =>
+          require(!merged.containsKey(o),
+            s"option '$o' does not apply to view=generations (the view " +
+              "reports raw fileset metadata; filter its columns instead)")
+        }
       new GenerationsScanBuilder(path,
         Option(merged.get(SSTableSource.SinceSnapshotOption)).map { tag =>
           s"$basePath/${SSTableSource.SnapshotDirPrefix}${validTag(tag)}"
@@ -886,7 +898,32 @@ final class SSTableScan(path: String, requiredSchema: StructType,
   }
 
   override def readSchema(): StructType = requiredSchema
-  override def toBatch: Batch = this
+  /** Delete-aware executions get a dedicated Batch that snapshots the
+    * (file listing, shadow map) pair ONCE — partitions and readers are
+    * guaranteed to describe the same directory state even when the same
+    * Scan instance executes concurrently (a re-used exec subtree); the
+    * mutable-stash alternative could pair one execution's partitions
+    * with another's shadow and resurrect deleted rows. Freshness is per
+    * toBatch call, the same contract as the listing itself. */
+  override def toBatch: Batch =
+    if (!applyDeletes) this
+    else new Batch {
+      private lazy val snap: (Array[InputPartition], Option[DeleteShadow]) = {
+        val (dataGens, shadow) = splitDeletes(listedFiles)
+        val files = if (shadow.exists(_.nonEmpty)) asOfFilePrune(dataGens)
+          else limitFilePrefix(asOfFilePrune(dataGens))
+        (SSTableScan.planPartitions(files, serConf,
+          distributedPlanningThreshold, targetSplitBytes,
+          keyLo.map(_._1), keyHi.map(_._1), eqKey, runtimeKeys,
+          hostsFromIndex = false),
+          shadow.filter(_.nonEmpty))
+      }
+      override def planInputPartitions(): Array[InputPartition] = snap._1
+      override def createReaderFactory(): PartitionReaderFactory =
+        new SSTableReaderFactory(requiredSchema, ttlAsOfMs, serConf, cellsView,
+          rowLimit = limit, asOfMicros = asOfMicros,
+          nameLo = nameLo, nameHi = nameHi, shadow = snap._2)
+    }
 
   /** Streaming read: new SSTable generations become micro-batches (the
     * Cassandra flush-ingestion model — see [[SSTableMicroBatchStream]]). */
@@ -900,8 +937,13 @@ final class SSTableScan(path: String, requiredSchema: StructType,
       "snapshot reads are batch-only: a snapshot is immutable, nothing ever arrives to stream")
     require(sinceDir.isEmpty,
       "sincesnapshot is batch-only: the streaming source already tails new generations")
-    require(!applyDeletes,
-      "applydeletes is batch-only: micro-batches tail whole new generations")
+    // applydeletes is permitted but has no batch-side meaning here: a
+    // stream tails whole NEW generations, so a later DELETE arrives as
+    // its own tombstone generation — raw delete EVENTS the consumer
+    // applies to its own state (the change-feed/CDC contract, spec-
+    // pinned). Merge-on-read is a batch concept; rejecting the option
+    // would make every GraftCatalog table (which carries it as a table
+    // property) unreadable via readStream for no semantic gain.
     new SSTableMicroBatchStream(path, requiredSchema, targetSplitBytes,
       ttlAsOfMs, serConf, maxFilesPerTrigger, maxBytesPerTrigger)
   }
@@ -933,13 +975,8 @@ final class SSTableScan(path: String, requiredSchema: StructType,
     * same reason). */
   override def planInputPartitions(): Array[InputPartition] = buckets match {
     case None =>
-      val (dataGens, shadow) = splitDeletes(listedFiles)
-      latestShadow = shadow
-      // pending deletes void the LIMIT prefix guarantee (sidecar counts
-      // include shadowed rows), so the prefix prune is skipped for them
-      val files = if (shadow.exists(_.nonEmpty)) asOfFilePrune(dataGens)
-        else limitFilePrefix(asOfFilePrune(dataGens))
-      SSTableScan.planPartitions(files,
+      SSTableScan.planPartitions(
+        limitFilePrefix(asOfFilePrune(listedFiles)),
         serConf, distributedPlanningThreshold, targetSplitBytes,
         keyLo.map(_._1), keyHi.map(_._1), eqKey, runtimeKeys,
         hostsFromIndex = false)
@@ -948,18 +985,16 @@ final class SSTableScan(path: String, requiredSchema: StructType,
 
   /** Delete-aware listing split: delete-only generations (provable from
     * their sidecars — [[DeleteShadow.isDeleteOnly]]) become the driver-
-    * side shadow map; the rest plan as data. Loaded per batch planning —
-    * the same freshness contract as the listing itself. */
-  @volatile private var latestShadow: Option[DeleteShadow] = None
+    * side shadow map; the rest plan as data. Pending deletes also void
+    * the LIMIT prefix guarantee (sidecar counts include shadowed rows),
+    * handled by the snapshot Batch in [[toBatch]]. */
   private def splitDeletes(files: Seq[String])
-      : (Seq[String], Option[DeleteShadow]) =
-    if (!applyDeletes) (files, None)
-    else {
-      val st = storage
-      val (del, data) = files.partition(f =>
-        DeleteShadow.isDeleteOnly(new SSTableReader(f, st).statistics))
-      (data, Some(DeleteShadow.load(del, st, asOfMicros, maxDeleteKeys)))
-    }
+      : (Seq[String], Option[DeleteShadow]) = {
+    val st = storage
+    val (del, data) = files.partition(f =>
+      DeleteShadow.isDeleteOnly(new SSTableReader(f, st).statistics))
+    (data, Some(DeleteShadow.load(del, st, asOfMicros, maxDeleteKeys)))
+  }
 
   /** The scan's file listing with the `sincesnapshot` floor applied —
     * the exclusion happens HERE, before every other pruning surface
@@ -1085,16 +1120,12 @@ final class SSTableScan(path: String, requiredSchema: StructType,
         new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
     }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    // planInputPartitions (same batch, driver, just before this) stashed
-    // the shadow; self-heal if an exotic call order skipped it
-    val shadow =
-      (if (applyDeletes) latestShadow.orElse(splitDeletes(listedFiles)._2)
-       else None).filter(_.nonEmpty)
+  override def createReaderFactory(): PartitionReaderFactory =
+    // the delete-aware path never reaches here: its toBatch returns the
+    // snapshot Batch, whose factory carries the paired shadow
     new SSTableReaderFactory(requiredSchema, ttlAsOfMs, serConf, cellsView,
       rowLimit = limit, asOfMicros = asOfMicros,
-      nameLo = nameLo, nameHi = nameHi, shadow = shadow)
-  }
+      nameLo = nameLo, nameHi = nameHi)
 }
 
 /** One whole bucket of a bucketed directory: every split of its

@@ -183,6 +183,93 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.pr.t")
   }
 
+  test("partial STCS folds never swallow pending deletes (no resurrection)") {
+    // the review-found hazard: a non-GC fold that includes the delete
+    // generation would keep its tombstone ROWS but destroy the sidecar
+    // delete-only signature the shadow map is built from — the delete
+    // would silently stop applying while the (un-folded, overlapping)
+    // base generation still holds the deleted data
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.res")
+    spark.sql("CREATE TABLE graft.res.t")
+    val dir = s"$warehouse/res/t"
+    // big base generation holding the doomed key — its own STCS tier
+    insertRows("graft.res.t",
+      (0 until 200).map(i => (f"k$i%04d", s"v$i", 100L + i)))
+    // four small flushes: same size tier as the delete generation
+    insertRows("graft.res.t", Seq(("s1", "x", 500L)))
+    insertRows("graft.res.t", Seq(("s2", "x", 501L)))
+    insertRows("graft.res.t", Seq(("s3", "x", 502L)))
+    spark.sql("DELETE FROM graft.res.t WHERE key = CAST('k0100' AS BINARY)")
+    assert(!keysOf(spark.sql("SELECT * FROM graft.res.t")).contains("k0100"))
+
+    // one STCS pass: the small tier (flushes + delete gen) buckets
+    // WITHOUT the base generation -> not isolated -> carrying fold.
+    // The delete generation must be withheld and keep shadowing.
+    SSTableOps.compactInPlace(spark, dir, minThreshold = 2, minSize = 0L)
+    val stillDeleteOnly = graft.sources.sstable.LocalStorage.listDataFiles(dir)
+      .exists(f => DeleteShadow.isDeleteOnly(
+        new graft.sources.sstable.SSTableReader(
+          f, graft.sources.sstable.LocalStorage).statistics))
+    assert(stillDeleteOnly, "the delete generation must survive a carrying fold")
+    assert(!keysOf(spark.sql("SELECT * FROM graft.res.t")).contains("k0100"),
+      "pending delete resurrected by a partial compaction")
+
+    // repeat-until-zero terminates even though the withheld delete
+    // generation keeps sitting in a foldable size tier
+    var guard = 0
+    while (SSTableOps.compactInPlace(spark, dir, minThreshold = 2, minSize = 0L) > 0) {
+      guard += 1
+      assert(guard < 20, "compactInPlace no longer converges")
+    }
+    assert(!keysOf(spark.sql("SELECT * FROM graft.res.t")).contains("k0100"))
+    spark.sql("DROP TABLE graft.res.t")
+  }
+
+  test("DDL guards: namespaces survive table DDL; CREATE checks its namespace and types") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.gd")
+    spark.sql("CREATE TABLE graft.gd.t1")
+    // DROP TABLE aimed at a NAMESPACE (a dir holding tables) must refuse
+    // — this typo used to recursively delete the namespace and its tables
+    intercept[Exception](spark.sql("DROP TABLE graft.gd"))
+    assert(spark.sql("SHOW TABLES IN graft.gd").collect()
+      .map(_.getString(1)).toSeq == Seq("t1"), "namespace must survive")
+    // RENAME of a namespace refuses the same way
+    intercept[Exception](spark.sql("ALTER TABLE graft.gd RENAME TO gd2"))
+    // CREATE TABLE in a namespace that doesn't exist fails instead of
+    // silently fabricating the namespace
+    intercept[Exception](spark.sql("CREATE TABLE graft.nope.t"))
+    assert(!spark.sql("SHOW NAMESPACES IN graft").collect()
+      .map(_.getString(0)).contains("nope"))
+    // a wrong-typed explicit column list is rejected (names alone used
+    // to pass)
+    intercept[Exception](spark.sql(
+      "CREATE TABLE graft.gd.bad (key INT, columns STRING, rowTombstone INT)"))
+    spark.sql("DROP NAMESPACE graft.gd CASCADE")
+  }
+
+  test("catalog tables stream as a change feed (delete events, not merge-on-read)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cf")
+    spark.sql("CREATE TABLE graft.cf.t")
+    insertRows("graft.cf.t", Seq(("a", "1", 10L), ("b", "2", 20L)))
+    val ck = Files.createTempDirectory("cf-ck").toString
+    val q = spark.readStream.table("graft.cf.t")
+      .select(col("key").cast("string").as("k"),
+        col("rowTombstone").isNotNull.as("deleted"))
+      .writeStream.outputMode("append").format("memory").queryName("cf_feed")
+      .option("checkpointLocation", ck).start()
+    q.processAllAvailable()
+    spark.sql("DELETE FROM graft.cf.t WHERE key = CAST('a' AS BINARY)")
+    q.processAllAvailable()
+    q.stop()
+    val events = spark.table("cf_feed").collect()
+      .map(r => (r.getString(0), r.getBoolean(1))).sortBy(e => (e._1, e._2))
+    assert(events.toSeq == Seq(("a", false), ("a", true), ("b", false)),
+      s"catalog stream must surface the delete event: ${events.mkString(", ")}")
+    // batch SELECT of the same table stays merge-on-read
+    assert(keysOf(spark.sql("SELECT * FROM graft.cf.t")) == Seq("b"))
+    spark.sql("DROP TABLE graft.cf.t")
+  }
+
   test("delete-aware scans decline stats-only aggregates; raw scans keep them") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.agg")
     spark.sql("CREATE TABLE graft.agg.t")
