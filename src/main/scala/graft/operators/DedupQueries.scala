@@ -264,37 +264,71 @@ object DedupQueries {
     // back, one per-doc window merge — no suffix array, no all-pairs,
     // every step linear in total windows. Output is (doc, span) token
     // intervals — integer-exact across engines.
-    "q_dup_spans" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.{Window => W}
-      val wins = Tables.documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .filter(size(col("ws")) >= DupSpanTokens)
-        .select(col("doc_id"), explode(transform(
-          sequence(lit(0), size(col("ws")) - DupSpanTokens),
-          i => struct(i.cast("long").as("start"),
-            md5(array_join(slice(col("ws"), i + 1, lit(DupSpanTokens)), " ")).as("h")))).as("w"))
-        .select(col("doc_id"), col("w.start"), col("w.h"))
-        .persist() // feeds the frequency agg AND the join back
-      val dup = wins.groupBy("h")
-        .agg(countDistinct(col("doc_id")).as("nd"))
-        .filter(col("nd") >= 2).select("h")
-      val prevMax = W.partitionBy("doc_id").orderBy("start")
-        .rowsBetween(W.unboundedPreceding, -1)
-      val runSum = W.partitionBy("doc_id").orderBy("start")
-        .rowsBetween(W.unboundedPreceding, 0)
-      wins.join(dup, "h")
-        .withColumn("e", col("start") + (DupSpanTokens - 1))
-        .withColumn("pm", max(col("e")).over(prevMax))
-        .withColumn("ns",
-          when(col("pm").isNull || col("start") > col("pm") + 1, 1).otherwise(0))
-        .withColumn("span", sum(col("ns")).over(runSum))
-        .groupBy("doc_id", "span")
-        .agg(min(col("start")).as("span_start"), max(col("e")).as("span_end"))
+    "q_dup_spans" -> ((s, d) =>
+      dupSpans(s, d)
         .select(col("doc_id"), col("span_start"), col("span_end"),
           (col("span_end") - col("span_start") + 1).as("span_tokens"))
-        .orderBy("doc_id", "span_start")
+        .orderBy("doc_id", "span_start")),
+    // The APPLY step: every duplicated span is scrubbed from every doc
+    // (the CCNet-flavored removal; a keep-one-owner policy is a
+    // per-span arbitration on top of the same relation). One token
+    // posexplode, a per-doc containment join against the tiny span
+    // relation (few spans per doc), and the same digest-only emission
+    // as para-dedup — the corpus text is never shuffled whole.
+    "q_dup_spans_apply" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      val spans = dupSpans(s, d)
+      val kept = toks.join(spans,
+          toks("doc_id") === spans("doc_id") &&
+            col("pos") >= col("span_start") && col("pos") <= col("span_end"),
+          "left_anti")
+      val cleaned = kept.groupBy("doc_id")
+        .agg(count(lit(1)).as("tokens_kept"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("word")))),
+            x => x.getField("word")), " ")).as("clean_md5"))
+      toks.groupBy("doc_id").agg(count(lit(1)).as("tokens_total"))
+        .join(cleaned, Seq("doc_id"), "left") // a doc can lose every token
+        .select(col("doc_id"), col("tokens_total"),
+          coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"),
+          coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
+        .orderBy("doc_id")
     })
   )
+
+  /** Shared core of q_dup_spans / q_dup_spans_apply: maximal duplicated
+    * token spans per document — windows digested, cross-doc-duplicated
+    * digests kept, overlapping/adjacent windows merged via a running-max
+    * window. Columns: (doc_id, span_start, span_end). */
+  private def dupSpans(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val wins = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= DupSpanTokens)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("ws")) - DupSpanTokens),
+        i => struct(i.cast("long").as("start"),
+          md5(array_join(slice(col("ws"), i + 1, lit(DupSpanTokens)), " ")).as("h")))).as("w"))
+      .select(col("doc_id"), col("w.start"), col("w.h"))
+      .persist() // feeds the frequency agg AND the join back
+    val dup = wins.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("h")
+    val prevMax = W.partitionBy("doc_id").orderBy("start")
+      .rowsBetween(W.unboundedPreceding, -1)
+    val runSum = W.partitionBy("doc_id").orderBy("start")
+      .rowsBetween(W.unboundedPreceding, 0)
+    wins.join(dup, "h")
+      .withColumn("e", col("start") + (DupSpanTokens - 1))
+      .withColumn("pm", max(col("e")).over(prevMax))
+      .withColumn("ns",
+        when(col("pm").isNull || col("start") > col("pm") + 1, 1).otherwise(0))
+      .withColumn("span", sum(col("ns")).over(runSum))
+      .groupBy("doc_id", "span")
+      .agg(min(col("start")).as("span_start"), max(col("e")).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"))
+  }
 
   private val rowsPerBand = MinHashPerms / MinHashBands
   private val shT = shinglesSql(toksSql("text"))
@@ -353,6 +387,44 @@ object DedupQueries {
                  max(e) - min(start) + 1 AS span_tokens
           FROM g GROUP BY doc_id, span
           ORDER BY doc_id, span_start""",
+    "q_dup_spans_apply" ->
+      s"""WITH s AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          toks AS (SELECT doc_id, u.i - 1 AS pos, ws[u.i] AS word
+                   FROM s CROSS JOIN LATERAL
+                     (SELECT unnest(range(1, len(ws) + 1)) AS i) u),
+          w AS (SELECT doc_id, u.i - 1 AS start,
+                       md5(array_to_string(ws[u.i : u.i + ${DupSpanTokens - 1}], ' ')) AS h
+                FROM s CROSS JOIN LATERAL
+                  (SELECT unnest(range(1, len(ws) - ${DupSpanTokens - 2})) AS i) u
+                WHERE len(ws) >= $DupSpanTokens),
+          dup AS (SELECT h FROM (
+              SELECT h, count(DISTINCT doc_id) AS nd FROM w GROUP BY h)
+            WHERE nd >= 2),
+          dw AS (SELECT doc_id, start, start + ${DupSpanTokens - 1} AS e
+                 FROM w WHERE h IN (SELECT h FROM dup)),
+          m AS (SELECT doc_id, start, e,
+                       max(e) OVER (PARTITION BY doc_id ORDER BY start
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+                FROM dw),
+          g AS (SELECT doc_id, start, e,
+                       sum(CASE WHEN pm IS NULL OR start > pm + 1 THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY doc_id ORDER BY start) AS span
+                FROM m),
+          spans AS (SELECT doc_id, min(start) AS span_start, max(e) AS span_end
+                    FROM g GROUP BY doc_id, span),
+          kept AS (SELECT t.doc_id, t.pos, t.word FROM toks t
+                   WHERE NOT EXISTS (SELECT 1 FROM spans p
+                     WHERE p.doc_id = t.doc_id
+                       AND t.pos BETWEEN p.span_start AND p.span_end)),
+          cl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS tokens_kept,
+                        md5(string_agg(word, ' ' ORDER BY pos)) AS clean_md5
+                 FROM kept GROUP BY doc_id)
+          SELECT t.doc_id, CAST(t.tokens_total AS BIGINT) AS tokens_total,
+                 coalesce(cl.tokens_kept, 0) AS tokens_kept,
+                 coalesce(cl.clean_md5, md5('')) AS clean_md5
+          FROM (SELECT doc_id, count(*) AS tokens_total FROM toks GROUP BY doc_id) t
+          LEFT JOIN cl USING (doc_id)
+          ORDER BY doc_id""",
     "q_dedup_docs" ->
       """SELECT min(doc_id) AS doc_id_kept, md5(text) AS h, CAST(count(*) AS BIGINT) AS n_dups
          FROM documents GROUP BY md5(text) ORDER BY doc_id_kept""",
