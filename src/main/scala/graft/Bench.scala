@@ -92,7 +92,7 @@ object Bench {
     "q_sstable_cells" -> 0.287, "q_sstable_compact" -> 0.427,
     // r7 additions, corroborated min of same-session sweeps
     "q_sstable_since" -> 0.189, "q_sstable_delete" -> 0.235,
-    "q_dup_spans" -> 0.936,
+    "q_dup_spans" -> 0.936, "q_dup_spans_apply" -> 1.152,
     "q_sstable_topk" -> 0.046, "q_stratified" -> 0.173,
     "q_text_stats" -> 0.249, "q_tfidf_topk" -> 0.990,
     "q_token_count" -> 0.425, "q_tombstone_filter" -> 0.312,
