@@ -774,6 +774,38 @@ object SSTableAggScan {
   }
 }
 
+/** Plan-time scan metrics (SQL-UI observability): how many generations
+  * the listing held, how many survived file pruning, how many splits
+  * were planned, and the pending-delete shadow size. Top-level classes
+  * with zero-arg constructors — Spark re-instantiates CustomMetric by
+  * reflection for UI aggregation. */
+final class GenerationsListedMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "generationsListed"
+  override def description(): String = "generations in the directory listing"
+}
+final class GenerationsPlannedMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "generationsPlanned"
+  override def description(): String = "generations surviving file-level pruning"
+}
+final class SplitsPlannedMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "splitsPlanned"
+  override def description(): String = "row-aligned splits planned"
+}
+final class PendingDeleteKeysMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "pendingDeleteKeys"
+  override def description(): String = "pending-delete keys in the shadow map"
+}
+/** Driver-metric value carrier for [[SSTableScan.reportDriverMetrics]]. */
+final case class PlanMetricValue(metricName: String, metricValue: Long)
+    extends org.apache.spark.sql.connector.metric.CustomTaskMetric {
+  override def name(): String = metricName
+  override def value(): Long = metricValue
+}
+
 /** One planned partition: a row-aligned byte range of one SSTable's
   * uncompressed Data.db, plus the matching Index.db range for key-only
   * scans. `hosts` are the storage block locations of the split's physical
@@ -909,14 +941,17 @@ final class SSTableScan(path: String, requiredSchema: StructType,
     if (!applyDeletes) this
     else new Batch {
       private lazy val snap: (Array[InputPartition], Option[DeleteShadow]) = {
-        val (dataGens, shadow) = splitDeletes(listedFiles)
+        val listed = listedFiles
+        val (dataGens, shadow) = splitDeletes(listed)
         val files = if (shadow.exists(_.nonEmpty)) asOfFilePrune(dataGens)
           else limitFilePrefix(asOfFilePrune(dataGens))
-        (SSTableScan.planPartitions(files, serConf,
+        val parts = SSTableScan.planPartitions(files, serConf,
           distributedPlanningThreshold, targetSplitBytes,
           keyLo.map(_._1), keyHi.map(_._1), eqKey, runtimeKeys,
-          hostsFromIndex = false),
-          shadow.filter(_.nonEmpty))
+          hostsFromIndex = false)
+        recordPlanning(listed.length, files.length, parts.length,
+          shadow.map(_.size.toLong).getOrElse(0L))
+        (parts, shadow.filter(_.nonEmpty))
       }
       override def planInputPartitions(): Array[InputPartition] = snap._1
       override def createReaderFactory(): PartitionReaderFactory =
@@ -975,12 +1010,46 @@ final class SSTableScan(path: String, requiredSchema: StructType,
     * same reason). */
   override def planInputPartitions(): Array[InputPartition] = buckets match {
     case None =>
-      SSTableScan.planPartitions(
-        limitFilePrefix(asOfFilePrune(listedFiles)),
+      val listed = listedFiles
+      val planned = limitFilePrefix(asOfFilePrune(listed))
+      val parts = SSTableScan.planPartitions(planned,
         serConf, distributedPlanningThreshold, targetSplitBytes,
         keyLo.map(_._1), keyHi.map(_._1), eqKey, runtimeKeys,
         hostsFromIndex = false)
-    case Some(_) => bucketPartitions.toArray
+      recordPlanning(listed.length, planned.length, parts.length, shadowEntries = 0)
+      parts
+    case Some(_) =>
+      val parts = bucketPartitions.toArray
+      recordPlanning(storage.listDataFiles(path).length, parts.length,
+        parts.map(_.asInstanceOf[SSTableBucketPartition].splits.length).sum,
+        shadowEntries = 0)
+      parts.map(p => p: InputPartition)
+  }
+
+  /** Plan-time observability (`SupportsReportStatistics`'s sibling for
+    * the UI): how many generations the listing held, how many survived
+    * file-level pruning (limit prefix, as-of, delete-only exclusion),
+    * how many splits were planned, and how many pending-delete keys the
+    * shadow carries — the numbers that explain a scan's IO before a
+    * single task runs. Driver metrics, surfaced on the BatchScan node
+    * in the SQL UI. */
+  @volatile private var planMetrics: Array[Long] = Array(0L, 0L, 0L, 0L)
+  private def recordPlanning(listed: Long, planned: Long, splits: Long,
+                             shadowEntries: Long): Unit =
+    planMetrics = Array(listed, planned, splits, shadowEntries)
+  override def supportedCustomMetrics():
+      Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    // top-level classes: Spark re-instantiates CustomMetric by
+    // reflection for the UI, which needs a zero-arg constructor
+    Array(new GenerationsListedMetric, new GenerationsPlannedMetric,
+      new SplitsPlannedMetric, new PendingDeleteKeysMetric)
+  override def reportDriverMetrics():
+      Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = {
+    val vals = planMetrics
+    SSTableScan.PlanMetricNames.zipWithIndex.map { case (n, i) =>
+      PlanMetricValue(n, vals(i)):
+        org.apache.spark.sql.connector.metric.CustomTaskMetric
+    }
   }
 
   /** Delete-aware listing split: delete-only generations (provable from
@@ -1144,6 +1213,12 @@ object SSTableScan {
     * time; larger sets fall back to range/split membership pruning only
     * (a huge probe set is a scan anyway). */
   private val MaxBloomProbeKeys = 16 * 1024
+
+  /** Driver plan metrics (SQL-UI names); order matches the scan's
+    * `planMetrics` slots. */
+  private[spark] val PlanMetricNames: Array[String] = Array(
+    "generationsListed", "generationsPlanned", "splitsPlanned",
+    "pendingDeleteKeys")
 
   /** `sincesnapshot` floor: drop generations whose fileset is hardlink-
     * pinned in the floor snapshot. Filesets are immutable and generation

@@ -870,6 +870,39 @@ class SSTableSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("plan-time custom metrics surface pruning and shadow size in the SQL UI") {
+    val dir = freshDir()
+    writeGen(dir, "aaa", 0, 300)
+    writeGen(dir, "bbb", 300, 300)
+    writeGen(dir, "ccc", 600, 300)
+    graft.sources.sstable.SSTableMetadataCache.clear()
+    // LIMIT prunes the file prefix: listed 3, planned 1
+    val df = spark.read.format("sstable").load(dir).limit(5)
+    df.collect()
+    val scan = collectBatchScans(df.queryExecution.executedPlan).head
+    val m = scan.metrics
+    assert(m.contains("generationsListed") && m.contains("generationsPlanned") &&
+      m.contains("splitsPlanned") && m.contains("pendingDeleteKeys"),
+      s"missing custom metrics: ${m.keySet}")
+    assert(m("generationsListed").value == 3)
+    assert(m("generationsPlanned").value == 1)
+    // delete-aware: the shadow size is reported
+    new SSTableTable(Map(
+        SSTableSource.PathOption -> dir,
+        SSTableSource.DeleteMarkMicrosOption -> "1000000"))
+      .deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.In("key",
+          Array("key00001".getBytes: Any, "key00002".getBytes: Any))))
+    graft.sources.sstable.SSTableMetadataCache.clear()
+    val dd = spark.read.format("sstable").option("applydeletes", "true").load(dir)
+    assert(dd.collect().length == 898) // collect: metrics land on THIS execution
+    val dm = collectBatchScans(dd.queryExecution.executedPlan).head.metrics
+    assert(dm("pendingDeleteKeys").value == 2,
+      s"shadow size not reported: ${dm.view.mapValues(_.value).toMap}")
+    assert(dm("generationsListed").value == 4) // incl. the delete generation
+    assert(dm("generationsPlanned").value == 3) // excluded from planning
+  }
+
   test("pushed top-n on key: per-partition heads merge globally; desc declined") {
     val dir = freshDir()
     // interleaved generations: even keys in one, odd in the other — the
