@@ -274,7 +274,9 @@ object DedupQueries {
     // per-span arbitration on top of the same relation). One token
     // posexplode, a per-doc containment join against the tiny span
     // relation (few spans per doc), and the same digest-only emission
-    // as para-dedup — the corpus text is never shuffled whole.
+    // as para-dedup — the corpus text is never shuffled whole. Per-doc
+    // totals come from size(split(...)) — a narrow projection, never a
+    // second explode of the corpus.
     "q_dup_spans_apply" -> ((s, d) => {
       val toks = Tables.documents(s, d)
         .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
@@ -288,7 +290,9 @@ object DedupQueries {
           md5(array_join(transform(
             array_sort(collect_list(struct(col("pos"), col("word")))),
             x => x.getField("word")), " ")).as("clean_md5"))
-      toks.groupBy("doc_id").agg(count(lit(1)).as("tokens_total"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("tokens_total"))
         .join(cleaned, Seq("doc_id"), "left") // a doc can lose every token
         .select(col("doc_id"), col("tokens_total"),
           coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"),

@@ -1018,12 +1018,7 @@ final class SSTableScan(path: String, requiredSchema: StructType,
         hostsFromIndex = false)
       recordPlanning(listed.length, planned.length, parts.length, shadowEntries = 0)
       parts
-    case Some(_) =>
-      val parts = bucketPartitions.toArray
-      recordPlanning(storage.listDataFiles(path).length, parts.length,
-        parts.map(_.asInstanceOf[SSTableBucketPartition].splits.length).sum,
-        shadowEntries = 0)
-      parts.map(p => p: InputPartition)
+    case Some(_) => bucketPartitions.toArray[InputPartition]
   }
 
   /** Plan-time observability (`SupportsReportStatistics`'s sibling for
@@ -1032,7 +1027,12 @@ final class SSTableScan(path: String, requiredSchema: StructType,
     * how many splits were planned, and how many pending-delete keys the
     * shadow carries — the numbers that explain a scan's IO before a
     * single task runs. Driver metrics, surfaced on the BatchScan node
-    * in the SQL UI. */
+    * in the SQL UI. API caveat: `reportDriverMetrics` lives on the
+    * SCAN, so when one Scan instance backs several concurrent
+    * executions (a re-used exec subtree) the stash is last-writer-wins
+    * — the numbers describe the scan's MOST RECENT planning. Telemetry
+    * only; result correctness is untouched (the delete-aware path
+    * pairs partitions and shadow inside its snapshot Batch). */
   @volatile private var planMetrics: Array[Long] = Array(0L, 0L, 0L, 0L)
   private def recordPlanning(listed: Long, planned: Long, splits: Long,
                              shadowEntries: Long): Unit =
@@ -1165,13 +1165,19 @@ final class SSTableScan(path: String, requiredSchema: StructType,
           s"not a bucketed generation (want bucket-NNNNN-*): $f")
       }
     }
-    (0 until n).map { b =>
+    var plannedGens = 0
+    val parts = (0 until n).map { b =>
+      val gens = asOfFilePrune(byBucket.getOrElse(b, Nil))
+      plannedGens += gens.length
       val splits = SSTableScan.planPartitions(
-        asOfFilePrune(byBucket.getOrElse(b, Nil)), serConf, distributedPlanningThreshold,
+        gens, serConf, distributedPlanningThreshold,
         targetSplitBytes, keyLo.map(_._1), keyHi.map(_._1), eqKey, keys = None,
         hostsFromIndex = false)
       SSTableBucketPartition(b, splits.map(_.asInstanceOf[SSTablePartition]))
     }
+    recordPlanning(byBucket.valuesIterator.map(_.length).sum, plannedGens,
+      parts.map(_.splits.length).sum, shadowEntries = 0)
+    parts
   }
 
   /** Key-grouped output for bucketed directories: partitions are
