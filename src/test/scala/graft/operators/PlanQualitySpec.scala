@@ -207,6 +207,18 @@ class PlanQualitySpec extends AnyFunSuite {
       s"no partial distinct-doc count on the digest table:\n$plan")
   }
 
+  test("q_dup_spans_apply: one corpus explode; totals from a narrow projection") {
+    val plan = finalPlan("q_dup_spans_apply").split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin")
+      || plan.contains("LeftAnti"), // containment anti-join may be BNLJ on the TINY span side only
+      s"unexpected join shape:\n$plan")
+    // the corpus text is exploded exactly once: the span-removal branch.
+    // totals come from size(split(...)) — a second Generate over the
+    // documents relation would double the heaviest stage
+    val explodes = "Generate posexplode".r.findAllIn(plan).length
+    assert(explodes == 1, s"expected ONE corpus posexplode, got $explodes:\n$plan")
+  }
+
   test("q_quantiles: windows consume the (lang,tok) count relation, never full rows") {
     val plan = finalPlan("q_quantiles").split("== Initial Plan ==").head
     // counting-sort form: the only full-data pass is a map-side-combinable
