@@ -870,6 +870,36 @@ class SSTableSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("sincesnapshot composes with applydeletes: the diff applies only its own deletes") {
+    import graft.operators.SSTableOps
+    spark.sparkContext // deleteWhere below needs the active session
+    val dir = freshDir()
+    writeGen(dir, "gen1", 0, 100)
+    SSTableOps.snapshot(dir, "floor")
+    writeGen(dir, "gen2", 100, 100) // the epoch's data
+    // the epoch DELETEs one pre-floor key and one of its own
+    new SSTableTable(Map(
+        SSTableSource.PathOption -> dir,
+        SSTableSource.DeleteMarkMicrosOption -> "1000000"))
+      .deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.In("key",
+          Array("key00010".getBytes: Any, "key00110".getBytes: Any))))
+    graft.sources.sstable.SSTableMetadataCache.clear()
+    // the delete-aware diff: epoch-2 rows minus the epoch's deletes —
+    // the delete generation is part of the diff (it landed after the
+    // floor), so it shadows; pre-floor data isn't in the diff at all
+    val diff = spark.read.format("sstable")
+      .option("sincesnapshot", "floor").option("applydeletes", "true").load(dir)
+      .select(col("key").cast("string")).collect().map(_.getString(0)).sorted
+    assert(diff.length == 99 && !diff.contains("key00110"),
+      s"diff must drop its own deleted key: ${diff.length}")
+    // the full delete-aware read drops both deleted keys
+    val full = spark.read.format("sstable")
+      .option("applydeletes", "true").load(dir)
+      .select(col("key").cast("string")).collect().map(_.getString(0))
+    assert(full.length == 198 && !full.contains("key00010") && !full.contains("key00110"))
+  }
+
   test("plan-time custom metrics surface pruning and shadow size in the SQL UI") {
     val dir = freshDir()
     writeGen(dir, "aaa", 0, 300)
