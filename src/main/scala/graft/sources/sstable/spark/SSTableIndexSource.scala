@@ -121,10 +121,32 @@ final class SSTableIndexScanBuilder(path: String, targetSplitBytes: Long)
   override def planInputPartitions(): Array[InputPartition] = {
     val st = serConf.map(c => new HadoopStorage(c.value): Storage)
       .getOrElse(LocalStorage)
-    SSTableScan.planPartitions(st.listDataFiles(path), serConf,
+    val listed = st.listDataFiles(path)
+    val parts = SSTableScan.planPartitions(listed, serConf,
       SSTableSource.DefaultDistributedPlanningThreshold, targetSplitBytes,
       bounds.lo.map(_._1), bounds.hi.map(_._1), bounds.eqKey, keys = None,
       hostsFromIndex = true)
+    planMetrics = Array(listed.length,
+      parts.map(_.asInstanceOf[SSTablePartition].dataPath).distinct.length,
+      parts.length)
+    parts
+  }
+  /** Same plan-time UI metrics as the data scan (minus the shadow —
+    * the index source never applies deletes); scan-level stash,
+    * last-writer-wins like [[SSTableScan]]'s. */
+  @volatile private var planMetrics: Array[Long] = Array(0L, 0L, 0L)
+  override def supportedCustomMetrics():
+      Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new GenerationsListedMetric, new GenerationsPlannedMetric,
+      new SplitsPlannedMetric)
+  override def reportDriverMetrics():
+      Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = {
+    val vals = planMetrics
+    Array("generationsListed", "generationsPlanned", "splitsPlanned")
+      .zipWithIndex.map { case (n, i) =>
+        PlanMetricValue(n, vals(i)):
+          org.apache.spark.sql.connector.metric.CustomTaskMetric
+      }
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new IndexReaderFactory(required, serConf, limit)
