@@ -444,11 +444,13 @@ object SSTableOps {
     val world = storage.listDataFiles(dir).filterNot(outputs.toSet)
     if (!bucketIsolated(bucket0, world, storage)) {
       // a racing flush invalidated the GC proof: withdraw, refold
-      // carrying (delete-only members withheld here too)
+      // carrying (delete-only members withheld here too). Its result IS
+      // this fold's result (ADVICE r7): when the withheld bucket has <2
+      // foldable members the recovery is a no-op, and reporting it as a
+      // fold would make repeat-until-zero callers spin an extra pass.
       outputs.foreach(SSTableFiles.unpublish(storage, _))
       foldCarrying(bucket0)
-    } else { bucket0.foreach(SSTableFiles.unpublish(storage, _)) }
-    true
+    } else { bucket0.foreach(SSTableFiles.unpublish(storage, _)); true }
   }
 
   /** One STCS maintenance pass IN PLACE: fold every planned bucket into

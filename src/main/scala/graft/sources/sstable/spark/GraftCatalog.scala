@@ -41,6 +41,7 @@ import graft.sources.sstable.Storage
   * options; `RENAME` is a directory move (atomic where the backend's
   * rename is); `ALTER` has nothing alterable. */
 final class GraftCatalog extends TableCatalog with SupportsNamespaces {
+  import GraftCatalog.NamespaceMarker
   private var catalogName: String = _
   private var warehouse: String = _
 
@@ -70,12 +71,17 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * table DDL must not hit a namespace: a directory with visible
     * (non-underscore) SUBDIRECTORIES is a namespace — table directories
     * only ever contain generation files and `_`-prefixed internals
-    * (snapshots, staging, quarantine). An empty directory is ambiguous
-    * and treated as an (empty) table; a namespace becomes protected the
-    * moment it holds its first table. */
+    * (snapshots, staging, quarantine) — and so is any directory carrying
+    * the `_namespace` marker [[createNamespace]] writes (ADVICE r7: an
+    * EMPTY namespace used to be indistinguishable from an empty table,
+    * so `DROP TABLE` aimed at it silently deleted the namespace).
+    * Marker-less empty directories (made outside the catalog) stay
+    * readable as empty tables; a namespace is also protected the moment
+    * it holds its first table. */
   private def isTableDir(d: String): Boolean =
-    dirExists(d) && storage.listSubdirs(d, "")
-      .map(p => p.substring(p.lastIndexOf('/') + 1)).forall(!segOk(_))
+    dirExists(d) && !storage.exists(s"$d/$NamespaceMarker") &&
+      storage.listSubdirs(d, "")
+        .map(p => p.substring(p.lastIndexOf('/') + 1)).forall(!segOk(_))
 
   // ---- TableCatalog ----
 
@@ -93,6 +99,53 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new SSTableTable(Map(
       SSTableSource.PathOption -> d,
       SSTableSource.ApplyDeletesOption -> "true"))
+  }
+
+  /** SQL time travel, pin form: `SELECT ... FROM graft.ns.t VERSION AS
+    * OF '<tag>'` reads the `_snapshot-<tag>/` hardlink pin that
+    * [[graft.operators.SSTableOps.snapshot]] created — byte-identical to
+    * the path API's `option("snapshot", tag)`. Unknown tags fail HERE,
+    * at resolution, not as an empty scan. Writes/DML to a time-traveled
+    * table are refused by [[SSTableTable]] (snapshots are immutable). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val d = tableDir(ident)
+    if (!isTableDir(d))
+      throw new NoSuchTableException(ident)
+    require(version.nonEmpty && !version.contains('/') && !version.contains('\\'),
+      s"bad snapshot tag: '$version'")
+    require(dirExists(s"$d/${SSTableSource.SnapshotDirPrefix}$version"),
+      s"table ${ident.toString} has no snapshot '$version' " +
+        "(SSTableOps.snapshot creates them; SSTableOps.listSnapshots lists them)")
+    new SSTableTable(Map(
+      SSTableSource.PathOption -> d,
+      SSTableSource.ApplyDeletesOption -> "true",
+      SSTableSource.SnapshotOption -> version))
+  }
+
+  /** SQL time travel, write-time form: `SELECT ... FROM graft.ns.t
+    * TIMESTAMP AS OF <t>` reconstructs the LWW state as of write
+    * timestamp `t` (Spark hands us epoch MICROS — the same unit the
+    * format's cell timestamps use) — byte-identical to the path API's
+    * `option("asofmicros", t)`. A cut that predates the table's earliest
+    * write fails loudly when every generation carries statistics to
+    * prove it (a stats-less foreign generation makes pre-history
+    * unprovable — the scan then just reads through the cut). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val d = tableDir(ident)
+    if (!isTableDir(d))
+      throw new NoSuchTableException(ident)
+    val stats = storage.listDataFiles(d)
+      .map(f => new graft.sources.sstable.SSTableReader(f, storage).statistics)
+    if (stats.nonEmpty && stats.forall(_.isDefined)) {
+      val earliest = stats.flatten.map(_.minTimestamp).min
+      require(timestamp >= earliest,
+        s"timestamp $timestamp predates the earliest write ($earliest) of " +
+          s"${ident.toString}; no state existed then")
+    }
+    new SSTableTable(Map(
+      SSTableSource.PathOption -> d,
+      SSTableSource.ApplyDeletesOption -> "true",
+      SSTableSource.AsOfMicrosOption -> timestamp.toString))
   }
 
   override def tableExists(ident: Identifier): Boolean =
@@ -169,7 +222,14 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
                                metadata: util.Map[String, String]): Unit = {
     val d = nsDir(namespace)
     require(!dirExists(d), s"namespace already exists: ${namespace.mkString(".")}")
+    // loud like createTable (ADVICE r7): a nested CREATE NAMESPACE must
+    // not silently fabricate missing ancestors via mkdirs
+    if (namespace.length > 1 && !dirExists(nsDir(namespace.dropRight(1))))
+      throw new NoSuchNamespaceException(catalogName +: namespace.dropRight(1))
     storage.mkdirs(d)
+    // the marker disambiguates an EMPTY namespace from an empty table so
+    // destructive table DDL can refuse it (see isTableDir)
+    storage.create(s"$d/$NamespaceMarker").close()
   }
 
   override def alterNamespace(namespace: Array[String],
@@ -189,4 +249,11 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def namespaceExists(namespace: Array[String]): Boolean =
     namespace.isEmpty || dirExists(nsDir(namespace))
+}
+
+object GraftCatalog {
+  /** Marker file [[GraftCatalog.createNamespace]] writes so an empty
+    * namespace is distinguishable from an empty table (`_`-prefixed:
+    * invisible to data listings and identifier rules). */
+  private[spark] val NamespaceMarker = "_namespace"
 }

@@ -301,6 +301,8 @@ final class SSTableTable(properties: Map[String, String])
       "snapshots are immutable point-in-time views: write the live directory")
     require(sinceSnapshotTag.isEmpty,
       "sincesnapshot is a read-side diff: write the live directory")
+    require(!properties.contains(SSTableSource.AsOfMicrosOption),
+      "asofmicros is read-side time travel: write the live directory")
     new SSTableWriteBuilder(path, info, properties)
   }
 
@@ -316,6 +318,7 @@ final class SSTableTable(properties: Map[String, String])
     deletableKeys(filters).isDefined
   override def deleteWhere(filters: Array[Filter]): Unit = {
     require(snapshotTag.isEmpty && sinceSnapshotTag.isEmpty && buckets.isEmpty
+      && !properties.contains(SSTableSource.AsOfMicrosOption)
       && view == "rows", "DELETE targets the live rows-view directory")
     val storage = Storage.forPath(path,
       org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())

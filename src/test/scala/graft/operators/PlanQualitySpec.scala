@@ -209,9 +209,14 @@ class PlanQualitySpec extends AnyFunSuite {
 
   test("q_dup_spans_apply: one corpus explode; totals from a narrow projection") {
     val plan = finalPlan("q_dup_spans_apply").split("== Initial Plan ==").head
-    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin")
-      || plan.contains("LeftAnti"), // containment anti-join may be BNLJ on the TINY span side only
-      s"unexpected join shape:\n$plan")
+    // (ADVICE r7: precedence made the old one-liner vacuous) — no
+    // cartesian ever; BNLJ tolerated ONLY as the LeftAnti containment
+    // join whose broadcast side is the tiny span relation
+    assert(!plan.contains("CartesianProduct"),
+      s"unexpected cartesian over the corpus:\n$plan")
+    val bnlj = "BroadcastNestedLoopJoin[^\n]*".r.findAllIn(plan).toSeq
+    assert(bnlj.forall(_.contains("LeftAnti")),
+      s"non-anti BNLJ over the corpus:\n$bnlj\n$plan")
     // the corpus text is exploded exactly once: the span-removal branch.
     // totals come from size(split(...)) — a second Generate over the
     // documents relation would double the heaviest stage

@@ -270,6 +270,79 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.cf.t")
   }
 
+  test("SQL time travel: VERSION AS OF = snapshot pin, TIMESTAMP AS OF = asof cut") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.tt")
+    spark.sql("CREATE TABLE graft.tt.t")
+    val dir = s"$warehouse/tt/t"
+    insertRows("graft.tt.t", Seq(("a", "v1", 100L), ("b", "v1", 200L)))
+    SSTableOps.snapshot(dir, "epoch1")
+    insertRows("graft.tt.t", Seq(("b", "v2", 300L), ("c", "v1", 400L)))
+    spark.sql("DELETE FROM graft.tt.t WHERE key = CAST('a' AS BINARY)")
+    // raw row versions, delete-shadowed: both b versions visible
+    assert(keysOf(spark.sql("SELECT * FROM graft.tt.t")) == Seq("b", "b", "c"))
+
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.selectExpr("cast(key as string) k",
+          "cast(columns[0].value as string) v", "columns[0].timestamp ts")
+        .collect().map(r => s"${r.getString(0)}|${r.getString(1)}|${r.getLong(2)}")
+        .toSeq.sorted
+
+    // VERSION AS OF '<tag>' ≡ option("snapshot", tag) bit-for-bit —
+    // pre-delete, pre-flush state
+    val viaSql = rows(spark.sql("SELECT * FROM graft.tt.t VERSION AS OF 'epoch1'"))
+    val viaOpt = rows(spark.read.format("sstable")
+      .option("snapshot", "epoch1").option("applydeletes", "true").load(dir))
+    assert(viaSql == viaOpt && viaSql == Seq("a|v1|100", "b|v1|200"))
+
+    // TIMESTAMP AS OF t ≡ option("asofmicros", t) bit-for-bit: at 250 μs
+    // b=v1 still wins, c absent, and the (later-marked) delete of a does
+    // not apply yet
+    val atSql = rows(spark.sql(
+      "SELECT * FROM graft.tt.t TIMESTAMP AS OF timestamp_micros(250)"))
+    val atOpt = rows(spark.read.format("sstable")
+      .option("asofmicros", "250").option("applydeletes", "true").load(dir))
+    assert(atSql == atOpt && atSql == Seq("a|v1|100", "b|v1|200"))
+    // at 350 μs: the second b version appears too; c still absent
+    assert(rows(spark.sql(
+      "SELECT * FROM graft.tt.t TIMESTAMP AS OF timestamp_micros(350)")) ==
+      Seq("a|v1|100", "b|v1|200", "b|v2|300"))
+
+    // unknown tag and pre-history timestamp fail loudly at resolution
+    val e1 = intercept[Exception](
+      spark.sql("SELECT * FROM graft.tt.t VERSION AS OF 'nope'").collect())
+    assert(e1.getMessage.contains("no snapshot"), e1.getMessage)
+    val e2 = intercept[Exception](
+      spark.sql("SELECT * FROM graft.tt.t TIMESTAMP AS OF timestamp_micros(50)")
+        .collect())
+    assert(e2.getMessage.contains("predates"), e2.getMessage)
+
+    // a time-traveled table refuses writes (path API carries the same
+    // properties the catalog resolves to)
+    import org.apache.spark.sql.SaveMode
+    intercept[Exception](
+      spark.read.format("sstable").load(dir).limit(1)
+        .write.format("sstable").option("snapshot", "epoch1")
+        .mode(SaveMode.Append).save(dir))
+    spark.sql("DROP TABLE graft.tt.t")
+  }
+
+  test("empty namespaces are protected from table DDL; nested CREATE needs its parent") {
+    spark.sql("CREATE NAMESPACE graft.emptyns")
+    // DROP TABLE / RENAME aimed at the empty NAMESPACE refuse (ADVICE
+    // r7: the marker disambiguates it from an empty table)
+    intercept[Exception](spark.sql("DROP TABLE graft.emptyns"))
+    intercept[Exception](spark.sql("ALTER TABLE graft.emptyns RENAME TO gone"))
+    assert(spark.sql("SHOW NAMESPACES IN graft").collect()
+      .map(_.getString(0)).contains("emptyns"), "namespace must survive")
+    // nested CREATE NAMESPACE requires its parent, like CREATE TABLE
+    intercept[Exception](spark.sql("CREATE NAMESPACE graft.noparent.child"))
+    assert(!spark.sql("SHOW NAMESPACES IN graft").collect()
+      .map(_.getString(0)).contains("noparent"))
+    spark.sql("CREATE NAMESPACE graft.emptyns.child") // parent exists: fine
+    spark.sql("DROP NAMESPACE graft.emptyns.child")
+    spark.sql("DROP NAMESPACE graft.emptyns")
+  }
+
   test("delete-aware scans decline stats-only aggregates; raw scans keep them") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.agg")
     spark.sql("CREATE TABLE graft.agg.t")
