@@ -106,6 +106,13 @@ object Params {
     * the row-level DELETE path (tombstone generation + delete-aware
     * read); the oracle keeps the complement. */
   val DeleteUserMod = 3
+  /** q_sstable_merge rewrites every user with `user_id % 10 == this`
+    * through a SQL MERGE INTO (matched update) and inserts a synthetic
+    * twin at `user_id + MergeNewUserOffset` (not-matched insert); the
+    * oracle mirrors both plus the untouched complement. Distinct from
+    * [[DeleteUserMod]] so the two physical fixtures never interact. */
+  val MergeUserMod = 7
+  val MergeNewUserOffset = 10000000L
   /** Exact-substring dedup (q_dup_spans): window width in tokens. Real
     * pipelines use ~50 (Lee et al., "Deduplicating Training Data Makes
     * Language Models Better"); the synthetic corpus' shared runs are

@@ -156,6 +156,25 @@ object WideRowQueries {
           col("timestamp").as("ts_ms"))
         .orderBy("user_id", "event_type", "ts_ms", "value_e4")
     }),
+    // SQL MERGE INTO over the REAL files through the catalog: the
+    // compacted corpus becomes a catalog table, one MERGE statement
+    // updates every MergeUserMod user to a single 'merged' cell and
+    // inserts a synthetic twin user (not-matched branch) — the
+    // delta-based row-level path (tombstone generation + stamped
+    // re-inserts, nothing rewritten). The delete-aware cells view must
+    // show the untouched complement cell-for-cell plus the merged/new
+    // rows at the statement's write timestamp (max corpus ts + 2,
+    // deterministic), which the oracle recomputes relationally.
+    "q_sstable_merge" -> ((s, d) => {
+      val dir = sstableMergeFixture(s, d)
+      s.read.format("sstable").option("applydeletes", "true")
+        .option("view", "cells").load(dir)
+        .select(col("key").cast("string").cast("long").as("user_id"),
+          col("name").cast("string").as("event_type"),
+          col("value").cast("string").cast("long").as("value_e4"),
+          col("timestamp").as("ts_ms"))
+        .orderBy("user_id", "event_type", "ts_ms", "value_e4")
+    }),
     // Time travel over the REAL files: the asofmicros read option drops
     // post-cut cell versions at decode (and whole post-cut generations
     // at plan time via Statistics minTimestamp), so compactRows yields
@@ -272,6 +291,58 @@ object WideRowQueries {
       dir
     }
 
+  /** Physical fixture for the SQL MERGE query: the LWW-compacted events
+    * corpus (ONE row version per user — MERGE's cardinality contract)
+    * written as a catalog-resolvable table, then mutated by one real
+    * `MERGE INTO` through [[graft.sources.sstable.spark.GraftCatalog]]:
+    * matched users collapse to a single 'merged' cell, synthetic
+    * not-matched twins insert fresh rows. The statement's write
+    * timestamp is max(corpus ts) + 2 by the row-level mark rule
+    * (max sidecar ts + 1, stamped at mark + 1) — deterministic, so the
+    * DuckDB twin reproduces it from the relation alone. */
+  private val mergeFixtureCache = new SessionCache[String]
+  private def sstableMergeFixture(s: SparkSession, d: String): String =
+    mergeFixtureCache.getOrCompute(s, d) {
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft-merge-" +
+        java.security.MessageDigest.getInstance("MD5").digest(d.getBytes)
+          .map("%02x".format(_)).mkString.take(16)
+      val root = java.nio.file.Paths.get(wh)
+      if (java.nio.file.Files.exists(root)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+      val dir = s"$wh/fx/t"
+      val e = Tables.events(s, d).select("user_id", "event_type", "ts_ms", "value")
+      val wide = e.select(col("user_id").cast("string").cast("binary").as("key"),
+        array(struct(col("event_type").cast("binary").as("name"),
+          lit("NORMAL").as("state"),
+          e4(col("value")).cast("string").cast("binary").as("value"),
+          col("ts_ms").as("timestamp"),
+          lit(0L).as("ttlSecs"), lit(0L).as("expiresMillis"))).as("columns"))
+      SSTableOps.compactRows(wide)
+        .write.format("sstable").mode("overwrite").save(dir)
+      s.conf.set("spark.sql.catalog.graft_fx",
+        classOf[graft.sources.sstable.spark.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_fx.warehouse", wh)
+      val touched = e.filter(col("user_id") % 10 === MergeUserMod)
+        .select("user_id").distinct()
+      touched.union(touched.select(col("user_id") + MergeNewUserOffset))
+        .select(col("user_id").cast("string").cast("binary").as("key"),
+          array(struct(lit("merged").cast("binary").as("name"),
+            lit("NORMAL").as("state"),
+            col("user_id").cast("string").cast("binary").as("value"),
+            lit(0L).as("timestamp"),
+            lit(0L).as("ttlSecs"), lit(0L).as("expiresMillis"))).as("columns"))
+        .createOrReplaceTempView("graft_merge_src")
+      s.sql("""
+        MERGE INTO graft_fx.fx.t t USING graft_merge_src s ON t.key = s.key
+        WHEN MATCHED THEN UPDATE SET columns = s.columns
+        WHEN NOT MATCHED THEN INSERT (key, columns, rowTombstone)
+          VALUES (s.key, s.columns, NULL)""")
+      dir
+    }
+
   /** Lift events into the nested scan schema, compact with the selected
     * merge variant, and explode back to a comparable relation. Each event
     * becomes a one-column row VERSION (multiple rows per key are exactly
@@ -359,6 +430,24 @@ object WideRowQueries {
     "q_sstable_delete" ->
       s"""SELECT user_id, event_type, ${e4Sql("value")} AS value_e4, ts_ms
           FROM $EventsSql WHERE user_id % 10 <> $DeleteUserMod
+          ORDER BY user_id, event_type, ts_ms, value_e4""",
+    // MERGE = untouched winners + merged cells + inserted twins, all at
+    // the statement's deterministic write timestamp (max ts + 2)
+    "q_sstable_merge" ->
+      s"""WITH winners AS (
+            SELECT user_id, event_type, ts_ms, ${e4Sql("value")} AS value_e4
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts_ms DESC) AS rn
+                  FROM $EventsSql) WHERE rn = 1),
+          wts AS (SELECT max(ts_ms) + 2 AS t FROM $EventsSql),
+          touched AS (SELECT DISTINCT user_id FROM $EventsSql WHERE user_id % 10 = $MergeUserMod)
+          SELECT user_id, event_type, value_e4, ts_ms FROM (
+            SELECT user_id, event_type, value_e4, ts_ms FROM winners
+            WHERE user_id % 10 <> $MergeUserMod
+            UNION ALL
+            SELECT user_id, 'merged', user_id, (SELECT t FROM wts) FROM touched
+            UNION ALL
+            SELECT user_id + $MergeNewUserOffset, 'merged',
+                   user_id + $MergeNewUserOffset, (SELECT t FROM wts) FROM touched)
           ORDER BY user_id, event_type, ts_ms, value_e4""",
     // the same smallest-k key multiset the pushed top-n produces
     "q_sstable_topk" ->

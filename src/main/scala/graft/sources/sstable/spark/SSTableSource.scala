@@ -208,7 +208,8 @@ object SSTableSource {
 final class SSTableTable(properties: Map[String, String])
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   private def basePath: String = properties.getOrElse(SSTableSource.PathOption,
     throw new IllegalArgumentException("sstable source requires a path"))
   private def snapshotTag: Option[String] =
@@ -357,6 +358,21 @@ final class SSTableTable(properties: Map[String, String])
       case _ => // empty IN-list: nothing to delete
     }
   }
+  /** SQL `UPDATE` / `MERGE INTO` / non-key-predicate `DELETE` — the
+    * delta-based row-level path ([[SSTableRowLevelOperation]]): appended
+    * tombstone + re-insert generations, never a rewrite. Refused on
+    * every non-live view (time travel, snapshots, diffs, cells/
+    * generations views, bucketed) like the other write surfaces. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(snapshotTag.isEmpty && sinceSnapshotTag.isEmpty && buckets.isEmpty
+      && !properties.contains(SSTableSource.AsOfMicrosOption)
+      && view == "rows",
+      "UPDATE/MERGE/DELETE target the live rows-view directory")
+    () => new SSTableRowLevelOperation(this, path, properties, info.command())
+  }
+
   /** None = unsupported shape; Some(None) = delete everything;
     * Some(Some(keys)) = delete exactly these keys. */
   private def deletableKeys(filters: Array[Filter])

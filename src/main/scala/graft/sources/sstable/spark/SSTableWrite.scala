@@ -290,13 +290,16 @@ final class SSTableWriterFactory(stagingDir: String, schema: StructType,
 /** Streams one partition's rows (already key-sorted by Spark) into a
   * 4-file SSTable set under the job staging dir. Accepts either the full
   * nested schema or a bare `key` plus nested `columns` in any field
-  * order. */
+  * order. `stampMicros` (row-level operations only) overrides every
+  * written cell's timestamp with the operation's write timestamp —
+  * the Cassandra server-side-timestamp contract of UPDATE/MERGE. */
 final class SSTablePartitionWriter(stagingDir: String, schema: StructType,
                                    partitionId: Int, taskId: Long, compress: Boolean,
                                    chunkLength: Int, summaryInterval: Int,
                                    bloomBitsPerKey: Int, storage: Storage,
                                    fileStem: String = null,
-                                   algorithm: String = CompressionInfo.SnappyAlgorithm)
+                                   algorithm: String = CompressionInfo.SnappyAlgorithm,
+                                   stampMicros: Option[Long] = None)
     extends DataWriter[InternalRow] {
   private val dataPath =
     if (fileStem != null) s"$stagingDir/$fileStem-Data.db"
@@ -327,7 +330,7 @@ final class SSTablePartitionWriter(stagingDir: String, schema: StructType,
           val c = arr.getStruct(i, colStruct.length)
           val name = c.getBinary(0)
           val state = c.getUTF8String(1).toString
-          val ts = c.getLong(3)
+          val ts = stampMicros.getOrElse(c.getLong(3))
           state match {
             case "NORMAL" => Column.Normal(name, c.getBinary(2), ts)
             case "DELETED" => Column.Deleted(name, ts)

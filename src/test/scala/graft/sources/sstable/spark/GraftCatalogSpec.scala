@@ -141,10 +141,11 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DELETE FROM graft.d2.t WHERE key IN " +
       "(CAST('a' AS BINARY), CAST('d' AS BINARY))")
     assert(keysOf(spark.sql("SELECT * FROM graft.d2.t")) == Seq("b", "c"))
-    // non-key predicate: refused (no silent full-scan rewrite), data intact
-    intercept[Exception](
-      spark.sql("DELETE FROM graft.d2.t WHERE size(columns) > 0"))
-    assert(spark.sql("SELECT * FROM graft.d2.t").count() == 2)
+    // non-key predicate: runs through the row-level (scan + tombstone
+    // delta) path — r7 refused it, r8 supports it
+    spark.sql("DELETE FROM graft.d2.t WHERE " +
+      "cast(columns[0].value as string) = '2'")
+    assert(keysOf(spark.sql("SELECT * FROM graft.d2.t")) == Seq("c"))
     // unconditional delete truncates
     spark.sql("DELETE FROM graft.d2.t")
     assert(spark.sql("SELECT * FROM graft.d2.t").count() == 0)
@@ -341,6 +342,74 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("CREATE NAMESPACE graft.emptyns.child") // parent exists: fine
     spark.sql("DROP NAMESPACE graft.emptyns.child")
     spark.sql("DROP NAMESPACE graft.emptyns")
+  }
+
+  test("SQL UPDATE: delete+insert delta, O(changed rows) appends, LWW-correct") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.up")
+    spark.sql("CREATE TABLE graft.up.t")
+    val dir = s"$warehouse/up/t"
+    insertRows("graft.up.t", Seq(("a", "v1", 100L), ("b", "v2", 200L), ("c", "v3", 300L)))
+    val gensBefore = graft.sources.sstable.LocalStorage.listDataFiles(dir).length
+
+    // value-predicate UPDATE: rewrites the columns array; the engine
+    // stamps the write timestamp (the 0 below never survives)
+    spark.sql("UPDATE graft.up.t SET columns = array(named_struct(" +
+      "'name', CAST('c' AS BINARY), 'state', 'NORMAL', " +
+      "'value', CAST('patched' AS BINARY), 'timestamp', CAST(0 AS BIGINT), " +
+      "'ttlSecs', CAST(0 AS BIGINT), 'expiresMillis', CAST(0 AS BIGINT))) " +
+      "WHERE cast(columns[0].value as string) = 'v2'")
+
+    // O(delta): ONE tombstone generation + at most a few insert filesets
+    val gensAfter = graft.sources.sstable.LocalStorage.listDataFiles(dir).length
+    assert(gensAfter <= gensBefore + 2,
+      s"UPDATE must append a delta, not rewrite: $gensBefore -> $gensAfter")
+    // merged view: exactly one b, with the new value, stamped after 300
+    val rows = spark.sql("SELECT * FROM graft.up.t")
+      .selectExpr("cast(key as string) k", "cast(columns[0].value as string) v",
+        "columns[0].timestamp ts")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq("a", "b", "c"), rows.mkString(","))
+    val b = rows(1)
+    assert(b._2 == "patched" && b._3 > 300, s"stamped write ts must win: $b")
+    // untouched rows keep their original timestamps
+    assert(rows(0)._3 == 100L && rows(2)._3 == 300L)
+    spark.sql("DROP TABLE graft.up.t")
+  }
+
+  test("SQL MERGE INTO: matched update + not-matched insert, one statement timestamp") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mg")
+    spark.sql("CREATE TABLE graft.mg.t")
+    insertRows("graft.mg.t", Seq(("a", "old-a", 100L), ("b", "old-b", 200L)))
+    // source relation: updates a, leaves b, inserts d
+    spark.sql("""
+      CREATE OR REPLACE TEMP VIEW mg_src AS
+      SELECT CAST(k AS BINARY) key, array(named_struct(
+        'name', CAST('c' AS BINARY), 'state', 'NORMAL',
+        'value', CAST(v AS BINARY), 'timestamp', CAST(0 AS BIGINT),
+        'ttlSecs', CAST(0 AS BIGINT), 'expiresMillis', CAST(0 AS BIGINT))) columns
+      FROM VALUES ('a', 'new-a'), ('d', 'new-d') AS s(k, v)""")
+    spark.sql("""
+      MERGE INTO graft.mg.t t USING mg_src s ON t.key = s.key
+      WHEN MATCHED THEN UPDATE SET columns = s.columns
+      WHEN NOT MATCHED THEN INSERT (key, columns, rowTombstone)
+        VALUES (s.key, s.columns, NULL)""")
+    val rows = spark.sql("SELECT * FROM graft.mg.t")
+      .selectExpr("cast(key as string) k", "cast(columns[0].value as string) v",
+        "columns[0].timestamp ts")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq("a", "b", "d"), rows.mkString(","))
+    assert(rows(0)._2 == "new-a" && rows(1)._2 == "old-b" && rows(2)._2 == "new-d")
+    // one write timestamp per statement, newer than everything prior
+    assert(rows(0)._3 == rows(2)._3 && rows(0)._3 > 200,
+      s"statement-level write timestamp: ${rows.mkString(",")}")
+    assert(rows(1)._3 == 200L)
+    // MERGE with a DELETE branch composes too
+    spark.sql("""
+      MERGE INTO graft.mg.t t USING mg_src s ON t.key = s.key
+      WHEN MATCHED AND cast(s.v_dummy AS STRING) IS NULL THEN DELETE"""
+      .replace("s.v_dummy", "NULL"))
+    assert(keysOf(spark.sql("SELECT * FROM graft.mg.t")) == Seq("b"))
+    spark.sql("DROP TABLE graft.mg.t")
   }
 
   test("delete-aware scans decline stats-only aggregates; raw scans keep them") {
