@@ -824,6 +824,30 @@ object SSTableOps {
                      graft.sources.sstable.LocalStorage): Unit =
     storage.deleteRecursive(snapshotPath(dir, tag))
 
+  /** Retention policy for snapshot pins (VERDICT r7 #6): drop every
+    * snapshot older than the horizon. The operational foot-gun this
+    * closes: a pin holds hardlinks to every generation it captured, so
+    * a FORGOTTEN snapshot keeps those bytes alive against compaction's
+    * unpublish and GC forever — the classic leak of pin-based time
+    * travel. Age is the pin directory's mtime (set at capture, stable
+    * afterwards — the same liveness rule as [[vacuumStaging]]); bytes
+    * survive wherever a live name or a younger pin still links them,
+    * and only then. Choose the horizon above your longest reproducible-
+    * read window (default 7 days). Returns (droppedTags, keptTags);
+    * like the rest of the maintenance family, run it from the single
+    * maintainer. */
+  def expireSnapshots(dir: String,
+                      olderThanMs: Long = 7L * 24 * 3600 * 1000,
+                      nowMs: Long = System.currentTimeMillis(),
+                      storage: graft.sources.sstable.Storage =
+                        graft.sources.sstable.LocalStorage): (Seq[String], Seq[String]) = {
+    val (stale, live) = storage.listSubdirs(dir, SnapshotPrefix)
+      .partition(p => nowMs - storage.mtime(p) > olderThanMs)
+    stale.foreach(storage.deleteRecursive)
+    (stale.map(p => fileName(p).drop(SnapshotPrefix.length)),
+      live.map(p => fileName(p).drop(SnapshotPrefix.length)))
+  }
+
   private def fileName(path: String): String =
     path.substring(path.lastIndexOf('/') + 1)
 

@@ -104,12 +104,18 @@ object SSTableSchema {
     StructField("namesSorted", BooleanType, nullable = true),
     StructField("deleteOnly", BooleanType, nullable = true)))
 
-  /** Project one cell onto the required cells-view fields. */
-  def cellToInternal(key: Array[Byte], c: Column, required: StructType): InternalRow = {
+  /** Project one cell onto the required cells-view fields. `genStem` is
+    * the publishing fileset's identity for the `_generation` metadata
+    * column (null when the read path has none, e.g. operator-side use —
+    * metadata columns are only reachable through the DSv2 scan, which
+    * always passes it). */
+  def cellToInternal(key: Array[Byte], c: Column, required: StructType,
+                     genStem: UTF8String = null): InternalRow = {
     val full = columnToInternal(c)
     val values = required.fields.map { f =>
       f.name match {
         case "key" => key
+        case SSTableSource.GenerationColumn => genStem
         case other => full.get(columnStruct.fieldIndex(other),
           columnStruct(other).dataType)
       }
@@ -132,8 +138,13 @@ object SSTableSchema {
       new GenericInternalRow(Array[Any](n, StateCounterUpdate, v, ts, 0L, 0L))
   }
 
-  /** Project a row onto the required top-level fields (column pruning). */
-  def rowToInternal(row: SSTableRow, required: StructType): InternalRow = {
+  /** Project a row onto the required top-level fields (column pruning).
+    * Metadata columns ride last when the query asked for them:
+    * `_generation` = the publishing fileset stem, `_change_type` = the
+    * row version's CDC meaning ("delete" when it carries a real row
+    * tombstone, else "upsert"). */
+  def rowToInternal(row: SSTableRow, required: StructType,
+                    genStem: UTF8String = null): InternalRow = {
     val values = required.fields.map { f =>
       f.name match {
         case "key" => row.key
@@ -142,9 +153,15 @@ object SSTableSchema {
         case "rowTombstone" =>
           row.tombstone.map(t => new GenericInternalRow(Array[Any](
             t.localDeletionTimeSecs, t.markedForDeleteAtMicros))).orNull
+        case SSTableSource.GenerationColumn => genStem
+        case SSTableSource.ChangeTypeColumn =>
+          if (row.tombstone.exists(_.markedForDeleteAtMicros != Long.MinValue))
+            ChangeTypeDelete else ChangeTypeUpsert
         case other => throw new IllegalStateException(s"unknown field $other")
       }
     }
     new GenericInternalRow(values.asInstanceOf[Array[Any]])
   }
+  private val ChangeTypeUpsert = UTF8String.fromString("upsert")
+  private val ChangeTypeDelete = UTF8String.fromString("delete")
 }

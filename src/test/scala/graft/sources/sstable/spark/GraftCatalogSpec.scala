@@ -412,6 +412,30 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.mg.t")
   }
 
+  test("TRUNCATE TABLE and SHOW CREATE TABLE round out the DDL surface") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.tr")
+    spark.sql("CREATE TABLE graft.tr.t")
+    val dir = s"$warehouse/tr/t"
+    insertRows("graft.tr.t", Seq(("a", "1", 10L), ("b", "2", 20L)))
+    insertRows("graft.tr.t", Seq(("c", "3", 30L)))
+    // TRUNCATE = the O(#generations) unpublish path (SupportsDelete's
+    // unconditional delete): no tombstone debt, an empty directory
+    spark.sql("TRUNCATE TABLE graft.tr.t")
+    assert(spark.sql("SELECT * FROM graft.tr.t").count() == 0)
+    assert(graft.sources.sstable.LocalStorage.listDataFiles(dir).isEmpty,
+      "TRUNCATE must unpublish, not tombstone")
+    // the table stays usable
+    insertRows("graft.tr.t", Seq(("z", "9", 99L)))
+    assert(keysOf(spark.sql("SELECT * FROM graft.tr.t")) == Seq("z"))
+    // SHOW CREATE TABLE emits the canonical fixed schema
+    val ddl = spark.sql("SHOW CREATE TABLE graft.tr.t").head().getString(0)
+    for (frag <- Seq("key BINARY", "columns ARRAY<STRUCT<", "state: STRING",
+        "timestamp: BIGINT", "rowTombstone STRUCT<localDeletionTime: INT",
+        "markedForDeleteAt: BIGINT"))
+      assert(ddl.contains(frag), s"SHOW CREATE TABLE missing '$frag':\n$ddl")
+    spark.sql("DROP TABLE graft.tr.t")
+  }
+
   test("delete-aware scans decline stats-only aggregates; raw scans keep them") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.agg")
     spark.sql("CREATE TABLE graft.agg.t")

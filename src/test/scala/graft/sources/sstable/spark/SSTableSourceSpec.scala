@@ -584,6 +584,113 @@ class SSTableSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed + sincesnapshot: per-bucket epoch diff keeps the zero-exchange merge") {
+    import graft.operators.SSTableOps
+    import spark.implicits._
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val dir = freshDir()
+    def gen(ts: Long, n: Int) = spark.range(n).select(
+      concat(lit("k"), lpad(col("id").cast("string"), 5, "0")).cast("binary").as("key"),
+      array(struct(lit("c").cast("binary").as("name"), lit("NORMAL").as("state"),
+        concat(lit("v"), lit(ts)).cast("binary").as("value"),
+        lit(ts).as("timestamp"),
+        lit(0L).as("ttlSecs"), lit(0L).as("expiresMillis"))).as("columns"),
+      lit(null).cast("struct<localDeletionTime:int,markedForDeleteAt:bigint>")
+        .as("rowTombstone"))
+    SSTableOps.writeBucketed(gen(1L, 400), dir, buckets = 4)
+    SSTableOps.snapshot(dir, "e1")
+    SSTableOps.writeBucketed(gen(2L, 300), dir, buckets = 4)
+
+    // the diff keeps the bucket structure: one partition per bucket…
+    val diff = spark.read.format("sstable").option("buckets", "4")
+      .option("sincesnapshot", "e1").load(dir)
+    assert(diff.rdd.getNumPartitions == 4, "epoch diff must keep one task per bucket")
+    // …and exactly the epoch-2 content, equal to the unbucketed diff
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("key").cast("string"),
+        to_json(struct(col("columns"), col("rowTombstone"))))
+        .as[(String, String)].collect().sorted.toSeq
+    val plainDiff = spark.read.format("sstable")
+      .option("sincesnapshot", "e1").load(dir)
+    assert(canon(diff.drop("_bucket")) == canon(plainDiff))
+    assert(diff.count() == 300)
+
+    // the incremental merge over the diff stays zero-exchange — the
+    // 100 TB CDC loop on a bucketed directory processes only its delta
+    // with storage-aligned clustering
+    val merged = SSTableOps.compactRows(diff)
+    merged.collect()
+    val plan = merged.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucketed epoch-diff merge must stay zero-exchange:\n$plan")
+    assert(merged.count() == 300)
+
+    // a fully-pinned epoch (no new generations) diffs to empty but KEEPS
+    // the declared partition count — the layout contract never flickers
+    SSTableOps.dropSnapshot(dir, "e2") // defensive: tag reuse across reruns
+    SSTableOps.snapshot(dir, "e2")
+    val empty = spark.read.format("sstable").option("buckets", "4")
+      .option("sincesnapshot", "e2").load(dir)
+    assert(empty.rdd.getNumPartitions == 4 && empty.count() == 0)
+  }
+
+  test("metadata columns: _generation provenance, _change_type change feed") {
+    import graft.operators.SSTableOps
+    import spark.implicits._
+    val dir = freshDir()
+    def gen(ts: Long, keys: Seq[String]) = keys.toDF("k").select(
+      col("k").cast("binary").as("key"),
+      array(struct(lit("c").cast("binary").as("name"), lit("NORMAL").as("state"),
+        lit("v").cast("binary").as("value"), lit(ts).as("timestamp"),
+        lit(0L).as("ttlSecs"), lit(0L).as("expiresMillis"))).as("columns"),
+      lit(null).cast("struct<localDeletionTime:int,markedForDeleteAt:bigint>")
+        .as("rowTombstone"))
+    gen(10L, Seq("ka", "kb")).coalesce(1)
+      .write.format("sstable").mode("append").save(dir)
+    SSTableOps.snapshot(dir, "m-e1")
+    gen(20L, Seq("kc")).coalesce(1)
+      .write.format("sstable").mode("append").save(dir)
+    new SSTableTable(Map(
+        SSTableSource.PathOption -> dir,
+        SSTableSource.DeleteMarkMicrosOption -> "30"))
+      .deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.EqualTo("key", "ka".getBytes: Any)))
+
+    // _generation names the publishing fileset; hidden from SELECT *
+    val all = spark.read.format("sstable").load(dir)
+    assert(!all.schema.fieldNames.contains("_generation"))
+    // DATA rows only (ka also has a tombstone row version from the
+    // delete generation — its provenance is the delete gen, correctly)
+    val byGen = all.filter(col("rowTombstone").isNull)
+      .select(col("key").cast("string"), col("_generation"))
+      .as[(String, String)].collect().toMap
+    assert(byGen.keySet == Set("ka", "kb", "kc"))
+    assert(byGen("ka") == byGen("kb") && byGen("ka") != byGen("kc"),
+      s"provenance must follow the publishing fileset: $byGen")
+    val onDisk = graft.sources.sstable.LocalStorage.listDataFiles(dir)
+      .map(graft.sources.sstable.SSTableFiles.generationStem).toSet
+    assert(byGen.values.toSet.subsetOf(onDisk))
+    val tombGen = all.filter(col("rowTombstone").isNotNull)
+      .select(col("_generation")).as[String].head()
+    assert(tombGen.contains("delete"), s"tombstone row's provenance: $tombGen")
+    // a key+_generation projection stays on the Index.db-only path
+    val keyGen = all.select(col("key"), col("_generation"))
+    assert(keyGen.queryExecution.executedPlan.toString.contains("indexOnly"))
+    assert(keyGen.count() == 4) // 3 data rows + 1 tombstone row
+
+    // _change_type: the epoch diff becomes an explicit change feed —
+    // the post-e1 generations hold one upsert (kc) and one delete (ka)
+    val feed = spark.read.format("sstable").option("sincesnapshot", "m-e1")
+      .load(dir)
+      .select(col("key").cast("string"), col("_change_type"))
+      .as[(String, String)].collect().toSet
+    assert(feed == Set(("kc", "upsert"), ("ka", "delete")), s"got $feed")
+    // _change_type forces row decode (tombstones live in Data.db)
+    val ctPlan = spark.read.format("sstable").load(dir)
+      .select(col("key"), col("_change_type"))
+    assert(!ctPlan.queryExecution.executedPlan.toString.contains("indexOnly"))
+  }
+
   test("SQL DDL surface: CREATE TABLE ... USING sstable reads and writes") {
     val dir = freshDir()
     writeFixture(dir)
