@@ -93,6 +93,10 @@ object Bench {
     // r7 additions, corroborated min of same-session sweeps
     "q_sstable_since" -> 0.189, "q_sstable_delete" -> 0.235,
     "q_dup_spans" -> 0.936, "q_dup_spans_apply" -> 1.152,
+    // r8 addition (SQL MERGE INTO through the catalog): sweeps measured
+    // 0.093/0.123 (+0.144 targeted); 0.093's corroboration gap is 1.32x,
+    // so the second-smallest corroborated value is frozen per the rule
+    "q_sstable_merge" -> 0.123,
     "q_sstable_topk" -> 0.046, "q_stratified" -> 0.173,
     "q_text_stats" -> 0.249, "q_tfidf_topk" -> 0.990,
     "q_token_count" -> 0.425, "q_tombstone_filter" -> 0.312,
@@ -121,7 +125,16 @@ object Bench {
       run(fn).foreach(err => errors(name) = err)
       (System.nanoTime() - t0) / 1e9
     }
-    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional argv filter: `runMain graft.Bench q_ann_recall` times just
+    // those queries — the adjudication probe for single-query drift
+    // (unknown names fail loudly rather than silently timing nothing)
+    val only = args.toSet
+    require(only.subsetOf(SparkEntry.queries.keySet),
+      s"unknown queries: ${(only -- SparkEntry.queries.keySet).mkString(", ")}")
+    val selected =
+      if (only.isEmpty) SparkEntry.queries else SparkEntry.queries.view
+        .filterKeys(only).toMap
+    val firstPass = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       run(fn) match { // warm-up: one-time codegen/JIT for this query shape
         case Some(err) =>
           errors(name) = err
