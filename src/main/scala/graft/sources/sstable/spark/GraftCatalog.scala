@@ -88,7 +88,11 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val d = nsDir(namespace)
     if (!dirExists(d)) throw new NoSuchNamespaceException(catalogName +: namespace)
-    storage.listSubdirs(d, "").map(p => p.substring(p.lastIndexOf('/') + 1))
+    storage.listSubdirs(d, "")
+      // child NAMESPACES (marker-carrying) are not tables; SHOW TABLES
+      // used to list them as phantom (empty) tables
+      .filter(p => !storage.exists(s"$p/$NamespaceMarker"))
+      .map(p => p.substring(p.lastIndexOf('/') + 1))
       .filter(segOk).sorted.map(Identifier.of(namespace, _)).toArray
   }
 

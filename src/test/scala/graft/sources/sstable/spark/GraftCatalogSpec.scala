@@ -340,6 +340,9 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(!spark.sql("SHOW NAMESPACES IN graft").collect()
       .map(_.getString(0)).contains("noparent"))
     spark.sql("CREATE NAMESPACE graft.emptyns.child") // parent exists: fine
+    // a child namespace is not a phantom table of its parent
+    assert(spark.sql("SHOW TABLES IN graft.emptyns").collect().isEmpty,
+      "child namespaces must not list as tables")
     spark.sql("DROP NAMESPACE graft.emptyns.child")
     spark.sql("DROP NAMESPACE graft.emptyns")
   }
@@ -373,6 +376,19 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(b._2 == "patched" && b._3 > 300, s"stamped write ts must win: $b")
     // untouched rows keep their original timestamps
     assert(rows(0)._3 == 100L && rows(2)._3 == 300L)
+
+    // a key-predicate UPDATE prunes its target scan: the row-level scan
+    // is the table's own DSv2 scan, so pushed key bounds reach split
+    // planning — at 100 TB the op reads O(affected splits), not the table
+    val pruned = spark.sql("UPDATE graft.up.t SET columns = array(named_struct(" +
+      "'name', CAST('c' AS BINARY), 'state', 'NORMAL', " +
+      "'value', CAST('again' AS BINARY), 'timestamp', CAST(0 AS BIGINT), " +
+      "'ttlSecs', CAST(0 AS BIGINT), 'expiresMillis', CAST(0 AS BIGINT))) " +
+      "WHERE key = CAST('a' AS BINARY)")
+    val updPlan = pruned.queryExecution.executedPlan.toString
+    assert(updPlan.contains("keyRangePruned"),
+      s"key-predicate UPDATE must prune the target scan:\n$updPlan")
+    assert(keysOf(spark.sql("SELECT * FROM graft.up.t")) == Seq("a", "b", "c"))
     spark.sql("DROP TABLE graft.up.t")
   }
 
