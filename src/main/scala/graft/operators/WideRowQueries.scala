@@ -303,9 +303,9 @@ object WideRowQueries {
   private val mergeFixtureCache = new SessionCache[String]
   private def sstableMergeFixture(s: SparkSession, d: String): String =
     mergeFixtureCache.getOrCompute(s, d) {
-      val wh = s"${System.getProperty("java.io.tmpdir")}/graft-merge-" +
-        java.security.MessageDigest.getInstance("MD5").digest(d.getBytes)
-          .map("%02x".format(_)).mkString.take(16)
+      val corpusTag = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes).map("%02x".format(_)).mkString.take(16)
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft-merge-$corpusTag"
       val root = java.nio.file.Paths.get(wh)
       if (java.nio.file.Files.exists(root)) {
         import scala.jdk.CollectionConverters._
@@ -322,9 +322,15 @@ object WideRowQueries {
           lit(0L).as("ttlSecs"), lit(0L).as("expiresMillis"))).as("columns"))
       SSTableOps.compactRows(wide)
         .write.format("sstable").mode("overwrite").save(dir)
-      s.conf.set("spark.sql.catalog.graft_fx",
+      // per-CORPUS catalog name (self-review r8): Spark's CatalogManager
+      // caches catalog instances by name after first load, so re-setting
+      // one shared name's warehouse conf for a second corpus would be
+      // ignored — the MERGE would silently mutate the first corpus'
+      // warehouse while this corpus' fixture stayed pre-merge
+      val cat = s"graft_fx_$corpusTag"
+      s.conf.set(s"spark.sql.catalog.$cat",
         classOf[graft.sources.sstable.spark.GraftCatalog].getName)
-      s.conf.set("spark.sql.catalog.graft_fx.warehouse", wh)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
       val touched = e.filter(col("user_id") % 10 === MergeUserMod)
         .select("user_id").distinct()
       touched.union(touched.select(col("user_id") + MergeNewUserOffset))
@@ -335,8 +341,8 @@ object WideRowQueries {
             lit(0L).as("timestamp"),
             lit(0L).as("ttlSecs"), lit(0L).as("expiresMillis"))).as("columns"))
         .createOrReplaceTempView("graft_merge_src")
-      s.sql("""
-        MERGE INTO graft_fx.fx.t t USING graft_merge_src s ON t.key = s.key
+      s.sql(s"""
+        MERGE INTO $cat.fx.t t USING graft_merge_src s ON t.key = s.key
         WHEN MATCHED THEN UPDATE SET columns = s.columns
         WHEN NOT MATCHED THEN INSERT (key, columns, rowTombstone)
           VALUES (s.key, s.columns, NULL)""")

@@ -120,6 +120,21 @@ object SSTableFiles {
       if (storage.exists(f)) storage.delete(f)
     }
 
+  /** Publish a STAGED fileset into `targetDir` under its own file names,
+    * honoring the publish ordering contract (siblings first, Data.db
+    * LAST — PublishOrderSuffixes ends with it): a concurrent reader that
+    * lists the Data.db always finds its complete fileset. The dual of
+    * [[unpublish]], and the single home of the rename loop the write
+    * paths (batch commit, delta commit, tombstone generation) share. */
+  def publish(storage: Storage, stagedDataPath: String, targetDir: String): Unit =
+    PublishOrderSuffixes.foreach { suf =>
+      val src = sibling(stagedDataPath, suf)
+      if (storage.exists(src)) {
+        val name = src.substring(src.lastIndexOf('/') + 1)
+        storage.rename(src, s"$targetDir/$name")
+      }
+    }
+
   /** Unsigned lexicographic byte comparison — the total order of row keys
     * (required for Summary/Index range pruning). */
   def compareKeys(a: Array[Byte], b: Array[Byte]): Int = {

@@ -227,9 +227,18 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val d = nsDir(namespace)
     require(!dirExists(d), s"namespace already exists: ${namespace.mkString(".")}")
     // loud like createTable (ADVICE r7): a nested CREATE NAMESPACE must
-    // not silently fabricate missing ancestors via mkdirs
-    if (namespace.length > 1 && !dirExists(nsDir(namespace.dropRight(1))))
-      throw new NoSuchNamespaceException(catalogName +: namespace.dropRight(1))
+    // not silently fabricate missing ancestors via mkdirs — and the
+    // parent must BE a namespace (self-review r8): planting a child dir
+    // + marker inside a TABLE directory would make the table stop
+    // resolving (isTableDir sees a visible subdir) with its data
+    // stranded behind DROP NAMESPACE CASCADE
+    if (namespace.length > 1) {
+      val parent = nsDir(namespace.dropRight(1))
+      if (!dirExists(parent))
+        throw new NoSuchNamespaceException(catalogName +: namespace.dropRight(1))
+      require(!isTableDir(parent),
+        s"${namespace.dropRight(1).mkString(".")} is a table, not a namespace")
+    }
     storage.mkdirs(d)
     // the marker disambiguates an EMPTY namespace from an empty table so
     // destructive table DDL can refuse it (see isTableDir)

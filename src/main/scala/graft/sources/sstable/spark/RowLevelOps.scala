@@ -139,44 +139,36 @@ final class SSTableDeltaBatchWrite(path: String, info: LogicalWriteInfo,
 
   override def createBatchWriterFactory(pinfo: PhysicalWriteInfo): DeltaWriterFactory = {
     storage.mkdirs(stagingDir)
-    val compress = properties.getOrElse(SSTableSource.CompressOption, "true").toBoolean
-    val chunkLength = properties.getOrElse(SSTableSource.ChunkLengthOption,
-      CompressionInfo.DefaultChunkLength.toString).toInt
-    val summaryInterval = properties.getOrElse(SSTableSource.SummaryIntervalOption,
-      IndexFile.DefaultSummaryInterval.toString).toInt
-    val bloomBitsPerKey = properties.getOrElse(SSTableSource.BloomBitsPerKeyOption,
-      FilterFile.DefaultBitsPerKey.toString).toInt
-    val algorithm = CompressionInfo.algorithmFor(properties.getOrElse(
-      SSTableSource.CompressionAlgorithmOption, CompressionInfo.SnappyAlgorithm))
+    val t = WriterTuning.of(properties)
     // java.util.Optional is not Serializable: resolve the id projection's
     // key position on the driver and ship the bare index
     val idKeyIdx =
       if (info.rowIdSchema().isPresent) info.rowIdSchema().get().fieldIndex("key")
       else 0
     new SSTableDeltaWriterFactory(stagingDir, info.schema(),
-      idKeyIdx, markMicros + 1, compress, chunkLength,
-      summaryInterval, bloomBitsPerKey, algorithm, serConf, jobTag)
+      idKeyIdx, markMicros + 1, t.compress, t.chunkLength,
+      t.summaryInterval, t.bloomBitsPerKey, t.algorithm, serConf, jobTag)
   }
 
-  /** Publish inserts first (duplicate versions are the raw view's normal
-    * state and LWW-invisible), then the single tombstone generation —
-    * a mid-commit reader never sees rows vanish before their
-    * replacements exist. */
+  /** EVERYTHING failable happens before the first publish (self-review
+    * r8): the delete-key bound is checked and the tombstone fileset is
+    * fully WRITTEN into staging while nothing is visible yet — a
+    * failure there aborts with the directory untouched (the old order
+    * published the re-inserts first, so an over-bound or failed
+    * statement left them permanently applied with no tombstone: a
+    * partially-applied UPDATE that reported an error). The publishes
+    * themselves are then bare renames: inserts first (duplicate
+    * versions are the raw view's normal state and LWW-invisible), the
+    * tombstone generation last — a mid-commit reader never sees rows
+    * vanish before their replacements exist. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val st = storage
+    val stagedInserts = ArrayBuffer.empty[String]
     val deleted = ArrayBuffer.empty[Array[Byte]]
     messages.foreach {
       case SSTableDeltaCommit(staged, dels) =>
+        stagedInserts ++= staged
         deleted ++= dels
-        staged.foreach { data =>
-          SSTableFiles.PublishOrderSuffixes.foreach { suf =>
-            val src = SSTableFiles.sibling(data, suf)
-            if (st.exists(src)) {
-              val name = src.substring(src.lastIndexOf('/') + 1)
-              st.rename(src, s"$path/$name")
-            }
-          }
-        }
       case _ =>
     }
     val keys = deleted
@@ -185,22 +177,19 @@ final class SSTableDeltaBatchWrite(path: String, info: LogicalWriteInfo,
       s"row-level operation deleted ${keys.length} keys > " +
         s"${SSTableSource.MaxDeleteKeysOption}=$maxDeleteKeys; compact the " +
         "directory (folding pending deletes away) or raise the option")
-    if (keys.nonEmpty) {
-      val ldtSecs = (System.currentTimeMillis() / 1000).toInt
-      val stagedTomb = s"$stagingDir/tombstones-$jobTag-Data.db"
-      val w = new SSTableWriter(stagedTomb, storage = st)
-      keys.sortWith(SSTableFiles.compareKeys(_, _) < 0).foreach { k =>
-        w.append(SSTableRow(k, Nil, Some(RowTombstone(ldtSecs, markMicros))))
-      }
-      w.close()
-      SSTableFiles.PublishOrderSuffixes.foreach { suf =>
-        val src = SSTableFiles.sibling(stagedTomb, suf)
-        if (st.exists(src)) {
-          val name = src.substring(src.lastIndexOf('/') + 1)
-          st.rename(src, s"$path/$name")
+    val stagedTomb =
+      if (keys.isEmpty) None
+      else {
+        val ldtSecs = (System.currentTimeMillis() / 1000).toInt
+        val p = s"$stagingDir/tombstones-$jobTag-Data.db"
+        val w = new SSTableWriter(p, storage = st)
+        keys.sortWith(SSTableFiles.compareKeys(_, _) < 0).foreach { k =>
+          w.append(SSTableRow(k, Nil, Some(RowTombstone(ldtSecs, markMicros))))
         }
+        w.close()
+        Some(p)
       }
-    }
+    (stagedInserts ++ stagedTomb).foreach(SSTableFiles.publish(st, _, path))
     st.deleteRecursive(stagingDir)
   }
 

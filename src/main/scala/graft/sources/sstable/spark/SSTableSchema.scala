@@ -155,7 +155,15 @@ object SSTableSchema {
             t.localDeletionTimeSecs, t.markedForDeleteAtMicros))).orNull
         case SSTableSource.GenerationColumn => genStem
         case SSTableSource.ChangeTypeColumn =>
-          if (row.tombstone.exists(_.markedForDeleteAtMicros != Long.MinValue))
+          // "delete" only when the tombstone is the row version's FINAL
+          // word: a compacted delete-then-reinsert row carries both the
+          // tombstone and newer surviving cells (foldCarrying keeps
+          // tombstone rows alongside outdating cells), and a consumer
+          // applying that as a delete would drop a key whose reconciled
+          // state is live (self-review r8)
+          val mfda = row.tombstone.map(_.markedForDeleteAtMicros)
+            .getOrElse(Long.MinValue)
+          if (mfda != Long.MinValue && !row.columns.exists(_.timestamp > mfda))
             ChangeTypeDelete else ChangeTypeUpsert
         case other => throw new IllegalStateException(s"unknown field $other")
       }

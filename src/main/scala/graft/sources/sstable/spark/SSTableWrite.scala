@@ -99,6 +99,25 @@ final class SSTableWrite(path: String, schema: StructType,
 /** Staged 4-file set of one committed task attempt. */
 final case class SSTableCommit(stagedDataPaths: Seq[String]) extends WriterCommitMessage
 
+/** The physical-writer knobs every write path (batch, streaming, delta)
+  * parses from the same options — one parser, so the paths can never
+  * drift on defaults. */
+final case class WriterTuning(compress: Boolean, chunkLength: Int,
+                              summaryInterval: Int, bloomBitsPerKey: Int,
+                              algorithm: String)
+object WriterTuning {
+  def of(properties: Map[String, String]): WriterTuning = WriterTuning(
+    compress = properties.getOrElse(SSTableSource.CompressOption, "true").toBoolean,
+    chunkLength = properties.getOrElse(SSTableSource.ChunkLengthOption,
+      CompressionInfo.DefaultChunkLength.toString).toInt,
+    summaryInterval = properties.getOrElse(SSTableSource.SummaryIntervalOption,
+      IndexFile.DefaultSummaryInterval.toString).toInt,
+    bloomBitsPerKey = properties.getOrElse(SSTableSource.BloomBitsPerKeyOption,
+      FilterFile.DefaultBitsPerKey.toString).toInt,
+    algorithm = CompressionInfo.algorithmFor(properties.getOrElse(
+      SSTableSource.CompressionAlgorithmOption, CompressionInfo.SnappyAlgorithm)))
+}
+
 final class SSTableBatchWrite(path: String, schema: StructType,
                               properties: Map[String, String], truncate: Boolean)
     extends BatchWrite {
@@ -129,17 +148,9 @@ final class SSTableBatchWrite(path: String, schema: StructType,
     if (truncate && st.exists(path))
       st.listDataFiles(path).foreach(SSTableFiles.unpublish(st, _))
     st.mkdirs(stagingDir)
-    val compress = properties.getOrElse(SSTableSource.CompressOption, "true").toBoolean
-    val chunkLength = properties.getOrElse(SSTableSource.ChunkLengthOption,
-      CompressionInfo.DefaultChunkLength.toString).toInt
-    val summaryInterval = properties.getOrElse(SSTableSource.SummaryIntervalOption,
-      IndexFile.DefaultSummaryInterval.toString).toInt
-    val bloomBitsPerKey = properties.getOrElse(SSTableSource.BloomBitsPerKeyOption,
-      FilterFile.DefaultBitsPerKey.toString).toInt
-    val algorithm = CompressionInfo.algorithmFor(properties.getOrElse(
-      SSTableSource.CompressionAlgorithmOption, CompressionInfo.SnappyAlgorithm))
-    new SSTableWriterFactory(stagingDir, schema, compress, chunkLength,
-      summaryInterval, bloomBitsPerKey, algorithm, serConf, jobTag)
+    val t = WriterTuning.of(properties)
+    new SSTableWriterFactory(stagingDir, schema, t.compress, t.chunkLength,
+      t.summaryInterval, t.bloomBitsPerKey, t.algorithm, serConf, jobTag)
   }
 
   /** Rename the winning attempts' staged files into the target dir —
@@ -148,15 +159,8 @@ final class SSTableBatchWrite(path: String, schema: StructType,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val st = storage
     messages.foreach {
-      case SSTableCommit(staged) => staged.foreach { data =>
-        SSTableFiles.PublishOrderSuffixes.foreach { suf =>
-          val src = SSTableFiles.sibling(data, suf)
-          if (st.exists(src)) {
-            val name = src.substring(src.lastIndexOf('/') + 1)
-            st.rename(src, s"$path/$name")
-          }
-        }
-      }
+      case SSTableCommit(staged) =>
+        staged.foreach(SSTableFiles.publish(st, _, path))
       case _ =>
     }
     removeStaging(st)
@@ -199,17 +203,9 @@ final class SSTableStreamingWrite(path: String, schema: StructType,
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     storage.mkdirs(stagingDir)
-    val compress = properties.getOrElse(SSTableSource.CompressOption, "true").toBoolean
-    val chunkLength = properties.getOrElse(SSTableSource.ChunkLengthOption,
-      CompressionInfo.DefaultChunkLength.toString).toInt
-    val summaryInterval = properties.getOrElse(SSTableSource.SummaryIntervalOption,
-      IndexFile.DefaultSummaryInterval.toString).toInt
-    val bloomBitsPerKey = properties.getOrElse(SSTableSource.BloomBitsPerKeyOption,
-      FilterFile.DefaultBitsPerKey.toString).toInt
-    val algorithm = CompressionInfo.algorithmFor(properties.getOrElse(
-      SSTableSource.CompressionAlgorithmOption, CompressionInfo.SnappyAlgorithm))
-    new SSTableStreamingWriterFactory(stagingDir, schema, compress, chunkLength,
-      summaryInterval, bloomBitsPerKey, algorithm, serConf)
+    val t = WriterTuning.of(properties)
+    new SSTableStreamingWriterFactory(stagingDir, schema, t.compress, t.chunkLength,
+      t.summaryInterval, t.bloomBitsPerKey, t.algorithm, serConf)
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {

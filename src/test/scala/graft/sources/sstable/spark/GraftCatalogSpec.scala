@@ -337,6 +337,14 @@ class GraftCatalogSpec extends AnyFunSuite {
       .map(_.getString(0)).contains("emptyns"), "namespace must survive")
     // nested CREATE NAMESPACE requires its parent, like CREATE TABLE
     intercept[Exception](spark.sql("CREATE NAMESPACE graft.noparent.child"))
+    // …and the parent must BE a namespace: a namespace planted inside a
+    // TABLE directory would strand the table (self-review r8)
+    spark.sql("CREATE TABLE graft.emptyns.tbl")
+    insertRows("graft.emptyns.tbl", Seq(("a", "1", 1L)))
+    intercept[Exception](spark.sql("CREATE NAMESPACE graft.emptyns.tbl.sub"))
+    assert(spark.sql("SELECT * FROM graft.emptyns.tbl").count() == 1,
+      "table must keep resolving after the refused nested CREATE NAMESPACE")
+    spark.sql("DROP TABLE graft.emptyns.tbl")
     assert(!spark.sql("SHOW NAMESPACES IN graft").collect()
       .map(_.getString(0)).contains("noparent"))
     spark.sql("CREATE NAMESPACE graft.emptyns.child") // parent exists: fine

@@ -689,6 +689,23 @@ class SSTableSourceSpec extends AnyFunSuite {
     val ctPlan = spark.read.format("sstable").load(dir)
       .select(col("key"), col("_change_type"))
     assert(!ctPlan.queryExecution.executedPlan.toString.contains("indexOnly"))
+
+    // a COMPACTED delete-then-reinsert row carries both the tombstone
+    // and a newer surviving cell — its reconciled state is live, so the
+    // feed must say upsert, not delete (a consumer applying 'delete'
+    // would drop a live key)
+    val dir2 = freshDir()
+    val w = new SSTableWriter(s"$dir2/folded-Data.db", compress = false)
+    w.append(graft.sources.sstable.SSTableRow("kx".getBytes,
+      Seq(Column.Normal("c".getBytes, "reborn".getBytes, 40L)),
+      Some(graft.sources.sstable.RowTombstone(1, 30L))))
+    w.append(graft.sources.sstable.SSTableRow("ky".getBytes, Nil,
+      Some(graft.sources.sstable.RowTombstone(1, 30L))))
+    w.close()
+    val folded = spark.read.format("sstable").load(dir2)
+      .select(col("key").cast("string"), col("_change_type"))
+      .as[(String, String)].collect().toSet
+    assert(folded == Set(("kx", "upsert"), ("ky", "delete")), s"got $folded")
   }
 
   test("SQL DDL surface: CREATE TABLE ... USING sstable reads and writes") {
