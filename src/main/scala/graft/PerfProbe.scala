@@ -32,6 +32,7 @@ object PerfProbe {
     if (args.headOption.contains("slice")) { sliceProbe(spark, time); spark.stop(); return }
     if (args.headOption.contains("columnar")) { columnarProbe(); spark.stop(); return }
     if (args.headOption.contains("deletes")) { deletesProbe(spark); spark.stop(); return }
+    if (args.headOption.contains("rowlevel")) { rowLevelProbe(spark); spark.stop(); return }
 
     val docs = Tables.documents(spark, sfDir)
 
@@ -333,6 +334,60 @@ object PerfProbe {
     * with 100k pending deleted keys — shadow load (driver, plan time),
     * delete-aware scan vs raw scan, and the post-compaction scan once
     * the debt is folded away. `runMain graft.PerfProbe deletes`. */
+  /** Prices the delta row-level path (SQL UPDATE) at probe scale: 400k
+    * rows, a 10%-selectivity value-predicate UPDATE through the catalog.
+    * What the numbers must show for the O(changed rows) claim to hold:
+    * the op appends a handful of generations (re-insert filesets + ONE
+    * tombstone generation) instead of rewriting 400k rows, the
+    * delete-aware scan afterwards still prices like the deletes probe's
+    * shadow reads, and compaction folds the debt away.
+    * `runMain graft.PerfProbe rowlevel`. */
+  private def rowLevelProbe(spark: SparkSession): Unit = {
+    import graft.operators.SSTableOps
+    import graft.sources.sstable.LocalStorage
+    val wh = java.nio.file.Files.createTempDirectory("rowlevelprobe").toString
+    val dir = s"$wh/p/t"
+    val n = 400000L
+    spark.range(n).select(
+        concat(lit("k"), lpad(col("id").cast("string"), 7, "0")).cast("binary").as("key"),
+        array(struct(lit("c").cast("binary").as("name"), lit("NORMAL").as("state"),
+          col("id").cast("string").cast("binary").as("value"),
+          col("id").as("timestamp"), lit(0L).as("ttlSecs"),
+          lit(0L).as("expiresMillis"))).as("columns"))
+      .write.format("sstable").mode("overwrite").save(dir)
+    spark.conf.set("spark.sql.catalog.graft_probe",
+      classOf[graft.sources.sstable.spark.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_probe.warehouse", wh)
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2fs")
+      r
+    }
+    val before = LocalStorage.listDataFiles(dir).length
+    t("update_10pct_400k_sql") {
+      spark.sql("UPDATE graft_probe.p.t SET columns = array(named_struct(" +
+        "'name', CAST('c' AS BINARY), 'state', 'NORMAL', " +
+        "'value', CAST('upd' AS BINARY), 'timestamp', CAST(0 AS BIGINT), " +
+        "'ttlSecs', CAST(0 AS BIGINT), 'expiresMillis', CAST(0 AS BIGINT))) " +
+        "WHERE cast(key as string) like '%0'")
+    }
+    val after = LocalStorage.listDataFiles(dir).length
+    println(s"  generations: $before -> $after (append-only delta)")
+    for (pass <- 1 to 2)
+      t(s"scan_live_state_pass$pass") {
+        val c = spark.sql("SELECT * FROM graft_probe.p.t").count()
+        if (pass == 1) {
+          // 360k untouched + 40k updated + 40k shadowed-version rows gone
+          println(s"  visible row versions: $c (want ${n})")
+        }
+      }
+    t("compact_fold_debt") {
+      while (SSTableOps.compactInPlace(spark, dir, minThreshold = 2) > 0) ()
+    }
+    t("scan_after_fold")(spark.sql("SELECT * FROM graft_probe.p.t").count())
+  }
+
   private def deletesProbe(spark: SparkSession): Unit = {
     import graft.operators.SSTableOps
     import graft.sources.sstable.LocalStorage

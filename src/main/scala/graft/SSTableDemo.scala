@@ -207,6 +207,39 @@ object SSTableDemo {
       .listDataFiles(s"$dir-warehouse/demo/t").length
     println(s"== SQL catalog: DELETE appended a tombstone generation " +
       s"($rawGens filesets on disk); SELECT sees [$live] (merge-on-read)")
+
+    // SQL UPDATE (delta row-level op: tombstone + stamped re-insert,
+    // nothing rewritten) and MERGE INTO (matched update + not-matched
+    // insert in one statement)
+    spark.sql("UPDATE graft.demo.t SET columns = array(named_struct(" +
+      "'name', CAST('c' AS BINARY), 'state', 'NORMAL', " +
+      "'value', CAST('promoted' AS BINARY), 'timestamp', CAST(0 AS BIGINT), " +
+      "'ttlSecs', CAST(0 AS BIGINT), 'expiresMillis', CAST(0 AS BIGINT))) " +
+      "WHERE key = CAST('alice' AS BINARY)")
+    spark.sql("CREATE OR REPLACE TEMP VIEW demo_src AS SELECT " +
+      "CAST(k AS BINARY) key, array(named_struct('name', CAST('c' AS BINARY), " +
+      "'state', 'NORMAL', 'value', CAST(v AS BINARY), 'timestamp', CAST(0 AS BIGINT), " +
+      "'ttlSecs', CAST(0 AS BIGINT), 'expiresMillis', CAST(0 AS BIGINT))) columns " +
+      "FROM VALUES ('carol', 'new') AS s(k, v)")
+    spark.sql("MERGE INTO graft.demo.t t USING demo_src s ON t.key = s.key " +
+      "WHEN MATCHED THEN UPDATE SET columns = s.columns " +
+      "WHEN NOT MATCHED THEN INSERT (key, columns, rowTombstone) " +
+      "VALUES (s.key, s.columns, NULL)")
+    val updated = spark.sql(
+      "SELECT cast(key as string) k, cast(columns[0].value as string) v " +
+        "FROM graft.demo.t ORDER BY k").collect()
+      .map(r => s"${r.getString(0)}=${r.getString(1)}").mkString(", ")
+    println(s"== SQL UPDATE + MERGE INTO (delta row-level ops): [$updated]")
+
+    // SQL time travel: pin the current state, mutate, read the pin back
+    operators.SSTableOps.snapshot(s"$dir-warehouse/demo/t", "demo-epoch")
+    spark.sql("DELETE FROM graft.demo.t WHERE key = CAST('carol' AS BINARY)")
+    val nowKeys = spark.sql("SELECT key FROM graft.demo.t").collect()
+      .map(r => new String(r.getAs[Array[Byte]](0))).sorted.mkString(", ")
+    val pinKeys = spark.sql(
+      "SELECT key FROM graft.demo.t VERSION AS OF 'demo-epoch'").collect()
+      .map(r => new String(r.getAs[Array[Byte]](0))).sorted.mkString(", ")
+    println(s"== SQL time travel: live=[$nowKeys]; VERSION AS OF 'demo-epoch'=[$pinKeys]")
     spark.stop()
   }
 }

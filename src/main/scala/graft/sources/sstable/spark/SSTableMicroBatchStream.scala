@@ -108,8 +108,26 @@ final class SSTableMicroBatchStream(path: String, requiredSchema: StructType,
     fresh.flatMap(SSTableScan.planFile(st, targetSplitBytes, None, None)).toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new SSTableReaderFactory(requiredSchema, ttlAsOfMs, serConf)
+  /** Streaming rows always carry the declared metadata columns
+    * (`_generation`, `_change_type`) appended after the data fields:
+    * Spark's streaming path has no column-pruning phase, so when a
+    * query references a metadata column the analyzer appends the
+    * table's WHOLE metadataOutput to the relation while the scan is
+    * built unpruned — the physical plan then reads ordinals past the
+    * data fields (previously an ArrayIndexOutOfBounds deep in codegen).
+    * Emitting them unconditionally matches that contract in both
+    * directions: unreferenced trailing fields are ignored by ordinal-
+    * based access and cost ~nothing (two shared UTF8String singletons
+    * per row). This is what makes the labeled change feed —
+    * `readStream.table(t).select($"key", $"_change_type")` — work. */
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val meta = Seq(SSTableSource.GenerationColumn, SSTableSource.ChangeTypeColumn)
+      .filterNot(requiredSchema.fieldNames.contains)
+      .map(n => org.apache.spark.sql.types.StructField(
+        n, org.apache.spark.sql.types.StringType, nullable = false))
+    new SSTableReaderFactory(StructType(requiredSchema.fields ++ meta),
+      ttlAsOfMs, serConf)
+  }
 
   override def commit(end: Offset): Unit = () // offsets live in the checkpoint
   override def stop(): Unit = ()

@@ -253,9 +253,11 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("CREATE TABLE graft.cf.t")
     insertRows("graft.cf.t", Seq(("a", "1", 10L), ("b", "2", 20L)))
     val ck = Files.createTempDirectory("cf-ck").toString
+    // the explicit _change_type metadata column rides the stream too —
+    // consumers read a labeled change feed instead of inferring from
+    // the row shape
     val q = spark.readStream.table("graft.cf.t")
-      .select(col("key").cast("string").as("k"),
-        col("rowTombstone").isNotNull.as("deleted"))
+      .select(col("key").cast("string").as("k"), col("_change_type").as("ct"))
       .writeStream.outputMode("append").format("memory").queryName("cf_feed")
       .option("checkpointLocation", ck).start()
     q.processAllAvailable()
@@ -263,9 +265,9 @@ class GraftCatalogSpec extends AnyFunSuite {
     q.processAllAvailable()
     q.stop()
     val events = spark.table("cf_feed").collect()
-      .map(r => (r.getString(0), r.getBoolean(1))).sortBy(e => (e._1, e._2))
-    assert(events.toSeq == Seq(("a", false), ("a", true), ("b", false)),
-      s"catalog stream must surface the delete event: ${events.mkString(", ")}")
+      .map(r => (r.getString(0), r.getString(1))).sortBy(e => (e._1, e._2))
+    assert(events.toSeq == Seq(("a", "delete"), ("a", "upsert"), ("b", "upsert")),
+      s"catalog stream must surface labeled change events: ${events.mkString(", ")}")
     // batch SELECT of the same table stays merge-on-read
     assert(keysOf(spark.sql("SELECT * FROM graft.cf.t")) == Seq("b"))
     spark.sql("DROP TABLE graft.cf.t")
