@@ -92,3 +92,74 @@ object GenerationsScan {
   final case class GenerationsPartition(rows: Array[Array[Any]])
       extends InputPartition
 }
+
+/** `graft.ns.t.snapshots` — the table's snapshot pins as a relation:
+  * `(tag, createdMs, filesets)`, one row per `_snapshot-<tag>/` pin.
+  * The SQL-discovery side of time travel: find a tag here, read it with
+  * `VERSION AS OF`, age it out with [[graft.operators.SSTableOps
+  * .expireSnapshots]]. Metadata-only (a directory listing per pin,
+  * zero sidecar/data IO), computed at batch planning like the
+  * generations view. Read-only, batch-only. */
+final class SnapshotsTable(dir: String)
+    extends org.apache.spark.sql.connector.catalog.Table
+    with org.apache.spark.sql.connector.catalog.SupportsRead {
+  import org.apache.spark.sql.connector.catalog.TableCapability
+  override def name(): String = s"sstable(`$dir`).snapshots"
+  override def schema(): StructType = SnapshotsTable.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var required: StructType = SnapshotsTable.schema
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = StructType(SnapshotsTable.schema.fields
+          .filter(f => requiredSchema.fieldNames.contains(f.name)))
+      override def build(): Scan = new SnapshotsScan(dir, required)
+    }
+}
+
+object SnapshotsTable {
+  import org.apache.spark.sql.types._
+  val schema: StructType = StructType(Seq(
+    StructField("tag", StringType, nullable = false),
+    StructField("createdMs", LongType, nullable = false),
+    StructField("filesets", IntegerType, nullable = false)))
+}
+
+final class SnapshotsScan(dir: String, required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String = s"sstable $dir view=snapshots"
+  override def planInputPartitions(): Array[InputPartition] = {
+    val storage = Storage.forPath(dir,
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+    val rows: Array[Array[Any]] =
+      storage.listSubdirs(dir, SSTableSource.SnapshotDirPrefix).map { pin =>
+        val tag = pin.substring(pin.lastIndexOf('/') + 1)
+          .drop(SSTableSource.SnapshotDirPrefix.length)
+        required.fields.map[Any] {
+          _.name match {
+            case "tag" => UTF8String.fromString(tag)
+            case "createdMs" => storage.mtime(pin)
+            case "filesets" => storage.listDataFiles(pin).length
+            case other => throw new IllegalStateException(
+              s"unknown snapshots-view field: $other")
+          }
+        }
+      }.toArray
+    Array(GenerationsScan.GenerationsPartition(rows))
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private val rows = p.asInstanceOf[GenerationsScan.GenerationsPartition].rows
+          private var i = -1
+          override def next(): Boolean = { i += 1; i < rows.length }
+          override def get(): InternalRow = new GenericInternalRow(rows(i))
+          override def close(): Unit = ()
+        }
+    }
+}

@@ -99,10 +99,39 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def loadTable(ident: Identifier): Table = {
     val d = tableDir(ident)
     if (!isTableDir(d))
-      throw new NoSuchTableException(ident)
+      return metadataTable(ident).getOrElse(throw new NoSuchTableException(ident))
     new SSTableTable(Map(
       SSTableSource.PathOption -> d,
       SSTableSource.ApplyDeletesOption -> "true"))
+  }
+
+  /** Iceberg-style SQL metadata tables — a table name nested one level
+    * under a real table resolves to that table's ops views:
+    *  - `graft.ns.t.generations`: per-fileset sidecar metadata (the
+    *    format's DESCRIBE DETAIL; zero Data.db IO);
+    *  - `graft.ns.t.snapshots`: the pins `VERSION AS OF` can read —
+    *    time-travel discovery in pure SQL;
+    *  - `graft.ns.t.cells`: the flattened one-row-per-cell view,
+    *    delete-aware like the table itself.
+    * Unambiguous by construction: a table directory with a visible
+    * subdirectory stops being a table, so a REAL table can never sit
+    * under another table's name. */
+  private def metadataTable(ident: Identifier): Option[Table] = {
+    if (ident.namespace.isEmpty) return None
+    val owner = tableDir(Identifier.of(
+      ident.namespace.dropRight(1), ident.namespace.last))
+    if (!isTableDir(owner)) return None
+    ident.name.toLowerCase(java.util.Locale.ROOT) match {
+      case "generations" => Some(new SSTableTable(Map(
+        SSTableSource.PathOption -> owner,
+        SSTableSource.ViewOption -> "generations")))
+      case "snapshots" => Some(new SnapshotsTable(owner))
+      case "cells" => Some(new SSTableTable(Map(
+        SSTableSource.PathOption -> owner,
+        SSTableSource.ViewOption -> "cells",
+        SSTableSource.ApplyDeletesOption -> "true")))
+      case _ => None
+    }
   }
 
   /** SQL time travel, pin form: `SELECT ... FROM graft.ns.t VERSION AS

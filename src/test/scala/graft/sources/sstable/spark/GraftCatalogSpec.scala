@@ -462,6 +462,41 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.tr.t")
   }
 
+  test("SQL metadata tables: t.generations, t.snapshots, t.cells") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.meta")
+    spark.sql("CREATE TABLE graft.meta.t")
+    val dir = s"$warehouse/meta/t"
+    insertRows("graft.meta.t", Seq(("a", "1", 10L), ("b", "2", 20L)))
+    insertRows("graft.meta.t", Seq(("c", "3", 30L)))
+    SSTableOps.snapshot(dir, "pin-1")
+
+    // generations: one row per fileset, sidecar metadata in pure SQL
+    val gens = spark.sql(
+      "SELECT generation, rowCount, deleteOnly FROM graft.meta.t.generations")
+      .collect().map(r => (r.getLong(1), r.getBoolean(2)))
+    assert(gens.length == 2 && gens.map(_._1).sum == 3 && gens.forall(!_._2))
+
+    // snapshots: time-travel discovery — find the tag, read it back
+    val snaps = spark.sql("SELECT tag, filesets FROM graft.meta.t.snapshots")
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    assert(snaps.toSeq == Seq(("pin-1", 2)), s"got ${snaps.mkString(",")}")
+    insertRows("graft.meta.t", Seq(("d", "4", 40L)))
+    assert(spark.sql("SELECT * FROM graft.meta.t VERSION AS OF 'pin-1'")
+      .count() == 3, "the discovered tag must be readable")
+
+    // cells: the flattened view, delete-aware like the table
+    spark.sql("DELETE FROM graft.meta.t WHERE key = CAST('a' AS BINARY)")
+    val cells = spark.sql(
+      "SELECT cast(key as string) k, cast(value as string) v " +
+        "FROM graft.meta.t.cells ORDER BY k")
+      .collect().map(r => s"${r.getString(0)}=${r.getString(1)}")
+    assert(cells.toSeq == Seq("b=2", "c=3", "d=4"), cells.mkString(","))
+
+    // a bogus nested name still fails loudly
+    intercept[Exception](spark.sql("SELECT * FROM graft.meta.t.nope").collect())
+    spark.sql("DROP TABLE graft.meta.t")
+  }
+
   test("delete-aware scans decline stats-only aggregates; raw scans keep them") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.agg")
     spark.sql("CREATE TABLE graft.agg.t")
