@@ -76,21 +76,29 @@ final class GenerationsScan(path: String, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PartitionReaderFactory {
-      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-        new PartitionReader[InternalRow] {
-          private val rows = p.asInstanceOf[GenerationsScan.GenerationsPartition].rows
-          private var i = -1
-          override def next(): Boolean = { i += 1; i < rows.length }
-          override def get(): InternalRow = new GenericInternalRow(rows(i))
-          override def close(): Unit = ()
-        }
-    }
+    GenerationsScan.rowsFactory
 }
 
 object GenerationsScan {
   final case class GenerationsPartition(rows: Array[Array[Any]])
       extends InputPartition
+
+  /** Shared reader factory of the metadata views (generations,
+    * snapshots): serves a partition's precomputed rows array. */
+  val rowsFactory: PartitionReaderFactory = new RowsPartitionFactory
+}
+
+/** Top-level (no outer reference — task-serialization-safe) factory over
+  * [[GenerationsScan.GenerationsPartition]]'s precomputed rows. */
+private[spark] final class RowsPartitionFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val rows = p.asInstanceOf[GenerationsScan.GenerationsPartition].rows
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rows.length }
+      override def get(): InternalRow = new GenericInternalRow(rows(i))
+      override def close(): Unit = ()
+    }
 }
 
 /** `graft.ns.t.snapshots` — the table's snapshot pins as a relation:
@@ -152,14 +160,5 @@ final class SnapshotsScan(dir: String, required: StructType)
     Array(GenerationsScan.GenerationsPartition(rows))
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new PartitionReaderFactory {
-      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-        new PartitionReader[InternalRow] {
-          private val rows = p.asInstanceOf[GenerationsScan.GenerationsPartition].rows
-          private var i = -1
-          override def next(): Boolean = { i += 1; i < rows.length }
-          override def get(): InternalRow = new GenericInternalRow(rows(i))
-          override def close(): Unit = ()
-        }
-    }
+    GenerationsScan.rowsFactory
 }

@@ -196,10 +196,23 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val d = tableDir(ident)
     if (dirExists(d))
       throw new TableAlreadyExistsException(ident)
-    if (!dirExists(nsDir(ident.namespace)))
-      throw new NoSuchNamespaceException(catalogName +: ident.namespace)
+    requireNamespaceParent(ident)
     storage.mkdirs(d)
     loadTable(ident)
+  }
+
+  /** The parent of a new table/rename target must exist AND be a
+    * namespace (self-review r8): mkdirs-ing a visible subdirectory
+    * inside an existing TABLE would make that table stop resolving with
+    * its data stranded — and the metadata-table names
+    * (`CREATE TABLE IF NOT EXISTS graft.ns.t.generations`) actively
+    * invite the mistake. */
+  private def requireNamespaceParent(ident: Identifier): Unit = {
+    val parent = nsDir(ident.namespace)
+    if (!dirExists(parent))
+      throw new NoSuchNamespaceException(catalogName +: ident.namespace)
+    require(ident.namespace.isEmpty || !isTableDir(parent),
+      s"${ident.namespace.mkString(".")} is a table, not a namespace")
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
@@ -220,8 +233,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
       throw new NoSuchTableException(oldIdent)
     if (dirExists(to))
       throw new TableAlreadyExistsException(newIdent)
-    require(dirExists(nsDir(newIdent.namespace)),
-      s"target namespace does not exist: ${newIdent.namespace.mkString(".")}")
+    requireNamespaceParent(newIdent)
     storage.rename(from, to)
   }
 

@@ -158,14 +158,17 @@ object SSTableSource {
     * `SELECT *, _generation` surfaces the publishing fileset's stem.
     * Hidden from `SELECT *`; joins the scan only when asked for. */
   val GenerationColumn = "_generation"
-  /** CDC change-type metadata column (rows view): "delete" when the row
-    * version carries a real row tombstone, "upsert" otherwise — the
-    * explicit change feed for `sincesnapshot` epoch-diff consumers
-    * (VERDICT r7 #7), who previously had to infer the change type from
-    * the row shape. Metadata column, so `q_sstable_since`-style diff
-    * schemas stay stable: `SELECT *, _change_type` opts in. Forces
-    * Data.db decode on key-only projections (Index.db doesn't know
-    * tombstones). */
+  /** CDC change-type metadata column (rows view): "delete" when a real
+    * row tombstone is the row version's FINAL word — no surviving cell
+    * outdates it — and "upsert" otherwise (a compacted delete-then-
+    * reinsert row carries both the tombstone and newer live cells; its
+    * reconciled state is live, so labeling it a delete would make a
+    * feed consumer drop a live key). The explicit change feed for
+    * `sincesnapshot` epoch-diff consumers (VERDICT r7 #7), who
+    * previously had to infer the change type from the row shape.
+    * Metadata column, so `q_sstable_since`-style diff schemas stay
+    * stable: `SELECT *, _change_type` opts in. Forces Data.db decode on
+    * key-only projections (Index.db doesn't know tombstones). */
   val ChangeTypeColumn = "_change_type"
   /** Snapshot directory naming — the layout contract with
     * [[graft.operators.SSTableOps]] (which owns creation/deletion). */
@@ -271,7 +274,8 @@ final class SSTableTable(properties: Map[String, String])
     if (generationsView) Array.empty
     else if (cellsView) Array(gen)
     else Array(gen, metaCol(SSTableSource.ChangeTypeColumn,
-      "CDC change type of this row version: upsert | delete"))
+      "CDC change type of this row version: delete when a row tombstone " +
+        "is its final word, upsert otherwise"))
   }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // loud unknown-tag failure beats an empty scan of a missing dir

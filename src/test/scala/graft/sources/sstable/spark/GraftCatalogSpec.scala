@@ -344,8 +344,16 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("CREATE TABLE graft.emptyns.tbl")
     insertRows("graft.emptyns.tbl", Seq(("a", "1", 1L)))
     intercept[Exception](spark.sql("CREATE NAMESPACE graft.emptyns.tbl.sub"))
+    // CREATE TABLE / RENAME into a table dir strand it the same way —
+    // the metadata-table names invite exactly this (self-review r8)
+    intercept[Exception](spark.sql(
+      "CREATE TABLE IF NOT EXISTS graft.emptyns.tbl.generations"))
+    spark.sql("CREATE TABLE graft.emptyns.other")
+    intercept[Exception](spark.sql(
+      "ALTER TABLE graft.emptyns.other RENAME TO emptyns.tbl.sub"))
+    spark.sql("DROP TABLE graft.emptyns.other")
     assert(spark.sql("SELECT * FROM graft.emptyns.tbl").count() == 1,
-      "table must keep resolving after the refused nested CREATE NAMESPACE")
+      "table must keep resolving after refused nested DDL")
     spark.sql("DROP TABLE graft.emptyns.tbl")
     assert(!spark.sql("SHOW NAMESPACES IN graft").collect()
       .map(_.getString(0)).contains("noparent"))
