@@ -240,6 +240,19 @@ object SSTableDemo {
       "SELECT key FROM graft.demo.t VERSION AS OF 'demo-epoch'").collect()
       .map(r => new String(r.getAs[Array[Byte]](0))).sorted.mkString(", ")
     println(s"== SQL time travel: live=[$nowKeys]; VERSION AS OF 'demo-epoch'=[$pinKeys]")
+
+    // SQL maintenance: the operator loop as CALL statements, each
+    // returning its report as a result set
+    val folds = spark.sql("CALL graft.system.compact(" +
+      "table => 'demo.t', min_threshold => 2)").head().getInt(0)
+    val gensAfter = sources.sstable.SSTableReader
+      .listDataFiles(s"$dir-warehouse/demo/t").length
+    val scrubClean = spark.sql("CALL graft.system.scrub(table => 'demo.t')")
+      .collect().forall(_.isNullAt(4))
+    spark.sql("CALL graft.system.expire_snapshots(" +
+      "table => 'demo.t', older_than_ms => -1)")
+    println(s"== SQL maintenance: CALL compact folded $folds bucket(s) " +
+      s"-> $gensAfter generation(s); scrub clean=$scrubClean; snapshots expired")
     spark.stop()
   }
 }

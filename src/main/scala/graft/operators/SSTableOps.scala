@@ -487,12 +487,104 @@ object SSTableOps {
                      minSize: Long = 50L * 1024 * 1024): Int = {
     val storage = graft.sources.sstable.Storage.forPath(
       dir, spark.sessionState.newHadoopConf())
+    refuseBucketedLayout(dir, storage, "compactInPlace")
     val buckets = planCompaction(dir, minThreshold, maxThreshold,
       minSize = minSize, storage = storage)
     // fresh listing per bucket inside the fold helper: earlier folds
     // changed the directory (their outputs must count as overlap
     // candidates, their deleted inputs must not be stat'd)
     buckets.count(foldBucketInPlace(spark, dir, _, storage))
+  }
+
+  /** The generic in-place compactors fold generations by SIZE tier /
+    * run, so on a [[writeBucketed]] directory they would merge ACROSS
+    * hash buckets and publish non-`bucket-NNNNN-` names — every future
+    * bucketed read then fails its layout validation, and the layout
+    * cannot be restored without a full rewrite. Refuse loudly instead
+    * (the data-destroying kind of mistake a SQL `CALL` makes easy);
+    * [[compactBucketedInPlace]] is the layout-preserving maintenance. */
+  private def refuseBucketedLayout(dir: String,
+                                   storage: graft.sources.sstable.Storage,
+                                   what: String): Unit = {
+    import graft.sources.sstable.{SSTableFiles, spark => sparksrc}
+    val files = storage.listDataFiles(dir)
+    require(files.isEmpty || !files.forall(f =>
+      sparksrc.SSTableSource.BucketNameRe.matches(SSTableFiles.generationStem(f))),
+      s"$what on a BUCKETED directory would fold across hash buckets and " +
+        s"destroy the bucket-NNNNN layout contract: $dir — use " +
+        "compactBucketedInPlace (CALL graft.system.compact_bucketed)")
+  }
+
+  /** Layout-preserving compaction for [[writeBucketed]] directories:
+    * fold each hash bucket's generation CHAIN into one generation
+    * published under the same `bucket-NNNNN-` stem, so the key→bucket
+    * contract (and with it every zero-exchange merge/join the layout
+    * buys) survives maintenance. Tombstone GC is structural here — a
+    * bucket's keys hash to that bucket in every generation, and the
+    * fold takes the bucket's WHOLE chain, so its tombstones cannot be
+    * shadowing data anywhere outside the fold. A bucket whose chain
+    * fully reconciles away (all rows tombstoned) publishes nothing —
+    * an empty bucket is a legal layout state (writeBucketed skips
+    * empty buckets too).
+    *
+    * Concurrency: same single-maintainer contract as [[compactInPlace]].
+    * As belt-and-braces, each bucket re-lists its chain after staging
+    * and WITHDRAWS (staged output dropped, bucket skipped this pass) if
+    * a concurrent flush changed it — the next pass picks the bucket up
+    * again. Returns the number of buckets folded. */
+  def compactBucketedInPlace(spark: org.apache.spark.sql.SparkSession,
+                             dir: String, minThreshold: Int = 2): Int = {
+    import graft.sources.sstable.SSTableFiles
+    import graft.sources.sstable.spark.SSTableSource
+    require(minThreshold >= 2, s"minThreshold must be >= 2: $minThreshold")
+    val storage = graft.sources.sstable.Storage.forPath(
+      dir, spark.sessionState.newHadoopConf())
+    val files = storage.listDataFiles(dir)
+    val parsed = files.map { f =>
+      SSTableFiles.generationStem(f) match {
+        case SSTableSource.BucketNameRe(b) => (b.toInt, f)
+        case _ => throw new IllegalArgumentException(
+          s"not a bucketed generation (want bucket-NNNNN-*): $f — " +
+            "compactBucketedInPlace maintains writeBucketed directories only")
+      }
+    }
+    var folds = 0
+    parsed.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (b, members) =>
+      val chain = members.map(_._2).sorted
+      if (chain.length >= minThreshold) {
+        val merged = suppressTombstones2(compactRows(
+          chain.map(g => spark.read.format("sstable").load(g)).reduce(_ union _)))
+        val tag = "fold-" + java.util.UUID.randomUUID().toString.take(8)
+        val stagingDir = s"$dir/_staging-bucketfold-$tag"
+        merged.write.format("sstable")
+          .option(SSTableSource.JobTagOption, tag)
+          .option(SSTableSource.WritePartitionsOption, "1") // ONE output
+          .mode("append").save(stagingDir)
+        val staged = storage.listDataFiles(stagingDir)
+        // post-stage re-check (the foldBucketInPlace pattern): a flush
+        // that landed in this bucket mid-fold would be silently merged
+        // away by our unpublish below — withdraw instead and let the
+        // next pass fold the grown chain
+        val nowChain = storage.listDataFiles(dir).filter { f =>
+          SSTableFiles.generationStem(f) match {
+            case SSTableSource.BucketNameRe(bb) => bb.toInt == b
+            case _ => false
+          }
+        }.sorted
+        if (nowChain != chain) {
+          storage.deleteRecursive(stagingDir)
+        } else {
+          staged.foreach { s =>
+            SSTableFiles.publishAs(storage, s,
+              s"$dir/${SSTableSource.bucketStem(b)}$tag${SSTableFiles.DataSuffix}")
+          }
+          storage.deleteRecursive(stagingDir)
+          chain.foreach(SSTableFiles.unpublish(storage, _))
+          folds += 1
+        }
+      }
+    }
+    folds
   }
 
   /** Single-generation tombstone compaction (Cassandra's
@@ -527,6 +619,7 @@ object SSTableOps {
                                ratioThreshold: Double = 0.2): Int = {
     val storage = graft.sources.sstable.Storage.forPath(
       dir, spark.sessionState.newHadoopConf())
+    refuseBucketedLayout(dir, storage, "compactTombstonesInPlace")
     val picks = planTombstoneCompaction(dir, ratioThreshold, storage)
     picks.count(foldBucketInPlace(spark, dir, _, storage))
   }
@@ -639,6 +732,7 @@ object SSTableOps {
                             maxRuns: Int = 4, maxThreshold: Int = 32): Int = {
     val storage = graft.sources.sstable.Storage.forPath(
       dir, spark.sessionState.newHadoopConf())
+    refuseBucketedLayout(dir, storage, "compactLeveledInPlace")
     val buckets = planCompactionLeveled(dir, maxRuns, maxThreshold, storage)
     buckets.count(foldBucketInPlace(spark, dir, _, storage))
   }

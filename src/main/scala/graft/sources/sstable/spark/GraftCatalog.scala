@@ -40,7 +40,8 @@ import graft.sources.sstable.Storage
   * external table over fixed-layout files. Buckets/views stay read
   * options; `RENAME` is a directory move (atomic where the backend's
   * rename is); `ALTER` has nothing alterable. */
-final class GraftCatalog extends TableCatalog with SupportsNamespaces {
+final class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
   import GraftCatalog.NamespaceMarker
   private var catalogName: String = _
   private var warehouse: String = _
@@ -303,6 +304,43 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def namespaceExists(namespace: Array[String]): Boolean =
     namespace.isEmpty || dirExists(nsDir(namespace))
+
+  // ---- ProcedureCatalog ----
+
+  /** Maintenance procedures under the reserved `system` namespace
+    * (Iceberg's `CALL cat.system.<proc>` convention — see
+    * [[GraftProcedures]]). `system` is purely virtual: it never exists
+    * as a warehouse directory, and table DDL can still use a real
+    * namespace of that name without colliding (procedures resolve only
+    * through `CALL`). */
+  private lazy val procedures: Map[String, org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure] =
+    GraftProcedures.registry { tableName =>
+      val parts = tableName.split('.').toSeq
+      require(parts.length >= 2 && parts.forall(segOk),
+        s"bad table argument '$tableName' (expected 'ns.t', catalog-relative)")
+      val ident = Identifier.of(parts.dropRight(1).toArray, parts.last)
+      val d = tableDir(ident)
+      if (!isTableDir(d)) throw new NoSuchTableException(ident)
+      d
+    }
+
+  override def loadProcedure(ident: Identifier):
+      org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    if (!ident.namespace.sameElements(GraftProcedures.Namespace))
+      throw new IllegalArgumentException(
+        s"unknown procedure namespace '${ident.namespace.mkString(".")}' " +
+          s"(procedures live under CALL $catalogName.system.<name>)")
+    procedures.getOrElse(ident.name.toLowerCase(java.util.Locale.ROOT),
+      throw new IllegalArgumentException(
+        s"unknown procedure '${ident.name}'; available: " +
+          procedures.keys.toSeq.sorted.mkString(", ")))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(GraftProcedures.Namespace))
+      procedures.keys.toSeq.sorted
+        .map(Identifier.of(GraftProcedures.Namespace, _)).toArray
+    else Array.empty
 }
 
 object GraftCatalog {

@@ -1,0 +1,241 @@
+package graft.sources.sstable.spark
+
+import java.util
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import graft.operators.SSTableOps
+
+/** SQL `CALL` surface for the maintenance family (Iceberg's
+  * `CALL catalog.system.<proc>` convention): everything an operator of
+  * a 100 TB directory runs on a schedule — compaction (STCS / LCS /
+  * tombstone-debt), snapshot pins + retention, staging vacuum, scrub —
+  * becomes one SQL statement against the catalog, so the maintenance
+  * loop needs no Scala at all:
+  *
+  * {{{
+  * CALL graft.system.compact(table => 'ns.events')
+  * CALL graft.system.snapshot(table => 'ns.events', tag => 'epoch42')
+  * CALL graft.system.expire_snapshots(table => 'ns.events', older_than_ms => 604800000)
+  * CALL graft.system.vacuum(table => 'ns.events')
+  * CALL graft.system.scrub(table => 'ns.events', repair => true)
+  * }}}
+  *
+  * Each procedure returns its report as a result set (rows out of a
+  * [[LocalScan]] — the values are metadata-sized by construction: fold
+  * counts, snapshot tags, per-generation scrub lines). Spark invokes
+  * procedures eagerly at analysis (`InvokeProcedures`), which is the
+  * correct semantic for side-effecting maintenance: the CALL *is* the
+  * action, the DataFrame is its receipt. All procedures share the
+  * single-maintainer contract of the underlying [[SSTableOps]] ops —
+  * run them from the one process that owns the directory's layout.
+  *
+  * The `table` argument is a catalog-relative name (`ns.t`, nested
+  * namespaces allowed); resolution reuses the catalog's own directory
+  * mapping, so CALL reaches exactly the tables SELECT can see. */
+private[spark] object GraftProcedures {
+
+  /** One IN parameter, optionally with a SQL-literal default (a
+    * defaulted parameter is optional at the call site — Spark fills it
+    * from the literal during binding). */
+  private def p(name: String, dt: DataType, default: Option[String] = None,
+                comment: String = ""): ProcedureParameter = {
+    var b = ProcedureParameter.in(name, dt)
+    default.foreach(d => b = b.defaultValue(d))
+    if (comment.nonEmpty) b = b.comment(comment)
+    b.build()
+  }
+
+  private def utf8(s: String): UTF8String = UTF8String.fromString(s)
+
+  /** A procedure: fixed parameters, fixed result schema, an eager body.
+    * `bind` is identity — the parameter list is static, Spark coerces
+    * the call-site arguments to the declared types. Side-effecting, so
+    * never deterministic. */
+  private final class Proc(
+      procName: String,
+      procDescription: String,
+      params: Array[ProcedureParameter],
+      resultSchema: StructType,
+      body: (SparkSession, InternalRow) => Seq[InternalRow])
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = procDescription
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params
+    override def isDeterministic: Boolean = false
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val resultRows = body(SparkSession.active, input).toArray
+      util.List.of[Scan](new LocalScan {
+        override def rows(): Array[InternalRow] = resultRows
+        override def readSchema(): StructType = resultSchema
+      }).iterator()
+    }
+  }
+
+  /** The procedure namespace (`CALL graft.system.<name>`). */
+  val Namespace: Array[String] = Array("system")
+
+  /** Build the registry against `resolveTable` — the catalog's own
+    * `table-name → directory` mapping (loud on unknown names). */
+  def registry(resolveTable: String => String): Map[String, UnboundProcedure] = {
+    def dirOf(input: InternalRow): String = {
+      require(!input.isNullAt(0), "argument 'table' is required")
+      resolveTable(input.getUTF8String(0).toString)
+    }
+    def row(values: Any*): InternalRow = new GenericInternalRow(values.toArray)
+    val tableParam =
+      p("table", StringType, comment = "catalog-relative table name, e.g. 'ns.t'")
+
+    Map(
+      "compact" -> new Proc(
+        "compact",
+        "size-tiered (STCS) compaction: fold every planned bucket in place; " +
+          "returns the number of buckets folded",
+        Array(tableParam,
+          p("min_threshold", IntegerType, Some("4")),
+          p("max_threshold", IntegerType, Some("32")),
+          p("min_size", LongType, Some((50L * 1024 * 1024).toString))),
+        StructType(Seq(StructField("folds", IntegerType, nullable = false))),
+        (spark, in) => Seq(row(SSTableOps.compactInPlace(
+          spark, dirOf(in), in.getInt(1), in.getInt(2), in.getLong(3)): Integer))),
+
+      "compact_leveled" -> new Proc(
+        "compact_leveled",
+        "leveled (LCS) compaction: fold adjacent sorted runs until at most " +
+          "max_runs remain; returns the number of folds performed",
+        Array(tableParam,
+          p("max_runs", IntegerType, Some("4")),
+          p("max_threshold", IntegerType, Some("32"))),
+        StructType(Seq(StructField("folds", IntegerType, nullable = false))),
+        (spark, in) => Seq(row(SSTableOps.compactLeveledInPlace(
+          spark, dirOf(in), in.getInt(1), in.getInt(2)): Integer))),
+
+      "compact_bucketed" -> new Proc(
+        "compact_bucketed",
+        "layout-preserving compaction for bucketed (writeBucketed) " +
+          "directories: fold each hash bucket's generation chain into one " +
+          "generation under the same bucket-NNNNN stem (tombstone GC is " +
+          "structural within a bucket); returns the number of buckets folded",
+        Array(tableParam,
+          p("min_threshold", IntegerType, Some("2"))),
+        StructType(Seq(StructField("folds", IntegerType, nullable = false))),
+        (spark, in) => Seq(row(SSTableOps.compactBucketedInPlace(
+          spark, dirOf(in), in.getInt(1)): Integer))),
+
+      "compact_tombstones" -> new Proc(
+        "compact_tombstones",
+        "single-generation tombstone compaction: fold isolated generations " +
+          "whose sidecar tombstone ratio reaches the threshold (drops the " +
+          "delete-shadow debt); returns the number of generations folded",
+        Array(tableParam,
+          p("ratio_threshold", DoubleType, Some("0.2"))),
+        StructType(Seq(StructField("folds", IntegerType, nullable = false))),
+        (spark, in) => Seq(row(SSTableOps.compactTombstonesInPlace(
+          spark, dirOf(in), in.getDouble(1)): Integer))),
+
+      "snapshot" -> new Proc(
+        "snapshot",
+        "pin the table's current published state as a named snapshot " +
+          "(hardlinks; readable via VERSION AS OF / option(snapshot, tag))",
+        Array(tableParam, p("tag", StringType)),
+        StructType(Seq(StructField("path", StringType, nullable = false))),
+        (spark, in) => {
+          require(!in.isNullAt(1), "argument 'tag' is required")
+          val d = dirOf(in)
+          Seq(row(utf8(SSTableOps.snapshot(d, in.getUTF8String(1).toString,
+            graft.sources.sstable.Storage.forPath(
+              d, spark.sessionState.newHadoopConf())))))
+        }),
+
+      "drop_snapshot" -> new Proc(
+        "drop_snapshot",
+        "drop a snapshot pin (bytes survive under live names / younger pins)",
+        Array(tableParam, p("tag", StringType)),
+        StructType(Seq(StructField("dropped", BooleanType, nullable = false))),
+        (spark, in) => {
+          require(!in.isNullAt(1), "argument 'tag' is required")
+          val d = dirOf(in)
+          val tag = in.getUTF8String(1).toString
+          val storage = graft.sources.sstable.Storage.forPath(
+            d, spark.sessionState.newHadoopConf())
+          val existed = storage.exists(SSTableOps.snapshotPath(d, tag))
+          if (existed) SSTableOps.dropSnapshot(d, tag, storage)
+          Seq(row(existed: java.lang.Boolean))
+        }),
+
+      "expire_snapshots" -> new Proc(
+        "expire_snapshots",
+        "retention for snapshot pins: drop every pin older than the horizon " +
+          "(pin mtime = capture time); one row per pin with its outcome",
+        Array(tableParam,
+          p("older_than_ms", LongType, Some((7L * 24 * 3600 * 1000).toString))),
+        StructType(Seq(
+          StructField("tag", StringType, nullable = false),
+          StructField("status", StringType, nullable = false))),
+        (spark, in) => {
+          val d = dirOf(in)
+          val (dropped, kept) = SSTableOps.expireSnapshots(
+            d, in.getLong(1),
+            storage = graft.sources.sstable.Storage.forPath(
+              d, spark.sessionState.newHadoopConf()))
+          dropped.sorted.map(t => row(utf8(t), utf8("dropped"))) ++
+            kept.sorted.map(t => row(utf8(t), utf8("kept")))
+        }),
+
+      "vacuum" -> new Proc(
+        "vacuum",
+        "remove stale staging directories abandoned by dead writers " +
+          "(mtime older than the horizon); one row per staging dir",
+        Array(tableParam,
+          p("older_than_ms", LongType, Some((24L * 3600 * 1000).toString))),
+        StructType(Seq(
+          StructField("path", StringType, nullable = false),
+          StructField("status", StringType, nullable = false))),
+        (spark, in) => {
+          val d = dirOf(in)
+          val (stale, live) = SSTableOps.vacuumStaging(
+            d, in.getLong(1),
+            storage = graft.sources.sstable.Storage.forPath(
+              d, spark.sessionState.newHadoopConf()))
+          stale.sorted.map(s => row(utf8(s), utf8("removed"))) ++
+            live.sorted.map(s => row(utf8(s), utf8("live")))
+        }),
+
+      "scrub" -> new Proc(
+        "scrub",
+        "validate every generation by full decode (row order, sidecar " +
+          "agreement); repair => true re-writes salvageable rows and " +
+          "quarantines the corrupt originals; one row per generation",
+        Array(tableParam, p("repair", BooleanType, Some("false"))),
+        StructType(Seq(
+          StructField("file", StringType, nullable = false),
+          StructField("rows", LongType, nullable = false),
+          StructField("sorted", BooleanType, nullable = false),
+          StructField("statsMatch", BooleanType, nullable = true),
+          StructField("error", StringType, nullable = true),
+          StructField("repairedTo", StringType, nullable = true),
+          StructField("repairError", StringType, nullable = true)),
+        ),
+        (spark, in) => {
+          // the report is one row per GENERATION (metadata-sized); the
+          // scan itself ran distributed inside SSTableOps.scrub
+          SSTableOps.scrub(spark, dirOf(in), in.getBoolean(1))
+            .collect().toSeq.sortBy(_.getString(0)).map { r =>
+              def strOrNull(i: Int): AnyRef =
+                if (r.isNullAt(i)) null else utf8(r.getString(i))
+              def boolOrNull(i: Int): AnyRef =
+                if (r.isNullAt(i)) null else Boolean.box(r.getBoolean(i))
+              row(utf8(r.getString(0)), r.getLong(1): java.lang.Long,
+                r.getBoolean(2): java.lang.Boolean, boolOrNull(3),
+                strOrNull(4), strOrNull(5), strOrNull(6))
+            }
+        }),
+    )
+  }
+}

@@ -273,6 +273,41 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.cf.t")
   }
 
+  test("writeStream.toTable lands micro-batches in a catalog table") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cf")
+    spark.sql("CREATE TABLE graft.cf.sink")
+    val ck = Files.createTempDirectory("cf-sink-ck").toString
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String, Long)]
+    val q = source.toDF().toDF("k", "v", "ts")
+      .select(col("k").cast("binary").as("key"),
+        array(struct(lit("c").cast("binary").as("name"), lit("NORMAL").as("state"),
+          col("v").cast("binary").as("value"), col("ts").as("timestamp"),
+          lit(0L).as("ttlSecs"), lit(0L).as("expiresMillis"))).as("columns"),
+        lit(null).cast("struct<localDeletionTime:int,markedForDeleteAt:bigint>")
+          .as("rowTombstone"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ck).toTable("graft.cf.sink")
+    source.addData(("a", "1", 10L), ("b", "2", 20L))
+    q.processAllAvailable()
+    source.addData(("b", "2b", 30L)) // LWW upsert across epochs
+    q.processAllAvailable()
+    q.stop()
+    // each epoch committed a generation; batch SQL sees the stream's rows
+    assert(keysOf(spark.sql("SELECT * FROM graft.cf.sink")) ==
+      Seq("a", "b", "b"))
+    assert(spark.sql("SELECT count(*) FROM graft.cf.sink.generations")
+      .head().getLong(0) == 2)
+    // and the LWW merge resolves the cross-epoch upsert
+    assert(SSTableOps.compactRows(spark.read.format("sstable")
+        .load(s"$warehouse/cf/sink"))
+      .selectExpr("cast(columns[0].value as string) v").collect()
+      .map(_.getString(0)).sorted.toSeq == Seq("1", "2b"))
+    spark.sql("DROP TABLE graft.cf.sink")
+  }
+
   test("SQL time travel: VERSION AS OF = snapshot pin, TIMESTAMP AS OF = asof cut") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.tt")
     spark.sql("CREATE TABLE graft.tt.t")

@@ -1,0 +1,226 @@
+package graft.sources.sstable.spark
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.SSTableOps
+import graft.sources.sstable.LocalStorage
+
+/** SQL `CALL` maintenance surface (GraftProcedures via ProcedureCatalog):
+  * the operator loop — compaction, snapshot lifecycle, retention,
+  * vacuum, scrub — exercised entirely through SQL statements, each
+  * returning its report as a result set. */
+class GraftProceduresSpec extends AnyFunSuite {
+
+  private lazy val warehouse: String = {
+    val d = Files.createTempDirectory("graft-proc-warehouse").toFile
+    d.deleteOnExit()
+    d.getPath
+  }
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    // own catalog name: CatalogManager caches instances by name, so
+    // sharing "graft" with GraftCatalogSpec would pin whichever suite's
+    // warehouse loads first (the q_sstable_merge per-corpus rule)
+    s.conf.set("spark.sql.catalog.graft_sys", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_sys.warehouse", warehouse)
+    s
+  }
+
+  private def insertRows(table: String, rows: Seq[(String, String, Long)]): Unit = {
+    val values = rows.map { case (k, v, ts) =>
+      s"(CAST('$k' AS BINARY), array(named_struct(" +
+        s"'name', CAST('c' AS BINARY), 'state', 'NORMAL', " +
+        s"'value', CAST('$v' AS BINARY), 'timestamp', CAST($ts AS BIGINT), " +
+        s"'ttlSecs', CAST(0 AS BIGINT), 'expiresMillis', CAST(0 AS BIGINT))), " +
+        "CAST(NULL AS STRUCT<localDeletionTime: INT, markedForDeleteAt: BIGINT>))"
+    }.mkString(", ")
+    spark.sql(s"INSERT INTO $table VALUES $values")
+  }
+
+  private def keysOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.select(col("key").cast("string")).collect().map(_.getString(0)).toSeq.sorted
+
+  private def generations(table: String): Long =
+    spark.sql(s"SELECT count(*) FROM graft_sys.$table.generations").head().getLong(0)
+
+  test("CALL system.compact folds generations; report says how many") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_sys.m")
+    spark.sql("CREATE TABLE graft_sys.m.t")
+    // four INSERTs = four generations: one STCS bucket at the defaults
+    (1 to 4).foreach(i => insertRows("graft_sys.m.t", Seq((s"k$i", s"v$i", i.toLong))))
+    assert(generations("m.t") == 4)
+
+    val report = spark.sql("CALL graft_sys.system.compact(table => 'm.t')")
+    assert(report.columns.toSeq == Seq("folds"))
+    assert(report.head().getInt(0) == 1)
+
+    assert(generations("m.t") == 1)
+    assert(keysOf(spark.sql("SELECT * FROM graft_sys.m.t")) ==
+      Seq("k1", "k2", "k3", "k4"))
+    // a converged directory folds nothing — the report is honest
+    assert(spark.sql("CALL graft_sys.system.compact(table => 'm.t')")
+      .head().getInt(0) == 0)
+    spark.sql("DROP TABLE graft_sys.m.t")
+  }
+
+  test("CALL system.compact_tombstones drops isolated delete debt") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_sys.m")
+    spark.sql("CREATE TABLE graft_sys.m.td")
+    insertRows("graft_sys.m.td", Seq(("a", "1", 10L), ("b", "2", 20L)))
+    spark.sql("DELETE FROM graft_sys.m.td WHERE key = CAST('a' AS BINARY)")
+    // fold data+tombstone together first (the tombstone generation
+    // overlaps the data one, so tombstone compaction alone must skip
+    // it — assert that skip, then let STCS resolve the debt)
+    assert(spark.sql(
+      "CALL graft_sys.system.compact_tombstones(table => 'm.td')")
+      .head().getInt(0) == 0)
+    assert(spark.sql(
+      "CALL graft_sys.system.compact(table => 'm.td', min_threshold => 2)")
+      .head().getInt(0) == 1)
+    assert(keysOf(spark.sql("SELECT * FROM graft_sys.m.td")) == Seq("b"))
+    spark.sql("DROP TABLE graft_sys.m.td")
+  }
+
+  test("CALL system.compact refuses a bucketed table; compact_bucketed folds it") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_sys.m")
+    spark.sql("CREATE TABLE graft_sys.m.bt")
+    val dir = s"$warehouse/m/bt"
+    // write bucketed twice through the path API — the catalog sees the
+    // same directory (table identity IS the path)
+    def gen(ts: Long) = {
+      import spark.implicits._
+      (1 to 40).map(i => f"k$i%03d").toDF("s").select(
+        col("s").cast("binary").as("key"),
+        array(struct(lit("c").cast("binary").as("name"), lit("NORMAL").as("state"),
+          lit(s"v$ts").cast("binary").as("value"), lit(ts).as("timestamp"),
+          lit(0L).as("ttlSecs"), lit(0L).as("expiresMillis"))).as("columns"),
+        lit(null).cast("struct<localDeletionTime:int,markedForDeleteAt:bigint>")
+          .as("rowTombstone"))
+    }
+    SSTableOps.writeBucketed(gen(1L), dir, buckets = 2)
+    SSTableOps.writeBucketed(gen(2L), dir, buckets = 2)
+    assert(LocalStorage.listDataFiles(dir).length == 4)
+
+    val e = intercept[Exception](
+      spark.sql("CALL graft_sys.system.compact(table => 'm.bt')"))
+    assert(e.getMessage.contains("compact_bucketed"),
+      s"CALL compact must point at the bucketed procedure: ${e.getMessage}")
+
+    assert(spark.sql("CALL graft_sys.system.compact_bucketed(table => 'm.bt')")
+      .head().getInt(0) == 2)
+    assert(LocalStorage.listDataFiles(dir).length == 2)
+    assert(keysOf(spark.sql("SELECT * FROM graft_sys.m.bt")).length == 40)
+    spark.sql("DROP TABLE graft_sys.m.bt")
+  }
+
+  test("CALL snapshot lifecycle: snapshot, VERSION AS OF, expire, drop") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_sys.m")
+    spark.sql("CREATE TABLE graft_sys.m.s")
+    insertRows("graft_sys.m.s", Seq(("a", "1", 10L)))
+
+    val path = spark.sql(
+      "CALL graft_sys.system.snapshot(table => 'm.s', tag => 'epoch1')")
+      .head().getString(0)
+    assert(path == SSTableOps.snapshotPath(s"$warehouse/m/s", "epoch1"))
+
+    // the pin is real: VERSION AS OF sees pre-mutation state
+    insertRows("graft_sys.m.s", Seq(("b", "2", 20L)))
+    assert(keysOf(spark.sql("SELECT * FROM graft_sys.m.s VERSION AS OF 'epoch1'")) ==
+      Seq("a"))
+    assert(keysOf(spark.sql("SELECT * FROM graft_sys.m.s")) == Seq("a", "b"))
+
+    // retention with a permissive horizon keeps it...
+    val kept = spark.sql(
+      "CALL graft_sys.system.expire_snapshots(table => 'm.s')").collect()
+    assert(kept.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("epoch1", "kept")))
+    // ...an exhausted horizon drops it
+    val dropped = spark.sql(
+      "CALL graft_sys.system.expire_snapshots(table => 'm.s', older_than_ms => -1)")
+      .collect()
+    assert(dropped.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("epoch1", "dropped")))
+    intercept[Exception](
+      spark.sql("SELECT * FROM graft_sys.m.s VERSION AS OF 'epoch1'").collect())
+
+    // drop_snapshot reports whether the pin existed
+    spark.sql("CALL graft_sys.system.snapshot(table => 'm.s', tag => 'epoch2')")
+    assert(spark.sql(
+      "CALL graft_sys.system.drop_snapshot(table => 'm.s', tag => 'epoch2')")
+      .head().getBoolean(0))
+    assert(!spark.sql(
+      "CALL graft_sys.system.drop_snapshot(table => 'm.s', tag => 'epoch2')")
+      .head().getBoolean(0))
+    spark.sql("DROP TABLE graft_sys.m.s")
+  }
+
+  test("CALL system.vacuum removes only stale staging dirs") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_sys.m")
+    spark.sql("CREATE TABLE graft_sys.m.v")
+    val dir = s"$warehouse/m/v"
+    insertRows("graft_sys.m.v", Seq(("a", "1", 10L)))
+    // fabricate an abandoned writer's staging dir, aged out
+    val stale = new java.io.File(s"$dir/_staging-dead")
+    assert(stale.mkdirs())
+    assert(stale.setLastModified(System.currentTimeMillis() - 48L * 3600 * 1000))
+    val fresh = new java.io.File(s"$dir/_staging-live")
+    assert(fresh.mkdirs())
+
+    val rows = spark.sql("CALL graft_sys.system.vacuum(table => 'm.v')").collect()
+      .map(r => (r.getString(0).substring(r.getString(0).lastIndexOf('/') + 1),
+        r.getString(1))).toSeq
+    assert(rows == Seq(("_staging-dead", "removed"), ("_staging-live", "live")))
+    assert(!stale.exists() && fresh.exists())
+    assert(keysOf(spark.sql("SELECT * FROM graft_sys.m.v")) == Seq("a"))
+    spark.sql("DROP TABLE graft_sys.m.v")
+  }
+
+  test("CALL system.scrub reports one clean row per generation") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_sys.m")
+    spark.sql("CREATE TABLE graft_sys.m.sc")
+    insertRows("graft_sys.m.sc", Seq(("a", "1", 10L)))
+    insertRows("graft_sys.m.sc", Seq(("b", "2", 20L)))
+    val report = spark.sql("CALL graft_sys.system.scrub(table => 'm.sc')").collect()
+    assert(report.length == 2)
+    assert(report.forall(r => r.getBoolean(2) && r.isNullAt(4)),
+      s"scrub must be clean: ${report.mkString(";")}")
+    assert(report.map(_.getLong(1)).sum == 2)
+    spark.sql("DROP TABLE graft_sys.m.sc")
+  }
+
+  test("unknown procedure / unknown table / missing namespace fail loudly") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_sys.m")
+    val e1 = intercept[Exception](
+      spark.sql("CALL graft_sys.system.frobnicate(table => 'm.t')"))
+    assert(e1.getMessage.contains("unknown procedure") ||
+      e1.getMessage.toLowerCase.contains("frobnicate"))
+    val e2 = intercept[Exception](
+      spark.sql("CALL graft_sys.system.compact(table => 'm.nope')").collect())
+    assert(e2.getMessage.toLowerCase.contains("table"))
+    val e3 = intercept[Exception](
+      spark.sql("CALL graft_sys.other.compact(table => 'm.t')"))
+    assert(e3.getMessage.toLowerCase.contains("procedure") ||
+      e3.getMessage.toLowerCase.contains("other"))
+  }
+
+  test("SHOW PROCEDURES lists the maintenance family") {
+    val df = spark.sql("SHOW PROCEDURES IN graft_sys.system")
+    val nameIdx = df.schema.fields.indexWhere(f =>
+      f.dataType == org.apache.spark.sql.types.StringType &&
+        f.name.toLowerCase.contains("name"))
+    assert(nameIdx >= 0, s"no name column in ${df.schema.fieldNames.mkString(",")}")
+    val names = df.collect().map(_.getString(nameIdx)).toSeq
+    assert(Seq("compact", "compact_leveled", "compact_tombstones",
+      "drop_snapshot", "expire_snapshots", "scrub", "snapshot",
+      "vacuum").forall(names.contains),
+      s"SHOW PROCEDURES returned: $names")
+  }
+}

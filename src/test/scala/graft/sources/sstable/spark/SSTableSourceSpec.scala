@@ -634,6 +634,68 @@ class SSTableSourceSpec extends AnyFunSuite {
     assert(empty.rdd.getNumPartitions == 4 && empty.count() == 0)
   }
 
+  test("bucketed compaction folds within buckets; generic compactors refuse") {
+    import graft.operators.SSTableOps
+    import spark.implicits._
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val dir = freshDir()
+    def gen(ts: Long, n: Int, tombstoneEvery: Int = 0) = spark.range(n).select(
+      concat(lit("k"), lpad(col("id").cast("string"), 5, "0")).cast("binary").as("key"),
+      array(struct(lit("c").cast("binary").as("name"), lit("NORMAL").as("state"),
+        concat(lit("v"), lit(ts)).cast("binary").as("value"),
+        lit(ts).as("timestamp"),
+        lit(0L).as("ttlSecs"), lit(0L).as("expiresMillis"))).as("columns"),
+      when(lit(tombstoneEvery) > 0 && col("id") % lit(math.max(tombstoneEvery, 1)) === 0,
+        struct(lit(0).as("localDeletionTime"), lit(ts + 100).as("markedForDeleteAt")))
+        .otherwise(lit(null))
+        .cast("struct<localDeletionTime:int,markedForDeleteAt:bigint>")
+        .as("rowTombstone"))
+    // two flush rounds = a 2-generation chain per bucket; round 2
+    // tombstones every 10th key (shadowing both its own cell and round 1's)
+    SSTableOps.writeBucketed(gen(1L, 200), dir, buckets = 4)
+    SSTableOps.writeBucketed(gen(2L, 200, tombstoneEvery = 10), dir, buckets = 4)
+    val storage = graft.sources.sstable.LocalStorage
+    assert(storage.listDataFiles(dir).length == 8)
+
+    // the SIZE-tier compactors would fold ACROSS buckets — refused loudly
+    val e = intercept[IllegalArgumentException](
+      SSTableOps.compactInPlace(spark, dir, minThreshold = 2))
+    assert(e.getMessage.contains("compactBucketedInPlace"))
+    intercept[IllegalArgumentException](
+      SSTableOps.compactTombstonesInPlace(spark, dir, ratioThreshold = 0.0))
+
+    val expected = SSTableOps.suppressTombstones(SSTableOps.compactRows(
+      spark.read.format("sstable").load(dir))).select(col("key").cast("string"))
+      .as[String].collect().sorted.toSeq
+
+    // the layout-preserving fold: one generation per bucket afterwards,
+    // every name still carrying its bucket stem
+    assert(SSTableOps.compactBucketedInPlace(spark, dir) == 4)
+    val after = storage.listDataFiles(dir)
+    assert(after.length == 4, s"one folded generation per bucket: $after")
+    assert(after.forall(f => SSTableSource.BucketNameRe.matches(
+      graft.sources.sstable.SSTableFiles.generationStem(f))), s"stems kept: $after")
+    // a converged directory folds nothing more
+    assert(SSTableOps.compactBucketedInPlace(spark, dir) == 0)
+
+    // the bucketed read contract survives maintenance: 4 partitions,
+    // zero-exchange merge, and GC dropped the tombstoned keys (within a
+    // bucket the fold takes the whole chain, so GC is structurally safe)
+    SSTableMetadataCache.clear()
+    val scan = spark.read.format("sstable").option("buckets", "4").load(dir)
+    assert(scan.rdd.getNumPartitions == 4)
+    val merged = SSTableOps.compactRows(scan)
+    merged.collect()
+    assert(!merged.queryExecution.executedPlan.toString.contains("Exchange"),
+      "folded bucketed merge must stay zero-exchange")
+    val got = scan.select(col("key").cast("string")).as[String]
+      .collect().sorted.toSeq
+    assert(got == expected, "fold+GC must equal the pre-fold reconciled state")
+    assert(got.length == 180, "every 10th key tombstoned away")
+    assert(scan.filter(col("rowTombstone").isNotNull).count() == 0,
+      "GC must drop the tombstones themselves")
+  }
+
   test("metadata columns: _generation provenance, _change_type change feed") {
     import graft.operators.SSTableOps
     import spark.implicits._
