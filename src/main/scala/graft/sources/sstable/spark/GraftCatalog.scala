@@ -41,8 +41,8 @@ import graft.sources.sstable.Storage
   * options; `RENAME` is a directory move (atomic where the backend's
   * rename is); `ALTER` has nothing alterable. */
 final class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog {
-  import GraftCatalog.NamespaceMarker
+    with ProcedureCatalog with FunctionCatalog {
+  import GraftCatalog.{NamespaceMarker, TablePropsFile}
   private var catalogName: String = _
   private var warehouse: String = _
 
@@ -103,8 +103,19 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       return metadataTable(ident).getOrElse(throw new NoSuchTableException(ident))
     new SSTableTable(Map(
       SSTableSource.PathOption -> d,
-      SSTableSource.ApplyDeletesOption -> "true"))
+      SSTableSource.ApplyDeletesOption -> "true") ++ tableOptions(d))
   }
+
+  /** The table's persisted `_table` properties (CREATE TABLE
+    * TBLPROPERTIES), mapped to source options: `buckets` becomes the
+    * write-layout option (never the read-side one — SQL reads keep the
+    * plain schema), writer-tuning keys pass through under their own
+    * names (they ARE option names). */
+  private def tableOptions(d: String): Map[String, String] =
+    GraftCatalog.readTableProps(storage, d).map {
+      case (GraftCatalog.BucketsProp, v) => SSTableSource.WriteBucketsOption -> v
+      case kv => kv
+    }
 
   /** Iceberg-style SQL metadata tables — a table name nested one level
     * under a real table resolves to that table's ops views:
@@ -153,7 +164,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     new SSTableTable(Map(
       SSTableSource.PathOption -> d,
       SSTableSource.ApplyDeletesOption -> "true",
-      SSTableSource.SnapshotOption -> version))
+      SSTableSource.SnapshotOption -> version) ++ tableOptions(d))
   }
 
   /** SQL time travel, write-time form: `SELECT ... FROM graft.ns.t
@@ -179,7 +190,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     new SSTableTable(Map(
       SSTableSource.PathOption -> d,
       SSTableSource.ApplyDeletesOption -> "true",
-      SSTableSource.AsOfMicrosOption -> timestamp.toString))
+      SSTableSource.AsOfMicrosOption -> timestamp.toString) ++ tableOptions(d))
   }
 
   override def tableExists(ident: Identifier): Boolean =
@@ -197,9 +208,45 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val d = tableDir(ident)
     if (dirExists(d))
       throw new TableAlreadyExistsException(ident)
+    val declared = validatedTableProps(properties)
     requireNamespaceParent(ident)
     storage.mkdirs(d)
+    if (declared.nonEmpty)
+      GraftCatalog.writeTableProps(storage, d, declared)
     loadTable(ident)
+  }
+
+  /** TBLPROPERTIES validation: the allowed set is the bucketed layout
+    * (`buckets`) plus the writer-tuning knobs every write path parses
+    * ([[WriterTuning]]); Spark-injected bookkeeping (owner/comment) is
+    * dropped; anything else — incl. LOCATION/EXTERNAL (tables live in
+    * the warehouse) and a non-sstable USING provider — is refused, not
+    * silently ignored. Values are validated HERE, at CREATE, so a bad
+    * bucket count can never be persisted. */
+  private def validatedTableProps(properties: util.Map[String, String])
+      : Map[String, String] = {
+    val lowered = properties.asScala.toMap.map { case (k, v) =>
+      k.toLowerCase(java.util.Locale.ROOT) -> v
+    }
+    lowered.get(TableCatalog.PROP_PROVIDER).foreach(p =>
+      require(p.equalsIgnoreCase("sstable"),
+        s"graft tables are the sstable format; USING $p is not supported"))
+    require(!lowered.contains(TableCatalog.PROP_LOCATION) &&
+        !lowered.contains(TableCatalog.PROP_EXTERNAL),
+      "graft tables live under the catalog warehouse; LOCATION/EXTERNAL are " +
+        "not supported (read external directories via the path API)")
+    val declared = lowered -- GraftCatalog.IgnoredCreateProps
+    declared.keys.foreach(k =>
+      require(GraftCatalog.AllowedTableProps.contains(k),
+        s"unsupported table property '$k'; supported: " +
+          GraftCatalog.AllowedTableProps.toSeq.sorted.mkString(", ")))
+    // value validation — fail at CREATE, never at first INSERT
+    declared.get(GraftCatalog.BucketsProp)
+      .foreach(v => SSTableSource.bucketsOf(Some(v)))
+    require(!(declared.contains(GraftCatalog.BucketsProp) &&
+        declared.get(SSTableSource.LayoutOption).exists(_.equalsIgnoreCase("range"))),
+      "bucketed tables hash-route by key; 'layout=range' cannot compose with 'buckets'")
+    declared
   }
 
   /** The parent of a new table/rename target must exist AND be a
@@ -341,6 +388,25 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       procedures.keys.toSeq.sorted
         .map(Identifier.of(GraftProcedures.Namespace, _)).toArray
     else Array.empty
+
+  // ---- FunctionCatalog ----
+
+  /** One function: `bucket` — the bucketed layout's key→bucket mapping
+    * ([[GraftBucketFunction]]). Registered so Catalyst can resolve the
+    * `bucket(n, key)` transform a bucketed table's write declares (and
+    * any storage-partitioned read reporting that uses it). Top-level
+    * (empty namespace): that is where transform resolution looks. */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty)
+      Array(Identifier.of(Array.empty[String], GraftBucketFunction.name()))
+    else Array.empty
+
+  override def loadFunction(ident: Identifier):
+      org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.namespace.isEmpty &&
+        ident.name.equalsIgnoreCase(GraftBucketFunction.name()))
+      GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
 }
 
 object GraftCatalog {
@@ -348,4 +414,50 @@ object GraftCatalog {
     * namespace is distinguishable from an empty table (`_`-prefixed:
     * invisible to data listings and identifier rules). */
   private[spark] val NamespaceMarker = "_namespace"
+  /** Persisted table properties (`CREATE TABLE … TBLPROPERTIES`), one
+    * `k=v` line each — `_`-prefixed like every non-data file. */
+  private[spark] val TablePropsFile = "_table"
+  /** The `buckets` table property — the bucketed write layout. */
+  private[spark] val BucketsProp = "buckets"
+  /** Properties CREATE TABLE accepts (and SHOW CREATE TABLE echoes):
+    * the bucketed layout plus the writer-tuning option names every
+    * write path parses. */
+  private[spark] val AllowedTableProps: Set[String] = Set(
+    BucketsProp, SSTableSource.CompressOption, SSTableSource.ChunkLengthOption,
+    SSTableSource.SummaryIntervalOption, SSTableSource.BloomBitsPerKeyOption,
+    SSTableSource.CompressionAlgorithmOption, SSTableSource.LayoutOption)
+  /** Spark-injected bookkeeping dropped (not persisted, not refused). */
+  private[spark] val IgnoredCreateProps: Set[String] =
+    Set(TableCatalog.PROP_OWNER, TableCatalog.PROP_COMMENT,
+      TableCatalog.PROP_PROVIDER)
+
+  private[spark] def writeTableProps(storage: Storage, dir: String,
+                                     props: Map[String, String]): Unit = {
+    val out = storage.create(s"$dir/$TablePropsFile")
+    try out.write(props.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+      .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private[spark] def readTableProps(storage: Storage,
+                                    dir: String): Map[String, String] = {
+    val p = s"$dir/$TablePropsFile"
+    if (!storage.exists(p)) return Map.empty
+    val in = storage.open(p)
+    try {
+      val buf = new Array[Byte](in.length.toInt)
+      var off = 0
+      while (off < buf.length) {
+        val r = in.read(buf, off, buf.length - off)
+        if (r < 0) throw new java.io.EOFException(s"$p truncated at $off")
+        off += r
+      }
+      new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+        .split("\n").iterator.map(_.trim).filter(_.nonEmpty).map { line =>
+          val i = line.indexOf('=')
+          require(i > 0, s"malformed table property line in $p: '$line'")
+          line.take(i) -> line.drop(i + 1)
+        }.toMap
+    } finally in.close()
+  }
 }

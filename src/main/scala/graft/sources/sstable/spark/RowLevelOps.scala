@@ -66,8 +66,19 @@ final class SSTableRowLevelOperation(table: SSTableTable,
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
-      override def build(): DeltaWrite =
+      override def build(): DeltaWrite = {
+        // refused HERE, not at analysis: key-equality DELETEs on bucketed
+        // tables never build a delta write (the metadata-delete
+        // optimization keeps them on deleteWhere, which appends
+        // per-bucket tombstones) — only UPDATE/MERGE/non-key DELETE
+        // reach this, and their part-NNNNN insert stems would break the
+        // bucket layout contract
+        require(!properties.contains(SSTableSource.WriteBucketsOption),
+          "UPDATE/MERGE (and non-key DELETE) are not supported on bucketed " +
+            "tables yet: INSERT INTO is an LWW upsert and " +
+            "DELETE FROM ... WHERE key = X keeps the layout")
         new SSTableDeltaWrite(path, info, properties)
+      }
     }
 
   override def description(): String = s"sstable rowlevel $cmd $path"

@@ -46,8 +46,16 @@ class SSTableSource extends TableProvider with DataSourceRegister {
     else SSTableSchema.schema
   }
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table =
+                        properties: util.Map[String, String]): Table = {
+    // the bucket transform a bucketed write declares only resolves
+    // through a FunctionCatalog, which the path API has none of — refuse
+    // HERE with the pointer instead of Spark's unresolved-function error
+    require(!properties.containsKey(SSTableSource.WriteBucketsOption),
+      s"option '${SSTableSource.WriteBucketsOption}' needs a FunctionCatalog " +
+        "and is a GraftCatalog table property; the path API writes bucketed " +
+        "layouts via SSTableOps.writeBucketed")
     new SSTableTable(properties.asScala.toMap)
+  }
   override def supportsExternalMetadata(): Boolean = false
 }
 
@@ -185,6 +193,18 @@ object SSTableSource {
   /** Pin the write exchange's partition count (= generations written);
     * 0/unset lets Spark (incl. AQE coalescing) size it. */
   val WritePartitionsOption = "writepartitions"
+  /** Table-level bucketed layout (`CREATE TABLE … TBLPROPERTIES
+    * ('buckets'='n')`, persisted by [[GraftCatalog]]): every write to the
+    * table keeps the `bucket-NNNNN-` layout — `INSERT INTO` asks Spark
+    * for a [[GraftBucketFunction]]-clustered distribution and streams
+    * whole buckets per task ([[SSTableBucketedRollingWriter]]); SQL
+    * `DELETE` appends per-bucket tombstone generations. Distinct from
+    * the read-side [[BucketsOption]] (which changes the READ schema and
+    * partitioning): this shapes writes only, so SQL reads keep the plain
+    * schema. The transform only resolves through a `FunctionCatalog`,
+    * so the PATH API refuses it — path users call
+    * [[graft.operators.SSTableOps.writeBucketed]]. */
+  val WriteBucketsOption = "writebuckets"
 
   private[spark] def viewOf(v: Option[String]): String = v match {
     case None => "rows"
@@ -217,17 +237,17 @@ object SSTableSource {
   }
 }
 
-final class SSTableTable(properties: Map[String, String])
+final class SSTableTable(props: Map[String, String])
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
-  private def basePath: String = properties.getOrElse(SSTableSource.PathOption,
+  private def basePath: String = props.getOrElse(SSTableSource.PathOption,
     throw new IllegalArgumentException("sstable source requires a path"))
   private def snapshotTag: Option[String] =
-    properties.get(SSTableSource.SnapshotOption)
+    props.get(SSTableSource.SnapshotOption)
   private def sinceSnapshotTag: Option[String] =
-    properties.get(SSTableSource.SinceSnapshotOption)
+    props.get(SSTableSource.SinceSnapshotOption)
   private def validTag(tag: String): String = {
     require(tag.nonEmpty && !tag.contains('/') && !tag.contains('\\'),
       s"bad snapshot tag: '$tag'")
@@ -240,12 +260,30 @@ final class SSTableTable(properties: Map[String, String])
     case None => basePath
   }
   private def view: String =
-    SSTableSource.viewOf(properties.get(SSTableSource.ViewOption))
+    SSTableSource.viewOf(props.get(SSTableSource.ViewOption))
   private def cellsView: Boolean = view == "cells"
   private def generationsView: Boolean = view == "generations"
   private def buckets: Option[Int] =
-    SSTableSource.bucketsOf(properties.get(SSTableSource.BucketsOption))
+    SSTableSource.bucketsOf(props.get(SSTableSource.BucketsOption))
+  /** Table-level bucketed WRITE layout ([[SSTableSource
+    * .WriteBucketsOption]], persisted by [[GraftCatalog]]): shapes every
+    * write path; reads keep the plain schema — unlike the read-side
+    * `buckets` option, which changes schema and partitioning. */
+  private def writeBuckets: Option[Int] =
+    SSTableSource.bucketsOf(props.get(SSTableSource.WriteBucketsOption))
   override def name(): String = s"sstable(`$path`)"
+  /** `SHOW CREATE TABLE` surface: only the user-declared table properties
+    * (bucketed layout + writer tuning), never internal plumbing keys
+    * (path, applydeletes, snapshot pins). */
+  override def properties(): util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    props.get(SSTableSource.WriteBucketsOption).foreach(m.put("buckets", _))
+    Seq(SSTableSource.CompressOption, SSTableSource.ChunkLengthOption,
+      SSTableSource.SummaryIntervalOption, SSTableSource.BloomBitsPerKeyOption,
+      SSTableSource.CompressionAlgorithmOption, SSTableSource.LayoutOption)
+      .foreach(k => props.get(k).foreach(m.put(k, _)))
+    m
+  }
   override def schema(): StructType =
     if (generationsView) SSTableSchema.generationsSchema
     else if (cellsView) SSTableSchema.cellsSchema
@@ -293,7 +331,7 @@ final class SSTableTable(properties: Map[String, String])
     // there) merge under the per-read options — the path API passes its
     // options through both, so this is the identity for it
     val merged = new java.util.HashMap[String, String]()
-    properties.foreach { case (k, v) => merged.put(k, v) }
+    props.foreach { case (k, v) => merged.put(k, v) }
     merged.putAll(options)
     if (generationsView) {
       require(buckets.isEmpty, "view=generations lists raw generations; drop 'buckets'")
@@ -324,9 +362,9 @@ final class SSTableTable(properties: Map[String, String])
       "snapshots are immutable point-in-time views: write the live directory")
     require(sinceSnapshotTag.isEmpty,
       "sincesnapshot is a read-side diff: write the live directory")
-    require(!properties.contains(SSTableSource.AsOfMicrosOption),
+    require(!props.contains(SSTableSource.AsOfMicrosOption),
       "asofmicros is read-side time travel: write the live directory")
-    new SSTableWriteBuilder(path, info, properties)
+    new SSTableWriteBuilder(path, info, props)
   }
 
   /** SQL `DELETE FROM` (SupportsDelete) — the LSM way: matched keys get
@@ -341,7 +379,7 @@ final class SSTableTable(properties: Map[String, String])
     deletableKeys(filters).isDefined
   override def deleteWhere(filters: Array[Filter]): Unit = {
     require(snapshotTag.isEmpty && sinceSnapshotTag.isEmpty && buckets.isEmpty
-      && !properties.contains(SSTableSource.AsOfMicrosOption)
+      && !props.contains(SSTableSource.AsOfMicrosOption)
       && view == "rows", "DELETE targets the live rows-view directory")
     val storage = Storage.forPath(path,
       org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
@@ -356,7 +394,7 @@ final class SSTableTable(properties: Map[String, String])
         // sidecar timestamp + 1 does, deterministically. Stats-less
         // (foreign/v0) generations make that unprovable — fail loudly
         // rather than delete incompletely.
-        val mark = properties.get(SSTableSource.DeleteMarkMicrosOption) match {
+        val mark = props.get(SSTableSource.DeleteMarkMicrosOption) match {
           case Some(v) => v.toLong
           case None =>
             val stats = gens.map(f => new SSTableReader(f, storage).statistics)
@@ -367,16 +405,42 @@ final class SSTableTable(properties: Map[String, String])
             stats.flatten.map(_.maxTimestamp).foldLeft(0L)(math.max) + 1
         }
         val ldtSecs = (System.currentTimeMillis() / 1000).toInt
-        import org.apache.spark.sql.Row
-        val rows: java.util.List[Row] = keys
+        val deduped = keys
           .distinctBy(new String(_, java.nio.charset.StandardCharsets.ISO_8859_1))
-          .map(k => Row(k, Seq.empty[Row], Row(ldtSecs, mark))).asJava
-        spark.createDataFrame(rows, SSTableSchema.schema)
-          .write.format("sstable")
-          .option(SSTableSource.JobTagOption,
-            "delete-" + java.util.UUID.randomUUID().toString.take(8))
-          .option(SSTableSource.WritePartitionsOption, "1")
-          .mode("append").save(path)
+        writeBuckets match {
+          case Some(n) =>
+            // bucketed table: the tombstones must KEEP the layout — one
+            // tiny delete-only generation per affected bucket, published
+            // under its bucket stem, written driver-side (the key list is
+            // a SQL literal set, metadata-sized by construction). The
+            // bucketed fold (compact_bucketed) later GCs them
+            // structurally; delete-aware reads shadow them like any
+            // delete-only generation.
+            val tag = "delete-" + java.util.UUID.randomUUID().toString.take(8)
+            val stagingDir = s"$path/_staging-$tag"
+            storage.mkdirs(stagingDir)
+            deduped.groupBy(GraftBucketFunction.bucketOf(n, _))
+              .toSeq.sortBy(_._1).foreach { case (b, ks) =>
+                val dataPath =
+                  s"$stagingDir/${SSTableSource.bucketStem(b)}$tag${SSTableFiles.DataSuffix}"
+                val w = new SSTableWriter(dataPath, storage = storage)
+                try ks.sortWith(SSTableFiles.compareKeys(_, _) < 0).foreach(k =>
+                  w.append(SSTableRow(k, Nil, Some(RowTombstone(ldtSecs, mark)))))
+                finally w.close()
+                SSTableFiles.publish(storage, dataPath, path)
+              }
+            storage.deleteRecursive(stagingDir)
+          case None =>
+            import org.apache.spark.sql.Row
+            val rows: java.util.List[Row] = deduped
+              .map(k => Row(k, Seq.empty[Row], Row(ldtSecs, mark))).asJava
+            spark.createDataFrame(rows, SSTableSchema.schema)
+              .write.format("sstable")
+              .option(SSTableSource.JobTagOption,
+                "delete-" + java.util.UUID.randomUUID().toString.take(8))
+              .option(SSTableSource.WritePartitionsOption, "1")
+              .mode("append").save(path)
+        }
       case _ => // empty IN-list: nothing to delete
     }
   }
@@ -389,10 +453,14 @@ final class SSTableTable(properties: Map[String, String])
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     require(snapshotTag.isEmpty && sinceSnapshotTag.isEmpty && buckets.isEmpty
-      && !properties.contains(SSTableSource.AsOfMicrosOption)
+      && !props.contains(SSTableSource.AsOfMicrosOption)
       && view == "rows",
       "UPDATE/MERGE/DELETE target the live rows-view directory")
-    () => new SSTableRowLevelOperation(this, path, properties, info.command())
+    // NOTE: no bucketed-layout refusal here — Spark builds this
+    // operation at ANALYSIS for every DELETE, including key-equality
+    // ones the metadata-delete optimization later routes to deleteWhere
+    // (which keeps the layout); the delta WRITE refuses instead.
+    () => new SSTableRowLevelOperation(this, path, props, info.command())
   }
 
   /** None = unsupported shape; Some(None) = delete everything;

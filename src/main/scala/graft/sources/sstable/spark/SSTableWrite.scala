@@ -62,18 +62,43 @@ final class SSTableWrite(path: String, schema: StructType,
         s"sstable option '${SSTableSource.LayoutOption}' must be 'hash' or 'range', got '$other'")
     }
 
+  /** Bucketed-table write ([[SSTableSource.WriteBucketsOption]], set by
+    * [[GraftCatalog]] from the `buckets` table property): the
+    * distribution is clustered on the catalog's own `bucket(n, key)` V2
+    * function ([[GraftBucketFunction]] — Catalyst resolves the transform
+    * through the table's `FunctionCatalog`), sorted `(bucket, key)`
+    * within partitions, `n` partitions. Same bucket ⇒ same partition, so
+    * buckets are task-disjoint; the rolling writer then streams ONE
+    * generation per bucket it holds — an `INSERT INTO` appends at most
+    * `n` generations total regardless of input size, and every name
+    * keeps the `bucket-NNNNN-` layout stem. */
+  private val writeBuckets: Option[Int] =
+    SSTableSource.bucketsOf(properties.get(SSTableSource.WriteBucketsOption))
+  require(writeBuckets.isEmpty || !rangeLayout,
+    "bucketed tables hash-route by key; 'layout=range' cannot compose with 'buckets'")
+
   private def keyAsc: Array[SortOrder] =
     Array(Expressions.sort(Expressions.column("key"), SortDirection.ASCENDING))
-  override def requiredDistribution(): Distribution =
-    if (rangeLayout) Distributions.ordered(keyAsc)
-    else Distributions.clustered(Array(Expressions.identity("key")))
-  override def requiredOrdering(): Array[SortOrder] = keyAsc
+  override def requiredDistribution(): Distribution = writeBuckets match {
+    case Some(n) =>
+      Distributions.clustered(Array(Expressions.bucket(n, "key")))
+    case None =>
+      if (rangeLayout) Distributions.ordered(keyAsc)
+      else Distributions.clustered(Array(Expressions.identity("key")))
+  }
+  override def requiredOrdering(): Array[SortOrder] = writeBuckets match {
+    case Some(n) => Array(
+      Expressions.sort(Expressions.bucket(n, "key"), SortDirection.ASCENDING),
+      Expressions.sort(Expressions.column("key"), SortDirection.ASCENDING))
+    case None => keyAsc
+  }
 
   /** `option("writepartitions", n)`: pin the distribution's partition
     * count — and therefore the number of generations written (one
     * fileset per partition). 0 (default) lets Spark size the exchange,
-    * including AQE coalescing tiny outputs into fewer files. */
-  override def requiredNumPartitions(): Int =
+    * including AQE coalescing tiny outputs into fewer files. Bucketed
+    * writes pin to the bucket count. */
+  override def requiredNumPartitions(): Int = writeBuckets.getOrElse(
     properties.get(SSTableSource.WritePartitionsOption).map { v =>
       val n = try v.toInt catch {
         case _: NumberFormatException => throw new IllegalArgumentException(
@@ -82,7 +107,7 @@ final class SSTableWrite(path: String, schema: StructType,
       require(n >= 0,
         s"sstable option '${SSTableSource.WritePartitionsOption}' must be >= 0: $n")
       n
-    }.getOrElse(0)
+    }.getOrElse(0))
 
   override def toBatch: BatchWrite = new SSTableBatchWrite(path, schema, properties, truncate)
 
@@ -92,8 +117,13 @@ final class SSTableWrite(path: String, schema: StructType,
     * periodically folds into a single generation. Spark honors the same
     * clustering+ordering requirement per micro-batch, so every epoch's
     * tasks stream sorted rows just like the batch path. */
-  override def toStreaming: StreamingWrite =
+  override def toStreaming: StreamingWrite = {
+    require(writeBuckets.isEmpty,
+      "streaming writes to bucketed tables are not supported: epoch commits " +
+        "publish part-NNNNN-epoch stems, which would break the bucket layout — " +
+        "stream into a plain table and compact, or batch-INSERT")
     new SSTableStreamingWrite(path, schema, properties)
+  }
 }
 
 /** Staged 4-file set of one committed task attempt. */
@@ -149,8 +179,13 @@ final class SSTableBatchWrite(path: String, schema: StructType,
       st.listDataFiles(path).foreach(SSTableFiles.unpublish(st, _))
     st.mkdirs(stagingDir)
     val t = WriterTuning.of(properties)
-    new SSTableWriterFactory(stagingDir, schema, t.compress, t.chunkLength,
-      t.summaryInterval, t.bloomBitsPerKey, t.algorithm, serConf, jobTag)
+    SSTableSource.bucketsOf(properties.get(SSTableSource.WriteBucketsOption)) match {
+      case Some(n) =>
+        new SSTableBucketedWriterFactory(stagingDir, schema, t, serConf, jobTag, n)
+      case None =>
+        new SSTableWriterFactory(stagingDir, schema, t.compress, t.chunkLength,
+          t.summaryInterval, t.bloomBitsPerKey, t.algorithm, serConf, jobTag)
+    }
   }
 
   /** Rename the winning attempts' staged files into the target dir —
@@ -264,6 +299,80 @@ object SSTableStreamingWrite {
   /** `part-P-epoch-E-attempt-T-Data.db` → `part-P-epoch-E-Data.db`. */
   def publishedName(stagedName: String): String =
     AttemptPart.replaceAllIn(stagedName, "")
+}
+
+/** Bucketed-table write factory: each task gets a ROLLING writer that
+  * streams one staged generation per bucket it holds. */
+final class SSTableBucketedWriterFactory(stagingDir: String, schema: StructType,
+                                         tuning: WriterTuning,
+                                         serConf: Option[SerializableHadoopConf],
+                                         jobTag: String, buckets: Int)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    val storage = serConf.map(c => new HadoopStorage(c.value): Storage)
+      .getOrElse(LocalStorage)
+    new SSTableBucketedRollingWriter(stagingDir, schema, tuning, storage,
+      jobTag, taskId, buckets)
+  }
+}
+
+/** Streams one task's rows — Spark-sorted by `(bucket(n, key), key)` per
+  * [[SSTableWrite.requiredOrdering]] — into one staged 4-file set PER
+  * BUCKET, rolling to a fresh [[SSTablePartitionWriter]] whenever the
+  * computed bucket id advances. The bucket id is recomputed here with
+  * [[GraftBucketFunction.bucketOf]] (the same function the shuffle
+  * routed with), and a DECREASING id fails loudly: it would mean the
+  * declared distribution/ordering was not honored, and silently
+  * splitting a bucket across generations in one task would corrupt
+  * nothing but waste names — the invariant is cheap to enforce, so it
+  * is. Staged stems are `bucket-NNNNN-<jobTag>-<taskId>`: canonical
+  * bucket layout plus attempt uniqueness (taskId differs per attempt;
+  * the commit coordinator publishes exactly one attempt's files). */
+final class SSTableBucketedRollingWriter(stagingDir: String, schema: StructType,
+                                         tuning: WriterTuning, storage: Storage,
+                                         jobTag: String, taskId: Long, buckets: Int)
+    extends DataWriter[InternalRow] {
+  private val keyIdx = schema.fieldIndex("key")
+  private var current: SSTablePartitionWriter = null
+  private var currentBucket = -1
+  private val staged = Seq.newBuilder[String]
+
+  private def roll(b: Int): Unit = {
+    closeCurrent()
+    current = new SSTablePartitionWriter(stagingDir, schema, b, taskId,
+      tuning.compress, tuning.chunkLength, tuning.summaryInterval,
+      tuning.bloomBitsPerKey, storage,
+      fileStem = s"${SSTableSource.bucketStem(b)}$jobTag-$taskId",
+      algorithm = tuning.algorithm)
+    currentBucket = b
+  }
+  private def closeCurrent(): Unit = if (current != null) {
+    staged ++= current.commit().asInstanceOf[SSTableCommit].stagedDataPaths
+    current = null
+  }
+
+  override def write(record: InternalRow): Unit = {
+    val b = GraftBucketFunction.bucketOf(buckets, record.getBinary(keyIdx))
+    if (b != currentBucket) {
+      require(b > currentBucket,
+        s"bucket id went backwards ($currentBucket -> $b): the write was not " +
+          "clustered+sorted by bucket(n, key) — bucketed writes need the " +
+          "catalog's FunctionCatalog-resolved distribution")
+      roll(b)
+    }
+    current.write(record)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    closeCurrent()
+    SSTableCommit(staged.result())
+  }
+
+  override def abort(): Unit = {
+    if (current != null) current.abort()
+    staged.result().foreach(SSTableFiles.unpublish(storage, _))
+  }
+  override def close(): Unit = ()
 }
 
 final class SSTableWriterFactory(stagingDir: String, schema: StructType,
