@@ -113,6 +113,10 @@ object Params {
     * [[DeleteUserMod]] so the two physical fixtures never interact. */
   val MergeUserMod = 7
   val MergeNewUserOffset = 10000000L
+  /** q_sstable_bucketed's table property: the SQL-created bucketed
+    * layout's bucket count (INSERT appends ≤ this many generations per
+    * statement; DELETE appends ≤ this many tombstone generations). */
+  val BucketFixtureBuckets = 8
   /** Exact-substring dedup (q_dup_spans): window width in tokens. Real
     * pipelines use ~50 (Lee et al., "Deduplicating Training Data Makes
     * Language Models Better"); the synthetic corpus' shared runs are

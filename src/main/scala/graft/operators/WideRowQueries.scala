@@ -175,6 +175,25 @@ object WideRowQueries {
           col("timestamp").as("ts_ms"))
         .orderBy("user_id", "event_type", "ts_ms", "value_e4")
     }),
+    // The SQL bucketed-table lifecycle over REAL files: CREATE TABLE
+    // with TBLPROPERTIES('buckets'=8), INSERT INTO through the
+    // FunctionCatalog-resolved bucket-clustered write (one rolling
+    // bucket-NNNNN generation per bucket), the deterministic user
+    // subset deleted through the bucketed metadata-delete path (one
+    // tombstone generation per AFFECTED bucket, same stems), read back
+    // delete-aware through the cells view. Same logical complement as
+    // q_sstable_delete — proving the bucketed write path preserves
+    // content cell-for-cell while laying the zero-exchange layout.
+    "q_sstable_bucketed" -> ((s, d) => {
+      val dir = sstableBucketedFixture(s, d)
+      s.read.format("sstable").option("applydeletes", "true")
+        .option("view", "cells").load(dir)
+        .select(col("key").cast("string").cast("long").as("user_id"),
+          col("name").cast("string").as("event_type"),
+          col("value").cast("string").cast("long").as("value_e4"),
+          col("timestamp").as("ts_ms"))
+        .orderBy("user_id", "event_type", "ts_ms", "value_e4")
+    }),
     // Time travel over the REAL files: the asofmicros read option drops
     // post-cut cell versions at decode (and whole post-cut generations
     // at plan time via Statistics minTimestamp), so compactRows yields
@@ -349,6 +368,63 @@ object WideRowQueries {
       dir
     }
 
+  /** Physical fixture for the SQL bucketed-table query: a per-corpus
+    * warehouse + catalog (CatalogManager caches instances by name — the
+    * q_sstable_merge rule), `CREATE TABLE` with the buckets property,
+    * one SQL `INSERT INTO … SELECT` through the bucket-clustered write
+    * (≤ [[Params.BucketFixtureBuckets]] generations, every stem
+    * `bucket-NNNNN-`), then the [[Params.DeleteUserMod]] users deleted
+    * through the bucketed metadata-delete path (per-affected-bucket
+    * tombstone generations; mark pinned to max ts + 1 for rerun
+    * determinism, like the plain delete fixture). */
+  private val bucketedFixtureCache = new SessionCache[String]
+  private def sstableBucketedFixture(s: SparkSession, d: String): String =
+    bucketedFixtureCache.getOrCompute(s, d) {
+      val corpusTag = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes).map("%02x".format(_)).mkString.take(16)
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft-bkt-$corpusTag"
+      val root = java.nio.file.Paths.get(wh)
+      if (java.nio.file.Files.exists(root)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+      val cat = s"graft_bq_$corpusTag"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.sstable.spark.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"CREATE NAMESPACE $cat.fx")
+      s.sql(s"CREATE TABLE $cat.fx.t " +
+        s"TBLPROPERTIES('buckets'='$BucketFixtureBuckets')")
+      val e = Tables.events(s, d).select("user_id", "event_type", "ts_ms", "value")
+      val view = s"graft_bkt_src_$corpusTag"
+      e.select(col("user_id").cast("string").cast("binary").as("key"),
+          array(struct(col("event_type").cast("binary").as("name"),
+            lit("NORMAL").as("state"),
+            e4(col("value")).cast("string").cast("binary").as("value"),
+            col("ts_ms").as("timestamp"),
+            lit(0L).as("ttlSecs"), lit(0L).as("expiresMillis"))).as("columns"))
+        .createOrReplaceTempView(view)
+      s.sql(s"""INSERT INTO $cat.fx.t
+        SELECT key, columns,
+          CAST(NULL AS STRUCT<localDeletionTime: INT, markedForDeleteAt: BIGINT>)
+        FROM $view""")
+      val dir = s"$wh/fx/t"
+      val doomed = e.select(col("user_id")).distinct()
+        .filter(col("user_id") % 10 === DeleteUserMod)
+        .collect().map(_.getLong(0).toString.getBytes: Any)
+      val mark = e.agg(max(col("ts_ms"))).head().getLong(0) + 1
+      new graft.sources.sstable.spark.SSTableTable(Map(
+          graft.sources.sstable.spark.SSTableSource.PathOption -> dir,
+          graft.sources.sstable.spark.SSTableSource.WriteBucketsOption ->
+            BucketFixtureBuckets.toString,
+          graft.sources.sstable.spark.SSTableSource.DeleteMarkMicrosOption ->
+            mark.toString))
+        .deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+          org.apache.spark.sql.sources.In("key", doomed)))
+      dir
+    }
+
   /** Lift events into the nested scan schema, compact with the selected
     * merge variant, and explode back to a comparable relation. Each event
     * becomes a one-column row VERSION (multiple rows per key are exactly
@@ -434,6 +510,12 @@ object WideRowQueries {
           ORDER BY user_id, event_type, ts_ms, value_e4""",
     // the complement of the deleted user set, cell-for-cell
     "q_sstable_delete" ->
+      s"""SELECT user_id, event_type, ${e4Sql("value")} AS value_e4, ts_ms
+          FROM $EventsSql WHERE user_id % 10 <> $DeleteUserMod
+          ORDER BY user_id, event_type, ts_ms, value_e4""",
+    // the bucketed lifecycle must land on the SAME logical complement —
+    // bucketed INSERT + per-bucket DELETE preserve content cell-for-cell
+    "q_sstable_bucketed" ->
       s"""SELECT user_id, event_type, ${e4Sql("value")} AS value_e4, ts_ms
           FROM $EventsSql WHERE user_id % 10 <> $DeleteUserMod
           ORDER BY user_id, event_type, ts_ms, value_e4""",

@@ -40,12 +40,31 @@ final class SSTableMicroBatchStream(path: String, requiredSchema: StructType,
                                     ttlAsOfMs: Option[Long],
                                     serConf: Option[SerializableHadoopConf],
                                     maxFilesPerTrigger: Option[Int] = None,
-                                    maxBytesPerTrigger: Option[Long] = None)
+                                    maxBytesPerTrigger: Option[Long] = None,
+                                    sinceDir: Option[String] = None)
     extends MicroBatchStream with SupportsAdmissionControl {
   private def storage: Storage =
     serConf.map(c => new HadoopStorage(c.value): Storage).getOrElse(LocalStorage)
 
-  override def initialOffset(): Offset = SSTableOffset(Set.empty)
+  /** Starting floor (`option("sincesnapshot", tag)` — the streaming twin
+    * of the batch epoch-diff read, Delta's `startingVersion`): a FRESH
+    * checkpoint starts with the snapshot's pinned generations already
+    * marked processed, so the stream tails only what landed after the
+    * pin instead of replaying a possibly-100 TB directory as batch #1.
+    * Pinned basenames are mapped onto live-directory paths (basename
+    * identity — filesets are immutable, names unique); pins whose
+    * generation was since compacted away resolve to paths that never
+    * list again, which is exactly right (their data pre-dates the
+    * floor). Restarts never consult this: offsets come from the
+    * checkpoint, so an existing stream's exactly-once is untouched. */
+  override def initialOffset(): Offset = sinceDir match {
+    case None => SSTableOffset(Set.empty)
+    case Some(d) =>
+      val st = storage
+      require(st.exists(d), s"sincesnapshot pin does not exist: $d")
+      SSTableOffset(st.listDataFiles(d)
+        .map(f => s"$path/${f.substring(f.lastIndexOf('/') + 1)}").toSet)
+  }
   override def deserializeOffset(json: String): Offset = SSTableOffset.fromJson(json)
   override def latestOffset(): Offset = throw new UnsupportedOperationException(
     "latestOffset(Offset, ReadLimit) should be called with admission control")

@@ -137,7 +137,10 @@ object SSTableSource {
     * new filesets, which a since-read would count as new — run
     * compaction/maintenance outside the snapshot→diff window (the same
     * single-maintainer contract as the rest of the maintenance family).
-    * Batch read only; rejected on writes and streaming. */
+    * Rejected on writes. On STREAMING reads the pin is the starting
+    * floor (Delta's `startingVersion`): a fresh checkpoint begins
+    * tailing after the snapshot instead of replaying the whole
+    * directory — see [[SSTableMicroBatchStream.initialOffset]]. */
   val SinceSnapshotOption = "sincesnapshot"
   /** Delete-aware reads: `option("applydeletes", "true")` (set
     * automatically by [[GraftCatalog]] tables) applies the directory's
@@ -527,6 +530,12 @@ final class SSTableScanBuilder(path: String, options: CaseInsensitiveStringMap)
   private val bucketsOpt =
     SSTableSource.bucketsOf(Option(options.get(SSTableSource.BucketsOption)))
   require(!(cellsView && bucketsOpt.isDefined), "view=cells and buckets are exclusive")
+  /** Bucketed-table layout ([[SSTableSource.WriteBucketsOption]], a
+    * catalog table property): rows-view scans report storage-partitioned
+    * clustering on `bucket(n, key)` — see [[SSTableScan.outputPartitioning]]. */
+  private val spjBuckets =
+    if (cellsView) None
+    else SSTableSource.bucketsOf(Option(options.get(SSTableSource.WriteBucketsOption)))
   private val applyDeletes = Option(options.get(SSTableSource.ApplyDeletesOption))
     .exists { v =>
       require(v.equalsIgnoreCase("true") || v.equalsIgnoreCase("false"),
@@ -753,7 +762,8 @@ final class SSTableScanBuilder(path: String, options: CaseInsensitiveStringMap)
       maxDeleteKeys = longOption(SSTableSource.MaxDeleteKeysOption).map { v =>
         require(v > 0 && v <= Int.MaxValue, s"maxdeletekeys must be a positive int: $v")
         v.toInt
-      }.getOrElse(SSTableSource.DefaultMaxDeleteKeys))
+      }.getOrElse(SSTableSource.DefaultMaxDeleteKeys),
+      spjBuckets = spjBuckets)
   }
 }
 
@@ -946,7 +956,8 @@ final class SSTableScan(path: String, requiredSchema: StructType,
                         snapshotRead: Boolean = false,
                         sinceDir: Option[String] = None,
                         applyDeletes: Boolean = false,
-                        maxDeleteKeys: Int = SSTableSource.DefaultMaxDeleteKeys)
+                        maxDeleteKeys: Int = SSTableSource.DefaultMaxDeleteKeys,
+                        spjBuckets: Option[Int] = None)
     extends Scan with Batch with SupportsRuntimeFiltering
     with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -985,8 +996,13 @@ final class SSTableScan(path: String, requiredSchema: StructType,
   override def filterAttributes(): Array[
       org.apache.spark.sql.connector.expressions.NamedReference] =
     // bucketed scans decline runtime filtering: dropping whole buckets
-    // would contradict the declared key-grouped partitioning
-    if (buckets.isDefined) Array.empty
+    // would contradict the declared key-grouped partitioning. Likewise
+    // for SPJ-reporting scans while v2 bucketing is ON (the two join
+    // optimizations overlap; emptying a bucket would drop its partition
+    // value from the grouped layout mid-plan)
+    if (buckets.isDefined || (spjBuckets.isDefined &&
+        org.apache.spark.sql.internal.SQLConf.get.v2BucketingEnabled))
+      Array.empty
     else Array(org.apache.spark.sql.connector.expressions.Expressions.column("key"))
 
   override def filter(filters: Array[Filter]): Unit = filters.foreach {
@@ -1060,6 +1076,7 @@ final class SSTableScan(path: String, requiredSchema: StructType,
           hostsFromIndex = false)
         recordPlanning(listed.length, files.length, parts.length,
           shadow.map(_.size.toLong).getOrElse(0L))
+        val keyed = withPartitionKeys(parts)
         // the shadow ships as a BROADCAST variable, not a factory field
         // (VERDICT r7 Missing #3): torrent-distributed once per executor
         // and — the real win — `.value` hands every concurrent task on an
@@ -1069,7 +1086,7 @@ final class SSTableScan(path: String, requiredSchema: StructType,
         // Not range-sliced per split: slicing would reintroduce per-task
         // copies, and the shared sorted array already serves any split
         // with one O(log n) binary search per row.
-        (parts, shadow.filter(_.nonEmpty).map(
+        (keyed, shadow.filter(_.nonEmpty).map(
           org.apache.spark.sql.SparkSession.active.sparkContext.broadcast(_)))
       }
       override def planInputPartitions(): Array[InputPartition] = snap._1
@@ -1089,8 +1106,10 @@ final class SSTableScan(path: String, requiredSchema: StructType,
       "asofmicros is batch-only: a stream tails NEW generations, which an as-of cut excludes by definition")
     require(!snapshotRead,
       "snapshot reads are batch-only: a snapshot is immutable, nothing ever arrives to stream")
-    require(sinceDir.isEmpty,
-      "sincesnapshot is batch-only: the streaming source already tails new generations")
+    // sincesnapshot composes: the pin becomes the stream's STARTING
+    // FLOOR (Delta's startingVersion) — a fresh checkpoint begins
+    // tailing at the snapshot instead of replaying the whole directory;
+    // see SSTableMicroBatchStream.initialOffset
     // applydeletes is permitted but has no batch-side meaning here: a
     // stream tails whole NEW generations, so a later DELETE arrives as
     // its own tombstone generation — raw delete EVENTS the consumer
@@ -1099,7 +1118,8 @@ final class SSTableScan(path: String, requiredSchema: StructType,
     // would make every GraftCatalog table (which carries it as a table
     // property) unreadable via readStream for no semantic gain.
     new SSTableMicroBatchStream(path, requiredSchema, targetSplitBytes,
-      ttlAsOfMs, serConf, maxFilesPerTrigger, maxBytesPerTrigger)
+      ttlAsOfMs, serConf, maxFilesPerTrigger, maxBytesPerTrigger,
+      sinceDir = sinceDir)
   }
   override def description(): String = {
     val prune = if (keyLo.isDefined || keyHi.isDefined) " keyRangePruned" else ""
@@ -1117,7 +1137,8 @@ final class SSTableScan(path: String, requiredSchema: StructType,
       .getOrElse("")
     val since = if (sinceDir.isDefined) " sinceSnapshot" else ""
     val del = if (applyDeletes) " deleteAware" else ""
-    s"sstable $path$prune$keyOnly$view$bkt$ttl$asOf$slice$lim$since$del"
+    val spj = spjBuckets.map(n => s" spjBuckets=$n").getOrElse("")
+    s"sstable $path$prune$keyOnly$view$bkt$ttl$asOf$slice$lim$since$del$spj"
   }
 
   /** Per-file planning is independent metadata work (Summary walk +
@@ -1137,7 +1158,7 @@ final class SSTableScan(path: String, requiredSchema: StructType,
         keyLo.map(_._1), keyHi.map(_._1), eqKey, runtimeKeys,
         hostsFromIndex = false)
       recordPlanning(listed.length, planned.length, parts.length, shadowEntries = 0)
-      parts
+      withPartitionKeys(parts)
     case Some(_) => bucketPartitions.toArray[InputPartition]
   }
 
@@ -1317,8 +1338,44 @@ final class SSTableScan(path: String, requiredSchema: StructType,
       case Some(n) if requiredSchema.fieldNames.contains("_bucket") =>
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
           Array(org.apache.spark.sql.connector.expressions.Expressions.identity("_bucket")), n)
-      case _ =>
-        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+      case _ => spjBuckets match {
+        // bucketed-TABLE scans (plain schema — no _bucket column) report
+        // storage-partitioned clustering on the catalog's own
+        // `bucket(n, key)` V2 function: with
+        // spark.sql.sources.v2.bucketing.enabled, Spark groups this
+        // scan's splits by bucket id (each split carries its
+        // HasPartitionKey below) and co-bucketed joins / key
+        // aggregations skip their exchange — Iceberg's SPJ shape, in
+        // pure SQL, no helper column. With the conf off (default) the
+        // report is inert and split-level parallelism is untouched.
+        case Some(n) if requiredSchema.fieldNames.contains("key") &&
+            !cellsView && !topN && limit.isEmpty =>
+          new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+            Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(
+              n, "key")), n)
+        case _ =>
+          new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+      }
+    }
+
+  /** Attach each split's bucket id as its partition key when this scan
+    * reports SPJ clustering — the physical grouping input. A generation
+    * whose stem isn't bucket-formed (foreign file dropped into the
+    * directory) stays keyless: Spark's grouping then declines wholesale
+    * (falls back to unknown partitioning) instead of mis-grouping. */
+  private def withPartitionKeys(parts: Array[InputPartition]): Array[InputPartition] =
+    spjBuckets match {
+      case Some(n) if !cellsView && !topN && limit.isEmpty =>
+        parts.map {
+          case p: SSTablePartition =>
+            SSTableFiles.generationStem(p.dataPath) match {
+              case SSTableSource.BucketNameRe(b) if b.toInt < n =>
+                SSTableKeyedSplit(p, b.toInt)
+              case _ => p
+            }
+          case other => other
+        }
+      case _ => parts
     }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -1327,6 +1384,19 @@ final class SSTableScan(path: String, requiredSchema: StructType,
     new SSTableReaderFactory(requiredSchema, ttlAsOfMs, serConf, cellsView,
       rowLimit = limit, asOfMicros = asOfMicros,
       nameLo = nameLo, nameHi = nameHi)
+}
+
+/** One split of a bucketed TABLE carrying its bucket id as a partition
+  * key ([[HasPartitionKey]]) — the storage-partitioned-join input: with
+  * v2 bucketing enabled Spark groups same-bucket splits into one
+  * partition; with it off the key is inert and the split schedules like
+  * any other. Unwrapped by [[SSTableReaderFactory]]. */
+final case class SSTableKeyedSplit(p: SSTablePartition, bucket: Int)
+    extends InputPartition with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bucket))
+  override def preferredLocations(): Array[String] = p.preferredLocations()
 }
 
 /** One whole bucket of a bucketed directory: every split of its
@@ -1479,7 +1549,12 @@ final class SSTableReaderFactory(requiredSchema: StructType,
       case bp: SSTableBucketPartition =>
         new SSTableBucketReader(bp, requiredSchema, ttlAsOfMs, storage, asOfMicros)
       case _ =>
-        val p = partition.asInstanceOf[SSTablePartition]
+        val p = partition match {
+          // SPJ-keyed split: the key only matters to planning; read the
+          // underlying split as usual
+          case k: SSTableKeyedSplit => k.p
+          case other => other.asInstanceOf[SSTablePartition]
+        }
         // cells view always decodes Data.db: even a key-only projection has
         // per-CELL multiplicity only the row bodies know
         if (cellsView)

@@ -28,8 +28,11 @@ class GraftBucketedTableSpec extends AnyFunSuite {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
-    s.conf.set("spark.sql.catalog.graft.warehouse", warehouse)
+    // own catalog name: CatalogManager caches instances by name, so
+    // sharing "graft" with GraftCatalogSpec would pin whichever suite's
+    // warehouse loads first
+    s.conf.set("spark.sql.catalog.graft_bkt", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_bkt.warehouse", warehouse)
     s
   }
 
@@ -63,11 +66,11 @@ class GraftBucketedTableSpec extends AnyFunSuite {
   }
 
   test("INSERT INTO keeps the bucket layout: <= n bucket-stemmed generations") {
-    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.bk")
-    spark.sql("CREATE TABLE graft.bk.t TBLPROPERTIES ('buckets'='4')")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_bkt.bk")
+    spark.sql("CREATE TABLE graft_bkt.bk.t TBLPROPERTIES ('buckets'='4')")
     val dir = s"$warehouse/bk/t"
     val rows = (0 until 40).map(i => (f"k$i%03d", s"v$i", 100L + i))
-    insertRows("graft.bk.t", rows)
+    insertRows("graft_bkt.bk.t", rows)
 
     // every generation carries the bucket stem; one INSERT appends at
     // most `buckets` generations no matter how many tasks ran
@@ -77,8 +80,8 @@ class GraftBucketedTableSpec extends AnyFunSuite {
       s"non-bucket stems after INSERT: $gens")
 
     // SQL reads round-trip with the PLAIN schema (no _bucket column)
-    assert(keysOf(spark.sql("SELECT * FROM graft.bk.t")) == rows.map(_._1).sorted)
-    assert(!spark.table("graft.bk.t").columns.contains("_bucket"))
+    assert(keysOf(spark.sql("SELECT * FROM graft_bkt.bk.t")) == rows.map(_._1).sorted)
+    assert(!spark.table("graft_bkt.bk.t").columns.contains("_bucket"))
 
     // path-API bucketed read validates the layout and agrees on routing:
     // _bucket == bucketOf(key) for every row (SQL write ≡ writeBucketed)
@@ -94,13 +97,13 @@ class GraftBucketedTableSpec extends AnyFunSuite {
   }
 
   test("LWW upsert across INSERTs; CALL compact_bucketed folds chains, keeps stems") {
-    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.bk2")
-    spark.sql("CREATE TABLE graft.bk2.t TBLPROPERTIES ('buckets'='3')")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_bkt.bk2")
+    spark.sql("CREATE TABLE graft_bkt.bk2.t TBLPROPERTIES ('buckets'='3')")
     val dir = s"$warehouse/bk2/t"
-    insertRows("graft.bk2.t", Seq(("a", "old", 100L), ("b", "1", 100L), ("c", "1", 100L)))
-    insertRows("graft.bk2.t", Seq(("a", "new", 200L), ("d", "2", 200L)))
+    insertRows("graft_bkt.bk2.t", Seq(("a", "old", 100L), ("b", "1", 100L), ("c", "1", 100L)))
+    insertRows("graft_bkt.bk2.t", Seq(("a", "new", 200L), ("d", "2", 200L)))
     def valueOf(k: String): String = spark.sql(
-      s"SELECT CAST(columns[0].value AS STRING) FROM graft.bk2.t " +
+      s"SELECT CAST(columns[0].value AS STRING) FROM graft_bkt.bk2.t " +
         s"WHERE key = CAST('$k' AS BINARY)").head().getString(0)
     // raw SQL reads surface row VERSIONS; the merge view is compactRows
     // (zero-exchange on the bucketed path) — assert the merged winner
@@ -111,7 +114,7 @@ class GraftBucketedTableSpec extends AnyFunSuite {
     assert(aRow == "new", "LWW upsert must keep the newest cell")
 
     val before = stems(dir).size
-    val folds = spark.sql("CALL graft.system.compact_bucketed(table => 'bk2.t')")
+    val folds = spark.sql("CALL graft_bkt.system.compact_bucketed(table => 'bk2.t')")
       .head().getInt(0)
     assert(folds > 0, "chains of 2 generations must fold")
     val after = stems(dir)
@@ -119,19 +122,19 @@ class GraftBucketedTableSpec extends AnyFunSuite {
     assert(after.forall(SSTableSource.BucketNameRe.matches),
       s"fold must keep bucket stems: $after")
     assert(valueOf("a") == "new")
-    assert(keysOf(spark.sql("SELECT * FROM graft.bk2.t")) == Seq("a", "b", "c", "d"))
+    assert(keysOf(spark.sql("SELECT * FROM graft_bkt.bk2.t")) == Seq("a", "b", "c", "d"))
   }
 
   test("DELETE appends per-bucket tombstone generations; compaction folds the debt") {
-    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.bk3")
-    spark.sql("CREATE TABLE graft.bk3.t TBLPROPERTIES ('buckets'='4')")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_bkt.bk3")
+    spark.sql("CREATE TABLE graft_bkt.bk3.t TBLPROPERTIES ('buckets'='4')")
     val dir = s"$warehouse/bk3/t"
     val rows = (0 until 20).map(i => (f"k$i%02d", s"v$i", 100L + i))
-    insertRows("graft.bk3.t", rows)
+    insertRows("graft_bkt.bk3.t", rows)
     val doomed = Seq("k03", "k07", "k11")
     val before = stems(dir).size
 
-    spark.sql("DELETE FROM graft.bk3.t WHERE key IN (" +
+    spark.sql("DELETE FROM graft_bkt.bk3.t WHERE key IN (" +
       doomed.map(k => s"CAST('$k' AS BINARY)").mkString(", ") + ")")
 
     // tombstones keep the layout: every new generation is bucket-stemmed
@@ -146,14 +149,14 @@ class GraftBucketedTableSpec extends AnyFunSuite {
 
     // catalog reads shadow the keys (delete-aware merge-on-read)
     val expected = rows.map(_._1).filterNot(doomed.contains).sorted
-    assert(keysOf(spark.sql("SELECT * FROM graft.bk3.t")) == expected)
+    assert(keysOf(spark.sql("SELECT * FROM graft_bkt.bk3.t")) == expected)
 
     // the bucketed fold GCs the tombstones structurally: chains collapse,
     // stems survive, the deleted keys stay gone, debt is resolved
-    val folds = spark.sql("CALL graft.system.compact_bucketed(table => 'bk3.t')")
+    val folds = spark.sql("CALL graft_bkt.system.compact_bucketed(table => 'bk3.t')")
       .head().getInt(0)
     assert(folds > 0)
-    assert(keysOf(spark.sql("SELECT * FROM graft.bk3.t")) == expected)
+    assert(keysOf(spark.sql("SELECT * FROM graft_bkt.bk3.t")) == expected)
     val folded = stems(dir)
     assert(folded.forall(SSTableSource.BucketNameRe.matches))
     // tombstone rows are GONE from the raw view too (GC'd, not carried)
@@ -163,22 +166,22 @@ class GraftBucketedTableSpec extends AnyFunSuite {
   }
 
   test("refusals: UPDATE/MERGE, streaming write, generic compact, path-API writebuckets") {
-    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.bk4")
-    spark.sql("CREATE TABLE graft.bk4.t TBLPROPERTIES ('buckets'='2')")
-    insertRows("graft.bk4.t", Seq(("a", "1", 10L)))
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_bkt.bk4")
+    spark.sql("CREATE TABLE graft_bkt.bk4.t TBLPROPERTIES ('buckets'='2')")
+    insertRows("graft_bkt.bk4.t", Seq(("a", "1", 10L)))
 
     val up = intercept[Exception](spark.sql(
-      "UPDATE graft.bk4.t SET columns = array() WHERE key = CAST('a' AS BINARY)"))
+      "UPDATE graft_bkt.bk4.t SET columns = array() WHERE key = CAST('a' AS BINARY)"))
     assert(up.getMessage.contains("bucketed"), up.getMessage)
 
     val mg = intercept[Exception](spark.sql(
-      """MERGE INTO graft.bk4.t t USING (SELECT CAST('a' AS BINARY) AS key) s
+      """MERGE INTO graft_bkt.bk4.t t USING (SELECT CAST('a' AS BINARY) AS key) s
         |ON t.key = s.key WHEN MATCHED THEN DELETE""".stripMargin))
     assert(mg.getMessage.contains("bucketed"), mg.getMessage)
 
     // generic size-tier compaction refuses, pointing at the bucketed path
     val cp = intercept[Exception](spark.sql(
-      "CALL graft.system.compact(table => 'bk4.t')"))
+      "CALL graft_bkt.system.compact(table => 'bk4.t')"))
     assert(cp.getMessage.contains("compact_bucketed"), cp.getMessage)
 
     // the path API has no FunctionCatalog: writebuckets refused with the
@@ -192,30 +195,82 @@ class GraftBucketedTableSpec extends AnyFunSuite {
     assert(pw.getMessage.contains("writeBucketed"), pw.getMessage)
   }
 
+  test("SPJ: co-bucketed join and GROUP BY key run exchange-free in pure SQL") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_bkt.spj")
+    spark.sql("CREATE TABLE graft_bkt.spj.a TBLPROPERTIES ('buckets'='4')")
+    spark.sql("CREATE TABLE graft_bkt.spj.b TBLPROPERTIES ('buckets'='4')")
+    val rows = (0 until 30).map(i => (f"k$i%02d", s"v$i", 100L + i))
+    insertRows("graft_bkt.spj.a", rows)
+    insertRows("graft_bkt.spj.b", rows.take(20))
+
+    // shuffle exchanges only — a BroadcastExchange is the WANTED plan
+    // for tiny sides (our reported statistics auto-broadcast them)
+    def shuffles(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.toString
+        .linesIterator.count(l =>
+          l.contains("Exchange") && !l.contains("BroadcastExchange"))
+
+    val join = "SELECT a.key FROM graft_bkt.spj.a a JOIN graft_bkt.spj.b b ON a.key = b.key"
+    val agg = "SELECT key, count(*) AS versions FROM graft_bkt.spj.a GROUP BY key"
+
+    // default conf: the report is inert — plans shuffle as usual,
+    // results correct, full split parallelism
+    assert(spark.sql(join).count() == 20)
+
+    withV2Bucketing {
+      val j = spark.sql(join)
+      assert(shuffles(j) == 0,
+        s"co-bucketed join must be exchange-free:\n${j.queryExecution.executedPlan}")
+      assert(keysOf(j) == rows.take(20).map(_._1).sorted)
+      val a = spark.sql(agg)
+      assert(shuffles(a) == 0,
+        s"bucketed GROUP BY key must be exchange-free:\n${a.queryExecution.executedPlan}")
+      assert(a.count() == 30)
+      // delete-aware composition: shadowed keys stay out, still no shuffle
+      spark.sql("DELETE FROM graft_bkt.spj.b WHERE key = CAST('k01' AS BINARY)")
+      val j2 = spark.sql(join)
+      assert(shuffles(j2) == 0)
+      assert(keysOf(j2) == rows.take(20).map(_._1).filterNot(_ == "k01").sorted)
+    }
+  }
+
+  /** SPJ window: v2 bucketing on, auto-broadcast off (tiny test tables
+    * would otherwise — correctly — take a BroadcastHashJoin and never
+    * exercise the storage-partitioned path this spec pins). */
+  private def withV2Bucketing[A](body: => A): A = {
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try body
+    finally {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("CREATE TABLE property validation is loud and at CREATE time") {
-    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.bk5")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_bkt.bk5")
     val bad = intercept[Exception](spark.sql(
-      "CREATE TABLE graft.bk5.p1 TBLPROPERTIES ('nonsense'='1')"))
+      "CREATE TABLE graft_bkt.bk5.p1 TBLPROPERTIES ('nonsense'='1')"))
     assert(bad.getMessage.contains("unsupported table property"), bad.getMessage)
     val badVal = intercept[Exception](spark.sql(
-      "CREATE TABLE graft.bk5.p2 TBLPROPERTIES ('buckets'='zero')"))
+      "CREATE TABLE graft_bkt.bk5.p2 TBLPROPERTIES ('buckets'='zero')"))
     assert(badVal.getMessage.contains("must be an int"), badVal.getMessage)
     val range = intercept[Exception](spark.sql(
-      "CREATE TABLE graft.bk5.p3 TBLPROPERTIES ('buckets'='2', 'layout'='range')"))
+      "CREATE TABLE graft_bkt.bk5.p3 TBLPROPERTIES ('buckets'='2', 'layout'='range')"))
     assert(range.getMessage.contains("cannot compose"), range.getMessage)
     // failed CREATEs leave nothing behind
-    assert(spark.sql("SHOW TABLES IN graft.bk5").collect().isEmpty)
+    assert(spark.sql("SHOW TABLES IN graft_bkt.bk5").collect().isEmpty)
     // writer tuning persists and applies: deflate-compressed generations
-    spark.sql("CREATE TABLE graft.bk5.t " +
+    spark.sql("CREATE TABLE graft_bkt.bk5.t " +
       "TBLPROPERTIES ('buckets'='2', 'compressionalgorithm'='deflate')")
-    insertRows("graft.bk5.t", Seq(("a", "1", 10L), ("b", "2", 20L)))
+    insertRows("graft_bkt.bk5.t", Seq(("a", "1", 10L), ("b", "2", 20L)))
     val dir = s"$warehouse/bk5/t"
     val f = LocalStorage.listDataFiles(dir).head
     val r = new graft.sources.sstable.SSTableReader(f, LocalStorage)
     assert(r.compressionInfo.exists(_.algorithm.toLowerCase.contains("deflate")),
       "persisted compressionalgorithm must shape INSERT-written generations")
     // SHOW CREATE TABLE echoes the declared properties
-    val ddl = spark.sql("SHOW CREATE TABLE graft.bk5.t").head().getString(0)
+    val ddl = spark.sql("SHOW CREATE TABLE graft_bkt.bk5.t").head().getString(0)
     assert(ddl.contains("buckets") && ddl.contains("'2'"), ddl)
     assert(ddl.toLowerCase.contains("deflate"), ddl)
   }

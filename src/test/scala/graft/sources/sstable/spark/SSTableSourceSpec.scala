@@ -1000,18 +1000,26 @@ class SSTableSourceSpec extends AnyFunSuite {
         .write.format("sstable").option("sincesnapshot", "e1").mode("append").save(dir)
     }
 
-    // and batch-only: the streaming source already tails new generations
-    val ck = freshDir()
+    // streaming: the pin is the STARTING FLOOR (Delta's startingVersion)
+    // — a fresh checkpoint tails only the post-e1 generations (300 rows:
+    // gen2 + gen3), never replays the pinned gen1, and new generations
+    // keep arriving exactly-once
+    val qn = "since_floor_" + java.util.UUID.randomUUID().toString.take(8)
     val sq = spark.readStream.format("sstable").option("sincesnapshot", "e1")
-      .load(dir).writeStream.format("noop")
-      .option("checkpointLocation", ck).start()
-    val se = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-      sq.processAllAvailable()
-      sq.awaitTermination()
-    }
-    assert(se.getMessage.contains("batch-only") ||
-      Option(se.getCause).exists(_.getMessage.contains("batch-only")))
+      .load(dir)
+      .select(col("key").cast("string").as("k"))
+      .writeStream.outputMode("append").format("memory").queryName(qn)
+      .option("checkpointLocation", freshDir()).start()
+    sq.processAllAvailable()
+    assert(spark.table(qn).count() == 300,
+      "floor stream must start after the pin (gen2+gen3 only)")
+    writeGen(dir, "gen4", 500, 50) // lands mid-stream: tails as usual
+    sq.processAllAvailable()
     sq.stop()
+    val streamed = spark.table(qn).select("k").collect().map(_.getString(0)).sorted
+    assert(streamed.length == 350)
+    assert(streamed.forall(_.drop(3).toInt >= 200),
+      "nothing from the pinned generation may replay")
   }
 
   test("view=generations: one metadata row per fileset, zero data IO surfaces") {
