@@ -66,19 +66,8 @@ final class SSTableRowLevelOperation(table: SSTableTable,
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
-      override def build(): DeltaWrite = {
-        // refused HERE, not at analysis: key-equality DELETEs on bucketed
-        // tables never build a delta write (the metadata-delete
-        // optimization keeps them on deleteWhere, which appends
-        // per-bucket tombstones) — only UPDATE/MERGE/non-key DELETE
-        // reach this, and their part-NNNNN insert stems would break the
-        // bucket layout contract
-        require(!properties.contains(SSTableSource.WriteBucketsOption),
-          "UPDATE/MERGE (and non-key DELETE) are not supported on bucketed " +
-            "tables yet: INSERT INTO is an LWW upsert and " +
-            "DELETE FROM ... WHERE key = X keeps the layout")
+      override def build(): DeltaWrite =
         new SSTableDeltaWrite(path, info, properties)
-      }
     }
 
   override def description(): String = s"sstable rowlevel $cmd $path"
@@ -87,18 +76,34 @@ final class SSTableRowLevelOperation(table: SSTableTable,
 /** Delta write: clustered + sorted by `key` like the ordinary sink, so
   * each task's inserts stream straight into a sorted fileset. DELETE
   * records project only the row id; their data columns are absent/null
-  * and never reach the insert writer. */
+  * and never reach the insert writer. On a BUCKETED table the
+  * distribution/ordering switch to the catalog's `bucket(n, key)`
+  * transform (same resolution as the bucketed INSERT), re-inserts roll
+  * one `bucket-NNNNN` generation per bucket, and the driver commit
+  * writes one tombstone generation per affected bucket — UPDATE/MERGE
+  * preserve the layout exactly like INSERT and key DELETE do. */
 final class SSTableDeltaWrite(path: String, info: LogicalWriteInfo,
                               properties: Map[String, String])
     extends DeltaWrite with RequiresDistributionAndOrdering {
+  private val writeBuckets: Option[Int] =
+    SSTableSource.bucketsOf(properties.get(SSTableSource.WriteBucketsOption))
   private def keyAsc: Array[SortOrder] =
     Array(Expressions.sort(Expressions.column("key"), SortDirection.ASCENDING))
-  override def requiredDistribution(): Distribution =
-    Distributions.clustered(Array(Expressions.identity("key")))
-  override def requiredOrdering(): Array[SortOrder] = keyAsc
+  override def requiredDistribution(): Distribution = writeBuckets match {
+    case Some(n) => Distributions.clustered(Array(Expressions.bucket(n, "key")))
+    case None => Distributions.clustered(Array(Expressions.identity("key")))
+  }
+  override def requiredOrdering(): Array[SortOrder] = writeBuckets match {
+    case Some(n) => Array(
+      Expressions.sort(Expressions.bucket(n, "key"), SortDirection.ASCENDING),
+      Expressions.sort(Expressions.column("key"), SortDirection.ASCENDING))
+    case None => keyAsc
+  }
+  override def requiredNumPartitions(): Int = writeBuckets.getOrElse(0)
   override def toBatch: DeltaBatchWrite =
     new SSTableDeltaBatchWrite(path, info, properties)
-  override def description(): String = s"sstable delta write $path"
+  override def description(): String = s"sstable delta write $path" +
+    writeBuckets.map(n => s" buckets=$n").getOrElse("")
 }
 
 /** One staged fileset of inserts per task (only if the task saw any
@@ -148,6 +153,9 @@ final class SSTableDeltaBatchWrite(path: String, info: LogicalWriteInfo,
     properties.get(SSTableSource.MaxDeleteKeysOption).map(_.toInt)
       .getOrElse(SSTableSource.DefaultMaxDeleteKeys)
 
+  private val writeBuckets: Option[Int] =
+    SSTableSource.bucketsOf(properties.get(SSTableSource.WriteBucketsOption))
+
   override def createBatchWriterFactory(pinfo: PhysicalWriteInfo): DeltaWriterFactory = {
     storage.mkdirs(stagingDir)
     val t = WriterTuning.of(properties)
@@ -157,8 +165,7 @@ final class SSTableDeltaBatchWrite(path: String, info: LogicalWriteInfo,
       if (info.rowIdSchema().isPresent) info.rowIdSchema().get().fieldIndex("key")
       else 0
     new SSTableDeltaWriterFactory(stagingDir, info.schema(),
-      idKeyIdx, markMicros + 1, t.compress, t.chunkLength,
-      t.summaryInterval, t.bloomBitsPerKey, t.algorithm, serConf, jobTag)
+      idKeyIdx, markMicros + 1, t, serConf, jobTag, writeBuckets)
   }
 
   /** EVERYTHING failable happens before the first publish (self-review
@@ -188,17 +195,32 @@ final class SSTableDeltaBatchWrite(path: String, info: LogicalWriteInfo,
       s"row-level operation deleted ${keys.length} keys > " +
         s"${SSTableSource.MaxDeleteKeysOption}=$maxDeleteKeys; compact the " +
         "directory (folding pending deletes away) or raise the option")
-    val stagedTomb =
-      if (keys.isEmpty) None
+    val stagedTomb: Seq[String] =
+      if (keys.isEmpty) Nil
       else {
         val ldtSecs = (System.currentTimeMillis() / 1000).toInt
-        val p = s"$stagingDir/tombstones-$jobTag-Data.db"
-        val w = new SSTableWriter(p, storage = st)
-        keys.sortWith(SSTableFiles.compareKeys(_, _) < 0).foreach { k =>
-          w.append(SSTableRow(k, Nil, Some(RowTombstone(ldtSecs, markMicros))))
+        writeBuckets match {
+          case Some(n) =>
+            // bucketed table: one tombstone generation per AFFECTED
+            // bucket under its bucket stem, keeping the layout (the
+            // same shape SQL DELETE's metadata path appends)
+            keys.toSeq.groupBy(GraftBucketFunction.bucketOf(n, _))
+              .toSeq.sortBy(_._1).map { case (b, ks) =>
+                val p = s"$stagingDir/${SSTableSource.bucketStem(b)}$jobTag-tomb-Data.db"
+                val w = new SSTableWriter(p, storage = st)
+                try ks.sortWith(SSTableFiles.compareKeys(_, _) < 0).foreach(k =>
+                  w.append(SSTableRow(k, Nil, Some(RowTombstone(ldtSecs, markMicros)))))
+                finally w.close()
+                p
+              }
+          case None =>
+            val p = s"$stagingDir/tombstones-$jobTag-Data.db"
+            val w = new SSTableWriter(p, storage = st)
+            try keys.sortWith(SSTableFiles.compareKeys(_, _) < 0).foreach(k =>
+              w.append(SSTableRow(k, Nil, Some(RowTombstone(ldtSecs, markMicros)))))
+            finally w.close()
+            Seq(p)
         }
-        w.close()
-        Some(p)
       }
     (stagedInserts ++ stagedTomb).foreach(SSTableFiles.publish(st, _, path))
     st.deleteRecursive(stagingDir)
@@ -211,37 +233,35 @@ final class SSTableDeltaBatchWrite(path: String, info: LogicalWriteInfo,
 final class SSTableDeltaWriterFactory(stagingDir: String, rowSchema: StructType,
                                       idKeyIdx: Int,
                                       writeTsMicros: Long,
-                                      compress: Boolean, chunkLength: Int,
-                                      summaryInterval: Int, bloomBitsPerKey: Int,
-                                      algorithm: String,
+                                      tuning: WriterTuning,
                                       serConf: Option[SerializableHadoopConf],
-                                      jobTag: String)
+                                      jobTag: String,
+                                      buckets: Option[Int] = None)
     extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] = {
     val storage = serConf.map(c => new HadoopStorage(c.value): Storage)
       .getOrElse(LocalStorage)
     new SSTableDeltaTaskWriter(stagingDir, rowSchema, idKeyIdx, partitionId,
-      taskId, writeTsMicros, compress, chunkLength, summaryInterval,
-      bloomBitsPerKey, algorithm, storage, jobTag)
+      taskId, writeTsMicros, tuning, storage, jobTag, buckets)
   }
 }
 
 /** Task-side delta consumer: inserts stream (key-sorted by the required
   * ordering) into a lazily-created staged fileset with their cells
-  * stamped at the op's write timestamp; deletes collect their key for
-  * the driver's single tombstone generation. `update` is never called
-  * (update is represented as delete+insert). */
+  * stamped at the op's write timestamp — a ROLLING per-bucket fileset
+  * when the table is bucketed (rows then arrive `(bucket, key)`-sorted);
+  * deletes collect their key for the driver's tombstone generation(s).
+  * `update` is never called (update is represented as delete+insert). */
 final class SSTableDeltaTaskWriter(stagingDir: String, rowSchema: StructType,
                                    idKeyIdx: Int,
                                    partitionId: Int, taskId: Long,
                                    writeTsMicros: Long,
-                                   compress: Boolean, chunkLength: Int,
-                                   summaryInterval: Int, bloomBitsPerKey: Int,
-                                   algorithm: String, storage: Storage,
-                                   jobTag: String)
+                                   tuning: WriterTuning, storage: Storage,
+                                   jobTag: String,
+                                   buckets: Option[Int] = None)
     extends DeltaWriter[InternalRow] {
   private val deleted = ArrayBuffer.empty[Array[Byte]]
-  private var inserts: SSTablePartitionWriter = _
+  private var inserts: DataWriter[InternalRow] = _
 
   override def delete(metadata: InternalRow, id: InternalRow): Unit =
     deleted += id.getBinary(idKeyIdx)
@@ -253,10 +273,16 @@ final class SSTableDeltaTaskWriter(stagingDir: String, rowSchema: StructType,
 
   override def insert(row: InternalRow): Unit = {
     if (inserts == null)
-      inserts = new SSTablePartitionWriter(stagingDir, rowSchema, partitionId,
-        taskId, compress, chunkLength, summaryInterval, bloomBitsPerKey,
-        storage, fileStem = f"part-$partitionId%05d-$taskId-$jobTag",
-        algorithm = algorithm, stampMicros = Some(writeTsMicros))
+      inserts = buckets match {
+        case Some(n) => new SSTableBucketedRollingWriter(stagingDir, rowSchema,
+          tuning, storage, jobTag, taskId, n,
+          stampMicros = Some(writeTsMicros))
+        case None => new SSTablePartitionWriter(stagingDir, rowSchema,
+          partitionId, taskId, tuning.compress, tuning.chunkLength,
+          tuning.summaryInterval, tuning.bloomBitsPerKey, storage,
+          fileStem = f"part-$partitionId%05d-$taskId-$jobTag",
+          algorithm = tuning.algorithm, stampMicros = Some(writeTsMicros))
+      }
     inserts.write(row)
   }
 

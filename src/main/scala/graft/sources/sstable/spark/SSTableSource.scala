@@ -459,10 +459,9 @@ final class SSTableTable(props: Map[String, String])
       && !props.contains(SSTableSource.AsOfMicrosOption)
       && view == "rows",
       "UPDATE/MERGE/DELETE target the live rows-view directory")
-    // NOTE: no bucketed-layout refusal here — Spark builds this
-    // operation at ANALYSIS for every DELETE, including key-equality
-    // ones the metadata-delete optimization later routes to deleteWhere
-    // (which keeps the layout); the delta WRITE refuses instead.
+    // bucketed tables take this path too: the delta write clusters on
+    // the bucket transform and rolls per-bucket generations, so
+    // UPDATE/MERGE preserve the layout like INSERT and key DELETE do
     () => new SSTableRowLevelOperation(this, path, props, info.command())
   }
 

@@ -330,7 +330,8 @@ final class SSTableBucketedWriterFactory(stagingDir: String, schema: StructType,
   * the commit coordinator publishes exactly one attempt's files). */
 final class SSTableBucketedRollingWriter(stagingDir: String, schema: StructType,
                                          tuning: WriterTuning, storage: Storage,
-                                         jobTag: String, taskId: Long, buckets: Int)
+                                         jobTag: String, taskId: Long, buckets: Int,
+                                         stampMicros: Option[Long] = None)
     extends DataWriter[InternalRow] {
   private val keyIdx = schema.fieldIndex("key")
   private var current: SSTablePartitionWriter = null
@@ -343,7 +344,7 @@ final class SSTableBucketedRollingWriter(stagingDir: String, schema: StructType,
       tuning.compress, tuning.chunkLength, tuning.summaryInterval,
       tuning.bloomBitsPerKey, storage,
       fileStem = s"${SSTableSource.bucketStem(b)}$jobTag-$taskId",
-      algorithm = tuning.algorithm)
+      algorithm = tuning.algorithm, stampMicros = stampMicros)
     currentBucket = b
   }
   private def closeCurrent(): Unit = if (current != null) {

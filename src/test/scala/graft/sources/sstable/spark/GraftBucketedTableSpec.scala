@@ -165,19 +165,57 @@ class GraftBucketedTableSpec extends AnyFunSuite {
       "bucketed fold must GC its tombstones (whole-chain fold is isolation proof)")
   }
 
-  test("refusals: UPDATE/MERGE, streaming write, generic compact, path-API writebuckets") {
+  test("UPDATE and MERGE preserve the bucket layout (delta write rolls buckets)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_bkt.bk6")
+    spark.sql("CREATE TABLE graft_bkt.bk6.t TBLPROPERTIES ('buckets'='4')")
+    val dir = s"$warehouse/bk6/t"
+    val rows = (0 until 20).map(i => (f"u$i%02d", s"v$i", 100L + i))
+    insertRows("graft_bkt.bk6.t", rows)
+
+    // UPDATE by VALUE predicate (not key): the real delta path — scan,
+    // delete+re-insert representation, per-bucket tombstones + rolling
+    // re-insert generations
+    spark.sql("UPDATE graft_bkt.bk6.t SET columns = array(named_struct(" +
+      "'name', CAST('c' AS BINARY), 'state', 'NORMAL', " +
+      "'value', CAST('bumped' AS BINARY), 'timestamp', CAST(0 AS BIGINT), " +
+      "'ttlSecs', CAST(0 AS BIGINT), 'expiresMillis', CAST(0 AS BIGINT))) " +
+      "WHERE CAST(columns[0].value AS STRING) IN ('v3', 'v7')")
+    assert(stems(dir).forall(SSTableSource.BucketNameRe.matches),
+      s"UPDATE broke the layout: ${stems(dir)}")
+    def valueOf(k: String): String = spark.sql(
+      s"SELECT CAST(columns[0].value AS STRING) FROM graft_bkt.bk6.t " +
+        s"WHERE key = CAST('$k' AS BINARY)").head().getString(0)
+    assert(valueOf("u03") == "bumped" && valueOf("u07") == "bumped")
+    assert(valueOf("u04") == "v4", "untouched rows must keep their cells")
+
+    // two-branch MERGE: matched update + not-matched insert
+    spark.sql("CREATE OR REPLACE TEMP VIEW bk6_src AS SELECT " +
+      "CAST(k AS BINARY) key, array(named_struct('name', CAST('c' AS BINARY), " +
+      "'state', 'NORMAL', 'value', CAST(v AS BINARY), 'timestamp', CAST(0 AS BIGINT), " +
+      "'ttlSecs', CAST(0 AS BIGINT), 'expiresMillis', CAST(0 AS BIGINT))) columns " +
+      "FROM VALUES ('u04', 'merged'), ('zz1', 'fresh') AS s(k, v)")
+    spark.sql("MERGE INTO graft_bkt.bk6.t t USING bk6_src s ON t.key = s.key " +
+      "WHEN MATCHED THEN UPDATE SET columns = s.columns " +
+      "WHEN NOT MATCHED THEN INSERT (key, columns, rowTombstone) " +
+      "VALUES (s.key, s.columns, NULL)")
+    assert(stems(dir).forall(SSTableSource.BucketNameRe.matches),
+      s"MERGE broke the layout: ${stems(dir)}")
+    assert(valueOf("u04") == "merged" && valueOf("zz1") == "fresh")
+    assert(spark.sql("SELECT * FROM graft_bkt.bk6.t").count() == 21)
+
+    // maintenance still folds the grown chains and the state survives
+    val folds = spark.sql("CALL graft_bkt.system.compact_bucketed(table => 'bk6.t')")
+      .head().getInt(0)
+    assert(folds > 0)
+    assert(valueOf("u03") == "bumped" && valueOf("u04") == "merged" &&
+      valueOf("zz1") == "fresh" && valueOf("u05") == "v5")
+    assert(spark.sql("SELECT * FROM graft_bkt.bk6.t").count() == 21)
+  }
+
+  test("refusals: generic compact, path-API writebuckets") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_bkt.bk4")
     spark.sql("CREATE TABLE graft_bkt.bk4.t TBLPROPERTIES ('buckets'='2')")
     insertRows("graft_bkt.bk4.t", Seq(("a", "1", 10L)))
-
-    val up = intercept[Exception](spark.sql(
-      "UPDATE graft_bkt.bk4.t SET columns = array() WHERE key = CAST('a' AS BINARY)"))
-    assert(up.getMessage.contains("bucketed"), up.getMessage)
-
-    val mg = intercept[Exception](spark.sql(
-      """MERGE INTO graft_bkt.bk4.t t USING (SELECT CAST('a' AS BINARY) AS key) s
-        |ON t.key = s.key WHEN MATCHED THEN DELETE""".stripMargin))
-    assert(mg.getMessage.contains("bucketed"), mg.getMessage)
 
     // generic size-tier compaction refuses, pointing at the bucketed path
     val cp = intercept[Exception](spark.sql(
