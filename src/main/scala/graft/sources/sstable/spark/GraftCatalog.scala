@@ -39,9 +39,15 @@ import graft.sources.sstable.Storage
   * column list (or exactly the canonical columns) — like registering an
   * external table over fixed-layout files. Buckets/views stay read
   * options; `RENAME` is a directory move (atomic where the backend's
-  * rename is); `ALTER` has nothing alterable. */
+  * rename is); `ALTER` reaches only TBLPROPERTIES (tuning knobs, plus
+  * `buckets` while the table is still empty).
+  *
+  * CTAS / `REPLACE TABLE … AS SELECT` are ATOMIC ([[StagingTableCatalog]]):
+  * the query writes into a hidden `_stage-` directory next to the table
+  * and commit is one rename — readers never observe a half-written or
+  * dropped-but-not-yet-refilled table. */
 final class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog with FunctionCatalog {
+    with StagingTableCatalog with ProcedureCatalog with FunctionCatalog {
   import GraftCatalog.{NamespaceMarker, TablePropsFile}
   private var catalogName: String = _
   private var warehouse: String = _
@@ -196,15 +202,34 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def tableExists(ident: Identifier): Boolean =
     isTableDir(tableDir(ident))
 
+  /** Field names + types, with nullability and metadata erased at every
+    * nesting level — a CTAS query's output schema carries its own
+    * nullability, which must not fail the shape check. */
+  private def shapeOf(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      org.apache.spark.sql.types.StructField(f.name, shapeOf(f.dataType))))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      org.apache.spark.sql.types.ArrayType(shapeOf(a.elementType))
+    case m: org.apache.spark.sql.types.MapType =>
+      org.apache.spark.sql.types.MapType(shapeOf(m.keyType), shapeOf(m.valueType))
+    case other => other
+  }
+
+  private def requireCanonicalShape(schema: StructType,
+                                    partitions: Array[Transform]): Unit = {
+    require(partitions.isEmpty,
+      "sstable tables are key-clustered by the format; PARTITIONED BY is not supported")
+    require(schema.isEmpty || shapeOf(schema) == shapeOf(SSTableSchema.schema),
+      "sstable tables have the fixed schema (key BINARY, columns ARRAY<STRUCT<...>>, " +
+        s"rowTombstone STRUCT<...>); omit the column list or repeat it exactly " +
+        s"(got ${schema.simpleString})")
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "sstable tables are key-clustered by the format; PARTITIONED BY is not supported")
-    require(schema.isEmpty || schema.fields.toSeq.map(f => (f.name, f.dataType)) ==
-        SSTableSchema.schema.fields.toSeq.map(f => (f.name, f.dataType)),
-      "sstable tables have the fixed schema (key BINARY, columns ARRAY<STRUCT<...>>, " +
-        "rowTombstone STRUCT<...>); omit the column list or repeat it exactly")
+    requireCanonicalShape(schema, partitions)
     val d = tableDir(ident)
     if (dirExists(d))
       throw new TableAlreadyExistsException(ident)
@@ -263,9 +288,128 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       s"${ident.namespace.mkString(".")} is a table, not a namespace")
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "sstable tables have a fixed schema and no alterable properties")
+  /** `ALTER TABLE … SET/UNSET TBLPROPERTIES` — the ONLY alterable
+    * surface (the schema is the format's, fixed). Property changes are
+    * re-validated as a whole exactly like CREATE, so ALTER can never
+    * persist a state CREATE would refuse. The `buckets` layout is
+    * physical — data on disk is hash-routed by it — so it is only
+    * changeable while the table holds zero generations; afterwards the
+    * path is compact/rewrite, not ALTER. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val d = tableDir(ident)
+    if (!isTableDir(d)) throw new NoSuchTableException(ident)
+    val current = GraftCatalog.readTableProps(storage, d)
+    val next = changes.foldLeft(current) { (acc, change) =>
+      change match {
+        case s: TableChange.SetProperty =>
+          acc + (s.property.toLowerCase(java.util.Locale.ROOT) -> s.value)
+        case r: TableChange.RemoveProperty =>
+          acc - r.property.toLowerCase(java.util.Locale.ROOT)
+        case other => throw new UnsupportedOperationException(
+          "sstable tables have a fixed schema; only TBLPROPERTIES are " +
+            s"alterable (got ${other.getClass.getSimpleName})")
+      }
+    }
+    val javaProps = new util.HashMap[String, String]()
+    next.foreach { case (k, v) => javaProps.put(k, v) }
+    val validated = validatedTableProps(javaProps)
+    if (validated.get(GraftCatalog.BucketsProp) !=
+        current.get(GraftCatalog.BucketsProp))
+      require(storage.listDataFiles(d).isEmpty,
+        "the bucketed layout is physical (data files are hash-routed by " +
+          "it); 'buckets' is only alterable on an EMPTY table — rewrite " +
+          "via CREATE TABLE … TBLPROPERTIES ('buckets'=…) AS SELECT, or " +
+          "TRUNCATE first")
+    GraftCatalog.writeTableProps(storage, d, validated)
+    loadTable(ident)
+  }
+
+  // ---- StagingTableCatalog: atomic CTAS / RTAS ----
+  //
+  // `CREATE TABLE … AS SELECT` (and REPLACE / CREATE OR REPLACE … AS
+  // SELECT, and plain REPLACE TABLE) write the query into a hidden
+  // `_stage-<name>-<uuid>` directory beside the table — invisible to
+  // SHOW TABLES and identifier rules (`_` prefix) — and commit with ONE
+  // rename. Readers of the old table never see a half-written result;
+  // a failed query aborts by deleting the stage. REPLACE swaps through
+  // a `_dropped-` trash dir and restores the original if the swap's
+  // second rename fails, so the only non-atomic window is between two
+  // renames inside the same directory (the backend's rename guarantees
+  // apply). Aborted-driver garbage (a stranded `_stage-`) is inert and
+  // removed by DROP NAMESPACE CASCADE or manual cleanup.
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): StagedTable = {
+    if (dirExists(tableDir(ident)))
+      throw new TableAlreadyExistsException(ident)
+    stage(ident, schema, partitions, properties, replace = false)
+  }
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+                            partitions: Array[Transform],
+                            properties: util.Map[String, String]): StagedTable = {
+    if (!isTableDir(tableDir(ident))) throw new NoSuchTableException(ident)
+    stage(ident, schema, partitions, properties, replace = true)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+                                    partitions: Array[Transform],
+                                    properties: util.Map[String, String]): StagedTable =
+    stage(ident, schema, partitions, properties, replace = true)
+
+  private def stage(ident: Identifier, schema: StructType,
+                    partitions: Array[Transform],
+                    properties: util.Map[String, String],
+                    replace: Boolean): StagedTable = {
+    requireCanonicalShape(schema, partitions)
+    val d = tableDir(ident)
+    // CTAS aimed at a namespace must die at ANALYSIS, not bury it at commit
+    require(!dirExists(d) || isTableDir(d),
+      s"${ident.namespace.mkString(".")}.${ident.name} is a namespace, " +
+        "not a table; (CREATE OR) REPLACE TABLE cannot overwrite it")
+    val declared = validatedTableProps(properties)
+    requireNamespaceParent(ident)
+    val stagingDir = s"${nsDir(ident.namespace)}/_stage-${ident.name}-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    storage.mkdirs(stagingDir)
+    if (declared.nonEmpty)
+      GraftCatalog.writeTableProps(storage, stagingDir, declared)
+    val inner = new SSTableTable(Map(
+      SSTableSource.PathOption -> stagingDir,
+      SSTableSource.ApplyDeletesOption -> "true") ++
+      declared.map {
+        case (GraftCatalog.BucketsProp, v) => SSTableSource.WriteBucketsOption -> v
+        case kv => kv
+      })
+    new GraftStagedTable(inner, ident,
+      commit = () => commitStaged(ident, stagingDir, replace),
+      abort = () => storage.deleteRecursive(stagingDir))
+  }
+
+  /** The atomic publish: re-checks the world (another writer may have
+    * created the table, or turned the name into a namespace, while the
+    * query ran), then renames the stage into place — via a trash swap
+    * when replacing. Every failure path deletes the stage first. */
+  private def commitStaged(ident: Identifier, stagingDir: String,
+                           replace: Boolean): Unit = {
+    val d = tableDir(ident)
+    def fail(e: Throwable): Nothing = {
+      storage.deleteRecursive(stagingDir); throw e
+    }
+    if (dirExists(d)) {
+      if (!replace) fail(new TableAlreadyExistsException(ident))
+      if (!isTableDir(d)) fail(new IllegalStateException(
+        s"${ident.namespace.mkString(".")}.${ident.name} became a " +
+          "namespace while the replacing query ran; aborting the REPLACE"))
+      val trash = s"${nsDir(ident.namespace)}/_dropped-${ident.name}-" +
+        java.util.UUID.randomUUID().toString.take(8)
+      storage.rename(d, trash)
+      try storage.rename(stagingDir, d)
+      catch { case e: Throwable => storage.rename(trash, d); fail(e) }
+      storage.deleteRecursive(trash)
+    } else storage.rename(stagingDir, d)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val d = tableDir(ident)
@@ -407,6 +551,27 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         ident.name.equalsIgnoreCase(GraftBucketFunction.name()))
       GraftBucketFunction
     else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+}
+
+/** A table being built by an atomic CTAS/RTAS: all reads/writes hit the
+  * hidden staging directory (via the wrapped [[SSTableTable]], so the
+  * write path — bucketed layouts, tuning knobs, staged generation
+  * commits — is exactly the normal one); `commitStagedChanges` renames
+  * it into place ([[GraftCatalog]] owns that logic). */
+private[spark] final class GraftStagedTable(
+    inner: SSTableTable, ident: Identifier,
+    commit: () => Unit, abort: () => Unit)
+    extends StagedTable with SupportsWrite {
+  override def name(): String = ident.toString
+  override def schema(): StructType = inner.schema()
+  override def capabilities(): util.Set[TableCapability] = inner.capabilities()
+  override def properties(): util.Map[String, String] = inner.properties()
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    inner.newWriteBuilder(info)
+  override def commitStagedChanges(): Unit = commit()
+  override def abortStagedChanges(): Unit = abort()
 }
 
 object GraftCatalog {

@@ -244,7 +244,8 @@ final class SSTableTable(props: Map[String, String])
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
     with org.apache.spark.sql.connector.catalog.SupportsDelete
-    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.TruncatableTable {
   private def basePath: String = props.getOrElse(SSTableSource.PathOption,
     throw new IllegalArgumentException("sstable source requires a path"))
   private def snapshotTag: Option[String] =
@@ -380,6 +381,24 @@ final class SSTableTable(props: Map[String, String])
     * than run it with different semantics. */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     deletableKeys(filters).isDefined
+
+  /** SQL `TRUNCATE TABLE` (TruncatableTable) — unpublish every live
+    * generation, Data.db first so each fileset leaves reader listings
+    * atomically. Metadata-only (no data reads, no rewrite); the table's
+    * `_table` properties, snapshots, and layout declaration survive —
+    * a truncated bucketed table is still bucketed, just empty. Same
+    * physical action as the unconditional `DELETE FROM t`. */
+  override def truncateTable(): Boolean = {
+    require(snapshotTag.isEmpty && sinceSnapshotTag.isEmpty && buckets.isEmpty
+      && !props.contains(SSTableSource.AsOfMicrosOption)
+      && view == "rows", "TRUNCATE targets the live rows-view directory")
+    val storage = Storage.forPath(path,
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+    if (storage.exists(path))
+      storage.listDataFiles(path).foreach(SSTableFiles.unpublish(storage, _))
+    true
+  }
+
   override def deleteWhere(filters: Array[Filter]): Unit = {
     require(snapshotTag.isEmpty && sinceSnapshotTag.isEmpty && buckets.isEmpty
       && !props.contains(SSTableSource.AsOfMicrosOption)
@@ -387,7 +406,7 @@ final class SSTableTable(props: Map[String, String])
     val storage = Storage.forPath(path,
       org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
     deletableKeys(filters) match {
-      case Some(None) => // unconditional: truncate the directory
+      case Some(None) => // unconditional: same action as TRUNCATE TABLE
         if (storage.exists(path))
           storage.listDataFiles(path).foreach(SSTableFiles.unpublish(storage, _))
       case Some(Some(keys)) if keys.nonEmpty =>

@@ -1,0 +1,179 @@
+package graft.sources.sstable.spark
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The round-8 SQL lifecycle additions: TRUNCATE TABLE, ALTER TABLE
+  * SET/UNSET TBLPROPERTIES, and atomic CTAS / REPLACE TABLE … AS SELECT
+  * through [[GraftCatalog]]'s StagingTableCatalog. The atomicity claims
+  * are tested from the OUTSIDE: a failed CTAS leaves neither a table nor
+  * staging garbage; a REPLACE either fully lands or leaves the original.
+  */
+class GraftLifecycleSpec extends AnyFunSuite {
+
+  private lazy val warehouse: String = {
+    val d = Files.createTempDirectory("graft-lifecycle").toFile
+    d.deleteOnExit()
+    d.getPath
+  }
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.conf.set("spark.sql.catalog.graft_lc", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_lc.warehouse", warehouse)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_lc.lc")
+    s
+  }
+
+  private def insertRows(table: String, rows: Seq[(String, String, Long)]): Unit = {
+    val values = rows.map { case (k, v, ts) =>
+      s"(CAST('$k' AS BINARY), array(named_struct(" +
+        s"'name', CAST('c' AS BINARY), 'state', 'NORMAL', " +
+        s"'value', CAST('$v' AS BINARY), 'timestamp', CAST($ts AS BIGINT), " +
+        s"'ttlSecs', CAST(0 AS BIGINT), 'expiresMillis', CAST(0 AS BIGINT))), " +
+        "CAST(NULL AS STRUCT<localDeletionTime: INT, markedForDeleteAt: BIGINT>))"
+    }.mkString(", ")
+    spark.sql(s"INSERT INTO $table VALUES $values")
+  }
+
+  private def keysOf(table: String): Seq[String] =
+    spark.sql(s"SELECT key FROM $table")
+      .select(col("key").cast("string")).collect().map(_.getString(0)).toSeq.sorted
+
+  /** Visible + hidden entries of a namespace directory, for staging- and
+    * trash-garbage assertions. */
+  private def dirEntries(ns: String): Seq[String] =
+    Option(new java.io.File(s"$warehouse/$ns").list()).fold(Seq.empty[String])(_.toSeq)
+
+  private def dataFiles(ns: String, t: String): Seq[String] =
+    Option(new java.io.File(s"$warehouse/$ns/$t").list())
+      .fold(Seq.empty[String])(_.toSeq).filter(_.endsWith("-Data.db"))
+
+  test("TRUNCATE TABLE empties the table but keeps it (and its properties)") {
+    spark.sql("CREATE TABLE graft_lc.lc.tr TBLPROPERTIES ('compress'='false')")
+    insertRows("graft_lc.lc.tr", Seq(("a", "1", 10L), ("b", "2", 20L)))
+    assert(keysOf("graft_lc.lc.tr") == Seq("a", "b"))
+    spark.sql("TRUNCATE TABLE graft_lc.lc.tr")
+    assert(spark.sql("SELECT * FROM graft_lc.lc.tr").count() == 0)
+    // still a table, properties intact, writable again
+    val props = spark.sql("SHOW TBLPROPERTIES graft_lc.lc.tr").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("compress").contains("false"))
+    insertRows("graft_lc.lc.tr", Seq(("c", "3", 30L)))
+    assert(keysOf("graft_lc.lc.tr") == Seq("c"))
+  }
+
+  test("TRUNCATE on a bucketed table preserves the declared layout") {
+    spark.sql("CREATE TABLE graft_lc.lc.trb TBLPROPERTIES ('buckets'='4')")
+    insertRows("graft_lc.lc.trb", Seq(("a", "1", 10L), ("b", "2", 20L)))
+    spark.sql("TRUNCATE TABLE graft_lc.lc.trb")
+    assert(dataFiles("lc", "trb").isEmpty)
+    insertRows("graft_lc.lc.trb", Seq(("z", "9", 90L)))
+    // refills still hash-route under bucket stems
+    assert(dataFiles("lc", "trb").forall(_.startsWith("bucket-")))
+    assert(keysOf("graft_lc.lc.trb") == Seq("z"))
+  }
+
+  test("ALTER TABLE SET/UNSET TBLPROPERTIES round-trips tuning knobs") {
+    spark.sql("CREATE TABLE graft_lc.lc.al")
+    spark.sql("ALTER TABLE graft_lc.lc.al SET TBLPROPERTIES ('compress'='false', 'summaryinterval'='64')")
+    var props = spark.sql("SHOW TBLPROPERTIES graft_lc.lc.al").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("compress").contains("false") &&
+      props.get("summaryinterval").contains("64"))
+    spark.sql("ALTER TABLE graft_lc.lc.al UNSET TBLPROPERTIES ('compress')")
+    props = spark.sql("SHOW TBLPROPERTIES graft_lc.lc.al").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(!props.contains("compress") && props.get("summaryinterval").contains("64"))
+    // unknown properties are refused, not persisted
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE graft_lc.lc.al SET TBLPROPERTIES ('nope'='1')"))
+    assert(e.getMessage.contains("unsupported table property"))
+    // schema changes are refused — the format owns the schema
+    intercept[Exception](
+      spark.sql("ALTER TABLE graft_lc.lc.al ADD COLUMN extra INT"))
+  }
+
+  test("ALTER can set 'buckets' only while the table is empty") {
+    spark.sql("CREATE TABLE graft_lc.lc.alb")
+    spark.sql("ALTER TABLE graft_lc.lc.alb SET TBLPROPERTIES ('buckets'='2')")
+    insertRows("graft_lc.lc.alb", Seq(("a", "1", 10L)))
+    assert(dataFiles("lc", "alb").forall(_.startsWith("bucket-")))
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE graft_lc.lc.alb SET TBLPROPERTIES ('buckets'='8')"))
+    assert(e.getMessage.contains("EMPTY table"))
+    // and the refused change did not persist
+    val props = spark.sql("SHOW TBLPROPERTIES graft_lc.lc.alb").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("buckets").contains("2"))
+  }
+
+  test("CTAS copies a table atomically, leaving no staging garbage") {
+    spark.sql("CREATE TABLE graft_lc.lc.src")
+    insertRows("graft_lc.lc.src", Seq(("a", "1", 10L), ("b", "2", 20L), ("c", "3", 30L)))
+    spark.sql("CREATE TABLE graft_lc.lc.ct AS SELECT * FROM graft_lc.lc.src WHERE key <> CAST('b' AS BINARY)")
+    assert(keysOf("graft_lc.lc.ct") == Seq("a", "c"))
+    assert(!dirEntries("lc").exists(n => n.startsWith("_stage-") || n.startsWith("_dropped-")))
+    // CTAS at an existing name fails and leaves the target untouched
+    intercept[Exception](
+      spark.sql("CREATE TABLE graft_lc.lc.ct AS SELECT * FROM graft_lc.lc.src"))
+    assert(keysOf("graft_lc.lc.ct") == Seq("a", "c"))
+  }
+
+  test("CTAS into a declared bucketed layout hash-routes the query output") {
+    spark.sql("CREATE TABLE graft_lc.lc.ctb TBLPROPERTIES ('buckets'='4') " +
+      "AS SELECT * FROM graft_lc.lc.src")
+    assert(keysOf("graft_lc.lc.ctb") == Seq("a", "b", "c"))
+    val files = dataFiles("lc", "ctb")
+    assert(files.nonEmpty && files.forall(_.startsWith("bucket-")))
+    val props = spark.sql("SHOW TBLPROPERTIES graft_lc.lc.ctb").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("buckets").contains("4"))
+  }
+
+  test("a failing CTAS creates nothing: no table, no stage") {
+    intercept[Exception](spark.sql(
+      "CREATE TABLE graft_lc.lc.boom AS SELECT " +
+        "CAST(raise_error('mid-query failure') AS BINARY) AS key, " +
+        "columns, rowTombstone FROM graft_lc.lc.src"))
+    assert(!spark.catalog.tableExists("graft_lc.lc.boom"))
+    assert(!dirEntries("lc").exists(_.startsWith("_stage-")))
+  }
+
+  test("REPLACE TABLE AS SELECT swaps contents atomically; original survives a failed replace") {
+    spark.sql("CREATE TABLE graft_lc.lc.rp AS SELECT * FROM graft_lc.lc.src")
+    spark.sql("REPLACE TABLE graft_lc.lc.rp AS SELECT * FROM graft_lc.lc.src " +
+      "WHERE key = CAST('a' AS BINARY)")
+    assert(keysOf("graft_lc.lc.rp") == Seq("a"))
+    // a failing replacing query must leave the ORIGINAL contents
+    intercept[Exception](spark.sql(
+      "REPLACE TABLE graft_lc.lc.rp AS SELECT " +
+        "CAST(raise_error('replace fails') AS BINARY) AS key, " +
+        "columns, rowTombstone FROM graft_lc.lc.src"))
+    assert(keysOf("graft_lc.lc.rp") == Seq("a"))
+    assert(!dirEntries("lc").exists(n => n.startsWith("_stage-") || n.startsWith("_dropped-")))
+    // REPLACE of a missing table is loud; CREATE OR REPLACE is not
+    intercept[Exception](
+      spark.sql("REPLACE TABLE graft_lc.lc.missing AS SELECT * FROM graft_lc.lc.src"))
+    spark.sql("CREATE OR REPLACE TABLE graft_lc.lc.cor AS SELECT * FROM graft_lc.lc.src")
+    assert(keysOf("graft_lc.lc.cor") == Seq("a", "b", "c"))
+    spark.sql("CREATE OR REPLACE TABLE graft_lc.lc.cor AS SELECT * FROM graft_lc.lc.rp")
+    assert(keysOf("graft_lc.lc.cor") == Seq("a"))
+  }
+
+  test("CTAS/REPLACE cannot bury a namespace") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_lc.lcsub")
+    val e = intercept[Exception](spark.sql(
+      "CREATE OR REPLACE TABLE graft_lc.lcsub AS SELECT * FROM graft_lc.lc.src"))
+    assert(e.getMessage.contains("namespace"))
+    assert(spark.sql("SHOW NAMESPACES IN graft_lc").collect()
+      .map(_.getString(0)).contains("lcsub"))
+  }
+}
