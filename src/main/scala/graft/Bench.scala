@@ -97,6 +97,11 @@ object Bench {
     // 0.093/0.123 (+0.144 targeted); 0.093's corroboration gap is 1.32x,
     // so the second-smallest corroborated value is frozen per the rule
     "q_sstable_merge" -> 0.123,
+    // r8 additions: q_sstable_bucketed from the two clean serialized
+    // sweeps (0.234/0.289, gap 1.24 -> min); q_sstable_ctas from three
+    // targeted runs (0.401/0.410/0.640 -> corroborated min; targeted
+    // runs measure a colder JVM than in-sweep, so expect ratios <= 1)
+    "q_sstable_bucketed" -> 0.234, "q_sstable_ctas" -> 0.401,
     "q_sstable_topk" -> 0.046, "q_stratified" -> 0.173,
     "q_text_stats" -> 0.249, "q_tfidf_topk" -> 0.990,
     "q_token_count" -> 0.425, "q_tombstone_filter" -> 0.312,

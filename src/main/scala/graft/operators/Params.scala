@@ -106,6 +106,11 @@ object Params {
     * the row-level DELETE path (tombstone generation + delete-aware
     * read); the oracle keeps the complement. */
   val DeleteUserMod = 3
+  /** q_sstable_ctas drops every user with `user_id % 10 == this` along
+    * its CTAS → TRUNCATE → INSERT → REPLACE chain; the oracle keeps the
+    * complement. Distinct from [[DeleteUserMod]] / [[MergeUserMod]] so
+    * the three physical fixtures never interact. */
+  val CtasUserMod = 6
   /** q_sstable_merge rewrites every user with `user_id % 10 == this`
     * through a SQL MERGE INTO (matched update) and inserts a synthetic
     * twin at `user_id + MergeNewUserOffset` (not-matched insert); the

@@ -194,6 +194,26 @@ object WideRowQueries {
           col("timestamp").as("ts_ms"))
         .orderBy("user_id", "event_type", "ts_ms", "value_e4")
     }),
+    // The atomic SQL build lifecycle over REAL files, every step's
+    // failure observable in the final state: CTAS materializes the full
+    // corpus (stage → one-rename commit), TRUNCATE empties the scratch
+    // copy (leftovers would surface as duplicate cells), INSERT refills
+    // it with the WRONG subset (the doomed users), and one REPLACE
+    // TABLE … AS SELECT atomically swaps in the right complement from a
+    // BUCKETED CTAS (hash-routed layout read back through the catalog).
+    // The delete-aware cells view of the end state must equal the
+    // complement cell-for-cell — a broken stage commit, non-emptying
+    // truncate, or non-swapping replace each leaves extra/missing cells.
+    "q_sstable_ctas" -> ((s, d) => {
+      val dir = sstableCtasFixture(s, d)
+      s.read.format("sstable").option("applydeletes", "true")
+        .option("view", "cells").load(dir)
+        .select(col("key").cast("string").cast("long").as("user_id"),
+          col("name").cast("string").as("event_type"),
+          col("value").cast("string").cast("long").as("value_e4"),
+          col("timestamp").as("ts_ms"))
+        .orderBy("user_id", "event_type", "ts_ms", "value_e4")
+    }),
     // Time travel over the REAL files: the asofmicros read option drops
     // post-cut cell versions at decode (and whole post-cut generations
     // at plan time via Statistics minTimestamp), so compactRows yields
@@ -425,6 +445,63 @@ object WideRowQueries {
       dir
     }
 
+  /** Physical fixture for the atomic-lifecycle query (per-corpus
+    * warehouse + catalog, the q_sstable_merge rule): the events corpus
+    * is materialized by a real `CREATE TABLE … AS SELECT` (atomic stage
+    * commit), a bucketed complement by a second CTAS with
+    * TBLPROPERTIES('buckets'), and the scratch end-state table is taken
+    * through TRUNCATE → wrong-subset INSERT → atomic REPLACE so that
+    * every lifecycle statement's failure would corrupt the final cells.
+    * Pure SQL throughout — this is the surface a catalog user drives. */
+  private val ctasFixtureCache = new SessionCache[String]
+  private def sstableCtasFixture(s: SparkSession, d: String): String =
+    ctasFixtureCache.getOrCompute(s, d) {
+      val corpusTag = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes).map("%02x".format(_)).mkString.take(16)
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft-ctas-$corpusTag"
+      val root = java.nio.file.Paths.get(wh)
+      if (java.nio.file.Files.exists(root)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+      val cat = s"graft_ca_$corpusTag"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.sstable.spark.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"CREATE NAMESPACE $cat.fx")
+      val e = Tables.events(s, d).select("user_id", "event_type", "ts_ms", "value")
+      val view = s"graft_ctas_src_$corpusTag"
+      e.select(col("user_id").cast("string").cast("binary").as("key"),
+          array(struct(col("event_type").cast("binary").as("name"),
+            lit("NORMAL").as("state"),
+            e4(col("value")).cast("string").cast("binary").as("value"),
+            col("ts_ms").as("timestamp"),
+            lit(0L).as("ttlSecs"), lit(0L).as("expiresMillis"))).as("columns"))
+        .createOrReplaceTempView(view)
+      s.sql(s"""CREATE TABLE $cat.fx.allevents AS
+        SELECT key, columns,
+          CAST(NULL AS STRUCT<localDeletionTime: INT, markedForDeleteAt: BIGINT>)
+            AS rowTombstone
+        FROM $view""")
+      // the complement lands in a BUCKETED layout via CTAS — the staged
+      // write is the bucket-clustered one, committed by the same rename
+      s.sql(s"""CREATE TABLE $cat.fx.sub
+        TBLPROPERTIES('buckets'='$BucketFixtureBuckets') AS
+        SELECT * FROM $cat.fx.allevents
+        WHERE CAST(CAST(key AS STRING) AS BIGINT) % 10 <> $CtasUserMod""")
+      // scratch: full corpus → TRUNCATE (a non-emptying truncate leaves
+      // duplicate cells) → the WRONG subset → one atomic REPLACE with
+      // the right complement (a non-swapping replace leaves doomed cells)
+      s.sql(s"CREATE TABLE $cat.fx.scratch AS SELECT * FROM $cat.fx.allevents")
+      s.sql(s"TRUNCATE TABLE $cat.fx.scratch")
+      s.sql(s"""INSERT INTO $cat.fx.scratch
+        SELECT * FROM $cat.fx.allevents
+        WHERE CAST(CAST(key AS STRING) AS BIGINT) % 10 = $CtasUserMod""")
+      s.sql(s"REPLACE TABLE $cat.fx.scratch AS SELECT * FROM $cat.fx.sub")
+      s"$wh/fx/scratch"
+    }
+
   /** Lift events into the nested scan schema, compact with the selected
     * merge variant, and explode back to a comparable relation. Each event
     * becomes a one-column row VERSION (multiple rows per key are exactly
@@ -518,6 +595,12 @@ object WideRowQueries {
     "q_sstable_bucketed" ->
       s"""SELECT user_id, event_type, ${e4Sql("value")} AS value_e4, ts_ms
           FROM $EventsSql WHERE user_id % 10 <> $DeleteUserMod
+          ORDER BY user_id, event_type, ts_ms, value_e4""",
+    // the CTAS → TRUNCATE → INSERT → REPLACE chain must land on the
+    // complement of the doomed users, cell-for-cell
+    "q_sstable_ctas" ->
+      s"""SELECT user_id, event_type, ${e4Sql("value")} AS value_e4, ts_ms
+          FROM $EventsSql WHERE user_id % 10 <> $CtasUserMod
           ORDER BY user_id, event_type, ts_ms, value_e4""",
     // MERGE = untouched winners + merged cells + inserted twins, all at
     // the statement's deterministic write timestamp (max ts + 2)
