@@ -335,8 +335,10 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   // a `_dropped-` trash dir and restores the original if the swap's
   // second rename fails, so the only non-atomic window is between two
   // renames inside the same directory (the backend's rename guarantees
-  // apply). Aborted-driver garbage (a stranded `_stage-`) is inert and
-  // removed by DROP NAMESPACE CASCADE or manual cleanup.
+  // apply). Aborted-driver garbage (a stranded `_stage-`) is inert,
+  // swept by the next staged DDL in the namespace once older than
+  // [[GraftCatalog.StageVacuumHorizonMs]], and removed wholesale by
+  // DROP NAMESPACE CASCADE.
 
   override def stageCreate(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
@@ -370,6 +372,17 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         "not a table; (CREATE OR) REPLACE TABLE cannot overwrite it")
     val declared = validatedTableProps(properties)
     requireNamespaceParent(ident)
+    // self-healing garbage collection: a driver killed mid-CTAS strands
+    // its invisible `_stage-` (or mid-swap `_dropped-`) directory; the
+    // next staged DDL in the namespace removes any sibling older than
+    // the vacuum horizon (same age-as-liveness rule as vacuumStaging —
+    // a healthy CTAS stages and commits within its own runtime)
+    Seq("_stage-", "_dropped-").foreach { prefix =>
+      storage.listSubdirs(nsDir(ident.namespace), prefix)
+        .filter(sd => System.currentTimeMillis() - storage.mtime(sd) >
+          GraftCatalog.StageVacuumHorizonMs)
+        .foreach(storage.deleteRecursive)
+    }
     val stagingDir = s"${nsDir(ident.namespace)}/_stage-${ident.name}-" +
       java.util.UUID.randomUUID().toString.take(8)
     storage.mkdirs(stagingDir)
@@ -584,6 +597,9 @@ object GraftCatalog {
   private[spark] val TablePropsFile = "_table"
   /** The `buckets` table property — the bucketed write layout. */
   private[spark] val BucketsProp = "buckets"
+  /** Age past which an abandoned CTAS `_stage-`/`_dropped-` directory is
+    * presumed dead and swept by the next staged DDL in its namespace. */
+  private[spark] val StageVacuumHorizonMs: Long = 24L * 3600 * 1000
   /** Properties CREATE TABLE accepts (and SHOW CREATE TABLE echoes):
     * the bucketed layout plus the writer-tuning option names every
     * write path parses. */

@@ -168,6 +168,20 @@ class GraftLifecycleSpec extends AnyFunSuite {
     assert(keysOf("graft_lc.lc.cor") == Seq("a"))
   }
 
+  test("a new CTAS sweeps dead stage/trash garbage past the horizon, keeps fresh ones") {
+    val ns = new java.io.File(s"$warehouse/lc")
+    val dead = new java.io.File(ns, "_stage-zombie-deadbeef")
+    val freshStage = new java.io.File(ns, "_stage-young-cafebabe")
+    val deadTrash = new java.io.File(ns, "_dropped-old-deadbeef")
+    Seq(dead, freshStage, deadTrash).foreach(_.mkdirs())
+    val past = System.currentTimeMillis() - GraftCatalog.StageVacuumHorizonMs - 60000
+    assert(dead.setLastModified(past) && deadTrash.setLastModified(past))
+    spark.sql("CREATE OR REPLACE TABLE graft_lc.lc.sweep AS SELECT * FROM graft_lc.lc.src")
+    assert(!dead.exists() && !deadTrash.exists(), "past-horizon garbage swept")
+    assert(freshStage.exists(), "a possibly-live stage is untouched")
+    freshStage.delete()
+  }
+
   test("CTAS/REPLACE cannot bury a namespace") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_lc.lcsub")
     val e = intercept[Exception](spark.sql(
