@@ -275,7 +275,8 @@ final class SSTableDeltaTaskWriter(stagingDir: String, rowSchema: StructType,
     if (inserts == null)
       inserts = buckets match {
         case Some(n) => new SSTableBucketedRollingWriter(stagingDir, rowSchema,
-          tuning, storage, jobTag, taskId, n,
+          tuning, storage,
+          b => s"${SSTableSource.bucketStem(b)}$jobTag-$taskId", taskId, n,
           stampMicros = Some(writeTsMicros))
         case None => new SSTablePartitionWriter(stagingDir, rowSchema,
           partitionId, taskId, tuning.compress, tuning.chunkLength,

@@ -117,13 +117,8 @@ final class SSTableWrite(path: String, schema: StructType,
     * periodically folds into a single generation. Spark honors the same
     * clustering+ordering requirement per micro-batch, so every epoch's
     * tasks stream sorted rows just like the batch path. */
-  override def toStreaming: StreamingWrite = {
-    require(writeBuckets.isEmpty,
-      "streaming writes to bucketed tables are not supported: epoch commits " +
-        "publish part-NNNNN-epoch stems, which would break the bucket layout — " +
-        "stream into a plain table and compact, or batch-INSERT")
-    new SSTableStreamingWrite(path, schema, properties)
-  }
+  override def toStreaming: StreamingWrite =
+    new SSTableStreamingWrite(path, schema, properties, writeBuckets)
 }
 
 /** Staged 4-file set of one committed task attempt. */
@@ -221,7 +216,8 @@ final class SSTableBatchWrite(path: String, schema: StructType,
   * polling [[SSTableMicroBatchStream]] never plans a Data.db whose
   * siblings are missing. */
 final class SSTableStreamingWrite(path: String, schema: StructType,
-                                  properties: Map[String, String])
+                                  properties: Map[String, String],
+                                  writeBuckets: Option[Int] = None)
     extends StreamingWrite {
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
 
@@ -239,8 +235,21 @@ final class SSTableStreamingWrite(path: String, schema: StructType,
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     storage.mkdirs(stagingDir)
     val t = WriterTuning.of(properties)
-    new SSTableStreamingWriterFactory(stagingDir, schema, t.compress, t.chunkLength,
-      t.summaryInterval, t.bloomBitsPerKey, t.algorithm, serConf)
+    writeBuckets match {
+      case Some(n) =>
+        // bucketed streaming ingest: Spark honors the same
+        // bucket-clustered + (bucket, key)-sorted requirement per
+        // micro-batch, so each epoch appends at most n generations, every
+        // stem `bucket-NNNNN-epoch-E` — the layout (and its zero-exchange
+        // merges, SPJ joins, per-bucket maintenance) survives continuous
+        // ingestion; compact_bucketed periodically folds the chains
+        new SSTableBucketedStreamingWriterFactory(stagingDir, schema,
+          WriterTuning.of(properties), serConf, n)
+      case None =>
+        new SSTableStreamingWriterFactory(stagingDir, schema, t.compress,
+          t.chunkLength, t.summaryInterval, t.bloomBitsPerKey, t.algorithm,
+          serConf)
+    }
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -296,9 +305,32 @@ final class SSTableStreamingWriterFactory(stagingDir: String, schema: StructType
 
 object SSTableStreamingWrite {
   private val AttemptPart = "-attempt-\\d+".r
-  /** `part-P-epoch-E-attempt-T-Data.db` → `part-P-epoch-E-Data.db`. */
+  /** `part-P-epoch-E-attempt-T-Data.db` → `part-P-epoch-E-Data.db` (and
+    * identically `bucket-NNNNN-epoch-E-attempt-T-…` for bucketed epochs):
+    * the published name is (partition-or-bucket, epoch)-deterministic, so
+    * a replayed epoch renames ONTO its prior output instead of
+    * duplicating it. */
   def publishedName(stagedName: String): String =
     AttemptPart.replaceAllIn(stagedName, "")
+}
+
+/** Bucketed streaming writer factory: the rolling per-bucket writer with
+  * `bucket-NNNNN-epoch-E-attempt-T` staged stems — canonical bucket
+  * layout + epoch determinism + attempt uniqueness. The epoch id in the
+  * stem is what makes replay idempotent per bucket (see
+  * [[SSTableStreamingWrite.publishedName]]). */
+final class SSTableBucketedStreamingWriterFactory(
+    stagingDir: String, schema: StructType, tuning: WriterTuning,
+    serConf: Option[SerializableHadoopConf], buckets: Int)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] = {
+    val storage = serConf.map(c => new HadoopStorage(c.value): Storage)
+      .getOrElse(LocalStorage)
+    new SSTableBucketedRollingWriter(stagingDir, schema, tuning, storage,
+      b => s"${SSTableSource.bucketStem(b)}epoch-$epochId-attempt-$taskId",
+      taskId, buckets)
+  }
 }
 
 /** Bucketed-table write factory: each task gets a ROLLING writer that
@@ -312,7 +344,7 @@ final class SSTableBucketedWriterFactory(stagingDir: String, schema: StructType,
     val storage = serConf.map(c => new HadoopStorage(c.value): Storage)
       .getOrElse(LocalStorage)
     new SSTableBucketedRollingWriter(stagingDir, schema, tuning, storage,
-      jobTag, taskId, buckets)
+      b => s"${SSTableSource.bucketStem(b)}$jobTag-$taskId", taskId, buckets)
   }
 }
 
@@ -330,7 +362,8 @@ final class SSTableBucketedWriterFactory(stagingDir: String, schema: StructType,
   * the commit coordinator publishes exactly one attempt's files). */
 final class SSTableBucketedRollingWriter(stagingDir: String, schema: StructType,
                                          tuning: WriterTuning, storage: Storage,
-                                         jobTag: String, taskId: Long, buckets: Int,
+                                         stemFor: Int => String, taskId: Long,
+                                         buckets: Int,
                                          stampMicros: Option[Long] = None)
     extends DataWriter[InternalRow] {
   private val keyIdx = schema.fieldIndex("key")
@@ -343,7 +376,7 @@ final class SSTableBucketedRollingWriter(stagingDir: String, schema: StructType,
     current = new SSTablePartitionWriter(stagingDir, schema, b, taskId,
       tuning.compress, tuning.chunkLength, tuning.summaryInterval,
       tuning.bloomBitsPerKey, storage,
-      fileStem = s"${SSTableSource.bucketStem(b)}$jobTag-$taskId",
+      fileStem = stemFor(b),
       algorithm = tuning.algorithm, stampMicros = stampMicros)
     currentBucket = b
   }

@@ -212,6 +212,53 @@ class GraftBucketedTableSpec extends AnyFunSuite {
     assert(spark.sql("SELECT * FROM graft_bkt.bk6.t").count() == 21)
   }
 
+  test("streaming writes keep the bucketed layout: epoch generations under bucket stems") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_bkt.bks")
+    spark.sql("CREATE TABLE graft_bkt.bks.t TBLPROPERTIES ('buckets'='4')")
+    val dir = s"$warehouse/bks/t"
+    val ck = Files.createTempDirectory("bks-ck").toString
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String, Long)]
+    val q = source.toDF().toDF("k", "v", "ts")
+      .select(col("k").cast("binary").as("key"),
+        array(struct(lit("c").cast("binary").as("name"), lit("NORMAL").as("state"),
+          col("v").cast("binary").as("value"), col("ts").as("timestamp"),
+          lit(0L).as("ttlSecs"), lit(0L).as("expiresMillis"))).as("columns"),
+        lit(null).cast("struct<localDeletionTime:int,markedForDeleteAt:bigint>")
+          .as("rowTombstone"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ck).toTable("graft_bkt.bks.t")
+    val epoch1 = (0 until 12).map(i => (f"s$i%02d", s"v$i", 100L + i))
+    source.addData(epoch1: _*)
+    q.processAllAvailable()
+    source.addData(("s03", "v3b", 500L), ("s07", "v7b", 500L)) // cross-epoch upsert
+    q.processAllAvailable()
+    q.stop()
+    // every epoch generation keeps the canonical bucket stem, with the
+    // epoch id in the name (replay-deterministic), at most 4 per epoch
+    val st = stems(dir)
+    assert(st.nonEmpty && st.forall(SSTableSource.BucketNameRe.matches),
+      s"streaming broke the layout: $st")
+    assert(st.forall(_.contains("-epoch-")), s"epoch stems expected: $st")
+    assert(st.size <= 8, s"at most buckets-per-epoch generations: $st")
+    // batch SQL sees the stream's rows; LWW resolves cross-epoch upserts
+    assert(keysOf(spark.sql("SELECT * FROM graft_bkt.bks.t")).distinct.size == 12)
+    def valueOf(k: String): String = spark.sql(
+      s"SELECT CAST(columns[0].value AS STRING) FROM graft_bkt.bks.t " +
+        s"WHERE key = CAST('$k' AS BINARY) ORDER BY columns[0].timestamp DESC " +
+        "LIMIT 1").head().getString(0)
+    assert(valueOf("s03") == "v3b" && valueOf("s07") == "v7b")
+    // layout-preserving maintenance folds the streamed chains
+    val folds = spark.sql("CALL graft_bkt.system.compact_bucketed(table => 'bks.t')")
+      .head().getInt(0)
+    assert(folds > 0)
+    assert(stems(dir).forall(SSTableSource.BucketNameRe.matches))
+    assert(keysOf(spark.sql("SELECT * FROM graft_bkt.bks.t")).distinct.size == 12)
+    assert(valueOf("s03") == "v3b")
+  }
+
   test("refusals: generic compact, path-API writebuckets") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_bkt.bk4")
     spark.sql("CREATE TABLE graft_bkt.bk4.t TBLPROPERTIES ('buckets'='2')")
