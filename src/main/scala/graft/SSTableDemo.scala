@@ -282,6 +282,24 @@ object SSTableDemo {
     spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     println(s"== SQL bucketed tables: INSERT wrote $bGens bucket generations; " +
       s"co-bucketed join matched $spjRows rows with $spjShuffles shuffles (want 0, SPJ)")
+
+    // Atomic CTAS / RTAS: build-by-query stages into a hidden directory
+    // and commits with one rename (a bucketed CTAS hash-routes the query
+    // output); REPLACE swaps through a trash dir; TRUNCATE empties
+    // metadata-only. No staging residue survives a committed statement.
+    spark.sql("CREATE TABLE graft.demo.ct TBLPROPERTIES('buckets'='4') " +
+      "AS SELECT * FROM graft.demo.b1")
+    val ctRows = spark.sql("SELECT count(*) FROM graft.demo.ct").head().getLong(0)
+    spark.sql("REPLACE TABLE graft.demo.ct AS SELECT * FROM graft.demo.b1 " +
+      "WHERE CAST(CAST(key AS STRING) AS BIGINT) < 100")
+    val ctAfter = spark.sql("SELECT count(*) FROM graft.demo.ct").head().getLong(0)
+    spark.sql("TRUNCATE TABLE graft.demo.ct")
+    val ctEmpty = spark.sql("SELECT count(*) FROM graft.demo.ct").head().getLong(0)
+    val residue = Option(new java.io.File(s"$dir-warehouse/demo").list())
+      .fold(0)(_.count(n => n.startsWith("_stage-") || n.startsWith("_dropped-")))
+    println(s"== SQL atomic CTAS: bucketed CTAS copied $ctRows rows; " +
+      s"REPLACE swapped to $ctAfter; TRUNCATE left $ctEmpty " +
+      s"($residue staging dirs left behind, want 0)")
     spark.stop()
   }
 }
