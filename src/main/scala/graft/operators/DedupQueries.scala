@@ -240,17 +240,22 @@ object DedupQueries {
         .agg(countDistinct(col("doc_id")).as("n_docs"))
         .filter(col("n_docs") >= ParaMinDocs)
         .select("h")
-      val clean = paras.join(broadcast(boiler), Seq("h"), "left_anti")
+      // ONE pass over paras: a broadcast left-join marks boilerplate and
+      // a single per-doc aggregation computes totals + kept + clean text
+      // with conditional aggregates (collect_list skips the nulls the
+      // `when` leaves on boilerplate rows) — the previous shape shuffled
+      // paras by doc_id twice (kept + totals) and joined the halves
+      paras.join(broadcast(boiler.withColumn("boiler", lit(true))),
+          Seq("h"), "left")
         .groupBy("doc_id")
-        .agg(count(lit(1)).as("paras_kept"),
-          array_join(transform(array_sort(collect_list(struct(col("chunk"), col("para")))),
+        .agg(count(lit(1)).as("paras_total"),
+          count(when(col("boiler").isNull, 1)).as("paras_kept"),
+          array_join(transform(array_sort(collect_list(when(col("boiler").isNull,
+            struct(col("chunk"), col("para"))))),
             x => x.getField("para")), " ").as("clean_text"))
-      paras.groupBy("doc_id").agg(count(lit(1)).as("paras_total"))
-        .join(clean, Seq("doc_id"), "left") // a doc can lose every paragraph
-        .select(col("doc_id"), col("paras_total"),
-          coalesce(col("paras_kept"), lit(0L)).as("paras_kept"),
-          md5(coalesce(col("clean_text"), lit(""))).as("clean_md5"),
-          length(coalesce(col("clean_text"), lit(""))).cast("long").as("clean_chars"))
+        .select(col("doc_id"), col("paras_total"), col("paras_kept"),
+          md5(col("clean_text")).as("clean_md5"),
+          length(col("clean_text")).cast("long").as("clean_chars"))
         .orderBy("doc_id")
     }),
     // Exact-substring dedup (Lee et al. 2022, the suffix-array pass of
