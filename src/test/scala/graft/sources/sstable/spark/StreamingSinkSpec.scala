@@ -121,6 +121,35 @@ class StreamingSinkSpec extends AnyFunSuite {
       "replayed attempt's Data.db must win")
   }
 
+  test("bucketed epoch replay renames onto the same bucket-stem name (idempotent)") {
+    // the bucketed streaming sink's exactly-once rests on the published
+    // name being (bucket, epoch)-deterministic: a replayed epoch renames
+    // ONTO its prior output under the same bucket-NNNNN-epoch-E stem
+    import graft.sources.sstable.SSTableFiles
+    val dir = Files.createTempDirectory("replay-bucketed").toString
+    val staging = s"$dir/_streaming-staging"
+    new java.io.File(staging).mkdirs()
+    val w = new SSTableStreamingWrite(dir, SSTableSchema.schema, Map.empty, Some(4))
+
+    def stage(attempt: Int): String = {
+      val data = s"$staging/bucket-00002-epoch-3-attempt-$attempt-Data.db"
+      Seq(SSTableFiles.DataSuffix, SSTableFiles.IndexSuffix).foreach { suf =>
+        val f = new java.io.FileOutputStream(SSTableFiles.sibling(data, suf))
+        f.write(s"attempt$attempt".getBytes); f.close()
+      }
+      data
+    }
+    w.commit(3, Array(SSTableCommit(Seq(stage(1)))))
+    w.commit(3, Array(SSTableCommit(Seq(stage(2))))) // driver-recovery replay
+    val dataFiles = new java.io.File(dir).list()
+      .filter(_.endsWith(SSTableFiles.DataSuffix)).toSeq
+    assert(dataFiles == Seq("bucket-00002-epoch-3-Data.db"),
+      s"replay must not duplicate the bucket generation: $dataFiles")
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/bucket-00002-epoch-3-Data.db"))) == "attempt2",
+      "the replayed attempt's bytes must win")
+  }
+
   test("streaming source: newly landed generations arrive as micro-batches, exactly once") {
     val dir = Files.createTempDirectory("sstable-stream-src").toString
 
