@@ -552,15 +552,13 @@ object SSTableOps {
     parsed.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (b, members) =>
       val chain = members.map(_._2).sorted
       if (chain.length >= minThreshold) {
-        val merged = suppressTombstones2(compactRows(
-          chain.map(g => spark.read.format("sstable").load(g)).reduce(_ union _)))
+        // the merge/GC/one-output-generation body is compactFiles — the
+        // SAME convergence-critical fold every other compactor runs
+        // (review r8: an inline copy here could drift); only the
+        // publish differs (rename under the bucket stem)
         val tag = "fold-" + java.util.UUID.randomUUID().toString.take(8)
         val stagingDir = s"$dir/_staging-bucketfold-$tag"
-        merged.write.format("sstable")
-          .option(SSTableSource.JobTagOption, tag)
-          .option(SSTableSource.WritePartitionsOption, "1") // ONE output
-          .mode("append").save(stagingDir)
-        val staged = storage.listDataFiles(stagingDir)
+        val staged = compactFiles(spark, chain, stagingDir, gc = true)
         // post-stage re-check (the foldBucketInPlace pattern): a flush
         // that landed in this bucket mid-fold would be silently merged
         // away by our unpublish below — withdraw instead and let the

@@ -30,6 +30,20 @@ trait Storage {
   def create(path: String): DataOutputStream
   def delete(path: String): Unit
   def rename(src: String, dst: String): Unit
+  /** Atomically replace `dst` with `src` (a FILE, not a directory) —
+    * unlike [[rename]], an existing `dst` is overwritten. For small
+    * metadata files rewritten in place (the catalog's `_table`): a
+    * concurrent reader sees the old bytes or the new bytes, never a
+    * torn half-write and never a missing file. Local uses POSIX atomic
+    * move; Hadoop approximates with delete+rename (HDFS renames are
+    * atomic; the delete window only ever exposes a MISSING file, which
+    * callers must treat as loud, not as empty). The default is the
+    * non-atomic delete+rename for simple adapters; real backends
+    * override with their atomic primitive. */
+  def replace(src: String, dst: String): Unit = {
+    if (exists(dst)) delete(dst)
+    rename(src, dst)
+  }
   /** Immediate subdirectories of `dir` whose NAME starts with `prefix`
     * (e.g. the write paths' `_staging-` scratch space). Empty when `dir`
     * is not a directory. */
@@ -94,6 +108,12 @@ object LocalStorage extends Storage {
       throw new java.io.IOException(s"rename $src -> $dst: destination exists")
     val ok = new File(src).renameTo(new File(dst))
     if (!ok) throw new java.io.IOException(s"rename $src -> $dst failed")
+  }
+  override def replace(src: String, dst: String): Unit = {
+    java.nio.file.Files.move(new File(src).toPath, new File(dst).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ()
   }
   def listSubdirs(dir: String, prefix: String): Seq[String] = {
     val f = new File(dir)
@@ -187,6 +207,15 @@ final class HadoopStorage(conf: Configuration) extends Storage {
     val s = new Path(src); val d = new Path(dst)
     if (!fs(s).rename(s, d))
       throw new java.io.IOException(s"rename $src -> $dst failed")
+  }
+
+  override def replace(src: String, dst: String): Unit = {
+    val s = new Path(src); val d = new Path(dst)
+    // FileContext.rename(OVERWRITE) is the atomic file replace on HDFS
+    // (FileSystem.rename refuses an existing dst); object-store
+    // connectors emulate it, which is no worse than delete+rename.
+    org.apache.hadoop.fs.FileContext.getFileContext(s.toUri, conf)
+      .rename(s, d, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   def deleteRecursive(dir: String): Unit = {

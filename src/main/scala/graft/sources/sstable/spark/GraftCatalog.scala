@@ -266,8 +266,24 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"unsupported table property '$k'; supported: " +
           GraftCatalog.AllowedTableProps.toSeq.sorted.mkString(", ")))
     // value validation — fail at CREATE, never at first INSERT
+    declared.foreach { case (k, v) =>
+      require(!v.exists(c => c == '\n' || c == '\r'),
+        s"table property '$k' value contains a line break — the persisted " +
+          "_table file is line-oriented and the table would become unloadable")
+    }
     declared.get(GraftCatalog.BucketsProp)
       .foreach(v => SSTableSource.bucketsOf(Some(v)))
+    // every writer-tuning value must PARSE here, not at first INSERT:
+    // WriterTuning.of is exactly the parse the write path runs
+    try WriterTuning.of(declared)
+    catch {
+      case e: IllegalArgumentException => throw new IllegalArgumentException(
+        s"bad writer-tuning table property value: ${e.getMessage}", e)
+    }
+    declared.get(SSTableSource.LayoutOption).foreach(v =>
+      require(v.equalsIgnoreCase("hash") || v.equalsIgnoreCase("range"),
+        s"table property '${SSTableSource.LayoutOption}' must be 'hash' or " +
+          s"'range', got '$v'"))
     require(!(declared.contains(GraftCatalog.BucketsProp) &&
         declared.get(SSTableSource.LayoutOption).exists(_.equalsIgnoreCase("range"))),
       "bucketed tables hash-route by key; 'layout=range' cannot compose with 'buckets'")
@@ -314,12 +330,24 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     next.foreach { case (k, v) => javaProps.put(k, v) }
     val validated = validatedTableProps(javaProps)
     if (validated.get(GraftCatalog.BucketsProp) !=
-        current.get(GraftCatalog.BucketsProp))
+        current.get(GraftCatalog.BucketsProp)) {
       require(storage.listDataFiles(d).isEmpty,
         "the bucketed layout is physical (data files are hash-routed by " +
           "it); 'buckets' is only alterable on an EMPTY table — rewrite " +
           "via CREATE TABLE … TBLPROPERTIES ('buckets'=…) AS SELECT, or " +
           "TRUNCATE first")
+      // snapshot pins keep OLD-layout files readable through VERSION AS
+      // OF, and a time-traveled read merges the table's CURRENT buckets
+      // property onto them — mis-keying every key-grouped split (review
+      // r8). Empty live data is not enough; the pins must be gone too.
+      val pins = graft.operators.SSTableOps.listSnapshots(d, storage)
+      require(pins.isEmpty,
+        "snapshots pin data written under the current bucketed layout " +
+          s"(${pins.mkString(", ")}); a time-traveled read would apply the " +
+          "NEW 'buckets' value to OLD-layout files and silently mis-group " +
+          "keys — drop the snapshots first (CALL …system.expire_snapshots " +
+          "or drop_snapshot)")
+    }
     GraftCatalog.writeTableProps(storage, d, validated)
     loadTable(ident)
   }
@@ -520,8 +548,11 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   private lazy val procedures: Map[String, org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure] =
     GraftProcedures.registry { tableName =>
       val parts = tableName.split('.').toSeq
-      require(parts.length >= 2 && parts.forall(segOk),
-        s"bad table argument '$tableName' (expected 'ns.t', catalog-relative)")
+      // one part = a warehouse-root table (CREATE TABLE graft.t works,
+      // so CALL must reach it too — review r8); more = ns…ns.t
+      require(parts.nonEmpty && parts.forall(segOk),
+        s"bad table argument '$tableName' (expected 't' or 'ns.t', " +
+          "catalog-relative)")
       val ident = Identifier.of(parts.dropRight(1).toArray, parts.last)
       val d = tableDir(ident)
       if (!isTableDir(d)) throw new NoSuchTableException(ident)
@@ -614,10 +645,18 @@ object GraftCatalog {
 
   private[spark] def writeTableProps(storage: Storage, dir: String,
                                      props: Map[String, String]): Unit = {
-    val out = storage.create(s"$dir/$TablePropsFile")
+    // Staged write + atomic replace (review r8): ALTER rewrites this
+    // file while concurrent reads resolve loadTable, and a torn read
+    // that drops `buckets` would route a plain write into a bucketed
+    // directory — breaking the layout contract permanently. A reader
+    // sees the whole old file or the whole new one, never half.
+    val tmp = s"$dir/$TablePropsFile.tmp-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val out = storage.create(tmp)
     try out.write(props.toSeq.sorted.map { case (k, v) => s"$k=$v" }
       .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    storage.replace(tmp, s"$dir/$TablePropsFile")
   }
 
   private[spark] def readTableProps(storage: Storage,

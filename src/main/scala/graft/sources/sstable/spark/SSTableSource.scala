@@ -441,16 +441,22 @@ final class SSTableTable(props: Map[String, String])
             val tag = "delete-" + java.util.UUID.randomUUID().toString.take(8)
             val stagingDir = s"$path/_staging-$tag"
             storage.mkdirs(stagingDir)
-            deduped.groupBy(GraftBucketFunction.bucketOf(n, _))
-              .toSeq.sortBy(_._1).foreach { case (b, ks) =>
+            // stage EVERY bucket's tombstone generation before the first
+            // publish (review r8): a mid-loop write failure must leave
+            // the DELETE wholly un-applied, not applied for buckets
+            // 0..k-1 — the same stage-all-then-publish choreography as
+            // the delta commit in RowLevelOps
+            val staged = deduped.groupBy(GraftBucketFunction.bucketOf(n, _))
+              .toSeq.sortBy(_._1).map { case (b, ks) =>
                 val dataPath =
                   s"$stagingDir/${SSTableSource.bucketStem(b)}$tag${SSTableFiles.DataSuffix}"
                 val w = new SSTableWriter(dataPath, storage = storage)
                 try ks.sortWith(SSTableFiles.compareKeys(_, _) < 0).foreach(k =>
                   w.append(SSTableRow(k, Nil, Some(RowTombstone(ldtSecs, mark)))))
                 finally w.close()
-                SSTableFiles.publish(storage, dataPath, path)
+                dataPath
               }
+            staged.foreach(SSTableFiles.publish(storage, _, path))
             storage.deleteRecursive(stagingDir)
           case None =>
             import org.apache.spark.sql.Row

@@ -244,7 +244,7 @@ final class SSTableStreamingWrite(path: String, schema: StructType,
         // merges, SPJ joins, per-bucket maintenance) survives continuous
         // ingestion; compact_bucketed periodically folds the chains
         new SSTableBucketedStreamingWriterFactory(stagingDir, schema,
-          WriterTuning.of(properties), serConf, n)
+          t, serConf, n)
       case None =>
         new SSTableStreamingWriterFactory(stagingDir, schema, t.compress,
           t.chunkLength, t.summaryInterval, t.bloomBitsPerKey, t.algorithm,

@@ -505,6 +505,40 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.tr.t")
   }
 
+  test("property values validate at CREATE; ALTER 'buckets' refuses while snapshots pin the old layout") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.pv")
+    // every writer-tuning value parses at CREATE, never at first INSERT
+    val e1 = intercept[Exception](spark.sql(
+      "CREATE TABLE graft.pv.bad TBLPROPERTIES('chunklength'='abc')"))
+    assert(e1.getMessage.contains("writer-tuning"), e1.getMessage)
+    // a line-break value would corrupt the line-oriented _table file
+    // and make the table permanently unloadable
+    val e2 = intercept[Exception](spark.sql(
+      "CREATE TABLE graft.pv.bad TBLPROPERTIES('compressionalgorithm'='snappy\nx')"))
+    assert(e2.getMessage.contains("line break"), e2.getMessage)
+    intercept[Exception](spark.sql(
+      "CREATE TABLE graft.pv.bad TBLPROPERTIES('layout'='zigzag')"))
+    assert(!spark.sql("SHOW TABLES IN graft.pv").collect()
+      .exists(_.getString(1) == "bad"), "a refused CREATE must not land")
+    // ALTER 'buckets': empty live data is NOT enough — a snapshot pin
+    // keeps old-layout files readable via VERSION AS OF, and the new
+    // buckets value would mis-key their key-grouped splits
+    spark.sql("CREATE TABLE graft.pv.t TBLPROPERTIES('buckets'='4')")
+    insertRows("graft.pv.t", Seq(("a", "1", 10L), ("b", "2", 20L)))
+    val dir = s"$warehouse/pv/t"
+    SSTableOps.snapshot(dir, "pin")
+    spark.sql("TRUNCATE TABLE graft.pv.t")
+    val e3 = intercept[Exception](spark.sql(
+      "ALTER TABLE graft.pv.t SET TBLPROPERTIES('buckets'='8')"))
+    assert(e3.getMessage.contains("snapshot"), e3.getMessage)
+    // dropping the pin unblocks the layout change
+    SSTableOps.dropSnapshot(dir, "pin")
+    spark.sql("ALTER TABLE graft.pv.t SET TBLPROPERTIES('buckets'='8')")
+    assert(spark.sql("SHOW CREATE TABLE graft.pv.t").head().getString(0)
+      .contains("'buckets' = '8'"))
+    spark.sql("DROP TABLE graft.pv.t")
+  }
+
   test("SQL metadata tables: t.generations, t.snapshots, t.cells") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.meta")
     spark.sql("CREATE TABLE graft.meta.t")

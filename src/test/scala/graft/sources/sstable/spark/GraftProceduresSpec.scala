@@ -71,6 +71,18 @@ class GraftProceduresSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft_sys.m.t")
   }
 
+  test("CALL reaches warehouse-root tables (one-part name)") {
+    // CREATE TABLE graft_sys.top works (empty namespace), so the
+    // maintenance surface must accept 'top' too — not just 'ns.t'
+    spark.sql("CREATE TABLE graft_sys.top")
+    (1 to 2).foreach(i => insertRows("graft_sys.top", Seq((s"k$i", s"v$i", i.toLong))))
+    assert(spark.sql(
+      "CALL graft_sys.system.compact(table => 'top', min_threshold => 2)")
+      .head().getInt(0) == 1)
+    assert(keysOf(spark.sql("SELECT * FROM graft_sys.top")) == Seq("k1", "k2"))
+    spark.sql("DROP TABLE graft_sys.top")
+  }
+
   test("CALL system.compact_tombstones drops isolated delete debt") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_sys.m")
     spark.sql("CREATE TABLE graft_sys.m.td")
