@@ -33,6 +33,7 @@ object PerfProbe {
     if (args.headOption.contains("columnar")) { columnarProbe(); spark.stop(); return }
     if (args.headOption.contains("deletes")) { deletesProbe(spark); spark.stop(); return }
     if (args.headOption.contains("rowlevel")) { rowLevelProbe(spark); spark.stop(); return }
+    if (args.headOption.contains("bucketfold")) { bucketFoldProbe(spark); spark.stop(); return }
 
     val docs = Tables.documents(spark, sfDir)
 
@@ -386,6 +387,41 @@ object PerfProbe {
       while (SSTableOps.compactInPlace(spark, dir, minThreshold = 2) > 0) ()
     }
     t("scan_after_fold")(spark.sql("SELECT * FROM graft_probe.p.t").count())
+  }
+
+  /** Serial vs parallel cross-bucket folds in compactBucketedInPlace:
+    * each fold's write is ONE task (the one-output contract), so the
+    * serial driver loop keeps ~1 core busy; parallel folds should
+    * approach min(buckets, slots)× on a multi-core box. */
+  private def bucketFoldProbe(spark: SparkSession): Unit = {
+    import graft.operators.SSTableOps
+    def mkDir(): String = {
+      val dir = java.nio.file.Files.createTempDirectory("bucketfold").toString
+      // 16 buckets × 4 generations each
+      (0 until 4).foreach { g =>
+        val df = spark.range(200000).select(
+          concat(lit("k"), lpad(((col("id") * 4 + g) % 800000).cast("string"), 7, "0"))
+            .cast("binary").as("key"),
+          array(struct(lit("c").cast("binary").as("name"), lit("NORMAL").as("state"),
+            col("id").cast("string").cast("binary").as("value"),
+            (col("id") + g * 1000000L).as("timestamp"), lit(0L).as("ttlSecs"),
+            lit(0L).as("expiresMillis"))).as("columns"))
+        SSTableOps.writeBucketed(df, dir, 16)
+      }
+      dir
+    }
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2fs")
+      r
+    }
+    val serialDir = mkDir(); val parallelDir = mkDir()
+    val f1 = t("fold_serial_p1")(
+      SSTableOps.compactBucketedInPlace(spark, serialDir, parallelism = 1))
+    val f2 = t("fold_parallel_default")(
+      SSTableOps.compactBucketedInPlace(spark, parallelDir))
+    println(s"folds: serial=$f1 parallel=$f2 (want 16 == 16)")
   }
 
   private def deletesProbe(spark: SparkSession): Unit = {

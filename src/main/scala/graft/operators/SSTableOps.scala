@@ -531,9 +531,14 @@ object SSTableOps {
     * As belt-and-braces, each bucket re-lists its chain after staging
     * and WITHDRAWS (staged output dropped, bucket skipped this pass) if
     * a concurrent flush changed it — the next pass picks the bucket up
-    * again. Returns the number of buckets folded. */
+    * again. WITHIN the one maintainer, folds run across buckets in
+    * parallel (`parallelism` threads; 0 = half the cluster's default
+    * parallelism, capped by the fold count) — each fold's write is one
+    * task by the one-output contract, so serial folds would leave the
+    * cluster idle. Returns the number of buckets folded. */
   def compactBucketedInPlace(spark: org.apache.spark.sql.SparkSession,
-                             dir: String, minThreshold: Int = 2): Int = {
+                             dir: String, minThreshold: Int = 2,
+                             parallelism: Int = 0): Int = {
     import graft.sources.sstable.SSTableFiles
     import graft.sources.sstable.spark.SSTableSource
     require(minThreshold >= 2, s"minThreshold must be >= 2: $minThreshold")
@@ -548,41 +553,83 @@ object SSTableOps {
             "compactBucketedInPlace maintains writeBucketed directories only")
       }
     }
-    var folds = 0
-    parsed.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (b, members) =>
-      val chain = members.map(_._2).sorted
-      if (chain.length >= minThreshold) {
-        // the merge/GC/one-output-generation body is compactFiles — the
-        // SAME convergence-critical fold every other compactor runs
-        // (review r8: an inline copy here could drift); only the
-        // publish differs (rename under the bucket stem)
-        val tag = "fold-" + java.util.UUID.randomUUID().toString.take(8)
-        val stagingDir = s"$dir/_staging-bucketfold-$tag"
-        val staged = compactFiles(spark, chain, stagingDir, gc = true)
-        // post-stage re-check (the foldBucketInPlace pattern): a flush
-        // that landed in this bucket mid-fold would be silently merged
-        // away by our unpublish below — withdraw instead and let the
-        // next pass fold the grown chain
-        val nowChain = storage.listDataFiles(dir).filter { f =>
-          SSTableFiles.generationStem(f) match {
-            case SSTableSource.BucketNameRe(bb) => bb.toInt == b
-            case _ => false
-          }
-        }.sorted
-        if (nowChain != chain) {
-          storage.deleteRecursive(stagingDir)
-        } else {
-          staged.foreach { s =>
-            SSTableFiles.publishAs(storage, s,
-              s"$dir/${SSTableSource.bucketStem(b)}$tag${SSTableFiles.DataSuffix}")
-          }
-          storage.deleteRecursive(stagingDir)
-          chain.foreach(SSTableFiles.unpublish(storage, _))
-          folds += 1
-        }
+    val foldable = parsed.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (b, members) => (b, members.map(_._2).sorted) }
+      .filter(_._2.length >= minThreshold)
+    if (foldable.isEmpty) return 0
+    // Folds run ACROSS buckets in parallel (the claim compactFiles'
+    // one-output contract forces: each fold's write is ONE task, so a
+    // serial driver loop would keep one core busy per fold — at
+    // thousands of buckets the maintenance pass would be core-count
+    // times slower than the cluster allows). Safe by construction:
+    // hash buckets are disjoint file sets, tombstone GC is structural
+    // WITHIN a bucket, and each fold's post-stage re-check filters the
+    // listing to its own bucket — sibling folds are invisible to it.
+    // (The size-tier compactors stay serial: their GC isolation proof
+    // reads the whole directory, which sibling folds mutate.)
+    val slots = if (parallelism > 0) parallelism
+      else math.max(1, math.min(foldable.length,
+        spark.sparkContext.defaultParallelism / 2))
+    val folds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(slots)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    try {
+      foldable.foreach { case (b, chain) => pool.execute(() =>
+        try { if (foldOneBucket(spark, dir, storage, b, chain)) { folds.incrementAndGet(); () } }
+        catch { case t: Throwable => failures.add(t); () })
       }
+      pool.shutdown()
+      pool.awaitTermination(java.lang.Long.MAX_VALUE,
+        java.util.concurrent.TimeUnit.NANOSECONDS)
+      ()
+    } finally { pool.shutdownNow(); () }
+    if (!failures.isEmpty) {
+      val first = failures.poll()
+      failures.forEach(first.addSuppressed(_))
+      throw first
     }
-    folds
+    folds.get()
+  }
+
+  /** One bucket's layout-preserving fold (the [[compactBucketedInPlace]]
+    * unit of parallelism): merge the whole chain via [[compactFiles]],
+    * re-check the chain, publish under the bucket stem. Returns true
+    * iff the fold published (false = withdrawn for a concurrent flush). */
+  private def foldOneBucket(spark: org.apache.spark.sql.SparkSession,
+                            dir: String,
+                            storage: graft.sources.sstable.Storage,
+                            b: Int, chain: Seq[String]): Boolean = {
+    import graft.sources.sstable.SSTableFiles
+    import graft.sources.sstable.spark.SSTableSource
+    // the merge/GC/one-output-generation body is compactFiles — the
+    // SAME convergence-critical fold every other compactor runs
+    // (review r8: an inline copy here could drift); only the
+    // publish differs (rename under the bucket stem)
+    val tag = "fold-" + java.util.UUID.randomUUID().toString.take(8)
+    val stagingDir = s"$dir/_staging-bucketfold-$tag"
+    val staged = compactFiles(spark, chain, stagingDir, gc = true)
+    // post-stage re-check (the foldBucketInPlace pattern): a flush
+    // that landed in this bucket mid-fold would be silently merged
+    // away by our unpublish below — withdraw instead and let the
+    // next pass fold the grown chain
+    val nowChain = storage.listDataFiles(dir).filter { f =>
+      SSTableFiles.generationStem(f) match {
+        case SSTableSource.BucketNameRe(bb) => bb.toInt == b
+        case _ => false
+      }
+    }.sorted
+    if (nowChain != chain) {
+      storage.deleteRecursive(stagingDir)
+      false
+    } else {
+      staged.foreach { s =>
+        SSTableFiles.publishAs(storage, s,
+          s"$dir/${SSTableSource.bucketStem(b)}$tag${SSTableFiles.DataSuffix}")
+      }
+      storage.deleteRecursive(stagingDir)
+      chain.foreach(SSTableFiles.unpublish(storage, _))
+      true
+    }
   }
 
   /** Single-generation tombstone compaction (Cassandra's

@@ -123,10 +123,11 @@ private[spark] object GraftProcedures {
           "generation under the same bucket-NNNNN stem (tombstone GC is " +
           "structural within a bucket); returns the number of buckets folded",
         Array(tableParam,
-          p("min_threshold", IntegerType, Some("2"))),
+          p("min_threshold", IntegerType, Some("2")),
+          p("parallelism", IntegerType, Some("0"))),
         StructType(Seq(StructField("folds", IntegerType, nullable = false))),
         (spark, in) => Seq(row(SSTableOps.compactBucketedInPlace(
-          spark, dirOf(in), in.getInt(1)): Integer))),
+          spark, dirOf(in), in.getInt(1), in.getInt(2)): Integer))),
 
       "compact_tombstones" -> new Proc(
         "compact_tombstones",

@@ -126,7 +126,10 @@ class GraftProceduresSpec extends AnyFunSuite {
     assert(e.getMessage.contains("compact_bucketed"),
       s"CALL compact must point at the bucketed procedure: ${e.getMessage}")
 
-    assert(spark.sql("CALL graft_sys.system.compact_bucketed(table => 'm.bt')")
+    // explicit parallelism reaches the cross-bucket fold pool; the
+    // result is bucket-count folds either way (disjoint buckets)
+    assert(spark.sql("CALL graft_sys.system.compact_bucketed(" +
+        "table => 'm.bt', parallelism => 2)")
       .head().getInt(0) == 2)
     assert(LocalStorage.listDataFiles(dir).length == 2)
     assert(keysOf(spark.sql("SELECT * FROM graft_sys.m.bt")).length == 40)
