@@ -481,6 +481,44 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.mg.t")
   }
 
+  test("MERGE WHEN NOT MATCHED BY SOURCE: the third branch family rides the same delta") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mg")
+    spark.sql("CREATE TABLE graft.mg.nbs")
+    insertRows("graft.mg.nbs",
+      Seq(("a", "keep", 100L), ("b", "stale", 200L), ("c", "stale", 300L)))
+    spark.sql("""
+      CREATE OR REPLACE TEMP VIEW nbs_src AS
+      SELECT CAST(k AS BINARY) key, array(named_struct(
+        'name', CAST('c' AS BINARY), 'state', 'NORMAL',
+        'value', CAST(v AS BINARY), 'timestamp', CAST(0 AS BIGINT),
+        'ttlSecs', CAST(0 AS BIGINT), 'expiresMillis', CAST(0 AS BIGINT))) columns
+      FROM VALUES ('a', 'synced') AS s(k, v)""")
+    // full-sync shape: matched rows update, target rows absent from the
+    // source are deleted — deletes are tombstone appends like any other
+    spark.sql("""
+      MERGE INTO graft.mg.nbs t USING nbs_src s ON t.key = s.key
+      WHEN MATCHED THEN UPDATE SET columns = s.columns
+      WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    val rows = spark.sql("SELECT * FROM graft.mg.nbs")
+      .selectExpr("cast(key as string) k", "cast(columns[0].value as string) v")
+      .collect().map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
+    assert(rows.toSeq == Seq(("a", "synced")), rows.mkString(","))
+    // and the UPDATE flavor of the branch
+    insertRows("graft.mg.nbs", Seq(("z", "orphan", 400L)))
+    spark.sql("""
+      MERGE INTO graft.mg.nbs t USING nbs_src s ON t.key = s.key
+      WHEN NOT MATCHED BY SOURCE THEN UPDATE SET
+        columns = array(named_struct(
+          'name', CAST('c' AS BINARY), 'state', 'NORMAL',
+          'value', CAST('flagged' AS BINARY), 'timestamp', CAST(0 AS BIGINT),
+          'ttlSecs', CAST(0 AS BIGINT), 'expiresMillis', CAST(0 AS BIGINT)))""")
+    val rows2 = spark.sql("SELECT * FROM graft.mg.nbs")
+      .selectExpr("cast(key as string) k", "cast(columns[0].value as string) v")
+      .collect().map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
+    assert(rows2.toSeq == Seq(("a", "synced"), ("z", "flagged")), rows2.mkString(","))
+    spark.sql("DROP TABLE graft.mg.nbs")
+  }
+
   test("TRUNCATE TABLE and SHOW CREATE TABLE round out the DDL surface") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.tr")
     spark.sql("CREATE TABLE graft.tr.t")
