@@ -13,6 +13,12 @@ import org.apache.spark.sql.functions._
 object SSTableDemo {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/sstable-demo")
+    // the demo is rerunnable: it owns its output paths, so stale state
+    // from a previous run (the -warehouse's namespace in particular,
+    // whose CREATE NAMESPACE is deliberately not IF NOT EXISTS) is
+    // cleared up front
+    graft.sources.sstable.LocalStorage.deleteRecursive(dir)
+    graft.sources.sstable.LocalStorage.deleteRecursive(s"$dir-warehouse")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -157,20 +157,45 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     * [[graft.operators.SSTableOps.snapshot]] created — byte-identical to
     * the path API's `option("snapshot", tag)`. Unknown tags fail HERE,
     * at resolution, not as an empty scan. Writes/DML to a time-traveled
-    * table are refused by [[SSTableTable]] (snapshots are immutable). */
+    * table are refused by [[SSTableTable]] (snapshots are immutable).
+    *
+    * CDC/diff form: `VERSION AS OF 'a..b'` reads pin b MINUS pin a (the
+    * epoch diff — `sincesnapshot` + `snapshot` composed), and
+    * `VERSION AS OF 'a..'` reads the LIVE state minus pin a — the SQL
+    * spelling of the incremental read loop. Catalog reads are
+    * delete-aware, so deleted keys net OUT of the diff (the diff
+    * applies its own deletes); the delete-EVENT change feed
+    * (`_change_type = 'delete'`) is the path API's `sincesnapshot`
+    * without `applydeletes`. A literal pin whose tag happens to contain
+    * `..` still resolves as a pin (exact match wins). */
   override def loadTable(ident: Identifier, version: String): Table = {
     val d = tableDir(ident)
     if (!isTableDir(d))
       throw new NoSuchTableException(ident)
     require(version.nonEmpty && !version.contains('/') && !version.contains('\\'),
       s"bad snapshot tag: '$version'")
-    require(dirExists(s"$d/${SSTableSource.SnapshotDirPrefix}$version"),
-      s"table ${ident.toString} has no snapshot '$version' " +
-        "(SSTableOps.snapshot creates them; SSTableOps.listSnapshots lists them)")
-    new SSTableTable(Map(
+    def requirePin(tag: String): Unit =
+      require(dirExists(s"$d/${SSTableSource.SnapshotDirPrefix}$tag"),
+        s"table ${ident.toString} has no snapshot '$tag' " +
+          "(SSTableOps.snapshot creates them; SSTableOps.listSnapshots lists them)")
+    val base = Map(
       SSTableSource.PathOption -> d,
-      SSTableSource.ApplyDeletesOption -> "true",
-      SSTableSource.SnapshotOption -> version) ++ tableOptions(d))
+      SSTableSource.ApplyDeletesOption -> "true")
+    if (dirExists(s"$d/${SSTableSource.SnapshotDirPrefix}$version")) {
+      new SSTableTable(base +
+        (SSTableSource.SnapshotOption -> version) ++ tableOptions(d))
+    } else version.split("\\.\\.", -1) match {
+      case Array(from, to) if from.nonEmpty =>
+        requirePin(from)
+        val upper =
+          if (to.isEmpty) Map.empty
+          else { requirePin(to); Map(SSTableSource.SnapshotOption -> to) }
+        new SSTableTable(base +
+          (SSTableSource.SinceSnapshotOption -> from) ++ upper ++ tableOptions(d))
+      case _ =>
+        requirePin(version) // loud unknown-tag failure with the pointer
+        throw new AssertionError("unreachable")
+    }
   }
 
   /** SQL time travel, write-time form: `SELECT ... FROM graft.ns.t

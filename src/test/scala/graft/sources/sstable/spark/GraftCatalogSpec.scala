@@ -361,6 +361,40 @@ class GraftCatalogSpec extends AnyFunSuite {
       spark.read.format("sstable").load(dir).limit(1)
         .write.format("sstable").option("snapshot", "epoch1")
         .mode(SaveMode.Append).save(dir))
+
+    // CDC diff form: VERSION AS OF 'a..b' = pin b MINUS pin a; 'a..' =
+    // live minus pin a — the SQL spelling of the incremental read loop
+    SSTableOps.snapshot(dir, "epoch2")
+    val diffSql = rows(spark.sql("SELECT * FROM graft.tt.t VERSION AS OF 'epoch1..epoch2'"))
+    val diffOpt = rows(spark.read.format("sstable")
+      .option("sincesnapshot", "epoch1").option("snapshot", "epoch2")
+      .option("applydeletes", "true").load(dir))
+    assert(diffSql == diffOpt && diffSql.nonEmpty, s"$diffSql vs $diffOpt")
+    val liveDiffSql = rows(spark.sql("SELECT * FROM graft.tt.t VERSION AS OF 'epoch1..'"))
+    val liveDiffOpt = rows(spark.read.format("sstable")
+      .option("sincesnapshot", "epoch1")
+      .option("applydeletes", "true").load(dir))
+    assert(liveDiffSql == liveDiffOpt, s"$liveDiffSql vs $liveDiffOpt")
+    // catalog diffs are delete-AWARE (like every catalog read): the
+    // deleted key nets OUT instead of surfacing as an event — the
+    // delete-event change feed is the raw path read without
+    // applydeletes (pinned in SSTableSourceSpec's metadata-columns case)
+    val types = spark.sql(
+        "SELECT cast(key as string) k, _change_type c FROM graft.tt.t VERSION AS OF 'epoch1..'")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(types == Set(("b", "upsert"), ("c", "upsert")), types.toString)
+    val rawTypes = spark.read.format("sstable")
+      .option("sincesnapshot", "epoch1").load(dir)
+      .selectExpr("cast(key as string) k", "_change_type c")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rawTypes.contains(("a", "delete")), rawTypes.toString)
+    // unknown endpoints fail at resolution, either side
+    val e3 = intercept[Exception](
+      spark.sql("SELECT * FROM graft.tt.t VERSION AS OF 'nope..epoch2'").collect())
+    assert(e3.getMessage.contains("no snapshot 'nope'"), e3.getMessage)
+    val e4 = intercept[Exception](
+      spark.sql("SELECT * FROM graft.tt.t VERSION AS OF 'epoch1..nope'").collect())
+    assert(e4.getMessage.contains("no snapshot 'nope'"), e4.getMessage)
     spark.sql("DROP TABLE graft.tt.t")
   }
 
