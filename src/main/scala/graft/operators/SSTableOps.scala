@@ -567,9 +567,14 @@ object SSTableOps {
     // listing to its own bucket — sibling folds are invisible to it.
     // (The size-tier compactors stay serial: their GC isolation proof
     // reads the whole directory, which sibling folds mutate.)
+    // default slots: half the cluster's parallelism, but never more
+    // driver threads than folds — and hard-capped at 64 (each slot is a
+    // DRIVER thread submitting jobs; on a large cluster
+    // defaultParallelism is the core count, and thousands of submitter
+    // threads would melt the scheduler long before the cluster is busy)
     val slots = if (parallelism > 0) parallelism
-      else math.max(1, math.min(foldable.length,
-        spark.sparkContext.defaultParallelism / 2))
+      else math.max(1, math.min(64, math.min(foldable.length,
+        spark.sparkContext.defaultParallelism / 2)))
     val folds = new java.util.concurrent.atomic.AtomicInteger(0)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(slots)
     val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
