@@ -508,11 +508,18 @@ object SSTableOps {
                                    what: String): Unit = {
     import graft.sources.sstable.{SSTableFiles, spark => sparksrc}
     val files = storage.listDataFiles(dir)
-    require(files.isEmpty || !files.forall(f =>
+    // ANY bucket-stemmed generation refuses (review r8): requiring ALL
+    // would let a bucketed directory contaminated by one plain path-API
+    // append slip past the guard — and a cross-bucket fold is exactly
+    // the unrecoverable layout destruction this exists to prevent. A
+    // mixed directory has NO compaction path on purpose: evict the
+    // foreign generation first (only bucketed writers produce the stem).
+    require(!files.exists(f =>
       sparksrc.SSTableSource.BucketNameRe.matches(SSTableFiles.generationStem(f))),
-      s"$what on a BUCKETED directory would fold across hash buckets and " +
-        s"destroy the bucket-NNNNN layout contract: $dir — use " +
-        "compactBucketedInPlace (CALL graft.system.compact_bucketed)")
+      s"$what on a directory holding bucket-NNNNN generations would fold " +
+        s"across hash buckets and destroy the bucketed layout contract: $dir " +
+        "— use compactBucketedInPlace (CALL graft.system.compact_bucketed); " +
+        "if the directory is MIXED, remove the non-bucket generations first")
   }
 
   /** Layout-preserving compaction for [[writeBucketed]] directories:

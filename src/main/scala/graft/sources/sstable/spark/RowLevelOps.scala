@@ -198,29 +198,12 @@ final class SSTableDeltaBatchWrite(path: String, info: LogicalWriteInfo,
     val stagedTomb: Seq[String] =
       if (keys.isEmpty) Nil
       else {
+        // [[TombstoneStaging]] — the same loop SQL DELETE's metadata
+        // path runs, so the two statements' tombstone shape (per-bucket
+        // stems, key sort, stage-all-then-publish) can never drift
         val ldtSecs = (System.currentTimeMillis() / 1000).toInt
-        writeBuckets match {
-          case Some(n) =>
-            // bucketed table: one tombstone generation per AFFECTED
-            // bucket under its bucket stem, keeping the layout (the
-            // same shape SQL DELETE's metadata path appends)
-            keys.toSeq.groupBy(GraftBucketFunction.bucketOf(n, _))
-              .toSeq.sortBy(_._1).map { case (b, ks) =>
-                val p = s"$stagingDir/${SSTableSource.bucketStem(b)}$jobTag-tomb-Data.db"
-                val w = new SSTableWriter(p, storage = st)
-                try ks.sortWith(SSTableFiles.compareKeys(_, _) < 0).foreach(k =>
-                  w.append(SSTableRow(k, Nil, Some(RowTombstone(ldtSecs, markMicros)))))
-                finally w.close()
-                p
-              }
-          case None =>
-            val p = s"$stagingDir/tombstones-$jobTag-Data.db"
-            val w = new SSTableWriter(p, storage = st)
-            try keys.sortWith(SSTableFiles.compareKeys(_, _) < 0).foreach(k =>
-              w.append(SSTableRow(k, Nil, Some(RowTombstone(ldtSecs, markMicros)))))
-            finally w.close()
-            Seq(p)
-        }
+        TombstoneStaging.stage(st, stagingDir, s"$jobTag-tomb",
+          keys.toSeq, ldtSecs, markMicros, writeBuckets)
       }
     (stagedInserts ++ stagedTomb).foreach(SSTableFiles.publish(st, _, path))
     st.deleteRecursive(stagingDir)

@@ -429,46 +429,22 @@ final class SSTableTable(props: Map[String, String])
         val ldtSecs = (System.currentTimeMillis() / 1000).toInt
         val deduped = keys
           .distinctBy(new String(_, java.nio.charset.StandardCharsets.ISO_8859_1))
-        writeBuckets match {
-          case Some(n) =>
-            // bucketed table: the tombstones must KEEP the layout — one
-            // tiny delete-only generation per affected bucket, published
-            // under its bucket stem, written driver-side (the key list is
-            // a SQL literal set, metadata-sized by construction). The
-            // bucketed fold (compact_bucketed) later GCs them
-            // structurally; delete-aware reads shadow them like any
-            // delete-only generation.
-            val tag = "delete-" + java.util.UUID.randomUUID().toString.take(8)
-            val stagingDir = s"$path/_staging-$tag"
-            storage.mkdirs(stagingDir)
-            // stage EVERY bucket's tombstone generation before the first
-            // publish (review r8): a mid-loop write failure must leave
-            // the DELETE wholly un-applied, not applied for buckets
-            // 0..k-1 — the same stage-all-then-publish choreography as
-            // the delta commit in RowLevelOps
-            val staged = deduped.groupBy(GraftBucketFunction.bucketOf(n, _))
-              .toSeq.sortBy(_._1).map { case (b, ks) =>
-                val dataPath =
-                  s"$stagingDir/${SSTableSource.bucketStem(b)}$tag${SSTableFiles.DataSuffix}"
-                val w = new SSTableWriter(dataPath, storage = storage)
-                try ks.sortWith(SSTableFiles.compareKeys(_, _) < 0).foreach(k =>
-                  w.append(SSTableRow(k, Nil, Some(RowTombstone(ldtSecs, mark)))))
-                finally w.close()
-                dataPath
-              }
-            staged.foreach(SSTableFiles.publish(storage, _, path))
-            storage.deleteRecursive(stagingDir)
-          case None =>
-            import org.apache.spark.sql.Row
-            val rows: java.util.List[Row] = deduped
-              .map(k => Row(k, Seq.empty[Row], Row(ldtSecs, mark))).asJava
-            spark.createDataFrame(rows, SSTableSchema.schema)
-              .write.format("sstable")
-              .option(SSTableSource.JobTagOption,
-                "delete-" + java.util.UUID.randomUUID().toString.take(8))
-              .option(SSTableSource.WritePartitionsOption, "1")
-              .mode("append").save(path)
-        }
+        // one tiny delete-only generation (per affected bucket when the
+        // table is bucketed — the layout survives), written driver-side:
+        // the key list is a SQL literal set, metadata-sized by
+        // construction. Staged wholly before the first publish (review
+        // r8): a mid-statement failure leaves the DELETE un-applied, not
+        // half-applied. Compaction later GCs the debt; delete-aware
+        // reads shadow it like any delete-only generation. The staging
+        // loop itself is [[TombstoneStaging]] — shared with the delta
+        // commit so DELETE and UPDATE/MERGE can never drift apart.
+        val tag = "delete-" + java.util.UUID.randomUUID().toString.take(8)
+        val stagingDir = s"$path/_staging-$tag"
+        storage.mkdirs(stagingDir)
+        val staged = TombstoneStaging.stage(storage, stagingDir, tag,
+          deduped, ldtSecs, mark, writeBuckets)
+        staged.foreach(SSTableFiles.publish(storage, _, path))
+        storage.deleteRecursive(stagingDir)
       case _ => // empty IN-list: nothing to delete
     }
   }
@@ -1372,8 +1348,7 @@ final class SSTableScan(path: String, requiredSchema: StructType,
         // aggregations skip their exchange — Iceberg's SPJ shape, in
         // pure SQL, no helper column. With the conf off (default) the
         // report is inert and split-level parallelism is untouched.
-        case Some(n) if requiredSchema.fieldNames.contains("key") &&
-            !cellsView && !topN && limit.isEmpty =>
+        case Some(n) if spjReported =>
           new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
             Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(
               n, "key")), n)
@@ -1382,6 +1357,16 @@ final class SSTableScan(path: String, requiredSchema: StructType,
       }
     }
 
+  /** The ONE condition under which this scan reports SPJ clustering —
+    * shared by [[outputPartitioning]] and [[withPartitionKeys]] (review
+    * r8: the two sites each carried their own copy, and the key-wrapping
+    * half had dropped the `key`-in-schema term — inert, but a drift
+    * between declaration and physical keys is exactly the mis-grouping
+    * hazard SPJ must never have). */
+  private def spjReported: Boolean =
+    requiredSchema.fieldNames.contains("key") &&
+      !cellsView && !topN && limit.isEmpty
+
   /** Attach each split's bucket id as its partition key when this scan
     * reports SPJ clustering — the physical grouping input. A generation
     * whose stem isn't bucket-formed (foreign file dropped into the
@@ -1389,7 +1374,7 @@ final class SSTableScan(path: String, requiredSchema: StructType,
     * (falls back to unknown partitioning) instead of mis-grouping. */
   private def withPartitionKeys(parts: Array[InputPartition]): Array[InputPartition] =
     spjBuckets match {
-      case Some(n) if !cellsView && !topN && limit.isEmpty =>
+      case Some(n) if spjReported =>
         parts.map {
           case p: SSTablePartition =>
             SSTableFiles.generationStem(p.dataPath) match {

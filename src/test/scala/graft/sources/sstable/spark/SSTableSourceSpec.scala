@@ -664,6 +664,24 @@ class SSTableSourceSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       SSTableOps.compactTombstonesInPlace(spark, dir, ratioThreshold = 0.0))
 
+    // a CONTAMINATED bucketed directory (one plain path-API append)
+    // still refuses generic compaction — ANY bucket stem present is
+    // enough (review r8: requiring ALL would let the mixed case fold
+    // across buckets and irreversibly destroy the layout); the bucketed
+    // compactor refuses too (its layout validation), so a mixed
+    // directory has NO compaction path until the foreign file is evicted
+    gen(3L, 10).write.format("sstable").mode("append").save(dir)
+    val mixed = intercept[IllegalArgumentException](
+      SSTableOps.compactInPlace(spark, dir, minThreshold = 2))
+    assert(mixed.getMessage.contains("bucket"), mixed.getMessage)
+    intercept[IllegalArgumentException](
+      SSTableOps.compactBucketedInPlace(spark, dir))
+    // evict the foreign generation; bucketed maintenance works again
+    storage.listDataFiles(dir)
+      .filterNot(f => SSTableSource.BucketNameRe.matches(
+        graft.sources.sstable.SSTableFiles.generationStem(f)))
+      .foreach(graft.sources.sstable.SSTableFiles.unpublish(storage, _))
+
     val expected = SSTableOps.suppressTombstones(SSTableOps.compactRows(
       spark.read.format("sstable").load(dir))).select(col("key").cast("string"))
       .as[String].collect().sorted.toSeq
