@@ -168,6 +168,32 @@ class GraftLifecycleSpec extends AnyFunSuite {
     assert(keysOf("graft_lc.lc.cor") == Seq("a"))
   }
 
+  test("self-referential REPLACE re-layouts a NON-empty table (the 'change buckets' path)") {
+    // ALTER 'buckets' refuses on a non-empty table (the layout is
+    // physical) and its message points here: CREATE OR REPLACE reading
+    // the table it replaces. The stage materializes the SELECT against
+    // the OLD table before the commit swap, so self-reference is safe.
+    spark.sql("CREATE TABLE graft_lc.lc.rl TBLPROPERTIES('buckets'='2')")
+    insertRows("graft_lc.lc.rl", Seq(("a", "1", 10L), ("b", "2", 20L), ("c", "3", 30L)))
+    intercept[Exception](spark.sql(
+      "ALTER TABLE graft_lc.lc.rl SET TBLPROPERTIES('buckets'='4')"))
+    spark.sql("""CREATE OR REPLACE TABLE graft_lc.lc.rl
+      TBLPROPERTIES('buckets'='4') AS SELECT * FROM graft_lc.lc.rl""")
+    assert(keysOf("graft_lc.lc.rl") == Seq("a", "b", "c"))
+    assert(spark.sql("SHOW CREATE TABLE graft_lc.lc.rl").head().getString(0)
+      .contains("'buckets' = '4'"))
+    // the rewritten data really is hash-routed under the NEW layout
+    val stems = dataFiles("lc", "rl")
+    assert(stems.nonEmpty && stems.forall(_.startsWith("bucket-")), stems.toString)
+    // and the new layout's maintenance works
+    insertRows("graft_lc.lc.rl", Seq(("a", "9", 90L)))
+    assert(spark.sql(
+        "CALL graft_lc.system.compact_bucketed(table => 'lc.rl')")
+      .head().getInt(0) >= 1)
+    assert(keysOf("graft_lc.lc.rl") == Seq("a", "b", "c"))
+    spark.sql("DROP TABLE graft_lc.lc.rl")
+  }
+
   test("a new CTAS sweeps dead stage/trash garbage past the horizon, keeps fresh ones") {
     val ns = new java.io.File(s"$warehouse/lc")
     val dead = new java.io.File(ns, "_stage-zombie-deadbeef")
