@@ -125,6 +125,25 @@ class GraftBucketedTableSpec extends AnyFunSuite {
     assert(keysOf(spark.sql("SELECT * FROM graft_bkt.bk2.t")) == Seq("a", "b", "c", "d"))
   }
 
+  test("SQL diff reads (VERSION AS OF 'a..') compose with the bucketed layout") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_bkt.bkd")
+    spark.sql("CREATE TABLE graft_bkt.bkd.t TBLPROPERTIES ('buckets'='3')")
+    val dir = s"$warehouse/bkd/t"
+    insertRows("graft_bkt.bkd.t", Seq(("a", "1", 100L), ("b", "1", 100L), ("c", "1", 100L)))
+    graft.operators.SSTableOps.snapshot(dir, "e1")
+    insertRows("graft_bkt.bkd.t", Seq(("b", "2", 200L), ("d", "1", 200L)))
+    // the SQL diff (the catalog table keeps its SPJ bucketed identity)
+    // = the option-based epoch diff of the same directory, exactly
+    val viaSql = keysOf(spark.sql("SELECT * FROM graft_bkt.bkd.t VERSION AS OF 'e1..'"))
+    val viaOpt = keysOf(spark.read.format("sstable")
+      .option("sincesnapshot", "e1").option("applydeletes", "true").load(dir))
+    assert(viaSql == viaOpt && viaSql == Seq("b", "d"), s"$viaSql vs $viaOpt")
+    // and the live table still validates + reads as bucketed afterwards
+    assert(keysOf(spark.sql("SELECT * FROM graft_bkt.bkd.t")) ==
+      Seq("a", "b", "b", "c", "d"))
+    spark.sql("DROP TABLE graft_bkt.bkd.t")
+  }
+
   test("DELETE appends per-bucket tombstone generations; compaction folds the debt") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_bkt.bk3")
     spark.sql("CREATE TABLE graft_bkt.bk3.t TBLPROPERTIES ('buckets'='4')")
