@@ -975,6 +975,58 @@ object SSTableOps {
                      graft.sources.sstable.LocalStorage): Unit =
     storage.deleteRecursive(snapshotPath(dir, tag))
 
+  /** Restore the LIVE directory to the state snapshot `tag` pinned —
+    * the write-side dual of `VERSION AS OF` (Iceberg's rollback, Delta's
+    * RESTORE). Two phases, additive then destructive:
+    *
+    *  1. every pin fileset missing from the live listing is HARDLINKED
+    *     back under its own name (link order = publish order, Data.db
+    *     LAST — a reader never finds an incomplete fileset);
+    *  2. every live fileset the pin doesn't hold is unpublished
+    *     (post-pin flushes, tombstone generations, compaction outputs).
+    *
+    * The transient state between the phases is the UNION of pin and
+    * post-pin filesets, which reconciles (LWW) to the PRE-rollback view
+    * — readers see the old state or the restored state, never a torn
+    * cut. A failure anywhere leaves a superset of the pin, and
+    * re-running converges: phase 1 skips already-restored names, so
+    * rollback is idempotent. Generation names travel verbatim, so a
+    * bucketed layout's stems (and with them the zero-exchange contract)
+    * survive restoration.
+    *
+    * Single-maintainer like the compactors — a flush racing phase 2 is
+    * rolled back with everything else after the cut (that is what
+    * rollback MEANS), so quiesce writers first. The pin itself is
+    * untouched and stays readable/re-restorable until dropped.
+    *
+    * Returns (restoredFilesets, removedFilesets); (0, 0) = already
+    * there. Unknown tags fail loudly. */
+  def rollbackToSnapshot(dir: String, tag: String,
+                         storage: graft.sources.sstable.Storage =
+                           graft.sources.sstable.LocalStorage): (Int, Int) = {
+    import graft.sources.sstable.SSTableFiles
+    val snap = snapshotPath(dir, tag)
+    require(storage.listSubdirs(dir, SnapshotPrefix + tag).nonEmpty,
+      s"no snapshot '$tag' under $dir (SSTableOps.listSnapshots lists them)")
+    val pinFiles = storage.listDataFiles(snap)
+    val liveNames = storage.listDataFiles(dir).map(fileName).toSet
+    val restored = pinFiles.filterNot(p => liveNames.contains(fileName(p)))
+    restored.foreach { dataPath =>
+      SSTableFiles.PublishOrderSuffixes.foreach { suf =>
+        val src = SSTableFiles.sibling(dataPath, suf)
+        if (storage.exists(src)) {
+          val dst = s"$dir/${fileName(src)}"
+          if (!storage.exists(dst)) storage.link(src, dst)
+        }
+      }
+    }
+    val pinNames = pinFiles.map(fileName).toSet
+    val removed = storage.listDataFiles(dir)
+      .filterNot(p => pinNames.contains(fileName(p)))
+    removed.foreach(SSTableFiles.unpublish(storage, _))
+    (restored.length, removed.length)
+  }
+
   /** Retention policy for snapshot pins (VERDICT r7 #6): drop every
     * snapshot older than the horizon. The operational foot-gun this
     * closes: a pin holds hardlinks to every generation it captured, so

@@ -170,6 +170,25 @@ private[spark] object GraftProcedures {
           Seq(row(existed: java.lang.Boolean))
         }),
 
+      "rollback" -> new Proc(
+        "rollback",
+        "restore the table's live state to a snapshot pin (the write-side " +
+          "dual of VERSION AS OF): pin filesets relink, post-pin filesets " +
+          "unpublish; idempotent, quiesce writers first",
+        Array(tableParam, p("tag", StringType)),
+        StructType(Seq(
+          StructField("restored", IntegerType, nullable = false),
+          StructField("removed", IntegerType, nullable = false))),
+        (spark, in) => {
+          require(!in.isNullAt(1), "argument 'tag' is required")
+          val d = dirOf(in)
+          val (restored, removed) = SSTableOps.rollbackToSnapshot(
+            d, in.getUTF8String(1).toString,
+            graft.sources.sstable.Storage.forPath(
+              d, spark.sessionState.newHadoopConf()))
+          Seq(row(restored: Integer, removed: Integer))
+        }),
+
       "expire_snapshots" -> new Proc(
         "expire_snapshots",
         "retention for snapshot pins: drop every pin older than the horizon " +

@@ -177,6 +177,39 @@ class GraftProceduresSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft_sys.m.s")
   }
 
+  test("CALL system.rollback restores a pin: post-pin writes and deletes unwind") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_sys.m")
+    spark.sql("CREATE TABLE graft_sys.m.rb")
+    val dir = s"$warehouse/m/rb"
+    insertRows("graft_sys.m.rb", Seq(("a", "1", 100L), ("b", "1", 100L)))
+    spark.sql("CALL graft_sys.system.snapshot(table => 'm.rb', tag => 'good')")
+    // post-pin history to unwind: an upsert, a new key, a delete
+    insertRows("graft_sys.m.rb", Seq(("a", "2", 200L), ("c", "1", 200L)))
+    spark.sql("DELETE FROM graft_sys.m.rb WHERE key = CAST('b' AS BINARY)")
+    assert(keysOf(spark.sql("SELECT * FROM graft_sys.m.rb")).toSet == Set("a", "a", "c"))
+
+    val r = spark.sql("CALL graft_sys.system.rollback(table => 'm.rb', tag => 'good')")
+    assert(r.columns.toSeq == Seq("restored", "removed"))
+    assert(r.head().getInt(1) == 2, "post-pin generations (insert + tombstone) must unpublish")
+    // the live state IS the pin again — b resurrected (its delete was
+    // post-pin), a back to v1, c gone
+    val state = spark.sql(
+        "SELECT cast(key as string) k, cast(columns[0].value as string) v FROM graft_sys.m.rb")
+      .collect().map(rr => (rr.getString(0), rr.getString(1))).sorted.toSeq
+    assert(state == Seq(("a", "1"), ("b", "1")), state.toString)
+    // idempotent: a second rollback is a no-op
+    assert(spark.sql("CALL graft_sys.system.rollback(table => 'm.rb', tag => 'good')")
+      .head() == org.apache.spark.sql.Row(0, 0))
+    // the pin survives and the table is immediately writable again
+    insertRows("graft_sys.m.rb", Seq(("d", "1", 300L)))
+    assert(keysOf(spark.sql("SELECT * FROM graft_sys.m.rb")) == Seq("a", "b", "d"))
+    // unknown tag fails loudly
+    val e = intercept[Exception](spark.sql(
+      "CALL graft_sys.system.rollback(table => 'm.rb', tag => 'nope')"))
+    assert(e.getMessage.contains("no snapshot"), e.getMessage)
+    spark.sql("DROP TABLE graft_sys.m.rb")
+  }
+
   test("CALL system.vacuum removes only stale staging dirs") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_sys.m")
     spark.sql("CREATE TABLE graft_sys.m.v")
