@@ -34,6 +34,7 @@ object PerfProbe {
     if (args.headOption.contains("deletes")) { deletesProbe(spark); spark.stop(); return }
     if (args.headOption.contains("rowlevel")) { rowLevelProbe(spark); spark.stop(); return }
     if (args.headOption.contains("bucketfold")) { bucketFoldProbe(spark); spark.stop(); return }
+    if (args.headOption.contains("pins")) { pinsProbe(spark); spark.stop(); return }
 
     val docs = Tables.documents(spark, sfDir)
 
@@ -422,6 +423,40 @@ object PerfProbe {
     val f2 = t("fold_parallel_default")(
       SSTableOps.compactBucketedInPlace(spark, parallelDir))
     println(s"folds: serial=$f1 parallel=$f2 (want 16 == 16)")
+  }
+
+  /** Snapshot capture / rollback / expire cost on a MANY-generation
+    * directory: all three are metadata + hardlink operations, so they
+    * must price at O(#filesets × #sidecars) renames/links, independent
+    * of data volume — the property that makes the pin lifecycle viable
+    * on a 100 TB directory. */
+  private def pinsProbe(spark: SparkSession): Unit = {
+    import graft.operators.SSTableOps
+    import graft.sources.sstable.LocalStorage
+    val dir = java.nio.file.Files.createTempDirectory("pinsprobe").toString
+    def flush(tag: Int): Unit =
+      spark.range(500).select(
+          concat(lit("k"), lpad(((col("id") + tag * 37) % 2000).cast("string"), 5, "0"))
+            .cast("binary").as("key"),
+          array(struct(lit("c").cast("binary").as("name"), lit("NORMAL").as("state"),
+            lit(s"v$tag").cast("binary").as("value"), lit(tag.toLong).as("timestamp"),
+            lit(0L).as("ttlSecs"), lit(0L).as("expiresMillis"))).as("columns"))
+        .write.format("sstable").option("writepartitions", "1")
+        .mode("append").save(dir)
+    (1 to 200).foreach(flush)
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2fs")
+      r
+    }
+    println(s"generations: ${LocalStorage.listDataFiles(dir).length}")
+    t("snapshot_200_gens")(SSTableOps.snapshot(dir, "pin"))
+    (201 to 250).foreach(flush)
+    val (restored, removed) = t("rollback_50_gens_drift")(
+      SSTableOps.rollbackToSnapshot(dir, "pin"))
+    println(s"rollback: restored=$restored removed=$removed (want 0, 50)")
+    t("expire_pin")(SSTableOps.expireSnapshots(dir, olderThanMs = -1))
   }
 
   private def deletesProbe(spark: SparkSession): Unit = {

@@ -247,6 +247,15 @@ object SSTableDemo {
       .map(r => new String(r.getAs[Array[Byte]](0))).sorted.mkString(", ")
     println(s"== SQL time travel: live=[$nowKeys]; VERSION AS OF 'demo-epoch'=[$pinKeys]")
 
+    // rollback: restore the live table to the pin (carol resurrects —
+    // her delete was after the cut), then re-delete for the rest of the
+    // demo's expected state
+    spark.sql("CALL graft.system.rollback(table => 'demo.t', tag => 'demo-epoch')")
+    val rolledBack = spark.sql("SELECT key FROM graft.demo.t").collect()
+      .map(r => new String(r.getAs[Array[Byte]](0))).sorted.mkString(", ")
+    println(s"== SQL rollback: live restored to the pin=[$rolledBack] (want alice, carol)")
+    spark.sql("DELETE FROM graft.demo.t WHERE key = CAST('carol' AS BINARY)")
+
     // SQL maintenance: the operator loop as CALL statements, each
     // returning its report as a result set
     val folds = spark.sql("CALL graft.system.compact(" +

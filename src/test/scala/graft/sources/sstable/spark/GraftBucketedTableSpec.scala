@@ -144,6 +144,27 @@ class GraftBucketedTableSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft_bkt.bkd.t")
   }
 
+  test("rollback restores a bucketed table with its layout intact") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_bkt.bkr")
+    spark.sql("CREATE TABLE graft_bkt.bkr.t TBLPROPERTIES ('buckets'='3')")
+    val dir = s"$warehouse/bkr/t"
+    insertRows("graft_bkt.bkr.t", Seq(("a", "1", 100L), ("b", "1", 100L), ("c", "1", 100L)))
+    graft.operators.SSTableOps.snapshot(dir, "good")
+    insertRows("graft_bkt.bkr.t", Seq(("d", "1", 200L)))
+    spark.sql("DELETE FROM graft_bkt.bkr.t WHERE key = CAST('a' AS BINARY)")
+
+    spark.sql("CALL graft_bkt.system.rollback(table => 'bkr.t', tag => 'good')")
+    assert(keysOf(spark.sql("SELECT * FROM graft_bkt.bkr.t")) == Seq("a", "b", "c"))
+    // generation names traveled verbatim: every stem still bucket-formed,
+    // so layout validation and the layout's maintenance keep working
+    assert(stems(dir).forall(SSTableSource.BucketNameRe.matches), stems(dir).toString)
+    insertRows("graft_bkt.bkr.t", Seq(("a", "2", 300L)))
+    assert(spark.sql("CALL graft_bkt.system.compact_bucketed(table => 'bkr.t')")
+      .head().getInt(0) >= 1)
+    assert(keysOf(spark.sql("SELECT * FROM graft_bkt.bkr.t")) == Seq("a", "b", "c"))
+    spark.sql("DROP TABLE graft_bkt.bkr.t")
+  }
+
   test("DELETE appends per-bucket tombstone generations; compaction folds the debt") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_bkt.bk3")
     spark.sql("CREATE TABLE graft_bkt.bk3.t TBLPROPERTIES ('buckets'='4')")
