@@ -360,12 +360,6 @@ object PerfProbe {
     spark.conf.set("spark.sql.catalog.graft_probe",
       classOf[graft.sources.sstable.spark.GraftCatalog].getName)
     spark.conf.set("spark.sql.catalog.graft_probe.warehouse", wh)
-    def t[A](name: String)(f: => A): A = {
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2fs")
-      r
-    }
     val before = LocalStorage.listDataFiles(dir).length
     t("update_10pct_400k_sql") {
       spark.sql("UPDATE graft_probe.p.t SET columns = array(named_struct(" +
@@ -394,6 +388,14 @@ object PerfProbe {
     * each fold's write is ONE task (the one-output contract), so the
     * serial driver loop keeps ~1 core busy; parallel folds should
     * approach min(buckets, slots)× on a multi-core box. */
+  /** Time an action, print one aligned line — shared by the probes. */
+  private def t[A](name: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2fs")
+    r
+  }
+
   private def bucketFoldProbe(spark: SparkSession): Unit = {
     import graft.operators.SSTableOps
     def mkDir(): String = {
@@ -410,12 +412,6 @@ object PerfProbe {
         SSTableOps.writeBucketed(df, dir, 16)
       }
       dir
-    }
-    def t[A](name: String)(f: => A): A = {
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2fs")
-      r
     }
     val serialDir = mkDir(); val parallelDir = mkDir()
     val f1 = t("fold_serial_p1")(
@@ -444,12 +440,6 @@ object PerfProbe {
         .write.format("sstable").option("writepartitions", "1")
         .mode("append").save(dir)
     (1 to 200).foreach(flush)
-    def t[A](name: String)(f: => A): A = {
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2fs")
-      r
-    }
     println(s"generations: ${LocalStorage.listDataFiles(dir).length}")
     t("snapshot_200_gens")(SSTableOps.snapshot(dir, "pin"))
     (201 to 250).foreach(flush)
@@ -472,12 +462,6 @@ object PerfProbe {
           col("id").as("timestamp"), lit(0L).as("ttlSecs"),
           lit(0L).as("expiresMillis"))).as("columns"))
       .write.format("sstable").mode("overwrite").save(dir)
-    def t[A](name: String)(f: => A): A = {
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2fs")
-      r
-    }
     val doomed = (0L until dels).map(i =>
       s"k${"%07d".format(i * (n / dels))}".getBytes: Any).toArray
     t("deleteWhere_100k_keys") {

@@ -174,14 +174,16 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       throw new NoSuchTableException(ident)
     require(version.nonEmpty && !version.contains('/') && !version.contains('\\'),
       s"bad snapshot tag: '$version'")
+    def pinExists(tag: String): Boolean =
+      dirExists(s"$d/${SSTableSource.SnapshotDirPrefix}$tag")
     def requirePin(tag: String): Unit =
-      require(dirExists(s"$d/${SSTableSource.SnapshotDirPrefix}$tag"),
+      require(pinExists(tag),
         s"table ${ident.toString} has no snapshot '$tag' " +
           "(SSTableOps.snapshot creates them; SSTableOps.listSnapshots lists them)")
     val base = Map(
       SSTableSource.PathOption -> d,
       SSTableSource.ApplyDeletesOption -> "true")
-    if (dirExists(s"$d/${SSTableSource.SnapshotDirPrefix}$version")) {
+    if (pinExists(version)) {
       new SSTableTable(base +
         (SSTableSource.SnapshotOption -> version) ++ tableOptions(d))
     } else version.split("\\.\\.", -1) match {
