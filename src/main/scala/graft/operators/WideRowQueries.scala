@@ -214,6 +214,25 @@ object WideRowQueries {
           col("timestamp").as("ts_ms"))
         .orderBy("user_id", "event_type", "ts_ms", "value_e4")
     }),
+    // Rollback over the REAL files: epoch 1 (pre-cut events) pinned as
+    // a snapshot, then WRONGED twice — the post-cut epoch appended AND a
+    // deterministic user subset tombstoned — and restored with one
+    // rollbackToSnapshot. The cells view of the end state must equal
+    // epoch 1 cell-for-cell: a rollback that misses an appended
+    // generation leaves post-cut cells, one that fails to relink a
+    // pinned fileset loses pre-cut cells, and one that leaves the
+    // tombstone generation keeps shadowing the deleted users (the read
+    // is delete-AWARE, so a surviving tombstone is observable).
+    "q_sstable_rollback" -> ((s, d) => {
+      val dir = sstableRollbackFixture(s, d)
+      s.read.format("sstable").option("applydeletes", "true")
+        .option("view", "cells").load(dir)
+        .select(col("key").cast("string").cast("long").as("user_id"),
+          col("name").cast("string").as("event_type"),
+          col("value").cast("string").cast("long").as("value_e4"),
+          col("timestamp").as("ts_ms"))
+        .orderBy("user_id", "event_type", "ts_ms", "value_e4")
+    }),
     // Time travel over the REAL files: the asofmicros read option drops
     // post-cut cell versions at decode (and whole post-cut generations
     // at plan time via Statistics minTimestamp), so compactRows yields
@@ -298,6 +317,50 @@ object WideRowQueries {
     * The delete mark is pinned (max event ts_ms + 1, deterministic)
     * so rebuilds and the DuckDB twin agree bit-for-bit. */
   private val deleteFixtureCache = new SessionCache[String]
+  /** Physical fixture for the rollback query: pre-cut events written and
+    * pinned as 'good', then two post-pin wrongs — the post-cut epoch
+    * appended and the [[Params.DeleteUserMod]] users tombstoned (its own
+    * directory, so sharing the mod with the delete fixture is inert) —
+    * then ONE rollbackToSnapshot. Rebuilt from scratch each session. */
+  private val rollbackFixtureCache = new SessionCache[String]
+  private def sstableRollbackFixture(s: SparkSession, d: String): String =
+    rollbackFixtureCache.getOrCompute(s, d) {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-rb-" +
+        java.security.MessageDigest.getInstance("MD5").digest(d.getBytes)
+          .map("%02x".format(_)).mkString.take(16)
+      val root = java.nio.file.Paths.get(dir)
+      if (java.nio.file.Files.exists(root)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+      val e = Tables.events(s, d).select("user_id", "event_type", "ts_ms", "value")
+      def lifted(df: DataFrame): DataFrame =
+        df.select(col("user_id").cast("string").cast("binary").as("key"),
+          array(struct(col("event_type").cast("binary").as("name"),
+            lit("NORMAL").as("state"),
+            e4(col("value")).cast("string").cast("binary").as("value"),
+            col("ts_ms").as("timestamp"),
+            lit(0L).as("ttlSecs"), lit(0L).as("expiresMillis"))).as("columns"))
+      lifted(e.filter(col("ts_ms") <= SstableAsOfCutMs))
+        .write.format("sstable").mode("overwrite").save(dir)
+      SSTableOps.snapshot(dir, "good")
+      lifted(e.filter(col("ts_ms") > SstableAsOfCutMs))
+        .write.format("sstable").mode("append").save(dir)
+      val doomed = e.select(col("user_id")).distinct()
+        .filter(col("user_id") % 10 === DeleteUserMod)
+        .collect().map(_.getLong(0).toString.getBytes: Any)
+      val mark = e.agg(max(col("ts_ms"))).head().getLong(0) + 1
+      new graft.sources.sstable.spark.SSTableTable(Map(
+          graft.sources.sstable.spark.SSTableSource.PathOption -> dir,
+          graft.sources.sstable.spark.SSTableSource.DeleteMarkMicrosOption ->
+            mark.toString))
+        .deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+          org.apache.spark.sql.sources.In("key", doomed)))
+      SSTableOps.rollbackToSnapshot(dir, "good")
+      dir
+    }
+
   private def sstableDeleteFixture(s: SparkSession, d: String): String =
     deleteFixtureCache.getOrCompute(s, d) {
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft-del-" +
@@ -584,6 +647,11 @@ object WideRowQueries {
     "q_sstable_since" ->
       s"""SELECT user_id, event_type, ${e4Sql("value")} AS value_e4, ts_ms
           FROM $EventsSql WHERE ts_ms > $SstableAsOfCutMs
+          ORDER BY user_id, event_type, ts_ms, value_e4""",
+    // rollback restores epoch 1 exactly: the pre-cut cells, nothing else
+    "q_sstable_rollback" ->
+      s"""SELECT user_id, event_type, ${e4Sql("value")} AS value_e4, ts_ms
+          FROM $EventsSql WHERE ts_ms <= $SstableAsOfCutMs
           ORDER BY user_id, event_type, ts_ms, value_e4""",
     // the complement of the deleted user set, cell-for-cell
     "q_sstable_delete" ->
