@@ -999,6 +999,14 @@ object SSTableOps {
     * rollback MEANS), so quiesce writers first. The pin itself is
     * untouched and stays readable/re-restorable until dropped.
     *
+    * Streams: a running change-feed keeps its exactly-once contract —
+    * restored generations carry their ORIGINAL basenames, which the
+    * stream processed when they were first live, so nothing replays;
+    * but events it emitted from since-removed generations describe
+    * state that has now been rolled back (inherent to CDC + restore in
+    * any log-structured store — downstream must tolerate rewound
+    * upstreams or consume from a snapshot pin instead).
+    *
     * Returns (restoredFilesets, removedFilesets); (0, 0) = already
     * there. Unknown tags fail loudly. */
   def rollbackToSnapshot(dir: String, tag: String,
