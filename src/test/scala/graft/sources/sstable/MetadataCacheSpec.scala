@@ -137,6 +137,27 @@ class MetadataCacheSpec extends AnyFunSuite {
     assert(LocalStorage.exists(b) && !LocalStorage.exists(a))
   }
 
+  test("LocalStorage.replace overwrites the destination whole (the _table swap primitive)") {
+    val dir = Files.createTempDirectory("replace-prim").toString
+    val a = s"$dir/a"; val b = s"$dir/b"
+    def write(p: String, s: String): Unit = {
+      val o = LocalStorage.create(p); o.write(s.getBytes); o.close()
+    }
+    def read(p: String): String = {
+      val in = LocalStorage.open(p)
+      try { val buf = new Array[Byte](in.length.toInt); in.read(buf, 0, buf.length)
+        new String(buf) } finally in.close()
+    }
+    // unlike rename, an existing destination is replaced — whole new bytes
+    write(a, "new-props"); write(b, "old-props")
+    LocalStorage.replace(a, b)
+    assert(read(b) == "new-props" && !LocalStorage.exists(a))
+    // absent destination: behaves like a plain move
+    write(a, "again")
+    LocalStorage.replace(a, s"$dir/c")
+    assert(read(s"$dir/c") == "again" && !LocalStorage.exists(a))
+  }
+
   test("rewritten fileset (changed len/mtime) invalidates; useCache=false bypasses") {
     val dir = Files.createTempDirectory("metacache-inv").toString
     val p = s"$dir/gen1-Data.db"
