@@ -384,10 +384,6 @@ object PerfProbe {
     t("scan_after_fold")(spark.sql("SELECT * FROM graft_probe.p.t").count())
   }
 
-  /** Serial vs parallel cross-bucket folds in compactBucketedInPlace:
-    * each fold's write is ONE task (the one-output contract), so the
-    * serial driver loop keeps ~1 core busy; parallel folds should
-    * approach min(buckets, slots)× on a multi-core box. */
   /** Time an action, print one aligned line — shared by the probes. */
   private def t[A](name: String)(f: => A): A = {
     val t0 = System.nanoTime()
@@ -396,6 +392,10 @@ object PerfProbe {
     r
   }
 
+  /** Serial vs parallel cross-bucket folds in compactBucketedInPlace:
+    * each fold's write is ONE task (the one-output contract), so the
+    * serial driver loop keeps ~1 core busy; parallel folds should
+    * approach min(buckets, slots)× on a multi-core box. */
   private def bucketFoldProbe(spark: SparkSession): Unit = {
     import graft.operators.SSTableOps
     def mkDir(): String = {

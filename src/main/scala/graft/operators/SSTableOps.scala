@@ -1014,10 +1014,13 @@ object SSTableOps {
                            graft.sources.sstable.LocalStorage): (Int, Int) = {
     import graft.sources.sstable.SSTableFiles
     val snap = snapshotPath(dir, tag)
-    require(storage.listSubdirs(dir, SnapshotPrefix + tag).nonEmpty,
+    // exact existence, not a listSubdirs prefix match (review r8: tag
+    // 'nightly' must not pass because 'nightly-2026-08-14' exists)
+    require(storage.exists(snap),
       s"no snapshot '$tag' under $dir (SSTableOps.listSnapshots lists them)")
     val pinFiles = storage.listDataFiles(snap)
-    val liveNames = storage.listDataFiles(dir).map(fileName).toSet
+    val live = storage.listDataFiles(dir)
+    val liveNames = live.map(fileName).toSet
     val restored = pinFiles.filterNot(p => liveNames.contains(fileName(p)))
     restored.foreach { dataPath =>
       SSTableFiles.PublishOrderSuffixes.foreach { suf =>
@@ -1028,9 +1031,12 @@ object SSTableOps {
         }
       }
     }
+    // removal set from the ONE pre-phase-1 listing: everything phase 1
+    // added is in pinNames and would be filtered out anyway, and under
+    // the single-maintainer contract nothing else changed — a second
+    // LIST over a many-thousand-generation directory buys nothing
     val pinNames = pinFiles.map(fileName).toSet
-    val removed = storage.listDataFiles(dir)
-      .filterNot(p => pinNames.contains(fileName(p)))
+    val removed = live.filterNot(p => pinNames.contains(fileName(p)))
     removed.foreach(SSTableFiles.unpublish(storage, _))
     (restored.length, removed.length)
   }

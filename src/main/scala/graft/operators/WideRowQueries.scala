@@ -266,13 +266,7 @@ object WideRowQueries {
         java.security.MessageDigest.getInstance("MD5").digest(d.getBytes)
           .map("%02x".format(_)).mkString.take(16)
       val e = Tables.events(s, d).select("user_id", "event_type", "ts_ms", "value")
-      e.select(col("user_id").cast("string").cast("binary").as("key"),
-          array(struct(col("event_type").cast("binary").as("name"),
-            lit("NORMAL").as("state"),
-            e4(col("value")).cast("string").cast("binary").as("value"),
-            col("ts_ms").as("timestamp"),
-            lit(0L).as("ttlSecs"), lit(0L).as("expiresMillis"))).as("columns"))
-        .write.format("sstable").mode("overwrite").save(dir)
+      liftedEvents(e).write.format("sstable").mode("overwrite").save(dir)
       dir
     }
 
@@ -282,30 +276,59 @@ object WideRowQueries {
     * directory is rebuilt from scratch each session (stale trees from a
     * dead process deleted wholesale) — content is a pure function of the
     * corpus, so the rebuild is deterministic. */
+  /** Deterministic per-corpus fixture directory under java.io.tmpdir,
+    * wiped if a previous process left it (content is a pure function of
+    * the corpus, so rebuilds are deterministic) — the shared preamble of
+    * every physical fixture (review r8: was copy-pasted per fixture). */
+  private def freshFixtureDir(prefix: String, d: String): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/$prefix-" +
+      java.security.MessageDigest.getInstance("MD5").digest(d.getBytes)
+        .map("%02x".format(_)).mkString.take(16)
+    val root = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    dir
+  }
+
+  /** Lift an events projection into the nested scan schema — one cell
+    * per event, e4-scaled value. The ONE home of the fixture cell shape
+    * (the DuckDB twins mirror it relationally). */
+  private def liftedEvents(df: DataFrame): DataFrame =
+    df.select(col("user_id").cast("string").cast("binary").as("key"),
+      array(struct(col("event_type").cast("binary").as("name"),
+        lit("NORMAL").as("state"),
+        e4(col("value")).cast("string").cast("binary").as("value"),
+        col("ts_ms").as("timestamp"),
+        lit(0L).as("ttlSecs"), lit(0L).as("expiresMillis"))).as("columns"))
+
+  /** Tombstone every `user_id % 10 == mod` user in `dir` through the
+    * real SupportsDelete path, mark pinned at max event ts + 1 so
+    * rebuilds and the DuckDB twins agree bit-for-bit. */
+  private def tombstoneUsers(dir: String, e: DataFrame, mod: Int): Unit = {
+    val doomed = e.select(col("user_id")).distinct()
+      .filter(col("user_id") % 10 === mod)
+      .collect().map(_.getLong(0).toString.getBytes: Any)
+    val mark = e.agg(max(col("ts_ms"))).head().getLong(0) + 1
+    new graft.sources.sstable.spark.SSTableTable(Map(
+        graft.sources.sstable.spark.SSTableSource.PathOption -> dir,
+        graft.sources.sstable.spark.SSTableSource.DeleteMarkMicrosOption ->
+          mark.toString))
+      .deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.In("key", doomed)))
+  }
+
   private val sinceFixtureCache = new SessionCache[String]
   private def sstableSinceFixture(s: SparkSession, d: String): String =
     sinceFixtureCache.getOrCompute(s, d) {
-      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-since-" +
-        java.security.MessageDigest.getInstance("MD5").digest(d.getBytes)
-          .map("%02x".format(_)).mkString.take(16)
-      val root = java.nio.file.Paths.get(dir)
-      if (java.nio.file.Files.exists(root)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.delete)
-      }
+      val dir = freshFixtureDir("graft-since", d)
       val e = Tables.events(s, d).select("user_id", "event_type", "ts_ms", "value")
-      def lifted(df: DataFrame): DataFrame =
-        df.select(col("user_id").cast("string").cast("binary").as("key"),
-          array(struct(col("event_type").cast("binary").as("name"),
-            lit("NORMAL").as("state"),
-            e4(col("value")).cast("string").cast("binary").as("value"),
-            col("ts_ms").as("timestamp"),
-            lit(0L).as("ttlSecs"), lit(0L).as("expiresMillis"))).as("columns"))
-      lifted(e.filter(col("ts_ms") <= SstableAsOfCutMs))
+      liftedEvents(e.filter(col("ts_ms") <= SstableAsOfCutMs))
         .write.format("sstable").mode("overwrite").save(dir)
       SSTableOps.snapshot(dir, SinceFloorTag)
-      lifted(e.filter(col("ts_ms") > SstableAsOfCutMs))
+      liftedEvents(e.filter(col("ts_ms") > SstableAsOfCutMs))
         .write.format("sstable").mode("append").save(dir)
       dir
     }
@@ -325,71 +348,24 @@ object WideRowQueries {
   private val rollbackFixtureCache = new SessionCache[String]
   private def sstableRollbackFixture(s: SparkSession, d: String): String =
     rollbackFixtureCache.getOrCompute(s, d) {
-      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-rb-" +
-        java.security.MessageDigest.getInstance("MD5").digest(d.getBytes)
-          .map("%02x".format(_)).mkString.take(16)
-      val root = java.nio.file.Paths.get(dir)
-      if (java.nio.file.Files.exists(root)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.delete)
-      }
+      val dir = freshFixtureDir("graft-rb", d)
       val e = Tables.events(s, d).select("user_id", "event_type", "ts_ms", "value")
-      def lifted(df: DataFrame): DataFrame =
-        df.select(col("user_id").cast("string").cast("binary").as("key"),
-          array(struct(col("event_type").cast("binary").as("name"),
-            lit("NORMAL").as("state"),
-            e4(col("value")).cast("string").cast("binary").as("value"),
-            col("ts_ms").as("timestamp"),
-            lit(0L).as("ttlSecs"), lit(0L).as("expiresMillis"))).as("columns"))
-      lifted(e.filter(col("ts_ms") <= SstableAsOfCutMs))
+      liftedEvents(e.filter(col("ts_ms") <= SstableAsOfCutMs))
         .write.format("sstable").mode("overwrite").save(dir)
       SSTableOps.snapshot(dir, "good")
-      lifted(e.filter(col("ts_ms") > SstableAsOfCutMs))
+      liftedEvents(e.filter(col("ts_ms") > SstableAsOfCutMs))
         .write.format("sstable").mode("append").save(dir)
-      val doomed = e.select(col("user_id")).distinct()
-        .filter(col("user_id") % 10 === DeleteUserMod)
-        .collect().map(_.getLong(0).toString.getBytes: Any)
-      val mark = e.agg(max(col("ts_ms"))).head().getLong(0) + 1
-      new graft.sources.sstable.spark.SSTableTable(Map(
-          graft.sources.sstable.spark.SSTableSource.PathOption -> dir,
-          graft.sources.sstable.spark.SSTableSource.DeleteMarkMicrosOption ->
-            mark.toString))
-        .deleteWhere(Array[org.apache.spark.sql.sources.Filter](
-          org.apache.spark.sql.sources.In("key", doomed)))
+      tombstoneUsers(dir, e, DeleteUserMod)
       SSTableOps.rollbackToSnapshot(dir, "good")
       dir
     }
 
   private def sstableDeleteFixture(s: SparkSession, d: String): String =
     deleteFixtureCache.getOrCompute(s, d) {
-      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-del-" +
-        java.security.MessageDigest.getInstance("MD5").digest(d.getBytes)
-          .map("%02x".format(_)).mkString.take(16)
-      val root = java.nio.file.Paths.get(dir)
-      if (java.nio.file.Files.exists(root)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.delete)
-      }
+      val dir = freshFixtureDir("graft-del", d)
       val e = Tables.events(s, d).select("user_id", "event_type", "ts_ms", "value")
-      e.select(col("user_id").cast("string").cast("binary").as("key"),
-          array(struct(col("event_type").cast("binary").as("name"),
-            lit("NORMAL").as("state"),
-            e4(col("value")).cast("string").cast("binary").as("value"),
-            col("ts_ms").as("timestamp"),
-            lit(0L).as("ttlSecs"), lit(0L).as("expiresMillis"))).as("columns"))
-        .write.format("sstable").mode("overwrite").save(dir)
-      val doomed = e.select(col("user_id")).distinct()
-        .filter(col("user_id") % 10 === DeleteUserMod)
-        .collect().map(_.getLong(0).toString.getBytes: Any)
-      val mark = e.agg(max(col("ts_ms"))).head().getLong(0) + 1
-      new graft.sources.sstable.spark.SSTableTable(Map(
-          graft.sources.sstable.spark.SSTableSource.PathOption -> dir,
-          graft.sources.sstable.spark.SSTableSource.DeleteMarkMicrosOption ->
-            mark.toString))
-        .deleteWhere(Array[org.apache.spark.sql.sources.Filter](
-          org.apache.spark.sql.sources.In("key", doomed)))
+      liftedEvents(e).write.format("sstable").mode("overwrite").save(dir)
+      tombstoneUsers(dir, e, DeleteUserMod)
       dir
     }
 
@@ -481,13 +457,7 @@ object WideRowQueries {
         s"TBLPROPERTIES('buckets'='$BucketFixtureBuckets')")
       val e = Tables.events(s, d).select("user_id", "event_type", "ts_ms", "value")
       val view = s"graft_bkt_src_$corpusTag"
-      e.select(col("user_id").cast("string").cast("binary").as("key"),
-          array(struct(col("event_type").cast("binary").as("name"),
-            lit("NORMAL").as("state"),
-            e4(col("value")).cast("string").cast("binary").as("value"),
-            col("ts_ms").as("timestamp"),
-            lit(0L).as("ttlSecs"), lit(0L).as("expiresMillis"))).as("columns"))
-        .createOrReplaceTempView(view)
+      liftedEvents(e).createOrReplaceTempView(view)
       s.sql(s"""INSERT INTO $cat.fx.t
         SELECT key, columns,
           CAST(NULL AS STRUCT<localDeletionTime: INT, markedForDeleteAt: BIGINT>)
@@ -535,13 +505,7 @@ object WideRowQueries {
       s.sql(s"CREATE NAMESPACE $cat.fx")
       val e = Tables.events(s, d).select("user_id", "event_type", "ts_ms", "value")
       val view = s"graft_ctas_src_$corpusTag"
-      e.select(col("user_id").cast("string").cast("binary").as("key"),
-          array(struct(col("event_type").cast("binary").as("name"),
-            lit("NORMAL").as("state"),
-            e4(col("value")).cast("string").cast("binary").as("value"),
-            col("ts_ms").as("timestamp"),
-            lit(0L).as("ttlSecs"), lit(0L).as("expiresMillis"))).as("columns"))
-        .createOrReplaceTempView(view)
+      liftedEvents(e).createOrReplaceTempView(view)
       s.sql(s"""CREATE TABLE $cat.fx.allevents AS
         SELECT key, columns,
           CAST(NULL AS STRUCT<localDeletionTime: INT, markedForDeleteAt: BIGINT>)

@@ -186,7 +186,7 @@ class GraftProceduresSpec extends AnyFunSuite {
     // post-pin history to unwind: an upsert, a new key, a delete
     insertRows("graft_sys.m.rb", Seq(("a", "2", 200L), ("c", "1", 200L)))
     spark.sql("DELETE FROM graft_sys.m.rb WHERE key = CAST('b' AS BINARY)")
-    assert(keysOf(spark.sql("SELECT * FROM graft_sys.m.rb")).toSet == Set("a", "a", "c"))
+    assert(keysOf(spark.sql("SELECT * FROM graft_sys.m.rb")) == Seq("a", "a", "c"))
 
     val r = spark.sql("CALL graft_sys.system.rollback(table => 'm.rb', tag => 'good')")
     assert(r.columns.toSeq == Seq("restored", "removed"))
