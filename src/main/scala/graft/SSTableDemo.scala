@@ -256,6 +256,22 @@ object SSTableDemo {
     println(s"== SQL rollback: live restored to the pin=[$rolledBack] (want alice, carol)")
     spark.sql("DELETE FROM graft.demo.t WHERE key = CAST('carol' AS BINARY)")
 
+    // the CDC diff form: everything that changed since the pin — the
+    // SQL spelling of the incremental read loop (carol's delete nets
+    // out of the delete-aware catalog diff, so only post-pin upserts
+    // remain; the delete-EVENT feed is the path API without applydeletes)
+    spark.sql("INSERT INTO graft.demo.t VALUES " +
+      "(CAST('dave' AS BINARY), array(named_struct('name', CAST('c' AS BINARY), " +
+      "'state', 'NORMAL', 'value', CAST('4' AS BINARY), 'timestamp', CAST(40 AS BIGINT), " +
+      "'ttlSecs', CAST(0 AS BIGINT), 'expiresMillis', CAST(0 AS BIGINT))), " +
+      "CAST(NULL AS STRUCT<localDeletionTime: INT, markedForDeleteAt: BIGINT>))")
+    val diffKeys = spark.sql(
+      "SELECT key FROM graft.demo.t VERSION AS OF 'demo-epoch..'").collect()
+      .map(r => new String(r.getAs[Array[Byte]](0))).sorted.mkString(", ")
+    println(s"== SQL CDC diff: VERSION AS OF 'demo-epoch..' = [$diffKeys] " +
+      "(want dave — carol's delete nets out)")
+    spark.sql("DELETE FROM graft.demo.t WHERE key = CAST('dave' AS BINARY)")
+
     // SQL maintenance: the operator loop as CALL statements, each
     // returning its report as a result set
     val folds = spark.sql("CALL graft.system.compact(" +
