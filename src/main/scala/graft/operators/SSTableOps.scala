@@ -986,13 +986,17 @@ object SSTableOps {
     *     (post-pin flushes, tombstone generations, compaction outputs).
     *
     * The transient state between the phases is the UNION of pin and
-    * post-pin filesets, which reconciles (LWW) to the PRE-rollback view
-    * — readers see the old state or the restored state, never a torn
-    * cut. A failure anywhere leaves a superset of the pin, and
-    * re-running converges: phase 1 skips already-restored names, so
-    * rollback is idempotent. Generation names travel verbatim, so a
-    * bucketed layout's stems (and with them the zero-exchange contract)
-    * survive restoration.
+    * post-pin filesets, which reconciles (LWW) to the PRE-rollback view;
+    * phase 2 then removes the post-pin generations NEWEST-FIRST, so a
+    * reader racing the removal sees the log minus its newest suffix — a
+    * state the directory genuinely passed through — never a mixture
+    * that existed at no point in history, and never a torn fileset
+    * (per-fileset removal keeps the unpublish ordering contract). A
+    * failure anywhere leaves a superset of the pin, and re-running
+    * converges: phase 1 skips already-restored names, so rollback is
+    * idempotent. Generation names travel verbatim, so a bucketed
+    * layout's stems (and with them the zero-exchange contract) survive
+    * restoration.
     *
     * Single-maintainer like the compactors — a flush racing phase 2 is
     * rolled back with everything else after the cut (that is what
@@ -1037,7 +1041,14 @@ object SSTableOps {
     // LIST over a many-thousand-generation directory buys nothing
     val pinNames = pinFiles.map(fileName).toSet
     val removed = live.filterNot(p => pinNames.contains(fileName(p)))
-    removed.foreach(SSTableFiles.unpublish(storage, _))
+    // NEWEST first: per-fileset removal is atomic but the cross-fileset
+    // cut is not, so a reader racing phase 2 sees some post-pin
+    // generations gone and others still live. Rewinding in reverse
+    // write order makes every such intermediate view a state the
+    // directory GENUINELY passed through (the log minus its newest
+    // suffix) — never a mixture that existed at no point in history.
+    removed.sortBy(p => -storage.mtime(p))
+      .foreach(SSTableFiles.unpublish(storage, _))
     (restored.length, removed.length)
   }
 
