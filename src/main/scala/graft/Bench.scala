@@ -103,8 +103,9 @@ object Bench {
     // runs measure a colder JVM than in-sweep, so expect ratios <= 1)
     "q_sstable_bucketed" -> 0.234, "q_sstable_ctas" -> 0.401,
     // q_sstable_rollback from three targeted runs (0.385/0.388/0.388,
-    // spread 1.01 -> min; same colder-JVM caveat as q_sstable_ctas)
-    "q_sstable_rollback" -> 0.385,
+    // spread 1.01 -> min; same colder-JVM caveat as q_sstable_ctas);
+    // q_sstable_sync likewise (0.231/0.238/0.283 -> min)
+    "q_sstable_rollback" -> 0.385, "q_sstable_sync" -> 0.231,
     "q_sstable_topk" -> 0.046, "q_stratified" -> 0.173,
     "q_text_stats" -> 0.249, "q_tfidf_topk" -> 0.990,
     "q_token_count" -> 0.425, "q_tombstone_filter" -> 0.312,

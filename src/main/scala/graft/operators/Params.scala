@@ -118,6 +118,11 @@ object Params {
     * [[DeleteUserMod]] so the two physical fixtures never interact. */
   val MergeUserMod = 7
   val MergeNewUserOffset = 10000000L
+  /** q_sstable_sync keeps only users with `user_id % 10 <> this` through
+    * a full-sync MERGE (matched update + NOT MATCHED BY SOURCE delete);
+    * the oracle mirrors the kept set. Own physical fixture, so the mod
+    * only needs to be deterministic, not globally unique. */
+  val SyncDropMod = 4
   /** q_sstable_bucketed's table property: the SQL-created bucketed
     * layout's bucket count (INSERT appends ≤ this many generations per
     * statement; DELETE appends ≤ this many tombstone generations). */

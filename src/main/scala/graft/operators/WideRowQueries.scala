@@ -175,6 +175,25 @@ object WideRowQueries {
           col("timestamp").as("ts_ms"))
         .orderBy("user_id", "event_type", "ts_ms", "value_e4")
     }),
+    // The full-sync MERGE over the REAL files (the third branch family
+    // under the hash gate): the LWW-compacted corpus becomes a catalog
+    // table, the source holds ONLY the kept users (user_id % 10 <>
+    // SyncDropMod) each with one 'synced' cell, and a single statement
+    // updates every matched user while WHEN NOT MATCHED BY SOURCE THEN
+    // DELETE tombstones everyone the source no longer lists — the
+    // classic dimension-sync shape. The delete-aware cells view must
+    // show exactly one synced cell per kept user at the statement
+    // timestamp (max corpus ts + 2), which the oracle recomputes.
+    "q_sstable_sync" -> ((s, d) => {
+      val dir = sstableSyncFixture(s, d)
+      s.read.format("sstable").option("applydeletes", "true")
+        .option("view", "cells").load(dir)
+        .select(col("key").cast("string").cast("long").as("user_id"),
+          col("name").cast("string").as("event_type"),
+          col("value").cast("string").cast("long").as("value_e4"),
+          col("timestamp").as("ts_ms"))
+        .orderBy("user_id", "event_type", "ts_ms", "value_e4")
+    }),
     // The SQL bucketed-table lifecycle over REAL files: CREATE TABLE
     // with TBLPROPERTIES('buckets'=8), INSERT INTO through the
     // FunctionCatalog-resolved bucket-clustered write (one rolling
@@ -427,6 +446,40 @@ object WideRowQueries {
       dir
     }
 
+  /** Physical fixture for the full-sync MERGE query: the LWW-compacted
+    * corpus as a catalog table (per-corpus catalog — the q_sstable_merge
+    * rule), synced against a source that lists only the kept users: one
+    * MERGE with a matched UPDATE and a NOT MATCHED BY SOURCE DELETE. */
+  private val syncFixtureCache = new SessionCache[String]
+  private def sstableSyncFixture(s: SparkSession, d: String): String =
+    syncFixtureCache.getOrCompute(s, d) {
+      val corpusTag = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes).map("%02x".format(_)).mkString.take(16)
+      val wh = freshFixtureDir("graft-sync", d)
+      val dir = s"$wh/fx/t"
+      val e = Tables.events(s, d).select("user_id", "event_type", "ts_ms", "value")
+      SSTableOps.compactRows(liftedEvents(e))
+        .write.format("sstable").mode("overwrite").save(dir)
+      val cat = s"graft_sync_$corpusTag"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.sstable.spark.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      e.filter(col("user_id") % 10 =!= SyncDropMod)
+        .select("user_id").distinct()
+        .select(col("user_id").cast("string").cast("binary").as("key"),
+          array(struct(lit("synced").cast("binary").as("name"),
+            lit("NORMAL").as("state"),
+            col("user_id").cast("string").cast("binary").as("value"),
+            lit(0L).as("timestamp"),
+            lit(0L).as("ttlSecs"), lit(0L).as("expiresMillis"))).as("columns"))
+        .createOrReplaceTempView("graft_sync_src")
+      s.sql(s"""
+        MERGE INTO $cat.fx.t t USING graft_sync_src s ON t.key = s.key
+        WHEN MATCHED THEN UPDATE SET columns = s.columns
+        WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+      dir
+    }
+
   /** Physical fixture for the SQL bucketed-table query: a per-corpus
     * warehouse + catalog (CatalogManager caches instances by name — the
     * q_sstable_merge rule), `CREATE TABLE` with the buckets property,
@@ -622,6 +675,15 @@ object WideRowQueries {
       s"""SELECT user_id, event_type, ${e4Sql("value")} AS value_e4, ts_ms
           FROM $EventsSql WHERE user_id % 10 <> $DeleteUserMod
           ORDER BY user_id, event_type, ts_ms, value_e4""",
+    // full sync: exactly one synced cell per kept user at the statement
+    // timestamp; everyone absent from the source is tombstoned away
+    "q_sstable_sync" ->
+      s"""WITH wts AS (SELECT max(ts_ms) + 2 AS t FROM $EventsSql),
+            kept AS (SELECT DISTINCT user_id FROM $EventsSql
+                     WHERE user_id % 10 <> $SyncDropMod)
+          SELECT user_id, 'synced' AS event_type, user_id AS value_e4,
+                 (SELECT t FROM wts) AS ts_ms
+          FROM kept ORDER BY user_id, event_type, ts_ms, value_e4""",
     // the bucketed lifecycle must land on the SAME logical complement —
     // bucketed INSERT + per-bucket DELETE preserve content cell-for-cell
     "q_sstable_bucketed" ->
