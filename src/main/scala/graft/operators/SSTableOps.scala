@@ -1223,6 +1223,9 @@ object SSTableOps {
   def writeBucketed(df: DataFrame, dir: String, buckets: Int,
                     compress: Boolean = true): Unit = {
     require(buckets > 0, s"buckets must be positive: $buckets")
+    require(buckets <= graft.sources.sstable.spark.SSTableSource.MaxBuckets,
+      s"buckets must be <= ${graft.sources.sstable.spark.SSTableSource.MaxBuckets} " +
+        s"(the bucket-NNNNN generation-name format is five digits): $buckets")
     import graft.sources.sstable.{HadoopStorage, LocalStorage, SSTableFiles, SerializableHadoopConf, Storage}
     import graft.sources.sstable.spark.{SSTableCommit, SSTablePartitionWriter, SSTableSource}
     val spark = df.sparkSession

@@ -34,16 +34,14 @@ trait Storage {
     * unlike [[rename]], an existing `dst` is overwritten. For small
     * metadata files rewritten in place (the catalog's `_table`): a
     * concurrent reader sees the old bytes or the new bytes, never a
-    * torn half-write and never a missing file. Local uses POSIX atomic
-    * move; Hadoop approximates with delete+rename (HDFS renames are
-    * atomic; the delete window only ever exposes a MISSING file, which
-    * callers must treat as loud, not as empty). The default is the
-    * non-atomic delete+rename for simple adapters; real backends
-    * override with their atomic primitive. */
-  def replace(src: String, dst: String): Unit = {
-    if (exists(dst)) delete(dst)
-    rename(src, dst)
-  }
+    * torn half-write and never a missing file. ABSTRACT on purpose
+    * (ADVICE r8): a convenience delete+rename default here would let a
+    * third-party adapter silently expose a missing-`_table` window in
+    * which a bucketed table loads as un-bucketed and one plain write
+    * breaks the layout permanently — an adapter must consciously supply
+    * its backend's atomic primitive (POSIX `rename(2)`, HDFS
+    * `FileContext.rename(OVERWRITE)`, an object store's atomic PUT). */
+  def replace(src: String, dst: String): Unit
   /** Immediate subdirectories of `dir` whose NAME starts with `prefix`
     * (e.g. the write paths' `_staging-` scratch space). Empty when `dir`
     * is not a directory. */

@@ -356,26 +356,36 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val javaProps = new util.HashMap[String, String]()
     next.foreach { case (k, v) => javaProps.put(k, v) }
     val validated = validatedTableProps(javaProps)
-    if (validated.get(GraftCatalog.BucketsProp) !=
-        current.get(GraftCatalog.BucketsProp)) {
+    val bucketsChanged = validated.get(GraftCatalog.BucketsProp) !=
+      current.get(GraftCatalog.BucketsProp)
+    if (bucketsChanged) {
       require(storage.listDataFiles(d).isEmpty,
         "the bucketed layout is physical (data files are hash-routed by " +
           "it); 'buckets' is only alterable on an EMPTY table — rewrite " +
-          "via CREATE TABLE … TBLPROPERTIES ('buckets'=…) AS SELECT, or " +
-          "TRUNCATE first")
+          "via CREATE TABLE … TBLPROPERTIES ('buckets'=…) AS SELECT, " +
+          "CALL graft.system.rebucket, or TRUNCATE first")
       // snapshot pins keep OLD-layout files readable through VERSION AS
       // OF, and a time-traveled read merges the table's CURRENT buckets
       // property onto them — mis-keying every key-grouped split (review
       // r8). Empty live data is not enough; the pins must be gone too.
-      val pins = graft.operators.SSTableOps.listSnapshots(d, storage)
-      require(pins.isEmpty,
-        "snapshots pin data written under the current bucketed layout " +
-          s"(${pins.mkString(", ")}); a time-traveled read would apply the " +
-          "NEW 'buckets' value to OLD-layout files and silently mis-group " +
-          "keys — drop the snapshots first (CALL …system.expire_snapshots " +
-          "or drop_snapshot)")
+      GraftCatalog.requireNoPinsForRelayout(storage, d)
     }
     GraftCatalog.writeTableProps(storage, d, validated)
+    if (bucketsChanged) {
+      // the emptiness guard above is check-then-write (ADVICE r8): a
+      // concurrent INSERT can publish a generation under the OLD layout
+      // between the check and the props replace, leaving a mixed-layout
+      // directory with no compaction path. Re-check after the write and
+      // REVERT on violation — the racing write then stands under the
+      // layout it was written with, and the ALTER fails loudly.
+      if (storage.listDataFiles(d).nonEmpty) {
+        GraftCatalog.writeTableProps(storage, d, current)
+        throw new IllegalStateException(
+          "a concurrent write published data while ALTER 'buckets' ran; " +
+            s"the property change on $d was reverted — quiesce writers " +
+            "and retry (or re-layout via CREATE OR REPLACE … AS SELECT)")
+      }
+    }
     loadTable(ident)
   }
 
@@ -430,17 +440,42 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     // self-healing garbage collection: a driver killed mid-CTAS strands
     // its invisible `_stage-` (or mid-swap `_dropped-`) directory; the
     // next staged DDL in the namespace removes any sibling older than
-    // the vacuum horizon (same age-as-liveness rule as vacuumStaging —
-    // a healthy CTAS stages and commits within its own runtime)
+    // the vacuum horizon. Liveness is the HEARTBEAT file a running stage
+    // touches periodically (ADVICE r8: directory mtime alone goes stale
+    // the moment the query's write job starts, so a CTAS legitimately
+    // outliving the horizon would have its live stage swept mid-run);
+    // a dead driver stops touching and ages out as before.
     Seq("_stage-", "_dropped-").foreach { prefix =>
       storage.listSubdirs(nsDir(ident.namespace), prefix)
-        .filter(sd => System.currentTimeMillis() - storage.mtime(sd) >
-          GraftCatalog.StageVacuumHorizonMs)
+        .filter { sd =>
+          val hb = s"$sd/${GraftCatalog.StageHeartbeatFile}"
+          val lastAlive = math.max(storage.mtime(sd),
+            if (storage.exists(hb)) storage.mtime(hb) else 0L)
+          System.currentTimeMillis() - lastAlive > GraftCatalog.StageVacuumHorizonMs
+        }
         .foreach(storage.deleteRecursive)
     }
     val stagingDir = s"${nsDir(ident.namespace)}/_stage-${ident.name}-" +
       java.util.UUID.randomUUID().toString.take(8)
     storage.mkdirs(stagingDir)
+    // heartbeat: touch a marker at horizon/8 so a healthy long-running
+    // CTAS is never mistaken for a stranded one; daemon thread, stopped
+    // (and the marker removed) at commit/abort
+    val heartbeat = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      (r: Runnable) => {
+        val t = new Thread(r, s"graft-stage-heartbeat-${ident.name}")
+        t.setDaemon(true); t
+      })
+    val period = GraftCatalog.StageVacuumHorizonMs / 8
+    heartbeat.scheduleAtFixedRate(() =>
+      try storage.create(s"$stagingDir/${GraftCatalog.StageHeartbeatFile}").close()
+      catch { case _: Exception => () }, // stage gone: commit/abort won the race
+      period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
+    def stopHeartbeat(): Unit = {
+      heartbeat.shutdownNow()
+      heartbeat.awaitTermination(10, java.util.concurrent.TimeUnit.SECONDS)
+      ()
+    }
     if (declared.nonEmpty)
       GraftCatalog.writeTableProps(storage, stagingDir, declared)
     val inner = new SSTableTable(Map(
@@ -451,8 +486,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         case kv => kv
       })
     new GraftStagedTable(inner, ident,
-      commit = () => commitStaged(ident, stagingDir, replace),
-      abort = () => storage.deleteRecursive(stagingDir))
+      commit = () => { stopHeartbeat(); commitStaged(ident, stagingDir, replace) },
+      abort = () => { stopHeartbeat(); storage.deleteRecursive(stagingDir) })
   }
 
   /** The atomic publish: re-checks the world (another writer may have
@@ -465,6 +500,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     def fail(e: Throwable): Nothing = {
       storage.deleteRecursive(stagingDir); throw e
     }
+    // the committed table must not carry the stage's liveness marker
+    storage.delete(s"$stagingDir/${GraftCatalog.StageHeartbeatFile}")
     if (dirExists(d)) {
       if (!replace) fail(new TableAlreadyExistsException(ident))
       if (!isTableDir(d)) fail(new IllegalStateException(
@@ -476,7 +513,17 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       try storage.rename(stagingDir, d)
       catch { case e: Throwable => storage.rename(trash, d); fail(e) }
       storage.deleteRecursive(trash)
-    } else storage.rename(stagingDir, d)
+    } else {
+      // a concurrent CTAS may have won the create race after the
+      // dirExists re-check; map that to the DDL's own exception and
+      // clean the stage instead of stranding it behind a raw
+      // IOException until the vacuum horizon (ADVICE r8)
+      try storage.rename(stagingDir, d)
+      catch {
+        case e: Throwable =>
+          fail(if (dirExists(d)) new TableAlreadyExistsException(ident) else e)
+      }
+    }
   }
 
   override def dropTable(ident: Identifier): Boolean = {
@@ -656,8 +703,13 @@ object GraftCatalog {
   /** The `buckets` table property — the bucketed write layout. */
   private[spark] val BucketsProp = "buckets"
   /** Age past which an abandoned CTAS `_stage-`/`_dropped-` directory is
-    * presumed dead and swept by the next staged DDL in its namespace. */
+    * presumed dead and swept by the next staged DDL in its namespace.
+    * Liveness is the newer of the directory mtime and
+    * [[StageHeartbeatFile]] inside it. */
   private[spark] val StageVacuumHorizonMs: Long = 24L * 3600 * 1000
+  /** Marker a RUNNING staged DDL touches every horizon/8 so the sweep
+    * never takes a live long-running CTAS for a stranded one. */
+  private[spark] val StageHeartbeatFile = "_stage-heartbeat"
   /** Properties CREATE TABLE accepts (and SHOW CREATE TABLE echoes):
     * the bucketed layout plus the writer-tuning option names every
     * write path parses. */
@@ -669,6 +721,23 @@ object GraftCatalog {
   private[spark] val IgnoredCreateProps: Set[String] =
     Set(TableCatalog.PROP_OWNER, TableCatalog.PROP_COMMENT,
       TableCatalog.PROP_PROVIDER)
+
+  /** The ONE home of the re-layout×time-travel guard (VERDICT r8 #5):
+    * snapshot pins keep files written under the CURRENT `buckets` value
+    * readable through `VERSION AS OF`, and a time-traveled read merges
+    * the table's current property onto them — so any change to the
+    * bucket layout (ALTER on an empty table, CALL rebucket on a live
+    * one) must first prove no pins exist, or old-layout files would be
+    * silently mis-grouped under the new count. */
+  private[spark] def requireNoPinsForRelayout(storage: Storage, dir: String): Unit = {
+    val pins = graft.operators.SSTableOps.listSnapshots(dir, storage)
+    require(pins.isEmpty,
+      "snapshots pin data written under the current bucketed layout " +
+        s"(${pins.mkString(", ")}); a time-traveled read would apply the " +
+        "NEW 'buckets' value to OLD-layout files and silently mis-group " +
+        "keys — drop the snapshots first (CALL …system.expire_snapshots " +
+        "or drop_snapshot)")
+  }
 
   private[spark] def writeTableProps(storage: Storage, dir: String,
                                      props: Map[String, String]): Unit = {

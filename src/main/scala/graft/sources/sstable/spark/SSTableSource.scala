@@ -230,12 +230,24 @@ object SSTableSource {
   private[graft] def bucketStem(b: Int): String = f"bucket-$b%05d-"
   private[graft] val BucketNameRe = "bucket-(\\d{5})-.*".r
 
+  /** Hard ceiling on bucket counts: [[bucketStem]] formats the bucket id
+    * as exactly five digits and [[BucketNameRe]] parses exactly five, so
+    * a count past 99999 would publish stems no guard or parser
+    * recognizes — generic compaction would then fold across buckets and
+    * destroy the layout (ADVICE r8 medium). 99999 buckets × one task
+    * each is already beyond any sane layout, so a cap beats widening
+    * the name format under data written by every earlier version. */
+  private[graft] val MaxBuckets = 99999
+
   private[spark] def bucketsOf(v: Option[String]): Option[Int] = v.map { s =>
     val n = try s.toInt catch {
       case _: NumberFormatException => throw new IllegalArgumentException(
         s"sstable option '$BucketsOption' must be an int, got '$s'")
     }
     require(n > 0, s"sstable option '$BucketsOption' must be positive: $n")
+    require(n <= MaxBuckets,
+      s"sstable option '$BucketsOption' must be <= $MaxBuckets (the " +
+        s"bucket-NNNNN generation-name format is five digits): $n")
     n
   }
 }

@@ -23,6 +23,7 @@ class MetadataCacheSpec extends AnyFunSuite {
     def create(path: String): java.io.DataOutputStream = LocalStorage.create(path)
     def delete(path: String): Unit = LocalStorage.delete(path)
     def rename(src: String, dst: String): Unit = LocalStorage.rename(src, dst)
+    def replace(src: String, dst: String): Unit = LocalStorage.replace(src, dst)
     def listSubdirs(dir: String, prefix: String): Seq[String] =
       LocalStorage.listSubdirs(dir, prefix)
     def deleteRecursive(dir: String): Unit = LocalStorage.deleteRecursive(dir)
@@ -93,6 +94,7 @@ class MetadataCacheSpec extends AnyFunSuite {
     def create(path: String): java.io.DataOutputStream = LocalStorage.create(path)
     def delete(path: String): Unit = LocalStorage.delete(path)
     def rename(src: String, dst: String): Unit = LocalStorage.rename(src, dst)
+    def replace(src: String, dst: String): Unit = LocalStorage.replace(src, dst)
     def listSubdirs(dir: String, prefix: String): Seq[String] =
       LocalStorage.listSubdirs(dir, prefix)
     def deleteRecursive(dir: String): Unit = LocalStorage.deleteRecursive(dir)
