@@ -413,9 +413,14 @@ object SSTableOps {
     * compaction manager per node. */
   private[operators] def foldBucketInPlace(spark: org.apache.spark.sql.SparkSession,
                                            dir: String, bucket0: Seq[String],
-                                           storage: graft.sources.sstable.Storage): Boolean = {
+                                           storage: graft.sources.sstable.Storage,
+                                           lease: graft.sources.sstable.MaintenanceLease = null): Boolean = {
     import graft.sources.sstable.SSTableFiles
     import graft.sources.sstable.spark.DeleteShadow
+    // fence: unpublishing inputs is the destructive step — a maintainer
+    // whose lease was stolen (presumed dead, merely slow) must abort
+    // here rather than delete files out from under its successor
+    def fence(): Unit = if (lease != null) lease.checkHeld()
     val gc = bucketIsolated(bucket0, storage.listDataFiles(dir), storage)
     // A non-GC fold must leave DELETE-ONLY generations alone: folding one
     // into a mixed output would keep its tombstone ROWS (compactRows
@@ -436,6 +441,7 @@ object SSTableOps {
       val keep = nonDeleteOnly(fs)
       if (keep.length < 2) return false
       compactFiles(spark, keep, dir, gc = false)
+      fence()
       keep.foreach(SSTableFiles.unpublish(storage, _))
       true
     }
@@ -450,7 +456,10 @@ object SSTableOps {
       // fold would make repeat-until-zero callers spin an extra pass.
       outputs.foreach(SSTableFiles.unpublish(storage, _))
       foldCarrying(bucket0)
-    } else { bucket0.foreach(SSTableFiles.unpublish(storage, _)); true }
+    } else {
+      fence()
+      bucket0.foreach(SSTableFiles.unpublish(storage, _)); true
+    }
   }
 
   /** One STCS maintenance pass IN PLACE: fold every planned bucket into
@@ -488,12 +497,15 @@ object SSTableOps {
     val storage = graft.sources.sstable.Storage.forPath(
       dir, spark.sessionState.newHadoopConf())
     refuseBucketedLayout(dir, storage, "compactInPlace")
-    val buckets = planCompaction(dir, minThreshold, maxThreshold,
-      minSize = minSize, storage = storage)
-    // fresh listing per bucket inside the fold helper: earlier folds
-    // changed the directory (their outputs must count as overlap
-    // candidates, their deleted inputs must not be stat'd)
-    buckets.count(foldBucketInPlace(spark, dir, _, storage))
+    graft.sources.sstable.MaintenanceLease.withLease(dir, storage,
+      "compactInPlace") { lease =>
+      val buckets = planCompaction(dir, minThreshold, maxThreshold,
+        minSize = minSize, storage = storage)
+      // fresh listing per bucket inside the fold helper: earlier folds
+      // changed the directory (their outputs must count as overlap
+      // candidates, their deleted inputs must not be stat'd)
+      buckets.count(foldBucketInPlace(spark, dir, _, storage, lease))
+    }
   }
 
   /** The generic in-place compactors fold generations by SIZE tier /
@@ -564,43 +576,46 @@ object SSTableOps {
       .map { case (b, members) => (b, members.map(_._2).sorted) }
       .filter(_._2.length >= minThreshold)
     if (foldable.isEmpty) return 0
-    // Folds run ACROSS buckets in parallel (the claim compactFiles'
-    // one-output contract forces: each fold's write is ONE task, so a
-    // serial driver loop would keep one core busy per fold — at
-    // thousands of buckets the maintenance pass would be core-count
-    // times slower than the cluster allows). Safe by construction:
-    // hash buckets are disjoint file sets, tombstone GC is structural
-    // WITHIN a bucket, and each fold's post-stage re-check filters the
-    // listing to its own bucket — sibling folds are invisible to it.
-    // (The size-tier compactors stay serial: their GC isolation proof
-    // reads the whole directory, which sibling folds mutate.)
-    // default slots: half the cluster's parallelism, but never more
-    // driver threads than folds — and hard-capped at 64 (each slot is a
-    // DRIVER thread submitting jobs; on a large cluster
-    // defaultParallelism is the core count, and thousands of submitter
-    // threads would melt the scheduler long before the cluster is busy)
-    val slots = if (parallelism > 0) parallelism
-      else math.max(1, math.min(64, math.min(foldable.length,
-        spark.sparkContext.defaultParallelism / 2)))
-    val folds = new java.util.concurrent.atomic.AtomicInteger(0)
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(slots)
-    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
-    try {
-      foldable.foreach { case (b, chain) => pool.execute(() =>
-        try { if (foldOneBucket(spark, dir, storage, b, chain)) { folds.incrementAndGet(); () } }
-        catch { case t: Throwable => failures.add(t); () })
+    graft.sources.sstable.MaintenanceLease.withLease(dir, storage,
+      "compactBucketedInPlace") { lease =>
+      // Folds run ACROSS buckets in parallel (the claim compactFiles'
+      // one-output contract forces: each fold's write is ONE task, so a
+      // serial driver loop would keep one core busy per fold — at
+      // thousands of buckets the maintenance pass would be core-count
+      // times slower than the cluster allows). Safe by construction:
+      // hash buckets are disjoint file sets, tombstone GC is structural
+      // WITHIN a bucket, and each fold's post-stage re-check filters the
+      // listing to its own bucket — sibling folds are invisible to it.
+      // (The size-tier compactors stay serial: their GC isolation proof
+      // reads the whole directory, which sibling folds mutate.)
+      // default slots: half the cluster's parallelism, but never more
+      // driver threads than folds — and hard-capped at 64 (each slot is a
+      // DRIVER thread submitting jobs; on a large cluster
+      // defaultParallelism is the core count, and thousands of submitter
+      // threads would melt the scheduler long before the cluster is busy)
+      val slots = if (parallelism > 0) parallelism
+        else math.max(1, math.min(64, math.min(foldable.length,
+          spark.sparkContext.defaultParallelism / 2)))
+      val folds = new java.util.concurrent.atomic.AtomicInteger(0)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(slots)
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      try {
+        foldable.foreach { case (b, chain) => pool.execute(() =>
+          try { if (foldOneBucket(spark, dir, storage, b, chain, lease)) { folds.incrementAndGet(); () } }
+          catch { case t: Throwable => failures.add(t); () })
+        }
+        pool.shutdown()
+        pool.awaitTermination(java.lang.Long.MAX_VALUE,
+          java.util.concurrent.TimeUnit.NANOSECONDS)
+        ()
+      } finally { pool.shutdownNow(); () }
+      if (!failures.isEmpty) {
+        val first = failures.poll()
+        failures.forEach(first.addSuppressed(_))
+        throw first
       }
-      pool.shutdown()
-      pool.awaitTermination(java.lang.Long.MAX_VALUE,
-        java.util.concurrent.TimeUnit.NANOSECONDS)
-      ()
-    } finally { pool.shutdownNow(); () }
-    if (!failures.isEmpty) {
-      val first = failures.poll()
-      failures.forEach(first.addSuppressed(_))
-      throw first
+      folds.get()
     }
-    folds.get()
   }
 
   /** One bucket's layout-preserving fold (the [[compactBucketedInPlace]]
@@ -610,7 +625,8 @@ object SSTableOps {
   private def foldOneBucket(spark: org.apache.spark.sql.SparkSession,
                             dir: String,
                             storage: graft.sources.sstable.Storage,
-                            b: Int, chain: Seq[String]): Boolean = {
+                            b: Int, chain: Seq[String],
+                            lease: graft.sources.sstable.MaintenanceLease = null): Boolean = {
     import graft.sources.sstable.SSTableFiles
     import graft.sources.sstable.spark.SSTableSource
     // the merge/GC/one-output-generation body is compactFiles — the
@@ -634,6 +650,11 @@ object SSTableOps {
       storage.deleteRecursive(stagingDir)
       false
     } else {
+      // fence before mutating the live layout (publish + input
+      // unpublish): a stolen lease means a successor maintainer may
+      // already be folding this bucket — abort, our staged output is
+      // private and dies with the staging dir
+      if (lease != null) lease.checkHeld()
       staged.foreach { s =>
         SSTableFiles.publishAs(storage, s,
           s"$dir/${SSTableSource.bucketStem(b)}$tag${SSTableFiles.DataSuffix}")
@@ -677,8 +698,11 @@ object SSTableOps {
     val storage = graft.sources.sstable.Storage.forPath(
       dir, spark.sessionState.newHadoopConf())
     refuseBucketedLayout(dir, storage, "compactTombstonesInPlace")
-    val picks = planTombstoneCompaction(dir, ratioThreshold, storage)
-    picks.count(foldBucketInPlace(spark, dir, _, storage))
+    graft.sources.sstable.MaintenanceLease.withLease(dir, storage,
+      "compactTombstonesInPlace") { lease =>
+      val picks = planTombstoneCompaction(dir, ratioThreshold, storage)
+      picks.count(foldBucketInPlace(spark, dir, _, storage, lease))
+    }
   }
 
   /** Manifest-free leveled-compaction view of a directory (LCS option,
@@ -790,8 +814,11 @@ object SSTableOps {
     val storage = graft.sources.sstable.Storage.forPath(
       dir, spark.sessionState.newHadoopConf())
     refuseBucketedLayout(dir, storage, "compactLeveledInPlace")
-    val buckets = planCompactionLeveled(dir, maxRuns, maxThreshold, storage)
-    buckets.count(foldBucketInPlace(spark, dir, _, storage))
+    graft.sources.sstable.MaintenanceLease.withLease(dir, storage,
+      "compactLeveledInPlace") { lease =>
+      val buckets = planCompactionLeveled(dir, maxRuns, maxThreshold, storage)
+      buckets.count(foldBucketInPlace(spark, dir, _, storage, lease))
+    }
   }
 
   /** Tombstone GC over an already-compacted relation: row-shadowed columns
@@ -1016,40 +1043,45 @@ object SSTableOps {
   def rollbackToSnapshot(dir: String, tag: String,
                          storage: graft.sources.sstable.Storage =
                            graft.sources.sstable.LocalStorage): (Int, Int) = {
-    import graft.sources.sstable.SSTableFiles
+    import graft.sources.sstable.{MaintenanceLease, SSTableFiles}
     val snap = snapshotPath(dir, tag)
     // exact existence, not a listSubdirs prefix match (review r8: tag
     // 'nightly' must not pass because 'nightly-2026-08-14' exists)
     require(storage.exists(snap),
       s"no snapshot '$tag' under $dir (SSTableOps.listSnapshots lists them)")
-    val pinFiles = storage.listDataFiles(snap)
-    val live = storage.listDataFiles(dir)
-    val liveNames = live.map(fileName).toSet
-    val restored = pinFiles.filterNot(p => liveNames.contains(fileName(p)))
-    restored.foreach { dataPath =>
-      SSTableFiles.PublishOrderSuffixes.foreach { suf =>
-        val src = SSTableFiles.sibling(dataPath, suf)
-        if (storage.exists(src)) {
-          val dst = s"$dir/${fileName(src)}"
-          if (!storage.exists(dst)) storage.link(src, dst)
+    MaintenanceLease.withLease(dir, storage, s"rollback:$tag") { lease =>
+      val pinFiles = storage.listDataFiles(snap)
+      val live = storage.listDataFiles(dir)
+      val liveNames = live.map(fileName).toSet
+      val restored = pinFiles.filterNot(p => liveNames.contains(fileName(p)))
+      restored.foreach { dataPath =>
+        SSTableFiles.PublishOrderSuffixes.foreach { suf =>
+          val src = SSTableFiles.sibling(dataPath, suf)
+          if (storage.exists(src)) {
+            val dst = s"$dir/${fileName(src)}"
+            if (!storage.exists(dst)) storage.link(src, dst)
+          }
         }
       }
+      // removal set from the ONE pre-phase-1 listing: everything phase 1
+      // added is in pinNames and would be filtered out anyway, and under
+      // the maintenance lease nothing else changed — a second LIST over
+      // a many-thousand-generation directory buys nothing
+      val pinNames = pinFiles.map(fileName).toSet
+      val removed = live.filterNot(p => pinNames.contains(fileName(p)))
+      // fence before the destructive phase: a stolen lease means a
+      // successor maintainer owns the directory now
+      lease.checkHeld()
+      // NEWEST first: per-fileset removal is atomic but the cross-fileset
+      // cut is not, so a reader racing phase 2 sees some post-pin
+      // generations gone and others still live. Rewinding in reverse
+      // write order makes every such intermediate view a state the
+      // directory GENUINELY passed through (the log minus its newest
+      // suffix) — never a mixture that existed at no point in history.
+      removed.sortBy(p => -storage.mtime(p))
+        .foreach(SSTableFiles.unpublish(storage, _))
+      (restored.length, removed.length)
     }
-    // removal set from the ONE pre-phase-1 listing: everything phase 1
-    // added is in pinNames and would be filtered out anyway, and under
-    // the single-maintainer contract nothing else changed — a second
-    // LIST over a many-thousand-generation directory buys nothing
-    val pinNames = pinFiles.map(fileName).toSet
-    val removed = live.filterNot(p => pinNames.contains(fileName(p)))
-    // NEWEST first: per-fileset removal is atomic but the cross-fileset
-    // cut is not, so a reader racing phase 2 sees some post-pin
-    // generations gone and others still live. Rewinding in reverse
-    // write order makes every such intermediate view a state the
-    // directory GENUINELY passed through (the log minus its newest
-    // suffix) — never a mixture that existed at no point in history.
-    removed.sortBy(p => -storage.mtime(p))
-      .foreach(SSTableFiles.unpublish(storage, _))
-    (restored.length, removed.length)
   }
 
   /** Retention policy for snapshot pins (VERDICT r7 #6): drop every
@@ -1153,9 +1185,9 @@ object SSTableOps {
       if (Storage.hasScheme(dir))
         Some(new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
       else None
-    val files = Storage.forPath(dir, spark.sessionState.newHadoopConf())
-      .listDataFiles(dir)
-    spark.sparkContext.parallelize(files, math.max(1, files.length))
+    val driverStorage = Storage.forPath(dir, spark.sessionState.newHadoopConf())
+    val files = driverStorage.listDataFiles(dir)
+    def audit() = spark.sparkContext.parallelize(files, math.max(1, files.length))
       .map { f =>
         val storage: Storage =
           serConf.map(c => new HadoopStorage(c.value): Storage).getOrElse(LocalStorage)
@@ -1196,6 +1228,21 @@ object SSTableOps {
       }
       .toDF("file", "rows", "sorted", "statsMatch", "error",
         "repairedTo", "repairError")
+    if (!repair) audit()
+    else {
+      // repair QUARANTINES broken generations (destructive) — run the
+      // whole job EAGERLY under the maintenance lease, like the
+      // compactors, so a concurrent maintainer refuses instead of
+      // folding a generation mid-quarantine. The report is one row per
+      // generation (metadata-sized), so materializing it is free.
+      graft.sources.sstable.MaintenanceLease.withLease(dir, driverStorage,
+        "scrub-repair") { _ =>
+        val report = audit()
+        val rows = report.collect()
+        spark.createDataFrame(
+          java.util.Arrays.asList(rows: _*), report.schema)
+      }
+    }
   }
 
   /** Write `df` (the nested scan schema) as a BUCKETED directory:

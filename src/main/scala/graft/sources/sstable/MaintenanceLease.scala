@@ -1,0 +1,199 @@
+package graft.sources.sstable
+
+import java.nio.charset.StandardCharsets
+
+/** Advisory mutual exclusion for the DESTRUCTIVE maintenance family
+  * (in-place compaction, rollback, scrub-repair) — VERDICT r8 #1.
+  *
+  * The engine's single-maintainer contract used to be documentation
+  * only, and `CALL graft.system.compact` made violating it as easy as
+  * two operators typing the same statement: two concurrent bucketed
+  * folds can unpublish each other's inputs mid-fold, the data-destroying
+  * class of race. This turns that into a LOUD REFUSAL: every
+  * maintenance entry point takes the directory's `_lease` file before
+  * touching published state, and a second maintainer fails immediately
+  * with the holder's identity in the message.
+  *
+  * Design (the same age-as-liveness rule as `vacuumStaging` and the
+  * staged-DDL sweep):
+  *
+  *  - ACQUIRE: write `_lease-acquire-<uuid>` then `rename` it to
+  *    `_lease`. Both backends' rename REFUSES an existing destination
+  *    (LocalStorage checks, HDFS rename is atomic-and-refusing), so at
+  *    most one contender's rename lands — losers read the winner's
+  *    holder id for the refusal message.
+  *  - RENEW: a daemon thread re-writes the file (atomic `replace`)
+  *    every horizon/8 while the operation runs, keeping mtime fresh.
+  *  - STEAL: a lease whose mtime is older than the horizon belongs to a
+  *    dead maintainer (a live one renews at 8× that rate) and is
+  *    deleted by the next acquirer, who then races for the name like
+  *    any contender.
+  *  - FENCE: destructive steps call [[MaintenanceLease.checkHeld]]
+  *    before unpublishing — if the lease was stolen (the holder was
+  *    presumed dead but is merely slow: a GC pause beyond the horizon,
+  *    a partitioned NFS client), the old holder aborts instead of
+  *    deleting files out from under the thief. The check-to-unpublish
+  *    window is a metadata round-trip, vanishingly small against the
+  *    horizon; byte-identical to the GC'd fold's re-validate pattern.
+  *
+  * The lease is ADVISORY for writers on purpose: flushes/appends are
+  * publish-only and proven safe against a running maintainer
+  * (ConcurrencyStressSpec); only maintainer-vs-maintainer mutates the
+  * same published filesets destructively.
+  */
+final class MaintenanceLease private (dir: String, storage: Storage,
+                                      val holder: String, horizonMs: Long) {
+  import MaintenanceLease._
+  @volatile private var lost = false
+  private val renewer = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+    (r: Runnable) => {
+      val t = new Thread(r, s"graft-lease-renew-$holder")
+      t.setDaemon(true); t
+    })
+  private def leasePath = s"$dir/$LeaseFile"
+
+  private[sstable] def startRenewal(): Unit = {
+    val period = math.max(1L, horizonMs / 8)
+    renewer.scheduleAtFixedRate(() =>
+      try renew() catch { case _: Exception => lost = true },
+      period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
+    ()
+  }
+
+  /** Re-stamp the lease (fresh mtime). Verifies ownership first: a
+    * stolen lease must never be clobbered back. */
+  def renew(): Unit = {
+    checkHeld()
+    val tmp = s"$dir/$LeaseFile-renew-${java.util.UUID.randomUUID().toString.take(8)}"
+    val out = storage.create(tmp)
+    try out.write(holder.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    storage.replace(tmp, leasePath)
+  }
+
+  /** The FENCE: throw unless this lease is still ours. Call immediately
+    * before every destructive step (unpublish, delete, restore). */
+  def checkHeld(): Unit = {
+    if (lost) throw new MaintenanceLeaseLostException(dir, holder)
+    readHolder(dir, storage) match {
+      case Some(h) if h == holder => ()
+      case other =>
+        lost = true
+        throw new MaintenanceLeaseLostException(dir, holder,
+          other.getOrElse("<released>"))
+    }
+  }
+
+  /** Delete the lease iff still held (a stolen lease belongs to the
+    * thief). Always stops the renewal thread. */
+  def release(): Unit = {
+    renewer.shutdownNow()
+    renewer.awaitTermination(10, java.util.concurrent.TimeUnit.SECONDS)
+    if (!lost && readHolder(dir, storage).contains(holder))
+      storage.delete(leasePath)
+  }
+}
+
+object MaintenanceLease {
+  /** Lease file name — `_`-prefixed like every non-data internal, so
+    * data listings, snapshots, and bucketed-layout guards never see it. */
+  val LeaseFile = "_lease"
+  /** Default steal horizon. A LIVE maintainer renews every horizon/8
+    * (~2 min), so only a maintainer dead or unreachable for the full
+    * horizon loses its lease — the same liveness reasoning as
+    * `vacuumStaging`, scaled to maintenance-operation runtimes. */
+  val DefaultHorizonMs: Long = 15L * 60 * 1000
+
+  final class MaintenanceLeaseHeldException(dir: String, val holder: String)
+      extends IllegalStateException(
+        s"maintenance lease on $dir is held by '$holder' — one maintainer " +
+          "per directory (concurrent in-place compaction/rollback/repair " +
+          "can unpublish each other's inputs); wait for it to finish, or " +
+          s"if it is dead its lease expires after the steal horizon")
+
+  final class MaintenanceLeaseLostException(dir: String, holder: String,
+                                            thief: String = "<unknown>")
+      extends IllegalStateException(
+        s"maintenance lease on $dir was lost by '$holder' (now '$thief'): " +
+          "this maintainer was presumed dead and superseded — aborting " +
+          "before touching published state")
+
+  private lazy val localHost: String =
+    try java.net.InetAddress.getLocalHost.getHostName
+    catch { case _: Exception => "unknown-host" }
+
+  private def readHolder(dir: String, storage: Storage): Option[String] = {
+    val p = s"$dir/$LeaseFile"
+    if (!storage.exists(p)) return None
+    try {
+      val in = storage.open(p)
+      try {
+        val buf = new Array[Byte](in.length.toInt)
+        var off = 0
+        while (off < buf.length) {
+          val r = in.read(buf, off, buf.length - off)
+          if (r < 0) throw new java.io.EOFException(p)
+          off += r
+        }
+        Some(new String(buf, StandardCharsets.UTF_8))
+      } finally in.close()
+    } catch {
+      // vanished between exists and open: released/stolen mid-read
+      case _: java.io.IOException | _: java.nio.file.NoSuchFileException => None
+    }
+  }
+
+  /** Take the directory's maintenance lease or refuse loudly. `op` is
+    * carried in the holder id so the refusal names WHAT is running, not
+    * just that something is. */
+  def acquire(dir: String, storage: Storage, op: String,
+              horizonMs: Long = DefaultHorizonMs,
+              nowMs: () => Long = () => System.currentTimeMillis()): MaintenanceLease = {
+    val holder = s"$op@$localHost#" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val leasePath = s"$dir/$LeaseFile"
+    var attempts = 0
+    while (attempts < 3) {
+      attempts += 1
+      readHolder(dir, storage) match {
+        case Some(h) =>
+          if (nowMs() - storage.mtime(leasePath) <= horizonMs)
+            throw new MaintenanceLeaseHeldException(dir, h)
+          // stale: its maintainer stopped renewing a full horizon ago —
+          // presumed dead; delete and race for the name like any
+          // contender (two stealers: one rename lands, one refuses)
+          storage.delete(leasePath)
+        case None => ()
+      }
+      val tmp = s"$dir/$LeaseFile-acquire-${java.util.UUID.randomUUID().toString.take(8)}"
+      val out = storage.create(tmp)
+      try out.write(holder.getBytes(StandardCharsets.UTF_8)) finally out.close()
+      try {
+        storage.rename(tmp, leasePath)
+        val lease = new MaintenanceLease(dir, storage, holder, horizonMs)
+        lease.startRenewal()
+        return lease
+      } catch {
+        case _: java.io.IOException =>
+          // lost the rename race; report the winner (or loop if it
+          // already vanished again)
+          storage.delete(tmp)
+          readHolder(dir, storage) match {
+            case Some(h) => throw new MaintenanceLeaseHeldException(dir, h)
+            case None => () // winner released instantly; retry
+          }
+      }
+    }
+    throw new IllegalStateException(
+      s"could not acquire maintenance lease on $dir after $attempts attempts " +
+        "(acquire/release churn)")
+  }
+
+  /** Run `body` under the directory's lease: acquire → auto-renew →
+    * release, exception-safe. The body receives the lease for fencing
+    * ([[MaintenanceLease.checkHeld]] before destructive steps). */
+  def withLease[T](dir: String, storage: Storage, op: String,
+                   horizonMs: Long = DefaultHorizonMs)(body: MaintenanceLease => T): T = {
+    val lease = acquire(dir, storage, op, horizonMs)
+    try body(lease) finally lease.release()
+  }
+}

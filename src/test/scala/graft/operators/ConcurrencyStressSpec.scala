@@ -129,4 +129,69 @@ class ConcurrencyStressSpec extends AnyFunSuite {
     assert(LocalStorage.listDataFiles(dir).length <= buckets)
     assert(LocalStorage.listSubdirs(dir, "_staging").isEmpty)
   }
+
+  test("maintainer vs maintainer: the lease turns the race into a loud refusal") {
+    import graft.sources.sstable.MaintenanceLease
+    val dir = Files.createTempDirectory("stress-mvm").toString
+    val buckets = 4
+    (1 to 6).foreach(e => writeBatch(dir, 0 until 40, e.toLong, Some(buckets)))
+    val before = LocalStorage.listDataFiles(dir)
+    assert(before.length == buckets * 6)
+    // a first maintainer is mid-run (simulated by holding its lease);
+    // the second CALL compact_bucketed must refuse NAMING it, and must
+    // not have touched a single generation
+    SSTableOps.snapshot(dir, "pin", LocalStorage) // snapshot is lock-free
+    val first = MaintenanceLease.acquire(dir, LocalStorage, "compactBucketedInPlace")
+    val e = intercept[MaintenanceLease.MaintenanceLeaseHeldException] {
+      SSTableOps.compactBucketedInPlace(spark, dir)
+    }
+    assert(e.holder.startsWith("compactBucketedInPlace@"))
+    assert(LocalStorage.listDataFiles(dir) == before,
+      "a refused maintainer must leave the directory untouched")
+    // rollback shares the same exclusion
+    intercept[MaintenanceLease.MaintenanceLeaseHeldException] {
+      SSTableOps.rollbackToSnapshot(dir, "pin", LocalStorage)
+    }
+    first.release()
+    // the surviving maintainer folds to the single-maintainer result
+    assert(SSTableOps.compactBucketedInPlace(spark, dir) == buckets)
+    val expected = (0 until 40).map(i => f"k$i%04d" -> 6L).toMap
+    assert(lwwState(dir) == expected)
+    assert(LocalStorage.listDataFiles(dir).length == buckets)
+    assert(!LocalStorage.exists(s"$dir/${MaintenanceLease.LeaseFile}"),
+      "the lease must be released after the fold")
+  }
+
+  test("two concurrent bucketed maintainers: exactly one folds each bucket, state intact") {
+    import graft.sources.sstable.MaintenanceLease
+    val dir = Files.createTempDirectory("stress-mvm2").toString
+    val buckets = 4
+    (1 to 8).foreach(e => writeBatch(dir, 0 until 60, e.toLong, Some(buckets)))
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Either[Throwable, Int]]()
+    val threads = (1 to 2).map(_ => new Thread(() =>
+      results.add(
+        try Right(SSTableOps.compactBucketedInPlace(spark, dir))
+        catch { case t: Throwable => Left(t) })))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val (failures, folds) = (results.toArray(Array.empty[Either[Throwable, Int]])
+      .partition(_.isLeft))
+    // every failure is the lease refusal — never a mid-fold data race
+    failures.foreach { f =>
+      assert(f.swap.toOption.get.isInstanceOf[MaintenanceLease.MaintenanceLeaseHeldException],
+        s"unexpected maintainer failure: ${f.swap.toOption.get}")
+    }
+    // folds are serialized by the lease: each bucket folded at most once
+    assert(folds.flatMap(_.toOption).sum <= buckets)
+    assert(failures.length == 1,
+      s"with an 8-generation-per-bucket fold in flight the second " +
+        s"maintainer must hit the lease (got ${failures.length} refusals)")
+    // reconciled state is the single-maintainer result regardless
+    val expected = (0 until 60).map(i => f"k$i%04d" -> 8L).toMap
+    assert(lwwState(dir) == expected)
+    val stems = LocalStorage.listDataFiles(dir)
+      .map(graft.sources.sstable.SSTableFiles.generationStem)
+    assert(stems.forall(graft.sources.sstable.spark.SSTableSource.BucketNameRe.matches))
+    assert(LocalStorage.listSubdirs(dir, "_staging").isEmpty)
+    assert(!LocalStorage.exists(s"$dir/${MaintenanceLease.LeaseFile}"))
+  }
 }
