@@ -578,43 +578,142 @@ object SSTableOps {
     if (foldable.isEmpty) return 0
     graft.sources.sstable.MaintenanceLease.withLease(dir, storage,
       "compactBucketedInPlace") { lease =>
-      // Folds run ACROSS buckets in parallel (the claim compactFiles'
-      // one-output contract forces: each fold's write is ONE task, so a
-      // serial driver loop would keep one core busy per fold — at
-      // thousands of buckets the maintenance pass would be core-count
-      // times slower than the cluster allows). Safe by construction:
-      // hash buckets are disjoint file sets, tombstone GC is structural
-      // WITHIN a bucket, and each fold's post-stage re-check filters the
-      // listing to its own bucket — sibling folds are invisible to it.
-      // (The size-tier compactors stay serial: their GC isolation proof
-      // reads the whole directory, which sibling folds mutate.)
-      // default slots: half the cluster's parallelism, but never more
-      // driver threads than folds — and hard-capped at 64 (each slot is a
-      // DRIVER thread submitting jobs; on a large cluster
-      // defaultParallelism is the core count, and thousands of submitter
-      // threads would melt the scheduler long before the cluster is busy)
-      val slots = if (parallelism > 0) parallelism
-        else math.max(1, math.min(64, math.min(foldable.length,
-          spark.sparkContext.defaultParallelism / 2)))
-      val folds = new java.util.concurrent.atomic.AtomicInteger(0)
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(slots)
-      val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
-      try {
-        foldable.foreach { case (b, chain) => pool.execute(() =>
-          try { if (foldOneBucket(spark, dir, storage, b, chain, lease)) { folds.incrementAndGet(); () } }
-          catch { case t: Throwable => failures.add(t); () })
-        }
-        pool.shutdown()
-        pool.awaitTermination(java.lang.Long.MAX_VALUE,
-          java.util.concurrent.TimeUnit.NANOSECONDS)
-        ()
-      } finally { pool.shutdownNow(); () }
-      if (!failures.isEmpty) {
-        val first = failures.poll()
-        failures.forEach(first.addSuppressed(_))
-        throw first
+      foldBucketsPooled(spark, dir, storage, foldable, parallelism, lease)
+    }
+  }
+
+  /** The pooled cross-bucket fold body shared by [[compactBucketedInPlace]]
+    * and [[autoCompact]] (both already hold the directory's maintenance
+    * lease). Folds run ACROSS buckets in parallel: each fold's write is
+    * ONE task by compactFiles' one-output contract, so a serial driver
+    * loop would keep one core busy per fold — at thousands of buckets
+    * the maintenance pass would be core-count times slower than the
+    * cluster allows. Safe by construction: hash buckets are disjoint
+    * file sets, tombstone GC is structural WITHIN a bucket, and each
+    * fold's post-stage re-check filters the listing to its own bucket —
+    * sibling folds are invisible to it. (The size-tier compactors stay
+    * serial: their GC isolation proof reads the whole directory, which
+    * sibling folds mutate.) Default slots: half the cluster's
+    * parallelism, but never more driver threads than folds — and
+    * hard-capped at 64 (each slot is a DRIVER thread submitting jobs;
+    * on a large cluster defaultParallelism is the core count, and
+    * thousands of submitter threads would melt the scheduler long
+    * before the cluster is busy). */
+  private def foldBucketsPooled(spark: org.apache.spark.sql.SparkSession,
+                                dir: String,
+                                storage: graft.sources.sstable.Storage,
+                                foldable: Seq[(Int, Seq[String])],
+                                parallelism: Int,
+                                lease: graft.sources.sstable.MaintenanceLease): Int = {
+    val slots = if (parallelism > 0) parallelism
+      else math.max(1, math.min(64, math.min(foldable.length,
+        spark.sparkContext.defaultParallelism / 2)))
+    val folds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(slots)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    try {
+      foldable.foreach { case (b, chain) => pool.execute(() =>
+        try { if (foldOneBucket(spark, dir, storage, b, chain, lease)) { folds.incrementAndGet(); () } }
+        catch { case t: Throwable => failures.add(t); () })
       }
-      folds.get()
+      pool.shutdown()
+      pool.awaitTermination(java.lang.Long.MAX_VALUE,
+        java.util.concurrent.TimeUnit.NANOSECONDS)
+      ()
+    } finally { pool.shutdownNow(); () }
+    if (!failures.isEmpty) {
+      val first = failures.poll()
+      failures.forEach(first.addSuppressed(_))
+      throw first
+    }
+    folds.get()
+  }
+
+  /** Write-triggered bounded maintenance (VERDICT r8 #2): called by the
+    * COMMITTING writer (batch job commit, streaming epoch commit) when
+    * the directory's write options carry `autocompact = N`. If the
+    * commit left more than N generations (per bucket for bucketed
+    * layouts), fold enough of them — under the maintenance lease, which
+    * the committing writer holds for exactly the fold's duration — that
+    * the count returns to the bound. Generalizes the pattern
+    * [[graft.streaming.StreamingIncrementalDedup]] proved on its own
+    * signature store: continuous ingestion stays read-efficient without
+    * an operator ever scheduling CALL compact.
+    *
+    * Fold policy, chosen for bounded write amplification:
+    *  - plain layout: fold the SMALLEST `count - N + 1` generations into
+    *    one (the size-tiered pick — fresh epoch-sized generations fold
+    *    cheaply against each other; the big folded outputs are left
+    *    alone until enough siblings accumulate around them). Tombstone
+    *    GC rides along when the picked set is provably isolated, exactly
+    *    like [[compactInPlace]] ([[foldBucketInPlace]] is the shared
+    *    fold body).
+    *  - bucketed layout: fold the WHOLE chain of every bucket past the
+    *    bound (the [[compactBucketedInPlace]] unit — GC is structural
+    *    within a bucket), across buckets in parallel, since an epoch
+    *    append grows EVERY non-empty bucket's chain by one and they all
+    *    cross the bound together.
+    *
+    * If a real maintainer holds the lease the fold is SKIPPED, not
+    * failed — the maintainer is already folding, and a write commit
+    * must never fail for maintenance it merely volunteers for. A plain
+    * directory contaminated with bucket-stemmed generations is likewise
+    * skipped (the generic fold would destroy the layout; the guards on
+    * the explicit compactors make that loud instead).
+    *
+    * Returns the number of folds run (0 = under the bound / skipped). */
+  def autoCompact(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  threshold: Int, buckets: Option[Int]): Int = {
+    import graft.sources.sstable.{MaintenanceLease, SSTableFiles}
+    import graft.sources.sstable.spark.SSTableSource
+    require(threshold >= 2,
+      s"autocompact threshold must be >= 2 (1 would rewrite the whole " +
+        s"directory every commit): $threshold")
+    val storage = graft.sources.sstable.Storage.forPath(
+      dir, spark.sessionState.newHadoopConf())
+    // cheap lease-free pre-check (one LIST, name parsing only): under
+    // the bound ⇒ nothing to do, no lease churn on the common every-
+    // epoch path. Rechecked under the lease before folding.
+    def chainsOver(files: Seq[String]): Seq[(Int, Seq[String])] =
+      files.flatMap { f =>
+        SSTableFiles.generationStem(f) match {
+          case SSTableSource.BucketNameRe(b) => Some((b.toInt, f))
+          case _ => None
+        }
+      }.groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (b, members) => (b, members.map(_._2).sorted) }
+        .filter(_._2.length > threshold)
+    val pre = storage.listDataFiles(dir)
+    val underBound = buckets match {
+      case Some(_) => chainsOver(pre).isEmpty
+      case None => pre.length <= threshold
+    }
+    if (underBound) return 0
+    try {
+      MaintenanceLease.withLease(dir, storage, "autocompact") { lease =>
+        // re-list under the lease: the pre-check raced other committers
+        val now = storage.listDataFiles(dir)
+        buckets match {
+          case Some(_) =>
+            val chains = chainsOver(now)
+            if (chains.isEmpty) 0
+            else foldBucketsPooled(spark, dir, storage, chains,
+              parallelism = 0, lease)
+          case None =>
+            if (now.exists(f => SSTableSource.BucketNameRe.matches(
+                SSTableFiles.generationStem(f)))) 0 // contaminated: skip, never fold across buckets
+            else if (now.length <= threshold) 0
+            else {
+              val k = now.length - threshold + 1
+              val smallest = now.sortBy(storage.length).take(k)
+              if (foldBucketInPlace(spark, dir, smallest, storage, lease)) 1 else 0
+            }
+        }
+      }
+    } catch {
+      // a real maintainer is on it; the write must not fail for
+      // maintenance it merely volunteers for
+      case _: MaintenanceLease.MaintenanceLeaseHeldException => 0
     }
   }
 

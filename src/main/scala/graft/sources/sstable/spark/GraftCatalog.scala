@@ -300,6 +300,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     declared.get(GraftCatalog.BucketsProp)
       .foreach(v => SSTableSource.bucketsOf(Some(v)))
+    SSTableSource.autoCompactOf(declared.get(SSTableSource.AutoCompactOption))
     // every writer-tuning value must PARSE here, not at first INSERT:
     // WriterTuning.of is exactly the parse the write path runs
     try WriterTuning.of(declared)
@@ -716,7 +717,8 @@ object GraftCatalog {
   private[spark] val AllowedTableProps: Set[String] = Set(
     BucketsProp, SSTableSource.CompressOption, SSTableSource.ChunkLengthOption,
     SSTableSource.SummaryIntervalOption, SSTableSource.BloomBitsPerKeyOption,
-    SSTableSource.CompressionAlgorithmOption, SSTableSource.LayoutOption)
+    SSTableSource.CompressionAlgorithmOption, SSTableSource.LayoutOption,
+    SSTableSource.AutoCompactOption)
   /** Spark-injected bookkeeping dropped (not persisted, not refused). */
   private[spark] val IgnoredCreateProps: Set[String] =
     Set(TableCatalog.PROP_OWNER, TableCatalog.PROP_COMMENT,

@@ -209,6 +209,25 @@ object SSTableSource {
     * [[graft.operators.SSTableOps.writeBucketed]]. */
   val WriteBucketsOption = "writebuckets"
 
+  /** Write-triggered bounded maintenance (`option("autocompact", n)` or
+    * `TBLPROPERTIES ('autocompact'='n')`): after a batch or micro-batch
+    * commit leaves more than n generations (per bucket for bucketed
+    * layouts), the COMMITTING writer folds back to the bound under the
+    * maintenance lease before returning —
+    * [[graft.operators.SSTableOps.autoCompact]]. Off when absent. */
+  val AutoCompactOption = "autocompact"
+
+  private[spark] def autoCompactOf(v: Option[String]): Option[Int] = v.map { s =>
+    val n = try s.toInt catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"sstable option '$AutoCompactOption' must be an int, got '$s'")
+    }
+    require(n >= 2,
+      s"sstable option '$AutoCompactOption' must be >= 2 (1 would rewrite " +
+        s"the whole directory every commit): $n")
+    n
+  }
+
   private[spark] def viewOf(v: Option[String]): String = v match {
     case None => "rows"
     case Some(s) if s.equalsIgnoreCase("rows") => "rows"

@@ -194,6 +194,15 @@ final class SSTableBatchWrite(path: String, schema: StructType,
       case _ =>
     }
     removeStaging(st)
+    // write-triggered bounded maintenance (driver-side, post-publish):
+    // the committing job IS the single maintainer for the fold's
+    // duration — see SSTableOps.autoCompact
+    SSTableSource.autoCompactOf(properties.get(SSTableSource.AutoCompactOption))
+      .foreach { n =>
+        graft.operators.SSTableOps.autoCompact(SparkSession.active, path, n,
+          SSTableSource.bucketsOf(properties.get(SSTableSource.WriteBucketsOption)))
+        ()
+      }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -271,6 +280,16 @@ final class SSTableStreamingWrite(path: String, schema: StructType,
       }
       case _ =>
     }
+    // every epoch appends one generation (per bucket); with autocompact
+    // the committing epoch folds the chain back to the bound before the
+    // next micro-batch plans — continuous ingestion stays read-efficient
+    // without a scheduled CALL compact
+    SSTableSource.autoCompactOf(properties.get(SSTableSource.AutoCompactOption))
+      .foreach { n =>
+        graft.operators.SSTableOps.autoCompact(SparkSession.active, path, n,
+          writeBuckets)
+        ()
+      }
   }
 
   /** Delete the aborted epoch's staged files (matched by the epoch stem). */

@@ -663,4 +663,65 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(viaPath.as[Long].head() == 2)
     spark.sql("DROP TABLE graft.agg.t")
   }
+
+  test("TBLPROPERTIES autocompact: INSERT commits hold the generation bound") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ac")
+    // value validates at CREATE, like every property
+    intercept[Exception](spark.sql(
+      "CREATE TABLE graft.ac.bad TBLPROPERTIES ('autocompact'='1')"))
+    intercept[Exception](spark.sql(
+      "CREATE TABLE graft.ac.bad TBLPROPERTIES ('autocompact'='soon')"))
+
+    spark.sql("CREATE TABLE graft.ac.t TBLPROPERTIES ('autocompact'='4')")
+    val dir = s"$warehouse/ac/t"
+    val epochs = 10
+    (1 to epochs).foreach { e =>
+      insertRows("graft.ac.t",
+        (0 until 5).map(i => (f"k${e + i}%02d", s"v$e", e.toLong)))
+      // the bound holds after EVERY commit, not just the last
+      assert(graft.sources.sstable.LocalStorage.listDataFiles(dir).length <= 4,
+        s"epoch $e broke the autocompact bound")
+    }
+    // reconciled content: LWW winner = last epoch that touched the key
+    // (folds must not change what compactRows reconciles to)
+    val expected = (1 to epochs).flatMap(e =>
+      (0 until 5).map(i => f"k${e + i}%02d" -> s"v$e"))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.last._2 }
+    val got = SSTableOps.compactRows(spark.table("graft.ac.t"))
+      .selectExpr("cast(key as string) k", "cast(columns[0].value as string) v")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == expected)
+    // a control table without the property grows linearly
+    spark.sql("CREATE TABLE graft.ac.off")
+    (1 to 6).foreach(e => insertRows("graft.ac.off", Seq((f"k$e%02d", "v", e.toLong))))
+    assert(graft.sources.sstable.LocalStorage
+      .listDataFiles(s"$warehouse/ac/off").length == 6)
+    spark.sql("DROP TABLE graft.ac.t")
+    spark.sql("DROP TABLE graft.ac.off")
+  }
+
+  test("autocompact on a bucketed table folds per bucket, layout intact") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.acb")
+    spark.sql("CREATE TABLE graft.acb.t " +
+      "TBLPROPERTIES ('buckets'='4', 'autocompact'='3')")
+    val dir = s"$warehouse/acb/t"
+    (1 to 7).foreach { e =>
+      insertRows("graft.acb.t",
+        (0 until 20).map(i => (f"k$i%02d", s"v$e", e.toLong)))
+      val byBucket = graft.sources.sstable.LocalStorage.listDataFiles(dir)
+        .groupBy { f =>
+          graft.sources.sstable.SSTableFiles.generationStem(f) match {
+            case SSTableSource.BucketNameRe(b) => b.toInt
+            case other => fail(s"non-bucket stem under autocompact: $other")
+          }
+        }
+      assert(byBucket.values.forall(_.length <= 3),
+        s"epoch $e: ${byBucket.view.mapValues(_.length).toMap}")
+    }
+    val got = SSTableOps.compactRows(spark.table("graft.acb.t"))
+      .selectExpr("cast(key as string) k", "cast(columns[0].value as string) v")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == (0 until 20).map(i => f"k$i%02d" -> "v7").toMap)
+    spark.sql("DROP TABLE graft.acb.t")
+  }
 }

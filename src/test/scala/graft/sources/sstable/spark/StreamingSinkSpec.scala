@@ -310,4 +310,66 @@ class StreamingSinkSpec extends AnyFunSuite {
     assert(batches.toSeq == Seq(200L, 10L),
       s"want Seq(200, 10), got ${batches.mkString(", ")}")
   }
+
+  /** Drive `epochs` micro-batches into a sink on `dir`; each epoch e
+    * upserts keys (e .. e+5) at ts=e, so the reconciled LWW winner for
+    * every key is the LAST epoch that touched it. */
+  private def runEpochs(dir: String, epochs: Int,
+                        extraOptions: Map[String, String]): Unit = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val df = input.toDF().toDF("k", "ts")
+      .select(col("k").cast("binary").as("key"),
+        array(struct(
+          lit("c").cast("binary").as("name"), lit("NORMAL").as("state"),
+          concat(lit("v"), col("ts")).cast("binary").as("value"),
+          col("ts").as("timestamp"),
+          lit(0L).as("ttlSecs"), lit(0L).as("expiresMillis"))).as("columns"))
+    var w = df.writeStream.format("sstable")
+      .option("path", dir)
+      .option("checkpointLocation", Files.createTempDirectory("sst-ac-ck").toString)
+    extraOptions.foreach { case (k, v) => w = w.option(k, v) }
+    val q = w.start()
+    (1 to epochs).foreach { e =>
+      input.addData((0 until 6).map(i => (f"k${e + i}%04d", e.toLong)): _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+  }
+
+  private def lwwState(dir: String): Map[String, Long] =
+    SSTableOps.compactRows(spark.read.format("sstable").load(dir))
+      .selectExpr("cast(key as string) k", "columns[0].timestamp ts")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("autocompact: 12 epochs with threshold 4 stay bounded, state unchanged") {
+    // VERDICT r8 #2: without auto-maintenance every micro-batch appends
+    // one generation forever; with `autocompact = 4` the committing
+    // epoch folds back to the bound before returning, so a week of
+    // continuous ingestion never needs a scheduled CALL compact.
+    val epochs = 12
+    val expected = (1 to epochs).flatMap(e =>
+      (0 until 6).map(i => f"k${e + i}%04d" -> e.toLong))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+
+    // control: off by default — generation count grows linearly
+    val plain = Files.createTempDirectory("sst-ac-off").toString
+    runEpochs(plain, epochs, Map.empty)
+    assert(graft.sources.sstable.LocalStorage.listDataFiles(plain).length == epochs)
+    assert(lwwState(plain) == expected)
+
+    // autocompact: every commit leaves at most `threshold` generations
+    val bounded = Files.createTempDirectory("sst-ac-on").toString
+    runEpochs(bounded, epochs, Map("autocompact" -> "4"))
+    val gens = graft.sources.sstable.LocalStorage.listDataFiles(bounded)
+    assert(gens.length <= 4,
+      s"autocompact must hold the bound, got ${gens.length} generations")
+    // the fold is pure maintenance: reconciled state identical
+    assert(lwwState(bounded) == expected)
+    // and the maintenance lease never leaks out of a commit
+    assert(!graft.sources.sstable.LocalStorage.exists(
+      s"$bounded/${graft.sources.sstable.MaintenanceLease.LeaseFile}"))
+  }
+
 }
