@@ -367,6 +367,10 @@ object SSTableOps {
       // parallelism lives ACROSS buckets, and the writer is O(chunk)
       // memory so one task per fold holds at any bucket size.
       .option(graft.sources.sstable.spark.SSTableSource.WritePartitionsOption, "1")
+      // internal fold write: the surrounding maintenance op records ONE
+      // history event with the whole before/after diff — the fold's own
+      // sink commit must not log a phantom 'insert'
+      .option(graft.sources.sstable.spark.SSTableSource.RecordHistoryOption, "false")
       .mode("append").save(outDir)
     val storage = graft.sources.sstable.Storage.forPath(
       outDir, spark.sessionState.newHadoopConf())
@@ -504,8 +508,26 @@ object SSTableOps {
       // fresh listing per bucket inside the fold helper: earlier folds
       // changed the directory (their outputs must count as overlap
       // candidates, their deleted inputs must not be stat'd)
-      buckets.count(foldBucketInPlace(spark, dir, _, storage, lease))
+      recordingFolds(storage, dir, "compact") {
+        buckets.count(foldBucketInPlace(spark, dir, _, storage, lease))
+      }
     }
+  }
+
+  /** Run `folds` and, when it changed the directory, append the
+    * before/after fileset diff to the `_history` log — the one home of
+    * the maintenance-event shape every compactor shares. */
+  private def recordingFolds(storage: graft.sources.sstable.Storage,
+                             dir: String, op: String)(folds: => Int): Int = {
+    val before = storage.listDataFiles(dir)
+    val n = folds
+    if (n > 0) {
+      val after = storage.listDataFiles(dir)
+      graft.sources.sstable.History.record(storage, dir, op,
+        added = after.diff(before), removed = before.diff(after),
+        detail = s"folds=$n")
+    }
+    n
   }
 
   /** The generic in-place compactors fold generations by SIZE tier /
@@ -578,7 +600,9 @@ object SSTableOps {
     if (foldable.isEmpty) return 0
     graft.sources.sstable.MaintenanceLease.withLease(dir, storage,
       "compactBucketedInPlace") { lease =>
-      foldBucketsPooled(spark, dir, storage, foldable, parallelism, lease)
+      recordingFolds(storage, dir, "compact_bucketed") {
+        foldBucketsPooled(spark, dir, storage, foldable, parallelism, lease)
+      }
     }
   }
 
@@ -693,21 +717,23 @@ object SSTableOps {
       MaintenanceLease.withLease(dir, storage, "autocompact") { lease =>
         // re-list under the lease: the pre-check raced other committers
         val now = storage.listDataFiles(dir)
-        buckets match {
-          case Some(_) =>
-            val chains = chainsOver(now)
-            if (chains.isEmpty) 0
-            else foldBucketsPooled(spark, dir, storage, chains,
-              parallelism = 0, lease)
-          case None =>
-            if (now.exists(f => SSTableSource.BucketNameRe.matches(
-                SSTableFiles.generationStem(f)))) 0 // contaminated: skip, never fold across buckets
-            else if (now.length <= threshold) 0
-            else {
-              val k = now.length - threshold + 1
-              val smallest = now.sortBy(storage.length).take(k)
-              if (foldBucketInPlace(spark, dir, smallest, storage, lease)) 1 else 0
-            }
+        recordingFolds(storage, dir, "autocompact") {
+          buckets match {
+            case Some(_) =>
+              val chains = chainsOver(now)
+              if (chains.isEmpty) 0
+              else foldBucketsPooled(spark, dir, storage, chains,
+                parallelism = 0, lease)
+            case None =>
+              if (now.exists(f => SSTableSource.BucketNameRe.matches(
+                  SSTableFiles.generationStem(f)))) 0 // contaminated: skip, never fold across buckets
+              else if (now.length <= threshold) 0
+              else {
+                val k = now.length - threshold + 1
+                val smallest = now.sortBy(storage.length).take(k)
+                if (foldBucketInPlace(spark, dir, smallest, storage, lease)) 1 else 0
+              }
+          }
         }
       }
     } catch {
@@ -800,7 +826,9 @@ object SSTableOps {
     graft.sources.sstable.MaintenanceLease.withLease(dir, storage,
       "compactTombstonesInPlace") { lease =>
       val picks = planTombstoneCompaction(dir, ratioThreshold, storage)
-      picks.count(foldBucketInPlace(spark, dir, _, storage, lease))
+      recordingFolds(storage, dir, "compact_tombstones") {
+        picks.count(foldBucketInPlace(spark, dir, _, storage, lease))
+      }
     }
   }
 
@@ -916,7 +944,9 @@ object SSTableOps {
     graft.sources.sstable.MaintenanceLease.withLease(dir, storage,
       "compactLeveledInPlace") { lease =>
       val buckets = planCompactionLeveled(dir, maxRuns, maxThreshold, storage)
-      buckets.count(foldBucketInPlace(spark, dir, _, storage, lease))
+      recordingFolds(storage, dir, "compact_leveled") {
+        buckets.count(foldBucketInPlace(spark, dir, _, storage, lease))
+      }
     }
   }
 
@@ -1085,6 +1115,8 @@ object SSTableOps {
       stable = !failed &&
         storage.listDataFiles(dir).forall(p => captured.contains(fileName(p)))
     }
+    graft.sources.sstable.History.record(storage, dir, "snapshot",
+      detail = s"tag=$tag filesets=${captured.size}")
     snap
   }
 
@@ -1098,8 +1130,13 @@ object SSTableOps {
     * via hardlinks survive under their live names). */
   def dropSnapshot(dir: String, tag: String,
                    storage: graft.sources.sstable.Storage =
-                     graft.sources.sstable.LocalStorage): Unit =
+                     graft.sources.sstable.LocalStorage): Unit = {
+    val existed = storage.exists(snapshotPath(dir, tag))
     storage.deleteRecursive(snapshotPath(dir, tag))
+    if (existed)
+      graft.sources.sstable.History.record(storage, dir, "drop_snapshot",
+        detail = s"tag=$tag")
+  }
 
   /** Restore the LIVE directory to the state snapshot `tag` pinned —
     * the write-side dual of `VERSION AS OF` (Iceberg's rollback, Delta's
@@ -1179,6 +1216,11 @@ object SSTableOps {
       // suffix) — never a mixture that existed at no point in history.
       removed.sortBy(p => -storage.mtime(p))
         .foreach(SSTableFiles.unpublish(storage, _))
+      // the rollback is itself a history event (and the log SURVIVES
+      // it — rollback touches only filesets): a reader of t.history
+      // sees the pre-rollback commits, then this
+      graft.sources.sstable.History.record(storage, dir, "rollback",
+        added = restored, removed = removed, detail = s"tag=$tag")
       (restored.length, removed.length)
     }
   }
@@ -1203,8 +1245,11 @@ object SSTableOps {
     val (stale, live) = storage.listSubdirs(dir, SnapshotPrefix)
       .partition(p => nowMs - storage.mtime(p) > olderThanMs)
     stale.foreach(storage.deleteRecursive)
-    (stale.map(p => fileName(p).drop(SnapshotPrefix.length)),
-      live.map(p => fileName(p).drop(SnapshotPrefix.length)))
+    val dropped = stale.map(p => fileName(p).drop(SnapshotPrefix.length))
+    if (dropped.nonEmpty)
+      graft.sources.sstable.History.record(storage, dir, "expire_snapshots",
+        detail = s"tags=${dropped.mkString(",")}")
+    (dropped, live.map(p => fileName(p).drop(SnapshotPrefix.length)))
   }
 
   private def fileName(path: String): String =
@@ -1338,6 +1383,12 @@ object SSTableOps {
         "scrub-repair") { _ =>
         val report = audit()
         val rows = report.collect()
+        val repaired = rows.filter(!_.isNullAt(5)) // repairedTo set
+        if (repaired.nonEmpty)
+          graft.sources.sstable.History.record(driverStorage, dir,
+            "scrub_repair",
+            added = repaired.map(_.getString(5)).toSeq,
+            removed = repaired.map(_.getString(0)).toSeq)
         spark.createDataFrame(
           java.util.Arrays.asList(rows: _*), report.schema)
       }
@@ -1446,6 +1497,9 @@ object SSTableOps {
       }
     }
     driverStorage.deleteRecursive(stagingDir)
+    graft.sources.sstable.History.record(driverStorage, dir, "insert",
+      added = staged.toSeq.map(_.replaceFirst("-attempt-\\d+", "")),
+      detail = s"bucketed=$buckets")
   }
 
   /** Salvage one corrupt generation: stream its decodable rows into a

@@ -46,6 +46,11 @@ trait Storage {
     * (e.g. the write paths' `_staging-` scratch space). Empty when `dir`
     * is not a directory. */
   def listSubdirs(dir: String, prefix: String): Seq[String]
+  /** ALL plain files directly under `dir` (no filter, no recursion),
+    * sorted; empty when `dir` is absent or not a directory. The listing
+    * primitive behind metadata directories like the `_history` log,
+    * where entries are not `-Data.db`-suffixed. */
+  def listFiles(dir: String): Seq[String]
   /** Delete a directory tree (no-op if absent). */
   def deleteRecursive(dir: String): Unit
   /** Create `dir` and any missing parents (no-op when present). */
@@ -119,6 +124,11 @@ object LocalStorage extends Storage {
     else f.listFiles().toSeq
       .filter(d => d.isDirectory && d.getName.startsWith(prefix))
       .map(_.getPath).sorted
+  }
+  def listFiles(dir: String): Seq[String] = {
+    val f = new File(dir)
+    if (!f.isDirectory) Nil
+    else f.listFiles().toSeq.filter(_.isFile).map(_.getPath).sorted
   }
   def deleteRecursive(dir: String): Unit = {
     def walk(f: File): Unit = {
@@ -233,6 +243,14 @@ final class HadoopStorage(conf: Configuration) extends Storage {
     if (!f.exists(p) || !f.getFileStatus(p).isDirectory) Nil
     else f.listStatus(p).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+      .map(_.getPath.toString).sorted
+  }
+
+  def listFiles(dir: String): Seq[String] = {
+    val p = new Path(dir)
+    val f = fs(p)
+    if (!f.exists(p) || !f.getFileStatus(p).isDirectory) Nil
+    else f.listStatus(p).toSeq.filter(_.isFile)
       .map(_.getPath.toString).sorted
   }
 

@@ -135,6 +135,72 @@ object SnapshotsTable {
     StructField("filesets", IntegerType, nullable = false)))
 }
 
+/** `t.history` — the append-only `_history` operation log as a relation
+  * (one row per commit/DML/maintenance event, oldest first): Delta's
+  * DESCRIBE HISTORY / Iceberg's snapshot log for this engine. Pure
+  * metadata (one tiny file read per event, zero Data.db IO), computed at
+  * batch planning like the other metadata views. */
+final class HistoryTable(dir: String)
+    extends org.apache.spark.sql.connector.catalog.Table
+    with org.apache.spark.sql.connector.catalog.SupportsRead {
+  import org.apache.spark.sql.connector.catalog.TableCapability
+  override def name(): String = s"sstable(`$dir`).history"
+  override def schema(): StructType = HistoryTable.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var required: StructType = HistoryTable.schema
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = StructType(HistoryTable.schema.fields
+          .filter(f => requiredSchema.fieldNames.contains(f.name)))
+      override def build(): Scan = new HistoryScan(dir, required)
+    }
+}
+
+object HistoryTable {
+  import org.apache.spark.sql.types._
+  val schema: StructType = StructType(Seq(
+    StructField("tsMs", LongType, nullable = false),
+    StructField("op", StringType, nullable = false),
+    StructField("added", ArrayType(StringType, containsNull = false),
+      nullable = false),
+    StructField("removed", ArrayType(StringType, containsNull = false),
+      nullable = false),
+    StructField("detail", StringType, nullable = false)))
+}
+
+final class HistoryScan(dir: String, required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String = s"sstable $dir view=history"
+  override def planInputPartitions(): Array[InputPartition] = {
+    val storage = Storage.forPath(dir,
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+    def strings(xs: Seq[String]) =
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        xs.map(UTF8String.fromString).toArray[Any])
+    val rows: Array[Array[Any]] = History.events(storage, dir).map { e =>
+      required.fields.map[Any] {
+        _.name match {
+          case "tsMs" => e.tsMs
+          case "op" => UTF8String.fromString(e.op)
+          case "added" => strings(e.added)
+          case "removed" => strings(e.removed)
+          case "detail" => UTF8String.fromString(e.detail)
+          case other => throw new IllegalStateException(
+            s"unknown history-view field: $other")
+        }
+      }
+    }.toArray
+    Array(GenerationsScan.GenerationsPartition(rows))
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    GenerationsScan.rowsFactory
+}
+
 final class SnapshotsScan(dir: String, required: StructType)
     extends Scan with Batch {
   override def readSchema(): StructType = required

@@ -130,7 +130,10 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     *  - `graft.ns.t.snapshots`: the pins `VERSION AS OF` can read —
     *    time-travel discovery in pure SQL;
     *  - `graft.ns.t.cells`: the flattened one-row-per-cell view,
-    *    delete-aware like the table itself.
+    *    delete-aware like the table itself;
+    *  - `graft.ns.t.history`: the append-only `_history` operation log
+    *    (DESCRIBE HISTORY) — every commit/DML/maintenance event with
+    *    its fileset diff, oldest first.
     * Unambiguous by construction: a table directory with a visible
     * subdirectory stops being a table, so a REAL table can never sit
     * under another table's name. */
@@ -144,6 +147,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         SSTableSource.PathOption -> owner,
         SSTableSource.ViewOption -> "generations")))
       case "snapshots" => Some(new SnapshotsTable(owner))
+      case "history" => Some(new HistoryTable(owner))
       case "cells" => Some(new SSTableTable(Map(
         SSTableSource.PathOption -> owner,
         SSTableSource.ViewOption -> "cells",

@@ -67,7 +67,7 @@ final class SSTableRowLevelOperation(table: SSTableTable,
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
       override def build(): DeltaWrite =
-        new SSTableDeltaWrite(path, info, properties)
+        new SSTableDeltaWrite(path, info, properties, cmd)
     }
 
   override def description(): String = s"sstable rowlevel $cmd $path"
@@ -83,7 +83,8 @@ final class SSTableRowLevelOperation(table: SSTableTable,
   * writes one tombstone generation per affected bucket — UPDATE/MERGE
   * preserve the layout exactly like INSERT and key DELETE do. */
 final class SSTableDeltaWrite(path: String, info: LogicalWriteInfo,
-                              properties: Map[String, String])
+                              properties: Map[String, String],
+                              cmd: RowLevelOperation.Command)
     extends DeltaWrite with RequiresDistributionAndOrdering {
   private val writeBuckets: Option[Int] =
     SSTableSource.bucketsOf(properties.get(SSTableSource.WriteBucketsOption))
@@ -101,7 +102,7 @@ final class SSTableDeltaWrite(path: String, info: LogicalWriteInfo,
   }
   override def requiredNumPartitions(): Int = writeBuckets.getOrElse(0)
   override def toBatch: DeltaBatchWrite =
-    new SSTableDeltaBatchWrite(path, info, properties)
+    new SSTableDeltaBatchWrite(path, info, properties, cmd)
   override def description(): String = s"sstable delta write $path" +
     writeBuckets.map(n => s" buckets=$n").getOrElse("")
 }
@@ -113,7 +114,8 @@ final case class SSTableDeltaCommit(stagedDataPaths: Seq[String],
     extends WriterCommitMessage
 
 final class SSTableDeltaBatchWrite(path: String, info: LogicalWriteInfo,
-                                   properties: Map[String, String])
+                                   properties: Map[String, String],
+                                   cmd: RowLevelOperation.Command)
     extends DeltaBatchWrite {
   private val serConf: Option[SerializableHadoopConf] =
     if (Storage.hasScheme(path))
@@ -207,6 +209,10 @@ final class SSTableDeltaBatchWrite(path: String, info: LogicalWriteInfo,
       }
     (stagedInserts ++ stagedTomb).foreach(SSTableFiles.publish(st, _, path))
     st.deleteRecursive(stagingDir)
+    History.record(st, path,
+      cmd.toString.toLowerCase(java.util.Locale.ROOT),
+      added = (stagedInserts ++ stagedTomb).toSeq,
+      detail = s"deletedKeys=${keys.length}")
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

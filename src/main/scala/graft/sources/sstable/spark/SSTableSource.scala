@@ -217,6 +217,12 @@ object SSTableSource {
     * [[graft.operators.SSTableOps.autoCompact]]. Off when absent. */
   val AutoCompactOption = "autocompact"
 
+  /** INTERNAL (`recordhistory=false`): suppress the commit's `_history`
+    * event. Set only by engine-internal writes (compaction folds) whose
+    * surrounding maintenance op records the whole diff itself — user
+    * writes always log. */
+  private[graft] val RecordHistoryOption = "recordhistory"
+
   private[spark] def autoCompactOf(v: Option[String]): Option[Int] = v.map { s =>
     val n = try s.toInt catch {
       case _: NumberFormatException => throw new IllegalArgumentException(
@@ -425,8 +431,11 @@ final class SSTableTable(props: Map[String, String])
       && view == "rows", "TRUNCATE targets the live rows-view directory")
     val storage = Storage.forPath(path,
       org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
-    if (storage.exists(path))
-      storage.listDataFiles(path).foreach(SSTableFiles.unpublish(storage, _))
+    if (storage.exists(path)) {
+      val gone = storage.listDataFiles(path)
+      gone.foreach(SSTableFiles.unpublish(storage, _))
+      History.record(storage, path, "truncate", removed = gone)
+    }
     true
   }
 
@@ -438,8 +447,12 @@ final class SSTableTable(props: Map[String, String])
       org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
     deletableKeys(filters) match {
       case Some(None) => // unconditional: same action as TRUNCATE TABLE
-        if (storage.exists(path))
-          storage.listDataFiles(path).foreach(SSTableFiles.unpublish(storage, _))
+        if (storage.exists(path)) {
+          val gone = storage.listDataFiles(path)
+          gone.foreach(SSTableFiles.unpublish(storage, _))
+          History.record(storage, path, "delete", removed = gone,
+            detail = "unconditional")
+        }
       case Some(Some(keys)) if keys.nonEmpty =>
         val spark = org.apache.spark.sql.SparkSession.active
         val gens = if (storage.exists(path)) storage.listDataFiles(path) else Nil
@@ -476,6 +489,8 @@ final class SSTableTable(props: Map[String, String])
           deduped, ldtSecs, mark, writeBuckets)
         staged.foreach(SSTableFiles.publish(storage, _, path))
         storage.deleteRecursive(stagingDir)
+        History.record(storage, path, "delete", added = staged,
+          detail = s"keys=${deduped.length}")
       case _ => // empty IN-list: nothing to delete
     }
   }

@@ -168,10 +168,16 @@ final class SSTableBatchWrite(path: String, schema: StructType,
   }
   private val stagingDir = s"$path/_staging-$jobTag"
 
+  /** Filesets an INSERT OVERWRITE unpublished at job start — carried to
+    * commit so the history event shows the full overwrite. */
+  @volatile private var overwritten: Seq[String] = Nil
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val st = storage
-    if (truncate && st.exists(path))
-      st.listDataFiles(path).foreach(SSTableFiles.unpublish(st, _))
+    if (truncate && st.exists(path)) {
+      overwritten = st.listDataFiles(path)
+      overwritten.foreach(SSTableFiles.unpublish(st, _))
+    }
     st.mkdirs(stagingDir)
     val t = WriterTuning.of(properties)
     SSTableSource.bucketsOf(properties.get(SSTableSource.WriteBucketsOption)) match {
@@ -188,12 +194,17 @@ final class SSTableBatchWrite(path: String, schema: StructType,
     * Data.db always finds its complete fileset (ADVICE r2 medium). */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val st = storage
+    val published = Seq.newBuilder[String]
     messages.foreach {
       case SSTableCommit(staged) =>
         staged.foreach(SSTableFiles.publish(st, _, path))
+        published ++= staged
       case _ =>
     }
     removeStaging(st)
+    if (properties.getOrElse(SSTableSource.RecordHistoryOption, "true").toBoolean)
+      History.record(st, path, if (truncate) "overwrite" else "insert",
+        added = published.result(), removed = overwritten)
     // write-triggered bounded maintenance (driver-side, post-publish):
     // the committing job IS the single maintainer for the fold's
     // duration — see SSTableOps.autoCompact
@@ -263,10 +274,12 @@ final class SSTableStreamingWrite(path: String, schema: StructType,
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val st = storage
+    val published = Seq.newBuilder[String]
     messages.foreach {
       case SSTableCommit(staged) => staged.foreach { data =>
         val stagedName = data.substring(data.lastIndexOf('/') + 1)
         val dstData = s"$path/${SSTableStreamingWrite.publishedName(stagedName)}"
+        published += dstData
         // epoch replay: unpublish the prior copy (Data.db first). Every
         // existing sibling goes, whether or not this replay staged a
         // counterpart — a replay with different write options (e.g.
@@ -280,6 +293,8 @@ final class SSTableStreamingWrite(path: String, schema: StructType,
       }
       case _ =>
     }
+    History.record(st, path, "stream-epoch", added = published.result(),
+      detail = s"epoch=$epochId")
     // every epoch appends one generation (per bucket); with autocompact
     // the committing epoch folds the chain back to the bound before the
     // next micro-batch plans — continuous ingestion stays read-efficient

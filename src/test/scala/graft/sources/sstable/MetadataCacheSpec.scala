@@ -24,6 +24,7 @@ class MetadataCacheSpec extends AnyFunSuite {
     def delete(path: String): Unit = LocalStorage.delete(path)
     def rename(src: String, dst: String): Unit = LocalStorage.rename(src, dst)
     def replace(src: String, dst: String): Unit = LocalStorage.replace(src, dst)
+    def listFiles(dir: String): Seq[String] = LocalStorage.listFiles(dir)
     def listSubdirs(dir: String, prefix: String): Seq[String] =
       LocalStorage.listSubdirs(dir, prefix)
     def deleteRecursive(dir: String): Unit = LocalStorage.deleteRecursive(dir)
@@ -95,6 +96,7 @@ class MetadataCacheSpec extends AnyFunSuite {
     def delete(path: String): Unit = LocalStorage.delete(path)
     def rename(src: String, dst: String): Unit = LocalStorage.rename(src, dst)
     def replace(src: String, dst: String): Unit = LocalStorage.replace(src, dst)
+    def listFiles(dir: String): Seq[String] = LocalStorage.listFiles(dir)
     def listSubdirs(dir: String, prefix: String): Seq[String] =
       LocalStorage.listSubdirs(dir, prefix)
     def deleteRecursive(dir: String): Unit = LocalStorage.deleteRecursive(dir)

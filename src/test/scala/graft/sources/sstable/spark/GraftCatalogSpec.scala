@@ -664,6 +664,56 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.agg.t")
   }
 
+  test("t.history: every commit, DML and maintenance action is one ordered event") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.hist")
+    spark.sql("CREATE TABLE graft.hist.t")
+    val dir = s"$warehouse/hist/t"
+
+    insertRows("graft.hist.t", Seq(("a", "1", 1L), ("b", "2", 2L)))
+    insertRows("graft.hist.t", Seq(("c", "3", 3L), ("d", "4", 4L)))
+    spark.sql("CALL graft.system.snapshot(table => 'hist.t', tag => 'pin')")
+    spark.sql(
+      "MERGE INTO graft.hist.t t USING (SELECT CAST('b' AS BINARY) mk) s " +
+        "ON t.key = s.mk WHEN MATCHED THEN DELETE")
+    spark.sql("CALL graft.system.compact(table => 'hist.t', " +
+      "min_threshold => 2, min_size => 1)")
+    spark.sql("CALL graft.system.rollback(table => 'hist.t', tag => 'pin')")
+
+    def history = spark.sql(
+      "SELECT op, size(added) a, size(removed) r, detail FROM graft.hist.t.history")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    val ops = history.map(_._1).toSeq
+    // in order: two INSERT commits, the pin, the MERGE's delta, the
+    // fold, the rollback — nothing missing, nothing reordered
+    assert(ops == Seq("insert", "insert", "snapshot", "merge", "compact",
+      "rollback"), ops.mkString(", "))
+    // fileset diffs are real names: each INSERT added >= 1 fileset, the
+    // MERGE appended its tombstone generation, the fold removed inputs
+    assert(history(0)._2 >= 1 && history(1)._2 >= 1)
+    assert(history(3)._2 >= 1, "merge must record its appended filesets")
+    assert(history(4)._3 >= 2, "compact must record its folded inputs")
+    assert(history(5)._4 == "tag=pin")
+    // the log rides the timestamps too, monotonically non-decreasing
+    val ts = spark.sql("SELECT tsMs FROM graft.hist.t.history")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ts == ts.sorted)
+    // history SURVIVES the rollback (it is not a fileset), and the
+    // rollback's own event is its last line — CDC after the fact,
+    // without requiring a pre-arranged snapshot
+    assert(ops.last == "rollback")
+
+    // added/removed carry generation STEMS, resolvable against
+    // t.generations (the live ones at least)
+    val liveStems = spark.sql("SELECT generation FROM graft.hist.t.generations")
+      .collect().map(_.getString(0)).toSet
+    val lastRestored = spark.sql(
+      "SELECT added FROM graft.hist.t.history WHERE op = 'rollback'")
+      .collect().head.getSeq[String](0).toSet
+    assert(lastRestored.subsetOf(liveStems),
+      s"rollback's restored stems must be live: $lastRestored vs $liveStems")
+    spark.sql("DROP TABLE graft.hist.t")
+  }
+
   test("TBLPROPERTIES autocompact: INSERT commits hold the generation bound") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ac")
     // value validates at CREATE, like every property
