@@ -1034,6 +1034,31 @@ object SSTableOps {
 
   def snapshotPath(dir: String, tag: String): String = s"$dir/$SnapshotPrefix$tag"
 
+  /** Capture-time stamp written inside every pin (`_`-prefixed, so data
+    * listings never see it): the retention clock [[expireSnapshots]]
+    * trusts over directory mtime. */
+  val PinnedAtFile: String = "_pinned-at"
+
+  /** A pin's capture time: the `_pinned-at` stamp when present (the
+    * authority — directory mtimes are synthetic on some object-store
+    * adapters), else the pin directory's mtime (pre-stamp pins). */
+  def snapshotCreatedMs(pin: String,
+                        storage: graft.sources.sstable.Storage): Long = {
+    val stamp = s"$pin/$PinnedAtFile"
+    if (!storage.exists(stamp)) return storage.mtime(pin)
+    val in = storage.open(stamp)
+    try {
+      val buf = new Array[Byte](in.length.toInt)
+      var off = 0
+      while (off < buf.length) {
+        val r = in.read(buf, off, buf.length - off)
+        if (r < 0) throw new java.io.EOFException(stamp)
+        off += r
+      }
+      new String(buf, java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+    } finally in.close()
+  }
+
   /** Pin the directory's current published state as a named snapshot —
     * Cassandra's `nodetool snapshot` design: every component of every
     * published fileset is HARDLINKED (byte-copied on backends without
@@ -1070,6 +1095,15 @@ object SSTableOps {
     if (storage.exists(snap))
       throw new IllegalStateException(s"snapshot already exists: $snap")
     storage.mkdirs(snap)
+    // capture time stamped IN the pin (ADVICE/VERDICT r9 list #7):
+    // retention used to key off pin-dir mtime alone, and an adapter
+    // whose directory mtimes are synthetic (object stores often stamp
+    // listing time or zero) could expire a YOUNG pin. The stamp is the
+    // authority; mtime stays as the fallback for pre-stamp pins.
+    val stampOut = storage.create(s"$snap/$PinnedAtFile")
+    try stampOut.write(System.currentTimeMillis().toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally stampOut.close()
     val captured = scala.collection.mutable.Set.empty[String] // Data.db names
     var pass = 0
     var stable = false
@@ -1230,9 +1264,10 @@ object SSTableOps {
     * closes: a pin holds hardlinks to every generation it captured, so
     * a FORGOTTEN snapshot keeps those bytes alive against compaction's
     * unpublish and GC forever — the classic leak of pin-based time
-    * travel. Age is the pin directory's mtime (set at capture, stable
-    * afterwards — the same liveness rule as [[vacuumStaging]]); bytes
-    * survive wherever a live name or a younger pin still links them,
+    * travel. Age is [[snapshotCreatedMs]]: the `_pinned-at` stamp
+    * written at capture (authoritative on backends with synthetic
+    * directory mtimes), falling back to pin mtime for pre-stamp pins;
+    * bytes survive wherever a live name or a younger pin still links them,
     * and only then. Choose the horizon above your longest reproducible-
     * read window (default 7 days). Returns (droppedTags, keptTags);
     * like the rest of the maintenance family, run it from the single
@@ -1243,7 +1278,7 @@ object SSTableOps {
                       storage: graft.sources.sstable.Storage =
                         graft.sources.sstable.LocalStorage): (Seq[String], Seq[String]) = {
     val (stale, live) = storage.listSubdirs(dir, SnapshotPrefix)
-      .partition(p => nowMs - storage.mtime(p) > olderThanMs)
+      .partition(p => nowMs - snapshotCreatedMs(p, storage) > olderThanMs)
     stale.foreach(storage.deleteRecursive)
     val dropped = stale.map(p => fileName(p).drop(SnapshotPrefix.length))
     if (dropped.nonEmpty)

@@ -216,7 +216,8 @@ final class SnapshotsScan(dir: String, required: StructType)
         required.fields.map[Any] {
           _.name match {
             case "tag" => UTF8String.fromString(tag)
-            case "createdMs" => storage.mtime(pin)
+            case "createdMs" =>
+              graft.operators.SSTableOps.snapshotCreatedMs(pin, storage)
             case "filesets" => storage.listDataFiles(pin).length
             case other => throw new IllegalStateException(
               s"unknown snapshots-view field: $other")

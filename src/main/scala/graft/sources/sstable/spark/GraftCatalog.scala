@@ -625,7 +625,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     * namespace of that name without colliding (procedures resolve only
     * through `CALL`). */
   private lazy val procedures: Map[String, org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure] =
-    GraftProcedures.registry { tableName =>
+    GraftProcedures.registry(catalogName = catalogName, resolveTable = { tableName =>
       val parts = tableName.split('.').toSeq
       // one part = a warehouse-root table (CREATE TABLE graft.t works,
       // so CALL must reach it too — review r8); more = ns…ns.t
@@ -636,7 +636,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       val d = tableDir(ident)
       if (!isTableDir(d)) throw new NoSuchTableException(ident)
       d
-    }
+    })
 
   override def loadProcedure(ident: Identifier):
       org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {

@@ -82,12 +82,19 @@ private[spark] object GraftProcedures {
   val Namespace: Array[String] = Array("system")
 
   /** Build the registry against `resolveTable` — the catalog's own
-    * `table-name → directory` mapping (loud on unknown names). */
-  def registry(resolveTable: String => String): Map[String, UnboundProcedure] = {
+    * `table-name → directory` mapping (loud on unknown names) — and the
+    * catalog's name (for procedures like `rebucket` that re-enter SQL). */
+  def registry(resolveTable: String => String,
+               catalogName: => String): Map[String, UnboundProcedure] = {
     def dirOf(input: InternalRow): String = {
       require(!input.isNullAt(0), "argument 'table' is required")
       resolveTable(input.getUTF8String(0).toString)
     }
+    /** Back-quoted fully-qualified SQL name (validated by resolveTable
+      * first — call dirOf before this). */
+    def qualified(tableName: String): String =
+      (catalogName +: tableName.split('.').toSeq)
+        .map(part => s"`$part`").mkString(".")
     def row(values: Any*): InternalRow = new GenericInternalRow(values.toArray)
     val tableParam =
       p("table", StringType, comment = "catalog-relative table name, e.g. 'ns.t'")
@@ -225,6 +232,55 @@ private[spark] object GraftProcedures {
               d, spark.sessionState.newHadoopConf()))
           stale.sorted.map(s => row(utf8(s), utf8("removed"))) ++
             live.sorted.map(s => row(utf8(s), utf8("live")))
+        }),
+
+      "rebucket" -> new Proc(
+        "rebucket",
+        "atomically re-layout a table to a new bucket count (new_buckets " +
+          "=> 0 drops the bucketed layout) via the self-referential " +
+          "CREATE OR REPLACE ... AS SELECT escape hatch — the stage " +
+          "materializes against the OLD table, the commit is one swap. " +
+          "Refuses while snapshots pin the current layout (a time-traveled " +
+          "read would mis-group keys under the new count); the read is " +
+          "delete-aware, so the rewrite also folds pending deletes. " +
+          "Quiesce writers first: a write racing the swap lands in the " +
+          "replaced directory and is dropped with it",
+        Array(tableParam,
+          p("new_buckets", IntegerType,
+            comment = "target bucket count; 0 = plain (un-bucketed) layout")),
+        StructType(Seq(
+          StructField("previousBuckets", IntegerType, nullable = true),
+          StructField("buckets", IntegerType, nullable = true),
+          StructField("rows", LongType, nullable = false))),
+        (spark, in) => {
+          require(!in.isNullAt(1), "argument 'new_buckets' is required")
+          val tableName = in.getUTF8String(0).toString
+          val d = dirOf(in)
+          val n = in.getInt(1)
+          require(n >= 0, s"new_buckets must be >= 0: $n")
+          if (n > 0) SSTableSource.bucketsOf(Some(n.toString)) // CREATE's validation
+          val storage = graft.sources.sstable.Storage.forPath(
+            d, spark.sessionState.newHadoopConf())
+          // the ONE audited home of the relayout×time-travel guard
+          // (NOTES r8 #38-2) — shared with ALTER 'buckets'
+          GraftCatalog.requireNoPinsForRelayout(storage, d)
+          val current = GraftCatalog.readTableProps(storage, d)
+          val prev = current.get(GraftCatalog.BucketsProp).map(_.toInt)
+          require(prev != Some(n) && !(prev.isEmpty && n == 0),
+            s"table already has ${prev.map(b => s"buckets=$b")
+              .getOrElse("the plain layout")} — nothing to re-layout")
+          val next =
+            if (n == 0) current - GraftCatalog.BucketsProp
+            else current + (GraftCatalog.BucketsProp -> n.toString)
+          val propsClause =
+            if (next.isEmpty) ""
+            else " TBLPROPERTIES (" + next.toSeq.sorted
+              .map { case (k, v) => s"'$k'='$v'" }.mkString(", ") + ")"
+          val q = qualified(tableName)
+          spark.sql(s"CREATE OR REPLACE TABLE $q$propsClause AS SELECT * FROM $q")
+          val rows = spark.sql(s"SELECT count(*) FROM $q").head().getLong(0)
+          Seq(row(prev.map(Int.box).orNull,
+            if (n == 0) null else Int.box(n), rows: java.lang.Long))
         }),
 
       "scrub" -> new Proc(

@@ -1029,9 +1029,12 @@ class SSTableOpsSpec extends AnyFunSuite {
     flush(dir, "f2", "kb", 20L)
     SSTableOps.snapshot(dir, "young-epoch")
 
-    // age the first pin only (its dir mtime is the capture time)
-    val oldPin = new java.io.File(SSTableOps.snapshotPath(dir, "old-epoch"))
-    assert(oldPin.setLastModified(System.currentTimeMillis() - 10L * 24 * 3600 * 1000))
+    // age the first pin only — retention reads the _pinned-at stamp
+    // (authoritative over dir mtime), so aging means rewinding the stamp
+    val oldStamp = new java.io.File(
+      s"${SSTableOps.snapshotPath(dir, "old-epoch")}/${SSTableOps.PinnedAtFile}")
+    java.nio.file.Files.write(oldStamp.toPath,
+      (System.currentTimeMillis() - 10L * 24 * 3600 * 1000).toString.getBytes)
 
     val (dropped, kept) = SSTableOps.expireSnapshots(dir)
     assert(dropped == Seq("old-epoch") && kept == Seq("young-epoch"))
@@ -1052,6 +1055,47 @@ class SSTableOpsSpec extends AnyFunSuite {
     val (dropped2, kept2) = SSTableOps.expireSnapshots(dir, olderThanMs = -1L)
     assert(dropped2 == Seq("young-epoch") && kept2.isEmpty,
       "negative horizon expires everything — the loud all-clear")
+  }
+
+  test("snapshot retention trusts the _pinned-at stamp over synthetic mtimes") {
+    import graft.sources.sstable.{Column, LocalStorage, SSTableRow, SSTableWriter, SeekableInput, Storage}
+    // adapter whose directory mtimes are synthetic (epoch zero — some
+    // object stores stamp listing time or nothing): mtime-keyed
+    // retention would expire EVERY pin, young ones included
+    val frozen: Storage = new Storage {
+      def open(path: String): SeekableInput = LocalStorage.open(path)
+      def length(path: String): Long = LocalStorage.length(path)
+      def mtime(path: String): Long = 0L
+      def exists(path: String): Boolean = LocalStorage.exists(path)
+      def create(path: String): java.io.DataOutputStream = LocalStorage.create(path)
+      def delete(path: String): Unit = LocalStorage.delete(path)
+      def rename(src: String, dst: String): Unit = LocalStorage.rename(src, dst)
+      def replace(src: String, dst: String): Unit = LocalStorage.replace(src, dst)
+      def listFiles(dir: String): Seq[String] = LocalStorage.listFiles(dir)
+      def listSubdirs(dir: String, prefix: String): Seq[String] =
+        LocalStorage.listSubdirs(dir, prefix)
+      def listDataFiles(d: String): Seq[String] = LocalStorage.listDataFiles(d)
+      def deleteRecursive(dir: String): Unit = LocalStorage.deleteRecursive(dir)
+      def mkdirs(dir: String): Unit = LocalStorage.mkdirs(dir)
+    }
+    val dir = Files.createTempDirectory("expire-frozen").toString
+    val w = new SSTableWriter(s"$dir/f1-Data.db", compress = false)
+    try w.append(SSTableRow("ka".getBytes,
+      Seq(Column.Normal("c".getBytes, "v".getBytes, 10L))))
+    finally w.close()
+    SSTableOps.snapshot(dir, "stamped", frozen)
+    // a legacy pin from before the stamp existed: only mtime to go on
+    frozen.mkdirs(SSTableOps.snapshotPath(dir, "legacy"))
+
+    val (dropped, kept) = SSTableOps.expireSnapshots(dir, storage = frozen)
+    // the stamped pin survives despite the synthetic zero mtime — the
+    // capture-time stamp is the authority; the stampless legacy pin
+    // falls back to mtime and ages out (the documented fallback)
+    assert(kept == Seq("stamped"), s"kept=$kept dropped=$dropped")
+    assert(dropped == Seq("legacy"))
+    // SQL discovery reports the stamped capture time, not mtime zero
+    assert(SSTableOps.snapshotCreatedMs(
+      SSTableOps.snapshotPath(dir, "stamped"), frozen) > 0L)
   }
 
   test("snapshot retries past a fileset unpublished mid-capture") {

@@ -420,6 +420,105 @@ class GraftBucketedTableSpec extends AnyFunSuite {
     }
   }
 
+  test("labeled change feed composes with bucketed tables and the sincesnapshot floor") {
+    // VERDICT r8 #8: the full CDC loop on the flagship layout — a
+    // bucketed table streams labeled _change_type events, and the
+    // sincesnapshot floor starts the feed at a pin instead of replaying
+    // history
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_bkt.cdc")
+    spark.sql("CREATE TABLE graft_bkt.cdc.t TBLPROPERTIES ('buckets'='4')")
+    val dir = s"$warehouse/cdc/t"
+    insertRows("graft_bkt.cdc.t",
+      (0 until 8).map(i => (f"old$i%02d", "v1", 10L + i)))
+    spark.sql("CALL graft_bkt.system.snapshot(table => 'cdc.t', tag => 'floor')")
+    // post-floor changes: an upsert epoch and a delete — all under
+    // bucket stems (per-bucket tombstone generations included)
+    insertRows("graft_bkt.cdc.t", Seq(("new01", "v2", 100L), ("old03", "v2", 100L)))
+    spark.sql("DELETE FROM graft_bkt.cdc.t WHERE key = CAST('old05' AS BINARY)")
+
+    val ck = Files.createTempDirectory("bcdc-ck").toString
+    val q = spark.readStream
+      .option("sincesnapshot", "floor")
+      .table("graft_bkt.cdc.t")
+      .select(col("key").cast("string").as("k"), col("_change_type").as("ct"))
+      .writeStream.outputMode("append").format("memory").queryName("bcdc_feed")
+      .option("checkpointLocation", ck).start()
+    q.processAllAvailable()
+    // a LIVE post-start epoch arrives too, still labeled, still bucketed
+    insertRows("graft_bkt.cdc.t", Seq(("new02", "v3", 200L)))
+    q.processAllAvailable()
+    q.stop()
+
+    val events = spark.table("bcdc_feed").collect()
+      .map(r => (r.getString(0), r.getString(1))).sortBy(e => (e._1, e._2))
+    assert(events.toSeq == Seq(("new01", "upsert"), ("new02", "upsert"),
+      ("old03", "upsert"), ("old05", "delete")),
+      s"floor must cut history, labels must ride: ${events.mkString(", ")}")
+    // the feed's generations were all bucket-stemmed (the delete's
+    // tombstone generations included)
+    assert(stems(dir).forall(SSTableSource.BucketNameRe.matches), stems(dir).toString)
+    spark.sql("CALL graft_bkt.system.drop_snapshot(table => 'cdc.t', tag => 'floor')")
+    spark.sql("DROP TABLE graft_bkt.cdc.t")
+  }
+
+  test("CALL rebucket: live re-layout, pin guard, SPJ at the new count") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_bkt.rbk")
+    spark.sql("CREATE TABLE graft_bkt.rbk.t TBLPROPERTIES ('buckets'='2')")
+    val dir = s"$warehouse/rbk/t"
+    val rows = (0 until 30).map(i => (f"k$i%02d", s"v$i", 100L + i))
+    insertRows("graft_bkt.rbk.t", rows)
+    spark.sql("DELETE FROM graft_bkt.rbk.t WHERE key = CAST('k05' AS BINARY)")
+
+    // the centralized pin guard (shared with ALTER): a snapshot pins the
+    // OLD layout, so rebucket refuses pointing at the pins
+    spark.sql("CALL graft_bkt.system.snapshot(table => 'rbk.t', tag => 'pre')")
+    val pinned = intercept[Exception](spark.sql(
+      "CALL graft_bkt.system.rebucket(table => 'rbk.t', new_buckets => 4)"))
+    assert(pinned.getMessage.contains("snapshots pin"), pinned.getMessage)
+    spark.sql("CALL graft_bkt.system.drop_snapshot(table => 'rbk.t', tag => 'pre')")
+
+    // re-layout 2 → 4: atomic, state preserved, deletes folded away
+    val report = spark.sql(
+      "CALL graft_bkt.system.rebucket(table => 'rbk.t', new_buckets => 4)").head()
+    assert(report.getInt(0) == 2 && report.getInt(1) == 4)
+    assert(report.getLong(2) == 29) // k05's pending delete netted out
+    assert(keysOf(spark.sql("SELECT * FROM graft_bkt.rbk.t"))
+      == rows.map(_._1).filterNot(_ == "k05").sorted)
+    assert(spark.sql("SHOW CREATE TABLE graft_bkt.rbk.t").head().getString(0)
+      .contains("'buckets' = '4'"))
+    val st = stems(dir)
+    assert(st.nonEmpty && st.forall(SSTableSource.BucketNameRe.matches), st.toString)
+
+    // the new count is real for SPJ: a join against a 4-bucket sibling
+    // runs exchange-free
+    spark.sql("CREATE TABLE graft_bkt.rbk.s TBLPROPERTIES ('buckets'='4')")
+    insertRows("graft_bkt.rbk.s", rows.take(10))
+    def shuffles(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.toString
+        .linesIterator.count(l =>
+          l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    withV2Bucketing {
+      val j = spark.sql("SELECT a.key FROM graft_bkt.rbk.t a " +
+        "JOIN graft_bkt.rbk.s b ON a.key = b.key")
+      assert(shuffles(j) == 0,
+        s"rebucketed table must SPJ at the new count:\n${j.queryExecution.executedPlan}")
+      assert(j.count() == 9) // 10 minus deleted k05
+    }
+
+    // no-op re-layouts refuse; 0 drops the layout entirely
+    val same = intercept[Exception](spark.sql(
+      "CALL graft_bkt.system.rebucket(table => 'rbk.t', new_buckets => 4)"))
+    assert(same.getMessage.contains("nothing to re-layout"), same.getMessage)
+    spark.sql("CALL graft_bkt.system.rebucket(table => 'rbk.t', new_buckets => 0)")
+    assert(!spark.sql("SHOW CREATE TABLE graft_bkt.rbk.t").head().getString(0)
+      .contains("buckets"))
+    assert(stems(dir).forall(!SSTableSource.BucketNameRe.matches(_)))
+    assert(keysOf(spark.sql("SELECT * FROM graft_bkt.rbk.t"))
+      == rows.map(_._1).filterNot(_ == "k05").sorted)
+    spark.sql("DROP TABLE graft_bkt.rbk.t")
+    spark.sql("DROP TABLE graft_bkt.rbk.s")
+  }
+
   test("CREATE TABLE property validation is loud and at CREATE time") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_bkt.bk5")
     val bad = intercept[Exception](spark.sql(
