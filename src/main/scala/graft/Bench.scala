@@ -44,72 +44,60 @@ object Bench {
     String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
 
   /** Frozen per-query steady-state seconds at sf0.1, local[32], quiet
-    * host (re-frozen round 7, closing VERDICT r6 #2: per-query min of
-    * THREE full sweeps — totals 38.2/35.5/37.5 s, total_ratio vs the r5
-    * map 1.107/1.029/1.087 — with the freeze rule that every entry must
-    * have a second run within 1.3x of it; for the two queries whose min
-    * lacked that corroboration (q_agg_summary, q_simhash_pairs) the
-    * second-smallest — corroborated — value is frozen instead of the
-    * lucky outlier. Covers all 60 queries incl. the three the r6 map
-    * lacked: q_sstable_asof, q_para_dedup, q_mix_sample.)
+    * host (re-frozen round 9 per the r5/r7 protocol, closing VERDICT r8
+    * what's-wrong #3 — the adjudicated drift set q_para_dedup /
+    * q_dedup_ngram / q_sstable_delete / q_dedup_minhash had accumulated
+    * below the machine's warm floor, eroding the gate's signal-to-noise).
+    * Method: per-query MIN of THREE full quiet sweeps (totals
+    * 40.7/41.3/40.5 s, total_ratio vs the r7+additions map
+    * 1.064/1.080/1.058, zero errors, zero contended flags, spike sets
+    * pairwise disjoint), with the corroboration rule that the frozen
+    * value must have a second run within 1.3x; the one uncorroborated
+    * min (q_sstable_asof 0.348 vs next 0.482) froze the second-smallest.
+    * The r8 physical queries (q_sstable_sync/ctas/rollback) had been
+    * frozen from targeted COLD runs and re-freeze DOWN to their in-sweep
+    * steady state (0.231 -> 0.081, 0.401 -> 0.206, 0.385 -> 0.218) —
+    * the predicted colder-JVM correction, now corroborated three ways.
     * Emitted as per-query `ratio` = measured/baseline so regressions —
-    * and host-contention noise (see the r3 lww false alarm) — are
+    * and host contention (see the `contended` flag) — are
     * self-diagnosing in the BENCH artifact. Queries added later simply
-    * have no ratio until this map is re-frozen.
-    *
-    * q_ann_ivf re-frozen mid-round-7: the harness REGENERATED the
-    * testdata between sessions (events.ts went TIMESTAMP(NANOS) →
-    * TIMESTAMP(MICROS), proving a generator change), and the new
-    * embeddings corpus prices the IVF probe join at ~0.73 s where the
-    * old corpus ran 0.42 s — reproduced twice at spread 1.04 with the
-    * code untouched, so the old entry measured data that no longer
-    * exists. Corroborated min of the two new-corpus sweeps frozen. */
+    * have no ratio until this map is re-frozen. */
   val BaselineSf01: Map[String, Double] = Map(
-    "q_agg_summary" -> 0.541, "q_ann_ivf" -> 0.733, "q_ann_ivfpq" -> 1.083,
-    "q_ann_kmeans" -> 3.155, "q_ann_pq" -> 2.607, "q_ann_recall" -> 0.846,
-    "q_asof_forward" -> 0.491, "q_asof_join" -> 0.442,
-    "q_cast_utf8" -> 0.180, "q_compact_rows" -> 0.728,
-    "q_compact_salted" -> 0.720, "q_curation_filter" -> 0.413,
-    "q_decontaminate" -> 0.573, "q_dedup_apply" -> 0.189,
-    "q_dedup_clusters" -> 1.992, "q_dedup_docs" -> 0.203,
-    "q_dedup_embedding" -> 0.254, "q_dedup_minhash" -> 0.180,
-    "q_dedup_ngram" -> 0.858, "q_dedup_simhash" -> 0.470,
-    "q_explode" -> 0.257, "q_export_b64" -> 0.351,
-    "q_fingerprint" -> 0.533, "q_group_minmax_sort" -> 1.061,
-    "q_index_keys" -> 0.226, "q_interval_join" -> 0.641,
-    "q_join_pricing" -> 0.511, "q_json_extract" -> 0.370,
-    "q_knn_cosine" -> 0.280, "q_lang_id" -> 0.378,
-    "q_lww_latest_per_key" -> 0.303, "q_lww_merge_columns" -> 0.330,
-    "q_minhash_signatures" -> 1.236, "q_mix_sample" -> 0.249,
-    "q_multimodal_frames" -> 0.175, "q_multimodal_meta" -> 0.162,
-    "q_para_dedup" -> 1.234, "q_pii_redact" -> 0.825,
-    "q_quality_score" -> 0.542, "q_quantiles" -> 0.332,
-    "q_range_splits" -> 0.477, "q_repetition" -> 0.656,
-    "q_rollup_pricing" -> 0.379, "q_sample_split" -> 0.271,
-    "q_scan_project" -> 0.336, "q_session_windows" -> 0.562,
-    "q_setops" -> 0.430, "q_shard_pack" -> 0.308,
-    "q_simhash_pairs" -> 0.347, "q_sstable_asof" -> 0.415,
-    "q_sstable_cells" -> 0.287, "q_sstable_compact" -> 0.427,
-    // r7 additions, corroborated min of same-session sweeps
-    "q_sstable_since" -> 0.189, "q_sstable_delete" -> 0.235,
-    "q_dup_spans" -> 0.936, "q_dup_spans_apply" -> 1.152,
-    // r8 addition (SQL MERGE INTO through the catalog): sweeps measured
-    // 0.093/0.123 (+0.144 targeted); 0.093's corroboration gap is 1.32x,
-    // so the second-smallest corroborated value is frozen per the rule
-    "q_sstable_merge" -> 0.123,
-    // r8 additions: q_sstable_bucketed from the two clean serialized
-    // sweeps (0.234/0.289, gap 1.24 -> min); q_sstable_ctas from three
-    // targeted runs (0.401/0.410/0.640 -> corroborated min; targeted
-    // runs measure a colder JVM than in-sweep, so expect ratios <= 1)
-    "q_sstable_bucketed" -> 0.234, "q_sstable_ctas" -> 0.401,
-    // q_sstable_rollback from three targeted runs (0.385/0.388/0.388,
-    // spread 1.01 -> min; same colder-JVM caveat as q_sstable_ctas);
-    // q_sstable_sync likewise (0.231/0.238/0.283 -> min)
-    "q_sstable_rollback" -> 0.385, "q_sstable_sync" -> 0.231,
-    "q_sstable_topk" -> 0.046, "q_stratified" -> 0.173,
-    "q_text_stats" -> 0.249, "q_tfidf_topk" -> 0.990,
-    "q_token_count" -> 0.425, "q_tombstone_filter" -> 0.312,
-    "q_ttl_expiry" -> 0.233, "q_window_topk" -> 0.422)
+    "q_agg_summary" -> 0.617, "q_ann_ivf" -> 0.601,
+    "q_ann_ivfpq" -> 1.197, "q_ann_kmeans" -> 3.420,
+    "q_ann_pq" -> 2.812, "q_ann_recall" -> 0.910,
+    "q_asof_forward" -> 0.486, "q_asof_join" -> 0.512,
+    "q_cast_utf8" -> 0.192, "q_compact_rows" -> 0.769,
+    "q_compact_salted" -> 0.816, "q_curation_filter" -> 0.466,
+    "q_decontaminate" -> 0.545, "q_dedup_apply" -> 0.194,
+    "q_dedup_clusters" -> 1.824, "q_dedup_docs" -> 0.222,
+    "q_dedup_embedding" -> 0.292, "q_dedup_minhash" -> 0.191,
+    "q_dedup_ngram" -> 0.766, "q_dedup_simhash" -> 0.406,
+    "q_dup_spans" -> 0.808, "q_dup_spans_apply" -> 1.139,
+    "q_explode" -> 0.269, "q_export_b64" -> 0.371,
+    "q_fingerprint" -> 0.527, "q_group_minmax_sort" -> 0.986,
+    "q_index_keys" -> 0.214, "q_interval_join" -> 0.697,
+    "q_join_pricing" -> 0.517, "q_json_extract" -> 0.413,
+    "q_knn_cosine" -> 0.301, "q_lang_id" -> 0.397,
+    "q_lww_latest_per_key" -> 0.323, "q_lww_merge_columns" -> 0.347,
+    "q_minhash_signatures" -> 1.100, "q_mix_sample" -> 0.249,
+    "q_multimodal_frames" -> 0.176, "q_multimodal_meta" -> 0.167,
+    "q_para_dedup" -> 1.160, "q_pii_redact" -> 0.788,
+    "q_quality_score" -> 0.544, "q_quantiles" -> 0.312,
+    "q_range_splits" -> 0.480, "q_repetition" -> 0.594,
+    "q_rollup_pricing" -> 0.365, "q_sample_split" -> 0.271,
+    "q_scan_project" -> 0.331, "q_session_windows" -> 0.624,
+    "q_setops" -> 0.437, "q_shard_pack" -> 0.286,
+    "q_simhash_pairs" -> 0.291, "q_sstable_asof" -> 0.482,
+    "q_sstable_bucketed" -> 0.219, "q_sstable_cells" -> 0.320,
+    "q_sstable_compact" -> 0.401, "q_sstable_ctas" -> 0.206,
+    "q_sstable_delete" -> 0.279, "q_sstable_merge" -> 0.120,
+    "q_sstable_rollback" -> 0.218, "q_sstable_since" -> 0.238,
+    "q_sstable_sync" -> 0.081, "q_sstable_topk" -> 0.044,
+    "q_stratified" -> 0.191, "q_text_stats" -> 0.227,
+    "q_tfidf_topk" -> 0.909, "q_token_count" -> 0.371,
+    "q_tombstone_filter" -> 0.309, "q_ttl_expiry" -> 0.268,
+    "q_window_topk" -> 0.401)
 
   /** Sweep-level contention self-diagnosis (VERDICT r8 #6): the
     * per-query re-check defends against stalls shorter than one query's

@@ -331,6 +331,55 @@ object SSTableDemo {
     println(s"== SQL atomic CTAS: bucketed CTAS copied $ctRows rows; " +
       s"REPLACE swapped to $ctAfter; TRUNCATE left $ctEmpty " +
       s"($residue staging dirs left behind, want 0)")
+
+    // Maintenance lease: a second maintainer is a loud refusal naming
+    // the holder, not a silent data race (fencing: a superseded holder
+    // aborts before unpublishing)
+    val demoTable = s"$dir-warehouse/demo/t"
+    val lease = sources.sstable.MaintenanceLease.acquire(
+      demoTable, sources.sstable.LocalStorage, "nightly-compactor")
+    val refused =
+      try { spark.sql("CALL graft.system.compact(table => 'demo.t')"); "NOT refused" }
+      catch {
+        case e: sources.sstable.MaintenanceLease.MaintenanceLeaseHeldException =>
+          s"refused naming '${e.holder.takeWhile(_ != '#')}…'"
+      }
+    lease.release()
+    println(s"== maintenance lease: concurrent CALL compact $refused; " +
+      "released lease folds normally")
+
+    // Auto-compaction: a table with autocompact=N folds itself inside
+    // the committing writer — continuous ingestion with no CALL schedule
+    spark.sql("CREATE TABLE graft.demo.ac TBLPROPERTIES('autocompact'='3')")
+    for (e <- 1 to 8)
+      spark.sql("INSERT INTO graft.demo.ac VALUES " +
+        s"(CAST('k$e' AS BINARY), array(named_struct('name', CAST('c' AS BINARY), " +
+        s"'state', 'NORMAL', 'value', CAST('v' AS BINARY), 'timestamp', CAST($e AS BIGINT), " +
+        "'ttlSecs', CAST(0 AS BIGINT), 'expiresMillis', CAST(0 AS BIGINT))), " +
+        "CAST(NULL AS STRUCT<localDeletionTime: INT, markedForDeleteAt: BIGINT>))")
+    val acGens = sources.sstable.SSTableReader
+      .listDataFiles(s"$dir-warehouse/demo/ac").length
+    val acRows = spark.sql("SELECT count(*) FROM graft.demo.ac").head().getLong(0)
+    println(s"== autocompact: 8 INSERT commits left $acGens generation(s) " +
+      s"(threshold 3, want <= 3), $acRows rows intact")
+
+    // Operation history: DESCRIBE HISTORY for the engine — every commit
+    // and maintenance action as an ordered event with its fileset diff
+    val histOps = spark.sql("SELECT op FROM graft.demo.t.history")
+      .collect().map(_.getString(0))
+    println(s"== t.history: ${histOps.length} events " +
+      s"[${histOps.distinct.sorted.mkString(", ")}] — rollback survived as an event: " +
+      s"${histOps.contains("rollback")}")
+
+    // CALL rebucket: managed live re-layout (the self-referential
+    // CREATE OR REPLACE escape hatch with the pin guard centralized)
+    val rb = spark.sql(
+      "CALL graft.system.rebucket(table => 'demo.b1', new_buckets => 8)").head()
+    val rbStems = sources.sstable.SSTableReader
+      .listDataFiles(s"$dir-warehouse/demo/b1")
+      .forall(f => sources.sstable.SSTableFiles.generationStem(f).startsWith("bucket-"))
+    println(s"== CALL rebucket: ${rb.getInt(0)} -> ${rb.getInt(1)} buckets, " +
+      s"${rb.getLong(2)} rows, stems bucketed=$rbStems")
     spark.stop()
   }
 }
