@@ -252,6 +252,39 @@ object WideRowQueries {
           col("timestamp").as("ts_ms"))
         .orderBy("user_id", "event_type", "ts_ms", "value_e4")
     }),
+    // Write-triggered auto-compaction over the REAL files: the corpus
+    // arrives in six epoch writes with `autocompact = 3`, so the
+    // committing writers themselves fold the directory back to the
+    // bound (the fixture REQUIRES <= 3 generations — a broken trigger
+    // fails loudly, not as a slow directory). Folds LWW-merge cell
+    // versions, so the gated invariant is the RECONCILED state: the
+    // compacted read of the self-maintained directory must equal the
+    // q_sstable_compact winners exactly — a fold that drops a
+    // generation, resurrects a shadowed version, or re-stamps a cell
+    // is a hash mismatch.
+    "q_sstable_autocompact" -> ((s, d) => {
+      val (dir, _) = sstableAutoCompactFixture(s, d)
+      SSTableOps.compactRows(s.read.format("sstable").load(dir))
+        .select(col("key"), explode(col("columns")).as("c"))
+        .select(col("key").cast("string").cast("long").as("user_id"),
+          col("c.name").cast("string").as("event_type"),
+          col("c.timestamp").as("ts_ms"),
+          col("c.value").cast("string").cast("long").as("value_e4"))
+        .orderBy("user_id", "event_type")
+    }),
+    // The operation history of that same fixture, under the hash gate:
+    // six single-generation epoch commits with threshold 3 must produce
+    // EXACTLY the event sequence insert x4, then (autocompact, insert)
+    // alternating — the write-triggered fold fires on commits 4, 5 and
+    // 6 and nowhere else, and the log's lexical id order is the true
+    // order (a commit and its fold can share a millisecond). The
+    // oracle is the spec sequence as a VALUES relation.
+    "q_sstable_history" -> ((s, d) => {
+      val (_, cat) = sstableAutoCompactFixture(s, d)
+      s.sql(s"""SELECT seq, op FROM (
+          SELECT row_number() OVER (ORDER BY id) AS seq, op
+          FROM $cat.fx.t.history) ORDER BY seq""")
+    }),
     // Time travel over the REAL files: the asofmicros read option drops
     // post-cut cell versions at decode (and whole post-cut generations
     // at plan time via Statistics minTimestamp), so compactRows yields
@@ -582,6 +615,40 @@ object WideRowQueries {
       s"$wh/fx/scratch"
     }
 
+  /** Physical fixture for the auto-compaction queries: the events
+    * corpus split into six deterministic epochs (`user_id % 6`), each
+    * written as ONE generation (`writepartitions=1`) with
+    * `autocompact=3` — commits 4..6 each leave four generations and
+    * must fold the smallest two back to the bound before returning.
+    * The bound is REQUIRED here (loud fixture failure beats a passing
+    * content hash over an unfolded directory), and a per-corpus catalog
+    * is registered so the history query can read `fx.t.history` in SQL.
+    * Returns (table dir, catalog name). */
+  private val autoCompactFixtureCache = new SessionCache[(String, String)]
+  private def sstableAutoCompactFixture(s: SparkSession, d: String): (String, String) =
+    autoCompactFixtureCache.getOrCompute(s, d) {
+      val corpusTag = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes).map("%02x".format(_)).mkString.take(16)
+      val wh = freshFixtureDir("graft-ac", d)
+      val dir = s"$wh/fx/t"
+      val e = Tables.events(s, d).select("user_id", "event_type", "ts_ms", "value")
+      (0 until 6).foreach { ep =>
+        liftedEvents(e.filter(pmod(col("user_id"), lit(6)) === ep))
+          .write.format("sstable")
+          .option("writepartitions", "1")
+          .option("autocompact", "3")
+          .mode("append").save(dir)
+      }
+      val gens = graft.sources.sstable.LocalStorage.listDataFiles(dir).length
+      require(gens <= 3,
+        s"autocompact must hold the 3-generation bound, got $gens: $dir")
+      val cat = s"graft_ac_$corpusTag"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.sstable.spark.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      (dir, cat)
+    }
+
   /** Lift events into the nested scan schema, compact with the selected
     * merge variant, and explode back to a comparable relation. Each event
     * becomes a one-column row VERSION (multiple rows per key are exactly
@@ -714,6 +781,21 @@ object WideRowQueries {
             SELECT user_id + $MergeNewUserOffset, 'merged',
                    user_id + $MergeNewUserOffset, (SELECT t FROM wts) FROM touched)
           ORDER BY user_id, event_type, ts_ms, value_e4""",
+    // auto-compaction is pure maintenance: the reconciled state of the
+    // self-maintained directory is the same LWW winner set as
+    // q_sstable_compact
+    "q_sstable_autocompact" ->
+      s"""SELECT user_id, event_type, ts_ms, ${e4Sql("value")} AS value_e4
+          FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts_ms DESC) AS rn
+                FROM $EventsSql) WHERE rn = 1 ORDER BY user_id, event_type""",
+    // the history log's spec sequence: six single-generation commits at
+    // threshold 3 fire the write-triggered fold on commits 4, 5, 6
+    "q_sstable_history" ->
+      """SELECT seq, op FROM (VALUES
+            (1, 'insert'), (2, 'insert'), (3, 'insert'), (4, 'insert'),
+            (5, 'autocompact'), (6, 'insert'), (7, 'autocompact'),
+            (8, 'insert'), (9, 'autocompact')) AS t(seq, op)
+          ORDER BY seq""",
     // the same smallest-k key multiset the pushed top-n produces
     "q_sstable_topk" ->
       s"""SELECT user_key FROM (

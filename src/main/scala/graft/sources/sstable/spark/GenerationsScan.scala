@@ -162,6 +162,10 @@ final class HistoryTable(dir: String)
 object HistoryTable {
   import org.apache.spark.sql.types._
   val schema: StructType = StructType(Seq(
+    // the event file name — `ev-<ms>-<nanos>-<uuid>`, whose lexical
+    // order IS the true event order (tsMs alone can tie: a commit and
+    // the autocompact it triggered land in the same millisecond)
+    StructField("id", StringType, nullable = false),
     StructField("tsMs", LongType, nullable = false),
     StructField("op", StringType, nullable = false),
     StructField("added", ArrayType(StringType, containsNull = false),
@@ -185,6 +189,7 @@ final class HistoryScan(dir: String, required: StructType)
     val rows: Array[Array[Any]] = History.events(storage, dir).map { e =>
       required.fields.map[Any] {
         _.name match {
+          case "id" => UTF8String.fromString(e.id)
           case "tsMs" => e.tsMs
           case "op" => UTF8String.fromString(e.op)
           case "added" => strings(e.added)
