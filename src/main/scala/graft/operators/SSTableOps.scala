@@ -737,9 +737,14 @@ object SSTableOps {
         }
       }
     } catch {
-      // a real maintainer is on it; the write must not fail for
-      // maintenance it merely volunteers for
+      // a real maintainer is on it (Held, incl. acquire churn) or took
+      // over mid-fold (Lost — we stalled past the horizon and the fence
+      // aborted us before touching published state): either way the
+      // write must not fail for maintenance it merely volunteered for.
+      // Genuine fold IO errors still propagate — a store that cannot
+      // fold cannot be trusted to have committed either.
       case _: MaintenanceLease.MaintenanceLeaseHeldException => 0
+      case _: MaintenanceLease.MaintenanceLeaseLostException => 0
     }
   }
 
@@ -1046,17 +1051,7 @@ object SSTableOps {
                         storage: graft.sources.sstable.Storage): Long = {
     val stamp = s"$pin/$PinnedAtFile"
     if (!storage.exists(stamp)) return storage.mtime(pin)
-    val in = storage.open(stamp)
-    try {
-      val buf = new Array[Byte](in.length.toInt)
-      var off = 0
-      while (off < buf.length) {
-        val r = in.read(buf, off, buf.length - off)
-        if (r < 0) throw new java.io.EOFException(stamp)
-        off += r
-      }
-      new String(buf, java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-    } finally in.close()
+    storage.readString(stamp).trim.toLong
   }
 
   /** Pin the directory's current published state as a named snapshot —

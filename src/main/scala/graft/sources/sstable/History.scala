@@ -29,6 +29,10 @@ import java.nio.charset.StandardCharsets
 object History {
   val DirName = "_history"
   private val EventPrefix = "ev-"
+  /** Orders same-millisecond events from ONE process (the single
+    * writer/maintainer whose ordering matters); cross-process same-ms
+    * ties fall to the uuid, like any two independent clocks. */
+  private val seq = new java.util.concurrent.atomic.AtomicLong(0)
 
   final case class Event(id: String, tsMs: Long, op: String,
                          added: Seq[String], removed: Seq[String],
@@ -48,7 +52,10 @@ object History {
     val hd = s"$dir/$DirName"
     storage.mkdirs(hd)
     val ts = System.currentTimeMillis()
-    val name = f"$EventPrefix$ts%013d-${System.nanoTime() % 1000000}%06d-" +
+    // same-millisecond tiebreaker: a process-global monotonic counter,
+    // NOT nanoTime%N (which wraps every N ns independently of the ms
+    // clock, so a later event could sort lexically earlier — review r9)
+    val name = f"$EventPrefix$ts%013d-${seq.getAndIncrement() % 100000000}%08d-" +
       java.util.UUID.randomUUID().toString.take(8)
     val body = Seq(
       s"op=$op",
@@ -73,7 +80,7 @@ object History {
         n.startsWith(EventPrefix) && !n.endsWith(".tmp")
       }
       .sorted.map { p =>
-        val kv = readLines(storage, p).flatMap { line =>
+        val kv = storage.readString(p).split("\n").toSeq.flatMap { line =>
           val i = line.indexOf('=')
           if (i <= 0) None else Some(line.take(i) -> line.drop(i + 1))
         }.toMap
@@ -97,18 +104,4 @@ object History {
 
   private def fileName(path: String): String =
     path.substring(path.lastIndexOf('/') + 1)
-
-  private def readLines(storage: Storage, p: String): Seq[String] = {
-    val in = storage.open(p)
-    try {
-      val buf = new Array[Byte](in.length.toInt)
-      var off = 0
-      while (off < buf.length) {
-        val r = in.read(buf, off, buf.length - off)
-        if (r < 0) throw new java.io.EOFException(s"$p truncated at $off")
-        off += r
-      }
-      new String(buf, StandardCharsets.UTF_8).split("\n").toSeq
-    } finally in.close()
-  }
 }

@@ -124,19 +124,8 @@ object MaintenanceLease {
   private def readHolder(dir: String, storage: Storage): Option[String] = {
     val p = s"$dir/$LeaseFile"
     if (!storage.exists(p)) return None
-    try {
-      val in = storage.open(p)
-      try {
-        val buf = new Array[Byte](in.length.toInt)
-        var off = 0
-        while (off < buf.length) {
-          val r = in.read(buf, off, buf.length - off)
-          if (r < 0) throw new java.io.EOFException(p)
-          off += r
-        }
-        Some(new String(buf, StandardCharsets.UTF_8))
-      } finally in.close()
-    } catch {
+    try Some(storage.readString(p))
+    catch {
       // vanished between exists and open: released/stolen mid-read
       case _: java.io.IOException | _: java.nio.file.NoSuchFileException => None
     }
@@ -183,9 +172,10 @@ object MaintenanceLease {
           }
       }
     }
-    throw new IllegalStateException(
-      s"could not acquire maintenance lease on $dir after $attempts attempts " +
-        "(acquire/release churn)")
+    // churn = contenders kept winning the name between our reads; to a
+    // caller this IS "someone else holds it" — same excusable category
+    throw new MaintenanceLeaseHeldException(dir,
+      s"<acquire/release churn after $attempts attempts>")
   }
 
   /** Run `body` under the directory's lease: acquire → auto-renew →

@@ -81,6 +81,24 @@ trait Storage {
   /** Hosts holding the physical byte range [start, end) of `path`; empty
     * when locality is unknown (local fs). */
   def blockHosts(path: String, start: Long, end: Long): Array[String] = Array.empty
+
+  /** Read a small metadata file fully as UTF-8 — the ONE home of the
+    * read-to-end loop the `_table`/`_lease`/`_history`/`_pinned-at`
+    * readers share (review r9: four hand-rolled copies had accumulated).
+    * Loud on truncation; callers bound usage to metadata-sized files. */
+  final def readString(path: String): String = {
+    val in = open(path)
+    try {
+      val buf = new Array[Byte](in.length.toInt)
+      var off = 0
+      while (off < buf.length) {
+        val r = in.read(buf, off, buf.length - off)
+        if (r < 0) throw new java.io.EOFException(s"$path truncated at $off")
+        off += r
+      }
+      new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+  }
 }
 
 object LocalStorage extends Storage {
@@ -107,10 +125,31 @@ object LocalStorage extends Storage {
     // refuses. Match the refusing semantics so a published-name
     // collision fails LOUDLY instead of overwriting a live generation —
     // callers that mean to replace (streaming epoch replay) delete first.
-    if (new File(dst).exists())
-      throw new java.io.IOException(s"rename $src -> $dst: destination exists")
-    val ok = new File(src).renameTo(new File(dst))
-    if (!ok) throw new java.io.IOException(s"rename $src -> $dst failed")
+    // For FILES the refusal is ATOMIC via link(2) (EEXIST on a raced
+    // dst), not check-then-act: MaintenanceLease.acquire's exclusivity
+    // rides this rename, and a exists()-then-renameTo window would let
+    // two simultaneous acquirers both "win" (one silently replacing the
+    // other's lease — review r9). Directories keep the checked rename
+    // (link(2) refuses dirs; their callers are DDL, not mutex).
+    val s = new File(src)
+    def checkedRename(): Unit = {
+      if (new File(dst).exists())
+        throw new java.io.IOException(s"rename $src -> $dst: destination exists")
+      val ok = s.renameTo(new File(dst))
+      if (!ok) throw new java.io.IOException(s"rename $src -> $dst failed")
+    }
+    if (s.isFile) {
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(dst), s.toPath)
+        java.nio.file.Files.delete(s.toPath)
+      } catch {
+        case e: java.nio.file.FileAlreadyExistsException =>
+          throw new java.io.IOException(s"rename $src -> $dst: destination exists", e)
+        case _: UnsupportedOperationException =>
+          checkedRename() // hardlink-less fs: best-effort refusal
+      }
+    } else checkedRename()
   }
   override def replace(src: String, dst: String): Unit = {
     java.nio.file.Files.move(new File(src).toPath, new File(dst).toPath,

@@ -765,21 +765,11 @@ object GraftCatalog {
                                     dir: String): Map[String, String] = {
     val p = s"$dir/$TablePropsFile"
     if (!storage.exists(p)) return Map.empty
-    val in = storage.open(p)
-    try {
-      val buf = new Array[Byte](in.length.toInt)
-      var off = 0
-      while (off < buf.length) {
-        val r = in.read(buf, off, buf.length - off)
-        if (r < 0) throw new java.io.EOFException(s"$p truncated at $off")
-        off += r
-      }
-      new String(buf, java.nio.charset.StandardCharsets.UTF_8)
-        .split("\n").iterator.map(_.trim).filter(_.nonEmpty).map { line =>
-          val i = line.indexOf('=')
-          require(i > 0, s"malformed table property line in $p: '$line'")
-          line.take(i) -> line.drop(i + 1)
-        }.toMap
-    } finally in.close()
+    storage.readString(p)
+      .split("\n").iterator.map(_.trim).filter(_.nonEmpty).map { line =>
+        val i = line.indexOf('=')
+        require(i > 0, s"malformed table property line in $p: '$line'")
+        line.take(i) -> line.drop(i + 1)
+      }.toMap
   }
 }

@@ -261,24 +261,37 @@ private[spark] object GraftProcedures {
           if (n > 0) SSTableSource.bucketsOf(Some(n.toString)) // CREATE's validation
           val storage = graft.sources.sstable.Storage.forPath(
             d, spark.sessionState.newHadoopConf())
-          // the ONE audited home of the relayout×time-travel guard
-          // (NOTES r8 #38-2) — shared with ALTER 'buckets'
-          GraftCatalog.requireNoPinsForRelayout(storage, d)
-          val current = GraftCatalog.readTableProps(storage, d)
-          val prev = current.get(GraftCatalog.BucketsProp).map(_.toInt)
-          require(prev != Some(n) && !(prev.isEmpty && n == 0),
-            s"table already has ${prev.map(b => s"buckets=$b")
-              .getOrElse("the plain layout")} — nothing to re-layout")
-          val next =
-            if (n == 0) current - GraftCatalog.BucketsProp
-            else current + (GraftCatalog.BucketsProp -> n.toString)
-          val propsClause =
-            if (next.isEmpty) ""
-            else " TBLPROPERTIES (" + next.toSeq.sorted
-              .map { case (k, v) => s"'$k'='$v'" }.mkString(", ") + ")"
-          val q = qualified(tableName)
-          spark.sql(s"CREATE OR REPLACE TABLE $q$propsClause AS SELECT * FROM $q")
-          val rows = spark.sql(s"SELECT count(*) FROM $q").head().getLong(0)
+          // the whole-table swap is maintenance-destructive: take the
+          // lease like the compactors (review r9 — a carrying fold
+          // publishing into the old directory mid-swap would land its
+          // plain-stem output INSIDE the new bucketed directory). The
+          // lease file goes to trash with the replaced directory, which
+          // release() tolerates (the exclusion only matters until the
+          // swap lands).
+          val prevAndRows = graft.sources.sstable.MaintenanceLease
+            .withLease(d, storage, "rebucket") { _ =>
+              // the ONE audited home of the relayout×time-travel guard
+              // (NOTES r8 #38-2) — shared with ALTER 'buckets'
+              GraftCatalog.requireNoPinsForRelayout(storage, d)
+              val current = GraftCatalog.readTableProps(storage, d)
+              val prev = current.get(GraftCatalog.BucketsProp).map(_.toInt)
+              require(prev != Some(n) && !(prev.isEmpty && n == 0),
+                s"table already has ${prev.map(b => s"buckets=$b")
+                  .getOrElse("the plain layout")} — nothing to re-layout")
+              val next =
+                if (n == 0) current - GraftCatalog.BucketsProp
+                else current + (GraftCatalog.BucketsProp -> n.toString)
+              val propsClause =
+                if (next.isEmpty) ""
+                else " TBLPROPERTIES (" + next.toSeq.sorted
+                  .map { case (k, v) => s"'$k'='$v'" }.mkString(", ") + ")"
+              val q = qualified(tableName)
+              spark.sql(s"CREATE OR REPLACE TABLE $q$propsClause AS SELECT * FROM $q")
+              (prev, spark.sql(s"SELECT count(*) FROM $q").head().getLong(0))
+            }
+          val (prev, rows) = prevAndRows
+          graft.sources.sstable.History.record(storage, d, "rebucket",
+            detail = s"buckets=${prev.getOrElse(0)}->$n")
           Seq(row(prev.map(Int.box).orNull,
             if (n == 0) null else Int.box(n), rows: java.lang.Long))
         }),

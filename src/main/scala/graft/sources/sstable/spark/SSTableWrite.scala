@@ -76,6 +76,9 @@ final class SSTableWrite(path: String, schema: StructType,
     SSTableSource.bucketsOf(properties.get(SSTableSource.WriteBucketsOption))
   require(writeBuckets.isEmpty || !rangeLayout,
     "bucketed tables hash-route by key; 'layout=range' cannot compose with 'buckets'")
+  // parse at BUILD, not at commit: an invalid value must fail the job
+  // before any data publishes, like every other writer-tuning option
+  SSTableSource.autoCompactOf(properties.get(SSTableSource.AutoCompactOption))
 
   private def keyAsc: Array[SortOrder] =
     Array(Expressions.sort(Expressions.column("key"), SortDirection.ASCENDING))

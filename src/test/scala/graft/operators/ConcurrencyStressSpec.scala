@@ -182,9 +182,13 @@ class ConcurrencyStressSpec extends AnyFunSuite {
     }
     // folds are serialized by the lease: each bucket folded at most once
     assert(folds.flatMap(_.toOption).sum <= buckets)
-    assert(failures.length == 1,
-      s"with an 8-generation-per-bucket fold in flight the second " +
-        s"maintainer must hit the lease (got ${failures.length} refusals)")
+    // 1 refusal = the threads overlapped and the lease fired; 0 = they
+    // legitimately serialized (the loser listed AFTER the winner's fold,
+    // found chains of one, and returned without acquiring). Both satisfy
+    // the actual invariant — never a silent concurrent fold; the
+    // DETERMINISTIC refusal is pinned by the held-lease test above.
+    assert(failures.length <= 1,
+      s"at most one maintainer may lose the lease race, got ${failures.length}")
     // reconciled state is the single-maintainer result regardless
     val expected = (0 until 60).map(i => f"k$i%04d" -> 8L).toMap
     assert(lwwState(dir) == expected)
