@@ -665,11 +665,14 @@ object SSTableOps {
     * an operator ever scheduling CALL compact.
     *
     * Fold policy, chosen for bounded write amplification:
-    *  - plain layout: fold the SMALLEST `count - N + 1` generations into
-    *    one (the size-tiered pick — fresh epoch-sized generations fold
-    *    cheaply against each other; the big folded outputs are left
-    *    alone until enough siblings accumulate around them). Tombstone
-    *    GC rides along when the picked set is provably isolated, exactly
+    *  - plain layout: fold the SMALLEST `count - N + 1` DATA generations
+    *    into one (the size-tiered pick — fresh epoch-sized generations
+    *    fold cheaply against each other; the big folded outputs are left
+    *    alone until enough siblings accumulate around them). The bound
+    *    counts data generations only: delete-only generations cannot
+    *    fold carrying (their sidecar delete signature would be
+    *    destroyed) and belong to compact_tombstones/GC. Tombstone GC
+    *    rides along when the picked set is provably isolated, exactly
     *    like [[compactInPlace]] ([[foldBucketInPlace]] is the shared
     *    fold body).
     *  - bucketed layout: fold the WHOLE chain of every bucket past the
@@ -727,11 +730,24 @@ object SSTableOps {
             case None =>
               if (now.exists(f => SSTableSource.BucketNameRe.matches(
                   SSTableFiles.generationStem(f)))) 0 // contaminated: skip, never fold across buckets
-              else if (now.length <= threshold) 0
               else {
-                val k = now.length - threshold + 1
-                val smallest = now.sortBy(storage.length).take(k)
-                if (foldBucketInPlace(spark, dir, smallest, storage, lease)) 1 else 0
+                // the bound applies to DATA generations: delete-only
+                // generations are withheld from carrying folds anyway
+                // (folding one into a mixed output destroys its sidecar
+                // delete signature — see foldBucketInPlace), so counting
+                // them would let an UPDATE/MERGE-heavy directory starve
+                // the pick on unfoldable members while the count climbed.
+                // Tombstone DEBT stays compact_tombstones'/GC's domain;
+                // the bucketed path resolves it structurally per chain.
+                val dataGens = now.filterNot(f =>
+                  graft.sources.sstable.spark.DeleteShadow.isDeleteOnly(
+                    new graft.sources.sstable.SSTableReader(f, storage).statistics))
+                if (dataGens.length <= threshold) 0
+                else {
+                  val k = dataGens.length - threshold + 1
+                  val smallest = dataGens.sortBy(storage.length).take(k)
+                  if (foldBucketInPlace(spark, dir, smallest, storage, lease)) 1 else 0
+                }
               }
           }
         }

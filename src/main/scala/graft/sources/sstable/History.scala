@@ -95,6 +95,28 @@ object History {
       }
   }
 
+  /** Retention for the log: remove events older than the horizon (the
+    * timestamp is IN the file name, so this is a pure listing + name
+    * parse — no file reads). The log is an audit trail, not state:
+    * expiring old events changes nothing about the directory's data,
+    * and `t.history` simply starts later. Returns (removed, kept)
+    * event counts. */
+  def expire(storage: Storage, dir: String, olderThanMs: Long,
+             nowMs: Long = System.currentTimeMillis()): (Int, Int) = {
+    val hd = s"$dir/$DirName"
+    val (stale, live) = storage.listFiles(hd)
+      .filter { p =>
+        val n = fileName(p)
+        n.startsWith(EventPrefix) && !n.endsWith(".tmp")
+      }
+      .partition { p =>
+        val msPart = fileName(p).drop(EventPrefix.length).takeWhile(_.isDigit)
+        msPart.nonEmpty && nowMs - msPart.toLong > olderThanMs
+      }
+    stale.foreach(storage.delete)
+    (stale.length, live.length)
+  }
+
   private def stem(pathOrName: String): String = {
     val n = fileName(pathOrName)
     if (n.endsWith(SSTableFiles.DataSuffix))

@@ -234,6 +234,25 @@ private[spark] object GraftProcedures {
             live.sorted.map(s => row(utf8(s), utf8("live")))
         }),
 
+      "expire_history" -> new Proc(
+        "expire_history",
+        "retention for the _history operation log: remove events older " +
+          "than the horizon (name-parse only, no file reads); the log is " +
+          "an audit trail, so expiry changes nothing about the data",
+        Array(tableParam,
+          p("older_than_ms", LongType, Some((90L * 24 * 3600 * 1000).toString))),
+        StructType(Seq(
+          StructField("removed", IntegerType, nullable = false),
+          StructField("kept", IntegerType, nullable = false))),
+        (spark, in) => {
+          val d = dirOf(in)
+          val (removed, kept) = graft.sources.sstable.History.expire(
+            graft.sources.sstable.Storage.forPath(
+              d, spark.sessionState.newHadoopConf()),
+            d, in.getLong(1))
+          Seq(row(removed: Integer, kept: Integer))
+        }),
+
       "rebucket" -> new Proc(
         "rebucket",
         "atomically re-layout a table to a new bucket count (new_buckets " +

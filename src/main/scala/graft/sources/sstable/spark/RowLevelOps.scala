@@ -213,6 +213,16 @@ final class SSTableDeltaBatchWrite(path: String, info: LogicalWriteInfo,
       cmd.toString.toLowerCase(java.util.Locale.ROOT),
       added = (stagedInserts ++ stagedTomb).toSeq,
       detail = s"deletedKeys=${keys.length}")
+    // UPDATE/MERGE-heavy tables accumulate generations like any other
+    // committer; the delta commit volunteers the same bounded fold as
+    // batch inserts and streaming epochs (data generations only — the
+    // tombstone debt this op appended is compact_tombstones' domain)
+    SSTableSource.autoCompactOf(properties.get(SSTableSource.AutoCompactOption))
+      .foreach { n =>
+        graft.operators.SSTableOps.autoCompact(SparkSession.active, path, n,
+          writeBuckets)
+        ()
+      }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

@@ -750,6 +750,65 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.ac.off")
   }
 
+  test("autocompact triggers on UPDATE/MERGE commits; delete-only gens don't starve it") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.acd")
+    spark.sql("CREATE TABLE graft.acd.t TBLPROPERTIES ('autocompact'='3')")
+    val dir = s"$warehouse/acd/t"
+    def dataGens: Int = graft.sources.sstable.LocalStorage.listDataFiles(dir)
+      .count(f => !DeleteShadow.isDeleteOnly(
+        new graft.sources.sstable.SSTableReader(f,
+          graft.sources.sstable.LocalStorage).statistics))
+    // six MERGE commits, each inserting a disjoint batch through the
+    // DELTA write path — the bound must hold after every one
+    (1 to 6).foreach { e =>
+      spark.sql(
+        s"""MERGE INTO graft.acd.t t USING (
+              SELECT CAST('k$e' AS BINARY) mk, array(named_struct(
+                'name', CAST('c' AS BINARY), 'state', 'NORMAL',
+                'value', CAST('v$e' AS BINARY), 'timestamp', CAST($e AS BIGINT),
+                'ttlSecs', CAST(0 AS BIGINT), 'expiresMillis', CAST(0 AS BIGINT))) mc) s
+            ON t.key = s.mk
+            WHEN NOT MATCHED THEN INSERT (key, columns, rowTombstone)
+              VALUES (s.mk, s.mc, NULL)""")
+      assert(dataGens <= 3, s"merge commit $e broke the autocompact bound")
+    }
+    // an UPDATE appends a re-insert AND a delete-only tombstone
+    // generation; the bound counts DATA generations (a delete-only
+    // member cannot fold carrying and must not starve the pick)
+    spark.sql("UPDATE graft.acd.t SET columns = array(named_struct(" +
+      "'name', CAST('c' AS BINARY), 'state', 'NORMAL', " +
+      "'value', CAST('upd' AS BINARY), 'timestamp', CAST(0 AS BIGINT), " +
+      "'ttlSecs', CAST(0 AS BIGINT), 'expiresMillis', CAST(0 AS BIGINT))) " +
+      "WHERE key = CAST('k3' AS BINARY)")
+    assert(dataGens <= 3, "the delta commit must fold data generations")
+    val got = spark.sql(
+      "SELECT cast(key as string) k, cast(columns[0].value as string) v " +
+        "FROM graft.acd.t")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == (1 to 6).map(e => s"k$e" -> (if (e == 3) "upd" else s"v$e")).toMap)
+    spark.sql("DROP TABLE graft.acd.t")
+  }
+
+  test("CALL expire_history prunes old events; the live tail keeps reading") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.he")
+    spark.sql("CREATE TABLE graft.he.t")
+    val dir = s"$warehouse/he/t"
+    insertRows("graft.he.t", Seq(("a", "1", 1L)))
+    insertRows("graft.he.t", Seq(("b", "2", 2L)))
+    // fabricate an ANCIENT event (epoch ms ~0 in the name — retention
+    // parses the name, reads nothing)
+    val old = new java.io.File(s"$dir/_history/ev-0000000000001-00000000-deadbeef")
+    java.nio.file.Files.write(old.toPath,
+      "op=insert\nts=1\nadded=\nremoved=\ndetail=ancient".getBytes)
+    assert(spark.sql("SELECT count(*) FROM graft.he.t.history").head().getLong(0) == 3)
+    val rep = spark.sql(
+      "CALL graft.system.expire_history(table => 'he.t')").head()
+    assert(rep.getInt(0) == 1 && rep.getInt(1) == 2, rep.toString)
+    val ops = spark.sql("SELECT op, detail FROM graft.he.t.history").collect()
+    assert(ops.length == 2 && ops.forall(_.getString(1) != "ancient"))
+    spark.sql("DROP TABLE graft.he.t")
+  }
+
   test("autocompact on a bucketed table folds per bucket, layout intact") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.acb")
     spark.sql("CREATE TABLE graft.acb.t " +
