@@ -127,6 +127,11 @@ object Params {
     * layout's bucket count (INSERT appends ≤ this many generations per
     * statement; DELETE appends ≤ this many tombstone generations). */
   val BucketFixtureBuckets = 8
+  /** q_sstable_rebucket drops every user with `user_id % 10 == this`
+    * AFTER the managed re-layout (CALL rebucket 4 → 8) — the deletes
+    * must route correctly under the NEW bucket count; the oracle keeps
+    * the complement. Own physical fixture, so only determinism matters. */
+  val RebucketUserMod = 8
   /** Exact-substring dedup (q_dup_spans): window width in tokens. Real
     * pipelines use ~50 (Lee et al., "Deduplicating Training Data Makes
     * Language Models Better"); the synthetic corpus' shared runs are

@@ -285,6 +285,23 @@ object WideRowQueries {
           SELECT row_number() OVER (ORDER BY id) AS seq, op
           FROM $cat.fx.t.history) ORDER BY seq""")
     }),
+    // The managed re-layout over REAL files: the corpus lands in a
+    // 4-bucket SQL table, CALL rebucket re-lays it to 8 (the
+    // self-referential CREATE OR REPLACE under the maintenance lease),
+    // and the doomed users are THEN deleted through the bucketed
+    // metadata-delete path AT THE NEW COUNT — a rebucket that
+    // mis-groups keys, loses rows, or leaves the old layout behind
+    // makes either the delete route or the cells complement wrong.
+    "q_sstable_rebucket" -> ((s, d) => {
+      val dir = sstableRebucketFixture(s, d)
+      s.read.format("sstable").option("applydeletes", "true")
+        .option("view", "cells").load(dir)
+        .select(col("key").cast("string").cast("long").as("user_id"),
+          col("name").cast("string").as("event_type"),
+          col("value").cast("string").cast("long").as("value_e4"),
+          col("timestamp").as("ts_ms"))
+        .orderBy("user_id", "event_type", "ts_ms", "value_e4")
+    }),
     // Time travel over the REAL files: the asofmicros read option drops
     // post-cut cell versions at decode (and whole post-cut generations
     // at plan time via Statistics minTimestamp), so compactRows yields
@@ -615,6 +632,54 @@ object WideRowQueries {
       s"$wh/fx/scratch"
     }
 
+  /** Physical fixture for the rebucket query: the corpus in a 4-bucket
+    * SQL table, re-laid to 8 via `CALL rebucket` (lease-guarded
+    * self-referential CREATE OR REPLACE; the fixture REQUIRES every
+    * surviving stem bucketed), then the doomed users deleted through
+    * the bucketed path at the NEW count. Per-corpus catalog, the
+    * q_sstable_merge rule. */
+  private val rebucketFixtureCache = new SessionCache[String]
+  private def sstableRebucketFixture(s: SparkSession, d: String): String =
+    rebucketFixtureCache.getOrCompute(s, d) {
+      val corpusTag = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes).map("%02x".format(_)).mkString.take(16)
+      val wh = freshFixtureDir("graft-rbk", d)
+      val cat = s"graft_rb_$corpusTag"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.sstable.spark.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"CREATE NAMESPACE $cat.fx")
+      s.sql(s"CREATE TABLE $cat.fx.t TBLPROPERTIES('buckets'='4')")
+      val e = Tables.events(s, d).select("user_id", "event_type", "ts_ms", "value")
+      val view = s"graft_rbk_src_$corpusTag"
+      liftedEvents(e).createOrReplaceTempView(view)
+      s.sql(s"""INSERT INTO $cat.fx.t
+        SELECT key, columns,
+          CAST(NULL AS STRUCT<localDeletionTime: INT, markedForDeleteAt: BIGINT>)
+        FROM $view""")
+      val newBuckets = 8
+      s.sql(s"CALL $cat.system.rebucket(table => 'fx.t', new_buckets => $newBuckets)")
+      val dir = s"$wh/fx/t"
+      val storage = graft.sources.sstable.LocalStorage
+      require(storage.listDataFiles(dir).forall(f =>
+        graft.sources.sstable.spark.SSTableSource.BucketNameRe.matches(
+          graft.sources.sstable.SSTableFiles.generationStem(f))),
+        s"rebucket must leave only bucket stems: $dir")
+      val doomed = e.select(col("user_id")).distinct()
+        .filter(col("user_id") % 10 === RebucketUserMod)
+        .collect().map(_.getLong(0).toString.getBytes: Any)
+      val mark = e.agg(max(col("ts_ms"))).head().getLong(0) + 1
+      new graft.sources.sstable.spark.SSTableTable(Map(
+          graft.sources.sstable.spark.SSTableSource.PathOption -> dir,
+          graft.sources.sstable.spark.SSTableSource.WriteBucketsOption ->
+            newBuckets.toString,
+          graft.sources.sstable.spark.SSTableSource.DeleteMarkMicrosOption ->
+            mark.toString))
+        .deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+          org.apache.spark.sql.sources.In("key", doomed)))
+      dir
+    }
+
   /** Physical fixture for the auto-compaction queries: the events
     * corpus split into six deterministic epochs (`user_id % 6`), each
     * written as ONE generation (`writepartitions=1`) with
@@ -796,6 +861,12 @@ object WideRowQueries {
             (5, 'autocompact'), (6, 'insert'), (7, 'autocompact'),
             (8, 'insert'), (9, 'autocompact')) AS t(seq, op)
           ORDER BY seq""",
+    // the re-laid table must land on the same logical complement —
+    // rebucket + new-count DELETE preserve content cell-for-cell
+    "q_sstable_rebucket" ->
+      s"""SELECT user_id, event_type, ${e4Sql("value")} AS value_e4, ts_ms
+          FROM $EventsSql WHERE user_id % 10 <> $RebucketUserMod
+          ORDER BY user_id, event_type, ts_ms, value_e4""",
     // the same smallest-k key multiset the pushed top-n produces
     "q_sstable_topk" ->
       s"""SELECT user_key FROM (

@@ -74,12 +74,17 @@ object History {
     * corruption means something is wrong with the store). */
   def events(storage: Storage, dir: String): Seq[Event] = {
     val hd = s"$dir/$DirName"
-    storage.listFiles(hd)
+    import scala.collection.parallel.CollectionConverters._
+    val files = storage.listFiles(hd)
       .filter { p =>
         val n = fileName(p)
         n.startsWith(EventPrefix) && !n.endsWith(".tmp")
       }
-      .sorted.map { p =>
+      .sorted
+    // one tiny read per event, parallelized on the driver like split
+    // planning (a year of hourly commits is ~10k files — serial
+    // object-store round-trips would dominate the t.history scan)
+    files.par.map { p =>
         val kv = storage.readString(p).split("\n").toSeq.flatMap { line =>
           val i = line.indexOf('=')
           if (i <= 0) None else Some(line.take(i) -> line.drop(i + 1))
@@ -92,7 +97,7 @@ object History {
           kv.getOrElse("op", throw new IllegalStateException(
             s"malformed history event (no op): $p")),
           names("added"), names("removed"), kv.getOrElse("detail", ""))
-      }
+      }.seq.toSeq
   }
 
   /** Retention for the log: remove events older than the horizon (the
