@@ -698,9 +698,15 @@ object SSTableOps {
         s"directory every commit): $threshold")
     val storage = graft.sources.sstable.Storage.forPath(
       dir, spark.sessionState.newHadoopConf())
-    // cheap lease-free pre-check (one LIST, name parsing only): under
-    // the bound ⇒ nothing to do, no lease churn on the common every-
-    // epoch path. Rechecked under the lease before folding.
+    // cheap lease-free pre-check (one LIST + name parsing; plain
+    // layouts add CACHE-SERVED sidecar reads for the delete-only
+    // filter): under the bound ⇒ nothing to do, no lease churn on the
+    // common every-epoch path. The pre-check must apply the SAME
+    // data-generation bound as the fold (review r9): counting raw
+    // files would make every commit to an UPDATE-touched table acquire
+    // and release the lease forever, since the delete-only generations
+    // that pushed the raw count over the bound never fold here.
+    // Rechecked under the lease before folding.
     def chainsOver(files: Seq[String]): Seq[(Int, Seq[String])] =
       files.flatMap { f =>
         SSTableFiles.generationStem(f) match {
@@ -710,10 +716,14 @@ object SSTableOps {
       }.groupBy(_._1).toSeq.sortBy(_._1)
         .map { case (b, members) => (b, members.map(_._2).sorted) }
         .filter(_._2.length > threshold)
+    def dataGensOf(files: Seq[String]): Seq[String] =
+      files.filterNot(f =>
+        graft.sources.sstable.spark.DeleteShadow.isDeleteOnly(
+          new graft.sources.sstable.SSTableReader(f, storage).statistics))
     val pre = storage.listDataFiles(dir)
     val underBound = buckets match {
       case Some(_) => chainsOver(pre).isEmpty
-      case None => pre.length <= threshold
+      case None => pre.length <= threshold || dataGensOf(pre).length <= threshold
     }
     if (underBound) return 0
     try {
@@ -739,9 +749,7 @@ object SSTableOps {
                 // the pick on unfoldable members while the count climbed.
                 // Tombstone DEBT stays compact_tombstones'/GC's domain;
                 // the bucketed path resolves it structurally per chain.
-                val dataGens = now.filterNot(f =>
-                  graft.sources.sstable.spark.DeleteShadow.isDeleteOnly(
-                    new graft.sources.sstable.SSTableReader(f, storage).statistics))
+                val dataGens = dataGensOf(now)
                 if (dataGens.length <= threshold) 0
                 else {
                   val k = dataGens.length - threshold + 1

@@ -83,9 +83,19 @@ object History {
       .sorted
     // one tiny read per event, parallelized on the driver like split
     // planning (a year of hourly commits is ~10k files — serial
-    // object-store round-trips would dominate the t.history scan)
-    files.par.map { p =>
-        val kv = storage.readString(p).split("\n").toSeq.flatMap { line =>
+    // object-store round-trips would dominate the t.history scan).
+    // A file that VANISHES between the listing and its read was
+    // expired by a concurrent retention run — skip it (the readHolder
+    // tolerance pattern); the scan then reflects the post-expiry log
+    files.par.flatMap { p =>
+      val body =
+        try Some(storage.readString(p))
+        catch {
+          case _: java.io.FileNotFoundException |
+               _: java.nio.file.NoSuchFileException => None
+        }
+      body.map { text =>
+        val kv = text.split("\n").toSeq.flatMap { line =>
           val i = line.indexOf('=')
           if (i <= 0) None else Some(line.take(i) -> line.drop(i + 1))
         }.toMap
@@ -97,7 +107,41 @@ object History {
           kv.getOrElse("op", throw new IllegalStateException(
             s"malformed history event (no op): $p")),
           names("added"), names("removed"), kv.getOrElse("detail", ""))
-      }.seq.toSeq
+      }
+    }.seq.toSeq
+  }
+
+  /** Capture the log's raw event files (name → body) so a
+    * directory-REPLACING operation (rebucket's CREATE OR REPLACE swap)
+    * can carry the audit trail across — the one maintenance action
+    * whose mechanics would otherwise trash the log with the old
+    * directory, silently breaking the append-only contract (review
+    * r9). Metadata-sized by the same argument as [[events]]. */
+  def exportLog(storage: Storage, dir: String): Seq[(String, String)] =
+    storage.listFiles(s"$dir/$DirName")
+      .filter { p =>
+        val n = fileName(p)
+        n.startsWith(EventPrefix) && !n.endsWith(".tmp")
+      }
+      .sorted.map(p => fileName(p) -> storage.readString(p))
+
+  /** Re-materialize an [[exportLog]] capture under `dir` (original
+    * names, so ordering and ids survive verbatim); existing names are
+    * left alone — import is idempotent. */
+  def importLog(storage: Storage, dir: String,
+                entries: Seq[(String, String)]): Unit = {
+    if (entries.isEmpty) return
+    val hd = s"$dir/$DirName"
+    storage.mkdirs(hd)
+    entries.foreach { case (name, body) =>
+      val dst = s"$hd/$name"
+      if (!storage.exists(dst)) {
+        val tmp = s"$dst.tmp"
+        val out = storage.create(tmp)
+        try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+        storage.rename(tmp, dst)
+      }
+    }
   }
 
   /** Retention for the log: remove events older than the horizon (the
@@ -109,17 +153,19 @@ object History {
   def expire(storage: Storage, dir: String, olderThanMs: Long,
              nowMs: Long = System.currentTimeMillis()): (Int, Int) = {
     val hd = s"$dir/$DirName"
-    val (stale, live) = storage.listFiles(hd)
-      .filter { p =>
-        val n = fileName(p)
-        n.startsWith(EventPrefix) && !n.endsWith(".tmp")
-      }
-      .partition { p =>
-        val msPart = fileName(p).drop(EventPrefix.length).takeWhile(_.isDigit)
-        msPart.nonEmpty && nowMs - msPart.toLong > olderThanMs
-      }
+    val all = storage.listFiles(hd)
+      .filter(p => fileName(p).startsWith(EventPrefix))
+    // orphaned `.tmp` files (a writer that died between create and
+    // rename) are invisible to events() but would otherwise accumulate
+    // forever — retention is their one cleanup path (review r9); they
+    // carry the same ms-stamped name, so the same horizon applies
+    val (stale, live) = all.partition { p =>
+      val msPart = fileName(p).drop(EventPrefix.length).takeWhile(_.isDigit)
+      msPart.nonEmpty && nowMs - msPart.toLong > olderThanMs
+    }
     stale.foreach(storage.delete)
-    (stale.length, live.length)
+    // counts cover real events only — tmp litter is not part of the log
+    (stale.count(!_.endsWith(".tmp")), live.count(!_.endsWith(".tmp")))
   }
 
   private def stem(pathOrName: String): String = {

@@ -141,6 +141,7 @@ object MaintenanceLease {
       java.util.UUID.randomUUID().toString.take(8)
     val leasePath = s"$dir/$LeaseFile"
     var attempts = 0
+    var lastIo: java.io.IOException = null
     while (attempts < 3) {
       attempts += 1
       readHolder(dir, storage) match {
@@ -162,9 +163,10 @@ object MaintenanceLease {
         lease.startRenewal()
         return lease
       } catch {
-        case _: java.io.IOException =>
+        case e: java.io.IOException =>
           // lost the rename race; report the winner (or loop if it
           // already vanished again)
+          lastIo = e
           storage.delete(tmp)
           readHolder(dir, storage) match {
             case Some(h) => throw new MaintenanceLeaseHeldException(dir, h)
@@ -172,10 +174,14 @@ object MaintenanceLease {
           }
       }
     }
-    // churn = contenders kept winning the name between our reads; to a
-    // caller this IS "someone else holds it" — same excusable category
-    throw new MaintenanceLeaseHeldException(dir,
-      s"<acquire/release churn after $attempts attempts>")
+    // exhaustion with NOBODY holding the lease after every attempt is
+    // not contention — the rename itself keeps failing (EACCES, quota,
+    // a broken adapter). Surface the real IO error loudly instead of
+    // the excusable Held type, which autocompact would silently swallow
+    // forever (review r9). TRUE churn always ends in a Held throw above.
+    throw new IllegalStateException(
+      s"could not acquire maintenance lease on $dir after $attempts attempts " +
+        "and no holder is visible — the lease rename itself is failing", lastIo)
   }
 
   /** Run `body` under the directory's lease: acquire → auto-renew →

@@ -144,10 +144,17 @@ object LocalStorage extends Storage {
           java.nio.file.Paths.get(dst), s.toPath)
         java.nio.file.Files.delete(s.toPath)
       } catch {
+        // FileAlreadyExists FIRST — it subclasses FileSystemException,
+        // and the raced-destination case must stay a loud refusal
         case e: java.nio.file.FileAlreadyExistsException =>
           throw new java.io.IOException(s"rename $src -> $dst: destination exists", e)
-        case _: UnsupportedOperationException =>
-          checkedRename() // hardlink-less fs: best-effort refusal
+        // hardlink-less filesystems signal EPERM as FileSystemException
+        // (the JDK default provider never throws UnsupportedOperation
+        // here — review r9): fall back to the checked rename, which
+        // also surfaces the real error if the fs is simply broken
+        case _: UnsupportedOperationException |
+             _: java.nio.file.FileSystemException =>
+          checkedRename()
       }
     } else checkedRename()
   }

@@ -292,6 +292,11 @@ private[spark] object GraftProcedures {
               // the ONE audited home of the relayout×time-travel guard
               // (NOTES r8 #38-2) — shared with ALTER 'buckets'
               GraftCatalog.requireNoPinsForRelayout(storage, d)
+              // the swap trashes the old directory INCLUDING its
+              // _history — capture the audit trail now and restore it
+              // after the swap, so the append-only contract holds
+              // across the one action that replaces the directory
+              val savedLog = graft.sources.sstable.History.exportLog(storage, d)
               val current = GraftCatalog.readTableProps(storage, d)
               val prev = current.get(GraftCatalog.BucketsProp).map(_.toInt)
               require(prev != Some(n) && !(prev.isEmpty && n == 0),
@@ -306,6 +311,7 @@ private[spark] object GraftProcedures {
                   .map { case (k, v) => s"'$k'='$v'" }.mkString(", ") + ")"
               val q = qualified(tableName)
               spark.sql(s"CREATE OR REPLACE TABLE $q$propsClause AS SELECT * FROM $q")
+              graft.sources.sstable.History.importLog(storage, d, savedLog)
               (prev, spark.sql(s"SELECT count(*) FROM $q").head().getLong(0))
             }
           val (prev, rows) = prevAndRows

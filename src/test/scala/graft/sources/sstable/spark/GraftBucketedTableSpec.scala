@@ -477,10 +477,24 @@ class GraftBucketedTableSpec extends AnyFunSuite {
     assert(pinned.getMessage.contains("snapshots pin"), pinned.getMessage)
     spark.sql("CALL graft_bkt.system.drop_snapshot(table => 'rbk.t', tag => 'pre')")
 
+    val preHistory = spark.sql("SELECT count(*) FROM graft_bkt.rbk.t.history")
+      .head().getLong(0)
+    assert(preHistory >= 2) // the insert + the delete at least
+
     // re-layout 2 → 4: atomic, state preserved, deletes folded away
     val report = spark.sql(
       "CALL graft_bkt.system.rebucket(table => 'rbk.t', new_buckets => 4)").head()
     assert(report.getInt(0) == 2 && report.getInt(1) == 4)
+
+    // the audit trail SURVIVES the directory swap (exportLog/importLog
+    // carries it), and the rebucket is itself its newest event
+    val ops = spark.sql(
+      "SELECT op FROM graft_bkt.rbk.t.history ORDER BY id").collect()
+      .map(_.getString(0))
+    assert(ops.length >= preHistory + 1,
+      s"history must survive rebucket: $preHistory before, ${ops.length} after")
+    assert(ops.contains("rebucket") && ops.take(preHistory.toInt).contains("insert"),
+      ops.mkString(", "))
     assert(report.getLong(2) == 29) // k05's pending delete netted out
     assert(keysOf(spark.sql("SELECT * FROM graft_bkt.rbk.t"))
       == rows.map(_._1).filterNot(_ == "k05").sorted)

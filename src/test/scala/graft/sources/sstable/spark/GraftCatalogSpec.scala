@@ -800,10 +800,17 @@ class GraftCatalogSpec extends AnyFunSuite {
     val old = new java.io.File(s"$dir/_history/ev-0000000000001-00000000-deadbeef")
     java.nio.file.Files.write(old.toPath,
       "op=insert\nts=1\nadded=\nremoved=\ndetail=ancient".getBytes)
+    // plus tmp litter from a "crashed" writer: invisible to the log,
+    // but retention is its one cleanup path
+    val litter = new java.io.File(s"$dir/_history/ev-0000000000002-00000000-cafe.tmp")
+    java.nio.file.Files.write(litter.toPath, "op=torn".getBytes)
     assert(spark.sql("SELECT count(*) FROM graft.he.t.history").head().getLong(0) == 3)
     val rep = spark.sql(
       "CALL graft.system.expire_history(table => 'he.t')").head()
+    // counts cover real events (1 ancient removed, 2 kept); the tmp
+    // litter is deleted silently alongside
     assert(rep.getInt(0) == 1 && rep.getInt(1) == 2, rep.toString)
+    assert(!litter.exists(), "stale tmp litter must be swept by retention")
     val ops = spark.sql("SELECT op, detail FROM graft.he.t.history").collect()
     assert(ops.length == 2 && ops.forall(_.getString(1) != "ancient"))
     spark.sql("DROP TABLE graft.he.t")
