@@ -35,6 +35,7 @@ object PerfProbe {
     if (args.headOption.contains("rowlevel")) { rowLevelProbe(spark); spark.stop(); return }
     if (args.headOption.contains("bucketfold")) { bucketFoldProbe(spark); spark.stop(); return }
     if (args.headOption.contains("pins")) { pinsProbe(spark); spark.stop(); return }
+    if (args.headOption.contains("maintenance")) { maintenanceProbe(spark); spark.stop(); return }
 
     val docs = Tables.documents(spark, sfDir)
 
@@ -426,6 +427,56 @@ object PerfProbe {
     * must price at O(#filesets × #sidecars) renames/links, independent
     * of data volume — the property that makes the pin lifecycle viable
     * on a 100 TB directory. */
+  /** Prices the r9 maintenance machinery so its claims are measured,
+    * not asserted: lease acquire→renew→fence→release cycles, history
+    * record/read at log sizes, and autocompact's lease-free pre-check
+    * over a many-generation directory (the every-epoch hot path). */
+  private def maintenanceProbe(spark: SparkSession): Unit = {
+    import graft.sources.sstable.{History, LocalStorage, MaintenanceLease}
+    val dir = java.nio.file.Files.createTempDirectory("maintprobe").toString
+
+    // lease cycle: the overhead every maintenance op (and every
+    // triggered autocompact) pays once
+    val cycles = 200
+    var t0 = System.nanoTime()
+    (1 to cycles).foreach { _ =>
+      val l = MaintenanceLease.acquire(dir, LocalStorage, "probe")
+      l.checkHeld()
+      l.release()
+    }
+    println(f"lease acquire+fence+release  ${(System.nanoTime() - t0) / 1e6 / cycles}%8.3f ms/cycle ($cycles cycles)")
+
+    // history record: the per-commit cost
+    t0 = System.nanoTime()
+    val events = 1000
+    (1 to events).foreach(i => History.record(LocalStorage, dir, "probe",
+      added = Seq(s"gen-$i-Data.db"), detail = s"i=$i"))
+    println(f"history record               ${(System.nanoTime() - t0) / 1e6 / events}%8.3f ms/event ($events events)")
+
+    // history read: the t.history scan at a year-of-hourly-commits size
+    t0 = System.nanoTime()
+    val n = History.events(LocalStorage, dir).length
+    println(f"history read ($n%4d events)   ${(System.nanoTime() - t0) / 1e6}%8.1f ms total")
+
+    // autocompact pre-check on a directory that stays under the bound:
+    // one LIST + cached sidecar stats — the every-epoch no-op path
+    def flushGen(tag: Int): Unit = {
+      val w = new graft.sources.sstable.SSTableWriter(
+        s"$dir/g$tag-Data.db", compress = false)
+      try w.append(graft.sources.sstable.SSTableRow(f"k$tag%05d".getBytes,
+        Seq(graft.sources.sstable.Column.Normal("c".getBytes, "v".getBytes, tag.toLong))))
+      finally w.close()
+    }
+    (1 to 64).foreach(flushGen)
+    // warm the metadata cache like a steady-state committer's would be
+    graft.operators.SSTableOps.autoCompact(spark, dir, threshold = 100, buckets = None)
+    t0 = System.nanoTime()
+    val checks = 50
+    (1 to checks).foreach(_ =>
+      graft.operators.SSTableOps.autoCompact(spark, dir, threshold = 100, buckets = None))
+    println(f"autocompact no-op pre-check  ${(System.nanoTime() - t0) / 1e6 / checks}%8.3f ms/commit (64 generations)")
+  }
+
   private def pinsProbe(spark: SparkSession): Unit = {
     import graft.operators.SSTableOps
     import graft.sources.sstable.LocalStorage
