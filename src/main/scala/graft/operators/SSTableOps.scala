@@ -1184,11 +1184,18 @@ object SSTableOps {
   def dropSnapshot(dir: String, tag: String,
                    storage: graft.sources.sstable.Storage =
                      graft.sources.sstable.LocalStorage): Unit = {
-    val existed = storage.exists(snapshotPath(dir, tag))
-    storage.deleteRecursive(snapshotPath(dir, tag))
-    if (existed)
-      graft.sources.sstable.History.record(storage, dir, "drop_snapshot",
-        detail = s"tag=$tag")
+    // pin destruction joins the lease family (r9): a rollback relinks
+    // the LIVE state FROM a pin's files, so deleting that pin mid-
+    // restore would fail the rollback half-way — the lease makes the
+    // collision a loud refusal instead
+    graft.sources.sstable.MaintenanceLease.withLease(dir, storage,
+      s"drop_snapshot:$tag") { _ =>
+      val existed = storage.exists(snapshotPath(dir, tag))
+      storage.deleteRecursive(snapshotPath(dir, tag))
+      if (existed)
+        graft.sources.sstable.History.record(storage, dir, "drop_snapshot",
+          detail = s"tag=$tag")
+    }
   }
 
   /** Restore the LIVE directory to the state snapshot `tag` pinned —
@@ -1296,14 +1303,19 @@ object SSTableOps {
                       nowMs: Long = System.currentTimeMillis(),
                       storage: graft.sources.sstable.Storage =
                         graft.sources.sstable.LocalStorage): (Seq[String], Seq[String]) = {
-    val (stale, live) = storage.listSubdirs(dir, SnapshotPrefix)
-      .partition(p => nowMs - snapshotCreatedMs(p, storage) > olderThanMs)
-    stale.foreach(storage.deleteRecursive)
-    val dropped = stale.map(p => fileName(p).drop(SnapshotPrefix.length))
-    if (dropped.nonEmpty)
-      graft.sources.sstable.History.record(storage, dir, "expire_snapshots",
-        detail = s"tags=${dropped.mkString(",")}")
-    (dropped, live.map(p => fileName(p).drop(SnapshotPrefix.length)))
+    // same lease as dropSnapshot: retention must not delete a pin a
+    // concurrent rollback is restoring from
+    graft.sources.sstable.MaintenanceLease.withLease(dir, storage,
+      "expire_snapshots") { _ =>
+      val (stale, live) = storage.listSubdirs(dir, SnapshotPrefix)
+        .partition(p => nowMs - snapshotCreatedMs(p, storage) > olderThanMs)
+      stale.foreach(storage.deleteRecursive)
+      val dropped = stale.map(p => fileName(p).drop(SnapshotPrefix.length))
+      if (dropped.nonEmpty)
+        graft.sources.sstable.History.record(storage, dir, "expire_snapshots",
+          detail = s"tags=${dropped.mkString(",")}")
+      (dropped, live.map(p => fileName(p).drop(SnapshotPrefix.length)))
+    }
   }
 
   private def fileName(path: String): String =

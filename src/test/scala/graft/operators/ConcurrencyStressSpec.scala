@@ -148,10 +148,20 @@ class ConcurrencyStressSpec extends AnyFunSuite {
     assert(e.holder.startsWith("compactBucketedInPlace@"))
     assert(LocalStorage.listDataFiles(dir) == before,
       "a refused maintainer must leave the directory untouched")
-    // rollback shares the same exclusion
+    // rollback shares the same exclusion — and so does PIN DESTRUCTION
+    // (an expire deleting the pin a rollback is restoring from would
+    // fail the restore half-way)
     intercept[MaintenanceLease.MaintenanceLeaseHeldException] {
       SSTableOps.rollbackToSnapshot(dir, "pin", LocalStorage)
     }
+    intercept[MaintenanceLease.MaintenanceLeaseHeldException] {
+      SSTableOps.expireSnapshots(dir, olderThanMs = -1L, storage = LocalStorage)
+    }
+    intercept[MaintenanceLease.MaintenanceLeaseHeldException] {
+      SSTableOps.dropSnapshot(dir, "pin", LocalStorage)
+    }
+    assert(LocalStorage.exists(SSTableOps.snapshotPath(dir, "pin")),
+      "a refused expire/drop must leave the pin intact")
     first.release()
     // the surviving maintainer folds to the single-maintainer result
     assert(SSTableOps.compactBucketedInPlace(spark, dir) == buckets)
