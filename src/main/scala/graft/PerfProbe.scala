@@ -458,23 +458,32 @@ object PerfProbe {
     val n = History.events(LocalStorage, dir).length
     println(f"history read ($n%4d events)   ${(System.nanoTime() - t0) / 1e6}%8.1f ms total")
 
-    // autocompact pre-check on a directory that stays under the bound:
-    // one LIST + cached sidecar stats — the every-epoch no-op path
-    def flushGen(tag: Int): Unit = {
+    // autocompact pre-check on a directory that stays under the bound
+    // via the SIDECAR path (raw count over, data generations under —
+    // the steady state of every UPDATE/MERGE-touched table, review r9
+    // #5): the probe must price the delete-only filter, not the
+    // count-only short-circuit, so most generations here are
+    // delete-only and the raw count exceeds the threshold
+    def flushGen(tag: Int, deleteOnly: Boolean): Unit = {
       val w = new graft.sources.sstable.SSTableWriter(
-        s"$dir/g$tag-Data.db", compress = false)
-      try w.append(graft.sources.sstable.SSTableRow(f"k$tag%05d".getBytes,
-        Seq(graft.sources.sstable.Column.Normal("c".getBytes, "v".getBytes, tag.toLong))))
+        f"$dir/g$tag%05d-Data.db", compress = false)
+      try w.append(
+        if (deleteOnly)
+          graft.sources.sstable.SSTableRow(f"k$tag%05d".getBytes, Nil,
+            Some(graft.sources.sstable.RowTombstone(1700000000, tag.toLong)))
+        else graft.sources.sstable.SSTableRow(f"k$tag%05d".getBytes,
+          Seq(graft.sources.sstable.Column.Normal("c".getBytes, "v".getBytes, tag.toLong))))
       finally w.close()
     }
-    (1 to 64).foreach(flushGen)
+    (1 to 40).foreach(flushGen(_, deleteOnly = false))
+    (41 to 110).foreach(flushGen(_, deleteOnly = true))
     // warm the metadata cache like a steady-state committer's would be
-    graft.operators.SSTableOps.autoCompact(spark, dir, threshold = 100, buckets = None)
+    graft.operators.SSTableOps.autoCompact(spark, dir, threshold = 50, buckets = None)
     t0 = System.nanoTime()
     val checks = 50
     (1 to checks).foreach(_ =>
-      graft.operators.SSTableOps.autoCompact(spark, dir, threshold = 100, buckets = None))
-    println(f"autocompact no-op pre-check  ${(System.nanoTime() - t0) / 1e6 / checks}%8.3f ms/commit (64 generations)")
+      graft.operators.SSTableOps.autoCompact(spark, dir, threshold = 50, buckets = None))
+    println(f"autocompact no-op pre-check  ${(System.nanoTime() - t0) / 1e6 / checks}%8.3f ms/commit (110 generations, 70 delete-only, sidecar path)")
   }
 
   private def pinsProbe(spark: SparkSession): Unit = {

@@ -717,9 +717,17 @@ object SSTableOps {
         .map { case (b, members) => (b, members.map(_._2).sorted) }
         .filter(_._2.length > threshold)
     def dataGensOf(files: Seq[String]): Seq[String] =
-      files.filterNot(f =>
-        graft.sources.sstable.spark.DeleteShadow.isDeleteOnly(
-          new graft.sources.sstable.SSTableReader(f, storage).statistics))
+      files.filterNot { f =>
+        // a file that vanished between the LIST and its sidecar read
+        // was unpublished by a concurrent maintainer — treat it as not
+        // ours to fold, never as a reason to fail the committing write
+        try graft.sources.sstable.spark.DeleteShadow.isDeleteOnly(
+          new graft.sources.sstable.SSTableReader(f, storage).statistics)
+        catch {
+          case _: java.io.FileNotFoundException |
+               _: java.nio.file.NoSuchFileException => true
+        }
+      }
     val pre = storage.listDataFiles(dir)
     val underBound = buckets match {
       case Some(_) => chainsOver(pre).isEmpty
@@ -1189,8 +1197,9 @@ object SSTableOps {
     // restore would fail the rollback half-way — the lease makes the
     // collision a loud refusal instead
     graft.sources.sstable.MaintenanceLease.withLease(dir, storage,
-      s"drop_snapshot:$tag") { _ =>
+      s"drop_snapshot:$tag") { lease =>
       val existed = storage.exists(snapshotPath(dir, tag))
+      lease.checkHeld() // fence: a superseded holder must not delete pins
       storage.deleteRecursive(snapshotPath(dir, tag))
       if (existed)
         graft.sources.sstable.History.record(storage, dir, "drop_snapshot",
@@ -1306,9 +1315,10 @@ object SSTableOps {
     // same lease as dropSnapshot: retention must not delete a pin a
     // concurrent rollback is restoring from
     graft.sources.sstable.MaintenanceLease.withLease(dir, storage,
-      "expire_snapshots") { _ =>
+      "expire_snapshots") { lease =>
       val (stale, live) = storage.listSubdirs(dir, SnapshotPrefix)
         .partition(p => nowMs - snapshotCreatedMs(p, storage) > olderThanMs)
+      lease.checkHeld() // fence: a superseded holder must not delete pins
       stale.foreach(storage.deleteRecursive)
       val dropped = stale.map(p => fileName(p).drop(SnapshotPrefix.length))
       if (dropped.nonEmpty)

@@ -376,7 +376,8 @@ object WideRowQueries {
   /** Tombstone every `user_id % 10 == mod` user in `dir` through the
     * real SupportsDelete path, mark pinned at max event ts + 1 so
     * rebuilds and the DuckDB twins agree bit-for-bit. */
-  private def tombstoneUsers(dir: String, e: DataFrame, mod: Int): Unit = {
+  private def tombstoneUsers(dir: String, e: DataFrame, mod: Int,
+                             buckets: Option[Int] = None): Unit = {
     val doomed = e.select(col("user_id")).distinct()
       .filter(col("user_id") % 10 === mod)
       .collect().map(_.getLong(0).toString.getBytes: Any)
@@ -384,7 +385,9 @@ object WideRowQueries {
     new graft.sources.sstable.spark.SSTableTable(Map(
         graft.sources.sstable.spark.SSTableSource.PathOption -> dir,
         graft.sources.sstable.spark.SSTableSource.DeleteMarkMicrosOption ->
-          mark.toString))
+          mark.toString) ++
+      buckets.map(n =>
+        graft.sources.sstable.spark.SSTableSource.WriteBucketsOption -> n.toString))
       .deleteWhere(Array[org.apache.spark.sql.sources.Filter](
         org.apache.spark.sql.sources.In("key", doomed)))
   }
@@ -566,18 +569,8 @@ object WideRowQueries {
           CAST(NULL AS STRUCT<localDeletionTime: INT, markedForDeleteAt: BIGINT>)
         FROM $view""")
       val dir = s"$wh/fx/t"
-      val doomed = e.select(col("user_id")).distinct()
-        .filter(col("user_id") % 10 === DeleteUserMod)
-        .collect().map(_.getLong(0).toString.getBytes: Any)
-      val mark = e.agg(max(col("ts_ms"))).head().getLong(0) + 1
-      new graft.sources.sstable.spark.SSTableTable(Map(
-          graft.sources.sstable.spark.SSTableSource.PathOption -> dir,
-          graft.sources.sstable.spark.SSTableSource.WriteBucketsOption ->
-            BucketFixtureBuckets.toString,
-          graft.sources.sstable.spark.SSTableSource.DeleteMarkMicrosOption ->
-            mark.toString))
-        .deleteWhere(Array[org.apache.spark.sql.sources.Filter](
-          org.apache.spark.sql.sources.In("key", doomed)))
+      tombstoneUsers(dir, e, DeleteUserMod,
+        buckets = Some(BucketFixtureBuckets))
       dir
     }
 
@@ -665,18 +658,7 @@ object WideRowQueries {
         graft.sources.sstable.spark.SSTableSource.BucketNameRe.matches(
           graft.sources.sstable.SSTableFiles.generationStem(f))),
         s"rebucket must leave only bucket stems: $dir")
-      val doomed = e.select(col("user_id")).distinct()
-        .filter(col("user_id") % 10 === RebucketUserMod)
-        .collect().map(_.getLong(0).toString.getBytes: Any)
-      val mark = e.agg(max(col("ts_ms"))).head().getLong(0) + 1
-      new graft.sources.sstable.spark.SSTableTable(Map(
-          graft.sources.sstable.spark.SSTableSource.PathOption -> dir,
-          graft.sources.sstable.spark.SSTableSource.WriteBucketsOption ->
-            newBuckets.toString,
-          graft.sources.sstable.spark.SSTableSource.DeleteMarkMicrosOption ->
-            mark.toString))
-        .deleteWhere(Array[org.apache.spark.sql.sources.Filter](
-          org.apache.spark.sql.sources.In("key", doomed)))
+      tombstoneUsers(dir, e, RebucketUserMod, buckets = Some(newBuckets))
       dir
     }
 

@@ -123,7 +123,14 @@ object History {
         val n = fileName(p)
         n.startsWith(EventPrefix) && !n.endsWith(".tmp")
       }
-      .sorted.map(p => fileName(p) -> storage.readString(p))
+      .sorted.flatMap { p =>
+        // vanished to a concurrent retention run: skip, like events()
+        try Some(fileName(p) -> storage.readString(p))
+        catch {
+          case _: java.io.FileNotFoundException |
+               _: java.nio.file.NoSuchFileException => None
+        }
+      }
 
   /** Re-materialize an [[exportLog]] capture under `dir` (original
     * names, so ordering and ids survive verbatim); existing names are
@@ -136,7 +143,10 @@ object History {
     entries.foreach { case (name, body) =>
       val dst = s"$hd/$name"
       if (!storage.exists(dst)) {
-        val tmp = s"$dst.tmp"
+        // tmp name does NOT carry the event prefix: an old event's
+        // ms-stamped `<name>.tmp` would look like sweepable litter to a
+        // racing expire run and vanish between create and rename
+        val tmp = s"$hd/imp-${java.util.UUID.randomUUID().toString.take(8)}.tmp"
         val out = storage.create(tmp)
         try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
         storage.rename(tmp, dst)

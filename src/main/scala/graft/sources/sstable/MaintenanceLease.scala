@@ -174,11 +174,28 @@ object MaintenanceLease {
           }
       }
     }
-    // exhaustion with NOBODY holding the lease after every attempt is
-    // not contention — the rename itself keeps failing (EACCES, quota,
-    // a broken adapter). Surface the real IO error loudly instead of
-    // the excusable Held type, which autocompact would silently swallow
-    // forever (review r9). TRUE churn always ends in a Held throw above.
+    // Exhaustion with nobody visibly holding: either contenders kept
+    // winning and releasing inside our rename→read window (fast ops
+    // finish in ~1.4 ms — genuine churn, excusable as Held), or the
+    // rename itself is broken (EACCES, quota — must stay loud, or
+    // autocompact silently swallows it forever). Discriminate with a
+    // CONTENTION-FREE probe rename to a unique name: if that works,
+    // the storage is fine and the failures were races (review r9 #1).
+    val pTmp = s"$dir/$LeaseFile-probe-${java.util.UUID.randomUUID().toString.take(8)}"
+    val probeOk =
+      try {
+        val out = storage.create(s"$pTmp.src")
+        try out.write(holder.getBytes(StandardCharsets.UTF_8)) finally out.close()
+        storage.rename(s"$pTmp.src", pTmp)
+        true
+      } catch { case _: Exception => false }
+      finally { // best-effort: neither probe name may outlive the call
+        try { storage.delete(pTmp); storage.delete(s"$pTmp.src") }
+        catch { case _: Exception => () }
+      }
+    if (probeOk)
+      throw new MaintenanceLeaseHeldException(dir,
+        s"<acquire/release churn after $attempts attempts>")
     throw new IllegalStateException(
       s"could not acquire maintenance lease on $dir after $attempts attempts " +
         "and no holder is visible — the lease rename itself is failing", lastIo)

@@ -150,10 +150,17 @@ object LocalStorage extends Storage {
           throw new java.io.IOException(s"rename $src -> $dst: destination exists", e)
         // hardlink-less filesystems signal EPERM as FileSystemException
         // (the JDK default provider never throws UnsupportedOperation
-        // here — review r9): fall back to the checked rename, which
-        // also surfaces the real error if the fs is simply broken
-        case _: UnsupportedOperationException |
-             _: java.nio.file.FileSystemException =>
+        // here). Fall back ONLY on the capability signals — a transient
+        // EIO/EDQUOT on a link-capable fs must NOT silently degrade to
+        // the racy checked rename (two lease acquirers could both win;
+        // review r9): those rethrow for the caller to handle loudly.
+        case _: UnsupportedOperationException => checkedRename()
+        case e: java.nio.file.FileSystemException
+            if e.getMessage != null && {
+              val m = e.getMessage.toLowerCase(java.util.Locale.ROOT)
+              m.contains("not permitted") || m.contains("not supported") ||
+                m.contains("cross-device")
+            } =>
           checkedRename()
       }
     } else checkedRename()

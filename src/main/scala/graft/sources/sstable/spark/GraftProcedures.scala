@@ -246,10 +246,14 @@ private[spark] object GraftProcedures {
           StructField("kept", IntegerType, nullable = false))),
         (spark, in) => {
           val d = dirOf(in)
-          val (removed, kept) = graft.sources.sstable.History.expire(
-            graft.sources.sstable.Storage.forPath(
-              d, spark.sessionState.newHadoopConf()),
-            d, in.getLong(1))
+          val storage = graft.sources.sstable.Storage.forPath(
+            d, spark.sessionState.newHadoopConf())
+          // leased: rebucket exports/imports the log around its swap,
+          // and retention deleting events mid-carry would abort it
+          val (removed, kept) = graft.sources.sstable.MaintenanceLease
+            .withLease(d, storage, "expire_history") { _ =>
+              graft.sources.sstable.History.expire(storage, d, in.getLong(1))
+            }
           Seq(row(removed: Integer, kept: Integer))
         }),
 
