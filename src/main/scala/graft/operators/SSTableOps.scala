@@ -1059,6 +1059,15 @@ object SSTableOps {
     val (stale, live) = storage.listSubdirs(dir, "_staging-")
       .partition(d => nowMs - storage.mtime(d) > olderThanMs)
     stale.foreach(storage.deleteRecursive)
+    // commit-integrity markers from crashed commits (zero-byte
+    // `_commit-` files — see CommitIntegrity) age out under the same
+    // horizon; a live commit finishes within its own job's runtime
+    storage.listFiles(dir)
+      .filter { p =>
+        val n = p.substring(p.lastIndexOf('/') + 1)
+        n.startsWith("_commit-") && nowMs - storage.mtime(p) > olderThanMs
+      }
+      .foreach(storage.delete)
     (stale, live)
   }
 

@@ -183,6 +183,7 @@ final class SSTableDeltaBatchWrite(path: String, info: LogicalWriteInfo,
     * vanish before their replacements exist. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val st = storage
+    val marker = CommitIntegrity.begin(st, path, jobTag)
     val stagedInserts = ArrayBuffer.empty[String]
     val deleted = ArrayBuffer.empty[Array[Byte]]
     messages.foreach {
@@ -213,6 +214,7 @@ final class SSTableDeltaBatchWrite(path: String, info: LogicalWriteInfo,
       cmd.toString.toLowerCase(java.util.Locale.ROOT),
       added = (stagedInserts ++ stagedTomb).toSeq,
       detail = s"deletedKeys=${keys.length}")
+    CommitIntegrity.verifyAndEnd(st, path, marker)
     // UPDATE/MERGE-heavy tables accumulate generations like any other
     // committer; the delta commit volunteers the same bounded fold as
     // batch inserts and streaming epochs (data generations only — the

@@ -127,6 +127,35 @@ final class SSTableWrite(path: String, schema: StructType,
 /** Staged 4-file set of one committed task attempt. */
 final case class SSTableCommit(stagedDataPaths: Seq[String]) extends WriterCommitMessage
 
+/** Detects a table directory being REPLACED (atomic CTAS swap, CALL
+  * rebucket) while a write commit is publishing into it — the one
+  * window where a SUCCESSFUL commit's data could silently ride the old
+  * directory into the trash (writers are lease-free by design, so the
+  * maintenance lease cannot refuse them). A marker file is planted
+  * before the first publish and checked after the last: the swap takes
+  * the marker with the old directory, so a vanished marker means the
+  * data landed in a replaced directory and the commit must FAIL LOUDLY
+  * instead of acknowledging lost data. (Concurrent compaction never
+  * explains a missing marker — maintainers touch only generation
+  * filesets, never `_` files.) Crash litter is a zero-byte `_commit-`
+  * file, swept by vacuumStaging's horizon. */
+private[spark] object CommitIntegrity {
+  def begin(storage: Storage, path: String, tag: String): String = {
+    val marker = s"$path/_commit-$tag"
+    storage.create(marker).close()
+    marker
+  }
+  def verifyAndEnd(storage: Storage, path: String, marker: String): Unit = {
+    if (!storage.exists(marker))
+      throw new IllegalStateException(
+        s"table directory $path was REPLACED while this write was " +
+          "committing (atomic CTAS / CALL rebucket swap): the commit's " +
+          "data rode the old directory into the trash — rerun the write " +
+          "against the new table (quiesce writers around re-layouts)")
+    storage.delete(marker)
+  }
+}
+
 /** The physical-writer knobs every write path (batch, streaming, delta)
   * parses from the same options — one parser, so the paths can never
   * drift on defaults. */
@@ -197,6 +226,7 @@ final class SSTableBatchWrite(path: String, schema: StructType,
     * Data.db always finds its complete fileset (ADVICE r2 medium). */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val st = storage
+    val marker = CommitIntegrity.begin(st, path, jobTag)
     val published = Seq.newBuilder[String]
     messages.foreach {
       case SSTableCommit(staged) =>
@@ -208,6 +238,7 @@ final class SSTableBatchWrite(path: String, schema: StructType,
     if (properties.getOrElse(SSTableSource.RecordHistoryOption, "true").toBoolean)
       History.record(st, path, if (truncate) "overwrite" else "insert",
         added = published.result(), removed = overwritten)
+    CommitIntegrity.verifyAndEnd(st, path, marker)
     // write-triggered bounded maintenance (driver-side, post-publish):
     // the committing job IS the single maintainer for the fold's
     // duration — see SSTableOps.autoCompact
@@ -277,6 +308,7 @@ final class SSTableStreamingWrite(path: String, schema: StructType,
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val st = storage
+    val marker = CommitIntegrity.begin(st, path, s"epoch-$epochId")
     val published = Seq.newBuilder[String]
     messages.foreach {
       case SSTableCommit(staged) => staged.foreach { data =>
@@ -298,6 +330,7 @@ final class SSTableStreamingWrite(path: String, schema: StructType,
     }
     History.record(st, path, "stream-epoch", added = published.result(),
       detail = s"epoch=$epochId")
+    CommitIntegrity.verifyAndEnd(st, path, marker)
     // every epoch appends one generation (per bucket); with autocompact
     // the committing epoch folds the chain back to the bound before the
     // next micro-batch plans — continuous ingestion stays read-efficient

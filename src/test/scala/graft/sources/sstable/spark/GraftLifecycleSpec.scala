@@ -216,4 +216,34 @@ class GraftLifecycleSpec extends AnyFunSuite {
     assert(spark.sql("SHOW NAMESPACES IN graft_lc").collect()
       .map(_.getString(0)).contains("lcsub"))
   }
+
+  test("a write commit into a directory replaced mid-publish fails loudly") {
+    // writers are lease-free, so a REPLACE/rebucket swap landing while
+    // a commit publishes would silently trash the committed data with
+    // the old directory — CommitIntegrity turns that into a loud
+    // failure (the marker rides the old directory into the trash)
+    import graft.sources.sstable.LocalStorage
+    val dir = java.nio.file.Files.createTempDirectory("commit-integrity").toString
+    val marker = CommitIntegrity.begin(LocalStorage, dir, "job1")
+    // the swap: old directory (marker included) replaced wholesale
+    LocalStorage.deleteRecursive(dir)
+    LocalStorage.mkdirs(dir)
+    val e = intercept[IllegalStateException] {
+      CommitIntegrity.verifyAndEnd(LocalStorage, dir, marker)
+    }
+    assert(e.getMessage.contains("REPLACED"), e.getMessage)
+    // the normal path is invisible: marker created, verified, removed
+    val m2 = CommitIntegrity.begin(LocalStorage, dir, "job2")
+    CommitIntegrity.verifyAndEnd(LocalStorage, dir, m2)
+    assert(LocalStorage.listFiles(dir).isEmpty,
+      "a clean commit must leave no integrity marker behind")
+    // and a real INSERT through the catalog leaves none either
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_lc.ci")
+    spark.sql("CREATE TABLE graft_lc.ci.t")
+    insertRows("graft_lc.ci.t", Seq(("a", "1", 1L)))
+    assert(LocalStorage.listFiles(s"$warehouse/ci/t")
+      .map(p => p.substring(p.lastIndexOf('/') + 1))
+      .forall(!_.startsWith("_commit-")))
+    spark.sql("DROP TABLE graft_lc.ci.t")
+  }
 }
