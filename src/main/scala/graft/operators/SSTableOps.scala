@@ -1065,7 +1065,17 @@ object SSTableOps {
     storage.listFiles(dir)
       .filter { p =>
         val n = p.substring(p.lastIndexOf('/') + 1)
-        n.startsWith("_commit-") && nowMs - storage.mtime(p) > olderThanMs
+        n.startsWith("_commit-") && {
+          // markers churn on EVERY commit (seconds-long lifetime), so a
+          // live commit's verifyAndEnd can delete one between the LIST
+          // and this stat — vanished means cleaned up, not stale
+          // (HadoopStorage.mtime throws on missing paths)
+          try nowMs - storage.mtime(p) > olderThanMs
+          catch {
+            case _: java.io.FileNotFoundException |
+                 _: java.nio.file.NoSuchFileException => false
+          }
+        }
       }
       .foreach(storage.delete)
     (stale, live)

@@ -183,7 +183,6 @@ final class SSTableDeltaBatchWrite(path: String, info: LogicalWriteInfo,
     * vanish before their replacements exist. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val st = storage
-    val marker = CommitIntegrity.begin(st, path, jobTag)
     val stagedInserts = ArrayBuffer.empty[String]
     val deleted = ArrayBuffer.empty[Array[Byte]]
     messages.foreach {
@@ -208,13 +207,19 @@ final class SSTableDeltaBatchWrite(path: String, info: LogicalWriteInfo,
         TombstoneStaging.stage(st, stagingDir, s"$jobTag-tomb",
           keys.toSeq, ldtSecs, markMicros, writeBuckets)
       }
+    // marker planted AFTER all failable validation/staging (the r8
+    // stage-everything-then-publish invariant: a refused statement
+    // leaves the directory untouched, marker litter included) and
+    // verified BEFORE the history event (no phantom entries in a
+    // replacement's log)
+    val marker = CommitIntegrity.begin(st, path, jobTag)
     (stagedInserts ++ stagedTomb).foreach(SSTableFiles.publish(st, _, path))
     st.deleteRecursive(stagingDir)
+    CommitIntegrity.verifyAndEnd(st, path, marker)
     History.record(st, path,
       cmd.toString.toLowerCase(java.util.Locale.ROOT),
       added = (stagedInserts ++ stagedTomb).toSeq,
       detail = s"deletedKeys=${keys.length}")
-    CommitIntegrity.verifyAndEnd(st, path, marker)
     // UPDATE/MERGE-heavy tables accumulate generations like any other
     // committer; the delta commit volunteers the same bounded fold as
     // batch inserts and streaming epochs (data generations only — the

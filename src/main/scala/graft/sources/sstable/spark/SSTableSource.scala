@@ -432,8 +432,11 @@ final class SSTableTable(props: Map[String, String])
     val storage = Storage.forPath(path,
       org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
     if (storage.exists(path)) {
+      val marker = CommitIntegrity.begin(storage, path,
+        "truncate-" + java.util.UUID.randomUUID().toString.take(8))
       val gone = storage.listDataFiles(path)
       gone.foreach(SSTableFiles.unpublish(storage, _))
+      CommitIntegrity.verifyAndEnd(storage, path, marker)
       History.record(storage, path, "truncate", removed = gone)
     }
     true
@@ -448,8 +451,11 @@ final class SSTableTable(props: Map[String, String])
     deletableKeys(filters) match {
       case Some(None) => // unconditional: same action as TRUNCATE TABLE
         if (storage.exists(path)) {
+          val marker = CommitIntegrity.begin(storage, path,
+            "delete-" + java.util.UUID.randomUUID().toString.take(8))
           val gone = storage.listDataFiles(path)
           gone.foreach(SSTableFiles.unpublish(storage, _))
+          CommitIntegrity.verifyAndEnd(storage, path, marker)
           History.record(storage, path, "delete", removed = gone,
             detail = "unconditional")
         }
@@ -487,8 +493,13 @@ final class SSTableTable(props: Map[String, String])
         storage.mkdirs(stagingDir)
         val staged = TombstoneStaging.stage(storage, stagingDir, tag,
           deduped, ldtSecs, mark, writeBuckets)
+        // the metadata-delete path is a lease-free publisher like any
+        // other commit: the integrity marker turns a racing table swap
+        // into a loud failure instead of an acknowledged lost delete
+        val marker = CommitIntegrity.begin(storage, path, tag)
         staged.foreach(SSTableFiles.publish(storage, _, path))
         storage.deleteRecursive(stagingDir)
+        CommitIntegrity.verifyAndEnd(storage, path, marker)
         History.record(storage, path, "delete", added = staged,
           detail = s"keys=${deduped.length}")
       case _ => // empty IN-list: nothing to delete

@@ -235,10 +235,13 @@ final class SSTableBatchWrite(path: String, schema: StructType,
       case _ =>
     }
     removeStaging(st)
+    // verify BEFORE the history event: a detected replacement must not
+    // append a phantom event (for files that never existed there) to
+    // the NEW table's audit log
+    CommitIntegrity.verifyAndEnd(st, path, marker)
     if (properties.getOrElse(SSTableSource.RecordHistoryOption, "true").toBoolean)
       History.record(st, path, if (truncate) "overwrite" else "insert",
         added = published.result(), removed = overwritten)
-    CommitIntegrity.verifyAndEnd(st, path, marker)
     // write-triggered bounded maintenance (driver-side, post-publish):
     // the committing job IS the single maintainer for the fold's
     // duration — see SSTableOps.autoCompact
@@ -328,9 +331,10 @@ final class SSTableStreamingWrite(path: String, schema: StructType,
       }
       case _ =>
     }
+    // verify before recording: no phantom event in a replacement's log
+    CommitIntegrity.verifyAndEnd(st, path, marker)
     History.record(st, path, "stream-epoch", added = published.result(),
       detail = s"epoch=$epochId")
-    CommitIntegrity.verifyAndEnd(st, path, marker)
     // every epoch appends one generation (per bucket); with autocompact
     // the committing epoch folds the chain back to the bound before the
     // next micro-batch plans — continuous ingestion stays read-efficient

@@ -941,12 +941,25 @@ class SSTableOpsSpec extends AnyFunSuite {
     }
     val dead = staging("_staging-dead", ageMs = 48L * 3600 * 1000)
     val fresh = staging("_staging-fresh", ageMs = 0L)
+    // commit-integrity markers: a crashed commit's (old) is swept, a
+    // live commit's (fresh) survives — deleting it would fail that
+    // commit with a false 'directory REPLACED'
+    def markerFile(name: String, ageMs: Long): java.io.File = {
+      val f = new java.io.File(s"$dir/$name")
+      java.nio.file.Files.write(f.toPath, Array.empty[Byte])
+      f.setLastModified(System.currentTimeMillis() - ageMs)
+      f
+    }
+    val deadMarker = markerFile("_commit-crashed", 48L * 3600 * 1000)
+    val liveMarker = markerFile("_commit-inflight", 0L)
 
     val (removed, kept) = SSTableOps.vacuumStaging(dir)
     assert(removed.map(_.split('/').last) == Seq("_staging-dead"))
     assert(kept.map(_.split('/').last) == Seq("_staging-fresh"))
     assert(!dead.exists(), "stale tree must be fully removed")
     assert(fresh.exists(), "a possibly-live job's staging must survive")
+    assert(!deadMarker.exists(), "a crashed commit's marker must be swept")
+    assert(liveMarker.exists(), "an in-flight commit's marker must survive")
     assert(LocalStorage.listDataFiles(dir) == Seq(s"$dir/live-Data.db"),
       "published generations untouched; staged partials never listed")
   }
