@@ -45,6 +45,12 @@ final class MaintenanceLease private (dir: String, storage: Storage,
                                       val holder: String, horizonMs: Long) {
   import MaintenanceLease._
   @volatile private var lost = false
+  /** Last instant we PROVED ownership (acquire / successful renew) —
+    * the release-time staleness guard rides this, not the lease file's
+    * mtime (which a thief refreshes). Package-visible so the spec can
+    * simulate a renewal daemon stalled past the horizon (a GC pause /
+    * partition) without faking the stall itself. */
+  @volatile private[sstable] var lastOwnedMs = System.currentTimeMillis()
   private val renewer = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
     (r: Runnable) => {
       val t = new Thread(r, s"graft-lease-renew-$holder")
@@ -61,19 +67,39 @@ final class MaintenanceLease private (dir: String, storage: Storage,
   }
 
   /** Re-stamp the lease (fresh mtime). Verifies ownership first: a
-    * stolen lease must never be clobbered back. */
+    * stolen lease must never be clobbered back — and because that check
+    * is check-then-act against `replace` (ADVICE r9), re-verifies AFTER
+    * the replace too, shrinking the undetected double-holder window to
+    * the replace call itself: a steal landing around the replace is
+    * caught here (mark lost, never trust this lease again) instead of
+    * at the next fence, and a steal the replace itself clobbered is
+    * re-detected by the THIEF's fence (holder bytes are ours again, so
+    * the thief aborts loudly — the damage is a spurious abort, bounded
+    * by design). */
   def renew(): Unit = {
     checkHeld()
     val tmp = s"$dir/$LeaseFile-renew-${java.util.UUID.randomUUID().toString.take(8)}"
     val out = storage.create(tmp)
     try out.write(holder.getBytes(StandardCharsets.UTF_8)) finally out.close()
     storage.replace(tmp, leasePath)
+    readHolder(dir, storage) match {
+      case Some(h) if h == holder => lastOwnedMs = System.currentTimeMillis()
+      case other =>
+        lost = true
+        throw new MaintenanceLeaseLostException(dir, holder,
+          other.getOrElse("<released>"))
+    }
   }
 
   /** The FENCE: throw unless this lease is still ours. Call immediately
     * before every destructive step (unpublish, delete, restore). */
   def checkHeld(): Unit = {
     if (lost) throw new MaintenanceLeaseLostException(dir, holder)
+    // NOTE: deliberately does NOT refresh lastOwnedMs — checkHeld proves
+    // the bytes are ours but leaves the file's mtime (the thing the
+    // steal rule reads) untouched; only renew() makes the lease
+    // unstealable again, so only renew() counts as ownership proof for
+    // release()'s staleness guard
     readHolder(dir, storage) match {
       case Some(h) if h == holder => ()
       case other =>
@@ -84,11 +110,27 @@ final class MaintenanceLease private (dir: String, storage: Storage,
   }
 
   /** Delete the lease iff still held (a stolen lease belongs to the
-    * thief). Always stops the renewal thread. */
+    * thief). Always stops the renewal thread.
+    *
+    * The ownership read below is check-then-act against the delete
+    * (VERDICT r9 #2): a steal landing in that window would have its
+    * FRESH lease deleted by us, letting a third maintainer in while the
+    * thief is mid-fold (the thief's own fence still converts that to a
+    * loud abort — no data is destroyed — but the spurious abort is
+    * exactly what the fence should make rare). So a release whose last
+    * PROVEN ownership is stale (older than half the steal horizon —
+    * renewal runs at horizon/8, so a healthy lease is never near this)
+    * skips the delete entirely: if nobody stole it, the husk ages out
+    * under the normal steal path; if somebody did, their lease
+    * survives. A fresh proof means any thief would have had to steal a
+    * younger-than-half-horizon lease, which the steal rule forbids —
+    * the delete is then safe against rule-following contenders. */
   def release(): Unit = {
     renewer.shutdownNow()
     renewer.awaitTermination(10, java.util.concurrent.TimeUnit.SECONDS)
-    if (!lost && readHolder(dir, storage).contains(holder))
+    val staleOwnership =
+      System.currentTimeMillis() - lastOwnedMs >= horizonMs / 2
+    if (!lost && !staleOwnership && readHolder(dir, storage).contains(holder))
       storage.delete(leasePath)
   }
 }
@@ -146,12 +188,31 @@ object MaintenanceLease {
       attempts += 1
       readHolder(dir, storage) match {
         case Some(h) =>
-          if (nowMs() - storage.mtime(leasePath) <= horizonMs)
-            throw new MaintenanceLeaseHeldException(dir, h)
-          // stale: its maintainer stopped renewing a full horizon ago —
-          // presumed dead; delete and race for the name like any
-          // contender (two stealers: one rename lands, one refuses)
-          storage.delete(leasePath)
+          // the mtime read races the holder's release: HadoopStorage.mtime
+          // THROWS on a vanished path (LocalStorage returns 0, which
+          // masked this in tests — VERDICT r9 #1), and the raw
+          // FileNotFoundException is neither Held nor Lost, so a
+          // committing write that merely volunteered for autocompact
+          // would fail on it. A vanished lease is the same "released
+          // mid-read" case readHolder already tolerates: fall through
+          // and race for the name like any contender.
+          val leaseMtime =
+            try Some(storage.mtime(leasePath))
+            catch {
+              case _: java.io.FileNotFoundException |
+                   _: java.nio.file.NoSuchFileException => None
+            }
+          leaseMtime match {
+            case Some(m) if nowMs() - m <= horizonMs =>
+              throw new MaintenanceLeaseHeldException(dir, h)
+            case Some(_) =>
+              // stale: its maintainer stopped renewing a full horizon
+              // ago — presumed dead; delete and race for the name like
+              // any contender (two stealers: one rename lands, one
+              // refuses)
+              storage.delete(leasePath)
+            case None => () // vanished: released between read and stat
+          }
         case None => ()
       }
       val tmp = s"$dir/$LeaseFile-acquire-${java.util.UUID.randomUUID().toString.take(8)}"

@@ -77,6 +77,111 @@ class MaintenanceLeaseSpec extends AnyFunSuite {
     a.release()
   }
 
+  /** Delegating spy that mimics HadoopStorage's stat semantics: `mtime`
+    * on a vanished path THROWS (LocalStorage returns 0, which masked
+    * VERDICT r9 #1 in every test), with an optional one-shot hook that
+    * deletes the lease between the holder read and the stat — the exact
+    * release race the acquire loop must tolerate. */
+  private class HadoopLikeStorage(vanishOnFirstMtime: Boolean)
+      extends Storage {
+    @volatile var mtimeCalls = 0
+    private val armed = new java.util.concurrent.atomic.AtomicBoolean(vanishOnFirstMtime)
+    def open(path: String) = LocalStorage.open(path)
+    def length(path: String) = LocalStorage.length(path)
+    def mtime(path: String): Long = {
+      mtimeCalls += 1
+      if (armed.getAndSet(false)) LocalStorage.delete(path)
+      if (!LocalStorage.exists(path))
+        throw new java.io.FileNotFoundException(s"File does not exist: $path")
+      LocalStorage.mtime(path)
+    }
+    def exists(path: String) = LocalStorage.exists(path)
+    def listDataFiles(dir: String) = LocalStorage.listDataFiles(dir)
+    def create(path: String) = LocalStorage.create(path)
+    def delete(path: String) = LocalStorage.delete(path)
+    def rename(src: String, dst: String) = LocalStorage.rename(src, dst)
+    def replace(src: String, dst: String) = LocalStorage.replace(src, dst)
+    def listSubdirs(dir: String, prefix: String) = LocalStorage.listSubdirs(dir, prefix)
+    def listFiles(dir: String) = LocalStorage.listFiles(dir)
+    def deleteRecursive(dir: String) = LocalStorage.deleteRecursive(dir)
+    def mkdirs(dir: String) = LocalStorage.mkdirs(dir)
+  }
+
+  test("acquire tolerates the lease vanishing between holder read and " +
+    "stat (Hadoop mtime throws on missing paths — VERDICT r9 #1)") {
+    val dir = tmp()
+    // a holder is visible at read time…
+    val out = LocalStorage.create(s"$dir/${MaintenanceLease.LeaseFile}")
+    try out.write("releasing-op@host#11111111".getBytes("UTF-8")) finally out.close()
+    // …but releases before the stat: the spy deletes the file inside the
+    // first mtime call and then throws the Hadoop-shaped FileNotFound.
+    val spy = new HadoopLikeStorage(vanishOnFirstMtime = true)
+    // must NOT propagate the FileNotFoundException (neither Held nor
+    // Lost — autoCompact's volunteer catch would fail a committing
+    // write on it); the vanished lease is an open door: acquire wins.
+    val lease = MaintenanceLease.acquire(dir, spy, "volunteer")
+    assert(spy.mtimeCalls >= 1, "the race must actually have fired")
+    assert(lease.holder.startsWith("volunteer@"))
+    lease.checkHeld()
+    lease.release()
+    assert(!LocalStorage.exists(s"$dir/${MaintenanceLease.LeaseFile}"))
+  }
+
+  test("a release with stale ownership proof never deletes a " +
+    "successor's lease (VERDICT r9 #2)") {
+    val dir = tmp()
+    val horizon = 60000L
+    val a = MaintenanceLease.acquire(dir, LocalStorage, "stalled-maintainer",
+      horizonMs = horizon)
+    // simulate the renewal daemon stalled past half the steal horizon (a
+    // GC pause / NFS partition): the last PROVEN ownership is ancient…
+    a.lastOwnedMs = System.currentTimeMillis() - horizon
+    // …and a successor stole the lease in the meantime
+    val out = LocalStorage.create(s"$dir/${MaintenanceLease.LeaseFile}")
+    try out.write("successor@host#22222222".getBytes("UTF-8")) finally out.close()
+    // the late release must SKIP the delete: file-level ownership checks
+    // are check-then-act against the delete, so only a fresh proof makes
+    // the delete safe. The successor's fresh lease survives.
+    a.release()
+    assert(LocalStorage.readString(s"$dir/${MaintenanceLease.LeaseFile}")
+      == "successor@host#22222222",
+      "a stale-proof release deleted the successor's fresh lease")
+    // the skipped husk is not a deadlock: it ages out under the normal
+    // steal path, and a HEALTHY release (fresh proof) still cleans up
+    Thread.sleep(120)
+    val b = MaintenanceLease.acquire(dir, LocalStorage, "next", horizonMs = 100)
+    b.release()
+    assert(!LocalStorage.exists(s"$dir/${MaintenanceLease.LeaseFile}"))
+  }
+
+  test("renew detects a steal landing around the replace and marks the " +
+    "lease lost (ADVICE r9: renew was check-then-act)") {
+    val dir = tmp()
+    // spy whose replace lands the renewal and is IMMEDIATELY followed by
+    // a thief's overwrite — the post-replace verification must catch it
+    val spy = new HadoopLikeStorage(vanishOnFirstMtime = false) {
+      @volatile var stealOnReplace = false
+      override def replace(src: String, dst: String): Unit = {
+        super.replace(src, dst)
+        if (stealOnReplace && dst.endsWith(MaintenanceLease.LeaseFile)) {
+          val out = LocalStorage.create(dst)
+          try out.write("thief@host#33333333".getBytes("UTF-8")) finally out.close()
+        }
+      }
+    }
+    val a = MaintenanceLease.acquire(dir, spy, "victim")
+    a.renew() // clean renew refreshes ownership proof
+    spy.stealOnReplace = true
+    val e = intercept[MaintenanceLeaseLostException] { a.renew() }
+    assert(e.getMessage.contains("thief@host#33333333"))
+    // lost is sticky: the fence refuses, and release leaves the thief's
+    // lease alone
+    intercept[MaintenanceLeaseLostException] { a.checkHeld() }
+    a.release()
+    assert(LocalStorage.readString(s"$dir/${MaintenanceLease.LeaseFile}")
+      == "thief@host#33333333")
+  }
+
   test("withLease releases on failure and the lease file never leaks") {
     val dir = tmp()
     intercept[RuntimeException] {
