@@ -585,22 +585,32 @@ object SSTableOps {
     require(minThreshold >= 2, s"minThreshold must be >= 2: $minThreshold")
     val storage = graft.sources.sstable.Storage.forPath(
       dir, spark.sessionState.newHadoopConf())
-    val files = storage.listDataFiles(dir)
-    val parsed = files.map { f =>
-      SSTableFiles.generationStem(f) match {
-        case SSTableSource.BucketNameRe(b) => (b.toInt, f)
-        case _ => throw new IllegalArgumentException(
-          s"not a bucketed generation (want bucket-NNNNN-*): $f — " +
-            "compactBucketedInPlace maintains writeBucketed directories only")
+    def plan(): Seq[(Int, Seq[String])] = {
+      val parsed = storage.listDataFiles(dir).map { f =>
+        SSTableFiles.generationStem(f) match {
+          case SSTableSource.BucketNameRe(b) => (b.toInt, f)
+          case _ => throw new IllegalArgumentException(
+            s"not a bucketed generation (want bucket-NNNNN-*): $f — " +
+              "compactBucketedInPlace maintains writeBucketed directories only")
+        }
       }
+      parsed.groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (b, members) => (b, members.map(_._2).sorted) }
+        .filter(_._2.length >= minThreshold)
     }
-    val foldable = parsed.groupBy(_._1).toSeq.sortBy(_._1)
-      .map { case (b, members) => (b, members.map(_._2).sorted) }
-      .filter(_._2.length >= minThreshold)
-    if (foldable.isEmpty) return 0
+    // cheap lease-free early-out for the nothing-to-do case only; the
+    // AUTHORITATIVE plan is re-built under the lease (ADVICE r9: a
+    // sibling maintainer folding between a lease-free plan and our
+    // acquisition left the plan's chains pointing at unpublished files,
+    // and the pass died with a raw FileNotFound mid-fold instead of
+    // folding the post-sibling state — the compactInPlace/autoCompact
+    // 're-list under the lease' pattern, applied here too)
+    if (plan().isEmpty) return 0
     graft.sources.sstable.MaintenanceLease.withLease(dir, storage,
       "compactBucketedInPlace") { lease =>
-      recordingFolds(storage, dir, "compact_bucketed") {
+      val foldable = plan()
+      if (foldable.isEmpty) 0
+      else recordingFolds(storage, dir, "compact_bucketed") {
         foldBucketsPooled(spark, dir, storage, foldable, parallelism, lease)
       }
     }
@@ -1060,8 +1070,14 @@ object SSTableOps {
       .partition(d => nowMs - storage.mtime(d) > olderThanMs)
     stale.foreach(storage.deleteRecursive)
     // commit-integrity markers from crashed commits (zero-byte
-    // `_commit-` files — see CommitIntegrity) age out under the same
-    // horizon; a live commit finishes within its own job's runtime
+    // `_commit-` files — see CommitIntegrity) age out too — but under a
+    // FLOORED horizon, never the caller's raw one (ADVICE r9): the
+    // staging horizon is user-tunable via CALL vacuum, and a short value
+    // aimed at staging dirs would sweep the marker of a commit still
+    // publishing — whose verifyAndEnd then reports a false "directory
+    // was REPLACED" even though its data landed. Markers live seconds,
+    // so the floor only needs to clear the longest plausible publish.
+    val markerHorizon = math.max(olderThanMs, CommitMarkerSweepFloorMs)
     storage.listFiles(dir)
       .filter { p =>
         val n = p.substring(p.lastIndexOf('/') + 1)
@@ -1070,7 +1086,7 @@ object SSTableOps {
           // live commit's verifyAndEnd can delete one between the LIST
           // and this stat — vanished means cleaned up, not stale
           // (HadoopStorage.mtime throws on missing paths)
-          try nowMs - storage.mtime(p) > olderThanMs
+          try nowMs - storage.mtime(p) > markerHorizon
           catch {
             case _: java.io.FileNotFoundException |
                  _: java.nio.file.NoSuchFileException => false
@@ -1080,6 +1096,15 @@ object SSTableOps {
       .foreach(storage.delete)
     (stale, live)
   }
+
+  /** Floor for the `_commit-` marker sweep inside [[vacuumStaging]]: a
+    * marker younger than this is never swept regardless of the caller's
+    * staging horizon — it may belong to a commit still publishing, and
+    * sweeping it would fail that commit with a false replaced-directory
+    * report. One hour clears any plausible publish by orders of
+    * magnitude (markers live for the seconds between a commit's first
+    * and last publish). */
+  val CommitMarkerSweepFloorMs: Long = 3600L * 1000
 
   /** Snapshot subdirectory prefix (the layout contract shared with the
     * read side's `option("snapshot", tag)`). Distinct from `_staging-`

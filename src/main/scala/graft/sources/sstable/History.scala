@@ -174,6 +174,25 @@ object History {
       msPart.nonEmpty && nowMs - msPart.toLong > olderThanMs
     }
     stale.foreach(storage.delete)
+    // importLog's `imp-*.tmp` scratch deliberately carries no event
+    // prefix (so a racing expire never mistakes a mid-import file for
+    // sweepable litter by NAME) — which means an import that crashed
+    // between create and rename leaks its tmp forever unless swept HERE
+    // (ADVICE r9). Age-based by MTIME (the name has no timestamp), so a
+    // live import — seconds long — is never raced; vanished-mid-stat
+    // means the rename landed, skip.
+    storage.listFiles(hd)
+      .filter { p =>
+        val n = fileName(p)
+        n.startsWith("imp-") && n.endsWith(".tmp") && {
+          try nowMs - storage.mtime(p) > olderThanMs
+          catch {
+            case _: java.io.FileNotFoundException |
+                 _: java.nio.file.NoSuchFileException => false
+          }
+        }
+      }
+      .foreach(storage.delete)
     // counts cover real events only — tmp litter is not part of the log
     (stale.count(!_.endsWith(".tmp")), live.count(!_.endsWith(".tmp")))
   }

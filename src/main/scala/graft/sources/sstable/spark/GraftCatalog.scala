@@ -531,11 +531,76 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
   }
 
-  override def dropTable(ident: Identifier): Boolean = {
+  /** `DROP TABLE` — the last data-destroying call to get guards
+    * (VERDICT r9): after round 9 made every destructive MAINTENANCE
+    * path refuse loudly, a typo'd DROP on the production directory
+    * still vaporized the data, its snapshots, and its audit log in one
+    * call. Now it rides the REPLACE trash machinery instead:
+    *
+    *  - the directory is RENAMED to a `_dropped-<name>-<uuid>` sibling
+    *    (one metadata op, never a delete), restorable via
+    *    `CALL graft.system.undrop_table` until the staged-DDL sweep
+    *    horizon ([[GraftCatalog.StageVacuumHorizonMs]]) ages it out;
+    *  - the swap takes the maintenance lease, so DROP cannot yank the
+    *    directory out from under a running compaction/rollback (it
+    *    refuses naming the holder), and no maintainer can start
+    *    mid-swap;
+    *  - live snapshot pins REFUSE the drop — pins are the operator's
+    *    declared intent to keep that state reachable; `DROP TABLE …
+    *    PURGE` ([[purgeTable]]) is the explicit escape.
+    *
+    * A write racing the swap fails loudly via its commit-integrity
+    * marker (the marker rides into the trash), same as REPLACE. */
+  override def dropTable(ident: Identifier): Boolean =
+    dropImpl(ident, purge = false)
+
+  /** `DROP TABLE … PURGE`: the explicit escape hatch — immediate and
+    * permanent (no trash window), allowed even under live snapshot
+    * pins. Still lease-guarded: purging a table out from under a
+    * running maintainer stays a loud refusal, not a race. */
+  override def purgeTable(ident: Identifier): Boolean =
+    dropImpl(ident, purge = true)
+
+  private def dropImpl(ident: Identifier, purge: Boolean): Boolean = {
     val d = tableDir(ident)
     // a namespace (a directory holding tables) must survive DROP TABLE —
     // dropNamespace with CASCADE is the only way to remove it
-    isTableDir(d) && { storage.deleteRecursive(d); true }
+    if (!isTableDir(d)) return false
+    if (!purge) {
+      val pins = graft.operators.SSTableOps.listSnapshots(d, storage)
+      require(pins.isEmpty,
+        s"table ${ident.toString} has live snapshot pins " +
+          s"(${pins.sorted.mkString(", ")}) — they declare intent to keep " +
+          "that state reachable. Drop them first (CALL " +
+          s"$catalogName.system.expire_snapshots / drop_snapshot) or use " +
+          "DROP TABLE ... PURGE to destroy the table, pins and all")
+    }
+    graft.sources.sstable.MaintenanceLease.withLease(d, storage,
+      if (purge) "purge-table" else "drop-table") { lease =>
+      if (!purge) {
+        // the event rides into the trash with the directory — an
+        // undropped table's history shows the drop and the restore
+        graft.sources.sstable.History.record(storage, d, "drop_table",
+          detail = ident.toString)
+      }
+      lease.checkHeld() // fence: we are still the only maintainer
+      if (purge) storage.deleteRecursive(d)
+      else {
+        val trash = s"${nsDir(ident.namespace)}/_dropped-${ident.name}-" +
+          java.util.UUID.randomUUID().toString.take(8)
+        storage.rename(d, trash)
+        // the trash dir's own mtime is the table's LAST WRITE — possibly
+        // already past the sweep horizon, which would let the next staged
+        // DDL sweep a just-dropped table instantly. Stamp the heartbeat
+        // marker once so the restore window starts at the DROP.
+        storage.create(s"$trash/${GraftCatalog.StageHeartbeatFile}").close()
+        // the lease file rode into the trash; drop the husk so an undrop
+        // doesn't resurrect a stale lease (release() tolerates the gone
+        // file — ownership reads return None and the delete is skipped)
+        storage.delete(s"$trash/${graft.sources.sstable.MaintenanceLease.LeaseFile}")
+      }
+    }
+    true
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
@@ -607,7 +672,13 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val d = nsDir(namespace)
     if (!dirExists(d)) return false
     if (!cascade)
-      require(storage.listSubdirs(d, "").isEmpty && storage.listDataFiles(d).isEmpty,
+      // emptiness counts only VISIBLE children: `_`-prefixed internals
+      // (`_dropped-` trash from DROP TABLE, stranded `_stage-` dirs, the
+      // namespace marker) are not tables and must not wedge a DROP
+      // NAMESPACE of a logically empty namespace — they go with it
+      require(storage.listSubdirs(d, "")
+          .map(p => p.substring(p.lastIndexOf('/') + 1)).forall(!segOk(_)) &&
+          storage.listDataFiles(d).isEmpty,
         s"namespace not empty: ${namespace.mkString(".")} (use CASCADE)")
     storage.deleteRecursive(d)
     true
@@ -636,6 +707,17 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       val d = tableDir(ident)
       if (!isTableDir(d)) throw new NoSuchTableException(ident)
       d
+    }, resolveParent = { tableName =>
+      // same name validation, but the table itself need not exist —
+      // undrop_table's target is in the trash, not the catalog
+      val parts = tableName.split('.').toSeq
+      require(parts.nonEmpty && parts.forall(segOk),
+        s"bad table argument '$tableName' (expected 't' or 'ns.t', " +
+          "catalog-relative)")
+      val ns = parts.dropRight(1).toArray
+      val d = nsDir(ns)
+      if (!dirExists(d)) throw new NoSuchNamespaceException(catalogName +: ns)
+      (d, parts.last)
     })
 
   override def loadProcedure(ident: Identifier):

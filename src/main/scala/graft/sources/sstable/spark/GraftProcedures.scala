@@ -83,9 +83,13 @@ private[spark] object GraftProcedures {
 
   /** Build the registry against `resolveTable` — the catalog's own
     * `table-name → directory` mapping (loud on unknown names) — and the
-    * catalog's name (for procedures like `rebucket` that re-enter SQL). */
+    * catalog's name (for procedures like `rebucket` that re-enter SQL).
+    * `resolveParent` maps a table name to `(namespace dir, table name)`
+    * WITHOUT requiring the table to exist — `undrop_table`'s target is
+    * by definition not a live table. */
   def registry(resolveTable: String => String,
-               catalogName: => String): Map[String, UnboundProcedure] = {
+               catalogName: => String,
+               resolveParent: String => (String, String)): Map[String, UnboundProcedure] = {
     def dirOf(input: InternalRow): String = {
       require(!input.isNullAt(0), "argument 'table' is required")
       resolveTable(input.getUTF8String(0).toString)
@@ -323,6 +327,55 @@ private[spark] object GraftProcedures {
             detail = s"buckets=${prev.getOrElse(0)}->$n")
           Seq(row(prev.map(Int.box).orNull,
             if (n == 0) null else Int.box(n), rows: java.lang.Long))
+        }),
+
+      "undrop_table" -> new Proc(
+        "undrop_table",
+        "restore the most recently dropped table of this name from the " +
+          "namespace's _dropped- trash (DROP TABLE renames, never deletes; " +
+          "the trash survives until the staged-DDL sweep horizon, ~24h); " +
+          "refuses when the live name exists",
+        Array(tableParam),
+        StructType(Seq(
+          StructField("restoredFrom", StringType, nullable = false),
+          StructField("droppedAgoMs", LongType, nullable = false))),
+        (spark, in) => {
+          require(!in.isNullAt(0), "argument 'table' is required")
+          val tableName = in.getUTF8String(0).toString
+          val (nsD, name) = resolveParent(tableName)
+          val storage = graft.sources.sstable.Storage.forPath(
+            nsD, spark.sessionState.newHadoopConf())
+          val live = s"$nsD/$name"
+          require(!storage.exists(live),
+            s"table '$tableName' exists — nothing to restore over it " +
+              "(DROP or RENAME the live table first)")
+          // exact-shape match `_dropped-<name>-<8 hex>`: a prefix-only
+          // filter would let table 'foo' claim 'foo-bar's trash
+          val prefix = s"_dropped-$name-"
+          val candidates = storage.listSubdirs(nsD, prefix).filter { p =>
+            val rest = p.substring(p.lastIndexOf('/') + 1).drop(prefix.length)
+            rest.length == 8 && rest.forall(c =>
+              c.isDigit || (c >= 'a' && c <= 'f'))
+          }
+          require(candidates.nonEmpty,
+            s"no dropped table '$tableName' in the trash — either it was " +
+              "never dropped here, or the sweep horizon already reclaimed it")
+          // the DROP stamped the heartbeat marker at swap time; the
+          // newest stamp is the most recent drop (same liveness key the
+          // sweep uses, so restore and sweep agree on age)
+          def droppedAt(p: String): Long = {
+            val hb = s"$p/${GraftCatalog.StageHeartbeatFile}"
+            math.max(storage.mtime(p),
+              if (storage.exists(hb)) storage.mtime(hb) else 0L)
+          }
+          val newest = candidates.maxBy(droppedAt)
+          val at = droppedAt(newest)
+          storage.rename(newest, live) // refuses an existing dst: loud on a create race
+          storage.delete(s"$live/${GraftCatalog.StageHeartbeatFile}")
+          graft.sources.sstable.History.record(storage, live, "undrop_table",
+            detail = s"from=${newest.substring(newest.lastIndexOf('/') + 1)}")
+          Seq(row(utf8(newest.substring(newest.lastIndexOf('/') + 1)),
+            (System.currentTimeMillis() - at): java.lang.Long))
         }),
 
       "scrub" -> new Proc(

@@ -962,6 +962,19 @@ class SSTableOpsSpec extends AnyFunSuite {
     assert(liveMarker.exists(), "an in-flight commit's marker must survive")
     assert(LocalStorage.listDataFiles(dir) == Seq(s"$dir/live-Data.db"),
       "published generations untouched; staged partials never listed")
+    // the marker horizon is FLOORED (ADVICE r9): a short user-tuned
+    // staging horizon (CALL vacuum older_than_ms) must not sweep the
+    // marker of a commit still publishing — that commit's verifyAndEnd
+    // would then report a false 'directory REPLACED'. A 5-minute-old
+    // staging dir IS swept by olderThanMs=1s; a 5-minute-old marker is
+    // NOT (the one-hour floor governs markers).
+    val midStage = staging("_staging-mid", ageMs = 5L * 60 * 1000)
+    val midMarker = markerFile("_commit-mid", 5L * 60 * 1000)
+    val (removed2, _) = SSTableOps.vacuumStaging(dir, olderThanMs = 1000L)
+    assert(removed2.map(_.split('/').last).contains("_staging-mid"))
+    assert(!midStage.exists(), "the caller horizon still governs staging dirs")
+    assert(midMarker.exists(),
+      "a possibly-publishing commit's marker must survive a short horizon")
   }
 
   test("snapshot pins published state across compaction and later flushes") {

@@ -141,7 +141,7 @@ class GraftBucketedTableSpec extends AnyFunSuite {
     // and the live table still validates + reads as bucketed afterwards
     assert(keysOf(spark.sql("SELECT * FROM graft_bkt.bkd.t")) ==
       Seq("a", "b", "b", "c", "d"))
-    spark.sql("DROP TABLE graft_bkt.bkd.t")
+    spark.sql("DROP TABLE graft_bkt.bkd.t PURGE")
   }
 
   test("rollback restores a bucketed table with its layout intact") {
@@ -162,7 +162,7 @@ class GraftBucketedTableSpec extends AnyFunSuite {
     assert(spark.sql("CALL graft_bkt.system.compact_bucketed(table => 'bkr.t')")
       .head().getInt(0) >= 1)
     assert(keysOf(spark.sql("SELECT * FROM graft_bkt.bkr.t")) == Seq("a", "b", "c"))
-    spark.sql("DROP TABLE graft_bkt.bkr.t")
+    spark.sql("DROP TABLE graft_bkt.bkr.t PURGE")
   }
 
   test("DELETE appends per-bucket tombstone generations; compaction folds the debt") {

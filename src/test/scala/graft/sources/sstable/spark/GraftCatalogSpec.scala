@@ -395,7 +395,7 @@ class GraftCatalogSpec extends AnyFunSuite {
     val e4 = intercept[Exception](
       spark.sql("SELECT * FROM graft.tt.t VERSION AS OF 'epoch1..nope'").collect())
     assert(e4.getMessage.contains("no snapshot 'nope'"), e4.getMessage)
-    spark.sql("DROP TABLE graft.tt.t")
+    spark.sql("DROP TABLE graft.tt.t PURGE")
   }
 
   test("empty namespaces are protected from table DDL; nested CREATE needs its parent") {
@@ -643,7 +643,7 @@ class GraftCatalogSpec extends AnyFunSuite {
 
     // a bogus nested name still fails loudly
     intercept[Exception](spark.sql("SELECT * FROM graft.meta.t.nope").collect())
-    spark.sql("DROP TABLE graft.meta.t")
+    spark.sql("DROP TABLE graft.meta.t PURGE")
   }
 
   test("delete-aware scans decline stats-only aggregates; raw scans keep them") {
@@ -711,7 +711,7 @@ class GraftCatalogSpec extends AnyFunSuite {
       .collect().head.getSeq[String](0).toSet
     assert(lastRestored.subsetOf(liveStems),
       s"rollback's restored stems must be live: $lastRestored vs $liveStems")
-    spark.sql("DROP TABLE graft.hist.t")
+    spark.sql("DROP TABLE graft.hist.t PURGE")
   }
 
   test("TBLPROPERTIES autocompact: INSERT commits hold the generation bound") {
@@ -804,6 +804,14 @@ class GraftCatalogSpec extends AnyFunSuite {
     // but retention is its one cleanup path
     val litter = new java.io.File(s"$dir/_history/ev-0000000000002-00000000-cafe.tmp")
     java.nio.file.Files.write(litter.toPath, "op=torn".getBytes)
+    // and a crashed IMPORT's scratch (no event prefix, so only its
+    // MTIME can age it — ADVICE r9: it used to leak forever): an old
+    // one is swept, a fresh one (a live import) survives
+    val impOld = new java.io.File(s"$dir/_history/imp-deadbeef.tmp")
+    java.nio.file.Files.write(impOld.toPath, "op=torn".getBytes)
+    impOld.setLastModified(System.currentTimeMillis() - 365L * 24 * 3600 * 1000)
+    val impFresh = new java.io.File(s"$dir/_history/imp-cafebabe.tmp")
+    java.nio.file.Files.write(impFresh.toPath, "op=mid-import".getBytes)
     assert(spark.sql("SELECT count(*) FROM graft.he.t.history").head().getLong(0) == 3)
     val rep = spark.sql(
       "CALL graft.system.expire_history(table => 'he.t')").head()
@@ -811,6 +819,9 @@ class GraftCatalogSpec extends AnyFunSuite {
     // litter is deleted silently alongside
     assert(rep.getInt(0) == 1 && rep.getInt(1) == 2, rep.toString)
     assert(!litter.exists(), "stale tmp litter must be swept by retention")
+    assert(!impOld.exists(), "a crashed import's scratch must be swept")
+    assert(impFresh.exists(), "a live import's scratch must survive")
+    impFresh.delete()
     val ops = spark.sql("SELECT op, detail FROM graft.he.t.history").collect()
     assert(ops.length == 2 && ops.forall(_.getString(1) != "ancient"))
     spark.sql("DROP TABLE graft.he.t")

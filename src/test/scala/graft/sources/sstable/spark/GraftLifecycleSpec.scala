@@ -217,6 +217,86 @@ class GraftLifecycleSpec extends AnyFunSuite {
       .map(_.getString(0)).contains("lcsub"))
   }
 
+  test("DROP TABLE is a recoverable trash swap: undrop_table restores " +
+    "data, layout and history until the sweep horizon") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_lc.dr")
+    spark.sql("CREATE TABLE graft_lc.dr.t TBLPROPERTIES ('buckets'='2')")
+    insertRows("graft_lc.dr.t", Seq(("a", "1", 10L), ("b", "2", 20L)))
+    spark.sql("DROP TABLE graft_lc.dr.t")
+    assert(!spark.catalog.tableExists("graft_lc.dr.t"))
+    // the directory was RENAMED, not deleted: one trash entry, data inside
+    val trash = dirEntries("dr").filter(_.startsWith("_dropped-t-"))
+    assert(trash.size == 1, s"expected one trash dir: $trash")
+    assert(Option(new java.io.File(s"$warehouse/dr/${trash.head}").list())
+      .get.exists(_.endsWith("-Data.db")), "data must ride into the trash")
+    // the heartbeat stamp starts the restore window at the DROP, so the
+    // next staged DDL's sweep must NOT reclaim a just-dropped table even
+    // if the table's own mtime predates the horizon
+    val trashDir = new java.io.File(s"$warehouse/dr/${trash.head}")
+    trashDir.setLastModified(
+      System.currentTimeMillis() - GraftCatalog.StageVacuumHorizonMs - 60000)
+    spark.sql("CREATE OR REPLACE TABLE graft_lc.dr.unrelated AS " +
+      "SELECT * FROM graft_lc.lc.src")
+    assert(trashDir.exists(), "a just-dropped table must survive the sweep")
+    // restore: data, bucketed layout and audit trail all come back
+    val restored = spark.sql(
+      "CALL graft_lc.system.undrop_table(table => 'dr.t')").head()
+    assert(restored.getString(0) == trash.head)
+    assert(keysOf("graft_lc.dr.t") == Seq("a", "b"))
+    assert(dataFiles("dr", "t").forall(_.startsWith("bucket-")))
+    val ops = spark.sql("SELECT op FROM graft_lc.dr.t.history")
+      .collect().map(_.getString(0)).toSeq
+    assert(ops.containsSlice(Seq("drop_table", "undrop_table")),
+      s"history must show the drop AND the restore: $ops")
+    // restoring over a live name refuses; a second undrop finds no trash
+    val e1 = intercept[Exception](
+      spark.sql("CALL graft_lc.system.undrop_table(table => 'dr.t')"))
+    assert(e1.getMessage.contains("exists"), e1.getMessage)
+    spark.sql("DROP TABLE graft_lc.dr.t")
+    spark.sql("CALL graft_lc.system.undrop_table(table => 'dr.t')")
+    spark.sql("DROP TABLE graft_lc.dr.t PURGE")
+    val e2 = intercept[Exception](
+      spark.sql("CALL graft_lc.system.undrop_table(table => 'dr.t')"))
+    assert(e2.getMessage.contains("no dropped table"), e2.getMessage)
+  }
+
+  test("DROP TABLE refuses under a held maintenance lease and under " +
+    "live snapshot pins; PURGE is the explicit pin escape") {
+    import graft.sources.sstable.{LocalStorage, MaintenanceLease}
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_lc.dg")
+    spark.sql("CREATE TABLE graft_lc.dg.t")
+    insertRows("graft_lc.dg.t", Seq(("a", "1", 10L)))
+    // a running maintainer's lease refuses the DROP, naming the holder
+    val lease = MaintenanceLease.acquire(
+      s"$warehouse/dg/t", LocalStorage, "nightly-compactor")
+    val e1 = intercept[Exception](spark.sql("DROP TABLE graft_lc.dg.t"))
+    assert(e1.getMessage.contains("nightly-compactor@"), e1.getMessage)
+    assert(spark.catalog.tableExists("graft_lc.dg.t"), "refused = untouched")
+    lease.release()
+    // a snapshot pin refuses the plain DROP…
+    graft.operators.SSTableOps.snapshot(s"$warehouse/dg/t", "keepme")
+    val e2 = intercept[Exception](spark.sql("DROP TABLE graft_lc.dg.t"))
+    assert(e2.getMessage.contains("keepme") && e2.getMessage.contains("PURGE"),
+      e2.getMessage)
+    assert(keysOf("graft_lc.dg.t") == Seq("a"))
+    // …and PURGE destroys table + pins permanently: no trash entry
+    spark.sql("DROP TABLE graft_lc.dg.t PURGE")
+    assert(!spark.catalog.tableExists("graft_lc.dg.t"))
+    assert(!dirEntries("dg").exists(_.startsWith("_dropped-t-")),
+      "PURGE must not leave a trash window")
+    // exact-name trash matching: dropping 'other-t' never lets plain
+    // 't' claim its trash (prefix-only matching would)
+    spark.sql("CREATE TABLE graft_lc.dg.`t-v2`")
+    insertRows("graft_lc.dg.`t-v2`", Seq(("z", "9", 90L)))
+    spark.sql("DROP TABLE graft_lc.dg.`t-v2`")
+    val e3 = intercept[Exception](
+      spark.sql("CALL graft_lc.system.undrop_table(table => 'dg.t')"))
+    assert(e3.getMessage.contains("no dropped table"), e3.getMessage)
+    spark.sql("CALL graft_lc.system.undrop_table(table => 'dg.t-v2')")
+    assert(keysOf("graft_lc.dg.`t-v2`") == Seq("z"))
+    spark.sql("DROP TABLE graft_lc.dg.`t-v2` PURGE")
+  }
+
   test("a write commit into a directory replaced mid-publish fails loudly") {
     // writers are lease-free, so a REPLACE/rebucket swap landing while
     // a commit publishes would silently trash the committed data with

@@ -207,7 +207,7 @@ class GraftProceduresSpec extends AnyFunSuite {
     val e = intercept[Exception](spark.sql(
       "CALL graft_sys.system.rollback(table => 'm.rb', tag => 'nope')"))
     assert(e.getMessage.contains("no snapshot"), e.getMessage)
-    spark.sql("DROP TABLE graft_sys.m.rb")
+    spark.sql("DROP TABLE graft_sys.m.rb PURGE")
   }
 
   test("CALL system.vacuum removes only stale staging dirs") {
