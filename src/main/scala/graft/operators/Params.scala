@@ -132,6 +132,13 @@ object Params {
     * must route correctly under the NEW bucket count; the oracle keeps
     * the complement. Own physical fixture, so only determinism matters. */
   val RebucketUserMod = 8
+  /** q_sstable_lookup probes every user with `user_id % 100 == this`
+    * (plus one absent key) through `CALL graft.system.lookup` — the SQL
+    * route to the index-nested-loop probe path; the oracle recomputes
+    * the probed users' LWW winners relationally. Rides the autocompact
+    * fixture, so the probes cross a genuinely multi-generation
+    * directory. */
+  val LookupUserMod = 11
   /** Exact-substring dedup (q_dup_spans): window width in tokens. Real
     * pipelines use ~50 (Lee et al., "Deduplicating Training Data Makes
     * Language Models Better"); the synthetic corpus' shared runs are

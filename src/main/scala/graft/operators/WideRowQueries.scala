@@ -302,6 +302,32 @@ object WideRowQueries {
           col("timestamp").as("ts_ms"))
         .orderBy("user_id", "event_type", "ts_ms", "value_e4")
     }),
+    // The SQL point-lookup surface over REAL files (the engine's marquee
+    // 100 TB access path, now reachable without Scala): CALL
+    // graft.system.lookup probes a deterministic user subset (plus one
+    // absent key, which must yield nothing) through bloom → Summary →
+    // bounded Index window → one Data.db seek per candidate generation,
+    // against the MULTI-generation autocompact fixture — so the probes
+    // really reconcile across generations. The result is the probed
+    // users' LWW winners, which the oracle recomputes relationally; a
+    // probe that misses a generation, skips reconcile, or scans past
+    // its key would change the cell set.
+    "q_sstable_lookup" -> ((s, d) => {
+      val (_, cat) = sstableAutoCompactFixture(s, d)
+      val probes = Tables.events(s, d).select("user_id").distinct()
+        .filter(col("user_id") % 100 === LookupUserMod)
+        .collect().map(_.getLong(0)).sorted
+      val keyLits = (probes.map(u => s"CAST('$u' AS BINARY)") :+
+        "CAST('no-such-user' AS BINARY)").mkString(", ")
+      s.sql(s"CALL $cat.system.lookup(table => 'fx.t', " +
+          s"keys => array($keyLits))")
+        .select(col("key"), explode(col("columns")).as("c"))
+        .select(col("key").cast("string").cast("long").as("user_id"),
+          col("c.name").cast("string").as("event_type"),
+          col("c.timestamp").as("ts_ms"),
+          col("c.value").cast("string").cast("long").as("value_e4"))
+        .orderBy("user_id", "event_type")
+    }),
     // Time travel over the REAL files: the asofmicros read option drops
     // post-cut cell versions at decode (and whole post-cut generations
     // at plan time via Statistics minTimestamp), so compactRows yields
@@ -849,6 +875,14 @@ object WideRowQueries {
       s"""SELECT user_id, event_type, ${e4Sql("value")} AS value_e4, ts_ms
           FROM $EventsSql WHERE user_id % 10 <> $RebucketUserMod
           ORDER BY user_id, event_type, ts_ms, value_e4""",
+    // point lookups return exactly the probed users' LWW winners — the
+    // same per-(user, cell) reconcile the compaction queries pin, here
+    // produced by per-key probes instead of a scan
+    "q_sstable_lookup" ->
+      s"""SELECT user_id, event_type, ts_ms, ${e4Sql("value")} AS value_e4
+          FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts_ms DESC) AS rn
+                FROM $EventsSql) WHERE rn = 1 AND user_id % 100 = $LookupUserMod
+          ORDER BY user_id, event_type""",
     // the same smallest-k key multiset the pushed top-n produces
     "q_sstable_topk" ->
       s"""SELECT user_key FROM (

@@ -329,6 +329,43 @@ private[spark] object GraftProcedures {
             if (n == 0) null else Int.box(n), rows: java.lang.Long))
         }),
 
+      "lookup" -> new Proc(
+        "lookup",
+        "point reads in pure SQL: probe each key via bloom filter -> " +
+          "Summary search -> one bounded Index.db window -> one Data.db " +
+          "seek per candidate generation (IO proportional to keys x " +
+          "generations, never table size) and return the reconciled " +
+          "(LWW-merged) row per key that exists — the SQL route to the " +
+          "engine's index-nested-loop access path (Scala: " +
+          "SSTableOps.lookupJoin). Keys are the table's binary keys: " +
+          "CAST string keys AS BINARY at the call site. With " +
+          "gc_tombstones (default) wholesale-deleted keys return nothing " +
+          "(the live view); without it the merged tombstone state is " +
+          "visible. Duplicate keys yield duplicate rows; NULLs match " +
+          "nothing. The probe set is CALL-literal-sized, so probes run " +
+          "on the driver against the (cached) 4-file metadata — no scan, " +
+          "no job",
+        Array(tableParam,
+          p("keys", ArrayType(BinaryType),
+            comment = "probe keys, e.g. array(CAST('k1' AS BINARY), ...)"),
+          p("gc_tombstones", BooleanType, Some("true"))),
+        SSTableSchema.schema,
+        (spark, in) => {
+          require(!in.isNullAt(1), "argument 'keys' is required")
+          val d = dirOf(in)
+          val storage = graft.sources.sstable.Storage.forPath(
+            d, spark.sessionState.newHadoopConf())
+          val arr = in.getArray(1)
+          val gc = in.getBoolean(2)
+          val prober = new graft.sources.sstable.SSTableReader
+            .DirectoryProber(d, storage)
+          (0 until arr.numElements()).flatMap { i =>
+            if (arr.isNullAt(i)) None
+            else prober.get(arr.getBinary(i), gcTombstones = gc)
+              .map(r => SSTableSchema.rowToInternal(r, SSTableSchema.schema))
+          }
+        }),
+
       "undrop_table" -> new Proc(
         "undrop_table",
         "restore the most recently dropped table of this name from the " +

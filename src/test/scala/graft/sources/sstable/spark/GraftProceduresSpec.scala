@@ -101,6 +101,69 @@ class GraftProceduresSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft_sys.m.td")
   }
 
+  test("CALL system.lookup: the SQL probe path equals scan+filter, " +
+    "misses are bloom-free, deletes respect the live view") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_sys.m")
+    spark.sql("CREATE TABLE graft_sys.m.lk")
+    // three generations: k2 rewritten later (probe must reconcile LWW
+    // across generations), k3 deleted (probe must apply the tombstone)
+    insertRows("graft_sys.m.lk",
+      Seq(("k1", "v1", 10L), ("k2", "old", 10L), ("k3", "v3", 10L)))
+    insertRows("graft_sys.m.lk", Seq(("k2", "new", 20L), ("k4", "v4", 20L)))
+    spark.sql("DELETE FROM graft_sys.m.lk WHERE key = CAST('k3' AS BINARY)")
+    assert(generations("m.lk") == 3)
+    val res = spark.sql("CALL graft_sys.system.lookup(table => 'm.lk', " +
+      "keys => array(CAST('k1' AS BINARY), CAST('k2' AS BINARY), " +
+      "CAST('k3' AS BINARY), CAST('no-such-key' AS BINARY)))")
+    val got = res.select(col("key").cast("string"),
+        col("columns")(0).getField("value").cast("string"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("k1" -> "v1", "k2" -> "new"),
+      s"probe must LWW-reconcile and drop the deleted key: $got")
+    // equals the scan+filter formulation of the same keys (the catalog
+    // read is delete-aware, so both sides apply the tombstone)
+    val scanned = spark.sql("SELECT CAST(key AS STRING) AS k, " +
+        "CAST(columns[0].value AS STRING) AS v FROM graft_sys.m.lk " +
+        "WHERE CAST(key AS STRING) IN ('k1','k2','k3','no-such-key')")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(scanned == got, s"scan+filter disagrees: $scanned vs $got")
+    // without gc the merged tombstone STATE is visible (one row, dead)
+    assert(spark.sql("CALL graft_sys.system.lookup(table => 'm.lk', " +
+        "keys => array(CAST('k3' AS BINARY)), gc_tombstones => false)")
+      .filter(col("rowTombstone").isNotNull).count() == 1)
+    // probe-not-scan, pinned with a Storage spy on the same directory:
+    // an absent key is rejected by every generation's bloom/bounds, so
+    // NO Data.db is ever opened; a present key opens at most one per
+    // candidate generation (a scan would open all of them regardless)
+    val dataOpens = new java.util.concurrent.atomic.AtomicInteger(0)
+    val spy = new graft.sources.sstable.Storage {
+      private def count(p: String): Unit =
+        if (p.endsWith("-Data.db")) { dataOpens.incrementAndGet(); () }
+      def open(p: String) = { count(p); LocalStorage.open(p) }
+      def length(p: String) = LocalStorage.length(p)
+      def mtime(p: String) = LocalStorage.mtime(p)
+      def exists(p: String) = LocalStorage.exists(p)
+      def listDataFiles(d: String) = LocalStorage.listDataFiles(d)
+      def create(p: String) = LocalStorage.create(p)
+      def delete(p: String) = LocalStorage.delete(p)
+      def rename(s0: String, d0: String) = LocalStorage.rename(s0, d0)
+      def replace(s0: String, d0: String) = LocalStorage.replace(s0, d0)
+      def listSubdirs(d: String, pre: String) = LocalStorage.listSubdirs(d, pre)
+      def listFiles(d: String) = LocalStorage.listFiles(d)
+      def deleteRecursive(d: String) = LocalStorage.deleteRecursive(d)
+      def mkdirs(d: String) = LocalStorage.mkdirs(d)
+    }
+    val prober = new graft.sources.sstable.SSTableReader.DirectoryProber(
+      s"$warehouse/m/lk", spy)
+    assert(prober.get("no-such-key".getBytes, gcTombstones = true).isEmpty)
+    assert(dataOpens.get() == 0,
+      "an absent-key probe must never open a Data.db (bloom/bounds skip)")
+    assert(prober.get("k1".getBytes, gcTombstones = true).nonEmpty)
+    assert(dataOpens.get() <= 3,
+      s"a probe opens at most one Data.db per candidate generation: ${dataOpens.get()}")
+    spark.sql("DROP TABLE graft_sys.m.lk")
+  }
+
   test("CALL system.compact refuses a bucketed table; compact_bucketed folds it") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_sys.m")
     spark.sql("CREATE TABLE graft_sys.m.bt")
