@@ -135,6 +135,27 @@ object SSTableFiles {
       }
     }
 
+  /** [[publish]] via [[Storage.link]] instead of rename — the STAGED
+    * copy stays alive, so a caller that later discovers its target
+    * directory was swapped away (commit-integrity marker vanished) can
+    * republish the same bytes into the replacement directory instead of
+    * reporting them lost. Same ordering contract (siblings first,
+    * Data.db LAST). An already-present destination is tolerated when
+    * republishing: published names are job-unique, so an existing file
+    * under our name IS our earlier link (the swap landed before it).
+    * Only worth it where [[Storage.linkIsCheap]] — a copy-backed link
+    * would double write IO. */
+  def publishLinked(storage: Storage, stagedDataPath: String,
+                    targetDir: String): Unit =
+    PublishOrderSuffixes.foreach { suf =>
+      val src = sibling(stagedDataPath, suf)
+      if (storage.exists(src)) {
+        val name = src.substring(src.lastIndexOf('/') + 1)
+        val dst = s"$targetDir/$name"
+        if (!storage.exists(dst)) storage.link(src, dst)
+      }
+    }
+
   /** [[publish]] under a NEW stem: rename the staged fileset to
     * `targetDataPath`'s siblings (same ordering contract — siblings
     * first, Data.db LAST). Used where the published name must carry

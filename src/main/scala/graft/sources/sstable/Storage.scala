@@ -82,6 +82,14 @@ trait Storage {
     * when locality is unknown (local fs). */
   def blockHosts(path: String, start: Long, end: Long): Array[String] = Array.empty
 
+  /** Whether [[link]] is O(1) (a hardlink sharing the inode) rather
+    * than a byte copy. Gates optimizations that would otherwise DOUBLE
+    * write IO — e.g. the catalog write path's link-publish, which keeps
+    * the staged copy alive until the commit-integrity check passes so a
+    * commit racing a table swap can republish instead of failing.
+    * Conservative default: false (the trait's [[link]] is a copy). */
+  def linkIsCheap: Boolean = false
+
   /** Read a small metadata file fully as UTF-8 — the ONE home of the
     * read-to-end loop the `_table`/`_lease`/`_history`/`_pinned-at`
     * readers share (review r9: four hand-rolled copies had accumulated).
@@ -191,6 +199,10 @@ object LocalStorage extends Storage {
     walk(new File(dir))
   }
   def mkdirs(dir: String): Unit = { new File(dir).mkdirs(); () }
+  /** POSIX hardlinks share the inode — O(1). A link-less filesystem
+    * falls back to the copy below, making this optimistic on exotic
+    * mounts; the fallback is correct either way, just not cheap. */
+  override def linkIsCheap: Boolean = true
   override def link(src: String, dst: String): Unit =
     try {
       java.nio.file.Files.createLink(

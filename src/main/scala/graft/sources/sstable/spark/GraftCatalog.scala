@@ -109,7 +109,12 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       return metadataTable(ident).getOrElse(throw new NoSuchTableException(ident))
     new SSTableTable(Map(
       SSTableSource.PathOption -> d,
-      SSTableSource.ApplyDeletesOption -> "true") ++ tableOptions(d))
+      SSTableSource.ApplyDeletesOption -> "true",
+      // catalog writes address a TABLE IDENTITY, not a directory, so an
+      // append commit racing a REPLACE/rebucket swap may follow the
+      // identity into the new directory (one automatic republish) —
+      // see SSTableSource.CommitRetryOption for the gates
+      SSTableSource.CommitRetryOption -> "true") ++ tableOptions(d))
   }
 
   /** The table's persisted `_table` properties (CREATE TABLE
@@ -450,7 +455,10 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     // the moment the query's write job starts, so a CTAS legitimately
     // outliving the horizon would have its live stage swept mid-run);
     // a dead driver stops touching and ages out as before.
-    Seq("_stage-", "_dropped-").foreach { prefix =>
+    // `_wstage-` is the catalog write path's swap-resilient staging
+    // (outside the table directory — see SSTableBatchWrite): a crashed
+    // append's scratch ages out under the same horizon
+    Seq("_stage-", "_dropped-", "_wstage-").foreach { prefix =>
       storage.listSubdirs(nsDir(ident.namespace), prefix)
         .filter { sd =>
           val hb = s"$sd/${GraftCatalog.StageHeartbeatFile}"

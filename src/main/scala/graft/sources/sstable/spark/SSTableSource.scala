@@ -223,6 +223,19 @@ object SSTableSource {
     * writes always log. */
   private[graft] val RecordHistoryOption = "recordhistory"
 
+  /** INTERNAL (`commitretry=true`, set by [[GraftCatalog.loadTable]]):
+    * an append commit that discovers its directory was REPLACED mid-
+    * publish (commit-integrity marker vanished — atomic CTAS swap, CALL
+    * rebucket) republishes its staged bytes into the replacement
+    * directory ONCE instead of failing. Only honored where
+    * [[graft.sources.sstable.Storage.linkIsCheap]] (the mechanism keeps
+    * staged copies alive via hardlink-publish; a copy-backed link would
+    * double write IO) and never for INSERT OVERWRITE (an overwrite
+    * racing a swap is ambiguous — loud stays correct). The PATH API
+    * keeps the loud behavior: a path user addresses a directory, not a
+    * table identity, so silently following a swap would be wrong. */
+  private[spark] val CommitRetryOption = "commitretry"
+
   private[spark] def autoCompactOf(v: Option[String]): Option[Int] = v.map { s =>
     val n = try s.toInt catch {
       case _: NumberFormatException => throw new IllegalArgumentException(

@@ -198,7 +198,25 @@ final class SSTableBatchWrite(path: String, schema: StructType,
       s"illegal jobTag: '$t'")
     t
   }
-  private val stagingDir = s"$path/_staging-$jobTag"
+
+  /** Swap-resilient commit (catalog tables only — see
+    * [[SSTableSource.CommitRetryOption]]): stage OUTSIDE the table
+    * directory (a swap replaces the table directory wholesale, staged
+    * bytes included) and publish by HARDLINK so the staged copy survives
+    * until the commit-integrity check passes — a vanished marker can
+    * then republish into the replacement directory instead of reporting
+    * the write lost. Gated on cheap links and append mode; everything
+    * else keeps the in-directory staging + rename publish. */
+  private val retryable: Boolean =
+    properties.get(SSTableSource.CommitRetryOption).contains("true") &&
+      !truncate && storage.linkIsCheap && path.contains("/")
+
+  private val stagingDir =
+    if (retryable) {
+      val parent = path.substring(0, path.lastIndexOf('/'))
+      val table = path.substring(path.lastIndexOf('/') + 1)
+      s"$parent/_wstage-$table-$jobTag"
+    } else s"$path/_staging-$jobTag"
 
   /** Filesets an INSERT OVERWRITE unpublished at job start — carried to
     * commit so the history event shows the full overwrite. */
@@ -224,21 +242,34 @@ final class SSTableBatchWrite(path: String, schema: StructType,
   /** Rename the winning attempts' staged files into the target dir —
     * siblings first, Data.db LAST, so a concurrent reader that lists a
     * Data.db always finds its complete fileset (ADVICE r2 medium). */
+  /** Test seam for the one unreachable-from-outside race window: the
+    * instant between the last publish and the integrity check. */
+  @volatile private[spark] var testBetweenPublishAndVerify: () => Unit = () => ()
+
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val st = storage
     val marker = CommitIntegrity.begin(st, path, jobTag)
     val published = Seq.newBuilder[String]
     messages.foreach {
       case SSTableCommit(staged) =>
-        staged.foreach(SSTableFiles.publish(st, _, path))
+        staged.foreach { p =>
+          if (retryable) SSTableFiles.publishLinked(st, p, path)
+          else SSTableFiles.publish(st, p, path)
+        }
         published ++= staged
       case _ =>
     }
-    removeStaging(st)
+    if (!retryable) removeStaging(st)
+    testBetweenPublishAndVerify()
     // verify BEFORE the history event: a detected replacement must not
     // append a phantom event (for files that never existed there) to
     // the NEW table's audit log
-    CommitIntegrity.verifyAndEnd(st, path, marker)
+    try CommitIntegrity.verifyAndEnd(st, path, marker)
+    catch {
+      case e: IllegalStateException if retryable =>
+        republishAfterSwap(st, published.result(), e)
+    }
+    removeStaging(st)
     if (properties.getOrElse(SSTableSource.RecordHistoryOption, "true").toBoolean)
       History.record(st, path, if (truncate) "overwrite" else "insert",
         added = published.result(), removed = overwritten)
@@ -257,6 +288,47 @@ final class SSTableBatchWrite(path: String, schema: StructType,
     removeStaging(storage)
 
   private def removeStaging(st: Storage): Unit = st.deleteRecursive(stagingDir)
+
+  /** The retry: the integrity marker vanished, so a REPLACE/rebucket
+    * swap took the old directory — first publish included — to the
+    * trash while this commit ran. The staged copies are OUTSIDE the
+    * table directory and still alive (link-publish), so follow the
+    * table identity into the replacement directory and publish ONCE
+    * more, under a fresh marker. Refused (original failure rethrown,
+    * enriched) when:
+    *  - the path no longer exists: that was a DROP, and an INSERT must
+    *    not resurrect a dropped table;
+    *  - the replacement's bucket layout differs from the one this
+    *    commit's generations were routed under (rebucket to a new
+    *    count): linking old-layout filesets in would corrupt the new
+    *    layout — the loud rerun is the only correct outcome;
+    *  - the second marker vanishes too (a second swap mid-retry):
+    *    swaps are rare operator actions; twice within one commit is a
+    *    fight the writer should not referee. */
+  private def republishAfterSwap(st: Storage, staged: Seq[String],
+                                 original: IllegalStateException): Unit = {
+    def give(reason: String): Nothing =
+      throw new IllegalStateException(
+        s"table directory $path was REPLACED while this write was " +
+          s"committing, and the automatic republish was refused: $reason — " +
+          "rerun the write against the current table", original)
+    if (!st.exists(path)) give("the table was dropped (nothing to publish into)")
+    val ourBuckets = SSTableSource.bucketsOf(
+      properties.get(SSTableSource.WriteBucketsOption))
+    val newBuckets = GraftCatalog.readTableProps(st, path)
+      .get(GraftCatalog.BucketsProp).map(_.toInt)
+    if (ourBuckets != newBuckets)
+      give(s"the replacement changed the bucket layout " +
+        s"(wrote ${ourBuckets.fold("plain")(b => s"buckets=$b")}, table now " +
+        s"${newBuckets.fold("plain")(b => s"buckets=$b")})")
+    val marker = CommitIntegrity.begin(st, path, s"$jobTag-retry")
+    staged.foreach(SSTableFiles.publishLinked(st, _, path))
+    try CommitIntegrity.verifyAndEnd(st, path, marker)
+    catch {
+      case _: IllegalStateException =>
+        give("the directory was replaced AGAIN during the republish")
+    }
+  }
 }
 
 /** Streaming (micro-batch) write: tasks stage under

@@ -46,6 +46,71 @@ class GraftCatalogSpec extends AnyFunSuite {
   private def keysOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
     df.select(col("key").cast("string")).collect().map(_.getString(0)).toSeq.sorted
 
+  test("a catalog append racing a table swap republishes into the " +
+    "replacement once; layout changes, drops and the path API stay loud") {
+    import graft.sources.sstable.LocalStorage
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.rt")
+    spark.sql("CREATE TABLE graft.rt.t")
+    val dir = s"$warehouse/rt/t"
+    val row = org.apache.spark.sql.catalyst.InternalRow(
+      "k-race".getBytes,
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any]),
+      null)
+    def stagedWrite(tag: String, retry: Boolean): (SSTableBatchWrite,
+        org.apache.spark.sql.connector.write.WriterCommitMessage) = {
+      val props = Map(SSTableSource.PathOption -> dir,
+          SSTableSource.JobTagOption -> tag) ++
+        (if (retry) Map(SSTableSource.CommitRetryOption -> "true") else Map.empty)
+      val batch = new SSTableBatchWrite(dir, SSTableSchema.schema, props,
+        truncate = false)
+      val w = batch.createBatchWriterFactory(null).createWriter(0, 0L)
+      w.write(row)
+      (batch, w.commit())
+    }
+    def swap(newDirSetup: String => Unit): () => Unit = () => {
+      // REPLACE/rebucket semantics: old directory (first publish
+      // included) renamed to trash, a fresh directory at the same path
+      LocalStorage.rename(dir,
+        s"$warehouse/rt/_dropped-t-${java.util.UUID.randomUUID().toString.take(8)}")
+      LocalStorage.mkdirs(dir)
+      newDirSetup(dir)
+    }
+    // 1. catalog append (commitretry): the swap lands between publish
+    //    and verify — the commit follows the table identity and lands
+    //    its rows in the REPLACEMENT directory
+    val (b1, m1) = stagedWrite("race1", retry = true)
+    b1.testBetweenPublishAndVerify = swap(_ => ())
+    b1.commit(Array(m1))
+    assert(keysOf(spark.sql("SELECT * FROM graft.rt.t")) == Seq("k-race"),
+      "the republished rows must be visible in the new table")
+    assert(spark.sql("SELECT op FROM graft.rt.t.history").collect()
+      .map(_.getString(0)).contains("insert"),
+      "the commit's history event must land on the NEW table's log")
+    assert(!new java.io.File(s"$warehouse/rt").list().exists(_.startsWith("_wstage-")),
+      "a successful retry must leave no outside staging behind")
+    // 2. the replacement changed the bucket layout: linking plain-stem
+    //    generations in would corrupt it — loud, original cause chained
+    val (b2, m2) = stagedWrite("race2", retry = true)
+    b2.testBetweenPublishAndVerify = swap(d =>
+      GraftCatalog.writeTableProps(LocalStorage, d, Map("buckets" -> "2")))
+    val e2 = intercept[IllegalStateException](b2.commit(Array(m2)))
+    assert(e2.getMessage.contains("bucket layout"), e2.getMessage)
+    LocalStorage.delete(s"$dir/${GraftCatalog.TablePropsFile}")
+    // 3. the table was DROPPED mid-commit: an append must not resurrect it
+    val (b3, m3) = stagedWrite("race3", retry = true)
+    b3.testBetweenPublishAndVerify = () => LocalStorage.deleteRecursive(dir)
+    val e3 = intercept[IllegalStateException](b3.commit(Array(m3)))
+    assert(e3.getMessage.contains("dropped"), e3.getMessage)
+    LocalStorage.mkdirs(dir)
+    // 4. the path API addresses a DIRECTORY, not a table identity — a
+    //    swap mid-commit stays the r9 loud failure
+    val (b4, m4) = stagedWrite("race4", retry = false)
+    b4.testBetweenPublishAndVerify = swap(_ => ())
+    val e4 = intercept[IllegalStateException](b4.commit(Array(m4)))
+    assert(e4.getMessage.contains("REPLACED"), e4.getMessage)
+    spark.sql("DROP TABLE graft.rt.t PURGE")
+  }
+
   test("DDL lifecycle: namespaces, create, list, rename, drop") {
     spark.sql("CREATE NAMESPACE graft.ddl")
     assert(spark.sql("SHOW NAMESPACES IN graft").collect()
