@@ -29,9 +29,24 @@ import java.nio.charset.StandardCharsets
 object History {
   val DirName = "_history"
   private val EventPrefix = "ev-"
-  /** Orders same-millisecond events from ONE process (the single
-    * writer/maintainer whose ordering matters); cross-process same-ms
-    * ties fall to the uuid, like any two independent clocks. */
+
+  /** ORDERING CONTRACT (pinned by CrossProcessSpec). Event ids sort as
+    * `(epochMs, per-process counter, uuid)`, and the reader's order IS
+    * that lexical order — stable for every reader on every read. What
+    * that buys, by scope:
+    *  - ONE process: true order always — the counter breaks same-ms
+    *    ties in emission order (the case that matters: a commit and the
+    *    fold it triggered can share a millisecond).
+    *  - TWO processes, different milliseconds: true order, to clock
+    *    skew — the same trust every distributed log places in wall
+    *    clocks.
+    *  - TWO processes, SAME millisecond: arbitrary-but-STABLE order
+    *    (counter, then uuid — two independent counters are not
+    *    comparable, so the order can invert real time WITHIN that
+    *    millisecond). This is deliberate: a same-ms cross-process tie
+    *    has no observable "real" order worth a coordination round-trip;
+    *    what the audit log owes readers is that the order never
+    *    CHANGES between reads, which name-sorting guarantees. */
   private val seq = new java.util.concurrent.atomic.AtomicLong(0)
 
   final case class Event(id: String, tsMs: Long, op: String,

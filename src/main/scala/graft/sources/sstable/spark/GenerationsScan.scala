@@ -139,7 +139,15 @@ object SnapshotsTable {
   * (one row per commit/DML/maintenance event, oldest first): Delta's
   * DESCRIBE HISTORY / Iceberg's snapshot log for this engine. Pure
   * metadata (one tiny file read per event, zero Data.db IO), computed at
-  * batch planning like the other metadata views. */
+  * batch planning like the other metadata views.
+  *
+  * `ORDER BY id` is the log's authoritative order — true within any one
+  * writing process (same-ms ties break by a per-process counter), true
+  * across processes down to millisecond clock grain, and
+  * arbitrary-but-STABLE for cross-process events inside one millisecond
+  * (see [[graft.sources.sstable.History]]'s ordering contract; pinned
+  * by CrossProcessSpec). `ts` is the raw wall clock — equal values are
+  * genuine ties there, so sort on `id`, not `ts`. */
 final class HistoryTable(dir: String)
     extends org.apache.spark.sql.connector.catalog.Table
     with org.apache.spark.sql.connector.catalog.SupportsRead {
