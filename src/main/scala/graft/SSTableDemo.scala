@@ -380,6 +380,28 @@ object SSTableDemo {
       .forall(f => sources.sstable.SSTableFiles.generationStem(f).startsWith("bucket-"))
     println(s"== CALL rebucket: ${rb.getInt(0)} -> ${rb.getInt(1)} buckets, " +
       s"${rb.getLong(2)} rows, stems bucketed=$rbStems")
+
+    // SQL point lookups: the index-nested-loop probe path without Scala
+    // (bloom → Summary → bounded Index window → one Data.db seek per
+    // candidate generation; driver-side, no scan job)
+    val lkRows = spark.sql("CALL graft.system.lookup(table => 'demo.ac', " +
+        "keys => array(CAST('k3' AS BINARY), CAST('k7' AS BINARY), " +
+        "CAST('absent' AS BINARY)))")
+      .select(col("key").cast("string")).collect().map(_.getString(0)).sorted
+    println(s"== CALL lookup: probed 3 keys, found [${lkRows.mkString(", ")}] " +
+      "(want k3, k7 — the absent key misses via bloom, no scan job ran)")
+
+    // DROP TABLE is a recoverable trash swap (lease-guarded, pin-aware);
+    // undrop_table restores data + history until the sweep horizon
+    spark.sql("DROP TABLE graft.demo.ac")
+    val droppedGone = !spark.catalog.tableExists("graft.demo.ac")
+    spark.sql("CALL graft.system.undrop_table(table => 'demo.ac')")
+    val restoredRows = spark.sql("SELECT count(*) FROM graft.demo.ac").head().getLong(0)
+    val restoredOps = spark.sql("SELECT op FROM graft.demo.ac.history")
+      .collect().map(_.getString(0))
+    println(s"== DROP + undrop: dropped=$droppedGone; undrop restored " +
+      s"$restoredRows rows (want 8) with history [drop_table, undrop_table] " +
+      s"recorded: ${restoredOps.containsSlice(Seq("drop_table", "undrop_table"))}")
     spark.stop()
   }
 }
