@@ -97,6 +97,16 @@ object Bench {
     // runs used first (0.606/0.099) measured the colder JVM and were
     // re-frozen the same session to avoid shipping slack entries
     "q_sstable_autocompact" -> 0.339, "q_sstable_history" -> 0.045,
+    // r10 additions, per the protocol: per-query min of THREE full
+    // quiet sweeps (totals 39.2/38.0/39.1 s, total_ratio
+    // 1.010/0.979/1.005, zero errors, zero contended), both mins
+    // corroborated by a second run within 1.3x (rebucket
+    // 0.210/0.216/0.222, lookup 0.221/0.234/0.271). q_asof_forward —
+    // the r9 watch item (judge saw ~2x in cold 2-query JVMs) — read
+    // 0.504/0.520/0.535 in the same sweeps (1.04-1.10x of its frozen
+    // 0.486): the cold readings were JVM-warmth artifacts, the frozen
+    // warm floor stands, no re-freeze
+    "q_sstable_rebucket" -> 0.210, "q_sstable_lookup" -> 0.221,
     "q_sstable_rollback" -> 0.218, "q_sstable_since" -> 0.238,
     "q_sstable_sync" -> 0.081, "q_sstable_topk" -> 0.044,
     "q_stratified" -> 0.191, "q_text_stats" -> 0.227,
