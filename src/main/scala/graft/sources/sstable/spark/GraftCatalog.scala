@@ -585,12 +585,6 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     graft.sources.sstable.MaintenanceLease.withLease(d, storage,
       if (purge) "purge-table" else "drop-table") { lease =>
-      if (!purge) {
-        // the event rides into the trash with the directory — an
-        // undropped table's history shows the drop and the restore
-        graft.sources.sstable.History.record(storage, d, "drop_table",
-          detail = ident.toString)
-      }
       lease.checkHeld() // fence: we are still the only maintainer
       if (purge) storage.deleteRecursive(d)
       else {
@@ -606,6 +600,12 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         // doesn't resurrect a stale lease (release() tolerates the gone
         // file — ownership reads return None and the delete is skipped)
         storage.delete(s"$trash/${graft.sources.sstable.MaintenanceLease.LeaseFile}")
+        // recorded AFTER the swap landed, into the trash copy of the log
+        // (an undropped table's history then shows drop + restore) — a
+        // rename that failed must not leave a phantom drop event on the
+        // still-live table (the verify-before-history rule, inverted)
+        graft.sources.sstable.History.record(storage, trash, "drop_table",
+          detail = ident.toString)
       }
     }
     true
@@ -675,8 +675,23 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
                               changes: NamespaceChange*): Unit =
     throw new UnsupportedOperationException("graft namespaces have no properties")
 
+  /** `DROP NAMESPACE` — the BULK version of the typo'd-DROP hazard
+    * (one `CASCADE` used to vaporize every table, snapshot, and audit
+    * log under the name in a single recursive delete). Both forms now
+    * ride the trash machinery: ONE rename to a `_dropped-<name>-<uuid>`
+    * sibling (heartbeat-stamped, restorable via `CALL
+    * graft.system.undrop_namespace` until the sweep horizon). `CASCADE`
+    * is the user's explicit acknowledgment of recursive destruction —
+    * contained snapshot pins ride into the trash rather than refusing —
+    * but a table under ACTIVE maintenance (a live lease) still refuses
+    * loudly: recoverable-by-rename does not excuse yanking a directory
+    * out from under a running compactor (its fence would abort, but the
+    * pass is lost). Namespace trash and table trash share the parent's
+    * `_dropped-` space; the `_namespace` marker inside keeps the two
+    * undrop procedures from restoring each other's entries. */
   override def dropNamespace(namespace: Array[String],
                              cascade: Boolean): Boolean = {
+    require(namespace.nonEmpty, "cannot drop the catalog root")
     val d = nsDir(namespace)
     if (!dirExists(d)) return false
     if (!cascade)
@@ -688,8 +703,46 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           .map(p => p.substring(p.lastIndexOf('/') + 1)).forall(!segOk(_)) &&
           storage.listDataFiles(d).isEmpty,
         s"namespace not empty: ${namespace.mkString(".")} (use CASCADE)")
-    storage.deleteRecursive(d)
+    refuseActiveMaintenance(d, namespace.mkString("."))
+    val parent = d.substring(0, d.lastIndexOf('/'))
+    val trash = s"$parent/_dropped-${namespace.last}-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    storage.rename(d, trash)
+    // restore window starts at the DROP, not at the tree's last write
+    storage.create(s"$trash/${GraftCatalog.StageHeartbeatFile}").close()
     true
+  }
+
+  /** Refuse the namespace drop while any table in the tree is under
+    * ACTIVE maintenance: a lease file younger than the steal horizon
+    * means a compactor/rollback is (or believes itself) mid-pass, and
+    * renaming the tree away would cost it the pass (fence-abort).
+    * Read-only — one listing per directory plus one stat per candidate
+    * lease; the check-to-rename window is the same metadata round-trip
+    * every fence accepts. A stale lease (dead maintainer) does not
+    * block the drop. */
+  private def refuseActiveMaintenance(d: String, name: String): Unit = {
+    val leasePath = s"$d/${graft.sources.sstable.MaintenanceLease.LeaseFile}"
+    if (storage.exists(leasePath)) {
+      val fresh =
+        try System.currentTimeMillis() - storage.mtime(leasePath) <=
+          graft.sources.sstable.MaintenanceLease.DefaultHorizonMs
+        catch {
+          case _: java.io.FileNotFoundException |
+               _: java.nio.file.NoSuchFileException => false // released mid-check
+        }
+      if (fresh) {
+        val holder =
+          try storage.readString(leasePath) catch { case _: Exception => "<unknown>" }
+        throw new IllegalStateException(
+          s"cannot drop namespace '$name': $d is under active maintenance " +
+            s"by '$holder' — wait for it to finish (its lease expires after " +
+            "the steal horizon if it died)")
+      }
+    }
+    storage.listSubdirs(d, "")
+      .filter(p => segOk(p.substring(p.lastIndexOf('/') + 1)))
+      .foreach(refuseActiveMaintenance(_, name))
   }
 
   override def namespaceExists(namespace: Array[String]): Boolean =

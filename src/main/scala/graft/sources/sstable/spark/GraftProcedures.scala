@@ -387,12 +387,16 @@ private[spark] object GraftProcedures {
             s"table '$tableName' exists — nothing to restore over it " +
               "(DROP or RENAME the live table first)")
           // exact-shape match `_dropped-<name>-<8 hex>`: a prefix-only
-          // filter would let table 'foo' claim 'foo-bar's trash
+          // filter would let table 'foo' claim 'foo-bar's trash. A
+          // NAMESPACE's trash (same parent space, `_namespace` marker
+          // inside) is never a table-restore candidate — that is
+          // undrop_namespace's job.
           val prefix = s"_dropped-$name-"
           val candidates = storage.listSubdirs(nsD, prefix).filter { p =>
             val rest = p.substring(p.lastIndexOf('/') + 1).drop(prefix.length)
             rest.length == 8 && rest.forall(c =>
-              c.isDigit || (c >= 'a' && c <= 'f'))
+              c.isDigit || (c >= 'a' && c <= 'f')) &&
+              !storage.exists(s"$p/${GraftCatalog.NamespaceMarker}")
           }
           require(candidates.nonEmpty,
             s"no dropped table '$tableName' in the trash — either it was " +
@@ -411,6 +415,52 @@ private[spark] object GraftProcedures {
           storage.delete(s"$live/${GraftCatalog.StageHeartbeatFile}")
           graft.sources.sstable.History.record(storage, live, "undrop_table",
             detail = s"from=${newest.substring(newest.lastIndexOf('/') + 1)}")
+          Seq(row(utf8(newest.substring(newest.lastIndexOf('/') + 1)),
+            (System.currentTimeMillis() - at): java.lang.Long))
+        }),
+
+      "undrop_namespace" -> new Proc(
+        "undrop_namespace",
+        "restore the most recently dropped NAMESPACE of this name from " +
+          "its parent's _dropped- trash (DROP NAMESPACE renames, never " +
+          "deletes - CASCADE included); the whole tree - tables, " +
+          "snapshots, history - comes back as one rename. Refuses when " +
+          "the live name exists",
+        Array(p("namespace", StringType,
+          comment = "catalog-relative namespace, e.g. 'ns' or 'a.b'")),
+        StructType(Seq(
+          StructField("restoredFrom", StringType, nullable = false),
+          StructField("droppedAgoMs", LongType, nullable = false))),
+        (spark, in) => {
+          require(!in.isNullAt(0), "argument 'namespace' is required")
+          val nsName = in.getUTF8String(0).toString
+          // resolveParent validates segments and the PARENT's existence —
+          // exactly what a namespace restore needs too
+          val (parentD, name) = resolveParent(nsName)
+          val storage = graft.sources.sstable.Storage.forPath(
+            parentD, spark.sessionState.newHadoopConf())
+          val live = s"$parentD/$name"
+          require(!storage.exists(live),
+            s"namespace '$nsName' exists — nothing to restore over it")
+          val prefix = s"_dropped-$name-"
+          val candidates = storage.listSubdirs(parentD, prefix).filter { p =>
+            val rest = p.substring(p.lastIndexOf('/') + 1).drop(prefix.length)
+            rest.length == 8 && rest.forall(c =>
+              c.isDigit || (c >= 'a' && c <= 'f')) &&
+              storage.exists(s"$p/${GraftCatalog.NamespaceMarker}")
+          }
+          require(candidates.nonEmpty,
+            s"no dropped namespace '$nsName' in the trash — either it was " +
+              "never dropped here, or the sweep horizon already reclaimed it")
+          def droppedAt(p: String): Long = {
+            val hb = s"$p/${GraftCatalog.StageHeartbeatFile}"
+            math.max(storage.mtime(p),
+              if (storage.exists(hb)) storage.mtime(hb) else 0L)
+          }
+          val newest = candidates.maxBy(droppedAt)
+          val at = droppedAt(newest)
+          storage.rename(newest, live)
+          storage.delete(s"$live/${GraftCatalog.StageHeartbeatFile}")
           Seq(row(utf8(newest.substring(newest.lastIndexOf('/') + 1)),
             (System.currentTimeMillis() - at): java.lang.Long))
         }),

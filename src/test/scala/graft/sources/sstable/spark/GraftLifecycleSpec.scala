@@ -297,6 +297,48 @@ class GraftLifecycleSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft_lc.dg.`t-v2` PURGE")
   }
 
+  test("DROP NAMESPACE CASCADE is a recoverable trash swap; an active " +
+    "maintainer inside refuses it; the two undrops never cross-restore") {
+    import graft.sources.sstable.{LocalStorage, MaintenanceLease}
+    spark.sql("CREATE NAMESPACE graft_lc.dn")
+    spark.sql("CREATE TABLE graft_lc.dn.a")
+    spark.sql("CREATE TABLE graft_lc.dn.b TBLPROPERTIES ('buckets'='2')")
+    insertRows("graft_lc.dn.a", Seq(("x", "1", 10L)))
+    insertRows("graft_lc.dn.b", Seq(("y", "2", 20L)))
+    // a live lease on a CONTAINED table refuses the whole-tree drop
+    val lease = MaintenanceLease.acquire(
+      s"$warehouse/dn/b", LocalStorage, "tree-compactor")
+    val e1 = intercept[Exception](spark.sql("DROP NAMESPACE graft_lc.dn CASCADE"))
+    assert(e1.getMessage.contains("tree-compactor@"), e1.getMessage)
+    assert(spark.catalog.tableExists("graft_lc.dn.a"), "refused = untouched")
+    lease.release()
+    // CASCADE: one rename, everything recoverable
+    spark.sql("DROP NAMESPACE graft_lc.dn CASCADE")
+    assert(!spark.sql("SHOW NAMESPACES IN graft_lc").collect()
+      .map(_.getString(0)).contains("dn"))
+    val trash = Option(new java.io.File(warehouse).list())
+      .get.filter(_.startsWith("_dropped-dn-")).toSeq
+    assert(trash.size == 1, s"one namespace trash entry: $trash")
+    // a TABLE named like the namespace cannot claim the namespace's
+    // trash (marker-filtered)…
+    val e2 = intercept[Exception](
+      spark.sql("CALL graft_lc.system.undrop_table(table => 'dn')"))
+    assert(e2.getMessage.contains("no dropped table"), e2.getMessage)
+    // …and undrop_namespace restores the WHOLE tree: tables, data, layout
+    spark.sql("CALL graft_lc.system.undrop_namespace(namespace => 'dn')")
+    assert(keysOf("graft_lc.dn.a") == Seq("x") && keysOf("graft_lc.dn.b") == Seq("y"))
+    assert(dataFiles("dn", "b").forall(_.startsWith("bucket-")))
+    // the inverse filter: a dropped TABLE's trash is invisible to
+    // undrop_namespace
+    spark.sql("DROP TABLE graft_lc.dn.a")
+    val e3 = intercept[Exception](
+      spark.sql("CALL graft_lc.system.undrop_namespace(namespace => 'dn.a')"))
+    assert(e3.getMessage.contains("no dropped namespace"), e3.getMessage)
+    spark.sql("CALL graft_lc.system.undrop_table(table => 'dn.a')")
+    assert(keysOf("graft_lc.dn.a") == Seq("x"))
+    spark.sql("DROP NAMESPACE graft_lc.dn CASCADE")
+  }
+
   test("a write commit into a directory replaced mid-publish fails loudly") {
     // writers are lease-free, so a REPLACE/rebucket swap landing while
     // a commit publishes would silently trash the committed data with
