@@ -140,19 +140,21 @@ object SSTableFiles {
     * directory was swapped away (commit-integrity marker vanished) can
     * republish the same bytes into the replacement directory instead of
     * reporting them lost. Same ordering contract (siblings first,
-    * Data.db LAST). An already-present destination is tolerated when
-    * republishing: published names are job-unique, so an existing file
-    * under our name IS our earlier link (the swap landed before it).
-    * Only worth it where [[Storage.linkIsCheap]] — a copy-backed link
-    * would double write IO. */
+    * Data.db LAST). On a FIRST publish (`tolerateExisting = false`) an
+    * existing destination stays the r9 loud collision failure (link's
+    * EEXIST), exactly like the refusing rename; on a REPUBLISH after a
+    * detected swap it is tolerated — published names are job-unique, so
+    * a file already under our name IS our own earlier link (the swap
+    * landed after it). Only worth it where [[Storage.linkIsCheap]] — a
+    * copy-backed link would double write IO. */
   def publishLinked(storage: Storage, stagedDataPath: String,
-                    targetDir: String): Unit =
+                    targetDir: String, tolerateExisting: Boolean): Unit =
     PublishOrderSuffixes.foreach { suf =>
       val src = sibling(stagedDataPath, suf)
       if (storage.exists(src)) {
         val name = src.substring(src.lastIndexOf('/') + 1)
         val dst = s"$targetDir/$name"
-        if (!storage.exists(dst)) storage.link(src, dst)
+        if (!tolerateExisting || !storage.exists(dst)) storage.link(src, dst)
       }
     }
 

@@ -703,6 +703,14 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           .map(p => p.substring(p.lastIndexOf('/') + 1)).forall(!segOk(_)) &&
           storage.listDataFiles(d).isEmpty,
         s"namespace not empty: ${namespace.mkString(".")} (use CASCADE)")
+    // symmetric to DROP TABLE refusing namespaces: CASCADE aimed at a
+    // data-holding TABLE directory (no namespace marker) must not
+    // trash-swap it as a pseudo-namespace — its trash would restore
+    // only via undrop_table under a surprising name
+    require(storage.exists(s"$d/$NamespaceMarker") ||
+        storage.listDataFiles(d).isEmpty,
+      s"${namespace.mkString(".")} is a table, not a namespace " +
+        "(DROP TABLE removes it)")
     refuseActiveMaintenance(d, namespace.mkString("."))
     val parent = d.substring(0, d.lastIndexOf('/'))
     val trash = s"$parent/_dropped-${namespace.last}-" +

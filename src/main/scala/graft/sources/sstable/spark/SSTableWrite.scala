@@ -253,7 +253,7 @@ final class SSTableBatchWrite(path: String, schema: StructType,
     messages.foreach {
       case SSTableCommit(staged) =>
         staged.foreach { p =>
-          if (retryable) SSTableFiles.publishLinked(st, p, path)
+          if (retryable) SSTableFiles.publishLinked(st, p, path, tolerateExisting = false)
           else SSTableFiles.publish(st, p, path)
         }
         published ++= staged
@@ -322,7 +322,7 @@ final class SSTableBatchWrite(path: String, schema: StructType,
         s"(wrote ${ourBuckets.fold("plain")(b => s"buckets=$b")}, table now " +
         s"${newBuckets.fold("plain")(b => s"buckets=$b")})")
     val marker = CommitIntegrity.begin(st, path, s"$jobTag-retry")
-    staged.foreach(SSTableFiles.publishLinked(st, _, path))
+    staged.foreach(SSTableFiles.publishLinked(st, _, path, tolerateExisting = true))
     try CommitIntegrity.verifyAndEnd(st, path, marker)
     catch {
       case _: IllegalStateException =>

@@ -336,6 +336,11 @@ class GraftLifecycleSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("no dropped namespace"), e3.getMessage)
     spark.sql("CALL graft_lc.system.undrop_table(table => 'dn.a')")
     assert(keysOf("graft_lc.dn.a") == Seq("x"))
+    // DROP NAMESPACE aimed at a data-holding TABLE refuses (symmetric
+    // to DROP TABLE refusing namespaces)
+    val e4 = intercept[Exception](spark.sql("DROP NAMESPACE graft_lc.dn.a CASCADE"))
+    assert(e4.getMessage.contains("is a table"), e4.getMessage)
+    assert(keysOf("graft_lc.dn.a") == Seq("x"))
     spark.sql("DROP NAMESPACE graft_lc.dn CASCADE")
   }
 
