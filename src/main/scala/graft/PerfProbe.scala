@@ -36,6 +36,7 @@ object PerfProbe {
     if (args.headOption.contains("bucketfold")) { bucketFoldProbe(spark); spark.stop(); return }
     if (args.headOption.contains("pins")) { pinsProbe(spark); spark.stop(); return }
     if (args.headOption.contains("maintenance")) { maintenanceProbe(spark); spark.stop(); return }
+    if (args.headOption.contains("lifecycle")) { lifecycleProbe(spark); spark.stop(); return }
 
     val docs = Tables.documents(spark, sfDir)
 
@@ -484,6 +485,85 @@ object PerfProbe {
     (1 to checks).foreach(_ =>
       graft.operators.SSTableOps.autoCompact(spark, dir, threshold = 50, buckets = None))
     println(f"autocompact no-op pre-check  ${(System.nanoTime() - t0) / 1e6 / checks}%8.3f ms/commit (110 generations, 70 delete-only, sidecar path)")
+  }
+
+  /** Prices the round-10 surfaces: the catalog append's link-publish
+    * commit (vs the path API's rename-publish), the CALL lookup probe
+    * path, and the DROP → undrop cycle. All must be metadata-cheap —
+    * a swap-resilient commit that slowed every INSERT, or a
+    * "recoverable" DROP that copied 100 TB, would be the wrong trade. */
+  private def lifecycleProbe(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    val wh = java.nio.file.Files.createTempDirectory("lcprobe").toString
+    spark.conf.set("spark.sql.catalog.graft_probe",
+      "graft.sources.sstable.spark.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_probe.warehouse", wh)
+    spark.sql("CREATE NAMESPACE graft_probe.p")
+    spark.sql("CREATE TABLE graft_probe.p.t")
+    val pathDir = s"$wh/path-api"
+    def rows(n: Int, tag: Int) = spark.range(n).select(
+      concat(lit(f"k$tag%03d-"), format_string("%05d", col("id")))
+        .cast("binary").as("key"),
+      array(struct(lit("c").cast("binary").as("name"),
+        lit("NORMAL").as("state"), lit("v").cast("binary").as("value"),
+        lit(tag.toLong).as("timestamp"), lit(0L).as("ttlSecs"),
+        lit(0L).as("expiresMillis"))).as("columns"),
+      lit(null).cast("struct<localDeletionTime: int, markedForDeleteAt: bigint>")
+        .as("rowTombstone"))
+    // warm both write paths once (codegen/JIT)
+    rows(1000, 0).createOrReplaceTempView("probe_rows_warm")
+    spark.sql("INSERT INTO graft_probe.p.t SELECT * FROM probe_rows_warm")
+    rows(1000, 0).write.format("sstable").mode("append").save(pathDir)
+    val commits = 10
+    var t0 = System.nanoTime()
+    (1 to commits).foreach { i =>
+      rows(1000, i).createOrReplaceTempView(s"probe_rows_$i")
+      spark.sql(s"INSERT INTO graft_probe.p.t SELECT * FROM probe_rows_$i")
+    }
+    val catalogMs = (System.nanoTime() - t0) / 1e6 / commits
+    t0 = System.nanoTime()
+    (1 to commits).foreach(i =>
+      rows(1000, i).write.format("sstable").mode("append").save(pathDir))
+    val pathMs = (System.nanoTime() - t0) / 1e6 / commits
+    // ISOLATE the swap-resilience mechanism (outside staging +
+    // link-publish + staged-copy cleanup): the same path-API write
+    // with only the commitretry option toggled — the catalog-vs-path
+    // delta above additionally carries SQL statement overhead
+    val retryDir = s"$wh/path-retry"
+    rows(1000, 0).write.format("sstable")
+      .option("commitretry", "true").mode("append").save(retryDir)
+    t0 = System.nanoTime()
+    (1 to commits).foreach(i =>
+      rows(1000, i).write.format("sstable")
+        .option("commitretry", "true").mode("append").save(retryDir))
+    val retryMs = (System.nanoTime() - t0) / 1e6 / commits
+    println(f"catalog INSERT (SQL + link-publish)            $catalogMs%8.1f ms/commit")
+    println(f"path-API append (rename-publish)               $pathMs%8.1f ms/commit")
+    println(f"path-API append (link-publish, same write)     $retryMs%8.1f ms/commit")
+    println(f"swap-resilience mechanism alone                ${retryMs - pathMs}%8.1f ms/commit")
+
+    // CALL lookup: per-probe cost against the multi-generation table
+    val keys = (0 until 100).map(i => s"CAST('k00${1 + i % 9}-${f"${i * 37 % 1000}%05d"}' AS BINARY)")
+      .mkString(", ")
+    def lookupOnce(): Long = spark.sql(
+      s"CALL graft_probe.system.lookup(table => 'p.t', keys => array($keys))")
+      .count()
+    lookupOnce() // cold: metadata loads
+    t0 = System.nanoTime()
+    val lkRuns = 10
+    (1 to lkRuns).foreach(_ => lookupOnce())
+    println(f"CALL lookup warm (100 probes, ${1 + commits} gens)        " +
+      f"${(System.nanoTime() - t0) / 1e6 / lkRuns / 100}%8.3f ms/probe")
+
+    // DROP -> undrop: both must be O(metadata) renames, never copies
+    t0 = System.nanoTime()
+    spark.sql("DROP TABLE graft_probe.p.t")
+    val dropMs = (System.nanoTime() - t0) / 1e6
+    t0 = System.nanoTime()
+    spark.sql("CALL graft_probe.system.undrop_table(table => 'p.t')")
+    val undropMs = (System.nanoTime() - t0) / 1e6
+    println(f"DROP TABLE (trash swap, ${1 + commits} gens)              $dropMs%8.1f ms")
+    println(f"CALL undrop_table                              $undropMs%8.1f ms")
   }
 
   private def pinsProbe(spark: SparkSession): Unit = {

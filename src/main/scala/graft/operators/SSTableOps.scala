@@ -1094,6 +1094,24 @@ object SSTableOps {
         }
       }
       .foreach(storage.delete)
+    // the catalog append path stages OUTSIDE the table directory
+    // (`<parent>/_wstage-<table>-<jobTag>` — swap-resilient commits, see
+    // SSTableBatchWrite): a crashed append's scratch lands in the
+    // NAMESPACE, where only staged DDL sweeps it. A namespace that never
+    // runs CTAS/REPLACE/DROP would accumulate that litter forever —
+    // CALL vacuum(table) is the maintenance entry an operator actually
+    // schedules, so it sweeps its own table's `_wstage-` siblings too
+    // (same age rule). The prefix can over-match a dash-named sibling
+    // (`_wstage-t-…` matches table `t-v2`'s scratch) — benign: the age
+    // guard protects anything LIVE, and a sibling's crashed scratch is
+    // garbage whoever sweeps it.
+    if (dir.contains("/")) {
+      val parent = dir.substring(0, dir.lastIndexOf('/'))
+      val table = dir.substring(dir.lastIndexOf('/') + 1)
+      storage.listSubdirs(parent, s"_wstage-$table-")
+        .filter(d => nowMs - storage.mtime(d) > olderThanMs)
+        .foreach(storage.deleteRecursive)
+    }
     (stale, live)
   }
 

@@ -229,6 +229,11 @@ final class SSTableBatchWrite(path: String, schema: StructType,
       overwritten.foreach(SSTableFiles.unpublish(st, _))
     }
     st.mkdirs(stagingDir)
+    // in-directory staging used to create the target as a side effect;
+    // outside staging must do it explicitly or the FIRST write into a
+    // fresh directory fails at the commit marker's create (caught by
+    // PerfProbe lifecycle)
+    if (retryable) st.mkdirs(path)
     val t = WriterTuning.of(properties)
     SSTableSource.bucketsOf(properties.get(SSTableSource.WriteBucketsOption)) match {
       case Some(n) =>

@@ -975,6 +975,20 @@ class SSTableOpsSpec extends AnyFunSuite {
     assert(!midStage.exists(), "the caller horizon still governs staging dirs")
     assert(midMarker.exists(),
       "a possibly-publishing commit's marker must survive a short horizon")
+    // crashed catalog appends stage OUTSIDE the table dir (_wstage-
+    // siblings in the namespace); vacuum sweeps its own table's stale
+    // ones, never a possibly-live one
+    val parent = new java.io.File(dir).getParent
+    val tname = new java.io.File(dir).getName
+    val wDead = new java.io.File(s"$parent/_wstage-$tname-deadjob")
+    wDead.mkdirs()
+    wDead.setLastModified(System.currentTimeMillis() - 48L * 3600 * 1000)
+    val wLive = new java.io.File(s"$parent/_wstage-$tname-livejob")
+    wLive.mkdirs()
+    SSTableOps.vacuumStaging(dir)
+    assert(!wDead.exists(), "a crashed append's outside staging must be swept")
+    assert(wLive.exists(), "a possibly-live append's staging must survive")
+    wLive.delete()
   }
 
   test("snapshot pins published state across compaction and later flushes") {

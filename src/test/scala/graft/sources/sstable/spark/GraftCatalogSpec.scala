@@ -56,12 +56,13 @@ class GraftCatalogSpec extends AnyFunSuite {
       "k-race".getBytes,
       new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any]),
       null)
-    def stagedWrite(tag: String, retry: Boolean): (SSTableBatchWrite,
+    def stagedWrite(tag: String, retry: Boolean,
+                    target: String = dir): (SSTableBatchWrite,
         org.apache.spark.sql.connector.write.WriterCommitMessage) = {
-      val props = Map(SSTableSource.PathOption -> dir,
+      val props = Map(SSTableSource.PathOption -> target,
           SSTableSource.JobTagOption -> tag) ++
         (if (retry) Map(SSTableSource.CommitRetryOption -> "true") else Map.empty)
-      val batch = new SSTableBatchWrite(dir, SSTableSchema.schema, props,
+      val batch = new SSTableBatchWrite(target, SSTableSchema.schema, props,
         truncate = false)
       val w = batch.createBatchWriterFactory(null).createWriter(0, 0L)
       w.write(row)
@@ -108,6 +109,14 @@ class GraftCatalogSpec extends AnyFunSuite {
     b4.testBetweenPublishAndVerify = swap(_ => ())
     val e4 = intercept[IllegalStateException](b4.commit(Array(m4)))
     assert(e4.getMessage.contains("REPLACED"), e4.getMessage)
+    // 5. a retryable write into a FRESH directory creates it — the
+    //    in-directory staging used to do that as a side effect, and
+    //    outside staging must not lose it (PerfProbe caught the first
+    //    write into a new dir dying at the commit marker's create)
+    val fresh = s"$warehouse/rt/freshdir"
+    val (b5, m5) = stagedWrite("race5", retry = true, target = fresh)
+    b5.commit(Array(m5))
+    assert(LocalStorage.listDataFiles(fresh).nonEmpty)
     spark.sql("DROP TABLE graft.rt.t PURGE")
   }
 
