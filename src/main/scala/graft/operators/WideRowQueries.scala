@@ -328,6 +328,25 @@ object WideRowQueries {
           col("c.value").cast("string").cast("long").as("value_e4"))
         .orderBy("user_id", "event_type")
     }),
+    // The recoverable-DROP lifecycle over REAL files: the corpus lands
+    // through a catalog INSERT (the swap-resilient link-publish commit
+    // path), the table is DROPPED (lease-guarded trash swap — one
+    // rename, heartbeat-stamped) and restored with CALL undrop_table.
+    // The delete-aware cells view of the RESTORED table must equal the
+    // corpus cell-for-cell: a swap that loses a generation, a restore
+    // that picks the wrong trash entry, or a link-publish that dropped
+    // a sibling file is a hash mismatch (missing cells or a decode
+    // failure), not a silent data loss.
+    "q_sstable_undrop" -> ((s, d) => {
+      val dir = sstableUndropFixture(s, d)
+      s.read.format("sstable").option("applydeletes", "true")
+        .option("view", "cells").load(dir)
+        .select(col("key").cast("string").cast("long").as("user_id"),
+          col("name").cast("string").as("event_type"),
+          col("value").cast("string").cast("long").as("value_e4"),
+          col("timestamp").as("ts_ms"))
+        .orderBy("user_id", "event_type", "ts_ms", "value_e4")
+    }),
     // Time travel over the REAL files: the asofmicros read option drops
     // post-cut cell versions at decode (and whole post-cut generations
     // at plan time via Statistics minTimestamp), so compactRows yields
@@ -688,6 +707,38 @@ object WideRowQueries {
       dir
     }
 
+  /** Physical fixture for the recoverable-DROP query: the corpus lands
+    * via a catalog INSERT (the link-publish commit), then one real
+    * `DROP TABLE` (trash swap) and one `CALL undrop_table` (restore).
+    * The fixture REQUIRES the drop to actually unresolve the table —
+    * a DROP that silently no-ops would leave the hash trivially green.
+    * Per-corpus catalog, the q_sstable_merge rule. */
+  private val undropFixtureCache = new SessionCache[String]
+  private def sstableUndropFixture(s: SparkSession, d: String): String =
+    undropFixtureCache.getOrCompute(s, d) {
+      val corpusTag = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes).map("%02x".format(_)).mkString.take(16)
+      val wh = freshFixtureDir("graft-ud", d)
+      val cat = s"graft_ud_$corpusTag"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.sstable.spark.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"CREATE NAMESPACE $cat.fx")
+      s.sql(s"CREATE TABLE $cat.fx.t")
+      val e = Tables.events(s, d).select("user_id", "event_type", "ts_ms", "value")
+      val view = s"graft_ud_src_$corpusTag"
+      liftedEvents(e).createOrReplaceTempView(view)
+      s.sql(s"""INSERT INTO $cat.fx.t
+        SELECT key, columns,
+          CAST(NULL AS STRUCT<localDeletionTime: INT, markedForDeleteAt: BIGINT>)
+        FROM $view""")
+      s.sql(s"DROP TABLE $cat.fx.t")
+      require(!s.catalog.tableExists(s"$cat.fx.t"),
+        "the DROP must actually unresolve the table")
+      s.sql(s"CALL $cat.system.undrop_table(table => 'fx.t')")
+      s"$wh/fx/t"
+    }
+
   /** Physical fixture for the auto-compaction queries: the events
     * corpus split into six deterministic epochs (`user_id % 6`), each
     * written as ONE generation (`writepartitions=1`) with
@@ -875,6 +926,11 @@ object WideRowQueries {
       s"""SELECT user_id, event_type, ${e4Sql("value")} AS value_e4, ts_ms
           FROM $EventsSql WHERE user_id % 10 <> $RebucketUserMod
           ORDER BY user_id, event_type, ts_ms, value_e4""",
+    // the restored table is the corpus, cell for cell — DROP + undrop
+    // round-trip through one trash rename each way
+    "q_sstable_undrop" ->
+      s"""SELECT user_id, event_type, ${e4Sql("value")} AS value_e4, ts_ms
+          FROM $EventsSql ORDER BY user_id, event_type, ts_ms, value_e4""",
     // point lookups return exactly the probed users' LWW winners — the
     // same per-(user, cell) reconcile the compaction queries pin, here
     // produced by per-key probes instead of a scan
