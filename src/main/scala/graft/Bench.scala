@@ -107,6 +107,10 @@ object Bench {
     // 0.486): the cold readings were JVM-warmth artifacts, the frozen
     // warm floor stands, no re-freeze
     "q_sstable_rebucket" -> 0.210, "q_sstable_lookup" -> 0.221,
+    // late-r10 addition, same protocol (three further quiet sweeps,
+    // totals 39.8/36.2/34.8 s, total_ratio 1.018/0.927/0.891; undrop
+    // 0.283/0.246/0.246 — min corroborated exactly)
+    "q_sstable_undrop" -> 0.246,
     "q_sstable_rollback" -> 0.218, "q_sstable_since" -> 0.238,
     "q_sstable_sync" -> 0.081, "q_sstable_topk" -> 0.044,
     "q_stratified" -> 0.191, "q_text_stats" -> 0.227,
