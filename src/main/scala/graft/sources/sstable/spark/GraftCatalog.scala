@@ -310,6 +310,10 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     declared.get(GraftCatalog.BucketsProp)
       .foreach(v => SSTableSource.bucketsOf(Some(v)))
     SSTableSource.autoCompactOf(declared.get(SSTableSource.AutoCompactOption))
+    declared.get(SSTableSource.AutoSnapshotOption).foreach(v =>
+      require(v.equalsIgnoreCase("true") || v.equalsIgnoreCase("false"),
+        s"table property '${SSTableSource.AutoSnapshotOption}' must be " +
+          s"true or false, got '$v'"))
     // every writer-tuning value must PARSE here, not at first INSERT:
     // WriterTuning.of is exactly the parse the write path runs
     try WriterTuning.of(declared)
@@ -873,7 +877,7 @@ object GraftCatalog {
     BucketsProp, SSTableSource.CompressOption, SSTableSource.ChunkLengthOption,
     SSTableSource.SummaryIntervalOption, SSTableSource.BloomBitsPerKeyOption,
     SSTableSource.CompressionAlgorithmOption, SSTableSource.LayoutOption,
-    SSTableSource.AutoCompactOption)
+    SSTableSource.AutoCompactOption, SSTableSource.AutoSnapshotOption)
   /** Spark-injected bookkeeping dropped (not persisted, not refused). */
   private[spark] val IgnoredCreateProps: Set[String] =
     Set(TableCatalog.PROP_OWNER, TableCatalog.PROP_COMMENT,

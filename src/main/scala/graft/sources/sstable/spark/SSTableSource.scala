@@ -217,6 +217,19 @@ object SSTableSource {
     * [[graft.operators.SSTableOps.autoCompact]]. Off when absent. */
   val AutoCompactOption = "autocompact"
 
+  /** Cassandra's `auto_snapshot`, opt-in (`TBLPROPERTIES
+    * ('autosnapshot'='true')` or the write option): TRUNCATE TABLE and
+    * the unconditional `DELETE FROM t` — the two statements that
+    * unpublish a table's whole live state in one call — first pin it as
+    * an `auto-<epochMs>-<uuid>` snapshot, so a typo'd truncate is a
+    * `CALL rollback(tag)` away from undone instead of gone. OFF by
+    * default on purpose: auto pins refuse `DROP` (without PURGE) and
+    * bucket re-layouts until expired, which surprises workflows that
+    * truncate as a routine reset — a table that opts in accepts running
+    * `expire_snapshots` as part of its maintenance loop. Key-targeted
+    * DELETEs never trigger it (tombstone appends destroy nothing). */
+  val AutoSnapshotOption = "autosnapshot"
+
   /** INTERNAL (`recordhistory=false`): suppress the commit's `_history`
     * event. Set only by engine-internal writes (compaction folds) whose
     * surrounding maintenance op records the whole diff itself — user
@@ -445,6 +458,7 @@ final class SSTableTable(props: Map[String, String])
     val storage = Storage.forPath(path,
       org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
     if (storage.exists(path)) {
+      autoSnapshotBeforeWipe(storage)
       val marker = CommitIntegrity.begin(storage, path,
         "truncate-" + java.util.UUID.randomUUID().toString.take(8))
       val gone = storage.listDataFiles(path)
@@ -453,6 +467,25 @@ final class SSTableTable(props: Map[String, String])
       History.record(storage, path, "truncate", removed = gone)
     }
     true
+  }
+
+  /** Cassandra's auto_snapshot, opt-in — see
+    * [[SSTableSource.AutoSnapshotOption]]: pin the live state before a
+    * whole-table wipe so the statement is undoable by `CALL rollback`
+    * until retention expires the pin. Hardlinks: O(files) metadata, no
+    * byte copies on link-capable backends. */
+  private def autoSnapshotBeforeWipe(storage: Storage): Unit = {
+    val on = props.get(SSTableSource.AutoSnapshotOption).exists { v =>
+      require(v.equalsIgnoreCase("true") || v.equalsIgnoreCase("false"),
+        s"option '${SSTableSource.AutoSnapshotOption}' must be true or false, got '$v'")
+      v.equalsIgnoreCase("true")
+    }
+    if (on && storage.listDataFiles(path).nonEmpty) {
+      graft.operators.SSTableOps.snapshot(path,
+        s"auto-${System.currentTimeMillis()}-" +
+          java.util.UUID.randomUUID().toString.take(8), storage)
+      ()
+    }
   }
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
@@ -464,6 +497,7 @@ final class SSTableTable(props: Map[String, String])
     deletableKeys(filters) match {
       case Some(None) => // unconditional: same action as TRUNCATE TABLE
         if (storage.exists(path)) {
+          autoSnapshotBeforeWipe(storage) // same wipe, same safety net
           val marker = CommitIntegrity.begin(storage, path,
             "delete-" + java.util.UUID.randomUUID().toString.take(8))
           val gone = storage.listDataFiles(path)

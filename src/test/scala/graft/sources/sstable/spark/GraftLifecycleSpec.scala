@@ -297,6 +297,42 @@ class GraftLifecycleSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft_lc.dg.`t-v2` PURGE")
   }
 
+  test("opt-in autosnapshot: TRUNCATE and unconditional DELETE pin the " +
+    "live state first, so CALL rollback undoes the wipe") {
+    import graft.operators.SSTableOps
+    spark.sql("CREATE TABLE graft_lc.lc.asn TBLPROPERTIES ('autosnapshot'='true')")
+    val dir = s"$warehouse/lc/asn"
+    insertRows("graft_lc.lc.asn", Seq(("a", "1", 10L), ("b", "2", 20L)))
+    spark.sql("TRUNCATE TABLE graft_lc.lc.asn")
+    assert(spark.sql("SELECT * FROM graft_lc.lc.asn").count() == 0)
+    val pins = SSTableOps.listSnapshots(dir)
+    assert(pins.size == 1 && pins.head.startsWith("auto-"),
+      s"TRUNCATE must pin first: $pins")
+    spark.sql(s"CALL graft_lc.system.rollback(table => 'lc.asn', tag => '${pins.head}')")
+    assert(keysOf("graft_lc.lc.asn") == Seq("a", "b"),
+      "the typo'd TRUNCATE must be one rollback away from undone")
+    // the unconditional DELETE is the same wipe and gets the same net
+    spark.sql("DELETE FROM graft_lc.lc.asn")
+    assert(spark.sql("SELECT * FROM graft_lc.lc.asn").count() == 0)
+    assert(SSTableOps.listSnapshots(dir).size == 2)
+    // a truncate of an ALREADY-EMPTY table pins nothing (no state to keep)
+    spark.sql("TRUNCATE TABLE graft_lc.lc.asn")
+    assert(SSTableOps.listSnapshots(dir).size == 2)
+    // retention is the exit: expire the auto pins, then DROP works plain
+    spark.sql("CALL graft_lc.system.expire_snapshots(table => 'lc.asn', " +
+      "older_than_ms => -1)")
+    spark.sql("DROP TABLE graft_lc.lc.asn")
+    // default-off: a plain table's TRUNCATE stays pin-free
+    spark.sql("CREATE TABLE graft_lc.lc.noasn")
+    insertRows("graft_lc.lc.noasn", Seq(("x", "9", 90L)))
+    spark.sql("TRUNCATE TABLE graft_lc.lc.noasn")
+    assert(SSTableOps.listSnapshots(s"$warehouse/lc/noasn").isEmpty)
+    // bad values refuse at CREATE, never at first TRUNCATE
+    val e = intercept[Exception](spark.sql(
+      "CREATE TABLE graft_lc.lc.badasn TBLPROPERTIES ('autosnapshot'='maybe')"))
+    assert(e.getMessage.contains("true or false"), e.getMessage)
+  }
+
   test("DROP NAMESPACE CASCADE is a recoverable trash swap; an active " +
     "maintainer inside refuses it; the two undrops never cross-restore") {
     import graft.sources.sstable.{LocalStorage, MaintenanceLease}
