@@ -330,8 +330,8 @@ class GraftProceduresSpec extends AnyFunSuite {
     assert(nameIdx >= 0, s"no name column in ${df.schema.fieldNames.mkString(",")}")
     val names = df.collect().map(_.getString(nameIdx)).toSeq
     assert(Seq("compact", "compact_leveled", "compact_tombstones",
-      "drop_snapshot", "expire_snapshots", "scrub", "snapshot",
-      "vacuum").forall(names.contains),
+      "drop_snapshot", "expire_snapshots", "lookup", "scrub", "snapshot",
+      "undrop_namespace", "undrop_table", "vacuum").forall(names.contains),
       s"SHOW PROCEDURES returned: $names")
   }
 }
