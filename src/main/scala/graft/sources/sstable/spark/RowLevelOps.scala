@@ -211,7 +211,20 @@ final class SSTableDeltaBatchWrite(path: String, info: LogicalWriteInfo,
     // stage-everything-then-publish invariant: a refused statement
     // leaves the directory untouched, marker litter included) and
     // verified BEFORE the history event (no phantom entries in a
-    // replacement's log)
+    // replacement's log).
+    //
+    // DELIBERATELY NOT swap-resilient (unlike catalog appends,
+    // SSTableBatchWrite.republishAfterSwap): a delta is STATE-DEPENDENT
+    // — its delete mark and matched/changed rows were computed against
+    // the PRE-swap table, so republishing it into a REPLACED directory
+    // would apply an UPDATE/MERGE derived from data the new table may
+    // not hold (re-stamped rows resurrecting, tombstones shadowing the
+    // wrong versions). An append's rows mean the same thing in any
+    // directory; a delta's do not. The loud failure telling the user to
+    // re-run the STATEMENT (which re-reads the new table) is the only
+    // correct recovery. Streaming epochs likewise: the stream's restart
+    // replays the epoch against current state — retry at the right
+    // layer already exists.
     val marker = CommitIntegrity.begin(st, path, jobTag)
     (stagedInserts ++ stagedTomb).foreach(SSTableFiles.publish(st, _, path))
     st.deleteRecursive(stagingDir)

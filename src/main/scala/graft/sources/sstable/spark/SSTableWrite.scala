@@ -244,13 +244,16 @@ final class SSTableBatchWrite(path: String, schema: StructType,
     }
   }
 
-  /** Rename the winning attempts' staged files into the target dir —
-    * siblings first, Data.db LAST, so a concurrent reader that lists a
-    * Data.db always finds its complete fileset (ADVICE r2 medium). */
   /** Test seam for the one unreachable-from-outside race window: the
     * instant between the last publish and the integrity check. */
   @volatile private[spark] var testBetweenPublishAndVerify: () => Unit = () => ()
 
+  /** Publish the winning attempts' staged files into the target dir —
+    * siblings first, Data.db LAST, so a concurrent reader that lists a
+    * Data.db always finds its complete fileset (ADVICE r2 medium).
+    * Rename-moves for the plain path; hardlinks (staged copies kept
+    * until the integrity check passes) for the swap-resilient catalog
+    * path — see [[republishAfterSwap]]. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val st = storage
     val marker = CommitIntegrity.begin(st, path, jobTag)
