@@ -402,6 +402,17 @@ object SSTableDemo {
     println(s"== DROP + undrop: dropped=$droppedGone; undrop restored " +
       s"$restoredRows rows (want 8) with history [drop_table, undrop_table] " +
       s"recorded: ${restoredOps.containsSlice(Seq("drop_table", "undrop_table"))}")
+
+    // autosnapshot (opt-in): a whole-table wipe pins the state first,
+    // so a typo'd TRUNCATE is one rollback away from undone
+    spark.sql("ALTER TABLE graft.demo.ac SET TBLPROPERTIES('autosnapshot'='true')")
+    spark.sql("TRUNCATE TABLE graft.demo.ac")
+    val acDir = s"$dir-warehouse/demo/ac"
+    val autoPin = operators.SSTableOps.listSnapshots(acDir).head
+    spark.sql(s"CALL graft.system.rollback(table => 'demo.ac', tag => '$autoPin')")
+    val undone = spark.sql("SELECT count(*) FROM graft.demo.ac").head().getLong(0)
+    println(s"== autosnapshot: TRUNCATE pinned '${autoPin.takeWhile(_ != '-')}-…' " +
+      s"first; rollback restored $undone rows (want 8)")
     spark.stop()
   }
 }
