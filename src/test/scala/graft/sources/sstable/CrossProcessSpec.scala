@@ -81,9 +81,12 @@ class CrossProcessSpec extends AnyFunSuite {
   test("a SLOW process superseded by a steal fence-aborts instead of " +
     "touching state, and its release leaves the thief's lease alone") {
     val dir = tmp()
-    // child horizon 60s => its renewal runs every 7.5s; the parent
-    // steals in the first second, long before a renewal can interleave
-    val child = spawnChild("slowVictim", dir, horizonMs = 60000)
+    // child horizon 10 min => its renewal runs every 75 s; the parent
+    // steals in the first second, so no renewal can interleave even on
+    // a heavily loaded host (a renewal racing the steal would refresh
+    // the mtime and flip the parent's acquire to Held — a test artifact,
+    // not a protocol violation)
+    val child = spawnChild("slowVictim", dir, horizonMs = 600000)
     try {
       awaitFile(s"$dir/child-acquired")
       Thread.sleep(100)
