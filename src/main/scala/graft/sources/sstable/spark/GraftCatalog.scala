@@ -465,10 +465,19 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     Seq("_stage-", "_dropped-", "_wstage-").foreach { prefix =>
       storage.listSubdirs(nsDir(ident.namespace), prefix)
         .filter { sd =>
-          val hb = s"$sd/${GraftCatalog.StageHeartbeatFile}"
-          val lastAlive = math.max(storage.mtime(sd),
-            if (storage.exists(hb)) storage.mtime(hb) else 0L)
-          System.currentTimeMillis() - lastAlive > GraftCatalog.StageVacuumHorizonMs
+          // a SIBLING staged DDL can sweep an entry between our listing
+          // and these stats; Hadoop-backed mtime THROWS on vanished
+          // paths (the acquire-race class, VERDICT r9 #1) — vanished
+          // means already swept, not ours to sweep
+          try {
+            val hb = s"$sd/${GraftCatalog.StageHeartbeatFile}"
+            val lastAlive = math.max(storage.mtime(sd),
+              if (storage.exists(hb)) storage.mtime(hb) else 0L)
+            System.currentTimeMillis() - lastAlive > GraftCatalog.StageVacuumHorizonMs
+          } catch {
+            case _: java.io.FileNotFoundException |
+                 _: java.nio.file.NoSuchFileException => false
+          }
         }
         .foreach(storage.deleteRecursive)
     }
