@@ -1369,17 +1369,26 @@ object SSTableOps {
     * read window (default 7 days). Returns (droppedTags, keptTags);
     * like the rest of the maintenance family, run it from the single
     * maintainer. */
+  /** `tagPrefix` scopes retention to pins whose TAG starts with it —
+    * the autosnapshot loop's knob: `tagPrefix = "auto-"` retires the
+    * wipe-undo pins ([[graft.sources.sstable.spark.SSTableSource
+    * .AutoSnapshotOption]]) on a short horizon without ever touching
+    * user pins, whose intent is long-lived by declaration. Empty
+    * (default) = all pins, the pre-existing behavior. */
   def expireSnapshots(dir: String,
                       olderThanMs: Long = 7L * 24 * 3600 * 1000,
                       nowMs: Long = System.currentTimeMillis(),
                       storage: graft.sources.sstable.Storage =
-                        graft.sources.sstable.LocalStorage): (Seq[String], Seq[String]) = {
+                        graft.sources.sstable.LocalStorage,
+                      tagPrefix: String = ""): (Seq[String], Seq[String]) = {
     // same lease as dropSnapshot: retention must not delete a pin a
     // concurrent rollback is restoring from
     graft.sources.sstable.MaintenanceLease.withLease(dir, storage,
       "expire_snapshots") { lease =>
       val (stale, live) = storage.listSubdirs(dir, SnapshotPrefix)
-        .partition(p => nowMs - snapshotCreatedMs(p, storage) > olderThanMs)
+        .partition(p =>
+          fileName(p).drop(SnapshotPrefix.length).startsWith(tagPrefix) &&
+            nowMs - snapshotCreatedMs(p, storage) > olderThanMs)
       lease.checkHeld() // fence: a superseded holder must not delete pins
       stale.foreach(storage.deleteRecursive)
       val dropped = stale.map(p => fileName(p).drop(SnapshotPrefix.length))

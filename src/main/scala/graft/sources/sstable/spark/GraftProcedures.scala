@@ -234,9 +234,12 @@ private[spark] object GraftProcedures {
       "expire_snapshots" -> new Proc(
         "expire_snapshots",
         "retention for snapshot pins: drop every pin older than the horizon " +
-          "(pin mtime = capture time); one row per pin with its outcome",
+          "(pin mtime = capture time); one row per pin with its outcome. " +
+          "tag_prefix scopes it (e.g. 'auto-' retires only autosnapshot's " +
+          "wipe-undo pins, never user pins)",
         Array(tableParam,
-          p("older_than_ms", LongType, Some((7L * 24 * 3600 * 1000).toString))),
+          p("older_than_ms", LongType, Some((7L * 24 * 3600 * 1000).toString)),
+          p("tag_prefix", StringType, Some("''"))),
         StructType(Seq(
           StructField("tag", StringType, nullable = false),
           StructField("status", StringType, nullable = false))),
@@ -245,7 +248,9 @@ private[spark] object GraftProcedures {
           val (dropped, kept) = SSTableOps.expireSnapshots(
             d, in.getLong(1),
             storage = graft.sources.sstable.Storage.forPath(
-              d, spark.sessionState.newHadoopConf()))
+              d, spark.sessionState.newHadoopConf()),
+            tagPrefix =
+              if (in.isNullAt(2)) "" else in.getUTF8String(2).toString)
           dropped.sorted.map(t => row(utf8(t), utf8("dropped"))) ++
             kept.sorted.map(t => row(utf8(t), utf8("kept")))
         }),

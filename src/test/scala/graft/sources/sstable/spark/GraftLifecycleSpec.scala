@@ -318,7 +318,14 @@ class GraftLifecycleSpec extends AnyFunSuite {
     // a truncate of an ALREADY-EMPTY table pins nothing (no state to keep)
     spark.sql("TRUNCATE TABLE graft_lc.lc.asn")
     assert(SSTableOps.listSnapshots(dir).size == 2)
-    // retention is the exit: expire the auto pins, then DROP works plain
+    // retention is the exit, SCOPED: tag_prefix 'auto-' retires only
+    // the wipe-undo pins — a user pin's declared long-lived intent
+    // survives the autosnapshot maintenance loop
+    SSTableOps.snapshot(dir, "user-keepme")
+    spark.sql("CALL graft_lc.system.expire_snapshots(table => 'lc.asn', " +
+      "older_than_ms => -1, tag_prefix => 'auto-')")
+    assert(SSTableOps.listSnapshots(dir) == Seq("user-keepme"),
+      "scoped retention must never touch user pins")
     spark.sql("CALL graft_lc.system.expire_snapshots(table => 'lc.asn', " +
       "older_than_ms => -1)")
     spark.sql("DROP TABLE graft_lc.lc.asn")
