@@ -442,6 +442,55 @@ private[spark] object GraftProcedures {
             (System.currentTimeMillis() - at): java.lang.Long))
         }),
 
+      "list_trash" -> new Proc(
+        "list_trash",
+        "what undrop can restore: the namespace's _dropped- trash " +
+          "entries (recoverable DROPs awaiting the sweep horizon), one " +
+          "row each with the original name, its kind (table/namespace) " +
+          "and how long ago it was dropped. Empty namespace = the " +
+          "warehouse root",
+        Array(p("namespace", StringType, Some("''"),
+          comment = "catalog-relative namespace to inspect; '' = root")),
+        StructType(Seq(
+          StructField("name", StringType, nullable = false),
+          StructField("kind", StringType, nullable = false),
+          StructField("droppedAgoMs", LongType, nullable = false),
+          StructField("trashEntry", StringType, nullable = false))),
+        (spark, in) => {
+          val ns = if (in.isNullAt(0)) "" else in.getUTF8String(0).toString
+          // resolveParent validates segments and namespace existence; the
+          // synthetic leaf makes it resolve the namespace ITSELF
+          val (nsD, _) = resolveParent(if (ns.isEmpty) "x" else s"$ns.x")
+          val storage = graft.sources.sstable.Storage.forPath(
+            nsD, spark.sessionState.newHadoopConf())
+          val now = System.currentTimeMillis()
+          storage.listSubdirs(nsD, "_dropped-").flatMap { p =>
+            val entry = p.substring(p.lastIndexOf('/') + 1)
+            val body = entry.drop("_dropped-".length)
+            // entries are `_dropped-<name>-<8 hex>`; anything else is a
+            // REPLACE swap's transient trash or foreign litter — skip
+            val suffix = body.takeRight(9)
+            if (body.length > 9 && suffix.head == '-' && suffix.tail.forall(c =>
+                c.isDigit || (c >= 'a' && c <= 'f'))) {
+              val kind =
+                if (storage.exists(s"$p/${GraftCatalog.NamespaceMarker}"))
+                  "namespace" else "table"
+              try {
+                val hb = s"$p/${GraftCatalog.StageHeartbeatFile}"
+                val at = math.max(storage.mtime(p),
+                  if (storage.exists(hb)) storage.mtime(hb) else 0L)
+                Some((body.dropRight(9), kind, now - at, entry))
+              } catch {
+                case _: java.io.FileNotFoundException |
+                     _: java.nio.file.NoSuchFileException => None // swept mid-list
+              }
+            } else None
+          }
+          .sortBy(_._3)
+          .map { case (name, kind, ago, entry) =>
+            row(utf8(name), utf8(kind), ago: java.lang.Long, utf8(entry)) }
+        }),
+
       "undrop_namespace" -> new Proc(
         "undrop_namespace",
         "restore the most recently dropped NAMESPACE of this name from " +

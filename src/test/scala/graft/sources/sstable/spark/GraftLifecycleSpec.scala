@@ -387,6 +387,32 @@ class GraftLifecycleSpec extends AnyFunSuite {
     spark.sql("DROP NAMESPACE graft_lc.dn CASCADE")
   }
 
+  test("CALL list_trash shows what undrop can restore, with kind and age") {
+    spark.sql("CREATE NAMESPACE graft_lc.lt")
+    spark.sql("CREATE NAMESPACE graft_lc.lt.sub")
+    spark.sql("CREATE TABLE graft_lc.lt.t")
+    insertRows("graft_lc.lt.t", Seq(("a", "1", 10L)))
+    spark.sql("DROP TABLE graft_lc.lt.t")
+    spark.sql("DROP NAMESPACE graft_lc.lt.sub")
+    val rows = spark.sql("CALL graft_lc.system.list_trash(namespace => 'lt')")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.map(t => (t._1, t._2)).toSet == Set("t" -> "table",
+      "sub" -> "namespace"), rows.mkString(","))
+    assert(rows.forall(t => t._3 >= 0 && t._3 < 60000),
+      s"drop age must be fresh: ${rows.mkString(",")}")
+    // restore both; the trash listing then reads empty
+    spark.sql("CALL graft_lc.system.undrop_table(table => 'lt.t')")
+    spark.sql("CALL graft_lc.system.undrop_namespace(namespace => 'lt.sub')")
+    assert(spark.sql("CALL graft_lc.system.list_trash(namespace => 'lt')")
+      .count() == 0)
+    assert(keysOf("graft_lc.lt.t") == Seq("a"))
+    // unknown namespace refuses loudly; root ('') resolves
+    intercept[Exception](spark.sql(
+      "CALL graft_lc.system.list_trash(namespace => 'nope')"))
+    spark.sql("CALL graft_lc.system.list_trash()").collect()
+    spark.sql("DROP NAMESPACE graft_lc.lt CASCADE")
+  }
+
   test("a write commit into a directory replaced mid-publish fails loudly") {
     // writers are lease-free, so a REPLACE/rebucket swap landing while
     // a commit publishes would silently trash the committed data with
