@@ -536,8 +536,23 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       val trash = s"${nsDir(ident.namespace)}/_dropped-${ident.name}-" +
         java.util.UUID.randomUUID().toString.take(8)
       storage.rename(d, trash)
+      // stamp like DROP TABLE does: if this REPLACE crashes before its
+      // second rename, the trash holds the ONLY copy of the pre-replace
+      // table — its dir mtime is the table's last write, which may
+      // already be past the sweep horizon, and the next staged DDL
+      // would reclaim the crash-recovery copy instantly. The stamp
+      // starts the window at the swap; a successful REPLACE deletes
+      // the trash moments later anyway (and the entry is undrop-able
+      // meanwhile, same name shape).
+      storage.create(s"$trash/${GraftCatalog.StageHeartbeatFile}").close()
       try storage.rename(stagingDir, d)
-      catch { case e: Throwable => storage.rename(trash, d); fail(e) }
+      catch {
+        case e: Throwable =>
+          storage.rename(trash, d)
+          // the restored LIVE table must not carry the trash stamp
+          storage.delete(s"$d/${GraftCatalog.StageHeartbeatFile}")
+          fail(e)
+      }
       storage.deleteRecursive(trash)
     } else {
       // a concurrent CTAS may have won the create race after the

@@ -159,6 +159,11 @@ class GraftLifecycleSpec extends AnyFunSuite {
         "columns, rowTombstone FROM graft_lc.lc.src"))
     assert(keysOf("graft_lc.lc.rp") == Seq("a"))
     assert(!dirEntries("lc").exists(n => n.startsWith("_stage-") || n.startsWith("_dropped-")))
+    // the failed replace's restore must not leave the trash stamp on
+    // the live table (the stamp exists so a CRASHED replace's trash —
+    // the only copy of the pre-replace table — survives the sweep)
+    assert(Option(new java.io.File(s"$warehouse/lc/rp").list()).get
+      .forall(_ != GraftCatalog.StageHeartbeatFile))
     // REPLACE of a missing table is loud; CREATE OR REPLACE is not
     intercept[Exception](
       spark.sql("REPLACE TABLE graft_lc.lc.missing AS SELECT * FROM graft_lc.lc.src"))
