@@ -392,7 +392,8 @@ private[spark] object GraftProcedures {
           val storage = graft.sources.sstable.Storage.forPath(
             d, spark.sessionState.newHadoopConf())
           val arr = in.getArray(1)
-          val gc = in.getBoolean(2)
+          // explicit NULL = the default (live view), not a silent false
+          val gc = if (in.isNullAt(2)) true else in.getBoolean(2)
           val prober = new graft.sources.sstable.SSTableReader
             .DirectoryProber(d, storage)
           (0 until arr.numElements()).flatMap { i =>
