@@ -443,6 +443,40 @@ private[spark] object GraftProcedures {
             (System.currentTimeMillis() - at): java.lang.Long))
         }),
 
+      "maintenance_status" -> new Proc(
+        "maintenance_status",
+        "who holds the table's maintenance lease right now, if anyone: " +
+          "one row (holder, age, fresh) when a lease file exists, none " +
+          "when the table is unheld. 'fresh' applies the default steal " +
+          "horizon - a stale row means the holder is presumed dead and " +
+          "the next maintainer will steal. Read-only: never acquires, " +
+          "never renews, never touches the file",
+        Array(tableParam),
+        StructType(Seq(
+          StructField("holder", StringType, nullable = false),
+          StructField("ageMs", LongType, nullable = false),
+          StructField("fresh", BooleanType, nullable = false))),
+        (spark, in) => {
+          val d = dirOf(in)
+          val storage = graft.sources.sstable.Storage.forPath(
+            d, spark.sessionState.newHadoopConf())
+          val leasePath =
+            s"$d/${graft.sources.sstable.MaintenanceLease.LeaseFile}"
+          if (!storage.exists(leasePath)) Nil
+          else try {
+            val holder = storage.readString(leasePath)
+            val age = System.currentTimeMillis() - storage.mtime(leasePath)
+            Seq(row(utf8(holder), age: java.lang.Long,
+              Boolean.box(age <= graft.sources.sstable.MaintenanceLease
+                .DefaultHorizonMs)))
+          } catch {
+            // released between the exists and the reads: unheld now
+            case _: java.io.FileNotFoundException |
+                 _: java.nio.file.NoSuchFileException |
+                 _: java.io.IOException => Nil
+          }
+        }),
+
       "list_trash" -> new Proc(
         "list_trash",
         "what undrop can restore: the namespace's _dropped- trash " +

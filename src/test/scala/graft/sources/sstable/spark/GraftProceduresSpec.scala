@@ -322,6 +322,27 @@ class GraftProceduresSpec extends AnyFunSuite {
       e3.getMessage.toLowerCase.contains("other"))
   }
 
+  test("CALL maintenance_status reads the lease without touching it") {
+    import graft.sources.sstable.MaintenanceLease
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_sys.m")
+    spark.sql("CREATE TABLE graft_sys.m.ms")
+    // unheld: zero rows
+    assert(spark.sql(
+      "CALL graft_sys.system.maintenance_status(table => 'm.ms')").count() == 0)
+    val lease = MaintenanceLease.acquire(
+      s"$warehouse/m/ms", LocalStorage, "status-probe")
+    val r = spark.sql(
+      "CALL graft_sys.system.maintenance_status(table => 'm.ms')").head()
+    assert(r.getString(0).startsWith("status-probe@"), r.toString)
+    assert(r.getLong(1) >= 0 && r.getBoolean(2), "a live lease reads fresh")
+    // the read-only status call must not have disturbed the lease
+    lease.checkHeld()
+    lease.release()
+    assert(spark.sql(
+      "CALL graft_sys.system.maintenance_status(table => 'm.ms')").count() == 0)
+    spark.sql("DROP TABLE graft_sys.m.ms")
+  }
+
   test("SHOW PROCEDURES lists the maintenance family") {
     val df = spark.sql("SHOW PROCEDURES IN graft_sys.system")
     val nameIdx = df.schema.fields.indexWhere(f =>
@@ -330,7 +351,8 @@ class GraftProceduresSpec extends AnyFunSuite {
     assert(nameIdx >= 0, s"no name column in ${df.schema.fieldNames.mkString(",")}")
     val names = df.collect().map(_.getString(nameIdx)).toSeq
     assert(Seq("compact", "compact_leveled", "compact_tombstones",
-      "drop_snapshot", "expire_snapshots", "lookup", "scrub", "snapshot",
+      "drop_snapshot", "expire_snapshots", "list_trash", "lookup",
+      "maintenance_status", "scrub", "snapshot",
       "undrop_namespace", "undrop_table", "vacuum").forall(names.contains),
       s"SHOW PROCEDURES returned: $names")
   }
