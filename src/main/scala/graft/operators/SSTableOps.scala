@@ -1100,16 +1100,36 @@ object SSTableOps {
     // NAMESPACE, where only staged DDL sweeps it. A namespace that never
     // runs CTAS/REPLACE/DROP would accumulate that litter forever —
     // CALL vacuum(table) is the maintenance entry an operator actually
-    // schedules, so it sweeps its own table's `_wstage-` siblings too
-    // (same age rule). The prefix can over-match a dash-named sibling
-    // (`_wstage-t-…` matches table `t-v2`'s scratch) — benign: the age
-    // guard protects anything LIVE, and a sibling's crashed scratch is
-    // garbage whoever sweeps it.
+    // schedules, so it sweeps its own table's `_wstage-` siblings too.
+    // The prefix can over-match a dash-named sibling (`_wstage-t-…`
+    // matches table `t-v2`'s scratch) — benign: the liveness guard
+    // protects anything LIVE, and a sibling's crashed scratch is garbage
+    // whoever sweeps it. Liveness rules match the catalog's staged-DDL
+    // sweep exactly (ADVICE r10): the horizon is FLOORED at the shared
+    // 24 h StageVacuumHorizonMs (the caller's staging horizon tunes
+    // `_staging-` dirs, not these — a short value would sweep the live
+    // outside staging of a running catalog append whose tasks went idle
+    // before commit), liveness is the newer of dir mtime and the
+    // heartbeat the write driver touches, and a vanished path (the
+    // concurrent staged-DDL sweep or another vacuum won the race;
+    // Hadoop-backed mtime THROWS) means already swept, not ours.
     if (dir.contains("/")) {
       val parent = dir.substring(0, dir.lastIndexOf('/'))
       val table = dir.substring(dir.lastIndexOf('/') + 1)
+      val wstageHorizon = math.max(olderThanMs,
+        graft.sources.sstable.spark.GraftCatalog.StageVacuumHorizonMs)
       storage.listSubdirs(parent, s"_wstage-$table-")
-        .filter(d => nowMs - storage.mtime(d) > olderThanMs)
+        .filter { d =>
+          try {
+            val hb = s"$d/${graft.sources.sstable.spark.GraftCatalog.StageHeartbeatFile}"
+            val lastAlive = math.max(storage.mtime(d),
+              if (storage.exists(hb)) storage.mtime(hb) else 0L)
+            nowMs - lastAlive > wstageHorizon
+          } catch {
+            case _: java.io.FileNotFoundException |
+                 _: java.nio.file.NoSuchFileException => false
+          }
+        }
         .foreach(storage.deleteRecursive)
     }
     (stale, live)

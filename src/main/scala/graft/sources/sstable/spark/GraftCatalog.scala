@@ -631,7 +631,14 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         // recorded AFTER the swap landed, into the trash copy of the log
         // (an undropped table's history then shows drop + restore) — a
         // rename that failed must not leave a phantom drop event on the
-        // still-live table (the verify-before-history rule, inverted)
+        // still-live table (the verify-before-history rule, inverted).
+        // The chosen side of that trade (VERDICT r10): a crash BETWEEN
+        // the rename and this record leaves trash whose log has no
+        // drop_table event — an undrop then restores a table whose
+        // history shows the restore but not the drop. Cosmetic (the data
+        // and list_trash entry are intact); the alternative — a phantom
+        // drop event on a table whose rename FAILED — corrupts a live
+        // audit log and is strictly worse.
         graft.sources.sstable.History.record(storage, trash, "drop_table",
           detail = ident.toString)
       }
@@ -890,10 +897,10 @@ object GraftCatalog {
     * presumed dead and swept by the next staged DDL in its namespace.
     * Liveness is the newer of the directory mtime and
     * [[StageHeartbeatFile]] inside it. */
-  private[spark] val StageVacuumHorizonMs: Long = 24L * 3600 * 1000
+  private[graft] val StageVacuumHorizonMs: Long = 24L * 3600 * 1000
   /** Marker a RUNNING staged DDL touches every horizon/8 so the sweep
     * never takes a live long-running CTAS for a stranded one. */
-  private[spark] val StageHeartbeatFile = "_stage-heartbeat"
+  private[graft] val StageHeartbeatFile = "_stage-heartbeat"
   /** Properties CREATE TABLE accepts (and SHOW CREATE TABLE echoes):
     * the bucketed layout plus the writer-tuning option names every
     * write path parses. */

@@ -470,10 +470,12 @@ private[spark] object GraftProcedures {
               Boolean.box(age <= graft.sources.sstable.MaintenanceLease
                 .DefaultHorizonMs)))
           } catch {
-            // released between the exists and the reads: unheld now
+            // released between the exists and the reads: unheld now.
+            // ONLY the vanished-path pair — a transient IO failure
+            // (network, permissions) on a HELD lease must propagate, not
+            // report "unheld" and invite a second maintainer (ADVICE r10)
             case _: java.io.FileNotFoundException |
-                 _: java.nio.file.NoSuchFileException |
-                 _: java.io.IOException => Nil
+                 _: java.nio.file.NoSuchFileException => Nil
           }
         }),
 
@@ -502,8 +504,15 @@ private[spark] object GraftProcedures {
           storage.listSubdirs(nsD, "_dropped-").flatMap { p =>
             val entry = p.substring(p.lastIndexOf('/') + 1)
             val body = entry.drop("_dropped-".length)
-            // entries are `_dropped-<name>-<8 hex>`; anything else is a
-            // REPLACE swap's transient trash or foreign litter — skip
+            // entries are `_dropped-<name>-<8 hex>`; anything else is
+            // foreign litter — skip. A REPLACE swap's trash uses this
+            // SAME shape and is deliberately listed (and undrop-able):
+            // mid-REPLACE it shadows no live undrop target only because
+            // undrop refuses while the live name exists, and after a
+            // CRASHED replace it is exactly the restorable prior state
+            // the trash design exists for (ADVICE r10: comment used to
+            // claim the shape filter excluded it — it never did, by
+            // design)
             val suffix = body.takeRight(9)
             if (body.length > 9 && suffix.head == '-' && suffix.tail.forall(c =>
                 c.isDigit || (c >= 'a' && c <= 'f'))) {

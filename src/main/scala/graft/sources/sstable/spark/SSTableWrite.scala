@@ -222,6 +222,31 @@ final class SSTableBatchWrite(path: String, schema: StructType,
     * commit so the history event shows the full overwrite. */
   @volatile private var overwritten: Seq[String] = Nil
 
+  /** Driver-side liveness beacon for OUTSIDE staging (retryable path
+    * only, ADVICE r10): the `_wstage-` dir's own mtime goes stale the
+    * moment the last task finishes writing, which can be long before
+    * the driver commits (stragglers, slow downstream stages) — so the
+    * namespace sweeps (staged DDL's and CALL vacuum's, both
+    * heartbeat-aware) could take a live append's staging for a crashed
+    * one. Same marker + cadence as the catalog's CTAS stage; a dead
+    * driver stops touching and ages out under the shared 24 h horizon. */
+  @volatile private var heartbeat:
+    Option[java.util.concurrent.ScheduledExecutorService] = None
+
+  private def startHeartbeat(st: Storage): Unit = {
+    val exec = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      (r: Runnable) => {
+        val t = new Thread(r, s"graft-wstage-heartbeat-$jobTag")
+        t.setDaemon(true); t
+      })
+    val period = GraftCatalog.StageVacuumHorizonMs / 8
+    exec.scheduleAtFixedRate(() =>
+      try st.create(s"$stagingDir/${GraftCatalog.StageHeartbeatFile}").close()
+      catch { case _: Exception => () }, // staging gone: commit/abort won
+      period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
+    heartbeat = Some(exec)
+  }
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val st = storage
     if (truncate && st.exists(path)) {
@@ -229,6 +254,7 @@ final class SSTableBatchWrite(path: String, schema: StructType,
       overwritten.foreach(SSTableFiles.unpublish(st, _))
     }
     st.mkdirs(stagingDir)
+    if (retryable) startHeartbeat(st)
     // in-directory staging used to create the target as a side effect;
     // outside staging must do it explicitly or the FIRST write into a
     // fresh directory fails at the commit marker's create (caught by
@@ -295,7 +321,11 @@ final class SSTableBatchWrite(path: String, schema: StructType,
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     removeStaging(storage)
 
-  private def removeStaging(st: Storage): Unit = st.deleteRecursive(stagingDir)
+  private def removeStaging(st: Storage): Unit = {
+    heartbeat.foreach(_.shutdownNow())
+    heartbeat = None
+    st.deleteRecursive(stagingDir)
+  }
 
   /** The retry: the integrity marker vanished, so a REPLACE/rebucket
     * swap took the old directory — first publish included — to the

@@ -988,7 +988,63 @@ class SSTableOpsSpec extends AnyFunSuite {
     SSTableOps.vacuumStaging(dir)
     assert(!wDead.exists(), "a crashed append's outside staging must be swept")
     assert(wLive.exists(), "a possibly-live append's staging must survive")
-    wLive.delete()
+    // the _wstage- horizon is FLOORED at the shared 24 h stage horizon
+    // (ADVICE r10): a user-tuned short CALL vacuum horizon must never
+    // sweep the live outside staging of a running catalog append whose
+    // tasks went idle before the driver committed
+    val wIdle = new java.io.File(s"$parent/_wstage-$tname-idletasks")
+    wIdle.mkdirs()
+    wIdle.setLastModified(System.currentTimeMillis() - 2L * 3600 * 1000)
+    SSTableOps.vacuumStaging(dir, olderThanMs = 1000L)
+    assert(wIdle.exists(),
+      "a 2h-old outside staging must survive a 1s caller horizon (floor)")
+    // heartbeat-aware liveness (same rule as the catalog's staged-DDL
+    // sweep): a dir whose own mtime is past the horizon but whose
+    // heartbeat is fresh belongs to a LIVE long-running append
+    val wBeating = new java.io.File(s"$parent/_wstage-$tname-longjob")
+    wBeating.mkdirs()
+    val hb = new java.io.File(wBeating,
+      graft.sources.sstable.spark.GraftCatalog.StageHeartbeatFile)
+    hb.createNewFile()
+    wBeating.setLastModified(System.currentTimeMillis() - 48L * 3600 * 1000)
+    SSTableOps.vacuumStaging(dir)
+    assert(wBeating.exists(),
+      "a stale-mtime dir with a fresh heartbeat is a live append, not litter")
+    // vanished-path tolerance (the Hadoop stat-race class): a concurrent
+    // staged-DDL sweep can remove an entry between LIST and stat —
+    // HadoopStorage.mtime THROWS there; the sweep must treat vanished as
+    // already-swept, not abort CALL vacuum mid-pass
+    val wGone = new java.io.File(s"$parent/_wstage-$tname-vanish")
+    wGone.mkdirs()
+    import graft.sources.sstable.{LocalStorage, SeekableInput, Storage}
+    val hadoopShaped: Storage = new Storage {
+      def open(path: String): SeekableInput = LocalStorage.open(path)
+      def length(path: String): Long = LocalStorage.length(path)
+      def mtime(path: String): Long = {
+        if (path.endsWith("-vanish")) {
+          // the racing sweep wins between our LIST and this stat
+          LocalStorage.deleteRecursive(path)
+          throw new java.io.FileNotFoundException(path)
+        }
+        LocalStorage.mtime(path)
+      }
+      def exists(path: String): Boolean = LocalStorage.exists(path)
+      def create(path: String): java.io.DataOutputStream = LocalStorage.create(path)
+      def delete(path: String): Unit = LocalStorage.delete(path)
+      def rename(src: String, dst: String): Unit = LocalStorage.rename(src, dst)
+      def replace(src: String, dst: String): Unit = LocalStorage.replace(src, dst)
+      def listFiles(d: String): Seq[String] = LocalStorage.listFiles(d)
+      def listSubdirs(d: String, prefix: String): Seq[String] =
+        LocalStorage.listSubdirs(d, prefix)
+      def deleteRecursive(d: String): Unit = LocalStorage.deleteRecursive(d)
+      def mkdirs(d: String): Unit = LocalStorage.mkdirs(d)
+      def listDataFiles(d: String): Seq[String] = LocalStorage.listDataFiles(d)
+    }
+    SSTableOps.vacuumStaging(dir, storage = hadoopShaped) // must not throw
+    assert(!wGone.exists())
+    assert(wBeating.exists() && wIdle.exists(),
+      "the vanished-entry race must not change sweep decisions for others")
+    Seq(hb, wBeating, wIdle, wLive).foreach(_.delete())
   }
 
   test("snapshot pins published state across compaction and later flushes") {
