@@ -29,6 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     // users write aggregate(zip_with(...)); plans run the native VectorDot
     ext.injectOptimizerRule(_ => graft.plans.RewriteHofDotProduct)
+    // broadcast-small-side key equi-joins against sstable relations plan
+    // as index-nested-loop probes (zero table scan, zero shuffle)
+    ext.injectPlannerStrategy(_ =>
+      graft.sources.sstable.spark.SSTableLookupJoinStrategy)
   }
 }
 
@@ -66,6 +70,8 @@ object GraftExtensions {
       }))
 
   /** Register on an already-running session (tests, notebooks). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     org.apache.spark.sql.GraftFunctionRegistrar.register(spark, functions)
+    graft.sources.sstable.spark.SSTableLookupJoin.install(spark)
+  }
 }

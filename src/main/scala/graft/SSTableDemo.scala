@@ -391,6 +391,23 @@ object SSTableDemo {
     println(s"== CALL lookup: probed 3 keys, found [${lkRows.mkString(", ")}] " +
       "(want k3, k7 — the absent key misses via bloom, no scan job ran)")
 
+    // SQL probe JOIN: relation-sized probe sets take the same
+    // index-nested-loop path — a broadcast-small probe relation
+    // equi-joined on key plans as SSTableLookupJoinExec (zero table
+    // scan, zero shuffle, IO ∝ probes × generations)
+    GraftExtensions.register(spark)
+    spark.sql("SELECT CAST('k3' AS BINARY) k UNION ALL " +
+      "SELECT CAST('k7' AS BINARY) UNION ALL SELECT CAST('absent' AS BINARY)")
+      .createOrReplaceTempView("demo_probe")
+    val pj = spark.sql("SELECT CAST(t.key AS STRING) key FROM demo_probe p " +
+      "JOIN graft.demo.ac t ON p.k = t.key")
+    val pjPlanned = pj.queryExecution.executedPlan.toString
+      .contains("SSTableLookupJoin")
+    val pjKeys = pj.collect().map(_.getString(0)).sorted
+    println(s"== SQL probe join: [${pjKeys.mkString(", ")}] via " +
+      s"index-nested-loop plan=$pjPlanned (want k3, k7 / true — " +
+      "a small probe relation never scans the table)")
+
     // DROP TABLE is a recoverable trash swap (lease-guarded, pin-aware);
     // undrop_table restores data + history until the sweep horizon
     spark.sql("DROP TABLE graft.demo.ac")

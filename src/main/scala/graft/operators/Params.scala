@@ -139,6 +139,19 @@ object Params {
     * fixture, so the probes cross a genuinely multi-generation
     * directory. */
   val LookupUserMod = 11
+  /** q_sstable_lookup_join probes every user with `user_id % 5 == this`
+    * (plus one absent key) through the SQL probe-JOIN route (a small
+    * probe relation equi-joined on `key`, planned as index-nested-loop
+    * by SSTableLookupJoinStrategy); the oracle is the relational
+    * formulation over the surviving corpus. Modulus 5 keeps the probe
+    * set non-empty even at sf0.001's 15 users, and it straddles
+    * [[LookupJoinDeleteMod]]: probed users end in 3 or 8, so some are
+    * tombstoned (must not match) and some live. */
+  val LookupJoinUserMod = 3
+  /** Users tombstoned in the lookup-join fixture (`user_id % 10 ==
+    * this`, mark above every event ts): the probe path must apply the
+    * pending-delete shadow exactly like the scan. */
+  val LookupJoinDeleteMod = 3
   /** Exact-substring dedup (q_dup_spans): window width in tokens. Real
     * pipelines use ~50 (Lee et al., "Deduplicating Training Data Makes
     * Language Models Better"); the synthetic corpus' shared runs are

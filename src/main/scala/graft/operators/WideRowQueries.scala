@@ -328,6 +328,45 @@ object WideRowQueries {
           col("c.value").cast("string").cast("long").as("value_e4"))
         .orderBy("user_id", "event_type")
     }),
+    // The SQL probe-JOIN surface over REAL files (the relational
+    // completion of CALL lookup, VERDICT r10 #1): a small probe relation
+    // equi-joined on `key` against the catalog table plans as
+    // index-nested-loop probes (SSTableLookupJoinStrategy) — zero table
+    // scan, zero shuffle, IO ∝ probes × generations. The fixture is
+    // multi-generation (two epoch INSERT commits, overlapping keys) with
+    // a pending DELETE, so the probes must emit raw per-generation row
+    // versions (NOT the reconciled view) and apply the delete shadow
+    // exactly like the scan: a probe that reconciles, misses a
+    // generation, or resurrects a tombstoned user is a hash mismatch.
+    // The probe-side column (probe_user) riding through pins that join
+    // output carries both sides. The plan is REQUIRED to take the probe
+    // path — a silent fallback to scan+join would pass the content hash
+    // and hide a dead strategy.
+    "q_sstable_lookup_join" -> ((s, d) => {
+      val cat = sstableLookupJoinFixture(s, d)
+      graft.GraftExtensions.register(s) // idempotent; installs the strategy
+      val probeUsers = Tables.events(s, d).select("user_id").distinct()
+        .filter(col("user_id") % 5 === LookupJoinUserMod)
+        .collect().map(_.getLong(0)).sorted
+      import s.implicits._
+      val probes = (probeUsers.map(u => (u.toString.getBytes("UTF-8"), u))
+        :+ (("no-such-user".getBytes("UTF-8"), -1L))).toSeq
+        .toDF("k", "probe_user")
+      val view = s"${cat}_probe"
+      probes.createOrReplaceTempView(view)
+      val out = s.sql(s"SELECT p.probe_user, t.columns FROM $view p " +
+        s"JOIN $cat.fx.t t ON p.k = t.key")
+      require(out.queryExecution.executedPlan.toString
+          .contains("SSTableLookupJoin"),
+        "q_sstable_lookup_join must plan as the index-nested-loop probe " +
+          s"path, got:\n${out.queryExecution.executedPlan}")
+      out.select(col("probe_user"), explode(col("columns")).as("c"))
+        .select(col("probe_user"),
+          col("c.name").cast("string").as("event_type"),
+          col("c.timestamp").as("ts_ms"),
+          col("c.value").cast("string").cast("long").as("value_e4"))
+        .orderBy("probe_user", "event_type", "ts_ms", "value_e4")
+    }),
     // The recoverable-DROP lifecycle over REAL files: the corpus lands
     // through a catalog INSERT (the swap-resilient link-publish commit
     // path), the table is DROPPED (lease-guarded trash swap — one
@@ -739,6 +778,41 @@ object WideRowQueries {
       s"$wh/fx/t"
     }
 
+  /** Physical fixture for the SQL probe-join gate: the corpus split into
+    * two ts-epochs at [[SstableAsOfCutMs]], each catalog-INSERTed as its
+    * own commit (keys overlap across the two — and within each commit
+    * every lifted event row is its own single-cell row version), plus a
+    * pending DELETE of every `user_id % 10 == LookupJoinDeleteMod` user
+    * through the real SupportsDelete path (mark above every event ts) —
+    * so the raw delete-aware view has MANY row versions per surviving
+    * user across multiple generations and NONE for doomed ones. Returns
+    * the per-corpus catalog name. */
+  private val lookupJoinFixtureCache = new SessionCache[String]
+  private def sstableLookupJoinFixture(s: SparkSession, d: String): String =
+    lookupJoinFixtureCache.getOrCompute(s, d) {
+      val corpusTag = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes).map("%02x".format(_)).mkString.take(16)
+      val wh = freshFixtureDir("graft-lj", d)
+      val cat = s"graft_lj_$corpusTag"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.sstable.spark.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"CREATE NAMESPACE $cat.fx")
+      s.sql(s"CREATE TABLE $cat.fx.t")
+      val e = Tables.events(s, d).select("user_id", "event_type", "ts_ms", "value")
+      Seq(col("ts_ms") <= SstableAsOfCutMs, col("ts_ms") > SstableAsOfCutMs)
+        .zipWithIndex.foreach { case (epoch, i) =>
+          val view = s"graft_lj_src_${corpusTag}_$i"
+          liftedEvents(e.filter(epoch)).createOrReplaceTempView(view)
+          s.sql(s"""INSERT INTO $cat.fx.t
+            SELECT key, columns,
+              CAST(NULL AS STRUCT<localDeletionTime: INT, markedForDeleteAt: BIGINT>)
+            FROM $view""")
+        }
+      tombstoneUsers(s"$wh/fx/t", e, LookupJoinDeleteMod)
+      cat
+    }
+
   /** Physical fixture for the auto-compaction queries: the events
     * corpus split into six deterministic epochs (`user_id % 6`), each
     * written as ONE generation (`writepartitions=1`) with
@@ -931,6 +1005,18 @@ object WideRowQueries {
     "q_sstable_undrop" ->
       s"""SELECT user_id, event_type, ${e4Sql("value")} AS value_e4, ts_ms
           FROM $EventsSql ORDER BY user_id, event_type, ts_ms, value_e4""",
+    // the probe JOIN returns the probed users' RAW delete-aware cells —
+    // every surviving event of every probed user exactly once (one cell
+    // per lifted event row, across both epoch generations), tombstoned
+    // users gone, the absent probe key matching nothing; probe_user is
+    // the probe-side column (= user_id by the join's key equality)
+    "q_sstable_lookup_join" ->
+      s"""SELECT user_id AS probe_user, event_type, ts_ms,
+                 ${e4Sql("value")} AS value_e4
+          FROM $EventsSql
+          WHERE user_id % 5 = $LookupJoinUserMod
+            AND user_id % 10 <> $LookupJoinDeleteMod
+          ORDER BY probe_user, event_type, ts_ms, value_e4""",
     // point lookups return exactly the probed users' LWW winners — the
     // same per-(user, cell) reconcile the compaction queries pin, here
     // produced by per-key probes instead of a scan

@@ -343,14 +343,38 @@ object SSTableReader {
     * shape a probe loop wants (`SSTableOps.lookupJoin` creates one per
     * partition; re-listing per key would add a storage round-trip per
     * probe on object stores). */
-  final class DirectoryProber(dir: String, storage: Storage = LocalStorage) {
+  final class DirectoryProber(files: Seq[String], storage: Storage) {
+    /** Probe over a directory's current listing (the common route). The
+      * primary constructor takes an explicit fileset so a caller that
+      * snapshotted the listing once — the SQL probe-join exec, which
+      * must pair every partition's probes with ONE (listing, shadow)
+      * split exactly like the scan's Batch snapshot — probes the same
+      * generations on every executor. */
+    def this(dir: String, storage: Storage = LocalStorage) =
+      this(storage.listDataFiles(dir), storage)
     // newest-first by per-generation max LWW timestamp, so a freshly
     // probed row tombstone can rule out the (older) remainder; a
     // generation without statistics sorts FIRST — "unknown" must be
     // treated as possibly-newest and is never pruned by either rule
-    private val readers = storage.listDataFiles(dir).map(f => new SSTableReader(f, storage))
+    private val readers = files.map(f => new SSTableReader(f, storage))
       .sortBy(r => r.statistics.map(_.maxTimestamp).getOrElse(Long.MaxValue))(
         Ordering[Long].reverse)
+
+    /** Per-generation probe, NO reconcile: every row version of every
+      * generation whose statistics admit `key`, in probe order — exactly
+      * the row multiset a raw scan of these files would emit for `key`
+      * (the SQL probe-join's tier; the caller applies the directory's
+      * [[graft.sources.sstable.spark.DeleteShadow]] for delete-aware
+      * parity with the catalog's scan). Unlike [[get]], the cross-
+      * generation tombstone early-out does NOT apply — a raw scan emits
+      * older generations' row versions regardless of newer tombstones.
+      * The bounds+bloom prune only skips IO (`getAll` of an absent key
+      * would return Nil anyway): an absent key opens zero Data.db files. */
+    def getRaw(key: Array[Byte]): Seq[SSTableRow] =
+      readers.flatMap { r =>
+        if (r.statistics.exists(s => !s.mightContainKey(key))) Nil
+        else r.getAll(key)
+      }
 
     /** Same semantics as the directory-level `SSTableReader.get`, with
       * two statistics-driven prunes (VERDICT r4 #1), both sound because

@@ -1076,6 +1076,28 @@ final class SSTableScan(path: String, requiredSchema: StructType,
   private def storage: Storage =
     serConf.map(c => new HadoopStorage(c.value): Storage).getOrElse(LocalStorage)
 
+  /** The probe-join contract ([[SSTableLookupJoinStrategy]]): Some(spec)
+    * when this scan is exactly the plain row view whose per-key emission
+    * `DirectoryProber.getRaw` + `DeleteShadow.shadowRow` reproduce —
+    * default view, no TTL/as-of/CDC/streaming admission, no bucketed
+    * read layout, no pushed limit/top-n, and no metadata columns (the
+    * prober loses the generation stem). Pushed KEY BOUNDS do NOT
+    * disqualify: this source's filter pushdown is advisory (pruning only
+    * skips IO — [[SSTableScanBuilder.pushFilters]] returns everything
+    * residual), so Spark re-applies the predicate above the scan and the
+    * probe path honors it through the join's residual filter instead.
+    * `spjBuckets` is partitioning REPORTING only and is likewise
+    * irrelevant once the join is planned as probes. */
+  private[spark] def lookupProbeSpec: Option[LookupProbeSpec] =
+    if (ttlAsOfMs.isEmpty && !cellsView && buckets.isEmpty && limit.isEmpty &&
+        !topN && asOfMicros.isEmpty && maxFilesPerTrigger.isEmpty &&
+        maxBytesPerTrigger.isEmpty && sinceDir.isEmpty &&
+        !requiredSchema.fieldNames.contains(SSTableSource.GenerationColumn) &&
+        !requiredSchema.fieldNames.contains(SSTableSource.ChangeTypeColumn))
+      Some(LookupProbeSpec(path, requiredSchema, applyDeletes, maxDeleteKeys,
+        serConf))
+    else None
+
   /** Point-lookup key (`key = X` pushed down): both bounds present,
     * inclusive, and byte-equal. Files whose bloom filter excludes it are
     * skipped wholesale — Cassandra's negative-lookup elimination, now at
@@ -1103,9 +1125,14 @@ final class SSTableScan(path: String, requiredSchema: StructType,
     // would contradict the declared key-grouped partitioning. Likewise
     // for SPJ-reporting scans while v2 bucketing is ON (the two join
     // optimizations overlap; emptying a bucket would drop its partition
-    // value from the grouped layout mid-plan)
+    // value from the grouped layout mid-plan). And the advertised column
+    // must survive column pruning: PartitionPruning resolves it against
+    // this scan's OUTPUT, so a key-pruned scan (a join on a non-key
+    // expression that never selects `key`) would fail ANALYSIS, not just
+    // skip the optimization (found by LookupJoinSpec's non-key-join gate)
     if (buckets.isDefined || (spjBuckets.isDefined &&
-        org.apache.spark.sql.internal.SQLConf.get.v2BucketingEnabled))
+        org.apache.spark.sql.internal.SQLConf.get.v2BucketingEnabled) ||
+        !requiredSchema.fieldNames.contains("key"))
       Array.empty
     else Array(org.apache.spark.sql.connector.expressions.Expressions.column("key"))
 
@@ -1803,24 +1830,12 @@ final class SSTableRowReader(p: SSTablePartition, requiredSchema: StructType,
   private val genStem = org.apache.spark.unsafe.types.UTF8String.fromString(
     SSTableFiles.generationStem(p.dataPath))
   private var current: InternalRow = _
-  /** Pending-delete shadowing (`applydeletes`): drop cells at/before the
-    * key's delete mark — Cassandra's reconcile rule, applied at decode —
-    * and the whole row when nothing survives (a later re-insert does:
-    * its cells outdate the mark). The row's own tombstone is likewise
-    * superseded when the mark is newer. */
+  /** Pending-delete shadowing (`applydeletes`) — the shared rule lives
+    * in [[DeleteShadow.shadowRow]] so the scan and the SQL probe-join
+    * exec can never drift apart. */
   private def applyShadow(row: SSTableRow): Option[SSTableRow] = shadow match {
     case None => Some(row)
-    case Some(sh) =>
-      val m = sh.markedAt(row.key)
-      if (m == Long.MinValue) Some(row)
-      else {
-        val cols = row.columns.filter(_.timestamp > m)
-        val tomb = row.tombstone.filter(_.markedForDeleteAtMicros > m)
-        if (cols.nonEmpty ||
-            tomb.exists(_.markedForDeleteAtMicros != Long.MinValue))
-          Some(row.copy(columns = cols, tombstone = tomb))
-        else None
-      }
+    case Some(sh) => DeleteShadow.shadowRow(row, sh)
   }
   private def applyTtl(row: SSTableRow): SSTableRow = ttlAsOfMs match {
     case None => row
