@@ -278,14 +278,28 @@ private[spark] object GraftProcedures {
         "expire_history",
         "retention for the _history operation log: remove events older " +
           "than the horizon (name-parse only, no file reads); the log is " +
-          "an audit trail, so expiry changes nothing about the data",
-        Array(tableParam,
-          p("older_than_ms", LongType, Some((90L * 24 * 3600 * 1000).toString))),
+          "an audit trail, so expiry changes nothing about the data. " +
+          "Pass 'namespace' instead of 'table' to expire a NAMESPACE's " +
+          "log (where create/drop/undrop_namespace events land; '' = " +
+          "the warehouse root)",
+        Array(p("table", StringType, Some("NULL"),
+          comment = "catalog-relative table name, e.g. 'ns.t'"),
+          p("older_than_ms", LongType, Some((90L * 24 * 3600 * 1000).toString)),
+          p("namespace", StringType, Some("NULL"),
+            comment = "namespace whose log to expire instead; '' = root")),
         StructType(Seq(
           StructField("removed", IntegerType, nullable = false),
           StructField("kept", IntegerType, nullable = false))),
         (spark, in) => {
-          val d = dirOf(in)
+          val nsArg =
+            if (in.isNullAt(2)) None else Some(in.getUTF8String(2).toString)
+          val d = nsArg match {
+            case Some(ns) =>
+              require(in.isNullAt(0),
+                "pass either 'table' or 'namespace', not both")
+              resolveParent(if (ns.isEmpty) "x" else s"$ns.x")._1
+            case None => dirOf(in)
+          }
           val storage = graft.sources.sstable.Storage.forPath(
             d, spark.sessionState.newHadoopConf())
           // leased: rebucket exports/imports the log around its swap,
@@ -492,6 +506,7 @@ private[spark] object GraftProcedures {
           StructField("name", StringType, nullable = false),
           StructField("kind", StringType, nullable = false),
           StructField("droppedAgoMs", LongType, nullable = false),
+          StructField("sweepableInMs", LongType, nullable = false),
           StructField("trashEntry", StringType, nullable = false))),
         (spark, in) => {
           val ns = if (in.isNullAt(0)) "" else in.getUTF8String(0).toString
@@ -520,10 +535,12 @@ private[spark] object GraftProcedures {
                 if (storage.exists(s"$p/${GraftCatalog.NamespaceMarker}"))
                   "namespace" else "table"
               try {
-                val hb = s"$p/${GraftCatalog.StageHeartbeatFile}"
-                val at = math.max(storage.mtime(p),
-                  if (storage.exists(hb)) storage.mtime(hb) else 0L)
-                Some((body.dropRight(9), kind, now - at, entry))
+                val ago = now - GraftCatalog.lastAliveMs(storage, p)
+                // when the DEFAULT-horizon sweeps (staged DDL, default
+                // vacuum_trash) would reclaim this — the undrop window
+                // remaining; <= 0 means sweepable now
+                Some((body.dropRight(9), kind, ago,
+                  GraftCatalog.StageVacuumHorizonMs - ago, entry))
               } catch {
                 case _: java.io.FileNotFoundException |
                      _: java.nio.file.NoSuchFileException => None // swept mid-list
@@ -531,8 +548,35 @@ private[spark] object GraftProcedures {
             } else None
           }
           .sortBy(_._3)
-          .map { case (name, kind, ago, entry) =>
-            row(utf8(name), utf8(kind), ago: java.lang.Long, utf8(entry)) }
+          .map { case (name, kind, ago, inMs, entry) =>
+            row(utf8(name), utf8(kind), ago: java.lang.Long,
+              inMs: java.lang.Long, utf8(entry)) }
+        }),
+
+      "vacuum_trash" -> new Proc(
+        "vacuum_trash",
+        "reclaim the namespace's _dropped- trash older than the horizon " +
+          "(default: the same 24h window staged DDL sweeps on) - the " +
+          "explicit route for namespaces that never run another CTAS / " +
+          "REPLACE / DROP. Crashed staging litter (_stage-/_wstage-) " +
+          "goes too, but ONLY past the fixed 24h liveness floor - a " +
+          "short horizon can never catch a live job's staging between " +
+          "heartbeats. One row per removed entry; sweeping an entry " +
+          "forfeits its undrop",
+        Array(p("namespace", StringType, Some("''"),
+          comment = "catalog-relative namespace to sweep; '' = root"),
+          p("older_than_ms", LongType,
+            Some(GraftCatalog.StageVacuumHorizonMs.toString))),
+        StructType(Seq(
+          StructField("removed", StringType, nullable = false))),
+        (spark, in) => {
+          val ns = if (in.isNullAt(0)) "" else in.getUTF8String(0).toString
+          val (nsD, _) = resolveParent(if (ns.isEmpty) "x" else s"$ns.x")
+          val storage = graft.sources.sstable.Storage.forPath(
+            nsD, spark.sessionState.newHadoopConf())
+          GraftCatalog.sweepNamespace(storage, nsD, in.getLong(1))
+            .map(e => e.substring(e.lastIndexOf('/') + 1)).sorted
+            .map(e => row(utf8(e)))
         }),
 
       "undrop_namespace" -> new Proc(
@@ -567,6 +611,10 @@ private[spark] object GraftProcedures {
           }
           val (restoredFrom, at) = restoreFromTrash(storage, live, candidates,
             what = "namespace", name = nsName)
+          // parent-level audit: the round-trip reads back as
+          // drop_namespace → undrop_namespace in `graft.<parent>.history`
+          graft.sources.sstable.History.record(storage, parentD,
+            "undrop_namespace", detail = s"$nsName from=$restoredFrom")
           Seq(row(utf8(restoredFrom),
             (System.currentTimeMillis() - at): java.lang.Long))
         }),

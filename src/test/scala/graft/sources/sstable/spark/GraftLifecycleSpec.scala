@@ -392,6 +392,93 @@ class GraftLifecycleSpec extends AnyFunSuite {
     spark.sql("DROP NAMESPACE graft_lc.dn CASCADE")
   }
 
+  test("namespace-grain audit: create/drop/undrop read back in the " +
+    "parent's history; expire_history(namespace) retires it") {
+    spark.sql("CREATE NAMESPACE graft_lc.aud")
+    spark.sql("CREATE NAMESPACE graft_lc.aud.child")
+    spark.sql("CREATE TABLE graft_lc.aud.child.t")
+    insertRows("graft_lc.aud.child.t", Seq(("k", "v", 1L)))
+    spark.sql("DROP NAMESPACE graft_lc.aud.child CASCADE")
+    spark.sql("CALL graft_lc.system.undrop_namespace(namespace => 'aud.child')")
+    // the PARENT namespace's log has the round-trip, in order — and it
+    // survives even after the child is gone for good
+    val ops = spark.sql(
+      "SELECT op, detail FROM graft_lc.aud.history ORDER BY id")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(ops.map(_._1).toSeq == Seq(
+      "create_namespace", "drop_namespace", "undrop_namespace"),
+      ops.mkString(","))
+    assert(ops.forall(_._2.startsWith("aud.child")), ops.mkString(","))
+    // root-level log: the top-level namespace's own creation is there
+    val rootOps = spark.sql(
+      "SELECT op, detail FROM graft_lc.history ORDER BY id")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rootOps.exists(r => r._1 == "create_namespace" && r._2 == "aud"),
+      rootOps.mkString(","))
+    // a REAL table named history shadows the metadata name (documented)
+    spark.sql("CREATE TABLE graft_lc.aud.history")
+    insertRows("graft_lc.aud.history", Seq(("h", "1", 1L)))
+    assert(keysOf("graft_lc.aud.history") == Seq("h"))
+    spark.sql("DROP TABLE graft_lc.aud.history")
+    // retention covers the namespace grain too
+    val exp = spark.sql("CALL graft_lc.system.expire_history(" +
+      "namespace => 'aud', older_than_ms => -1)").head()
+    assert(exp.getInt(0) >= 3 && exp.getInt(1) == 0, exp.toString)
+    assert(spark.sql("SELECT * FROM graft_lc.aud.history").count() == 0)
+    intercept[Exception](spark.sql("CALL graft_lc.system.expire_history(" +
+      "table => 'aud.child.t', namespace => 'aud', older_than_ms => -1)"))
+    spark.sql("DROP NAMESPACE graft_lc.aud CASCADE")
+  }
+
+  test("CALL vacuum_trash reclaims aged trash explicitly; fresh trash " +
+    "and live stages survive any caller horizon") {
+    spark.sql("CREATE NAMESPACE graft_lc.vt")
+    spark.sql("CREATE TABLE graft_lc.vt.t")
+    insertRows("graft_lc.vt.t", Seq(("a", "1", 10L)))
+    spark.sql("DROP TABLE graft_lc.vt.t")
+    val nsDir = new java.io.File(s"$warehouse/vt")
+    def entries(prefix: String): Seq[java.io.File] =
+      Option(nsDir.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith(prefix)).toSeq
+    assert(entries("_dropped-").size == 1)
+    // default horizon: fresh trash is KEPT (the undrop window stands)
+    assert(spark.sql("CALL graft_lc.system.vacuum_trash(namespace => 'vt')")
+      .count() == 0)
+    assert(entries("_dropped-").size == 1, "fresh trash must survive")
+    // a live long-running stage: stale dir mtime, FRESH heartbeat —
+    // survives even an aggressive caller horizon (fixed liveness floor)
+    val liveStage = new java.io.File(nsDir, "_stage-x-aaaa1111")
+    liveStage.mkdirs()
+    new java.io.File(liveStage, GraftCatalog.StageHeartbeatFile).createNewFile()
+    liveStage.setLastModified(System.currentTimeMillis() - 2L * 3600 * 1000)
+    // a crashed stage: 48 h past any beat
+    val deadStage = new java.io.File(nsDir, "_stage-y-bbbb2222")
+    deadStage.mkdirs()
+    deadStage.setLastModified(System.currentTimeMillis() - 48L * 3600 * 1000)
+    // age the trash (dir + drop stamp) past a 1-minute horizon
+    val trash = entries("_dropped-").head
+    val aged = System.currentTimeMillis() - 10L * 60 * 1000
+    trash.setLastModified(aged)
+    new java.io.File(trash, GraftCatalog.StageHeartbeatFile).setLastModified(aged)
+    val removed = spark.sql("CALL graft_lc.system.vacuum_trash(" +
+        "namespace => 'vt', older_than_ms => 60000)")
+      .collect().map(_.getString(0)).toSeq
+    assert(removed.exists(_.startsWith("_dropped-t-")),
+      s"aged trash must be reclaimed: $removed")
+    assert(removed.contains("_stage-y-bbbb2222"),
+      s"crashed staging goes with it: $removed")
+    assert(entries("_dropped-").isEmpty && entries("_stage-") == Seq(liveStage),
+      "the live stage must survive the short horizon (24h floor + heartbeat)")
+    // the undrop window is forfeited — and says so
+    val e = intercept[Exception](
+      spark.sql("CALL graft_lc.system.undrop_table(table => 'vt.t')"))
+    assert(e.getMessage.contains("no dropped table"), e.getMessage)
+    assert(spark.sql("CALL graft_lc.system.list_trash(namespace => 'vt')")
+      .count() == 0)
+    liveStage.listFiles().foreach(_.delete()); liveStage.delete()
+    spark.sql("DROP NAMESPACE graft_lc.vt CASCADE")
+  }
+
   test("CALL list_trash shows what undrop can restore, with kind and age") {
     spark.sql("CREATE NAMESPACE graft_lc.lt")
     spark.sql("CREATE NAMESPACE graft_lc.lt.sub")
@@ -400,11 +487,15 @@ class GraftLifecycleSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft_lc.lt.t")
     spark.sql("DROP NAMESPACE graft_lc.lt.sub")
     val rows = spark.sql("CALL graft_lc.system.list_trash(namespace => 'lt')")
-      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
     assert(rows.map(t => (t._1, t._2)).toSet == Set("t" -> "table",
       "sub" -> "namespace"), rows.mkString(","))
     assert(rows.forall(t => t._3 >= 0 && t._3 < 60000),
       s"drop age must be fresh: ${rows.mkString(",")}")
+    // sweepableInMs: the undrop window remaining under the default
+    // horizon — fresh trash has nearly the whole 24 h left
+    assert(rows.forall(t => t._4 > 23L * 3600 * 1000 &&
+      t._4 <= 24L * 3600 * 1000), s"sweepableInMs: ${rows.mkString(",")}")
     // restore both; the trash listing then reads empty
     spark.sql("CALL graft_lc.system.undrop_table(table => 'lt.t')")
     spark.sql("CALL graft_lc.system.undrop_namespace(namespace => 'lt.sub')")

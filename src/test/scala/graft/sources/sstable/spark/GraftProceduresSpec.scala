@@ -353,7 +353,8 @@ class GraftProceduresSpec extends AnyFunSuite {
     assert(Seq("compact", "compact_leveled", "compact_tombstones",
       "drop_snapshot", "expire_snapshots", "list_trash", "lookup",
       "maintenance_status", "scrub", "snapshot",
-      "undrop_namespace", "undrop_table", "vacuum").forall(names.contains),
+      "undrop_namespace", "undrop_table", "vacuum",
+      "vacuum_trash").forall(names.contains),
       s"SHOW PROCEDURES returned: $names")
   }
 }
