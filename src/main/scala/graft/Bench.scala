@@ -111,6 +111,12 @@ object Bench {
     // totals 39.8/36.2/34.8 s, total_ratio 1.018/0.927/0.891; undrop
     // 0.283/0.246/0.246 — min corroborated exactly)
     "q_sstable_undrop" -> 0.246,
+    // r11 addition, same protocol: per-query min of THREE full quiet
+    // sf0.1 sweeps (totals 40.4/40.1/42.0 s, total_ratio
+    // 1.026/1.018/1.066, zero errors, zero contended; the >1.3x spike
+    // sets were pairwise-disjoint sub-second queries — noise band);
+    // lookup_join 0.341/0.343/0.398, min corroborated within 1.01x
+    "q_sstable_lookup_join" -> 0.341,
     "q_sstable_rollback" -> 0.218, "q_sstable_since" -> 0.238,
     "q_sstable_sync" -> 0.081, "q_sstable_topk" -> 0.044,
     "q_stratified" -> 0.191, "q_text_stats" -> 0.227,

@@ -27,6 +27,7 @@ object PerfProbe {
 
     if (args.headOption.contains("skew")) { skewProbe(spark, time); spark.stop(); return }
     if (args.headOption.contains("lookup")) { lookupProbe(spark, time); spark.stop(); return }
+    if (args.headOption.contains("probejoin")) { probeJoinProbe(spark, time); spark.stop(); return }
     if (args.headOption.contains("scale")) { scaleProbe(spark, time); spark.stop(); return }
     if (args.headOption.contains("topn")) { topnProbe(spark, time); spark.stop(); return }
     if (args.headOption.contains("slice")) { sliceProbe(spark, time); spark.stop(); return }
@@ -251,6 +252,56 @@ object PerfProbe {
       SSTableOps.compactRows(spark.read.format("sstable").load(dir))
         .join(broadcast(probes.withColumnRenamed("key", "pk")),
           col("key") === col("pk"), "left_semi")
+    }
+  }
+
+  /** Prices the SQL probe-JOIN route (r11) against the plan it
+    * replaces: 16 generations × 50k rows, probe relations of 100 / 1k /
+    * 10k keys, the SAME SQL with the strategy on vs off. The gate the
+    * numbers inform: per-probe cost is seeks × candidate generations
+    * (flat in table size), scan+join is table-size-linear — so the
+    * crossover shifts further in the probes' favor the bigger the
+    * table; at 100 TB the scan route is hours while probes stay
+    * milliseconds-per-key. */
+  private def probeJoinProbe(spark: SparkSession,
+                             time: String => (=> DataFrame) => Unit): Unit = {
+    import graft.sources.sstable.spark.SSTableLookupJoin
+    val dir = java.nio.file.Files.createTempDirectory("probejoin").toString
+    val t0 = System.nanoTime()
+    (0 until 16).foreach { g =>
+      spark.range(50000).select(
+          concat(lit("user"), lpad(col("id").cast("string"), 7, "0"))
+            .cast("binary").as("key"),
+          array(struct(lit("c").cast("binary").as("name"), lit("NORMAL").as("state"),
+            concat(lit(s"g$g-"), col("id")).cast("binary").as("value"),
+            (col("id") * 16 + g).as("timestamp"), lit(0L).as("ttlSecs"),
+            lit(0L).as("expiresMillis"))).as("columns"))
+        .write.format("sstable").mode("append").save(dir)
+    }
+    println(f"write 16 generations        ${(System.nanoTime() - t0) / 1e9}%8.2fs")
+    GraftExtensions.register(spark)
+    spark.read.format("sstable").load(dir).createOrReplaceTempView("pj_t")
+    Seq(100, 1000, 10000).foreach { n =>
+      val probes = spark.range(n)
+        .select(concat(lit("user"),
+          lpad((col("id") * 37 % 50000).cast("string"), 7, "0"))
+          .cast("binary").as("k"))
+        .collect() // LocalRelation: broadcast-small stats, like a real key list
+      spark.createDataFrame(
+        java.util.Arrays.asList(probes: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.BinaryType))))
+        .createOrReplaceTempView("pj_probe")
+      val sql = "SELECT p.k, t.columns FROM pj_probe p JOIN pj_t t ON p.k = t.key"
+      val on = spark.sql(sql)
+      require(on.queryExecution.executedPlan.toString.contains("SSTableLookupJoin"),
+        "probe path must plan")
+      time(f"probe_join_$n%-6d cold")(spark.sql(sql))
+      time(f"probe_join_$n%-6d warm")(spark.sql(sql))
+      spark.conf.set(SSTableLookupJoin.EnabledKey, "false")
+      try time(f"scan_join_$n%-7d")(spark.sql(sql))
+      finally spark.conf.unset(SSTableLookupJoin.EnabledKey)
     }
   }
 

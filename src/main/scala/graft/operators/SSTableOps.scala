@@ -1066,8 +1066,21 @@ object SSTableOps {
                     nowMs: Long = System.currentTimeMillis(),
                     storage: graft.sources.sstable.Storage =
                       graft.sources.sstable.LocalStorage): (Seq[String], Seq[String]) = {
+    // liveness = the newest of the dir's own mtime and its direct
+    // files' mtimes: on object-store backends directory mtimes are
+    // SYNTHETIC (prefixes aren't objects — stat reads 0), so dir mtime
+    // alone would deem every staging dir infinitely old and sweep a
+    // LIVE writer's scratch mid-job; the in-progress part files carry
+    // real upload times (found by the objsim semantics audit). Vanished
+    // entries (a concurrent vacuum won) are simply not ours to sweep.
+    def lastTouchedMs(d: String): Long =
+      try (storage.mtime(d) +: storage.listFiles(d).map(storage.mtime)).max
+      catch {
+        case _: java.io.FileNotFoundException |
+             _: java.nio.file.NoSuchFileException => Long.MaxValue
+      }
     val (stale, live) = storage.listSubdirs(dir, "_staging-")
-      .partition(d => nowMs - storage.mtime(d) > olderThanMs)
+      .partition(d => nowMs - lastTouchedMs(d) > olderThanMs)
     stale.foreach(storage.deleteRecursive)
     // commit-integrity markers from crashed commits (zero-byte
     // `_commit-` files — see CommitIntegrity) age out too — but under a

@@ -477,6 +477,12 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val stagingDir = s"${nsDir(ident.namespace)}/_stage-${ident.name}-" +
       java.util.UUID.randomUUID().toString.take(8)
     storage.mkdirs(stagingDir)
+    // stamp liveness SYNCHRONOUSLY before the periodic beat (whose first
+    // touch lands a full period out): on object-store backends the
+    // directory mtime is synthetic (0), so an unstamped fresh stage
+    // would read as infinitely old and a concurrent sibling DDL's sweep
+    // could take it instantly (found by the objsim semantics audit)
+    storage.create(s"$stagingDir/${GraftCatalog.StageHeartbeatFile}").close()
     // heartbeat: touch a marker at horizon/8 so a healthy long-running
     // CTAS is never mistaken for a stranded one; daemon thread, stopped
     // (and the marker removed) at commit/abort

@@ -234,6 +234,11 @@ final class SSTableBatchWrite(path: String, schema: StructType,
     Option[java.util.concurrent.ScheduledExecutorService] = None
 
   private def startHeartbeat(st: Storage): Unit = {
+    // synchronous first stamp: the periodic beat's first touch is a full
+    // period out, and on object-store backends the staging dir's own
+    // mtime is synthetic — an unstamped fresh dir would be sweepable
+    try st.create(s"$stagingDir/${GraftCatalog.StageHeartbeatFile}").close()
+    catch { case _: Exception => () }
     val exec = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
       (r: Runnable) => {
         val t = new Thread(r, s"graft-wstage-heartbeat-$jobTag")

@@ -148,4 +148,41 @@ class CrossProcessSpec extends AnyFunSuite {
     // stable on re-read (no mtime/arrival dependence)
     assert(History.events(LocalStorage, dir).map(_.op) == first)
   }
+
+  test("cross-process exclusivity holds over OBJECT-STORE semantics: " +
+    "two JVMs contending through the conditional-PUT rename") {
+    // the same acquire-refuse + steal-after-death protocol, but BOTH
+    // processes drive the objsim adapter (no POSIX link(2), no atomic
+    // server-side rename — exclusivity rides the conditional PUT), the
+    // scope the 100 TB deployment actually runs at
+    val local = tmp()
+    val dir = s"objsim://$local"
+    val st = new HadoopStorage(ObjSimFileSystem.conf())
+    val child = spawnChild("hold", dir, horizonMs = 60000)
+    try {
+      awaitFile(s"$local/child-acquired")
+      val e = intercept[MaintenanceLeaseHeldException] {
+        MaintenanceLease.acquire(dir, st, "parent-op")
+      }
+      assert(e.holder.startsWith("child-op@"), e.holder)
+      LocalStorage.create(s"$local/parent-done").close()
+      assert(child.waitFor() == 0, "child must release cleanly over objsim")
+      MaintenanceLease.acquire(dir, st, "parent-op").release()
+    } finally child.destroyForcibly()
+    // steal across process death, same adapter
+    val local2 = tmp()
+    val dir2 = s"objsim://$local2"
+    val child2 = spawnChild("holdForever", dir2, horizonMs = 400)
+    try {
+      awaitFile(s"$local2/child-acquired")
+      child2.destroyForcibly()
+      child2.waitFor()
+      intercept[MaintenanceLeaseHeldException] {
+        MaintenanceLease.acquire(dir2, st, "successor", horizonMs = 60000)
+      }
+      Thread.sleep(500)
+      MaintenanceLease.acquire(dir2, st, "successor", horizonMs = 400).release()
+      assert(!st.exists(s"$dir2/${MaintenanceLease.LeaseFile}"))
+    } finally child2.destroyForcibly()
+  }
 }

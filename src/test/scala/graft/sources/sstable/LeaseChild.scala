@@ -21,33 +21,40 @@ package graft.sources.sstable
   *    parent interleaves its own and asserts the merged log.
   */
 object LeaseChild {
-  private def touch(path: String): Unit = LocalStorage.create(path).close()
-  private def awaitFile(path: String, deadlineMs: Long): Boolean = {
-    while (System.currentTimeMillis() < deadlineMs) {
-      if (LocalStorage.exists(path)) return true
-      Thread.sleep(20)
-    }
-    false
-  }
+  /** The storage the DIR's scheme selects — `objsim://` runs this child
+    * over the object-store-semantics adapter (same selection the parent
+    * made), everything else stays LocalStorage. */
+  private def storageFor(dir: String): Storage =
+    if (dir.startsWith("objsim://")) new HadoopStorage(ObjSimFileSystem.conf())
+    else LocalStorage
 
   def main(args: Array[String]): Unit = {
     val Array(mode, dir, horizon) = args.take(3)
+    val st = storageFor(dir)
+    def touch(path: String): Unit = st.create(path).close()
+    def awaitFile(path: String, deadlineMs: Long): Boolean = {
+      while (System.currentTimeMillis() < deadlineMs) {
+        if (st.exists(path)) return true
+        Thread.sleep(20)
+      }
+      false
+    }
     val deadline = System.currentTimeMillis() + 30000
     mode match {
       case "hold" =>
-        val lease = MaintenanceLease.acquire(dir, LocalStorage, "child-op",
+        val lease = MaintenanceLease.acquire(dir, st, "child-op",
           horizonMs = horizon.toLong)
         touch(s"$dir/child-acquired")
         val ok = awaitFile(s"$dir/parent-done", deadline)
         lease.release()
         sys.exit(if (ok) 0 else 3)
       case "holdForever" =>
-        MaintenanceLease.acquire(dir, LocalStorage, "doomed-child",
+        MaintenanceLease.acquire(dir, st, "doomed-child",
           horizonMs = horizon.toLong)
         touch(s"$dir/child-acquired")
         Thread.sleep(600000) // killed by the parent long before this
       case "slowVictim" =>
-        val lease = MaintenanceLease.acquire(dir, LocalStorage, "slow-child",
+        val lease = MaintenanceLease.acquire(dir, st, "slow-child",
           horizonMs = horizon.toLong)
         touch(s"$dir/child-acquired")
         if (!awaitFile(s"$dir/parent-stole", deadline)) sys.exit(3)
@@ -59,9 +66,23 @@ object LeaseChild {
         if (aborted) touch(s"$dir/child-fence-aborted")
         lease.release() // lost: must leave the thief's lease alone
         sys.exit(if (aborted) 0 else 4)
+      case "swapper" =>
+        // the REPLACE side of the cross-process writer race (VERDICT r10
+        // #5): wait until the parent's INSERT signals it has PUBLISHED
+        // (but not yet verified), then perform a real REPLACE-shaped
+        // swap from THIS process — old table dir (first publish
+        // included) to trash, fresh directory at the same path — and
+        // signal back. The parent's commit must follow the table
+        // identity into the replacement, exactly once.
+        val parent = dir.substring(0, dir.lastIndexOf('/'))
+        if (!awaitFile(s"$parent/parent-publishing", deadline)) sys.exit(3)
+        st.rename(dir, s"$parent/_dropped-swapchild-deadbeef")
+        st.mkdirs(dir)
+        touch(s"$parent/child-swapped")
+        sys.exit(0)
       case "history" =>
         (0 until 5).foreach { i =>
-          History.record(LocalStorage, dir, s"child-$i",
+          History.record(st, dir, s"child-$i",
             detail = s"from child pid=${ProcessHandle.current().pid()}")
         }
         sys.exit(0)

@@ -120,6 +120,63 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.rt.t PURGE")
   }
 
+  test("a catalog append racing a table swap from a SECOND PROCESS " +
+    "lands its rows exactly once in the replacement (cross-process " +
+    "write-path evidence)") {
+    import graft.sources.sstable.LocalStorage
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.xw")
+    spark.sql("CREATE TABLE graft.xw.t")
+    val dir = s"$warehouse/xw/t"
+    val ns = s"$warehouse/xw"
+    val row = org.apache.spark.sql.catalyst.InternalRow(
+      "k-xproc".getBytes,
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any]),
+      null)
+    val batch = new SSTableBatchWrite(dir, SSTableSchema.schema,
+      Map(SSTableSource.PathOption -> dir,
+        SSTableSource.JobTagOption -> "xproc",
+        SSTableSource.CommitRetryOption -> "true"),
+      truncate = false)
+    val w = batch.createBatchWriterFactory(null).createWriter(0, 0L)
+    w.write(row)
+    val msg = w.commit()
+    // the swap happens in a REAL second JVM, between this commit's
+    // publish and its integrity check
+    val java = s"${System.getProperty("java.home")}/bin/java"
+    val child = new ProcessBuilder(java, "-Xmx128m",
+        "-cp", System.getProperty("java.class.path"),
+        "graft.sources.sstable.LeaseChild", "swapper", dir, "60000")
+      .inheritIO().start()
+    try {
+      batch.testBetweenPublishAndVerify = () => {
+        LocalStorage.create(s"$ns/parent-publishing").close()
+        val deadline = System.currentTimeMillis() + 20000
+        while (!LocalStorage.exists(s"$ns/child-swapped")) {
+          assert(System.currentTimeMillis() < deadline, "swapper timed out")
+          Thread.sleep(20)
+        }
+      }
+      batch.commit(Array(msg))
+      assert(child.waitFor() == 0, "swapper child must exit cleanly")
+      // exactly once, in the replacement the OTHER PROCESS created
+      assert(keysOf(spark.sql("SELECT * FROM graft.xw.t")) == Seq("k-xproc"))
+      assert(LocalStorage.listDataFiles(dir).size == 1,
+        "one staged fileset, one published generation — no duplicate")
+      assert(spark.sql("SELECT op FROM graft.xw.t.history").collect()
+        .map(_.getString(0)).contains("insert"),
+        "the history event must land on the NEW table's log")
+      // the pre-swap publish rode to trash with the old directory
+      val trash = s"$ns/_dropped-swapchild-deadbeef"
+      assert(LocalStorage.listDataFiles(trash).size == 1,
+        "the first publish is in the trash copy, not lost")
+    } finally {
+      child.destroyForcibly()
+      LocalStorage.delete(s"$ns/parent-publishing")
+      LocalStorage.delete(s"$ns/child-swapped")
+      spark.sql("DROP TABLE graft.xw.t PURGE")
+    }
+  }
+
   test("DDL lifecycle: namespaces, create, list, rename, drop") {
     spark.sql("CREATE NAMESPACE graft.ddl")
     assert(spark.sql("SHOW NAMESPACES IN graft").collect()

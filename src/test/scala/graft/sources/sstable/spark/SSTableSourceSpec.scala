@@ -304,6 +304,15 @@ class SSTableSourceSpec extends AnyFunSuite {
   }
 
   test("broadcast join against a small dim prunes the scan at runtime (DPP)") {
+    // DPP is the FALLBACK plan's pruning: when the probe-join strategy
+    // is installed (another suite registers it on the shared session) a
+    // broadcast-small key join would plan as SSTableLookupJoinExec and
+    // never reach the scan — pin the scan route by disabling it here
+    spark.conf.set(SSTableLookupJoin.EnabledKey, "false")
+    try dppBody() finally spark.conf.unset(SSTableLookupJoin.EnabledKey)
+  }
+
+  private def dppBody(): Unit = {
     val dir = freshDir()
     writeFixture(dir)
     val w = new SSTableWriter(s"$dir/zzz-Data.db", compress = true,
