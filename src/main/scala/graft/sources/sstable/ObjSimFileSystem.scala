@@ -113,16 +113,23 @@ class ObjSimFileSystem extends RawLocalFileSystem {
     }
   }
 
+  private def children(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    val st = Files.list(p)
+    try {
+      import scala.jdk.CollectionConverters._
+      st.iterator().asScala.toVector
+    } finally st.close()
+  }
   private def copyTree(s: java.nio.file.Path, d: java.nio.file.Path): Unit = {
     Files.createDirectories(d)
-    Files.list(s).forEach { child =>
+    children(s).foreach { child =>
       val target = d.resolve(child.getFileName)
       if (Files.isDirectory(child)) copyTree(child, target)
       else Files.copy(child, target, StandardCopyOption.REPLACE_EXISTING)
     }
   }
   private def deleteTree(s: java.nio.file.Path): Unit = {
-    if (Files.isDirectory(s)) Files.list(s).forEach(deleteTree)
+    if (Files.isDirectory(s)) children(s).foreach(deleteTree)
     Files.deleteIfExists(s)
     ()
   }
@@ -144,7 +151,8 @@ class ObjSimFileSystem extends RawLocalFileSystem {
                       progress: Progressable): FSDataOutputStream = {
     val d = local(f)
     if (!overwrite && Files.exists(d))
-      throw new java.io.FileNotFoundException(s"objsim: $f already exists")
+      throw new org.apache.hadoop.fs.FileAlreadyExistsException(
+        s"objsim: $f already exists")
     mkParents(d)
     val tmp = d.resolveSibling(
       s".${d.getFileName}.put-${java.util.UUID.randomUUID().toString.take(8)}")

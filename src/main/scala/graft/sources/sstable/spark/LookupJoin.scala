@@ -56,7 +56,17 @@ object SSTableLookupJoin {
     * autoBroadcastJoinThreshold. Probing costs per ROW (seeks ×
     * generations), so a probe side too big to broadcast is also too big
     * to probe — past the gate, the scan+join (with runtime-filter split
-    * pruning) wins and built-in planning keeps it. */
+    * pruning) wins and built-in planning keeps it.
+    *
+    * Measured (PerfProbe `probejoin`, 16 generations × 50k rows ≈ 50 MB,
+    * local[8]): ~0.7 ms/probe flat in table size vs ~0.3 s steady-state
+    * scan+join — crossover ≈ 400 probes at THAT table size, and the
+    * scan side scales linearly with the table while probes don't, so on
+    * the 100 TB design target every broadcast-admissible probe set wins
+    * by orders of magnitude. Against genuinely SMALL tables a
+    * large-but-broadcastable probe set can lose seconds to the scan
+    * plan; tune this key down (or flip the kill switch) for workloads
+    * that join key lists against small reference tables. */
   val ProbeMaxBytesKey = "spark.graft.lookupJoin.probeMaxBytes"
 
   /** Test seam (single-JVM local mode): when set, the exec's listing,
@@ -160,13 +170,21 @@ object SSTableLookupJoinStrategy extends SparkStrategy
     case _ => None
   }
 
-  private def planJoin(j: Join): Option[SparkPlan] =
-    unwrapScan(j.right).flatMap(build(j, j.left, _, swapped = false)).orElse {
+  private def planJoin(j: Join): Option[SparkPlan] = {
+    val right = unwrapScan(j.right)
+    val left = unwrapScan(j.left)
+    // sstable-JOIN-sstable keeps built-in planning: that's storage-
+    // partitioned-join / broadcast territory (co-bucketed SPJ runs
+    // exchange-free natively), and this strategy's scope is exactly
+    // "a probe RELATION against an sstable table"
+    if (left.isDefined && right.isDefined) return None
+    right.flatMap(build(j, j.left, _, swapped = false)).orElse {
       // scan written on the LEFT: inner joins commute, so probe from the
       // right side and restore the declared output order with a project
       if (j.joinType != Inner) None
-      else unwrapScan(j.left).flatMap(build(j, j.right, _, swapped = true))
+      else left.flatMap(build(j, j.right, _, swapped = true))
     }
+  }
 
   private def build(j: Join, probe: LogicalPlan, u: UnwrappedScan,
                     swapped: Boolean): Option[SparkPlan] = {
