@@ -152,6 +152,10 @@ object Params {
     * this`, mark above every event ts): the probe path must apply the
     * pending-delete shadow exactly like the scan. */
   val LookupJoinDeleteMod = 3
+  /** Users tombstoned in the OBJECT-STORE fixture (q_sstable_objsim,
+    * `user_id % 10 == this`) — the delete-aware complement the oracle
+    * keeps after the catalog lifecycle runs over `objsim://` semantics. */
+  val ObjsimDeleteMod = 6
   /** Exact-substring dedup (q_dup_spans): window width in tokens. Real
     * pipelines use ~50 (Lee et al., "Deduplicating Training Data Makes
     * Language Models Better"); the synthetic corpus' shared runs are

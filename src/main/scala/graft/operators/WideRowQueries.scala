@@ -367,6 +367,25 @@ object WideRowQueries {
           col("c.value").cast("string").cast("long").as("value_e4"))
         .orderBy("probe_user", "event_type", "ts_ms", "value_e4")
     }),
+    // The OBJECT-STORE gate: the identical catalog lifecycle (two epoch
+    // INSERT commits, pending DELETE, DROP + undrop) but over the
+    // `objsim://` Hadoop backend — no hardlinks, client-side tree
+    // renames, synthetic directory mtimes, conditional-PUT file renames.
+    // The delete-aware cells view of the restored table must equal the
+    // surviving corpus cell-for-cell: a staged commit, trash swap, or
+    // shadow application that silently depended on a POSIX capability
+    // (atomic dir rename, real dir mtimes, link(2)) is a hash mismatch
+    // here while the POSIX-backed queries stay green.
+    "q_sstable_objsim" -> ((s, d) => {
+      val dir = sstableObjsimFixture(s, d)
+      s.read.format("sstable").option("applydeletes", "true")
+        .option("view", "cells").load(dir)
+        .select(col("key").cast("string").cast("long").as("user_id"),
+          col("name").cast("string").as("event_type"),
+          col("value").cast("string").cast("long").as("value_e4"),
+          col("timestamp").as("ts_ms"))
+        .orderBy("user_id", "event_type", "ts_ms", "value_e4")
+    }),
     // The recoverable-DROP lifecycle over REAL files: the corpus lands
     // through a catalog INSERT (the swap-resilient link-publish commit
     // path), the table is DROPPED (lease-guarded trash swap — one
@@ -813,6 +832,46 @@ object WideRowQueries {
       cat
     }
 
+  /** Physical fixture for the OBJECT-STORE gate (q_sstable_objsim): the
+    * full catalog lifecycle over `objsim://` semantics — the Hadoop
+    * adapter bound to the object-store simulation backend (no hardlinks,
+    * client-side tree renames, synthetic directory mtimes, conditional-
+    * PUT file renames). Two epoch INSERT commits, a pending DELETE
+    * through the SupportsDelete path, then a DROP + undrop round-trip
+    * (trash swap = per-object tree copy on an object store). Returns the
+    * objsim table URI for the delete-aware read. */
+  private val objsimFixtureCache = new SessionCache[String]
+  private def sstableObjsimFixture(s: SparkSession, d: String): String =
+    objsimFixtureCache.getOrCompute(s, d) {
+      graft.sources.sstable.ObjSimFileSystem.ConfEntries.foreach {
+        case (k, v) => s.sparkContext.hadoopConfiguration.set(k, v) }
+      val corpusTag = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes).map("%02x".format(_)).mkString.take(16)
+      val wh = s"objsim://${freshFixtureDir("graft-osim", d)}"
+      val cat = s"graft_os_$corpusTag"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.sstable.spark.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"CREATE NAMESPACE $cat.fx")
+      s.sql(s"CREATE TABLE $cat.fx.t")
+      val e = Tables.events(s, d).select("user_id", "event_type", "ts_ms", "value")
+      Seq(col("ts_ms") <= SstableAsOfCutMs, col("ts_ms") > SstableAsOfCutMs)
+        .zipWithIndex.foreach { case (epoch, i) =>
+          val view = s"graft_os_src_${corpusTag}_$i"
+          liftedEvents(e.filter(epoch)).createOrReplaceTempView(view)
+          s.sql(s"""INSERT INTO $cat.fx.t
+            SELECT key, columns,
+              CAST(NULL AS STRUCT<localDeletionTime: INT, markedForDeleteAt: BIGINT>)
+            FROM $view""")
+        }
+      tombstoneUsers(s"$wh/fx/t", e, ObjsimDeleteMod)
+      s.sql(s"DROP TABLE $cat.fx.t")
+      require(!s.catalog.tableExists(s"$cat.fx.t"),
+        "the DROP must unresolve the table over objsim")
+      s.sql(s"CALL $cat.system.undrop_table(table => 'fx.t')")
+      s"$wh/fx/t"
+    }
+
   /** Physical fixture for the auto-compaction queries: the events
     * corpus split into six deterministic epochs (`user_id % 6`), each
     * written as ONE generation (`writepartitions=1`) with
@@ -999,6 +1058,13 @@ object WideRowQueries {
     "q_sstable_rebucket" ->
       s"""SELECT user_id, event_type, ${e4Sql("value")} AS value_e4, ts_ms
           FROM $EventsSql WHERE user_id % 10 <> $RebucketUserMod
+          ORDER BY user_id, event_type, ts_ms, value_e4""",
+    // the object-store lifecycle lands on the delete-aware complement,
+    // cell for cell — catalog commits, tombstone shadow, and the trash
+    // round-trip all over objsim semantics
+    "q_sstable_objsim" ->
+      s"""SELECT user_id, event_type, ${e4Sql("value")} AS value_e4, ts_ms
+          FROM $EventsSql WHERE user_id % 10 <> $ObjsimDeleteMod
           ORDER BY user_id, event_type, ts_ms, value_e4""",
     // the restored table is the corpus, cell for cell — DROP + undrop
     // round-trip through one trash rename each way
