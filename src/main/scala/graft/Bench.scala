@@ -117,6 +117,11 @@ object Bench {
     // sets were pairwise-disjoint sub-second queries — noise band);
     // lookup_join 0.341/0.343/0.398, min corroborated within 1.01x
     "q_sstable_lookup_join" -> 0.341,
+    // late-r11 addition, same protocol (three further quiet sweeps,
+    // totals 38.8/38.3/42.3 s, total_ratio 0.975/0.964/1.063, zero
+    // errors, zero contended; objsim 0.339/0.336/0.400 — min
+    // corroborated within 1.01x)
+    "q_sstable_objsim" -> 0.336,
     "q_sstable_rollback" -> 0.218, "q_sstable_since" -> 0.238,
     "q_sstable_sync" -> 0.081, "q_sstable_topk" -> 0.044,
     "q_stratified" -> 0.191, "q_text_stats" -> 0.227,

@@ -461,11 +461,17 @@ private[spark] object GraftProcedures {
         "maintenance_status",
         "who holds the table's maintenance lease right now, if anyone: " +
           "one row (holder, age, fresh) when a lease file exists, none " +
-          "when the table is unheld. 'fresh' applies the default steal " +
-          "horizon - a stale row means the holder is presumed dead and " +
-          "the next maintainer will steal. Read-only: never acquires, " +
-          "never renews, never touches the file",
-        Array(tableParam),
+          "when the table is unheld. 'fresh' applies horizon_ms " +
+          "(default: the default steal horizon - pass the horizon your " +
+          "maintainers actually run with if it differs) - a stale row " +
+          "means the holder is presumed dead and the next maintainer " +
+          "will steal. Read-only: never acquires, never renews, never " +
+          "touches the file",
+        Array(tableParam,
+          p("horizon_ms", LongType,
+            Some(graft.sources.sstable.MaintenanceLease
+              .DefaultHorizonMs.toString),
+            comment = "steal horizon 'fresh' is judged against")),
         StructType(Seq(
           StructField("holder", StringType, nullable = false),
           StructField("ageMs", LongType, nullable = false),
@@ -481,8 +487,7 @@ private[spark] object GraftProcedures {
             val holder = storage.readString(leasePath)
             val age = System.currentTimeMillis() - storage.mtime(leasePath)
             Seq(row(utf8(holder), age: java.lang.Long,
-              Boolean.box(age <= graft.sources.sstable.MaintenanceLease
-                .DefaultHorizonMs)))
+              Boolean.box(age <= in.getLong(1))))
           } catch {
             // released between the exists and the reads: unheld now.
             // ONLY the vanished-path pair — a transient IO failure

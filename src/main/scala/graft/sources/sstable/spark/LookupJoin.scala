@@ -3,7 +3,8 @@ package graft.sources.sstable.spark
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeMap, AttributeSet, BindReferences, DynamicPruning, EqualTo, Expression, GenericInternalRow, JoinedRow, NamedExpression, PlanExpression, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeMap, AttributeSet, BindReferences, DynamicPruning, EqualTo, Expression, GenericInternalRow, JoinedRow, NamedExpression, PlanExpression, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.physical.Partitioning
 import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftAnti, LeftOuter, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.execution.{ProjectExec, SparkPlan, SparkStrategy, UnaryExecNode}
@@ -267,6 +268,18 @@ final case class SSTableLookupJoinExec(child: SparkPlan,
     case LeftSemi | LeftAnti => child.output
     case t => throw new IllegalStateException(s"unsupported join type: $t")
   }
+
+  /** The probe child's partitioning and ordering survive verbatim: every
+    * output row derives from exactly one probe row, expanded in place
+    * within its partition (matches emitted consecutively), so any
+    * distribution or order the child guarantees over ITS attributes —
+    * which keep their exprIds in [[output]] — still holds. Without this
+    * the default UnknownPartitioning would make a downstream aggregate
+    * on the probe keys re-shuffle rows that never moved (the same
+    * forwarding Spark's broadcast-join execs do for their streamed
+    * side). */
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = child.outputOrdering
 
   override lazy val metrics = Map(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),

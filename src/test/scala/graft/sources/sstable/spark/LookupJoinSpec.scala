@@ -218,4 +218,37 @@ class LookupJoinSpec extends AnyFunSuite {
     assert(opens.get() <= 1 + probes * dataGens,
       s"probe IO exceeded probes x generations: ${opens.get()}")
   }
+
+  test("probe child's partitioning survives the join: a downstream agg " +
+    "on the probe key adds NO second shuffle") {
+    fixture
+    import org.apache.spark.sql.functions.col
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val probe = spark.table("lj_probe").repartition(col("k"))
+      val t = spark.table("graft_lj.fx.t")
+      val agg = probe.join(t, col("k") === col("key"))
+        .groupBy(col("k")).count()
+      val plan = agg.queryExecution.executedPlan
+      assert(plan.toString.contains("SSTableLookupJoin"), plan.toString)
+      // exactly the repartition's own exchange: the exec forwards the
+      // child's HashPartitioning(k), so the aggregate's required
+      // distribution is already satisfied — without the forwarding the
+      // default UnknownPartitioning would force a second shuffle here
+      val shuffles = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+      }
+      assert(shuffles.size == 1,
+        s"want only the repartition's exchange, got ${shuffles.size}:\n$plan")
+      // and the forwarded claim is HONEST: the counts match the
+      // built-in plan's (binary keys cast to string — Row.toString
+      // renders raw byte arrays by identity)
+      val got = rowsOf(agg.select(col("k").cast("string"), col("count")))
+      spark.conf.set(SSTableLookupJoin.EnabledKey, "false")
+      try assert(got == rowsOf(
+        probe.join(t, col("k") === col("key")).groupBy(col("k")).count()
+          .select(col("k").cast("string"), col("count"))))
+      finally spark.conf.unset(SSTableLookupJoin.EnabledKey)
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+  }
 }
