@@ -109,6 +109,24 @@ final class MaintenanceLease private (dir: String, storage: Storage,
     }
   }
 
+  /** Stop the renewal daemon WITHOUT releasing the lease. For holders
+    * about to remove or rename away the leased directory itself (DROP's
+    * trash swap, PURGE's delete): a renewal firing mid-removal re-creates
+    * the vanished directory as an empty lease husk — `create` makes
+    * parents on every backend, and on object stores a tree rename is a
+    * long per-object copy+delete, so the window is minutes, not
+    * microseconds. The husk then reads as an EMPTY live table (the
+    * marker-less-dir contract) and blocks undrop. After this call the
+    * lease file ages like a dead maintainer's: a removal outliving the
+    * steal horizon is in the same class as a holder that crashed mid-swap
+    * (the documented partial-trash crash shape), which is exactly what it
+    * is from a contender's view. Idempotent; release() stays safe. */
+  def stopRenewal(): Unit = {
+    renewer.shutdownNow()
+    renewer.awaitTermination(10, java.util.concurrent.TimeUnit.SECONDS)
+    ()
+  }
+
   /** Delete the lease iff still held (a stolen lease belongs to the
     * thief). Always stops the renewal thread.
     *
@@ -139,6 +157,22 @@ object MaintenanceLease {
   /** Lease file name — `_`-prefixed like every non-data internal, so
     * data listings, snapshots, and bucketed-layout guards never see it. */
   val LeaseFile = "_lease"
+
+  /** Is `dir` a LEASE HUSK — a directory holding nothing but lease
+    * litter (`_lease`, acquire/renew tmps)? The shape left behind when a
+    * renewal or a contender's acquire raced a DROP/PURGE removing the
+    * directory: `create` re-made the parent, the data is gone (in trash
+    * or deleted), and only the lease machinery's files remain. A husk is
+    * not a table — callers (DROP's residue sweep, undrop's restore) may
+    * delete it. Any subdirectory or non-lease file means real content:
+    * NOT a husk. A fully EMPTY directory is also not a husk — it could
+    * be a user's hand-made (marker-less, readable-as-empty) table. */
+  def isLeaseHusk(dir: String, storage: Storage): Boolean =
+    storage.exists(dir) && storage.listSubdirs(dir, "").isEmpty && {
+      val names = storage.listFiles(dir)
+        .map(p => p.substring(p.lastIndexOf('/') + 1))
+      names.nonEmpty && names.forall(_.startsWith(LeaseFile))
+    }
   /** Default steal horizon. A LIVE maintainer renews every horizon/8
     * (~2 min), so only a maintainer dead or unreachable for the full
     * horizon loses its lease — the same liveness reasoning as

@@ -371,7 +371,18 @@ object SSTableReader {
       * The bounds+bloom prune only skips IO (`getAll` of an absent key
       * would return Nil anyway): an absent key opens zero Data.db files. */
     def getRaw(key: Array[Byte]): Seq[SSTableRow] =
-      readers.flatMap { r =>
+      getRawIter(key).toSeq
+
+    /** [[getRaw]] as a LAZY iterator: generations are probed one at a
+      * time as the caller advances, so an existence check (semi/anti
+      * join) that finds a surviving match in the first candidate
+      * generation never seeks the rest — per-probe IO drops from
+      * O(candidate generations) to O(generations until first match).
+      * Same order, same multiset; the bounds+bloom prune still means an
+      * absent key opens zero Data.db files however far the caller
+      * iterates. */
+    def getRawIter(key: Array[Byte]): Iterator[SSTableRow] =
+      readers.iterator.flatMap { r =>
         if (r.statistics.exists(s => !s.mightContainKey(key))) Nil
         else r.getAll(key)
       }

@@ -601,18 +601,32 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     // a namespace (a directory holding tables) must survive DROP TABLE —
     // dropNamespace with CASCADE is the only way to remove it
     if (!isTableDir(d)) return false
-    if (!purge) {
-      val pins = graft.operators.SSTableOps.listSnapshots(d, storage)
-      require(pins.isEmpty,
-        s"table ${ident.toString} has live snapshot pins " +
-          s"(${pins.sorted.mkString(", ")}) — they declare intent to keep " +
-          "that state reachable. Drop them first (CALL " +
-          s"$catalogName.system.expire_snapshots / drop_snapshot) or use " +
-          "DROP TABLE ... PURGE to destroy the table, pins and all")
-    }
     graft.sources.sstable.MaintenanceLease.withLease(d, storage,
       if (purge) "purge-table" else "drop-table") { lease =>
       lease.checkHeld() // fence: we are still the only maintainer
+      if (!purge) {
+        // pin refusal checked UNDER the lease (review r11: a pre-lease
+        // check left the whole acquire window for a concurrent CALL
+        // snapshot to land unseen). snapshot() itself is deliberately
+        // lock-free, so a pin landing after this check still rides into
+        // the trash — recoverable (undrop restores pin and all), not
+        // lost; the leased check closes the window a refusal CAN close.
+        val pins = graft.operators.SSTableOps.listSnapshots(d, storage)
+        require(pins.isEmpty,
+          s"table ${ident.toString} has live snapshot pins " +
+            s"(${pins.sorted.mkString(", ")}) — they declare intent to keep " +
+            "that state reachable. Drop them first (CALL " +
+            s"$catalogName.system.expire_snapshots / drop_snapshot) or use " +
+            "DROP TABLE ... PURGE to destroy the table, pins and all")
+      }
+      // the directory itself is about to vanish: a renewal firing
+      // mid-rename/delete would re-create it as an empty lease husk
+      // (create makes parents; object-store tree renames take minutes)
+      // that reads as an EMPTY live table and blocks undrop. Stop
+      // renewing first — a swap outliving the steal horizon then looks
+      // like (and is recoverable as) a dropper crash, the documented
+      // partial-trash shape.
+      lease.stopRenewal()
       if (purge) storage.deleteRecursive(d)
       else {
         val trash = s"${nsDir(ident.namespace)}/_dropped-${ident.name}-" +
@@ -642,6 +656,14 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           detail = ident.toString)
       }
     }
+    // residue sweep: a contender's acquire racing the removal (attempting
+    // to steal what looks like a dead maintainer's lease once ours stops
+    // renewing) can have re-created d as a lease husk — left in place it
+    // reads as an empty live table ("the data vanished") and makes
+    // undrop refuse. Deleting it aborts that contender at its own fence,
+    // which is correct: it acquired on a dropped table's ghost.
+    if (graft.sources.sstable.MaintenanceLease.isLeaseHusk(d, storage))
+      storage.deleteRecursive(d)
     true
   }
 

@@ -53,6 +53,22 @@ private[spark] object GraftProcedures {
 
   private def utf8(s: String): UTF8String = UTF8String.fromString(s)
 
+  /** Optional-argument accessors. Spark fills a parameter's declared
+    * default only when the argument is OMITTED — an explicit NULL
+    * reaches the body, where a raw `getLong`/`getInt` silently unboxes
+    * it to 0 (review r11: `vacuum_trash(older_than_ms => NULL)` would
+    * have destroyed every undrop window in the namespace, and
+    * `maintenance_status(horizon_ms => NULL)` reported every live
+    * holder stale). Contract everywhere: explicit NULL means "the
+    * default", same as the lookup procedure's gc_tombstones. Each call
+    * site passes the same constant its parameter declares. */
+  private def longArg(in: InternalRow, i: Int, default: Long): Long =
+    if (in.isNullAt(i)) default else in.getLong(i)
+  private def intArg(in: InternalRow, i: Int, default: Int): Int =
+    if (in.isNullAt(i)) default else in.getInt(i)
+  private def boolArg(in: InternalRow, i: Int, default: Boolean): Boolean =
+    if (in.isNullAt(i)) default else in.getBoolean(i)
+
   /** A procedure: fixed parameters, fixed result schema, an eager body.
     * `bind` is identity — the parameter list is static, Spark coerces
     * the call-site arguments to the declared types. Side-effecting, so
@@ -145,7 +161,8 @@ private[spark] object GraftProcedures {
           p("min_size", LongType, Some((50L * 1024 * 1024).toString))),
         StructType(Seq(StructField("folds", IntegerType, nullable = false))),
         (spark, in) => Seq(row(SSTableOps.compactInPlace(
-          spark, dirOf(in), in.getInt(1), in.getInt(2), in.getLong(3)): Integer))),
+          spark, dirOf(in), intArg(in, 1, 4), intArg(in, 2, 32),
+          longArg(in, 3, 50L * 1024 * 1024)): Integer))),
 
       "compact_leveled" -> new Proc(
         "compact_leveled",
@@ -156,7 +173,7 @@ private[spark] object GraftProcedures {
           p("max_threshold", IntegerType, Some("32"))),
         StructType(Seq(StructField("folds", IntegerType, nullable = false))),
         (spark, in) => Seq(row(SSTableOps.compactLeveledInPlace(
-          spark, dirOf(in), in.getInt(1), in.getInt(2)): Integer))),
+          spark, dirOf(in), intArg(in, 1, 4), intArg(in, 2, 32)): Integer))),
 
       "compact_bucketed" -> new Proc(
         "compact_bucketed",
@@ -169,7 +186,7 @@ private[spark] object GraftProcedures {
           p("parallelism", IntegerType, Some("0"))),
         StructType(Seq(StructField("folds", IntegerType, nullable = false))),
         (spark, in) => Seq(row(SSTableOps.compactBucketedInPlace(
-          spark, dirOf(in), in.getInt(1), in.getInt(2)): Integer))),
+          spark, dirOf(in), intArg(in, 1, 2), intArg(in, 2, 0)): Integer))),
 
       "compact_tombstones" -> new Proc(
         "compact_tombstones",
@@ -246,7 +263,7 @@ private[spark] object GraftProcedures {
         (spark, in) => {
           val d = dirOf(in)
           val (dropped, kept) = SSTableOps.expireSnapshots(
-            d, in.getLong(1),
+            d, longArg(in, 1, 7L * 24 * 3600 * 1000),
             storage = graft.sources.sstable.Storage.forPath(
               d, spark.sessionState.newHadoopConf()),
             tagPrefix =
@@ -267,7 +284,7 @@ private[spark] object GraftProcedures {
         (spark, in) => {
           val d = dirOf(in)
           val (stale, live) = SSTableOps.vacuumStaging(
-            d, in.getLong(1),
+            d, longArg(in, 1, 24L * 3600 * 1000),
             storage = graft.sources.sstable.Storage.forPath(
               d, spark.sessionState.newHadoopConf()))
           stale.sorted.map(s => row(utf8(s), utf8("removed"))) ++
@@ -306,7 +323,8 @@ private[spark] object GraftProcedures {
           // and retention deleting events mid-carry would abort it
           val (removed, kept) = graft.sources.sstable.MaintenanceLease
             .withLease(d, storage, "expire_history") { _ =>
-              graft.sources.sstable.History.expire(storage, d, in.getLong(1))
+              graft.sources.sstable.History.expire(storage, d,
+                longArg(in, 1, 90L * 24 * 3600 * 1000))
             }
           Seq(row(removed: Integer, kept: Integer))
         }),
@@ -434,6 +452,13 @@ private[spark] object GraftProcedures {
           val storage = graft.sources.sstable.Storage.forPath(
             nsD, spark.sessionState.newHadoopConf())
           val live = s"$nsD/$name"
+          // a lease HUSK at the live name (only `_lease*` litter — the
+          // shape a contender's acquire leaves when it raced the DROP's
+          // non-atomic object-store swap) is not a table: clear it
+          // rather than refusing the restore over a ghost
+          if (graft.sources.sstable.MaintenanceLease.isLeaseHusk(
+              live, storage))
+            storage.deleteRecursive(live)
           require(!storage.exists(live),
             s"table '$tableName' exists — nothing to restore over it " +
               "(DROP or RENAME the live table first)")
@@ -487,7 +512,8 @@ private[spark] object GraftProcedures {
             val holder = storage.readString(leasePath)
             val age = System.currentTimeMillis() - storage.mtime(leasePath)
             Seq(row(utf8(holder), age: java.lang.Long,
-              Boolean.box(age <= in.getLong(1))))
+              Boolean.box(age <= longArg(in, 1,
+                graft.sources.sstable.MaintenanceLease.DefaultHorizonMs))))
           } catch {
             // released between the exists and the reads: unheld now.
             // ONLY the vanished-path pair — a transient IO failure
@@ -579,7 +605,8 @@ private[spark] object GraftProcedures {
           val (nsD, _) = resolveParent(if (ns.isEmpty) "x" else s"$ns.x")
           val storage = graft.sources.sstable.Storage.forPath(
             nsD, spark.sessionState.newHadoopConf())
-          GraftCatalog.sweepNamespace(storage, nsD, in.getLong(1))
+          GraftCatalog.sweepNamespace(storage, nsD,
+            longArg(in, 1, GraftCatalog.StageVacuumHorizonMs))
             .map(e => e.substring(e.lastIndexOf('/') + 1)).sorted
             .map(e => row(utf8(e)))
         }),
@@ -642,7 +669,7 @@ private[spark] object GraftProcedures {
         (spark, in) => {
           // the report is one row per GENERATION (metadata-sized); the
           // scan itself ran distributed inside SSTableOps.scrub
-          SSTableOps.scrub(spark, dirOf(in), in.getBoolean(1))
+          SSTableOps.scrub(spark, dirOf(in), boolArg(in, 1, default = false))
             .collect().toSeq.sortBy(_.getString(0)).map { r =>
               def strOrNull(i: Int): AnyRef =
                 if (r.isNullAt(i)) null else utf8(r.getString(i))

@@ -127,9 +127,18 @@ object SSTableLookupJoinStrategy extends SparkStrategy
       }
     }
 
+  /** Re-name an inlined expression under the ORIGINAL exprId. The id
+    * check matters (review r11): when an upper Project passes through a
+    * lower pure-rename alias (`b` over `val AS b`), inlining reduces
+    * `b#2` to the bare attribute `val#5` — itself a NamedExpression, but
+    * returning it verbatim would desync the exec's output from the
+    * logical join output (#2 promised, #5 delivered), breaking parent
+    * attribute binding. The optimizer's CollapseProject eliminates pure
+    * renames in every plan we've produced, but the contract ("proj is
+    * u.proj re-expressed, same ids") shouldn't lean on that. */
   private def named(e: Expression, like: NamedExpression): NamedExpression =
     e match {
-      case ne: NamedExpression => ne
+      case ne: NamedExpression if ne.exprId == like.exprId => ne
       case other => Alias(other, like.name)(like.exprId, like.qualifier)
     }
 
@@ -333,22 +342,24 @@ final case class SSTableLookupJoinExec(child: SparkPlan,
         probedKeys += 1
         // SQL equi-join semantics: a NULL probe key matches nothing
         val k = keyExpr.eval(row).asInstanceOf[Array[Byte]]
-        val matches: Seq[InternalRow] =
-          if (k == null) Nil
+        // LAZY surviving-match pipeline: generations decode only as the
+        // consumer advances (review r11 — semi/anti need one surviving
+        // match, not every row version of a 16-generation hot key). The
+        // projOnRaw buffer is reused: at most one element is alive at a
+        // time here; consumers that hold several matches copy below.
+        def survivors(): Iterator[InternalRow] =
+          if (k == null) Iterator.empty
           else {
-            val raw = prober.getRaw(k)
+            val raw = prober.getRawIter(k)
             val visible = sh match {
               case Some(s) => raw.flatMap(DeleteShadow.shadowRow(_, s))
               case None => raw
             }
-            val rows = visible.iterator
+            val rows = visible
               .map(SSTableSchema.rowToInternal(_, specLocal.schema))
               .filter(r => predOnRaw.forall(p =>
                 java.lang.Boolean.TRUE == p.eval(r)))
-              // copy: the projection buffer is reused and the matches of
-              // one probe row are alive simultaneously
-              .map(r => projOnRaw(r).copy(): InternalRow)
-              .toSeq
+              .map(projOnRaw(_): InternalRow)
             condExpr match {
               case Some(c) =>
                 rows.filter(r => java.lang.Boolean.TRUE == c.eval(joined(row, r)))
@@ -357,19 +368,25 @@ final case class SSTableLookupJoinExec(child: SparkPlan,
           }
         jt match {
           case Inner =>
-            matches.iterator.map { m => numOutputRows += 1; projBoth(joined(row, m)) }
+            // streams: each match is consumed by projBoth (which writes
+            // its own buffer) before the pipeline advances, so no copy
+            survivors().map { m => numOutputRows += 1; projBoth(joined(row, m)) }
           case LeftOuter =>
-            if (matches.isEmpty) {
+            // hasNext only BUFFERS the first match (no consumption), so
+            // the empty/non-empty branch streams like Inner
+            val s = survivors()
+            if (!s.hasNext) {
               numOutputRows += 1
               Iterator.single(projBoth(joined(row, nullRight)))
-            } else matches.iterator.map { m =>
+            } else s.map { m =>
               numOutputRows += 1; projBoth(joined(row, m))
             }
           case LeftSemi =>
-            if (matches.nonEmpty) { numOutputRows += 1; Iterator.single(projLeft(row)) }
+            // short-circuits at the FIRST surviving match
+            if (survivors().hasNext) { numOutputRows += 1; Iterator.single(projLeft(row)) }
             else Iterator.empty
           case LeftAnti =>
-            if (matches.isEmpty) { numOutputRows += 1; Iterator.single(projLeft(row)) }
+            if (!survivors().hasNext) { numOutputRows += 1; Iterator.single(projLeft(row)) }
             else Iterator.empty
           case t => throw new IllegalStateException(s"unsupported join type: $t")
         }

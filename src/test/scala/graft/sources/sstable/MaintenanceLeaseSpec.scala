@@ -193,4 +193,55 @@ class MaintenanceLeaseSpec extends AnyFunSuite {
       "a failed maintenance run must not leave the directory locked")
     MaintenanceLease.acquire(dir, LocalStorage, "next").release()
   }
+
+  test("stopRenewal: a holder about to remove the directory stops " +
+    "re-creating it (the DROP resurrection race, review r11)") {
+    // CONTROL — the hazard is real: with renewals running, removing the
+    // leased directory gets it re-created as a lease husk (create makes
+    // parents), which would read as an empty live table after a DROP
+    val ctl = tmp()
+    val a = MaintenanceLease.acquire(ctl, LocalStorage, "drop-table",
+      horizonMs = 160) // renews every horizon/8 = 20ms
+    LocalStorage.deleteRecursive(ctl)
+    val deadline = System.currentTimeMillis() + 2000
+    while (!LocalStorage.exists(ctl) && System.currentTimeMillis() < deadline)
+      Thread.sleep(10)
+    assert(LocalStorage.exists(ctl),
+      "control: a renewal should have re-created the removed dir")
+    assert(MaintenanceLease.isLeaseHusk(ctl, LocalStorage),
+      "the resurrected dir is a recognizable lease husk")
+    a.stopRenewal(); a.release()
+    // FIX — stopRenewal before the removal: nothing re-creates the dir
+    val dir = tmp()
+    val b = MaintenanceLease.acquire(dir, LocalStorage, "drop-table",
+      horizonMs = 160)
+    b.checkHeld()
+    b.stopRenewal()
+    LocalStorage.deleteRecursive(dir)
+    Thread.sleep(200) // ten would-be renewal periods
+    assert(!LocalStorage.exists(dir),
+      "after stopRenewal no renewal may re-create the dropped dir")
+    b.release() // safe: ownership gone, delete skipped
+  }
+
+  test("isLeaseHusk recognizes only lease litter: data, markers, " +
+    "subdirs and empty dirs are never husks") {
+    val dir = tmp()
+    assert(!MaintenanceLease.isLeaseHusk(dir, LocalStorage),
+      "an EMPTY dir could be a user's hand-made table: not a husk")
+    val out = LocalStorage.create(s"$dir/${MaintenanceLease.LeaseFile}")
+    try out.write("ghost@host#1".getBytes("UTF-8")) finally out.close()
+    assert(MaintenanceLease.isLeaseHusk(dir, LocalStorage))
+    LocalStorage.create(
+      s"$dir/${MaintenanceLease.LeaseFile}-acquire-deadbeef").close()
+    assert(MaintenanceLease.isLeaseHusk(dir, LocalStorage),
+      "acquire/renew tmps are lease litter too")
+    LocalStorage.create(s"$dir/gen-1-Data.db").close()
+    assert(!MaintenanceLease.isLeaseHusk(dir, LocalStorage),
+      "any non-lease file means real content")
+    LocalStorage.delete(s"$dir/gen-1-Data.db")
+    LocalStorage.mkdirs(s"$dir/_snapshot-x")
+    assert(!MaintenanceLease.isLeaseHusk(dir, LocalStorage),
+      "any subdirectory means real content")
+  }
 }

@@ -167,10 +167,10 @@ class LookupJoinSpec extends AnyFunSuite {
       .contains("SSTableLookupJoin"))
   }
 
-  test("absent keys open ZERO Data.db files; present keys never trigger " +
-    "a scan (IO is probes x candidate generations)") {
-    fixture
-    val opens = new java.util.concurrent.atomic.AtomicInteger
+  /** Run `body` with a Data.db-open-counting Storage spy installed as
+    * the probe exec's storage (the IO-bound pins' instrument). */
+  private def withOpenSpy[A](
+      opens: java.util.concurrent.atomic.AtomicInteger)(body: => A): A = {
     val spy: Storage = new Storage {
       def open(path: String): SeekableInput = {
         if (path.endsWith("-Data.db")) opens.incrementAndGet()
@@ -190,10 +190,15 @@ class LookupJoinSpec extends AnyFunSuite {
       def mkdirs(dir: String): Unit = LocalStorage.mkdirs(dir)
       def listDataFiles(d: String): Seq[String] = LocalStorage.listDataFiles(d)
     }
-    def withSpy[A](body: => A): A = {
-      SSTableLookupJoin.testStorage = Some(spy)
-      try body finally SSTableLookupJoin.testStorage = None
-    }
+    SSTableLookupJoin.testStorage = Some(spy)
+    try body finally SSTableLookupJoin.testStorage = None
+  }
+
+  test("absent keys open ZERO Data.db files; present keys never trigger " +
+    "a scan (IO is probes x candidate generations)") {
+    fixture
+    val opens = new java.util.concurrent.atomic.AtomicInteger
+    def withSpy[A](body: => A): A = withOpenSpy(opens)(body)
     // absent-only probe set: bloom filters rule every generation out
     // before any Data.db open — a scan would decode all of them
     spark.sql("SELECT CAST('nope-1' AS BINARY) k UNION ALL " +
@@ -250,5 +255,24 @@ class LookupJoinSpec extends AnyFunSuite {
           .select(col("k").cast("string"), col("count"))))
       finally spark.conf.unset(SSTableLookupJoin.EnabledKey)
     } finally spark.conf.unset("spark.sql.adaptive.enabled")
+  }
+
+  test("LeftSemi probes short-circuit at the first surviving match: one " +
+    "Data.db open per present key, not one per candidate generation") {
+    fixture
+    val opens = new java.util.concurrent.atomic.AtomicInteger
+    // b and c each live in TWO data generations (bloom prunes the third):
+    // an eager probe reads both row versions per key, but semi only needs
+    // existence — the lazy pipeline stops after the first generation
+    spark.sql("SELECT CAST('b' AS BINARY) k UNION ALL " +
+      "SELECT CAST('c' AS BINARY)").createOrReplaceTempView("lj_semi")
+    val semi = spark.sql("SELECT CAST(p.k AS STRING) FROM lj_semi p " +
+      "LEFT SEMI JOIN graft_lj.fx.t t ON p.k = t.key")
+    assert(planOf(semi).contains("SSTableLookupJoin"), planOf(semi))
+    assert(withOpenSpy(opens)(semi.count()) == 2L)
+    // budget: 1 delete-shadow load + 2 probes x 1 first-match generation;
+    // the eager bound would be 1 + 2 x 2 = 5
+    assert(opens.get() <= 3,
+      s"semi probe must stop at the first surviving match: ${opens.get()} opens")
   }
 }
