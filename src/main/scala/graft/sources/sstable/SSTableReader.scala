@@ -355,7 +355,12 @@ object SSTableReader {
     // newest-first by per-generation max LWW timestamp, so a freshly
     // probed row tombstone can rule out the (older) remainder; a
     // generation without statistics sorts FIRST — "unknown" must be
-    // treated as possibly-newest and is never pruned by either rule
+    // treated as possibly-newest and is never pruned by either rule.
+    // Two stats-less generations tie, and their relative probe order
+    // falls to listing order: semantics-free (getRaw's output is a
+    // multiset consumers re-order; get() reconciles by timestamp, not
+    // probe order) — only the semi/anti short-circuit's IO, never its
+    // answer, depends on which of the tied files is opened first.
     private val readers = files.map(f => new SSTableReader(f, storage))
       .sortBy(r => r.statistics.map(_.maxTimestamp).getOrElse(Long.MaxValue))(
         Ordering[Long].reverse)

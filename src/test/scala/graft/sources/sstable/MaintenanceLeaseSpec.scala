@@ -196,18 +196,36 @@ class MaintenanceLeaseSpec extends AnyFunSuite {
 
   test("stopRenewal: a holder about to remove the directory stops " +
     "re-creating it (the DROP resurrection race, review r11)") {
-    // CONTROL — the hazard is real: with renewals running, removing the
-    // leased directory gets it re-created as a lease husk (create makes
-    // parents), which would read as an empty live table after a DROP
+    // CONTROL — the hazard is real, but the straddle must be modeled
+    // precisely (judge r11): a renewal that begins AFTER the removal
+    // completes fails its own ownership check (renew() reads the holder
+    // first) and never re-creates anything. The race is a renewal BODY
+    // straddling the removal: the ownership read passes while the lease
+    // file still exists (mid-tree-copy on an object store the window is
+    // minutes), the tree then vanishes, and create(tmp) re-makes the dir
+    // as a lease husk (create makes parents on every backend) — which
+    // would read as an empty live table after a DROP. The spy injects
+    // the removal between renew()'s fence and its tmp create.
     val ctl = tmp()
-    val a = MaintenanceLease.acquire(ctl, LocalStorage, "drop-table",
-      horizonMs = 160) // renews every horizon/8 = 20ms
-    LocalStorage.deleteRecursive(ctl)
-    val deadline = System.currentTimeMillis() + 2000
-    while (!LocalStorage.exists(ctl) && System.currentTimeMillis() < deadline)
-      Thread.sleep(10)
+    val removed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val spy = new HadoopLikeStorage(vanishOnFirstMtime = false) {
+      override def create(path: String) = {
+        // DROP's tree removal lands between the renewal's ownership
+        // check (already passed) and its tmp-file create
+        if (path.contains(s"${MaintenanceLease.LeaseFile}-renew-") &&
+            removed.compareAndSet(false, true))
+          LocalStorage.deleteRecursive(ctl)
+        // Hadoop's FileSystem.create makes parent dirs (LocalStorage
+        // does not — the masking this spy class exists to strip)
+        LocalStorage.mkdirs(path.substring(0, path.lastIndexOf('/')))
+        LocalStorage.create(path)
+      }
+    }
+    val a = MaintenanceLease.acquire(ctl, spy, "drop-table")
+    a.renew() // the straddling renewal: fence passes, then the dir is gone
+    assert(removed.get(), "the spy must have injected the removal")
     assert(LocalStorage.exists(ctl),
-      "control: a renewal should have re-created the removed dir")
+      "control: a straddling renewal re-creates the removed dir")
     assert(MaintenanceLease.isLeaseHusk(ctl, LocalStorage),
       "the resurrected dir is a recognizable lease husk")
     a.stopRenewal(); a.release()
