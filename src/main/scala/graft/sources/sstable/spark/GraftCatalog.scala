@@ -90,6 +90,47 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       storage.listSubdirs(d, "")
         .map(p => p.substring(p.lastIndexOf('/') + 1)).forall(!segOk(_))
 
+  /** Pointer-aware resolution (VERDICT r11 #3): the PHYSICAL directory
+    * a reader of this table-shaped directory should scan, or None when
+    * the `graft.state` pointer says it is NOT a table right now
+    * (Dropped/Restoring residue — a DROP committed here, or an
+    * undrop / CTAS publish is still copying content in). A Redirect
+    * (committed REPLACE awaiting its migration home) resolves to the
+    * stage sibling holding the complete new state. Expects
+    * `isTableDir(d)` already checked. */
+  private def resolveLive(d: String): Option[String] =
+    PointerCommit.stateOf(storage, d) match {
+      case TableState.Live => Some(d)
+      case TableState.Redirect(target, _) =>
+        Some(s"${d.substring(0, d.lastIndexOf('/'))}/$target")
+      case _ => None
+    }
+
+  /** Settle a crashed REPLACE's pending migration before an operation
+    * that must own the directory in place (ALTER, DROP, a second
+    * REPLACE, maintenance CALLs). Reads keep working through the
+    * redirect either way; this is the write-path self-heal. No-op on
+    * every other state. */
+  private def completeMigrationIfRedirected(d: String): Unit =
+    PointerCommit.stateOf(storage, d) match {
+      case TableState.Redirect(_, _) =>
+        graft.sources.sstable.MaintenanceLease.withLease(d, storage,
+          "finish-replace") { lease =>
+          PointerCommit.completeMigration(storage,
+            d.substring(0, d.lastIndexOf('/')), d, () => lease.checkHeld())
+        }
+      case _ => ()
+    }
+
+  /** Live-table check: a table-shaped directory whose pointer state is
+    * readable (Live or Redirect). Dropped/Restoring residue is not a
+    * table — SHOW TABLES may transiently list such a name after a
+    * crashed swap until the next CREATE/undrop/vacuum clears it (the
+    * documented cost of keeping listTables one LIST instead of one
+    * props read per table), but loadTable and every DDL refuse it. */
+  private def isLiveTableDir(d: String): Boolean =
+    isTableDir(d) && resolveLive(d).isDefined
+
   // ---- TableCatalog ----
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
@@ -107,8 +148,13 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val d = tableDir(ident)
     if (!isTableDir(d))
       return metadataTable(ident).getOrElse(throw new NoSuchTableException(ident))
+    // pointer resolution: residue (a committed DROP's tombstone, an
+    // in-flight undrop) is NOT a table; a Redirect reads the complete
+    // new state from the stage sibling until the migration lands it home
+    val resolved = resolveLive(d).getOrElse(
+      return metadataTable(ident).getOrElse(throw new NoSuchTableException(ident)))
     new SSTableTable(Map(
-      SSTableSource.PathOption -> d,
+      SSTableSource.PathOption -> resolved,
       SSTableSource.ApplyDeletesOption -> "true",
       // catalog writes address a TABLE IDENTITY, not a directory, so an
       // append commit racing a REPLACE/rebucket swap may follow the
@@ -123,7 +169,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     * plain schema), writer-tuning keys pass through under their own
     * names (they ARE option names). */
   private def tableOptions(d: String): Map[String, String] =
-    GraftCatalog.readTableProps(storage, d).map {
+    (GraftCatalog.readTableProps(storage, d) - TableState.Key).map {
       case (GraftCatalog.BucketsProp, v) => SSTableSource.WriteBucketsOption -> v
       case kv => kv
     }
@@ -155,9 +201,13 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       if (isNs) return Some(new HistoryTable(ownerNs))
     }
     if (ident.namespace.isEmpty) return None
-    val owner = tableDir(Identifier.of(
+    val owner0 = tableDir(Identifier.of(
       ident.namespace.dropRight(1), ident.namespace.last))
-    if (!isTableDir(owner)) return None
+    if (!isTableDir(owner0)) return None
+    // ops views follow the pointer like the table itself (a redirecting
+    // owner's history/snapshots live with the new state; residue owns
+    // nothing)
+    val owner = resolveLive(owner0).getOrElse(return None)
     ident.name.toLowerCase(java.util.Locale.ROOT) match {
       case "generations" => Some(new SSTableTable(Map(
         SSTableSource.PathOption -> owner,
@@ -189,9 +239,12 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     * without `applydeletes`. A literal pin whose tag happens to contain
     * `..` still resolves as a pin (exact match wins). */
   override def loadTable(ident: Identifier, version: String): Table = {
-    val d = tableDir(ident)
-    if (!isTableDir(d))
+    val d0 = tableDir(ident)
+    if (!isTableDir(d0))
       throw new NoSuchTableException(ident)
+    // pins travel with the content: resolve the pointer (redirect → the
+    // stage holding the new state; residue → not a table)
+    val d = resolveLive(d0).getOrElse(throw new NoSuchTableException(ident))
     require(version.nonEmpty && !version.contains('/') && !version.contains('\\'),
       s"bad snapshot tag: '$version'")
     def pinExists(tag: String): Boolean =
@@ -229,9 +282,10 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     * prove it (a stats-less foreign generation makes pre-history
     * unprovable — the scan then just reads through the cut). */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
-    val d = tableDir(ident)
-    if (!isTableDir(d))
+    val d0 = tableDir(ident)
+    if (!isTableDir(d0))
       throw new NoSuchTableException(ident)
+    val d = resolveLive(d0).getOrElse(throw new NoSuchTableException(ident))
     val stats = storage.listDataFiles(d)
       .map(f => new graft.sources.sstable.SSTableReader(f, storage).statistics)
     if (stats.nonEmpty && stats.forall(_.isDefined)) {
@@ -247,7 +301,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def tableExists(ident: Identifier): Boolean =
-    isTableDir(tableDir(ident))
+    isLiveTableDir(tableDir(ident))
 
   /** Field names + types, with nullability and metadata erased at every
     * nesting level — a CTAS query's output schema carries its own
@@ -273,12 +327,26 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"(got ${schema.simpleString})")
   }
 
+  /** Reclaim a crashed swap's residue occupying `d` so its name can be
+    * re-bound, or throw the caller's collision error when the occupant
+    * is genuinely alive (a live table, a redirect, or an undrop still
+    * inside its liveness horizon). Returns true when the name is free
+    * after the call. */
+  private def reclaimResidueOrFalse(d: String): Boolean = {
+    if (!dirExists(d)) return true
+    if (!isTableDir(d)) return false
+    if (resolveLive(d).isDefined) return false
+    if (!PointerCommit.residueClearable(storage, d)) return false
+    PointerCommit.clearResidue(storage, d)
+    true
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
     requireCanonicalShape(schema, partitions)
     val d = tableDir(ident)
-    if (dirExists(d))
+    if (!reclaimResidueOrFalse(d))
       throw new TableAlreadyExistsException(ident)
     val declared = validatedTableProps(properties)
     requireNamespaceParent(ident)
@@ -365,7 +433,11 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     * path is compact/rewrite, not ALTER. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val d = tableDir(ident)
-    if (!isTableDir(d)) throw new NoSuchTableException(ident)
+    if (!isLiveTableDir(d)) throw new NoSuchTableException(ident)
+    // a redirecting table (committed REPLACE whose migrator crashed
+    // before copying the stage home) is settled here first — ALTER
+    // rewrites `_table`, which IS the pointer, so the two must not race
+    completeMigrationIfRedirected(d)
     val current = GraftCatalog.readTableProps(storage, d)
     val next = changes.foldLeft(current) { (acc, change) =>
       change match {
@@ -433,7 +505,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def stageCreate(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): StagedTable = {
-    if (dirExists(tableDir(ident)))
+    if (!reclaimResidueOrFalse(tableDir(ident)))
       throw new TableAlreadyExistsException(ident)
     stage(ident, schema, partitions, properties, replace = false)
   }
@@ -441,7 +513,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def stageReplace(ident: Identifier, schema: StructType,
                             partitions: Array[Transform],
                             properties: util.Map[String, String]): StagedTable = {
-    if (!isTableDir(tableDir(ident))) throw new NoSuchTableException(ident)
+    if (!isLiveTableDir(tableDir(ident))) throw new NoSuchTableException(ident)
     stage(ident, schema, partitions, properties, replace = true)
   }
 
@@ -512,56 +584,140 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       })
     new GraftStagedTable(inner, ident,
       commit = () => { stopHeartbeat(); commitStaged(ident, stagingDir, replace) },
-      abort = () => { stopHeartbeat(); storage.deleteRecursive(stagingDir) })
+      abort = () => {
+        stopHeartbeat()
+        // Spark aborts the staged table whenever commit throws — and a
+        // POST-commit migration failure throws deliberately. Once the
+        // table's pointer redirects HERE, this stage IS the committed
+        // new state: never delete it (protect on read doubt too — a
+        // stranded dead stage costs one sweep entry, a deleted live
+        // redirect target costs the table).
+        val isCommittedState =
+          try PointerCommit.stateOf(storage, tableDir(ident)) match {
+            case TableState.Redirect(t, _) =>
+              s"${nsDir(ident.namespace)}/$t" == stagingDir
+            case _ => false
+          } catch { case _: Exception => true }
+        if (!isCommittedState) storage.deleteRecursive(stagingDir)
+      })
   }
 
-  /** The atomic publish: re-checks the world (another writer may have
-    * created the table, or turned the name into a namespace, while the
-    * query ran), then renames the stage into place — via a trash swap
-    * when replacing. Every failure path deletes the stage first. */
+  /** The atomic publish, pointer-committed (VERDICT r11 #3): re-checks
+    * the world (another writer may have created the table, or turned
+    * the name into a namespace, while the query ran), then commits with
+    * ONE atomic `_table` replace instead of a tree rename — on object
+    * stores a directory rename is a long per-object copy+delete a
+    * concurrent reader could observe half-done.
+    *
+    * REPLACE: copy the live tree to `_dropped-` trash (readers keep the
+    * complete old state), flip the pointer to `redirect:<stage>` (the
+    * commit — readers now resolve the complete NEW state through the
+    * stage sibling), then migrate the stage home and flip back to Live.
+    * The swap runs under the table's maintenance lease, so it can no
+    * longer interleave with a running compaction/rollback (those used
+    * to rely on the rename yanking the lease file away mid-fold).
+    *
+    * CREATE: publish the stage under a `restoring:` pointer created
+    * CONDITIONALLY (the no-overwrite rename — one winner per name),
+    * copy in, flip to Live. Readers see nothing, then the whole table.
+    *
+    * Every PRE-commit failure deletes the stage; a POST-commit
+    * migration failure must NOT (the redirect target holds the only
+    * copy of the new state) — it reports the commit landed and the
+    * next DDL/maintenance on the table completes the migration. */
   private def commitStaged(ident: Identifier, stagingDir: String,
                            replace: Boolean): Unit = {
     val d = tableDir(ident)
+    val nsD = nsDir(ident.namespace)
+    val stageName = stagingDir.substring(stagingDir.lastIndexOf('/') + 1)
     def fail(e: Throwable): Nothing = {
       storage.deleteRecursive(stagingDir); throw e
     }
     // the committed table must not carry the stage's liveness marker
     storage.delete(s"$stagingDir/${GraftCatalog.StageHeartbeatFile}")
-    if (dirExists(d)) {
+    val newProps = GraftCatalog.readTableProps(storage, stagingDir)
+    if (!reclaimResidueOrFalse(d)) {
       if (!replace) fail(new TableAlreadyExistsException(ident))
       if (!isTableDir(d)) fail(new IllegalStateException(
         s"${ident.namespace.mkString(".")}.${ident.name} became a " +
           "namespace while the replacing query ran; aborting the REPLACE"))
-      val trash = s"${nsDir(ident.namespace)}/_dropped-${ident.name}-" +
-        java.util.UUID.randomUUID().toString.take(8)
-      storage.rename(d, trash)
-      // stamp like DROP TABLE does: if this REPLACE crashes before its
-      // second rename, the trash holds the ONLY copy of the pre-replace
-      // table — its dir mtime is the table's last write, which may
-      // already be past the sweep horizon, and the next staged DDL
-      // would reclaim the crash-recovery copy instantly. The stamp
-      // starts the window at the swap; a successful REPLACE deletes
-      // the trash moments later anyway (and the entry is undrop-able
-      // meanwhile, same name shape).
-      storage.create(s"$trash/${GraftCatalog.StageHeartbeatFile}").close()
-      try storage.rename(stagingDir, d)
-      catch {
+      if (resolveLive(d).isEmpty) fail(new IllegalStateException(
+        s"${ident.toString} is mid-restore (an undrop or publish is " +
+          "copying content in); retry the REPLACE when it settles"))
+      try {
+        graft.sources.sstable.MaintenanceLease.withLease(d, storage,
+          "replace-table") { lease =>
+          // a previous REPLACE's unfinished migration settles first: the
+          // trash copy below must capture the complete current state
+          PointerCommit.completeMigration(storage, nsD, d, () => lease.checkHeld())
+          val id = PointerCommit.newId()
+          val trashName = s"_dropped-${ident.name}-$id"
+          val trash = s"$nsD/$trashName"
+          val copied = PointerCommit.copyTree(storage, d, trash)
+          // stamp: the copy's content mtimes are the table's last writes,
+          // possibly already past the sweep horizon — the undrop window
+          // starts at the swap. `_trash-ok` (LAST) marks the copy whole:
+          // a crash before it leaves an invalid half-copy the sweep ages
+          // out while the live table stands untouched.
+          storage.create(s"$trash/${GraftCatalog.StageHeartbeatFile}").close()
+          storage.create(s"$trash/${PointerCommit.TrashOkFile}").close()
+          lease.checkHeld()
+          // COMMIT POINT — one atomic props replace
+          PointerCommit.writeState(storage, d, newProps,
+            TableState.Redirect(stageName, id))
+          // racing appends: pending commit markers are swept (their
+          // verify fails and consults the new state); filesets that
+          // committed between the copy and the flip reach the recovery
+          // copy, so durable data is never silently missing from trash
+          PointerCommit.absorbRacers(storage, d, copied, Some(trash))
+          PointerCommit.completeMigration(storage, nsD, d, () => lease.checkHeld())
+          // a successful REPLACE discards the old state's copy (same
+          // contract as the pre-pointer trash swap)
+          storage.deleteRecursive(trash)
+        }
+      } catch {
         case e: Throwable =>
-          storage.rename(trash, d)
-          // the restored LIVE table must not carry the trash stamp
-          storage.delete(s"$d/${GraftCatalog.StageHeartbeatFile}")
-          fail(e)
+          // committed-ness is read from the DISK, not a flag: if the
+          // pointer flip landed, the stage IS the table's new state and
+          // must never ride fail()'s stage cleanup (a dangling redirect
+          // would vaporize the committed REPLACE). When the state can't
+          // be read at all, keep the stage — a false "committed" strands
+          // one dir for the sweep; a false "not committed" destroys data.
+          val landed =
+            try PointerCommit.stateOf(storage, d) match {
+              case TableState.Redirect(t, _) => t == stageName
+              case TableState.Live =>
+                // migration may have completed before the failure; the
+                // stage is gone either way — nothing to protect
+                !storage.exists(stagingDir)
+              case _ => false
+            } catch { case _: Exception => true }
+          if (!landed) fail(e)
+          throw new IllegalStateException(
+            s"REPLACE of ${ident.toString} COMMITTED (readers see the new " +
+              "state through its redirect pointer) but the migration home " +
+              "did not finish — the next DDL or maintenance CALL on the " +
+              "table completes it", e)
       }
-      storage.deleteRecursive(trash)
     } else {
-      // a concurrent CTAS may have won the create race after the
-      // dirExists re-check; map that to the DDL's own exception and
-      // clean the stage instead of stranding it behind a raw
-      // IOException until the vacuum horizon (ADVICE r8)
-      try storage.rename(stagingDir, d)
-      catch {
+      val id = PointerCommit.newId()
+      // conditional pointer create: of two racing CTAS commits exactly
+      // one wins; the loser maps to the DDL's own exception and cleans
+      // its stage instead of stranding it until the vacuum horizon
+      if (!PointerCommit.createState(storage, d, newProps,
+          TableState.Restoring(stageName, id)))
+        fail(new TableAlreadyExistsException(ident))
+      try {
+        PointerCommit.copyTree(storage, stagingDir, d, excludeTable = true)
+        // COMMIT POINT — readers saw no table, now they see all of it
+        PointerCommit.writeState(storage, d, newProps, TableState.Live)
+        storage.deleteRecursive(stagingDir)
+      } catch {
         case e: Throwable =>
-          fail(if (dirExists(d)) new TableAlreadyExistsException(ident) else e)
+          // pre-commit: the restoring pointer kept readers out; clear it
+          try PointerCommit.clearResidue(storage, d)
+          catch { case _: Exception => () } // tombstone refuses; swept later
+          fail(e)
       }
     }
   }
@@ -599,11 +755,18 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def dropImpl(ident: Identifier, purge: Boolean): Boolean = {
     val d = tableDir(ident)
     // a namespace (a directory holding tables) must survive DROP TABLE —
-    // dropNamespace with CASCADE is the only way to remove it
-    if (!isTableDir(d)) return false
+    // dropNamespace with CASCADE is the only way to remove it; a crashed
+    // swap's residue is not a table either
+    if (!isLiveTableDir(d)) return false
+    val id = PointerCommit.newId()
     graft.sources.sstable.MaintenanceLease.withLease(d, storage,
       if (purge) "purge-table" else "drop-table") { lease =>
       lease.checkHeld() // fence: we are still the only maintainer
+      // a crashed REPLACE's migration settles first: the trash copy must
+      // capture the complete CURRENT state, which still lives behind the
+      // redirect pointer
+      PointerCommit.completeMigration(storage, nsDir(ident.namespace), d,
+        () => lease.checkHeld())
       if (!purge) {
         // pin refusal checked UNDER the lease (review r11: a pre-lease
         // check left the whole acquire window for a concurrent CALL
@@ -619,63 +782,102 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
             s"$catalogName.system.expire_snapshots / drop_snapshot) or use " +
             "DROP TABLE ... PURGE to destroy the table, pins and all")
       }
-      // the directory itself is about to vanish: a renewal firing
-      // mid-rename/delete would re-create it as an empty lease husk
-      // (create makes parents; object-store tree renames take minutes)
-      // that reads as an EMPTY live table and blocks undrop. Stop
-      // renewing first — a swap outliving the steal horizon then looks
-      // like (and is recoverable as) a dropper crash, the documented
-      // partial-trash shape.
-      lease.stopRenewal()
-      if (purge) storage.deleteRecursive(d)
-      else {
-        val trash = s"${nsDir(ident.namespace)}/_dropped-${ident.name}-" +
-          java.util.UUID.randomUUID().toString.take(8)
-        storage.rename(d, trash)
-        // the trash dir's own mtime is the table's LAST WRITE — possibly
-        // already past the sweep horizon, which would let the next staged
-        // DDL sweep a just-dropped table instantly. Stamp the heartbeat
-        // marker once so the restore window starts at the DROP.
+      val props = GraftCatalog.readTableProps(storage, d)
+      if (purge) {
+        lease.checkHeld()
+        // COMMIT POINT — readers get NoSuchTable from here on, atomically
+        PointerCommit.writeState(storage, d, props, TableState.Dropped(None, id))
+        PointerCommit.absorbRacers(storage, d, Set.empty, None)
+      } else {
+        // copy-first (pointer commit, VERDICT r11 #3): the live tree
+        // stays complete and readable while the trash copy builds — no
+        // reader can observe the half-moved tree the old rename-based
+        // swap exposed on object stores. Lease litter and commit markers
+        // never ride along, so undrop can't resurrect a stale lease.
+        val trashName = s"_dropped-${ident.name}-$id"
+        val trash = s"${nsDir(ident.namespace)}/$trashName"
+        val copied = PointerCommit.copyTree(storage, d, trash)
+        // the copy's mtimes are the table's LAST WRITES — possibly past
+        // the sweep horizon already. Stamp so the restore window starts
+        // at the DROP.
         storage.create(s"$trash/${GraftCatalog.StageHeartbeatFile}").close()
-        // the lease file rode into the trash; drop the husk so an undrop
-        // doesn't resurrect a stale lease (release() tolerates the gone
-        // file — ownership reads return None and the delete is skipped)
-        storage.delete(s"$trash/${graft.sources.sstable.MaintenanceLease.LeaseFile}")
-        // recorded AFTER the swap landed, into the trash copy of the log
-        // (an undropped table's history then shows drop + restore) — a
-        // rename that failed must not leave a phantom drop event on the
+        // recorded into the TRASH copy of the log only (an undropped
+        // table's history then shows drop + restore) — a swap that fails
+        // pre-commit must not leave a phantom drop event on the
         // still-live table (the verify-before-history rule, inverted).
-        // The chosen side of that trade (VERDICT r10): a crash BETWEEN
-        // the rename and this record leaves trash whose log has no
-        // drop_table event — an undrop then restores a table whose
-        // history shows the restore but not the drop. Cosmetic (the data
-        // and list_trash entry are intact); the alternative — a phantom
-        // drop event on a table whose rename FAILED — corrupts a live
-        // audit log and is strictly worse.
         graft.sources.sstable.History.record(storage, trash, "drop_table",
           detail = ident.toString)
+        // completeness marker LAST: a crash before it leaves an invalid
+        // half-copy (never an undrop candidate, swept by age) while the
+        // live table stands untouched
+        storage.create(s"$trash/${PointerCommit.TrashOkFile}").close()
+        lease.checkHeld()
+        // COMMIT POINT — one atomic props replace; readers get
+        // NoSuchTable while the authoritative copy sits whole in trash
+        PointerCommit.writeState(storage, d, props,
+          TableState.Dropped(Some(trashName), id))
+        // racing appends: sweep their pending commit markers (verify
+        // fails → consults the dropped state → loud refusal, no silent
+        // success for files the destroy below removes) and copy any
+        // fileset that committed between copy and flip into the trash
+        PointerCommit.absorbRacers(storage, d, copied, Some(trash))
       }
+      // the destroy happens while the pointer still refuses readers; the
+      // renewal stops first — a renewal straddling the removal would
+      // re-create the dir as a lease husk (create makes parents)
+      lease.stopRenewal()
+      PointerCommit.destroyResidue(storage, d)
     }
-    // residue sweep: a contender's acquire racing the removal (attempting
-    // to steal what looks like a dead maintainer's lease once ours stops
-    // renewing) can have re-created d as a lease husk — left in place it
-    // reads as an empty live table ("the data vanished") and makes
-    // undrop refuse. Deleting it aborts that contender at its own fence,
-    // which is correct: it acquired on a dropped table's ghost.
+    // lease released: remove the tombstone (id-fenced — a CREATE that
+    // already reclaimed the name must not lose its `_table`), then any
+    // husk a contender's acquire left while racing the removal
+    PointerCommit.finalizeTombstone(storage, d, id)
     if (graft.sources.sstable.MaintenanceLease.isLeaseHusk(d, storage))
       storage.deleteRecursive(d)
     true
   }
 
+  /** RENAME, pointer-committed: publish a copy under the new name
+    * behind a conditional `restoring:` pointer, flip it Live, then
+    * tombstone + destroy the old name — each name individually commits
+    * with one atomic props replace, so a reader of either name sees a
+    * complete state or no table, never a partial tree. The names flip
+    * independently (there is no two-name atomic primitive on an object
+    * store): for one instant the table is visible under BOTH names —
+    * the deliberate side of the trade, since overlap of complete states
+    * beats a window of partial ones. */
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     val from = tableDir(oldIdent)
     val to = tableDir(newIdent)
-    if (!isTableDir(from))
+    if (!isLiveTableDir(from))
       throw new NoSuchTableException(oldIdent)
-    if (dirExists(to))
+    if (!reclaimResidueOrFalse(to))
       throw new TableAlreadyExistsException(newIdent)
     requireNamespaceParent(newIdent)
-    storage.rename(from, to)
+    val id = PointerCommit.newId()
+    graft.sources.sstable.MaintenanceLease.withLease(from, storage,
+      "rename-table") { lease =>
+      PointerCommit.completeMigration(storage,
+        nsDir(oldIdent.namespace), from, () => lease.checkHeld())
+      val props = GraftCatalog.readTableProps(storage, from)
+      if (!PointerCommit.createState(storage, to, props,
+          TableState.Restoring(from.substring(from.lastIndexOf('/') + 1), id)))
+        throw new TableAlreadyExistsException(newIdent)
+      val copied = PointerCommit.copyTree(storage, from, to, excludeTable = true)
+      lease.checkHeld()
+      PointerCommit.writeState(storage, to, props, TableState.Live) // `to` commits
+      PointerCommit.writeState(storage, from, props,
+        TableState.Dropped(None, id)) // `from` commits (no trash: `to` IS the data)
+      // racing appends against `from`: markers swept (pending verifies
+      // consult the dropped state); filesets that committed between the
+      // copy and the flip follow the table to its new name
+      PointerCommit.absorbRacers(storage, from, copied, Some(to))
+      lease.stopRenewal()
+      PointerCommit.destroyResidue(storage, from)
+    }
+    PointerCommit.finalizeTombstone(storage, from, id)
+    if (graft.sources.sstable.MaintenanceLease.isLeaseHusk(from, storage))
+      storage.deleteRecursive(from)
   }
 
   // ---- SupportsNamespaces ----
@@ -777,6 +979,13 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val parent = d.substring(0, d.lastIndexOf('/'))
     val trash = s"$parent/_dropped-${namespace.last}-" +
       java.util.UUID.randomUUID().toString.take(8)
+    // NAMESPACE-grain swaps keep the tree rename: the table-grain
+    // pointer commit (PointerCommit — one atomic `_table` replace per
+    // table) has no namespace equivalent yet, so on object stores a
+    // reader of a table INSIDE this namespace can race the per-object
+    // move — the documented remaining gap after VERDICT r11 #3 closed
+    // the table-grain windows. (Each table's own DROP/REPLACE/undrop is
+    // pointer-committed; only the whole-namespace move is not.)
     storage.rename(d, trash)
     // restore window starts at the DROP, not at the tree's last write
     storage.create(s"$trash/${GraftCatalog.StageHeartbeatFile}").close()
@@ -842,7 +1051,11 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           "catalog-relative)")
       val ident = Identifier.of(parts.dropRight(1).toArray, parts.last)
       val d = tableDir(ident)
-      if (!isTableDir(d)) throw new NoSuchTableException(ident)
+      if (!isLiveTableDir(d)) throw new NoSuchTableException(ident)
+      // maintenance must own the directory in place: settle a crashed
+      // REPLACE's pending migration (under the lease) before handing the
+      // proc a directory whose content lives behind a redirect
+      completeMigrationIfRedirected(d)
       d
     }, resolveParent = { tableName =>
       // same name validation, but the table itself need not exist —
@@ -977,8 +1190,50 @@ object GraftCatalog {
                  _: java.nio.file.NoSuchFileException => false
           }
         }
+        // a `_stage-` dir a sibling table's `_table` pointer REDIRECTS
+        // to holds the only copy of a committed REPLACE's new state (the
+        // migrator crashed before copying it home): never sweepable —
+        // the next DDL/maintenance on the table completes the migration
+        .filterNot(sd => prefix == "_stage-" && isRedirectTarget(storage, nsDir, sd))
         .map { sd => storage.deleteRecursive(sd); sd }
     }
+  }
+
+  /** The EXPLICIT route's second duty (`CALL vacuum_trash` only — the
+    * implicit staged-DDL sweep stays one LIST): clear crashed-swap
+    * residue at PLAIN table names — Dropped tombstones (terminal: their
+    * authority is in trash or intentionally destroyed) and Restoring
+    * pointers whose liveness stamp says the restorer is dead. One props
+    * read per plain entry; returns what was cleared. */
+  private[graft] def sweepResidue(storage: Storage, nsDir: String): Seq[String] =
+    storage.listSubdirs(nsDir, "")
+      .filter(d => !d.substring(d.lastIndexOf('/') + 1).startsWith("_"))
+      .filter { d =>
+        try TableState.isResidue(TableState.of(readTableProps(storage, d))) &&
+          PointerCommit.residueClearable(storage, d)
+        catch {
+          case _: java.io.FileNotFoundException |
+               _: java.nio.file.NoSuchFileException => false // vanished mid-look
+        }
+      }
+      .map { d => PointerCommit.clearResidue(storage, d); d }
+
+  /** Is this stale `_stage-<table>-<uuid>` dir the redirect target of
+    * its owning table? Checked only for sweep-eligible (stale) stages —
+    * one props read each. Protect on any read doubt: sweeping a live
+    * redirect target destroys committed data, keeping a dead stage one
+    * more round does not. */
+  private def isRedirectTarget(storage: Storage, nsDir: String,
+                               stagePath: String): Boolean = {
+    val n = stagePath.substring(stagePath.lastIndexOf('/') + 1)
+    val core = n.stripPrefix("_stage-")
+    val cut = core.lastIndexOf('-')
+    if (cut <= 0) return false
+    val table = core.substring(0, cut)
+    try TableState.of(readTableProps(storage, s"$nsDir/$table")) match {
+      case TableState.Redirect(t, _) => t == n
+      case _ => false
+    } catch { case _: Exception => true }
   }
   /** Properties CREATE TABLE accepts (and SHOW CREATE TABLE echoes):
     * the bucketed layout plus the writer-tuning option names every

@@ -97,18 +97,15 @@ private[spark] object GraftProcedures {
   /** The procedure namespace (`CALL graft.system.<name>`). */
   val Namespace: Array[String] = Array("system")
 
-  /** Shared restore tail of the two undrop procedures: pick the NEWEST
-    * candidate by drop time (the heartbeat stamp the DROP planted —
-    * the same liveness key the sweep uses, so restore and sweep agree
-    * on age), rename it back, drop the stamp. The trash RACES the
-    * staged-DDL sweep: a candidate vanishing between the listing and
-    * its stat is excluded rather than thrown (Hadoop-backed `mtime`
-    * throws on missing paths — the acquire-race class, VERDICT r9 #1);
-    * a rename losing to the sweep stays loud (the user re-runs and
-    * gets the honest nothing-in-trash message). */
-  private def restoreFromTrash(storage: graft.sources.sstable.Storage,
-                               live: String, candidates: Seq[String],
-                               what: String, name: String): (String, Long) = {
+  /** Pick the NEWEST trash candidate by drop time (the heartbeat stamp
+    * the DROP planted — the same liveness key the sweep uses, so
+    * restore and sweep agree on age). The trash RACES the staged-DDL
+    * sweep: a candidate vanishing between the listing and its stat is
+    * excluded rather than thrown (Hadoop-backed `mtime` throws on
+    * missing paths — the acquire-race class, VERDICT r9 #1). */
+  private def newestCandidate(storage: graft.sources.sstable.Storage,
+                              candidates: Seq[String],
+                              what: String, name: String): (String, Long) = {
     val stamped = candidates.flatMap { p =>
       try {
         val hb = s"$p/${GraftCatalog.StageHeartbeatFile}"
@@ -122,10 +119,48 @@ private[spark] object GraftProcedures {
     require(stamped.nonEmpty,
       s"no dropped $what '$name' in the trash — either it was never " +
         "dropped here, or the sweep horizon already reclaimed it")
-    val (newest, at) = stamped.maxBy(_._2)
+    stamped.maxBy(_._2)
+  }
+
+  /** Restore tail for NAMESPACES: one tree rename back. (A namespace
+    * tree holds plain-named table subdirectories, so the table-grain
+    * pointer-committed copy below does not apply; the namespace-grain
+    * restore keeps the rename's weaker object-store visibility window —
+    * the documented remaining gap.) */
+  private def restoreFromTrash(storage: graft.sources.sstable.Storage,
+                               live: String, candidates: Seq[String],
+                               what: String, name: String): (String, Long) = {
+    val (newest, at) = newestCandidate(storage, candidates, what, name)
     storage.rename(newest, live) // refuses an existing dst: loud on a create race
     storage.delete(s"$live/${GraftCatalog.StageHeartbeatFile}")
     (newest.substring(newest.lastIndexOf('/') + 1), at)
+  }
+
+  /** Restore tail for TABLES, pointer-committed (VERDICT r11 #3): the
+    * live name springs into existence behind a CONDITIONALLY-created
+    * `restoring:` pointer (no reader sees it; exactly one restorer per
+    * name wins), the trash content is copied in while the trash entry —
+    * re-stamped so the sweep can't take it mid-restore — stays the
+    * authority, and ONE atomic props replace flips the table Live. A
+    * crash at any step leaves a refusing residue plus intact trash:
+    * re-running the undrop (or vacuum) reaches a consistent state. */
+  private def restoreTableFromTrash(storage: graft.sources.sstable.Storage,
+                                    live: String, candidates: Seq[String],
+                                    name: String): (String, Long) = {
+    val (newest, at) = newestCandidate(storage, candidates, "table", name)
+    // pin the source against the sweep for the restore's duration (a
+    // crashed restore then also gets a fresh full undrop window)
+    storage.create(s"$newest/${GraftCatalog.StageHeartbeatFile}").close()
+    val props = GraftCatalog.readTableProps(storage, newest)
+    val trashName = newest.substring(newest.lastIndexOf('/') + 1)
+    require(PointerCommit.createState(storage, live, props,
+      TableState.Restoring(trashName, PointerCommit.newId())),
+      s"a concurrent CREATE or undrop just claimed '$name' — nothing " +
+        "was restored; re-run once the other operation settles")
+    PointerCommit.copyTree(storage, newest, live, excludeTable = true)
+    PointerCommit.writeState(storage, live, props, TableState.Live) // COMMIT
+    storage.deleteRecursive(newest)
+    (trashName, at)
   }
 
   /** Build the registry against `resolveTable` — the catalog's own
@@ -356,41 +391,43 @@ private[spark] object GraftProcedures {
           if (n > 0) SSTableSource.bucketsOf(Some(n.toString)) // CREATE's validation
           val storage = graft.sources.sstable.Storage.forPath(
             d, spark.sessionState.newHadoopConf())
-          // the whole-table swap is maintenance-destructive: take the
-          // lease like the compactors (review r9 — a carrying fold
-          // publishing into the old directory mid-swap would land its
-          // plain-stem output INSIDE the new bucketed directory). The
-          // lease file goes to trash with the replaced directory, which
-          // release() tolerates (the exclusion only matters until the
-          // swap lands).
-          val prevAndRows = graft.sources.sstable.MaintenanceLease
-            .withLease(d, storage, "rebucket") { _ =>
+          // guards + audit-log capture run under a SHORT lease; the swap
+          // itself is left to the REPLACE's commitStaged, which takes
+          // the table lease for its pointer-committed copy+flip+migrate
+          // (holding ours across it would self-refuse). The gap between
+          // our release and its acquire admits one racing maintainer,
+          // whose fold then either finishes (riding into trash with the
+          // old state — REPLACE discards it by contract) or makes the
+          // REPLACE refuse loudly at its own acquire.
+          val (prev, savedLog, propsClause) = graft.sources.sstable
+            .MaintenanceLease.withLease(d, storage, "rebucket") { _ =>
               // the ONE audited home of the relayout×time-travel guard
               // (NOTES r8 #38-2) — shared with ALTER 'buckets'
               GraftCatalog.requireNoPinsForRelayout(storage, d)
-              // the swap trashes the old directory INCLUDING its
-              // _history — capture the audit trail now and restore it
-              // after the swap, so the append-only contract holds
-              // across the one action that replaces the directory
+              // the swap sends the old directory's _history to trash —
+              // capture the audit trail now and restore it after the
+              // swap, so the append-only contract holds across the one
+              // action that replaces the directory
               val savedLog = graft.sources.sstable.History.exportLog(storage, d)
               val current = GraftCatalog.readTableProps(storage, d)
               val prev = current.get(GraftCatalog.BucketsProp).map(_.toInt)
               require(prev != Some(n) && !(prev.isEmpty && n == 0),
                 s"table already has ${prev.map(b => s"buckets=$b")
                   .getOrElse("the plain layout")} — nothing to re-layout")
-              val next =
+              val next = (
                 if (n == 0) current - GraftCatalog.BucketsProp
                 else current + (GraftCatalog.BucketsProp -> n.toString)
+              ) - TableState.Key
               val propsClause =
                 if (next.isEmpty) ""
                 else " TBLPROPERTIES (" + next.toSeq.sorted
                   .map { case (k, v) => s"'$k'='$v'" }.mkString(", ") + ")"
-              val q = qualified(tableName)
-              spark.sql(s"CREATE OR REPLACE TABLE $q$propsClause AS SELECT * FROM $q")
-              graft.sources.sstable.History.importLog(storage, d, savedLog)
-              (prev, spark.sql(s"SELECT count(*) FROM $q").head().getLong(0))
+              (prev, savedLog, propsClause)
             }
-          val (prev, rows) = prevAndRows
+          val q = qualified(tableName)
+          spark.sql(s"CREATE OR REPLACE TABLE $q$propsClause AS SELECT * FROM $q")
+          graft.sources.sstable.History.importLog(storage, d, savedLog)
+          val rows = spark.sql(s"SELECT count(*) FROM $q").head().getLong(0)
           graft.sources.sstable.History.record(storage, d, "rebucket",
             detail = s"buckets=${prev.getOrElse(0)}->$n")
           Seq(row(prev.map(Int.box).orNull,
@@ -454,14 +491,21 @@ private[spark] object GraftProcedures {
           val live = s"$nsD/$name"
           // a lease HUSK at the live name (only `_lease*` litter — the
           // shape a contender's acquire leaves when it raced the DROP's
-          // non-atomic object-store swap) is not a table: clear it
-          // rather than refusing the restore over a ghost
+          // removal) is not a table: clear it rather than refusing the
+          // restore over a ghost. Same for a crashed swap's residue
+          // (Dropped tombstone / stale Restoring pointer) — the trash
+          // holds the authority it points at.
           if (graft.sources.sstable.MaintenanceLease.isLeaseHusk(
               live, storage))
             storage.deleteRecursive(live)
+          if (storage.exists(live) &&
+              TableState.isResidue(PointerCommit.stateOf(storage, live)) &&
+              PointerCommit.residueClearable(storage, live))
+            PointerCommit.clearResidue(storage, live)
           require(!storage.exists(live),
             s"table '$tableName' exists — nothing to restore over it " +
-              "(DROP or RENAME the live table first)")
+              "(DROP or RENAME the live table first; a fresh mid-restore " +
+              "pointer means another undrop is running)")
           // exact-shape match `_dropped-<name>-<8 hex>`: a prefix-only
           // filter would let table 'foo' claim 'foo-bar's trash. A
           // NAMESPACE's trash (same parent space, `_namespace` marker
@@ -472,10 +516,14 @@ private[spark] object GraftProcedures {
             val rest = p.substring(p.lastIndexOf('/') + 1).drop(prefix.length)
             rest.length == 8 && rest.forall(c =>
               c.isDigit || (c >= 'a' && c <= 'f')) &&
-              !storage.exists(s"$p/${GraftCatalog.NamespaceMarker}")
+              !storage.exists(s"$p/${GraftCatalog.NamespaceMarker}") &&
+              // only COMPLETE copies restore: an entry without the
+              // completeness marker is a crashed half-copy whose source
+              // table never left the catalog (see list_trash's column)
+              storage.exists(s"$p/${PointerCommit.TrashOkFile}")
           }
-          val (restoredFrom, at) = restoreFromTrash(storage, live, candidates,
-            what = "table", name = tableName)
+          val (restoredFrom, at) = restoreTableFromTrash(storage, live,
+            candidates, name = tableName)
           graft.sources.sstable.History.record(storage, live, "undrop_table",
             detail = s"from=$restoredFrom")
           Seq(row(utf8(restoredFrom),
@@ -538,7 +586,12 @@ private[spark] object GraftProcedures {
           StructField("kind", StringType, nullable = false),
           StructField("droppedAgoMs", LongType, nullable = false),
           StructField("sweepableInMs", LongType, nullable = false),
-          StructField("trashEntry", StringType, nullable = false))),
+          StructField("trashEntry", StringType, nullable = false),
+          // false = a crashed swap's half-copy: not restorable (its
+          // source table never left the catalog), ages out normally.
+          // Namespace entries predate the marker design and are whole
+          // by construction (one rename): reported true.
+          StructField("complete", BooleanType, nullable = false))),
         (spark, in) => {
           val ns = if (in.isNullAt(0)) "" else in.getUTF8String(0).toString
           // resolveParent validates segments and namespace existence; the
@@ -567,11 +620,13 @@ private[spark] object GraftProcedures {
                   "namespace" else "table"
               try {
                 val ago = now - GraftCatalog.lastAliveMs(storage, p)
+                val complete = kind == "namespace" ||
+                  storage.exists(s"$p/${PointerCommit.TrashOkFile}")
                 // when the DEFAULT-horizon sweeps (staged DDL, default
                 // vacuum_trash) would reclaim this — the undrop window
                 // remaining; <= 0 means sweepable now
                 Some((body.dropRight(9), kind, ago,
-                  GraftCatalog.StageVacuumHorizonMs - ago, entry))
+                  GraftCatalog.StageVacuumHorizonMs - ago, entry, complete))
               } catch {
                 case _: java.io.FileNotFoundException |
                      _: java.nio.file.NoSuchFileException => None // swept mid-list
@@ -579,9 +634,9 @@ private[spark] object GraftProcedures {
             } else None
           }
           .sortBy(_._3)
-          .map { case (name, kind, ago, inMs, entry) =>
+          .map { case (name, kind, ago, inMs, entry, complete) =>
             row(utf8(name), utf8(kind), ago: java.lang.Long,
-              inMs: java.lang.Long, utf8(entry)) }
+              inMs: java.lang.Long, utf8(entry), Boolean.box(complete)) }
         }),
 
       "vacuum_trash" -> new Proc(
@@ -592,8 +647,10 @@ private[spark] object GraftProcedures {
           "REPLACE / DROP. Crashed staging litter (_stage-/_wstage-) " +
           "goes too, but ONLY past the fixed 24h liveness floor - a " +
           "short horizon can never catch a live job's staging between " +
-          "heartbeats. One row per removed entry; sweeping an entry " +
-          "forfeits its undrop",
+          "heartbeats. Also clears crashed-swap residue at plain table " +
+          "names (DROP tombstones; undrop/publish pointers whose " +
+          "restorer is dead past the 24h liveness floor). One row per " +
+          "removed entry; sweeping an entry forfeits its undrop",
         Array(p("namespace", StringType, Some("''"),
           comment = "catalog-relative namespace to sweep; '' = root"),
           p("older_than_ms", LongType,
@@ -605,8 +662,11 @@ private[spark] object GraftProcedures {
           val (nsD, _) = resolveParent(if (ns.isEmpty) "x" else s"$ns.x")
           val storage = graft.sources.sstable.Storage.forPath(
             nsD, spark.sessionState.newHadoopConf())
-          GraftCatalog.sweepNamespace(storage, nsD,
-            longArg(in, 1, GraftCatalog.StageVacuumHorizonMs))
+          (GraftCatalog.sweepNamespace(storage, nsD,
+            longArg(in, 1, GraftCatalog.StageVacuumHorizonMs)) ++
+            // the explicit route also clears crashed-swap residue at
+            // plain names (Dropped tombstones; dead Restoring pointers)
+            GraftCatalog.sweepResidue(storage, nsD))
             .map(e => e.substring(e.lastIndexOf('/') + 1)).sorted
             .map(e => row(utf8(e)))
         }),

@@ -54,6 +54,23 @@ class SSTableSource extends TableProvider with DataSourceRegister {
       s"option '${SSTableSource.WriteBucketsOption}' needs a FunctionCatalog " +
         "and is a GraftCatalog table property; the path API writes bucketed " +
         "layouts via SSTableOps.writeBucketed")
+    // pointer-state guard for PATH-API reads of a CATALOG directory
+    // caught mid-swap: a pointer-committed DROP/undrop leaves a
+    // `graft.state`-carrying `_table` while content moves — reading it
+    // raw would return an empty or partial table instead of the honest
+    // refusal catalog readers get. (Catalog loads construct SSTableTable
+    // directly with the already-resolved directory, skipping this.)
+    Option(properties.get(SSTableSource.PathOption)).foreach { p =>
+      val storage = graft.sources.sstable.Storage.forPath(p,
+        org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+      TableState.of(GraftCatalog.readTableProps(storage, p)) match {
+        case TableState.Live => ()
+        case other => throw new IllegalStateException(
+          s"$p is a catalog table mid-lifecycle (${other.getClass.getSimpleName}" +
+            s") — read it through its catalog name, which resolves the " +
+            "pointer; the raw directory is not a complete table right now")
+      }
+    }
     new SSTableTable(properties.asScala.toMap)
   }
   override def supportsExternalMetadata(): Boolean = false

@@ -141,6 +141,21 @@ final case class SSTableCommit(stagedDataPaths: Seq[String]) extends WriterCommi
   * file, swept by vacuumStaging's horizon. */
 private[spark] object CommitIntegrity {
   def begin(storage: Storage, path: String, tag: String): String = {
+    // pointer-state gate (VERDICT r11 #3): a DROP/undrop now commits by
+    // flipping `_table` rather than renaming the tree away, so the
+    // directory a doomed write would publish into still EXISTS — refuse
+    // at commit start instead of letting the publish race the residue
+    // destroy. (Redirect is fine: the table is live; the files land
+    // beside the migration and follow the identity.)
+    TableState.of(GraftCatalog.readTableProps(storage, path)) match {
+      case TableState.Dropped(_, _) => throw new IllegalStateException(
+        s"table directory $path was DROPPED while this write ran — " +
+          "nothing to publish into; rerun against a live table")
+      case TableState.Restoring(_, _) => throw new IllegalStateException(
+        s"table directory $path is mid-restore (undrop/publish copying " +
+          "content in) — rerun the write once it settles")
+      case _ => ()
+    }
     val marker = s"$path/_commit-$tag"
     storage.create(marker).close()
     marker
@@ -356,10 +371,21 @@ final class SSTableBatchWrite(path: String, schema: StructType,
           s"committing, and the automatic republish was refused: $reason — " +
           "rerun the write against the current table", original)
     if (!st.exists(path)) give("the table was dropped (nothing to publish into)")
+    // pointer-state gate: the directory surviving no longer implies the
+    // table does — a pointer-committed DROP leaves a refusing tombstone
+    // while its residue is destroyed, and an undrop mid-copy is not a
+    // publishable table yet
+    val newProps = GraftCatalog.readTableProps(st, path)
+    TableState.of(newProps) match {
+      case TableState.Dropped(_, _) =>
+        give("the table was dropped (nothing to publish into)")
+      case TableState.Restoring(_, _) =>
+        give("the name is mid-restore (undrop/publish copying content in)")
+      case _ => () // Live or Redirect: publish; files follow the identity
+    }
     val ourBuckets = SSTableSource.bucketsOf(
       properties.get(SSTableSource.WriteBucketsOption))
-    val newBuckets = GraftCatalog.readTableProps(st, path)
-      .get(GraftCatalog.BucketsProp).map(_.toInt)
+    val newBuckets = newProps.get(GraftCatalog.BucketsProp).map(_.toInt)
     if (ourBuckets != newBuckets)
       give(s"the replacement changed the bucket layout " +
         s"(wrote ${ourBuckets.fold("plain")(b => s"buckets=$b")}, table now " +
