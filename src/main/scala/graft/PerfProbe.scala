@@ -29,6 +29,11 @@ object PerfProbe {
     if (args.headOption.contains("lookup")) { lookupProbe(spark, time); spark.stop(); return }
     if (args.headOption.contains("probejoin")) { probeJoinProbe(spark, time); spark.stop(); return }
     if (args.headOption.contains("scale")) { scaleProbe(spark, time); spark.stop(); return }
+    if (args.headOption.contains("sf1build")) {
+      sf1Build(spark, args.lift(1).getOrElse("/root/testdata/sf0.1"),
+        args.lift(2).getOrElse("/tmp/graft-sf1"))
+      spark.stop(); return
+    }
     if (args.headOption.contains("topn")) { topnProbe(spark, time); spark.stop(); return }
     if (args.headOption.contains("slice")) { sliceProbe(spark, time); spark.stop(); return }
     if (args.headOption.contains("columnar")) { columnarProbe(); spark.stop(); return }
@@ -354,6 +359,63 @@ object PerfProbe {
       time(f"kmeans_${scale}%02dx")(SimilarityQueries.kmediansCells(e, 16, 5)._1)
       d.unpersist(); e.unpersist()
     }
+  }
+
+  /** Materialize the ONE-DECADE-UP dataset (VERDICT r11 #5): every FACT
+    * table of `src` (sf0.1) replicated ×10 into `dst` with
+    * REPLICA-DISJOINT identity, so the real oracle queries run a decade
+    * up with their structure scaling LINEARLY:
+    *  - fact keys shifted per replica (FK consistency kept within a
+    *    replica; the dims — region/nation/customer/supplier/part — stay
+    *    fixed, so each dim key simply owns 10× facts);
+    *  - document text passed through a replica-specific alphabet
+    *    ROTATION: within-replica duplicate/near-dup structure is
+    *    preserved bijectively (shingles map 1:1), cross-replica shingles
+    *    collide ~never — naive copying would make every doc a 10-way
+    *    exact duplicate and blow the pair queries up quadratically;
+    *  - embedding dims rotated per replica (norms and within-replica
+    *    cosine structure preserved; cross-replica vectors decorrelated).
+    * Replica 0 is the identity — the original rows survive verbatim.
+    * `runMain graft.PerfProbe sf1build [src] [dst]`, then point Bench at
+    * dst via SPARK_GRAFT_SF_DIR. */
+  private def sf1Build(spark: SparkSession, src: String, dst: String): Unit = {
+    val R = 10
+    val Shift = 1000000000L // all source ids are far below 1e9
+    def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
+    def write(t: String)(df: DataFrame): Unit = {
+      df.coalesce(8).write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      println(s"[sf1build] $t: ${spark.read.parquet(s"$dst/$t.parquet").count()} rows")
+    }
+    def replicate(df: DataFrame)(per: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until R).map(r => per(df, r)).reduce(_.unionAll(_))
+    // dims: verbatim
+    Seq("region", "nation", "customer", "supplier", "part")
+      .foreach(t => write(t)(read(t)))
+    write("orders")(replicate(read("orders")) { (df, r) =>
+      df.withColumn("o_orderkey", col("o_orderkey") + lit(r * Shift))
+    })
+    write("lineitem")(replicate(read("lineitem")) { (df, r) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + lit(r * Shift))
+    })
+    write("events")(replicate(read("events")) { (df, r) =>
+      df.withColumn("event_id", col("event_id") + lit(r * Shift))
+        .withColumn("user_id", col("user_id") + lit(r * Shift))
+    })
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    val upper = lower.toUpperCase(java.util.Locale.ROOT)
+    write("documents")(replicate(read("documents")) { (df, r) =>
+      val rotL = lower.drop(r) + lower.take(r)
+      val rotU = upper.drop(r) + upper.take(r)
+      df.withColumn("doc_id", col("doc_id") + lit(r * Shift))
+        .withColumn("text",
+          translate(translate(col("text"), lower, rotL), upper, rotU))
+    })
+    write("embeddings")(replicate(read("embeddings")) { (df, r) =>
+      df.withColumn("vec_id", col("vec_id") + lit(r * Shift))
+        .withColumn("embedding", when(lit(r) === 0, col("embedding")).otherwise(
+          concat(slice(col("embedding"), r + 1, 10000),
+            slice(col("embedding"), 1, r))))
+    })
   }
 
   /** Hot-key skew: ONE key holding `hot` cell versions next to `normal`
