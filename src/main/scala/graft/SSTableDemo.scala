@@ -430,6 +430,26 @@ object SSTableDemo {
     val undone = spark.sql("SELECT count(*) FROM graft.demo.ac").head().getLong(0)
     println(s"== autosnapshot: TRUNCATE pinned '${autoPin.takeWhile(_ != '-')}-…' " +
       s"first; rollback restored $undone rows (want 8)")
+
+    // pointer-committed lifecycle (r12): every DDL swap commits via ONE
+    // atomic `_table` replace — a concurrent reader sees the old state
+    // or the new state, never a partial tree (object-store safe); the
+    // trash is introspectable (complete column) and a whole namespace
+    // round-trips with each table restored whole-or-not-at-all
+    spark.sql("CREATE NAMESPACE graft.demo2")
+    spark.sql("CREATE TABLE graft.demo2.pc AS SELECT * FROM graft.demo.ac")
+    spark.sql("DROP NAMESPACE graft.demo2 CASCADE")
+    val nsGone = !spark.catalog.databaseExists("graft.demo2")
+    val undropNs = spark.sql(
+      "CALL graft.system.undrop_namespace(namespace => 'demo2')").head()
+    val pcRows = spark.sql("SELECT count(*) FROM graft.demo2.pc").head().getLong(0)
+    val trashComplete = spark.sql("CALL graft.system.list_trash(namespace => '')")
+      .schema.fieldNames.contains("complete")
+    println(s"== pointer-commit lifecycle: DROP NAMESPACE CASCADE " +
+      s"(gone=$nsGone) tombstoned each table atomically; undrop_namespace " +
+      s"restored ${undropNs.getAs[Int]("tablesRestored")} table(s) " +
+      s"pointer-committed, $pcRows rows (want 8); list_trash reports " +
+      s"completeness: $trashComplete")
     spark.stop()
   }
 }

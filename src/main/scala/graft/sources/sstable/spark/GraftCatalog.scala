@@ -752,7 +752,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def purgeTable(ident: Identifier): Boolean =
     dropImpl(ident, purge = true)
 
-  private def dropImpl(ident: Identifier, purge: Boolean): Boolean = {
+  private def dropImpl(ident: Identifier, purge: Boolean,
+                       nsDropMark: Boolean = false): Boolean = {
     val d = tableDir(ident)
     // a namespace (a directory holding tables) must survive DROP TABLE —
     // dropNamespace with CASCADE is the only way to remove it; a crashed
@@ -767,7 +768,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       // redirect pointer
       PointerCommit.completeMigration(storage, nsDir(ident.namespace), d,
         () => lease.checkHeld())
-      if (!purge) {
+      if (!purge && !nsDropMark) {
         // pin refusal checked UNDER the lease (review r11: a pre-lease
         // check left the whole acquire window for a concurrent CALL
         // snapshot to land unseen). snapshot() itself is deliberately
@@ -796,31 +797,54 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         // never ride along, so undrop can't resurrect a stale lease.
         val trashName = s"_dropped-${ident.name}-$id"
         val trash = s"${nsDir(ident.namespace)}/$trashName"
-        val copied = PointerCommit.copyTree(storage, d, trash)
-        // the copy's mtimes are the table's LAST WRITES — possibly past
-        // the sweep horizon already. Stamp so the restore window starts
-        // at the DROP.
-        storage.create(s"$trash/${GraftCatalog.StageHeartbeatFile}").close()
-        // recorded into the TRASH copy of the log only (an undropped
-        // table's history then shows drop + restore) — a swap that fails
-        // pre-commit must not leave a phantom drop event on the
-        // still-live table (the verify-before-history rule, inverted).
-        graft.sources.sstable.History.record(storage, trash, "drop_table",
-          detail = ident.toString)
-        // completeness marker LAST: a crash before it leaves an invalid
-        // half-copy (never an undrop candidate, swept by age) while the
-        // live table stands untouched
-        storage.create(s"$trash/${PointerCommit.TrashOkFile}").close()
-        lease.checkHeld()
-        // COMMIT POINT — one atomic props replace; readers get
-        // NoSuchTable while the authoritative copy sits whole in trash
-        PointerCommit.writeState(storage, d, props,
-          TableState.Dropped(Some(trashName), id))
-        // racing appends: sweep their pending commit markers (verify
-        // fails → consults the dropped state → loud refusal, no silent
-        // success for files the destroy below removes) and copy any
-        // fileset that committed between copy and flip into the trash
-        PointerCommit.absorbRacers(storage, d, copied, Some(trash))
+        try {
+          val copied = PointerCommit.copyTree(storage, d, trash)
+          // the copy's mtimes are the table's LAST WRITES — possibly past
+          // the sweep horizon already. Stamp so the restore window starts
+          // at the DROP.
+          storage.create(s"$trash/${GraftCatalog.StageHeartbeatFile}").close()
+          // recorded into the TRASH copy of the log only (an undropped
+          // table's history then shows drop + restore) — a swap that fails
+          // pre-commit must not leave a phantom drop event on the
+          // still-live table (the verify-before-history rule, inverted).
+          graft.sources.sstable.History.record(storage, trash, "drop_table",
+            detail = ident.toString)
+          // a namespace-cascade drop marks its entries so undrop_namespace
+          // auto-restores exactly the tables that were LIVE at drop time
+          // (snapshot pins ride along recoverable — cascade kept today's
+          // wholesale semantics, so the per-table pin refusal is skipped)
+          if (nsDropMark)
+            storage.create(s"$trash/${PointerCommit.NsDropMarkFile}").close()
+          // completeness marker LAST: a crash before it leaves an invalid
+          // half-copy (never an undrop candidate, swept by age) while the
+          // live table stands untouched
+          storage.create(s"$trash/${PointerCommit.TrashOkFile}").close()
+          lease.checkHeld()
+          // COMMIT POINT — one atomic props replace; readers get
+          // NoSuchTable while the authoritative copy sits whole in trash
+          PointerCommit.writeState(storage, d, props,
+            TableState.Dropped(Some(trashName), id))
+          // racing appends: sweep their pending commit markers (verify
+          // fails → consults the dropped state → loud refusal, no silent
+          // success for files the destroy below removes) and copy any
+          // fileset that committed between copy and flip into the trash
+          PointerCommit.absorbRacers(storage, d, copied, Some(trash))
+        } catch {
+          case e: Throwable =>
+            // truth-on-disk (same rule as REPLACE): if the flip never
+            // landed, the table is still live and the (possibly even
+            // complete) trash copy is stale garbage a later undrop could
+            // restore OVER fresher data — remove it. A landed flip keeps
+            // the trash: it is the only copy.
+            val landed =
+              try PointerCommit.stateOf(storage, d) match {
+                case TableState.Dropped(Some(t), i) =>
+                  t == trashName && i == id
+                case _ => false
+              } catch { case _: Exception => true }
+            if (!landed) storage.deleteRecursive(trash)
+            throw e
+        }
       }
       // the destroy happens while the pointer still refuses readers; the
       // renewal stops first — a renewal straddling the removal would
@@ -979,13 +1003,21 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val parent = d.substring(0, d.lastIndexOf('/'))
     val trash = s"$parent/_dropped-${namespace.last}-" +
       java.util.UUID.randomUUID().toString.take(8)
-    // NAMESPACE-grain swaps keep the tree rename: the table-grain
-    // pointer commit (PointerCommit — one atomic `_table` replace per
-    // table) has no namespace equivalent yet, so on object stores a
-    // reader of a table INSIDE this namespace can race the per-object
-    // move — the documented remaining gap after VERDICT r11 #3 closed
-    // the table-grain windows. (Each table's own DROP/REPLACE/undrop is
-    // pointer-committed; only the whole-namespace move is not.)
+    // the namespace-grain visibility window, closed by COMPOSITION
+    // (r12): every LIVE table in the tree first goes through the
+    // pointer-committed table drop into its OWN `_dropped-` entry
+    // (atomic per-table vanish, marked `_nsdrop` so undrop_namespace
+    // auto-restores exactly these) — after this phase the tree holds
+    // only `_`-internal entries, so the shell rename below, while still
+    // a per-object move on object stores, never exposes a partial
+    // TABLE to any reader: a racing reader sees each table whole or
+    // not at all, then an empty(-looking) namespace, then none. A
+    // cascade that crashes midway re-runs losslessly: completed tables
+    // are marked complete entries, the rest are still live. (Remaining
+    // races, unchanged from the rename design: an undrop_table aimed
+    // INTO a namespace mid-shell-move can read a half-moved trash
+    // entry; quiesce restores around namespace drops.)
+    if (cascade) dropTablesForNamespaceDrop(namespace)
     storage.rename(d, trash)
     // restore window starts at the DROP, not at the tree's last write
     storage.create(s"$trash/${GraftCatalog.StageHeartbeatFile}").close()
@@ -996,6 +1028,24 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       detail = s"${namespace.mkString(".")} " +
         s"trash=${trash.substring(trash.lastIndexOf('/') + 1)}")
     true
+  }
+
+  /** The cascade's per-table phase: pointer-committed DROP of every
+    * LIVE table in the tree (nested namespaces recursed), each into its
+    * own ns-local `_dropped-` entry marked for undrop_namespace's
+    * auto-restore. Residue/husks are skipped — they ride the shell move
+    * as litter. */
+  private def dropTablesForNamespaceDrop(namespace: Array[String]): Unit = {
+    val d = nsDir(namespace)
+    storage.listSubdirs(d, "")
+      .map(p => p.substring(p.lastIndexOf('/') + 1))
+      .filter(segOk).foreach { child =>
+        if (storage.exists(s"$d/$child/$NamespaceMarker"))
+          dropTablesForNamespaceDrop(namespace :+ child)
+        else if (isLiveTableDir(s"$d/$child"))
+          dropImpl(Identifier.of(namespace, child), purge = false,
+            nsDropMark = true)
+      }
   }
 
   /** Refuse the namespace drop while any table in the tree is under
@@ -1285,8 +1335,17 @@ object GraftCatalog {
                                     dir: String): Map[String, String] = {
     val p = s"$dir/$TablePropsFile"
     if (!storage.exists(p)) return Map.empty
-    storage.readString(p)
-      .split("\n").iterator.map(_.trim).filter(_.nonEmpty).map { line =>
+    // exists-then-read is check-then-act: a tombstone finalize deleting
+    // `_table` LAST (or a whole table dir vanishing) between the two
+    // reads the same as "no props file" — never an error (Hadoop open
+    // THROWS on vanished paths, the stat-race class)
+    val text =
+      try storage.readString(p)
+      catch {
+        case _: java.io.FileNotFoundException |
+             _: java.nio.file.NoSuchFileException => return Map.empty
+      }
+    text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).map { line =>
         val i = line.indexOf('=')
         require(i > 0, s"malformed table property line in $p: '$line'")
         line.take(i) -> line.drop(i + 1)

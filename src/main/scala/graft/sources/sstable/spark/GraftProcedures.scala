@@ -163,6 +163,69 @@ private[spark] object GraftProcedures {
     (trashName, at)
   }
 
+  /** Restore every `_nsdrop`-marked complete trash entry under
+    * `nsPath` (nested namespaces recursed) — the tables that were LIVE
+    * when the namespace drop's per-table phase tombstoned them. Entries
+    * without the mark were trash BEFORE the drop and stay trash.
+    * Idempotent: residue from a crashed per-table restore is cleared
+    * (when its liveness rules allow), an already-live name is skipped
+    * with its entry left for manual undrop_table. Returns the count. */
+  private def restoreNsDropTables(storage: graft.sources.sstable.Storage,
+                                  nsPath: String): Int = {
+    var n = 0
+    val marked = storage.listSubdirs(nsPath, "_dropped-").flatMap { p =>
+      val entry = p.substring(p.lastIndexOf('/') + 1)
+      val body = entry.drop("_dropped-".length)
+      val suffix = body.takeRight(9)
+      val shapeOk = body.length > 9 && suffix.head == '-' &&
+        suffix.tail.forall(c => c.isDigit || (c >= 'a' && c <= 'f'))
+      if (shapeOk &&
+          storage.exists(s"$p/${PointerCommit.NsDropMarkFile}") &&
+          storage.exists(s"$p/${PointerCommit.TrashOkFile}") &&
+          !storage.exists(s"$p/${GraftCatalog.NamespaceMarker}"))
+        Some(body.dropRight(9) -> p)
+      else None
+    }
+    // one restore per NAME, newest entry wins (a cascade that crashed
+    // pre-flip and re-ran can leave a stale complete duplicate; so can
+    // a dropper killed between copy and flip) — same rule as
+    // undrop_table; older duplicates stay trash and age out
+    marked.groupBy(_._1).foreach { case (tname, entries) =>
+      val live = s"$nsPath/$tname"
+      if (storage.exists(live) &&
+          TableState.isResidue(PointerCommit.stateOf(storage, live)) &&
+          PointerCommit.residueClearable(storage, live))
+        PointerCommit.clearResidue(storage, live)
+      if (!storage.exists(live)) {
+        val (restoredFrom, _) = restoreTableFromTrash(storage, live,
+          entries.map(_._2), tname)
+        graft.sources.sstable.History.record(storage, live, "undrop_table",
+          detail = s"from=$restoredFrom (undrop_namespace)")
+        n += 1
+      }
+    }
+    storage.listSubdirs(nsPath, "")
+      .map(x => x.substring(x.lastIndexOf('/') + 1))
+      .filterNot(_.startsWith("_"))
+      .foreach { child =>
+        if (storage.exists(s"$nsPath/$child/${GraftCatalog.NamespaceMarker}"))
+          n += restoreNsDropTables(storage, s"$nsPath/$child")
+      }
+    n
+  }
+
+  private def hasNsDropEntries(storage: graft.sources.sstable.Storage,
+                               nsPath: String): Boolean =
+    storage.listSubdirs(nsPath, "_dropped-").exists(p =>
+      storage.exists(s"$p/${PointerCommit.NsDropMarkFile}") &&
+        storage.exists(s"$p/${PointerCommit.TrashOkFile}")) ||
+      storage.listSubdirs(nsPath, "")
+        .map(x => x.substring(x.lastIndexOf('/') + 1))
+        .filterNot(_.startsWith("_"))
+        .exists(child =>
+          storage.exists(s"$nsPath/$child/${GraftCatalog.NamespaceMarker}") &&
+            hasNsDropEntries(storage, s"$nsPath/$child"))
+
   /** Build the registry against `resolveTable` — the catalog's own
     * `table-name → directory` mapping (loud on unknown names) — and the
     * catalog's name (for procedures like `rebucket` that re-enter SQL).
@@ -674,15 +737,19 @@ private[spark] object GraftProcedures {
       "undrop_namespace" -> new Proc(
         "undrop_namespace",
         "restore the most recently dropped NAMESPACE of this name from " +
-          "its parent's _dropped- trash (DROP NAMESPACE renames, never " +
-          "deletes - CASCADE included); the whole tree - tables, " +
-          "snapshots, history - comes back as one rename. Refuses when " +
-          "the live name exists",
+          "its parent's _dropped- trash (DROP NAMESPACE tombstones each " +
+          "table pointer-committed, then renames the shell - CASCADE " +
+          "included): the shell comes back as one rename, then every " +
+          "table the drop tombstoned is restored pointer-committed (each " +
+          "appears whole or not at all). Refuses when the live name " +
+          "exists - unless it holds unfinished restore work from a " +
+          "crashed undrop_namespace, which is resumed",
         Array(p("namespace", StringType,
           comment = "catalog-relative namespace, e.g. 'ns' or 'a.b'")),
         StructType(Seq(
           StructField("restoredFrom", StringType, nullable = false),
-          StructField("droppedAgoMs", LongType, nullable = false))),
+          StructField("droppedAgoMs", LongType, nullable = false),
+          StructField("tablesRestored", IntegerType, nullable = false))),
         (spark, in) => {
           require(!in.isNullAt(0), "argument 'namespace' is required")
           val nsName = in.getUTF8String(0).toString
@@ -692,23 +759,40 @@ private[spark] object GraftProcedures {
           val storage = graft.sources.sstable.Storage.forPath(
             parentD, spark.sessionState.newHadoopConf())
           val live = s"$parentD/$name"
-          require(!storage.exists(live),
-            s"namespace '$nsName' exists — nothing to restore over it")
-          val prefix = s"_dropped-$name-"
-          val candidates = storage.listSubdirs(parentD, prefix).filter { p =>
-            val rest = p.substring(p.lastIndexOf('/') + 1).drop(prefix.length)
-            rest.length == 8 && rest.forall(c =>
-              c.isDigit || (c >= 'a' && c <= 'f')) &&
-              storage.exists(s"$p/${GraftCatalog.NamespaceMarker}")
+          // resume: a prior undrop crashed between the shell rename and
+          // the per-table restores — the live shell still holds marked
+          // trash entries; finish them instead of refusing over our own
+          // half-done work
+          if (storage.exists(live) &&
+              storage.exists(s"$live/${GraftCatalog.NamespaceMarker}") &&
+              hasNsDropEntries(storage, live)) {
+            val restored = restoreNsDropTables(storage, live)
+            graft.sources.sstable.History.record(storage, parentD,
+              "undrop_namespace", detail = s"$nsName resumed tables=$restored")
+            Seq(row(utf8("(resumed in place)"), 0L: java.lang.Long,
+              restored: Integer))
+          } else {
+            require(!storage.exists(live),
+              s"namespace '$nsName' exists — nothing to restore over it")
+            val prefix = s"_dropped-$name-"
+            val candidates = storage.listSubdirs(parentD, prefix).filter { p =>
+              val rest = p.substring(p.lastIndexOf('/') + 1).drop(prefix.length)
+              rest.length == 8 && rest.forall(c =>
+                c.isDigit || (c >= 'a' && c <= 'f')) &&
+                storage.exists(s"$p/${GraftCatalog.NamespaceMarker}")
+            }
+            val (restoredFrom, at) = restoreFromTrash(storage, live, candidates,
+              what = "namespace", name = nsName)
+            val restored = restoreNsDropTables(storage, live)
+            // parent-level audit: the round-trip reads back as
+            // drop_namespace → undrop_namespace in `graft.<parent>.history`
+            graft.sources.sstable.History.record(storage, parentD,
+              "undrop_namespace", detail = s"$nsName from=$restoredFrom " +
+                s"tables=$restored")
+            Seq(row(utf8(restoredFrom),
+              (System.currentTimeMillis() - at): java.lang.Long,
+              restored: Integer))
           }
-          val (restoredFrom, at) = restoreFromTrash(storage, live, candidates,
-            what = "namespace", name = nsName)
-          // parent-level audit: the round-trip reads back as
-          // drop_namespace → undrop_namespace in `graft.<parent>.history`
-          graft.sources.sstable.History.record(storage, parentD,
-            "undrop_namespace", detail = s"$nsName from=$restoredFrom")
-          Seq(row(utf8(restoredFrom),
-            (System.currentTimeMillis() - at): java.lang.Long))
         }),
 
       "scrub" -> new Proc(

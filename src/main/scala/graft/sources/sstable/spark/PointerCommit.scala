@@ -108,6 +108,15 @@ private[spark] object PointerCommit {
     * swept by age like any stranded stage. */
   val TrashOkFile = "_trash-ok"
 
+  /** Marker inside a `_dropped-` table entry created BY a namespace
+    * drop's per-table phase: `undrop_namespace` auto-restores exactly
+    * the marked entries (a table that was already trash BEFORE the
+    * namespace drop stays trash after the undrop — it was not live at
+    * drop time). Each entry self-describes, so a cascade that crashed
+    * midway and was re-run loses nothing: every completed per-table
+    * drop left its own marked, complete, restorable entry. */
+  val NsDropMarkFile = "_nsdrop"
+
   def newId(): String = java.util.UUID.randomUUID().toString.take(8)
 
   /** Test seams (deterministic race/crash injection): invoked around
@@ -169,6 +178,7 @@ private[spark] object PointerCommit {
       name.startsWith("_commit-") ||
       name == GraftCatalog.StageHeartbeatFile ||
       name == TrashOkFile ||
+      name == NsDropMarkFile ||
       name.startsWith(s"${GraftCatalog.TablePropsFile}.tmp-")
 
   private def nameOf(p: String): String = p.substring(p.lastIndexOf('/') + 1)
@@ -204,7 +214,11 @@ private[spark] object PointerCommit {
       .filterNot(n => excludeTable && n == GraftCatalog.TablePropsFile)
     names.foreach(n => copyFile(storage, s"$src/$n", s"$dst/$n"))
     storage.listSubdirs(src, "_").map(nameOf)
+      // writer scratch is not content: batch in-dir staging and the
+      // streaming sink's epoch staging stay behind (quarantine and
+      // snapshot pins DO travel — they're preserved state)
       .filterNot(_.startsWith("_staging-"))
+      .filterNot(_ == "_streaming-staging")
       .foreach(n => copyDir(s"$src/$n", s"$dst/$n"))
     names.toSet
   }
@@ -296,7 +310,14 @@ private[spark] object PointerCommit {
       case Dropped(_, _) => true
       case Restoring(_, _) =>
         val p = s"$dir/${GraftCatalog.TablePropsFile}"
-        now - storage.mtime(p) > GraftCatalog.StageVacuumHorizonMs
+        // vanished between the state read and the stat (Hadoop mtime
+        // THROWS on missing paths — the stat-race class): someone else
+        // already cleared it, so the name is effectively free
+        try now - storage.mtime(p) > GraftCatalog.StageVacuumHorizonMs
+        catch {
+          case _: java.io.FileNotFoundException |
+               _: java.nio.file.NoSuchFileException => true
+        }
       case _ => false
     }
 

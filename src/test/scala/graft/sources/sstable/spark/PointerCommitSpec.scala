@@ -255,33 +255,41 @@ class PointerCommitSpec extends AnyFunSuite {
     PointerCommit.testAfterFlip = (_, _) => ()
   }
 
-  test("crash DURING the DROP's trash copy: live table untouched, the " +
-    "half-copy is invalid (complete=false, never an undrop candidate) " +
-    "and ages out") {
+  test("failure DURING the DROP's trash copy: live table untouched and " +
+    "the stale copy cleaned up; a HARD-crash half-copy is invalid " +
+    "(complete=false, never an undrop candidate) and ages out") {
     spark.sql("CREATE NAMESPACE graft_pc.c1")
     spark.sql("CREATE TABLE graft_pc.c1.t")
     ins("graft_pc.c1.t", Seq(("a", "1", 10L), ("b", "2", 10L)))
     crashAfterFiles(1, "/_dropped-t-")
     try intercept[Exception](spark.sql("DROP TABLE graft_pc.c1.t"))
     finally resetSeams()
-    // old state: complete and readable
+    // old state: complete and readable — and the failed attempt's stale
+    // copy was removed (truth-on-disk: the flip never landed, so a later
+    // undrop must never be able to restore the stale duplicate)
     assert(observe("graft_pc.c1.t").contains(Seq("a", "b")))
-    // the half-copy is flagged, not restorable
+    assert(spark.sql("CALL graft_pc.system.list_trash(namespace => 'c1')")
+      .collect().isEmpty, "uncommitted trash copy must be cleaned up")
+    // HARD crash (process death — no cleanup ran): craft the half-copy
+    // shape directly: content without the completeness marker
+    val st = objStorage
+    PointerCommit.copyTree(st, s"$warehouse/c1/t",
+      s"$warehouse/c1/_dropped-t-deadbeef")
+    st.create(s"$warehouse/c1/_dropped-t-deadbeef/" +
+      GraftCatalog.StageHeartbeatFile).close()
     val rows = spark.sql("CALL graft_pc.system.list_trash(namespace => 'c1')")
       .collect()
     assert(rows.length == 1 && !rows(0).getAs[Boolean]("complete"), rows.toSeq)
-    val e = intercept[Exception](
-      spark.sql("CALL graft_pc.system.undrop_table(table => 'c1.t')"))
-    assert(e.getMessage.contains("exists"), e.getMessage) // live table wins
-    // explicit vacuum reclaims the junk once aged (horizon 0 for the test)
+    // not an undrop candidate even after the live table is dropped…
+    spark.sql("DROP TABLE graft_pc.c1.t")
+    spark.sql("CALL graft_pc.system.undrop_table(table => 'c1.t')")
+    assert(observe("graft_pc.c1.t").contains(Seq("a", "b")),
+      "undrop must restore the COMPLETE entry, never the half-copy")
+    // …and the explicit vacuum reclaims it once aged (horizon 0 here)
     spark.sql("CALL graft_pc.system.vacuum_trash(namespace => 'c1', " +
       "older_than_ms => 0)")
     assert(spark.sql("CALL graft_pc.system.list_trash(namespace => 'c1')")
       .collect().isEmpty)
-    // and the DROP works on retry
-    spark.sql("DROP TABLE graft_pc.c1.t")
-    spark.sql("CALL graft_pc.system.undrop_table(table => 'c1.t')")
-    assert(observe("graft_pc.c1.t").contains(Seq("a", "b")))
   }
 
   test("crash AFTER the DROP's pointer flip (tombstone + residue): " +
@@ -336,6 +344,91 @@ class PointerCommitSpec extends AnyFunSuite {
     assert(st.listSubdirs(nsD, "_stage-").isEmpty, "migration completed")
     assert(observe("graft_pc.c3.t").contains(Seq("a")))
     assert(PointerCommit.stateOf(st, s"$nsD/t") == TableState.Live)
+  }
+
+  test("DROP NAMESPACE CASCADE composes per-table pointer commits: a " +
+    "reader of a table inside sees it whole or not at all; undrop " +
+    "restores exactly the tables that were live (pre-existing trash " +
+    "stays trash); a crashed cascade re-runs losslessly") {
+    spark.sql("CREATE NAMESPACE graft_pc.ns1")
+    spark.sql("CREATE NAMESPACE graft_pc.ns1.inner")
+    spark.sql("CREATE TABLE graft_pc.ns1.a")
+    spark.sql("CREATE TABLE graft_pc.ns1.b")
+    spark.sql("CREATE TABLE graft_pc.ns1.inner.c")
+    ins("graft_pc.ns1.a", Seq(("a1", "1", 10L), ("a2", "2", 10L)))
+    ins("graft_pc.ns1.b", Seq(("b1", "1", 10L)))
+    ins("graft_pc.ns1.inner.c", Seq(("c1", "1", 10L)))
+    // a table dropped BEFORE the namespace drop: its trash must ride
+    // along but NOT auto-restore (it was not live at drop time)
+    spark.sql("CREATE TABLE graft_pc.ns1.old")
+    ins("graft_pc.ns1.old", Seq(("o1", "1", 10L)))
+    spark.sql("DROP TABLE graft_pc.ns1.old")
+
+    // reader samples table `a` at every pointer flip during the cascade
+    val bad = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    PointerCommit.testAfterFlip = (dir, _) =>
+      if (dir.contains("/ns1/")) observe("graft_pc.ns1.a") match {
+        case None | Some(Seq("a1", "a2")) => ()
+        case Some(other) => bad.add(s"partial: $other"); ()
+      }
+    // and the FIRST per-table drop crashes right after its commit: the
+    // cascade dies midway (a tombstoned, trash-backed + the rest live)
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    PointerCommit.testBeforeFlip = (dir, st) =>
+      if (dir.endsWith("/ns1/a") && st.isInstanceOf[TableState.Dropped] &&
+          !crashed.getAndSet(true))
+        throw new RuntimeException("injected crash mid-cascade")
+    try intercept[Exception](spark.sql("DROP NAMESPACE graft_pc.ns1 CASCADE"))
+    finally PointerCommit.testBeforeFlip = (_, _) => ()
+    // midway state: some tables may be gone, the rest read whole
+    // (observe() above pinned no-partial); re-running completes
+    try spark.sql("DROP NAMESPACE graft_pc.ns1 CASCADE")
+    finally PointerCommit.testAfterFlip = (_, _) => ()
+    assert(bad.isEmpty, bad.toArray.mkString("; "))
+    assert(!spark.catalog.databaseExists("graft_pc.ns1"))
+
+    // round trip: the shell returns, then exactly the live-at-drop
+    // tables — nested included; `old` stays in trash (manual undrop)
+    val res = spark.sql(
+      "CALL graft_pc.system.undrop_namespace(namespace => 'ns1')").collect()
+    assert(res(0).getAs[Int]("tablesRestored") == 3, res.toSeq)
+    assert(observe("graft_pc.ns1.a").contains(Seq("a1", "a2")))
+    assert(observe("graft_pc.ns1.b").contains(Seq("b1")))
+    assert(observe("graft_pc.ns1.inner.c").contains(Seq("c1")))
+    assert(observe("graft_pc.ns1.old").isEmpty, "pre-drop trash stays trash")
+    val trash = spark.sql("CALL graft_pc.system.list_trash(namespace => 'ns1')")
+      .collect().map(_.getAs[String]("name")).toSeq
+    assert(trash == Seq("old"), trash)
+    spark.sql("CALL graft_pc.system.undrop_table(table => 'ns1.old')")
+    assert(observe("graft_pc.ns1.old").contains(Seq("o1")))
+  }
+
+  test("a crashed undrop_namespace (shell back, tables still trash) " +
+    "RESUMES instead of refusing over its own half-done work") {
+    spark.sql("CREATE NAMESPACE graft_pc.ns2")
+    spark.sql("CREATE TABLE graft_pc.ns2.t")
+    ins("graft_pc.ns2.t", Seq(("k", "1", 10L)))
+    spark.sql("DROP NAMESPACE graft_pc.ns2 CASCADE")
+    // crash the per-table restore right after its restoring claim: the
+    // shell is live again, `t` is a fresh restoring residue + intact
+    // marked trash
+    PointerCommit.testAfterCopyFile = dst =>
+      if (dst.contains("/ns2/t/"))
+        throw new RuntimeException("injected crash mid-table-restore")
+    try intercept[Exception](spark.sql(
+      "CALL graft_pc.system.undrop_namespace(namespace => 'ns2')"))
+    finally resetSeams()
+    assert(observe("graft_pc.ns2.t").isEmpty, "half-restored must refuse")
+    // the residue is FRESH (could be a live restorer): back-date it the
+    // way a later operator would find a crashed one
+    new java.io.File(s"$objLocal/ns2/t/${GraftCatalog.TablePropsFile}")
+      .setLastModified(System.currentTimeMillis() -
+        GraftCatalog.StageVacuumHorizonMs - 60000)
+    val res = spark.sql(
+      "CALL graft_pc.system.undrop_namespace(namespace => 'ns2')").collect()
+    assert(res(0).getAs[String]("restoredFrom") == "(resumed in place)" &&
+      res(0).getAs[Int]("tablesRestored") == 1, res.toSeq)
+    assert(observe("graft_pc.ns2.t").contains(Seq("k")))
   }
 
   test("crash DURING the undrop's restore copy: the name refuses " +
