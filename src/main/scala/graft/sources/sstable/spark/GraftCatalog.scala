@@ -99,12 +99,21 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     * stage sibling holding the complete new state. Expects
     * `isTableDir(d)` already checked. */
   private def resolveLive(d: String): Option[String] =
-    PointerCommit.stateOf(storage, d) match {
-      case TableState.Live => Some(d)
+    resolveLiveWithProps(d).map(_._1)
+
+  /** [[resolveLive]] plus the props read it already paid for — loadTable
+    * derives its scan options from the same single `_table` read instead
+    * of a second one (one GET per resolution on object stores). */
+  private def resolveLiveWithProps(d: String)
+      : Option[(String, Map[String, String])] = {
+    val props = GraftCatalog.readTableProps(storage, d)
+    TableState.of(props) match {
+      case TableState.Live => Some((d, props))
       case TableState.Redirect(target, _) =>
-        Some(s"${d.substring(0, d.lastIndexOf('/'))}/$target")
+        Some((s"${d.substring(0, d.lastIndexOf('/'))}/$target", props))
       case _ => None
     }
+  }
 
   /** Settle a crashed REPLACE's pending migration before an operation
     * that must own the directory in place (ALTER, DROP, a second
@@ -151,7 +160,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     // pointer resolution: residue (a committed DROP's tombstone, an
     // in-flight undrop) is NOT a table; a Redirect reads the complete
     // new state from the stage sibling until the migration lands it home
-    val resolved = resolveLive(d).getOrElse(
+    val (resolved, props) = resolveLiveWithProps(d).getOrElse(
       return metadataTable(ident).getOrElse(throw new NoSuchTableException(ident)))
     new SSTableTable(Map(
       SSTableSource.PathOption -> resolved,
@@ -160,7 +169,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       // append commit racing a REPLACE/rebucket swap may follow the
       // identity into the new directory (one automatic republish) —
       // see SSTableSource.CommitRetryOption for the gates
-      SSTableSource.CommitRetryOption -> "true") ++ tableOptions(d))
+      SSTableSource.CommitRetryOption -> "true") ++ optionsOf(props))
   }
 
   /** The table's persisted `_table` properties (CREATE TABLE
@@ -169,7 +178,10 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     * plain schema), writer-tuning keys pass through under their own
     * names (they ARE option names). */
   private def tableOptions(d: String): Map[String, String] =
-    (GraftCatalog.readTableProps(storage, d) - TableState.Key).map {
+    optionsOf(GraftCatalog.readTableProps(storage, d))
+
+  private def optionsOf(props: Map[String, String]): Map[String, String] =
+    (props - TableState.Key).map {
       case (GraftCatalog.BucketsProp, v) => SSTableSource.WriteBucketsOption -> v
       case kv => kv
     }

@@ -61,8 +61,13 @@ class SSTableSource extends TableProvider with DataSourceRegister {
     // refusal catalog readers get. (Catalog loads construct SSTableTable
     // directly with the already-resolved directory, skipping this.)
     Option(properties.get(SSTableSource.PathOption)).foreach { p =>
-      val storage = graft.sources.sstable.Storage.forPath(p,
-        org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+      // newHadoopConf() is a full-config clone — only pay it for
+      // scheme'd paths (getTable re-runs per relation resolution)
+      val storage =
+        if (graft.sources.sstable.Storage.hasScheme(p))
+          graft.sources.sstable.Storage.forPath(p,
+            org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+        else graft.sources.sstable.LocalStorage
       TableState.of(GraftCatalog.readTableProps(storage, p)) match {
         case TableState.Live => ()
         case other => throw new IllegalStateException(
