@@ -302,8 +302,18 @@ final case class SSTableLookupJoinExec(child: SparkPlan,
     val probedKeys = longMetric("probedKeys")
     val st0 = SSTableLookupJoin.testStorage.getOrElse(spec.storage)
     // one (listing, shadow) snapshot for every partition — the same
-    // freshness + consistency contract as the scan's Batch
+    // freshness + consistency contract as the scan's Batch, including
+    // the post-list pointer re-check (r12): a DROP/REPLACE committing
+    // between resolution and this snapshot could leave a half-destroyed
+    // residue listing — loud beats a silently partial probe set
     val listed = st0.listDataFiles(spec.path)
+    TableState.of(GraftCatalog.readTableProps(st0, spec.path)) match {
+      case TableState.Live => ()
+      case other => throw new IllegalStateException(
+        s"${spec.path} was dropped/replaced between resolution and the " +
+          "probe snapshot (pointer state: " +
+          s"${other.getClass.getSimpleName}) — rerun the query")
+    }
     val (dataFiles, shadow) =
       if (spec.applyDeletes) {
         val (del, data) = listed.partition(f =>

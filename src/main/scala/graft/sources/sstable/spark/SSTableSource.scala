@@ -1363,8 +1363,31 @@ final class SSTableScan(path: String, requiredSchema: StructType,
     * the exclusion happens HERE, before every other pruning surface
     * (as-of, limit prefix, key bounds, stats), so the whole planning
     * pipeline sees only the epoch's new generations. */
-  private def listedFiles: Seq[String] =
-    SSTableScan.sinceFilePrune(storage.listDataFiles(path), sinceDir, storage)
+  private def listedFiles: Seq[String] = {
+    val listed =
+      SSTableScan.sinceFilePrune(storage.listDataFiles(path), sinceDir, storage)
+    // POST-list pointer re-check (r12): resolution read the table state
+    // BEFORE this listing, and a DROP/REPLACE committing in between
+    // leaves residue this listing may have caught half-destroyed — a
+    // silent SUBSET of the table. Loud beats partial: the rename-based
+    // swap failed these stragglers loudly too (the dir vanished under
+    // them mid-plan), so this keeps that contract under pointer commits.
+    // Costs one exists + one small read per planning snapshot.
+    if (listed.isEmpty && !storage.exists(path))
+      throw new IllegalStateException(
+        s"$path vanished between resolution and planning (a completed " +
+          "swap or migration removed it) — rerun the query")
+    TableState.of(GraftCatalog.readTableProps(storage, path)) match {
+      case TableState.Live => listed
+      case TableState.Redirect(_, _) => throw new IllegalStateException(
+        s"$path was REPLACED between resolution and planning (its pointer " +
+          "now redirects) — rerun the query against the new state")
+      case _ => throw new IllegalStateException(
+        s"$path was dropped between resolution and planning (pointer " +
+          "state says residue) — this listing could be a partial tree; " +
+          "rerun the query")
+    }
+  }
 
   /** As-of generation pruning: a generation whose `-Statistics.db`
     * minTimestamp is after the cut contains ONLY post-cut writes (the

@@ -80,6 +80,62 @@ object LeaseChild {
         st.mkdirs(dir)
         touch(s"$parent/child-swapped")
         sys.exit(0)
+      case "observer" =>
+        // cross-process READER of the pointer-commit contract (r12): an
+        // independent JVM resolves the table exactly the way the
+        // on-disk protocol specifies — the `graft.state` line of
+        // `_table` (the same k=v format TableState parses; duplicated
+        // here deliberately: this child proves the DISK FORMAT is the
+        // contract, with no shared in-process state), redirects
+        // followed, residue refused — lists the data generations, then
+        // RE-CHECKS the state after the listing (the scan's post-list
+        // discipline): only a snapshot whose state held still counts as
+        // an observation. Distinct observations are written as ONE file
+        // at exit (object-store PUT visibility makes appends useless);
+        // the parent asserts every one is exactly old-state, new-state,
+        // or none — never a partial generation set.
+        val parent = dir.substring(0, dir.lastIndexOf('/'))
+        def stateLine(d: String): Option[String] =
+          if (!st.exists(s"$d/_table")) None
+          else try st.readString(s"$d/_table").split("\n").map(_.trim)
+            .find(_.startsWith("graft.state="))
+            .map(_.drop("graft.state=".length))
+          catch { // vanished between exists and read: props-less
+            case _: java.io.FileNotFoundException |
+                 _: java.nio.file.NoSuchFileException => None
+          }
+        def observeOnce(): String =
+          try {
+            if (!st.exists(dir)) return "none"
+            val s0 = stateLine(dir)
+            val target = s0 match {
+              case None => dir
+              case Some(v) if v.startsWith("redirect:") =>
+                s"$parent/${v.split(":")(1)}"
+              case Some(_) => return "none" // dropped/restoring residue refuses
+            }
+            val gens = st.listDataFiles(target)
+              .map(p => p.substring(p.lastIndexOf('/') + 1)).sorted
+            if (stateLine(dir) != s0) return "retry" // state moved mid-list
+            if (gens.isEmpty && !st.exists(target)) return "retry"
+            if (gens.isEmpty) "none" else gens.mkString(",")
+          } catch { case _: Exception => "retry" } // mid-swap races: discard
+        val seen = scala.collection.mutable.ArrayBuffer[String]()
+        // sample once (retrying) BEFORE signaling ready: the parent's
+        // swaps only start once this process demonstrably observes
+        var first = observeOnce()
+        while (first == "retry" && System.currentTimeMillis() < deadline)
+          first = observeOnce()
+        if (first != "retry") seen += first
+        touch(s"$parent/child-observing")
+        while (!st.exists(s"$parent/parent-done") &&
+            System.currentTimeMillis() < deadline) {
+          val o = observeOnce()
+          if (o != "retry" && !seen.lastOption.contains(o)) seen += o
+        }
+        val out = st.create(s"$parent/child-observations")
+        try out.write(seen.mkString("\n").getBytes("UTF-8")) finally out.close()
+        sys.exit(if (st.exists(s"$parent/parent-done")) 0 else 3)
       case "history" =>
         (0 until 5).foreach { i =>
           History.record(st, dir, s"child-$i",

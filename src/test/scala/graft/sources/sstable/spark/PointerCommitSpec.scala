@@ -403,6 +403,56 @@ class PointerCommitSpec extends AnyFunSuite {
     assert(observe("graft_pc.ns1.old").contains(Seq("o1")))
   }
 
+  test("a SECOND PROCESS observing the table through the on-disk " +
+    "pointer contract during REPLACE + DROP + undrop sees only " +
+    "old-state / new-state / none — never a partial generation set") {
+    spark.sql("CREATE NAMESPACE graft_pc.xp")
+    spark.sql("CREATE TABLE graft_pc.xp.t")
+    ins("graft_pc.xp.t", Seq(("a", "1", 10L)))
+    ins("graft_pc.xp.t", Seq(("b", "2", 20L)))
+    ins("graft_pc.xp.t", Seq(("c", "3", 30L)))
+    val st = objStorage
+    val tDir = s"$warehouse/xp/t"
+    val nsD = s"$warehouse/xp"
+    def gensOf(d: String): String = st.listDataFiles(d)
+      .map(p => p.substring(p.lastIndexOf('/') + 1)).sorted.mkString(",")
+    val oldGens = gensOf(tDir)
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val child = new ProcessBuilder(javaBin, "-Xmx128m",
+        "-cp", System.getProperty("java.class.path"),
+        "graft.sources.sstable.LeaseChild", "observer", tDir, "60000")
+      .inheritIO().start()
+    try {
+      // the swaps start only once the child demonstrably observes
+      val readyDeadline = System.currentTimeMillis() + 20000
+      while (!st.exists(s"$nsD/child-observing") &&
+          System.currentTimeMillis() < readyDeadline) Thread.sleep(20)
+      assert(st.exists(s"$nsD/child-observing"), "observer never came up")
+      spark.sql("CREATE OR REPLACE TABLE graft_pc.xp.t AS " +
+        "SELECT * FROM graft_pc.xp.t WHERE key = CAST('a' AS BINARY)")
+      val newGens = gensOf(tDir)
+      assert(newGens.nonEmpty && newGens != oldGens)
+      spark.sql("DROP TABLE graft_pc.xp.t")
+      spark.sql("CALL graft_pc.system.undrop_table(table => 'xp.t')")
+      assert(gensOf(tDir) == newGens, "undrop restores the same fileset")
+      st.create(s"$nsD/parent-done").close()
+      assert(child.waitFor(30, java.util.concurrent.TimeUnit.SECONDS) &&
+        child.exitValue() == 0, s"observer child failed: ${child.exitValue()}")
+      val obs = st.readString(s"$nsD/child-observations")
+        .split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+      val allowed = Set("none", oldGens, newGens)
+      val bad = obs.filterNot(allowed)
+      assert(bad.isEmpty,
+        s"partial cross-process observations: $bad (old=$oldGens new=$newGens)")
+      assert(obs.nonEmpty, "the observer must have sampled something")
+    } finally {
+      child.destroyForcibly()
+      st.delete(s"$nsD/parent-done")
+      st.delete(s"$nsD/child-observations")
+      st.delete(s"$nsD/child-observing")
+    }
+  }
+
   test("a crashed undrop_namespace (shell back, tables still trash) " +
     "RESUMES instead of refusing over its own half-done work") {
     spark.sql("CREATE NAMESPACE graft_pc.ns2")
