@@ -83,6 +83,18 @@ final class SSTableMicroBatchStream(path: String, requiredSchema: StructType,
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val seen = start.asInstanceOf[SSTableOffset].files
     val fresh = (storage.listDataFiles(path).toSet -- seen).toSeq.sorted
+    // pointer guard (r12): a DROP/REPLACE committing under a running
+    // stream leaves residue whose listing shrinks instead of the
+    // directory vanishing — without this the stream would quietly go
+    // idle on a dropped table forever. Loud, like the rename-era
+    // FileNotFound the vanishing directory used to throw.
+    TableState.of(GraftCatalog.readTableProps(storage, path)) match {
+      case TableState.Live => ()
+      case other => throw new IllegalStateException(
+        s"$path was dropped/replaced under this running stream (pointer " +
+          s"state: ${other.getClass.getSimpleName}) — restart the stream " +
+          "against the current table")
+    }
     SSTableOffset(seen ++ admit(fresh, limit))
   }
 

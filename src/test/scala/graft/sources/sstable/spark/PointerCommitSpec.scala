@@ -403,6 +403,35 @@ class PointerCommitSpec extends AnyFunSuite {
     assert(observe("graft_pc.ns1.old").contains(Seq("o1")))
   }
 
+  test("a running STREAM fails loudly when its table is dropped under " +
+    "it — the residue listing must not read as 'quietly no new data'") {
+    spark.sql("CREATE NAMESPACE graft_pc.sg")
+    spark.sql("CREATE TABLE graft_pc.sg.t")
+    ins("graft_pc.sg.t", Seq(("a", "1", 10L)))
+    val dir = s"$warehouse/sg/t"
+    val q = spark.readStream.format("sstable").load(dir)
+      .writeStream.format("memory").queryName("pc_stream_guard")
+      .option("checkpointLocation",
+        Files.createTempDirectory("pc-sg-ck").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM pc_stream_guard").head().getLong(0) == 1)
+      // a DROP commits under the stream: the pointer flips, residue stays
+      PointerCommit.writeState(objStorage, dir,
+        GraftCatalog.readTableProps(objStorage, dir),
+        TableState.Dropped(None, "deadbeef"))
+      val e = intercept[Exception] { q.processAllAvailable() }
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Nil else t.getMessage +: chain(t.getCause)
+      assert(chain(e).exists(m => m != null &&
+        m.contains("dropped/replaced under this running stream")), chain(e))
+    } finally {
+      try q.stop() catch { case _: Exception => () }
+      PointerCommit.clearResidue(objStorage, dir)
+    }
+  }
+
   test("a SECOND PROCESS observing the table through the on-disk " +
     "pointer contract during REPLACE + DROP + undrop sees only " +
     "old-state / new-state / none — never a partial generation set") {
