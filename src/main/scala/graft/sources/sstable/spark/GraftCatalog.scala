@@ -362,9 +362,16 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       throw new TableAlreadyExistsException(ident)
     val declared = validatedTableProps(properties)
     requireNamespaceParent(ident)
-    storage.mkdirs(d)
-    if (declared.nonEmpty)
-      GraftCatalog.writeTableProps(storage, d, declared)
+    // the claim is the CONDITIONAL pointer create (r12 review): an
+    // unconditional writeTableProps here could clobber a racing CTAS
+    // commit's `restoring:` pointer (its half-copied content would go
+    // visible as a live table), and two racing bare CREATEs could both
+    // report success — the no-overwrite `_table` create makes exactly
+    // one winner. A marker-less hand-made dir stays creatable: it has
+    // no `_table` to lose the race against unless someone else is
+    // claiming it right now, which is the point.
+    if (!PointerCommit.createState(storage, d, declared, TableState.Live))
+      throw new TableAlreadyExistsException(ident)
     loadTable(ident)
   }
 
@@ -450,6 +457,23 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     // before copying the stage home) is settled here first — ALTER
     // rewrites `_table`, which IS the pointer, so the two must not race
     completeMigrationIfRedirected(d)
+    // the read-modify-write below runs under the maintenance lease (r12
+    // review): an unleased ALTER racing a DROP could read the pre-flip
+    // props and write them back OVER the tombstone — resurrecting a
+    // half-destroyed residue as a readable "table". The lease serializes
+    // ALTER against every pointer-flipping swap (and against a second
+    // ALTER's lost-update for free).
+    graft.sources.sstable.MaintenanceLease.withLease(d, storage,
+      "alter-table") { lease =>
+      lease.checkHeld()
+      alterUnderLease(ident, d, changes)
+    }
+    loadTable(ident)
+  }
+
+  private def alterUnderLease(ident: Identifier, d: String,
+                              changes: Seq[TableChange]): Unit = {
+    if (!isLiveTableDir(d)) throw new NoSuchTableException(ident)
     val current = GraftCatalog.readTableProps(storage, d)
     val next = changes.foldLeft(current) { (acc, change) =>
       change match {
@@ -495,7 +519,6 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
             "and retry (or re-layout via CREATE OR REPLACE … AS SELECT)")
       }
     }
-    loadTable(ident)
   }
 
   // ---- StagingTableCatalog: atomic CTAS / RTAS ----

@@ -145,19 +145,31 @@ private[spark] object CommitIntegrity {
     // flipping `_table` rather than renaming the tree away, so the
     // directory a doomed write would publish into still EXISTS — refuse
     // at commit start instead of letting the publish race the residue
-    // destroy. (Redirect is fine: the table is live; the files land
-    // beside the migration and follow the identity.)
+    // destroy. ORDER MATTERS (r12 review): the marker goes down FIRST,
+    // the state check second — a check-then-create would leave an
+    // instant where the check passed pre-flip but the marker landed
+    // after the swap's marker sweep, making the verify succeed for
+    // files the residue destroy removes (silent loss). Marker-first is
+    // airtight: a marker that exists before the sweep is swept (verify
+    // fails, consults the state); a check that reads the post-flip
+    // state refuses here and removes its own marker. (Redirect is fine:
+    // the table is live; files land beside the migration and follow
+    // the identity.)
+    val marker = s"$path/_commit-$tag"
+    storage.create(marker).close()
+    def refuse(why: String): Nothing = {
+      storage.delete(marker)
+      throw new IllegalStateException(why)
+    }
     TableState.of(GraftCatalog.readTableProps(storage, path)) match {
-      case TableState.Dropped(_, _) => throw new IllegalStateException(
+      case TableState.Dropped(_, _) => refuse(
         s"table directory $path was DROPPED while this write ran — " +
           "nothing to publish into; rerun against a live table")
-      case TableState.Restoring(_, _) => throw new IllegalStateException(
+      case TableState.Restoring(_, _) => refuse(
         s"table directory $path is mid-restore (undrop/publish copying " +
           "content in) — rerun the write once it settles")
       case _ => ()
     }
-    val marker = s"$path/_commit-$tag"
-    storage.create(marker).close()
     marker
   }
   def verifyAndEnd(storage: Storage, path: String, marker: String): Unit = {
