@@ -1010,6 +1010,17 @@ object SSTableAggScan {
       org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
     val files = SSTableScan.sinceFilePrune(
       storage.listDataFiles(path), sinceDir, storage)
+    // post-list pointer re-check, stats-only flavor (r12): a DROP or
+    // REPLACE committing between resolution and this sidecar sweep
+    // could make a COUNT(*) silently sum a half-destroyed residue's
+    // subset — the same loud-beats-partial rule as the data scan
+    TableState.of(GraftCatalog.readTableProps(storage, path)) match {
+      case TableState.Live => ()
+      case other => throw new IllegalStateException(
+        s"$path was dropped/replaced between resolution and the stats " +
+          s"sweep (pointer state: ${other.getClass.getSimpleName}) — " +
+          "rerun the query")
+    }
     lazy val per = files.map(generationBounds(_, storage))
     lazy val nonEmpty = per.filter(_._1 > 0)
     lazy val minKey = if (nonEmpty.isEmpty) null
