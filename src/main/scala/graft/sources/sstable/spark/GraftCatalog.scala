@@ -457,9 +457,11 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val d = tableDir(ident)
     if (!isLiveTableDir(d)) throw new NoSuchTableException(ident)
     // a redirecting table (committed REPLACE whose migrator crashed
-    // before copying the stage home) is settled here first — ALTER
-    // rewrites `_table`, which IS the pointer, so the two must not race
-    completeMigrationIfRedirected(d)
+    // before copying the stage home) is settled INSIDE the lease body
+    // below (ADVICE r12): an unleased pre-settle here left a gap — a
+    // REPLACE committing between it and the acquire put a redirect line
+    // in the props the RMW read, and validation threw a misleading
+    // "unsupported property" error that retrying never healed.
     // the read-modify-write below runs under the maintenance lease (r12
     // review): an unleased ALTER racing a DROP could read the pre-flip
     // props and write them back OVER the tombstone — resurrecting a
@@ -469,15 +471,29 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     graft.sources.sstable.MaintenanceLease.withLease(d, storage,
       "alter-table") { lease =>
       lease.checkHeld()
-      alterUnderLease(ident, d, changes)
+      alterUnderLease(ident, d, changes, lease)
     }
     loadTable(ident)
   }
 
   private def alterUnderLease(ident: Identifier, d: String,
-                              changes: Seq[TableChange]): Unit = {
+      changes: Seq[TableChange],
+      lease: graft.sources.sstable.MaintenanceLease): Unit = {
     if (!isLiveTableDir(d)) throw new NoSuchTableException(ident)
-    val current = GraftCatalog.readTableProps(storage, d)
+    val read = GraftCatalog.readTableProps(storage, d)
+    // a REPLACE that committed in the gap between alterTable's unleased
+    // settle and THIS lease's acquire leaves `graft.state: redirect` in
+    // the props we just read — validating that would throw a misleading
+    // "unsupported property" error that retrying never heals (ADVICE
+    // r12). We hold the lease, so settle the migration here and re-read;
+    // the RMW below then runs against the migrated Live props.
+    val current = TableState.of(read) match {
+      case TableState.Redirect(_, _) =>
+        PointerCommit.completeMigration(storage,
+          d.substring(0, d.lastIndexOf('/')), d, () => lease.checkHeld())
+        GraftCatalog.readTableProps(storage, d)
+      case _ => read
+    }
     val next = changes.foldLeft(current) { (acc, change) =>
       change match {
         case s: TableChange.SetProperty =>
@@ -690,6 +706,17 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           // a previous REPLACE's unfinished migration settles first: the
           // trash copy below must capture the complete current state
           PointerCommit.completeMigration(storage, nsD, d, () => lease.checkHeld())
+          // relayout×pin guard, re-run under THE SWAP'S OWN lease (ADVICE
+          // r12): rebucket's pre-check runs under a short lease released
+          // before this REPLACE acquires — a snapshot pin created in
+          // that gap would escape the guard and be destroyed with the
+          // replaced tree. Any REPLACE that changes the physical bucket
+          // layout while pins declare intent to keep the current layout
+          // reachable refuses HERE, race-free; same single audited rule
+          // as ALTER 'buckets' and rebucket's fast-fail.
+          if (GraftCatalog.readTableProps(storage, d).get(GraftCatalog.BucketsProp)
+              != newProps.get(GraftCatalog.BucketsProp))
+            GraftCatalog.requireNoPinsForRelayout(storage, d)
           val id = PointerCommit.newId()
           val trashName = s"_dropped-${ident.name}-$id"
           val trash = s"$nsD/$trashName"

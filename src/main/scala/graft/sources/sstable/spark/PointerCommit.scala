@@ -233,7 +233,16 @@ private[spark] object PointerCommit {
     *  - any COMPLETE data fileset that isn't in the copy manifest
     *    committed durably between the copy and the flip: its fileset is
     *    copied into the trash too (`intoTrash` non-empty), so the
-    *    recovery copy never silently misses committed data. */
+    *    recovery copy never silently misses committed data.
+    *
+    * The absorb copies each fileset in PUBLISH order (siblings first,
+    * Data.db LAST — ADVICE r12): `intoTrash` may be an already-Live
+    * RENAME destination a concurrent reader is listing (a Data.db whose
+    * siblings aren't there yet would violate the visible-Data.db ⇒
+    * complete-fileset contract), or a trash entry already stamped
+    * `_trash-ok` (a crash mid-absorb must not leave a "complete" trash
+    * holding a broken fileset undrop would restore — with Data.db last,
+    * a crashed absorb leaves orphan siblings no listing ever surfaces). */
   def absorbRacers(storage: Storage, dir: String, copied: Set[String],
                    intoTrash: Option[String]): Unit = {
     storage.listFiles(dir).map(nameOf).filter(_.startsWith("_commit-"))
@@ -242,7 +251,7 @@ private[spark] object PointerCommit {
       storage.listDataFiles(dir)
         .filterNot(p => copied.contains(nameOf(p)))
         .foreach { dataPath =>
-          graft.sources.sstable.SSTableFiles.AllSuffixes.foreach { suf =>
+          graft.sources.sstable.SSTableFiles.PublishOrderSuffixes.foreach { suf =>
             val f = graft.sources.sstable.SSTableFiles.sibling(dataPath, suf)
             if (storage.exists(f))
               copyFile(storage, f, s"$trash/${nameOf(f)}")
@@ -283,7 +292,7 @@ private[spark] object PointerCommit {
     * any doubt — a surviving tombstone refuses readers and is cleared
     * by the next CREATE / undrop / vacuum. */
   def finalizeTombstone(storage: Storage, dir: String, id: String): Unit = {
-    val ownStillThere = stateOf(storage, dir) match {
+    def ownStillThere = stateOf(storage, dir) match {
       case Dropped(_, i) => i == id
       case _ => false
     }
@@ -292,6 +301,19 @@ private[spark] object PointerCommit {
       .filterNot(_ == GraftCatalog.TablePropsFile)
     if (storage.listSubdirs(dir, "").isEmpty &&
         rest.forall(_.startsWith(graft.sources.sstable.MaintenanceLease.LeaseFile))) {
+      // re-read at the LAST instant (ADVICE r12): the check above is
+      // check-then-act, and a racing CREATE can reclaim the name (its
+      // clearResidue deletes our tombstone, its conditional createState
+      // writes live props) during the listing — deleting THAT `_table`
+      // would vaporize the new table's layout contract. The re-read
+      // narrows the window from the full listing to one props read.
+      // Residual race (accepted, storage offers no conditional delete):
+      // a CREATE landing inside that final read→delete microsecond can
+      // still lose its `_table`; blast radius is bounded to a BARE
+      // just-created table (the emptiness checks above refuse anything
+      // with content), whose next load fails loudly with NoSuchTable —
+      // an evaporated empty CREATE, never data loss or a silent read.
+      if (!ownStillThere) return
       storage.delete(s"$dir/${GraftCatalog.TablePropsFile}")
       if (rest.isEmpty) storage.deleteRecursive(dir)
     }
@@ -340,7 +362,7 @@ private[spark] object PointerCommit {
                         fence: () => Unit): Unit = {
     val props = GraftCatalog.readTableProps(storage, dir)
     TableState.of(props) match {
-      case Redirect(target, _) =>
+      case Redirect(target, id) =>
         val stage = s"$nsDir/$target"
         require(storage.exists(stage),
           s"table $dir redirects to $target, which no longer exists — " +
@@ -352,6 +374,18 @@ private[spark] object PointerCommit {
         copyTree(storage, stage, dir, excludeTable = true)
         fence()
         writeState(storage, dir, props, Live) // COMMIT: readers come home
+        // a straggler that resolved through the (now stale) Redirect
+        // still holds the stage path — a bare deleteRecursive would let
+        // its post-list re-check see a NON-EMPTY partial listing over a
+        // marker-less `_table` that parses Live, the exact silent-subset
+        // window this design exists to close (ADVICE r12). Flip the
+        // stage's own pointer to a refusing tombstone FIRST (stragglers
+        // now fail loudly, like readers of the home dir do), then the
+        // ordered destroy with the pointer LAST.
+        val stageProps = GraftCatalog.readTableProps(storage, stage)
+        writeState(storage, stage, stageProps, Dropped(None, id))
+        destroyResidue(storage, stage)
+        storage.delete(s"$stage/${GraftCatalog.TablePropsFile}")
         storage.deleteRecursive(stage)
       case _ => () // already migrated (crash-retry idempotence)
     }

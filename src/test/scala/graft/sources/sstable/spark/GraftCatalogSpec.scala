@@ -742,6 +742,44 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.pv.t")
   }
 
+  test("a layout-changing REPLACE re-checks pins under the swap's OWN " +
+    "lease: a pin created after rebucket's released pre-check still " +
+    "refuses instead of being destroyed with the replaced tree " +
+    "(ADVICE r12); the guard is scoped to layout changes only") {
+    spark.sql("CREATE NAMESPACE graft.pv2")
+    spark.sql("CREATE TABLE graft.pv2.t TBLPROPERTIES('buckets'='4')")
+    insertRows("graft.pv2.t", Seq(("a", "1", 10L), ("b", "2", 20L)))
+    val dir = s"$warehouse/pv2/t"
+    // models the ADVICE race: rebucket's short-lease pre-check passed,
+    // then this pin landed before the REPLACE's lease acquired — the
+    // REPLACE itself must re-run the guard inside its own lease
+    SSTableOps.snapshot(dir, "gap-pin")
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    val e = intercept[Exception](spark.sql(
+      "CREATE OR REPLACE TABLE graft.pv2.t TBLPROPERTIES('buckets'='8') " +
+        "AS SELECT * FROM graft.pv2.t"))
+    assert(chain(e).exists(_.contains("snapshots pin")), chain(e))
+    // the refused swap left the table AND the pin intact
+    assert(spark.sql("SELECT count(*) FROM graft.pv2.t").head().getLong(0) == 2)
+    assert(SSTableOps.listSnapshots(dir).contains("gap-pin"))
+    // dropping the pin unblocks the relayout
+    SSTableOps.dropSnapshot(dir, "gap-pin")
+    spark.sql("CREATE OR REPLACE TABLE graft.pv2.t TBLPROPERTIES(" +
+      "'buckets'='8') AS SELECT * FROM graft.pv2.t")
+    assert(spark.sql("SHOW CREATE TABLE graft.pv2.t").head().getString(0)
+      .contains("'buckets' = '8'"))
+    // scoped: a SAME-layout REPLACE over a pinned table is untouched by
+    // the guard (pins ride into trash with the replaced state — the
+    // documented REPLACE contract)
+    SSTableOps.snapshot(dir, "ride-along")
+    spark.sql("CREATE OR REPLACE TABLE graft.pv2.t TBLPROPERTIES(" +
+      "'buckets'='8') AS SELECT * FROM graft.pv2.t")
+    assert(spark.sql("SELECT count(*) FROM graft.pv2.t").head().getLong(0) == 2)
+    spark.sql("DROP TABLE graft.pv2.t PURGE")
+  }
+
   test("SQL metadata tables: t.generations, t.snapshots, t.cells") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.meta")
     spark.sql("CREATE TABLE graft.meta.t")

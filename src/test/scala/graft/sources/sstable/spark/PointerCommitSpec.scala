@@ -644,4 +644,149 @@ class PointerCommitSpec extends AnyFunSuite {
     spark.sql("CALL graft_pc.system.undrop_table(table => 'c4.t')")
     assert(observe("graft_pc.c4.t").contains(Seq("a", "b")))
   }
+
+  // ---- ADVICE r12 closures ----
+
+  test("absorbRacers copies each racer fileset in PUBLISH order — " +
+    "siblings first, Data.db LAST (a Live RENAME destination being " +
+    "listed, or a crash mid-absorb into already-stamped trash, must " +
+    "never surface a Data.db without its complete fileset)") {
+    val d = tmp()
+    val t = s"$d/t"
+    val trash = s"$d/trash"
+    LocalStorage.mkdirs(t)
+    LocalStorage.mkdirs(trash)
+    graft.sources.sstable.SSTableFiles.AllSuffixes.foreach(s =>
+      LocalStorage.create(s"$t/gen-9$s").close())
+    val order = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    PointerCommit.testAfterCopyFile = dst =>
+      if (dst.startsWith(trash)) {
+        order.add(dst.substring(dst.lastIndexOf('/') + 1)); ()
+      }
+    try PointerCommit.absorbRacers(LocalStorage, t, Set.empty, Some(trash))
+    finally resetSeams()
+    val seq = order.toArray(Array.empty[String]).toSeq
+    assert(seq.size == graft.sources.sstable.SSTableFiles.AllSuffixes.size, seq)
+    assert(seq.last == "gen-9-Data.db", s"Data.db must land LAST: $seq")
+  }
+
+  test("completeMigration flips the stage to a refusing tombstone " +
+    "BEFORE teardown: a straggler still holding the stage path fails " +
+    "loudly instead of silently reading a partial listing (ADVICE r12)") {
+    spark.sql("CREATE NAMESPACE graft_pc.m2")
+    spark.sql("CREATE TABLE graft_pc.m2.t")
+    ins("graft_pc.m2.t", Seq(("a", "1", 10L), ("b", "2", 20L)))
+    // crash the REPLACE right after its redirect flip: redirect + stage
+    PointerCommit.testAfterFlip = (dir, st) =>
+      if (dir.endsWith("/m2/t") && st.isInstanceOf[TableState.Redirect])
+        throw new RuntimeException("injected crash right after the commit")
+    try intercept[Exception](spark.sql(
+      "CREATE OR REPLACE TABLE graft_pc.m2.t AS SELECT * FROM graft_pc.m2.t " +
+        "WHERE key = CAST('a' AS BINARY)"))
+    finally resetSeams()
+    val st = objStorage
+    val nsD = s"$warehouse/m2"
+    val stage = st.listSubdirs(nsD, "_stage-").head
+    val stageName = stage.substring(stage.lastIndexOf('/') + 1)
+    assert(st.listDataFiles(stage).nonEmpty, "stage holds the new state")
+    // the straggler's window: at the instant the stage's pointer flips
+    // to its refusing tombstone, ALL stage content must still be on
+    // disk (the flip strictly precedes destruction) and a raw scan of
+    // the stage path must refuse loudly — the silent-subset window a
+    // bare deleteRecursive left open is closed
+    val problems = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val sampled = new java.util.concurrent.atomic.AtomicBoolean(false)
+    PointerCommit.testAfterFlip = (dir, s2) =>
+      if (dir.endsWith(s"/$stageName") && s2.isInstanceOf[TableState.Dropped]) {
+        sampled.set(true)
+        if (st.listDataFiles(stage).isEmpty)
+          problems.add("stage content destroyed before the refusing flip")
+        try {
+          spark.read.format("sstable").load(stage).collect()
+          problems.add("a straggler read of the mid-teardown stage SUCCEEDED")
+          ()
+        } catch {
+          // the loud refusal this fix exists to produce — either the
+          // raw-path load guard ("mid-lifecycle") or the post-list
+          // planning re-check ("dropped"), depending on where the
+          // straggler is when the flip lands
+          case e: IllegalStateException
+              if e.getMessage.toLowerCase.contains("dropped") ||
+                e.getMessage.contains("mid-lifecycle") => ()
+          case e: Throwable =>
+            problems.add(s"wrong refusal class: $e"); ()
+        }
+      }
+    // any maintenance CALL settles the migration under its lease
+    try spark.sql("CALL graft_pc.system.compact(table => 'm2.t', " +
+      "min_threshold => 2, min_size => 0)")
+    finally resetSeams()
+    assert(sampled.get(), "the stage's refusing flip must have fired")
+    assert(problems.isEmpty, problems.toArray.mkString("; "))
+    assert(st.listSubdirs(nsD, "_stage-").isEmpty, "stage torn down")
+    assert(observe("graft_pc.m2.t").contains(Seq("a")))
+    assert(PointerCommit.stateOf(st, s"$nsD/t") == TableState.Live)
+  }
+
+  test("ALTER on a table left redirecting by a crashed REPLACE settles " +
+    "the migration under ALTER's OWN lease and applies cleanly — no " +
+    "misleading 'unsupported property' refusal (ADVICE r12)") {
+    spark.sql("CREATE NAMESPACE graft_pc.m3")
+    spark.sql("CREATE TABLE graft_pc.m3.t")
+    ins("graft_pc.m3.t", Seq(("a", "1", 10L)))
+    PointerCommit.testAfterFlip = (dir, st) =>
+      if (dir.endsWith("/m3/t") && st.isInstanceOf[TableState.Redirect])
+        throw new RuntimeException("injected crash right after the commit")
+    try intercept[Exception](spark.sql(
+      "CREATE OR REPLACE TABLE graft_pc.m3.t AS SELECT * FROM graft_pc.m3.t"))
+    finally resetSeams()
+    val st = objStorage
+    assert(PointerCommit.stateOf(st, s"$warehouse/m3/t")
+      .isInstanceOf[TableState.Redirect], "crash shape: redirect left behind")
+    // the RMW reads props carrying the redirect line — the in-lease
+    // settle must migrate first, never feed it to validation
+    spark.sql("ALTER TABLE graft_pc.m3.t SET TBLPROPERTIES('compress'='false')")
+    assert(PointerCommit.stateOf(st, s"$warehouse/m3/t") == TableState.Live,
+      "ALTER settled the pending migration under its lease")
+    assert(GraftCatalog.readTableProps(st, s"$warehouse/m3/t")
+      .get("compress").contains("false"))
+    assert(observe("graft_pc.m3.t").contains(Seq("a")))
+  }
+
+  test("finalizeTombstone re-reads the pointer AFTER its emptiness " +
+    "listing: a CREATE reclaiming the name during the listing keeps " +
+    "its fresh _table (ADVICE r12 narrowing)") {
+    val base = tmp()
+    val t = s"$base/t"
+    PointerCommit.createState(LocalStorage, t, Map.empty,
+      TableState.Dropped(None, "dddddddd"))
+    import graft.sources.sstable.SeekableInput
+    val spy: Storage = new Storage {
+      def open(path: String): SeekableInput = LocalStorage.open(path)
+      def length(path: String): Long = LocalStorage.length(path)
+      def mtime(path: String): Long = LocalStorage.mtime(path)
+      def exists(path: String): Boolean = LocalStorage.exists(path)
+      def create(path: String): java.io.DataOutputStream = LocalStorage.create(path)
+      def delete(path: String): Unit = LocalStorage.delete(path)
+      def rename(src: String, dst: String): Unit = LocalStorage.rename(src, dst)
+      def replace(src: String, dst: String): Unit = LocalStorage.replace(src, dst)
+      def listSubdirs(dir: String, prefix: String): Seq[String] =
+        LocalStorage.listSubdirs(dir, prefix)
+      def deleteRecursive(dir: String): Unit = LocalStorage.deleteRecursive(dir)
+      def mkdirs(dir: String): Unit = LocalStorage.mkdirs(dir)
+      def listDataFiles(d: String): Seq[String] = LocalStorage.listDataFiles(d)
+      def listFiles(dir: String): Seq[String] = {
+        val out = LocalStorage.listFiles(dir)
+        // the racing CREATE lands at the exact check-then-act instant:
+        // clears the tombstone and claims the name with live props
+        if (dir == t)
+          GraftCatalog.writeTableProps(LocalStorage, t, Map("buckets" -> "8"))
+        out
+      }
+    }
+    PointerCommit.finalizeTombstone(spy, t, "dddddddd")
+    assert(GraftCatalog.readTableProps(LocalStorage, t) == Map("buckets" -> "8"),
+      "the reclaiming CREATE's _table must survive the finalize")
+    assert(LocalStorage.exists(t), "the reclaimed dir must survive too")
+  }
 }
