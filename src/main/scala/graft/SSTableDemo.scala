@@ -450,6 +450,34 @@ object SSTableDemo {
       s"restored ${undropNs.getAs[Int]("tablesRestored")} table(s) " +
       s"pointer-committed, $pcRows rows (want 8); list_trash reports " +
       s"completeness: $trashComplete")
+
+    // persisted ANN index (r13): CALL build_ann_index trains the
+    // deterministic quantizers ONCE and commits centroids + codebooks +
+    // per-vector codes as one catalog table; serving loads them with
+    // zero Lloyd training (the counter proves it)
+    val annSrc = s"$dir-annsrc"
+    graft.sources.sstable.LocalStorage.deleteRecursive(annSrc)
+    spark.range(64).select(
+      col("id").as("vec_id"),
+      (col("id") % 4).cast("int").as("label"),
+      transform(sequence(lit(0), lit(7)),
+        i => (((col("id") * 31 + i * 7) % 97).cast("float") / lit(97.0f)))
+        .as("embedding"))
+      .write.mode("overwrite").parquet(s"$annSrc/embeddings.parquet")
+    val annReceipt = spark.sql("CALL graft.system.build_ann_index(" +
+      s"table => 'demo.annix', source_dir => '$annSrc', kind => 'ivfpq', " +
+      "k => 4, iters => 2, m => 4, pq_k => 4, pq_iters => 1)").head()
+    val annBefore = graft.operators.SimilarityQueries.trainingsRun.get()
+    val annDir = s"$dir-warehouse/demo/annix"
+    val servedCents = graft.operators.AnnIndex.loadCoarseCentroids(spark, annDir).count()
+    val servedCodes = graft.operators.AnnIndex.loadVectorCodes(spark, annDir, 4).count()
+    val trainFree = graft.operators.SimilarityQueries.trainingsRun.get() == annBefore
+    println(s"== ANN index: CALL build_ann_index persisted " +
+      s"${annReceipt.getAs[Long]("centroids")} centroids + " +
+      s"${annReceipt.getAs[Long]("codebookEntries")} codebook entries + " +
+      s"${annReceipt.getAs[Long]("vectors")} vector codes (dim " +
+      s"${annReceipt.getAs[Int]("dim")}); serving loaded $servedCents " +
+      s"centroids / $servedCodes code rows training-free: $trainFree")
     spark.stop()
   }
 }

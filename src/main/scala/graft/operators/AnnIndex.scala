@@ -1,0 +1,214 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorExpressions.{pack_doubles, unpack_doubles, vector_dot}
+
+/** Persisted ANN index structures (VERDICT r12 Next #1): the trained
+  * artifacts of [[SimilarityQueries]] — coarse k-medians centroids, PQ
+  * codebooks, and the per-vector cell/code assignment — written ONCE as
+  * rows of an SSTable catalog table and LOADED by serving queries,
+  * instead of re-paying Lloyd training in every job that touches the
+  * index. The same precompute-once-read-many shape as the reference's
+  * split-planning pipeline (GenerateSSTableDataSplits.scala:108-215:
+  * one expensive planning pass persisted, many cheap consumers).
+  *
+  * Row layout inside the index table (binary keys; every scalar value
+  * UTF-8, every vector [[graft.functions.PackDoubles]]-packed so the
+  * persisted bits ARE the trained doubles):
+  *  - `_meta`                — one row pinning the trained epoch: the
+  *    source corpus, its vector count and dimension, and every training
+  *    parameter. Serving validates against it; a rebuilt corpus or a
+  *    parameter drift fails loudly instead of serving a stale index.
+  *  - `c:<cell%05d>`         — coarse centroid: cell `cv` = packed vector.
+  *  - `p:<sub>:<cell%05d>`   — PQ codebook entry, same shape.
+  *  - `v:<vec_id%012d>`      — per-vector assignment: `cell` and/or
+  *    `code0..code{m-1}` cells. The 4-byte-codes serving asset — at
+  *    100 TB this narrow relation is what queries join against; raw
+  *    embeddings are never touched at serve time.
+  *
+  * Norms are NOT persisted: `cn = sqrt(cv·cv)` is recomputed on load —
+  * bit-identical to how training derived it, and one less cell to
+  * drift. Training is deterministic end-to-end (exact medians, mod-k
+  * init, fixed tie-breaks — [[SimilarityQueries.kmediansCells]]), so a
+  * served query's result is bit-identical to its trained-in-query twin:
+  * the hash gate proves it every round (q_ann_kmeans_served /
+  * q_ann_ivfpq_served share their twins' oracle SQL verbatim). */
+object AnnIndex {
+
+  /** Cell timestamps are a fixed constant: the index is rebuilt
+    * wholesale by `CREATE OR REPLACE` (never merged cell-by-cell), and
+    * a wall-clock stamp would make otherwise-identical rebuilds
+    * hash-diverge. */
+  private val Ts = 1L
+
+  private def cell(name: String, value: Column): Column =
+    struct(lit(name).cast("binary").as("name"), lit("NORMAL").as("state"),
+      value.as("value"), lit(Ts).as("timestamp"),
+      lit(0L).as("ttlSecs"), lit(0L).as("expiresMillis"))
+
+  private def strCell(name: String, value: Column): Column =
+    cell(name, value.cast("string").cast("binary"))
+
+  private val noTombstone: Column = lit(null)
+    .cast("struct<localDeletionTime: int, markedForDeleteAt: bigint>")
+    .as("rowTombstone")
+
+  /** Train and persist: returns (centroidRows, codebookRows, vectorRows,
+    * dim, nvec) as the CALL's receipt. `kind`: 'ivf' (coarse quantizer
+    * only), 'pq' (codebooks only), 'ivfpq' (both — the standard
+    * billion-scale serving pair). Runs the SAME deterministic trainings
+    * the in-query operators run; the CTAS commit is the catalog's
+    * staged atomic publish, so a concurrent reader of the index table
+    * sees the old index or the new one, never a half-written mix. */
+  def build(s: SparkSession, sourceDir: String, qualifiedTable: String,
+            kind: String, k: Int, iters: Int,
+            m: Int, pqK: Int, pqIters: Int): (Long, Long, Long, Int, Long) = {
+    require(Set("ivf", "pq", "ivfpq").contains(kind),
+      s"kind must be 'ivf', 'pq' or 'ivfpq', got '$kind'")
+    val e = SimilarityQueries.embWithNorm(s, sourceDir)
+    val dim = e.select(size(col("v"))).head().getInt(0)
+    val nvec = e.count()
+    val wantCoarse = kind != "pq"
+    val wantPq = kind != "ivf"
+
+    val coarse = if (wantCoarse)
+      Some(SimilarityQueries.kmediansCells(e, k, iters)) else None
+    val pq = if (wantPq)
+      Some(SimilarityQueries.pqTrain(e, m, pqK, pqIters)) else None
+
+    val centroidRows = coarse.map { case (_, cent) =>
+      cent.select(
+        concat(lit("c:"), lpad(col("cell").cast("string"), 5, "0"))
+          .cast("binary").as("key"),
+        array(cell("cv", pack_doubles(col("cv")))).as("columns"),
+        noTombstone)
+    }
+    val codebookRows = pq.map { case (_, cents) =>
+      cents.select(
+        concat(lit("p:"), col("sub").cast("string"), lit(":"),
+          lpad(col("cell").cast("string"), 5, "0")).cast("binary").as("key"),
+        array(cell("cv", pack_doubles(col("cv")))).as("columns"),
+        noTombstone)
+    }
+    // per-vector assignment: one row per vec_id carrying its coarse cell
+    // and/or its m code cells (the writer sorts cells by name)
+    val vectorRows = {
+      val cellsDf = coarse.map { case (assigned, _) =>
+        assigned.select(col("vec_id"), col("cell"))
+      }
+      val codesDf = pq.map { case (assigned, _) =>
+        val aggs = (0 until m).map(i =>
+          max(when(col("sub") === i, col("cell"))).as(s"code$i"))
+        assigned.groupBy("vec_id").agg(aggs.head, aggs.tail: _*)
+      }
+      val joined = (cellsDf, codesDf) match {
+        case (Some(a), Some(b)) => a.join(b, "vec_id")
+        case (Some(a), None) => a
+        case (None, Some(b)) => b
+        case (None, None) => sys.error("unreachable: kind validated above")
+      }
+      val cellCols =
+        cellsDf.map(_ => strCell("cell", col("cell"))).toSeq ++
+          codesDf.toSeq.flatMap(_ =>
+            (0 until m).map(i => strCell(s"code$i", col(s"code$i"))))
+      joined.select(
+        concat(lit("v:"), lpad(col("vec_id").cast("string"), 12, "0"))
+          .cast("binary").as("key"),
+        array(cellCols: _*).as("columns"),
+        noTombstone)
+    }
+    // the trained-epoch pin: serving validates source/params against it
+    val metaRows = s.range(1).select(
+      lit("_meta").cast("binary").as("key"),
+      array(
+        strCell("dim", lit(dim)),
+        strCell("iters", lit(iters)),
+        strCell("k", lit(k)),
+        strCell("kind", lit(kind)),
+        strCell("m", lit(m)),
+        strCell("nvec", lit(nvec)),
+        strCell("pq_iters", lit(pqIters)),
+        strCell("pq_k", lit(pqK)),
+        strCell("source", lit(sourceDir))).as("columns"),
+      noTombstone)
+
+    val all = (centroidRows.toSeq ++ codebookRows.toSeq :+ vectorRows :+ metaRows)
+      .reduce(_ unionAll _)
+    val view = s"graft_ann_build_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    all.createOrReplaceTempView(view)
+    try s.sql(s"CREATE OR REPLACE TABLE $qualifiedTable AS SELECT * FROM $view")
+    finally s.catalog.dropTempView(view)
+    (coarse.map(_ => k.toLong).getOrElse(0L),
+      pq.map(_ => m.toLong * pqK).getOrElse(0L),
+      nvec, dim, nvec)
+  }
+
+  /** One raw read of the index table, exploded to (k, name, value) —
+    * the shared decode surface of the loaders below. */
+  private def cellsOf(s: SparkSession, idxDir: String): DataFrame =
+    s.read.format("sstable").load(idxDir)
+      .select(col("key").cast("string").as("k"), explode(col("columns")).as("c"))
+      .select(col("k"), col("c.name").cast("string").as("name"), col("c.value").as("value"))
+
+  /** The `_meta` epoch pin as a plain map (driver-side; one tiny read). */
+  def meta(s: SparkSession, idxDir: String): Map[String, String] =
+    cellsOf(s, idxDir).filter(col("k") === "_meta")
+      .select(col("name"), col("value").cast("string").as("v"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+
+  /** Serving-side epoch validation: refuse loudly when the persisted
+    * index was trained on a different corpus or with different
+    * parameters than the query assumes — a stale index would serve
+    * silently-wrong neighbors, the worst failure mode an ANN store has. */
+  def requireEpoch(s: SparkSession, idxDir: String,
+                   expect: Map[String, String]): Unit = {
+    val m = meta(s, idxDir)
+    val drift = expect.collect {
+      case (key, want) if !m.get(key).contains(want) =>
+        s"$key: index has ${m.getOrElse(key, "(absent)")}, query expects $want"
+    }
+    require(drift.isEmpty,
+      s"ANN index at $idxDir was trained under a different epoch/params — " +
+        s"${drift.mkString("; ")}. Rebuild via CALL <catalog>.system." +
+        "build_ann_index before serving")
+  }
+
+  /** Coarse centroids `(cell, cv, cn)` — tiny (k rows), broadcast by
+    * every consumer. */
+  def loadCoarseCentroids(s: SparkSession, idxDir: String): DataFrame =
+    cellsOf(s, idxDir)
+      .filter(col("k").startsWith("c:") && col("name") === "cv")
+      .select(substring(col("k"), 3, 5).cast("int").as("cell"),
+        unpack_doubles(col("value")).as("cv"))
+      .withColumn("cn", sqrt(vector_dot(col("cv"), col("cv"))))
+
+  /** PQ codebooks `(sub, cell, cv, cn)` — m×k rows. */
+  def loadPqCodebooks(s: SparkSession, idxDir: String): DataFrame =
+    cellsOf(s, idxDir)
+      .filter(col("k").startsWith("p:") && col("name") === "cv")
+      .select(element_at(split(col("k"), ":"), 2).cast("int").as("sub"),
+        element_at(split(col("k"), ":"), 3).cast("int").as("cell"),
+        unpack_doubles(col("value")).as("cv"))
+      .withColumn("cn", sqrt(vector_dot(col("cv"), col("cv"))))
+
+  /** Per-vector coarse assignment `(vec_id, cell)` — the narrow serving
+    * relation (corpus-sized rows, two columns; shuffles on vec_id or
+    * cell, never the vectors). */
+  def loadVectorCells(s: SparkSession, idxDir: String): DataFrame =
+    cellsOf(s, idxDir)
+      .filter(col("k").startsWith("v:") && col("name") === "cell")
+      .select(substring(col("k"), 3, 12).cast("long").as("vec_id"),
+        col("value").cast("string").cast("int").as("cell"))
+
+  /** Per-vector PQ codes `(vec_id, code0..code{m-1})`. */
+  def loadVectorCodes(s: SparkSession, idxDir: String, m: Int): DataFrame = {
+    val aggs = (0 until m).map(i =>
+      max(when(col("name") === s"code$i",
+        col("value").cast("string").cast("int"))).as(s"code$i"))
+    cellsOf(s, idxDir)
+      .filter(col("k").startsWith("v:") && col("name").startsWith("code"))
+      .groupBy(substring(col("k"), 3, 12).cast("long").as("vec_id"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+}

@@ -28,7 +28,7 @@ object SimilarityQueries {
     graft.functions.VectorExpressions.vector_dot(a, b)
 
   /** vec_id, v (double array), nrm. */
-  private def embWithNorm(s: SparkSession, d: String): DataFrame =
+  private[operators] def embWithNorm(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
@@ -68,8 +68,17 @@ object SimilarityQueries {
     * assignment `(vec_id, cell, v, nrm)` plus the centroids that
     * produced it (probe against THOSE — membership and probe ranking
     * must see the same cells). */
+  /** Counts every Lloyd training this JVM runs — the observable
+    * PlanQualitySpec pins on: a `*_served` query may trigger ONE
+    * training (its index fixture's first build) and must trigger none
+    * afterwards. Plan text can't carry this pin: training runs as
+    * separate checkpoint jobs during query BUILD, so even the
+    * trained-in-query twins' final plans are training-free. */
+  private[graft] val trainingsRun = new java.util.concurrent.atomic.AtomicInteger
+
   def kmediansCells(e: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
     require(iters >= 1, s"kmediansCells needs at least one Lloyd iteration, got $iters")
+    trainingsRun.incrementAndGet()
     // persist: every Lloyd iteration re-reads the vectors; the per-
     // iteration localCheckpoint truncates lineage so plan size and
     // recompute cost stay FLAT in `iters` (without it each iteration
@@ -112,6 +121,7 @@ object SimilarityQueries {
     * `(sub, cell, cv, cn)`. */
   def pqTrain(e: DataFrame, m: Int, k: Int, iters: Int): (DataFrame, DataFrame) = {
     require(iters >= 1, s"pqTrain needs at least one Lloyd iteration, got $iters")
+    trainingsRun.incrementAndGet()
     val subLen = (size(col("v")) / m).cast("int")
     val base = e.select(col("vec_id"),
         explode(sequence(lit(0), lit(m - 1))).as("sub"), col("v"))
@@ -165,6 +175,49 @@ object SimilarityQueries {
   }
   private def cachedPq(s: SparkSession, d: String): (DataFrame, DataFrame) =
     pqCache.getOrCompute(s, d)(pqTrain(embWithNorm(s, d), PqM, PqK, PqIters))
+
+  /** The PERSISTED index the `*_served` queries read (VERDICT r12 Next
+    * #1): one `CALL build_ann_index(kind => 'ivfpq')` per (session,
+    * corpus) trains the coarse quantizer + PQ codebooks with the exact
+    * parameters the in-query twins use and commits them as rows of an
+    * SSTable catalog table (atomic staged CTAS). Everything after that
+    * first call is the real deployment shape: jobs LOAD centroids,
+    * codebooks and the 4-byte codes from the catalog — no Lloyd
+    * training in any serving plan (pinned by PlanQualitySpec). */
+  private val servedIndexCache = new SessionCache[String]
+  private def servedIndexDir(s: SparkSession, d: String): String =
+    servedIndexCache.getOrCompute(s, d) {
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes).map("%02x".format(_)).mkString.take(16)
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft-ann-$tag"
+      val root = java.nio.file.Paths.get(wh)
+      if (java.nio.file.Files.exists(root)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+      val cat = s"graft_ann_$tag"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.sstable.spark.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"CREATE NAMESPACE $cat.ix")
+      s.sql(s"CALL $cat.system.build_ann_index(table => 'ix.emb', " +
+        s"source_dir => '$d', kind => 'ivfpq', k => $KMedK, " +
+        s"iters => $KMedIters, m => $PqM, pq_k => $PqK, " +
+        s"pq_iters => $PqIters)")
+      s"$wh/ix/emb"
+    }
+
+  /** Serving-side epoch check for the fixture index: the query's own
+    * Params must match what the index was trained with. */
+  private def servedIndex(s: SparkSession, d: String): String = {
+    val idx = servedIndexDir(s, d)
+    AnnIndex.requireEpoch(s, idx, Map(
+      "kind" -> "ivfpq", "k" -> KMedK.toString, "iters" -> KMedIters.toString,
+      "m" -> PqM.toString, "pq_k" -> PqK.toString,
+      "pq_iters" -> PqIters.toString, "source" -> d))
+    idx
+  }
 
   /** Multi-probe cell selection: each query keeps its `nprobe`
     * closest-centroid cells (centroids broadcast; ranking window is per
@@ -387,6 +440,90 @@ object SimilarityQueries {
           e4(col("n_hits").cast("double") / KnnK).as("recall_e4"))
         .orderBy("q_id")
     }),
+    // q_ann_kmeans SERVED from the persisted index (VERDICT r12 Next
+    // #1): centroids and per-vector cells are LOADED from the catalog
+    // table `build_ann_index` wrote — the plan contains zero Lloyd
+    // iterations (PlanQualitySpec pins no median aggregate). Training
+    // is deterministic, so the result is bit-identical to q_ann_kmeans
+    // and shares its oracle SQL verbatim. At 100 TB this is the shape
+    // every job uses: hours of training paid once at build time; each
+    // serving job pays one tiny broadcast (k centroids) + one narrow
+    // equi-join (vec_id -> cell).
+    "q_ann_kmeans_served" -> ((s, d) => {
+      val idx = servedIndex(s, d)
+      val cent = AnnIndex.loadCoarseCentroids(s, idx)
+      val cells = AnnIndex.loadVectorCells(s, idx)
+      val e = embWithNorm(s, d)
+      val q = e.filter(col("vec_id") < KnnQueryIds)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val c = e.join(cells, "vec_id")
+        .select(col("vec_id").as("c_id"), col("cell"),
+          col("v").as("cv"), col("nrm").as("cn"))
+      val probes = probedCells(q, cent, NProbe)
+      val ivf = topK(broadcast(probes).join(c, "cell")
+          .filter(col("q_id") =!= col("c_id")))
+        .select(col("q_id").as("q_id_i"), col("c_id").as("c_id_i"))
+      val bf = topK(broadcast(q).crossJoin(
+            e.select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn")))
+          .filter(col("q_id") =!= col("c_id")))
+        .select(col("q_id"), col("c_id"))
+      bf.join(broadcast(ivf),
+          col("q_id") === col("q_id_i") && col("c_id") === col("c_id_i"), "left")
+        .groupBy("q_id").agg(count(col("c_id_i")).as("n_hits"))
+        .select(col("q_id"), col("n_hits"),
+          e4(col("n_hits").cast("double") / KnnK).as("recall_e4"))
+        .orderBy("q_id")
+    }),
+    // q_ann_ivfpq SERVED from the persisted index: coarse centroids,
+    // PQ codebooks AND the 4-byte per-vector codes all come from the
+    // catalog table — raw embeddings are touched only for the query
+    // vectors and the recall baseline. Bit-identical to q_ann_ivfpq
+    // (shared oracle SQL); no training stage in the plan.
+    "q_ann_ivfpq_served" -> ((s, d) => {
+      val idx = servedIndex(s, d)
+      val coarse = AnnIndex.loadCoarseCentroids(s, idx)
+      val cents = AnnIndex.loadPqCodebooks(s, idx)
+      val codes = AnnIndex.loadVectorCodes(s, idx, PqM)
+        .join(AnnIndex.loadVectorCells(s, idx), "vec_id")
+      val e = embWithNorm(s, d)
+      val q = e.filter(col("vec_id") < KnnQueryIds)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val probes = probedCells(q, coarse, NProbe)
+        .select(col("q_id").as("qp"), col("cell"))
+      val cand = codes.join(broadcast(probes), "cell")
+      val luts = (0 until PqM).map { m =>
+        val qLen = (size(col("qv")) / PqM).cast("int")
+        q.crossJoin(broadcast(cents.filter(col("sub") === m)))
+          .select(col("q_id").as(s"q$m"), col("cell").as(s"cell$m"),
+            dot(slice(col("qv"), lit(m) * qLen + 1, qLen), col("cv"))
+              .as(s"d$m"), col("cn").as(s"cn$m"))
+      }
+      val scored = luts.zipWithIndex.foldLeft(cand) { case (acc, (lut, m)) =>
+        acc.join(broadcast(lut),
+          acc(s"code$m") === lut(s"cell$m") && acc("qp") === lut(s"q$m"))
+      }
+      val adot = col("d0") + col("d1") + col("d2") + col("d3")
+      val rn = sqrt(col("cn0") * col("cn0") + col("cn1") * col("cn1") +
+        col("cn2") * col("cn2") + col("cn3") * col("cn3"))
+      val approx = scored.join(broadcast(q), col("qp") === col("q_id"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("c_id"),
+          (adot / (col("qn") * rn)).as("sim"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+      val ivfpq = approx.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= KnnK)
+        .select(col("q_id").as("q_id_p"), col("c_id").as("c_id_p"))
+      val bf = topK(broadcast(q).crossJoin(
+            e.select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn")))
+          .filter(col("q_id") =!= col("c_id")))
+        .select(col("q_id"), col("c_id"))
+      bf.join(broadcast(ivfpq),
+          col("q_id") === col("q_id_p") && col("c_id") === col("c_id_p"), "left")
+        .groupBy("q_id").agg(count(col("c_id_p")).as("n_hits"))
+        .select(col("q_id"), col("n_hits"),
+          e4(col("n_hits").cast("double") / KnnK).as("recall_e4"))
+        .orderBy("q_id")
+    }),
     // Embedding-cosine near-dup: canonical id per vector (min partner
     // above threshold in the same IVF cell, else self). Candidates come
     // from the coarse-cell equi-join — the same bucketing as q_ann_ivf,
@@ -443,7 +580,17 @@ object SimilarityQueries {
     (init +: steps).mkString(",\n")
   }
 
-  def oracles: Map[String, String] = Map(
+  /** The served variants are BIT-IDENTICAL to their trained-in-query
+    * twins (deterministic training + exact packed-double persistence),
+    * so their oracles are the twins' SQL verbatim — the strongest
+    * possible gate on the persist/load round trip: one flipped bit in
+    * a packed centroid or one mis-decoded code flips a ranking and the
+    * hash mismatches. */
+  def oracles: Map[String, String] = baseOracles ++ Map(
+    "q_ann_kmeans_served" -> baseOracles("q_ann_kmeans"),
+    "q_ann_ivfpq_served" -> baseOracles("q_ann_ivfpq"))
+
+  private lazy val baseOracles: Map[String, String] = Map(
     "q_knn_cosine" ->
       s"""SELECT q_id, rk, c_id, ${e4Sql("sim")} AS sim_e4 FROM (
             SELECT q.vec_id AS q_id, c.vec_id AS c_id,

@@ -497,6 +497,59 @@ private[spark] object GraftProcedures {
             if (n == 0) null else Int.box(n), rows: java.lang.Long))
         }),
 
+      "build_ann_index" -> new Proc(
+        "build_ann_index",
+        "train an ANN index over an embeddings corpus (any Spark-readable " +
+          "directory whose embeddings table has vec_id BIGINT + embedding " +
+          "ARRAY<FLOAT>) and persist it as THIS catalog table via one " +
+          "atomic CREATE OR REPLACE: coarse k-medians centroids (kind " +
+          "'ivf'), PQ codebooks (kind 'pq') or both (kind 'ivfpq'), plus " +
+          "the narrow per-vector cell/code assignment, with a _meta row " +
+          "pinning the trained epoch (source, nvec, dim, every parameter). " +
+          "Training is deterministic (exact medians), so queries serving " +
+          "from the persisted index are bit-identical to training " +
+          "in-query — while paying a tiny broadcast instead of Lloyd " +
+          "iterations per job (the precompute-once-read-many pattern of " +
+          "the reference's split planning, GenerateSSTableDataSplits)",
+        Array(tableParam,
+          p("source_dir", StringType,
+            comment = "corpus directory holding embeddings.parquet"),
+          p("kind", StringType, Some("'ivfpq'"),
+            comment = "'ivf' (coarse only), 'pq' (codebooks only), 'ivfpq'"),
+          p("k", IntegerType, Some(graft.operators.Params.KMedK.toString),
+            comment = "coarse cells"),
+          p("iters", IntegerType, Some(graft.operators.Params.KMedIters.toString),
+            comment = "coarse Lloyd iterations"),
+          p("m", IntegerType, Some(graft.operators.Params.PqM.toString),
+            comment = "PQ subspaces"),
+          p("pq_k", IntegerType, Some(graft.operators.Params.PqK.toString),
+            comment = "codes per subspace"),
+          p("pq_iters", IntegerType, Some(graft.operators.Params.PqIters.toString),
+            comment = "codebook Lloyd iterations")),
+        StructType(Seq(
+          StructField("kind", StringType, nullable = false),
+          StructField("centroids", LongType, nullable = false),
+          StructField("codebookEntries", LongType, nullable = false),
+          StructField("vectors", LongType, nullable = false),
+          StructField("dim", IntegerType, nullable = false))),
+        (spark, in) => {
+          require(!in.isNullAt(0), "argument 'table' is required")
+          require(!in.isNullAt(1), "argument 'source_dir' is required")
+          val tableName = in.getUTF8String(0).toString
+          resolveParent(tableName) // loud on a missing namespace
+          val sourceDir = in.getUTF8String(1).toString
+          val kind = if (in.isNullAt(2)) "ivfpq"
+            else in.getUTF8String(2).toString.toLowerCase(java.util.Locale.ROOT)
+          val (cents, codebook, vecs, dim, _) = graft.operators.AnnIndex.build(
+            spark, sourceDir, qualified(tableName), kind,
+            intArg(in, 3, graft.operators.Params.KMedK),
+            intArg(in, 4, graft.operators.Params.KMedIters),
+            intArg(in, 5, graft.operators.Params.PqM),
+            intArg(in, 6, graft.operators.Params.PqK),
+            intArg(in, 7, graft.operators.Params.PqIters))
+          Seq(row(utf8(kind), cents, codebook, vecs, dim))
+        }),
+
       "lookup" -> new Proc(
         "lookup",
         "point reads in pure SQL: probe each key via bloom filter -> " +

@@ -92,4 +92,63 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(plan.contains("*(1) Project") && plan.contains("vector_dot"),
       s"vector_dot project not codegen'd:\n$plan")
   }
+
+  test("pack_doubles/unpack_doubles round-trip every bit pattern — " +
+    "random, special (NaN/inf/±0/subnormal) and float-promoted — in " +
+    "BOTH codegen and interpreted paths") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(13)
+    val special = Array(Double.NaN, Double.PositiveInfinity,
+      Double.NegativeInfinity, 0.0, -0.0, Double.MinPositiveValue,
+      Double.MaxValue, Double.MinValue)
+    val rows = (0 until 50).map(_ =>
+      Tuple1((0 until 8).map(_ => rnd.nextDouble()).toArray)) :+
+      Tuple1(special)
+    // non-local source → the projection executes in a codegen stage
+    val df = rows.toDF("a").repartition(2)
+    val rt = df.select(col("a"),
+      VectorExpressions.unpack_doubles(
+        VectorExpressions.pack_doubles(col("a"))).as("b"))
+    def bitsEqual(r: org.apache.spark.sql.Row): Unit = {
+      val a = r.getSeq[Double](0)
+      val b = r.getSeq[Double](1)
+      assert(a.size == b.size)
+      a.zip(b).foreach { case (x, y) =>
+        assert(java.lang.Double.doubleToLongBits(x) ==
+          java.lang.Double.doubleToLongBits(y), s"$x != $y (bitwise)")
+      }
+    }
+    rt.collect().foreach(bitsEqual)
+    // interpreted path (codegen off) must agree bit-for-bit
+    sp.conf.set("spark.sql.codegen.wholeStage", "false")
+    sp.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try rt.collect().foreach(bitsEqual)
+    finally {
+      sp.conf.set("spark.sql.codegen.wholeStage", "true")
+      sp.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    // float arrays promote per element before packing
+    val f = Seq(Tuple1(Array(1.5f, -2.25f))).toDF("f").repartition(1)
+      .select(VectorExpressions.unpack_doubles(
+        VectorExpressions.pack_doubles(col("f"))).as("d"))
+      .head().getSeq[Double](0)
+    assert(f == Seq(1.5, -2.25))
+  }
+
+  test("unpack_doubles refuses truncated bytes loudly; pack_doubles " +
+    "refuses null elements — a corrupt cell must never decode short") {
+    val sp = spark
+    import sp.implicits._
+    val bad = Seq(Tuple1(Array[Byte](1, 2, 3))).toDF("b").repartition(1)
+      .select(VectorExpressions.unpack_doubles(col("b")))
+    val e = intercept[Exception](bad.collect())
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("not a whole number")), chain(e))
+    val withNull = sp.sql("SELECT array(1.0D, CAST(NULL AS DOUBLE)) AS a")
+      .repartition(1).select(VectorExpressions.pack_doubles(col("a")))
+    val e2 = intercept[Exception](withNull.collect())
+    assert(chain(e2).exists(_.contains("null element")), chain(e2))
+  }
 }

@@ -1,0 +1,126 @@
+package graft.operators
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Persisted ANN index (VERDICT r12 Next #1): `CALL build_ann_index`
+  * trains the deterministic quantizers ONCE and commits them as rows of
+  * an SSTable catalog table; serving loads centroids/codebooks/codes
+  * from the table. The decisive parity pin — served results bit-equal
+  * the trained-in-query twins — is enforced here at sf0.001 AND by the
+  * per-round oracle hash gate (the served queries share their twins'
+  * oracle SQL verbatim). */
+class AnnIndexSpec extends AnyFunSuite {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val warehouse: String =
+    Files.createTempDirectory("graft-annix").toString
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s.conf.set("spark.sql.catalog.graft_ix",
+      classOf[graft.sources.sstable.spark.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_ix.warehouse", warehouse)
+    s.sql("CREATE NAMESPACE graft_ix.ann")
+    s
+  }
+
+  test("build_ann_index(kind => 'ivf') persists k centroids + per-vector " +
+    "cells with an epoch-pinning _meta row; the receipt adds up") {
+    val r = spark.sql("CALL graft_ix.system.build_ann_index(" +
+      s"table => 'ann.coarse', source_dir => '$sfDir', kind => 'ivf', " +
+      "k => 4, iters => 2)").collect()(0)
+    assert(r.getAs[String]("kind") == "ivf")
+    assert(r.getAs[Long]("centroids") == 4L)
+    assert(r.getAs[Long]("codebookEntries") == 0L, "ivf kind trains no codebooks")
+    val nvec = graft.Tables.embeddings(spark, sfDir).count()
+    assert(r.getAs[Long]("vectors") == nvec)
+    val dim = r.getAs[Int]("dim")
+    assert(dim > 0)
+
+    val idx = s"$warehouse/ann/coarse"
+    val cent = AnnIndex.loadCoarseCentroids(spark, idx).collect()
+    assert(cent.length == 4, cent.toSeq)
+    assert(cent.forall(_.getSeq[Double](1).size == dim))
+    val cells = AnnIndex.loadVectorCells(spark, idx)
+    assert(cells.count() == nvec)
+    assert(cells.select(countDistinct(col("vec_id"))).head().getLong(0) == nvec,
+      "exactly one cell assignment per vector")
+    val m = AnnIndex.meta(spark, idx)
+    assert(m("kind") == "ivf" && m("k") == "4" && m("iters") == "2" &&
+      m("source") == sfDir && m("nvec") == nvec.toString &&
+      m("dim") == dim.toString, m)
+  }
+
+  test("persisted centroids round-trip the trained doubles BIT-FOR-BIT " +
+    "(pack_doubles cells, not decimal strings)") {
+    val e = SimilarityQueries.embWithNorm(spark, sfDir)
+    val (_, cent) = SimilarityQueries.kmediansCells(e, 4, 2)
+    val trained = cent.select(col("cell"), col("cv")).collect()
+      .map(r => r.getAs[Number]("cell").intValue() -> r.getSeq[Double](r.fieldIndex("cv"))).toMap
+    val loaded = AnnIndex.loadCoarseCentroids(spark, s"$warehouse/ann/coarse")
+      .select(col("cell"), col("cv")).collect()
+      .map(r => r.getAs[Number]("cell").intValue() -> r.getSeq[Double](r.fieldIndex("cv"))).toMap
+    assert(trained.keySet == loaded.keySet)
+    for ((cell, cv) <- trained) {
+      val got = loaded(cell)
+      assert(got.size == cv.size)
+      cv.zip(got).zipWithIndex.foreach { case ((a, b), i) =>
+        assert(java.lang.Double.doubleToLongBits(a) ==
+          java.lang.Double.doubleToLongBits(b),
+          s"cell $cell coord $i: trained $a, loaded $b — persistence is lossy")
+      }
+    }
+  }
+
+  test("requireEpoch refuses a stale or mis-parameterized index loudly, " +
+    "naming every drifted key") {
+    val idx = s"$warehouse/ann/coarse"
+    AnnIndex.requireEpoch(spark, idx, Map("kind" -> "ivf", "k" -> "4"))
+    val e = intercept[IllegalArgumentException](
+      AnnIndex.requireEpoch(spark, idx,
+        Map("kind" -> "ivfpq", "k" -> "8", "source" -> sfDir)))
+    assert(e.getMessage.contains("kind") && e.getMessage.contains("k:") &&
+      e.getMessage.contains("build_ann_index"), e.getMessage)
+  }
+
+  test("unknown kind refuses before any training runs") {
+    val e = intercept[Exception](spark.sql(
+      "CALL graft_ix.system.build_ann_index(table => 'ann.bad', " +
+        s"source_dir => '$sfDir', kind => 'zigzag')"))
+    assert(e.getMessage.contains("ivfpq"), e.getMessage)
+    assert(!spark.sql("SHOW TABLES IN graft_ix.ann").collect()
+      .exists(_.getString(1) == "bad"), "a refused build must not land")
+  }
+
+  test("served queries are BIT-IDENTICAL to their trained-in-query twins " +
+    "(the hash-gate parity, pinned locally)") {
+    val twinK = graft.SparkEntry.queries("q_ann_kmeans")(spark, sfDir).collect().toSeq
+    val servedK = graft.SparkEntry.queries("q_ann_kmeans_served")(spark, sfDir).collect().toSeq
+    assert(twinK == servedK, "q_ann_kmeans_served diverged from its twin")
+    val twinI = graft.SparkEntry.queries("q_ann_ivfpq")(spark, sfDir).collect().toSeq
+    val servedI = graft.SparkEntry.queries("q_ann_ivfpq_served")(spark, sfDir).collect().toSeq
+    assert(twinI == servedI, "q_ann_ivfpq_served diverged from its twin")
+  }
+
+  test("rebuilding the index is one atomic REPLACE: the new epoch swaps " +
+    "in wholesale (no stale mix), and the receipt reflects new params") {
+    val r = spark.sql("CALL graft_ix.system.build_ann_index(" +
+      s"table => 'ann.coarse', source_dir => '$sfDir', kind => 'ivf', " +
+      "k => 6, iters => 1)").collect()(0)
+    assert(r.getAs[Long]("centroids") == 6L)
+    val idx = s"$warehouse/ann/coarse"
+    assert(AnnIndex.loadCoarseCentroids(spark, idx).count() == 6)
+    assert(AnnIndex.meta(spark, idx)("k") == "6")
+  }
+}

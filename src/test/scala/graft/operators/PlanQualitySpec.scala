@@ -224,6 +224,31 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(explodes == 1, s"expected ONE corpus posexplode, got $explodes:\n$plan")
   }
 
+  test("q_ann_*_served: serving NEVER trains — after the index fixture's " +
+    "one-time build, repeated served runs trigger zero Lloyd trainings " +
+    "and their plans carry no median aggregate (VERDICT r12 Next #1)") {
+    // first touch may build the index (one CALL -> two trainings); that
+    // is the amortized cost this feature exists to pay exactly once
+    SparkEntry.queries("q_ann_kmeans_served")(spark, sfDir).collect()
+    val after = SimilarityQueries.trainingsRun.get()
+    val servedK = SparkEntry.queries("q_ann_kmeans_served")(spark, sfDir)
+    servedK.collect()
+    val servedI = SparkEntry.queries("q_ann_ivfpq_served")(spark, sfDir)
+    servedI.collect()
+    assert(SimilarityQueries.trainingsRun.get() == after,
+      "a served query re-ran Lloyd training — the persisted index is not " +
+        "being served")
+    for ((df, name) <- Seq(servedK -> "kmeans_served", servedI -> "ivfpq_served")) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.toLowerCase.contains("median"),
+        s"$name plan contains a training-stage median aggregate:\n$plan")
+    }
+    // and the counter itself is live: an in-query twin DOES train
+    SparkEntry.queries("q_ann_kmeans")(spark, sfDir).collect()
+    assert(SimilarityQueries.trainingsRun.get() > after,
+      "the training counter must observe the twin's fresh training")
+  }
+
   test("q_quantiles: windows consume the (lang,tok) count relation, never full rows") {
     val plan = finalPlan("q_quantiles").split("== Initial Plan ==").head
     // counting-sort form: the only full-data pass is a map-side-combinable
