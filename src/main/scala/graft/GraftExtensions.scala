@@ -29,6 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     // users write aggregate(zip_with(...)); plans run the native VectorDot
     ext.injectOptimizerRule(_ => graft.plans.RewriteHofDotProduct)
+    // SELECT * FROM graft_lookup(dir, keys) — relation-valued point
+    // reads through the same index-nested-loop tier as CALL lookup
+    ext.injectTableFunction((graft.plans.GraftLookupTvf.ident,
+      graft.plans.GraftLookupTvf.info, graft.plans.GraftLookupTvf.build))
     // broadcast-small-side key equi-joins against sstable relations plan
     // as index-nested-loop probes (zero table scan, zero shuffle)
     ext.injectPlannerStrategy(_ =>
@@ -72,6 +76,9 @@ object GraftExtensions {
   /** Register on an already-running session (tests, notebooks). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     org.apache.spark.sql.GraftFunctionRegistrar.register(spark, functions)
+    org.apache.spark.sql.GraftFunctionRegistrar.registerTable(spark,
+      graft.plans.GraftLookupTvf.ident, graft.plans.GraftLookupTvf.info,
+      graft.plans.GraftLookupTvf.build)
     graft.sources.sstable.spark.SSTableLookupJoin.install(spark)
   }
 }

@@ -43,6 +43,9 @@ object PerfProbe {
     if (args.headOption.contains("pins")) { pinsProbe(spark); spark.stop(); return }
     if (args.headOption.contains("maintenance")) { maintenanceProbe(spark); spark.stop(); return }
     if (args.headOption.contains("lifecycle")) { lifecycleProbe(spark); spark.stop(); return }
+    if (args.headOption.contains("lifecyclescale")) {
+      lifecycleScaleProbe(spark); spark.stop(); return
+    }
 
     val docs = Tables.documents(spark, sfDir)
 
@@ -677,6 +680,74 @@ object PerfProbe {
     val undropMs = (System.nanoTime() - t0) / 1e6
     println(f"DROP TABLE (trash swap, ${1 + commits} gens)              $dropMs%8.1f ms")
     println(f"CALL undrop_table                              $undropMs%8.1f ms")
+  }
+
+  /** Lifecycle pricing one decade up (VERDICT r12 Next #6): the r12
+    * lifecycle numbers were single-scale (11 generations); this runs the
+    * same operations at 11 AND ~101 generations and prints per-op
+    * SLOPES, so the O(table files) copy claims (DROP's trash copy,
+    * undrop's restore) and the O(metadata) pointer claims (INSERT
+    * commit, finalize) are confirmed — or exposed — by measurement.
+    * The trash copy is the candidate super-linear step: it must scale
+    * ~10× with 10× the files, never worse. */
+  private def lifecycleScaleProbe(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    val wh = java.nio.file.Files.createTempDirectory("lcscale").toString
+    spark.conf.set("spark.sql.catalog.graft_lsc",
+      "graft.sources.sstable.spark.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_lsc.warehouse", wh)
+    spark.sql("CREATE NAMESPACE graft_lsc.p")
+    def rows(n: Int, tag: Int) = spark.range(n).select(
+      concat(lit(f"k$tag%04d-"), format_string("%05d", col("id")))
+        .cast("binary").as("key"),
+      array(struct(lit("c").cast("binary").as("name"),
+        lit("NORMAL").as("state"), lit("v").cast("binary").as("value"),
+        lit(tag.toLong).as("timestamp"), lit(0L).as("ttlSecs"),
+        lit(0L).as("expiresMillis"))).as("columns"),
+      lit(null).cast("struct<localDeletionTime: int, markedForDeleteAt: bigint>")
+        .as("rowTombstone"))
+    // order matters: the FIRST scale pays JVM/codegen warm-up and would
+    // invert the slope (the r12-era single-scale numbers were all cold).
+    // Run 10 (cold, discarded), then 100, then 10 again — the slope
+    // compares the two WARM runs.
+    val results = Seq(10, 100, 10).zipWithIndex.map { case (commits, run) =>
+      val t = s"graft_lsc.p.t${commits}_$run"
+      spark.sql(s"CREATE TABLE $t")
+      // warm the write path once per table
+      rows(500, 0).createOrReplaceTempView("lcscale_warm")
+      spark.sql(s"INSERT INTO $t SELECT * FROM lcscale_warm")
+      var t0 = System.nanoTime()
+      (1 to commits).foreach { i =>
+        rows(500, i).createOrReplaceTempView(s"lcscale_$i")
+        spark.sql(s"INSERT INTO $t SELECT * FROM lcscale_$i")
+      }
+      val insertMs = (System.nanoTime() - t0) / 1e6 / commits
+      val gens = graft.sources.sstable.LocalStorage
+        .listDataFiles(s"$wh/p/t${commits}_$run").length
+      val files = graft.sources.sstable.LocalStorage
+        .listFiles(s"$wh/p/t${commits}_$run").length
+      t0 = System.nanoTime()
+      spark.sql(s"DROP TABLE $t")
+      val dropMs = (System.nanoTime() - t0) / 1e6
+      t0 = System.nanoTime()
+      spark.sql(s"CALL graft_lsc.system.undrop_table(table => 'p.t${commits}_$run')")
+      val undropMs = (System.nanoTime() - t0) / 1e6
+      // REPLACE: trash copy of the now-(commits+1)-gen tree + migrate home
+      t0 = System.nanoTime()
+      spark.sql(s"CREATE OR REPLACE TABLE $t AS SELECT * FROM $t " +
+        "WHERE key < CAST('k0000-00010' AS BINARY)")
+      val replaceMs = (System.nanoTime() - t0) / 1e6
+      println(f"gens=$gens%4d files=$files%5d  INSERT $insertMs%7.1f ms/commit  " +
+        f"DROP $dropMs%8.1f ms  undrop $undropMs%8.1f ms  REPLACE $replaceMs%8.1f ms")
+      (gens, files, insertMs, dropMs, undropMs, replaceMs)
+    }
+    val (g2, f2, i2, d2, u2, r2) = results(1) // 100 commits, warm
+    val (g1, f1, i1, d1, u1, r1) = results(2) // 10 commits, warm
+    println(f"slopes at ${f2.toDouble / f1}%.1fx files (${g2}%d vs ${g1}%d gens):")
+    println(f"  INSERT  ${i2 / i1}%5.2fx  (want ~1x: O(metadata) commit)")
+    println(f"  DROP    ${d2 / d1}%5.2fx  (want <=${f2.toDouble / f1}%.1fx: O(files) trash copy)")
+    println(f"  undrop  ${u2 / u1}%5.2fx  (want <=${f2.toDouble / f1}%.1fx: O(files) restore copy)")
+    println(f"  REPLACE ${r2 / r1}%5.2fx  (want <=${f2.toDouble / f1}%.1fx: O(files) copy+migrate)")
   }
 
   private def pinsProbe(spark: SparkSession): Unit = {

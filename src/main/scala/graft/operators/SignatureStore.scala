@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Params._
+
+/** Catalog-grain incremental dedup (VERDICT r12 Next #2): the batch twin
+  * of [[graft.streaming.StreamingIncrementalDedup]]. The MinHash
+  * signature store is an SSTable CATALOG table keyed by doc_id; `CALL
+  * update_signatures(table, source_dir[, where])` computes signatures
+  * ONLY for documents absent from the store and appends them as one
+  * generation — a corpus that grows by INSERT pays signature computation
+  * for ΔT, not for T∪ΔT re-paid every run.
+  *
+  * The 100 TB shape, in order:
+  *  1. the store probe is a KEY-ONLY catalog scan (doc_id lives in the
+  *     key, so the DSv2 source plans it from Index.db sidecars — no
+  *     Data.db IO);
+  *  2. novelty is an anti-join of the corpus's doc_id COLUMN against
+  *     those keys — narrow on both sides, document text never enters
+  *     this join;
+  *  3. text is fetched by a broadcast join of the (delta-sized by
+  *     definition) novel-id set against the corpus — text is read once
+  *     and never shuffled (PlanQualitySpec pins all three);
+  *  4. signatures append as ONE sorted generation (the Cassandra flush
+  *     model — never a read-modify-write of the store), and the store
+  *     self-maintains via the table's own write-triggered `autocompact`.
+  *
+  * Short documents (fewer than [[Params.ShingleN]] tokens) persist with
+  * an EMPTY signature — remembered, so they are not re-probed as novel
+  * forever — and are filtered by readers, matching the oracle exactly
+  * (its shingle unnest yields no rows for them).
+  *
+  * Signatures persist as the comma-joined decimal longs of the
+  * [[graft.functions.MinHashSignature]] output — exact for integers, and
+  * the store row is the one place a signature is materialized (readers
+  * split+cast back). The `_meta` row pins perms/bands/shingle/hash
+  * parameters; [[requireParams]] refuses a drifted store loudly (probing
+  * a store built under different permutations would silently mark
+  * everything novel-or-stale). */
+object SignatureStore {
+
+  /** Fixed-width decimal key: sortable, and one `lpad` round-trips it. */
+  private def keyOf(docId: org.apache.spark.sql.Column) =
+    lpad(docId.cast("string"), 12, "0").cast("binary")
+
+  private val MetaKey = "_meta"
+
+  /** (doc_id, sig) — sig is the comma-joined signature (possibly empty
+    * for short docs) computed from text. NOT filtered: the store
+    * remembers short docs too. */
+  def signatures(docs: DataFrame): DataFrame = {
+    val sig = graft.functions.TextExpressions.minhash_signature(
+      col("text"), ShingleN,
+      (0 until MinHashPerms).map(Params.minHashA),
+      (0 until MinHashPerms).map(Params.minHashB), Params.MinHashP)
+    docs.select(col("doc_id"),
+      concat_ws(",", transform(sig, x => x.cast("string"))).as("sig"))
+  }
+
+  /** doc_ids already in the store, via a KEY-ONLY raw scan of the store
+    * directory — the DSv2 source plans it `indexOnly` (Index.db
+    * sidecars, no Data.db IO at any store size). Raw rather than the
+    * catalog route deliberately: the catalog read is delete-aware
+    * (merge-on-read), which forfeits the index-only plan, and the store
+    * is append-only BY CONTRACT — the CALL is its only writer and never
+    * deletes (documented on the procedure). */
+  def storedIds(s: SparkSession, storeDir: String): DataFrame =
+    s.read.format("sstable").load(storeDir).select(col("key"))
+      .filter(col("key") =!= lit(MetaKey.getBytes))
+      .select(col("key").cast("string").cast("bigint").as("doc_id"))
+
+  /** ΔT: corpus docs whose doc_id is absent from the store. The
+    * anti-join sees only doc_id columns; text rides the broadcast fetch
+    * join afterwards (novel ids are delta-sized by the operation's
+    * nature — a backfill-scale first ingest takes the empty-store path
+    * in [[update]] and skips the joins entirely). */
+  def novelDocs(corpus: DataFrame, stored: DataFrame): DataFrame = {
+    val novelIds = corpus.select(col("doc_id")).join(stored, Seq("doc_id"), "left_anti")
+    corpus.join(broadcast(novelIds), Seq("doc_id"))
+  }
+
+  /** The signature rows of one update, as SSTable rows ready to INSERT.
+    * Cell timestamp is fixed: a doc_id is written at most once (the
+    * anti-join guarantees it), and a wall clock would make
+    * otherwise-identical stores hash-diverge. */
+  def signatureRows(sigs: DataFrame): DataFrame =
+    sigs.select(keyOf(col("doc_id")).as("key"),
+      array(struct(lit("sig").cast("binary").as("name"), lit("NORMAL").as("state"),
+        col("sig").cast("binary").as("value"), lit(1L).as("timestamp"),
+        lit(0L).as("ttlSecs"), lit(0L).as("expiresMillis"))).as("columns"),
+      lit(null).cast("struct<localDeletionTime: int, markedForDeleteAt: bigint>")
+        .as("rowTombstone"))
+
+  private def metaRow(s: SparkSession, sourceDir: String): DataFrame = {
+    def cell(name: String, v: String) =
+      struct(lit(name).cast("binary").as("name"), lit("NORMAL").as("state"),
+        lit(v).cast("binary").as("value"), lit(1L).as("timestamp"),
+        lit(0L).as("ttlSecs"), lit(0L).as("expiresMillis"))
+    s.range(1).select(lit(MetaKey).cast("binary").as("key"),
+      array(
+        cell("bands", MinHashBands.toString),
+        cell("hash_p", Params.MinHashP.toString),
+        cell("perms", MinHashPerms.toString),
+        cell("shingle_n", ShingleN.toString),
+        cell("source", sourceDir)).as("columns"),
+      lit(null).cast("struct<localDeletionTime: int, markedForDeleteAt: bigint>")
+        .as("rowTombstone"))
+  }
+
+  /** Loud refusal when the store was built under different MinHash
+    * parameters — probing it would silently misclassify novelty. */
+  def requireParams(s: SparkSession, qualifiedTable: String): Unit = {
+    val meta = s.table(qualifiedTable)
+      .filter(col("key") === lit(MetaKey.getBytes))
+      .select(explode(col("columns")).as("c"))
+      .select(col("c.name").cast("string"), col("c.value").cast("string"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val expect = Map("perms" -> MinHashPerms.toString,
+      "bands" -> MinHashBands.toString, "shingle_n" -> ShingleN.toString,
+      "hash_p" -> Params.MinHashP.toString)
+    val drift = expect.collect {
+      case (k, want) if !meta.get(k).contains(want) =>
+        s"$k: store has ${meta.getOrElse(k, "(absent)")}, this engine uses $want"
+    }
+    require(drift.isEmpty,
+      s"signature store $qualifiedTable was built under different MinHash " +
+        s"parameters — ${drift.mkString("; ")}. Rebuild the store (DROP + " +
+        "CALL update_signatures) before probing it")
+  }
+
+  /** One incremental update: create the store if absent (write-triggered
+    * `autocompact` keeps probe cost flat as generations accumulate),
+    * probe, sign ΔT only, append as one generation. Returns
+    * (docsSeen, novel, alreadyStored). */
+  def update(s: SparkSession, qualifiedTable: String, storeDir: () => String,
+             sourceDir: String, whereSql: String,
+             autocompact: Int): (Long, Long, Long) = {
+    val fresh = !tableExists(s, qualifiedTable)
+    if (fresh) {
+      s.sql(s"CREATE TABLE $qualifiedTable " +
+        s"TBLPROPERTIES('autocompact'='$autocompact')")
+      val mv = s"graft_sig_meta_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      metaRow(s, sourceDir).createOrReplaceTempView(mv)
+      try s.sql(s"INSERT INTO $qualifiedTable SELECT * FROM $mv")
+      finally s.catalog.dropTempView(mv)
+    } else requireParams(s, qualifiedTable)
+    val corpus = graft.Tables.documents(s, sourceDir)
+      .filter(expr(whereSql)).select(col("doc_id"), col("text"))
+    val seen = corpus.count()
+    // empty-store fast path: everything is novel — no probe, no joins
+    // (this is also the honest backfill path when ΔT is corpus-sized)
+    val dir = storeDir()
+    val hasRows = !fresh && storedIds(s, dir).limit(1).count() > 0
+    val novel = (if (hasRows) novelDocs(corpus, storedIds(s, dir))
+      else corpus).persist()
+    try {
+      val novelCount = novel.count()
+      if (novelCount > 0) {
+        val view = s"graft_sig_upd_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        signatureRows(signatures(novel)).createOrReplaceTempView(view)
+        try s.sql(s"INSERT INTO $qualifiedTable SELECT * FROM $view")
+        finally s.catalog.dropTempView(view)
+      }
+      (seen, novelCount, seen - novelCount)
+    } finally novel.unpersist()
+  }
+
+  private def tableExists(s: SparkSession, qualifiedTable: String): Boolean =
+    try { s.table(qualifiedTable); true }
+    catch { case _: org.apache.spark.sql.AnalysisException => false }
+
+  /** The store read back for consumers (and the hash gate): (doc_id,
+    * sig), short docs' empty signatures filtered — exactly the relation
+    * a full recompute over the same corpus produces. */
+  def storedSignatures(s: SparkSession, qualifiedTable: String): DataFrame =
+    s.table(qualifiedTable)
+      .filter(col("key") =!= lit(MetaKey.getBytes))
+      .select(col("key").cast("string").cast("bigint").as("doc_id"),
+        explode(col("columns")).as("c"))
+      .filter(col("c.name").cast("string") === "sig")
+      .select(col("doc_id"), col("c.value").cast("string").as("sig"))
+      .filter(length(col("sig")) > 0)
+}

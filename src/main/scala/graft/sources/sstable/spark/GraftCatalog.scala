@@ -142,6 +142,13 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   // ---- TableCatalog ----
 
+  /** DECIDED (VERDICT r12 Next #5): `SHOW TABLES` may transiently list a
+    * crashed swap's residue (a `dropped:`/`restoring:` tombstone) until
+    * the next CREATE/undrop/vacuum clears it. Filtering would cost one
+    * `_table` props GET per listed name on every SHOW TABLES — this
+    * listing stays the honest ONE LIST, and the residue name is inert:
+    * loadTable and every DDL refuse it loudly, so the worst outcome is
+    * a stale name in an interactive listing. Pinned in GraftCatalogSpec. */
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val d = nsDir(namespace)
     if (!dirExists(d)) throw new NoSuchNamespaceException(catalogName +: namespace)
@@ -356,13 +363,45 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     true
   }
 
+  /** The refusal a name-claiming DDL (CREATE, CTAS, RENAME target)
+    * throws when [[reclaimResidueOrFalse]] said no. A live table is the
+    * plain TableAlreadyExists; NON-CLEARABLE residue — a fresh
+    * `restoring:` pointer, i.e. a possibly-live undrop/CTAS mid-copy —
+    * gets a self-explanatory refusal instead of a silent 24 h block
+    * (VERDICT r12 #4): the state, its age, when it becomes clearable,
+    * and the escape hatch. Deliberately NOT TableAlreadyExists for
+    * residue: `IF NOT EXISTS` must not no-op over a name that refuses
+    * every read — loud beats a phantom "already exists". */
+  private def nameClaimRefusal(ident: Identifier, d: String): Throwable =
+    PointerCommit.stateOf(storage, d) match {
+      case TableState.Restoring(src, _) =>
+        val age = try math.max(0L, System.currentTimeMillis() -
+          storage.mtime(s"$d/${GraftCatalog.TablePropsFile}"))
+        catch { case _: Exception => 0L }
+        val leftMin = math.max(0L,
+          (GraftCatalog.StageVacuumHorizonMs - age) / 60000 + 1)
+        new IllegalStateException(
+          s"${ident.toString} is blocked by mid-restore residue " +
+            s"(state: restoring from '$src', liveness stamp ${age / 1000}s " +
+            "old — an undrop or CTAS publish may still be copying content " +
+            "in; a crashed one looks the same until its stamp goes stale). " +
+            s"The name becomes reclaimable once the stamp passes the " +
+            s"${GraftCatalog.StageVacuumHorizonMs / 3600000}h liveness " +
+            s"floor (~${leftMin} min from now): retry this statement then, " +
+            "or run CALL <catalog>.system.vacuum_trash(namespace => '…') " +
+            "after the floor to sweep the residue explicitly. A fresher " +
+            "force-clear is deliberately not offered — it would destroy a " +
+            "LIVE restore's half-copied content")
+      case _ => new TableAlreadyExistsException(ident)
+    }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
     requireCanonicalShape(schema, partitions)
     val d = tableDir(ident)
     if (!reclaimResidueOrFalse(d))
-      throw new TableAlreadyExistsException(ident)
+      throw nameClaimRefusal(ident, d)
     val declared = validatedTableProps(properties)
     requireNamespaceParent(ident)
     // the claim is the CONDITIONAL pointer create (r12 review): an
@@ -560,7 +599,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): StagedTable = {
     if (!reclaimResidueOrFalse(tableDir(ident)))
-      throw new TableAlreadyExistsException(ident)
+      throw nameClaimRefusal(ident, tableDir(ident))
     stage(ident, schema, partitions, properties, replace = false)
   }
 
@@ -943,7 +982,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (!isLiveTableDir(from))
       throw new NoSuchTableException(oldIdent)
     if (!reclaimResidueOrFalse(to))
-      throw new TableAlreadyExistsException(newIdent)
+      throw nameClaimRefusal(newIdent, to)
     requireNamespaceParent(newIdent)
     val id = PointerCommit.newId()
     graft.sources.sstable.MaintenanceLease.withLease(from, storage,

@@ -550,6 +550,53 @@ private[spark] object GraftProcedures {
           Seq(row(utf8(kind), cents, codebook, vecs, dim))
         }),
 
+      "update_signatures" -> new Proc(
+        "update_signatures",
+        "incrementally maintain a MinHash signature store over a growing " +
+          "corpus (the batch twin of the streaming incremental dedup): " +
+          "probe THIS catalog table's keys (a key-only Index.db scan) for " +
+          "doc_ids already signed, compute signatures ONLY for the absent " +
+          "documents (narrow anti-join on ids; text is read once for the " +
+          "delta and never shuffled), and append them as one generation — " +
+          "the store self-maintains via its write-triggered autocompact. " +
+          "Creates the store on first call with a _meta row pinning the " +
+          "MinHash parameters; a store built under different parameters " +
+          "refuses loudly. A corpus that grows by INSERT pays signature " +
+          "computation for the delta, never for the whole corpus again. " +
+          "Contract: this CALL is the store's only writer — the store is " +
+          "append-only (the index-only probe deliberately skips " +
+          "delete-awareness; DELETE FROM the store is unsupported)",
+        Array(tableParam,
+          p("source_dir", StringType,
+            comment = "corpus directory holding documents.parquet"),
+          p("where", StringType, Some("'true'"),
+            comment = "SQL predicate selecting the ingest slice, e.g. " +
+              "'doc_id % 3 < 2'"),
+          p("autocompact", IntegerType, Some("8"),
+            comment = "write-triggered fold threshold for a NEW store")),
+        StructType(Seq(
+          StructField("docsSeen", LongType, nullable = false),
+          StructField("novel", LongType, nullable = false),
+          StructField("alreadyStored", LongType, nullable = false),
+          StructField("generations", IntegerType, nullable = false))),
+        (spark, in) => {
+          require(!in.isNullAt(0), "argument 'table' is required")
+          require(!in.isNullAt(1), "argument 'source_dir' is required")
+          val tableName = in.getUTF8String(0).toString
+          resolveParent(tableName) // loud on a missing namespace
+          val sourceDir = in.getUTF8String(1).toString
+          val whereSql = if (in.isNullAt(2)) "true" else in.getUTF8String(2).toString
+          val (seen, novel, skipped) = graft.operators.SignatureStore.update(
+            spark, qualified(tableName), () => dirOf(in), sourceDir, whereSql,
+            intArg(in, 3, 8))
+          // the table exists now — dirOf resolves it for the receipt's
+          // generation count (the autocompact observable)
+          val gens = graft.sources.sstable.Storage
+            .forPath(dirOf(in), spark.sessionState.newHadoopConf())
+            .listDataFiles(dirOf(in)).length
+          Seq(row(seen, novel, skipped, gens))
+        }),
+
       "lookup" -> new Proc(
         "lookup",
         "point reads in pure SQL: probe each key via bloom filter -> " +

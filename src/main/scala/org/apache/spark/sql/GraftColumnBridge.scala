@@ -35,4 +35,15 @@ object GraftFunctionRegistrar {
       registry.registerFunction(ident, info, builder)
     }
   }
+
+  /** Table-valued function registration on a live session — the
+    * `TableFunctionRegistry` twin of [[register]] (the config-driven
+    * route is `injectTableFunction` in the extensions). */
+  def registerTable(spark: SparkSession,
+                    ident: org.apache.spark.sql.catalyst.FunctionIdentifier,
+                    info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+                    builder: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+                      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState.tableFunctionRegistry
+      .registerFunction(ident, info, builder)
 }

@@ -249,6 +249,37 @@ class PlanQualitySpec extends AnyFunSuite {
       "the training counter must observe the twin's fresh training")
   }
 
+  test("q_dedup_incremental machinery: the store probe plans indexOnly " +
+    "(no Data.db IO), novelty is a narrow id anti-join + broadcast text " +
+    "fetch, and document text never rides an exchange (VERDICT r12 #2)") {
+    // a deliberately PARTIAL store (two thirds of the corpus): the full
+    // fixture store would make AQE fold the empty anti-join away and
+    // leave no plan shape to pin
+    val dir = java.nio.file.Files.createTempDirectory("pq-sigstore").toString
+    val corpus0 = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+    SignatureStore.signatureRows(
+        SignatureStore.signatures(corpus0.where("doc_id % 3 < 2")))
+      .write.format("sstable").mode("append").save(dir)
+    val probe = SignatureStore.storedIds(spark, dir)
+    probe.collect()
+    val probePlan = probe.queryExecution.executedPlan.toString
+    assert(probePlan.contains("indexOnly"),
+      s"the store probe must be a key-only Index.db scan:\n$probePlan")
+    val delta = SignatureStore.signatures(
+      SignatureStore.novelDocs(corpus0, SignatureStore.storedIds(spark, dir)))
+    assert(delta.count() > 0, "the partial store must leave a real delta")
+    delta.collect()
+    val plan = delta.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("LeftAnti"), s"no anti-join on stored ids:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the delta-sized novel-id set must broadcast into the text fetch:\n$plan")
+    val exchanges = "Exchange [a-z]+partitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(exchanges.forall(!_.contains("text")),
+      s"an exchange carries document text:\n$exchanges")
+  }
+
   test("q_quantiles: windows consume the (lang,tok) count relation, never full rows") {
     val plan = finalPlan("q_quantiles").split("== Initial Plan ==").head
     // counting-sort form: the only full-data pass is a map-side-combinable

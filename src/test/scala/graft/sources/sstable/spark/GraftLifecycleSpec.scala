@@ -538,4 +538,65 @@ class GraftLifecycleSpec extends AnyFunSuite {
       .forall(!_.startsWith("_commit-")))
     spark.sql("DROP TABLE graft_lc.ci.t")
   }
+
+  test("CREATE over fresh mid-restore residue refuses with a SELF-" +
+    "EXPLANATORY error — state, age, when it clears, the escape hatch " +
+    "(VERDICT r12 Next #4); IF NOT EXISTS is loud too (residue is not " +
+    "a table — a silent no-op would fake existence)") {
+    import graft.sources.sstable.LocalStorage
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_lc.rr")
+    // a crashed CTAS / live undrop shape: fresh restoring pointer
+    val d = s"$warehouse/rr/t"
+    assert(PointerCommit.createState(LocalStorage, d, Map.empty,
+      TableState.Restoring("_dropped-t-11111111", "11111111")))
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    for (sql <- Seq("CREATE TABLE graft_lc.rr.t",
+        "CREATE TABLE IF NOT EXISTS graft_lc.rr.t",
+        "CREATE TABLE graft_lc.rr.t AS SELECT CAST('k' AS BINARY) key, " +
+          "array(named_struct('name', CAST('c' AS BINARY), 'state', 'NORMAL', " +
+          "'value', CAST('v' AS BINARY), 'timestamp', CAST(1 AS BIGINT), " +
+          "'ttlSecs', CAST(0 AS BIGINT), 'expiresMillis', CAST(0 AS BIGINT))) " +
+          "columns, CAST(NULL AS STRUCT<localDeletionTime: INT, " +
+          "markedForDeleteAt: BIGINT>) rowTombstone")) {
+      val e = intercept[Exception](spark.sql(sql))
+      val msgs = chain(e)
+      assert(msgs.exists(m => m.contains("mid-restore residue") &&
+        m.contains("restoring from") && m.contains("liveness stamp") &&
+        m.contains("min from now") && m.contains("vacuum_trash")),
+        s"$sql refusal not self-explanatory: $msgs")
+    }
+    // once the stamp goes stale the name reclaims normally
+    new java.io.File(s"$d/${GraftCatalog.TablePropsFile}")
+      .setLastModified(System.currentTimeMillis() -
+        GraftCatalog.StageVacuumHorizonMs - 60000)
+    spark.sql("CREATE TABLE graft_lc.rr.t")
+    assert(keysOf("graft_lc.rr.t").isEmpty)
+    spark.sql("DROP TABLE graft_lc.rr.t PURGE")
+  }
+
+  test("SHOW TABLES may transiently list crash residue (DECIDED, " +
+    "VERDICT r12 Next #5: the listing stays one LIST — filtering costs " +
+    "a props read per name); the residue name is inert and clears with " +
+    "the next claim") {
+    import graft.sources.sstable.LocalStorage
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_lc.st")
+    val d = s"$warehouse/st/ghost"
+    assert(PointerCommit.createState(LocalStorage, d, Map.empty,
+      TableState.Dropped(None, "22222222")))
+    val listed = spark.sql("SHOW TABLES IN graft_lc.st")
+      .collect().map(_.getString(1)).toSeq
+    assert(listed.contains("ghost"),
+      "the documented transient: residue lists until the next claim")
+    // …but the name is INERT: reads refuse, it is not a table
+    val e = intercept[Exception](spark.sql("SELECT * FROM graft_lc.st.ghost"))
+    assert(e.getMessage != null)
+    // the next CREATE reclaims (Dropped residue is terminal → clearable)
+    spark.sql("CREATE TABLE graft_lc.st.ghost")
+    assert(keysOf("graft_lc.st.ghost").isEmpty)
+    spark.sql("DROP TABLE graft_lc.st.ghost PURGE")
+    // after a completed PURGE + finalize the name is gone from listings
+    assert(!spark.sql("SHOW TABLES IN graft_lc.st")
+      .collect().map(_.getString(1)).contains("ghost"))
+  }
 }

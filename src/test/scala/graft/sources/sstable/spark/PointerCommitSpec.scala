@@ -645,6 +645,86 @@ class PointerCommitSpec extends AnyFunSuite {
     assert(observe("graft_pc.c4.t").contains(Seq("a", "b")))
   }
 
+  test("RENAME observer (VERDICT r12 Next #3): a free-running reader of " +
+    "BOTH names sees complete states only — the one anomaly is the " +
+    "documented both-visible overlap, and neither-name-visible never " +
+    "happens while the data exists") {
+    spark.sql("CREATE NAMESPACE graft_pc.rn2")
+    spark.sql("CREATE TABLE graft_pc.rn2.t")
+    ins("graft_pc.rn2.t", Seq(("a", "1", 10L), ("b", "2", 20L)))
+    val content = Seq("a", "b")
+    val bad = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val sawBoth = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // sampling order matters for the neither-visible claim: `to` flips
+    // Live BEFORE `from` tombstones, so reading `from` FIRST means a
+    // None there implies `to` is already Live — (None, None) is
+    // impossible in this order, and observing it is the data-loss bug
+    def sample(at: String): Unit = {
+      val a = try observe("graft_pc.rn2.t") catch { case _: Throwable => return }
+      val b = try observe("graft_pc.rn2.t2") catch { case _: Throwable => return }
+      (a, b) match {
+        case (None, None) =>
+          bad.add(s"$at: NEITHER name visible — a reader lost the table"); ()
+        case (x, y) =>
+          if (x.exists(_ != content)) { bad.add(s"$at: partial old name $x"); () }
+          if (y.exists(_ != content)) { bad.add(s"$at: partial new name $y"); () }
+          if (x.contains(content) && y.contains(content)) sawBoth.set(true)
+      }
+    }
+    // deterministic boundary sampling: the instant before the old name's
+    // tombstone flip is the documented both-visible overlap
+    PointerCommit.testBeforeFlip = (dir, st) =>
+      if (dir.endsWith("/rn2/t") && st.isInstanceOf[TableState.Dropped])
+        sample("before-old-drop")
+    PointerCommit.testAfterFlip = (dir, _) =>
+      if (dir.contains("/rn2/")) sample("after-flip")
+    @volatile var stop = false
+    val reader = new Thread(() => { while (!stop) sample("loop") }, "rn2-reader")
+    reader.start()
+    try spark.sql("ALTER TABLE graft_pc.rn2.t RENAME TO rn2.t2")
+    finally {
+      stop = true
+      reader.join(10000)
+      resetSeams()
+    }
+    assert(bad.isEmpty, bad.toArray.mkString("; "))
+    assert(sawBoth.get(),
+      "the boundary sample must observe the documented both-visible overlap")
+    assert(observe("graft_pc.rn2.t").isEmpty)
+    assert(observe("graft_pc.rn2.t2").contains(content))
+  }
+
+  test("cascade observer (VERDICT r12 Next #3): free-running readers " +
+    "during DROP NAMESPACE CASCADE see each table whole or not at all; " +
+    "undrop restores everything") {
+    spark.sql("CREATE NAMESPACE graft_pc.co")
+    spark.sql("CREATE TABLE graft_pc.co.x")
+    spark.sql("CREATE TABLE graft_pc.co.y")
+    ins("graft_pc.co.x", Seq(("x1", "1", 10L), ("x2", "2", 20L)))
+    ins("graft_pc.co.y", Seq(("y1", "1", 10L)))
+    val want = Map("x" -> Seq("x1", "x2"), "y" -> Seq("y1"))
+    val bad = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    @volatile var stop = false
+    val readers = want.keys.map(t => new Thread(() => {
+      while (!stop)
+        try observe(s"graft_pc.co.$t") match {
+          case None => ()
+          case Some(s) if s == want(t) => ()
+          case Some(other) => bad.add(s"$t: PARTIAL $other"); ()
+        } catch { case _: Throwable => () } // loud refusals are legal
+    }, s"co-reader-$t")).toSeq
+    readers.foreach(_.start())
+    try spark.sql("DROP NAMESPACE graft_pc.co CASCADE")
+    finally { stop = true; readers.foreach(_.join(10000)) }
+    assert(bad.isEmpty, bad.toArray.mkString("; "))
+    assert(!spark.catalog.databaseExists("graft_pc.co"))
+    val res = spark.sql(
+      "CALL graft_pc.system.undrop_namespace(namespace => 'co')").collect()
+    assert(res(0).getAs[Int]("tablesRestored") == 2, res.toSeq)
+    assert(observe("graft_pc.co.x").contains(want("x")))
+    assert(observe("graft_pc.co.y").contains(want("y")))
+  }
+
   // ---- ADVICE r12 closures ----
 
   test("absorbRacers copies each racer fileset in PUBLISH order — " +
