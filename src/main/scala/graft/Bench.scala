@@ -122,6 +122,20 @@ object Bench {
     // errors, zero contended; objsim 0.339/0.336/0.400 — min
     // corroborated within 1.01x)
     "q_sstable_objsim" -> 0.336,
+    // r13 additions, same protocol: per-query min of THREE full quiet
+    // sf0.1 sweeps (totals 38.0/51.0/47.4 s, total_ratio
+    // 1.89->0.89/1.20/1.11 — sweeps 2-3 ambient-elevated with disjoint
+    // spike sets; zero errors, zero contended). kmeans_served
+    // 0.665/0.783/0.869, ivfpq_served 1.745/2.237/2.372,
+    // dedup_incremental 0.154/0.193/0.201 — every min corroborated
+    // within 1.28x. The served queries price INDEX LOADING per run
+    // (their fixtures train + persist once per session): kmeans_served
+    // at 0.665 vs its in-query twin's 3.420 floor is the 5x serving
+    // win; ivfpq_served reads codes+codebooks where the twin reuses
+    // session-memoized trained relations, so its floor sits above the
+    // twin's — the honest price of serving from storage
+    "q_ann_kmeans_served" -> 0.665, "q_ann_ivfpq_served" -> 1.745,
+    "q_dedup_incremental" -> 0.154,
     "q_sstable_rollback" -> 0.218, "q_sstable_since" -> 0.238,
     "q_sstable_sync" -> 0.081, "q_sstable_topk" -> 0.044,
     "q_stratified" -> 0.191, "q_text_stats" -> 0.227,
