@@ -464,20 +464,28 @@ object SSTableDemo {
         i => (((col("id") * 31 + i * 7) % 97).cast("float") / lit(97.0f)))
         .as("embedding"))
       .write.mode("overwrite").parquet(s"$annSrc/embeddings.parquet")
+    // the sample-train lifecycle: quantizers from HALF the corpus, the
+    // rest encoded incrementally against them — no retraining
     val annReceipt = spark.sql("CALL graft.system.build_ann_index(" +
       s"table => 'demo.annix', source_dir => '$annSrc', kind => 'ivfpq', " +
-      "k => 4, iters => 2, m => 4, pq_k => 4, pq_iters => 1)").head()
+      "k => 4, iters => 2, m => 4, pq_k => 4, pq_iters => 1, " +
+      "where => 'vec_id < 32')").head()
     val annBefore = graft.operators.SimilarityQueries.trainingsRun.get()
+    val annUpd = spark.sql("CALL graft.system.update_ann_index(" +
+      s"table => 'demo.annix', source_dir => '$annSrc')").head()
     val annDir = s"$dir-warehouse/demo/annix"
     val servedCents = graft.operators.AnnIndex.loadCoarseCentroids(spark, annDir).count()
     val servedCodes = graft.operators.AnnIndex.loadVectorCodes(spark, annDir, 4).count()
     val trainFree = graft.operators.SimilarityQueries.trainingsRun.get() == annBefore
-    println(s"== ANN index: CALL build_ann_index persisted " +
-      s"${annReceipt.getAs[Long]("centroids")} centroids + " +
-      s"${annReceipt.getAs[Long]("codebookEntries")} codebook entries + " +
-      s"${annReceipt.getAs[Long]("vectors")} vector codes (dim " +
-      s"${annReceipt.getAs[Int]("dim")}); serving loaded $servedCents " +
-      s"centroids / $servedCodes code rows training-free: $trainFree")
+    println(s"== ANN index: CALL build_ann_index trained on " +
+      s"${annReceipt.getAs[Long]("vectors")} of 64 vectors " +
+      s"(${annReceipt.getAs[Long]("centroids")} centroids + " +
+      s"${annReceipt.getAs[Long]("codebookEntries")} codebook entries, dim " +
+      s"${annReceipt.getAs[Int]("dim")}); update_ann_index encoded the " +
+      s"${annUpd.getAs[Long]("encoded")} new vectors against the persisted " +
+      s"quantizers (${annUpd.getAs[Long]("alreadyIndexed")} skipped); " +
+      s"serving loaded $servedCents centroids / $servedCodes code rows " +
+      s"training-free: $trainFree")
 
     // catalog-grain incremental dedup (r13): the MinHash signature store
     // as a catalog table — the second epoch signs ONLY the delta, the

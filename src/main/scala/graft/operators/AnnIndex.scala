@@ -63,12 +63,16 @@ object AnnIndex {
     * sees the old index or the new one, never a half-written mix. */
   def build(s: SparkSession, sourceDir: String, qualifiedTable: String,
             kind: String, k: Int, iters: Int,
-            m: Int, pqK: Int, pqIters: Int): (Long, Long, Long, Int, Long) = {
+            m: Int, pqK: Int, pqIters: Int,
+            whereSql: String = "true"): (Long, Long, Long, Int, Long) = {
     require(Set("ivf", "pq", "ivfpq").contains(kind),
       s"kind must be 'ivf', 'pq' or 'ivfpq', got '$kind'")
-    val e = SimilarityQueries.embWithNorm(s, sourceDir)
-    val dim = e.select(size(col("v"))).head().getInt(0)
+    val e = SimilarityQueries.embWithNorm(s, sourceDir).filter(expr(whereSql))
     val nvec = e.count()
+    require(nvec > 0,
+      s"build_ann_index: the corpus at $sourceDir has no vectors — an " +
+        "empty index would serve nothing; ingest embeddings first")
+    val dim = e.select(size(col("v"))).head().getInt(0)
     val wantCoarse = kind != "pq"
     val wantPq = kind != "ivf"
 
@@ -130,7 +134,8 @@ object AnnIndex {
         strCell("nvec", lit(nvec)),
         strCell("pq_iters", lit(pqIters)),
         strCell("pq_k", lit(pqK)),
-        strCell("source", lit(sourceDir))).as("columns"),
+        strCell("source", lit(sourceDir)),
+        strCell("where", lit(whereSql))).as("columns"),
       noTombstone)
 
     val all = (centroidRows.toSeq ++ codebookRows.toSeq :+ vectorRows :+ metaRows)
@@ -139,8 +144,11 @@ object AnnIndex {
     all.createOrReplaceTempView(view)
     try s.sql(s"CREATE OR REPLACE TABLE $qualifiedTable AS SELECT * FROM $view")
     finally s.catalog.dropTempView(view)
-    (coarse.map(_ => k.toLong).getOrElse(0L),
-      pq.map(_ => m.toLong * pqK).getOrElse(0L),
+    // receipt counts are MEASURED, not assumed: a Lloyd cell that loses
+    // all members yields no centroid row, so the real count can sit
+    // below k (cheap — the trained relations are checkpoint-backed)
+    (centroidRows.map(_.count()).getOrElse(0L),
+      codebookRows.map(_.count()).getOrElse(0L),
       nvec, dim, nvec)
   }
 
@@ -210,5 +218,109 @@ object AnnIndex {
       .filter(col("k").startsWith("v:") && col("name").startsWith("code"))
       .groupBy(substring(col("k"), 3, 12).cast("long").as("vec_id"))
       .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Coarse assignment of `vecs` (vec_id, v, nrm) under PERSISTED
+    * centroids — the EXACT rule of training's final pass (max cosine;
+    * exact tie → lowest cell id), so encoding a vector incrementally is
+    * bit-identical to what a training run that ended on these centroids
+    * would have assigned. */
+  def assignCoarse(vecs: DataFrame, cent: DataFrame): DataFrame = {
+    val sim = vector_dot(col("v"), col("cv")) / (col("nrm") * col("cn"))
+    vecs.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cell"), sim.as("csim"))
+      .groupBy("vec_id")
+      .agg(max_by(col("cell"), struct(col("csim"), -col("cell"))).as("cell"))
+  }
+
+  /** PQ encoding of `vecs` under persisted codebooks — same subvector
+    * slicing and assignment rule as [[SimilarityQueries.pqTrain]]'s
+    * final pass. Returns (vec_id, code0..code{m-1}). */
+  def assignPq(vecs: DataFrame, cents: DataFrame, m: Int): DataFrame = {
+    val subLen = (size(col("v")) / m).cast("int")
+    val subs = vecs.select(col("vec_id"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"), col("v"))
+      .select(col("sub"), col("vec_id"),
+        slice(col("v"), col("sub") * subLen + 1, subLen).as("v"))
+      .withColumn("nrm", sqrt(vector_dot(col("v"), col("v"))))
+    val sim = vector_dot(col("v"), col("cv")) / (col("nrm") * col("cn"))
+    val assigned = subs.join(broadcast(cents), "sub")
+      .select(col("sub"), col("vec_id"), sim.as("csim"), col("cell"))
+      .groupBy("sub", "vec_id")
+      .agg(max_by(col("cell"), struct(col("csim"), -col("cell"))).as("cell"))
+    val aggs = (0 until m).map(i =>
+      max(when(col("sub") === i, col("cell"))).as(s"code$i"))
+    assigned.groupBy("vec_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** vec_ids already indexed — a key-only raw scan of the `v:` rows
+    * (Index.db sidecars only; same probe shape as the signature store's). */
+  def indexedVecIds(s: SparkSession, idxDir: String): DataFrame =
+    s.read.format("sstable").load(idxDir).select(col("key").cast("string").as("k"))
+      .filter(col("k").startsWith("v:"))
+      .select(substring(col("k"), 3, 12).cast("long").as("vec_id"))
+
+  /** Incremental vector ingestion (the lifecycle twin of the signature
+    * store): encode ONLY the corpus vectors absent from the index,
+    * using the PERSISTED quantizers — centroids and codebooks are
+    * trained rarely (at build), new vectors pay one broadcast
+    * assignment pass, appended as ONE generation. At 100 TB this is how
+    * the index follows a growing corpus without hours of re-training
+    * per ingest. Returns (seen, encoded, alreadyIndexed). Same
+    * single-maintainer contract as update_signatures (probe-then-append
+    * is check-then-act between concurrent callers). */
+  def update(s: SparkSession, qualifiedTable: String, idxDir: String,
+             sourceDir: String): (Long, Long, Long) = {
+    val m0 = meta(s, idxDir)
+    require(m0.nonEmpty && m0.contains("kind"),
+      s"$qualifiedTable carries no ANN-index _meta row — build it with " +
+        "CALL build_ann_index first")
+    require(m0.get("source").contains(sourceDir),
+      s"index $qualifiedTable was built over '${m0.getOrElse("source", "?")}' " +
+        s"— refusing to ingest vectors from '$sourceDir' (an index must " +
+        "follow ONE corpus; rebuild to retarget)")
+    val kind = m0("kind")
+    val dim = m0("dim").toInt
+    val pqM = m0("m").toInt
+    val e = SimilarityQueries.embWithNorm(s, sourceDir)
+    val seen = e.count()
+    val novel = e.join(
+      e.select(col("vec_id"))
+        .join(indexedVecIds(s, idxDir), Seq("vec_id"), "left_anti")
+        .hint("broadcast"), Seq("vec_id"))
+      .persist()
+    try {
+      val encoded = novel.count()
+      if (encoded > 0) {
+        val badDim = novel.filter(size(col("v")) =!= dim).count()
+        require(badDim == 0,
+          s"$badDim new vector(s) have a dimension != the index's $dim — " +
+            "the corpus changed shape; rebuild the index")
+        val cellsDf = if (kind != "pq")
+          Some(assignCoarse(novel, loadCoarseCentroids(s, idxDir))) else None
+        val codesDf = if (kind != "ivf")
+          Some(assignPq(novel, loadPqCodebooks(s, idxDir), pqM)) else None
+        val joined = (cellsDf, codesDf) match {
+          case (Some(a), Some(b)) => a.join(b, "vec_id")
+          case (Some(a), None) => a
+          case (None, Some(b)) => b
+          case (None, None) => sys.error("unreachable: kind validated at build")
+        }
+        val cellCols =
+          cellsDf.map(_ => strCell("cell", col("cell"))).toSeq ++
+            codesDf.toSeq.flatMap(_ =>
+              (0 until pqM).map(i => strCell(s"code$i", col(s"code$i"))))
+        val rows = joined.select(
+          concat(lit("v:"), lpad(col("vec_id").cast("string"), 12, "0"))
+            .cast("binary").as("key"),
+          array(cellCols: _*).as("columns"),
+          noTombstone)
+        val view = s"graft_ann_upd_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        rows.createOrReplaceTempView(view)
+        try s.sql(s"INSERT INTO $qualifiedTable SELECT * FROM $view")
+        finally s.catalog.dropTempView(view)
+      }
+      (seen, encoded, seen - encoded)
+    } finally novel.unpersist()
   }
 }

@@ -80,6 +80,10 @@ object GraftLookupTvf {
     val session = SparkSession.active
     val storage = graft.sources.sstable.Storage.forPath(
       dir, session.sessionState.newHadoopConf())
+    // the raw-path pointer guard every path-API entry shares: probing a
+    // tombstoned / mid-swap catalog directory must refuse loudly, never
+    // return a residue's partial answer (the r12 contract)
+    graft.sources.sstable.spark.SSTableSource.requireLiveRawDir(storage, dir)
     val prober = new graft.sources.sstable.SSTableReader
       .DirectoryProber(dir, storage)
     val schema = graft.sources.sstable.spark.SSTableSchema.schema

@@ -525,7 +525,11 @@ private[spark] object GraftProcedures {
           p("pq_k", IntegerType, Some(graft.operators.Params.PqK.toString),
             comment = "codes per subspace"),
           p("pq_iters", IntegerType, Some(graft.operators.Params.PqIters.toString),
-            comment = "codebook Lloyd iterations")),
+            comment = "codebook Lloyd iterations"),
+          p("where", StringType, Some("'true'"),
+            comment = "SQL predicate selecting the training slice — the " +
+              "real pattern at scale: train quantizers on a sample, then " +
+              "CALL update_ann_index to encode the rest against them")),
         StructType(Seq(
           StructField("kind", StringType, nullable = false),
           StructField("centroids", LongType, nullable = false),
@@ -540,14 +544,46 @@ private[spark] object GraftProcedures {
           val sourceDir = in.getUTF8String(1).toString
           val kind = if (in.isNullAt(2)) "ivfpq"
             else in.getUTF8String(2).toString.toLowerCase(java.util.Locale.ROOT)
+          val whereSql = if (in.isNullAt(8)) "true" else in.getUTF8String(8).toString
           val (cents, codebook, vecs, dim, _) = graft.operators.AnnIndex.build(
             spark, sourceDir, qualified(tableName), kind,
             intArg(in, 3, graft.operators.Params.KMedK),
             intArg(in, 4, graft.operators.Params.KMedIters),
             intArg(in, 5, graft.operators.Params.PqM),
             intArg(in, 6, graft.operators.Params.PqK),
-            intArg(in, 7, graft.operators.Params.PqIters))
+            intArg(in, 7, graft.operators.Params.PqIters),
+            whereSql)
           Seq(row(utf8(kind), cents, codebook, vecs, dim))
+        }),
+
+      "update_ann_index" -> new Proc(
+        "update_ann_index",
+        "incrementally ingest NEW corpus vectors into a persisted ANN " +
+          "index: probe the index's v: keys (key-only Index.db scan) for " +
+          "vec_ids already encoded, assign ONLY the absent vectors under " +
+          "the PERSISTED quantizers (one broadcast pass — bit-identical " +
+          "to what training's final assignment rule gives; centroids and " +
+          "codebooks are never retrained here) and append them as one " +
+          "generation. The lifecycle twin of update_signatures: a corpus " +
+          "that grows by INSERT pays one encoding pass for the delta, " +
+          "never Lloyd training again. Refuses an index built over a " +
+          "different corpus or with missing _meta. Same single-maintainer " +
+          "contract as every maintenance CALL (probe-then-append)",
+        Array(tableParam,
+          p("source_dir", StringType,
+            comment = "the SAME corpus directory the index was built over")),
+        StructType(Seq(
+          StructField("docsSeen", LongType, nullable = false),
+          StructField("encoded", LongType, nullable = false),
+          StructField("alreadyIndexed", LongType, nullable = false))),
+        (spark, in) => {
+          require(!in.isNullAt(0), "argument 'table' is required")
+          require(!in.isNullAt(1), "argument 'source_dir' is required")
+          val tableName = in.getUTF8String(0).toString
+          val (seen, encoded, skipped) = graft.operators.AnnIndex.update(
+            spark, qualified(tableName), dirOf(in),
+            in.getUTF8String(1).toString)
+          Seq(row(seen, encoded, skipped))
         }),
 
       "update_signatures" -> new Proc(
@@ -563,7 +599,10 @@ private[spark] object GraftProcedures {
           "MinHash parameters; a store built under different parameters " +
           "refuses loudly. A corpus that grows by INSERT pays signature " +
           "computation for the delta, never for the whole corpus again. " +
-          "Contract: this CALL is the store's only writer — the store is " +
+          "Contract: this CALL is the store's only writer, ONE AT A TIME " +
+          "(the probe-then-append is check-then-act: two concurrent calls " +
+          "over the same delta would both sign it — the single-maintainer " +
+          "contract every maintenance CALL shares), and the store is " +
           "append-only (the index-only probe deliberately skips " +
           "delete-awareness; DELETE FROM the store is unsupported)",
         Array(tableParam,

@@ -68,13 +68,7 @@ class SSTableSource extends TableProvider with DataSourceRegister {
           graft.sources.sstable.Storage.forPath(p,
             org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
         else graft.sources.sstable.LocalStorage
-      TableState.of(GraftCatalog.readTableProps(storage, p)) match {
-        case TableState.Live => ()
-        case other => throw new IllegalStateException(
-          s"$p is a catalog table mid-lifecycle (${other.getClass.getSimpleName}" +
-            s") — read it through its catalog name, which resolves the " +
-            "pointer; the raw directory is not a complete table right now")
-      }
+      SSTableSource.requireLiveRawDir(storage, p)
     }
     new SSTableTable(properties.asScala.toMap)
   }
@@ -82,6 +76,21 @@ class SSTableSource extends TableProvider with DataSourceRegister {
 }
 
 object SSTableSource {
+  /** The pointer-state guard every RAW (path-API) entry point shares:
+    * a catalog directory caught mid-swap carries a non-Live
+    * `graft.state` pointer, and reading it raw would return an empty or
+    * partial table instead of the honest refusal catalog readers get.
+    * Used by getTable (scans) and the graft_lookup TVF (probes). */
+  private[graft] def requireLiveRawDir(storage: graft.sources.sstable.Storage,
+                                       dir: String): Unit =
+    TableState.of(GraftCatalog.readTableProps(storage, dir)) match {
+      case TableState.Live => ()
+      case other => throw new IllegalStateException(
+        s"$dir is a catalog table mid-lifecycle (${other.getClass.getSimpleName}" +
+          s") — read it through its catalog name, which resolves the " +
+          "pointer; the raw directory is not a complete table right now")
+    }
+
   val PathOption = "path"
   val TargetSplitBytesOption = "targetsplitbytes"
   /** Optional: evaluate TTLs at read time — EXPIRING columns whose

@@ -94,6 +94,18 @@ class AnnIndexSpec extends AnyFunSuite {
       e.getMessage.contains("build_ann_index"), e.getMessage)
   }
 
+  test("an empty corpus refuses loudly — an empty index would serve " +
+    "nothing (self-review: head() on the dim probe threw a bare " +
+    "NoSuchElementException before)") {
+    val emptySrc = Files.createTempDirectory("annix-empty").toString
+    graft.Tables.embeddings(spark, sfDir).limit(0)
+      .write.parquet(s"$emptySrc/embeddings.parquet")
+    val e = intercept[Exception](spark.sql(
+      "CALL graft_ix.system.build_ann_index(table => 'ann.empty', " +
+        s"source_dir => '$emptySrc', kind => 'ivf')"))
+    assert(e.getMessage.contains("no vectors"), e.getMessage)
+  }
+
   test("unknown kind refuses before any training runs") {
     val e = intercept[Exception](spark.sql(
       "CALL graft_ix.system.build_ann_index(table => 'ann.bad', " +
@@ -111,6 +123,52 @@ class AnnIndexSpec extends AnyFunSuite {
     val twinI = graft.SparkEntry.queries("q_ann_ivfpq")(spark, sfDir).collect().toSeq
     val servedI = graft.SparkEntry.queries("q_ann_ivfpq_served")(spark, sfDir).collect().toSeq
     assert(twinI == servedI, "q_ann_ivfpq_served diverged from its twin")
+  }
+
+  test("update_ann_index encodes ONLY the new vectors under the " +
+    "PERSISTED quantizers — bit-identical to direct assignment; a " +
+    "re-run is a no-op; a different corpus refuses (the sample-train " +
+    "then incremental-encode lifecycle)") {
+    val nvec = graft.Tables.embeddings(spark, sfDir).count()
+    // train on HALF the corpus — the real pattern: quantizers from a
+    // sample, everything encoded against them
+    val r1 = spark.sql("CALL graft_ix.system.build_ann_index(" +
+      s"table => 'ann.inc', source_dir => '$sfDir', kind => 'ivfpq', " +
+      "k => 4, iters => 2, m => 4, pq_k => 4, pq_iters => 1, " +
+      s"where => 'vec_id < ${nvec / 2}')").collect()(0)
+    assert(r1.getAs[Long]("vectors") == nvec / 2)
+    val r2 = spark.sql("CALL graft_ix.system.update_ann_index(" +
+      s"table => 'ann.inc', source_dir => '$sfDir')").collect()(0)
+    assert(r2.getAs[Long]("docsSeen") == nvec)
+    assert(r2.getAs[Long]("alreadyIndexed") == nvec / 2, r2.toString)
+    assert(r2.getAs[Long]("encoded") == nvec - nvec / 2)
+    // the invariant that makes incremental encoding SOUND: every stored
+    // assignment equals direct assignment under the persisted quantizers
+    val idx = s"$warehouse/ann/inc"
+    val e = SimilarityQueries.embWithNorm(spark, sfDir)
+    val expectedCells = AnnIndex
+      .assignCoarse(e, AnnIndex.loadCoarseCentroids(spark, idx))
+      .collect().map(r => r.getLong(0) -> r.getAs[Number]("cell").intValue()).toMap
+    val storedCells = AnnIndex.loadVectorCells(spark, idx)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(storedCells == expectedCells,
+      "incrementally-encoded cells diverged from direct assignment")
+    val expectedCodes = AnnIndex
+      .assignPq(e, AnnIndex.loadPqCodebooks(spark, idx), 4)
+      .collect().map(r => r.getLong(0) -> (1 to 4).map(r.getAs[Number](_).intValue())).toMap
+    val storedCodes = AnnIndex.loadVectorCodes(spark, idx, 4)
+      .collect().map(r => r.getLong(0) -> (1 to 4).map(r.getAs[Number](_).intValue())).toMap
+    assert(storedCodes == expectedCodes,
+      "incrementally-encoded codes diverged from direct assignment")
+    // idempotent re-run
+    val r3 = spark.sql("CALL graft_ix.system.update_ann_index(" +
+      s"table => 'ann.inc', source_dir => '$sfDir')").collect()(0)
+    assert(r3.getAs[Long]("encoded") == 0L, r3.toString)
+    // an index follows ONE corpus
+    val e2 = intercept[Exception](spark.sql(
+      "CALL graft_ix.system.update_ann_index(table => 'ann.inc', " +
+        "source_dir => '/root/testdata/sf0.01')"))
+    assert(e2.getMessage.contains("ONE corpus"), e2.getMessage)
   }
 
   test("rebuilding the index is one atomic REPLACE: the new epoch swaps " +

@@ -84,6 +84,30 @@ class GraftLookupTvfSpec extends AnyFunSuite {
     assert(joined == Seq("dim1"), joined)
   }
 
+  test("probing a tombstoned catalog directory refuses loudly — the " +
+    "raw-path pointer guard applies to the TVF like every path-API " +
+    "entry (self-review: a residue probe must never answer)") {
+    tableDir // fixture built
+    spark.sql("CREATE TABLE graft_tvf.lk.gone")
+    spark.sql("INSERT INTO graft_tvf.lk.gone VALUES (CAST('g' AS BINARY), " +
+      "array(named_struct('name', CAST('c' AS BINARY), 'state', 'NORMAL', " +
+      "'value', CAST('v' AS BINARY), 'timestamp', CAST(1 AS BIGINT), " +
+      "'ttlSecs', CAST(0 AS BIGINT), 'expiresMillis', CAST(0 AS BIGINT))), " +
+      "CAST(NULL AS STRUCT<localDeletionTime: INT, markedForDeleteAt: BIGINT>))")
+    // the crash shape a committed DROP leaves: the graft.state tombstone
+    // line in _table over still-present content — crafted through the
+    // ON-DISK contract (the format, not shared code)
+    val d = s"$warehouse/lk/gone"
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$d/_table"),
+      "graft.state=dropped::deadbeef".getBytes)
+    val e = intercept[Exception](spark.sql(
+      s"SELECT * FROM graft_lookup('$d', array(CAST('g' AS BINARY)))").collect())
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("mid-lifecycle")), chain(e))
+  }
+
   test("argument validation is loud: wrong key type, NULL dir, bad arity") {
     val d = tableDir
     def chain(t: Throwable): Seq[String] =
