@@ -142,7 +142,12 @@ object AnnIndex {
       .reduce(_ unionAll _)
     val view = s"graft_ann_build_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     all.createOrReplaceTempView(view)
-    try s.sql(s"CREATE OR REPLACE TABLE $qualifiedTable AS SELECT * FROM $view")
+    // autocompact: every update_ann_index ingest appends one generation,
+    // and probe/load cost is O(generations) — the index self-folds like
+    // the signature store (second-pass review: without it a
+    // frequently-updated index's key probe degrades unboundedly)
+    try s.sql(s"CREATE OR REPLACE TABLE $qualifiedTable " +
+      s"TBLPROPERTIES('autocompact'='8') AS SELECT * FROM $view")
     finally s.catalog.dropTempView(view)
     // receipt counts are MEASURED, not assumed: a Lloyd cell that loses
     // all members yields no centroid row, so the real count can sit

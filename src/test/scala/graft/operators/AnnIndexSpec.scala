@@ -169,6 +169,13 @@ class AnnIndexSpec extends AnyFunSuite {
       "CALL graft_ix.system.update_ann_index(table => 'ann.inc', " +
         "source_dir => '/root/testdata/sf0.01')"))
     assert(e2.getMessage.contains("ONE corpus"), e2.getMessage)
+    // the index self-folds: repeated ingests must not degrade the probe
+    // (asserted on the persisted _table contract — the SQL property
+    // surfaces normalize/strip internal write-tuning options)
+    val props = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$warehouse/ann/inc/_table")))
+    assert(props.contains("autocompact=8"),
+      s"the index table must carry write-triggered autocompact: $props")
   }
 
   test("rebuilding the index is one atomic REPLACE: the new epoch swaps " +
