@@ -157,6 +157,18 @@ object AnnIndex {
       nvec, dim, nvec)
   }
 
+  /** Concurrent-rebuild contract for the loaders below: each load is
+    * individually consistent (the raw-path pointer guard refuses the
+    * whole redirect window of a REPLACE, and the post-list re-check
+    * refuses mid-destroy residue), but a serving plan composed of
+    * SEVERAL loads could straddle a rebuild that completes between them
+    * and mix two epochs — serve from an index that is not being
+    * concurrently REBUILT, or pin a snapshot (`CALL snapshot`) and keep
+    * serving jobs on the pinned epoch while rebuilds land. Incremental
+    * `update_ann_index` appends are benign across loads: a vector seen
+    * by one load and not another simply drops out of the inner joins
+    * (the older consistent subset serves). */
+
   /** One raw read of the index table, exploded to (k, name, value) —
     * the shared decode surface of the loaders below. */
   private def cellsOf(s: SparkSession, idxDir: String): DataFrame =

@@ -178,6 +178,43 @@ class AnnIndexSpec extends AnyFunSuite {
       s"the index table must carry write-triggered autocompact: $props")
   }
 
+  test("chaos: free-running loaders during repeated index REBUILDS see " +
+    "one epoch's complete structures or a loud refusal — never a " +
+    "partial or mixed single load") {
+    spark.sql("CALL graft_ix.system.build_ann_index(table => 'ann.chaos', " +
+      s"source_dir => '$sfDir', kind => 'ivf', k => 4, iters => 1)")
+    val idx = s"$warehouse/ann/chaos"
+    val nvec = graft.Tables.embeddings(spark, sfDir).count()
+    val bad = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val reads = new java.util.concurrent.atomic.AtomicInteger
+    @volatile var stop = false
+    val reader = new Thread(() => {
+      while (!stop) {
+        // a single load must be internally complete: k centroids of ONE
+        // epoch (4 or 6 here) and exactly nvec cell assignments; any
+        // exception is the legal loud class (mid-lifecycle refusal,
+        // planning re-check, straggler IO on swapped files)
+        try {
+          val k = AnnIndex.loadCoarseCentroids(spark, idx).count()
+          if (k != 4 && k != 6) { bad.add(s"centroids: $k"); () }
+          reads.incrementAndGet()
+        } catch { case _: Throwable => () }
+        try {
+          val n = AnnIndex.loadVectorCells(spark, idx).count()
+          if (n != nvec) { bad.add(s"cells: $n of $nvec"); () }
+        } catch { case _: Throwable => () }
+      }
+    }, "ann-chaos-reader")
+    reader.start()
+    try (1 to 3).foreach { i =>
+      spark.sql("CALL graft_ix.system.build_ann_index(table => 'ann.chaos', " +
+        s"source_dir => '$sfDir', kind => 'ivf', k => ${if (i % 2 == 0) 4 else 6}, " +
+        "iters => 1)")
+    } finally { stop = true; reader.join(15000) }
+    assert(bad.isEmpty, s"partial/mixed loads: ${bad.toArray.mkString("; ")}")
+    assert(reads.get() > 0, "the reader must have completed some loads")
+  }
+
   test("rebuilding the index is one atomic REPLACE: the new epoch swaps " +
     "in wholesale (no stale mix), and the receipt reflects new params") {
     val r = spark.sql("CALL graft_ix.system.build_ann_index(" +
