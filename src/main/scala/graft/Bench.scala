@@ -136,6 +136,11 @@ object Bench {
     // twin's — the honest price of serving from storage
     "q_ann_kmeans_served" -> 0.665, "q_ann_ivfpq_served" -> 1.745,
     "q_dedup_incremental" -> 0.154,
+    // late-r13 addition, same protocol (three further quiet sweeps,
+    // totals 47.1/48.1/53.1 s, total_ratio 1.083/1.109/1.218 — the
+    // third ambient-elevated with a disjoint spike set; zero errors;
+    // pq_served 1.264/1.231/1.528, min corroborated within 1.03x)
+    "q_ann_pq_served" -> 1.231,
     "q_sstable_rollback" -> 0.218, "q_sstable_since" -> 0.238,
     "q_sstable_sync" -> 0.081, "q_sstable_topk" -> 0.044,
     "q_stratified" -> 0.191, "q_text_stats" -> 0.227,

@@ -474,6 +474,52 @@ object SimilarityQueries {
           e4(col("n_hits").cast("double") / KnnK).as("recall_e4"))
         .orderBy("q_id")
     }),
+    // q_ann_pq SERVED from the persisted index: codebooks + 4-byte
+    // codes LOADED from the catalog table; asymmetric-distance scoring
+    // identical to the twin (shared oracle SQL) with zero Lloyd
+    // training in the plan. Completes the served trio: coarse-only
+    // (kmeans_served), pq-only (here), composed (ivfpq_served).
+    "q_ann_pq_served" -> ((s, d) => {
+      val idx = servedIndex(s, d)
+      val cents = AnnIndex.loadPqCodebooks(s, idx)
+      val codes = AnnIndex.loadVectorCodes(s, idx, PqM)
+      val e = embWithNorm(s, d)
+      val q = e.filter(col("vec_id") < KnnQueryIds)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val luts = (0 until PqM).map { m =>
+        val qLen = (size(col("qv")) / PqM).cast("int")
+        q.crossJoin(broadcast(cents.filter(col("sub") === m)))
+          .select(col("q_id").as(s"q$m"), col("cell").as(s"cell$m"),
+            dot(slice(col("qv"), lit(m) * qLen + 1, qLen), col("cv"))
+              .as(s"d$m"), col("cn").as(s"cn$m"))
+      }
+      val scored = luts.zipWithIndex.foldLeft(codes) { case (acc, (lut, m)) =>
+        acc.join(broadcast(lut),
+          acc(s"code$m") === lut(s"cell$m") &&
+            (if (m == 0) lit(true) else acc("q0") === lut(s"q$m")))
+      }
+      val adot = col("d0") + col("d1") + col("d2") + col("d3")
+      val rn = sqrt(col("cn0") * col("cn0") + col("cn1") * col("cn1") +
+        col("cn2") * col("cn2") + col("cn3") * col("cn3"))
+      val approx = scored.join(broadcast(q), col("q0") === col("q_id"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("c_id"),
+          (adot / (col("qn") * rn)).as("sim"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+      val pq = approx.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= KnnK)
+        .select(col("q_id").as("q_id_p"), col("c_id").as("c_id_p"))
+      val bf = topK(broadcast(q).crossJoin(
+            e.select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn")))
+          .filter(col("q_id") =!= col("c_id")))
+        .select(col("q_id"), col("c_id"))
+      bf.join(broadcast(pq),
+          col("q_id") === col("q_id_p") && col("c_id") === col("c_id_p"), "left")
+        .groupBy("q_id").agg(count(col("c_id_p")).as("n_hits"))
+        .select(col("q_id"), col("n_hits"),
+          e4(col("n_hits").cast("double") / KnnK).as("recall_e4"))
+        .orderBy("q_id")
+    }),
     // q_ann_ivfpq SERVED from the persisted index: coarse centroids,
     // PQ codebooks AND the 4-byte per-vector codes all come from the
     // catalog table — raw embeddings are touched only for the query
@@ -588,6 +634,7 @@ object SimilarityQueries {
     * hash mismatches. */
   def oracles: Map[String, String] = baseOracles ++ Map(
     "q_ann_kmeans_served" -> baseOracles("q_ann_kmeans"),
+    "q_ann_pq_served" -> baseOracles("q_ann_pq"),
     "q_ann_ivfpq_served" -> baseOracles("q_ann_ivfpq"))
 
   private lazy val baseOracles: Map[String, String] = Map(

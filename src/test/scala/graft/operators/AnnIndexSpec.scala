@@ -123,6 +123,9 @@ class AnnIndexSpec extends AnyFunSuite {
     val twinI = graft.SparkEntry.queries("q_ann_ivfpq")(spark, sfDir).collect().toSeq
     val servedI = graft.SparkEntry.queries("q_ann_ivfpq_served")(spark, sfDir).collect().toSeq
     assert(twinI == servedI, "q_ann_ivfpq_served diverged from its twin")
+    val twinP = graft.SparkEntry.queries("q_ann_pq")(spark, sfDir).collect().toSeq
+    val servedP = graft.SparkEntry.queries("q_ann_pq_served")(spark, sfDir).collect().toSeq
+    assert(twinP == servedP, "q_ann_pq_served diverged from its twin")
   }
 
   test("update_ann_index encodes ONLY the new vectors under the " +
