@@ -1457,23 +1457,60 @@ object GraftCatalog {
   }
 
   private[spark] def readTableProps(storage: Storage,
-                                    dir: String): Map[String, String] = {
+                                    dir: String): Map[String, String] =
+    readTablePropsIfExists(storage, dir).getOrElse(Map.empty)
+
+  /** [[readTableProps]] distinguishing a MISSING `_table` (None) from a
+    * present one (Some — possibly an empty map: a bare CREATE's
+    * propless pointer). ONE read, no exists() pre-check: the post-list
+    * guards must judge the pointer's existence and its state from the
+    * SAME atomic view — the r13 chaos find was an exists()+read pair
+    * whose vanish window let a finalize's just-deleted tombstone read
+    * as "no props" = Live, serving a successful EMPTY result from a
+    * table that was never empty. */
+  private[spark] def readTablePropsIfExists(storage: Storage,
+      dir: String): Option[Map[String, String]] = {
     val p = s"$dir/$TablePropsFile"
-    if (!storage.exists(p)) return Map.empty
-    // exists-then-read is check-then-act: a tombstone finalize deleting
-    // `_table` LAST (or a whole table dir vanishing) between the two
-    // reads the same as "no props file" — never an error (Hadoop open
-    // THROWS on vanished paths, the stat-race class)
     val text =
       try storage.readString(p)
       catch {
+        // vanished (or never there): Hadoop open THROWS on missing
+        // paths — the stat-race class; LocalStorage throws FNF too
         case _: java.io.FileNotFoundException |
-             _: java.nio.file.NoSuchFileException => return Map.empty
+             _: java.nio.file.NoSuchFileException => return None
       }
-    text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).map { line =>
-        val i = line.indexOf('=')
-        require(i > 0, s"malformed table property line in $p: '$line'")
-        line.take(i) -> line.drop(i + 1)
-      }.toMap
+    Some(text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).map { line =>
+      val i = line.indexOf('=')
+      require(i > 0, s"malformed table property line in $p: '$line'")
+      line.take(i) -> line.drop(i + 1)
+    }.toMap)
+  }
+
+  /** The SHARED post-list pointer re-check (scan Batch snapshot,
+    * stats-only aggregate, index source, probe-join exec): one atomic
+    * `_table` read decides BOTH the pointer's existence and its state.
+    *  - catalog-managed + empty listing + NO pointer file → refuse (a
+    *    removal's final instant; a real empty catalog table always has
+    *    its pointer file, propless or not);
+    *  - any non-Live state → refuse (residue/redirect listings can be a
+    *    silent SUBSET of the table);
+    *  - hand-made (path-API) dirs keep empty-reads-empty. */
+  private[spark] def requirePostListState(storage: Storage, path: String,
+      listedEmpty: Boolean, catalogManaged: Boolean, at: String): Unit = {
+    val propsOpt = readTablePropsIfExists(storage, path)
+    if (listedEmpty && catalogManaged && propsOpt.isEmpty)
+      throw new IllegalStateException(
+        s"$path has no data and no _table pointer — a removal's final " +
+          "instant, or a directory that is not a table yet; rerun")
+    TableState.of(propsOpt.getOrElse(Map.empty)) match {
+      case TableState.Live => ()
+      case TableState.Redirect(_, _) => throw new IllegalStateException(
+        s"$path was REPLACED between resolution and $at (its pointer " +
+          "now redirects) — rerun the query against the new state")
+      case _ => throw new IllegalStateException(
+        s"$path was dropped between resolution and $at (pointer state " +
+          "says residue) — this listing could be a partial tree; rerun " +
+          "the query")
+    }
   }
 }

@@ -307,13 +307,9 @@ final case class SSTableLookupJoinExec(child: SparkPlan,
     // between resolution and this snapshot could leave a half-destroyed
     // residue listing — loud beats a silently partial probe set
     val listed = st0.listDataFiles(spec.path)
-    TableState.of(GraftCatalog.readTableProps(st0, spec.path)) match {
-      case TableState.Live => ()
-      case other => throw new IllegalStateException(
-        s"${spec.path} was dropped/replaced between resolution and the " +
-          "probe snapshot (pointer state: " +
-          s"${other.getClass.getSimpleName}) — rerun the query")
-    }
+    // one-read form (r13): existence and state from the same view
+    GraftCatalog.requirePostListState(st0, spec.path, listed.isEmpty,
+      catalogManaged = false, at = "the probe snapshot")
     val (dataFiles, shadow) =
       if (spec.applyDeletes) {
         val (del, data) = listed.partition(f =>

@@ -124,13 +124,9 @@ final class SSTableIndexScanBuilder(path: String, targetSplitBytes: Long)
     val listed = st.listDataFiles(path)
     // post-list pointer re-check — same contract as the data scan's
     // listing (a key listing of a mid-destroy residue would be a
-    // silently partial key set)
-    TableState.of(GraftCatalog.readTableProps(st, path)) match {
-      case TableState.Live => ()
-      case other => throw new IllegalStateException(
-        s"$path was dropped/replaced between resolution and planning " +
-          s"(pointer state: ${other.getClass.getSimpleName}) — rerun")
-    }
+    // silently partial key set); one-read form (r13)
+    GraftCatalog.requirePostListState(st, path, listed.isEmpty,
+      catalogManaged = false, at = "planning")
     val parts = SSTableScan.planPartitions(listed, serConf,
       SSTableSource.DefaultDistributedPlanningThreshold, targetSplitBytes,
       bounds.lo.map(_._1), bounds.hi.map(_._1), bounds.eqKey, keys = None,

@@ -881,7 +881,9 @@ final class SSTableScanBuilder(path: String, options: CaseInsensitiveStringMap)
 
   override def build(): Scan = {
     aggResult.foreach { case (schema, kinds) =>
-      return new SSTableAggScan(path, schema, kinds, sinceDir)
+      return new SSTableAggScan(path, schema, kinds, sinceDir,
+        catalogManaged =
+          options.containsKey(SSTableSource.CatalogManagedOption))
     }
     val target = longOption(SSTableSource.TargetSplitBytesOption)
       .getOrElse(SSTableSource.DefaultTargetSplitBytes)
@@ -928,7 +930,8 @@ final class SSTableScanBuilder(path: String, options: CaseInsensitiveStringMap)
   * still zero Data.db IO, never a wrong answer. */
 final class SSTableAggScan(path: String, schema: StructType,
                            aggKinds: Seq[SSTableAggScan.AggKind],
-                           sinceDir: Option[String] = None)
+                           sinceDir: Option[String] = None,
+                           catalogManaged: Boolean = false)
     extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
@@ -937,7 +940,7 @@ final class SSTableAggScan(path: String, schema: StructType,
       (if (sinceDir.isDefined) " sinceSnapshot" else "")
   override def planInputPartitions(): Array[InputPartition] =
     Array(SSTableAggScan.AggPartition(
-      SSTableAggScan.compute(path, aggKinds, sinceDir)))
+      SSTableAggScan.compute(path, aggKinds, sinceDir, catalogManaged)))
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] =
@@ -1014,22 +1017,19 @@ object SSTableAggScan {
   }
 
   private[spark] def compute(path: String, aggKinds: Seq[AggKind],
-                             sinceDir: Option[String] = None): Array[Any] = {
+                             sinceDir: Option[String] = None,
+                             catalogManaged: Boolean = false): Array[Any] = {
     val storage = Storage.forPath(path,
       org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
     val files = SSTableScan.sinceFilePrune(
       storage.listDataFiles(path), sinceDir, storage)
-    // post-list pointer re-check, stats-only flavor (r12): a DROP or
-    // REPLACE committing between resolution and this sidecar sweep
-    // could make a COUNT(*) silently sum a half-destroyed residue's
-    // subset — the same loud-beats-partial rule as the data scan
-    TableState.of(GraftCatalog.readTableProps(storage, path)) match {
-      case TableState.Live => ()
-      case other => throw new IllegalStateException(
-        s"$path was dropped/replaced between resolution and the stats " +
-          s"sweep (pointer state: ${other.getClass.getSimpleName}) — " +
-          "rerun the query")
-    }
+    // post-list pointer re-check, stats-only flavor (r12; one-read form
+    // r13): a DROP or REPLACE committing between resolution and this
+    // sidecar sweep could make a COUNT(*) silently sum a half-destroyed
+    // residue's subset — or, with the vanished-pointer window, report 0
+    // for a table that was never empty
+    GraftCatalog.requirePostListState(storage, path, files.isEmpty,
+      catalogManaged, at = "the stats sweep")
     lazy val per = files.map(generationBounds(_, storage))
     lazy val nonEmpty = per.filter(_._1 > 0)
     lazy val minKey = if (nonEmpty.isEmpty) null
@@ -1412,24 +1412,13 @@ final class SSTableScan(path: String, requiredSchema: StructType,
       throw new IllegalStateException(
         s"$path vanished between resolution and planning (a completed " +
           "swap or migration removed it) — rerun the query")
-    // catalog-managed reads: empty listing + missing `_table` is the
-    // DROP finalize's final instant (or a content-less hand-made dir) —
-    // never a real empty table, which always has its pointer file
-    if (listed.isEmpty && catalogManaged &&
-        !storage.exists(s"$path/${GraftCatalog.TablePropsFile}"))
-      throw new IllegalStateException(
-        s"$path has no data and no _table pointer — a removal's final " +
-          "instant, or a directory that is not a table yet; rerun")
-    TableState.of(GraftCatalog.readTableProps(storage, path)) match {
-      case TableState.Live => listed
-      case TableState.Redirect(_, _) => throw new IllegalStateException(
-        s"$path was REPLACED between resolution and planning (its pointer " +
-          "now redirects) — rerun the query against the new state")
-      case _ => throw new IllegalStateException(
-        s"$path was dropped between resolution and planning (pointer " +
-          "state says residue) — this listing could be a partial tree; " +
-          "rerun the query")
-    }
+    // pointer existence + state judged from ONE read (r13 chaos find:
+    // an exists()+read pair had a vanish window in which a finalize's
+    // just-deleted tombstone read as "no props" = Live, and the empty
+    // listing served a successful EMPTY result)
+    GraftCatalog.requirePostListState(storage, path, listed.isEmpty,
+      catalogManaged, at = "planning")
+    listed
   }
 
   /** As-of generation pruning: a generation whose `-Statistics.db`

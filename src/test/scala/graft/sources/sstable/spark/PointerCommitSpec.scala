@@ -449,6 +449,27 @@ class PointerCommitSpec extends AnyFunSuite {
     val silent = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     @volatile var ddlDone = false
     val rechecks = new java.util.concurrent.atomic.AtomicInteger
+    // forensics for the ~1-in-10 empty-read observation (NOTES #104):
+    // capture the directory's exact on-disk state the INSTANT a bad
+    // read is seen, so the next occurrence carries its own diagnosis
+    def forensics(): String = try {
+      val d = s"$warehouse/chaos/t"
+      val st = objStorage
+      val files =
+        try st.listFiles(d).map(p => p.substring(p.lastIndexOf('/') + 1)).sorted
+        catch { case e: Exception => Seq(s"<list failed: ${e.getMessage}>") }
+      val subdirs =
+        try st.listSubdirs(d, "").map(p => p.substring(p.lastIndexOf('/') + 1))
+        catch { case e: Exception => Seq(s"<subdirs failed: ${e.getMessage}>") }
+      val props =
+        try st.readString(s"$d/${GraftCatalog.TablePropsFile}").replace("\n", ";")
+        catch { case e: Exception => s"<props read failed: ${e.getMessage}>" }
+      val ns =
+        try st.listSubdirs(s"$warehouse/chaos", "")
+          .map(p => p.substring(p.lastIndexOf('/') + 1)).sorted
+        catch { case e: Exception => Seq(s"<ns list failed: ${e.getMessage}>") }
+      s"files=$files subdirs=$subdirs props=[$props] ns=$ns"
+    } catch { case e: Exception => s"<forensics failed: $e>" }
     val readers = (1 to 2).map(i => new Thread(() => {
       while (!ddlDone) {
         // the post-list re-check's loud "rerun" refusal is a LEGAL
@@ -463,7 +484,8 @@ class PointerCommitSpec extends AnyFunSuite {
           catch { case _: Throwable => rechecks.incrementAndGet(); Left(()) }
         got match {
           case Right(None | Some(`oldState`) | Some(`newState`)) | Left(()) => ()
-          case Right(Some(other)) => bad.add(s"reader$i: $other"); ()
+          case Right(Some(other)) =>
+            bad.add(s"reader$i: $other | ${forensics()}"); ()
         }
       }
     }, s"chaos-reader-$i"))
@@ -723,6 +745,57 @@ class PointerCommitSpec extends AnyFunSuite {
     assert(res(0).getAs[Int]("tablesRestored") == 2, res.toSeq)
     assert(observe("graft_pc.co.x").contains(want("x")))
     assert(observe("graft_pc.co.y").contains(want("y")))
+  }
+
+  test("the post-list re-check judges pointer existence and state from " +
+    "ONE read — the exists()-then-read vanish window can no longer " +
+    "serve a successful EMPTY result (the r13 chaos find: a reader " +
+    "listed zero data files, exists(_table) saw the tombstone, then " +
+    "the state read found it deleted and empty props parsed as Live)") {
+    val d = tmp()
+    val t = s"$d/t"
+    LocalStorage.mkdirs(t)
+    import graft.sources.sstable.SeekableInput
+    // the EXACT observed interleave: `_table` visible to exists() but
+    // vanished by the read — the finalize deleted it in between
+    val vanishing: Storage = new Storage {
+      def open(path: String): SeekableInput =
+        if (path.endsWith(s"/${GraftCatalog.TablePropsFile}"))
+          throw new java.io.FileNotFoundException(path)
+        else LocalStorage.open(path)
+      def length(path: String): Long = LocalStorage.length(path)
+      def mtime(path: String): Long = LocalStorage.mtime(path)
+      def exists(path: String): Boolean =
+        path.endsWith(s"/${GraftCatalog.TablePropsFile}") ||
+          LocalStorage.exists(path)
+      def create(path: String): java.io.DataOutputStream = LocalStorage.create(path)
+      def delete(path: String): Unit = LocalStorage.delete(path)
+      def rename(src: String, dst: String): Unit = LocalStorage.rename(src, dst)
+      def replace(src: String, dst: String): Unit = LocalStorage.replace(src, dst)
+      def listSubdirs(dir: String, prefix: String): Seq[String] =
+        LocalStorage.listSubdirs(dir, prefix)
+      def deleteRecursive(dir: String): Unit = LocalStorage.deleteRecursive(dir)
+      def mkdirs(dir: String): Unit = LocalStorage.mkdirs(dir)
+      def listDataFiles(dd: String): Seq[String] = Seq.empty
+      def listFiles(dir: String): Seq[String] = LocalStorage.listFiles(dir)
+    }
+    val e = intercept[IllegalStateException](
+      GraftCatalog.requirePostListState(vanishing, t, listedEmpty = true,
+        catalogManaged = true, at = "planning"))
+    assert(e.getMessage.contains("no data and no _table pointer"),
+      e.getMessage)
+    // a PRESENT but propless pointer (bare CREATE's) stays a legitimate
+    // empty table — existence comes from the read, not a separate stat
+    LocalStorage.create(s"$t/${GraftCatalog.TablePropsFile}").close()
+    GraftCatalog.requirePostListState(LocalStorage, t, listedEmpty = true,
+      catalogManaged = true, at = "planning") // must not throw
+    // and residue states keep refusing through the same single read
+    GraftCatalog.writeTableProps(LocalStorage, t,
+      Map(TableState.Key -> "dropped::deadbeef"))
+    val e2 = intercept[IllegalStateException](
+      GraftCatalog.requirePostListState(LocalStorage, t, listedEmpty = true,
+        catalogManaged = true, at = "planning"))
+    assert(e2.getMessage.contains("dropped"), e2.getMessage)
   }
 
   // ---- ADVICE r12 closures ----
