@@ -41,7 +41,8 @@ final class SSTableMicroBatchStream(path: String, requiredSchema: StructType,
                                     serConf: Option[SerializableHadoopConf],
                                     maxFilesPerTrigger: Option[Int] = None,
                                     maxBytesPerTrigger: Option[Long] = None,
-                                    sinceDir: Option[String] = None)
+                                    sinceDir: Option[String] = None,
+                                    catalogManaged: Boolean = false)
     extends MicroBatchStream with SupportsAdmissionControl {
   private def storage: Storage =
     serConf.map(c => new HadoopStorage(c.value): Storage).getOrElse(LocalStorage)
@@ -88,7 +89,19 @@ final class SSTableMicroBatchStream(path: String, requiredSchema: StructType,
     // directory vanishing — without this the stream would quietly go
     // idle on a dropped table forever. Loud, like the rename-era
     // FileNotFound the vanishing directory used to throw.
-    TableState.of(GraftCatalog.readTableProps(storage, path)) match {
+    // one-read form (r13 chaos find): a catalog table's `_table` always
+    // exists while live, so a MISSING pointer under a catalog-managed
+    // stream is a finalized DROP — refusing here closes the window in
+    // which the vanished pointer read as empty props = Live and the
+    // stream idled forever on "quietly no new data". Path-API streams
+    // over hand-made (pointer-less) dirs keep streaming.
+    val propsOpt = GraftCatalog.readTablePropsIfExists(storage, path)
+    if (catalogManaged && propsOpt.isEmpty)
+      throw new IllegalStateException(
+        s"$path's _table pointer is gone under this running stream — " +
+          "the table was dropped and its removal finalized; restart the " +
+          "stream against a live table")
+    TableState.of(propsOpt.getOrElse(Map.empty)) match {
       case TableState.Live => ()
       case other => throw new IllegalStateException(
         s"$path was dropped/replaced under this running stream (pointer " +

@@ -1307,7 +1307,7 @@ final class SSTableScan(path: String, requiredSchema: StructType,
     // property) unreadable via readStream for no semantic gain.
     new SSTableMicroBatchStream(path, requiredSchema, targetSplitBytes,
       ttlAsOfMs, serConf, maxFilesPerTrigger, maxBytesPerTrigger,
-      sinceDir = sinceDir)
+      sinceDir = sinceDir, catalogManaged = catalogManaged)
   }
   override def description(): String = {
     val prune = if (keyLo.isDefined || keyHi.isDefined) " keyRangePruned" else ""

@@ -564,6 +564,40 @@ class PointerCommitSpec extends AnyFunSuite {
     }
   }
 
+  test("a catalog-managed stream refuses when the pointer VANISHES (a " +
+    "finalized DROP) instead of idling forever on 'quietly no new " +
+    "data' — the one-read stream guard (r13 chaos family)") {
+    spark.sql("CREATE NAMESPACE graft_pc.sg2")
+    spark.sql("CREATE TABLE graft_pc.sg2.t")
+    ins("graft_pc.sg2.t", Seq(("a", "1", 10L)))
+    val dir = s"$warehouse/sg2/t"
+    val q = spark.readStream.table("graft_pc.sg2.t")
+      .writeStream.format("memory").queryName("pc_stream_vanish")
+      .option("checkpointLocation",
+        Files.createTempDirectory("pc-sg2-ck").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM pc_stream_vanish")
+        .head().getLong(0) == 1)
+      // the finalize's terminal instant: data swept AND `_table` gone
+      objStorage.listDataFiles(dir)
+        .foreach(graft.sources.sstable.SSTableFiles.unpublish(objStorage, _))
+      objStorage.delete(s"$dir/${GraftCatalog.TablePropsFile}")
+      val e = intercept[Exception] { q.processAllAvailable() }
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq :+
+          String.valueOf(t.getCause)
+      assert(chain(e).exists(m => m != null &&
+        m.contains("pointer is gone under this running stream")), chain(e))
+    } finally {
+      try q.stop() catch { case _: Exception => () }
+      // restore a live pointer so the catalog can DROP the husk cleanly
+      GraftCatalog.writeTableProps(objStorage, dir, Map.empty)
+      spark.sql("DROP TABLE graft_pc.sg2.t PURGE")
+    }
+  }
+
   test("a SECOND PROCESS observing the table through the on-disk " +
     "pointer contract during REPLACE + DROP + undrop sees only " +
     "old-state / new-state / none — never a partial generation set") {
