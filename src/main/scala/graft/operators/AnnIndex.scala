@@ -73,6 +73,15 @@ object AnnIndex {
       s"build_ann_index: the corpus at $sourceDir has no vectors — an " +
         "empty index would serve nothing; ingest embeddings first")
     val dim = e.select(size(col("v"))).head().getInt(0)
+    // mirror update()'s guard (advice r13): one arbitrary row picked the
+    // dim — a mixed-dimension corpus must refuse BEFORE training, not
+    // train silently-wrong quantizers (vector_dot over a short vector
+    // would score garbage, exact medians would mix spaces)
+    val badDim = e.filter(size(col("v")) =!= dim).count()
+    require(badDim == 0,
+      s"build_ann_index: $badDim vector(s) in the corpus have a " +
+        s"dimension != $dim — a mixed-dimension corpus cannot train one " +
+        "quantizer; filter with the where clause or fix the corpus")
     val wantCoarse = kind != "pq"
     val wantPq = kind != "ivf"
 

@@ -29,6 +29,18 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, BooleanType, StringTyp
   * default true) is `gc_tombstones` — the live view; false shows merged
   * tombstone state, both exactly as the CALL defines them.
   *
+  * ANALYSIS-TIME materialization (advice r13): the probe runs ONCE, on
+  * the driver, when the plan is ANALYZED — the rows land in a
+  * [[LocalRelation]] and a reused analyzed plan (a temp view over the
+  * TVF, a cached Dataset) keeps serving that frozen snapshot without
+  * re-probing. That is the honest semantic of a literal-argument TVF
+  * whose result is driver-sized; a reader that wants per-execution
+  * freshness should re-issue the SQL (each parse+analyze re-probes) or
+  * use the probe JOIN, whose exec snapshots at every execute. A
+  * nonexistent directory refuses loudly at analysis (the same contract
+  * as the scan path's vanished-between-resolution-and-planning
+  * refusal) — a typo'd path must never read as an empty table.
+  *
   * Registered as a REAL table function (the `TableFunctionRegistry` /
   * `injectTableFunction` route, via [[graft.GraftExtensions]] at session
   * build or `GraftExtensions.register` on a live session), so Spark's
@@ -80,6 +92,14 @@ object GraftLookupTvf {
     val session = SparkSession.active
     val storage = graft.sources.sstable.Storage.forPath(
       dir, session.sessionState.newHadoopConf())
+    // existence first (advice r13): a typo'd directory must be an
+    // analysis error, never an empty relation (and never the listing
+    // layer's confusing "neither a dir nor a -Data.db file")
+    if (!storage.exists(dir))
+      throw new IllegalArgumentException(
+        s"graft_lookup: $dir does not exist — check the path (catalog " +
+          "tables resolve their live directory via CALL lookup or the " +
+          "probe JOIN, not this TVF)")
     // the raw-path pointer guard every path-API entry shares: probing a
     // tombstoned / mid-swap catalog directory must refuse loudly, never
     // return a residue's partial answer (the r12 contract)

@@ -24,7 +24,8 @@ import graft.sources.sstable.{HadoopStorage, LocalStorage, SSTableReader, Serial
   * exactly. */
 final case class LookupProbeSpec(path: String, schema: StructType,
                                  applyDeletes: Boolean, maxDeleteKeys: Int,
-                                 serConf: Option[SerializableHadoopConf]) {
+                                 serConf: Option[SerializableHadoopConf],
+                                 catalogManaged: Boolean = false) {
   def storage: Storage =
     serConf.map(c => new HadoopStorage(c.value): Storage).getOrElse(LocalStorage)
 }
@@ -309,7 +310,7 @@ final case class SSTableLookupJoinExec(child: SparkPlan,
     val listed = st0.listDataFiles(spec.path)
     // one-read form (r13): existence and state from the same view
     GraftCatalog.requirePostListState(st0, spec.path, listed.isEmpty,
-      catalogManaged = false, at = "the probe snapshot")
+      catalogManaged = spec.catalogManaged, at = "the probe snapshot")
     val (dataFiles, shadow) =
       if (spec.applyDeletes) {
         val (del, data) = listed.partition(f =>

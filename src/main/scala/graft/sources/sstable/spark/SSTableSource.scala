@@ -1152,7 +1152,7 @@ final class SSTableScan(path: String, requiredSchema: StructType,
         !requiredSchema.fieldNames.contains(SSTableSource.GenerationColumn) &&
         !requiredSchema.fieldNames.contains(SSTableSource.ChangeTypeColumn))
       Some(LookupProbeSpec(path, requiredSchema, applyDeletes, maxDeleteKeys,
-        serConf))
+        serConf, catalogManaged = catalogManaged))
     else None
 
   /** Point-lookup key (`key = X` pushed down): both bounds present,

@@ -106,6 +106,23 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no vectors"), e.getMessage)
   }
 
+  test("a mixed-dimension corpus refuses BEFORE training (advice r13: " +
+    "build derived dim from one arbitrary row and trained silently-wrong " +
+    "quantizers; update had the guard, build did not)") {
+    val mixedSrc = Files.createTempDirectory("annix-mixed").toString
+    val base = graft.Tables.embeddings(spark, sfDir).limit(20)
+    base.union(base.limit(2)
+        .withColumn("vec_id", col("vec_id") + 1000000)
+        .withColumn("embedding", slice(col("embedding"), 1, 3)))
+      .write.parquet(s"$mixedSrc/embeddings.parquet")
+    val e = intercept[Exception](spark.sql(
+      "CALL graft_ix.system.build_ann_index(table => 'ann.mixed', " +
+        s"source_dir => '$mixedSrc', kind => 'ivf', k => 2, iters => 1)"))
+    assert(e.getMessage.contains("mixed-dimension"), e.getMessage)
+    assert(!spark.sql("SHOW TABLES IN graft_ix.ann").collect()
+      .exists(_.getString(1) == "mixed"), "a refused build must not land")
+  }
+
   test("unknown kind refuses before any training runs") {
     val e = intercept[Exception](spark.sql(
       "CALL graft_ix.system.build_ann_index(table => 'ann.bad', " +

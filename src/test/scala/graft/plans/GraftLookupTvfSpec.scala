@@ -108,6 +108,16 @@ class GraftLookupTvfSpec extends AnyFunSuite {
     assert(chain(e).exists(_.contains("mid-lifecycle")), chain(e))
   }
 
+  test("a nonexistent directory is an ANALYSIS error, never an empty " +
+    "relation (advice r13: a typo'd path silently serving zero rows)") {
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    val e = intercept[Exception](spark.sql(
+      s"SELECT * FROM graft_lookup('$warehouse/lk/no_such_table', " +
+        "array(CAST('k1' AS BINARY)))").collect())
+    assert(chain(e).exists(_.contains("does not exist")), chain(e))
+  }
+
   test("argument validation is loud: wrong key type, NULL dir, bad arity") {
     val d = tableDir
     def chain(t: Throwable): Seq[String] =

@@ -167,6 +167,32 @@ class LookupJoinSpec extends AnyFunSuite {
       .contains("SSTableLookupJoin"))
   }
 
+  test("the probe snapshot refuses a catalog table's DROP-finalize " +
+    "instant — empty listing + vanished _table must never serve an " +
+    "empty probe result (advice r13: lookupProbeSpec dropped " +
+    "catalogManaged, leaving the window the scan/stats/stream guards " +
+    "had already closed)") {
+    fixture
+    spark.sql("CREATE NAMESPACE graft_lj.vx")
+    spark.sql("CREATE TABLE graft_lj.vx.t")
+    insertRows("graft_lj.vx.t", Seq(("a", "a1", 10L)))
+    val df = spark.sql(
+      "SELECT p.tag FROM lj_probe p JOIN graft_lj.vx.t t ON p.k = t.key")
+    assert(planOf(df).contains("SSTableLookupJoin"))
+    // the finalize's terminal instant, crafted through the on-disk
+    // contract: every generation swept AND the pointer file deleted,
+    // the directory shell still present
+    val dir = s"$warehouse/vx/t"
+    LocalStorage.listDataFiles(dir)
+      .foreach(graft.sources.sstable.SSTableFiles.unpublish(LocalStorage, _))
+    LocalStorage.delete(s"$dir/${GraftCatalog.TablePropsFile}")
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    val e = intercept[Exception](df.collect())
+    assert(chain(e).exists(_.contains("no data and no _table pointer")),
+      chain(e))
+  }
+
   /** Run `body` with a Data.db-open-counting Storage spy installed as
     * the probe exec's storage (the IO-bound pins' instrument). */
   private def withOpenSpy[A](
