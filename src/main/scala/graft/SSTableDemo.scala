@@ -510,6 +510,23 @@ object SSTableDemo {
       s"${sg3.getAs[Long]("novel")}; store holds $storeCount signatures " +
       s"in ${sg3.getAs[Int]("generations")} generation(s) (autocompacted)")
 
+    // persisted corpus statistics (r14): the df store counts per-term
+    // document frequency incrementally — epoch partials live in
+    // df:<epoch> cells, so compaction folds losslessly and serving sums
+    def dfCall(where: String) = spark.sql(
+      "CALL graft.system.update_doc_freqs(table => 'demo.df', " +
+        s"source_dir => '$sigSrc', where => '$where', autocompact => 3)").head()
+    val df1 = dfCall("doc_id < 25")
+    val df2 = dfCall("true")
+    val dfN = graft.operators.DfStore.nDocs(spark, "graft.demo.df")
+    val dfAlpha = graft.operators.DfStore.docFreqs(spark, "graft.demo.df")
+      .filter(col("term") === "alpha").head().getLong(1)
+    println(s"== df store: epoch 1 counted ${df1.getAs[Long]("novel")} docs, " +
+      s"epoch 2 only the ${df2.getAs[Long]("novel")} new " +
+      s"(${df2.getAs[Long]("alreadyStored")} skipped); served n_docs=$dfN " +
+      s"(want 40), df('alpha')=$dfAlpha (want 40 — epoch partials sum " +
+      s"exactly) in ${df2.getAs[Int]("generations")} generation(s)")
+
     // relation-valued point reads (r13): graft_lookup composes like any
     // table — here joined against a dimension, same probe tier as CALL
     graft.GraftExtensions.register(spark)

@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Params._
+
+/** Persisted corpus statistics — the document-frequency (IDF) store, the
+  * third member of the precompute-once-read-many family (persisted ANN
+  * index, incremental signature store, now corpus-level term stats).
+  * `CALL update_doc_freqs(table, source_dir[, where])` signs only the
+  * documents absent from the store and appends their PARTIAL per-term
+  * document-frequency counts as one epoch; serving reads total df and
+  * n_docs from the store instead of re-aggregating the vocabulary over
+  * the whole corpus. At 100 TB this is how a pipeline scores a batch of
+  * NEW documents against corpus-level statistics (TF-IDF, IDF-weighted
+  * curation) without rescanning the corpus: tf is per-document and
+  * narrow; df/N come from a vocabulary-sized table.
+  *
+  * Additivity is the design key. Novel-doc sets are DISJOINT across
+  * epochs (the `d:` key probe guarantees it), so per-epoch partial df
+  * counts SUM to the exact corpus df — and each epoch's counts live in
+  * cells named `df:<epoch>`, so the LWW column-union merge of
+  * compaction (auto or CALL compact) folds generations WITHOUT losing a
+  * partial: distinct cell names never reconcile against each other.
+  * That makes the store compaction-safe where a same-named counter cell
+  * would be silently LWW'd down to one epoch's count (SSTable cells are
+  * last-write-wins, not additive — so the epoch lives in the NAME).
+  *
+  * Row layout (binary keys; scalar values UTF-8 decimal):
+  *  - `_meta`            — `source` pins the corpus directory; serving
+  *    and later updates refuse a retargeted store loudly.
+  *  - `_n`               — one cell `n:<epoch%06d>` per epoch holding
+  *    that epoch's novel-doc count; n_docs = the sum.
+  *  - `d:<doc_id%012d>`  — membership marker (cell `e` = epoch). The
+  *    key-only Index.db probe for "already counted" doc_ids.
+  *  - `t:<term>`         — one cell `df:<epoch%06d>` per epoch that saw
+  *    the term; df(term) = the sum across cells.
+  *
+  * Cell timestamps are fixed (each cell NAME is written at most once —
+  * epochs are disjoint by construction), so identical update sequences
+  * produce hash-identical stores. Same single-maintainer contract as
+  * update_signatures / update_ann_index: the CALL is the store's only
+  * writer, one at a time; probe-then-append is check-then-act between
+  * concurrent callers. */
+object DfStore {
+
+  private val MetaKey = "_meta"
+  private val NKey = "_n"
+
+  private def strCell(name: org.apache.spark.sql.Column,
+                      value: org.apache.spark.sql.Column) =
+    struct(name.cast("binary").as("name"), lit("NORMAL").as("state"),
+      value.cast("string").cast("binary").as("value"),
+      lit(1L).as("timestamp"), lit(0L).as("ttlSecs"),
+      lit(0L).as("expiresMillis"))
+
+  private val noTombstone = lit(null)
+    .cast("struct<localDeletionTime: int, markedForDeleteAt: bigint>")
+    .as("rowTombstone")
+
+  private def epochTag(epoch: Int): String = f"$epoch%06d"
+
+  /** doc_ids already counted — key-only raw scan of the `d:` markers
+    * (Index.db sidecars only; the store is append-only by contract, so
+    * skipping delete-awareness is sound — same argument as
+    * [[SignatureStore.storedIds]]). */
+  def storedDocIds(s: SparkSession, storeDir: String): DataFrame =
+    s.read.format("sstable").load(storeDir)
+      .select(col("key").cast("string").as("k"))
+      .filter(col("k").startsWith("d:"))
+      .select(substring(col("k"), 3, 12).cast("bigint").as("doc_id"))
+
+  /** The store's epochs so far, from the `_n` row's cell names (a
+    * one-row read — the row is epoch-count cells wide). */
+  private def epochsOf(s: SparkSession, qualifiedTable: String): Seq[Int] =
+    s.table(qualifiedTable)
+      .filter(col("key") === lit(NKey.getBytes))
+      .select(explode(col("columns")).as("c"))
+      .select(col("c.name").cast("string").as("n"))
+      .collect().map(_.getString(0)).filter(_.startsWith("n:"))
+      .map(_.substring(2).toInt).toSeq.sorted
+
+  /** Corpus-total document frequency per term: SUM of the per-epoch
+    * partial cells. Vocabulary-sized — the serving-side replacement for
+    * a corpus-wide df aggregation. */
+  def docFreqs(s: SparkSession, qualifiedTable: String): DataFrame =
+    s.table(qualifiedTable)
+      .select(col("key").cast("string").as("k"), explode(col("columns")).as("c"))
+      .filter(col("k").startsWith("t:") &&
+        col("c.name").cast("string").startsWith("df:"))
+      .groupBy(expr("substring(k, 3)").as("term"))
+      .agg(sum(col("c.value").cast("string").cast("bigint")).as("df"))
+
+  /** Total documents counted by the store: SUM of the per-epoch `n:`
+    * cells (one tiny row; driver-side). */
+  def nDocs(s: SparkSession, qualifiedTable: String): Long =
+    s.table(qualifiedTable)
+      .filter(col("key") === lit(NKey.getBytes))
+      .select(explode(col("columns")).as("c"))
+      .filter(col("c.name").cast("string").startsWith("n:"))
+      .agg(coalesce(sum(col("c.value").cast("string").cast("bigint")), lit(0L)))
+      .head().getLong(0)
+
+  /** Loud refusal when the store was built over a different corpus —
+    * df totals from corpus A are silently-wrong statistics for corpus
+    * B. */
+  def requireSource(s: SparkSession, qualifiedTable: String,
+                    sourceDir: String): Unit = {
+    val meta = s.table(qualifiedTable)
+      .filter(col("key") === lit(MetaKey.getBytes))
+      .select(explode(col("columns")).as("c"))
+      .select(col("c.name").cast("string"), col("c.value").cast("string"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    require(meta.get("source").contains(sourceDir),
+      s"df store $qualifiedTable was built over " +
+        s"'${meta.getOrElse("source", "(absent)")}' — refusing to mix " +
+        s"statistics from '$sourceDir' (a store follows ONE corpus; DROP " +
+        "and rebuild to retarget)")
+  }
+
+  /** One incremental update: create the store if absent, probe the `d:`
+    * markers, count per-term df over ONLY the novel documents, append
+    * everything as one generation. Returns (docsSeen, novel,
+    * alreadyStored, epoch, termsTouched). */
+  def update(s: SparkSession, qualifiedTable: String, storeDir: () => String,
+             sourceDir: String, whereSql: String,
+             autocompact: Int): (Long, Long, Long, Int, Long) = {
+    val fresh = !tableExists(s, qualifiedTable)
+    if (fresh) {
+      s.sql(s"CREATE TABLE $qualifiedTable " +
+        s"TBLPROPERTIES('autocompact'='$autocompact')")
+      val mv = s"graft_df_meta_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      s.range(1).select(lit(MetaKey).cast("binary").as("key"),
+        array(strCell(lit("source"), lit(sourceDir))).as("columns"),
+        noTombstone).createOrReplaceTempView(mv)
+      try s.sql(s"INSERT INTO $qualifiedTable SELECT * FROM $mv")
+      finally s.catalog.dropTempView(mv)
+    } else requireSource(s, qualifiedTable, sourceDir)
+    val corpus = graft.Tables.documents(s, sourceDir)
+      .filter(expr(whereSql)).select(col("doc_id"), col("text"))
+    val seen = corpus.count()
+    val epoch = epochsOf(s, qualifiedTable).lastOption.getOrElse(0) + 1
+    val dir = storeDir()
+    // empty-store fast path — also the honest backfill path (same
+    // shape as SignatureStore.update)
+    val hasDocs = !fresh && storedDocIds(s, dir).limit(1).count() > 0
+    val novel = (if (hasDocs) {
+      val novelIds = corpus.select(col("doc_id"))
+        .join(storedDocIds(s, dir), Seq("doc_id"), "left_anti")
+      corpus.join(broadcast(novelIds), Seq("doc_id"))
+    } else corpus).persist()
+    try {
+      val novelCount = novel.count()
+      var terms = 0L
+      if (novelCount > 0) {
+        val tag = epochTag(epoch)
+        // df over the delta: distinct terms per doc, then a
+        // vocabulary-sized count — delta-scan only, never the corpus
+        val termDf = novel
+          .select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("term"))
+          .groupBy("term").agg(count(lit(1)).as("df"))
+          .persist()
+        try {
+          terms = termDf.count()
+          val termRows = termDf.select(
+            concat(lit("t:"), col("term")).cast("binary").as("key"),
+            array(strCell(lit(s"df:$tag"), col("df"))).as("columns"),
+            noTombstone)
+          val docRows = novel.select(
+            concat(lit("d:"), lpad(col("doc_id").cast("string"), 12, "0"))
+              .cast("binary").as("key"),
+            array(strCell(lit("e"), lit(epoch))).as("columns"),
+            noTombstone)
+          val nRow = s.range(1).select(lit(NKey).cast("binary").as("key"),
+            array(strCell(lit(s"n:$tag"), lit(novelCount))).as("columns"),
+            noTombstone)
+          val view = s"graft_df_upd_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+          termRows.unionAll(docRows).unionAll(nRow).createOrReplaceTempView(view)
+          try s.sql(s"INSERT INTO $qualifiedTable SELECT * FROM $view")
+          finally s.catalog.dropTempView(view)
+        } finally termDf.unpersist()
+      }
+      (seen, novelCount, seen - novelCount, epoch, terms)
+    } finally novel.unpersist()
+  }
+
+  private def tableExists(s: SparkSession, qualifiedTable: String): Boolean =
+    try { s.table(qualifiedTable); true }
+    catch { case _: org.apache.spark.sql.AnalysisException => false }
+}

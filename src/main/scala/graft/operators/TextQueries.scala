@@ -15,6 +15,47 @@ object TextQueries {
 
   private def docToks = toks(col("text"))
 
+  /** Persisted df-store fixture (round 14): a catalog-backed IDF store
+    * built in TWO `CALL update_doc_freqs` epochs — two thirds of the
+    * corpus, then the rest (only the remaining third is counted) — plus
+    * an idempotent third call that must find nothing novel. The fixture
+    * asserts the incrementality receipts loudly; `q_tfidf_served` then
+    * hash-gates the SERVED end state against the full-recompute oracle:
+    * incremental df partials sum to the exact corpus statistics, bit
+    * for bit. */
+  private val dfStoreCache = new SessionCache[String]
+  private def dfStoreFixture(s: SparkSession, d: String): String =
+    dfStoreCache.getOrCompute(s, d) {
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes).map("%02x".format(_)).mkString.take(16)
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft-df-$tag"
+      val root = java.nio.file.Paths.get(wh)
+      if (java.nio.file.Files.exists(root)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+      val cat = s"graft_df_$tag"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.sstable.spark.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"CREATE NAMESPACE $cat.ts")
+      def call(where: String) = s.sql(
+        s"CALL $cat.system.update_doc_freqs(table => 'ts.df', " +
+          s"source_dir => '$d', where => '$where', autocompact => 3)").head()
+      val r1 = call("doc_id % 3 < 2")
+      require(r1.getAs[Long]("alreadyStored") == 0L,
+        s"first epoch over an empty store must count everything: $r1")
+      val r2 = call("true")
+      require(r2.getAs[Long]("novel") > 0 && r2.getAs[Long]("alreadyStored") ==
+        r1.getAs[Long]("novel"),
+        s"second epoch must skip exactly epoch 1's counted docs: $r1 / $r2")
+      val r3 = call("true")
+      require(r3.getAs[Long]("novel") == 0L,
+        s"an idempotent re-run must find nothing novel: $r3")
+      s"$cat.ts.df"
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // North-star text analysis — tokenize, explode, word frequency top-k.
     "q_text_stats" -> ((s, d) => {
@@ -105,6 +146,29 @@ object TextQueries {
         .filter(col("rk") <= TfidfTopK)
         .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score_e4"))
         .orderBy(col("doc_id"), col("score_e4").desc, col("term"))
+    }),
+    // TF-IDF served from the persisted df store: tf stays per-document
+    // (narrow map-side agg over the docs being scored), but df and
+    // n_docs LOAD from the incrementally-maintained store instead of a
+    // corpus-wide vocabulary aggregation. Bit-identical to q_tfidf_topk
+    // when the store covers the corpus (shares its oracle SQL verbatim —
+    // the hash gate proves the epoch partials sum exactly). At 100 TB
+    // the serving win is scoring a DELTA: tf over the new docs only, df
+    // from the vocabulary-sized store — the corpus is never rescanned.
+    "q_tfidf_served" -> ((s, d) => {
+      val store = dfStoreFixture(s, d)
+      val nDocs = DfStore.nDocs(s, store)
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), explode(docToks).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("score_e4").desc, col("term"))
+      tf.join(DfStore.docFreqs(s, store), "term")
+        .withColumn("score_e4", expr(s"(tf * ${nDocs}L * 10000) div df"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= TfidfTopK)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score_e4"))
+        .orderBy(col("doc_id"), col("score_e4").desc, col("term"))
     })
   )
 
@@ -140,18 +204,23 @@ object TextQueries {
       s"""SELECT doc_id, md5(array_to_string(t, ' ')) AS exact_fp,
                  coalesce(list_aggregate(list_transform(${shinglesSql("t")}, s -> md5(s)), 'min'), '') AS shingle_fp
           FROM (SELECT doc_id, $toksT AS t FROM documents) ORDER BY doc_id""",
-    "q_tfidf_topk" ->
-      s"""WITH tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-                      FROM (SELECT doc_id, unnest($toksT) AS term FROM documents)
-                      GROUP BY doc_id, term),
-               dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
-               n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM documents)
-          SELECT doc_id, term, tf, df, score_e4 FROM (
-            SELECT tf.doc_id, tf.term, tf.tf, dfr.df,
-                   (tf.tf * n.n_docs * 10000) // dfr.df AS score_e4,
-                   row_number() OVER (PARTITION BY tf.doc_id
-                     ORDER BY (tf.tf * n.n_docs * 10000) // dfr.df DESC, tf.term) AS rk
-            FROM tf JOIN dfr USING (term) CROSS JOIN n)
-          WHERE rk <= $TfidfTopK ORDER BY doc_id, score_e4 DESC, term"""
+    "q_tfidf_topk" -> tfidfOracle,
+    // served == twin, bit for bit: the df store's epoch partials must
+    // sum to exactly what the full-recompute oracle aggregates
+    "q_tfidf_served" -> tfidfOracle
   )
+
+  private lazy val tfidfOracle: String =
+    s"""WITH tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                    FROM (SELECT doc_id, unnest($toksT) AS term FROM documents)
+                    GROUP BY doc_id, term),
+             dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+             n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM documents)
+        SELECT doc_id, term, tf, df, score_e4 FROM (
+          SELECT tf.doc_id, tf.term, tf.tf, dfr.df,
+                 (tf.tf * n.n_docs * 10000) // dfr.df AS score_e4,
+                 row_number() OVER (PARTITION BY tf.doc_id
+                   ORDER BY (tf.tf * n.n_docs * 10000) // dfr.df DESC, tf.term) AS rk
+          FROM tf JOIN dfr USING (term) CROSS JOIN n)
+        WHERE rk <= $TfidfTopK ORDER BY doc_id, score_e4 DESC, term"""
 }

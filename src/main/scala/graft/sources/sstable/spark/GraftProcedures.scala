@@ -636,6 +636,52 @@ private[spark] object GraftProcedures {
           Seq(row(seen, novel, skipped, gens))
         }),
 
+      "update_doc_freqs" -> new Proc(
+        "update_doc_freqs",
+        "incrementally maintain a document-frequency (IDF) store over a " +
+          "growing corpus: probe THIS table's d: marker keys (key-only " +
+          "Index.db scan) for doc_ids already counted, compute per-term " +
+          "df over ONLY the absent documents, and append the partials as " +
+          "one epoch — each epoch's counts live in df:<epoch> cells, so " +
+          "compaction's column-union merge folds generations without " +
+          "losing a partial, and disjoint epochs SUM to the exact corpus " +
+          "df. Serving (DfStore.docFreqs / nDocs) reads total df and " +
+          "n_docs from this vocabulary-sized table instead of " +
+          "re-aggregating the corpus — how a pipeline TF-IDF-scores new " +
+          "documents against corpus statistics without rescanning the " +
+          "corpus. Creates the store on first call with a _meta row " +
+          "pinning the source; a retargeted store refuses loudly. Same " +
+          "single-maintainer, append-only contract as update_signatures",
+        Array(tableParam,
+          p("source_dir", StringType,
+            comment = "corpus directory holding documents.parquet"),
+          p("where", StringType, Some("'true'"),
+            comment = "SQL predicate selecting the ingest slice"),
+          p("autocompact", IntegerType, Some("8"),
+            comment = "write-triggered fold threshold for a NEW store")),
+        StructType(Seq(
+          StructField("docsSeen", LongType, nullable = false),
+          StructField("novel", LongType, nullable = false),
+          StructField("alreadyStored", LongType, nullable = false),
+          StructField("epoch", IntegerType, nullable = false),
+          StructField("terms", LongType, nullable = false),
+          StructField("generations", IntegerType, nullable = false))),
+        (spark, in) => {
+          require(!in.isNullAt(0), "argument 'table' is required")
+          require(!in.isNullAt(1), "argument 'source_dir' is required")
+          val tableName = in.getUTF8String(0).toString
+          resolveParent(tableName) // loud on a missing namespace
+          val sourceDir = in.getUTF8String(1).toString
+          val whereSql = if (in.isNullAt(2)) "true" else in.getUTF8String(2).toString
+          val (seen, novel, skipped, epoch, terms) =
+            graft.operators.DfStore.update(spark, qualified(tableName),
+              () => dirOf(in), sourceDir, whereSql, intArg(in, 3, 8))
+          val gens = graft.sources.sstable.Storage
+            .forPath(dirOf(in), spark.sessionState.newHadoopConf())
+            .listDataFiles(dirOf(in)).length
+          Seq(row(seen, novel, skipped, epoch, terms, gens))
+        }),
+
       "lookup" -> new Proc(
         "lookup",
         "point reads in pure SQL: probe each key via bloom filter -> " +

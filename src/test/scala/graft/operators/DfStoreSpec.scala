@@ -1,0 +1,113 @@
+package graft.operators
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Persisted document-frequency (IDF) store (round 14): `CALL
+  * update_doc_freqs` counts per-term df over ONLY the documents absent
+  * from the store and appends the partials as epoch-named cells;
+  * serving sums the partials. The decisive properties pinned here:
+  * incremental == full recompute (exact integer parity), idempotent
+  * re-runs, COMPACTION SAFETY (the epoch-in-the-cell-NAME design is
+  * what makes LWW folds lossless — a same-named counter cell would be
+  * silently reduced to one epoch's count), and loud refusals. */
+class DfStoreSpec extends AnyFunSuite {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val warehouse: String =
+    Files.createTempDirectory("graft-dfstore").toString
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s.conf.set("spark.sql.catalog.graft_dfs",
+      classOf[graft.sources.sstable.spark.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_dfs.warehouse", warehouse)
+    s.sql("CREATE NAMESPACE graft_dfs.ts")
+    s
+  }
+
+  /** Exact full-recompute df over a corpus slice — the oracle for the
+    * store's summed partials. */
+  private def directDf(where: String): Map[String, Long] =
+    graft.Tables.documents(spark, sfDir).filter(expr(where))
+      .select(col("doc_id"), explode(array_distinct(Params.toks(col("text")))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  private def call(table: String, where: String) = spark.sql(
+    s"CALL graft_dfs.system.update_doc_freqs(table => '$table', " +
+      s"source_dir => '$sfDir', where => '$where', autocompact => 3)").head()
+
+  private def storedDf(table: String): Map[String, Long] =
+    DfStore.docFreqs(spark, s"graft_dfs.$table")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("three disjoint epochs sum to the exact full-recompute df; " +
+    "re-run is a no-op; n_docs adds up") {
+    val r1 = call("ts.df", "doc_id % 3 = 0")
+    assert(r1.getAs[Long]("alreadyStored") == 0L, r1)
+    assert(r1.getAs[Int]("epoch") == 1)
+    val r2 = call("ts.df", "doc_id % 3 <= 1")
+    assert(r2.getAs[Long]("alreadyStored") == r1.getAs[Long]("novel"),
+      s"epoch 2 must skip exactly epoch 1's docs: $r1 / $r2")
+    assert(r2.getAs[Int]("epoch") == 2)
+    val r3 = call("ts.df", "true")
+    assert(r3.getAs[Long]("novel") > 0)
+    val r4 = call("ts.df", "true")
+    assert(r4.getAs[Long]("novel") == 0L, s"idempotent re-run: $r4")
+
+    val want = directDf("true")
+    val got = storedDf("ts.df")
+    assert(got == want,
+      s"summed epoch partials diverge from full recompute: " +
+        s"${(got.toSet -- want.toSet).take(3)} vs ${(want.toSet -- got.toSet).take(3)}")
+    val nCorpus = graft.Tables.documents(spark, sfDir).count()
+    assert(DfStore.nDocs(spark, "graft_dfs.ts.df") == nCorpus)
+  }
+
+  test("COMPACTION is lossless: folding the epochs' generations must " +
+    "not lose a partial (epoch-named cells union under LWW merge — " +
+    "the design reason the epoch lives in the cell NAME)") {
+    val before = storedDf("ts.df")
+    val gens0 = graft.sources.sstable.LocalStorage
+      .listDataFiles(s"$warehouse/ts/df").length
+    spark.sql("CALL graft_dfs.system.compact(table => 'ts.df', " +
+      "min_threshold => 2, min_size => 1)")
+    val gens1 = graft.sources.sstable.LocalStorage
+      .listDataFiles(s"$warehouse/ts/df").length
+    assert(gens1 < gens0 || gens0 == 1,
+      s"compact must fold the epoch generations ($gens0 -> $gens1)")
+    assert(storedDf("ts.df") == before,
+      "df totals changed across compaction — a partial was lost")
+    assert(DfStore.nDocs(spark, "graft_dfs.ts.df") ==
+      graft.Tables.documents(spark, sfDir).count())
+  }
+
+  test("a retargeted store refuses loudly (df from corpus A is a " +
+    "silently-wrong statistic for corpus B)") {
+    val e = intercept[Exception](spark.sql(
+      "CALL graft_dfs.system.update_doc_freqs(table => 'ts.df', " +
+        "source_dir => '/root/testdata/sf0.01')"))
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("ONE corpus")), chain(e))
+  }
+
+  test("q_tfidf_served is BIT-IDENTICAL to its full-recompute twin " +
+    "(the hash-gate parity, pinned locally)") {
+    val twin = graft.SparkEntry.queries("q_tfidf_topk")(spark, sfDir).collect().toSeq
+    val served = graft.SparkEntry.queries("q_tfidf_served")(spark, sfDir).collect().toSeq
+    assert(twin.nonEmpty && twin == served,
+      "q_tfidf_served diverged from q_tfidf_topk")
+  }
+}

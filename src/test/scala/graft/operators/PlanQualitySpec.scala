@@ -280,6 +280,21 @@ class PlanQualitySpec extends AnyFunSuite {
       s"an exchange carries document text:\n$exchanges")
   }
 
+  test("q_tfidf_served: the corpus is read ONCE (the per-doc tf pass) — " +
+    "df and n_docs come from the persisted store's sstable scan, never " +
+    "a second corpus-wide vocabulary aggregation (round 14)") {
+    val plan = finalPlan("q_tfidf_served").split("== Initial Plan ==").head
+    val parquetScans = "Scan parquet".r.findAllIn(plan).size
+    assert(parquetScans == 1,
+      s"expected exactly one corpus scan, got $parquetScans:\n$plan")
+    assert(plan.contains("sstable"),
+      s"df must load from the persisted store's sstable scan:\n$plan")
+    // the twin's shape: df is a SECOND aggregation over the corpus tf
+    // relation; serving must not contain a count-distinct-docs pass
+    assert(!plan.contains("count(distinct"),
+      s"a corpus-wide n_docs aggregation crept into the served plan:\n$plan")
+  }
+
   test("q_quantiles: windows consume the (lang,tok) count relation, never full rows") {
     val plan = finalPlan("q_quantiles").split("== Initial Plan ==").head
     // counting-sort form: the only full-data pass is a map-side-combinable
