@@ -194,6 +194,45 @@ object DedupQueries {
       s"$cat.ds.sigs"
     }
 
+  /** Paragraph-frequency store fixture (round 14): the df store with
+    * `unit => 'para'` — boilerplate statistics maintained incrementally.
+    * Two epochs + an idempotent third call, receipts asserted loudly;
+    * `q_para_dedup_served` hash-gates the served end state against the
+    * full-recompute oracle. */
+  private val paraStoreCache = new SessionCache[String]
+  private def paraStoreFixture(s: SparkSession, d: String): String =
+    paraStoreCache.getOrCompute(s, d) {
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes).map("%02x".format(_)).mkString.take(16)
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft-pf-$tag"
+      val root = java.nio.file.Paths.get(wh)
+      if (java.nio.file.Files.exists(root)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+      val cat = s"graft_pf_$tag"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.sstable.spark.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"CREATE NAMESPACE $cat.pd")
+      def call(where: String) = s.sql(
+        s"CALL $cat.system.update_doc_freqs(table => 'pd.pf', " +
+          s"source_dir => '$d', where => '$where', autocompact => 3, " +
+          "unit => 'para')").head()
+      val r1 = call("doc_id % 3 < 2")
+      require(r1.getAs[Long]("alreadyStored") == 0L,
+        s"first epoch over an empty store must count everything: $r1")
+      val r2 = call("true")
+      require(r2.getAs[Long]("novel") > 0 && r2.getAs[Long]("alreadyStored") ==
+        r1.getAs[Long]("novel"),
+        s"second epoch must skip exactly epoch 1's counted docs: $r1 / $r2")
+      val r3 = call("true")
+      require(r3.getAs[Long]("novel") == 0L,
+        s"an idempotent re-run must find nothing novel: $r3")
+      s"$cat.pd.pf"
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Catalog-grain incremental dedup (VERDICT r12 Next #2): the store
     // is built in two CALL epochs + an idempotent re-run (the fixture
@@ -298,6 +337,37 @@ object DedupQueries {
       // with conditional aggregates (collect_list skips the nulls the
       // `when` leaves on boilerplate rows) — the previous shape shuffled
       // paras by doc_id twice (kept + totals) and joined the halves
+      paras.join(broadcast(boiler.withColumn("boiler", lit(true))),
+          Seq("h"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("paras_total"),
+          count(when(col("boiler").isNull, 1)).as("paras_kept"),
+          array_join(transform(array_sort(collect_list(when(col("boiler").isNull,
+            struct(col("chunk"), col("para"))))),
+            x => x.getField("para")), " ").as("clean_text"))
+        .select(col("doc_id"), col("paras_total"), col("paras_kept"),
+          md5(col("clean_text")).as("clean_md5"),
+          length(col("clean_text")).cast("long").as("clean_chars"))
+        .orderBy("doc_id")
+    }),
+    // Boilerplate removal SERVED from the persisted paragraph-frequency
+    // store: the per-doc paragraph pass stays (clean text must be
+    // rebuilt), but the corpus-wide digest frequency aggregation LOADS
+    // from the incrementally-maintained store. Bit-identical to
+    // q_para_dedup (shares its oracle SQL). At 100 TB: clean a delta
+    // batch against crawl-wide boilerplate statistics without
+    // re-aggregating the crawl.
+    "q_para_dedup_served" -> ((s, d) => {
+      val store = paraStoreFixture(s, d)
+      val paras = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+        .groupBy(col("doc_id"), floor(col("pos") / ParaWords).as("chunk"))
+        .agg(array_join(transform(array_sort(collect_list(struct(col("pos"), col("word")))),
+          x => x.getField("word")), " ").as("para"))
+        .withColumn("h", md5(col("para")))
+      val boiler = DfStore.docFreqs(s, store)
+        .filter(col("df") >= ParaMinDocs)
+        .select(col("term").as("h"))
       paras.join(broadcast(boiler.withColumn("boiler", lit(true))),
           Seq("h"), "left")
         .groupBy("doc_id")
@@ -566,25 +636,30 @@ object DedupQueries {
           ORDER BY jacc DESC, a, b LIMIT $JaccardTopPairs""",
     // same unit definition: 1-based ws[i] with (i-1)//ParaWords chunks ==
     // Spark's 0-based pos with floor(pos/ParaWords)
-    "q_para_dedup" ->
-      s"""WITH s AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-          w AS (SELECT doc_id, u.i AS idx, ws[u.i] AS word
-                FROM s CROSS JOIN LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i) u),
-          p AS (SELECT doc_id, (idx - 1) // $ParaWords AS chunk,
-                       string_agg(word, ' ' ORDER BY idx) AS para
-                FROM w GROUP BY doc_id, (idx - 1) // $ParaWords),
-          ph AS (SELECT doc_id, chunk, para, md5(para) AS h FROM p),
-          boiler AS (SELECT h FROM (
-              SELECT h, count(DISTINCT doc_id) AS n_docs FROM ph GROUP BY h)
-            WHERE n_docs >= $ParaMinDocs),
-          cl AS (SELECT doc_id, count(*) AS paras_kept,
-                        string_agg(para, ' ' ORDER BY chunk) AS clean_text
-                 FROM ph WHERE h NOT IN (SELECT h FROM boiler) GROUP BY doc_id),
-          t AS (SELECT doc_id, count(*) AS paras_total FROM ph GROUP BY doc_id)
-          SELECT t.doc_id, t.paras_total,
-                 coalesce(cl.paras_kept, 0) AS paras_kept,
-                 md5(coalesce(cl.clean_text, '')) AS clean_md5,
-                 CAST(length(coalesce(cl.clean_text, '')) AS BIGINT) AS clean_chars
-          FROM t LEFT JOIN cl USING (doc_id) ORDER BY t.doc_id"""
+    "q_para_dedup" -> paraDedupOracle,
+    // served == twin, bit for bit: the paragraph-frequency store's
+    // epoch partials must sum to exactly the full-recompute statistic
+    "q_para_dedup_served" -> paraDedupOracle
   )
+
+  private lazy val paraDedupOracle: String =
+    s"""WITH s AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        w AS (SELECT doc_id, u.i AS idx, ws[u.i] AS word
+              FROM s CROSS JOIN LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i) u),
+        p AS (SELECT doc_id, (idx - 1) // $ParaWords AS chunk,
+                     string_agg(word, ' ' ORDER BY idx) AS para
+              FROM w GROUP BY doc_id, (idx - 1) // $ParaWords),
+        ph AS (SELECT doc_id, chunk, para, md5(para) AS h FROM p),
+        boiler AS (SELECT h FROM (
+            SELECT h, count(DISTINCT doc_id) AS n_docs FROM ph GROUP BY h)
+          WHERE n_docs >= $ParaMinDocs),
+        cl AS (SELECT doc_id, count(*) AS paras_kept,
+                      string_agg(para, ' ' ORDER BY chunk) AS clean_text
+               FROM ph WHERE h NOT IN (SELECT h FROM boiler) GROUP BY doc_id),
+        t AS (SELECT doc_id, count(*) AS paras_total FROM ph GROUP BY doc_id)
+        SELECT t.doc_id, t.paras_total,
+               coalesce(cl.paras_kept, 0) AS paras_kept,
+               md5(coalesce(cl.clean_text, '')) AS clean_md5,
+               CAST(length(coalesce(cl.clean_text, '')) AS BIGINT) AS clean_chars
+        FROM t LEFT JOIN cl USING (doc_id) ORDER BY t.doc_id"""
 }

@@ -26,9 +26,18 @@ import Params._
   * would be silently LWW'd down to one epoch's count (SSTable cells are
   * last-write-wins, not additive — so the epoch lives in the NAME).
   *
+  * The counted UNIT generalizes (`unit` parameter): `term` counts
+  * lowercase-alpha tokens (the TF-IDF/IDF store), `para` counts
+  * [[Params.ParaWords]]-word paragraph md5 digests — the
+  * boilerplate-removal statistic (a paragraph seen in ≥ N distinct
+  * docs is boilerplate), maintained incrementally instead of
+  * re-aggregated from the whole corpus every run. Both reduce to the
+  * same additive partial: distinct docs per unit within an epoch.
+  *
   * Row layout (binary keys; scalar values UTF-8 decimal):
-  *  - `_meta`            — `source` pins the corpus directory; serving
-  *    and later updates refuse a retargeted store loudly.
+  *  - `_meta`            — `source` + `unit` pin the corpus directory
+  *    and counted unit; serving and later updates refuse a retargeted
+  *    or re-unit'd store loudly.
   *  - `_n`               — one cell `n:<epoch%06d>` per epoch holding
   *    that epoch's novel-doc count; n_docs = the sum.
   *  - `d:<doc_id%012d>`  — membership marker (cell `e` = epoch). The
@@ -101,11 +110,12 @@ object DfStore {
       .agg(coalesce(sum(col("c.value").cast("string").cast("bigint")), lit(0L)))
       .head().getLong(0)
 
-  /** Loud refusal when the store was built over a different corpus —
-    * df totals from corpus A are silently-wrong statistics for corpus
-    * B. */
-  def requireSource(s: SparkSession, qualifiedTable: String,
-                    sourceDir: String): Unit = {
+  /** Loud refusal when the store was built over a different corpus or
+    * counts a different unit — df totals from corpus A (or from
+    * paragraphs) are silently-wrong statistics for corpus B (or for
+    * terms). */
+  def requireEpochMeta(s: SparkSession, qualifiedTable: String,
+                       sourceDir: String, unit: String): Unit = {
     val meta = s.table(qualifiedTable)
       .filter(col("key") === lit(MetaKey.getBytes))
       .select(explode(col("columns")).as("c"))
@@ -116,6 +126,32 @@ object DfStore {
         s"'${meta.getOrElse("source", "(absent)")}' — refusing to mix " +
         s"statistics from '$sourceDir' (a store follows ONE corpus; DROP " +
         "and rebuild to retarget)")
+    require(meta.get("unit").contains(unit),
+      s"df store $qualifiedTable counts unit " +
+        s"'${meta.getOrElse("unit", "(absent)")}' — refusing a '$unit' " +
+        "update (one store, one unit; create a second store for a " +
+        "second statistic)")
+  }
+
+  /** Distinct (doc_id, unit-value) pairs of one document slice — the
+    * additive partial both units reduce to. */
+  private def unitsOf(docs: DataFrame, unit: String): DataFrame = unit match {
+    case "term" =>
+      docs.select(col("doc_id"),
+        explode(array_distinct(toks(col("text")))).as("term"))
+    case "para" =>
+      // the EXACT paragraph unit of q_para_dedup: ParaWords-word chunks
+      // of the space-split text, digested; one count per distinct
+      // (doc, digest)
+      docs.select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+        .groupBy(col("doc_id"), floor(col("pos") / ParaWords).as("chunk"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("word")))),
+          x => x.getField("word")), " ").as("para"))
+        .select(col("doc_id"), md5(col("para")).as("term")).distinct()
+    case other => throw new IllegalArgumentException(
+      s"unit must be 'term' or 'para', got '$other'")
   }
 
   /** One incremental update: create the store if absent, probe the `d:`
@@ -124,18 +160,22 @@ object DfStore {
     * alreadyStored, epoch, termsTouched). */
   def update(s: SparkSession, qualifiedTable: String, storeDir: () => String,
              sourceDir: String, whereSql: String,
-             autocompact: Int): (Long, Long, Long, Int, Long) = {
+             autocompact: Int,
+             unit: String = "term"): (Long, Long, Long, Int, Long) = {
+    require(Set("term", "para").contains(unit),
+      s"unit must be 'term' or 'para', got '$unit'")
     val fresh = !tableExists(s, qualifiedTable)
     if (fresh) {
       s.sql(s"CREATE TABLE $qualifiedTable " +
         s"TBLPROPERTIES('autocompact'='$autocompact')")
       val mv = s"graft_df_meta_${java.util.UUID.randomUUID().toString.replace("-", "")}"
       s.range(1).select(lit(MetaKey).cast("binary").as("key"),
-        array(strCell(lit("source"), lit(sourceDir))).as("columns"),
+        array(strCell(lit("source"), lit(sourceDir)),
+          strCell(lit("unit"), lit(unit))).as("columns"),
         noTombstone).createOrReplaceTempView(mv)
       try s.sql(s"INSERT INTO $qualifiedTable SELECT * FROM $mv")
       finally s.catalog.dropTempView(mv)
-    } else requireSource(s, qualifiedTable, sourceDir)
+    } else requireEpochMeta(s, qualifiedTable, sourceDir, unit)
     val corpus = graft.Tables.documents(s, sourceDir)
       .filter(expr(whereSql)).select(col("doc_id"), col("text"))
     val seen = corpus.count()
@@ -154,10 +194,9 @@ object DfStore {
       var terms = 0L
       if (novelCount > 0) {
         val tag = epochTag(epoch)
-        // df over the delta: distinct terms per doc, then a
+        // df over the delta: distinct units per doc, then a
         // vocabulary-sized count — delta-scan only, never the corpus
-        val termDf = novel
-          .select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("term"))
+        val termDf = unitsOf(novel, unit)
           .groupBy("term").agg(count(lit(1)).as("df"))
           .persist()
         try {

@@ -658,7 +658,11 @@ private[spark] object GraftProcedures {
           p("where", StringType, Some("'true'"),
             comment = "SQL predicate selecting the ingest slice"),
           p("autocompact", IntegerType, Some("8"),
-            comment = "write-triggered fold threshold for a NEW store")),
+            comment = "write-triggered fold threshold for a NEW store"),
+          p("unit", StringType, Some("'term'"),
+            comment = "counted unit: 'term' (alpha tokens — the " +
+              "TF-IDF/IDF statistic) or 'para' (paragraph digests — the " +
+              "boilerplate-removal statistic); pinned in _meta")),
         StructType(Seq(
           StructField("docsSeen", LongType, nullable = false),
           StructField("novel", LongType, nullable = false),
@@ -673,9 +677,10 @@ private[spark] object GraftProcedures {
           resolveParent(tableName) // loud on a missing namespace
           val sourceDir = in.getUTF8String(1).toString
           val whereSql = if (in.isNullAt(2)) "true" else in.getUTF8String(2).toString
+          val unit = if (in.isNullAt(4)) "term" else in.getUTF8String(4).toString
           val (seen, novel, skipped, epoch, terms) =
             graft.operators.DfStore.update(spark, qualified(tableName),
-              () => dirOf(in), sourceDir, whereSql, intArg(in, 3, 8))
+              () => dirOf(in), sourceDir, whereSql, intArg(in, 3, 8), unit)
           val gens = graft.sources.sstable.Storage
             .forPath(dirOf(in), spark.sessionState.newHadoopConf())
             .listDataFiles(dirOf(in)).length

@@ -103,6 +103,45 @@ class DfStoreSpec extends AnyFunSuite {
     assert(chain(e).exists(_.contains("ONE corpus")), chain(e))
   }
 
+  test("unit => 'para': the paragraph-frequency store sums to the exact " +
+    "boilerplate statistic, and a store refuses a mismatched unit " +
+    "(term df read as paragraph df would silently misclassify)") {
+    val r1 = spark.sql(
+      s"CALL graft_dfs.system.update_doc_freqs(table => 'ts.pf', " +
+        s"source_dir => '$sfDir', where => 'doc_id % 2 = 0', " +
+        "autocompact => 3, unit => 'para')").head()
+    assert(r1.getAs[Long]("novel") > 0)
+    val r2 = spark.sql(
+      s"CALL graft_dfs.system.update_doc_freqs(table => 'ts.pf', " +
+        s"source_dir => '$sfDir', autocompact => 3, unit => 'para')").head()
+    assert(r2.getAs[Long]("alreadyStored") == r1.getAs[Long]("novel"), r2)
+    // exact parity vs a direct paragraph-frequency recompute
+    val direct = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .groupBy(col("doc_id"), floor(col("pos") / Params.ParaWords).as("chunk"))
+      .agg(array_join(transform(array_sort(collect_list(struct(col("pos"), col("word")))),
+        x => x.getField("word")), " ").as("para"))
+      .select(col("doc_id"), md5(col("para")).as("h")).distinct()
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(storedDf("ts.pf") == direct,
+      "paragraph epoch partials diverge from the full recompute")
+    // a 'term' probe against the 'para' store refuses loudly
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    val e = intercept[Exception](spark.sql(
+      s"CALL graft_dfs.system.update_doc_freqs(table => 'ts.pf', " +
+        s"source_dir => '$sfDir')"))
+    assert(chain(e).exists(_.contains("one unit")), chain(e))
+  }
+
+  test("q_para_dedup_served is BIT-IDENTICAL to its full-recompute twin") {
+    val twin = graft.SparkEntry.queries("q_para_dedup")(spark, sfDir).collect().toSeq
+    val served = graft.SparkEntry.queries("q_para_dedup_served")(spark, sfDir).collect().toSeq
+    assert(twin.nonEmpty && twin == served,
+      "q_para_dedup_served diverged from q_para_dedup")
+  }
+
   test("q_tfidf_served is BIT-IDENTICAL to its full-recompute twin " +
     "(the hash-gate parity, pinned locally)") {
     val twin = graft.SparkEntry.queries("q_tfidf_topk")(spark, sfDir).collect().toSeq

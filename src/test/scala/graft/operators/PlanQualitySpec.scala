@@ -295,6 +295,21 @@ class PlanQualitySpec extends AnyFunSuite {
       s"a corpus-wide n_docs aggregation crept into the served plan:\n$plan")
   }
 
+  test("q_para_dedup_served: one corpus scan — the boilerplate set loads " +
+    "from the paragraph-frequency store (no corpus-wide distinct-doc " +
+    "digest aggregation) and broadcasts (round 14)") {
+    val plan = finalPlan("q_para_dedup_served").split("== Initial Plan ==").head
+    val parquetScans = "Scan parquet".r.findAllIn(plan).size
+    assert(parquetScans == 1,
+      s"expected exactly one corpus scan, got $parquetScans:\n$plan")
+    assert(plan.contains("sstable"),
+      s"boilerplate frequencies must load from the store's sstable scan:\n$plan")
+    assert(!plan.contains("count(distinct"),
+      s"a corpus-wide distinct-doc aggregation crept into the served plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the boilerplate set must broadcast into the corpus-side join:\n$plan")
+  }
+
   test("q_quantiles: windows consume the (lang,tok) count relation, never full rows") {
     val plan = finalPlan("q_quantiles").split("== Initial Plan ==").head
     // counting-sort form: the only full-data pass is a map-side-combinable
