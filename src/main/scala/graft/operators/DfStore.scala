@@ -155,8 +155,12 @@ object DfStore {
   }
 
   /** One incremental update: create the store if absent, probe the `d:`
-    * markers, count per-term df over ONLY the novel documents, append
-    * everything as one generation. Returns (docsSeen, novel,
+    * markers, count per-unit df over ONLY the novel documents, append
+    * everything as one generation. Epoch atomicity: the epoch's term
+    * rows, `d:` markers, and `_n` partial ride ONE INSERT (one staged
+    * commit) — a crashed update leaves the whole epoch or nothing,
+    * never markers without counts (which would silently under-count
+    * those docs' units forever). Returns (docsSeen, novel,
     * alreadyStored, epoch, termsTouched). */
   def update(s: SparkSession, qualifiedTable: String, storeDir: () => String,
              sourceDir: String, whereSql: String,

@@ -1,0 +1,157 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.operators.{Params, SSTableOps}
+import graft.sources.sstable.{LocalStorage, SSTableFiles, Storage}
+
+/** Streaming maintenance of a document-frequency store — the streaming
+  * twin of `CALL update_doc_freqs`, completing the symmetry every
+  * persisted structure here has (signature store ↔ streaming
+  * incremental dedup; ANN index ↔ streaming ANN routing; df store ↔
+  * this). A corpus that arrives as a stream keeps its corpus-level term
+  * statistics current per micro-batch, so downstream serving
+  * (TF-IDF-scoring a delta, boilerplate-cleaning a batch) always reads
+  * totals that include everything ingested so far.
+  *
+  * Same additive-epoch design as the batch CALL, with the micro-batch
+  * epoch id as the partial's name: each batch appends `df:s<epochId>`
+  * cells for its NOVEL documents' per-term counts, `d:` markers, and an
+  * `_n` partial `n:s<epochId>` — all in ONE tagged generation, so
+  *  - disjoint batches sum to the exact corpus statistic,
+  *  - compaction (the epoch-boundary self-maintenance below) folds
+  *    losslessly (distinct cell names union under LWW merge),
+  *  - a RETRIED epoch first unpublishes its own tag's filesets, making
+  *    replay idempotent (the store state a retry sees equals what the
+  *    failed attempt saw — same novelty decisions, same partials).
+  * The `s` prefix keeps streaming partials out of the batch CALL's
+  * `df:<epoch%06d>` namespace; one store has ONE maintainer (batch or
+  * stream, never both — the single-maintainer contract).
+  *
+  * Historical novelty probes are [[SSTableOps.lookupJoin]] point reads
+  * against the `d:` markers — O(batch · generations) seeks at any store
+  * size, never a scan. */
+object StreamingDfUpdate {
+
+  val DefaultMaintainAbove = 8
+
+  def start(docs: DataFrame, storeDir: String, checkpointDir: String,
+            unit: String = "term",
+            maintainAboveGenerations: Int = DefaultMaintainAbove): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        processBatch(batch, storeDir, epochId, unit = unit,
+          maintainAboveGenerations = maintainAboveGenerations)
+      }
+      .start()
+
+  private def keyOfDoc(docId: org.apache.spark.sql.Column) =
+    concat(lit("d:"), lpad(docId.cast("string"), 12, "0")).cast("binary")
+
+  private def strCell(name: org.apache.spark.sql.Column,
+                      value: org.apache.spark.sql.Column,
+                      ts: Long) =
+    struct(name.cast("binary").as("name"), lit("NORMAL").as("state"),
+      value.cast("string").cast("binary").as("value"),
+      lit(ts).as("timestamp"), lit(0L).as("ttlSecs"),
+      lit(0L).as("expiresMillis"))
+
+  /** Distinct (doc_id, term) units of one batch — the same extraction
+    * rules as the batch CALL's. */
+  private def unitsOf(docs: DataFrame, unit: String): DataFrame = unit match {
+    case "term" =>
+      docs.select(col("doc_id"),
+        explode(array_distinct(Params.toks(col("text")))).as("term"))
+    case "para" =>
+      docs.select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+        .groupBy(col("doc_id"), floor(col("pos") / Params.ParaWords).as("chunk"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("word")))),
+          x => x.getField("word")), " ").as("para"))
+        .select(col("doc_id"), md5(col("para")).as("term")).distinct()
+    case other => throw new IllegalArgumentException(
+      s"unit must be 'term' or 'para', got '$other'")
+  }
+
+  /** One epoch — public so tests and backfills can drive it with batch
+    * DataFrames directly. `batch` needs (doc_id, text). */
+  def processBatch(batch: DataFrame, storeDir: String, epochId: Long,
+                   unit: String = "term",
+                   storage: Storage = LocalStorage,
+                   maintainAboveGenerations: Int = DefaultMaintainAbove): Unit = {
+    val spark = batch.sparkSession
+    val jobTag = f"dfs$epochId%09d"
+    val tag = f"s$epochId%09d"
+
+    // replay cleanup: a retried epoch removes its failed attempt's
+    // output before deciding novelty — reproducible decisions
+    if (storage.exists(storeDir))
+      storage.listDataFiles(storeDir)
+        .filter(_.endsWith(s"-$jobTag${SSTableFiles.DataSuffix}"))
+        .foreach(SSTableFiles.unpublish(storage, _))
+
+    // in-batch dedup: one row per doc_id
+    val docs = batch.select(col("doc_id"), col("text"))
+      .dropDuplicates("doc_id")
+
+    // historical probe: point reads of the d: markers, never a scan
+    val novel = (if (storage.exists(storeDir) &&
+        storage.listDataFiles(storeDir).nonEmpty) {
+      val hits = SSTableOps.lookupJoin(
+          docs.select(keyOfDoc(col("doc_id")).as("key")), storeDir)
+        .select(substring(col("key").cast("string"), 3, 12)
+          .cast("bigint").as("doc_id"))
+      docs.join(hits, Seq("doc_id"), "left_anti")
+    } else docs).persist()
+
+    try {
+      val novelCount = novel.count()
+      if (novelCount > 0) {
+        // the cell timestamp is the epoch id: fixed per cell name (each
+        // name is written by exactly one epoch), deterministic on replay
+        val termRows = unitsOf(novel, unit)
+          .groupBy("term").agg(count(lit(1)).as("df"))
+          .select(concat(lit("t:"), col("term")).cast("binary").as("key"),
+            array(strCell(lit(s"df:$tag"), col("df"), epochId)).as("columns"))
+        val docRows = novel.select(keyOfDoc(col("doc_id")).as("key"),
+          array(strCell(lit("e"), lit(tag), epochId)).as("columns"))
+        val nRow = spark.range(1).select(lit("_n").cast("binary").as("key"),
+          array(strCell(lit(s"n:$tag"), lit(novelCount), epochId)).as("columns"))
+        termRows.unionAll(docRows).unionAll(nRow)
+          .write.format("sstable")
+          .option(graft.sources.sstable.spark.SSTableSource.JobTagOption, jobTag)
+          .mode("append").save(storeDir)
+      }
+    } finally novel.unpersist()
+
+    // epoch-boundary self-maintenance: quiesced inside foreachBatch =
+    // single maintainer; folding unions the epoch-named cells, so
+    // totals — and every later novelty decision — are unchanged
+    if (maintainAboveGenerations > 0 &&
+        storage.listDataFiles(storeDir).length > maintainAboveGenerations)
+      SSTableOps.compactInPlace(spark, storeDir, minThreshold = 4)
+  }
+
+  /** Raw-path serving reads for a stream-maintained store (the catalog
+    * variants live on [[graft.operators.DfStore]]): corpus-total df per
+    * term and total documents counted. Raw row versions and folded rows
+    * sum identically — each cell name exists once either way. */
+  def docFreqs(s: SparkSession, storeDir: String): DataFrame =
+    s.read.format("sstable").load(storeDir)
+      .select(col("key").cast("string").as("k"), explode(col("columns")).as("c"))
+      .filter(col("k").startsWith("t:") &&
+        col("c.name").cast("string").startsWith("df:"))
+      .groupBy(expr("substring(k, 3)").as("term"))
+      .agg(sum(col("c.value").cast("string").cast("bigint")).as("df"))
+
+  def nDocs(s: SparkSession, storeDir: String): Long =
+    s.read.format("sstable").load(storeDir)
+      .filter(col("key") === lit("_n".getBytes))
+      .select(explode(col("columns")).as("c"))
+      .filter(col("c.name").cast("string").startsWith("n:"))
+      .agg(coalesce(sum(col("c.value").cast("string").cast("bigint")), lit(0L)))
+      .head().getLong(0)
+}

@@ -149,4 +149,76 @@ class DfStoreSpec extends AnyFunSuite {
     assert(twin.nonEmpty && twin == served,
       "q_tfidf_served diverged from q_tfidf_topk")
   }
+
+  test("chaos: free-running readers during epoch appends + compaction " +
+    "folds see exactly ONE legal epoch-prefix state per read — epoch " +
+    "INSERTs are atomic and folds are lossless, so (sum df, n_docs) " +
+    "always lands on a prefix boundary, never between") {
+    // expected (sum df, n_docs) after each epoch prefix, from direct
+    // recomputes over the same slices the updates will ingest
+    val wheres = Seq("doc_id % 4 = 0", "doc_id % 4 <= 1", "doc_id % 4 <= 2", "true")
+    val legal: Set[(Long, Long)] = (0 to wheres.length).map { k =>
+      if (k == 0) (0L, 0L)
+      else {
+        val slice = graft.Tables.documents(spark, sfDir)
+          .filter(expr(wheres(k - 1)))
+        val n = slice.count()
+        val sumDf = slice
+          .select(col("doc_id"), explode(array_distinct(Params.toks(col("text")))).as("t"))
+          .count() // one df unit per distinct (doc, term) = the sum of dfs
+        (sumDf, n)
+      }
+    }.toSet
+    spark.sql("CALL graft_dfs.system.update_doc_freqs(table => 'ts.chaos', " +
+      s"source_dir => '$sfDir', where => '${wheres.head}', autocompact => 2)")
+    val anomalies = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val readers = (1 to 2).map(i => new Thread(() => {
+      while (!stop.get()) {
+        try {
+          // ONE query = one generation-listing snapshot: sum of df
+          // partials and sum of n partials from the same scan
+          val r = spark.table("graft_dfs.ts.chaos")
+            .select(col("key").cast("string").as("k"), explode(col("columns")).as("c"))
+            .select(col("k"), col("c.name").cast("string").as("n"),
+              col("c.value").cast("string").as("v"))
+            .agg(
+              sum(when(col("k").startsWith("t:") && col("n").startsWith("df:"),
+                col("v").cast("bigint")).otherwise(0L)).as("sumDf"),
+              sum(when(col("k") === "_n" && col("n").startsWith("n:"),
+                col("v").cast("bigint")).otherwise(0L)).as("nDocs"))
+            .head()
+          val got = (r.getLong(0), r.getLong(1))
+          if (!legal.contains(got))
+            anomalies.add(s"reader $i saw illegal state $got (legal: $legal)")
+        } catch {
+          // loud refusal classes are legal mid-swap outcomes; anything
+          // else (wrong totals handled above) is an anomaly
+          case e: Throwable =>
+            val msgs = Iterator.iterate[Throwable](e)(_.getCause)
+              .takeWhile(_ != null).flatMap(t => Option(t.getMessage)).mkString(" | ")
+            if (!msgs.contains("rerun") && !msgs.contains("mid-lifecycle") &&
+                !msgs.contains("vanished") && !msgs.contains("FileNotFound") &&
+                !e.isInstanceOf[java.io.FileNotFoundException])
+              anomalies.add(s"reader $i unexpected ${e.getClass.getSimpleName}: $msgs")
+        }
+      }
+    }, s"df-chaos-reader-$i"))
+    readers.foreach(_.start())
+    try {
+      wheres.tail.foreach { w =>
+        spark.sql("CALL graft_dfs.system.update_doc_freqs(table => 'ts.chaos', " +
+          s"source_dir => '$sfDir', where => '$w', autocompact => 2)")
+        spark.sql("CALL graft_dfs.system.compact(table => 'ts.chaos', " +
+          "min_threshold => 2, min_size => 1)")
+      }
+    } finally {
+      stop.set(true)
+      readers.foreach(_.join(30000))
+    }
+    assert(anomalies.isEmpty, anomalies.toArray.mkString("\n"))
+    // end state: the full corpus, exactly
+    val want = directDf("true")
+    assert(storedDf("ts.chaos") == want, "end state diverged after the storm")
+  }
 }

@@ -1,0 +1,99 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.sstable.SSTableReader
+
+/** Streaming df-store maintenance — the streaming twin of `CALL
+  * update_doc_freqs`. Pinned: disjoint micro-batch partials sum to the
+  * exact corpus statistic (historical dups dropped via point-read
+  * probes), replay of an epoch is idempotent, epoch-boundary
+  * self-maintenance folds losslessly, and the foreachBatch entry wires
+  * end to end. */
+class StreamingDfUpdateSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private def docsDf(rows: (Long, String)*) = {
+    val sp = spark
+    import sp.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  /** Exact direct recompute over a doc set: (term -> df, nDocs). */
+  private def direct(rows: (Long, String)*): (Map[String, Long], Long) = {
+    val df = docsDf(rows: _*)
+      .select(col("doc_id"),
+        explode(array_distinct(graft.operators.Params.toks(col("text")))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    (df, rows.map(_._1).distinct.size.toLong)
+  }
+
+  private def stored(store: String): (Map[String, Long], Long) =
+    (StreamingDfUpdate.docFreqs(spark, store)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap,
+      StreamingDfUpdate.nDocs(spark, store))
+
+  test("disjoint epoch partials sum exactly; historical dups count " +
+    "once; replay is idempotent") {
+    val store = Files.createTempDirectory("df-stream").toString
+    val b1 = Seq(1L -> "alpha beta gamma", 2L -> "alpha delta")
+    val b2 = Seq(2L -> "alpha delta", // historical dup: already counted
+      3L -> "beta beta epsilon") // in-doc repeat: df counts docs, not tf
+    StreamingDfUpdate.processBatch(docsDf(b1: _*), store, 0L)
+    StreamingDfUpdate.processBatch(docsDf(b2: _*), store, 1L)
+    val want = direct((b1 ++ b2).distinct: _*)
+    assert(stored(store) == want,
+      s"streamed partials diverge: ${stored(store)} vs $want")
+    // replay epoch 1 (the retry shape): unpublish-then-redo must land
+    // on the identical end state
+    StreamingDfUpdate.processBatch(docsDf(b2: _*), store, 1L)
+    assert(stored(store) == want, "an epoch replay changed the totals")
+  }
+
+  test("epoch-boundary self-maintenance bounds generations; totals " +
+    "unchanged across the folds (epoch-named cells union under LWW)") {
+    val store = Files.createTempDirectory("df-stream-m").toString
+    val all = (0L until 12L).map(i => i -> s"tok$i common word")
+    all.grouped(2).zipWithIndex.foreach { case (batch, e) =>
+      StreamingDfUpdate.processBatch(docsDf(batch: _*), store, e.toLong,
+        maintainAboveGenerations = 2)
+    }
+    assert(SSTableReader.listDataFiles(store).size <= 3,
+      "self-maintenance must bound the generation count")
+    assert(stored(store) == direct(all: _*),
+      "a fold lost a partial — compaction must be lossless")
+  }
+
+  test("the streaming entry point wires foreachBatch end-to-end") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val store = Files.createTempDirectory("df-stream-e2e").toString
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingDfUpdate.start(
+      input.toDF().toDF("doc_id", "text"), store,
+      Files.createTempDirectory("dfs-ck").toString)
+    try {
+      input.addData((1L, "mike november oscar"), (2L, "papa quebec"))
+      q.processAllAvailable()
+      input.addData((1L, "mike november oscar"), (3L, "mike zulu"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(stored(store) == direct(
+      1L -> "mike november oscar", 2L -> "papa quebec", 3L -> "mike zulu"),
+      "streamed end state must equal the dedup'd direct recompute")
+  }
+}
