@@ -42,8 +42,11 @@ import Params._
   *    that epoch's novel-doc count; n_docs = the sum.
   *  - `d:<doc_id%012d>`  — membership marker (cell `e` = epoch). The
   *    key-only Index.db probe for "already counted" doc_ids.
-  *  - `t:<term>`         — one cell `df:<epoch%06d>` per epoch that saw
-  *    the term; df(term) = the sum across cells.
+  *  - `t:<term>`         — per epoch that saw the term, a
+  *    `df:<epoch%06d>` cell (docs containing it) and a
+  *    `cf:<epoch%06d>` cell (total occurrences — the collection
+  *    frequency, additive by the same disjoint-epoch argument);
+  *    df(term)/cf(term) = the sums across cells.
   *
   * Cell timestamps are fixed (each cell NAME is written at most once —
   * epochs are disjoint by construction), so identical update sequences
@@ -93,12 +96,24 @@ object DfStore {
     * partial cells. Vocabulary-sized — the serving-side replacement for
     * a corpus-wide df aggregation. */
   def docFreqs(s: SparkSession, qualifiedTable: String): DataFrame =
+    freqsOf(s, qualifiedTable, "df:")
+
+  /** Corpus-total collection frequency (total occurrences) per term —
+    * the statistic behind word-frequency reports: a consumer answers
+    * "top-k words over the corpus" from this relation alone, ZERO
+    * corpus IO at serve time. */
+  def collFreqs(s: SparkSession, qualifiedTable: String): DataFrame =
+    freqsOf(s, qualifiedTable, "cf:")
+
+  private def freqsOf(s: SparkSession, qualifiedTable: String,
+                      prefix: String): DataFrame =
     s.table(qualifiedTable)
       .select(col("key").cast("string").as("k"), explode(col("columns")).as("c"))
       .filter(col("k").startsWith("t:") &&
-        col("c.name").cast("string").startsWith("df:"))
+        col("c.name").cast("string").startsWith(prefix))
       .groupBy(expr("substring(k, 3)").as("term"))
-      .agg(sum(col("c.value").cast("string").cast("bigint")).as("df"))
+      .agg(sum(col("c.value").cast("string").cast("bigint")).as(
+        prefix.stripSuffix(":")))
 
   /** Total documents counted by the store: SUM of the per-epoch `n:`
     * cells (one tiny row; driver-side). */
@@ -133,23 +148,25 @@ object DfStore {
         "second statistic)")
   }
 
-  /** Distinct (doc_id, unit-value) pairs of one document slice — the
-    * additive partial both units reduce to. */
+  /** (doc_id, unit-value, n) occurrences of one document slice — `n`
+    * occurrences of the unit in the doc. Both additive statistics
+    * derive from this: df = count of docs (one per distinct pair), cf =
+    * sum of n (total occurrences). */
   private def unitsOf(docs: DataFrame, unit: String): DataFrame = unit match {
     case "term" =>
-      docs.select(col("doc_id"),
-        explode(array_distinct(toks(col("text")))).as("term"))
+      docs.select(col("doc_id"), explode(toks(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("n"))
     case "para" =>
       // the EXACT paragraph unit of q_para_dedup: ParaWords-word chunks
-      // of the space-split text, digested; one count per distinct
-      // (doc, digest)
+      // of the space-split text, digested
       docs.select(col("doc_id"),
           posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
         .groupBy(col("doc_id"), floor(col("pos") / ParaWords).as("chunk"))
         .agg(array_join(transform(
           array_sort(collect_list(struct(col("pos"), col("word")))),
           x => x.getField("word")), " ").as("para"))
-        .select(col("doc_id"), md5(col("para")).as("term")).distinct()
+        .select(col("doc_id"), md5(col("para")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("n"))
     case other => throw new IllegalArgumentException(
       s"unit must be 'term' or 'para', got '$other'")
   }
@@ -198,16 +215,19 @@ object DfStore {
       var terms = 0L
       if (novelCount > 0) {
         val tag = epochTag(epoch)
-        // df over the delta: distinct units per doc, then a
-        // vocabulary-sized count — delta-scan only, never the corpus
+        // df + cf over the delta: per-doc unit counts, then ONE
+        // vocabulary-sized aggregation — delta-scan only, never the
+        // corpus. cf (total occurrences) is additive by the same
+        // disjoint-epoch argument as df
         val termDf = unitsOf(novel, unit)
-          .groupBy("term").agg(count(lit(1)).as("df"))
+          .groupBy("term").agg(count(lit(1)).as("df"), sum(col("n")).as("cf"))
           .persist()
         try {
           terms = termDf.count()
           val termRows = termDf.select(
             concat(lit("t:"), col("term")).cast("binary").as("key"),
-            array(strCell(lit(s"df:$tag"), col("df"))).as("columns"),
+            array(strCell(lit(s"cf:$tag"), col("cf")),
+              strCell(lit(s"df:$tag"), col("df"))).as("columns"),
             noTombstone)
           val docRows = novel.select(
             concat(lit("d:"), lpad(col("doc_id").cast("string"), 12, "0"))

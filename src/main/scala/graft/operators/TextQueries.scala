@@ -147,6 +147,18 @@ object TextQueries {
         .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score_e4"))
         .orderBy(col("doc_id"), col("score_e4").desc, col("term"))
     }),
+    // Word frequency served ENTIRELY from the persisted store: the
+    // corpus-total occurrence counts are the summed cf:<epoch> partials,
+    // so the top-k needs ZERO corpus IO at serve time — the strongest
+    // serving shape the store enables. Bit-identical to q_text_stats
+    // (shares its oracle SQL).
+    "q_text_stats_served" -> ((s, d) => {
+      val store = dfStoreFixture(s, d)
+      DfStore.collFreqs(s, store)
+        .select(col("term").as("word"), col("cf").as("cnt"))
+        .orderBy(col("cnt").desc, col("word"))
+        .limit(TopWords)
+    }),
     // TF-IDF served from the persisted df store: tf stays per-document
     // (narrow map-side agg over the docs being scored), but df and
     // n_docs LOAD from the incrementally-maintained store instead of a
@@ -176,10 +188,9 @@ object TextQueries {
   private val toksT = toksSql("text")
 
   def oracles: Map[String, String] = Map(
-    "q_text_stats" ->
-      s"""SELECT word, CAST(count(*) AS BIGINT) AS cnt
-          FROM (SELECT unnest($toksT) AS word FROM documents)
-          GROUP BY word ORDER BY cnt DESC, word LIMIT $TopWords""",
+    "q_text_stats" -> textStatsOracle,
+    // served == twin: summed cf partials are the exact occurrence counts
+    "q_text_stats_served" -> textStatsOracle,
     "q_lang_id" ->
       s"""SELECT doc_id, CAST(len(t) AS BIGINT) AS n_toks,
                  ${e4Sql(s"len(list_filter(t, x -> x IN ($stopList))) * 1.0 / len(t)")} AS en_ratio_e4,
@@ -209,6 +220,11 @@ object TextQueries {
     // sum to exactly what the full-recompute oracle aggregates
     "q_tfidf_served" -> tfidfOracle
   )
+
+  private lazy val textStatsOracle: String =
+    s"""SELECT word, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest($toksT) AS word FROM documents)
+        GROUP BY word ORDER BY cnt DESC, word LIMIT $TopWords"""
 
   private lazy val tfidfOracle: String =
     s"""WITH tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf

@@ -58,12 +58,13 @@ object StreamingDfUpdate {
       lit(ts).as("timestamp"), lit(0L).as("ttlSecs"),
       lit(0L).as("expiresMillis"))
 
-  /** Distinct (doc_id, term) units of one batch — the same extraction
-    * rules as the batch CALL's. */
+  /** (doc_id, term, n) unit occurrences of one batch — the same
+    * extraction rules as the batch CALL's (df = one per distinct pair,
+    * cf = sum of n). */
   private def unitsOf(docs: DataFrame, unit: String): DataFrame = unit match {
     case "term" =>
-      docs.select(col("doc_id"),
-        explode(array_distinct(Params.toks(col("text")))).as("term"))
+      docs.select(col("doc_id"), explode(Params.toks(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("n"))
     case "para" =>
       docs.select(col("doc_id"),
           posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
@@ -71,7 +72,8 @@ object StreamingDfUpdate {
         .agg(array_join(transform(
           array_sort(collect_list(struct(col("pos"), col("word")))),
           x => x.getField("word")), " ").as("para"))
-        .select(col("doc_id"), md5(col("para")).as("term")).distinct()
+        .select(col("doc_id"), md5(col("para")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("n"))
     case other => throw new IllegalArgumentException(
       s"unit must be 'term' or 'para', got '$other'")
   }
@@ -113,9 +115,10 @@ object StreamingDfUpdate {
         // the cell timestamp is the epoch id: fixed per cell name (each
         // name is written by exactly one epoch), deterministic on replay
         val termRows = unitsOf(novel, unit)
-          .groupBy("term").agg(count(lit(1)).as("df"))
+          .groupBy("term").agg(count(lit(1)).as("df"), sum(col("n")).as("cf"))
           .select(concat(lit("t:"), col("term")).cast("binary").as("key"),
-            array(strCell(lit(s"df:$tag"), col("df"), epochId)).as("columns"))
+            array(strCell(lit(s"cf:$tag"), col("cf"), epochId),
+              strCell(lit(s"df:$tag"), col("df"), epochId)).as("columns"))
         val docRows = novel.select(keyOfDoc(col("doc_id")).as("key"),
           array(strCell(lit("e"), lit(tag), epochId)).as("columns"))
         val nRow = spark.range(1).select(lit("_n").cast("binary").as("key"),
@@ -140,12 +143,20 @@ object StreamingDfUpdate {
     * term and total documents counted. Raw row versions and folded rows
     * sum identically — each cell name exists once either way. */
   def docFreqs(s: SparkSession, storeDir: String): DataFrame =
+    freqsOf(s, storeDir, "df:")
+
+  def collFreqs(s: SparkSession, storeDir: String): DataFrame =
+    freqsOf(s, storeDir, "cf:")
+
+  private def freqsOf(s: SparkSession, storeDir: String,
+                      prefix: String): DataFrame =
     s.read.format("sstable").load(storeDir)
       .select(col("key").cast("string").as("k"), explode(col("columns")).as("c"))
       .filter(col("k").startsWith("t:") &&
-        col("c.name").cast("string").startsWith("df:"))
+        col("c.name").cast("string").startsWith(prefix))
       .groupBy(expr("substring(k, 3)").as("term"))
-      .agg(sum(col("c.value").cast("string").cast("bigint")).as("df"))
+      .agg(sum(col("c.value").cast("string").cast("bigint")).as(
+        prefix.stripSuffix(":")))
 
   def nDocs(s: SparkSession, storeDir: String): Long =
     s.read.format("sstable").load(storeDir)

@@ -73,6 +73,14 @@ class DfStoreSpec extends AnyFunSuite {
         s"${(got.toSet -- want.toSet).take(3)} vs ${(want.toSet -- got.toSet).take(3)}")
     val nCorpus = graft.Tables.documents(spark, sfDir).count()
     assert(DfStore.nDocs(spark, "graft_dfs.ts.df") == nCorpus)
+    // the cf (collection frequency) partials sum to total occurrences
+    val wantCf = graft.Tables.documents(spark, sfDir)
+      .select(explode(Params.toks(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cf"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val gotCf = DfStore.collFreqs(spark, "graft_dfs.ts.df")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotCf == wantCf, "summed cf partials diverge from full recompute")
   }
 
   test("COMPACTION is lossless: folding the epochs' generations must " +
@@ -148,6 +156,14 @@ class DfStoreSpec extends AnyFunSuite {
     val served = graft.SparkEntry.queries("q_tfidf_served")(spark, sfDir).collect().toSeq
     assert(twin.nonEmpty && twin == served,
       "q_tfidf_served diverged from q_tfidf_topk")
+  }
+
+  test("q_text_stats_served is BIT-IDENTICAL to its full-recompute twin " +
+    "— answered from the store alone, zero corpus IO") {
+    val twin = graft.SparkEntry.queries("q_text_stats")(spark, sfDir).collect().toSeq
+    val served = graft.SparkEntry.queries("q_text_stats_served")(spark, sfDir).collect().toSeq
+    assert(twin.nonEmpty && twin == served,
+      "q_text_stats_served diverged from q_text_stats")
   }
 
   test("chaos: free-running readers during epoch appends + compaction " +

@@ -295,6 +295,15 @@ class PlanQualitySpec extends AnyFunSuite {
       s"a corpus-wide n_docs aggregation crept into the served plan:\n$plan")
   }
 
+  test("q_text_stats_served: ZERO corpus IO — the word-frequency top-k " +
+    "is answered from the store's summed cf partials alone (round 14)") {
+    val plan = finalPlan("q_text_stats_served").split("== Initial Plan ==").head
+    assert(!plan.contains("Scan parquet"),
+      s"the served top-k must not touch the corpus:\n$plan")
+    assert(plan.contains("sstable"),
+      s"the counts must come from the store's sstable scan:\n$plan")
+  }
+
   test("q_para_dedup_served: one corpus scan — the boilerplate set loads " +
     "from the paragraph-frequency store (no corpus-wide distinct-doc " +
     "digest aggregation) and broadcasts (round 14)") {

@@ -57,6 +57,10 @@ class StreamingDfUpdateSpec extends AnyFunSuite {
     val want = direct((b1 ++ b2).distinct: _*)
     assert(stored(store) == want,
       s"streamed partials diverge: ${stored(store)} vs $want")
+    // cf partials too: 'beta' appears twice in doc 3 and once in doc 1
+    val cf = StreamingDfUpdate.collFreqs(spark, store)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cf("beta") == 3L && cf("alpha") == 2L, cf)
     // replay epoch 1 (the retry shape): unpublish-then-redo must land
     // on the identical end state
     StreamingDfUpdate.processBatch(docsDf(b2: _*), store, 1L)
