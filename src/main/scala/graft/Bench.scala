@@ -141,6 +141,20 @@ object Bench {
     // third ambient-elevated with a disjoint spike set; zero errors;
     // pq_served 1.264/1.231/1.528, min corroborated within 1.03x)
     "q_ann_pq_served" -> 1.231,
+    // r14 additions, same protocol: per-query min of THREE full sf0.1
+    // sweeps (total_ratio 1.047/1.184/0.993 — the second self-flagged
+    // contended with a broad disjoint spike set and is outvoted; zero
+    // errors). tfidf_served 0.740/0.761/0.660 (corroborated 1.12x),
+    // para_dedup_served 0.896/0.997/0.852 (1.05x), text_stats_served
+    // 0.076/0.079/0.063 (1.21x). The serving twins price the STORE
+    // reads per run (fixtures build the df store once per session):
+    // tfidf_served 0.660 vs its twin's 0.909 floor and
+    // para_dedup_served 0.852 vs 1.160 are the df-from-store wins;
+    // text_stats_served 0.063 vs q_text_stats' 0.227 is the
+    // zero-corpus-IO shape — the top-k runs on the vocabulary-sized
+    // store alone
+    "q_tfidf_served" -> 0.660, "q_para_dedup_served" -> 0.852,
+    "q_text_stats_served" -> 0.063,
     "q_sstable_rollback" -> 0.218, "q_sstable_since" -> 0.238,
     "q_sstable_sync" -> 0.081, "q_sstable_topk" -> 0.044,
     "q_stratified" -> 0.191, "q_text_stats" -> 0.227,
