@@ -82,6 +82,36 @@ object DfStore {
       .filter(col("k").startsWith("d:"))
       .select(substring(col("k"), 3, 12).cast("bigint").as("doc_id"))
 
+  /** Additivity audit — the df store's corruption sentinel. Unlike the
+    * signature and ANN stores (keyed per doc: a contract-violating
+    * double ingest collapses harmlessly under LWW merge), this store's
+    * statistics are ADDITIVE: the same doc counted by two epochs
+    * corrupts every total SILENTLY. The invariant `Σ n-partials ==
+    * distinct d: markers, with no duplicate marker row versions` holds
+    * under correct operation (each epoch appends exactly its novel
+    * docs) and breaks under any duplicating interleave — two concurrent
+    * updates over the same delta, or an update whose novelty probe read
+    * a mid-DROP residue before an undrop restored the full marker set.
+    * One key-only scan verifies it; [[update]] runs it after every
+    * append so a violation is LOUD on the very call that caused it. */
+  def auditAdditivity(s: SparkSession, storeDir: String,
+                      nTotal: Long, context: String): Unit = {
+    val m = s.read.format("sstable").load(storeDir)
+      .select(col("key").cast("string").as("k"))
+      .filter(col("k").startsWith("d:"))
+      .agg(count(lit(1)).as("versions"),
+        count_distinct(col("k")).as("distinctKeys"))
+      .head()
+    val (versions, distinctKeys) = (m.getLong(0), m.getLong(1))
+    require(versions == distinctKeys && distinctKeys == nTotal,
+      s"df store at $storeDir is INCONSISTENT after $context: " +
+        s"$versions marker row versions over $distinctKeys distinct docs " +
+        s"vs Σ n-partials = $nTotal — some document was counted twice " +
+        "(a concurrent update, or an update that raced a DROP/undrop). " +
+        "The affected epochs' partials are additive and now corrupt: " +
+        "DROP the store and rebuild it")
+  }
+
   /** The store's epochs so far, from the `_n` row's cell names (a
     * one-row read — the row is epoch-count cells wide). */
   private def epochsOf(s: SparkSession, qualifiedTable: String): Seq[Int] =
@@ -242,6 +272,10 @@ object DfStore {
           try s.sql(s"INSERT INTO $qualifiedTable SELECT * FROM $view")
           finally s.catalog.dropTempView(view)
         } finally termDf.unpersist()
+        // the additivity sentinel: a duplicating interleave must be
+        // loud on the call that caused it, never a silent wrong total
+        auditAdditivity(s, storeDir(), nDocs(s, qualifiedTable),
+          s"epoch $epoch")
       }
       (seen, novelCount, seen - novelCount, epoch, terms)
     } finally novel.unpersist()

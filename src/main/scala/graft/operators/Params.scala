@@ -91,6 +91,10 @@ object Params {
   val TopWords = 20
   /** Distinctive terms kept per document by q_tfidf_topk. */
   val TfidfTopK = 3
+  /** q_tfidf_delta scores only the docs with `doc_id < this` — a
+    * fixed-size "ingest batch" slice (pushed to the parquet scan) —
+    * against FULL-corpus df/n from the persisted store. */
+  val TfidfDeltaDocs = 100
   /** Head rows taken by the physical top-n query q_sstable_topk. */
   val SstableTopK = 100
   /** q_sstable_asof's time-travel cut (2024-01-15T00:00Z, mid-range of

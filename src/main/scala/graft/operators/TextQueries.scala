@@ -167,22 +167,37 @@ object TextQueries {
     // the hash gate proves the epoch partials sum exactly). At 100 TB
     // the serving win is scoring a DELTA: tf over the new docs only, df
     // from the vocabulary-sized store — the corpus is never rescanned.
-    "q_tfidf_served" -> ((s, d) => {
-      val store = dfStoreFixture(s, d)
-      val nDocs = DfStore.nDocs(s, store)
-      val tf = Tables.documents(s, d)
-        .select(col("doc_id"), explode(docToks).as("term"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy(col("score_e4").desc, col("term"))
-      tf.join(DfStore.docFreqs(s, store), "term")
-        .withColumn("score_e4", expr(s"(tf * ${nDocs}L * 10000) div df"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= TfidfTopK)
-        .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score_e4"))
-        .orderBy(col("doc_id"), col("score_e4").desc, col("term"))
-    })
+    "q_tfidf_served" -> ((s, d) => tfidfFromStore(s, d, lit(true))),
+    // The DELTA-serving shape — the 100 TB operating point the store
+    // exists for: score only a fixed-size slice of documents (an
+    // ingest batch) against FULL-corpus df and n_docs. The corpus side
+    // shrinks with the delta (the doc_id filter pushes to the parquet
+    // scan); the statistics side stays the vocabulary-sized store. A
+    // full-recompute formulation would re-aggregate the whole corpus
+    // to score even one document.
+    "q_tfidf_delta" -> ((s, d) => tfidfFromStore(s, d,
+      col("doc_id") < TfidfDeltaDocs))
   )
+
+  /** TF-IDF with per-doc tf over `slice` and df/n_docs LOADED from the
+    * persisted store — shared by the full-corpus parity twin
+    * (q_tfidf_served) and the delta-serving shape (q_tfidf_delta). */
+  private def tfidfFromStore(s: SparkSession, d: String,
+                             slice: org.apache.spark.sql.Column): DataFrame = {
+    val store = dfStoreFixture(s, d)
+    val nDocs = DfStore.nDocs(s, store)
+    val tf = Tables.documents(s, d).filter(slice)
+      .select(col("doc_id"), explode(docToks).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score_e4").desc, col("term"))
+    tf.join(DfStore.docFreqs(s, store), "term")
+      .withColumn("score_e4", expr(s"(tf * ${nDocs}L * 10000) div df"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TfidfTopK)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score_e4"))
+      .orderBy(col("doc_id"), col("score_e4").desc, col("term"))
+  }
 
   private val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
   private val toksT = toksSql("text")
@@ -218,7 +233,23 @@ object TextQueries {
     "q_tfidf_topk" -> tfidfOracle,
     // served == twin, bit for bit: the df store's epoch partials must
     // sum to exactly what the full-recompute oracle aggregates
-    "q_tfidf_served" -> tfidfOracle
+    "q_tfidf_served" -> tfidfOracle,
+    // the delta slice scored against FULL-corpus statistics: the
+    // oracle's tf is filtered, its df/n are not
+    "q_tfidf_delta" ->
+      s"""WITH tfall AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                         FROM (SELECT doc_id, unnest($toksT) AS term FROM documents)
+                         GROUP BY doc_id, term),
+               dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfall GROUP BY term),
+               n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM documents),
+               tf AS (SELECT * FROM tfall WHERE doc_id < $TfidfDeltaDocs)
+          SELECT doc_id, term, tf, df, score_e4 FROM (
+            SELECT tf.doc_id, tf.term, tf.tf, dfr.df,
+                   (tf.tf * n.n_docs * 10000) // dfr.df AS score_e4,
+                   row_number() OVER (PARTITION BY tf.doc_id
+                     ORDER BY (tf.tf * n.n_docs * 10000) // dfr.df DESC, tf.term) AS rk
+            FROM tf JOIN dfr USING (term) CROSS JOIN n)
+          WHERE rk <= $TfidfTopK ORDER BY doc_id, score_e4 DESC, term"""
   )
 
   private lazy val textStatsOracle: String =

@@ -127,6 +127,11 @@ object StreamingDfUpdate {
           .write.format("sstable")
           .option(graft.sources.sstable.spark.SSTableSource.JobTagOption, jobTag)
           .mode("append").save(storeDir)
+        // the additivity sentinel (see DfStore.auditAdditivity): a
+        // duplicating interleave corrupts additive partials silently —
+        // refuse on the epoch that caused it
+        graft.operators.DfStore.auditAdditivity(spark, storeDir,
+          nDocs(spark, storeDir), s"streaming epoch $epochId")
       }
     } finally novel.unpersist()
 

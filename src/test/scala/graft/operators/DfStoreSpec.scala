@@ -166,6 +166,30 @@ class DfStoreSpec extends AnyFunSuite {
       "q_text_stats_served diverged from q_text_stats")
   }
 
+  test("the additivity sentinel: a duplicating interleave (concurrent " +
+    "updates / update racing DROP+undrop) refuses LOUDLY on the epoch " +
+    "that caused it — additive partials corrupt silently where the " +
+    "LWW-keyed stores collapse double-writes harmlessly") {
+    call("ts.audit", "doc_id % 5 = 0")
+    // forge the race's outcome through the SQL surface: one marker row
+    // duplicating an already-counted doc plus its stray n-partial
+    val dupId = DfStore.storedDocIds(spark, s"$warehouse/ts/audit")
+      .orderBy("doc_id").head().getLong(0)
+    val dupKey = f"d:$dupId%012d"
+    def cellSql(name: String, v: String) =
+      s"named_struct('name', CAST('$name' AS BINARY), 'state', 'NORMAL', " +
+        s"'value', CAST('$v' AS BINARY), 'timestamp', CAST(1 AS BIGINT), " +
+        "'ttlSecs', CAST(0 AS BIGINT), 'expiresMillis', CAST(0 AS BIGINT))"
+    val noTomb = "CAST(NULL AS STRUCT<localDeletionTime: INT, markedForDeleteAt: BIGINT>)"
+    spark.sql(s"INSERT INTO graft_dfs.ts.audit VALUES " +
+      s"(CAST('$dupKey' AS BINARY), array(${cellSql("e", "99")}), $noTomb), " +
+      s"(CAST('_n' AS BINARY), array(${cellSql("n:000099", "1")}), $noTomb)")
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    val e = intercept[Exception](call("ts.audit", "true"))
+    assert(chain(e).exists(_.contains("counted twice")), chain(e))
+  }
+
   test("chaos: free-running readers during epoch appends + compaction " +
     "folds see exactly ONE legal epoch-prefix state per read — epoch " +
     "INSERTs are atomic and folds are lossless, so (sum df, n_docs) " +

@@ -295,6 +295,18 @@ class PlanQualitySpec extends AnyFunSuite {
       s"a corpus-wide n_docs aggregation crept into the served plan:\n$plan")
   }
 
+  test("q_tfidf_delta: the ingest-batch filter is PUSHED to the parquet " +
+    "scan — the corpus side is delta-sized while df/n come from the " +
+    "store (the 100 TB delta-serving shape, round 14)") {
+    val plan = finalPlan("q_tfidf_delta").split("== Initial Plan ==").head
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*doc_id[^\\]]*\\].*"),
+      s"the delta filter must reach the parquet scan:\n$plan")
+    assert("Scan parquet".r.findAllIn(plan).size == 1,
+      s"expected exactly one (pruned) corpus scan:\n$plan")
+    assert(plan.contains("sstable"),
+      s"df must load from the persisted store:\n$plan")
+  }
+
   test("q_text_stats_served: ZERO corpus IO — the word-frequency top-k " +
     "is answered from the store's summed cf partials alone (round 14)") {
     val plan = finalPlan("q_text_stats_served").split("== Initial Plan ==").head
