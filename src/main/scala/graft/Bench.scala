@@ -155,6 +155,14 @@ object Bench {
     // store alone
     "q_tfidf_served" -> 0.660, "q_para_dedup_served" -> 0.852,
     "q_text_stats_served" -> 0.063,
+    // late-r14 addition, same protocol (three further quiet sweeps,
+    // total_ratio 0.989/0.954/0.953, zero errors, zero contended;
+    // delta 0.415/0.403/0.286 — the min uncorroborated at 1.41x, so
+    // the second-smallest froze per the r9 rule; the three earlier r14
+    // queries re-read inside their fresh floors in the same sweeps).
+    // The fixed-size ingest-batch slice costs ~0.4 s vs the full
+    // corpus twin's 0.909 — the corpus side shrank with the delta
+    "q_tfidf_delta" -> 0.403,
     "q_sstable_rollback" -> 0.218, "q_sstable_since" -> 0.238,
     "q_sstable_sync" -> 0.081, "q_sstable_topk" -> 0.044,
     "q_stratified" -> 0.191, "q_text_stats" -> 0.227,

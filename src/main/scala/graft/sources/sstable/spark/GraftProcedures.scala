@@ -641,8 +641,9 @@ private[spark] object GraftProcedures {
         "incrementally maintain a document-frequency (IDF) store over a " +
           "growing corpus: probe THIS table's d: marker keys (key-only " +
           "Index.db scan) for doc_ids already counted, compute per-term " +
-          "df over ONLY the absent documents, and append the partials as " +
-          "one epoch — each epoch's counts live in df:<epoch> cells, so " +
+          "df AND cf (total occurrences) over ONLY the absent documents, " +
+          "and append the partials as " +
+          "one epoch — each epoch's counts live in df:/cf:<epoch> cells, so " +
           "compaction's column-union merge folds generations without " +
           "losing a partial, and disjoint epochs SUM to the exact corpus " +
           "df. Serving (DfStore.docFreqs / nDocs) reads total df and " +

@@ -190,6 +190,82 @@ class DfStoreSpec extends AnyFunSuite {
     assert(chain(e).exists(_.contains("counted twice")), chain(e))
   }
 
+  test("storm: update_doc_freqs racing DROP+undrop never corrupts " +
+    "SILENTLY — every observed outcome is a success, a loud refusal " +
+    "class, or the additivity sentinel naming the corruption it just " +
+    "created (the contract: loud beats silent, even under operator " +
+    "error the single-maintainer contract excludes)") {
+    spark.sql("CREATE NAMESPACE graft_dfs.storm")
+    spark.sql("CALL graft_dfs.system.update_doc_freqs(table => " +
+      s"'storm.df', source_dir => '$sfDir', where => 'doc_id % 7 = 0', " +
+      "autocompact => 3)")
+    val sentinelSeen = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val anomalies = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def legal(msgs: String): Boolean =
+      msgs.contains("rerun") || msgs.contains("mid-lifecycle") ||
+        msgs.contains("vanished") || msgs.contains("FileNotFound") ||
+        msgs.contains("TABLE_OR_VIEW_NOT_FOUND") || msgs.contains("not found") ||
+        msgs.contains("lease") || msgs.contains("exists") ||
+        msgs.contains("no data and no _table pointer") ||
+        msgs.contains("ONE corpus") || msgs.contains("one unit") ||
+        msgs.contains("residue") || msgs.contains("dropped") ||
+        msgs.contains("restoring")
+    val updater = new Thread(() => {
+      var slice = 0
+      while (!stop.get()) {
+        slice = (slice % 6) + 1
+        try spark.sql("CALL graft_dfs.system.update_doc_freqs(table => " +
+          s"'storm.df', source_dir => '$sfDir', " +
+          s"where => 'doc_id % 7 <= $slice', autocompact => 3)")
+        catch {
+          case e: Throwable =>
+            val msgs = Iterator.iterate[Throwable](e)(_.getCause)
+              .takeWhile(_ != null).flatMap(t => Option(t.getMessage)).mkString(" | ")
+            if (msgs.contains("counted twice")) sentinelSeen.set(true)
+            else if (!legal(msgs))
+              anomalies.add(s"updater unexpected ${e.getClass.getSimpleName}: $msgs")
+        }
+      }
+    }, "df-storm-updater")
+    updater.start()
+    try {
+      for (_ <- 1 to 6) {
+        try {
+          spark.sql("DROP TABLE graft_dfs.storm.df")
+          spark.sql("CALL graft_dfs.system.undrop_table(table => 'storm.df')")
+        } catch {
+          case e: Throwable =>
+            val msgs = Iterator.iterate[Throwable](e)(_.getCause)
+              .takeWhile(_ != null).flatMap(t => Option(t.getMessage)).mkString(" | ")
+            if (!legal(msgs))
+              anomalies.add(s"ddl unexpected ${e.getClass.getSimpleName}: $msgs")
+        }
+        Thread.sleep(50)
+      }
+    } finally {
+      stop.set(true)
+      updater.join(60000)
+    }
+    assert(anomalies.isEmpty, anomalies.toArray.mkString("\n"))
+    // the decisive check: if the store ended up corrupt, some call MUST
+    // have said so loudly — silent corruption is the only illegal end
+    val table = spark.sql("SHOW TABLES IN graft_dfs.storm").collect()
+      .exists(_.getString(1) == "df")
+    if (table) {
+      val consistent =
+        try {
+          DfStore.auditAdditivity(spark, s"$warehouse/storm/df",
+            DfStore.nDocs(spark, "graft_dfs.storm.df"), "post-storm")
+          true
+        } catch { case e: IllegalArgumentException
+            if e.getMessage.contains("counted twice") => false }
+      assert(consistent || sentinelSeen.get(),
+        "the store is corrupt but NO call reported it — the sentinel " +
+          "missed a silent double count")
+    }
+  }
+
   test("chaos: free-running readers during epoch appends + compaction " +
     "folds see exactly ONE legal epoch-prefix state per read — epoch " +
     "INSERTs are atomic and folds are lossless, so (sum df, n_docs) " +
