@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.operators.Params
+
+/** Streaming TF-IDF scoring against the PERSISTED df store — the
+  * serve-side streaming consumer (the df-store twin of
+  * [[StreamingAnnScore]]): documents arriving on a stream are scored
+  * per micro-batch against corpus-level statistics, without ever
+  * rescanning the corpus. tf is computed over the micro-batch (tiny by
+  * definition); df and n_docs load from the vocabulary-sized store.
+  *
+  * Statistics REFRESH per micro-batch: each batch re-reads the store,
+  * so a `CALL update_doc_freqs` / [[StreamingDfUpdate]] epoch landing
+  * between batches is visible to the next batch's scores (spec-pinned)
+  * — the standard serving loop where one maintainer advances the store
+  * and scorers follow.
+  *
+  * Semantics: identical to the batch delta-serving query
+  * (q_tfidf_delta) — integer-exact `(tf · n_docs · 10⁴) div df`, top
+  * [[Params.TfidfTopK]] per doc. Terms the store has never seen carry
+  * no df and are DROPPED (idf is undefined for them — the same
+  * contract as the batch twins, whose store covers their corpus);
+  * downstream treats absence as "not a distinctive known term". */
+object StreamingTfIdfScore {
+
+  def start(docs: DataFrame, storeDir: String, checkpointDir: String,
+            emit: (DataFrame, Long) => Unit): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        emit(scoreBatch(batch, storeDir), epochId)
+      }
+      .start()
+
+  /** Score one batch of (doc_id, text) against the store's CURRENT
+    * statistics — public so tests and backfills drive it directly. */
+  def scoreBatch(batch: DataFrame, storeDir: String,
+                 storage: graft.sources.sstable.Storage =
+                   graft.sources.sstable.LocalStorage): DataFrame = {
+    val s = batch.sparkSession
+    val n =
+      if (storage.exists(storeDir) && storage.listDataFiles(storeDir).nonEmpty)
+        StreamingDfUpdate.nDocs(s, storeDir)
+      else 0L
+    require(n > 0,
+      s"the df store at $storeDir has counted no documents — run " +
+        "update_doc_freqs / StreamingDfUpdate before scoring against it")
+    val tf = batch.select(col("doc_id"), explode(Params.toks(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score_e4").desc, col("term"))
+    tf.join(StreamingDfUpdate.docFreqs(s, storeDir), "term")
+      .withColumn("score_e4", expr(s"(tf * ${n}L * 10000) div df"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= Params.TfidfTopK)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score_e4"))
+      .orderBy(col("doc_id"), col("score_e4").desc, col("term"))
+  }
+}
