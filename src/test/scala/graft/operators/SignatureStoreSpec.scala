@@ -101,6 +101,73 @@ class SignatureStoreSpec extends AnyFunSuite {
       m.contains("perms")), chain(e))
   }
 
+  test("storm: update_signatures racing DROP+undrop stays benign — the " +
+    "LWW-keyed store collapses any double-signing harmlessly (same key, " +
+    "same cells), so the end state ALWAYS equals the full recompute; " +
+    "every failure is a declared loud class (the df store's additive " +
+    "partials need a sentinel for this interleave; this store does not)") {
+    spark.sql("CREATE NAMESPACE graft_ss.storm")
+    call("storm.s", "doc_id % 7 = 0")
+    val anomalies = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def legal(msgs: String): Boolean =
+      msgs.contains("rerun") || msgs.contains("mid-lifecycle") ||
+        msgs.contains("vanished") || msgs.contains("FileNotFound") ||
+        msgs.contains("TABLE_OR_VIEW_NOT_FOUND") || msgs.contains("not found") ||
+        msgs.contains("lease") || msgs.contains("exists") ||
+        msgs.contains("no data and no _table pointer") ||
+        msgs.contains("dropped") || msgs.contains("restoring") ||
+        msgs.contains("residue") || msgs.contains("MinHash")
+    val updater = new Thread(() => {
+      var slice = 0
+      while (!stop.get()) {
+        slice = (slice % 6) + 1
+        try call("storm.s", s"doc_id % 7 <= $slice")
+        catch {
+          case e: Throwable =>
+            val msgs = Iterator.iterate[Throwable](e)(_.getCause)
+              .takeWhile(_ != null).flatMap(t => Option(t.getMessage)).mkString(" | ")
+            if (!legal(msgs))
+              anomalies.add(s"updater unexpected ${e.getClass.getSimpleName}: $msgs")
+        }
+      }
+    }, "sig-storm-updater")
+    updater.start()
+    try {
+      for (_ <- 1 to 6) {
+        try {
+          spark.sql("DROP TABLE graft_ss.storm.s")
+          spark.sql("CALL graft_ss.system.undrop_table(table => 'storm.s')")
+        } catch {
+          case e: Throwable =>
+            val msgs = Iterator.iterate[Throwable](e)(_.getCause)
+              .takeWhile(_ != null).flatMap(t => Option(t.getMessage)).mkString(" | ")
+            if (!legal(msgs))
+              anomalies.add(s"ddl unexpected ${e.getClass.getSimpleName}: $msgs")
+        }
+        Thread.sleep(50)
+      }
+    } finally {
+      stop.set(true)
+      updater.join(60000)
+    }
+    assert(anomalies.isEmpty, anomalies.toArray.mkString("\n"))
+    // the decisive difference from the df store: NO corruption is even
+    // POSSIBLE here — converge the store and require exact parity
+    if (spark.sql("SHOW TABLES IN graft_ss.storm").collect()
+        .exists(_.getString(1) == "s")) {
+      call("storm.s", "true") // converge: sign whatever is still unsigned
+      val got = SignatureStore.storedSignatures(spark, "graft_ss.storm.s")
+        .collect().map(_.toString).sorted.toSeq
+      val want = SignatureStore.signatures(
+          graft.Tables.documents(spark, sfDir).select("doc_id", "text"))
+        .filter(length(col("sig")) > 0)
+        .collect().map(_.toString).sorted.toSeq
+      assert(got == want,
+        "the storm left a store that diverges from the full recompute")
+    }
+  }
+
   test("short documents are remembered with empty signatures — never " +
     "re-probed as novel — and filtered from the read relation") {
     // craft a corpus slice guaranteed to include docs the signature
