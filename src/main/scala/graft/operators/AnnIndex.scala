@@ -172,11 +172,62 @@ object AnnIndex {
     * refuses mid-destroy residue), but a serving plan composed of
     * SEVERAL loads could straddle a rebuild that completes between them
     * and mix two epochs — serve from an index that is not being
-    * concurrently REBUILT, or pin a snapshot (`CALL snapshot`) and keep
-    * serving jobs on the pinned epoch while rebuilds land. Incremental
-    * `update_ann_index` appends are benign across loads: a vector seen
-    * by one load and not another simply drops out of the inner joins
-    * (the older consistent subset serves). */
+    * concurrently REBUILT, pin a snapshot (`CALL snapshot`) and keep
+    * serving jobs on the pinned epoch while rebuilds land, or take ONE
+    * [[AnnIndex.snapshot]] and derive every structure from it (r14 —
+    * closes the limit in-process: one scan, one epoch, all accessors
+    * mutually consistent). Incremental `update_ann_index` appends are
+    * benign across loads: a vector seen by one load and not another
+    * simply drops out of the inner joins (the older consistent subset
+    * serves). */
+
+  /** Epoch-consistent composite load (r14): ONE scan of the index
+    * table, materialized, from which every structure derives — a
+    * rebuild completing between accessor reads can no longer mix
+    * epochs inside one serving plan, because there is only one read.
+    * The slices reuse the cached partitions (centroids/codebooks/codes
+    * are the small serving assets — caching them is the point of the
+    * persisted index). Call [[AnnSnapshot.release]] when the serving
+    * plan is done. */
+  def snapshot(s: SparkSession, idxDir: String): AnnSnapshot = {
+    val cells = cellsOf(s, idxDir).persist()
+    cells.count() // force materialization: THIS is the snapshot instant
+    new AnnSnapshot(cells)
+  }
+
+  /** The one-read view of a persisted ANN index — accessors mirror the
+    * per-call loaders exactly (same shapes, same derived norms), but
+    * all of them slice the SAME materialized scan. */
+  final class AnnSnapshot private[AnnIndex] (cells: DataFrame) {
+    def meta: Map[String, String] =
+      cells.filter(col("k") === "_meta")
+        .select(col("name"), col("value").cast("string").as("v"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    def coarseCentroids: DataFrame =
+      cells.filter(col("k").startsWith("c:") && col("name") === "cv")
+        .select(substring(col("k"), 3, 5).cast("int").as("cell"),
+          unpack_doubles(col("value")).as("cv"))
+        .withColumn("cn", sqrt(vector_dot(col("cv"), col("cv"))))
+    def pqCodebooks: DataFrame =
+      cells.filter(col("k").startsWith("p:") && col("name") === "cv")
+        .select(element_at(split(col("k"), ":"), 2).cast("int").as("sub"),
+          element_at(split(col("k"), ":"), 3).cast("int").as("cell"),
+          unpack_doubles(col("value")).as("cv"))
+        .withColumn("cn", sqrt(vector_dot(col("cv"), col("cv"))))
+    def vectorCells: DataFrame =
+      cells.filter(col("k").startsWith("v:") && col("name") === "cell")
+        .select(substring(col("k"), 3, 12).cast("long").as("vec_id"),
+          col("value").cast("string").cast("int").as("cell"))
+    def vectorCodes(m: Int): DataFrame = {
+      val aggs = (0 until m).map(i =>
+        max(when(col("name") === s"code$i",
+          col("value").cast("string").cast("int"))).as(s"code$i"))
+      cells.filter(col("k").startsWith("v:") && col("name").startsWith("code"))
+        .groupBy(substring(col("k"), 3, 12).cast("long").as("vec_id"))
+        .agg(aggs.head, aggs.tail: _*)
+    }
+    def release(): Unit = cells.unpersist()
+  }
 
   /** One raw read of the index table, exploded to (k, name, value) —
     * the shared decode surface of the loaders below. */

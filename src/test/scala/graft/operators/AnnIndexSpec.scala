@@ -235,6 +235,34 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(reads.get() > 0, "the reader must have completed some loads")
   }
 
+  test("AnnSnapshot: the one-read composite load — a REBUILD landing " +
+    "between accessor reads cannot mix epochs (closes the documented " +
+    "several-loads limit in-process, round 14)") {
+    spark.sql("CALL graft_ix.system.build_ann_index(table => 'ann.snap', " +
+      s"source_dir => '$sfDir', kind => 'ivf', k => 4, iters => 1)")
+    val idx = s"$warehouse/ann/snap"
+    val snap = AnnIndex.snapshot(spark, idx)
+    try {
+      assert(snap.meta("k") == "4")
+      // the rebuild lands BETWEEN the snapshot and its accessor reads
+      spark.sql("CALL graft_ix.system.build_ann_index(table => 'ann.snap', " +
+        s"source_dir => '$sfDir', kind => 'ivf', k => 6, iters => 1)")
+      // fresh per-call loaders see the NEW epoch...
+      assert(AnnIndex.loadCoarseCentroids(spark, idx).count() == 6)
+      // ...while every snapshot accessor keeps serving the OLD epoch,
+      // mutually consistent (meta.k == centroid count == 4; the vector
+      // assignment set is the old epoch's, complete)
+      assert(snap.meta("k") == "4", "snapshot meta drifted to the new epoch")
+      val cents = snap.coarseCentroids.collect()
+      assert(cents.length == 4, s"snapshot mixed epochs: ${cents.length} centroids")
+      assert(cents.map(_.getAs[Number]("cell").intValue()).toSet == Set(0, 1, 2, 3))
+      val nvec = graft.Tables.embeddings(spark, sfDir).count()
+      assert(snap.vectorCells.count() == nvec)
+      assert(snap.vectorCells.agg(max(col("cell"))).head().getInt(0) <= 3,
+        "snapshot vector assignments leaked the new epoch's cells")
+    } finally snap.release()
+  }
+
   test("rebuilding the index is one atomic REPLACE: the new epoch swaps " +
     "in wholesale (no stale mix), and the receipt reflects new params") {
     val r = spark.sql("CALL graft_ix.system.build_ann_index(" +
