@@ -117,6 +117,15 @@ object LocalStorage extends Storage {
   def listDataFiles(dir: String): Seq[String] = {
     val f = new File(dir)
     if (!f.isDirectory) {
+      // match HadoopStorage (getFileStatus throws FNF on missing paths):
+      // a dir a concurrent swap/DROP removed must read as the vanished
+      // straggler class every retry loop already classifies, not as a
+      // wrong-argument error (r14 storm find — the two adapters
+      // disagreed on the missing-dir failure class)
+      if (!f.exists())
+        throw new java.io.FileNotFoundException(
+          s"$dir does not exist — a concurrent swap or DROP may have " +
+            "removed it; rerun")
       if (f.getName.endsWith(SSTableFiles.DataSuffix)) Seq(f.getPath)
       else throw new IllegalArgumentException(s"$dir is neither a dir nor a -Data.db file")
     } else {

@@ -205,6 +205,7 @@ class DfStoreSpec extends AnyFunSuite {
     def legal(msgs: String): Boolean =
       msgs.contains("rerun") || msgs.contains("mid-lifecycle") ||
         msgs.contains("vanished") || msgs.contains("FileNotFound") ||
+        msgs.contains("does not exist") || msgs.contains("No such file") ||
         msgs.contains("TABLE_OR_VIEW_NOT_FOUND") || msgs.contains("not found") ||
         msgs.contains("lease") || msgs.contains("exists") ||
         msgs.contains("no data and no _table pointer") ||
@@ -221,7 +222,9 @@ class DfStoreSpec extends AnyFunSuite {
         catch {
           case e: Throwable =>
             val msgs = Iterator.iterate[Throwable](e)(_.getCause)
-              .takeWhile(_ != null).flatMap(t => Option(t.getMessage)).mkString(" | ")
+              .takeWhile(_ != null)
+              .flatMap(t => Seq(t.getClass.getSimpleName) ++ Option(t.getMessage))
+              .mkString(" | ")
             if (msgs.contains("counted twice")) sentinelSeen.set(true)
             else if (!legal(msgs))
               anomalies.add(s"updater unexpected ${e.getClass.getSimpleName}: $msgs")
@@ -237,7 +240,9 @@ class DfStoreSpec extends AnyFunSuite {
         } catch {
           case e: Throwable =>
             val msgs = Iterator.iterate[Throwable](e)(_.getCause)
-              .takeWhile(_ != null).flatMap(t => Option(t.getMessage)).mkString(" | ")
+              .takeWhile(_ != null)
+              .flatMap(t => Seq(t.getClass.getSimpleName) ++ Option(t.getMessage))
+              .mkString(" | ")
             if (!legal(msgs))
               anomalies.add(s"ddl unexpected ${e.getClass.getSimpleName}: $msgs")
         }
@@ -312,7 +317,9 @@ class DfStoreSpec extends AnyFunSuite {
           // else (wrong totals handled above) is an anomaly
           case e: Throwable =>
             val msgs = Iterator.iterate[Throwable](e)(_.getCause)
-              .takeWhile(_ != null).flatMap(t => Option(t.getMessage)).mkString(" | ")
+              .takeWhile(_ != null)
+              .flatMap(t => Seq(t.getClass.getSimpleName) ++ Option(t.getMessage))
+              .mkString(" | ")
             if (!msgs.contains("rerun") && !msgs.contains("mid-lifecycle") &&
                 !msgs.contains("vanished") && !msgs.contains("FileNotFound") &&
                 !e.isInstanceOf[java.io.FileNotFoundException])

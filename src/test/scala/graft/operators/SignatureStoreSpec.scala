@@ -113,6 +113,7 @@ class SignatureStoreSpec extends AnyFunSuite {
     def legal(msgs: String): Boolean =
       msgs.contains("rerun") || msgs.contains("mid-lifecycle") ||
         msgs.contains("vanished") || msgs.contains("FileNotFound") ||
+        msgs.contains("does not exist") || msgs.contains("No such file") ||
         msgs.contains("TABLE_OR_VIEW_NOT_FOUND") || msgs.contains("not found") ||
         msgs.contains("lease") || msgs.contains("exists") ||
         msgs.contains("no data and no _table pointer") ||
@@ -126,7 +127,9 @@ class SignatureStoreSpec extends AnyFunSuite {
         catch {
           case e: Throwable =>
             val msgs = Iterator.iterate[Throwable](e)(_.getCause)
-              .takeWhile(_ != null).flatMap(t => Option(t.getMessage)).mkString(" | ")
+              .takeWhile(_ != null)
+              .flatMap(t => Seq(t.getClass.getSimpleName) ++ Option(t.getMessage))
+              .mkString(" | ")
             if (!legal(msgs))
               anomalies.add(s"updater unexpected ${e.getClass.getSimpleName}: $msgs")
         }
@@ -141,7 +144,9 @@ class SignatureStoreSpec extends AnyFunSuite {
         } catch {
           case e: Throwable =>
             val msgs = Iterator.iterate[Throwable](e)(_.getCause)
-              .takeWhile(_ != null).flatMap(t => Option(t.getMessage)).mkString(" | ")
+              .takeWhile(_ != null)
+              .flatMap(t => Seq(t.getClass.getSimpleName) ++ Option(t.getMessage))
+              .mkString(" | ")
             if (!legal(msgs))
               anomalies.add(s"ddl unexpected ${e.getClass.getSimpleName}: $msgs")
         }
