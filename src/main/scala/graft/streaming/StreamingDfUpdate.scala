@@ -95,6 +95,23 @@ object StreamingDfUpdate {
         .filter(_.endsWith(s"-$jobTag${SSTableFiles.DataSuffix}"))
         .foreach(SSTableFiles.unpublish(storage, _))
 
+    // self-maintenance runs BEFORE the append, never after (r14 review
+    // find): folding at the END of the batch could absorb SOME of the
+    // current epoch's own tagged filesets (STCS buckets split an epoch's
+    // partitions); a crash before the checkpoint commit then replays the
+    // epoch, whose tag-unpublish removes only the UNFOLDED remainder —
+    // the epoch splits, and the replay's re-counted df:s<epoch> cells
+    // COLLIDE with the folded survivors' under the same name with
+    // different values, which LWW resolves to one of them: a silent
+    // under-count. With the fold up front, a replayable epoch's tag is
+    // never inside a fold (the next epoch folds it only after this
+    // epoch's checkpoint committed, which ends its replayability).
+    // StreamingIncrementalDedup keeps the end-of-batch fold: its cells
+    // are idempotent under LWW, so the same interleave is harmless.
+    if (maintainAboveGenerations > 0 && storage.exists(storeDir) &&
+        storage.listDataFiles(storeDir).length > maintainAboveGenerations)
+      SSTableOps.compactInPlace(spark, storeDir, minThreshold = 4)
+
     // in-batch dedup: one row per doc_id
     val docs = batch.select(col("doc_id"), col("text"))
       .dropDuplicates("doc_id")
@@ -134,13 +151,6 @@ object StreamingDfUpdate {
           nDocs(spark, storeDir), s"streaming epoch $epochId")
       }
     } finally novel.unpersist()
-
-    // epoch-boundary self-maintenance: quiesced inside foreachBatch =
-    // single maintainer; folding unions the epoch-named cells, so
-    // totals — and every later novelty decision — are unchanged
-    if (maintainAboveGenerations > 0 &&
-        storage.listDataFiles(storeDir).length > maintainAboveGenerations)
-      SSTableOps.compactInPlace(spark, storeDir, minThreshold = 4)
   }
 
   /** Raw-path serving reads for a stream-maintained store (the catalog

@@ -68,12 +68,23 @@ class StreamingDfUpdateSpec extends AnyFunSuite {
   }
 
   test("epoch-boundary self-maintenance bounds generations; totals " +
-    "unchanged across the folds (epoch-named cells union under LWW)") {
+    "unchanged across the folds; the CURRENT epoch's tagged generation " +
+    "is never inside a fold (r14 review find: an end-of-batch fold " +
+    "could absorb part of a still-replayable epoch — the replay's " +
+    "tag-unpublish then split it and collided df:s cells silently)") {
     val store = Files.createTempDirectory("df-stream-m").toString
     val all = (0L until 12L).map(i => i -> s"tok$i common word")
     all.grouped(2).zipWithIndex.foreach { case (batch, e) =>
       StreamingDfUpdate.processBatch(docsDf(batch: _*), store, e.toLong,
         maintainAboveGenerations = 2)
+      // the order pin: maintenance ran BEFORE the append, so this
+      // epoch's tag must survive the batch as its own fileset — a
+      // replay's unpublish always removes the WHOLE epoch or nothing
+      val tag = f"dfs${e.toLong}%09d"
+      assert(SSTableReader.listDataFiles(store)
+        .exists(_.endsWith(s"-$tag-Data.db")),
+        s"epoch $e's tagged generation was folded within its own batch " +
+          "— a crash now would make its replay split the epoch")
     }
     assert(SSTableReader.listDataFiles(store).size <= 3,
       "self-maintenance must bound the generation count")
