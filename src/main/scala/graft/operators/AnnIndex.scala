@@ -185,15 +185,17 @@ object AnnIndex {
     * table, materialized, from which every structure derives — a
     * rebuild completing between accessor reads can no longer mix
     * epochs inside one serving plan, because there is only one read.
-    * The slices reuse the cached partitions (centroids/codebooks/codes
-    * are the small serving assets — caching them is the point of the
-    * persisted index). Call [[AnnSnapshot.release]] when the serving
-    * plan is done. */
-  def snapshot(s: SparkSession, idxDir: String): AnnSnapshot = {
-    val cells = cellsOf(s, idxDir).persist()
-    cells.count() // force materialization: THIS is the snapshot instant
-    new AnnSnapshot(cells)
-  }
+    * The slices reuse the materialized partitions (centroids/codebooks/
+    * codes are the small serving assets — holding them is the point of
+    * the persisted index). `localCheckpoint(eager)` rather than
+    * `persist()` deliberately: a persisted partition lost to executor
+    * churn would RECOMPUTE from the table's CURRENT state and silently
+    * mix epochs for just that partition — the checkpoint cuts the
+    * lineage, so block loss fails the job loudly instead (the same
+    * loud-beats-silent call as everywhere else in this engine). Call
+    * [[AnnSnapshot.release]] when the serving plan is done. */
+  def snapshot(s: SparkSession, idxDir: String): AnnSnapshot =
+    new AnnSnapshot(cellsOf(s, idxDir).localCheckpoint(true))
 
   /** The one-read view of a persisted ANN index — accessors mirror the
     * per-call loaders exactly (same shapes, same derived norms), but
