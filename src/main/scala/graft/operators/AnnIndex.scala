@@ -194,13 +194,30 @@ object AnnIndex {
     * lineage, so block loss fails the job loudly instead (the same
     * loud-beats-silent call as everywhere else in this engine). Call
     * [[AnnSnapshot.release]] when the serving plan is done. */
-  def snapshot(s: SparkSession, idxDir: String): AnnSnapshot =
-    new AnnSnapshot(cellsOf(s, idxDir).localCheckpoint(true))
+  def snapshot(s: SparkSession, idxDir: String): AnnSnapshot = {
+    // the checkpoint is taken on the RDD directly (the same copy-rows +
+    // localCheckpoint sequence Dataset.localCheckpoint performs) so the
+    // snapshot HOLDS the checkpointed RDD: Dataset.unpersist on a
+    // checkpointed frame only clears CacheManager entries and leaves
+    // the checkpoint's blocks to garbage collection — in a long-lived
+    // serving session repeated snapshots would accumulate blocks
+    // (ADVICE r14). With the handle, release() unpersists the blocks
+    // themselves, immediately.
+    val src = cellsOf(s, idxDir)
+    val rdd = src.queryExecution.toRdd.map(_.copy()).localCheckpoint()
+    rdd.count() // eager: materialize NOW, against the current epoch
+    new AnnSnapshot(
+      org.apache.spark.sql.GraftColumnBridge.internalCreateDataFrame(
+        s, rdd, src.schema), rdd)
+  }
 
   /** The one-read view of a persisted ANN index — accessors mirror the
     * per-call loaders exactly (same shapes, same derived norms), but
     * all of them slice the SAME materialized scan. */
-  final class AnnSnapshot private[AnnIndex] (cells: DataFrame) {
+  final class AnnSnapshot private[AnnIndex] (
+      cells: DataFrame,
+      checkpointed: org.apache.spark.rdd.RDD[
+        org.apache.spark.sql.catalyst.InternalRow]) {
     def meta: Map[String, String] =
       cells.filter(col("k") === "_meta")
         .select(col("name"), col("value").cast("string").as("v"))
@@ -228,7 +245,18 @@ object AnnIndex {
         .groupBy(substring(col("k"), 3, 12).cast("long").as("vec_id"))
         .agg(aggs.head, aggs.tail: _*)
     }
-    def release(): Unit = cells.unpersist()
+    /** Free the snapshot's checkpoint blocks NOW (not at GC): the
+      * handle makes this a real unpersist of the checkpointed RDD's
+      * storage, closing the snapshot-accumulation leak a long-lived
+      * serving session would otherwise have (ADVICE r14). The snapshot
+      * is INVALID afterwards — a released local checkpoint cannot
+      * recompute (lineage is cut), so any further accessor use fails
+      * loudly instead of silently re-reading the current table state. */
+    def release(): Unit = checkpointed.unpersist(blocking = false)
+
+    /** The checkpoint's RDD id — lets tests (and operators that monitor
+      * serving-session storage) verify the blocks are freed on release. */
+    private[graft] def checkpointRddId: Int = checkpointed.id
   }
 
   /** One raw read of the index table, exploded to (k, name, value) —

@@ -59,6 +59,24 @@ object DfStore {
   private val MetaKey = "_meta"
   private val NKey = "_n"
 
+  /** `d:` marker keys zero-pad doc_id to exactly 12 decimal digits and
+    * the read side parses them back by POSITION
+    * (`substring(k, 3, 12).cast(bigint)`), so an id outside [0, 1e12)
+    * would round-trip wrongly, be re-counted as novel every epoch, and
+    * permanently fail the additivity sentinel with a message blaming a
+    * race (ADVICE r14). Both maintainers refuse such ids BEFORE any
+    * marker is written. */
+  private[graft] val MaxMarkerDocId = 1000000000000L
+
+  private[graft] def requireDocIdRange(lo: Long, hi: Long, what: String): Unit =
+    require(lo >= 0L && hi < MaxMarkerDocId,
+      s"$what holds doc_id outside the marker-key range [0, 1e12): " +
+        s"min=$lo max=$hi — d: markers zero-pad doc_id to 12 digits and " +
+        "the read side parses them back by position, so an out-of-range " +
+        "id would round-trip wrongly, be re-counted every epoch, and " +
+        "permanently poison the additivity sentinel. Refusing before any " +
+        "marker is written")
+
   private def strCell(name: org.apache.spark.sql.Column,
                       value: org.apache.spark.sql.Column) =
     struct(name.cast("binary").as("name"), lit("NORMAL").as("state"),
@@ -229,7 +247,27 @@ object DfStore {
     } else requireEpochMeta(s, qualifiedTable, sourceDir, unit)
     val corpus = graft.Tables.documents(s, sourceDir)
       .filter(expr(whereSql)).select(col("doc_id"), col("text"))
-    val seen = corpus.count()
+    // one pass over the slice yields the receipt count AND both input
+    // guards (ADVICE r14): duplicate doc_id rows would write duplicate
+    // d: markers and overcount the _n partial — the sentinel would then
+    // abort a LEGITIMATE later call blaming a race and prescribing a
+    // rebuild, so refuse up front naming the real cause (input
+    // duplication). Unlike the streaming maintainer (at-least-once
+    // sources make in-batch duplicates normal, so it dedupes), a batch
+    // corpus slice with duplicate ids is a malformed input: silently
+    // picking one row's text would be a nondeterministic data choice.
+    val stats = corpus.agg(count(lit(1)), count_distinct(col("doc_id")),
+      min(col("doc_id")), max(col("doc_id"))).head()
+    val seen = stats.getLong(0)
+    require(seen == stats.getLong(1),
+      s"the ingest slice for $qualifiedTable contains " +
+        s"${seen - stats.getLong(1)} duplicate doc_id row(s) — refusing: " +
+        "duplicates would be counted twice and poison the store's " +
+        "additive partials (this is INPUT duplication, not a concurrent " +
+        "update; dedupe the slice or fix the where clause)")
+    if (seen > 0)
+      requireDocIdRange(stats.getLong(2), stats.getLong(3),
+        s"the ingest slice for $qualifiedTable")
     val epoch = epochsOf(s, qualifiedTable).lastOption.getOrElse(0) + 1
     val dir = storeDir()
     // empty-store fast path — also the honest backfill path (same

@@ -127,8 +127,19 @@ object StreamingDfUpdate {
     } else docs).persist()
 
     try {
-      val novelCount = novel.count()
+      // the count action also carries the marker-key range guard
+      // (ADVICE r14 — see DfStore.requireDocIdRange): an id outside
+      // [0, 1e12) mis-probes (no hit), would write a malformed marker,
+      // and then permanently fails the sentinel — refuse BEFORE the
+      // write, with the batch unprocessed (the checkpoint does not
+      // advance past a refused epoch)
+      val novelStats = novel.agg(count(lit(1)),
+        min(col("doc_id")), max(col("doc_id"))).head()
+      val novelCount = novelStats.getLong(0)
       if (novelCount > 0) {
+        graft.operators.DfStore.requireDocIdRange(
+          novelStats.getLong(1), novelStats.getLong(2),
+          s"streaming epoch $epochId's novel slice")
         // the cell timestamp is the epoch id: fixed per cell name (each
         // name is written by exactly one epoch), deterministic on replay
         val termRows = unitsOf(novel, unit)

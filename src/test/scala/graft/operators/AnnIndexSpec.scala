@@ -263,6 +263,26 @@ class AnnIndexSpec extends AnyFunSuite {
     } finally snap.release()
   }
 
+  test("AnnSnapshot.release frees the checkpoint blocks NOW, not at GC " +
+    "(ADVICE r14: repeated snapshots in a long-lived serving session " +
+    "must not accumulate storage); a released snapshot fails LOUDLY " +
+    "instead of silently recomputing from the current table") {
+    spark.sql("CALL graft_ix.system.build_ann_index(table => 'ann.rel', " +
+      s"source_dir => '$sfDir', kind => 'ivf', k => 4, iters => 1)")
+    val snap = AnnIndex.snapshot(spark, s"$warehouse/ann/rel")
+    val id = snap.checkpointRddId
+    assert(spark.sparkContext.getPersistentRDDs.contains(id),
+      "an eager snapshot must hold persisted checkpoint blocks")
+    assert(snap.coarseCentroids.count() == 4)
+    snap.release()
+    assert(!spark.sparkContext.getPersistentRDDs.contains(id),
+      "release() must unpersist the checkpoint blocks themselves — " +
+      "clearing only CacheManager entries leaves them to GC")
+    // lineage is cut: use-after-release cannot silently re-read the
+    // CURRENT table state (which may be a different epoch) — it throws
+    intercept[Exception](snap.coarseCentroids.count())
+  }
+
   test("rebuilding the index is one atomic REPLACE: the new epoch swaps " +
     "in wholesale (no stale mix), and the receipt reflects new params") {
     val r = spark.sql("CALL graft_ix.system.build_ann_index(" +

@@ -344,4 +344,59 @@ class DfStoreSpec extends AnyFunSuite {
     val want = directDf("true")
     assert(storedDf("ts.chaos") == want, "end state diverged after the storm")
   }
+
+  /** A scratch corpus directory holding a documents.parquet with the
+    * given (doc_id, text) rows — the only way to exercise the input
+    * guards, since the harness corpus has unique in-range ids. */
+  private def scratchCorpus(rows: Seq[(Long, String)]): String = {
+    val dir = Files.createTempDirectory("graft-df-badcorpus").toString
+    import spark.implicits._
+    rows.toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("ADVICE r14: a duplicate-doc_id ingest slice refuses UP FRONT, " +
+    "naming input duplication — not the phantom concurrent-update race " +
+    "the sentinel would otherwise blame a legitimate later call for — " +
+    "and writes nothing") {
+    val bad = scratchCorpus(Seq(1L -> "alpha beta", 1L -> "alpha gamma",
+      2L -> "delta"))
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    val e = intercept[Exception](spark.sql(
+      "CALL graft_dfs.system.update_doc_freqs(table => 'ts.dup', " +
+        s"source_dir => '$bad')"))
+    assert(chain(e).exists(m => m.contains("duplicate doc_id") &&
+      m.contains("INPUT duplication")), chain(e))
+    // nothing was counted: the refusal fired before any marker/partial
+    assert(DfStore.nDocs(spark, "graft_dfs.ts.dup") == 0L)
+  }
+
+  test("ADVICE r14: doc_id outside [0, 1e12) refuses BEFORE any marker " +
+    "is written (an out-of-range id would round-trip wrongly through " +
+    "the 12-digit marker key, be re-counted every epoch, and poison " +
+    "the sentinel permanently); the store stays healthy for legal ids") {
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    for ((badId, tbl) <- Seq(-1L -> "ts.range_neg",
+        1000000000000L -> "ts.range_big")) {
+      val bad = scratchCorpus(Seq(badId -> "omega", 7L -> "kappa"))
+      val e = intercept[Exception](spark.sql(
+        s"CALL graft_dfs.system.update_doc_freqs(table => '$tbl', " +
+          s"source_dir => '$bad')"))
+      assert(chain(e).exists(_.contains("[0, 1e12)")), chain(e))
+      // the refusal fired before any marker/partial was written
+      assert(DfStore.nDocs(spark, s"graft_dfs.$tbl") == 0L)
+    }
+    // the boundary ids themselves (0 and 1e12 - 1) are legal
+    val good = scratchCorpus(Seq(0L -> "omega", 999999999999L -> "kappa"))
+    val r = spark.sql("CALL graft_dfs.system.update_doc_freqs(table => " +
+      s"'ts.range_ok', source_dir => '$good')").head()
+    assert(r.getAs[Long]("novel") == 2L, r)
+    assert(DfStore.nDocs(spark, "graft_dfs.ts.range_ok") == 2L)
+    // and they round-trip exactly through the 12-digit marker keys
+    assert(DfStore.storedDocIds(spark, s"$warehouse/ts/range_ok")
+      .collect().map(_.getLong(0)).toSet == Set(0L, 999999999999L))
+  }
 }

@@ -111,4 +111,26 @@ class StreamingDfUpdateSpec extends AnyFunSuite {
       1L -> "mike november oscar", 2L -> "papa quebec", 3L -> "mike zulu"),
       "streamed end state must equal the dedup'd direct recompute")
   }
+
+  test("ADVICE r14: doc_id outside [0, 1e12) refuses BEFORE any marker " +
+    "is written — an out-of-range id round-trips wrongly through the " +
+    "12-digit marker key and would be re-counted every epoch, poisoning " +
+    "the additivity sentinel permanently") {
+    val store = Files.createTempDirectory("df-stream-range").toString
+    StreamingDfUpdate.processBatch(docsDf(1L -> "alpha beta"), store, 0L)
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    for ((badId, ep) <- Seq(-5L -> 1L, 1000000000000L -> 2L)) {
+      val e = intercept[Exception](StreamingDfUpdate.processBatch(
+        docsDf(badId -> "omega", 9L -> "kappa"), store, ep))
+      assert(chain(e).exists(_.contains("[0, 1e12)")), chain(e))
+    }
+    // the refused epochs wrote nothing: totals are epoch 0's, exactly,
+    // and the store keeps working for legal ids (incl. the boundaries)
+    assert(stored(store) == direct(1L -> "alpha beta"))
+    StreamingDfUpdate.processBatch(
+      docsDf(0L -> "omega", 999999999999L -> "kappa"), store, 3L)
+    assert(stored(store) == direct(1L -> "alpha beta", 0L -> "omega",
+      999999999999L -> "kappa"))
+  }
 }
