@@ -131,47 +131,102 @@ object DfStore {
   }
 
   /** The store's epochs so far, from the `_n` row's cell names (a
-    * one-row read — the row is epoch-count cells wide). */
+    * one-row read — the row is epoch-count cells wide). A consolidated
+    * store's `n:F<tag>` fold cell parses as its covered tag, so epoch
+    * numbering continues seamlessly across folds. */
   private def epochsOf(s: SparkSession, qualifiedTable: String): Seq[Int] =
     s.table(qualifiedTable)
       .filter(col("key") === lit(NKey.getBytes))
       .select(explode(col("columns")).as("c"))
       .select(col("c.name").cast("string").as("n"))
       .collect().map(_.getString(0)).filter(_.startsWith("n:"))
-      .map(_.substring(2).toInt).toSeq.sorted
+      .map(_.stripPrefix("n:").stripPrefix("F").toInt).toSeq.sorted
 
-  /** Corpus-total document frequency per term: SUM of the per-epoch
-    * partial cells. Vocabulary-sized — the serving-side replacement for
-    * a corpus-wide df aggregation. */
+  /** Corpus-total document frequency per term: the fold-aware SUM of the
+    * per-epoch partial cells. Vocabulary-sized — the serving-side
+    * replacement for a corpus-wide df aggregation. */
   def docFreqs(s: SparkSession, qualifiedTable: String): DataFrame =
-    freqsOf(s, qualifiedTable, "df:")
+    freqsFromRows(s.table(qualifiedTable), "df:")
 
   /** Corpus-total collection frequency (total occurrences) per term —
     * the statistic behind word-frequency reports: a consumer answers
     * "top-k words over the corpus" from this relation alone, ZERO
     * corpus IO at serve time. */
   def collFreqs(s: SparkSession, qualifiedTable: String): DataFrame =
-    freqsOf(s, qualifiedTable, "cf:")
+    freqsFromRows(s.table(qualifiedTable), "cf:")
 
-  private def freqsOf(s: SparkSession, qualifiedTable: String,
-                      prefix: String): DataFrame =
-    s.table(qualifiedTable)
-      .select(col("key").cast("string").as("k"), explode(col("columns")).as("c"))
-      .filter(col("k").startsWith("t:") &&
-        col("c.name").cast("string").startsWith(prefix))
-      .groupBy(expr("substring(k, 3)").as("term"))
-      .agg(sum(col("c.value").cast("string").cast("bigint")).as(
-        prefix.stripSuffix(":")))
-
-  /** Total documents counted by the store: SUM of the per-epoch `n:`
-    * cells (one tiny row; driver-side). */
+  /** Total documents counted by the store: the fold-aware SUM of the
+    * per-epoch `n:` cells (one tiny row; driver-side). */
   def nDocs(s: SparkSession, qualifiedTable: String): Long =
-    s.table(qualifiedTable)
-      .filter(col("key") === lit(NKey.getBytes))
-      .select(explode(col("columns")).as("c"))
-      .filter(col("c.name").cast("string").startsWith("n:"))
-      .agg(coalesce(sum(col("c.value").cast("string").cast("bigint")), lit(0L)))
-      .head().getLong(0)
+    nDocsFromRows(s.table(qualifiedTable))
+
+  // ── The fold rule — shared by EVERY reader ──────────────────────────
+  //
+  // [[consolidate]] rewrites accumulated per-epoch partials into one
+  // `<p>F<tag>` fold cell (tag = the newest covered epoch) plus DELETED
+  // markers for the constituents. Readers therefore sum: the NEWEST fold
+  // cell's value, plus only the epoch cells with tag AFTER the fold's.
+  // Epoch tags grow strictly, a fold covers everything at or before its
+  // tag, and its value was computed from exactly the reconciled state it
+  // replaces — so at EVERY instant, under raw or reconciled reads, fold
+  // + uncovered epochs == the exact sum. That makes the fold generation
+  // a pure append: no atomic-swap window exists in which any reader
+  // double-counts, even the raw-path readers that never reconcile
+  // generations (the streaming serving reads). Physical reclamation of
+  // the marker-shadowed constituent cells rides the next ordinary
+  // compaction; correctness never depends on when it runs.
+
+  /** Exploded live partial cells `(k, n, v)` of one prefix — DELETED
+    * markers excluded (raw scans surface them as cells). */
+  private def partialCellsOf(rows: DataFrame, prefix: String): DataFrame =
+    rows.select(col("key").cast("string").as("k"), explode(col("columns")).as("c"))
+      .filter(col("c.state") === "NORMAL" &&
+        col("c.name").cast("string").startsWith(prefix))
+      .select(col("k"), col("c.name").cast("string").as("n"),
+        col("c.value").cast("string").cast("bigint").as("v"))
+
+  /** Fold-aware per-key sum of `(k, n, v)` partial cells. The first
+    * aggregation also dedups row VERSIONS of the same cell name (a raw
+    * read inside a compaction's publish window can see a cell in both
+    * the folded output and its not-yet-unpublished input). */
+  private def foldAwareSum(cells: DataFrame, prefix: String,
+                           out: String): DataFrame = {
+    val tagStart = prefix.length + 1
+    val dedup = cells.select(col("k"),
+        col("n").startsWith(prefix + "F").as("isFold"),
+        when(col("n").startsWith(prefix + "F"),
+          expr(s"substring(n, ${tagStart + 1})"))
+          .otherwise(expr(s"substring(n, $tagStart)")).as("tag"),
+        col("v"))
+      .groupBy("k", "isFold", "tag").agg(max(col("v")).as("v"))
+    dedup.groupBy("k")
+      .agg(max(when(col("isFold"),
+          struct(col("tag").as("t"), col("v").as("v")))).as("fold"),
+        collect_list(when(!col("isFold"),
+          struct(col("tag").as("t"), col("v").as("v")))).as("eps"))
+      .select(col("k"),
+        (coalesce(col("fold").getField("v"), lit(0L)) +
+          coalesce(aggregate(
+            filter(col("eps"), e => e.getField("t") >
+              coalesce(col("fold").getField("t"), lit(""))),
+            lit(0L), (acc, e) => acc + e.getField("v")), lit(0L))).as(out))
+  }
+
+  /** Fold-aware total df/cf per term over any `(key, columns)` relation
+    * of the store — the catalog table, a raw directory read, or a
+    * point-probe result. The one implementation every serving path
+    * shares, so the fold rule can never drift between them. */
+  private[graft] def freqsFromRows(rows: DataFrame, prefix: String): DataFrame = {
+    val out = prefix.stripSuffix(":")
+    foldAwareSum(partialCellsOf(rows, prefix).filter(col("k").startsWith("t:")),
+        prefix, out)
+      .select(expr("substring(k, 3)").as("term"), col(out))
+  }
+
+  /** Fold-aware n_docs over any `(key, columns)` relation of the store. */
+  private[graft] def nDocsFromRows(rows: DataFrame): Long =
+    foldAwareSum(partialCellsOf(rows, "n:").filter(col("k") === NKey), "n:", "n")
+      .collect().headOption.map(_.getLong(1)).getOrElse(0L)
 
   /** Loud refusal when the store was built over a different corpus or
     * counts a different unit — df totals from corpus A (or from
@@ -322,4 +377,122 @@ object DfStore {
   private def tableExists(s: SparkSession, qualifiedTable: String): Boolean =
     try { s.table(qualifiedTable); true }
     catch { case _: org.apache.spark.sql.AnalysisException => false }
+
+  /** Fold cells carry a fixed timestamp far above every data cell's
+    * (batch epochs write ts=1, streaming epochs ts=epochId), and the
+    * DELETED markers sit one above the fold cells — so a marker always
+    * shadows the constituent it names (including an older fold being
+    * re-folded), and a fold cell is only ever shadowed by a LATER
+    * fold's marker. Both constant: identical consolidations produce
+    * hash-identical generations (idempotent under LWW, replay-safe). */
+  private[graft] val FoldCellTs = 1L << 40
+  private[graft] val FoldMarkerTs = (1L << 40) + 1
+
+  /** Epoch-range consolidation (VERDICT r14 missing #2): every epoch
+    * that sees a term appends one `df:<tag>`/`cf:<tag>` cell to its
+    * `t:` row, so after 100k streaming micro-batches a stopword's row
+    * carries 200k cells and every serving read explodes and sums all
+    * of them. This maintenance pass rewrites each row's accumulated
+    * partials into ONE `<p>F<tag>` fold cell (value = their exact sum;
+    * tag = the newest epoch in the store, so later epochs never collide
+    * with it) plus DELETED markers for the constituents — row width
+    * returns to O(1) per prefix at the next physical compaction, and
+    * every reader is exact at every instant in between via the fold
+    * rule above (the fold generation is a PURE APPEND; nothing is
+    * swapped, so there is no window in which a raw reader
+    * double-counts).
+    *
+    * Runs under the directory's maintenance lease (one consolidator at
+    * a time; concurrent CALLs refuse loudly), touches only `t:` rows
+    * and the `_n` row — `d:` markers and `_meta` are never rewritten,
+    * so novelty probes and the additivity sentinel see an unchanged
+    * membership set — and re-checks the sentinel before returning.
+    * Rows with fewer than two live partial cells per prefix are left
+    * alone (rewriting them would be pure churn). Returns (rowsFolded,
+    * partialsFolded, coveredTag). Safe in the streaming maintainer's
+    * pre-append slot by the same argument as its compaction (NOTES
+    * r14): every epoch present at batch start has its checkpoint
+    * committed, so a fold can never absorb a still-replayable epoch's
+    * cells — and the fold itself is replay-safe anyway (same names,
+    * same values, LWW-idempotent). */
+  def consolidate(s: SparkSession, storeDir: String,
+                  storage: graft.sources.sstable.Storage =
+                    graft.sources.sstable.LocalStorage): (Long, Long, String) =
+    graft.sources.sstable.MaintenanceLease.withLease(storeDir, storage,
+      "consolidate_doc_freqs") { _ =>
+      val live = SSTableOps.suppressTombstones(
+          s.read.format("sstable").load(storeDir))
+        .filter(col("key").cast("string").startsWith("t:") ||
+          col("key") === lit(NKey.getBytes))
+        .persist()
+      try {
+        // the newest epoch and newest fold, from the _n row's live cells
+        val nTags = live.filter(col("key") === lit(NKey.getBytes))
+          .select(explode(col("columns")).as("c"))
+          .select(col("c.name").cast("string").as("n"))
+          .collect().map(_.getString(0)).filter(_.startsWith("n:"))
+          .map(_.stripPrefix("n:"))
+        val maxEpoch = nTags.filterNot(_.startsWith("F"))
+          .maxOption(Ordering.String)
+        val maxFold = nTags.filter(_.startsWith("F")).map(_.stripPrefix("F"))
+          .maxOption(Ordering.String)
+        if (maxEpoch.isEmpty) (0L, 0L, "")
+        else {
+          val tag = maxEpoch.get
+          // per (row, prefix): total + constituent names, skipping
+          // groups already down to one cell
+          val grouped = live
+            .select(col("key"), explode(col("columns")).as("c"))
+            .select(col("key"), col("c.name").cast("string").as("n"),
+              col("c.value").cast("string").cast("bigint").as("v"))
+            .select(col("key"),
+              regexp_extract(col("n"), "^(df:|cf:|n:)", 1).as("p"),
+              col("n"), col("v"))
+            .filter(col("p") =!= "")
+            .groupBy("key", "p")
+            .agg(sum(col("v")).as("total"), sort_array(collect_list(col("n"))).as("names"))
+            .filter(size(col("names")) >= 2)
+            .persist()
+          try {
+            val stats = grouped.agg(count_distinct(col("key")),
+              coalesce(sum(size(col("names"))), lit(0L))).head()
+            val (rows, cells) = (stats.getLong(0), stats.getLong(1))
+            if (rows == 0) (0L, 0L, maxFold.getOrElse(""))
+            else {
+              def cellStruct(name: org.apache.spark.sql.Column, state: String,
+                             value: org.apache.spark.sql.Column, ts: Long) =
+                struct(name.cast("binary").as("name"), lit(state).as("state"),
+                  value.as("value"), lit(ts).as("timestamp"),
+                  lit(0L).as("ttlSecs"), lit(0L).as("expiresMillis"))
+              val foldRows = grouped.select(col("key"), concat(
+                  array(cellStruct(concat(col("p"), lit(s"F$tag")), "NORMAL",
+                    col("total").cast("string").cast("binary"), FoldCellTs)),
+                  transform(col("names"), nm => cellStruct(nm, "DELETED",
+                    lit(null).cast("binary"), FoldMarkerTs))).as("columns"))
+                .groupBy("key")
+                // cell order inside the array is free: the writer sorts
+                // cells by name, so the written generation is
+                // deterministic either way
+                .agg(flatten(collect_list(col("columns"))).as("columns"))
+              val before = storage.listDataFiles(storeDir)
+              foldRows.write.format("sstable")
+                .option(graft.sources.sstable.spark.SSTableSource.JobTagOption,
+                  s"dfold$tag")
+                .mode("append").save(storeDir)
+              graft.sources.sstable.History.record(storage, storeDir,
+                "consolidate_doc_freqs",
+                added = storage.listDataFiles(storeDir).diff(before),
+                removed = Nil,
+                detail = s"rows=$rows partials=$cells covered<=$tag")
+              // the sentinel, re-checked over the folded state: a fold
+              // that lost or duplicated a partial must refuse HERE
+              auditAdditivity(s, storeDir,
+                nDocsFromRows(s.read.format("sstable").load(storeDir)),
+                s"consolidation covering <=$tag")
+              (rows, cells, tag)
+            }
+          } finally grouped.unpersist()
+        }
+      } finally live.unpersist()
+    }
 }

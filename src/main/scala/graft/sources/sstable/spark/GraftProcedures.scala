@@ -688,6 +688,38 @@ private[spark] object GraftProcedures {
           Seq(row(seen, novel, skipped, epoch, terms, gens))
         }),
 
+      "consolidate_doc_freqs" -> new Proc(
+        "consolidate_doc_freqs",
+        "epoch-range consolidation of a df store: rewrite each t:/_n " +
+          "row's accumulated per-epoch partial cells into ONE fold cell " +
+          "(their exact sum, tagged with the newest covered epoch) plus " +
+          "DELETED markers for the constituents — without it every " +
+          "update appends one df:/cf: cell per touched term forever, and " +
+          "serving reads explode-and-sum an O(#epochs)-wide row. The " +
+          "fold generation is a PURE APPEND: every reader applies the " +
+          "fold rule (newest fold + only the epoch cells after it), so " +
+          "raw and catalog reads alike stay exact at every instant; the " +
+          "markers let the next ordinary compaction reclaim the " +
+          "constituents physically. Runs under the directory's " +
+          "maintenance lease; d: markers and _meta are never touched; " +
+          "the additivity sentinel is re-checked before returning. " +
+          "Idempotent: a re-run with no new epochs folds nothing",
+        Array(tableParam),
+        StructType(Seq(
+          StructField("rowsFolded", LongType, nullable = false),
+          StructField("partialsFolded", LongType, nullable = false),
+          StructField("coveredEpochTag", StringType, nullable = false),
+          StructField("generations", IntegerType, nullable = false))),
+        (spark, in) => {
+          val dir = dirOf(in)
+          val storage = graft.sources.sstable.Storage
+            .forPath(dir, spark.sessionState.newHadoopConf())
+          val (rows, cells, tag) =
+            graft.operators.DfStore.consolidate(spark, dir, storage)
+          Seq(row(rows, cells, utf8(tag),
+            storage.listDataFiles(dir).length))
+        }),
+
       "lookup" -> new Proc(
         "lookup",
         "point reads in pure SQL: probe each key via bloom filter -> " +

@@ -345,6 +345,89 @@ class DfStoreSpec extends AnyFunSuite {
     assert(storedDf("ts.chaos") == want, "end state diverged after the storm")
   }
 
+  test("consolidate_doc_freqs folds epoch partials into one cell per " +
+    "row EXACTLY: totals are bit-identical before the fold, in the " +
+    "fold+constituents coexistence window (raw append, no swap), after " +
+    "new epochs land on top, after a re-fold, and after physical " +
+    "compaction reclaims the constituents (round 15, VERDICT r14 #2)") {
+    def cons() = spark.sql("CALL graft_dfs.system.consolidate_doc_freqs(" +
+      "table => 'ts.cons')").head()
+    val r1 = call("ts.cons", "doc_id % 3 = 0")
+    call("ts.cons", "doc_id % 3 <= 1")
+    val want2 = storedDf("ts.cons")
+    val wantN2 = DfStore.nDocs(spark, "graft_dfs.ts.cons")
+    // fold epochs 1-2 — the receipt names the covered tag; totals are
+    // unchanged while fold AND constituents coexist (nothing was
+    // unpublished: the fold generation is a pure append)
+    val c1 = cons()
+    assert(c1.getAs[Long]("rowsFolded") > 0 &&
+      c1.getAs[Long]("partialsFolded") >= 2 * c1.getAs[Long]("rowsFolded"),
+      c1)
+    assert(c1.getAs[String]("coveredEpochTag") == "000002", c1)
+    assert(storedDf("ts.cons") == want2 &&
+      DfStore.nDocs(spark, "graft_dfs.ts.cons") == wantN2,
+      "totals changed inside the fold+constituents window")
+    // idempotent: nothing new to fold
+    val c2 = cons()
+    assert(c2.getAs[Long]("rowsFolded") == 0L, c2)
+    // a later epoch lands ON TOP of the fold; totals = full recompute
+    val r3 = call("ts.cons", "true")
+    assert(r3.getAs[Int]("epoch") == 3,
+      s"epoch numbering must continue across a fold: $r3")
+    assert(r3.getAs[Long]("alreadyStored") == wantN2, r3)
+    assert(storedDf("ts.cons") == directDf("true"),
+      "fold + post-fold epoch must sum to the exact corpus df")
+    // re-fold: the old fold cell is itself a foldable constituent
+    val c3 = cons()
+    assert(c3.getAs[Long]("rowsFolded") > 0 &&
+      c3.getAs[String]("coveredEpochTag") == "000003", c3)
+    assert(storedDf("ts.cons") == directDf("true"), "re-fold lost a partial")
+    // physical reclamation is ORDINARY compaction: one whole-directory
+    // STCS fold (large min_size groups every generation into one
+    // bucket) is isolated, so tombstone GC applies — the markers
+    // reclaim the constituents and row width returns to one cell per
+    // prefix (the whole point: O(1) serving reads per row)
+    val f = spark.sql("CALL graft_dfs.system.compact(table => 'ts.cons', " +
+      "min_threshold => 2, min_size => 1073741824)").head()
+    assert(f.getInt(0) == 1, s"expected one whole-directory fold: $f")
+    val widths = spark.read.format("sstable").load(s"$warehouse/ts/cons")
+      .filter(col("key").cast("string").startsWith("t:"))
+      .select(size(col("columns")).as("w"))
+      .agg(max(col("w")), count(lit(1))).head()
+    assert(widths.getInt(0) == 2,
+      s"a consolidated+compacted t: row must carry exactly df+cf " +
+        s"(got max width ${widths.getInt(0)} over ${widths.getLong(1)} rows)")
+    assert(storedDf("ts.cons") == directDf("true") &&
+      DfStore.nDocs(spark, "graft_dfs.ts.cons") ==
+        graft.Tables.documents(spark, sfDir).count(),
+      "totals changed across physical reclamation")
+    // the additivity sentinel holds over the folded store
+    DfStore.auditAdditivity(spark, s"$warehouse/ts/cons",
+      DfStore.nDocs(spark, "graft_dfs.ts.cons"), "post-consolidation audit")
+    assert(r1 != null)
+  }
+
+  test("consolidate_doc_freqs runs under the maintenance lease: a held " +
+    "lease refuses loudly instead of double-folding") {
+    call("ts.lease", "doc_id % 9 = 0")
+    call("ts.lease", "doc_id % 9 <= 1")
+    val dir = s"$warehouse/ts/lease"
+    val lease = graft.sources.sstable.MaintenanceLease.acquire(
+      dir, graft.sources.sstable.LocalStorage, "spec-holder")
+    try {
+      val e = intercept[Exception](spark.sql(
+        "CALL graft_dfs.system.consolidate_doc_freqs(table => 'ts.lease')"))
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+      assert(chain(e).exists(_.contains("spec-holder")), chain(e))
+    } finally lease.release()
+    // released: the fold proceeds and totals stay exact
+    val c = spark.sql("CALL graft_dfs.system.consolidate_doc_freqs(" +
+      "table => 'ts.lease')").head()
+    assert(c.getAs[Long]("rowsFolded") > 0, c)
+    assert(storedDf("ts.lease") == directDf("doc_id % 9 <= 1"))
+  }
+
   /** A scratch corpus directory holding a documents.parquet with the
     * given (doc_id, text) rows — the only way to exercise the input
     * guards, since the harness corpus has unique in-range ids. */

@@ -112,6 +112,39 @@ class StreamingDfUpdateSpec extends AnyFunSuite {
       "streamed end state must equal the dedup'd direct recompute")
   }
 
+  test("pre-append consolidation bounds per-row cell growth (round 15): " +
+    "a hot term's row folds to one cell per prefix instead of one per " +
+    "micro-batch; totals stay exact across folds AND across an epoch " +
+    "replay landing after a fold") {
+    val store = Files.createTempDirectory("df-stream-cons").toString
+    val batches = (0 until 8).map(i => Seq((10L + i) -> s"alpha common$i"))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      StreamingDfUpdate.processBatch(docsDf(b: _*), store, i.toLong,
+        maintainAboveGenerations = 3, consolidateAboveEpochs = 2)
+    }
+    val all = batches.flatten
+    assert(stored(store) == direct(all: _*),
+      "totals diverged across in-stream folds")
+    // 'alpha' rode every epoch; its LIVE row must be a fold cell plus at
+    // most the epochs still under the gate — never 8 accumulated cells
+    val alphaCells = graft.operators.SSTableOps.suppressTombstones(
+        spark.read.format("sstable").load(store))
+      .filter(col("key").cast("string") === "t:alpha")
+      .select(explode(col("columns")).as("c"))
+      .select(col("c.name").cast("string")).collect().map(_.getString(0))
+    assert(alphaCells.exists(_.startsWith("df:F")),
+      s"no fold cell on the hot term's row: ${alphaCells.toSeq}")
+    assert(alphaCells.count(_.startsWith("df:")) <= 3,
+      s"consolidation must bound the hot row's width: ${alphaCells.toSeq}")
+    // replay the LAST epoch after folds happened (the retry shape): the
+    // tag-unpublish plus the d:-markers (which folds never touch) make
+    // the replay land on the identical end state
+    StreamingDfUpdate.processBatch(docsDf(batches.last: _*), store, 7L,
+      maintainAboveGenerations = 3, consolidateAboveEpochs = 2)
+    assert(stored(store) == direct(all: _*),
+      "an epoch replay after a fold changed the totals")
+  }
+
   test("ADVICE r14: doc_id outside [0, 1e12) refuses BEFORE any marker " +
     "is written — an out-of-range id round-trips wrongly through the " +
     "12-digit marker key and would be re-counted every epoch, poisoning " +
