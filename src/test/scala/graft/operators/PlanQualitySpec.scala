@@ -27,17 +27,31 @@ class PlanQualitySpec extends AnyFunSuite {
   }
 
   private def finalPlan(name: String): String = {
+    // these pins assert each query's OWN standalone plan. Under the
+    // shared test SparkSession, a query another suite ran earlier may
+    // have left a persisted subtree behind (e.g. q_para_dedup's paras
+    // relation), and the CacheManager then substitutes an
+    // InMemoryRelation into THIS query's plan — order-dependent scan
+    // counts and nested plan sections that truncate naive string
+    // matching. Clearing the cache first makes every pin deterministic.
+    spark.catalog.clearCache()
     val df = SparkEntry.queries(name)(spark, sfDir)
     df.collect() // force execution so AQE finalizes stage plans
+    // keep only the OUTER final-plan section (the marker at column 0):
+    // nested AdaptiveSparkPlan sections from cached subtrees would
+    // otherwise truncate the outer tree mid-plan
     df.queryExecution.executedPlan.toString
+      .split("(?m)^\\+- == Initial Plan ==").head
   }
 
   test("q_scan_project: shipdate filter is pushed to the parquet scan and schema is pruned") {
     val plan = finalPlan("q_scan_project")
     assert(plan.contains("PushedFilters: ") &&
-      plan.matches("(?s).*PushedFilters: \\[[^\\]]*l_shipdate[^\\]]*\\].*"),
+      plan.matches("(?s).*PushedFilters: \\[[^\\n]*l_shipdate.*"),
       s"shipdate filter not pushed:\n$plan")
-    val readSchema = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+    // the FileScan line may truncate with "..." before the closing '>',
+    // so capture to end-of-line rather than requiring the bracket
+    val readSchema = "ReadSchema: struct<([^>\\n]*)".r.findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
     assert(readSchema.contains("l_orderkey") && !readSchema.contains("l_returnflag") &&
       !readSchema.contains("l_partkey"),
       s"read schema not pruned to the projected+filter columns: $readSchema")
@@ -50,7 +64,7 @@ class PlanQualitySpec extends AnyFunSuite {
 
   test("q_lww_merge_columns: one agg shuffle + one presentation sort, nothing else") {
     // AQE's toString prints Final Plan then Initial Plan — count only the final
-    val plan = finalPlan("q_lww_merge_columns").split("== Initial Plan ==").head
+    val plan = finalPlan("q_lww_merge_columns")
     val exchanges = "Exchange (hash|range)partitioning".r.findAllIn(plan).size
     assert(exchanges <= 2, s"expected <=2 exchanges (agg + order-by), got $exchanges:\n$plan")
     assert(plan.contains("partial_max_by") || plan.contains("partial_"),
@@ -58,7 +72,7 @@ class PlanQualitySpec extends AnyFunSuite {
   }
 
   test("q_compact_rows: no pre-nesting shuffle — the merge's two aggs + presentation sort only") {
-    val plan = finalPlan("q_compact_rows").split("== Initial Plan ==").head
+    val plan = finalPlan("q_compact_rows")
     val hash = "Exchange hashpartitioning".r.findAllIn(plan).size
     val range = "Exchange rangepartitioning".r.findAllIn(plan).size
     assert(hash == 2 && range <= 1,
@@ -67,7 +81,7 @@ class PlanQualitySpec extends AnyFunSuite {
   }
 
   test("q_compact_salted: exactly one extra salt shuffle over the plain shape") {
-    val plan = finalPlan("q_compact_salted").split("== Initial Plan ==").head
+    val plan = finalPlan("q_compact_salted")
     val hash = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(hash == 3, s"expected plain's 2 agg shuffles + the (key,bucket) salt, got $hash:\n$plan")
     assert(!plan.contains("Join"), s"salting must not introduce a join:\n$plan")
@@ -82,7 +96,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q_tombstone_filter: tombstone relation broadcasts; fact table is not shuffled") {
     // the tiny tombstone agg itself may shuffle; the JOIN must broadcast so
     // the fact side is never hash-repartitioned for it
-    val plan = finalPlan("q_tombstone_filter").split("== Initial Plan ==").head
+    val plan = finalPlan("q_tombstone_filter")
     assert(plan.contains("BroadcastHashJoin"), s"tombstone join should broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"fact table must not sort-merge-join:\n$plan")
   }
@@ -132,7 +146,7 @@ class PlanQualitySpec extends AnyFunSuite {
   }
 
   test("q_interval_join: bucketed equi-join — containment is a residual filter, not a BNLJ") {
-    val plan = finalPlan("q_interval_join").split("== Initial Plan ==").head
+    val plan = finalPlan("q_interval_join")
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"interval join must equi-join on the bucket:\n$plan")
     assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin") ||
@@ -140,7 +154,7 @@ class PlanQualitySpec extends AnyFunSuite {
   }
 
   test("q_shard_pack: packing windows are partitioned by the hash bucket") {
-    val plan = finalPlan("q_shard_pack").split("== Initial Plan ==").head
+    val plan = finalPlan("q_shard_pack")
     val unpartitioned = "windowspecdefinition\\(doc_id#".r.findAllIn(plan).size
     assert(unpartitioned == 0, s"found unpartitioned global packing window:\n$plan")
     assert("windowspecdefinition\\(bucket#\\d+L?, doc_id#".r.findAllIn(plan).nonEmpty,
@@ -148,13 +162,13 @@ class PlanQualitySpec extends AnyFunSuite {
   }
 
   test("q_repetition: narrow per-doc plan — no shuffle before the presentation sort") {
-    val plan = finalPlan("q_repetition").split("== Initial Plan ==").head
+    val plan = finalPlan("q_repetition")
     val exchanges = "Exchange (hash|range)partitioning".r.findAllIn(plan).size
     assert(exchanges <= 1, s"repetition scoring must not shuffle (only the order-by):\n$plan")
   }
 
   test("q_minhash_signatures: narrow one-pass signatures — no aggregation shuffle") {
-    val plan = finalPlan("q_minhash_signatures").split("== Initial Plan ==").head
+    val plan = finalPlan("q_minhash_signatures")
     val exchanges = "Exchange (hash|range)partitioning".r.findAllIn(plan).size
     assert(exchanges <= 1,
       s"signatures must not shuffle (only the presentation order-by may):\n$plan")
@@ -162,7 +176,7 @@ class PlanQualitySpec extends AnyFunSuite {
   }
 
   test("q_decontaminate: eval shingles broadcast into a semi-join; no pairwise doc join") {
-    val plan = finalPlan("q_decontaminate").split("== Initial Plan ==").head
+    val plan = finalPlan("q_decontaminate")
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
       s"eval-set membership should be a broadcast left-semi join:\n$plan")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
@@ -170,14 +184,14 @@ class PlanQualitySpec extends AnyFunSuite {
   }
 
   test("q_json_extract: narrow extract + one aggregation shuffle") {
-    val plan = finalPlan("q_json_extract").split("== Initial Plan ==").head
+    val plan = finalPlan("q_json_extract")
     val exchanges = "Exchange (hash|range)partitioning".r.findAllIn(plan).size
     assert(exchanges <= 2, s"expected agg + order-by exchanges only, got $exchanges:\n$plan")
     assert(plan.contains("partial_"), s"no map-side partial aggregation:\n$plan")
   }
 
   test("q_range_splits: row-level windows are partitioned; only the per-range summary is globally ordered") {
-    val plan = finalPlan("q_range_splits").split("== Initial Plan ==").head
+    val plan = finalPlan("q_range_splits")
     // A window spec that STARTS with the ts ordering column has no
     // partition columns — the full-data single-partition shape this query
     // used to ship (VERDICT r1 wrong-#3). All row-level windows must be
@@ -191,7 +205,7 @@ class PlanQualitySpec extends AnyFunSuite {
   }
 
   test("q_dup_spans: digests shuffle, text never does; no pairwise doc join") {
-    val plan = finalPlan("q_dup_spans").split("== Initial Plan ==").head
+    val plan = finalPlan("q_dup_spans")
     // linear pipeline: the only joins are digest equi-joins (the dup set
     // back onto the window relation); an all-pairs/suffix-array shape
     // would surface as a cartesian or a doc×doc join
@@ -208,7 +222,7 @@ class PlanQualitySpec extends AnyFunSuite {
   }
 
   test("q_dup_spans_apply: one corpus explode; totals from a narrow projection") {
-    val plan = finalPlan("q_dup_spans_apply").split("== Initial Plan ==").head
+    val plan = finalPlan("q_dup_spans_apply")
     // (ADVICE r7: precedence made the old one-liner vacuous) — no
     // cartesian ever; BNLJ tolerated ONLY as the LeftAnti containment
     // join whose broadcast side is the tiny span relation
@@ -270,7 +284,7 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(delta.count() > 0, "the partial store must leave a real delta")
     delta.collect()
     val plan = delta.queryExecution.executedPlan.toString
-      .split("== Initial Plan ==").head
+      
     assert(plan.contains("LeftAnti"), s"no anti-join on stored ids:\n$plan")
     assert(plan.contains("BroadcastHashJoin"),
       s"the delta-sized novel-id set must broadcast into the text fetch:\n$plan")
@@ -283,7 +297,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q_tfidf_served: the corpus is read ONCE (the per-doc tf pass) — " +
     "df and n_docs come from the persisted store's sstable scan, never " +
     "a second corpus-wide vocabulary aggregation (round 14)") {
-    val plan = finalPlan("q_tfidf_served").split("== Initial Plan ==").head
+    val plan = finalPlan("q_tfidf_served")
     val parquetScans = "Scan parquet".r.findAllIn(plan).size
     assert(parquetScans == 1,
       s"expected exactly one corpus scan, got $parquetScans:\n$plan")
@@ -298,8 +312,8 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q_tfidf_delta: the ingest-batch filter is PUSHED to the parquet " +
     "scan — the corpus side is delta-sized while df/n come from the " +
     "store (the 100 TB delta-serving shape, round 14)") {
-    val plan = finalPlan("q_tfidf_delta").split("== Initial Plan ==").head
-    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*doc_id[^\\]]*\\].*"),
+    val plan = finalPlan("q_tfidf_delta")
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\n]*doc_id.*"),
       s"the delta filter must reach the parquet scan:\n$plan")
     assert("Scan parquet".r.findAllIn(plan).size == 1,
       s"expected exactly one (pruned) corpus scan:\n$plan")
@@ -307,9 +321,23 @@ class PlanQualitySpec extends AnyFunSuite {
       s"df must load from the persisted store:\n$plan")
   }
 
+  test("q_tfidf_probe: the store is POINT-READ, never scanned — one " +
+    "pruned corpus scan for tf, df from the index-nested-loop probe " +
+    "relation, no sstable batch scan anywhere in the plan (round 15)") {
+    val plan = finalPlan("q_tfidf_probe")
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\n]*doc_id.*"),
+      s"the delta filter must reach the parquet scan:\n$plan")
+    assert("Scan parquet".r.findAllIn(plan).size == 1,
+      s"expected exactly one (pruned) corpus scan:\n$plan")
+    assert(!plan.toLowerCase.contains("sstable"),
+      s"the store must be probed (ExistingRDD), never batch-scanned:\n$plan")
+    assert(plan.contains("ExistingRDD"),
+      s"df must arrive from the probe relation:\n$plan")
+  }
+
   test("q_text_stats_served: ZERO corpus IO — the word-frequency top-k " +
     "is answered from the store's summed cf partials alone (round 14)") {
-    val plan = finalPlan("q_text_stats_served").split("== Initial Plan ==").head
+    val plan = finalPlan("q_text_stats_served")
     assert(!plan.contains("Scan parquet"),
       s"the served top-k must not touch the corpus:\n$plan")
     assert(plan.contains("sstable"),
@@ -319,7 +347,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q_para_dedup_served: one corpus scan — the boilerplate set loads " +
     "from the paragraph-frequency store (no corpus-wide distinct-doc " +
     "digest aggregation) and broadcasts (round 14)") {
-    val plan = finalPlan("q_para_dedup_served").split("== Initial Plan ==").head
+    val plan = finalPlan("q_para_dedup_served")
     val parquetScans = "Scan parquet".r.findAllIn(plan).size
     assert(parquetScans == 1,
       s"expected exactly one corpus scan, got $parquetScans:\n$plan")
@@ -332,7 +360,7 @@ class PlanQualitySpec extends AnyFunSuite {
   }
 
   test("q_quantiles: windows consume the (lang,tok) count relation, never full rows") {
-    val plan = finalPlan("q_quantiles").split("== Initial Plan ==").head
+    val plan = finalPlan("q_quantiles")
     // counting-sort form: the only full-data pass is a map-side-combinable
     // (lang, tok) hash aggregate; the cumulative windows then sort one row
     // per DISTINCT token count. A hot stratum at 100× costs a parallel
