@@ -391,11 +391,19 @@ object AnnIndex {
     val pqM = m0("m").toInt
     val e = SimilarityQueries.embWithNorm(s, sourceDir)
     val seen = e.count()
-    val novel = e.join(
-      e.select(col("vec_id"))
-        .join(indexedVecIds(s, idxDir), Seq("vec_id"), "left_anti")
-        .hint("broadcast"), Seq("vec_id"))
-      .persist()
+    // probe-then-append under the index's maintenance lease (round 15,
+    // VERDICT r14 #3): a concurrent updater refuses loudly up front —
+    // here a double-encode would merely collapse under LWW (the v: rows
+    // are keyed), but the contract and its enforcement are one across
+    // all three maintainers
+    val receipt = graft.sources.sstable.MaintenanceLease.withLease(idxDir,
+      graft.sources.sstable.Storage.forPath(idxDir, s.sessionState.newHadoopConf()),
+      "update_ann_index") { _ =>
+    // novelty fetch shared with the signature/df stores — broadcast is
+    // size-gated there (VERDICT r14 #4: merge-scale deltas shuffle)
+    val (novelSrc, releaseIds) =
+      SignatureStore.gatedNovelJoin(e, indexedVecIds(s, idxDir), "vec_id")
+    val novel = novelSrc.persist()
     try {
       val encoded = novel.count()
       if (encoded > 0) {
@@ -428,6 +436,13 @@ object AnnIndex {
         finally s.catalog.dropTempView(view)
       }
       (seen, encoded, seen - encoded)
-    } finally novel.unpersist()
+    } finally { novel.unpersist(); releaseIds() }
+    }
+    // the held lease made the INSERT's write-triggered autocompact
+    // yield — the updater runs the identical pass itself after release
+    // (see SignatureStore.runTableAutocompact)
+    if (receipt._2 > 0)
+      SignatureStore.runTableAutocompact(s, qualifiedTable, idxDir)
+    receipt
   }
 }

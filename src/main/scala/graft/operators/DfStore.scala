@@ -386,16 +386,27 @@ object DfStore {
     if (seen > 0)
       requireDocIdRange(stats.getLong(2), stats.getLong(3),
         s"the ingest slice for $qualifiedTable")
-    val epoch = epochsOf(s, qualifiedTable).lastOption.getOrElse(0) + 1
     val dir = storeDir()
+    // epoch-pick → probe → append runs under the store's maintenance
+    // lease (round 15, VERDICT r14 #3): every step of it is
+    // check-then-act — two concurrent CALLs would pick the same epoch
+    // number and both count the same delta, which the additivity
+    // sentinel only catches AFTER the partials are already corrupt. A
+    // concurrent updater now refuses loudly up front instead (the
+    // write-triggered autocompact inside the INSERT sees the held
+    // lease and simply skips; the next write folds).
+    val receipt = graft.sources.sstable.MaintenanceLease.withLease(dir,
+      graft.sources.sstable.Storage.forPath(dir, s.sessionState.newHadoopConf()),
+      "update_doc_freqs") { _ =>
+    val epoch = epochsOf(s, qualifiedTable).lastOption.getOrElse(0) + 1
     // empty-store fast path — also the honest backfill path (same
-    // shape as SignatureStore.update)
+    // shape as SignatureStore.update); the fetch join's broadcast is
+    // size-gated there (VERDICT r14 #4 — merge-scale deltas shuffle)
     val hasDocs = !fresh && storedDocIds(s, dir).limit(1).count() > 0
-    val novel = (if (hasDocs) {
-      val novelIds = corpus.select(col("doc_id"))
-        .join(storedDocIds(s, dir), Seq("doc_id"), "left_anti")
-      corpus.join(broadcast(novelIds), Seq("doc_id"))
-    } else corpus).persist()
+    val (novelSrc, releaseIds) = if (hasDocs)
+      SignatureStore.gatedNovelJoin(corpus, storedDocIds(s, dir), "doc_id")
+    else (corpus, () => ())
+    val novel = novelSrc.persist()
     try {
       val novelCount = novel.count()
       var terms = 0L
@@ -434,7 +445,14 @@ object DfStore {
           s"epoch $epoch")
       }
       (seen, novelCount, seen - novelCount, epoch, terms)
-    } finally novel.unpersist()
+    } finally { novel.unpersist(); releaseIds() }
+    }
+    // the held lease made the INSERT's write-triggered autocompact
+    // yield — the updater runs the identical pass itself after release
+    // (see SignatureStore.runTableAutocompact)
+    if (receipt._2 > 0)
+      SignatureStore.runTableAutocompact(s, qualifiedTable, dir)
+    receipt
   }
 
   private def tableExists(s: SparkSession, qualifiedTable: String): Boolean =

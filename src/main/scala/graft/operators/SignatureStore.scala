@@ -70,15 +70,34 @@ object SignatureStore {
       .filter(col("key") =!= lit(MetaKey.getBytes))
       .select(col("key").cast("string").cast("bigint").as("doc_id"))
 
-  /** ΔT: corpus docs whose doc_id is absent from the store. The
-    * anti-join sees only doc_id columns; text rides the broadcast fetch
-    * join afterwards (novel ids are delta-sized by the operation's
-    * nature — a backfill-scale first ingest takes the empty-store path
-    * in [[update]] and skips the joins entirely). */
-  def novelDocs(corpus: DataFrame, stored: DataFrame): DataFrame = {
-    val novelIds = corpus.select(col("doc_id")).join(stored, Seq("doc_id"), "left_anti")
-    corpus.join(broadcast(novelIds), Seq("doc_id"))
+  /** ΔT: corpus docs whose key is absent from the store — the shared
+    * novelty fetch of all three incremental maintainers (signatures,
+    * df store, ANN index). The anti-join sees only id columns; the
+    * fetch join's broadcast hint is SIZE-GATED (VERDICT r14 #4): novel
+    * ids are delta-sized by the operation's nature, but a second ingest
+    * that MERGES another large corpus into an existing store would
+    * otherwise force-broadcast an id set proportional to that whole
+    * corpus — above [[Params.BroadcastIdMaxRows]] the fetch falls back
+    * to a plain shuffle join. The gate's count materializes the
+    * persisted id set once (the join reuses the cached partitions);
+    * call the returned cleanup after the novel relation is consumed.
+    * (A backfill-scale FIRST ingest takes the empty-store path in the
+    * maintainers and skips these joins entirely.) */
+  private[graft] def gatedNovelJoin(corpus: DataFrame, stored: DataFrame,
+                                    key: String,
+                                    broadcastMaxRows: Long =
+                                      Params.BroadcastIdMaxRows): (DataFrame, () => Unit) = {
+    val novelIds = corpus.select(col(key))
+      .join(stored, Seq(key), "left_anti").persist()
+    val n = novelIds.count()
+    val fetch = if (n <= broadcastMaxRows) broadcast(novelIds) else novelIds
+    (corpus.join(fetch, Seq(key)), () => { novelIds.unpersist(); () })
   }
+
+  /** [[gatedNovelJoin]] on doc_id — kept as the signature store's named
+    * entry point (specs pin its plan shape). Caller owns the cleanup. */
+  def novelDocs(corpus: DataFrame, stored: DataFrame): (DataFrame, () => Unit) =
+    gatedNovelJoin(corpus, stored, "doc_id")
 
   /** The signature rows of one update, as SSTable rows ready to INSERT.
     * Cell timestamp is fixed: a doc_id is written at most once (the
@@ -151,24 +170,57 @@ object SignatureStore {
     // empty-store fast path: everything is novel — no probe, no joins
     // (this is also the honest backfill path when ΔT is corpus-sized)
     val dir = storeDir()
-    val hasRows = !fresh && storedIds(s, dir).limit(1).count() > 0
-    val novel = (if (hasRows) novelDocs(corpus, storedIds(s, dir))
-      else corpus).persist()
-    try {
-      val novelCount = novel.count()
-      if (novelCount > 0) {
-        val view = s"graft_sig_upd_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-        signatureRows(signatures(novel)).createOrReplaceTempView(view)
-        try s.sql(s"INSERT INTO $qualifiedTable SELECT * FROM $view")
-        finally s.catalog.dropTempView(view)
-      }
-      (seen, novelCount, seen - novelCount)
-    } finally novel.unpersist()
+    // the probe-then-append section runs under the store's maintenance
+    // lease (round 15, VERDICT r14 #3): single-maintainer was a
+    // documented convention — two concurrent CALLs over the same delta
+    // would both sign it — and the catalog already owns the fencing
+    // primitive, so a concurrent updater now refuses LOUDLY up front
+    // instead of relying on detect-after (the write-triggered
+    // autocompact inside the INSERT sees the held lease and simply
+    // skips; the next write folds)
+    val receipt = graft.sources.sstable.MaintenanceLease.withLease(dir,
+      graft.sources.sstable.Storage.forPath(dir, s.sessionState.newHadoopConf()),
+      "update_signatures") { _ =>
+      val hasRows = !fresh && storedIds(s, dir).limit(1).count() > 0
+      val (novelSrc, releaseIds) = if (hasRows)
+        novelDocs(corpus, storedIds(s, dir)) else (corpus, () => ())
+      val novel = novelSrc.persist()
+      try {
+        val novelCount = novel.count()
+        if (novelCount > 0) {
+          val view = s"graft_sig_upd_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+          signatureRows(signatures(novel)).createOrReplaceTempView(view)
+          try s.sql(s"INSERT INTO $qualifiedTable SELECT * FROM $view")
+          finally s.catalog.dropTempView(view)
+        }
+        (seen, novelCount, seen - novelCount)
+      } finally { novel.unpersist(); releaseIds() }
+    }
+    // the held lease made the INSERT's own write-triggered autocompact
+    // yield (maintenance a committing write merely volunteers for must
+    // never fight a real maintainer) — so the updater, which IS the
+    // store's maintainer, runs the identical pass itself after release
+    if (receipt._2 > 0) runTableAutocompact(s, qualifiedTable, dir)
+    receipt
   }
 
   private def tableExists(s: SparkSession, qualifiedTable: String): Boolean =
     try { s.table(qualifiedTable); true }
     catch { case _: org.apache.spark.sql.AnalysisException => false }
+
+  /** The table's own write-triggered maintenance, run on the
+    * maintainer's behalf after its lease is released (shared by all
+    * three incremental updaters — see the comment at the call sites). */
+  private[graft] def runTableAutocompact(s: SparkSession,
+                                         qualifiedTable: String,
+                                         dir: String): Unit = {
+    val storage = graft.sources.sstable.Storage.forPath(
+      dir, s.sessionState.newHadoopConf())
+    graft.sources.sstable.spark.GraftCatalog.tableProps(storage, dir)
+      .get(graft.sources.sstable.spark.SSTableSource.AutoCompactOption)
+      .map(_.toInt).filter(_ >= 2)
+      .foreach(t => SSTableOps.autoCompact(s, dir, t, buckets = None))
+  }
 
   /** The store read back for consumers (and the hash gate): (doc_id,
     * sig), short docs' empty signatures filtered — exactly the relation

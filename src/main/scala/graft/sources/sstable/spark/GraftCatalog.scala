@@ -1312,6 +1312,14 @@ object GraftCatalog {
   /** Persisted table properties (`CREATE TABLE … TBLPROPERTIES`), one
     * `k=v` line each — `_`-prefixed like every non-data file. */
   private[spark] val TablePropsFile = "_table"
+
+  /** Live table properties for maintainers OUTSIDE this package (the
+    * incremental-store updaters run the table's write-triggered
+    * maintenance themselves after releasing their lease — see
+    * SignatureStore.runTableAutocompact). Empty when the pointer is
+    * absent or propless. */
+  def tableProps(storage: Storage, dir: String): Map[String, String] =
+    readTablePropsIfExists(storage, dir).getOrElse(Map.empty)
   /** The `buckets` table property — the bucketed write layout. */
   private[spark] val BucketsProp = "buckets"
   /** Age past which an abandoned CTAS `_stage-`/`_dropped-` directory is

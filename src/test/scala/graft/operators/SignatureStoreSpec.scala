@@ -185,4 +185,22 @@ class SignatureStoreSpec extends AnyFunSuite {
     assert(row.getAs[String]("sig").isEmpty,
       "a sub-shingle doc must produce the empty signature")
   }
+
+  test("update_signatures runs under the maintenance lease (round 15, " +
+    "VERDICT r14 #3): probe-then-append is check-then-act — a " +
+    "concurrent updater refuses LOUDLY naming the holder, instead of " +
+    "double-signing the same delta") {
+    call("ds.lease", "doc_id % 13 = 0")
+    val lease = graft.sources.sstable.MaintenanceLease.acquire(
+      s"$warehouse/ds/lease", graft.sources.sstable.LocalStorage,
+      "rogue-second-updater")
+    try {
+      val e = intercept[Exception](call("ds.lease", "true"))
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+      assert(chain(e).exists(_.contains("rogue-second-updater")), chain(e))
+    } finally lease.release()
+    val r = call("ds.lease", "true")
+    assert(r.getAs[Long]("novel") > 0, r)
+  }
 }
