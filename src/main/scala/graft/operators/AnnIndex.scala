@@ -54,6 +54,27 @@ object AnnIndex {
     .cast("struct<localDeletionTime: int, markedForDeleteAt: bigint>")
     .as("rowTombstone")
 
+  /** `v:` keys zero-pad vec_id to exactly 12 digits and serving parses
+    * them back by position — and `lpad` silently TRUNCATES a longer
+    * string, so a 13-digit vec_id would be encoded under a different
+    * id's key and served as that other vector (the same key-round-trip
+    * poison class as the df store's doc_id guard, ADVICE r14; found by
+    * the r15 self-review of the new streaming ingest). All three v:-key
+    * writers (build, batch update, streaming ingest) refuse first. */
+  private[graft] def requireVecIdRange(lo: Long, hi: Long, what: String): Unit =
+    require(lo >= 0L && hi < 1000000000000L,
+      s"$what holds vec_id outside the v:-key range [0, 1e12): " +
+        s"min=$lo max=$hi — keys zero-pad vec_id to 12 digits (lpad " +
+        "truncates longer ids silently) and serving parses them back by " +
+        "position, so an out-of-range id would be encoded under a " +
+        "DIFFERENT id's key. Refusing before any row is written")
+
+  /** One-pass vec_id bounds over a slice about to be written. */
+  private def checkVecIdRange(vecs: DataFrame, what: String): Unit = {
+    val r = vecs.agg(count(lit(1)), min(col("vec_id")), max(col("vec_id"))).head()
+    if (r.getLong(0) > 0) requireVecIdRange(r.getLong(1), r.getLong(2), what)
+  }
+
   /** Train and persist: returns (centroidRows, codebookRows, vectorRows,
     * dim, nvec) as the CALL's receipt. `kind`: 'ivf' (coarse quantizer
     * only), 'pq' (codebooks only), 'ivfpq' (both — the standard
@@ -82,6 +103,7 @@ object AnnIndex {
       s"build_ann_index: $badDim vector(s) in the corpus have a " +
         s"dimension != $dim — a mixed-dimension corpus cannot train one " +
         "quantizer; filter with the where clause or fix the corpus")
+    checkVecIdRange(e, "build_ann_index: the training slice")
     val wantCoarse = kind != "pq"
     val wantPq = kind != "ivf"
 
@@ -411,6 +433,7 @@ object AnnIndex {
         require(badDim == 0,
           s"$badDim new vector(s) have a dimension != the index's $dim — " +
             "the corpus changed shape; rebuild the index")
+        checkVecIdRange(novel, "update_ann_index: the novel slice")
         val cellsDf = if (kind != "pq")
           Some(assignCoarse(novel, loadCoarseCentroids(s, idxDir))) else None
         val codesDf = if (kind != "ivf")

@@ -65,6 +65,35 @@ object TextQueries {
       s"$cat.ts.df"
     }
 
+  /** Consolidated-store fixture (round 15): a SECOND df store in the
+    * same fixture catalog, built in the hardest-to-read shape — epoch 1,
+    * a CALL consolidate_doc_freqs fold over it, then epoch 3 appended ON
+    * TOP of the fold (so serving must mix a fold cell, unfolded
+    * single-epoch cells, and post-fold epoch cells in one read).
+    * q_df_consolidated then hash-gates the served totals against the
+    * full-recompute oracle. */
+  private val dfConsCache = new SessionCache[String]
+  private def consolidatedStoreFixture(s: SparkSession, d: String): String =
+    dfConsCache.getOrCompute(s, d) {
+      dfStoreFixture(s, d) // the shared catalog + warehouse exist after this
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes).map("%02x".format(_)).mkString.take(16)
+      val cat = s"graft_df_$tag"
+      def call(where: String) = s.sql(
+        s"CALL $cat.system.update_doc_freqs(table => 'ts.dfc', " +
+          s"source_dir => '$d', where => '$where', autocompact => 3)").head()
+      call("doc_id % 3 = 0")
+      call("doc_id % 3 <= 1")
+      val c = s.sql(
+        s"CALL $cat.system.consolidate_doc_freqs(table => 'ts.dfc')").head()
+      require(c.getAs[Long]("rowsFolded") > 0,
+        s"the consolidation fixture must actually fold: $c")
+      val r3 = call("true")
+      require(r3.getAs[Long]("novel") > 0,
+        s"epoch 3 must land on top of the fold: $r3")
+      s"$cat.ts.dfc"
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // North-star text analysis — tokenize, explode, word frequency top-k.
     "q_text_stats" -> ((s, d) => {
@@ -203,6 +232,20 @@ object TextQueries {
       val tf = deltaTf(s, d, col("doc_id") < TfidfDeltaDocs)
       scoreTfidf(tf, DfStore.docFreqsFor(tf.select(col("term")), dir),
         DfStore.nDocsProbe(dir))
+    }),
+    // Word frequency served from a CONSOLIDATED store in its hardest
+    // read shape — a fold cell, unfolded single-epoch cells, and a
+    // post-fold epoch all mixed in one read (the fixture folds epochs
+    // 1-2 and then lands epoch 3 on top). Shares q_text_stats' oracle
+    // verbatim: the hash gate proves the fold rule serves the exact
+    // corpus statistic end to end, through the driver's own compare
+    // (round 15 — the serving face of consolidate_doc_freqs).
+    "q_df_consolidated" -> ((s, d) => {
+      val store = consolidatedStoreFixture(s, d)
+      DfStore.collFreqs(s, store)
+        .select(col("term").as("word"), col("cf").as("cnt"))
+        .orderBy(col("cnt").desc, col("word"))
+        .limit(TopWords)
     })
   )
 
@@ -246,6 +289,9 @@ object TextQueries {
     "q_text_stats" -> textStatsOracle,
     // served == twin: summed cf partials are the exact occurrence counts
     "q_text_stats_served" -> textStatsOracle,
+    // consolidated == twin: the fold rule over (fold cell + unfolded
+    // singles + post-fold epoch) serves the exact occurrence counts
+    "q_df_consolidated" -> textStatsOracle,
     "q_lang_id" ->
       s"""SELECT doc_id, CAST(len(t) AS BIGINT) AS n_toks,
                  ${e4Sql(s"len(list_filter(t, x -> x IN ($stopList))) * 1.0 / len(t)")} AS en_ratio_e4,

@@ -7,9 +7,10 @@ import graft.operators.{Params, SSTableOps}
 import graft.sources.sstable.{LocalStorage, SSTableFiles, SSTableReader, Storage}
 
 /** Streaming maintenance of a document-frequency store — the streaming
-  * twin of `CALL update_doc_freqs`, completing the symmetry every
+  * twin of `CALL update_doc_freqs`, part of the symmetry every
   * persisted structure here has (signature store ↔ streaming
-  * incremental dedup; ANN index ↔ streaming ANN routing; df store ↔
+  * incremental dedup; ANN index ↔ [[StreamingAnnIngest]] for ingest and
+  * [[StreamingAnnScore]] for serving; df store ↔
   * this). A corpus that arrives as a stream keeps its corpus-level term
   * statistics current per micro-batch, so downstream serving
   * (TF-IDF-scoring a delta, boilerplate-cleaning a batch) always reads

@@ -366,6 +366,15 @@ class PlanQualitySpec extends AnyFunSuite {
       s"the counts must come from the store's sstable scan:\n$plan")
   }
 
+  test("q_df_consolidated: ZERO corpus IO — the consolidated store's " +
+    "fold-aware sum answers the top-k alone (round 15)") {
+    val plan = finalPlan("q_df_consolidated")
+    assert(!plan.contains("Scan parquet"),
+      s"the consolidated serving read must not touch the corpus:\n$plan")
+    assert(plan.contains("sstable"),
+      s"the counts must come from the store's sstable scan:\n$plan")
+  }
+
   test("q_para_dedup_served: one corpus scan — the boilerplate set loads " +
     "from the paragraph-frequency store (no corpus-wide distinct-doc " +
     "digest aggregation) and broadcasts (round 14)") {
