@@ -527,6 +527,22 @@ object SSTableDemo {
       s"(want 40), df('alpha')=$dfAlpha (want 40 — epoch partials sum " +
       s"exactly) in ${df2.getAs[Int]("generations")} generation(s)")
 
+    // retraction (r15): documents LEAVE the statistics without a corpus
+    // rescan — one negative epoch, tombstoned membership, and a later
+    // ingest re-admits them (the membership probe is delete-aware)
+    val rr = spark.sql("CALL graft.system.retract_doc_freqs(table => " +
+      s"'demo.df', source_dir => '$sigSrc', where => 'doc_id >= 30')").head()
+    val rN = graft.operators.DfStore.nDocs(spark, "graft.demo.df")
+    val rAlpha = graft.operators.DfStore.docFreqs(spark, "graft.demo.df")
+      .filter(col("term") === "alpha").head().getLong(1)
+    val readmit = dfCall("true")
+    println(s"== df retraction: retracted ${rr.getAs[Long]("retracted")} " +
+      s"docs (want 10) as one negative epoch; served n_docs=$rN / " +
+      s"df('alpha')=$rAlpha (want 30/30 — subtraction is exact, zero " +
+      s"corpus rescans); re-ingest RE-ADMITTED " +
+      s"${readmit.getAs[Long]("novel")} docs (want 10) — membership " +
+      s"probes are delete-aware")
+
     // relation-valued point reads (r13): graft_lookup composes like any
     // table — here joined against a dimension, same probe tier as CALL
     graft.GraftExtensions.register(spark)

@@ -78,11 +78,17 @@ object DfStore {
         "marker is written")
 
   private def strCell(name: org.apache.spark.sql.Column,
-                      value: org.apache.spark.sql.Column) =
+                      value: org.apache.spark.sql.Column,
+                      ts: Long = 1L) =
     struct(name.cast("binary").as("name"), lit("NORMAL").as("state"),
       value.cast("string").cast("binary").as("value"),
-      lit(1L).as("timestamp"), lit(0L).as("ttlSecs"),
+      lit(ts).as("timestamp"), lit(0L).as("ttlSecs"),
       lit(0L).as("expiresMillis"))
+
+  private def delCell(name: String, ts: Long) =
+    struct(lit(name).cast("binary").as("name"), lit("DELETED").as("state"),
+      lit(null).cast("binary").as("value"), lit(ts).as("timestamp"),
+      lit(0L).as("ttlSecs"), lit(0L).as("expiresMillis"))
 
   private val noTombstone = lit(null)
     .cast("struct<localDeletionTime: int, markedForDeleteAt: bigint>")
@@ -90,15 +96,54 @@ object DfStore {
 
   private def epochTag(epoch: Int): String = f"$epoch%06d"
 
-  /** doc_ids already counted — key-only raw scan of the `d:` markers
-    * (Index.db sidecars only; the store is append-only by contract, so
-    * skipping delete-awareness is sound — same argument as
-    * [[SignatureStore.storedIds]]). */
-  def storedDocIds(s: SparkSession, storeDir: String): DataFrame =
-    s.read.format("sstable").load(storeDir)
-      .select(col("key").cast("string").as("k"))
-      .filter(col("k").startsWith("d:"))
-      .select(substring(col("k"), 3, 12).cast("bigint").as("doc_id"))
+  /** One driver-side live read of the `_meta` row's cells (O(generations)
+    * seeks via the prober — no job). Empty when the row (or the store)
+    * does not exist yet. */
+  private[graft] def metaCellsOf(storeDir: String,
+                                 storage: graft.sources.sstable.Storage)
+      : Map[String, String] = {
+    if (!storage.exists(storeDir)) return Map.empty
+    val prober = new graft.sources.sstable.SSTableReader.DirectoryProber(
+      storeDir, storage)
+    prober.get(MetaKey.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        gcTombstones = true)
+      .map(_.columns.collect {
+        case c: graft.sources.sstable.Column.Normal =>
+          (new String(c.name, java.nio.charset.StandardCharsets.UTF_8),
+            new String(c.value, java.nio.charset.StandardCharsets.UTF_8))
+      }.toMap).getOrElse(Map.empty)
+  }
+
+  /** Whether any [[retract]] epoch ever landed on this store — the flag
+    * rides the SAME atomic append as the retraction itself (a `retracted`
+    * cell on `_meta`), so it can never be observed separately from the
+    * tombstones it announces. It switches the membership probe and the
+    * sentinel from the append-only fast paths to the delete-aware ones. */
+  private[graft] def hasRetractions(storeDir: String,
+                                    storage: graft.sources.sstable.Storage)
+      : Boolean =
+    metaCellsOf(storeDir, storage).contains("retracted")
+
+  /** doc_ids currently counted. Append-only stores (the common case) use
+    * a key-only raw scan of the `d:` markers (Index.db sidecars only —
+    * same argument as [[SignatureStore.storedIds]]). Once a [[retract]]
+    * epoch exists, membership must be DELETE-AWARE: a retracted marker's
+    * cells are all tombstone-shadowed, the reconciled live view drops the
+    * row, and the doc becomes novel again (re-admittable) — so the probe
+    * switches to the reconciled scan. The switch is per-store and
+    * one-way, priced only by stores that actually retract. */
+  def storedDocIds(s: SparkSession, storeDir: String): DataFrame = {
+    val storage = graft.sources.sstable.Storage.forPath(storeDir,
+      s.sessionState.newHadoopConf())
+    val markers = s.read.format("sstable").load(storeDir)
+      .filter(col("key").cast("string").startsWith("d:"))
+    // marker rows only enter the reconcile — the vocabulary (t:) rows,
+    // the store's bulk, never pay the delete-aware path
+    val rows = if (hasRetractions(storeDir, storage))
+      SSTableOps.suppressTombstones(markers) else markers
+    rows.select(substring(col("key").cast("string"), 3, 12)
+      .cast("bigint").as("doc_id"))
+  }
 
   /** Additivity audit — the df store's corruption sentinel. Unlike the
     * signature and ANN stores (keyed per doc: a contract-violating
@@ -114,20 +159,43 @@ object DfStore {
     * append so a violation is LOUD on the very call that caused it. */
   def auditAdditivity(s: SparkSession, storeDir: String,
                       nTotal: Long, context: String): Unit = {
-    val m = s.read.format("sstable").load(storeDir)
-      .select(col("key").cast("string").as("k"))
-      .filter(col("k").startsWith("d:"))
-      .agg(count(lit(1)).as("versions"),
-        count_distinct(col("k")).as("distinctKeys"))
-      .head()
-    val (versions, distinctKeys) = (m.getLong(0), m.getLong(1))
-    require(versions == distinctKeys && distinctKeys == nTotal,
-      s"df store at $storeDir is INCONSISTENT after $context: " +
-        s"$versions marker row versions over $distinctKeys distinct docs " +
-        s"vs Σ n-partials = $nTotal — some document was counted twice " +
-        "(a concurrent update, or an update that raced a DROP/undrop). " +
-        "The affected epochs' partials are additive and now corrupt: " +
-        "DROP the store and rebuild it")
+    val storage = graft.sources.sstable.Storage.forPath(storeDir,
+      s.sessionState.newHadoopConf())
+    if (hasRetractions(storeDir, storage)) {
+      // a retracted (or re-admitted) marker legitimately carries several
+      // row versions, so the raw duplicate-version check below would
+      // false-alarm forever — the delete-aware invariant is `Σ n-partials
+      // (ingests positive, retractions negative) == RECONCILED LIVE
+      // markers`. It still catches the duplicating interleave (+2 in the
+      // partials vs 1 live marker) and the double-retract (-2 vs one
+      // marker gone), the two ways additive statistics corrupt silently.
+      val live = SSTableOps.suppressTombstones(
+          s.read.format("sstable").load(storeDir)
+            .filter(col("key").cast("string").startsWith("d:")))
+        .count()
+      require(live == nTotal,
+        s"df store at $storeDir is INCONSISTENT after $context: " +
+          s"$live live membership markers vs Σ n-partials = $nTotal — " +
+          "some document was counted or retracted twice (a concurrent " +
+          "maintainer, or a maintainer that raced a DROP/undrop). The " +
+          "affected epochs' partials are additive and now corrupt: DROP " +
+          "the store and rebuild it")
+    } else {
+      val m = s.read.format("sstable").load(storeDir)
+        .select(col("key").cast("string").as("k"))
+        .filter(col("k").startsWith("d:"))
+        .agg(count(lit(1)).as("versions"),
+          count_distinct(col("k")).as("distinctKeys"))
+        .head()
+      val (versions, distinctKeys) = (m.getLong(0), m.getLong(1))
+      require(versions == distinctKeys && distinctKeys == nTotal,
+        s"df store at $storeDir is INCONSISTENT after $context: " +
+          s"$versions marker row versions over $distinctKeys distinct docs " +
+          s"vs Σ n-partials = $nTotal — some document was counted twice " +
+          "(a concurrent update, or an update that raced a DROP/undrop). " +
+          "The affected epochs' partials are additive and now corrupt: " +
+          "DROP the store and rebuild it")
+    }
   }
 
   /** The store's epochs so far, from the `_n` row's cell names (a
@@ -220,6 +288,13 @@ object DfStore {
     val out = prefix.stripSuffix(":")
     foldAwareSum(partialCellsOf(rows, prefix).filter(col("k").startsWith("t:")),
         prefix, out)
+      // a fully-retracted term's partials sum to zero — the term is no
+      // longer in the corpus, so serving must not emit a df=0/cf=0 row
+      // (the full-recompute twin has no such row). Retraction's own
+      // sufficiency guard keeps totals from ever going NEGATIVE, so this
+      // only drops exact zeros; on an append-only store it is a no-op
+      // (every partial is >= 1).
+      .filter(col(out) > 0)
       .select(expr("substring(k, 3)").as("term"), col(out))
   }
 
@@ -426,10 +501,18 @@ object DfStore {
             array(strCell(lit(s"cf:$tag"), col("cf")),
               strCell(lit(s"df:$tag"), col("df"))).as("columns"),
             noTombstone)
+          // markers carry the doc's content hash (`h`) so a later
+          // retraction can verify the corpus text is STILL what this
+          // epoch counted before subtracting its unit counts — and they
+          // ride ts=epoch (not the fixed 1) so a retraction's DELETED
+          // cells shadow them and a re-admission's fresh cells shadow
+          // the deletion, in epoch order. Both deterministic: identical
+          // update sequences still produce hash-identical stores.
           val docRows = novel.select(
             concat(lit("d:"), lpad(col("doc_id").cast("string"), 12, "0"))
               .cast("binary").as("key"),
-            array(strCell(lit("e"), lit(epoch))).as("columns"),
+            array(strCell(lit("e"), lit(epoch), epoch),
+              strCell(lit("h"), md5(col("text")), epoch)).as("columns"),
             noTombstone)
           val nRow = s.range(1).select(lit(NKey).cast("binary").as("key"),
             array(strCell(lit(s"n:$tag"), lit(novelCount))).as("columns"),
@@ -576,4 +659,196 @@ object DfStore {
         }
       } finally live.unpersist()
     }
+
+  /** Document RETRACTION (round 15) — remove documents from the store's
+    * statistics without rescanning the corpus: the takedown / GDPR /
+    * contamination-removal operation a 100 TB pipeline needs, priced by
+    * the retraction slice, never the corpus. One retraction epoch
+    * appends, atomically:
+    *  - NEGATIVE `df:`/`cf:` partials for the retracted docs' units
+    *    (additivity runs both ways — a negative epoch subtracts exactly
+    *    like a positive one adds, through folds and compaction alike);
+    *  - DELETED cells shadowing the docs' `d:` markers (the reconciled
+    *    live view drops them — membership probes see the doc as novel
+    *    again, so a later ingest RE-ADMITS it correctly);
+    *  - a negative `_n` partial;
+    *  - a `retracted` flag on `_meta`, riding the SAME append, which
+    *    switches the membership probe and the additivity sentinel to
+    *    their delete-aware forms.
+    *
+    * Loud-beats-silent guards, in probe order (all delta-sized):
+    *  - the store must pin this corpus + unit (the usual meta refusal);
+    *  - a STREAM-maintained store refuses: its `s…` epoch tags sort
+    *    after batch tags, so a batch-numbered retraction epoch would be
+    *    silently excluded by the fold rule after the stream's next
+    *    consolidation;
+    *  - every retracted doc's `h` content hash (written at ingest) must
+    *    match md5 of the corpus text NOW — if the source mutated since
+    *    ingest, subtracting the CURRENT text's counts would corrupt the
+    *    statistics silently, so drift refuses naming the docs;
+    *  - the store's df/cf for every touched term (a point-read probe of
+    *    exactly those `t:` rows) must cover the subtraction — totals can
+    *    never go negative; a shortfall means membership corruption and
+    *    refuses before anything lands.
+    *
+    * Docs in the slice that were never counted (or already retracted)
+    * are reported `notStored` and contribute nothing — a re-run of the
+    * same retraction is a receipt-visible no-op. Runs under the store's
+    * maintenance lease. Returns (docsInSlice, retracted, notStored,
+    * epoch, termsTouched); epoch 0 when nothing matched (no write). */
+  def retract(s: SparkSession, qualifiedTable: String, storeDir: () => String,
+              sourceDir: String, whereSql: String,
+              unit: String = "term"): (Long, Long, Long, Int, Long) = {
+    require(Set("term", "para").contains(unit),
+      s"unit must be 'term' or 'para', got '$unit'")
+    require(tableExists(s, qualifiedTable),
+      s"df store $qualifiedTable does not exist — nothing to retract from")
+    requireEpochMeta(s, qualifiedTable, sourceDir, unit)
+    val slice = graft.Tables.documents(s, sourceDir)
+      .filter(expr(whereSql)).select(col("doc_id"), col("text"))
+    val stats = slice.agg(count(lit(1)), count_distinct(col("doc_id")),
+      min(col("doc_id")), max(col("doc_id"))).head()
+    val seen = stats.getLong(0)
+    require(seen == stats.getLong(1),
+      s"the retraction slice for $qualifiedTable contains " +
+        s"${seen - stats.getLong(1)} duplicate doc_id row(s) — refusing " +
+        "(duplicates would subtract twice; dedupe the slice or fix the " +
+        "where clause)")
+    if (seen == 0) return (0L, 0L, 0L, 0, 0L)
+    requireDocIdRange(stats.getLong(2), stats.getLong(3),
+      s"the retraction slice for $qualifiedTable")
+    val dir = storeDir()
+    val storage = graft.sources.sstable.Storage.forPath(dir,
+      s.sessionState.newHadoopConf())
+    val receipt = graft.sources.sstable.MaintenanceLease.withLease(dir,
+      storage, "retract_doc_freqs") { _ =>
+      // epoch pick with a TOLERANT tag parse (epochsOf would throw on a
+      // stream's `s…` tags; the refusal must be ours and must explain)
+      val prober = new graft.sources.sstable.SSTableReader.DirectoryProber(
+        dir, storage)
+      val nTags = prober.get(
+          NKey.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          gcTombstones = true)
+        .map(row => partialsOfRow(row, "n:").map(_._1)).getOrElse(Seq.empty)
+      val plain = nTags.map(_.stripPrefix("F"))
+      plain.find(t => t.isEmpty || !t.forall(_.isDigit)).foreach { bad =>
+        throw new IllegalArgumentException(
+          s"df store $qualifiedTable is STREAM-maintained (epoch tag " +
+            s"'$bad') — a batch-numbered retraction epoch would sort " +
+            "BEFORE the stream's tags and be silently excluded by the " +
+            "fold rule after the next consolidation. Stop the stream and " +
+            "rebuild the store with batch CALLs to retract from it")
+      }
+      val epoch = plain.map(_.toInt).maxOption.getOrElse(0) + 1
+      // which of the slice's docs the store actually counted (and still
+      // counts): point reads of their d: markers, live view — already-
+      // retracted markers reconcile to nothing and land in notStored
+      val probed = SSTableOps.lookupJoin(
+          slice.select(concat(lit("d:"),
+            lpad(col("doc_id").cast("string"), 12, "0"))
+            .cast("binary").as("key")), dir)
+        .select(substring(col("key").cast("string"), 3, 12)
+          .cast("bigint").as("doc_id"), col("columns"))
+        .persist()
+      try {
+        val markerH = probed
+          .select(col("doc_id"), explode(col("columns")).as("c"))
+          .filter(col("c.name").cast("string") === "h" &&
+            col("c.state") === "NORMAL")
+          .select(col("doc_id"), col("c.value").cast("string").as("h"))
+        val noH = probed.select("doc_id")
+          .join(markerH, Seq("doc_id"), "left_anti")
+          .limit(5).collect().map(_.getLong(0))
+        require(noH.isEmpty,
+          s"markers for doc_id(s) ${noH.mkString(", ")} in $qualifiedTable " +
+            "carry no content hash — the store predates retraction " +
+            "support (h cells are written at ingest). Rebuild the store " +
+            "to enable retraction")
+        val drift = slice.join(markerH, Seq("doc_id"))
+          .filter(!(md5(col("text")) <=> col("h")))
+          .select("doc_id").limit(5).collect().map(_.getLong(0))
+        require(drift.isEmpty,
+          s"corpus text for doc_id(s) ${drift.mkString(", ")} changed " +
+            s"since $qualifiedTable counted it (content-hash mismatch) — " +
+            "subtracting the CURRENT text's unit counts would corrupt " +
+            "the statistics silently. The store counted different " +
+            "content; restore the source or DROP and rebuild")
+        val toRetract = slice.join(probed.select("doc_id"), Seq("doc_id"))
+          .persist()
+        try {
+          val matched = toRetract.count()
+          if (matched == 0) (seen, 0L, seen, 0, 0L)
+          else {
+            val units = unitsOf(toRetract, unit).groupBy("term")
+              .agg(count(lit(1)).as("rdf"), sum(col("n")).as("rcf"))
+              .persist()
+            try {
+              val terms = units.count()
+              // sufficiency guard: the store's CURRENT totals for exactly
+              // the touched terms (point reads — delta-vocabulary-sized)
+              // must cover the subtraction; a shortfall is membership
+              // corruption and must refuse BEFORE totals go negative
+              val storedRows = SSTableOps.lookupJoin(
+                units.select(concat(lit("t:"), col("term"))
+                  .cast("binary").as("key")), dir).persist()
+              try {
+                val short = units
+                  .join(freqsFromRows(storedRows, "df:"), Seq("term"), "left")
+                  .join(freqsFromRows(storedRows, "cf:"), Seq("term"), "left")
+                  .filter(col("df").isNull || col("df") < col("rdf") ||
+                    col("cf").isNull || col("cf") < col("rcf"))
+                  .select("term").limit(5).collect().map(_.getString(0))
+                require(short.isEmpty,
+                  s"stored df/cf for term(s) ${short.mkString(", ")} in " +
+                    s"$qualifiedTable cannot cover this retraction's " +
+                    "subtraction — the store cannot have counted these " +
+                    "documents' units (membership corruption). Refusing " +
+                    "to write totals below zero; DROP and rebuild")
+                val tag = epochTag(epoch)
+                val tRows = units.select(
+                  concat(lit("t:"), col("term")).cast("binary").as("key"),
+                  array(strCell(lit(s"cf:$tag"), -col("rcf")),
+                    strCell(lit(s"df:$tag"), -col("rdf"))).as("columns"),
+                  noTombstone)
+                val dRows = toRetract.select(
+                  concat(lit("d:"), lpad(col("doc_id").cast("string"), 12, "0"))
+                    .cast("binary").as("key"),
+                  array(delCell("e", epoch), delCell("h", epoch)).as("columns"),
+                  noTombstone)
+                val nRow = s.range(1).select(
+                  lit(NKey).cast("binary").as("key"),
+                  array(strCell(lit(s"n:$tag"), lit(-matched))).as("columns"),
+                  noTombstone)
+                val metaRow = s.range(1).select(
+                  lit(MetaKey).cast("binary").as("key"),
+                  array(strCell(lit("retracted"), lit(epoch), epoch))
+                    .as("columns"),
+                  noTombstone)
+                val before = storage.listDataFiles(dir)
+                tRows.unionAll(dRows).unionAll(nRow).unionAll(metaRow)
+                  .write.format("sstable")
+                  .option(graft.sources.sstable.spark.SSTableSource
+                    .JobTagOption, s"dfr$tag")
+                  .mode("append").save(dir)
+                graft.sources.sstable.History.record(storage, dir,
+                  "retract_doc_freqs",
+                  added = storage.listDataFiles(dir).diff(before),
+                  removed = Nil,
+                  detail = s"docs=$matched terms=$terms epoch=$epoch")
+                // the sentinel, in its delete-aware form from this very
+                // append on (the flag rode it): live markers must equal
+                // the signed partial sum
+                auditAdditivity(s, dir, nDocs(s, qualifiedTable),
+                  s"retraction epoch $epoch")
+                (seen, matched, seen - matched, epoch, terms)
+              } finally storedRows.unpersist()
+            } finally units.unpersist()
+          }
+        } finally toRetract.unpersist()
+      } finally probed.unpersist()
+    }
+    if (receipt._2 > 0)
+      SignatureStore.runTableAutocompact(s, qualifiedTable, dir)
+    receipt
+  }
 }

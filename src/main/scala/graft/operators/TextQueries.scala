@@ -94,6 +94,39 @@ object TextQueries {
       s"$cat.ts.dfc"
     }
 
+  /** The retraction fixture's slice — kept in ONE place because the
+    * Spark fixture, the serving queries, and their DuckDB oracles must
+    * all agree on which docs left the corpus. */
+  private val RetractedSlice = "doc_id % 5 = 2"
+
+  /** Retracted-store fixture (round 15): a THIRD df store in the shared
+    * fixture catalog — full-corpus ingest, then `CALL retract_doc_freqs`
+    * removes a slice (negative partials + tombstoned membership), then
+    * an idempotent re-retract that must match nothing. The serving
+    * queries below hash-gate the retracted statistics against DuckDB
+    * recomputing over the REMAINING corpus: subtraction is exact, bit
+    * for bit, through the driver's own compare. */
+  private val dfRetrCache = new SessionCache[String]
+  private def retractedStoreFixture(s: SparkSession, d: String): String =
+    dfRetrCache.getOrCompute(s, d) {
+      dfStoreFixture(s, d) // the shared catalog + warehouse exist after this
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes).map("%02x".format(_)).mkString.take(16)
+      val cat = s"graft_df_$tag"
+      s.sql(s"CALL $cat.system.update_doc_freqs(table => 'ts.dfr', " +
+        s"source_dir => '$d', autocompact => 3)")
+      val r = s.sql(s"CALL $cat.system.retract_doc_freqs(table => " +
+        s"'ts.dfr', source_dir => '$d', where => '$RetractedSlice')").head()
+      require(r.getAs[Long]("retracted") > 0 &&
+        r.getAs[Long]("notStored") == 0L,
+        s"the retraction fixture must retract its whole slice: $r")
+      val r2 = s.sql(s"CALL $cat.system.retract_doc_freqs(table => " +
+        s"'ts.dfr', source_dir => '$d', where => '$RetractedSlice')").head()
+      require(r2.getAs[Long]("retracted") == 0L,
+        s"an idempotent re-retract must match nothing: $r2")
+      s"$cat.ts.dfr"
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // North-star text analysis — tokenize, explode, word frequency top-k.
     "q_text_stats" -> ((s, d) => {
@@ -246,6 +279,34 @@ object TextQueries {
         .select(col("term").as("word"), col("cf").as("cnt"))
         .orderBy(col("cnt").desc, col("word"))
         .limit(TopWords)
+    }),
+    // TF-IDF after RETRACTION (round 15) — the takedown operating point:
+    // documents left the corpus via CALL retract_doc_freqs (negative
+    // partials, tombstoned membership) and every score immediately
+    // reflects the REMAINING corpus, with zero corpus rescans. The
+    // oracle recomputes df/n over `documents WHERE NOT retracted` from
+    // scratch — the hash gate proves subtraction is exact, bit for bit.
+    // tf is the usual delta batch (which naturally excludes the
+    // retracted docs — they're gone).
+    "q_tfidf_retracted" -> ((s, d) => {
+      val store = retractedStoreFixture(s, d)
+      scoreTfidf(
+        deltaTf(s, d, col("doc_id") < TfidfDeltaDocs &&
+          !expr(RetractedSlice)),
+        DfStore.docFreqs(s, store), DfStore.nDocs(s, store))
+    }),
+    // Word frequency after RETRACTION, from the store's summed cf
+    // partials ALONE — zero corpus IO at serve time, now with documents
+    // REMOVED from the statistics: the fold-rule sum nets out the
+    // retraction epoch's negative cells, and fully-retracted terms
+    // disappear (exactly as the remaining-corpus oracle has no row for
+    // them).
+    "q_df_retracted" -> ((s, d) => {
+      val store = retractedStoreFixture(s, d)
+      DfStore.collFreqs(s, store)
+        .select(col("term").as("word"), col("cf").as("cnt"))
+        .orderBy(col("cnt").desc, col("word"))
+        .limit(TopWords)
     })
   )
 
@@ -325,7 +386,32 @@ object TextQueries {
     "q_tfidf_delta" -> tfidfDeltaOracle,
     // probe == scan, bit for bit: point reads of the batch's terms must
     // serve exactly what the vocabulary-scan path aggregates
-    "q_tfidf_probe" -> tfidfDeltaOracle
+    "q_tfidf_probe" -> tfidfDeltaOracle,
+    // retraction == a corpus that never held the slice: the oracle
+    // recomputes df/n over the REMAINING documents from scratch; the
+    // store must serve the identical statistics from its signed partials
+    "q_tfidf_retracted" ->
+      s"""WITH live AS (SELECT * FROM documents WHERE NOT ($RetractedSlice)),
+               tfall AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                         FROM (SELECT doc_id, unnest($toksT) AS term FROM live)
+                         GROUP BY doc_id, term),
+               dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfall GROUP BY term),
+               n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM live),
+               tf AS (SELECT * FROM tfall WHERE doc_id < $TfidfDeltaDocs)
+          SELECT doc_id, term, tf, df, score_e4 FROM (
+            SELECT tf.doc_id, tf.term, tf.tf, dfr.df,
+                   (tf.tf * n.n_docs * 10000) // dfr.df AS score_e4,
+                   row_number() OVER (PARTITION BY tf.doc_id
+                     ORDER BY (tf.tf * n.n_docs * 10000) // dfr.df DESC, tf.term) AS rk
+            FROM tf JOIN dfr USING (term) CROSS JOIN n)
+          WHERE rk <= $TfidfTopK ORDER BY doc_id, score_e4 DESC, term""",
+    // word frequency over the remaining corpus — served with zero
+    // corpus IO from partials that include the retraction's negatives
+    "q_df_retracted" ->
+      s"""SELECT word, CAST(count(*) AS BIGINT) AS cnt
+          FROM (SELECT unnest($toksT) AS word FROM documents
+                WHERE NOT ($RetractedSlice))
+          GROUP BY word ORDER BY cnt DESC, word LIMIT $TopWords"""
   )
 
   private lazy val tfidfDeltaOracle: String =

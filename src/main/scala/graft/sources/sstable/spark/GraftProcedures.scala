@@ -720,6 +720,60 @@ private[spark] object GraftProcedures {
             storage.listDataFiles(dir).length))
         }),
 
+      "retract_doc_freqs" -> new Proc(
+        "retract_doc_freqs",
+        "retract documents from a df store WITHOUT rescanning the " +
+          "corpus — the takedown/GDPR/contamination-removal operation, " +
+          "priced by the retraction slice: one epoch atomically appends " +
+          "NEGATIVE df:/cf: partials for the docs' units (additivity " +
+          "runs both ways, through folds and compaction alike), DELETED " +
+          "cells shadowing their d: markers (membership probes then see " +
+          "the doc as novel again, so a later ingest RE-ADMITS it), a " +
+          "negative _n partial, and a 'retracted' flag on _meta that " +
+          "switches the membership probe and the additivity sentinel to " +
+          "their delete-aware forms. Guards, all delta-sized and all " +
+          "refusing BEFORE anything lands: the store must pin this " +
+          "corpus + unit; a stream-maintained store refuses (its epoch " +
+          "tags would order a batch retraction epoch out of consolidated " +
+          "reads); each doc's content hash (written at ingest) must " +
+          "match the corpus text NOW — source drift would subtract the " +
+          "wrong counts silently; and the store's totals for exactly the " +
+          "touched terms (point reads) must cover the subtraction. Docs " +
+          "never counted (or already retracted) report as notStored — a " +
+          "re-run is a receipt-visible no-op. Runs under the maintenance " +
+          "lease; epoch 0 in the receipt means nothing matched (no write)",
+        Array(tableParam,
+          p("source_dir", StringType,
+            comment = "corpus directory holding documents.parquet"),
+          p("where", StringType, Some("'true'"),
+            comment = "SQL predicate selecting the docs to retract, " +
+              "e.g. 'doc_id % 5 = 2'"),
+          p("unit", StringType, Some("'term'"),
+            comment = "must match the store's pinned unit")),
+        StructType(Seq(
+          StructField("docsInSlice", LongType, nullable = false),
+          StructField("retracted", LongType, nullable = false),
+          StructField("notStored", LongType, nullable = false),
+          StructField("epoch", IntegerType, nullable = false),
+          StructField("terms", LongType, nullable = false),
+          StructField("generations", IntegerType, nullable = false))),
+        (spark, in) => {
+          require(!in.isNullAt(0), "argument 'table' is required")
+          require(!in.isNullAt(1), "argument 'source_dir' is required")
+          val tableName = in.getUTF8String(0).toString
+          resolveParent(tableName) // loud on a missing namespace
+          val sourceDir = in.getUTF8String(1).toString
+          val whereSql = if (in.isNullAt(2)) "true" else in.getUTF8String(2).toString
+          val unit = if (in.isNullAt(3)) "term" else in.getUTF8String(3).toString
+          val (seen, retracted, notStored, epoch, terms) =
+            graft.operators.DfStore.retract(spark, qualified(tableName),
+              () => dirOf(in), sourceDir, whereSql, unit)
+          val gens = graft.sources.sstable.Storage
+            .forPath(dirOf(in), spark.sessionState.newHadoopConf())
+            .listDataFiles(dirOf(in)).length
+          Seq(row(seen, retracted, notStored, epoch, terms, gens))
+        }),
+
       "lookup" -> new Proc(
         "lookup",
         "point reads in pure SQL: probe each key via bloom filter -> " +

@@ -538,4 +538,181 @@ class DfStoreSpec extends AnyFunSuite {
     assert(DfStore.storedDocIds(spark, s"$warehouse/ts/range_ok")
       .collect().map(_.getLong(0)).toSet == Set(0L, 999999999999L))
   }
+
+  // ── retraction (round 15) ─────────────────────────────────────────────
+
+  private def retractCall(table: String, where: String,
+                          dir: String = sfDir) = spark.sql(
+    s"CALL graft_dfs.system.retract_doc_freqs(table => '$table', " +
+      s"source_dir => '$dir', where => '$where')").head()
+
+  private def chain(t: Throwable): Seq[String] =
+    if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+
+  test("retraction subtracts EXACTLY: retract == a store that never " +
+    "counted those docs (df, cf, n_docs all bit-equal to the direct " +
+    "recompute over the remaining corpus); an idempotent re-retract is " +
+    "a receipt-visible no-op; and a later ingest RE-ADMITS the docs — " +
+    "end state equals the original full store") {
+    call("ts.ret", "doc_id % 3 < 2")
+    call("ts.ret", "true")
+    val full = storedDf("ts.ret")
+    val fullN = DfStore.nDocs(spark, "graft_dfs.ts.ret")
+    assert(full == directDf("true"))
+    val r = retractCall("ts.ret", "doc_id % 5 = 2")
+    assert(r.getAs[Long]("retracted") > 0 &&
+      r.getAs[Long]("notStored") == 0L, r)
+    // served statistics equal a corpus that never held the slice
+    assert(storedDf("ts.ret") == directDf("NOT (doc_id % 5 = 2)"),
+      "retracted df diverged from the direct recompute")
+    assert(DfStore.nDocs(spark, "graft_dfs.ts.ret") ==
+      fullN - r.getAs[Long]("retracted"))
+    // cf too: collection frequency subtracts by the same argument
+    val cfDirect = graft.Tables.documents(spark, sfDir)
+      .filter(expr("NOT (doc_id % 5 = 2)"))
+      .select(explode(Params.toks(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cf"))
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(DfStore.collFreqs(spark, "graft_dfs.ts.ret")
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap == cfDirect)
+    // idempotent: the docs are no longer members, so nothing matches
+    val r2 = retractCall("ts.ret", "doc_id % 5 = 2")
+    assert(r2.getAs[Long]("retracted") == 0L &&
+      r2.getAs[Int]("epoch") == 0, r2)
+    assert(storedDf("ts.ret") == directDf("NOT (doc_id % 5 = 2)"))
+    // re-admission: the membership probe is delete-aware, so an ingest
+    // over the full corpus counts EXACTLY the retracted docs again
+    val r3 = call("ts.ret", "true")
+    assert(r3.getAs[Long]("novel") == r.getAs[Long]("retracted"), r3)
+    assert(storedDf("ts.ret") == full, "re-admitted state != original")
+    assert(DfStore.nDocs(spark, "graft_dfs.ts.ret") == fullN)
+  }
+
+  test("retraction composes with consolidation: negative partials fold " +
+    "like positive ones (the fold rule is sign-blind), totals stay " +
+    "bit-exact through fold + reclamation, and the store keeps serving " +
+    "the remaining corpus exactly") {
+    call("ts.retc", "doc_id % 2 = 0")
+    call("ts.retc", "true")
+    retractCall("ts.retc", "doc_id % 4 = 1")
+    val want = directDf("NOT (doc_id % 4 = 1)")
+    assert(storedDf("ts.retc") == want)
+    val c = spark.sql(
+      "CALL graft_dfs.system.consolidate_doc_freqs(table => 'ts.retc')").head()
+    assert(c.getAs[Long]("rowsFolded") > 0, c)
+    assert(storedDf("ts.retc") == want, "fold over negatives diverged")
+    // physical reclamation keeps the totals too
+    SSTableOps.compactInPlace(spark, s"$warehouse/ts/retc", minThreshold = 2)
+    assert(storedDf("ts.retc") == want, "post-compaction totals diverged")
+    val n = graft.Tables.documents(spark, sfDir)
+      .filter(expr("NOT (doc_id % 4 = 1)")).count()
+    assert(DfStore.nDocs(spark, "graft_dfs.ts.retc") == n)
+  }
+
+  test("retraction refuses when the corpus text drifted since ingest " +
+    "(content-hash mismatch): subtracting the CURRENT text's counts " +
+    "would corrupt the statistics silently — and the refusal writes " +
+    "nothing") {
+    val dir = scratchCorpus(Seq(1L -> "alpha beta", 2L -> "gamma delta"))
+    spark.sql("CALL graft_dfs.system.update_doc_freqs(table => " +
+      s"'ts.drift', source_dir => '$dir')")
+    val before = storedDf("ts.drift")
+    // the source mutates under the store: doc 1's text changes
+    import spark.implicits._
+    Seq(1L -> "alpha CHANGED", 2L -> "gamma delta").toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val e = intercept[Exception](retractCall("ts.drift", "doc_id = 1", dir))
+    assert(chain(e).exists(m => m.contains("content-hash mismatch") &&
+      m.contains("doc_id(s) 1")), chain(e))
+    assert(storedDf("ts.drift") == before, "a refused retraction must " +
+      "leave the store untouched")
+    // the unchanged doc still retracts fine
+    val r = retractCall("ts.drift", "doc_id = 2", dir)
+    assert(r.getAs[Long]("retracted") == 1L, r)
+    assert(storedDf("ts.drift") == Map("alpha" -> 1L, "beta" -> 1L))
+  }
+
+  test("retraction refuses a STREAM-maintained store loudly: a " +
+    "batch-numbered retraction epoch would sort before the stream's " +
+    "s-tags and be silently excluded by the fold rule after the next " +
+    "consolidation") {
+    // a catalog table whose statistics a stream then maintains — the
+    // single-maintainer misuse the refusal exists to catch
+    call("ts.strm", "doc_id % 11 = 0")
+    graft.streaming.StreamingDfUpdate.processBatch(
+      graft.Tables.documents(spark, sfDir).filter(expr("doc_id % 11 = 1"))
+        .select(col("doc_id"), col("text")),
+      s"$warehouse/ts/strm", epochId = 7L)
+    val e = intercept[Exception](retractCall("ts.strm", "doc_id % 11 = 0"))
+    assert(chain(e).exists(_.contains("STREAM-maintained")), chain(e))
+  }
+
+  test("retraction's sufficiency guard: a marker whose doc the store " +
+    "never actually counted (forged membership — the corruption class) " +
+    "refuses BEFORE totals could go negative, naming the terms") {
+    val dir = scratchCorpus(Seq(1L -> "alpha beta", 2L -> "zebra yonder"))
+    spark.sql("CALL graft_dfs.system.update_doc_freqs(table => " +
+      s"'ts.suff', source_dir => '$dir', where => 'doc_id = 1')")
+    // forge a live marker for doc 2 with the CORRECT content hash but
+    // no term partials behind it
+    val h = spark.sql("SELECT md5('zebra yonder')").head().getString(0)
+    def cellSql(name: String, v: String) =
+      s"named_struct('name', CAST('$name' AS BINARY), 'state', 'NORMAL', " +
+        s"'value', CAST('$v' AS BINARY), 'timestamp', CAST(2 AS BIGINT), " +
+        "'ttlSecs', CAST(0 AS BIGINT), 'expiresMillis', CAST(0 AS BIGINT))"
+    val noTomb = "CAST(NULL AS STRUCT<localDeletionTime: INT, markedForDeleteAt: BIGINT>)"
+    spark.sql("INSERT INTO graft_dfs.ts.suff VALUES " +
+      s"(CAST('d:${"%012d".format(2)}' AS BINARY), " +
+      s"array(${cellSql("e", "2")}, ${cellSql("h", h)}), $noTomb), " +
+      s"(CAST('_n' AS BINARY), array(${cellSql("n:000002", "1")}), $noTomb)")
+    val e = intercept[Exception](retractCall("ts.suff", "doc_id = 2", dir))
+    assert(chain(e).exists(m => m.contains("cannot cover") &&
+      (m.contains("zebra") || m.contains("yonder"))), chain(e))
+  }
+
+  test("retraction refuses markers that predate content hashes (no h " +
+    "cell): without the hash there is no way to verify the subtraction " +
+    "matches what was counted") {
+    val dir = scratchCorpus(Seq(1L -> "alpha beta"))
+    spark.sql("CALL graft_dfs.system.update_doc_freqs(table => " +
+      s"'ts.noh', source_dir => '$dir', where => 'doc_id < 0')")
+    // forge a pre-retraction-era marker: e cell only, no h
+    def cellSql(name: String, v: String) =
+      s"named_struct('name', CAST('$name' AS BINARY), 'state', 'NORMAL', " +
+        s"'value', CAST('$v' AS BINARY), 'timestamp', CAST(1 AS BIGINT), " +
+        "'ttlSecs', CAST(0 AS BIGINT), 'expiresMillis', CAST(0 AS BIGINT))"
+    val noTomb = "CAST(NULL AS STRUCT<localDeletionTime: INT, markedForDeleteAt: BIGINT>)"
+    spark.sql("INSERT INTO graft_dfs.ts.noh VALUES " +
+      s"(CAST('d:${"%012d".format(1)}' AS BINARY), " +
+      s"array(${cellSql("e", "1")}), $noTomb), " +
+      s"(CAST('_n' AS BINARY), array(${cellSql("n:000001", "1")}), $noTomb)")
+    val e = intercept[Exception](retractCall("ts.noh", "doc_id = 1", dir))
+    assert(chain(e).exists(_.contains("no content hash")), chain(e))
+  }
+
+  test("the additivity sentinel stays armed on a RETRACTED store (the " +
+    "delete-aware form): a duplicating interleave after a retraction " +
+    "still refuses loudly on the epoch that caused it") {
+    val dir = scratchCorpus(Seq(1L -> "alpha beta", 2L -> "gamma delta",
+      3L -> "epsilon zeta"))
+    spark.sql("CALL graft_dfs.system.update_doc_freqs(table => " +
+      s"'ts.retaudit', source_dir => '$dir')")
+    retractCall("ts.retaudit", "doc_id = 3", dir)
+    // forge the race's outcome: a duplicate marker for a still-live doc
+    // plus its stray n-partial — live markers (2) != Σ n (3)
+    def cellSql(name: String, v: String) =
+      s"named_struct('name', CAST('$name' AS BINARY), 'state', 'NORMAL', " +
+        s"'value', CAST('$v' AS BINARY), 'timestamp', CAST(99 AS BIGINT), " +
+        "'ttlSecs', CAST(0 AS BIGINT), 'expiresMillis', CAST(0 AS BIGINT))"
+    val noTomb = "CAST(NULL AS STRUCT<localDeletionTime: INT, markedForDeleteAt: BIGINT>)"
+    spark.sql("INSERT INTO graft_dfs.ts.retaudit VALUES " +
+      s"(CAST('d:${"%012d".format(1)}' AS BINARY), " +
+      s"array(${cellSql("e", "99")}), $noTomb), " +
+      s"(CAST('_n' AS BINARY), array(${cellSql("n:000099", "1")}), $noTomb)")
+    val e = intercept[Exception](spark.sql(
+      "CALL graft_dfs.system.update_doc_freqs(table => 'ts.retaudit', " +
+        s"source_dir => '$dir')"))
+    assert(chain(e).exists(_.contains("counted or retracted twice")),
+      chain(e))
+  }
 }

@@ -375,6 +375,28 @@ class PlanQualitySpec extends AnyFunSuite {
       s"the counts must come from the store's sstable scan:\n$plan")
   }
 
+  test("q_df_retracted: ZERO corpus IO — the retracted store's signed " +
+    "partials answer the remaining-corpus top-k alone (round 15: the " +
+    "takedown serving shape)") {
+    val plan = finalPlan("q_df_retracted")
+    assert(!plan.contains("Scan parquet"),
+      s"the retracted serving read must not touch the corpus:\n$plan")
+    assert(plan.contains("sstable"),
+      s"the counts must come from the store's sstable scan:\n$plan")
+  }
+
+  test("q_tfidf_retracted: delta-sized corpus side (filter pushed), " +
+    "statistics from the retracted store — retraction costs the plan " +
+    "nothing over the plain delta-serving shape (round 15)") {
+    val plan = finalPlan("q_tfidf_retracted")
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\n]*doc_id.*"),
+      s"the delta filter must reach the parquet scan:\n$plan")
+    assert("Scan parquet".r.findAllIn(plan).size == 1,
+      s"expected exactly one (pruned) corpus scan:\n$plan")
+    assert(plan.contains("sstable"),
+      s"df must load from the persisted store:\n$plan")
+  }
+
   test("q_para_dedup_served: one corpus scan — the boilerplate set loads " +
     "from the paragraph-frequency store (no corpus-wide distinct-doc " +
     "digest aggregation) and broadcasts (round 14)") {
