@@ -85,7 +85,8 @@ object AnnIndex {
   def build(s: SparkSession, sourceDir: String, qualifiedTable: String,
             kind: String, k: Int, iters: Int,
             m: Int, pqK: Int, pqIters: Int,
-            whereSql: String = "true"): (Long, Long, Long, Int, Long) = {
+            whereSql: String = "true",
+            storeVectors: Boolean = false): (Long, Long, Long, Int, Long) = {
     require(Set("ivf", "pq", "ivfpq").contains(kind),
       s"kind must be 'ivf', 'pq' or 'ivfpq', got '$kind'")
     val e = SimilarityQueries.embWithNorm(s, sourceDir).filter(expr(whereSql))
@@ -137,16 +138,23 @@ object AnnIndex {
           max(when(col("sub") === i, col("cell"))).as(s"code$i"))
         assigned.groupBy("vec_id").agg(aggs.head, aggs.tail: _*)
       }
-      val joined = (cellsDf, codesDf) match {
+      val assigned = (cellsDf, codesDf) match {
         case (Some(a), Some(b)) => a.join(b, "vec_id")
         case (Some(a), None) => a
         case (None, Some(b)) => b
         case (None, None) => sys.error("unreachable: kind validated above")
       }
+      // covering-index mode: the raw vector rides the v: row (`vec`
+      // cell, PackDoubles bits) so exact-rerank serving can point-read
+      // shortlisted candidates instead of scanning the embedding table
+      val joined = if (storeVectors)
+        assigned.join(e.select(col("vec_id"), col("v")), "vec_id")
+      else assigned
       val cellCols =
         cellsDf.map(_ => strCell("cell", col("cell"))).toSeq ++
           codesDf.toSeq.flatMap(_ =>
-            (0 until m).map(i => strCell(s"code$i", col(s"code$i"))))
+            (0 until m).map(i => strCell(s"code$i", col(s"code$i")))) ++
+          (if (storeVectors) Seq(cell("vec", pack_doubles(col("v")))) else Nil)
       joined.select(
         concat(lit("v:"), lpad(col("vec_id").cast("string"), 12, "0"))
           .cast("binary").as("key"),
@@ -166,6 +174,7 @@ object AnnIndex {
         strCell("pq_iters", lit(pqIters)),
         strCell("pq_k", lit(pqK)),
         strCell("source", lit(sourceDir)),
+        strCell("store_vectors", lit(storeVectors)),
         strCell("where", lit(whereSql))).as("columns"),
       noTombstone)
 
@@ -382,6 +391,39 @@ object AnnIndex {
     assigned.groupBy("vec_id").agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Loud refusal when exact-rerank serving asks a non-covering index
+    * for raw vectors. */
+  def requireStoredVectors(s: SparkSession, idxDir: String): Unit =
+    require(meta(s, idxDir).get("store_vectors").contains("true"),
+      s"ANN index at $idxDir does not store raw vectors — exact rerank " +
+        "needs the covering-index mode. Rebuild with CALL " +
+        "build_ann_index(..., store_vectors => true)")
+
+  /** Raw vectors for EXACTLY the asked vec_ids, via [[SSTableOps
+    * .lookupJoin]] point reads of their `v:` rows — the exact-rerank
+    * fetch (FAISS's IVFPQR / DiskANN reorder step): a query's PQ
+    * shortlist is tiny (queries × rerank depth), so re-scoring it from
+    * true vectors costs O(shortlist × generations) seeks at ANY index
+    * size, while recovering the recall the 4-byte codes quantized away.
+    * The embedding table itself is never touched. Requires a
+    * covering index ([[requireStoredVectors]]); duplicate ids are
+    * dedup'd; ids the index has never seen produce no row (the callers'
+    * join-drops-unknown contract). Returns (vec_id, v, nrm) — the same
+    * shape every scorer consumes, norms derived exactly as at load. */
+  def loadVectorsFor(s: SparkSession, idxDir: String,
+                     ids: DataFrame): DataFrame = {
+    requireStoredVectors(s, idxDir)
+    SSTableOps.lookupJoin(
+        ids.select(concat(lit("v:"),
+          lpad(col("vec_id").cast("string"), 12, "0"))
+          .cast("binary").as("key")).dropDuplicates("key"), idxDir)
+      .select(substring(col("key").cast("string"), 3, 12)
+        .cast("long").as("vec_id"), explode(col("columns")).as("c"))
+      .filter(col("c.name").cast("string") === "vec")
+      .select(col("vec_id"), unpack_doubles(col("c.value")).as("v"))
+      .withColumn("nrm", sqrt(vector_dot(col("v"), col("v"))))
+  }
+
   /** vec_ids already indexed — a key-only raw scan of the `v:` rows
     * (Index.db sidecars only; same probe shape as the signature store's). */
   def indexedVecIds(s: SparkSession, idxDir: String): DataFrame =
@@ -438,16 +480,24 @@ object AnnIndex {
           Some(assignCoarse(novel, loadCoarseCentroids(s, idxDir))) else None
         val codesDf = if (kind != "ivf")
           Some(assignPq(novel, loadPqCodebooks(s, idxDir), pqM)) else None
-        val joined = (cellsDf, codesDf) match {
+        val assigned = (cellsDf, codesDf) match {
           case (Some(a), Some(b)) => a.join(b, "vec_id")
           case (Some(a), None) => a
           case (None, Some(b)) => b
           case (None, None) => sys.error("unreachable: kind validated at build")
         }
+        // the covering property is an index-wide invariant pinned at
+        // build: an update of a store_vectors index persists the novel
+        // vectors too, or rerank would silently miss post-build vectors
+        val storeVectors = m0.get("store_vectors").contains("true")
+        val joined = if (storeVectors)
+          assigned.join(novel.select(col("vec_id"), col("v")), "vec_id")
+        else assigned
         val cellCols =
           cellsDf.map(_ => strCell("cell", col("cell"))).toSeq ++
             codesDf.toSeq.flatMap(_ =>
-              (0 until pqM).map(i => strCell(s"code$i", col(s"code$i"))))
+              (0 until pqM).map(i => strCell(s"code$i", col(s"code$i")))) ++
+            (if (storeVectors) Seq(cell("vec", pack_doubles(col("v")))) else Nil)
         val rows = joined.select(
           concat(lit("v:"), lpad(col("vec_id").cast("string"), 12, "0"))
             .cast("binary").as("key"),

@@ -59,6 +59,10 @@ object Params {
   val KnnK = 3
   /** Cells probed per query in multi-probe IVF (q_ann_recall). */
   val NProbe = 2
+  /** Exact-rerank shortlist depth (q_ann_rerank): the top-RerankC
+    * ADC-ranked candidates get re-scored from true vectors point-read
+    * out of the covering index — 3×k, the usual reorder budget. */
+  val RerankC = 9
   /** Learned coarse quantizer (q_ann_kmeans): k-medians cells + Lloyd
     * iterations. Medians (not means) keep every centroid coordinate
     * bit-deterministic across engines. */

@@ -201,10 +201,13 @@ object SimilarityQueries {
         classOf[graft.sources.sstable.spark.GraftCatalog].getName)
       s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
       s.sql(s"CREATE NAMESPACE $cat.ix")
+      // store_vectors: the shared fixture index is a COVERING index, so
+      // the rerank query can point-read its shortlist's true vectors;
+      // every other served query ignores the extra vec cells
       s.sql(s"CALL $cat.system.build_ann_index(table => 'ix.emb', " +
         s"source_dir => '$d', kind => 'ivfpq', k => $KMedK, " +
         s"iters => $KMedIters, m => $PqM, pq_k => $PqK, " +
-        s"pq_iters => $PqIters)")
+        s"pq_iters => $PqIters, store_vectors => true)")
       s"$wh/ix/emb"
     }
 
@@ -215,7 +218,8 @@ object SimilarityQueries {
     AnnIndex.requireEpoch(s, idx, Map(
       "kind" -> "ivfpq", "k" -> KMedK.toString, "iters" -> KMedIters.toString,
       "m" -> PqM.toString, "pq_k" -> PqK.toString,
-      "pq_iters" -> PqIters.toString, "source" -> d))
+      "pq_iters" -> PqIters.toString, "source" -> d,
+      "store_vectors" -> "true"))
     idx
   }
 
@@ -230,6 +234,42 @@ object SimilarityQueries {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= nprobe)
       .select("q_id", "cell", "qv", "qn")
+  }
+
+  /** The served-IVFPQ approximate scorer `(q_id, c_id, sim)` — coarse
+    * centroids, PQ codebooks and 4-byte codes all LOADED from the
+    * persisted index; candidates pruned to each query's NProbe cells;
+    * asymmetric-distance scoring from the codes. Shared verbatim by
+    * `q_ann_ivfpq_served` (top-k straight off the ADC scores) and
+    * `q_ann_rerank` (top-RerankC shortlist, then exact re-scoring from
+    * the covering index's stored vectors). */
+  private def ivfpqServedApprox(s: SparkSession, idx: String,
+                                q: DataFrame): DataFrame = {
+    val coarse = AnnIndex.loadCoarseCentroids(s, idx)
+    val cents = AnnIndex.loadPqCodebooks(s, idx)
+    val codes = AnnIndex.loadVectorCodes(s, idx, PqM)
+      .join(AnnIndex.loadVectorCells(s, idx), "vec_id")
+    val probes = probedCells(q, coarse, NProbe)
+      .select(col("q_id").as("qp"), col("cell"))
+    val cand = codes.join(broadcast(probes), "cell")
+    val luts = (0 until PqM).map { m =>
+      val qLen = (size(col("qv")) / PqM).cast("int")
+      q.crossJoin(broadcast(cents.filter(col("sub") === m)))
+        .select(col("q_id").as(s"q$m"), col("cell").as(s"cell$m"),
+          dot(slice(col("qv"), lit(m) * qLen + 1, qLen), col("cv"))
+            .as(s"d$m"), col("cn").as(s"cn$m"))
+    }
+    val scored = luts.zipWithIndex.foldLeft(cand) { case (acc, (lut, m)) =>
+      acc.join(broadcast(lut),
+        acc(s"code$m") === lut(s"cell$m") && acc("qp") === lut(s"q$m"))
+    }
+    val adot = col("d0") + col("d1") + col("d2") + col("d3")
+    val rn = sqrt(col("cn0") * col("cn0") + col("cn1") * col("cn1") +
+      col("cn2") * col("cn2") + col("cn3") * col("cn3"))
+    scored.join(broadcast(q), col("qp") === col("q_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("c_id"),
+        (adot / (col("qn") * rn)).as("sim"))
   }
 
   private def topK(joined: DataFrame): DataFrame = {
@@ -527,34 +567,10 @@ object SimilarityQueries {
     // (shared oracle SQL); no training stage in the plan.
     "q_ann_ivfpq_served" -> ((s, d) => {
       val idx = servedIndex(s, d)
-      val coarse = AnnIndex.loadCoarseCentroids(s, idx)
-      val cents = AnnIndex.loadPqCodebooks(s, idx)
-      val codes = AnnIndex.loadVectorCodes(s, idx, PqM)
-        .join(AnnIndex.loadVectorCells(s, idx), "vec_id")
       val e = embWithNorm(s, d)
       val q = e.filter(col("vec_id") < KnnQueryIds)
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-      val probes = probedCells(q, coarse, NProbe)
-        .select(col("q_id").as("qp"), col("cell"))
-      val cand = codes.join(broadcast(probes), "cell")
-      val luts = (0 until PqM).map { m =>
-        val qLen = (size(col("qv")) / PqM).cast("int")
-        q.crossJoin(broadcast(cents.filter(col("sub") === m)))
-          .select(col("q_id").as(s"q$m"), col("cell").as(s"cell$m"),
-            dot(slice(col("qv"), lit(m) * qLen + 1, qLen), col("cv"))
-              .as(s"d$m"), col("cn").as(s"cn$m"))
-      }
-      val scored = luts.zipWithIndex.foldLeft(cand) { case (acc, (lut, m)) =>
-        acc.join(broadcast(lut),
-          acc(s"code$m") === lut(s"cell$m") && acc("qp") === lut(s"q$m"))
-      }
-      val adot = col("d0") + col("d1") + col("d2") + col("d3")
-      val rn = sqrt(col("cn0") * col("cn0") + col("cn1") * col("cn1") +
-        col("cn2") * col("cn2") + col("cn3") * col("cn3"))
-      val approx = scored.join(broadcast(q), col("qp") === col("q_id"))
-        .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id").as("c_id"),
-          (adot / (col("qn") * rn)).as("sim"))
+      val approx = ivfpqServedApprox(s, idx, q)
       val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
       val ivfpq = approx.withColumn("rk", row_number().over(w))
         .filter(col("rk") <= KnnK)
@@ -566,6 +582,46 @@ object SimilarityQueries {
       bf.join(broadcast(ivfpq),
           col("q_id") === col("q_id_p") && col("c_id") === col("c_id_p"), "left")
         .groupBy("q_id").agg(count(col("c_id_p")).as("n_hits"))
+        .select(col("q_id"), col("n_hits"),
+          e4(col("n_hits").cast("double") / KnnK).as("recall_e4"))
+        .orderBy("q_id")
+    }),
+    // Two-stage serving (round 15): IVF+PQ shortlists top-RerankC by
+    // asymmetric distance from the 4-byte codes, then the shortlist is
+    // RE-SCORED with EXACT cosine from true vectors POINT-READ out of
+    // the covering index's v: rows (FAISS IVFPQR / DiskANN's reorder
+    // step) — recovering recall the quantization threw away for the
+    // price of O(queries × RerankC × generations) seeks; the embedding
+    // table is never scanned for candidates. The recall@k against brute
+    // force is the checked value (>= the un-reranked ivfpq recall by
+    // construction when RerankC >= k and ADC ranks the true neighbors
+    // into the shortlist).
+    "q_ann_rerank" -> ((s, d) => {
+      val idx = servedIndex(s, d)
+      val e = embWithNorm(s, d)
+      val q = e.filter(col("vec_id") < KnnQueryIds)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val approx = ivfpqServedApprox(s, idx, q)
+      val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+      val shortlist = approx.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= RerankC)
+        .select(col("q_id"), col("c_id"))
+      // exact vectors for ONLY the shortlisted candidates: covering-
+      // index point reads, never an embedding-table scan
+      val exact = AnnIndex.loadVectorsFor(s, idx,
+        shortlist.select(col("c_id").as("vec_id")))
+        .select(col("vec_id").as("c_id"), col("v").as("cv"),
+          col("nrm").as("cn"))
+      val reranked = topK(shortlist.join(exact, "c_id")
+          .join(broadcast(q), "q_id"))
+        .select(col("q_id").as("q_id_r"), col("c_id").as("c_id_r"))
+      val bf = topK(broadcast(q).crossJoin(
+            e.select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn")))
+          .filter(col("q_id") =!= col("c_id")))
+        .select(col("q_id"), col("c_id"))
+      bf.join(broadcast(reranked),
+          col("q_id") === col("q_id_r") && col("c_id") === col("c_id_r"), "left")
+        .groupBy("q_id").agg(count(col("c_id_r")).as("n_hits"))
         .select(col("q_id"), col("n_hits"),
           e4(col("n_hits").cast("double") / KnnK).as("recall_e4"))
         .orderBy("q_id")
@@ -636,6 +692,75 @@ object SimilarityQueries {
     "q_ann_kmeans_served" -> baseOracles("q_ann_kmeans"),
     "q_ann_pq_served" -> baseOracles("q_ann_pq"),
     "q_ann_ivfpq_served" -> baseOracles("q_ann_ivfpq"))
+
+  /** The deterministic IVF+PQ recomputation (coarse training, PQ
+    * training, probing, LUT build, ADC scoring) as DuckDB CTEs, shared
+    * by the plain top-k oracle (q_ann_ivfpq and its served twin) and
+    * the exact-rerank oracle — `finalK` supplies the CTE(s) producing
+    * `pqk(q_id, c_id)`, the served set compared against brute force. */
+  private def ivfpqOracle(finalK: String): String = {
+    val I = PqIters
+    val G = KMedIters
+    val subCtes = (0 until PqM).map { m =>
+      val b = s"$m * (len(v) // $PqM) + 1"
+      val e2b = s"${m + 1} * (len(v) // $PqM)"
+      s"""sub$m AS (
+            SELECT vec_id, sv AS v, sqrt(list_dot_product(sv, sv)) AS nrm FROM (
+              SELECT vec_id, list_slice(v, $b, $e2b) AS sv FROM $embSql)),
+          ${kmedCtes(PqK, I, s"sub$m", s"s$m")}"""
+    }.mkString(",\n")
+    val lutCtes = (0 until PqM).map { m =>
+      val b = s"$m * (len(q.qv) // $PqM) + 1"
+      val e2b = s"${m + 1} * (len(q.qv) // $PqM)"
+      s"""lut$m AS (
+            SELECT q.q_id, c.cell,
+                   list_dot_product(list_slice(q.qv, $b, $e2b), c.cv) AS d, c.cn
+            FROM q, s${m}c${I - 1}n c)"""
+    }.mkString(",\n")
+    s"""WITH ${kmedCtes(KMedK, G, embSql, "g")},
+        $subCtes,
+        codes AS (
+          SELECT s0.vec_id, g.cell, s0.cell AS code0, s1.cell AS code1,
+                 s2.cell AS code2, s3.cell AS code3
+          FROM s0a$I s0 JOIN s1a$I s1 USING (vec_id)
+               JOIN s2a$I s2 USING (vec_id) JOIN s3a$I s3 USING (vec_id)
+               JOIN ga$G g USING (vec_id)),
+        q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM $embSql
+              WHERE vec_id < $KnnQueryIds),
+        probes AS (
+          SELECT q_id, cell FROM (
+            SELECT q.q_id, c.cell,
+                   row_number() OVER (PARTITION BY q.q_id
+                     ORDER BY list_dot_product(q.qv, c.cv) / (q.qn * c.cn) DESC, c.cell) AS rk
+            FROM q, gc${G - 1}n c)
+          WHERE rk <= $NProbe),
+        $lutCtes,
+        approx AS (
+          SELECT q.q_id, codes.vec_id AS c_id,
+                 (l0.d + l1.d + l2.d + l3.d) /
+                 (q.qn * sqrt(l0.cn * l0.cn + l1.cn * l1.cn
+                              + l2.cn * l2.cn + l3.cn * l3.cn)) AS sim
+          FROM probes p
+          JOIN codes ON codes.cell = p.cell
+          JOIN q ON q.q_id = p.q_id
+          JOIN lut0 l0 ON l0.q_id = p.q_id AND l0.cell = codes.code0
+          JOIN lut1 l1 ON l1.q_id = p.q_id AND l1.cell = codes.code1
+          JOIN lut2 l2 ON l2.q_id = p.q_id AND l2.cell = codes.code2
+          JOIN lut3 l3 ON l3.q_id = p.q_id AND l3.cell = codes.code3
+          WHERE codes.vec_id <> p.q_id),
+        $finalK,
+        bf AS (
+          SELECT q_id, c_id FROM (
+            SELECT q.q_id, e.vec_id AS c_id,
+                   row_number() OVER (PARTITION BY q.q_id
+                     ORDER BY list_dot_product(q.qv, e.v) / (q.qn * e.nrm) DESC, e.vec_id) AS rk
+            FROM q, $embSql e WHERE e.vec_id <> q.q_id)
+          WHERE rk <= $KnnK)
+        SELECT b.q_id, CAST(count(p.c_id) AS BIGINT) AS n_hits,
+               ${e4Sql(s"count(p.c_id) * 1.0 / $KnnK")} AS recall_e4
+        FROM bf b LEFT JOIN pqk p ON b.q_id = p.q_id AND b.c_id = p.c_id
+        GROUP BY b.q_id ORDER BY b.q_id"""
+  }
 
   private lazy val baseOracles: Map[String, String] = Map(
     "q_knn_cosine" ->
@@ -778,74 +903,32 @@ object SimilarityQueries {
           FROM bf b LEFT JOIN pq p ON b.q_id = p.q_id AND b.c_id = p.c_id
           GROUP BY b.q_id ORDER BY b.q_id"""
     },
-    "q_ann_ivfpq" -> {
-      val I = PqIters
-      val G = KMedIters
-      val subCtes = (0 until PqM).map { m =>
-        val b = s"$m * (len(v) // $PqM) + 1"
-        val e2b = s"${m + 1} * (len(v) // $PqM)"
-        s"""sub$m AS (
-              SELECT vec_id, sv AS v, sqrt(list_dot_product(sv, sv)) AS nrm FROM (
-                SELECT vec_id, list_slice(v, $b, $e2b) AS sv FROM $embSql)),
-            ${kmedCtes(PqK, I, s"sub$m", s"s$m")}"""
-      }.mkString(",\n")
-      val lutCtes = (0 until PqM).map { m =>
-        val b = s"$m * (len(q.qv) // $PqM) + 1"
-        val e2b = s"${m + 1} * (len(q.qv) // $PqM)"
-        s"""lut$m AS (
-              SELECT q.q_id, c.cell,
-                     list_dot_product(list_slice(q.qv, $b, $e2b), c.cv) AS d, c.cn
-              FROM q, s${m}c${I - 1}n c)"""
-      }.mkString(",\n")
-      s"""WITH ${kmedCtes(KMedK, G, embSql, "g")},
-          $subCtes,
-          codes AS (
-            SELECT s0.vec_id, g.cell, s0.cell AS code0, s1.cell AS code1,
-                   s2.cell AS code2, s3.cell AS code3
-            FROM s0a$I s0 JOIN s1a$I s1 USING (vec_id)
-                 JOIN s2a$I s2 USING (vec_id) JOIN s3a$I s3 USING (vec_id)
-                 JOIN ga$G g USING (vec_id)),
-          q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM $embSql
-                WHERE vec_id < $KnnQueryIds),
-          probes AS (
-            SELECT q_id, cell FROM (
-              SELECT q.q_id, c.cell,
-                     row_number() OVER (PARTITION BY q.q_id
-                       ORDER BY list_dot_product(q.qv, c.cv) / (q.qn * c.cn) DESC, c.cell) AS rk
-              FROM q, gc${G - 1}n c)
-            WHERE rk <= $NProbe),
-          $lutCtes,
-          approx AS (
-            SELECT q.q_id, codes.vec_id AS c_id,
-                   (l0.d + l1.d + l2.d + l3.d) /
-                   (q.qn * sqrt(l0.cn * l0.cn + l1.cn * l1.cn
-                                + l2.cn * l2.cn + l3.cn * l3.cn)) AS sim
-            FROM probes p
-            JOIN codes ON codes.cell = p.cell
-            JOIN q ON q.q_id = p.q_id
-            JOIN lut0 l0 ON l0.q_id = p.q_id AND l0.cell = codes.code0
-            JOIN lut1 l1 ON l1.q_id = p.q_id AND l1.cell = codes.code1
-            JOIN lut2 l2 ON l2.q_id = p.q_id AND l2.cell = codes.code2
-            JOIN lut3 l3 ON l3.q_id = p.q_id AND l3.cell = codes.code3
-            WHERE codes.vec_id <> p.q_id),
-          pqk AS (
+    "q_ann_ivfpq" -> ivfpqOracle(
+      s"""pqk AS (
             SELECT q_id, c_id FROM (
               SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
                        ORDER BY sim DESC, c_id) AS rk
               FROM approx)
-            WHERE rk <= $KnnK),
-          bf AS (
+            WHERE rk <= $KnnK)"""),
+    // the exact-rerank twin: the SAME deterministic IVF+PQ candidate
+    // scoring, shortlisted to RerankC by ADC, then re-ranked by exact
+    // cosine from the true vectors — proving the covering-index point
+    // reads serve exactly the stored embeddings, bit for bit
+    "q_ann_rerank" -> ivfpqOracle(
+      s"""rrl AS (
             SELECT q_id, c_id FROM (
-              SELECT q.q_id, e.vec_id AS c_id,
-                     row_number() OVER (PARTITION BY q.q_id
-                       ORDER BY list_dot_product(q.qv, e.v) / (q.qn * e.nrm) DESC, e.vec_id) AS rk
-              FROM q, $embSql e WHERE e.vec_id <> q.q_id)
-            WHERE rk <= $KnnK)
-          SELECT b.q_id, CAST(count(p.c_id) AS BIGINT) AS n_hits,
-                 ${e4Sql(s"count(p.c_id) * 1.0 / $KnnK")} AS recall_e4
-          FROM bf b LEFT JOIN pqk p ON b.q_id = p.q_id AND b.c_id = p.c_id
-          GROUP BY b.q_id ORDER BY b.q_id"""
-    },
+              SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+                       ORDER BY sim DESC, c_id) AS rk
+              FROM approx)
+            WHERE rk <= $RerankC),
+          pqk AS (
+            SELECT q_id, c_id FROM (
+              SELECT r.q_id, r.c_id,
+                     row_number() OVER (PARTITION BY r.q_id
+                       ORDER BY list_dot_product(q.qv, e.v) / (q.qn * e.nrm) DESC, r.c_id) AS rk
+              FROM rrl r JOIN q ON q.q_id = r.q_id
+                   JOIN $embSql e ON e.vec_id = r.c_id)
+            WHERE rk <= $KnnK)"""),
     "q_dedup_embedding" ->
       s"""SELECT e.vec_id, coalesce(d.canon_min, e.vec_id) AS canon
           FROM (SELECT vec_id FROM embeddings WHERE vec_id < $PairSampleIds) e

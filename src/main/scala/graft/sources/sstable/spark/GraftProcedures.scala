@@ -529,7 +529,14 @@ private[spark] object GraftProcedures {
           p("where", StringType, Some("'true'"),
             comment = "SQL predicate selecting the training slice — the " +
               "real pattern at scale: train quantizers on a sample, then " +
-              "CALL update_ann_index to encode the rest against them")),
+              "CALL update_ann_index to encode the rest against them"),
+          p("store_vectors", BooleanType, Some("false"),
+            comment = "covering-index mode: persist each raw vector in " +
+              "its v: row so exact-rerank serving can point-read a PQ " +
+              "shortlist's true vectors (the FAISS-IVFPQR/DiskANN " +
+              "reorder step) instead of scanning the embedding table; " +
+              "update_ann_index and streaming ingest follow the pinned " +
+              "flag automatically")),
         StructType(Seq(
           StructField("kind", StringType, nullable = false),
           StructField("centroids", LongType, nullable = false),
@@ -552,7 +559,8 @@ private[spark] object GraftProcedures {
             intArg(in, 5, graft.operators.Params.PqM),
             intArg(in, 6, graft.operators.Params.PqK),
             intArg(in, 7, graft.operators.Params.PqIters),
-            whereSql)
+            whereSql,
+            storeVectors = !in.isNullAt(9) && in.getBoolean(9))
           Seq(row(utf8(kind), cents, codebook, vecs, dim))
         }),
 

@@ -59,6 +59,11 @@ object StreamingAnnIngest {
       lit(1L).as("timestamp"), lit(0L).as("ttlSecs"),
       lit(0L).as("expiresMillis"))
 
+  private def binCell(name: String, value: org.apache.spark.sql.Column) =
+    struct(lit(name).cast("binary").as("name"), lit("NORMAL").as("state"),
+      value.as("value"), lit(1L).as("timestamp"), lit(0L).as("ttlSecs"),
+      lit(0L).as("expiresMillis"))
+
   /** One epoch — public so tests and backfills can drive it with batch
     * DataFrames directly. `batch` needs (vec_id, v: array<double>). */
   def processBatch(batch: DataFrame, idxDir: String, epochId: Long,
@@ -123,16 +128,26 @@ object StreamingAnnIngest {
         val codesDf = if (kind != "ivf")
           Some(AnnIndex.assignPq(novel,
             AnnIndex.loadPqCodebooks(spark, idxDir), pqM)) else None
-        val joined = (cellsDf, codesDf) match {
+        val assigned = (cellsDf, codesDf) match {
           case (Some(a), Some(b)) => a.join(b, "vec_id")
           case (Some(a), None) => a
           case (None, Some(b)) => b
           case (None, None) => sys.error("unreachable: kind validated at build")
         }
+        // the covering property (store_vectors, pinned at build) is an
+        // index-wide invariant: streamed vectors persist their raw bits
+        // too, bit-identical to the batch CALL's rows
+        val storeVectors = m0.get("store_vectors").contains("true")
+        val joined = if (storeVectors)
+          assigned.join(novel.select(col("vec_id"), col("v")), "vec_id")
+        else assigned
         val cellCols =
           cellsDf.map(_ => strCell("cell", col("cell"))).toSeq ++
             codesDf.toSeq.flatMap(_ =>
-              (0 until pqM).map(i => strCell(s"code$i", col(s"code$i"))))
+              (0 until pqM).map(i => strCell(s"code$i", col(s"code$i")))) ++
+            (if (storeVectors)
+              Seq(binCell("vec", graft.functions.VectorExpressions
+                .pack_doubles(col("v")))) else Nil)
         joined.select(keyOfVec(col("vec_id")).as("key"),
             array(cellCols: _*).as("columns"))
           .write.format("sstable")

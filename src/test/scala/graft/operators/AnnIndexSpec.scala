@@ -305,6 +305,73 @@ class AnnIndexSpec extends AnyFunSuite {
     intercept[Exception](snap.coarseCentroids.count())
   }
 
+  test("covering index (round 15): store_vectors => true persists each " +
+    "raw vector's bits in its v: row; loadVectorsFor point-reads " +
+    "EXACTLY the asked ids bit-equal to the source embeddings, unknown " +
+    "ids drop, and a non-covering index refuses the rerank fetch " +
+    "loudly") {
+    spark.sql("CALL graft_ix.system.build_ann_index(table => 'ann.cov', " +
+      s"source_dir => '$sfDir', kind => 'ivf', k => 4, iters => 1, " +
+      "store_vectors => true)")
+    val idx = s"$warehouse/ann/cov"
+    assert(AnnIndex.meta(spark, idx)("store_vectors") == "true")
+    val want = SimilarityQueries.embWithNorm(spark, sfDir)
+      .filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val got = AnnIndex.loadVectorsFor(spark, idx,
+        spark.range(5).select(col("id").as("vec_id")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(got.keySet == want.keySet && want.forall { case (k, v) =>
+      got(k) == v }, "point-read vectors must be bit-equal to the source")
+    // ids the index never saw produce no row
+    val missing = AnnIndex.loadVectorsFor(spark, idx,
+      spark.range(1).select((col("id") + 999999999L).as("vec_id")))
+    assert(missing.count() == 0)
+    // a non-covering index refuses the fetch with the rebuild hint
+    spark.sql("CALL graft_ix.system.build_ann_index(table => 'ann.nocov', " +
+      s"source_dir => '$sfDir', kind => 'ivf', k => 4, iters => 1)")
+    val e = intercept[Exception](AnnIndex.loadVectorsFor(spark,
+      s"$warehouse/ann/nocov", spark.range(1).select(col("id").as("vec_id"))))
+    assert(e.getMessage.contains("store_vectors => true"), e.getMessage)
+  }
+
+  test("the covering property follows updates: update_ann_index over a " +
+    "store_vectors index persists the NOVEL vectors' bits too, so a " +
+    "rerank fetch spanning build-time and ingested vectors serves all " +
+    "of them") {
+    spark.sql("CALL graft_ix.system.build_ann_index(table => 'ann.covu', " +
+      s"source_dir => '$sfDir', kind => 'ivfpq', k => 4, iters => 1, " +
+      "m => 4, pq_k => 4, pq_iters => 1, where => 'vec_id % 2 = 0', " +
+      "store_vectors => true)")
+    val r = spark.sql("CALL graft_ix.system.update_ann_index(" +
+      s"table => 'ann.covu', source_dir => '$sfDir')").head()
+    assert(r.getAs[Long]("encoded") > 0, r)
+    val idx = s"$warehouse/ann/covu"
+    val all = SimilarityQueries.embWithNorm(spark, sfDir)
+    val got = AnnIndex.loadVectorsFor(spark, idx,
+      all.select(col("vec_id"))).count()
+    assert(got == all.count(),
+      "every vector (built + ingested) must be point-readable")
+  }
+
+  test("q_ann_rerank: exact re-scoring of the ADC shortlist from the " +
+    "covering index recovers recall — per-query hits are >= the " +
+    "un-reranked served IVF+PQ's, and total recall strictly improves " +
+    "on this corpus") {
+    val ivfpq = graft.SparkEntry.queries("q_ann_ivfpq_served")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rer = graft.SparkEntry.queries("q_ann_rerank")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rer.keySet == ivfpq.keySet)
+    // NOT guaranteed per-query in general ANN, but holds for this
+    // deterministic fixture: rerank re-orders a superset of the ADC
+    // top-k by TRUE similarity, so any true neighbor the codes ranked
+    // into the shortlist is recovered
+    assert(rer.values.sum >= ivfpq.values.sum,
+      s"rerank lost recall: $rer vs $ivfpq")
+  }
+
   test("rebuilding the index is one atomic REPLACE: the new epoch swaps " +
     "in wholesale (no stale mix), and the receipt reflects new params") {
     val r = spark.sql("CALL graft_ix.system.build_ann_index(" +

@@ -263,6 +263,22 @@ class PlanQualitySpec extends AnyFunSuite {
       "the training counter must observe the twin's fresh training")
   }
 
+  test("q_ann_rerank: the exact vectors arrive via covering-index POINT " +
+    "READS (ExistingRDD), never an embedding-table scan for candidates, " +
+    "and the plan still trains nothing (round 15)") {
+    SparkEntry.queries("q_ann_rerank")(spark, sfDir).collect() // fixture
+    val before = SimilarityQueries.trainingsRun.get()
+    val df = SparkEntry.queries("q_ann_rerank")(spark, sfDir)
+    df.collect()
+    assert(SimilarityQueries.trainingsRun.get() == before,
+      "the rerank query re-ran Lloyd training")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ExistingRDD"),
+      s"shortlist vectors must arrive from the point-read relation:\n$plan")
+    assert(!plan.toLowerCase.contains("median"),
+      s"rerank plan contains a training-stage median aggregate:\n$plan")
+  }
+
   test("q_dedup_incremental machinery: the store probe plans indexOnly " +
     "(no Data.db IO), novelty is a narrow id anti-join + broadcast text " +
     "fetch, and document text never rides an exchange (VERDICT r12 #2)") {

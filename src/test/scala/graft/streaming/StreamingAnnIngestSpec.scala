@@ -37,19 +37,28 @@ class StreamingAnnIngestSpec extends AnyFunSuite {
   }
 
   private def build(table: String): Unit =
+    // store_vectors: the parity pin below then also proves streamed
+    // ingest persists the raw vector bits identically to the batch CALL
+    // (the covering property follows the stream, round 15)
     spark.sql(s"CALL graft_ai.system.build_ann_index(table => '$table', " +
       s"source_dir => '$sfDir', kind => 'ivfpq', k => 4, iters => 1, " +
-      "m => 4, pq_k => 4, pq_iters => 1, where => 'vec_id % 2 = 0')")
+      "m => 4, pq_k => 4, pq_iters => 1, where => 'vec_id % 2 = 0', " +
+      "store_vectors => true)")
 
   private def vecsDf(where: String): DataFrame =
     graft.Tables.embeddings(spark, sfDir).filter(expr(where))
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
 
-  /** The served state of an index dir: (vec_id, cell, code0..3) rows. */
+  /** The served state of an index dir: (vec_id, cell, code0..3, v)
+    * rows — v point-read via the covering index, so the parity compare
+    * pins the raw vector bits too. */
   private def served(idx: String): Seq[String] =
     AnnIndex.loadVectorCells(spark, idx)
       .join(AnnIndex.loadVectorCodes(spark, idx, 4), "vec_id")
+      .join(AnnIndex.loadVectorsFor(spark, idx,
+        AnnIndex.indexedVecIds(spark, idx))
+        .select(col("vec_id"), col("v")), "vec_id")
       .orderBy("vec_id").collect().map(_.toString).toSeq
 
   test("streamed ingest == the batch CALL, bit for bit: same persisted " +
