@@ -163,6 +163,19 @@ object Bench {
     // The fixed-size ingest-batch slice costs ~0.4 s vs the full
     // corpus twin's 0.909 — the corpus side shrank with the delta
     "q_tfidf_delta" -> 0.403,
+    // round-15 additions, frozen by the three-sweep protocol over SIX
+    // quiet sweeps (totals 54.8/52.6/47.8/51.6/43.1/40.3, ratios
+    // 1.078/1.034/0.963/1.036/0.877/0.818, zero errors): per-query MIN
+    // with the 1.3x corroboration rule (q_df_consolidated's 0.096 min
+    // was uncorroborated at 1.43x -> the second-smallest froze).
+    // q_ann_rerank froze from the three post-persist sweeps only (the
+    // un-persisted shortlist recomputed the whole ADC pipeline per
+    // branch — 2.4x the query cost, caught by the first freeze sweeps);
+    // its floor carries the brute-force recall baseline like every
+    // q_ann_* sibling
+    "q_tfidf_probe" -> 0.308, "q_df_consolidated" -> 0.137,
+    "q_tfidf_retracted" -> 0.357, "q_df_retracted" -> 0.106,
+    "q_ann_rerank" -> 2.146,
     "q_sstable_rollback" -> 0.218, "q_sstable_since" -> 0.238,
     "q_sstable_sync" -> 0.081, "q_sstable_topk" -> 0.044,
     "q_stratified" -> 0.191, "q_text_stats" -> 0.227,

