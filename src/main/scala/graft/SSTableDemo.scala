@@ -487,6 +487,19 @@ object SSTableDemo {
       s"serving loaded $servedCents centroids / $servedCodes code rows " +
       s"training-free: $trainFree")
 
+    // vector retraction (r15): remove vectors from the index without
+    // retraining — one row-tombstone generation, every serving surface
+    // drops them; re-ingest re-adds them above the mark
+    val annR = spark.sql("CALL graft.system.retract_ann_vectors(" +
+      "table => 'demo.annix', where => 'vec_id >= 56')").head()
+    val annLeft = graft.operators.AnnIndex.loadVectorCodes(spark, annDir, 4).count()
+    val annRe = spark.sql("CALL graft.system.update_ann_index(" +
+      s"table => 'demo.annix', source_dir => '$annSrc')").head()
+    println(s"== ANN retraction: removed ${annR.getAs[Long]("retracted")} " +
+      s"vectors (want 8) with no retrain; serving drops to $annLeft " +
+      s"(want 56); re-ingest RE-ADDED ${annRe.getAs[Long]("encoded")} " +
+      "(want 8) above the tombstone mark")
+
     // catalog-grain incremental dedup (r13): the MinHash signature store
     // as a catalog table — the second epoch signs ONLY the delta, the
     // third finds nothing novel
@@ -509,6 +522,20 @@ object SSTableDemo {
       s"skipped via the index-only key probe); re-run novel=" +
       s"${sg3.getAs[Long]("novel")}; store holds $storeCount signatures " +
       s"in ${sg3.getAs[Int]("generations")} generation(s) (autocompacted)")
+
+    // signature retraction (r15): forget fingerprints with NO corpus
+    // read (where selects over the store's own ids — the takedown case),
+    // and a re-ingest re-signs exactly the forgotten docs
+    val sgr = spark.sql("CALL graft.system.retract_signatures(table => " +
+      "'demo.sigs', where => 'doc_id >= 35')").head()
+    val sgAfter = graft.operators.SignatureStore
+      .storedSignatures(spark, "graft.demo.sigs").count()
+    val sgRe = sigCall("true")
+    println(s"== signature retraction: forgot " +
+      s"${sgr.getAs[Long]("retracted")} docs (want 5) via one " +
+      s"row-tombstone generation; store serves $sgAfter (want 35); " +
+      s"re-ingest RE-SIGNED ${sgRe.getAs[Long]("novel")} (want 5) — " +
+      "the delete-aware probe reads them as novel again")
 
     // persisted corpus statistics (r14): the df store counts per-term
     // document frequency incrementally — epoch partials live in

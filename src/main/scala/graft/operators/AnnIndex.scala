@@ -36,19 +36,62 @@ import graft.functions.VectorExpressions.{pack_doubles, unpack_doubles, vector_d
   * q_ann_ivfpq_served share their twins' oracle SQL verbatim). */
 object AnnIndex {
 
-  /** Cell timestamps are a fixed constant: the index is rebuilt
-    * wholesale by `CREATE OR REPLACE` (never merged cell-by-cell), and
-    * a wall-clock stamp would make otherwise-identical rebuilds
-    * hash-diverge. */
+  /** Cell timestamps are the write EPOCH (deterministic — a wall clock
+    * would make otherwise-identical rebuilds hash-diverge): a build is
+    * epoch 1, and every later writer (batch update, streaming ingest,
+    * retraction) registers epoch = max registered + 1 in the `_meta`
+    * row's `e:` cells and stamps its cells with it. The ordering is
+    * what lets a vector RETRACTION's row tombstone shadow exactly the
+    * history before it, and a later RE-ADDITION rise above the mark. */
   private val Ts = 1L
 
-  private def cell(name: String, value: Column): Column =
+  private def cell(name: String, value: Column, ts: Long = Ts): Column =
     struct(lit(name).cast("binary").as("name"), lit("NORMAL").as("state"),
-      value.as("value"), lit(Ts).as("timestamp"),
+      value.as("value"), lit(ts).as("timestamp"),
       lit(0L).as("ttlSecs"), lit(0L).as("expiresMillis"))
 
-  private def strCell(name: String, value: Column): Column =
-    cell(name, value.cast("string").cast("binary"))
+  private def strCell(name: String, value: Column, ts: Long = Ts): Column =
+    cell(name, value.cast("string").cast("binary"), ts)
+
+  private def epochTag(e: Int): String = f"$e%06d"
+
+  /** The `_meta` row's live cells, one driver-side reconciled point
+    * read (no job). */
+  private def metaLive(idxDir: String,
+                       storage: graft.sources.sstable.Storage)
+      : Map[String, String] = {
+    if (!storage.exists(idxDir)) return Map.empty
+    val prober = new graft.sources.sstable.SSTableReader.DirectoryProber(
+      idxDir, storage)
+    prober.get("_meta".getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        gcTombstones = true)
+      .map(_.columns.collect {
+        case c: graft.sources.sstable.Column.Normal =>
+          (new String(c.name, java.nio.charset.StandardCharsets.UTF_8),
+            new String(c.value, java.nio.charset.StandardCharsets.UTF_8))
+      }.toMap).getOrElse(Map.empty)
+  }
+
+  /** Registered write epochs (`e:` cells; a pre-epoch-era index has
+    * none and reads as epoch 1 — its fixed ts=1 cells ARE epoch 1). */
+  private[graft] def epochsOfIdx(idxDir: String,
+                                 storage: graft.sources.sstable.Storage): Seq[Int] =
+    metaLive(idxDir, storage).keys
+      .filter(_.startsWith("e:")).map(_.stripPrefix("e:").toInt).toSeq
+
+  /** Whether any [[retractVectors]] epoch ever landed — switches the
+    * novelty probe to its delete-aware form. */
+  private[graft] def hasRetractions(idxDir: String,
+                                    storage: graft.sources.sstable.Storage): Boolean =
+    metaLive(idxDir, storage).contains("retracted")
+
+  /** The `_meta` epoch-registration row riding a writer's own append. */
+  private def epochMetaRow(s: SparkSession, epoch: Int, touched: Long,
+                           extra: Seq[(String, String)] = Nil): DataFrame =
+    s.range(1).select(lit("_meta").cast("binary").as("key"),
+      array((Seq(s"e:${epochTag(epoch)}" -> touched.toString) ++ extra)
+        .map { case (n, v) => strCell(n, lit(v), epoch) }: _*).as("columns"),
+      noTombstone)
 
   private val noTombstone: Column = lit(null)
     .cast("struct<localDeletionTime: int, markedForDeleteAt: bigint>")
@@ -162,10 +205,12 @@ object AnnIndex {
         noTombstone)
     }
     // the trained-epoch pin: serving validates source/params against it
+    // (e:000001 registers the build as write epoch 1)
     val metaRows = s.range(1).select(
       lit("_meta").cast("binary").as("key"),
       array(
         strCell("dim", lit(dim)),
+        strCell(s"e:${epochTag(1)}", lit(nvec)),
         strCell("iters", lit(iters)),
         strCell("k", lit(k)),
         strCell("kind", lit(kind)),
@@ -293,7 +338,14 @@ object AnnIndex {
   /** One raw read of the index table, exploded to (k, name, value) —
     * the shared decode surface of the loaders below. */
   private def cellsOf(s: SparkSession, idxDir: String): DataFrame =
-    s.read.format("sstable").load(idxDir)
+    // delete-aware always: retraction appends DELETE-ONLY generations
+    // whose row tombstones the scan hoists into its DeleteShadow —
+    // zero cost when none exist, and every loader (and the snapshot)
+    // then drops retracted vectors identically
+    s.read.format("sstable")
+      .option(graft.sources.sstable.spark.SSTableSource.ApplyDeletesOption,
+        "true")
+      .load(idxDir)
       .select(col("key").cast("string").as("k"), explode(col("columns")).as("c"))
       .select(col("k"), col("c.name").cast("string").as("name"), col("c.value").as("value"))
 
@@ -424,12 +476,23 @@ object AnnIndex {
       .withColumn("nrm", sqrt(vector_dot(col("v"), col("v"))))
   }
 
-  /** vec_ids already indexed — a key-only raw scan of the `v:` rows
-    * (Index.db sidecars only; same probe shape as the signature store's). */
-  def indexedVecIds(s: SparkSession, idxDir: String): DataFrame =
-    s.read.format("sstable").load(idxDir).select(col("key").cast("string").as("k"))
+  /** vec_ids currently indexed. Append-only indexes (the common case)
+    * use a key-only raw scan of the `v:` rows (Index.db sidecars only;
+    * same probe shape as the signature store's); once a
+    * [[retractVectors]] epoch exists the probe switches to the
+    * delete-aware scan so retracted ids read as novel (re-addable). */
+  def indexedVecIds(s: SparkSession, idxDir: String): DataFrame = {
+    val storage = graft.sources.sstable.Storage.forPath(idxDir,
+      s.sessionState.newHadoopConf())
+    val raw = s.read.format("sstable")
+    val reader = if (hasRetractions(idxDir, storage))
+      raw.option(graft.sources.sstable.spark.SSTableSource.ApplyDeletesOption,
+        "true")
+    else raw
+    reader.load(idxDir).select(col("key").cast("string").as("k"))
       .filter(col("k").startsWith("v:"))
       .select(substring(col("k"), 3, 12).cast("long").as("vec_id"))
+  }
 
   /** Incremental vector ingestion (the lifecycle twin of the signature
     * store): encode ONLY the corpus vectors absent from the index,
@@ -460,9 +523,11 @@ object AnnIndex {
     // here a double-encode would merely collapse under LWW (the v: rows
     // are keyed), but the contract and its enforcement are one across
     // all three maintainers
+    val idxStorage = graft.sources.sstable.Storage.forPath(idxDir,
+      s.sessionState.newHadoopConf())
     val receipt = graft.sources.sstable.MaintenanceLease.withLease(idxDir,
-      graft.sources.sstable.Storage.forPath(idxDir, s.sessionState.newHadoopConf()),
-      "update_ann_index") { _ =>
+      idxStorage, "update_ann_index") { _ =>
+    val epoch = epochsOfIdx(idxDir, idxStorage).maxOption.getOrElse(1) + 1
     // novelty fetch shared with the signature/df stores — broadcast is
     // size-gated there (VERDICT r14 #4: merge-scale deltas shuffle)
     val (novelSrc, releaseIds) =
@@ -494,15 +559,18 @@ object AnnIndex {
           assigned.join(novel.select(col("vec_id"), col("v")), "vec_id")
         else assigned
         val cellCols =
-          cellsDf.map(_ => strCell("cell", col("cell"))).toSeq ++
+          cellsDf.map(_ => strCell("cell", col("cell"), epoch)).toSeq ++
             codesDf.toSeq.flatMap(_ =>
-              (0 until pqM).map(i => strCell(s"code$i", col(s"code$i")))) ++
-            (if (storeVectors) Seq(cell("vec", pack_doubles(col("v")))) else Nil)
+              (0 until pqM).map(i =>
+                strCell(s"code$i", col(s"code$i"), epoch))) ++
+            (if (storeVectors)
+              Seq(cell("vec", pack_doubles(col("v")), epoch)) else Nil)
         val rows = joined.select(
           concat(lit("v:"), lpad(col("vec_id").cast("string"), 12, "0"))
             .cast("binary").as("key"),
           array(cellCols: _*).as("columns"),
           noTombstone)
+          .unionAll(epochMetaRow(s, epoch, encoded))
         val view = s"graft_ann_upd_${java.util.UUID.randomUUID().toString.replace("-", "")}"
         rows.createOrReplaceTempView(view)
         try s.sql(s"INSERT INTO $qualifiedTable SELECT * FROM $view")
@@ -518,4 +586,79 @@ object AnnIndex {
       SignatureStore.runTableAutocompact(s, qualifiedTable, idxDir)
     receipt
   }
+
+  /** Vector RETRACTION (round 15) — remove vectors from the index
+    * without retraining or rescanning anything: a ROW-TOMBSTONE
+    * generation marks the chosen `v:` rows deleted at the retraction's
+    * registered epoch (the catalog's merge-on-read DELETE shape — a
+    * delete-only generation hoists into every scan's DeleteShadow), so
+    * the vectors stop being served as neighbors by every loader, the
+    * snapshot, and the point-read rerank fetch identically. Because all
+    * index cells carry registered write epochs, a later RE-ADDITION
+    * (via update or streaming ingest, whose cells carry a later epoch)
+    * rises above the mark — membership can flip indefinitely.
+    *
+    * `where` selects over the INDEX's own id relation (`vec_id`) — no
+    * embedding read, so vectors with no surviving copy anywhere (the
+    * takedown case) retract fine. Two appends, flag-first (same
+    * crash-conservative ordering as the signature store's): the `_meta`
+    * registration + `retracted` flag, then the pure tombstone
+    * generation. Centroids and codebooks are untouched: quantizers are
+    * trained artifacts, not member data (rebuild to retrain). A re-run
+    * matches nothing. Runs under the maintenance lease. Returns
+    * (retracted, epoch); epoch 0 = nothing matched, nothing written. */
+  def retractVectors(s: SparkSession, qualifiedTable: String, idxDir: String,
+                     whereSql: String): (Long, Int) = {
+    val m0 = meta(s, idxDir)
+    require(m0.nonEmpty && m0.contains("kind"),
+      s"$qualifiedTable carries no ANN-index _meta row — nothing to " +
+        "retract from")
+    val storage = graft.sources.sstable.Storage.forPath(idxDir,
+      s.sessionState.newHadoopConf())
+    val receipt = graft.sources.sstable.MaintenanceLease.withLease(idxDir,
+      storage, "retract_ann_vectors") { _ =>
+      val epoch = epochsOfIdx(idxDir, storage).maxOption.getOrElse(1) + 1
+      val victims = indexedVecIds(s, idxDir).filter(expr(whereSql)).persist()
+      try {
+        val matched = victims.count()
+        if (matched == 0) (0L, 0)
+        else {
+          val before = storage.listDataFiles(idxDir)
+          epochMetaRow(s, epoch, -matched,
+              Seq("retracted" -> epoch.toString))
+            .write.format("sstable")
+            .option(graft.sources.sstable.spark.SSTableSource.JobTagOption,
+              s"annrm${epochTag(epoch)}")
+            .mode("append").save(idxDir)
+          victims.select(
+              concat(lit("v:"), lpad(col("vec_id").cast("string"), 12, "0"))
+                .cast("binary").as("key"),
+              array().cast("array<struct<name: binary, state: string, " +
+                "value: binary, timestamp: bigint, ttlSecs: bigint, " +
+                "expiresMillis: bigint>>").as("columns"),
+              struct(lit(epoch).as("localDeletionTime"),
+                lit(epoch.toLong).as("markedForDeleteAt")).as("rowTombstone"))
+            .write.format("sstable")
+            .option(graft.sources.sstable.spark.SSTableSource.JobTagOption,
+              s"annr${epochTag(epoch)}")
+            .mode("append").save(idxDir)
+          graft.sources.sstable.History.record(storage, idxDir,
+            "retract_ann_vectors",
+            added = storage.listDataFiles(idxDir).diff(before),
+            removed = Nil,
+            detail = s"vectors=$matched epoch=$epoch")
+          (matched, epoch)
+        }
+      } finally victims.unpersist()
+    }
+    if (receipt._1 > 0)
+      SignatureStore.runTableAutocompact(s, qualifiedTable, idxDir)
+    receipt
+  }
+
+  /** [[epochMetaRow]] for the streaming ingest's tagged appends (the
+    * streaming writer's frames carry no rowTombstone column). */
+  private[graft] def streamingEpochMetaRow(s: SparkSession, epoch: Int,
+                                           touched: Long): DataFrame =
+    epochMetaRow(s, epoch, touched).select(col("key"), col("columns"))
 }

@@ -676,8 +676,16 @@ object DfStore {
     *    switches the membership probe and the additivity sentinel to
     *    their delete-aware forms.
     *
+    * `sourceDir` is where the retracted docs' (doc_id, text) rows are
+    * read from — usually the pinned corpus, but deliberately NOT
+    * required to be: in a real takedown the document is often already
+    * deleted from the corpus, so any directory holding the removed
+    * docs' rows works (e.g. the takedown request's own payload). The
+    * content-hash guard below is strictly stronger than a source pin.
+    *
     * Loud-beats-silent guards, in probe order (all delta-sized):
-    *  - the store must pin this corpus + unit (the usual meta refusal);
+    *  - the store must pin this UNIT (subtracting paragraph counts from
+    *    a term store would corrupt silently);
     *  - a STREAM-maintained store refuses: its `s…` epoch tags sort
     *    after batch tags, so a batch-numbered retraction epoch would be
     *    silently excluded by the fold rule after the stream's next
@@ -703,7 +711,26 @@ object DfStore {
       s"unit must be 'term' or 'para', got '$unit'")
     require(tableExists(s, qualifiedTable),
       s"df store $qualifiedTable does not exist — nothing to retract from")
-    requireEpochMeta(s, qualifiedTable, sourceDir, unit)
+    // the UNIT must match the store's pin (counts of the wrong unit
+    // would subtract garbage) — but the SOURCE deliberately need not:
+    // in a real takedown the document is often already DELETED from the
+    // corpus, so `source_dir` may be any directory holding the removed
+    // docs' (doc_id, text) rows — e.g. the takedown request itself. The
+    // per-doc content-hash verification below is STRICTLY STRONGER than
+    // a directory pin: an md5 match proves the text IS what this store
+    // counted, wherever it is read from now; a mismatch refuses. (The
+    // ingest-side source pin stays — counting from a second corpus into
+    // one store is the error it exists to refuse.)
+    val meta = s.table(qualifiedTable)
+      .filter(col("key") === lit(MetaKey.getBytes))
+      .select(explode(col("columns")).as("c"))
+      .select(col("c.name").cast("string"), col("c.value").cast("string"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    require(meta.get("unit").contains(unit),
+      s"df store $qualifiedTable counts unit " +
+        s"'${meta.getOrElse("unit", "(absent)")}' — refusing a '$unit' " +
+        "retraction (subtracting the wrong unit's counts would corrupt " +
+        "the statistics)")
     val slice = graft.Tables.documents(s, sourceDir)
       .filter(expr(whereSql)).select(col("doc_id"), col("text"))
     val stats = slice.agg(count(lit(1)), count_distinct(col("doc_id")),

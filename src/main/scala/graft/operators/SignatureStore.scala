@@ -58,17 +58,70 @@ object SignatureStore {
       concat_ws(",", transform(sig, x => x.cast("string"))).as("sig"))
   }
 
-  /** doc_ids already in the store, via a KEY-ONLY raw scan of the store
-    * directory — the DSv2 source plans it `indexOnly` (Index.db
-    * sidecars, no Data.db IO at any store size). Raw rather than the
-    * catalog route deliberately: the catalog read is delete-aware
-    * (merge-on-read), which forfeits the index-only plan, and the store
-    * is append-only BY CONTRACT — the CALL is its only writer and never
-    * deletes (documented on the procedure). */
-  def storedIds(s: SparkSession, storeDir: String): DataFrame =
-    s.read.format("sstable").load(storeDir).select(col("key"))
+  private def epochTag(e: Int): String = f"$e%06d"
+
+  /** Write epochs so far, from the `_meta` row's `e:` cells — one
+    * driver-side reconciled point read. Every writer (update AND
+    * retract) registers its epoch here and stamps its cells ts=epoch,
+    * so deletion and re-admission shadow each other in write order (a
+    * fixed timestamp could never re-admit past a tombstone). Epoch 1
+    * writes ts=1 — byte-identical to the pre-epoch era, so existing
+    * stores continue seamlessly (their unregistered history IS epoch
+    * 1; the first new write lands as epoch 1 too, colliding nowhere:
+    * distinct doc_ids never reconcile, and the novelty probe keeps
+    * same-id rewrites out). */
+  private def epochsOf(storeDir: String,
+                       storage: graft.sources.sstable.Storage): Seq[Int] = {
+    if (!storage.exists(storeDir)) return Nil
+    val prober = new graft.sources.sstable.SSTableReader.DirectoryProber(
+      storeDir, storage)
+    prober.get(MetaKey.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        gcTombstones = true)
+      .map(_.columns.collect {
+        case c: graft.sources.sstable.Column.Normal
+          if new String(c.name,
+            java.nio.charset.StandardCharsets.UTF_8).startsWith("e:") =>
+          new String(c.name, java.nio.charset.StandardCharsets.UTF_8)
+            .stripPrefix("e:").toInt
+      }).getOrElse(Seq.empty)
+  }
+
+  /** Whether any [[retract]] epoch ever landed — the flag rides the
+    * same atomic append as the tombstones it announces and switches the
+    * membership probe to its delete-aware form. */
+  private[graft] def hasRetractions(storeDir: String,
+                                    storage: graft.sources.sstable.Storage)
+      : Boolean = {
+    if (!storage.exists(storeDir)) return false
+    val prober = new graft.sources.sstable.SSTableReader.DirectoryProber(
+      storeDir, storage)
+    prober.get(MetaKey.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        gcTombstones = true)
+      .exists(_.columns.exists {
+        case c: graft.sources.sstable.Column.Normal =>
+          new String(c.name,
+            java.nio.charset.StandardCharsets.UTF_8) == "retracted"
+        case _ => false
+      })
+  }
+
+  /** doc_ids currently in the store. Append-only stores (the common
+    * case) use a KEY-ONLY raw scan — the DSv2 source plans it
+    * `indexOnly` (Index.db sidecars, no Data.db IO at any store size).
+    * Once a [[retract]] epoch exists the probe must be DELETE-AWARE — a
+    * retracted row's `sig` cell is tombstone-shadowed, the reconciled
+    * live view drops it, and the doc becomes novel (re-admittable) —
+    * so the probe switches to the reconciled scan. Per-store, one-way,
+    * priced only by stores that actually retract. */
+  def storedIds(s: SparkSession, storeDir: String): DataFrame = {
+    val storage = graft.sources.sstable.Storage.forPath(storeDir,
+      s.sessionState.newHadoopConf())
+    val raw = s.read.format("sstable").load(storeDir)
       .filter(col("key") =!= lit(MetaKey.getBytes))
+    (if (hasRetractions(storeDir, storage))
+      SSTableOps.suppressTombstones(raw) else raw)
       .select(col("key").cast("string").cast("bigint").as("doc_id"))
+  }
 
   /** ΔT: corpus docs whose key is absent from the store — the shared
     * novelty fetch of all three incremental maintainers (signatures,
@@ -100,16 +153,34 @@ object SignatureStore {
     gatedNovelJoin(corpus, stored, "doc_id")
 
   /** The signature rows of one update, as SSTable rows ready to INSERT.
-    * Cell timestamp is fixed: a doc_id is written at most once (the
-    * anti-join guarantees it), and a wall clock would make
-    * otherwise-identical stores hash-diverge. */
-  def signatureRows(sigs: DataFrame): DataFrame =
+    * Cell timestamp is the write EPOCH (deterministic — a wall clock
+    * would make otherwise-identical stores hash-diverge): a doc_id is
+    * written at most once per membership stint (the anti-join
+    * guarantees it), and the epoch stamp is what lets a RE-ADMISSION
+    * shadow an earlier retraction's tombstone in write order. */
+  def signatureRows(sigs: DataFrame, epoch: Int = 1): DataFrame =
     sigs.select(keyOf(col("doc_id")).as("key"),
       array(struct(lit("sig").cast("binary").as("name"), lit("NORMAL").as("state"),
-        col("sig").cast("binary").as("value"), lit(1L).as("timestamp"),
+        col("sig").cast("binary").as("value"), lit(epoch.toLong).as("timestamp"),
         lit(0L).as("ttlSecs"), lit(0L).as("expiresMillis"))).as("columns"),
       lit(null).cast("struct<localDeletionTime: int, markedForDeleteAt: bigint>")
         .as("rowTombstone"))
+
+  /** The `_meta` epoch-registration row riding a writer's own append:
+    * one `e:<epoch>` cell (value = docs touched, negative for a
+    * retraction) plus any extra flag cells, all at ts=epoch. */
+  private def epochMetaRow(s: SparkSession, epoch: Int, touched: Long,
+                           extra: Seq[(String, String)] = Nil): DataFrame = {
+    def cell(name: String, v: String) =
+      struct(lit(name).cast("binary").as("name"), lit("NORMAL").as("state"),
+        lit(v).cast("binary").as("value"), lit(epoch.toLong).as("timestamp"),
+        lit(0L).as("ttlSecs"), lit(0L).as("expiresMillis"))
+    s.range(1).select(lit(MetaKey).cast("binary").as("key"),
+      array((Seq(s"e:${epochTag(epoch)}" -> touched.toString) ++ extra)
+        .map { case (n, v) => cell(n, v) }: _*).as("columns"),
+      lit(null).cast("struct<localDeletionTime: int, markedForDeleteAt: bigint>")
+        .as("rowTombstone"))
+  }
 
   private def metaRow(s: SparkSession, sourceDir: String): DataFrame = {
     def cell(name: String, v: String) =
@@ -181,6 +252,9 @@ object SignatureStore {
     val receipt = graft.sources.sstable.MaintenanceLease.withLease(dir,
       graft.sources.sstable.Storage.forPath(dir, s.sessionState.newHadoopConf()),
       "update_signatures") { _ =>
+      val storage = graft.sources.sstable.Storage.forPath(dir,
+        s.sessionState.newHadoopConf())
+      val epoch = epochsOf(dir, storage).maxOption.getOrElse(0) + 1
       val hasRows = !fresh && storedIds(s, dir).limit(1).count() > 0
       val (novelSrc, releaseIds) = if (hasRows)
         novelDocs(corpus, storedIds(s, dir)) else (corpus, () => ())
@@ -189,7 +263,9 @@ object SignatureStore {
         val novelCount = novel.count()
         if (novelCount > 0) {
           val view = s"graft_sig_upd_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-          signatureRows(signatures(novel)).createOrReplaceTempView(view)
+          signatureRows(signatures(novel), epoch)
+            .unionAll(epochMetaRow(s, epoch, novelCount))
+            .createOrReplaceTempView(view)
           try s.sql(s"INSERT INTO $qualifiedTable SELECT * FROM $view")
           finally s.catalog.dropTempView(view)
         }
@@ -201,6 +277,80 @@ object SignatureStore {
     // never fight a real maintainer) — so the updater, which IS the
     // store's maintainer, runs the identical pass itself after release
     if (receipt._2 > 0) runTableAutocompact(s, qualifiedTable, dir)
+    receipt
+  }
+
+  /** Signature RETRACTION (round 15) — forget documents' fingerprints
+    * without touching the corpus: a ROW-TOMBSTONE generation marks the
+    * chosen docs deleted at the retraction's registered epoch — the
+    * catalog's own merge-on-read DELETE shape (a DELETE-ONLY generation
+    * is hoisted into the scan's [[graft.sources.sstable.spark
+    * .DeleteShadow]]), so every reader (catalog scan, reconciled raw
+    * scan, point probes) shadows the docs' cells identically. Because
+    * every cell in this store is stamped with its REGISTERED write
+    * epoch, a mark at the next epoch shadows exactly the docs' history,
+    * and a later RE-ADMISSION (whose cells carry a later epoch) rises
+    * above the mark — membership can flip indefinitely, in write order.
+    *
+    * Two appends, deliberately flag-first: (1) the `_meta` epoch
+    * registration + `retracted` flag (switches [[storedIds]] to its
+    * delete-aware form), then (2) the tombstone-only generation. A
+    * crash between them leaves a flagged store with no deletions —
+    * merely the slower probe, never a wrong answer; the tombstone
+    * generation must stay PURE (mixing the meta row in would break its
+    * delete-only Statistics proof and the DeleteShadow hoist).
+    *
+    * Unlike the df store there is nothing to subtract (LWW rows, no
+    * additive statistics) and nothing to verify against source text —
+    * so `where` selects over the STORE's own id relation (`doc_id`),
+    * which also makes the takedown case trivial: the doc needs no
+    * surviving copy anywhere. A re-run matches nothing (the ids are no
+    * longer members) — idempotent by construction. Runs under the
+    * maintenance lease. Returns (retracted, epoch); epoch 0 = nothing
+    * matched, nothing written. */
+  def retract(s: SparkSession, qualifiedTable: String,
+              storeDir: () => String, whereSql: String): (Long, Int) = {
+    require(tableExists(s, qualifiedTable),
+      s"signature store $qualifiedTable does not exist — nothing to " +
+        "retract from")
+    val dir = storeDir()
+    val storage = graft.sources.sstable.Storage.forPath(dir,
+      s.sessionState.newHadoopConf())
+    val receipt = graft.sources.sstable.MaintenanceLease.withLease(dir,
+      storage, "retract_signatures") { _ =>
+      val epoch = epochsOf(dir, storage).maxOption.getOrElse(0) + 1
+      val victims = storedIds(s, dir).filter(expr(whereSql)).persist()
+      try {
+        val matched = victims.count()
+        if (matched == 0) (0L, 0)
+        else {
+          val before = storage.listDataFiles(dir)
+          epochMetaRow(s, epoch, -matched,
+              Seq("retracted" -> epoch.toString))
+            .write.format("sstable")
+            .option(graft.sources.sstable.spark.SSTableSource.JobTagOption,
+              s"sigrm${epochTag(epoch)}")
+            .mode("append").save(dir)
+          victims.select(keyOf(col("doc_id")).as("key"),
+              array().cast("array<struct<name: binary, state: string, " +
+                "value: binary, timestamp: bigint, ttlSecs: bigint, " +
+                "expiresMillis: bigint>>").as("columns"),
+              struct(lit(epoch).as("localDeletionTime"),
+                lit(epoch.toLong).as("markedForDeleteAt")).as("rowTombstone"))
+            .write.format("sstable")
+            .option(graft.sources.sstable.spark.SSTableSource.JobTagOption,
+              s"sigr${epochTag(epoch)}")
+            .mode("append").save(dir)
+          graft.sources.sstable.History.record(storage, dir,
+            "retract_signatures",
+            added = storage.listDataFiles(dir).diff(before),
+            removed = Nil,
+            detail = s"docs=$matched epoch=$epoch")
+          (matched, epoch)
+        }
+      } finally victims.unpersist()
+    }
+    if (receipt._1 > 0) runTableAutocompact(s, qualifiedTable, dir)
     receipt
   }
 

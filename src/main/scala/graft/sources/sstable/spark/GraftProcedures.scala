@@ -594,6 +594,46 @@ private[spark] object GraftProcedures {
           Seq(row(seen, encoded, skipped))
         }),
 
+      "retract_ann_vectors" -> new Proc(
+        "retract_ann_vectors",
+        "remove vectors from a persisted ANN index without retraining: " +
+          "one epoch appends a row-tombstone generation marking the " +
+          "chosen v: rows deleted (the catalog's merge-on-read DELETE " +
+          "shape), so the vectors stop being served as neighbors by " +
+          "every loader, the snapshot, and the rerank point reads " +
+          "identically; a 'retracted' _meta flag (written first, " +
+          "crash-conservative) switches the novelty probe to its " +
+          "delete-aware form, so a later update_ann_index or streaming " +
+          "ingest RE-ADDS the ids with cells above the mark — " +
+          "membership can flip indefinitely in registered-epoch order. " +
+          "`where` selects over the INDEX's own ids (column vec_id) — " +
+          "no embedding read, so a vector with no surviving copy " +
+          "anywhere (the takedown case) retracts fine. Centroids and " +
+          "codebooks are untouched (quantizers are trained artifacts, " +
+          "not member data; rebuild to retrain). Idempotent re-runs " +
+          "match nothing. Runs under the maintenance lease; epoch 0 in " +
+          "the receipt means nothing matched (no write)",
+        Array(tableParam,
+          p("where", StringType, Some("'true'"),
+            comment = "SQL predicate over vec_id selecting the vectors " +
+              "to remove, e.g. 'vec_id % 5 = 2'")),
+        StructType(Seq(
+          StructField("retracted", LongType, nullable = false),
+          StructField("epoch", IntegerType, nullable = false),
+          StructField("generations", IntegerType, nullable = false))),
+        (spark, in) => {
+          require(!in.isNullAt(0), "argument 'table' is required")
+          val tableName = in.getUTF8String(0).toString
+          resolveParent(tableName) // loud on a missing namespace
+          val whereSql = if (in.isNullAt(1)) "true" else in.getUTF8String(1).toString
+          val (retracted, epoch) = graft.operators.AnnIndex.retractVectors(
+            spark, qualified(tableName), dirOf(in), whereSql)
+          val gens = graft.sources.sstable.Storage
+            .forPath(dirOf(in), spark.sessionState.newHadoopConf())
+            .listDataFiles(dirOf(in)).length
+          Seq(row(retracted, epoch, gens))
+        }),
+
       "update_signatures" -> new Proc(
         "update_signatures",
         "incrementally maintain a MinHash signature store over a growing " +
@@ -607,12 +647,14 @@ private[spark] object GraftProcedures {
           "MinHash parameters; a store built under different parameters " +
           "refuses loudly. A corpus that grows by INSERT pays signature " +
           "computation for the delta, never for the whole corpus again. " +
-          "Contract: this CALL is the store's only writer, ONE AT A TIME " +
+          "Contract: the maintenance CALLs are the store's only writers, " +
+          "ONE AT A TIME " +
           "(the probe-then-append is check-then-act: two concurrent calls " +
           "over the same delta would both sign it — the single-maintainer " +
-          "contract every maintenance CALL shares), and the store is " +
-          "append-only (the index-only probe deliberately skips " +
-          "delete-awareness; DELETE FROM the store is unsupported)",
+          "contract every maintenance CALL shares; enforced by the " +
+          "lease). The index-only probe skips delete-awareness until the " +
+          "first retract_signatures epoch flips the store to the " +
+          "delete-aware probe; ad-hoc DELETE FROM remains unsupported",
         Array(tableParam,
           p("source_dir", StringType,
             comment = "corpus directory holding documents.parquet"),
@@ -642,6 +684,42 @@ private[spark] object GraftProcedures {
             .forPath(dirOf(in), spark.sessionState.newHadoopConf())
             .listDataFiles(dirOf(in)).length
           Seq(row(seen, novel, skipped, gens))
+        }),
+
+      "retract_signatures" -> new Proc(
+        "retract_signatures",
+        "forget documents' fingerprints: one epoch appends a DELETED sig " +
+          "cell per chosen doc (timestamped with the retraction's " +
+          "registered epoch, so it shadows every earlier write and a " +
+          "later re-ingest shadows IT — membership can flip indefinitely " +
+          "in write order) plus a 'retracted' _meta flag riding the same " +
+          "append, which switches the membership probe to its " +
+          "delete-aware form: the docs read as NOVEL again and the next " +
+          "update_signatures re-signs them. `where` selects over the " +
+          "STORE's own ids (column doc_id) — no corpus read, so a doc " +
+          "with no surviving copy anywhere (the takedown case) retracts " +
+          "fine. A re-run matches nothing (idempotent by construction). " +
+          "Runs under the maintenance lease; epoch 0 in the receipt " +
+          "means nothing matched (no write)",
+        Array(tableParam,
+          p("where", StringType, Some("'true'"),
+            comment = "SQL predicate over doc_id selecting the docs to " +
+              "forget, e.g. 'doc_id % 5 = 2'")),
+        StructType(Seq(
+          StructField("retracted", LongType, nullable = false),
+          StructField("epoch", IntegerType, nullable = false),
+          StructField("generations", IntegerType, nullable = false))),
+        (spark, in) => {
+          require(!in.isNullAt(0), "argument 'table' is required")
+          val tableName = in.getUTF8String(0).toString
+          resolveParent(tableName) // loud on a missing namespace
+          val whereSql = if (in.isNullAt(1)) "true" else in.getUTF8String(1).toString
+          val (retracted, epoch) = graft.operators.SignatureStore.retract(
+            spark, qualified(tableName), () => dirOf(in), whereSql)
+          val gens = graft.sources.sstable.Storage
+            .forPath(dirOf(in), spark.sessionState.newHadoopConf())
+            .listDataFiles(dirOf(in)).length
+          Seq(row(retracted, epoch, gens))
         }),
 
       "update_doc_freqs" -> new Proc(
@@ -739,12 +817,17 @@ private[spark] object GraftProcedures {
           "the doc as novel again, so a later ingest RE-ADMITS it), a " +
           "negative _n partial, and a 'retracted' flag on _meta that " +
           "switches the membership probe and the additivity sentinel to " +
-          "their delete-aware forms. Guards, all delta-sized and all " +
+          "their delete-aware forms. source_dir is wherever the removed " +
+          "docs' (doc_id, text) rows can be read NOW — the pinned corpus " +
+          "or, for docs already deleted from it (the usual takedown), " +
+          "any directory holding them (e.g. the takedown payload): the " +
+          "per-doc content-hash check is strictly stronger than a " +
+          "source pin. Guards, all delta-sized and all " +
           "refusing BEFORE anything lands: the store must pin this " +
-          "corpus + unit; a stream-maintained store refuses (its epoch " +
+          "unit; a stream-maintained store refuses (its epoch " +
           "tags would order a batch retraction epoch out of consolidated " +
           "reads); each doc's content hash (written at ingest) must " +
-          "match the corpus text NOW — source drift would subtract the " +
+          "match the provided text — drift would subtract the " +
           "wrong counts silently; and the store's totals for exactly the " +
           "touched terms (point reads) must cover the subtraction. Docs " +
           "never counted (or already retracted) report as notStored — a " +

@@ -53,15 +53,17 @@ object StreamingAnnIngest {
   private def keyOfVec(vecId: org.apache.spark.sql.Column) =
     concat(lit("v:"), lpad(vecId.cast("string"), 12, "0")).cast("binary")
 
-  private def strCell(name: String, value: org.apache.spark.sql.Column) =
+  private def strCell(name: String, value: org.apache.spark.sql.Column,
+                      ts: Long) =
     struct(lit(name).cast("binary").as("name"), lit("NORMAL").as("state"),
       value.cast("string").cast("binary").as("value"),
-      lit(1L).as("timestamp"), lit(0L).as("ttlSecs"),
+      lit(ts).as("timestamp"), lit(0L).as("ttlSecs"),
       lit(0L).as("expiresMillis"))
 
-  private def binCell(name: String, value: org.apache.spark.sql.Column) =
+  private def binCell(name: String, value: org.apache.spark.sql.Column,
+                      ts: Long) =
     struct(lit(name).cast("binary").as("name"), lit("NORMAL").as("state"),
-      value.as("value"), lit(1L).as("timestamp"), lit(0L).as("ttlSecs"),
+      value.as("value"), lit(ts).as("timestamp"), lit(0L).as("ttlSecs"),
       lit(0L).as("expiresMillis"))
 
   /** One epoch — public so tests and backfills can drive it with batch
@@ -95,6 +97,12 @@ object StreamingAnnIngest {
     if (maintainAboveGenerations > 0 &&
         storage.listDataFiles(idxDir).length > maintainAboveGenerations)
       SSTableOps.compactInPlace(spark, idxDir, minThreshold = 4)
+
+    // the registered write epoch stamps this batch's cells so a later
+    // retraction mark / re-addition orders correctly; read AFTER the
+    // replay unpublish, so a retried epoch recomputes the same number
+    val epoch = AnnIndex.epochsOfIdx(idxDir, storage)
+      .maxOption.getOrElse(1) + 1
 
     // in-batch dedup (at-least-once sources) + derived norm, the same
     // (vec_id, v, nrm) shape the batch encoders consume
@@ -142,14 +150,16 @@ object StreamingAnnIngest {
           assigned.join(novel.select(col("vec_id"), col("v")), "vec_id")
         else assigned
         val cellCols =
-          cellsDf.map(_ => strCell("cell", col("cell"))).toSeq ++
+          cellsDf.map(_ => strCell("cell", col("cell"), epoch)).toSeq ++
             codesDf.toSeq.flatMap(_ =>
-              (0 until pqM).map(i => strCell(s"code$i", col(s"code$i")))) ++
+              (0 until pqM).map(i =>
+                strCell(s"code$i", col(s"code$i"), epoch))) ++
             (if (storeVectors)
               Seq(binCell("vec", graft.functions.VectorExpressions
-                .pack_doubles(col("v")))) else Nil)
+                .pack_doubles(col("v")), epoch)) else Nil)
         joined.select(keyOfVec(col("vec_id")).as("key"),
             array(cellCols: _*).as("columns"))
+          .unionAll(AnnIndex.streamingEpochMetaRow(spark, epoch, novelCount))
           .write.format("sstable")
           .option(graft.sources.sstable.spark.SSTableSource.JobTagOption, jobTag)
           .mode("append").save(idxDir)

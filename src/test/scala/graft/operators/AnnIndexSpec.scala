@@ -372,6 +372,53 @@ class AnnIndexSpec extends AnyFunSuite {
       s"rerank lost recall: $rer vs $ivfpq")
   }
 
+  test("vector retraction (round 15): retract_ann_vectors removes " +
+    "exactly the chosen vectors from EVERY serving surface (cells, " +
+    "codes, covering point reads, the snapshot) with no retrain and no " +
+    "embedding read; a re-run matches nothing; update_ann_index RE-ADDS " +
+    "them above the mark; membership cycles and compaction folds the " +
+    "history to the newest state") {
+    spark.sql("CALL graft_ix.system.build_ann_index(table => 'ann.retr', " +
+      s"source_dir => '$sfDir', kind => 'ivfpq', k => 4, iters => 1, " +
+      "m => 4, pq_k => 4, pq_iters => 1, store_vectors => true)")
+    val idx = s"$warehouse/ann/retr"
+    val allIds = AnnIndex.indexedVecIds(spark, idx)
+      .collect().map(_.getLong(0)).toSet
+    def retract(where: String) = spark.sql(
+      "CALL graft_ix.system.retract_ann_vectors(table => 'ann.retr', " +
+        s"where => '$where')").head()
+    val r1 = retract("vec_id % 3 = 1")
+    assert(r1.getAs[Long]("retracted") == allIds.count(_ % 3 == 1), r1)
+    val want = allIds.filterNot(_ % 3 == 1)
+    // every serving surface drops them identically
+    assert(AnnIndex.loadVectorCells(spark, idx)
+      .collect().map(_.getLong(0)).toSet == want, "cells leaked")
+    assert(AnnIndex.loadVectorCodes(spark, idx, 4)
+      .collect().map(_.getLong(0)).toSet == want, "codes leaked")
+    assert(AnnIndex.loadVectorsFor(spark, idx,
+        spark.createDataset(allIds.toSeq)(
+          org.apache.spark.sql.Encoders.scalaLong).toDF("vec_id"))
+      .collect().map(_.getLong(0)).toSet == want, "point reads leaked")
+    val snap = AnnIndex.snapshot(spark, idx)
+    try assert(snap.vectorCells.collect().map(_.getLong(0)).toSet == want,
+      "the snapshot leaked retracted vectors")
+    finally snap.release()
+    // idempotent; then re-addition via the ordinary incremental ingest
+    assert(retract("vec_id % 3 = 1").getAs[Long]("retracted") == 0L)
+    val re = spark.sql("CALL graft_ix.system.update_ann_index(" +
+      s"table => 'ann.retr', source_dir => '$sfDir')").head()
+    assert(re.getAs[Long]("encoded") == r1.getAs[Long]("retracted"), re)
+    assert(AnnIndex.loadVectorCells(spark, idx)
+      .collect().map(_.getLong(0)).toSet == allIds, "re-add incomplete")
+    // second cycle + physical fold reconcile to the newest state
+    val r2 = retract("vec_id % 3 = 1")
+    assert(r2.getAs[Long]("retracted") == r1.getAs[Long]("retracted"), r2)
+    SSTableOps.compactInPlace(spark, idx, minThreshold = 2)
+    assert(AnnIndex.loadVectorCells(spark, idx)
+      .collect().map(_.getLong(0)).toSet == want,
+      "post-compaction cycled membership diverged")
+  }
+
   test("rebuilding the index is one atomic REPLACE: the new epoch swaps " +
     "in wholesale (no stale mix), and the receipt reflects new params") {
     val r = spark.sql("CALL graft_ix.system.build_ann_index(" +

@@ -690,6 +690,179 @@ class DfStoreSpec extends AnyFunSuite {
     assert(chain(e).exists(_.contains("no content hash")), chain(e))
   }
 
+  test("retraction lands cleanly ON TOP of a consolidated store — the " +
+    "negative epoch nets against the fold cell under the shared fold " +
+    "rule, and the point-read serving path (docFreqsFor / nDocsProbe) " +
+    "agrees with the scan path bit for bit on the retracted state") {
+    call("ts.cret", "doc_id % 2 = 0")
+    call("ts.cret", "true")
+    val c = spark.sql(
+      "CALL graft_dfs.system.consolidate_doc_freqs(table => 'ts.cret')").head()
+    assert(c.getAs[Long]("rowsFolded") > 0, c)
+    val r = retractCall("ts.cret", "doc_id % 6 = 1")
+    assert(r.getAs[Long]("retracted") > 0, r)
+    val want = directDf("NOT (doc_id % 6 = 1)")
+    assert(storedDf("ts.cret") == want,
+      "retraction over a consolidated store diverged")
+    // probe == scan on the retracted+consolidated state: point reads of
+    // every surviving term net the fold cell against the negatives too
+    import spark.implicits._
+    val dir = s"$warehouse/ts/cret"
+    val probed = DfStore.docFreqsFor(
+        want.keys.toSeq.toDF("term"), dir)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(probed == want, "the point-read path diverged from the scan")
+    // a fully-retracted term must not serve from the probe path either:
+    // probe every term the FULL corpus had; the retracted-only ones drop
+    val allTerms = directDf("true").keys.toSeq
+    val probedAll = DfStore.docFreqsFor(allTerms.toDF("term"), dir)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(probedAll == want,
+      "fully-retracted terms leaked through the probe path")
+  }
+
+  test("the retract / re-admit / re-retract cycle is stable: membership " +
+    "flips back and forth in epoch order (DELETED then fresh NORMAL " +
+    "then DELETED cells), totals land exactly each time, and the " +
+    "sentinel stays green throughout") {
+    call("ts.cycle", "true")
+    val full = storedDf("ts.cycle")
+    val without = directDf("NOT (doc_id % 5 = 2)")
+    val r1 = retractCall("ts.cycle", "doc_id % 5 = 2")
+    assert(r1.getAs[Long]("retracted") > 0, r1)
+    assert(storedDf("ts.cycle") == without)
+    val re = call("ts.cycle", "true")
+    assert(re.getAs[Long]("novel") == r1.getAs[Long]("retracted"), re)
+    assert(storedDf("ts.cycle") == full)
+    val r2 = retractCall("ts.cycle", "doc_id % 5 = 2")
+    assert(r2.getAs[Long]("retracted") == r1.getAs[Long]("retracted"), r2)
+    assert(storedDf("ts.cycle") == without)
+    // compaction folds the whole marker history (NORMAL, DELETED,
+    // NORMAL, DELETED per cycled doc) to the newest state exactly
+    SSTableOps.compactInPlace(spark, s"$warehouse/ts/cycle", minThreshold = 2)
+    assert(storedDf("ts.cycle") == without,
+      "post-compaction cycled state diverged")
+    DfStore.auditAdditivity(spark, s"$warehouse/ts/cycle",
+      DfStore.nDocs(spark, "graft_dfs.ts.cycle"), "post-cycle audit")
+  }
+
+  test("storm: retract_doc_freqs racing update + DROP+undrop never " +
+    "corrupts SILENTLY — the delete-aware sentinel owns the retracted " +
+    "store's end state exactly like the raw check owns the append-only " +
+    "store's") {
+    spark.sql("CREATE NAMESPACE graft_dfs.rstorm")
+    spark.sql("CALL graft_dfs.system.update_doc_freqs(table => " +
+      s"'rstorm.df', source_dir => '$sfDir', where => 'true', " +
+      "autocompact => 3)")
+    val sentinelSeen = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val anomalies = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def legal(msgs: String): Boolean =
+      msgs.contains("rerun") || msgs.contains("mid-lifecycle") ||
+        msgs.contains("vanished") || msgs.contains("FileNotFound") ||
+        msgs.contains("does not exist") || msgs.contains("No such file") ||
+        msgs.contains("TABLE_OR_VIEW_NOT_FOUND") || msgs.contains("not found") ||
+        msgs.contains("lease") || msgs.contains("exists") ||
+        msgs.contains("no data and no _table pointer") ||
+        msgs.contains("ONE corpus") || msgs.contains("one unit") ||
+        msgs.contains("residue") || msgs.contains("dropped") ||
+        msgs.contains("restoring") || msgs.contains("nothing to retract") ||
+        msgs.contains("no content hash")
+    val maintainer = new Thread(() => {
+      var i = 0
+      while (!stop.get()) {
+        i += 1
+        val retractPass = i % 2 == 0
+        try {
+          if (retractPass)
+            spark.sql("CALL graft_dfs.system.retract_doc_freqs(table => " +
+              s"'rstorm.df', source_dir => '$sfDir', " +
+              s"where => 'doc_id % 5 = ${i % 5}')")
+          else
+            spark.sql("CALL graft_dfs.system.update_doc_freqs(table => " +
+              s"'rstorm.df', source_dir => '$sfDir', autocompact => 3)")
+        } catch {
+          case e: Throwable =>
+            val msgs = Iterator.iterate[Throwable](e)(_.getCause)
+              .takeWhile(_ != null)
+              .flatMap(t => Seq(t.getClass.getSimpleName) ++ Option(t.getMessage))
+              .mkString(" | ")
+            if (msgs.contains("counted twice") ||
+                msgs.contains("counted or retracted twice")) sentinelSeen.set(true)
+            else if (!legal(msgs))
+              anomalies.add(s"maintainer unexpected ${e.getClass.getSimpleName}: $msgs")
+        }
+      }
+    }, "df-rstorm-maintainer")
+    maintainer.start()
+    try {
+      for (_ <- 1 to 6) {
+        try {
+          spark.sql("DROP TABLE graft_dfs.rstorm.df")
+          spark.sql("CALL graft_dfs.system.undrop_table(table => 'rstorm.df')")
+        } catch {
+          case e: Throwable =>
+            val msgs = Iterator.iterate[Throwable](e)(_.getCause)
+              .takeWhile(_ != null)
+              .flatMap(t => Seq(t.getClass.getSimpleName) ++ Option(t.getMessage))
+              .mkString(" | ")
+            if (!legal(msgs))
+              anomalies.add(s"ddl unexpected ${e.getClass.getSimpleName}: $msgs")
+        }
+        Thread.sleep(50)
+      }
+    } finally {
+      stop.set(true)
+      maintainer.join(60000)
+    }
+    assert(anomalies.isEmpty, anomalies.toArray.mkString("\n"))
+    val table = spark.sql("SHOW TABLES IN graft_dfs.rstorm").collect()
+      .exists(_.getString(1) == "df")
+    if (table) {
+      val consistent =
+        try {
+          DfStore.auditAdditivity(spark, s"$warehouse/rstorm/df",
+            DfStore.nDocs(spark, "graft_dfs.rstorm.df"), "post-storm")
+          true
+        } catch { case e: IllegalArgumentException
+            if e.getMessage.contains("twice") => false }
+      assert(consistent || sentinelSeen.get(),
+        "the store is corrupt but NO call reported it — the sentinel " +
+          "missed a silent double count/retract")
+    }
+  }
+
+  test("TAKEDOWN-dir retraction: a doc already DELETED from the corpus " +
+    "retracts from any directory holding its (doc_id, text) rows — the " +
+    "content-hash check proves the text is what the store counted, " +
+    "which is strictly stronger than a source-directory pin; tampered " +
+    "takedown payloads refuse") {
+    val corpus = scratchCorpus(Seq(1L -> "alpha beta", 2L -> "gamma delta",
+      3L -> "epsilon zeta"))
+    spark.sql("CALL graft_dfs.system.update_doc_freqs(table => " +
+      s"'ts.take', source_dir => '$corpus')")
+    // the takedown: doc 3 is REMOVED from the corpus entirely (the
+    // usual real-world order — content comes down first, statistics
+    // must follow without it)
+    import spark.implicits._
+    Seq(1L -> "alpha beta", 2L -> "gamma delta").toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$corpus/documents.parquet")
+    // retracting from the (now doc-3-less) corpus finds nothing…
+    val r0 = retractCall("ts.take", "doc_id = 3", corpus)
+    assert(r0.getAs[Long]("docsInSlice") == 0L, r0)
+    // …but the takedown payload itself carries the removed content
+    val payload = scratchCorpus(Seq(3L -> "epsilon zeta"))
+    val r = retractCall("ts.take", "true", payload)
+    assert(r.getAs[Long]("retracted") == 1L, r)
+    assert(storedDf("ts.take") ==
+      Map("alpha" -> 1L, "beta" -> 1L, "gamma" -> 1L, "delta" -> 1L))
+    assert(DfStore.nDocs(spark, "graft_dfs.ts.take") == 2L)
+    // a TAMPERED payload (doc 2 with altered text) refuses on the hash
+    val forged = scratchCorpus(Seq(2L -> "gamma TAMPERED"))
+    val e = intercept[Exception](retractCall("ts.take", "true", forged))
+    assert(chain(e).exists(_.contains("content-hash mismatch")), chain(e))
+  }
+
   test("the additivity sentinel stays armed on a RETRACTED store (the " +
     "delete-aware form): a duplicating interleave after a retraction " +
     "still refuses loudly on the epoch that caused it") {

@@ -203,4 +203,47 @@ class SignatureStoreSpec extends AnyFunSuite {
     val r = call("ds.lease", "true")
     assert(r.getAs[Long]("novel") > 0, r)
   }
+
+  test("signature retraction (round 15): retract_signatures forgets " +
+    "exactly the chosen docs with NO corpus read (the takedown case — " +
+    "where selects over the store's own ids), a re-run matches " +
+    "nothing, re-ingest RE-SIGNS exactly the forgotten docs, membership " +
+    "can cycle indefinitely in epoch order, and compaction folds the " +
+    "whole history to the newest state") {
+    call("ds.ret", "true")
+    val full = SignatureStore.storedSignatures(spark, "graft_ss.ds.ret")
+      .orderBy("doc_id").collect().toSeq
+    val fullIds = SignatureStore.storedIds(spark, s"$warehouse/ds/ret")
+      .collect().map(_.getLong(0)).toSet
+    def retract(where: String) = spark.sql(
+      "CALL graft_ss.system.retract_signatures(table => 'ds.ret', " +
+        s"where => '$where')").head()
+    val r1 = retract("doc_id % 4 = 1")
+    assert(r1.getAs[Long]("retracted") == fullIds.count(_ % 4 == 1), r1)
+    // forgotten: the served relation AND the membership probe both drop
+    // the retracted ids
+    val after = SignatureStore.storedIds(spark, s"$warehouse/ds/ret")
+      .collect().map(_.getLong(0)).toSet
+    assert(after == fullIds.filterNot(_ % 4 == 1))
+    assert(SignatureStore.storedSignatures(spark, "graft_ss.ds.ret")
+      .filter(col("doc_id") % 4 === 1).count() == 0)
+    // idempotent: the ids are no longer members
+    val r2 = retract("doc_id % 4 = 1")
+    assert(r2.getAs[Long]("retracted") == 0L &&
+      r2.getAs[Int]("epoch") == 0, r2)
+    // re-admission: the delete-aware probe reads them as novel again
+    val re = call("ds.ret", "true")
+    assert(re.getAs[Long]("novel") == r1.getAs[Long]("retracted"), re)
+    assert(SignatureStore.storedSignatures(spark, "graft_ss.ds.ret")
+      .orderBy("doc_id").collect().toSeq == full,
+      "re-signed state != the original store")
+    // second cycle + physical fold: NORMAL/DELETED/NORMAL/DELETED per
+    // cycled doc reconciles (and compacts) to the newest state exactly
+    val r3 = retract("doc_id % 4 = 1")
+    assert(r3.getAs[Long]("retracted") == r1.getAs[Long]("retracted"), r3)
+    SSTableOps.compactInPlace(spark, s"$warehouse/ds/ret", minThreshold = 2)
+    assert(SignatureStore.storedIds(spark, s"$warehouse/ds/ret")
+      .collect().map(_.getLong(0)).toSet == fullIds.filterNot(_ % 4 == 1),
+      "post-compaction cycled membership diverged")
+  }
 }
