@@ -46,6 +46,9 @@ object PerfProbe {
     if (args.headOption.contains("lifecyclescale")) {
       lifecycleScaleProbe(spark); spark.stop(); return
     }
+    if (args.headOption.contains("retractscale")) {
+      retractScaleProbe(spark); spark.stop(); return
+    }
 
     val docs = Tables.documents(spark, sfDir)
 
@@ -834,5 +837,86 @@ object PerfProbe {
     t("scan_deleteAware_folded")(
       spark.read.format("sstable").option("applydeletes", "true")
         .load(dir).count())
+  }
+
+  /** 10× scale probe for the round-15 retraction + covering-index
+    * paths: does a FIXED-size retraction (and a fixed-size rerank
+    * point-read fetch) stay flat as the store/index grows 10×? The
+    * expected shape: the retraction's probe/verify/subtract stages are
+    * delta-sized (point reads), and its one O(store) stage is the
+    * additivity sentinel's marker count (narrow key-only/reconciled
+    * rows) — so the slope should sit FAR below 10×; the probe prints
+    * the stages so a regression names itself. Warm-up discipline as in
+    * [[lifecycleScaleProbe]]: small (cold, discarded), big, small. */
+  private def retractScaleProbe(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    val wh = java.nio.file.Files.createTempDirectory("retrscale").toString
+    spark.conf.set("spark.sql.catalog.graft_rsc",
+      "graft.sources.sstable.spark.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_rsc.warehouse", wh)
+    spark.sql("CREATE NAMESPACE graft_rsc.p")
+    // synthetic corpus: deterministic text, ~8 tokens/doc
+    def corpus(n: Int): String = {
+      val dir = java.nio.file.Files.createTempDirectory(s"retrsrc$n").toString
+      spark.range(n).select(col("id").as("doc_id"),
+          concat(lit("alpha beta gamma delta word"), col("id") % 997,
+            lit(" tail"), col("id") % 31).as("text"))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    val retractN = 500
+    val results = Seq(20000, 200000, 20000).zipWithIndex.map {
+      case (n, run) =>
+        val src = corpus(n)
+        val tbl = s"p.df${n}_$run"
+        spark.sql(s"CALL graft_rsc.system.update_doc_freqs(table => " +
+          s"'$tbl', source_dir => '$src', autocompact => 8)")
+        val t0 = System.nanoTime()
+        spark.sql(s"CALL graft_rsc.system.retract_doc_freqs(table => " +
+          s"'$tbl', source_dir => '$src', " +
+          s"where => 'doc_id % ${n / retractN} = 7')")
+        val retractMs = (System.nanoTime() - t0) / 1e6
+        // fixed-size delta re-ingest against the (now delete-aware)
+        // membership probe — the post-retraction maintenance cost
+        val t1 = System.nanoTime()
+        spark.sql(s"CALL graft_rsc.system.update_doc_freqs(table => " +
+          s"'$tbl', source_dir => '$src', " +
+          s"where => 'doc_id % ${n / retractN} = 7', autocompact => 8)")
+        val readmitMs = (System.nanoTime() - t1) / 1e6
+        (n, run, retractMs, readmitMs)
+    }
+    results.foreach { case (n, run, r, a) =>
+      println(f"df n=$n%7d run=$run retract(${retractN}docs)=$r%8.0f ms  readmit=$a%8.0f ms")
+    }
+    val warm = results.drop(1)
+    println(f"df slope at 10x docs: retract ${warm(0)._3 / warm(1)._3}%.2fx, " +
+      f"readmit ${warm(0)._4 / warm(1)._4}%.2fx (10x = linear)")
+
+    // covering-index point reads: fixed 300-id fetch vs index size
+    val vecResults = Seq(10000, 100000, 10000).zipWithIndex.map {
+      case (n, run) =>
+        val dir = java.nio.file.Files.createTempDirectory(s"retrvec$n").toString
+        spark.range(n).select(col("id").as("vec_id"),
+            (col("id") % 4).cast("int").as("label"),
+            transform(sequence(lit(0), lit(7)),
+              i => ((col("id") + i) % 13).cast("float")).as("embedding"))
+          .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+        val tbl = s"p.ix${n}_$run"
+        spark.sql(s"CALL graft_rsc.system.build_ann_index(table => '$tbl', " +
+          s"source_dir => '$dir', kind => 'ivf', k => 4, iters => 1, " +
+          "store_vectors => true)")
+        val ids = spark.range(300).select((col("id") * (n / 300)).as("vec_id"))
+        val t0 = System.nanoTime()
+        val got = graft.operators.AnnIndex.loadVectorsFor(spark,
+          s"$wh/p/ix${n}_$run", ids).count()
+        val fetchMs = (System.nanoTime() - t0) / 1e6
+        require(got == 300, s"expected 300 vectors, got $got")
+        (n, run, fetchMs)
+    }
+    vecResults.foreach { case (n, run, f) =>
+      println(f"ann n=$n%7d run=$run fetch(300ids)=$f%8.0f ms")
+    }
+    val vwarm = vecResults.drop(1)
+    println(f"ann slope at 10x vectors: fetch ${vwarm(0)._3 / vwarm(1)._3}%.2fx (10x = linear)")
   }
 }

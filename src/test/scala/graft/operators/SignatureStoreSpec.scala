@@ -204,6 +204,41 @@ class SignatureStoreSpec extends AnyFunSuite {
     assert(r.getAs[Long]("novel") > 0, r)
   }
 
+  test("the flag-first crash window is conservative: a store whose " +
+    "'retracted' flag landed but whose tombstone generation never did " +
+    "(crash between the two appends) answers every probe EXACTLY like " +
+    "the un-crashed store — just via the delete-aware path — and both " +
+    "maintenance CALLs keep working on top") {
+    call("ds.crash", "doc_id % 2 = 0")
+    val before = SignatureStore.storedIds(spark, s"$warehouse/ds/crash")
+      .collect().map(_.getLong(0)).toSet
+    // forge the crash's leftover: the flag append alone (epoch 2
+    // registered, retracted flag set, ZERO tombstones)
+    def cellSql(name: String, v: String) =
+      s"named_struct('name', CAST('$name' AS BINARY), 'state', 'NORMAL', " +
+        s"'value', CAST('$v' AS BINARY), 'timestamp', CAST(2 AS BIGINT), " +
+        "'ttlSecs', CAST(0 AS BIGINT), 'expiresMillis', CAST(0 AS BIGINT))"
+    val noTomb = "CAST(NULL AS STRUCT<localDeletionTime: INT, markedForDeleteAt: BIGINT>)"
+    spark.sql("INSERT INTO graft_ss.ds.crash VALUES " +
+      s"(CAST('_meta' AS BINARY), array(${cellSql("e:000002", "-5")}, " +
+      s"${cellSql("retracted", "2")}), $noTomb)")
+    // membership unchanged — the delete-aware probe finds no tombstones
+    assert(SignatureStore.storedIds(spark, s"$warehouse/ds/crash")
+      .collect().map(_.getLong(0)).toSet == before,
+      "a flag without tombstones must not change membership")
+    // and the maintainers continue: ingest skips the stored half…
+    val r = call("ds.crash", "true")
+    assert(r.getAs[Long]("alreadyStored") == before.size, r)
+    // …and a real retraction lands at epoch 4 (> the crashed 2 and the
+    // re-ingest's 3), doing exactly what it says
+    val rr = spark.sql("CALL graft_ss.system.retract_signatures(" +
+      "table => 'ds.crash', where => 'doc_id % 2 = 0')").head()
+    assert(rr.getAs[Int]("epoch") >= 4, rr)
+    assert(rr.getAs[Long]("retracted") == before.size, rr)
+    assert(SignatureStore.storedIds(spark, s"$warehouse/ds/crash")
+      .collect().map(_.getLong(0)).forall(_ % 2 == 1))
+  }
+
   test("signature retraction (round 15): retract_signatures forgets " +
     "exactly the chosen docs with NO corpus read (the takedown case — " +
     "where selects over the store's own ids), a re-run matches " +
