@@ -863,6 +863,31 @@ class DfStoreSpec extends AnyFunSuite {
     assert(chain(e).exists(_.contains("content-hash mismatch")), chain(e))
   }
 
+  test("the streaming scorer follows retraction: a retract_doc_freqs " +
+    "epoch landing between micro-batches REDUCES the statistics the " +
+    "next batch scores against — point-read serving nets the negative " +
+    "partials exactly (the serving faces of retraction and streaming " +
+    "compose)") {
+    val dir0 = scratchCorpus(Seq(1L -> "alpha beta", 2L -> "alpha gamma",
+      3L -> "beta zeta"))
+    spark.sql("CALL graft_dfs.system.update_doc_freqs(table => " +
+      s"'ts.score', source_dir => '$dir0')")
+    val storeDir = s"$warehouse/ts/score"
+    import spark.implicits._
+    val probe = Seq(20L -> "beta beta").toDF("doc_id", "text")
+    val before = graft.streaming.StreamingTfIdfScore
+      .scoreBatch(probe, storeDir).select("score_e4").head().getLong(0)
+    // n=3, df(beta)=2, tf=2 -> (2*3*10000) div 2 = 30000
+    assert(before == 30000L, before)
+    retractCall("ts.score", "doc_id = 3", dir0)
+    val after = graft.streaming.StreamingTfIdfScore
+      .scoreBatch(probe, storeDir).select("score_e4").head().getLong(0)
+    // n=2, df(beta)=1 -> (2*2*10000) div 1 = 40000
+    assert(after == 40000L,
+      s"the next micro-batch must score against the RETRACTED " +
+        s"statistics, got $after")
+  }
+
   test("the additivity sentinel stays armed on a RETRACTED store (the " +
     "delete-aware form): a duplicating interleave after a retraction " +
     "still refuses loudly on the epoch that caused it") {
