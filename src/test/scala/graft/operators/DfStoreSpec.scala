@@ -863,6 +863,45 @@ class DfStoreSpec extends AnyFunSuite {
     assert(chain(e).exists(_.contains("content-hash mismatch")), chain(e))
   }
 
+  test("retraction is unit-agnostic: a 'para' store (boilerplate " +
+    "statistics) subtracts paragraph-digest counts exactly, and a " +
+    "mismatched-unit retraction refuses") {
+    val dir = scratchCorpus(Seq(
+      1L -> "the same exact boiler plate text here plus one",
+      2L -> "the same exact boiler plate text here plus two",
+      3L -> "fresh novel words all their own here also four"))
+    spark.sql("CALL graft_dfs.system.update_doc_freqs(table => " +
+      s"'ts.para', source_dir => '$dir', unit => 'para')")
+    def paraDf(where: String): Map[String, Long] =
+      graft.Tables.documents(spark, dir).filter(expr(where))
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+        .groupBy(col("doc_id"), floor(col("pos") / Params.ParaWords))
+        .agg(array_join(transform(array_sort(collect_list(
+          struct(col("pos"), col("word")))), x => x.getField("word")), " ")
+          .as("para"))
+        .select(col("doc_id"), md5(col("para")).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("df"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(DfStore.docFreqs(spark, "graft_dfs.ts.para")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      paraDf("true"))
+    // wrong unit refuses before anything lands
+    val e = intercept[Exception](spark.sql(
+      "CALL graft_dfs.system.retract_doc_freqs(table => 'ts.para', " +
+        s"source_dir => '$dir', where => 'doc_id = 2')"))
+    assert(chain(e).exists(_.contains("'para'")), chain(e))
+    // the para retraction subtracts the digest counts exactly
+    val r = spark.sql("CALL graft_dfs.system.retract_doc_freqs(" +
+      "table => 'ts.para', source_dir => " +
+      s"'$dir', where => 'doc_id = 2', unit => 'para')").head()
+    assert(r.getAs[Long]("retracted") == 1L, r)
+    assert(DfStore.docFreqs(spark, "graft_dfs.ts.para")
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap ==
+      paraDf("doc_id <> 2"),
+      "para retraction diverged from the remaining-corpus recompute")
+  }
+
   test("the streaming scorer follows retraction: a retract_doc_freqs " +
     "epoch landing between micro-batches REDUCES the statistics the " +
     "next batch scores against — point-read serving nets the negative " +
