@@ -157,8 +157,10 @@ object DfStore {
     * a mid-DROP residue before an undrop restored the full marker set.
     * One key-only scan verifies it; [[update]] runs it after every
     * append so a violation is LOUD on the very call that caused it. */
+  /** Returns the live membership-marker count it verified (the CALL
+    * audit's receipt); throws the loud diagnosis on inconsistency. */
   def auditAdditivity(s: SparkSession, storeDir: String,
-                      nTotal: Long, context: String): Unit = {
+                      nTotal: Long, context: String): Long = {
     val storage = graft.sources.sstable.Storage.forPath(storeDir,
       s.sessionState.newHadoopConf())
     if (hasRetractions(storeDir, storage)) {
@@ -180,6 +182,7 @@ object DfStore {
           "maintainer, or a maintainer that raced a DROP/undrop). The " +
           "affected epochs' partials are additive and now corrupt: DROP " +
           "the store and rebuild it")
+      live
     } else {
       val m = s.read.format("sstable").load(storeDir)
         .select(col("key").cast("string").as("k"))
@@ -195,6 +198,7 @@ object DfStore {
           "(a concurrent update, or an update that raced a DROP/undrop). " +
           "The affected epochs' partials are additive and now corrupt: " +
           "DROP the store and rebuild it")
+      distinctKeys
     }
   }
 

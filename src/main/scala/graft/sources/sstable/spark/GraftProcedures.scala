@@ -806,6 +806,33 @@ private[spark] object GraftProcedures {
             storage.listDataFiles(dir).length))
         }),
 
+      "audit_doc_freqs" -> new Proc(
+        "audit_doc_freqs",
+        "run the df store's additivity sentinel ON DEMAND: verify that " +
+          "the signed sum of the _n epoch partials equals the live " +
+          "membership-marker count (with no duplicate marker versions " +
+          "on append-only stores) — the invariant that breaks exactly " +
+          "when a duplicating or double-retracting interleave corrupted " +
+          "the additive statistics. The maintenance CALLs run this " +
+          "after every append/retraction; this CALL exposes it for " +
+          "operational checks (post-undrop, post-restore, periodic " +
+          "fleet audits). Returns the verified counts; an inconsistent " +
+          "store throws the same loud diagnosis the maintainers raise",
+        Array(tableParam),
+        StructType(Seq(
+          StructField("nDocs", LongType, nullable = false),
+          StructField("liveMarkers", LongType, nullable = false),
+          StructField("consistent", BooleanType, nullable = false))),
+        (spark, in) => {
+          require(!in.isNullAt(0), "argument 'table' is required")
+          val tableName = in.getUTF8String(0).toString
+          resolveParent(tableName) // loud on a missing namespace
+          val n = graft.operators.DfStore.nDocs(spark, qualified(tableName))
+          val live = graft.operators.DfStore.auditAdditivity(
+            spark, dirOf(in), n, "CALL audit_doc_freqs")
+          Seq(row(n, live, true))
+        }),
+
       "retract_doc_freqs" -> new Proc(
         "retract_doc_freqs",
         "retract documents from a df store WITHOUT rescanning the " +

@@ -863,6 +863,39 @@ class DfStoreSpec extends AnyFunSuite {
     assert(chain(e).exists(_.contains("content-hash mismatch")), chain(e))
   }
 
+  test("CALL audit_doc_freqs exposes the sentinel on demand: a healthy " +
+    "store (append-only AND retracted) returns matching counts; a " +
+    "forged duplicate marker raises the same loud diagnosis the " +
+    "maintainers do") {
+    val dir = scratchCorpus(Seq(1L -> "alpha beta", 2L -> "gamma delta",
+      3L -> "epsilon zeta"))
+    spark.sql("CALL graft_dfs.system.update_doc_freqs(table => " +
+      s"'ts.auditcall', source_dir => '$dir')")
+    val a1 = spark.sql(
+      "CALL graft_dfs.system.audit_doc_freqs(table => 'ts.auditcall')").head()
+    assert(a1.getAs[Long]("nDocs") == 3L &&
+      a1.getAs[Long]("liveMarkers") == 3L &&
+      a1.getAs[Boolean]("consistent"), a1)
+    retractCall("ts.auditcall", "doc_id = 2", dir)
+    val a2 = spark.sql(
+      "CALL graft_dfs.system.audit_doc_freqs(table => 'ts.auditcall')").head()
+    assert(a2.getAs[Long]("nDocs") == 2L &&
+      a2.getAs[Long]("liveMarkers") == 2L, a2)
+    // forge the corruption: a duplicate live marker without a partial
+    def cellSql(name: String, v: String) =
+      s"named_struct('name', CAST('$name' AS BINARY), 'state', 'NORMAL', " +
+        s"'value', CAST('$v' AS BINARY), 'timestamp', CAST(99 AS BIGINT), " +
+        "'ttlSecs', CAST(0 AS BIGINT), 'expiresMillis', CAST(0 AS BIGINT))"
+    val noTomb = "CAST(NULL AS STRUCT<localDeletionTime: INT, markedForDeleteAt: BIGINT>)"
+    spark.sql("INSERT INTO graft_dfs.ts.auditcall VALUES " +
+      s"(CAST('d:${"%012d".format(7)}' AS BINARY), " +
+      s"array(${cellSql("e", "99")}), $noTomb)")
+    val e = intercept[Exception](spark.sql(
+      "CALL graft_dfs.system.audit_doc_freqs(table => 'ts.auditcall')")
+      .head())
+    assert(chain(e).exists(_.contains("INCONSISTENT")), chain(e))
+  }
+
   test("retraction is unit-agnostic: a 'para' store (boilerplate " +
     "statistics) subtracts paragraph-digest counts exactly, and a " +
     "mismatched-unit retraction refuses") {
