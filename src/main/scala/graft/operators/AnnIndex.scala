@@ -39,10 +39,11 @@ object AnnIndex {
   /** Cell timestamps are the write EPOCH (deterministic — a wall clock
     * would make otherwise-identical rebuilds hash-diverge): a build is
     * epoch 1, and every later writer (batch update, streaming ingest,
-    * retraction) registers epoch = max registered + 1 in the `_meta`
-    * row's `e:` cells and stamps its cells with it. The ordering is
-    * what lets a vector RETRACTION's row tombstone shadow exactly the
-    * history before it, and a later RE-ADDITION rise above the mark. */
+    * retraction) registers epoch = max registered + 1 via the `_meta`
+    * row's LWW `emax` cell and stamps its cells with it. The ordering
+    * is what lets a vector RETRACTION's row tombstone shadow exactly
+    * the history before it, and a later RE-ADDITION rise above the
+    * mark. */
   private val Ts = 1L
 
   private def cell(name: String, value: Column, ts: Long = Ts): Column =
@@ -72,12 +73,18 @@ object AnnIndex {
       }.toMap).getOrElse(Map.empty)
   }
 
-  /** Registered write epochs (`e:` cells; a pre-epoch-era index has
-    * none and reads as epoch 1 — its fixed ts=1 cells ARE epoch 1). */
-  private[graft] def epochsOfIdx(idxDir: String,
-                                 storage: graft.sources.sstable.Storage): Seq[Int] =
-    metaLive(idxDir, storage).keys
-      .filter(_.startsWith("e:")).map(_.stripPrefix("e:").toInt).toSeq
+  /** The newest registered write epoch — the `_meta` row's single LWW
+    * `emax` cell (ts=epoch, so later writers win). ONE cell
+    * deliberately, not one per epoch: the max is all any reader needs,
+    * and a per-epoch cell would grow the `_meta` row by one cell per
+    * streaming micro-batch forever — the unbounded-row-width defect
+    * the df store's consolidation exists to fix (its `_n` row truly
+    * needs per-epoch ADDITIVE partials; this index does not). A
+    * pre-epoch-era index has no `emax` and reads as epoch 1 — its
+    * fixed ts=1 cells ARE epoch 1. */
+  private[graft] def maxEpochOfIdx(idxDir: String,
+                                   storage: graft.sources.sstable.Storage): Int =
+    metaLive(idxDir, storage).get("emax").map(_.toInt).getOrElse(1)
 
   /** Whether any [[retractVectors]] epoch ever landed — switches the
     * novelty probe to its delete-aware form. */
@@ -85,11 +92,12 @@ object AnnIndex {
                                     storage: graft.sources.sstable.Storage): Boolean =
     metaLive(idxDir, storage).contains("retracted")
 
-  /** The `_meta` epoch-registration row riding a writer's own append. */
-  private def epochMetaRow(s: SparkSession, epoch: Int, touched: Long,
+  /** The `_meta` epoch-registration row riding a writer's own append:
+    * the single LWW `emax` cell plus any extra flag cells. */
+  private def epochMetaRow(s: SparkSession, epoch: Int,
                            extra: Seq[(String, String)] = Nil): DataFrame =
     s.range(1).select(lit("_meta").cast("binary").as("key"),
-      array((Seq(s"e:${epochTag(epoch)}" -> touched.toString) ++ extra)
+      array((Seq("emax" -> epoch.toString) ++ extra)
         .map { case (n, v) => strCell(n, lit(v), epoch) }: _*).as("columns"),
       noTombstone)
 
@@ -210,7 +218,7 @@ object AnnIndex {
       lit("_meta").cast("binary").as("key"),
       array(
         strCell("dim", lit(dim)),
-        strCell(s"e:${epochTag(1)}", lit(nvec)),
+        strCell("emax", lit(1)),
         strCell("iters", lit(iters)),
         strCell("k", lit(k)),
         strCell("kind", lit(kind)),
@@ -527,7 +535,7 @@ object AnnIndex {
       s.sessionState.newHadoopConf())
     val receipt = graft.sources.sstable.MaintenanceLease.withLease(idxDir,
       idxStorage, "update_ann_index") { _ =>
-    val epoch = epochsOfIdx(idxDir, idxStorage).maxOption.getOrElse(1) + 1
+    val epoch = maxEpochOfIdx(idxDir, idxStorage) + 1
     // novelty fetch shared with the signature/df stores — broadcast is
     // size-gated there (VERDICT r14 #4: merge-scale deltas shuffle)
     val (novelSrc, releaseIds) =
@@ -570,7 +578,7 @@ object AnnIndex {
             .cast("binary").as("key"),
           array(cellCols: _*).as("columns"),
           noTombstone)
-          .unionAll(epochMetaRow(s, epoch, encoded))
+          .unionAll(epochMetaRow(s, epoch))
         val view = s"graft_ann_upd_${java.util.UUID.randomUUID().toString.replace("-", "")}"
         rows.createOrReplaceTempView(view)
         try s.sql(s"INSERT INTO $qualifiedTable SELECT * FROM $view")
@@ -617,14 +625,14 @@ object AnnIndex {
       s.sessionState.newHadoopConf())
     val receipt = graft.sources.sstable.MaintenanceLease.withLease(idxDir,
       storage, "retract_ann_vectors") { _ =>
-      val epoch = epochsOfIdx(idxDir, storage).maxOption.getOrElse(1) + 1
+      val epoch = maxEpochOfIdx(idxDir, storage) + 1
       val victims = indexedVecIds(s, idxDir).filter(expr(whereSql)).persist()
       try {
         val matched = victims.count()
         if (matched == 0) (0L, 0)
         else {
           val before = storage.listDataFiles(idxDir)
-          epochMetaRow(s, epoch, -matched,
+          epochMetaRow(s, epoch,
               Seq("retracted" -> epoch.toString))
             .write.format("sstable")
             .option(graft.sources.sstable.spark.SSTableSource.JobTagOption,
@@ -658,7 +666,7 @@ object AnnIndex {
 
   /** [[epochMetaRow]] for the streaming ingest's tagged appends (the
     * streaming writer's frames carry no rowTombstone column). */
-  private[graft] def streamingEpochMetaRow(s: SparkSession, epoch: Int,
-                                           touched: Long): DataFrame =
-    epochMetaRow(s, epoch, touched).select(col("key"), col("columns"))
+  private[graft] def streamingEpochMetaRow(s: SparkSession,
+                                           epoch: Int): DataFrame =
+    epochMetaRow(s, epoch).select(col("key"), col("columns"))
 }

@@ -60,30 +60,31 @@ object SignatureStore {
 
   private def epochTag(e: Int): String = f"$e%06d"
 
-  /** Write epochs so far, from the `_meta` row's `e:` cells — one
-    * driver-side reconciled point read. Every writer (update AND
-    * retract) registers its epoch here and stamps its cells ts=epoch,
-    * so deletion and re-admission shadow each other in write order (a
-    * fixed timestamp could never re-admit past a tombstone). Epoch 1
-    * writes ts=1 — byte-identical to the pre-epoch era, so existing
-    * stores continue seamlessly (their unregistered history IS epoch
-    * 1; the first new write lands as epoch 1 too, colliding nowhere:
-    * distinct doc_ids never reconcile, and the novelty probe keeps
-    * same-id rewrites out). */
-  private def epochsOf(storeDir: String,
-                       storage: graft.sources.sstable.Storage): Seq[Int] = {
-    if (!storage.exists(storeDir)) return Nil
+  /** The newest registered write epoch, from the `_meta` row's single
+    * LWW `emax` cell — one driver-side reconciled point read. Every
+    * writer (update AND retract) bumps it and stamps its cells
+    * ts=epoch, so deletion and re-admission shadow each other in write
+    * order (a fixed timestamp could never re-admit past a tombstone).
+    * ONE cell deliberately, not one per epoch: the max is all any
+    * reader needs, and a per-epoch cell would grow the `_meta` row by
+    * one cell per write forever — the same unbounded-row-width defect
+    * the df store's consolidation exists to fix (its `_n` row truly
+    * needs per-epoch ADDITIVE partials; this store does not). Epoch 1
+    * writes ts=1 — byte-compatible with the pre-epoch era, whose
+    * unregistered history reads as epoch 1. */
+  private def maxEpochOf(storeDir: String,
+                         storage: graft.sources.sstable.Storage): Int = {
+    if (!storage.exists(storeDir)) return 0
     val prober = new graft.sources.sstable.SSTableReader.DirectoryProber(
       storeDir, storage)
     prober.get(MetaKey.getBytes(java.nio.charset.StandardCharsets.UTF_8),
         gcTombstones = true)
-      .map(_.columns.collect {
+      .flatMap(_.columns.collectFirst {
         case c: graft.sources.sstable.Column.Normal
           if new String(c.name,
-            java.nio.charset.StandardCharsets.UTF_8).startsWith("e:") =>
-          new String(c.name, java.nio.charset.StandardCharsets.UTF_8)
-            .stripPrefix("e:").toInt
-      }).getOrElse(Seq.empty)
+            java.nio.charset.StandardCharsets.UTF_8) == "emax" =>
+          new String(c.value, java.nio.charset.StandardCharsets.UTF_8).toInt
+      }).getOrElse(0)
   }
 
   /** Whether any [[retract]] epoch ever landed — the flag rides the
@@ -167,16 +168,16 @@ object SignatureStore {
         .as("rowTombstone"))
 
   /** The `_meta` epoch-registration row riding a writer's own append:
-    * one `e:<epoch>` cell (value = docs touched, negative for a
-    * retraction) plus any extra flag cells, all at ts=epoch. */
-  private def epochMetaRow(s: SparkSession, epoch: Int, touched: Long,
+    * the single LWW `emax` cell (ts=epoch, so later writers win) plus
+    * any extra flag cells. */
+  private def epochMetaRow(s: SparkSession, epoch: Int,
                            extra: Seq[(String, String)] = Nil): DataFrame = {
     def cell(name: String, v: String) =
       struct(lit(name).cast("binary").as("name"), lit("NORMAL").as("state"),
         lit(v).cast("binary").as("value"), lit(epoch.toLong).as("timestamp"),
         lit(0L).as("ttlSecs"), lit(0L).as("expiresMillis"))
     s.range(1).select(lit(MetaKey).cast("binary").as("key"),
-      array((Seq(s"e:${epochTag(epoch)}" -> touched.toString) ++ extra)
+      array((Seq("emax" -> epoch.toString) ++ extra)
         .map { case (n, v) => cell(n, v) }: _*).as("columns"),
       lit(null).cast("struct<localDeletionTime: int, markedForDeleteAt: bigint>")
         .as("rowTombstone"))
@@ -254,7 +255,7 @@ object SignatureStore {
       "update_signatures") { _ =>
       val storage = graft.sources.sstable.Storage.forPath(dir,
         s.sessionState.newHadoopConf())
-      val epoch = epochsOf(dir, storage).maxOption.getOrElse(0) + 1
+      val epoch = maxEpochOf(dir, storage) + 1
       val hasRows = !fresh && storedIds(s, dir).limit(1).count() > 0
       val (novelSrc, releaseIds) = if (hasRows)
         novelDocs(corpus, storedIds(s, dir)) else (corpus, () => ())
@@ -264,7 +265,7 @@ object SignatureStore {
         if (novelCount > 0) {
           val view = s"graft_sig_upd_${java.util.UUID.randomUUID().toString.replace("-", "")}"
           signatureRows(signatures(novel), epoch)
-            .unionAll(epochMetaRow(s, epoch, novelCount))
+            .unionAll(epochMetaRow(s, epoch))
             .createOrReplaceTempView(view)
           try s.sql(s"INSERT INTO $qualifiedTable SELECT * FROM $view")
           finally s.catalog.dropTempView(view)
@@ -318,14 +319,14 @@ object SignatureStore {
       s.sessionState.newHadoopConf())
     val receipt = graft.sources.sstable.MaintenanceLease.withLease(dir,
       storage, "retract_signatures") { _ =>
-      val epoch = epochsOf(dir, storage).maxOption.getOrElse(0) + 1
+      val epoch = maxEpochOf(dir, storage) + 1
       val victims = storedIds(s, dir).filter(expr(whereSql)).persist()
       try {
         val matched = victims.count()
         if (matched == 0) (0L, 0)
         else {
           val before = storage.listDataFiles(dir)
-          epochMetaRow(s, epoch, -matched,
+          epochMetaRow(s, epoch,
               Seq("retracted" -> epoch.toString))
             .write.format("sstable")
             .option(graft.sources.sstable.spark.SSTableSource.JobTagOption,

@@ -101,8 +101,7 @@ object StreamingAnnIngest {
     // the registered write epoch stamps this batch's cells so a later
     // retraction mark / re-addition orders correctly; read AFTER the
     // replay unpublish, so a retried epoch recomputes the same number
-    val epoch = AnnIndex.epochsOfIdx(idxDir, storage)
-      .maxOption.getOrElse(1) + 1
+    val epoch = AnnIndex.maxEpochOfIdx(idxDir, storage) + 1
 
     // in-batch dedup (at-least-once sources) + derived norm, the same
     // (vec_id, v, nrm) shape the batch encoders consume
@@ -159,7 +158,7 @@ object StreamingAnnIngest {
                 .pack_doubles(col("v")), epoch)) else Nil)
         joined.select(keyOfVec(col("vec_id")).as("key"),
             array(cellCols: _*).as("columns"))
-          .unionAll(AnnIndex.streamingEpochMetaRow(spark, epoch, novelCount))
+          .unionAll(AnnIndex.streamingEpochMetaRow(spark, epoch))
           .write.format("sstable")
           .option(graft.sources.sstable.spark.SSTableSource.JobTagOption, jobTag)
           .mode("append").save(idxDir)

@@ -220,7 +220,7 @@ class SignatureStoreSpec extends AnyFunSuite {
         "'ttlSecs', CAST(0 AS BIGINT), 'expiresMillis', CAST(0 AS BIGINT))"
     val noTomb = "CAST(NULL AS STRUCT<localDeletionTime: INT, markedForDeleteAt: BIGINT>)"
     spark.sql("INSERT INTO graft_ss.ds.crash VALUES " +
-      s"(CAST('_meta' AS BINARY), array(${cellSql("e:000002", "-5")}, " +
+      s"(CAST('_meta' AS BINARY), array(${cellSql("emax", "2")}, " +
       s"${cellSql("retracted", "2")}), $noTomb)")
     // membership unchanged — the delete-aware probe finds no tombstones
     assert(SignatureStore.storedIds(spark, s"$warehouse/ds/crash")
