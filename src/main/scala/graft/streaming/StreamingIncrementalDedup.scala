@@ -44,7 +44,18 @@ import graft.sources.sstable.{LocalStorage, SSTableFiles, Storage}
   *     the state the failed attempt saw).
   *
   * `emit` gets (novelDocs, epochId) and owns downstream exactly-once
-  * (the standard foreachBatch contract). */
+  * (the standard foreachBatch contract).
+  *
+  * Retraction deliberately does NOT exist for this store (round 15,
+  * while the other three persisted structures gained it): its keys are
+  * CONTENT fingerprints, not document identities — removing a
+  * fingerprint would not forget a document, it would forget content,
+  * re-admitting every future copy of it (usually the opposite of a
+  * takedown's intent, where the content should stay blocked or is
+  * gone). Document-grain forgetting lives on the doc_id-keyed catalog
+  * store (`CALL retract_signatures`); this history is an operational
+  * dedup cache, rebuildable from the emitted corpus if policy ever
+  * requires a purge. */
 object StreamingIncrementalDedup {
 
   def start(docs: DataFrame, storeDir: String, checkpointDir: String,
