@@ -57,21 +57,12 @@ object AnnIndex {
   private def epochTag(e: Int): String = f"$e%06d"
 
   /** The `_meta` row's live cells, one driver-side reconciled point
-    * read (no job). */
+    * read (no job) — the shared [[graft.sources.sstable.SSTableReader
+    * .liveCellMap]] decode. */
   private def metaLive(idxDir: String,
                        storage: graft.sources.sstable.Storage)
-      : Map[String, String] = {
-    if (!storage.exists(idxDir)) return Map.empty
-    val prober = new graft.sources.sstable.SSTableReader.DirectoryProber(
-      idxDir, storage)
-    prober.get("_meta".getBytes(java.nio.charset.StandardCharsets.UTF_8),
-        gcTombstones = true)
-      .map(_.columns.collect {
-        case c: graft.sources.sstable.Column.Normal =>
-          (new String(c.name, java.nio.charset.StandardCharsets.UTF_8),
-            new String(c.value, java.nio.charset.StandardCharsets.UTF_8))
-      }.toMap).getOrElse(Map.empty)
-  }
+      : Map[String, String] =
+    graft.sources.sstable.SSTableReader.liveCellMap(idxDir, storage, "_meta")
 
   /** The newest registered write epoch — the `_meta` row's single LWW
     * `emax` cell (ts=epoch, so later writers win). ONE cell

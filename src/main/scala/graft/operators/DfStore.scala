@@ -101,18 +101,8 @@ object DfStore {
     * does not exist yet. */
   private[graft] def metaCellsOf(storeDir: String,
                                  storage: graft.sources.sstable.Storage)
-      : Map[String, String] = {
-    if (!storage.exists(storeDir)) return Map.empty
-    val prober = new graft.sources.sstable.SSTableReader.DirectoryProber(
-      storeDir, storage)
-    prober.get(MetaKey.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-        gcTombstones = true)
-      .map(_.columns.collect {
-        case c: graft.sources.sstable.Column.Normal =>
-          (new String(c.name, java.nio.charset.StandardCharsets.UTF_8),
-            new String(c.value, java.nio.charset.StandardCharsets.UTF_8))
-      }.toMap).getOrElse(Map.empty)
-  }
+      : Map[String, String] =
+    graft.sources.sstable.SSTableReader.liveCellMap(storeDir, storage, MetaKey)
 
   /** Whether any [[retract]] epoch ever landed on this store — the flag
     * rides the SAME atomic append as the retraction itself (a `retracted`
@@ -604,7 +594,10 @@ object DfStore {
           .maxOption(Ordering.String)
         val maxFold = nTags.filter(_.startsWith("F")).map(_.stripPrefix("F"))
           .maxOption(Ordering.String)
-        if (maxEpoch.isEmpty) (0L, 0L, "")
+        // both nothing-to-fold exits report the same coveredTag — the
+        // newest existing fold's (review find: the two branches used to
+        // disagree, "" vs the fold tag, for the same logical state)
+        if (maxEpoch.isEmpty) (0L, 0L, maxFold.getOrElse(""))
         else {
           val tag = maxEpoch.get
           // per (row, prefix): total + constituent names, skipping

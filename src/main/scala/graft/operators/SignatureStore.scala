@@ -73,38 +73,18 @@ object SignatureStore {
     * writes ts=1 — byte-compatible with the pre-epoch era, whose
     * unregistered history reads as epoch 1. */
   private def maxEpochOf(storeDir: String,
-                         storage: graft.sources.sstable.Storage): Int = {
-    if (!storage.exists(storeDir)) return 0
-    val prober = new graft.sources.sstable.SSTableReader.DirectoryProber(
-      storeDir, storage)
-    prober.get(MetaKey.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-        gcTombstones = true)
-      .flatMap(_.columns.collectFirst {
-        case c: graft.sources.sstable.Column.Normal
-          if new String(c.name,
-            java.nio.charset.StandardCharsets.UTF_8) == "emax" =>
-          new String(c.value, java.nio.charset.StandardCharsets.UTF_8).toInt
-      }).getOrElse(0)
-  }
+                         storage: graft.sources.sstable.Storage): Int =
+    graft.sources.sstable.SSTableReader.liveCellMap(storeDir, storage, MetaKey)
+      .get("emax").map(_.toInt).getOrElse(0)
 
   /** Whether any [[retract]] epoch ever landed — the flag rides the
     * same atomic append as the tombstones it announces and switches the
     * membership probe to its delete-aware form. */
   private[graft] def hasRetractions(storeDir: String,
                                     storage: graft.sources.sstable.Storage)
-      : Boolean = {
-    if (!storage.exists(storeDir)) return false
-    val prober = new graft.sources.sstable.SSTableReader.DirectoryProber(
-      storeDir, storage)
-    prober.get(MetaKey.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-        gcTombstones = true)
-      .exists(_.columns.exists {
-        case c: graft.sources.sstable.Column.Normal =>
-          new String(c.name,
-            java.nio.charset.StandardCharsets.UTF_8) == "retracted"
-        case _ => false
-      })
-  }
+      : Boolean =
+    graft.sources.sstable.SSTableReader.liveCellMap(storeDir, storage, MetaKey)
+      .contains("retracted")
 
   /** doc_ids currently in the store. Append-only stores (the common
     * case) use a KEY-ONLY raw scan — the DSv2 source plans it
@@ -250,11 +230,10 @@ object SignatureStore {
     // instead of relying on detect-after (the write-triggered
     // autocompact inside the INSERT sees the held lease and simply
     // skips; the next write folds)
+    val storage = graft.sources.sstable.Storage.forPath(dir,
+      s.sessionState.newHadoopConf())
     val receipt = graft.sources.sstable.MaintenanceLease.withLease(dir,
-      graft.sources.sstable.Storage.forPath(dir, s.sessionState.newHadoopConf()),
-      "update_signatures") { _ =>
-      val storage = graft.sources.sstable.Storage.forPath(dir,
-        s.sessionState.newHadoopConf())
+      storage, "update_signatures") { _ =>
       val epoch = maxEpochOf(dir, storage) + 1
       val hasRows = !fresh && storedIds(s, dir).limit(1).count() > 0
       val (novelSrc, releaseIds) = if (hasRows)

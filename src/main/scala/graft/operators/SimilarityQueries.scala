@@ -607,7 +607,11 @@ object SimilarityQueries {
       // BOTH the point-read key relation and the rerank join; without
       // the persist each branch would recompute the whole ADC pipeline
       // (measured 2.4× the query cost). CacheManager dedups by plan, so
-      // repeated serving calls reuse one cached copy.
+      // repeated serving calls reuse ONE cached copy per (session,
+      // corpus) — the same lifetime as this file's fixture caches,
+      // deliberately not unpersisted (the result DataFrame we return
+      // still depends on it; releasing is the session's prerogative,
+      // exactly like the trained-relation caches).
       val shortlist = approx.withColumn("rk", row_number().over(w))
         .filter(col("rk") <= RerankC)
         .select(col("q_id"), col("c_id"))

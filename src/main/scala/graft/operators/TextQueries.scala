@@ -23,28 +23,32 @@ object TextQueries {
     * hash-gates the SERVED end state against the full-recompute oracle:
     * incremental df partials sum to the exact corpus statistics, bit
     * for bit. */
-  /** The fixture store's DIRECTORY (the point-read serving shapes probe
-    * files directly) — same derivation as [[dfStoreFixture]]'s
-    * warehouse, deterministic from the corpus dir. */
-  private def dfStoreDir(d: String): String = {
-    val tag = java.security.MessageDigest.getInstance("MD5")
+  /** ONE home for the fixture naming (review find: four copies of the
+    * MD5-tag derivation had crept in — a drifted copy would point the
+    * point-read shapes at a nonexistent directory and surface only as
+    * a confusing hash-gate mismatch). Everything derives from here. */
+  private def dfTag(d: String): String =
+    java.security.MessageDigest.getInstance("MD5")
       .digest(d.getBytes).map("%02x".format(_)).mkString.take(16)
-    s"${System.getProperty("java.io.tmpdir")}/graft-df-$tag/ts/df"
-  }
+  private def dfWarehouse(d: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft-df-${dfTag(d)}"
+  private def dfCatalog(d: String): String = s"graft_df_${dfTag(d)}"
+
+  /** The fixture store's DIRECTORY (the point-read serving shapes probe
+    * files directly). */
+  private def dfStoreDir(d: String): String = s"${dfWarehouse(d)}/ts/df"
 
   private val dfStoreCache = new SessionCache[String]
   private def dfStoreFixture(s: SparkSession, d: String): String =
     dfStoreCache.getOrCompute(s, d) {
-      val tag = java.security.MessageDigest.getInstance("MD5")
-        .digest(d.getBytes).map("%02x".format(_)).mkString.take(16)
-      val wh = s"${System.getProperty("java.io.tmpdir")}/graft-df-$tag"
+      val wh = dfWarehouse(d)
       val root = java.nio.file.Paths.get(wh)
       if (java.nio.file.Files.exists(root)) {
         import scala.jdk.CollectionConverters._
         java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
           .foreach(java.nio.file.Files.delete)
       }
-      val cat = s"graft_df_$tag"
+      val cat = dfCatalog(d)
       s.conf.set(s"spark.sql.catalog.$cat",
         classOf[graft.sources.sstable.spark.GraftCatalog].getName)
       s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
@@ -76,9 +80,7 @@ object TextQueries {
   private def consolidatedStoreFixture(s: SparkSession, d: String): String =
     dfConsCache.getOrCompute(s, d) {
       dfStoreFixture(s, d) // the shared catalog + warehouse exist after this
-      val tag = java.security.MessageDigest.getInstance("MD5")
-        .digest(d.getBytes).map("%02x".format(_)).mkString.take(16)
-      val cat = s"graft_df_$tag"
+      val cat = dfCatalog(d)
       def call(where: String) = s.sql(
         s"CALL $cat.system.update_doc_freqs(table => 'ts.dfc', " +
           s"source_dir => '$d', where => '$where', autocompact => 3)").head()
@@ -110,9 +112,7 @@ object TextQueries {
   private def retractedStoreFixture(s: SparkSession, d: String): String =
     dfRetrCache.getOrCompute(s, d) {
       dfStoreFixture(s, d) // the shared catalog + warehouse exist after this
-      val tag = java.security.MessageDigest.getInstance("MD5")
-        .digest(d.getBytes).map("%02x".format(_)).mkString.take(16)
-      val cat = s"graft_df_$tag"
+      val cat = dfCatalog(d)
       s.sql(s"CALL $cat.system.update_doc_freqs(table => 'ts.dfr', " +
         s"source_dir => '$d', autocompact => 3)")
       val r = s.sql(s"CALL $cat.system.retract_doc_freqs(table => " +
@@ -262,7 +262,13 @@ object TextQueries {
     "q_tfidf_probe" -> ((s, d) => {
       dfStoreFixture(s, d) // built + receipt-checked once per session
       val dir = dfStoreDir(d)
-      val tf = deltaTf(s, d, col("doc_id") < TfidfDeltaDocs)
+      // persisted: tf feeds BOTH the point-read key relation (embedded
+      // as an RDD inside lookupJoin) and the score join's left side —
+      // without the cache the delta's tokenize + aggregation would
+      // execute twice per run (review find; same class as the rerank
+      // shortlist). One cached copy per (session, corpus), deduped by
+      // the CacheManager across repeated serving calls.
+      val tf = deltaTf(s, d, col("doc_id") < TfidfDeltaDocs).persist()
       scoreTfidf(tf, DfStore.docFreqsFor(tf.select(col("term")), dir),
         DfStore.nDocsProbe(dir))
     }),

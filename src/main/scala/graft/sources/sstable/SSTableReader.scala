@@ -338,6 +338,25 @@ object SSTableReader {
           gcTombstones: Boolean = false): Option[SSTableRow] =
     new DirectoryProber(dir, storage).get(key, gcTombstones)
 
+  /** One reconciled driver-side point read of `key`'s live NORMAL cells
+    * decoded as UTF-8 `(name → value)` — the shared `_meta`-row reader
+    * of the persisted stores' epoch/flag registries (signature store,
+    * df store, ANN index). ONE implementation so the decode can never
+    * drift between them (review find: three near-identical copies had
+    * grown). Empty when the directory or the row does not exist. */
+  def liveCellMap(dir: String, storage: Storage,
+                  key: String): Map[String, String] = {
+    if (!storage.exists(dir)) return Map.empty
+    new DirectoryProber(dir, storage)
+      .get(key.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        gcTombstones = true)
+      .map(_.columns.collect {
+        case c: Column.Normal =>
+          (new String(c.name, java.nio.charset.StandardCharsets.UTF_8),
+            new String(c.value, java.nio.charset.StandardCharsets.UTF_8))
+      }.toMap).getOrElse(Map.empty)
+  }
+
   /** Reusable multi-generation prober over a FIXED directory listing:
     * one listing + one metadata load (cache-served), many probes — the
     * shape a probe loop wants (`SSTableOps.lookupJoin` creates one per

@@ -359,14 +359,20 @@ class PlanQualitySpec extends AnyFunSuite {
       s"df must load from the persisted store:\n$plan")
   }
 
-  test("q_tfidf_probe: the store is POINT-READ, never scanned — one " +
-    "pruned corpus scan for tf, df from the index-nested-loop probe " +
-    "relation, no sstable batch scan anywhere in the plan (round 15)") {
+  test("q_tfidf_probe: the store is POINT-READ, never scanned — the tf " +
+    "aggregation is computed ONCE (cached; it feeds both the probe keys " +
+    "and the score join), its corpus scan is pruned, df arrives from " +
+    "the index-nested-loop probe relation, and no sstable batch scan " +
+    "appears anywhere (round 15)") {
     val plan = finalPlan("q_tfidf_probe")
     assert(plan.matches("(?s).*PushedFilters: \\[[^\\n]*doc_id.*"),
       s"the delta filter must reach the parquet scan:\n$plan")
-    assert("Scan parquet".r.findAllIn(plan).size == 1,
-      s"expected exactly one (pruned) corpus scan:\n$plan")
+    // the shared tf relation serves both consumers from ONE cached
+    // materialization — without it the delta's tokenize + aggregation
+    // would execute twice per run (review find)
+    assert(plan.contains("InMemoryTableScan") ||
+      plan.contains("TableCacheQueryStage"),
+      s"the tf aggregation must be served from the cache:\n$plan")
     assert(!plan.toLowerCase.contains("sstable"),
       s"the store must be probed (ExistingRDD), never batch-scanned:\n$plan")
     assert(plan.contains("ExistingRDD"),
