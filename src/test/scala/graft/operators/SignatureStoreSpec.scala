@@ -204,6 +204,91 @@ class SignatureStoreSpec extends AnyFunSuite {
     assert(r.getAs[Long]("novel") > 0, r)
   }
 
+  test("storm: retract_signatures racing update + DROP+undrop stays " +
+    "benign — every failure is a declared loud class, and the two " +
+    "membership read paths (the delete-aware raw probe and the " +
+    "DeleteShadow catalog read) agree EXACTLY on the end state, " +
+    "whatever interleaving won") {
+    spark.sql("CREATE NAMESPACE graft_ss.rstorm")
+    spark.sql("CALL graft_ss.system.update_signatures(table => " +
+      s"'rstorm.sig', source_dir => '$sfDir', where => 'true', " +
+      "autocompact => 3)")
+    val anomalies = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def legal(msgs: String): Boolean =
+      msgs.contains("rerun") || msgs.contains("mid-lifecycle") ||
+        msgs.contains("vanished") || msgs.contains("FileNotFound") ||
+        msgs.contains("does not exist") || msgs.contains("No such file") ||
+        msgs.contains("TABLE_OR_VIEW_NOT_FOUND") || msgs.contains("not found") ||
+        msgs.contains("lease") || msgs.contains("exists") ||
+        msgs.contains("no data and no _table pointer") ||
+        msgs.contains("residue") || msgs.contains("dropped") ||
+        msgs.contains("restoring") || msgs.contains("nothing to retract") ||
+        msgs.contains("MinHash")
+    val maintainer = new Thread(() => {
+      var i = 0
+      while (!stop.get()) {
+        i += 1
+        try {
+          if (i % 2 == 0)
+            spark.sql("CALL graft_ss.system.retract_signatures(table => " +
+              s"'rstorm.sig', where => 'doc_id % 5 = ${i % 5}')")
+          else
+            spark.sql("CALL graft_ss.system.update_signatures(table => " +
+              s"'rstorm.sig', source_dir => '$sfDir', autocompact => 3)")
+        } catch {
+          case e: Throwable =>
+            val msgs = Iterator.iterate[Throwable](e)(_.getCause)
+              .takeWhile(_ != null)
+              .flatMap(t => Seq(t.getClass.getSimpleName) ++ Option(t.getMessage))
+              .mkString(" | ")
+            if (!legal(msgs))
+              anomalies.add(s"maintainer unexpected ${e.getClass.getSimpleName}: $msgs")
+        }
+      }
+    }, "sig-rstorm-maintainer")
+    maintainer.start()
+    try {
+      for (_ <- 1 to 6) {
+        try {
+          spark.sql("DROP TABLE graft_ss.rstorm.sig")
+          spark.sql("CALL graft_ss.system.undrop_table(table => 'rstorm.sig')")
+        } catch {
+          case e: Throwable =>
+            val msgs = Iterator.iterate[Throwable](e)(_.getCause)
+              .takeWhile(_ != null)
+              .flatMap(t => Seq(t.getClass.getSimpleName) ++ Option(t.getMessage))
+              .mkString(" | ")
+            if (!legal(msgs))
+              anomalies.add(s"ddl unexpected ${e.getClass.getSimpleName}: $msgs")
+        }
+        Thread.sleep(50)
+      }
+    } finally {
+      stop.set(true)
+      maintainer.join(60000)
+    }
+    assert(anomalies.isEmpty, anomalies.toArray.mkString("\n"))
+    // the decisive invariant: the PROBE's view of membership (raw,
+    // delete-aware once retracted) and the SERVING view (catalog scan
+    // via the DeleteShadow hoist) must agree exactly — a fork here
+    // would re-sign docs that still serve, or serve docs the probe
+    // forgot
+    val table = spark.sql("SHOW TABLES IN graft_ss.rstorm").collect()
+      .exists(_.getString(1) == "sig")
+    if (table) {
+      val probe = SignatureStore.storedIds(spark, s"$warehouse/rstorm/sig")
+        .collect().map(_.getLong(0)).toSet
+      val serving = spark.table("graft_ss.rstorm.sig")
+        .filter(col("key") =!= lit("_meta".getBytes))
+        .select(col("key").cast("string").cast("bigint").as("doc_id"))
+        .collect().map(_.getLong(0)).toSet
+      assert(probe == serving,
+        s"membership views forked: probe-serving=${(probe -- serving).take(5)} " +
+          s"serving-probe=${(serving -- probe).take(5)}")
+    }
+  }
+
   test("the flag-first crash window is conservative: a store whose " +
     "'retracted' flag landed but whose tombstone generation never did " +
     "(crash between the two appends) answers every probe EXACTLY like " +
