@@ -419,6 +419,84 @@ class AnnIndexSpec extends AnyFunSuite {
       "post-compaction cycled membership diverged")
   }
 
+  test("storm: retract_ann_vectors racing update + DROP+undrop stays " +
+    "benign — every failure is a declared loud class, and the probe's " +
+    "membership view (delete-aware raw) agrees EXACTLY with the " +
+    "serving view (delete-aware loader) on the end state") {
+    spark.sql("CREATE NAMESPACE graft_ix.rstorm")
+    spark.sql("CALL graft_ix.system.build_ann_index(table => " +
+      s"'rstorm.ix', source_dir => '$sfDir', kind => 'ivf', k => 4, " +
+      "iters => 1)")
+    val anomalies = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def legal(msgs: String): Boolean =
+      msgs.contains("rerun") || msgs.contains("mid-lifecycle") ||
+        msgs.contains("vanished") || msgs.contains("FileNotFound") ||
+        msgs.contains("does not exist") || msgs.contains("No such file") ||
+        msgs.contains("TABLE_OR_VIEW_NOT_FOUND") || msgs.contains("not found") ||
+        msgs.contains("lease") || msgs.contains("exists") ||
+        msgs.contains("no data and no _table pointer") ||
+        msgs.contains("residue") || msgs.contains("dropped") ||
+        msgs.contains("restoring") || msgs.contains("nothing to retract") ||
+        msgs.contains("_meta")
+    val maintainer = new Thread(() => {
+      var i = 0
+      while (!stop.get()) {
+        i += 1
+        try {
+          if (i % 2 == 0)
+            spark.sql("CALL graft_ix.system.retract_ann_vectors(table => " +
+              s"'rstorm.ix', where => 'vec_id % 5 = ${i % 5}')")
+          else
+            spark.sql("CALL graft_ix.system.update_ann_index(table => " +
+              s"'rstorm.ix', source_dir => '$sfDir')")
+        } catch {
+          case e: Throwable =>
+            val msgs = Iterator.iterate[Throwable](e)(_.getCause)
+              .takeWhile(_ != null)
+              .flatMap(t => Seq(t.getClass.getSimpleName) ++ Option(t.getMessage))
+              .mkString(" | ")
+            if (!legal(msgs))
+              anomalies.add(s"maintainer unexpected ${e.getClass.getSimpleName}: $msgs")
+        }
+      }
+    }, "ann-rstorm-maintainer")
+    maintainer.start()
+    try {
+      for (_ <- 1 to 6) {
+        try {
+          spark.sql("DROP TABLE graft_ix.rstorm.ix")
+          spark.sql("CALL graft_ix.system.undrop_table(table => 'rstorm.ix')")
+        } catch {
+          case e: Throwable =>
+            val msgs = Iterator.iterate[Throwable](e)(_.getCause)
+              .takeWhile(_ != null)
+              .flatMap(t => Seq(t.getClass.getSimpleName) ++ Option(t.getMessage))
+              .mkString(" | ")
+            if (!legal(msgs))
+              anomalies.add(s"ddl unexpected ${e.getClass.getSimpleName}: $msgs")
+        }
+        Thread.sleep(50)
+      }
+    } finally {
+      stop.set(true)
+      maintainer.join(60000)
+    }
+    assert(anomalies.isEmpty, anomalies.toArray.mkString("\n"))
+    val table = spark.sql("SHOW TABLES IN graft_ix.rstorm").collect()
+      .exists(_.getString(1) == "ix")
+    if (table) {
+      val idx = s"$warehouse/rstorm/ix"
+      val probe = AnnIndex.indexedVecIds(spark, idx)
+        .collect().map(_.getLong(0)).toSet
+      val serving = AnnIndex.loadVectorCells(spark, idx)
+        .collect().map(_.getLong(0)).toSet
+      assert(probe == serving,
+        s"membership views forked: probe-serving=${(probe -- serving).take(5)} " +
+          s"serving-probe=${(serving -- probe).take(5)}")
+    }
+  }
+
   test("rebuilding the index is one atomic REPLACE: the new epoch swaps " +
     "in wholesale (no stale mix), and the receipt reflects new params") {
     val r = spark.sql("CALL graft_ix.system.build_ann_index(" +
