@@ -718,11 +718,13 @@ object DfStore {
     // counted, wherever it is read from now; a mismatch refuses. (The
     // ingest-side source pin stays — counting from a second corpus into
     // one store is the error it exists to refuse.)
-    val meta = s.table(qualifiedTable)
-      .filter(col("key") === lit(MetaKey.getBytes))
-      .select(explode(col("columns")).as("c"))
-      .select(col("c.name").cast("string"), col("c.value").cast("string"))
-      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // the reconciled live _meta read (ADVICE r15: the raw catalog
+    // collect's .toMap kept an ARBITRARY version of multi-version cells
+    // like 'retracted' — benign while only the write-once 'unit' is
+    // consulted, but the reconciled reader exists precisely so decode
+    // rules never drift between callers)
+    val meta = metaCellsOf(storeDir(), graft.sources.sstable.Storage
+      .forPath(storeDir(), s.sessionState.newHadoopConf()))
     require(meta.get("unit").contains(unit),
       s"df store $qualifiedTable counts unit " +
         s"'${meta.getOrElse("unit", "(absent)")}' — refusing a '$unit' " +

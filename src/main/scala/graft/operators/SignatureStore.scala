@@ -69,13 +69,17 @@ object SignatureStore {
     * reader needs, and a per-epoch cell would grow the `_meta` row by
     * one cell per write forever — the same unbounded-row-width defect
     * the df store's consolidation exists to fix (its `_n` row truly
-    * needs per-epoch ADDITIVE partials; this store does not). Epoch 1
-    * writes ts=1 — byte-compatible with the pre-epoch era, whose
-    * unregistered history reads as epoch 1. */
+    * needs per-epoch ADDITIVE partials; this store does not). A store
+    * with no `emax` — fresh, or pre-epoch-era with fixed ts=1 cells —
+    * reads as epoch 1, exactly like [[AnnIndex.maxEpochOfIdx]] (ADVICE
+    * r15: the old getOrElse(0) made a legacy store's first retraction
+    * register epoch 1, whose tombstone deleted the legacy ts=1 cells
+    * only via the ties-favor-deletion rule; now it registers epoch 2
+    * and shadows them strictly). */
   private def maxEpochOf(storeDir: String,
                          storage: graft.sources.sstable.Storage): Int =
     graft.sources.sstable.SSTableReader.liveCellMap(storeDir, storage, MetaKey)
-      .get("emax").map(_.toInt).getOrElse(0)
+      .get("emax").map(_.toInt).getOrElse(1)
 
   /** Whether any [[retract]] epoch ever landed — the flag rides the
     * same atomic append as the tombstones it announces and switches the

@@ -304,4 +304,32 @@ object MaintenanceLease {
     val lease = acquire(dir, storage, op, horizonMs)
     try body(lease) finally lease.release()
   }
+
+  /** [[withLease]] that WAITS OUT a live holder instead of refusing —
+    * the streaming maintainers' shape (ADVICE r15): a micro-batch that
+    * finds a retraction CALL holding its store's lease must not kill
+    * the whole streaming query with a refusal; it polls until the
+    * holder releases (maintenance CALLs run seconds-to-minutes), then
+    * proceeds. Still LOUD past `waitMs`: a holder outliving the steal
+    * horizon is dead anyway and gets stolen by the inner acquire. */
+  def withLeaseAwait[T](dir: String, storage: Storage, op: String,
+                        horizonMs: Long = DefaultHorizonMs,
+                        waitMs: Long = DefaultHorizonMs,
+                        pollMs: Long = 500L)(body: MaintenanceLease => T): T = {
+    val deadline = System.currentTimeMillis() + waitMs
+    while (true) {
+      try return withLease(dir, storage, op, horizonMs)(body)
+      catch {
+        case e: MaintenanceLeaseHeldException =>
+          if (System.currentTimeMillis() >= deadline)
+            throw new IllegalStateException(
+              s"$op waited ${waitMs}ms for the maintenance lease on $dir " +
+                s"(holder '${e.holder}') without it releasing — a live " +
+                "maintainer should finish well inside the steal horizon",
+              e)
+          Thread.sleep(pollMs)
+      }
+    }
+    sys.error("unreachable")
+  }
 }

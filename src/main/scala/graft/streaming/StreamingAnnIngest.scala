@@ -93,10 +93,31 @@ object StreamingAnnIngest {
       .foreach(SSTableFiles.unpublish(storage, _))
 
     // pre-append self-maintenance (the StreamingDfUpdate slot): every
-    // epoch present at batch start has its checkpoint committed
+    // epoch present at batch start has its checkpoint committed. The
+    // slot is a VOLUNTEER (same semantics as write-triggered
+    // autocompact): a held lease — a retraction CALL mid-flight — makes
+    // it yield to the next batch rather than kill the streaming query.
     if (maintainAboveGenerations > 0 &&
         storage.listDataFiles(idxDir).length > maintainAboveGenerations)
-      SSTableOps.compactInPlace(spark, idxDir, minThreshold = 4)
+      try SSTableOps.compactInPlace(spark, idxDir, minThreshold = 4)
+      catch { case _: graft.sources.sstable.MaintenanceLease
+        .MaintenanceLeaseHeldException => () }
+
+    // epoch-read → novelty probe → append runs UNDER the index's
+    // maintenance lease (ADVICE r15 medium): retract_ann_vectors holds
+    // this lease while it registers ITS epoch and writes tombstones — a
+    // micro-batch racing it could read emax before the retraction
+    // registered, probe novelty after the tombstones landed, and append
+    // re-encoded cells at ts == the retraction's markedForDeleteAt,
+    // which the tombstone shadows (ties favor deletion): the batch's
+    // vectors silently lost under a success receipt. Serialized, the
+    // interleave is gone: the batch's epoch is strictly above any
+    // completed retraction's. The batch WAITS OUT a live holder (a
+    // refusal would kill the streaming query); self-maintenance above
+    // stays outside the held region (compactInPlace takes the lease
+    // itself).
+    graft.sources.sstable.MaintenanceLease.withLeaseAwait(idxDir, storage,
+      "streaming_ann_ingest") { _ =>
 
     // the registered write epoch stamps this batch's cells so a later
     // retraction mark / re-addition orders correctly; read AFTER the
@@ -164,5 +185,6 @@ object StreamingAnnIngest {
           .mode("append").save(idxDir)
       }
     } finally novel.unpersist()
+    }
   }
 }

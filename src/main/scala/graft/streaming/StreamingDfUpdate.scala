@@ -135,9 +135,15 @@ object StreamingDfUpdate {
     // epoch's checkpoint committed, which ends its replayability).
     // StreamingIncrementalDedup keeps the end-of-batch fold: its cells
     // are idempotent under LWW, so the same interleave is harmless.
+    // Both self-maintenance passes are VOLUNTEER slots (same semantics
+    // as write-triggered autocompact): a held lease — a retraction CALL
+    // mid-flight — makes them yield to the next batch rather than kill
+    // the streaming query.
     if (maintainAboveGenerations > 0 && storage.exists(storeDir) &&
         storage.listDataFiles(storeDir).length > maintainAboveGenerations)
-      SSTableOps.compactInPlace(spark, storeDir, minThreshold = 4)
+      try SSTableOps.compactInPlace(spark, storeDir, minThreshold = 4)
+      catch { case _: graft.sources.sstable.MaintenanceLease
+        .MaintenanceLeaseHeldException => () }
 
     // epoch-range consolidation rides the SAME pre-append slot (and
     // inherits its safety argument): without it every hot term's row
@@ -148,7 +154,9 @@ object StreamingDfUpdate {
     if (consolidateAboveEpochs > 0 && storage.exists(storeDir) &&
         storage.listDataFiles(storeDir).nonEmpty &&
         epochPartialsSinceFold(storeDir, storage) > consolidateAboveEpochs)
-      graft.operators.DfStore.consolidate(spark, storeDir, storage)
+      try graft.operators.DfStore.consolidate(spark, storeDir, storage)
+      catch { case _: graft.sources.sstable.MaintenanceLease
+        .MaintenanceLeaseHeldException => () }
 
     // in-batch dedup: one row per doc_id
     val docs = batch.select(col("doc_id"), col("text"))

@@ -102,6 +102,48 @@ class StreamingAnnIngestSpec extends AnyFunSuite {
       "maintenance folds changed the served state")
   }
 
+  test("ADVICE r15 (medium): a micro-batch serializes with a lease " +
+    "holder — it WAITS OUT a retraction CALL holding the index's lease " +
+    "(instead of racing it into the lost-re-add interleave, or dying " +
+    "on a refusal), then registers its epoch strictly ABOVE the " +
+    "retraction's so its re-added vectors rise above the tombstone") {
+    build("ann.leased")
+    val idx = s"$warehouse/ann/leased"
+    // the retraction, paused mid-flight: hold the lease the way
+    // retract_ann_vectors does, with its epoch + tombstones already
+    // registered (the exact state the doomed interleave read around)
+    spark.sql("CALL graft_ai.system.update_ann_index(table => " +
+      s"'ann.leased', source_dir => '$sfDir')")
+    val r = spark.sql("CALL graft_ai.system.retract_ann_vectors(table => " +
+      "'ann.leased', where => 'vec_id % 4 = 1')").head()
+    assert(r.getAs[Long]("retracted") > 0, r.toString)
+    val lease = graft.sources.sstable.MaintenanceLease.acquire(
+      idx, graft.sources.sstable.LocalStorage, "paused-retraction")
+    val done = new java.util.concurrent.atomic.AtomicLong(0L)
+    val t = new Thread(() => {
+      // the re-admission batch: re-streams the retracted ids
+      StreamingAnnIngest.processBatch(vecsDf("vec_id % 4 = 1"), idx, 7L)
+      done.set(System.currentTimeMillis())
+    }, "annin-waiter")
+    t.start()
+    Thread.sleep(1500)
+    assert(done.get() == 0L,
+      "the micro-batch must BLOCK while the lease is held")
+    val releasedAt = System.currentTimeMillis()
+    lease.release()
+    t.join(120000)
+    assert(done.get() >= releasedAt,
+      "the micro-batch must complete after the holder releases")
+    // the re-added vectors serve again: epoch ordering put their cells
+    // above the retraction's tombstone
+    val ids = AnnIndex.indexedVecIds(spark, idx)
+      .collect().map(_.getLong(0)).toSet
+    val want = graft.Tables.embeddings(spark, sfDir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids == want,
+      s"re-admitted ids missing: ${(want -- ids).take(5)}")
+  }
+
   test("refusals fire BEFORE anything lands: a meta-less directory, a " +
     "dimension drift, an out-of-range vec_id, and a foreign epoch pin") {
     def chain(t: Throwable): Seq[String] =
