@@ -116,11 +116,33 @@ object StreamingDfUpdate {
     val tag = f"s$epochId%09d"
 
     // replay cleanup: a retried epoch removes its failed attempt's
-    // output before deciding novelty — reproducible decisions
-    if (storage.exists(storeDir))
-      storage.listDataFiles(storeDir)
+    // output before deciding novelty — reproducible decisions. GUARDED
+    // (round 16): if a stream-domain retraction registered a tag whose
+    // base is >= this epoch's, that retraction's marker probe COUNTED
+    // this epoch's (published, uncommitted) docs and its negative
+    // partials stand on them — unpublishing the positives now would
+    // leave the signed sums corrupt. Refuse loudly with the batch
+    // unprocessed; the operator retracted on top of an uncommitted
+    // epoch (retractStream's contract is a quiesced-or-committed
+    // stream) and the store needs a rebuild.
+    if (storage.exists(storeDir)) {
+      val doomed = storage.listDataFiles(storeDir)
         .filter(_.endsWith(s"-$jobTag${SSTableFiles.DataSuffix}"))
-        .foreach(SSTableFiles.unpublish(storage, _))
+      if (doomed.nonEmpty) {
+        val tagNow = f"$epochId%09d"
+        val bad = graft.operators.DfStore
+          .streamRetractionBases(storeDir, storage).filter(_ >= tagNow)
+        require(bad.isEmpty,
+          s"epoch $epochId is replaying its failed attempt, but a " +
+            s"retraction (base s${bad.headOption.getOrElse("")}) was " +
+            "applied ON TOP of the attempt's uncommitted output — its " +
+            "negative partials counted this epoch's docs, so the " +
+            "replay's unpublish would corrupt the signed sums. The " +
+            "store's history has forked: DROP and rebuild it (retract " +
+            "only from a quiesced stream whose last epoch committed)")
+        doomed.foreach(SSTableFiles.unpublish(storage, _))
+      }
+    }
 
     // self-maintenance runs BEFORE the append, never after (r14 review
     // find): folding at the END of the batch could absorb SOME of the
@@ -162,9 +184,26 @@ object StreamingDfUpdate {
     val docs = batch.select(col("doc_id"), col("text"))
       .dropDuplicates("doc_id")
 
+    // probe → append → audit runs UNDER the store's maintenance lease
+    // (round 16): [[graft.operators.DfStore.retractStream]] holds this
+    // lease while it subtracts — unserialized, a racing micro-batch
+    // could re-admit a doc between the retraction's marker probe and
+    // its negative append (double-subtract class), or the retraction's
+    // two-read sentinel could straddle the batch's append and refuse
+    // spuriously AFTER its own write landed. The batch WAITS OUT a live
+    // holder (a refusal would kill the streaming query); the volunteer
+    // self-maintenance above stays outside the held region (it takes
+    // the lease itself).
+    graft.sources.sstable.MaintenanceLease.withLeaseAwait(storeDir, storage,
+      "streaming_df_update") { _ =>
+
+    // whether this batch CREATES the store — decided after the replay
+    // unpublish, so a retried first epoch re-creates identically
+    val fresh = !storage.exists(storeDir) ||
+      storage.listDataFiles(storeDir).isEmpty
+
     // historical probe: point reads of the d: markers, never a scan
-    val novel = (if (storage.exists(storeDir) &&
-        storage.listDataFiles(storeDir).nonEmpty) {
+    val novel = (if (!fresh) {
       val hits = SSTableOps.lookupJoin(
           docs.select(keyOfDoc(col("doc_id")).as("key")), storeDir)
         .select(substring(col("key").cast("string"), 3, 12)
@@ -193,11 +232,25 @@ object StreamingDfUpdate {
           .select(concat(lit("t:"), col("term")).cast("binary").as("key"),
             array(strCell(lit(s"cf:$tag"), col("cf"), epochId),
               strCell(lit(s"df:$tag"), col("df"), epochId)).as("columns"))
+        // markers carry the doc's content hash (`h`) — same contract as
+        // the batch CALL's ingest (round 16): a later retractStream
+        // verifies the text it is about to subtract is STILL what this
+        // epoch counted. Deterministic on replay (md5 of the same text,
+        // ts = the epoch id).
         val docRows = novel.select(keyOfDoc(col("doc_id")).as("key"),
-          array(strCell(lit("e"), lit(tag), epochId)).as("columns"))
+          array(strCell(lit("e"), lit(tag), epochId),
+            strCell(lit("h"), md5(col("text")), epochId)).as("columns"))
         val nRow = spark.range(1).select(lit("_n").cast("binary").as("key"),
           array(strCell(lit(s"n:$tag"), lit(novelCount), epochId)).as("columns"))
-        termRows.unionAll(docRows).unionAll(nRow)
+        // a CREATING epoch pins the counted unit on _meta (rides the
+        // same tagged generation, so a replayed first epoch re-pins
+        // identically): retractStream refuses a wrong-unit subtraction
+        // against it, exactly like the batch store's pin
+        val metaRows = if (fresh)
+          Some(spark.range(1).select(lit("_meta").cast("binary").as("key"),
+            array(strCell(lit("unit"), lit(unit), epochId)).as("columns")))
+        else None
+        metaRows.foldLeft(termRows.unionAll(docRows).unionAll(nRow))(_ unionAll _)
           .write.format("sstable")
           .option(graft.sources.sstable.spark.SSTableSource.JobTagOption, jobTag)
           .mode("append").save(storeDir)
@@ -208,6 +261,7 @@ object StreamingDfUpdate {
           nDocs(spark, storeDir), s"streaming epoch $epochId")
       }
     } finally novel.unpersist()
+    }
   }
 
   /** Raw-path serving reads for a stream-maintained store (the catalog

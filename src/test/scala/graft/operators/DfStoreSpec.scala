@@ -645,6 +645,13 @@ class DfStoreSpec extends AnyFunSuite {
       s"$warehouse/ts/strm", epochId = 7L)
     val e = intercept[Exception](retractCall("ts.strm", "doc_id % 11 = 0"))
     assert(chain(e).exists(_.contains("STREAM-maintained")), chain(e))
+    // the refusal points at the stream-domain path — whose own mirror
+    // guard refuses THIS store too (numeric batch tags present): a
+    // hybrid-maintained store is retraction-proof in both directions
+    // until its tag history is single-domain again
+    val e2 = intercept[Exception](DfStore.retractStream(spark,
+      s"$warehouse/ts/strm", sfDir, "doc_id % 11 = 0"))
+    assert(chain(e2).exists(_.contains("BATCH-maintained")), chain(e2))
   }
 
   test("retraction's sufficiency guard: a marker whose doc the store " +

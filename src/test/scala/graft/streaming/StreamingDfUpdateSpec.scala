@@ -145,6 +145,98 @@ class StreamingDfUpdateSpec extends AnyFunSuite {
       "an epoch replay after a fold changed the totals")
   }
 
+  private def scratchCorpus(rows: Seq[(Long, String)]): String = {
+    val dir = Files.createTempDirectory("dfs-corpus").toString
+    val sp = spark
+    import sp.implicits._
+    rows.toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def chain(t: Throwable): Seq[String] =
+    if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+
+  test("stream-domain retraction (round 16, VERDICT r15 #2): ingest " +
+    "epochs -> retract -> more stream epochs -> consolidation, and the " +
+    "served stats equal the remaining-corpus recompute bit-for-bit; the " +
+    "retraction tag lives in the stream's own domain (s<base>r<seq>), a " +
+    "re-run matches nothing, and a later epoch RE-ADMITS the doc") {
+    val rows = Seq(1L -> "alpha beta gamma", 2L -> "alpha delta",
+      3L -> "beta epsilon zeta", 4L -> "alpha beta", 5L -> "eta theta alpha")
+    val corpus = scratchCorpus(rows)
+    val store = Files.createTempDirectory("df-stream-ret").toString
+    StreamingDfUpdate.processBatch(docsDf(rows(0), rows(1)), store, 0L)
+    StreamingDfUpdate.processBatch(docsDf(rows(2)), store, 1L)
+    // the takedown, against the live stream store
+    val r = graft.operators.DfStore.retractStream(
+      spark, store, corpus, "doc_id = 2")
+    assert(r == (1L, 1L, 0L, "s000000001r000001", 2L), r.toString)
+    assert(stored(store) == direct(rows(0), rows(2)),
+      "post-retraction stats != the remaining-doc recompute")
+    // idempotent: the doc is no longer a member
+    val r2 = graft.operators.DfStore.retractStream(
+      spark, store, corpus, "doc_id = 2")
+    assert(r2 == (1L, 0L, 1L, "", 0L), r2.toString)
+    // more stream epochs land ON TOP of the retraction (their tags sort
+    // after the r-tag)
+    StreamingDfUpdate.processBatch(docsDf(rows(3), rows(4)), store, 2L)
+    assert(stored(store) == direct(rows(0), rows(2), rows(3), rows(4)))
+    // consolidation folds the signed history — negatives included —
+    // into one exact cell per prefix
+    val (folded, _, _) = graft.operators.DfStore.consolidate(
+      spark, store, graft.sources.sstable.LocalStorage)
+    assert(folded > 0, "the fold must touch the multi-epoch rows")
+    assert(stored(store) == direct(rows(0), rows(2), rows(3), rows(4)),
+      "consolidation over the signed history diverged")
+    // re-admission: the doc streams in again, reads as novel (its
+    // marker is tombstone-shadowed), and counts exactly once
+    StreamingDfUpdate.processBatch(docsDf(rows(1)), store, 3L)
+    assert(stored(store) == direct(rows: _*),
+      "re-admission after retraction diverged from the full recompute")
+    // a second retraction AFTER the fold (base now s...003, seq restarts)
+    val r3 = graft.operators.DfStore.retractStream(
+      spark, store, corpus, "doc_id IN (1, 4)")
+    assert(r3._2 == 2L && r3._4 == "s000000003r000001", r3.toString)
+    assert(stored(store) == direct(rows(1), rows(2), rows(4)),
+      "post-fold retraction != the remaining-doc recompute")
+  }
+
+  test("stream-domain retraction guards: wrong unit refuses against the " +
+    "creating epoch's _meta pin; content drift refuses naming the doc; " +
+    "and a replay of an epoch a retraction already counted refuses " +
+    "LOUDLY instead of unpublishing the positives out from under the " +
+    "negatives") {
+    val rows = Seq(11L -> "alpha beta", 12L -> "gamma delta")
+    val corpus = scratchCorpus(rows)
+    val store = Files.createTempDirectory("df-stream-retg").toString
+    StreamingDfUpdate.processBatch(docsDf(rows(0)), store, 0L)
+    StreamingDfUpdate.processBatch(docsDf(rows(1)), store, 1L)
+    // wrong unit vs the pin the creating epoch wrote
+    val e1 = intercept[Exception](graft.operators.DfStore.retractStream(
+      spark, store, corpus, "doc_id = 11", unit = "para"))
+    assert(chain(e1).exists(_.contains("counts unit 'term'")), chain(e1))
+    // drifted text refuses naming the doc
+    val drifted = scratchCorpus(Seq(11L -> "alpha CHANGED"))
+    val e2 = intercept[Exception](graft.operators.DfStore.retractStream(
+      spark, store, drifted, "doc_id = 11"))
+    assert(chain(e2).exists(m => m.contains("content-hash mismatch") &&
+      m.contains("doc_id(s) 11")), chain(e2))
+    // the replay guard: epoch 1's files are published; a retraction
+    // counts doc 12; replaying epoch 1 (crash-before-commit shape)
+    // must refuse — its unpublish would remove the positives the
+    // retraction's negatives stand on
+    val r = graft.operators.DfStore.retractStream(
+      spark, store, corpus, "doc_id = 12")
+    assert(r._2 == 1L, r.toString)
+    val e3 = intercept[Exception](StreamingDfUpdate.processBatch(
+      docsDf(rows(1)), store, 1L))
+    assert(chain(e3).exists(_.contains("forked")), chain(e3))
+    // a FRESH epoch (no replay) keeps working on top
+    StreamingDfUpdate.processBatch(docsDf(rows(1)), store, 2L)
+    assert(stored(store) == direct(rows: _*))
+  }
+
   test("ADVICE r14: doc_id outside [0, 1e12) refuses BEFORE any marker " +
     "is written — an out-of-range id round-trips wrongly through the " +
     "12-digit marker key and would be re-counted every epoch, poisoning " +
