@@ -27,7 +27,8 @@ object SparkEntry {
       SimilarityQueries.queries ++
       SessionQueries.queries ++
       MultimodalQueries.queries ++
-      PipelineQueries.queries
+      PipelineQueries.queries ++
+      TakedownQueries.queries
 
   /** DuckDB twins, same column names + total ORDER BY as the Spark side. */
   def oracleSql: Map[String, String] =
@@ -38,5 +39,6 @@ object SparkEntry {
       SimilarityQueries.oracles ++
       SessionQueries.oracles ++
       MultimodalQueries.oracles ++
-      PipelineQueries.oracles
+      PipelineQueries.oracles ++
+      TakedownQueries.oracles
 }

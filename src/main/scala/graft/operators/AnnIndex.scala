@@ -617,7 +617,13 @@ object AnnIndex {
     val receipt = graft.sources.sstable.MaintenanceLease.withLease(idxDir,
       storage, "retract_ann_vectors") { _ =>
       val epoch = maxEpochOfIdx(idxDir, storage) + 1
-      val victims = indexedVecIds(s, idxDir).filter(expr(whereSql)).persist()
+      // the id is exposed under BOTH names (vec_id, and doc_id as its
+      // alias — vectors are keyed by their document) so one takedown
+      // predicate written over doc_id spans the df store, the signature
+      // store, AND this index (round 16, the CALL takedown composition)
+      val victims = indexedVecIds(s, idxDir)
+        .withColumn("doc_id", col("vec_id"))
+        .filter(expr(whereSql)).select("vec_id").persist()
       try {
         val matched = victims.count()
         if (matched == 0) (0L, 0)

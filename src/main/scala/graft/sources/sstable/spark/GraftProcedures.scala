@@ -892,6 +892,92 @@ private[spark] object GraftProcedures {
           Seq(row(seen, retracted, notStored, epoch, terms, gens))
         }),
 
+      "takedown" -> new Proc(
+        "takedown",
+        "cross-store takedown orchestration: drive retract_doc_freqs + " +
+          "retract_signatures + retract_ann_vectors for one id predicate " +
+          "in one CALL, returning ONE receipt (a row per leg). The " +
+          "predicate is written over doc_id; the ANN leg sees the same " +
+          "ids under the doc_id alias of its vec_id relation. Each leg " +
+          "runs under its own store's maintenance lease and is " +
+          "IDEMPOTENT, so crash recovery is re-issuing the same CALL: " +
+          "completed legs no-op (matched=0), unfinished legs run — the " +
+          "orchestration converges without tracking which leg died; " +
+          "CALL takedown_status names any lagging store in between. " +
+          "source_dir is wherever the removed docs' (doc_id, text) rows " +
+          "can be read NOW — the pinned corpus, or the takedown " +
+          "request's own payload for docs already deleted from the " +
+          "corpus (the df leg's content-hash guard verifies either). " +
+          "The corpus table itself is not a leg: delete its rows by its " +
+          "own mechanics before or after — every leg tolerates the doc " +
+          "being already gone",
+        Array(
+          p("df_table", StringType,
+            comment = "catalog-relative df store name, e.g. 'ns.df'"),
+          p("sig_table", StringType,
+            comment = "catalog-relative signature store name"),
+          p("ann_table", StringType,
+            comment = "catalog-relative ANN index name"),
+          p("source_dir", StringType,
+            comment = "directory holding the removed docs' (doc_id, " +
+              "text) rows — corpus or takedown payload"),
+          p("where", StringType,
+            comment = "SQL predicate over doc_id selecting the docs to " +
+              "remove, e.g. 'doc_id % 5 = 2'"),
+          p("unit", StringType, Some("'term'"),
+            comment = "must match the df store's pinned unit")),
+        StructType(Seq(
+          StructField("store", StringType, nullable = false),
+          StructField("matched", LongType, nullable = false),
+          StructField("epoch", StringType, nullable = false),
+          StructField("status", StringType, nullable = false))),
+        (spark, in) => {
+          (0 to 4).foreach(i => require(!in.isNullAt(i),
+            "arguments df_table, sig_table, ann_table, source_dir and " +
+              "where are all required"))
+          val Seq(dfN, sigN, annN) = (0 to 2).map(in.getUTF8String(_).toString)
+          val unit = if (in.isNullAt(5)) "term" else in.getUTF8String(5).toString
+          graft.operators.Takedown.takedown(spark,
+            (qualified(dfN), resolveTable(dfN)),
+            (qualified(sigN), resolveTable(sigN)),
+            (qualified(annN), resolveTable(annN)),
+            in.getUTF8String(3).toString, in.getUTF8String(4).toString,
+            unit)
+            .map(l => row(utf8(l.store), l.matched, utf8(l.epochTag),
+              utf8(l.status)))
+        }),
+
+      "takedown_status" -> new Proc(
+        "takedown_status",
+        "the spanning membership audit for a takedown: for one id " +
+          "predicate, report how many LIVE members each of the three " +
+          "stores still has (with a bounded id sample) — after a " +
+          "completed takedown every count is 0; after a crash between " +
+          "legs the lagging store names itself with a non-zero count " +
+          "instead of the stores silently disagreeing. Read-only",
+        Array(
+          p("df_table", StringType),
+          p("sig_table", StringType),
+          p("ann_table", StringType),
+          p("where", StringType,
+            comment = "the takedown's id predicate, over doc_id")),
+        StructType(Seq(
+          StructField("store", StringType, nullable = false),
+          StructField("members", LongType, nullable = false),
+          StructField("sample", StringType, nullable = false))),
+        (spark, in) => {
+          (0 to 3).foreach(i => require(!in.isNullAt(i),
+            "arguments df_table, sig_table, ann_table and where are " +
+              "all required"))
+          val Seq(dfN, sigN, annN) = (0 to 2).map(in.getUTF8String(_).toString)
+          graft.operators.Takedown.status(spark,
+            resolveTable(dfN), resolveTable(sigN), resolveTable(annN),
+            in.getUTF8String(3).toString)
+            .map { case (store, n, sample) =>
+              row(utf8(store), n, utf8(sample.mkString(",")))
+            }
+        }),
+
       "lookup" -> new Proc(
         "lookup",
         "point reads in pure SQL: probe each key via bloom filter -> " +

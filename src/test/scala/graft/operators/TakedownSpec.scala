@@ -1,0 +1,174 @@
+package graft.operators
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cross-store takedown orchestration (round 16, VERDICT r15 #1):
+  * `CALL takedown` drives the three per-store retraction legs with one
+  * receipt; `CALL takedown_status` is the spanning membership audit.
+  * Pinned here: end-state equality with never-ingested stores, the
+  * crash-between-legs model (any prefix of legs + re-issue converges;
+  * the audit names every lagging store in between), predicate
+  * spanning (one doc_id predicate covers the vec_id-keyed index), and
+  * the refusal passthrough (a guard firing in one leg surfaces loudly
+  * and the re-issue still converges). */
+class TakedownSpec extends AnyFunSuite {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val warehouse: String =
+    Files.createTempDirectory("graft-takedown").toString
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s.conf.set("spark.sql.catalog.graft_td",
+      classOf[graft.sources.sstable.spark.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_td.warehouse", warehouse)
+    s.sql("CREATE NAMESPACE graft_td.td")
+    s
+  }
+
+  /** Build the three stores of one namespace over the full corpus. */
+  private def buildStores(ns: String): Unit = {
+    spark.sql(s"CREATE NAMESPACE graft_td.$ns")
+    spark.sql(s"CALL graft_td.system.update_doc_freqs(table => '$ns.df', " +
+      s"source_dir => '$sfDir', autocompact => 3)")
+    spark.sql(s"CALL graft_td.system.update_signatures(table => '$ns.sig', " +
+      s"source_dir => '$sfDir', autocompact => 3)")
+    spark.sql(s"CALL graft_td.system.build_ann_index(table => '$ns.ann', " +
+      s"source_dir => '$sfDir', kind => 'ivf', k => 4, iters => 1)")
+  }
+
+  private def takedown(ns: String, where: String) = spark.sql(
+    s"CALL graft_td.system.takedown(df_table => '$ns.df', " +
+      s"sig_table => '$ns.sig', ann_table => '$ns.ann', " +
+      s"source_dir => '$sfDir', where => '$where')").collect()
+    .map(r => r.getString(0) -> (r.getLong(1), r.getString(3))).toMap
+
+  private def status(ns: String, where: String) = spark.sql(
+    s"CALL graft_td.system.takedown_status(df_table => '$ns.df', " +
+      s"sig_table => '$ns.sig', ann_table => '$ns.ann', " +
+      s"where => '$where')").collect()
+    .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  private def members(ns: String): Map[String, Set[Long]] =
+    Takedown.memberships(spark, s"$warehouse/$ns/df",
+        s"$warehouse/$ns/sig", s"$warehouse/$ns/ann")
+      .map { case (store, m) =>
+        store -> m.collect().map(_.getLong(0)).toSet
+      }.toMap
+
+  private def chain(t: Throwable): Seq[String] =
+    if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+
+  test("one CALL takedown retracts the slice from ALL THREE stores; " +
+    "the end state equals never-ingested stores; a re-issue no-ops " +
+    "every leg; the audit reads zero") {
+    buildStores("full")
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val r = takedown("full", "doc_id % 5 = 2")
+    assert(r("doc_freqs")._2 == "retracted" &&
+      r("signatures")._2 == "retracted" &&
+      r("ann_vectors")._2 == "retracted", r.toString)
+    assert(r("doc_freqs")._1 == docs.count(_ % 5 == 2), r.toString)
+    assert(r("ann_vectors")._1 == vecs.count(_ % 5 == 2), r.toString)
+    val m = members("full")
+    assert(m("doc_freqs") == docs.filterNot(_ % 5 == 2))
+    assert(m("signatures") == docs.filterNot(_ % 5 == 2))
+    assert(m("ann_vectors") == vecs.filterNot(_ % 5 == 2))
+    // the df statistics equal a remaining-corpus recompute (the serving
+    // face; q_takedown hash-gates membership, DfStoreSpec gates stats)
+    assert(DfStore.nDocs(spark, "graft_td.full.df") ==
+      docs.count(_ % 5 != 2))
+    val again = takedown("full", "doc_id % 5 = 2")
+    assert(again.values.forall(_._2 == "noop"), again.toString)
+    assert(status("full", "doc_id % 5 = 2").values.forall(_ == 0L))
+  }
+
+  test("crash-between-legs: EVERY prefix of completed legs converges by " +
+    "re-issuing the same CALL, and takedown_status names exactly the " +
+    "lagging stores at each stage") {
+    buildStores("crash")
+    val where = "doc_id % 7 = 3"
+    // stage 1: the orchestration died after the df leg
+    spark.sql("CALL graft_td.system.retract_doc_freqs(table => " +
+      s"'crash.df', source_dir => '$sfDir', where => '$where')")
+    val s1 = status("crash", where)
+    assert(s1("doc_freqs") == 0L && s1("signatures") > 0L &&
+      s1("ann_vectors") > 0L, s1.toString)
+    // stage 2: died after the signature leg too
+    spark.sql("CALL graft_td.system.retract_signatures(table => " +
+      s"'crash.sig', where => '$where')")
+    val s2 = status("crash", where)
+    assert(s2("doc_freqs") == 0L && s2("signatures") == 0L &&
+      s2("ann_vectors") > 0L, s2.toString)
+    // convergence: the full CALL no-ops the done legs, runs the rest
+    val r = takedown("crash", where)
+    assert(r("doc_freqs")._2 == "noop" && r("signatures")._2 == "noop" &&
+      r("ann_vectors")._2 == "retracted", r.toString)
+    assert(status("crash", where).values.forall(_ == 0L))
+  }
+
+  test("a refusing leg surfaces loudly and earlier legs stand; fixing " +
+    "the cause and re-issuing converges (the resume story for a " +
+    "mid-takedown guard)") {
+    buildStores("refuse")
+    val where = "doc_id % 9 = 4"
+    // poison the df leg only: a drifted copy of the slice's text
+    val drifted = Files.createTempDirectory("td-drift").toString
+    graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        when(expr(where), concat(col("text"), lit(" TAMPERED")))
+          .otherwise(col("text")).as("text"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$drifted/documents.parquet")
+    val e = intercept[Exception](spark.sql(
+      "CALL graft_td.system.takedown(df_table => 'refuse.df', " +
+        "sig_table => 'refuse.sig', ann_table => 'refuse.ann', " +
+        s"source_dir => '$drifted', where => '$where')"))
+    assert(chain(e).exists(_.contains("content-hash mismatch")), chain(e))
+    // nothing landed anywhere: the df leg refused first, later legs
+    // never ran
+    assert(status("refuse", where).values.forall(_ > 0L))
+    // fixed payload -> full convergence
+    val r = takedown("refuse", where)
+    assert(r.values.forall(_._2 == "retracted"), r.toString)
+    assert(status("refuse", where).values.forall(_ == 0L))
+  }
+
+  test("re-admission after a takedown: the stores re-ingest the removed " +
+    "docs exactly once each and serve the full corpus again — " +
+    "membership can flip, in epoch order, across ALL THREE stores") {
+    buildStores("readmit")
+    val where = "doc_id % 11 = 5"
+    takedown("readmit", where)
+    // the corpus still holds the docs (this test's takedown is a
+    // statistics removal); re-running the three maintainers re-admits
+    spark.sql("CALL graft_td.system.update_doc_freqs(table => " +
+      s"'readmit.df', source_dir => '$sfDir', autocompact => 3)")
+    spark.sql("CALL graft_td.system.update_signatures(table => " +
+      s"'readmit.sig', source_dir => '$sfDir', autocompact => 3)")
+    spark.sql("CALL graft_td.system.update_ann_index(table => " +
+      s"'readmit.ann', source_dir => '$sfDir')")
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val m = members("readmit")
+    assert(m("doc_freqs") == docs && m("signatures") == docs &&
+      m("ann_vectors") == vecs,
+      "re-admission must restore full membership in every store")
+  }
+}
