@@ -594,6 +594,72 @@ private[spark] object GraftProcedures {
           Seq(row(seen, encoded, skipped))
         }),
 
+      "cover_ann_index" -> new Proc(
+        "cover_ann_index",
+        "upgrade an EXISTING non-covering ANN index to covering: " +
+          "backfill raw-vector (vec) cells for every live v: row from " +
+          "the pinned corpus in ONE pass — no retraining (centroids and " +
+          "codebooks are untouched) — and flip store_vectors in _meta " +
+          "on the same atomic commit, so exact rerank " +
+          "(AnnIndex.loadVectorsFor / q_ann_rerank's pipeline) serves " +
+          "from it identically to an index built covering. Drift " +
+          "refusal: the corpus rows must re-encode to EXACTLY the " +
+          "stored cell/code assignments under the persisted quantizers " +
+          "(the index's own content check — it stores no raw bits to " +
+          "hash); ids missing from the corpus refuse (retract them " +
+          "first, or rebuild). Idempotent: an already-covering index " +
+          "no-ops. Runs under the maintenance lease",
+        Array(tableParam,
+          p("source_dir", StringType,
+            comment = "the SAME corpus directory the index was built over")),
+        StructType(Seq(
+          StructField("covered", LongType, nullable = false),
+          StructField("alreadyCovering", BooleanType, nullable = false))),
+        (spark, in) => {
+          require(!in.isNullAt(0), "argument 'table' is required")
+          require(!in.isNullAt(1), "argument 'source_dir' is required")
+          val tableName = in.getUTF8String(0).toString
+          val (covered, already) = graft.operators.AnnIndex.cover(
+            spark, qualified(tableName), dirOf(in),
+            in.getUTF8String(1).toString)
+          Seq(row(covered, already))
+        }),
+
+      "ann_drift" -> new Proc(
+        "ann_drift",
+        "quantizer drift statistic: compare how well POST-BUILD epochs' " +
+          "vectors assign under the index's persisted quantizers vs the " +
+          "BUILD epoch's (best-assignment cosine; coarse centroids for " +
+          "ivf/ivfpq, per-subspace codebook mean for pq) — with ZERO " +
+          "corpus IO (a covering index stores the raw vectors, each " +
+          "stamped with its ingest epoch). Retraction/re-admission " +
+          "churn never retrains quantizers (correct — they are trained " +
+          "artifacts), so without this signal recall decays silently as " +
+          "the corpus shifts. driftRatio = (1 - postMeanSim) / " +
+          "(1 - buildMeanSim), 10000 = 1.0: ~10000 on same-distribution " +
+          "ingest is healthy; a sustained ratio above ~15000 with a " +
+          "material nPost means the quantizers no longer represent the " +
+          "corpus — schedule CALL build_ann_index (serving swaps " +
+          "atomically). Read-only; requires a covering index (CALL " +
+          "cover_ann_index upgrades one in place)",
+        Array(tableParam),
+        StructType(Seq(
+          StructField("nBuild", LongType, nullable = false),
+          StructField("nPost", LongType, nullable = false),
+          StructField("buildMeanSim_e4", LongType, nullable = false),
+          StructField("postMeanSim_e4", LongType, nullable = false),
+          StructField("buildP05Sim_e4", LongType, nullable = false),
+          StructField("postP05Sim_e4", LongType, nullable = false),
+          StructField("driftRatio_e4", LongType, nullable = false))),
+        (spark, in) => {
+          require(!in.isNullAt(0), "argument 'table' is required")
+          val tableName = in.getUTF8String(0).toString
+          val (nb, np, mb, mp, pb, pp, ratio) =
+            graft.operators.AnnIndex.drift(spark, qualified(tableName),
+              dirOf(in))
+          Seq(row(nb, np, mb, mp, pb, pp, ratio))
+        }),
+
       "retract_ann_vectors" -> new Proc(
         "retract_ann_vectors",
         "remove vectors from a persisted ANN index without retraining: " +

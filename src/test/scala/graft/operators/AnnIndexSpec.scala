@@ -355,6 +355,145 @@ class AnnIndexSpec extends AnyFunSuite {
       "every vector (built + ingested) must be point-readable")
   }
 
+  test("cover_ann_index (round 16): a non-covering index upgrades to " +
+    "covering in one pass — no retraining — and serves the rerank " +
+    "fetch BIT-IDENTICAL to an index built covering; a re-run no-ops; " +
+    "a drifted corpus refuses naming the ids; a missing corpus row " +
+    "refuses") {
+    // twin builds over the same slice: one covering at build, one not
+    spark.sql("CALL graft_ix.system.build_ann_index(table => 'ann.upg', " +
+      s"source_dir => '$sfDir', kind => 'ivfpq', k => 4, iters => 1, " +
+      "m => 4, pq_k => 4, pq_iters => 1)")
+    spark.sql("CALL graft_ix.system.build_ann_index(table => 'ann.upgt', " +
+      s"source_dir => '$sfDir', kind => 'ivfpq', k => 4, iters => 1, " +
+      "m => 4, pq_k => 4, pq_iters => 1, store_vectors => true)")
+    val idx = s"$warehouse/ann/upg"
+    val twin = s"$warehouse/ann/upgt"
+    val r = spark.sql("CALL graft_ix.system.cover_ann_index(" +
+      s"table => 'ann.upg', source_dir => '$sfDir')").head()
+    val nvec = graft.Tables.embeddings(spark, sfDir).count()
+    assert(r.getAs[Long]("covered") == nvec &&
+      !r.getAs[Boolean]("alreadyCovering"), r.toString)
+    assert(AnnIndex.meta(spark, idx)("store_vectors") == "true")
+    // the rerank fetch serves bit-identical to the built-covering twin
+    val ids = spark.range(50).select(col("id").as("vec_id"))
+    def fetch(d: String) = AnnIndex.loadVectorsFor(spark, d, ids)
+      .orderBy("vec_id").collect().map(_.toString).toSeq
+    assert(fetch(idx).nonEmpty && fetch(idx) == fetch(twin),
+      "upgraded covering fetch != built-covering fetch")
+    // quantizers untouched: the upgrade trained nothing
+    assert(AnnIndex.loadCoarseCentroids(spark, idx).collect().toSeq
+      .map(_.toString).sorted ==
+      AnnIndex.loadCoarseCentroids(spark, twin).collect().toSeq
+        .map(_.toString).sorted)
+    // idempotent
+    val r2 = spark.sql("CALL graft_ix.system.cover_ann_index(" +
+      s"table => 'ann.upg', source_dir => '$sfDir')").head()
+    assert(r2.getAs[Boolean]("alreadyCovering"), r2.toString)
+    // drift refusal: an index whose corpus rows re-encode differently
+    val drifted = Files.createTempDirectory("ann-drift").toString
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    emb.select(col("vec_id"),
+        when(col("vec_id") === 3, reverse(col("embedding")))
+          .otherwise(col("embedding")).as("embedding"), col("label"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$drifted/embeddings.parquet")
+    spark.sql("CALL graft_ix.system.build_ann_index(table => 'ann.upgd', " +
+      s"source_dir => '$drifted', kind => 'ivfpq', k => 4, iters => 1, " +
+      "m => 4, pq_k => 4, pq_iters => 1)")
+    // the corpus then mutates back to the original vectors: id 3 drifts
+    emb.coalesce(1).write.mode("overwrite")
+      .parquet(s"$drifted/embeddings.parquet")
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    val e = intercept[Exception](spark.sql(
+      "CALL graft_ix.system.cover_ann_index(table => 'ann.upgd', " +
+        s"source_dir => '$drifted')"))
+    assert(chain(e).exists(m => m.contains("drifted") && m.contains("3")),
+      chain(e))
+    assert(!AnnIndex.meta(spark, s"$warehouse/ann/upgd")
+      .get("store_vectors").contains("true"),
+      "a refused upgrade must not flip the flag")
+    // missing-row refusal: a corpus that lost an indexed id
+    val shrunk = Files.createTempDirectory("ann-shrunk").toString
+    emb.filter(col("vec_id") =!= 7).coalesce(1).write.mode("overwrite")
+      .parquet(s"$shrunk/embeddings.parquet")
+    spark.sql("CALL graft_ix.system.build_ann_index(table => 'ann.upgs', " +
+      s"source_dir => '$shrunk', kind => 'ivf', k => 4, iters => 1)")
+    // forge the pin drift scenario: index over full corpus, corpus loses a row
+    val e2 = intercept[Exception] {
+      // swap the corpus under the pin: write the full set, build, then shrink
+      emb.coalesce(1).write.mode("overwrite")
+        .parquet(s"$shrunk/embeddings.parquet")
+      spark.sql("DROP TABLE graft_ix.ann.upgs")
+      spark.sql("CALL graft_ix.system.build_ann_index(table => 'ann.upgs2', " +
+        s"source_dir => '$shrunk', kind => 'ivf', k => 4, iters => 1)")
+      emb.filter(col("vec_id") =!= 7).coalesce(1).write.mode("overwrite")
+        .parquet(s"$shrunk/embeddings.parquet")
+      spark.sql("CALL graft_ix.system.cover_ann_index(table => 'ann.upgs2', " +
+        s"source_dir => '$shrunk')")
+    }
+    assert(chain(e2).exists(m => m.contains("no longer exist") &&
+      m.contains("7")), chain(e2))
+  }
+
+  test("ann_drift (round 16): the quantizer-staleness signal — flat " +
+    "(ratio ~1.0) on same-distribution ingest, RISES on a shifted " +
+    "slice; zero corpus IO (vec cells carry the vectors and their " +
+    "epochs); a non-covering index refuses with the cover hint") {
+    // a corpus dir this test owns: build over the even half, ingest the
+    // odd half (same distribution), then ingest a SHIFTED synthetic
+    // slice (reversed embeddings of existing rows under fresh ids)
+    val dir = Files.createTempDirectory("ann-driftstat").toString
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    emb.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    spark.sql("CALL graft_ix.system.build_ann_index(table => 'ann.drift', " +
+      s"source_dir => '$dir', kind => 'ivf', k => 4, iters => 2, " +
+      "where => 'vec_id % 2 = 0', store_vectors => true)")
+    def drift() = spark.sql(
+      "CALL graft_ix.system.ann_drift(table => 'ann.drift')").head()
+    val d0 = drift()
+    assert(d0.getAs[Long]("nPost") == 0L &&
+      d0.getAs[Long]("driftRatio_e4") == 10000L,
+      s"nothing ingested since build -> nothing to drift: $d0")
+    // same-distribution ingest: the odd half
+    spark.sql("CALL graft_ix.system.update_ann_index(table => " +
+      s"'ann.drift', source_dir => '$dir')")
+    val dSame = drift()
+    assert(dSame.getAs[Long]("nPost") > 0L, dSame.toString)
+    val sameRatio = dSame.getAs[Long]("driftRatio_e4")
+    // a SHIFTED slice: NEGATED embeddings under fresh ids, appended to
+    // the same (pinned) corpus dir — negation is the worst case for
+    // cosine assignment (each vector points away from its own cluster)
+    val nmax = emb.agg(max(col("vec_id"))).head().getLong(0)
+    emb.select(col("vec_id"), col("embedding"), col("label"))
+      .unionAll(emb.select((col("vec_id") + nmax + 1).as("vec_id"),
+        transform(col("embedding"), x => -x).as("embedding"), col("label")))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    spark.sql("CALL graft_ix.system.update_ann_index(table => " +
+      s"'ann.drift', source_dir => '$dir')")
+    val dShift = drift()
+    val shiftRatio = dShift.getAs[Long]("driftRatio_e4")
+    assert(shiftRatio > sameRatio,
+      s"a shifted slice must raise the drift ratio: same=$sameRatio " +
+        s"shifted=$shiftRatio")
+    assert(dShift.getAs[Long]("postMeanSim_e4") <
+      dShift.getAs[Long]("buildMeanSim_e4"),
+      s"shifted vectors must assign worse than the training set: $dShift")
+    // a non-covering index refuses, pointing at the upgrade CALL
+    // (built over the pristine corpus — the negated slice above makes
+    // $dir symmetric, which legitimately collapses a median centroid)
+    spark.sql("CALL graft_ix.system.build_ann_index(table => 'ann.driftn', " +
+      s"source_dir => '$sfDir', kind => 'ivf', k => 4, iters => 1)")
+    val e = intercept[Exception](spark.sql(
+      "CALL graft_ix.system.ann_drift(table => 'ann.driftn')"))
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("cover_ann_index")), chain(e))
+  }
+
   test("q_ann_rerank: exact re-scoring of the ADC shortlist from the " +
     "covering index recovers recall — per-query hits are >= the " +
     "un-reranked served IVF+PQ's, and total recall strictly improves " +
