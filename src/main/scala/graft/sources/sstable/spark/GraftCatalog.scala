@@ -450,6 +450,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     declared.get(GraftCatalog.BucketsProp)
       .foreach(v => SSTableSource.bucketsOf(Some(v)))
     SSTableSource.autoCompactOf(declared.get(SSTableSource.AutoCompactOption))
+    SSTableSource.autoConsolidateOf(
+      declared.get(SSTableSource.AutoConsolidateOption))
     declared.get(SSTableSource.AutoSnapshotOption).foreach(v =>
       require(v.equalsIgnoreCase("true") || v.equalsIgnoreCase("false"),
         s"table property '${SSTableSource.AutoSnapshotOption}' must be " +
@@ -1425,7 +1427,8 @@ object GraftCatalog {
     BucketsProp, SSTableSource.CompressOption, SSTableSource.ChunkLengthOption,
     SSTableSource.SummaryIntervalOption, SSTableSource.BloomBitsPerKeyOption,
     SSTableSource.CompressionAlgorithmOption, SSTableSource.LayoutOption,
-    SSTableSource.AutoCompactOption, SSTableSource.AutoSnapshotOption)
+    SSTableSource.AutoCompactOption, SSTableSource.AutoSnapshotOption,
+    SSTableSource.AutoConsolidateOption)
   /** Spark-injected bookkeeping dropped (not persisted, not refused). */
   private[spark] val IgnoredCreateProps: Set[String] =
     Set(TableCatalog.PROP_OWNER, TableCatalog.PROP_COMMENT,

@@ -815,7 +815,15 @@ private[spark] object GraftProcedures {
           p("unit", StringType, Some("'term'"),
             comment = "counted unit: 'term' (alpha tokens — the " +
               "TF-IDF/IDF statistic) or 'para' (paragraph digests — the " +
-              "boilerplate-removal statistic); pinned in _meta")),
+              "boilerplate-removal statistic); pinned in _meta"),
+          p("autoconsolidate", IntegerType,
+            Some(graft.operators.DfStore.DefaultAutoConsolidate.toString),
+            comment = "write-triggered consolidation bound for a NEW " +
+              "store (table property): when more than this many epoch " +
+              "partials have accumulated since the last fold, the " +
+              "committing CALL consolidates on the store's behalf — row " +
+              "width stays bounded without CALL consolidate_doc_freqs; " +
+              "0 disables")),
         StructType(Seq(
           StructField("docsSeen", LongType, nullable = false),
           StructField("novel", LongType, nullable = false),
@@ -833,7 +841,8 @@ private[spark] object GraftProcedures {
           val unit = if (in.isNullAt(4)) "term" else in.getUTF8String(4).toString
           val (seen, novel, skipped, epoch, terms) =
             graft.operators.DfStore.update(spark, qualified(tableName),
-              () => dirOf(in), sourceDir, whereSql, intArg(in, 3, 8), unit)
+              () => dirOf(in), sourceDir, whereSql, intArg(in, 3, 8), unit,
+              intArg(in, 5, graft.operators.DfStore.DefaultAutoConsolidate))
           val gens = graft.sources.sstable.Storage
             .forPath(dirOf(in), spark.sessionState.newHadoopConf())
             .listDataFiles(dirOf(in)).length

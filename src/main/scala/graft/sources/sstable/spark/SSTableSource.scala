@@ -304,6 +304,26 @@ object SSTableSource {
     n
   }
 
+  /** Write-triggered epoch-range consolidation for df stores
+    * (`TBLPROPERTIES ('autoconsolidate'='n')`): after a maintenance
+    * CALL leaves more than n epoch partials unfolded, the COMMITTING
+    * maintainer runs [[graft.operators.DfStore.consolidate]] on the
+    * store's behalf before returning — row width stays bounded without
+    * any operator remembering to CALL consolidate_doc_freqs. Only df
+    * stores' maintainers consult it; on any other table it is inert. */
+  val AutoConsolidateOption = "autoconsolidate"
+
+  private[spark] def autoConsolidateOf(v: Option[String]): Option[Int] = v.map { s =>
+    val n = try s.toInt catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"sstable option '$AutoConsolidateOption' must be an int, got '$s'")
+    }
+    require(n >= 2,
+      s"sstable option '$AutoConsolidateOption' must be >= 2 (1 would fold " +
+        s"after every epoch — pure churn): $n")
+    n
+  }
+
   private[spark] def viewOf(v: Option[String]): String = v match {
     case None => "rows"
     case Some(s) if s.equalsIgnoreCase("rows") => "rows"

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import graft.operators.{Params, SSTableOps}
-import graft.sources.sstable.{LocalStorage, SSTableFiles, SSTableReader, Storage}
+import graft.sources.sstable.{LocalStorage, SSTableFiles, Storage}
 
 /** Streaming maintenance of a document-frequency store — the streaming
   * twin of `CALL update_doc_freqs`, part of the symmetry every
@@ -59,19 +59,11 @@ object StreamingDfUpdate {
       .start()
 
   /** Epoch partials accumulated since the last fold — the consolidation
-    * gate's input, from ONE reconciled driver-side point read of the
-    * `_n` row. */
+    * gate's input (shared with the batch maintainer's write-triggered
+    * `autoconsolidate` gate, round 16). */
   private def epochPartialsSinceFold(storeDir: String,
-                                     storage: Storage): Int = {
-    val prober = new SSTableReader.DirectoryProber(storeDir, storage)
-    prober.get("_n".getBytes(java.nio.charset.StandardCharsets.UTF_8),
-        gcTombstones = true).map { row =>
-      val tags = graft.operators.DfStore.partialsOfRow(row, "n:").map(_._1)
-      val maxFold = tags.filter(_.startsWith("F")).map(_.stripPrefix("F"))
-        .maxOption
-      tags.count(t => !t.startsWith("F") && maxFold.forall(t > _))
-    }.getOrElse(0)
-  }
+                                     storage: Storage): Int =
+    graft.operators.DfStore.epochPartialsSinceFold(storeDir, storage)
 
   private def keyOfDoc(docId: org.apache.spark.sql.Column) =
     concat(lit("d:"), lpad(docId.cast("string"), 12, "0")).cast("binary")

@@ -407,6 +407,72 @@ class DfStoreSpec extends AnyFunSuite {
     assert(r1 != null)
   }
 
+  test("write-triggered AUTO-consolidation (round 16, VERDICT r15 #4): " +
+    "a long-run of epochs with ZERO consolidate CALLs keeps row width " +
+    "bounded by the autoconsolidate table property, with parity and " +
+    "the sentinel green across every automatic fold") {
+    val dir = s"$warehouse/ts/dfauto"
+    def callAuto(where: String) = spark.sql(
+      s"CALL graft_dfs.system.update_doc_freqs(table => 'ts.dfauto', " +
+        s"source_dir => '$sfDir', where => '$where', autocompact => 3, " +
+        "autoconsolidate => 3)").head()
+    // 8 disjoint epochs; the operator never calls consolidate_doc_freqs
+    (0 until 8).foreach(i => callAuto(s"doc_id % 8 = $i"))
+    // the property landed on the store (persisted in _table)
+    assert(graft.sources.sstable.spark.GraftCatalog
+      .tableProps(graft.sources.sstable.LocalStorage, dir)
+      .get("autoconsolidate").contains("3"))
+    // at least one automatic fold ran: the _n row's live tags carry an
+    // F fold cell, and the unfolded-epoch count is back under the bound
+    val nTags = SSTableOps.suppressTombstones(
+        spark.read.format("sstable").load(dir))
+      .filter(col("key").cast("string") === "_n")
+      .select(explode(col("columns")).as("c"))
+      .select(col("c.name").cast("string").as("n"))
+      .collect().map(_.getString(0)).filter(_.startsWith("n:"))
+      .map(_.stripPrefix("n:"))
+    assert(nTags.exists(_.startsWith("F")),
+      s"8 epochs over autoconsolidate=3 never folded: ${nTags.sorted.mkString(", ")}")
+    assert(DfStore.epochPartialsSinceFold(dir,
+        graft.sources.sstable.LocalStorage) <= 3,
+      "row width not bounded by the property after the last commit")
+    // every LIVE t: row is bounded too: per prefix at most one fold
+    // cell + the unfolded epochs (the bound the property promises)
+    val maxW = SSTableOps.suppressTombstones(
+        spark.read.format("sstable").load(dir))
+      .filter(col("key").cast("string").startsWith("t:"))
+      .select(col("key"), explode(col("columns")).as("c"))
+      .filter(col("c.state") === "NORMAL")
+      .select(col("key"),
+        substring(col("c.name").cast("string"), 1, 3).as("p"))
+      .groupBy("key", "p").agg(count(lit(1)).as("w"))
+      .agg(max(col("w"))).head().getLong(0)
+    assert(maxW <= 4,
+      s"a live t: row carries $maxW partials per prefix — the " +
+        "autoconsolidate bound (3 unfolded epochs + 1 fold) is broken")
+    // parity: the automatically-folded store still serves the exact
+    // full-recompute statistic, and the sentinel holds
+    assert(storedDf("ts.dfauto") == directDf("true"),
+      "an automatic fold lost or duplicated a partial")
+    DfStore.auditAdditivity(spark, dir,
+      DfStore.nDocs(spark, "graft_dfs.ts.dfauto"), "post-autoconsolidate audit")
+    // autoconsolidate => 0 disables: a store created without the
+    // property never folds on its own
+    def callOff(where: String) = spark.sql(
+      s"CALL graft_dfs.system.update_doc_freqs(table => 'ts.dfauto0', " +
+        s"source_dir => '$sfDir', where => '$where', autocompact => 3, " +
+        "autoconsolidate => 0)").head()
+    (0 until 5).foreach(i => callOff(s"doc_id % 5 = $i"))
+    val offTags = SSTableOps.suppressTombstones(
+        spark.read.format("sstable").load(s"$warehouse/ts/dfauto0"))
+      .filter(col("key").cast("string") === "_n")
+      .select(explode(col("columns")).as("c"))
+      .select(col("c.name").cast("string").as("n"))
+      .collect().map(_.getString(0)).filter(_.startsWith("n:F"))
+    assert(offTags.isEmpty,
+      s"autoconsolidate => 0 must disable the volunteer fold: ${offTags.mkString(", ")}")
+  }
+
   test("point-read serving (round 15): docFreqsFor / nDocsProbe fetch " +
     "exactly the asked rows — parity with the scan path bit for bit, " +
     "on a plain AND a consolidated store (the probes are fold-aware), " +
