@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Session-scoped memo for trained/derived relations (clusterings,
   * quantizers, written fixtures) shared between a "fresh" producer query
@@ -18,11 +18,22 @@ import org.apache.spark.sql.SparkSession
   * whose underlying SparkContext has stopped — in classic Spark a
   * session's lifetime ends with its context (`session.stop()` stops the
   * context), so dead sessions' entries are reclaimed on the next access
-  * by anyone, bounding the map to live sessions × corpora. */
+  * by anyone, bounding the map to live sessions × corpora.
+  *
+  * Explicit lifecycle (round 16, VERDICT r15 #6): every instance
+  * registers itself in [[SessionCache.registry]], so
+  * [[ServingCaches.release]] can drop ONE session's entries across every
+  * cache in the library — and DISPOSE the dropped values' executor-side
+  * state (CacheManager entries for persisted frames, block-manager
+  * blocks for `localCheckpoint`-backed ones) instead of waiting for the
+  * ContextCleaner to chase GC. A long-lived session cycling corpora
+  * releases, then the next serving call rebuilds from scratch. */
 private[graft] final class SessionCache[V] {
   private final case class Entry(session: SparkSession, value: V)
   private val m =
     new java.util.concurrent.ConcurrentHashMap[(String, String), Entry]
+
+  SessionCache.registry.add(this)
 
   private def stopped(s: SparkSession): Boolean =
     try s.sparkContext.isStopped catch { case _: Exception => true }
@@ -40,10 +51,38 @@ private[graft] final class SessionCache[V] {
   }
 
   /** Unconditional refresh: callers that must price a real recompute
-    * (bench-visible producers) store their fresh result here. */
+    * (bench-visible producers) store their fresh result here. The
+    * replaced value is NOT disposed — a query result returned before
+    * the refresh may still reference its checkpointed RDDs (a
+    * `localCheckpoint` is unrecoverable once its blocks are dropped),
+    * so superseded values keep the ContextCleaner-after-GC lifecycle;
+    * only the EXPLICIT release below disposes eagerly. */
   def put(s: SparkSession, key: String, v: V): Unit = {
     sweep()
     m.put((SessionCache.id(s), key), Entry(s, v))
+  }
+
+  /** Drop (and dispose) every entry of one session. Returns the number
+    * of entries released. */
+  private[operators] def releaseSession(s: SparkSession): Int = {
+    val sid = SessionCache.id(s)
+    var n = 0
+    val it = m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 == sid) { it.remove(); SessionCache.dispose(e.getValue.value); n += 1 }
+    }
+    n
+  }
+
+  /** The session's live DataFrame values (recursing into tuples) — the
+    * introspection hook release specs use to assert the backing RDDs
+    * are actually gone afterwards. */
+  private[operators] def sessionFrames(s: SparkSession): Seq[DataFrame] = {
+    val sid = SessionCache.id(s)
+    import scala.jdk.CollectionConverters._
+    m.entrySet().asScala.toSeq.filter(_.getKey._1 == sid)
+      .flatMap(e => SessionCache.framesOf(e.getValue.value))
   }
 }
 
@@ -62,4 +101,55 @@ private[graft] object SessionCache {
     uuidMethod.filter(_.getDeclaringClass.isInstance(s))
       .map(_.invoke(s).asInstanceOf[String])
       .getOrElse(s"identity-${System.identityHashCode(s)}")
+
+  /** Every cache instance in the library (they are all statics of query
+    * objects — the queue only ever grows to their fixed count). */
+  private[operators] val registry =
+    new java.util.concurrent.ConcurrentLinkedQueue[SessionCache[_]]
+
+  /** `LogicalRDD` is `private[sql]` to Scala but JVM-public; the same
+    * one-time reflective-handle pattern as `sessionUUID` above. Its
+    * `rdd()` is the checkpointed RDD whose blocks a
+    * `localCheckpoint`-backed frame pins in the block manager. */
+  private val logicalRdd: Option[(Class[_], java.lang.reflect.Method)] =
+    try {
+      val c = Class.forName("org.apache.spark.sql.execution.LogicalRDD")
+      Some((c, c.getMethod("rdd")))
+    } catch { case _: Exception => None }
+
+  /** All DataFrames inside a cached value (tuples of frames are how the
+    * trainings cache (assigned, centroids) pairs). */
+  private def framesOf(v: Any): Seq[DataFrame] = v match {
+    case ds: org.apache.spark.sql.Dataset[_] => Seq(ds.toDF())
+    case p: Product => p.productIterator.flatMap(framesOf).toSeq
+    case _ => Seq.empty
+  }
+
+  /** The block-pinning checkpoint RDD ids behind a frame (empty when
+    * the frame is not `localCheckpoint`-backed) — lets release specs
+    * assert the blocks actually left `sc.getPersistentRDDs`. */
+  private[operators] def checkpointRddIds(df: DataFrame): Seq[Int] =
+    try df.queryExecution.analyzed.collect {
+      case node if logicalRdd.exists(_._1.isInstance(node)) =>
+        logicalRdd.get._2.invoke(node)
+          .asInstanceOf[org.apache.spark.rdd.RDD[_]].id
+    } catch { case _: Exception => Seq.empty }
+
+  /** Release a dropped value's executor-side state: CacheManager entry
+    * (persisted frames) and `localCheckpoint` blocks (checkpointed
+    * frames — their analyzed plan is a `LogicalRDD` holding the
+    * persisted internal RDD). Values that carry neither (fixture-dir
+    * strings, catalog names) dispose to nothing — their directories
+    * stay on disk and the fixture builders already recreate-over. Best
+    * effort by design: a dispose must never fail a release. */
+  private[operators] def dispose(v: Any): Unit = framesOf(v).foreach { df =>
+    try df.unpersist(blocking = true) catch { case _: Exception => () }
+    try df.queryExecution.analyzed.foreach { node =>
+      logicalRdd.foreach { case (c, rddOf) =>
+        if (c.isInstance(node))
+          rddOf.invoke(node).asInstanceOf[org.apache.spark.rdd.RDD[_]]
+            .unpersist(blocking = true)
+      }
+    } catch { case _: Exception => () }
+  }
 }

@@ -184,6 +184,10 @@ object SimilarityQueries {
     * first call is the real deployment shape: jobs LOAD centroids,
     * codebooks and the 4-byte codes from the catalog — no Lloyd
     * training in any serving plan (pinned by PlanQualitySpec). */
+  /** q_ann_rerank's persisted ADC shortlist — see the comment at its
+    * use site. */
+  private val rerankShortlistCache = new SessionCache[DataFrame]
+
   private val servedIndexCache = new SessionCache[String]
   private def servedIndexDir(s: SparkSession, d: String): String =
     servedIndexCache.getOrCompute(s, d) {
@@ -601,21 +605,24 @@ object SimilarityQueries {
       val e = embWithNorm(s, d)
       val q = e.filter(col("vec_id") < KnnQueryIds)
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-      val approx = ivfpqServedApprox(s, idx, q)
-      val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
       // persisted: the shortlist (queries × RerankC rows — tiny) feeds
       // BOTH the point-read key relation and the rerank join; without
       // the persist each branch would recompute the whole ADC pipeline
-      // (measured 2.4× the query cost). CacheManager dedups by plan, so
-      // repeated serving calls reuse ONE cached copy per (session,
-      // corpus) — the same lifetime as this file's fixture caches,
-      // deliberately not unpersisted (the result DataFrame we return
-      // still depends on it; releasing is the session's prerogative,
-      // exactly like the trained-relation caches).
-      val shortlist = approx.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= RerankC)
-        .select(col("q_id"), col("c_id"))
-        .persist()
+      // (measured 2.4× the query cost). Held in the session cache
+      // (round 16) so repeated serving calls reuse ONE cached copy per
+      // (session, corpus) — the same lifetime as this file's fixture
+      // caches — and CALL release_serving_caches can unpersist it
+      // (releasing is the session's prerogative, exactly like the
+      // trained-relation caches).
+      val shortlist = rerankShortlistCache.getOrCompute(s, d) {
+        val approx = ivfpqServedApprox(s, idx, q)
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("sim").desc, col("c_id"))
+        approx.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= RerankC)
+          .select(col("q_id"), col("c_id"))
+          .persist()
+      }
       // exact vectors for ONLY the shortlisted candidates: covering-
       // index point reads, never an embedding-table scan
       val exact = AnnIndex.loadVectorsFor(s, idx,

@@ -38,6 +38,10 @@ object TextQueries {
     * files directly). */
   private def dfStoreDir(d: String): String = s"${dfWarehouse(d)}/ts/df"
 
+  /** q_tfidf_probe's persisted delta-tf batch — see the comment at its
+    * use site. */
+  private val tfProbeCache = new SessionCache[org.apache.spark.sql.DataFrame]
+
   private val dfStoreCache = new SessionCache[String]
   private def dfStoreFixture(s: SparkSession, d: String): String =
     dfStoreCache.getOrCompute(s, d) {
@@ -266,9 +270,12 @@ object TextQueries {
       // as an RDD inside lookupJoin) and the score join's left side —
       // without the cache the delta's tokenize + aggregation would
       // execute twice per run (review find; same class as the rerank
-      // shortlist). One cached copy per (session, corpus), deduped by
-      // the CacheManager across repeated serving calls.
-      val tf = deltaTf(s, d, col("doc_id") < TfidfDeltaDocs).persist()
+      // shortlist). One cached copy per (session, corpus); held in the
+      // session cache (round 16) so CALL release_serving_caches can
+      // unpersist it — repeated serving calls reuse the same entry
+      // exactly as the CacheManager plan-dedup did before.
+      val tf = tfProbeCache.getOrCompute(s, d)(
+        deltaTf(s, d, col("doc_id") < TfidfDeltaDocs).persist())
       scoreTfidf(tf, DfStore.docFreqsFor(tf.select(col("term")), dir),
         DfStore.nDocsProbe(dir))
     }),

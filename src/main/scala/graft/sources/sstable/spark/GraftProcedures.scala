@@ -1380,6 +1380,24 @@ private[spark] object GraftProcedures {
                 strOrNull(4), strOrNull(5), strOrNull(6))
             }
         }),
+
+      "release_serving_caches" -> new Proc(
+        "release_serving_caches",
+        "drop THIS session's serving-cache entries across the whole " +
+          "query library and free the storage they pinned: persisted " +
+          "serving intermediates (the TF-IDF probe batch, the ANN " +
+          "rerank shortlist) leave the CacheManager, trained " +
+          "quantizers' and clusterings' localCheckpoint blocks are " +
+          "dropped from the block manager, and fixture memos are " +
+          "forgotten (their directories stay on disk; builders " +
+          "recreate-over on next use). For long-lived sessions cycling " +
+          "corpora — correctness never depends on a cache hit, so the " +
+          "call is always safe; the next serving call pays the rebuild",
+        Array.empty,
+        StructType(Seq(
+          StructField("entriesReleased", LongType, nullable = false))),
+        (spark, _) =>
+          Seq(row(graft.operators.ServingCaches.release(spark)))),
     )
   }
 }
