@@ -918,5 +918,79 @@ object PerfProbe {
     }
     val vwarm = vecResults.drop(1)
     println(f"ann slope at 10x vectors: fetch ${vwarm(0)._3 / vwarm(1)._3}%.2fx (10x = linear)")
+
+    // ── orchestrated takedown at 10x store size, under concurrent
+    // serving reads (round 16, VERDICT r15 #7): one CALL takedown
+    // drives all three legs for a fixed 500-doc predicate while two
+    // free-running readers serve point reads from the df store and
+    // membership probes from the signature store the whole time —
+    // the evidence that a takedown neither scales with the stores nor
+    // disturbs serving. Same warm-run discipline: small (cold,
+    // discarded), big, small.
+    val tdN = 500
+    val tdResults = Seq(20000, 200000, 20000).zipWithIndex.map {
+      case (n, run) =>
+        val src = corpus(n)
+        // vectors keyed by the SAME doc ids (the ANN leg's contract)
+        spark.range(n).select(col("id").as("vec_id"),
+            (col("id") % 4).cast("int").as("label"),
+            transform(sequence(lit(0), lit(7)),
+              i => ((col("id") + i) % 13).cast("float")).as("embedding"))
+          .write.mode("overwrite").parquet(s"$src/embeddings.parquet")
+        val (df, sg, ix) = (s"p.tdf${n}_$run", s"p.tsg${n}_$run", s"p.tix${n}_$run")
+        spark.sql(s"CALL graft_rsc.system.update_doc_freqs(table => '$df', " +
+          s"source_dir => '$src', autocompact => 8)")
+        spark.sql(s"CALL graft_rsc.system.update_signatures(table => '$sg', " +
+          s"source_dir => '$src', autocompact => 8)")
+        spark.sql(s"CALL graft_rsc.system.build_ann_index(table => '$ix', " +
+          s"source_dir => '$src', kind => 'ivf', k => 4, iters => 1)")
+        // free-running serving readers: df point reads + sig membership
+        val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+        val errs = new java.util.concurrent.atomic.AtomicInteger(0)
+        val reads = new java.util.concurrent.atomic.AtomicInteger(0)
+        val terms = spark.range(50).select(
+          concat(lit("word"), col("id") * 19).as("term"))
+        val readers = Seq(
+          new Thread(() => while (!stop.get()) {
+            try {
+              graft.operators.DfStore.docFreqsFor(terms, s"$wh/p/tdf${n}_$run")
+                .count()
+              graft.operators.DfStore.nDocsProbe(s"$wh/p/tdf${n}_$run")
+              reads.incrementAndGet()
+            } catch { case _: Throwable => errs.incrementAndGet() }
+          }),
+          new Thread(() => while (!stop.get()) {
+            try {
+              graft.operators.SignatureStore
+                .storedIds(spark, s"$wh/p/tsg${n}_$run").limit(100).count()
+              reads.incrementAndGet()
+            } catch { case _: Throwable => errs.incrementAndGet() }
+          }))
+        readers.foreach(_.start())
+        val t0 = System.nanoTime()
+        spark.sql(s"CALL graft_rsc.system.takedown(df_table => '$df', " +
+          s"sig_table => '$sg', ann_table => '$ix', source_dir => '$src', " +
+          s"where => 'doc_id % ${n / tdN} = 7')").collect()
+        val tdMs = (System.nanoTime() - t0) / 1e6
+        // the spanning audit prices itself too (one row per store)
+        val t1 = System.nanoTime()
+        val status = spark.sql(s"CALL graft_rsc.system.takedown_status(" +
+          s"df_table => '$df', sig_table => '$sg', ann_table => '$ix', " +
+          s"where => 'doc_id % ${n / tdN} = 7')").collect()
+        val stMs = (System.nanoTime() - t1) / 1e6
+        require(status.forall(_.getAs[Long]("members") == 0L),
+          s"takedown left members behind: ${status.mkString(", ")}")
+        stop.set(true); readers.foreach(_.join())
+        require(errs.get() == 0,
+          s"${errs.get()} serving reads FAILED during the takedown")
+        (n, run, tdMs, stMs, reads.get())
+    }
+    tdResults.foreach { case (n, run, td, st, r) =>
+      println(f"takedown n=$n%7d run=$run takedown(${tdN}docs)=$td%8.0f ms  " +
+        f"status=$st%8.0f ms  concurrent serving reads=$r%5d (0 errors)")
+    }
+    val twarm = tdResults.drop(1)
+    println(f"takedown slope at 10x stores: takedown ${twarm(0)._3 / twarm(1)._3}%.2fx, " +
+      f"status ${twarm(0)._4 / twarm(1)._4}%.2fx (10x = linear)")
   }
 }

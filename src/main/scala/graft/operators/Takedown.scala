@@ -39,14 +39,17 @@ import org.apache.spark.sql.functions._
   *    roll back to — retraction is the goal), it surfaces in the
   *    receipt-turned-exception and the re-issue converges.
   *
-  * The CORPUS table itself (documents.parquet, or a catalog table) is
-  * intentionally not a leg: corpora are deleted by their own owners'
-  * mechanics (DELETE FROM a catalog table, partition drops on
-  * parquet), and every leg here tolerates the doc being ALREADY gone
-  * from the corpus — the df leg reads (doc_id, text) from ANY
-  * directory holding the removed docs' rows (the takedown payload),
-  * verified by content hash. Delete the corpus rows before or after;
-  * the legs compose either way. */
+  * The CORPUS table itself is an OPT-IN fourth leg (`corpusTable`,
+  * round 16): when the corpus lives in a session-visible table, one
+  * takedown can DELETE its rows too — run LAST, because the df leg
+  * reads the removed docs' text from `sourceDir`, which is often the
+  * corpus itself. By default there is no corpus leg: corpora are
+  * deleted by their own owners' mechanics (DELETE FROM a catalog
+  * table, partition drops on parquet), and every leg here tolerates
+  * the doc being ALREADY gone from the corpus — the df leg reads
+  * (doc_id, text) from ANY directory holding the removed docs' rows
+  * (the takedown payload), verified by content hash. Delete the
+  * corpus rows before or after; the legs compose either way. */
 object Takedown {
 
   /** One leg's receipt: which store, how many members the predicate
@@ -66,7 +69,9 @@ object Takedown {
                sigTable: (String, String),
                annTable: (String, String),
                sourceDir: String, whereSql: String,
-               unit: String = "term"): Seq[Leg] = {
+               unit: String = "term",
+               corpusTable: Option[String] = None,
+               corpusWhere: Option[String] = None): Seq[Leg] = {
     val (dfName, dfDir) = dfTable
     val (sigName, sigDir) = sigTable
     val (annName, annDir) = annTable
@@ -85,7 +90,27 @@ object Takedown {
     val annLeg = Leg("ann_vectors", annMatched,
       if (annEpoch == 0) "" else f"$annEpoch%06d",
       if (annMatched == 0) "noop" else "retracted")
-    Seq(dfLeg, sigLeg, annLeg)
+    // the OPTIONAL corpus leg (round 16): when the corpus lives in a
+    // catalog table, one takedown can remove its rows too — DELETE FROM
+    // in the table's own predicate terms (`corpusWhere`; defaults to
+    // the id predicate, which works when the table exposes doc_id).
+    // Deliberately LAST: the df leg reads the removed docs' text from
+    // `sourceDir`, which is often the corpus itself — deleting first
+    // would empty the retraction slice and the statistics would
+    // silently keep counting the removed docs. (A corpus deleted by
+    // its own mechanics BEFORE the takedown still composes: point
+    // sourceDir at the takedown payload.) Idempotent like every leg:
+    // a re-issue matches nothing and no-ops.
+    val corpusLeg = corpusTable.map { t =>
+      val pred = corpusWhere.getOrElse(whereSql)
+      val matched = s.table(t).filter(expr(pred)).count()
+      if (matched == 0) Leg("corpus", 0, "", "noop")
+      else {
+        s.sql(s"DELETE FROM $t WHERE $pred")
+        Leg("corpus", matched, "", "deleted")
+      }
+    }
+    Seq(dfLeg, sigLeg, annLeg) ++ corpusLeg
   }
 
   /** Per-store live members matching the predicate — the spanning

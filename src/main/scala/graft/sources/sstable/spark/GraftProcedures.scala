@@ -1000,7 +1000,17 @@ private[spark] object GraftProcedures {
             comment = "SQL predicate over doc_id selecting the docs to " +
               "remove, e.g. 'doc_id % 5 = 2'"),
           p("unit", StringType, Some("'term'"),
-            comment = "must match the df store's pinned unit")),
+            comment = "must match the df store's pinned unit"),
+          p("corpus_table", StringType, Some("NULL"),
+            comment = "OPTIONAL fourth leg: a catalog-relative corpus " +
+              "table whose matching rows are DELETEd — run LAST (the df " +
+              "leg reads the removed docs' text from source_dir, often " +
+              "the corpus itself). Absent = corpora are deleted by " +
+              "their own owners' mechanics"),
+          p("corpus_where", StringType, Some("NULL"),
+            comment = "DELETE predicate in the corpus table's own " +
+              "column terms; defaults to `where` (works when the table " +
+              "exposes doc_id)")),
         StructType(Seq(
           StructField("store", StringType, nullable = false),
           StructField("matched", LongType, nullable = false),
@@ -1012,12 +1022,16 @@ private[spark] object GraftProcedures {
               "where are all required"))
           val Seq(dfN, sigN, annN) = (0 to 2).map(in.getUTF8String(_).toString)
           val unit = if (in.isNullAt(5)) "term" else in.getUTF8String(5).toString
+          val corpusTable =
+            if (in.isNullAt(6)) None else Some(in.getUTF8String(6).toString)
+          val corpusWhere =
+            if (in.isNullAt(7)) None else Some(in.getUTF8String(7).toString)
           graft.operators.Takedown.takedown(spark,
             (qualified(dfN), resolveTable(dfN)),
             (qualified(sigN), resolveTable(sigN)),
             (qualified(annN), resolveTable(annN)),
             in.getUTF8String(3).toString, in.getUTF8String(4).toString,
-            unit)
+            unit, corpusTable.map(qualified), corpusWhere)
             .map(l => row(utf8(l.store), l.matched, utf8(l.epochTag),
               utf8(l.status)))
         }),

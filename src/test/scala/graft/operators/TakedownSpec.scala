@@ -171,4 +171,50 @@ class TakedownSpec extends AnyFunSuite {
       m("ann_vectors") == vecs,
       "re-admission must restore full membership in every store")
   }
+
+  test("the OPT-IN corpus leg (round 16): corpus_table DELETEs the " +
+    "removed rows LAST — after the df leg read their text — with an " +
+    "idempotent receipt; absent corpus_table leaves the corpus alone") {
+    buildStores("corpus")
+    // the corpus as a catalog table: key = doc_id (decimal string),
+    // one 'text' cell — the shape a catalog-managed corpus has
+    spark.sql("CREATE TABLE graft_td.corpus.docs")
+    val view = "graft_td_corpus_rows"
+    graft.Tables.documents(spark, sfDir).select(
+        col("doc_id").cast("string").cast("binary").as("key"),
+        array(struct(lit("text").cast("binary").as("name"),
+          lit("NORMAL").as("state"),
+          col("text").cast("binary").as("value"),
+          lit(1L).as("timestamp"), lit(0L).as("ttlSecs"),
+          lit(0L).as("expiresMillis"))).as("columns"),
+        lit(null).cast("struct<localDeletionTime: int, " +
+          "markedForDeleteAt: bigint>").as("rowTombstone"))
+      .createOrReplaceTempView(view)
+    spark.sql(s"INSERT INTO graft_td.corpus.docs SELECT * FROM $view")
+    val total = spark.table("graft_td.corpus.docs").count()
+    val where = "doc_id % 9 = 4"
+    val corpusWhere = "CAST(CAST(key AS STRING) AS BIGINT) % 9 = 4"
+    val removed = graft.Tables.documents(spark, sfDir)
+      .filter(expr(where)).count()
+    def call() = spark.sql(
+      "CALL graft_td.system.takedown(df_table => 'corpus.df', " +
+        "sig_table => 'corpus.sig', ann_table => 'corpus.ann', " +
+        s"source_dir => '$sfDir', where => '$where', " +
+        "corpus_table => 'corpus.docs', " +
+        s"corpus_where => '$corpusWhere')").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getString(3))).toMap
+    val r1 = call()
+    assert(r1("corpus") == ((removed, "deleted")), r1)
+    assert(r1("doc_freqs")._2 == "retracted", r1)
+    // the corpus rows are gone (merge-on-read tombstones), everything
+    // else survives
+    assert(spark.table("graft_td.corpus.docs").count() == total - removed)
+    assert(spark.table("graft_td.corpus.docs")
+      .filter(expr(corpusWhere)).count() == 0L)
+    // all three derived stores converged in the same call
+    assert(status("corpus", where).values.forall(_ == 0L))
+    // idempotent: the re-issue no-ops every leg including the corpus
+    val r2 = call()
+    assert(r2.values.forall(_._2 == "noop"), r2)
+  }
 }
