@@ -840,42 +840,8 @@ object AnnIndex {
       s"ANN index at $idxDir does not store raw vectors — the drift " +
         "statistic reads them with zero corpus IO. Upgrade with CALL " +
         "cover_ann_index first")
-    val kind = m0("kind")
-    val pqM = m0("m").toInt
-    val vecs = s.read.format("sstable")
-      .option(graft.sources.sstable.spark.SSTableSource.ApplyDeletesOption,
-        "true")
-      .load(idxDir)
-      .select(col("key").cast("string").as("k"),
-        explode(col("columns")).as("c"))
-      .filter(col("k").startsWith("v:") &&
-        col("c.name").cast("string") === "vec")
-      .select(substring(col("k"), 3, 12).cast("long").as("vec_id"),
-        col("c.timestamp").as("ts"),
-        unpack_doubles(col("c.value")).as("v"))
-      .withColumn("nrm", sqrt(vector_dot(col("v"), col("v"))))
-    // per-vector best-assignment cosine under the persisted quantizers
-    val sims =
-      if (kind != "pq") {
-        val sim = vector_dot(col("v"), col("cv")) / (col("nrm") * col("cn"))
-        vecs.crossJoin(broadcast(loadCoarseCentroids(s, idxDir)))
-          .select(col("vec_id"), col("ts"), sim.as("sim"))
-          .groupBy("vec_id", "ts").agg(max(col("sim")).as("sim"))
-      } else {
-        // pq-only: mean over subspaces of the best codebook-entry sim
-        val subLen = (size(col("v")) / pqM).cast("int")
-        val subs = vecs.select(col("vec_id"), col("ts"),
-            explode(sequence(lit(0), lit(pqM - 1))).as("sub"), col("v"))
-          .select(col("vec_id"), col("ts"), col("sub"),
-            slice(col("v"), col("sub") * subLen + 1, subLen).as("v"))
-          .withColumn("nrm", sqrt(vector_dot(col("v"), col("v"))))
-        val sim = vector_dot(col("v"), col("cv")) / (col("nrm") * col("cn"))
-        subs.join(broadcast(loadPqCodebooks(s, idxDir)), "sub")
-          .select(col("vec_id"), col("ts"), col("sub"), sim.as("sim"))
-          .groupBy("vec_id", "ts", "sub").agg(max(col("sim")).as("sim"))
-          .groupBy("vec_id", "ts").agg(avg(col("sim")).as("sim"))
-      }
-    val grouped = sims.persist()
+    val grouped = assignmentSims(s, idxDir, m0("kind"), m0("m").toInt)
+      .persist()
     try {
       val buildTs = grouped.agg(min(col("ts"))).head().getLong(0)
       val stats = grouped
@@ -893,6 +859,50 @@ object AnnIndex {
         else e4((1.0 - meanP) / (1.0 - meanB))
       (nB, nP, e4(meanB), e4(meanP), e4(p05B), e4(p05P), ratio)
     } finally grouped.unpersist()
+  }
+
+  /** Per-vector best-assignment cosine `(vec_id, ts, sim)` under the
+    * index's PERSISTED quantizers, each vector stamped with its ingest
+    * epoch — read entirely from the covering index's `v:` rows (zero
+    * corpus IO). Best-assignment = max cosine against the coarse
+    * centroids (ivf/ivfpq); pq-only indexes score the mean over
+    * subspaces of the best codebook-entry cosine. Shared by [[drift]]
+    * (the aggregate staleness receipt) and the hash-gated
+    * `q_ann_drift` relation (per-vector rows, so the oracle compare
+    * never sums floats across rows). */
+  private[graft] def assignmentSims(s: SparkSession, idxDir: String,
+                                    kind: String, pqM: Int): DataFrame = {
+    val vecs = s.read.format("sstable")
+      .option(graft.sources.sstable.spark.SSTableSource.ApplyDeletesOption,
+        "true")
+      .load(idxDir)
+      .select(col("key").cast("string").as("k"),
+        explode(col("columns")).as("c"))
+      .filter(col("k").startsWith("v:") &&
+        col("c.name").cast("string") === "vec")
+      .select(substring(col("k"), 3, 12).cast("long").as("vec_id"),
+        col("c.timestamp").as("ts"),
+        unpack_doubles(col("c.value")).as("v"))
+      .withColumn("nrm", sqrt(vector_dot(col("v"), col("v"))))
+    if (kind != "pq") {
+      val sim = vector_dot(col("v"), col("cv")) / (col("nrm") * col("cn"))
+      vecs.crossJoin(broadcast(loadCoarseCentroids(s, idxDir)))
+        .select(col("vec_id"), col("ts"), sim.as("sim"))
+        .groupBy("vec_id", "ts").agg(max(col("sim")).as("sim"))
+    } else {
+      // pq-only: mean over subspaces of the best codebook-entry sim
+      val subLen = (size(col("v")) / pqM).cast("int")
+      val subs = vecs.select(col("vec_id"), col("ts"),
+          explode(sequence(lit(0), lit(pqM - 1))).as("sub"), col("v"))
+        .select(col("vec_id"), col("ts"), col("sub"),
+          slice(col("v"), col("sub") * subLen + 1, subLen).as("v"))
+        .withColumn("nrm", sqrt(vector_dot(col("v"), col("v"))))
+      val sim = vector_dot(col("v"), col("cv")) / (col("nrm") * col("cn"))
+      subs.join(broadcast(loadPqCodebooks(s, idxDir)), "sub")
+        .select(col("vec_id"), col("ts"), col("sub"), sim.as("sim"))
+        .groupBy("vec_id", "ts", "sub").agg(max(col("sim")).as("sim"))
+        .groupBy("vec_id", "ts").agg(avg(col("sim")).as("sim"))
+    }
   }
 
   /** [[epochMetaRow]] for the streaming ingest's tagged appends (the

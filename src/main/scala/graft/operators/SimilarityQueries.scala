@@ -227,6 +227,41 @@ object SimilarityQueries {
     idx
   }
 
+  /** q_ann_drift's fixture: a COVERING IVF index trained on the EVEN
+    * half of the corpus (build epoch 1), then `update_ann_index` over
+    * the full corpus — the odd half arrives as a post-build epoch,
+    * encoded against the epoch-1 quantizers with no retrain. Receipts
+    * asserted loudly; the serving query then reads ONLY the index. */
+  private val driftIndexCache = new SessionCache[String]
+  private def driftIndexDir(s: SparkSession, d: String): String =
+    driftIndexCache.getOrCompute(s, d) {
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes).map("%02x".format(_)).mkString.take(16)
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft-drift-$tag"
+      val root = java.nio.file.Paths.get(wh)
+      if (java.nio.file.Files.exists(root)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+      val cat = s"graft_drift_$tag"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.sstable.spark.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"CREATE NAMESPACE $cat.ix")
+      val nOdd = graft.Tables.embeddings(s, d)
+        .filter(col("vec_id") % 2 =!= 0).count()
+      s.sql(s"CALL $cat.system.build_ann_index(table => 'ix.drift', " +
+        s"source_dir => '$d', kind => 'ivf', k => $KMedK, " +
+        s"iters => $KMedIters, where => 'vec_id % 2 = 0', " +
+        "store_vectors => true)")
+      val upd = s.sql(s"CALL $cat.system.update_ann_index(table => " +
+        s"'ix.drift', source_dir => '$d')").head()
+      require(upd.getAs[Long]("encoded") == nOdd,
+        s"the post-build epoch must encode exactly the odd half: $upd")
+      s"$wh/ix/drift"
+    }
+
   /** Multi-probe cell selection: each query keeps its `nprobe`
     * closest-centroid cells (centroids broadcast; ranking window is per
     * query over #cells rows). Returns `(q_id, cell, qv, qn)`. */
@@ -643,6 +678,28 @@ object SimilarityQueries {
           e4(col("n_hits").cast("double") / KnnK).as("recall_e4"))
         .orderBy("q_id")
     }),
+    // Quantizer DRIFT (round 16, the serving face of CALL ann_drift):
+    // per-vector best-assignment cosine under the PERSISTED epoch-1
+    // quantizers, split into the build slice vs the post-build epochs —
+    // read entirely from the covering index's v: rows and centroid
+    // cells, ZERO corpus IO. The oracle recomputes the k-medians
+    // training over the build slice and every assignment from parquet:
+    // the hash gate proves quantizer persistence, covering-vector
+    // round-trip, epoch stamping AND the assignment math, bit for bit
+    // (per-vector rows, never a float sum across rows — a mean would
+    // be order-dependent). The aggregate receipt (driftRatio) is the
+    // CALL's; its spec pins the flat-vs-shifted behavior.
+    "q_ann_drift" -> ((s, d) => {
+      val idx = driftIndexDir(s, d)
+      // build cells carry ts = epoch 1; post-build ingests stamp later
+      // epochs (asserted by the oracle split: ts==1 must equal the
+      // even half, id for id)
+      AnnIndex.assignmentSims(s, idx, "ivf", PqM)
+        .select(col("vec_id"),
+          when(col("ts") === 1L, "build").otherwise("post").as("phase"),
+          e4(col("sim")).as("sim_e4"))
+        .orderBy("vec_id")
+    }),
     // Embedding-cosine near-dup: canonical id per vector (min partner
     // above threshold in the same IVF cell, else self). Candidates come
     // from the coarse-cell equi-join — the same bucketing as q_ann_ivf,
@@ -864,6 +921,25 @@ object SimilarityQueries {
                  ${e4Sql(s"count(i.c_id) * 1.0 / $KnnK")} AS recall_e4
           FROM bf b LEFT JOIN ivf i ON b.q_id = i.q_id AND b.c_id = i.c_id
           GROUP BY b.q_id ORDER BY b.q_id""",
+    // the drift relation's oracle RETRAINS the build-slice quantizers
+    // from parquet and recomputes every assignment — the engine side
+    // reads only the persisted index, so one flipped bit in a packed
+    // centroid, a mis-decoded covering vector, or a wrong epoch stamp
+    // (build/post split) flips a row and the hash mismatches
+    "q_ann_drift" -> {
+      val buildSrc = s"(SELECT vec_id, label, $V AS v, " +
+        s"sqrt(list_dot_product($V, $V)) AS nrm FROM embeddings " +
+        "WHERE vec_id % 2 = 0)"
+      s"""WITH ${kmedCtes(KMedK, KMedIters, buildSrc, "d")},
+          sims AS (
+            SELECT e.vec_id,
+                   CASE WHEN e.vec_id % 2 = 0 THEN 'build' ELSE 'post' END AS phase,
+                   max(list_dot_product(e.v, c.cv) / (e.nrm * c.cn)) AS sim
+            FROM $embSql e, dc${KMedIters - 1}n c
+            GROUP BY 1, 2)
+          SELECT vec_id, phase, ${e4Sql("sim")} AS sim_e4
+          FROM sims ORDER BY vec_id"""
+    },
     "q_ann_pq" -> {
       val I = PqIters
       val subCtes = (0 until PqM).map { m =>
