@@ -176,6 +176,16 @@ object Bench {
     "q_tfidf_probe" -> 0.308, "q_df_consolidated" -> 0.137,
     "q_tfidf_retracted" -> 0.357, "q_df_retracted" -> 0.106,
     "q_ann_rerank" -> 2.146,
+    // round-16 additions, same protocol: per-query min of THREE quiet
+    // sf0.1 sweeps (totals 54.8/49.2/48.4 s, total_ratio
+    // 1.110/0.996/0.979 — the first cold-JVM-elevated; zero errors,
+    // zero contended, zero warm ratios over 1.5x). ann_drift
+    // 0.369/0.428/0.374 (min corroborated 1.01x), takedown
+    // 0.482/0.441/0.416 (1.06x). Both price their SERVING read only
+    // (fixtures build the index/stores once per session): ann_drift =
+    // one covering-index scan x broadcast centroids; takedown = the
+    // three membership relations unioned
+    "q_ann_drift" -> 0.369, "q_takedown" -> 0.416,
     "q_sstable_rollback" -> 0.218, "q_sstable_since" -> 0.238,
     "q_sstable_sync" -> 0.081, "q_sstable_topk" -> 0.044,
     "q_stratified" -> 0.191, "q_text_stats" -> 0.227,
