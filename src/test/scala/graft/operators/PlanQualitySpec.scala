@@ -388,6 +388,18 @@ class PlanQualitySpec extends AnyFunSuite {
       s"the counts must come from the store's sstable scan:\n$plan")
   }
 
+  test("q_ann_drift: ZERO corpus IO — assignments read the covering " +
+    "index's vec cells and its broadcast centroids alone (round 16)") {
+    val plan = finalPlan("q_ann_drift")
+    assert(!plan.contains("Scan parquet"),
+      s"the drift relation must not touch the embedding table:\n$plan")
+    assert(plan.contains("sstable"),
+      s"vectors must come from the index's sstable scan:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"the k-centroid table must broadcast (k rows x n vectors, " +
+        s"never a shuffle):\n$plan")
+  }
+
   test("q_df_consolidated: ZERO corpus IO — the consolidated store's " +
     "fold-aware sum answers the top-k alone (round 15)") {
     val plan = finalPlan("q_df_consolidated")
