@@ -554,10 +554,17 @@ object AnnIndex {
           case (None, Some(b)) => b
           case (None, None) => sys.error("unreachable: kind validated at build")
         }
-        // the covering property is an index-wide invariant pinned at
-        // build: an update of a store_vectors index persists the novel
-        // vectors too, or rerank would silently miss post-build vectors
-        val storeVectors = m0.get("store_vectors").contains("true")
+        // the covering property is an index-wide invariant: an update
+        // of a store_vectors index persists the novel vectors too, or
+        // rerank would silently miss post-build vectors. Re-read UNDER
+        // the lease, not from the pre-lease m0 snapshot (review find):
+        // a CALL cover_ann_index completing between the snapshot and
+        // this append (it holds the same lease, so it cannot overlap
+        // the held region itself) would flip the flag, and a stale
+        // read would land v: rows without vec cells in a now-covering
+        // index.
+        val storeVectors = meta(s, idxDir).get("store_vectors")
+          .contains("true")
         val joined = if (storeVectors)
           assigned.join(novel.select(col("vec_id"), col("v")), "vec_id")
         else assigned
@@ -638,7 +645,21 @@ object AnnIndex {
       s.sessionState.newHadoopConf())
     val receipt = graft.sources.sstable.MaintenanceLease.withLease(idxDir,
       storage, "cover_ann_index") { _ =>
-      val live = indexedVecIds(s, idxDir)
+      // ONE delete-aware scan of the v: rows yields both the live id
+      // set and each row's registered write epoch (review find: a
+      // separate indexedVecIds scan paid a second full pass over the
+      // index for the same rows)
+      val epochs = s.read.format("sstable")
+        .option(graft.sources.sstable.spark.SSTableSource
+          .ApplyDeletesOption, "true")
+        .load(idxDir)
+        .select(col("key").cast("string").as("k"),
+          explode(col("columns")).as("c"))
+        .filter(col("k").startsWith("v:"))
+        .groupBy(substring(col("k"), 3, 12).cast("long").as("vec_id"))
+        .agg(max(col("c.timestamp")).as("epoch"))
+        .persist()
+      val live = epochs.select("vec_id")
       val corpus = SimilarityQueries.embWithNorm(s, sourceDir)
       val joined = live.join(corpus, Seq("vec_id")).persist()
       try {
@@ -684,17 +705,9 @@ object AnnIndex {
               "Rebuild the index")
         }
         // each row's vec cell rides ITS OWN registered write epoch (the
-        // max live cell timestamp), so retraction tombstones shadow the
-        // backfilled cell exactly like the cells it joins
-        val epochs = s.read.format("sstable")
-          .option(graft.sources.sstable.spark.SSTableSource
-            .ApplyDeletesOption, "true")
-          .load(idxDir)
-          .select(col("key").cast("string").as("k"),
-            explode(col("columns")).as("c"))
-          .filter(col("k").startsWith("v:"))
-          .groupBy(substring(col("k"), 3, 12).cast("long").as("vec_id"))
-          .agg(max(col("c.timestamp")).as("epoch"))
+        // max live cell timestamp, from the shared scan above), so
+        // retraction tombstones shadow the backfilled cell exactly like
+        // the cells it joins
         val emax = maxEpochOfIdx(idxDir, storage)
         val vecRows = joined.join(epochs, "vec_id").select(
           concat(lit("v:"), lpad(col("vec_id").cast("string"), 12, "0"))
@@ -713,14 +726,19 @@ object AnnIndex {
           Seq("store_vectors" -> "true")))
         val view = s"graft_ann_cov_${java.util.UUID.randomUUID().toString.replace("-", "")}"
         rows.createOrReplaceTempView(view)
+        val before = storage.listDataFiles(idxDir)
         try s.sql(s"INSERT INTO $qualifiedTable SELECT * FROM $view")
         finally s.catalog.dropTempView(view)
+        // the logical-op event names its fileset diff like every other
+        // mutating maintenance op (review find — retractVectors et al.
+        // capture before/after around their appends)
         graft.sources.sstable.History.record(storage, idxDir,
           "cover_ann_index",
-          added = Nil, removed = Nil,
+          added = storage.listDataFiles(idxDir).diff(before),
+          removed = Nil,
           detail = s"vectors=$have epoch=${emax + 1}")
         (have, false)
-      } finally joined.unpersist()
+      } finally { joined.unpersist(); epochs.unpersist() }
     }
     if (receipt._1 > 0)
       SignatureStore.runTableAutocompact(s, qualifiedTable, idxDir)
@@ -843,7 +861,13 @@ object AnnIndex {
     val grouped = assignmentSims(s, idxDir, m0("kind"), m0("m").toInt)
       .persist()
     try {
-      val buildTs = grouped.agg(min(col("ts"))).head().getLong(0)
+      // an index whose LIVE vector set is empty (a full takedown
+      // retracted everything) has nothing to measure — a clean healthy
+      // receipt, not an NPE on the null min(ts) (review find)
+      val tsRow = grouped.agg(min(col("ts"))).head()
+      if (tsRow.isNullAt(0))
+        return (0L, 0L, 10000L, 10000L, 10000L, 10000L, 10000L)
+      val buildTs = tsRow.getLong(0)
       val stats = grouped
         .select(col("sim"), (col("ts") === buildTs).as("isBuild"))
         .groupBy("isBuild")
@@ -854,9 +878,15 @@ object AnnIndex {
       val (nB, meanB, p05B) = stats.getOrElse(true, (0L, 1.0, 1.0))
       val (nP, meanP, p05P) = stats.getOrElse(false, (0L, 1.0, 1.0))
       def e4(x: Double): Long = math.floor(x * 10000 + 0.5).toLong
+      // the denominator floors at the e4 resolution (review find): a
+      // degenerate-but-valid build whose vectors assign PERFECTLY
+      // (k >= nBuild — each vector its own centroid, meanB == 1.0)
+      // must not mask arbitrarily bad post-build drift behind a
+      // "healthy" 1.0 ratio; with the floor, perfect-build + drifting
+      // post yields the huge ratio the rebuild runbook keys on
       val ratio =
-        if (nP == 0 || meanB >= 1.0) 10000L
-        else e4((1.0 - meanP) / (1.0 - meanB))
+        if (nP == 0) 10000L
+        else e4((1.0 - meanP) / math.max(1.0 - meanB, 1e-4))
       (nB, nP, e4(meanB), e4(meanP), e4(p05B), e4(p05P), ratio)
     } finally grouped.unpersist()
   }

@@ -569,8 +569,16 @@ object DfStore {
       .filter(_ < epochPartialsSinceFold(dir, storage))
       .foreach { _ =>
         try consolidate(s, dir, storage)
-        catch { case _: graft.sources.sstable.MaintenanceLease
-          .MaintenanceLeaseHeldException => () }
+        catch {
+          // Held AND Lost (review find — autoCompact's contract): a
+          // volunteered fold stalled past the steal horizon throws the
+          // fence's Lost, which must also yield, never fail the CALL
+          // whose ingest already committed
+          case _: graft.sources.sstable.MaintenanceLease
+            .MaintenanceLeaseHeldException => ()
+          case _: graft.sources.sstable.MaintenanceLease
+            .MaintenanceLeaseLostException => ()
+        }
       }
   }
 
@@ -816,8 +824,9 @@ object DfStore {
             s"'$bad') — a batch-numbered retraction epoch would sort " +
             "BEFORE the stream's tags and be silently excluded by the " +
             "fold rule after the next consolidation. Retract via " +
-            "DfStore.retractStream, which allocates the retraction " +
-            "epoch in the stream's own tag domain")
+            "CALL retract_doc_freqs_stream(store_dir => ...), which " +
+            "allocates the retraction epoch in the stream's own tag " +
+            "domain")
       }
       val epoch = plain.map(_.toInt).maxOption.getOrElse(0) + 1
       val (matched, terms) = retractCore(s, dir, storage, slice, unit,

@@ -967,6 +967,57 @@ private[spark] object GraftProcedures {
           Seq(row(seen, retracted, notStored, epoch, terms, gens))
         }),
 
+      "retract_doc_freqs_stream" -> new Proc(
+        "retract_doc_freqs_stream",
+        "retract documents from a STREAM-maintained df store (the " +
+          "directory a StreamingDfUpdate maintainer writes — stream " +
+          "stores are path-addressed, not catalog tables, hence " +
+          "store_dir): the retraction epoch is allocated IN THE " +
+          "STREAM'S OWN TAG DOMAIN (s<base>r<seq> sorts after the " +
+          "newest stream epoch and before the next one), so the " +
+          "stream's own consolidation folds the negative partials " +
+          "correctly and the next micro-batch's re-admission rises " +
+          "above the deletion marks. Same guards as retract_doc_freqs " +
+          "(unit pin, duplicate slice, content-hash drift, " +
+          "sufficiency) plus a batch-maintained-store refusal. Runs " +
+          "under the maintenance lease — a live micro-batch serializes " +
+          "with it; retract only from a quiesced stream whose last " +
+          "epoch committed (a retraction over an uncommitted attempt " +
+          "makes that epoch's replay refuse). Empty tag in the receipt " +
+          "means nothing matched (no write)",
+        Array(
+          p("store_dir", StringType,
+            comment = "the stream-maintained df store's directory"),
+          p("source_dir", StringType,
+            comment = "directory holding the removed docs' (doc_id, " +
+              "text) rows — corpus or takedown payload"),
+          p("where", StringType, Some("'true'"),
+            comment = "SQL predicate selecting the docs to retract"),
+          p("unit", StringType, Some("'term'"),
+            comment = "must match the store's pinned unit")),
+        StructType(Seq(
+          StructField("docsInSlice", LongType, nullable = false),
+          StructField("retracted", LongType, nullable = false),
+          StructField("notStored", LongType, nullable = false),
+          StructField("retractionTag", StringType, nullable = false),
+          StructField("terms", LongType, nullable = false),
+          StructField("generations", IntegerType, nullable = false))),
+        (spark, in) => {
+          require(!in.isNullAt(0), "argument 'store_dir' is required")
+          require(!in.isNullAt(1), "argument 'source_dir' is required")
+          val storeDir = in.getUTF8String(0).toString
+          val sourceDir = in.getUTF8String(1).toString
+          val whereSql = if (in.isNullAt(2)) "true" else in.getUTF8String(2).toString
+          val unit = if (in.isNullAt(3)) "term" else in.getUTF8String(3).toString
+          val storage = graft.sources.sstable.Storage.forPath(
+            storeDir, spark.sessionState.newHadoopConf())
+          val (seen, retracted, notStored, rtag, terms) =
+            graft.operators.DfStore.retractStream(spark, storeDir,
+              sourceDir, whereSql, unit, storage)
+          Seq(row(seen, retracted, notStored, utf8(rtag), terms,
+            storage.listDataFiles(storeDir).length))
+        }),
+
       "takedown" -> new Proc(
         "takedown",
         "cross-store takedown orchestration: drive retract_doc_freqs + " +

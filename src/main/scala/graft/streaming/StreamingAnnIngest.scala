@@ -100,8 +100,15 @@ object StreamingAnnIngest {
     if (maintainAboveGenerations > 0 &&
         storage.listDataFiles(idxDir).length > maintainAboveGenerations)
       try SSTableOps.compactInPlace(spark, idxDir, minThreshold = 4)
-      catch { case _: graft.sources.sstable.MaintenanceLease
-        .MaintenanceLeaseHeldException => () }
+      catch {
+        // Held AND Lost (review find — autoCompact's contract): a
+        // volunteered fold stalled past the steal horizon throws the
+        // fence's Lost, which must also yield, never kill the query
+        case _: graft.sources.sstable.MaintenanceLease
+          .MaintenanceLeaseHeldException => ()
+        case _: graft.sources.sstable.MaintenanceLease
+          .MaintenanceLeaseLostException => ()
+      }
 
     // epoch-read → novelty probe → append runs UNDER the index's
     // maintenance lease (ADVICE r15 medium): retract_ann_vectors holds
@@ -162,10 +169,17 @@ object StreamingAnnIngest {
           case (None, Some(b)) => b
           case (None, None) => sys.error("unreachable: kind validated at build")
         }
-        // the covering property (store_vectors, pinned at build) is an
-        // index-wide invariant: streamed vectors persist their raw bits
-        // too, bit-identical to the batch CALL's rows
-        val storeVectors = m0.get("store_vectors").contains("true")
+        // the covering property (store_vectors) is an index-wide
+        // invariant: streamed vectors persist their raw bits too,
+        // bit-identical to the batch CALL's rows. Re-read UNDER the
+        // lease, not from the pre-lease m0 snapshot (review find): a
+        // CALL cover_ann_index completing between the snapshot and
+        // this append would flip the flag, and a stale read here
+        // would land v: rows WITHOUT vec cells in a now-covering
+        // index — the rerank fetch and the drift statistic would then
+        // silently exclude exactly the newest ingest.
+        val storeVectors = AnnIndex.meta(spark, idxDir)
+          .get("store_vectors").contains("true")
         val joined = if (storeVectors)
           assigned.join(novel.select(col("vec_id"), col("v")), "vec_id")
         else assigned

@@ -117,10 +117,25 @@ object StreamingDfUpdate {
     // unprocessed; the operator retracted on top of an uncommitted
     // epoch (retractStream's contract is a quiesced-or-committed
     // stream) and the store needs a rebuild.
-    if (storage.exists(storeDir)) {
-      val doomed = storage.listDataFiles(storeDir)
-        .filter(_.endsWith(s"-$jobTag${SSTableFiles.DataSuffix}"))
-      if (doomed.nonEmpty) {
+    //
+    // Guard + unpublish hold the store's maintenance lease (review
+    // find, round 16): unserialized, the guard is check-then-act — a
+    // retractStream could land BETWEEN the tag read and the unpublish,
+    // count the doomed attempt's docs, and the unpublish would then
+    // remove the positives from under its negatives (the exact
+    // corruption the guard refuses). This region stays SEPARATE from
+    // the probe→append lease below: the volunteer maintenance between
+    // them takes the lease itself, and the fold-safety argument needs
+    // the doomed files gone BEFORE any fold can absorb them. A
+    // retraction sneaking between the two regions is benign — the
+    // attempt's files are already unpublished, so it cannot have
+    // counted this epoch's docs (its base stays below this epoch's).
+    if (storage.exists(storeDir) && storage.listDataFiles(storeDir)
+        .exists(_.endsWith(s"-$jobTag${SSTableFiles.DataSuffix}")))
+      graft.sources.sstable.MaintenanceLease.withLeaseAwait(storeDir,
+        storage, "streaming_df_replay") { _ =>
+        val doomed = storage.listDataFiles(storeDir)
+          .filter(_.endsWith(s"-$jobTag${SSTableFiles.DataSuffix}"))
         val tagNow = f"$epochId%09d"
         val bad = graft.operators.DfStore
           .streamRetractionBases(storeDir, storage).filter(_ >= tagNow)
@@ -134,7 +149,6 @@ object StreamingDfUpdate {
             "only from a quiesced stream whose last epoch committed)")
         doomed.foreach(SSTableFiles.unpublish(storage, _))
       }
-    }
 
     // self-maintenance runs BEFORE the append, never after (r14 review
     // find): folding at the END of the batch could absorb SOME of the
@@ -156,8 +170,15 @@ object StreamingDfUpdate {
     if (maintainAboveGenerations > 0 && storage.exists(storeDir) &&
         storage.listDataFiles(storeDir).length > maintainAboveGenerations)
       try SSTableOps.compactInPlace(spark, storeDir, minThreshold = 4)
-      catch { case _: graft.sources.sstable.MaintenanceLease
-        .MaintenanceLeaseHeldException => () }
+      catch {
+        // Held AND Lost (review find — autoCompact's contract): a
+        // volunteered fold that stalls past the steal horizon throws
+        // the fence's Lost, which must also yield, never kill the query
+        case _: graft.sources.sstable.MaintenanceLease
+          .MaintenanceLeaseHeldException => ()
+        case _: graft.sources.sstable.MaintenanceLease
+          .MaintenanceLeaseLostException => ()
+      }
 
     // epoch-range consolidation rides the SAME pre-append slot (and
     // inherits its safety argument): without it every hot term's row
@@ -169,8 +190,12 @@ object StreamingDfUpdate {
         storage.listDataFiles(storeDir).nonEmpty &&
         epochPartialsSinceFold(storeDir, storage) > consolidateAboveEpochs)
       try graft.operators.DfStore.consolidate(spark, storeDir, storage)
-      catch { case _: graft.sources.sstable.MaintenanceLease
-        .MaintenanceLeaseHeldException => () }
+      catch {
+        case _: graft.sources.sstable.MaintenanceLease
+          .MaintenanceLeaseHeldException => ()
+        case _: graft.sources.sstable.MaintenanceLease
+          .MaintenanceLeaseLostException => ()
+      }
 
     // in-batch dedup: one row per doc_id
     val docs = batch.select(col("doc_id"), col("text"))

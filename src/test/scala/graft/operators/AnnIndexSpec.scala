@@ -492,6 +492,16 @@ class AnnIndexSpec extends AnyFunSuite {
     def chain(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
     assert(chain(e).exists(_.contains("cover_ann_index")), chain(e))
+    // an index whose LIVE vector set was fully retracted (the full-
+    // takedown end state) answers with a clean healthy receipt, not an
+    // NPE on the null min(ts) (review find)
+    spark.sql("CALL graft_ix.system.retract_ann_vectors(table => " +
+      "'ann.drift', where => 'true')")
+    val dEmpty = drift()
+    assert(dEmpty.getAs[Long]("nBuild") == 0L &&
+      dEmpty.getAs[Long]("nPost") == 0L &&
+      dEmpty.getAs[Long]("driftRatio_e4") == 10000L,
+      s"an emptied index must report a clean receipt: $dEmpty")
   }
 
   test("q_ann_rerank: exact re-scoring of the ADC shortlist from the " +

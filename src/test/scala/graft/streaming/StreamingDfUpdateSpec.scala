@@ -202,6 +202,27 @@ class StreamingDfUpdateSpec extends AnyFunSuite {
       "post-fold retraction != the remaining-doc recompute")
   }
 
+  test("CALL retract_doc_freqs_stream: the SQL surface of the stream " +
+    "retraction (review find — the batch CALL's refusal pointed at an " +
+    "API unreachable from SQL)") {
+    spark.conf.set("spark.sql.catalog.graft_sdfs",
+      classOf[graft.sources.sstable.spark.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_sdfs.warehouse",
+      Files.createTempDirectory("df-stream-call-wh").toString)
+    val rows = Seq(11L -> "alpha beta", 12L -> "alpha gamma", 13L -> "beta")
+    val corpus = scratchCorpus(rows)
+    val store = Files.createTempDirectory("df-stream-call").toString
+    StreamingDfUpdate.processBatch(docsDf(rows: _*), store, 0L)
+    val r = spark.sql(
+      s"CALL graft_sdfs.system.retract_doc_freqs_stream(store_dir => " +
+        s"'$store', source_dir => '$corpus', where => 'doc_id = 12')").head()
+    assert(r.getAs[Long]("retracted") == 1L &&
+      r.getAs[String]("retractionTag") == "s000000000r000001" &&
+      r.getAs[Long]("docsInSlice") == 1L, r.toString)
+    assert(stored(store) == direct(rows(0), rows(2)),
+      "CALL-surface retraction != the remaining-doc recompute")
+  }
+
   test("stream-domain retraction guards: wrong unit refuses against the " +
     "creating epoch's _meta pin; content drift refuses naming the doc; " +
     "and a replay of an epoch a retraction already counted refuses " +
