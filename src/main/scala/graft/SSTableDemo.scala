@@ -585,6 +585,46 @@ object SSTableDemo {
     println(s"== graft_lookup TVF: SELECT * FROM graft_lookup(dir, keys) " +
       s"found [${tvfRows.mkString(", ")}] (want [k3, k7], absent key " +
       s"bloom-missed) and JOINS as a relation ($tvfJoin row matched)")
+
+    // cross-store takedown orchestration (r16): one CALL retracts a doc
+    // slice from the df store, the signature store, and an ANN index
+    // keyed by the same ids, with one receipt per leg; the spanning
+    // audit proves no store still serves the documents
+    spark.range(40).select(col("id").as("vec_id"),
+        (col("id") % 4).cast("int").as("label"),
+        transform(sequence(lit(0), lit(7)),
+          i => (((col("id") * 13 + i * 5) % 89).cast("float") / lit(89.0f)))
+          .as("embedding"))
+      .write.mode("overwrite").parquet(s"$sigSrc/embeddings.parquet")
+    spark.sql("CALL graft.system.build_ann_index(table => 'demo.tdix', " +
+      s"source_dir => '$sigSrc', kind => 'ivf', k => 4, iters => 1)")
+    val tdLegs = spark.sql("CALL graft.system.takedown(" +
+      "df_table => 'demo.df', sig_table => 'demo.sigs', " +
+      s"ann_table => 'demo.tdix', source_dir => '$sigSrc', " +
+      "where => 'doc_id >= 36')").collect()
+      .map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(", ")
+    val tdLeft = spark.sql("CALL graft.system.takedown_status(" +
+      "df_table => 'demo.df', sig_table => 'demo.sigs', " +
+      "ann_table => 'demo.tdix', where => 'doc_id >= 36')").collect()
+      .map(_.getAs[Long]("members")).sum
+    println(s"== takedown: ONE CALL retracted doc_id>=36 from all three " +
+      s"stores ($tdLegs — want 4 each); spanning audit reports " +
+      s"$tdLeft members left (want 0)")
+
+    // ANN health (r16): cover_ann_index upgrades the index to COVERING
+    // in place (raw vectors backfilled, no retrain); ann_drift then
+    // reports quantizer staleness with zero corpus IO
+    val cov = spark.sql(
+      "CALL graft.system.cover_ann_index(table => 'demo.tdix', " +
+        s"source_dir => '$sigSrc')").head()
+    val dr = spark.sql(
+      "CALL graft.system.ann_drift(table => 'demo.tdix')").head()
+    println(s"== ANN health: cover_ann_index backfilled " +
+      s"${cov.getAs[Long]("covered")} raw vectors in place (want 36, no " +
+      s"retrain); ann_drift reads them with zero corpus IO — nBuild=" +
+      s"${dr.getAs[Long]("nBuild")}, nPost=${dr.getAs[Long]("nPost")}, " +
+      s"driftRatio_e4=${dr.getAs[Long]("driftRatio_e4")} (want 10000 — " +
+      "nothing ingested since build, nothing to drift)")
     spark.stop()
   }
 }
