@@ -1100,7 +1100,14 @@ private[spark] object GraftProcedures {
           p("sig_table", StringType),
           p("ann_table", StringType),
           p("where", StringType,
-            comment = "the takedown's id predicate, over doc_id")),
+            comment = "the takedown's id predicate, over doc_id"),
+          p("corpus_table", StringType, Some("NULL"),
+            comment = "OPTIONAL fourth row: a catalog-relative corpus " +
+              "table audited with corpus_where — mirrors takedown's " +
+              "opt-in corpus leg"),
+          p("corpus_where", StringType, Some("NULL"),
+            comment = "audit predicate in the corpus table's own " +
+              "column terms; defaults to `where`")),
         StructType(Seq(
           StructField("store", StringType, nullable = false),
           StructField("members", LongType, nullable = false),
@@ -1110,12 +1117,24 @@ private[spark] object GraftProcedures {
             "arguments df_table, sig_table, ann_table and where are " +
               "all required"))
           val Seq(dfN, sigN, annN) = (0 to 2).map(in.getUTF8String(_).toString)
-          graft.operators.Takedown.status(spark,
+          val stores = graft.operators.Takedown.status(spark,
             resolveTable(dfN), resolveTable(sigN), resolveTable(annN),
             in.getUTF8String(3).toString)
             .map { case (store, n, sample) =>
               row(utf8(store), n, utf8(sample.mkString(",")))
             }
+          // the corpus row (round 16, mirroring takedown's opt-in leg):
+          // a crash BEFORE the corpus DELETE leaves rows the audit must
+          // surface; no generic id column exists, so the sample is empty
+          val corpus = if (in.isNullAt(4)) Seq.empty else {
+            val t = qualified(in.getUTF8String(4).toString)
+            val pred = if (in.isNullAt(5)) in.getUTF8String(3).toString
+              else in.getUTF8String(5).toString
+            Seq(row(utf8("corpus"), spark.table(t)
+              .filter(org.apache.spark.sql.functions.expr(pred)).count(),
+              utf8("")))
+          }
+          stores ++ corpus
         }),
 
       "lookup" -> new Proc(

@@ -203,6 +203,16 @@ class TakedownSpec extends AnyFunSuite {
         "corpus_table => 'corpus.docs', " +
         s"corpus_where => '$corpusWhere')").collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getString(3))).toMap
+    // the audit's optional corpus row surfaces the pre-takedown state
+    // (a crash BEFORE the corpus DELETE must be visible, like any leg)
+    def statusWithCorpus() = spark.sql(
+      "CALL graft_td.system.takedown_status(df_table => 'corpus.df', " +
+        "sig_table => 'corpus.sig', ann_table => 'corpus.ann', " +
+        s"where => '$where', corpus_table => 'corpus.docs', " +
+        s"corpus_where => '$corpusWhere')").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(statusWithCorpus()("corpus") == removed,
+      "the audit must count the corpus rows before the takedown")
     val r1 = call()
     assert(r1("corpus") == ((removed, "deleted")), r1)
     assert(r1("doc_freqs")._2 == "retracted", r1)
@@ -211,8 +221,9 @@ class TakedownSpec extends AnyFunSuite {
     assert(spark.table("graft_td.corpus.docs").count() == total - removed)
     assert(spark.table("graft_td.corpus.docs")
       .filter(expr(corpusWhere)).count() == 0L)
-    // all three derived stores converged in the same call
-    assert(status("corpus", where).values.forall(_ == 0L))
+    // all four legs converged in the same call — the audit's corpus
+    // row included
+    assert(statusWithCorpus().values.forall(_ == 0L))
     // idempotent: the re-issue no-ops every leg including the corpus
     val r2 = call()
     assert(r2.values.forall(_._2 == "noop"), r2)
