@@ -64,22 +64,38 @@ object Takedown {
     * caller (the CALL surface passes the catalog's own resolution);
     * `sourceDir` is wherever the removed docs' (doc_id, text) rows can
     * be read NOW — the pinned corpus or the takedown payload. */
+  /** `dfStore`: the df leg's target — a catalog table (Left of
+    * (qualifiedSqlName, dir), retracted via [[DfStore.retract]]) or a
+    * STREAM-maintained store directory (Right, retracted via
+    * [[DfStore.retractStream]] in the stream's own epoch-tag domain) —
+    * so one takedown spans pipelines whose statistics are maintained
+    * by a live stream without falling back to three hand-issued CALLs
+    * (the orchestration's whole point). */
   def takedown(s: SparkSession,
-               dfTable: (String, String),
+               dfStore: Either[(String, String), String],
                sigTable: (String, String),
                annTable: (String, String),
                sourceDir: String, whereSql: String,
                unit: String = "term",
                corpusTable: Option[String] = None,
                corpusWhere: Option[String] = None): Seq[Leg] = {
-    val (dfName, dfDir) = dfTable
     val (sigName, sigDir) = sigTable
     val (annName, annDir) = annTable
-    val (_, dfMatched, _, dfEpoch, _) =
-      DfStore.retract(s, dfName, () => dfDir, sourceDir, whereSql, unit)
-    val dfLeg = Leg("doc_freqs", dfMatched,
-      if (dfEpoch == 0) "" else f"$dfEpoch%06d",
-      if (dfMatched == 0) "noop" else "retracted")
+    val dfLeg = dfStore match {
+      case Left((dfName, dfDir)) =>
+        val (_, matched, _, epoch, _) =
+          DfStore.retract(s, dfName, () => dfDir, sourceDir, whereSql, unit)
+        Leg("doc_freqs", matched,
+          if (epoch == 0) "" else f"$epoch%06d",
+          if (matched == 0) "noop" else "retracted")
+      case Right(dir) =>
+        val storage = graft.sources.sstable.Storage.forPath(dir,
+          s.sessionState.newHadoopConf())
+        val (_, matched, _, rtag, _) =
+          DfStore.retractStream(s, dir, sourceDir, whereSql, unit, storage)
+        Leg("doc_freqs", matched, rtag,
+          if (matched == 0) "noop" else "retracted")
+    }
     val (sigMatched, sigEpoch) =
       SignatureStore.retract(s, sigName, () => sigDir, whereSql)
     val sigLeg = Leg("signatures", sigMatched,

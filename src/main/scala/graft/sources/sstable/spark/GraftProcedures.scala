@@ -1038,8 +1038,6 @@ private[spark] object GraftProcedures {
           "own mechanics before or after — every leg tolerates the doc " +
           "being already gone",
         Array(
-          p("df_table", StringType,
-            comment = "catalog-relative df store name, e.g. 'ns.df'"),
           p("sig_table", StringType,
             comment = "catalog-relative signature store name"),
           p("ann_table", StringType,
@@ -1050,6 +1048,14 @@ private[spark] object GraftProcedures {
           p("where", StringType,
             comment = "SQL predicate over doc_id selecting the docs to " +
               "remove, e.g. 'doc_id % 5 = 2'"),
+          p("df_table", StringType, Some("NULL"),
+            comment = "catalog-relative df store name, e.g. 'ns.df' — " +
+              "exactly one of df_table / df_stream_dir is required"),
+          p("df_stream_dir", StringType, Some("NULL"),
+            comment = "a STREAM-maintained df store's directory — the " +
+              "df leg then retracts in the stream's own epoch-tag " +
+              "domain (retract_doc_freqs_stream), so one takedown " +
+              "spans live-stream pipelines too"),
           p("unit", StringType, Some("'term'"),
             comment = "must match the df store's pinned unit"),
           p("corpus_table", StringType, Some("NULL"),
@@ -1068,20 +1074,29 @@ private[spark] object GraftProcedures {
           StructField("epoch", StringType, nullable = false),
           StructField("status", StringType, nullable = false))),
         (spark, in) => {
-          (0 to 4).foreach(i => require(!in.isNullAt(i),
-            "arguments df_table, sig_table, ann_table, source_dir and " +
-              "where are all required"))
-          val Seq(dfN, sigN, annN) = (0 to 2).map(in.getUTF8String(_).toString)
-          val unit = if (in.isNullAt(5)) "term" else in.getUTF8String(5).toString
+          (0 to 3).foreach(i => require(!in.isNullAt(i),
+            "arguments sig_table, ann_table, source_dir and where are " +
+              "all required"))
+          val Seq(sigN, annN) = (0 to 1).map(in.getUTF8String(_).toString)
+          require(in.isNullAt(4) != in.isNullAt(5),
+            "exactly one of df_table / df_stream_dir is required (a " +
+              "catalog-managed batch store vs a stream-maintained " +
+              "store directory)")
+          val dfStore: Either[(String, String), String] =
+            if (!in.isNullAt(4)) {
+              val dfN = in.getUTF8String(4).toString
+              Left((qualified(dfN), resolveTable(dfN)))
+            } else Right(in.getUTF8String(5).toString)
+          val unit = if (in.isNullAt(6)) "term" else in.getUTF8String(6).toString
           val corpusTable =
-            if (in.isNullAt(6)) None else Some(in.getUTF8String(6).toString)
-          val corpusWhere =
             if (in.isNullAt(7)) None else Some(in.getUTF8String(7).toString)
+          val corpusWhere =
+            if (in.isNullAt(8)) None else Some(in.getUTF8String(8).toString)
           graft.operators.Takedown.takedown(spark,
-            (qualified(dfN), resolveTable(dfN)),
+            dfStore,
             (qualified(sigN), resolveTable(sigN)),
             (qualified(annN), resolveTable(annN)),
-            in.getUTF8String(3).toString, in.getUTF8String(4).toString,
+            in.getUTF8String(2).toString, in.getUTF8String(3).toString,
             unit, corpusTable.map(qualified), corpusWhere)
             .map(l => row(utf8(l.store), l.matched, utf8(l.epochTag),
               utf8(l.status)))
@@ -1096,11 +1111,16 @@ private[spark] object GraftProcedures {
           "legs the lagging store names itself with a non-zero count " +
           "instead of the stores silently disagreeing. Read-only",
         Array(
-          p("df_table", StringType),
           p("sig_table", StringType),
           p("ann_table", StringType),
           p("where", StringType,
             comment = "the takedown's id predicate, over doc_id"),
+          p("df_table", StringType, Some("NULL"),
+            comment = "catalog-relative df store — exactly one of " +
+              "df_table / df_stream_dir is required"),
+          p("df_stream_dir", StringType, Some("NULL"),
+            comment = "a STREAM-maintained df store's directory " +
+              "(membership reads are dir-based and identical)"),
           p("corpus_table", StringType, Some("NULL"),
             comment = "OPTIONAL fourth row: a catalog-relative corpus " +
               "table audited with corpus_where — mirrors takedown's " +
@@ -1113,23 +1133,27 @@ private[spark] object GraftProcedures {
           StructField("members", LongType, nullable = false),
           StructField("sample", StringType, nullable = false))),
         (spark, in) => {
-          (0 to 3).foreach(i => require(!in.isNullAt(i),
-            "arguments df_table, sig_table, ann_table and where are " +
-              "all required"))
-          val Seq(dfN, sigN, annN) = (0 to 2).map(in.getUTF8String(_).toString)
+          (0 to 2).foreach(i => require(!in.isNullAt(i),
+            "arguments sig_table, ann_table and where are all required"))
+          val Seq(sigN, annN) = (0 to 1).map(in.getUTF8String(_).toString)
+          require(in.isNullAt(3) != in.isNullAt(4),
+            "exactly one of df_table / df_stream_dir is required")
+          val dfDir = if (!in.isNullAt(3))
+            resolveTable(in.getUTF8String(3).toString)
+          else in.getUTF8String(4).toString
           val stores = graft.operators.Takedown.status(spark,
-            resolveTable(dfN), resolveTable(sigN), resolveTable(annN),
-            in.getUTF8String(3).toString)
+            dfDir, resolveTable(sigN), resolveTable(annN),
+            in.getUTF8String(2).toString)
             .map { case (store, n, sample) =>
               row(utf8(store), n, utf8(sample.mkString(",")))
             }
           // the corpus row (round 16, mirroring takedown's opt-in leg):
           // a crash BEFORE the corpus DELETE leaves rows the audit must
           // surface; no generic id column exists, so the sample is empty
-          val corpus = if (in.isNullAt(4)) Seq.empty else {
-            val t = qualified(in.getUTF8String(4).toString)
-            val pred = if (in.isNullAt(5)) in.getUTF8String(3).toString
-              else in.getUTF8String(5).toString
+          val corpus = if (in.isNullAt(5)) Seq.empty else {
+            val t = qualified(in.getUTF8String(5).toString)
+            val pred = if (in.isNullAt(6)) in.getUTF8String(2).toString
+              else in.getUTF8String(6).toString
             Seq(row(utf8("corpus"), spark.table(t)
               .filter(org.apache.spark.sql.functions.expr(pred)).count(),
               utf8("")))

@@ -172,6 +172,58 @@ class TakedownSpec extends AnyFunSuite {
       "re-admission must restore full membership in every store")
   }
 
+  test("takedown spans a STREAM-maintained df store (round 16): " +
+    "df_stream_dir routes the df leg through the stream's epoch-tag " +
+    "domain — one CALL, one receipt, clean spanning audit, idempotent " +
+    "re-issue; df_table and df_stream_dir are exactly-one-of") {
+    spark.sql("CREATE NAMESPACE graft_td.strm")
+    spark.sql("CALL graft_td.system.update_signatures(table => " +
+      s"'strm.sig', source_dir => '$sfDir', autocompact => 3)")
+    spark.sql("CALL graft_td.system.build_ann_index(table => 'strm.ann', " +
+      s"source_dir => '$sfDir', kind => 'ivf', k => 4, iters => 1)")
+    val dfDir = Files.createTempDirectory("td-stream-df").toString
+    graft.streaming.StreamingDfUpdate.processBatch(
+      graft.Tables.documents(spark, sfDir).select("doc_id", "text"),
+      dfDir, 0L)
+    val where = "doc_id % 13 = 6"
+    def call() = spark.sql(
+      "CALL graft_td.system.takedown(sig_table => 'strm.sig', " +
+        s"ann_table => 'strm.ann', source_dir => '$sfDir', " +
+        s"where => '$where', df_stream_dir => '$dfDir')").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getString(2),
+        r.getString(3)))).toMap
+    val r1 = call()
+    assert(r1("doc_freqs")._3 == "retracted" &&
+      r1("doc_freqs")._2 == "s000000000r000001",
+      s"the df leg must retract in the stream's tag domain: $r1")
+    assert(r1("signatures")._3 == "retracted" &&
+      r1("ann_vectors")._3 == "retracted", r1)
+    val st = spark.sql(
+      "CALL graft_td.system.takedown_status(sig_table => 'strm.sig', " +
+        s"ann_table => 'strm.ann', where => '$where', " +
+        s"df_stream_dir => '$dfDir')").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(st.values.forall(_ == 0L), s"audit must be clean: $st")
+    // the stream store serves the remaining corpus exactly
+    val remaining = graft.Tables.documents(spark, sfDir)
+      .filter(expr(s"NOT ($where)")).count()
+    assert(graft.streaming.StreamingDfUpdate.nDocs(spark, dfDir) == remaining)
+    // idempotent re-issue
+    assert(call().values.forall(_._3 == "noop"))
+    // exactly-one-of: both and neither refuse loudly
+    val both = intercept[Exception](spark.sql(
+      "CALL graft_td.system.takedown(df_table => 'strm.df', " +
+        "sig_table => 'strm.sig', ann_table => 'strm.ann', " +
+        s"source_dir => '$sfDir', where => 'true', " +
+        s"df_stream_dir => '$dfDir')"))
+    assert(chain(both).exists(_.contains("exactly one of")), chain(both))
+    val neither = intercept[Exception](spark.sql(
+      "CALL graft_td.system.takedown(sig_table => 'strm.sig', " +
+        "ann_table => 'strm.ann', " +
+        s"source_dir => '$sfDir', where => 'true')"))
+    assert(chain(neither).exists(_.contains("exactly one of")), chain(neither))
+  }
+
   test("the OPT-IN corpus leg (round 16): corpus_table DELETEs the " +
     "removed rows LAST — after the df leg read their text — with an " +
     "idempotent receipt; absent corpus_table leaves the corpus alone") {
