@@ -508,17 +508,6 @@ object AnnIndex {
     * is check-then-act between concurrent callers). */
   def update(s: SparkSession, qualifiedTable: String, idxDir: String,
              sourceDir: String): (Long, Long, Long) = {
-    val m0 = meta(s, idxDir)
-    require(m0.nonEmpty && m0.contains("kind"),
-      s"$qualifiedTable carries no ANN-index _meta row — build it with " +
-        "CALL build_ann_index first")
-    require(m0.get("source").contains(sourceDir),
-      s"index $qualifiedTable was built over '${m0.getOrElse("source", "?")}' " +
-        s"— refusing to ingest vectors from '$sourceDir' (an index must " +
-        "follow ONE corpus; rebuild to retarget)")
-    val kind = m0("kind")
-    val dim = m0("dim").toInt
-    val pqM = m0("m").toInt
     val e = SimilarityQueries.embWithNorm(s, sourceDir)
     val seen = e.count()
     // probe-then-append under the index's maintenance lease (round 15,
@@ -530,6 +519,22 @@ object AnnIndex {
       s.sessionState.newHadoopConf())
     val receipt = graft.sources.sstable.MaintenanceLease.withLease(idxDir,
       idxStorage, "update_ann_index") { _ =>
+    // the epoch pin, read UNDER the lease (review finds, round 16): a
+    // pre-lease snapshot could go stale against a CALL cover_ann_index
+    // completing before our acquire — store_vectors (and everything
+    // else) must reflect the state this update appends into. One _meta
+    // point read per call, not two.
+    val m0 = meta(s, idxDir)
+    require(m0.nonEmpty && m0.contains("kind"),
+      s"$qualifiedTable carries no ANN-index _meta row — build it with " +
+        "CALL build_ann_index first")
+    require(m0.get("source").contains(sourceDir),
+      s"index $qualifiedTable was built over '${m0.getOrElse("source", "?")}' " +
+        s"— refusing to ingest vectors from '$sourceDir' (an index must " +
+        "follow ONE corpus; rebuild to retarget)")
+    val kind = m0("kind")
+    val dim = m0("dim").toInt
+    val pqM = m0("m").toInt
     val epoch = maxEpochOfIdx(idxDir, idxStorage) + 1
     // novelty fetch shared with the signature/df stores — broadcast is
     // size-gated there (VERDICT r14 #4: merge-scale deltas shuffle)
@@ -556,15 +561,10 @@ object AnnIndex {
         }
         // the covering property is an index-wide invariant: an update
         // of a store_vectors index persists the novel vectors too, or
-        // rerank would silently miss post-build vectors. Re-read UNDER
-        // the lease, not from the pre-lease m0 snapshot (review find):
-        // a CALL cover_ann_index completing between the snapshot and
-        // this append (it holds the same lease, so it cannot overlap
-        // the held region itself) would flip the flag, and a stale
-        // read would land v: rows without vec cells in a now-covering
-        // index.
-        val storeVectors = meta(s, idxDir).get("store_vectors")
-          .contains("true")
+        // rerank would silently miss post-build vectors. m0 was read
+        // UNDER this lease, so it cannot be stale against a completed
+        // cover_ann_index (which holds the same lease).
+        val storeVectors = m0.get("store_vectors").contains("true")
         val joined = if (storeVectors)
           assigned.join(novel.select(col("vec_id"), col("v")), "vec_id")
         else assigned
@@ -658,11 +658,13 @@ object AnnIndex {
         .filter(col("k").startsWith("v:"))
         .groupBy(substring(col("k"), 3, 12).cast("long").as("vec_id"))
         .agg(max(col("c.timestamp")).as("epoch"))
-        .persist()
       val live = epochs.select("vec_id")
       val corpus = SimilarityQueries.embWithNorm(s, sourceDir)
-      val joined = live.join(corpus, Seq("vec_id")).persist()
+      val joined = live.join(corpus, Seq("vec_id"))
       try {
+        // persist INSIDE the try (review find): a construction failure
+        // between persist() and try-entry would leak the registrations
+        epochs.persist(); joined.persist()
         val stats = joined.agg(count(lit(1)),
           coalesce(sum(when(size(col("v")) =!= dim, 1L)), lit(0L))).head()
         val have = stats.getLong(0)
@@ -883,9 +885,11 @@ object AnnIndex {
       // (k >= nBuild — each vector its own centroid, meanB == 1.0)
       // must not mask arbitrarily bad post-build drift behind a
       // "healthy" 1.0 ratio; with the floor, perfect-build + drifting
-      // post yields the huge ratio the rebuild runbook keys on
+      // post yields the huge ratio the rebuild runbook keys on. A
+      // post set that itself assigns perfectly reports the neutral
+      // 10000 like every other no-drift path (not a confusing 0).
       val ratio =
-        if (nP == 0) 10000L
+        if (nP == 0 || meanP >= 1.0) 10000L
         else e4((1.0 - meanP) / math.max(1.0 - meanB, 1e-4))
       (nB, nP, e4(meanB), e4(meanP), e4(p05B), e4(p05P), ratio)
     } finally grouped.unpersist()

@@ -568,17 +568,8 @@ object DfStore {
       .map(_.toInt).filter(_ >= 2)
       .filter(_ < epochPartialsSinceFold(dir, storage))
       .foreach { _ =>
-        try consolidate(s, dir, storage)
-        catch {
-          // Held AND Lost (review find — autoCompact's contract): a
-          // volunteered fold stalled past the steal horizon throws the
-          // fence's Lost, which must also yield, never fail the CALL
-          // whose ingest already committed
-          case _: graft.sources.sstable.MaintenanceLease
-            .MaintenanceLeaseHeldException => ()
-          case _: graft.sources.sstable.MaintenanceLease
-            .MaintenanceLeaseLostException => ()
-        }
+        graft.sources.sstable.MaintenanceLease.volunteer(
+          consolidate(s, dir, storage))
       }
   }
 

@@ -59,18 +59,18 @@ object Takedown {
   final case class Leg(store: String, matched: Long, epochTag: String,
                        status: String)
 
-  /** Run the three retraction legs in order. `dfTable`/`sigTable`/
-    * `annTable` are (qualifiedSqlName, directory) pairs resolved by the
-    * caller (the CALL surface passes the catalog's own resolution);
-    * `sourceDir` is wherever the removed docs' (doc_id, text) rows can
-    * be read NOW — the pinned corpus or the takedown payload. */
-  /** `dfStore`: the df leg's target — a catalog table (Left of
-    * (qualifiedSqlName, dir), retracted via [[DfStore.retract]]) or a
-    * STREAM-maintained store directory (Right, retracted via
-    * [[DfStore.retractStream]] in the stream's own epoch-tag domain) —
-    * so one takedown spans pipelines whose statistics are maintained
-    * by a live stream without falling back to three hand-issued CALLs
-    * (the orchestration's whole point). */
+  /** Run the retraction legs in order. `sigTable`/`annTable` are
+    * (qualifiedSqlName, directory) pairs resolved by the caller (the
+    * CALL surface passes the catalog's own resolution); `dfStore` is
+    * the df leg's target — a catalog table (Left of the same pair,
+    * retracted via [[DfStore.retract]]) or a STREAM-maintained store
+    * directory (Right, retracted via [[DfStore.retractStream]] in the
+    * stream's own epoch-tag domain), so one takedown spans pipelines
+    * whose statistics are maintained by a live stream without falling
+    * back to three hand-issued CALLs (the orchestration's whole
+    * point); `sourceDir` is wherever the removed docs' (doc_id, text)
+    * rows can be read NOW — the pinned corpus or the takedown
+    * payload. */
   def takedown(s: SparkSession,
                dfStore: Either[(String, String), String],
                sigTable: (String, String),

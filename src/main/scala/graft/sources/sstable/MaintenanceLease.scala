@@ -179,6 +179,21 @@ object MaintenanceLease {
     * `vacuumStaging`, scaled to maintenance-operation runtimes. */
   val DefaultHorizonMs: Long = 15L * 60 * 1000
 
+  /** Run a VOLUNTEER maintenance pass (write-triggered autocompact,
+    * the streaming maintainers' pre-append folds, the batch df store's
+    * auto-consolidation): swallow Held (someone else is maintaining —
+    * yield to them) AND Lost (this pass stalled past the steal horizon
+    * and was superseded — the work yields to the thief). Volunteered
+    * work must never fail its host commit or kill its streaming query;
+    * the next write simply volunteers again. ONE home for the
+    * two-case contract (review find: it was copy-pasted at four
+    * sites, and autoCompact encodes the same rule). */
+  def volunteer(body: => Unit): Unit =
+    try body catch {
+      case _: MaintenanceLeaseHeldException => ()
+      case _: MaintenanceLeaseLostException => ()
+    }
+
   final class MaintenanceLeaseHeldException(dir: String, val holder: String)
       extends IllegalStateException(
         s"maintenance lease on $dir is held by '$holder' — one maintainer " +

@@ -75,17 +75,6 @@ object StreamingAnnIngest {
     val spark = batch.sparkSession
     val jobTag = f"annin$epochId%09d"
 
-    // the epoch pin first: encoding a stream under a missing or foreign
-    // index would serve silently-wrong neighbors forever
-    val m0 = AnnIndex.meta(spark, idxDir)
-    require(m0.nonEmpty && m0.contains("kind"),
-      s"$idxDir carries no ANN-index _meta row — build it with " +
-        "CALL build_ann_index before streaming ingest")
-    if (expectEpoch.nonEmpty) AnnIndex.requireEpoch(spark, idxDir, expectEpoch)
-    val kind = m0("kind")
-    val dim = m0("dim").toInt
-    val pqM = m0("m").toInt
-
     // replay cleanup: a retried epoch removes its failed attempt's
     // output before deciding novelty — reproducible decisions
     storage.listDataFiles(idxDir)
@@ -99,16 +88,8 @@ object StreamingAnnIngest {
     // it yield to the next batch rather than kill the streaming query.
     if (maintainAboveGenerations > 0 &&
         storage.listDataFiles(idxDir).length > maintainAboveGenerations)
-      try SSTableOps.compactInPlace(spark, idxDir, minThreshold = 4)
-      catch {
-        // Held AND Lost (review find — autoCompact's contract): a
-        // volunteered fold stalled past the steal horizon throws the
-        // fence's Lost, which must also yield, never kill the query
-        case _: graft.sources.sstable.MaintenanceLease
-          .MaintenanceLeaseHeldException => ()
-        case _: graft.sources.sstable.MaintenanceLease
-          .MaintenanceLeaseLostException => ()
-      }
+      graft.sources.sstable.MaintenanceLease.volunteer(
+        SSTableOps.compactInPlace(spark, idxDir, minThreshold = 4))
 
     // epoch-read → novelty probe → append runs UNDER the index's
     // maintenance lease (ADVICE r15 medium): retract_ann_vectors holds
@@ -125,6 +106,22 @@ object StreamingAnnIngest {
     // itself).
     graft.sources.sstable.MaintenanceLease.withLeaseAwait(idxDir, storage,
       "streaming_ann_ingest") { _ =>
+
+    // the epoch pin, read UNDER the lease (review finds, round 16):
+    // encoding a stream under a missing or foreign index would serve
+    // silently-wrong neighbors forever, and a pre-lease snapshot could
+    // go stale against a CALL cover_ann_index completing before our
+    // acquire — store_vectors (and everything else) must reflect the
+    // state this batch actually appends into. One _meta point read per
+    // micro-batch, not two.
+    val m0 = AnnIndex.meta(spark, idxDir)
+    require(m0.nonEmpty && m0.contains("kind"),
+      s"$idxDir carries no ANN-index _meta row — build it with " +
+        "CALL build_ann_index before streaming ingest")
+    if (expectEpoch.nonEmpty) AnnIndex.requireEpoch(spark, idxDir, expectEpoch)
+    val kind = m0("kind")
+    val dim = m0("dim").toInt
+    val pqM = m0("m").toInt
 
     // the registered write epoch stamps this batch's cells so a later
     // retraction mark / re-addition orders correctly; read AFTER the
@@ -171,15 +168,10 @@ object StreamingAnnIngest {
         }
         // the covering property (store_vectors) is an index-wide
         // invariant: streamed vectors persist their raw bits too,
-        // bit-identical to the batch CALL's rows. Re-read UNDER the
-        // lease, not from the pre-lease m0 snapshot (review find): a
-        // CALL cover_ann_index completing between the snapshot and
-        // this append would flip the flag, and a stale read here
-        // would land v: rows WITHOUT vec cells in a now-covering
-        // index — the rerank fetch and the drift statistic would then
-        // silently exclude exactly the newest ingest.
-        val storeVectors = AnnIndex.meta(spark, idxDir)
-          .get("store_vectors").contains("true")
+        // bit-identical to the batch CALL's rows. m0 was read UNDER
+        // this lease, so it cannot be stale against a completed
+        // cover_ann_index (which holds the same lease).
+        val storeVectors = m0.get("store_vectors").contains("true")
         val joined = if (storeVectors)
           assigned.join(novel.select(col("vec_id"), col("v")), "vec_id")
         else assigned

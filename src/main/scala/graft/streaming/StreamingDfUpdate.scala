@@ -169,16 +169,8 @@ object StreamingDfUpdate {
     // the streaming query.
     if (maintainAboveGenerations > 0 && storage.exists(storeDir) &&
         storage.listDataFiles(storeDir).length > maintainAboveGenerations)
-      try SSTableOps.compactInPlace(spark, storeDir, minThreshold = 4)
-      catch {
-        // Held AND Lost (review find — autoCompact's contract): a
-        // volunteered fold that stalls past the steal horizon throws
-        // the fence's Lost, which must also yield, never kill the query
-        case _: graft.sources.sstable.MaintenanceLease
-          .MaintenanceLeaseHeldException => ()
-        case _: graft.sources.sstable.MaintenanceLease
-          .MaintenanceLeaseLostException => ()
-      }
+      graft.sources.sstable.MaintenanceLease.volunteer(
+        SSTableOps.compactInPlace(spark, storeDir, minThreshold = 4))
 
     // epoch-range consolidation rides the SAME pre-append slot (and
     // inherits its safety argument): without it every hot term's row
@@ -189,13 +181,8 @@ object StreamingDfUpdate {
     if (consolidateAboveEpochs > 0 && storage.exists(storeDir) &&
         storage.listDataFiles(storeDir).nonEmpty &&
         epochPartialsSinceFold(storeDir, storage) > consolidateAboveEpochs)
-      try graft.operators.DfStore.consolidate(spark, storeDir, storage)
-      catch {
-        case _: graft.sources.sstable.MaintenanceLease
-          .MaintenanceLeaseHeldException => ()
-        case _: graft.sources.sstable.MaintenanceLease
-          .MaintenanceLeaseLostException => ()
-      }
+      graft.sources.sstable.MaintenanceLease.volunteer(
+        graft.operators.DfStore.consolidate(spark, storeDir, storage))
 
     // in-batch dedup: one row per doc_id
     val docs = batch.select(col("doc_id"), col("text"))
