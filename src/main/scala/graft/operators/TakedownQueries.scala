@@ -107,6 +107,21 @@ object TakedownQueries {
         .map { case (store, m) => m.select(lit(store).as("store"), col("id")) }
         .reduce(_ unionAll _)
         .orderBy("store", "id")
+    }),
+    // The persistent takedown LEDGER (round 17) — the durability face:
+    // after the fixture's takedown, the ledger must hold EXACTLY the
+    // removed slice's ids with the recording predicate and the
+    // deterministic epoch (the first full CALL registers epoch 2: a
+    // fresh ledger reads as epoch 1, like every store). The oracle
+    // recomputes the slice from the corpus — proving the record the
+    // ingest maintainers consult (their re-admission refusal) is the
+    // removal request, id for id.
+    "q_takedown_ledger" -> ((s, d) => {
+      takedownFixture(s, d) // the takedown (and its ledger record) ran
+      TakedownLedger.entries(s,
+          s"${tdWarehouse(d)}/${TakedownLedger.DirName}")
+        .select(col("doc_id"), col("predicate"), col("epoch"))
+        .orderBy("doc_id")
     }))
 
   def oracles: Map[String, String] = Map(
@@ -120,5 +135,9 @@ object TakedownQueries {
             UNION ALL
             SELECT 'signatures' AS store, doc_id AS id FROM documents
             WHERE NOT ($TakedownSlice)
-          ) ORDER BY store, id""")
+          ) ORDER BY store, id""",
+    "q_takedown_ledger" ->
+      s"""SELECT doc_id, '$TakedownSlice' AS predicate,
+                 CAST(2 AS INTEGER) AS epoch
+          FROM documents WHERE $TakedownSlice ORDER BY doc_id""")
 }

@@ -1245,7 +1245,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       val d = nsDir(ns)
       if (!dirExists(d)) throw new NoSuchNamespaceException(catalogName +: ns)
       (d, parts.last)
-    })
+    }, warehouseDir = () => warehouse)
 
   override def loadProcedure(ident: Identifier):
       org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {

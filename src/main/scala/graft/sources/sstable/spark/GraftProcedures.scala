@@ -234,11 +234,28 @@ private[spark] object GraftProcedures {
     * by definition not a live table. */
   def registry(resolveTable: String => String,
                catalogName: => String,
-               resolveParent: String => (String, String)): Map[String, UnboundProcedure] = {
+               resolveParent: String => (String, String),
+               warehouseDir: () => String): Map[String, UnboundProcedure] = {
     def dirOf(input: InternalRow): String = {
       require(!input.isNullAt(0), "argument 'table' is required")
       resolveTable(input.getUTF8String(0).toString)
     }
+    /** The catalog's takedown-ledger directory (round 17): a reserved
+      * underscore-prefixed path under the warehouse root — out of reach
+      * of table DDL, consulted by every ingest maintainer below. */
+    def ledgerDir: String =
+      graft.operators.TakedownLedger.dirUnder(warehouseDir())
+    /** Optional string-array argument: `name => array('a','b')` on the
+      * CALL site; absent or explicit NULL = empty. */
+    def strArrayArg(in: InternalRow, i: Int): Seq[String] =
+      if (in.isNullAt(i)) Seq.empty
+      else {
+        val a = in.getArray(i)
+        (0 until a.numElements()).map { j =>
+          require(!a.isNullAt(j), "array arguments must not contain NULLs")
+          a.getUTF8String(j).toString
+        }
+      }
     /** Back-quoted fully-qualified SQL name (validated by resolveTable
       * first — call dirOf before this). */
     def qualified(tableName: String): String =
@@ -536,7 +553,13 @@ private[spark] object GraftProcedures {
               "shortlist's true vectors (the FAISS-IVFPQR/DiskANN " +
               "reorder step) instead of scanning the embedding table; " +
               "update_ann_index and streaming ingest follow the pinned " +
-              "flag automatically")),
+              "flag automatically"),
+          p("drift_warn", LongType, Some("0"),
+            comment = "drift-warning threshold in e4 units (e.g. 15000 " +
+              "= ratio 1.5): a covering index's maintainers append a " +
+              "_health drift sample at every ingest epoch; above this " +
+              "threshold the ingest receipt carries a LOUD warning. 0 " +
+              "(default) = samples only, no warning")),
         StructType(Seq(
           StructField("kind", StringType, nullable = false),
           StructField("centroids", LongType, nullable = false),
@@ -560,7 +583,9 @@ private[spark] object GraftProcedures {
             intArg(in, 6, graft.operators.Params.PqK),
             intArg(in, 7, graft.operators.Params.PqIters),
             whereSql,
-            storeVectors = !in.isNullAt(9) && in.getBoolean(9))
+            storeVectors = !in.isNullAt(9) && in.getBoolean(9),
+            ledgerDir = Some(ledgerDir),
+            driftWarn = longArg(in, 10, 0L))
           Seq(row(utf8(kind), cents, codebook, vecs, dim))
         }),
 
@@ -583,15 +608,17 @@ private[spark] object GraftProcedures {
         StructType(Seq(
           StructField("docsSeen", LongType, nullable = false),
           StructField("encoded", LongType, nullable = false),
-          StructField("alreadyIndexed", LongType, nullable = false))),
+          StructField("alreadyIndexed", LongType, nullable = false),
+          StructField("health", StringType, nullable = false))),
         (spark, in) => {
           require(!in.isNullAt(0), "argument 'table' is required")
           require(!in.isNullAt(1), "argument 'source_dir' is required")
           val tableName = in.getUTF8String(0).toString
-          val (seen, encoded, skipped) = graft.operators.AnnIndex.update(
-            spark, qualified(tableName), dirOf(in),
-            in.getUTF8String(1).toString)
-          Seq(row(seen, encoded, skipped))
+          val (seen, encoded, skipped, health) =
+            graft.operators.AnnIndex.update(
+              spark, qualified(tableName), dirOf(in),
+              in.getUTF8String(1).toString, ledgerDir = Some(ledgerDir))
+          Seq(row(seen, encoded, skipped, utf8(health)))
         }),
 
       "cover_ann_index" -> new Proc(
@@ -640,9 +667,17 @@ private[spark] object GraftProcedures {
           "ingest is healthy; a sustained ratio above ~15000 with a " +
           "material nPost means the quantizers no longer represent the " +
           "corpus — schedule CALL build_ann_index (serving swaps " +
-          "atomically). Read-only; requires a covering index (CALL " +
-          "cover_ann_index upgrades one in place)",
-        Array(tableParam),
+          "atomically). Read-only. A COVERING index measures with zero " +
+          "corpus IO; a non-covering one passes source_dir => <the " +
+          "pinned corpus> for the corpus-IO fallback (epochs from the " +
+          "index's assignment cells, vectors from the corpus — one " +
+          "corpus scan), breaking the cover<->drift circularity (cover " +
+          "refuses on drift; drift used to require cover)",
+        Array(tableParam,
+          p("source_dir", StringType, Some("NULL"),
+            comment = "corpus-IO fallback for a NON-covering index: " +
+              "must equal the index's pinned source; ignored when the " +
+              "index stores raw vectors")),
         StructType(Seq(
           StructField("nBuild", LongType, nullable = false),
           StructField("nPost", LongType, nullable = false),
@@ -656,7 +691,9 @@ private[spark] object GraftProcedures {
           val tableName = in.getUTF8String(0).toString
           val (nb, np, mb, mp, pb, pp, ratio) =
             graft.operators.AnnIndex.drift(spark, qualified(tableName),
-              dirOf(in))
+              dirOf(in),
+              if (in.isNullAt(1)) None
+              else Some(in.getUTF8String(1).toString))
           Seq(row(nb, np, mb, mp, pb, pp, ratio))
         }),
 
@@ -743,7 +780,7 @@ private[spark] object GraftProcedures {
           val whereSql = if (in.isNullAt(2)) "true" else in.getUTF8String(2).toString
           val (seen, novel, skipped) = graft.operators.SignatureStore.update(
             spark, qualified(tableName), () => dirOf(in), sourceDir, whereSql,
-            intArg(in, 3, 8))
+            intArg(in, 3, 8), ledgerDir = Some(ledgerDir))
           // the table exists now — dirOf resolves it for the receipt's
           // generation count (the autocompact observable)
           val gens = graft.sources.sstable.Storage
@@ -842,7 +879,8 @@ private[spark] object GraftProcedures {
           val (seen, novel, skipped, epoch, terms) =
             graft.operators.DfStore.update(spark, qualified(tableName),
               () => dirOf(in), sourceDir, whereSql, intArg(in, 3, 8), unit,
-              intArg(in, 5, graft.operators.DfStore.DefaultAutoConsolidate))
+              intArg(in, 5, graft.operators.DfStore.DefaultAutoConsolidate),
+              ledgerDir = Some(ledgerDir))
           val gens = graft.sources.sstable.Storage
             .forPath(dirOf(in), spark.sessionState.newHadoopConf())
             .listDataFiles(dirOf(in)).length
@@ -1020,145 +1058,258 @@ private[spark] object GraftProcedures {
 
       "takedown" -> new Proc(
         "takedown",
-        "cross-store takedown orchestration: drive retract_doc_freqs + " +
+        "cross-store takedown orchestration: record the removal in the " +
+          "persistent takedown ledger, then drive retract_doc_freqs + " +
           "retract_signatures + retract_ann_vectors for one id predicate " +
-          "in one CALL, returning ONE receipt (a row per leg). The " +
-          "predicate is written over doc_id; the ANN leg sees the same " +
-          "ids under the doc_id alias of its vec_id relation. Each leg " +
-          "runs under its own store's maintenance lease and is " +
-          "IDEMPOTENT, so crash recovery is re-issuing the same CALL: " +
-          "completed legs no-op (matched=0), unfinished legs run — the " +
-          "orchestration converges without tracking which leg died; " +
-          "CALL takedown_status names any lagging store in between. " +
-          "source_dir is wherever the removed docs' (doc_id, text) rows " +
-          "can be read NOW — the pinned corpus, or the takedown " +
-          "request's own payload for docs already deleted from the " +
-          "corpus (the df leg's content-hash guard verifies either). " +
-          "The corpus table itself is not a leg: delete its rows by its " +
-          "own mechanics before or after — every leg tolerates the doc " +
-          "being already gone",
+          "in one CALL, returning ONE receipt (a row per (store, " +
+          "table)). The predicate is written over doc_id; the ANN legs " +
+          "see the same ids under the doc_id alias of their vec_id " +
+          "relation. Each leg runs under its own store's maintenance " +
+          "lease and is IDEMPOTENT, so crash recovery is re-issuing the " +
+          "same CALL: completed legs no-op (matched=0), unfinished legs " +
+          "run — the orchestration converges without tracking which leg " +
+          "died; CALL takedown_status names any lagging table in " +
+          "between. A corpus usually backs SEVERAL stores per kind: the " +
+          "plural args (df_tables/sig_tables/ann_tables) add more legs " +
+          "of the same kind, merged with the scalar form. source_dir " +
+          "is wherever the removed docs' (doc_id, text) rows can be " +
+          "read NOW — the pinned corpus, or the takedown request's own " +
+          "payload for docs already deleted from the corpus (the df " +
+          "legs' content-hash guard verifies either). The corpus table " +
+          "is an OPT-IN final leg (corpus_table): its matching rows are " +
+          "DELETEd LAST, after the df legs have read their text. " +
+          "Without it, delete corpus rows by their own mechanics before " +
+          "or after — every leg tolerates the doc being already gone. " +
+          "DURABILITY: the ledger makes the removal survive rebuilds — " +
+          "update_doc_freqs/update_signatures/build_ann_index/" +
+          "update_ann_index refuse an ingest slice still containing " +
+          "ledgered ids; CALL readmit is the explicit override",
         Array(
-          p("sig_table", StringType,
-            comment = "catalog-relative signature store name"),
-          p("ann_table", StringType,
-            comment = "catalog-relative ANN index name"),
+          // required parameters lead (Spark rejects a required param
+          // after an optional one); every call site binds by name
           p("source_dir", StringType,
             comment = "directory holding the removed docs' (doc_id, " +
               "text) rows — corpus or takedown payload"),
           p("where", StringType,
             comment = "SQL predicate over doc_id selecting the docs to " +
               "remove, e.g. 'doc_id % 5 = 2'"),
+          p("sig_table", StringType, Some("NULL"),
+            comment = "catalog-relative signature store name; at least " +
+              "one of sig_table / sig_tables is required"),
+          p("ann_table", StringType, Some("NULL"),
+            comment = "catalog-relative ANN index name; at least one " +
+              "of ann_table / ann_tables is required"),
           p("df_table", StringType, Some("NULL"),
             comment = "catalog-relative df store name, e.g. 'ns.df' — " +
-              "exactly one of df_table / df_stream_dir is required"),
+              "exactly one of df_table / df_stream_dir is required " +
+              "(df_tables adds more batch stores)"),
           p("df_stream_dir", StringType, Some("NULL"),
             comment = "a STREAM-maintained df store's directory — the " +
               "df leg then retracts in the stream's own epoch-tag " +
               "domain (retract_doc_freqs_stream), so one takedown " +
               "spans live-stream pipelines too"),
           p("unit", StringType, Some("'term'"),
-            comment = "must match the df store's pinned unit"),
+            comment = "must match the df stores' pinned unit"),
           p("corpus_table", StringType, Some("NULL"),
-            comment = "OPTIONAL fourth leg: a catalog-relative corpus " +
+            comment = "OPTIONAL final leg: a catalog-relative corpus " +
               "table whose matching rows are DELETEd — run LAST (the df " +
-              "leg reads the removed docs' text from source_dir, often " +
+              "legs read the removed docs' text from source_dir, often " +
               "the corpus itself). Absent = corpora are deleted by " +
               "their own owners' mechanics"),
           p("corpus_where", StringType, Some("NULL"),
             comment = "DELETE predicate in the corpus table's own " +
               "column terms; defaults to `where` (works when the table " +
-              "exposes doc_id)")),
+              "exposes doc_id)"),
+          p("df_tables", ArrayType(StringType), Some("NULL"),
+            comment = "MORE batch df stores, e.g. array('ns.df2', " +
+              "'ns.df3') — one leg and one receipt row each"),
+          p("sig_tables", ArrayType(StringType), Some("NULL"),
+            comment = "more signature stores"),
+          p("ann_tables", ArrayType(StringType), Some("NULL"),
+            comment = "more ANN indexes (per modality / embedding " +
+              "version)")),
         StructType(Seq(
           StructField("store", StringType, nullable = false),
           StructField("matched", LongType, nullable = false),
           StructField("epoch", StringType, nullable = false),
-          StructField("status", StringType, nullable = false))),
+          StructField("status", StringType, nullable = false),
+          StructField("table", StringType, nullable = false))),
         (spark, in) => {
-          (0 to 3).foreach(i => require(!in.isNullAt(i),
-            "arguments sig_table, ann_table, source_dir and where are " +
-              "all required"))
-          val Seq(sigN, annN) = (0 to 1).map(in.getUTF8String(_).toString)
-          require(in.isNullAt(4) != in.isNullAt(5),
+          (0 to 1).foreach(i => require(!in.isNullAt(i),
+            "arguments source_dir and where are required"))
+          val sigNames = (if (in.isNullAt(2)) Seq.empty
+            else Seq(in.getUTF8String(2).toString)) ++ strArrayArg(in, 10)
+          val annNames = (if (in.isNullAt(3)) Seq.empty
+            else Seq(in.getUTF8String(3).toString)) ++ strArrayArg(in, 11)
+          require(sigNames.nonEmpty,
+            "at least one of sig_table / sig_tables is required")
+          require(annNames.nonEmpty,
+            "at least one of ann_table / ann_tables is required")
+          val dfNames = (if (in.isNullAt(4)) Seq.empty
+            else Seq(in.getUTF8String(4).toString)) ++ strArrayArg(in, 9)
+          require(in.isNullAt(4) || in.isNullAt(5),
             "exactly one of df_table / df_stream_dir is required (a " +
               "catalog-managed batch store vs a stream-maintained " +
-              "store directory)")
-          val dfStore: Either[(String, String), String] =
-            if (!in.isNullAt(4)) {
-              val dfN = in.getUTF8String(4).toString
-              Left((qualified(dfN), resolveTable(dfN)))
-            } else Right(in.getUTF8String(5).toString)
+              "store directory); df_tables adds more batch stores")
+          require(dfNames.nonEmpty || !in.isNullAt(5),
+            "exactly one of df_table / df_stream_dir is required (a " +
+              "catalog-managed batch store vs a stream-maintained " +
+              "store directory); df_tables adds more batch stores")
+          val dfStores: Seq[Either[(String, String), String]] =
+            dfNames.map(n => Left((qualified(n), resolveTable(n)))) ++
+              (if (in.isNullAt(5)) Seq.empty
+               else Seq(Right(in.getUTF8String(5).toString)))
           val unit = if (in.isNullAt(6)) "term" else in.getUTF8String(6).toString
           val corpusTable =
             if (in.isNullAt(7)) None else Some(in.getUTF8String(7).toString)
           val corpusWhere =
             if (in.isNullAt(8)) None else Some(in.getUTF8String(8).toString)
           graft.operators.Takedown.takedown(spark,
-            dfStore,
-            (qualified(sigN), resolveTable(sigN)),
-            (qualified(annN), resolveTable(annN)),
-            in.getUTF8String(2).toString, in.getUTF8String(3).toString,
-            unit, corpusTable.map(qualified), corpusWhere)
+            dfStores,
+            sigNames.map(n => (qualified(n), resolveTable(n))),
+            annNames.map(n => (qualified(n), resolveTable(n))),
+            in.getUTF8String(0).toString, in.getUTF8String(1).toString,
+            unit, corpusTable.map(qualified), corpusWhere,
+            ledgerDir = Some(ledgerDir))
             .map(l => row(utf8(l.store), l.matched, utf8(l.epochTag),
-              utf8(l.status)))
+              utf8(l.status), utf8(l.table)))
         }),
 
       "takedown_status" -> new Proc(
         "takedown_status",
         "the spanning membership audit for a takedown: for one id " +
-          "predicate, report how many LIVE members each of the three " +
-          "stores still has (with a bounded id sample) — after a " +
+          "predicate, report how many LIVE members each audited store " +
+          "(df, signatures, ANN, and optionally the corpus table) " +
+          "still has (with a bounded id sample) — after a " +
           "completed takedown every count is 0; after a crash between " +
           "legs the lagging store names itself with a non-zero count " +
           "instead of the stores silently disagreeing. Read-only",
         Array(
-          p("sig_table", StringType),
-          p("ann_table", StringType),
+          // the required param leads (Spark's required-before-optional
+          // rule); every call site binds by name
           p("where", StringType,
             comment = "the takedown's id predicate, over doc_id"),
+          p("sig_table", StringType, Some("NULL"),
+            comment = "at least one of sig_table / sig_tables is required"),
+          p("ann_table", StringType, Some("NULL"),
+            comment = "at least one of ann_table / ann_tables is required"),
           p("df_table", StringType, Some("NULL"),
             comment = "catalog-relative df store — exactly one of " +
-              "df_table / df_stream_dir is required"),
+              "df_table / df_stream_dir is required (df_tables adds " +
+              "more)"),
           p("df_stream_dir", StringType, Some("NULL"),
             comment = "a STREAM-maintained df store's directory " +
               "(membership reads are dir-based and identical)"),
           p("corpus_table", StringType, Some("NULL"),
-            comment = "OPTIONAL fourth row: a catalog-relative corpus " +
+            comment = "OPTIONAL extra row: a catalog-relative corpus " +
               "table audited with corpus_where — mirrors takedown's " +
               "opt-in corpus leg"),
           p("corpus_where", StringType, Some("NULL"),
             comment = "audit predicate in the corpus table's own " +
-              "column terms; defaults to `where`")),
+              "column terms; defaults to `where`"),
+          p("df_tables", ArrayType(StringType), Some("NULL"),
+            comment = "more batch df stores — one audit row each"),
+          p("sig_tables", ArrayType(StringType), Some("NULL"),
+            comment = "more signature stores"),
+          p("ann_tables", ArrayType(StringType), Some("NULL"),
+            comment = "more ANN indexes")),
         StructType(Seq(
           StructField("store", StringType, nullable = false),
           StructField("members", LongType, nullable = false),
-          StructField("sample", StringType, nullable = false))),
+          StructField("sample", StringType, nullable = false),
+          StructField("table", StringType, nullable = false))),
         (spark, in) => {
-          (0 to 2).foreach(i => require(!in.isNullAt(i),
-            "arguments sig_table, ann_table and where are all required"))
-          val Seq(sigN, annN) = (0 to 1).map(in.getUTF8String(_).toString)
-          require(in.isNullAt(3) != in.isNullAt(4),
+          require(!in.isNullAt(0), "argument 'where' is required")
+          val sigNames = (if (in.isNullAt(1)) Seq.empty
+            else Seq(in.getUTF8String(1).toString)) ++ strArrayArg(in, 8)
+          val annNames = (if (in.isNullAt(2)) Seq.empty
+            else Seq(in.getUTF8String(2).toString)) ++ strArrayArg(in, 9)
+          require(sigNames.nonEmpty,
+            "at least one of sig_table / sig_tables is required")
+          require(annNames.nonEmpty,
+            "at least one of ann_table / ann_tables is required")
+          val dfNames = (if (in.isNullAt(3)) Seq.empty
+            else Seq(in.getUTF8String(3).toString)) ++ strArrayArg(in, 7)
+          require(in.isNullAt(3) || in.isNullAt(4),
             "exactly one of df_table / df_stream_dir is required")
-          val dfDir = if (!in.isNullAt(3))
-            resolveTable(in.getUTF8String(3).toString)
-          else in.getUTF8String(4).toString
+          require(dfNames.nonEmpty || !in.isNullAt(4),
+            "exactly one of df_table / df_stream_dir is required")
+          val dfDirs = dfNames.map(n =>
+            (qualified(n), resolveTable(n))) ++
+            (if (in.isNullAt(4)) Seq.empty
+             else { val d = in.getUTF8String(4).toString; Seq((d, d)) })
           val stores = graft.operators.Takedown.status(spark,
-            dfDir, resolveTable(sigN), resolveTable(annN),
-            in.getUTF8String(2).toString)
-            .map { case (store, n, sample) =>
-              row(utf8(store), n, utf8(sample.mkString(",")))
+            dfDirs,
+            sigNames.map(n => (qualified(n), resolveTable(n))),
+            annNames.map(n => (qualified(n), resolveTable(n))),
+            in.getUTF8String(0).toString)
+            .map { case (store, label, n, sample) =>
+              row(utf8(store), n, utf8(sample.mkString(",")), utf8(label))
             }
           // the corpus row (round 16, mirroring takedown's opt-in leg):
           // a crash BEFORE the corpus DELETE leaves rows the audit must
           // surface; no generic id column exists, so the sample is empty
           val corpus = if (in.isNullAt(5)) Seq.empty else {
             val t = qualified(in.getUTF8String(5).toString)
-            val pred = if (in.isNullAt(6)) in.getUTF8String(2).toString
+            val pred = if (in.isNullAt(6)) in.getUTF8String(0).toString
               else in.getUTF8String(6).toString
             Seq(row(utf8("corpus"), spark.table(t)
               .filter(org.apache.spark.sql.functions.expr(pred)).count(),
-              utf8("")))
+              utf8(""), utf8(t)))
           }
           stores ++ corpus
+        }),
+
+      "readmit" -> new Proc(
+        "readmit",
+        "the explicit takedown override (round 17): row-tombstone the " +
+          "takedown-ledger entries matching the id predicate, re-opening " +
+          "those ids to the ingest maintainers (update_doc_freqs / " +
+          "update_signatures / build_ann_index / update_ann_index refuse " +
+          "slices containing ledgered ids). Epoch-ordered: a LATER " +
+          "takedown of the same ids rises above this readmission. " +
+          "Idempotent — already-readmitted ids match nothing. This " +
+          "clears only the LEDGER (the refusal); it does not re-ingest " +
+          "anything — run the maintainers to actually re-admit",
+        Array(
+          p("where", StringType,
+            comment = "SQL predicate over doc_id selecting ledger " +
+              "entries to clear, e.g. 'doc_id % 5 = 2'")),
+        StructType(Seq(
+          StructField("readmitted", LongType, nullable = false),
+          StructField("epoch", IntegerType, nullable = false))),
+        (spark, in) => {
+          require(!in.isNullAt(0), "argument 'where' is required")
+          val (n, epoch) = graft.operators.TakedownLedger.readmit(
+            spark, ledgerDir, in.getUTF8String(0).toString)
+          Seq(row(n, epoch))
+        }),
+
+      "takedown_ledger" -> new Proc(
+        "takedown_ledger",
+        "audit the persistent takedown ledger: the live (not-readmitted) " +
+          "taken-down ids with the predicate and epoch each was recorded " +
+          "under. Read-only; an absent ledger returns no rows",
+        Array(
+          p("where", StringType, Some("'true'"),
+            comment = "SQL predicate over doc_id filtering the entries")),
+        StructType(Seq(
+          StructField("doc_id", LongType, nullable = false),
+          StructField("predicate", StringType, nullable = false),
+          StructField("epoch", IntegerType, nullable = false))),
+        (spark, in) => {
+          val pred = if (in.isNullAt(0)) "true"
+            else in.getUTF8String(0).toString
+          val dir = ledgerDir
+          val storage = graft.sources.sstable.Storage.forPath(dir,
+            spark.sessionState.newHadoopConf())
+          if (!storage.exists(dir) || storage.listDataFiles(dir).isEmpty)
+            Seq.empty
+          else graft.operators.TakedownLedger.entries(spark, dir)
+            .filter(org.apache.spark.sql.functions.expr(pred))
+            .orderBy("doc_id")
+            .collect().toSeq
+            .map(r => row(r.getLong(0), utf8(r.getString(1)), r.getInt(2)))
         }),
 
       "lookup" -> new Proc(
@@ -1499,13 +1650,24 @@ private[spark] object GraftProcedures {
           "dropped from the block manager, and fixture memos are " +
           "forgotten (their directories stay on disk; builders " +
           "recreate-over on next use). For long-lived sessions cycling " +
-          "corpora — correctness never depends on a cache hit, so the " +
-          "call is always safe; the next serving call pays the rebuild",
-        Array.empty,
+          "corpora — serving calls AFTER the release simply rebuild " +
+          "(correctness never depends on a cache hit), at the price of " +
+          "the rebuild. Caveat: result frames returned BEFORE the " +
+          "release may still reference the disposed localCheckpoint " +
+          "blocks (unrecoverable once dropped) and can fail on " +
+          "recompute — release when the outstanding results are done " +
+          "with. Pass corpus_dir to release ONE corpus's entries and " +
+          "leave every other corpus's caches live",
+        Array(
+          p("corpus_dir", StringType, Some("NULL"),
+            comment = "scope the release to this corpus directory's " +
+              "entries; absent = the whole session's")),
         StructType(Seq(
           StructField("entriesReleased", LongType, nullable = false))),
-        (spark, _) =>
-          Seq(row(graft.operators.ServingCaches.release(spark)))),
+        (spark, in) =>
+          Seq(row(graft.operators.ServingCaches.release(spark,
+            if (in.isNullAt(0)) None
+            else Some(in.getUTF8String(0).toString))))),
     )
   }
 }

@@ -71,9 +71,33 @@ object StreamingAnnIngest {
   def processBatch(batch: DataFrame, idxDir: String, epochId: Long,
                    expectEpoch: Map[String, String] = Map.empty,
                    storage: Storage = LocalStorage,
-                   maintainAboveGenerations: Int = DefaultMaintainAbove): Unit = {
+                   maintainAboveGenerations: Int = DefaultMaintainAbove,
+                   ledgerDir: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     val jobTag = f"annin$epochId%09d"
+    // takedown-ledger consult (round 17, VERDICT r16 #1, opt-in for
+    // streams): fail the micro-batch loudly rather than re-encode
+    // taken-down vectors arriving from an uncleaned source.
+    graft.operators.TakedownLedger.consult(spark, ledgerDir,
+      batch.select(col("vec_id").as("doc_id")),
+      "streaming_ann_ingest", idxDir)
+
+    // pre-unpublish identity guard (ADVICE r16 medium): the replay
+    // cleanup below UNPUBLISHES committed files whose suffix matches
+    // this stream's epoch tag — destructive, so a sink misconfigured to
+    // point at a missing or FOREIGN index must refuse before any file
+    // is touched. These are cheap point reads; the lease-held re-read
+    // further down stays the authoritative one (a cover_ann_index can
+    // still complete between here and the acquire — that race only
+    // affects store_vectors, which the under-lease read settles; it
+    // cannot turn a foreign index into ours).
+    locally {
+      val g = AnnIndex.meta(spark, idxDir)
+      require(g.nonEmpty && g.contains("kind"),
+        s"$idxDir carries no ANN-index _meta row — build it with " +
+          "CALL build_ann_index before streaming ingest")
+      if (expectEpoch.nonEmpty) AnnIndex.requireEpoch(spark, idxDir, expectEpoch)
+    }
 
     // replay cleanup: a retried epoch removes its failed attempt's
     // output before deciding novelty — reproducible decisions
@@ -189,6 +213,25 @@ object StreamingAnnIngest {
           .write.format("sstable")
           .option(graft.sources.sstable.spark.SSTableSource.JobTagOption, jobTag)
           .mode("append").save(idxDir)
+        // drift health sample (round 17, VERDICT r16 #3): the streaming
+        // maintainer appends the same bounded `_health` sample as the
+        // batch CALL, under the same lease, with THIS epoch's job tag —
+        // so a replayed epoch's unpublish removes the doomed attempt's
+        // sample along with its cells. A stream has no receipt to warn
+        // in; a tripped drift_warn lands a History event instead (the
+        // operator's audit trail).
+        if (storeVectors) {
+          val warn = AnnIndex.appendHealthSample(spark,
+            s"streaming ingest of $idxDir", idxDir, storage, epoch, m0,
+            hr => hr.select(col("key"), col("columns"))
+              .write.format("sstable")
+              .option(graft.sources.sstable.spark.SSTableSource.JobTagOption,
+                jobTag)
+              .mode("append").save(idxDir))
+          if (warn.nonEmpty)
+            graft.sources.sstable.History.record(storage, idxDir,
+              "drift_warn", detail = warn.replace('\n', ' '))
+        }
       }
     } finally novel.unpersist()
     }

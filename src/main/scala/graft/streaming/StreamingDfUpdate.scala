@@ -102,9 +102,18 @@ object StreamingDfUpdate {
                    unit: String = "term",
                    storage: Storage = LocalStorage,
                    maintainAboveGenerations: Int = DefaultMaintainAbove,
-                   consolidateAboveEpochs: Int = DefaultConsolidateAbove): Unit = {
+                   consolidateAboveEpochs: Int = DefaultConsolidateAbove,
+                   ledgerDir: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     val jobTag = f"dfs$epochId%09d"
+    // takedown-ledger consult (round 17, VERDICT r16 #1, opt-in for
+    // streams): a batch carrying taken-down ids fails the micro-batch
+    // LOUDLY — silently dropping the rows would hide a compliance
+    // violation in the source; the operator filters the source or
+    // CALLs readmit. Zero jobs when no ledger exists.
+    graft.operators.TakedownLedger.consult(spark, ledgerDir,
+      batch.select(org.apache.spark.sql.functions.col("doc_id")),
+      "streaming_df_update", storeDir)
     val tag = f"s$epochId%09d"
 
     // replay cleanup: a retried epoch removes its failed attempt's

@@ -80,9 +80,16 @@ object StreamingIncrementalDedup {
   def processBatch(batch: DataFrame, storeDir: String, epochId: Long,
                    emit: (DataFrame, Long) => Unit,
                    storage: Storage = LocalStorage,
-                   maintainAboveGenerations: Int = DefaultMaintainAbove): Unit = {
+                   maintainAboveGenerations: Int = DefaultMaintainAbove,
+                   ledgerDir: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     val jobTag = f"sigs$epochId%09d"
+    // takedown-ledger consult (round 17, VERDICT r16 #1, opt-in for
+    // streams): fail the micro-batch loudly rather than re-fingerprint
+    // taken-down documents arriving from an uncleaned source.
+    graft.operators.TakedownLedger.consult(spark, ledgerDir,
+      batch.select(org.apache.spark.sql.functions.col("doc_id")),
+      "streaming_incremental_dedup", storeDir)
 
     // replay cleanup: a retried epoch removes its own failed-attempt
     // output before deciding novelty, so the decisions are reproducible

@@ -504,6 +504,168 @@ class AnnIndexSpec extends AnyFunSuite {
       s"an emptied index must report a clean receipt: $dEmpty")
   }
 
+  test("ann_drift corpus-IO fallback (round 17, VERDICT r16 #2): a " +
+    "NON-covering index measures the same drift statistic (±e4 " +
+    "rounding) as its covered twin via source_dir; the pin mismatch " +
+    "and the corpus-moved-on cases refuse; a covering index ignores " +
+    "source_dir") {
+    val dir = Files.createTempDirectory("ann-driftfb").toString
+    graft.Tables.embeddings(spark, sfDir).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // twin indexes: same corpus, same training slice, same params —
+    // one covering, one not
+    Seq(("ann.dfbc", "true"), ("ann.dfbn", "false")).foreach {
+      case (t, sv) => spark.sql(
+        s"CALL graft_ix.system.build_ann_index(table => '$t', " +
+          s"source_dir => '$dir', kind => 'ivf', k => 4, iters => 2, " +
+          s"where => 'vec_id % 2 = 0', store_vectors => $sv)")
+    }
+    // ingest the odd half into both (post-build epochs to measure)
+    Seq("ann.dfbc", "ann.dfbn").foreach(t => spark.sql(
+      s"CALL graft_ix.system.update_ann_index(table => '$t', " +
+        s"source_dir => '$dir')"))
+    def drift(t: String, src: Option[String]) = spark.sql(
+      s"CALL graft_ix.system.ann_drift(table => '$t'" +
+        src.map(d => s", source_dir => '$d'").getOrElse("") + ")").head()
+    val dc = drift("ann.dfbc", None)
+    val dn = drift("ann.dfbn", Some(dir))
+    Seq("nBuild", "nPost").foreach(c =>
+      assert(dc.getAs[Long](c) == dn.getAs[Long](c), s"$c: $dc vs $dn"))
+    Seq("buildMeanSim_e4", "postMeanSim_e4", "buildP05Sim_e4",
+        "postP05Sim_e4", "driftRatio_e4").foreach(c =>
+      assert(math.abs(dc.getAs[Long](c) - dn.getAs[Long](c)) <= 1,
+        s"$c diverged beyond e4 rounding: $dc vs $dn"))
+    // a covering index ignores source_dir (still zero corpus IO)
+    assert(drift("ann.dfbc", Some(dir)).getAs[Long]("driftRatio_e4") ==
+      dc.getAs[Long]("driftRatio_e4"))
+    // pin mismatch refuses (a different corpus measures a different
+    // distribution)
+    val eMis = intercept[Exception](drift("ann.dfbn", Some(sfDir)))
+    assert(chainOf(eMis).exists(_.contains("refusing a drift")), chainOf(eMis))
+    // corpus moved on (a live index row no longer in the corpus):
+    // rewrite the corpus without some ids -> the fallback refuses
+    // naming the uncovered count rather than silently biasing the means
+    graft.Tables.embeddings(spark, sfDir).filter("vec_id >= 10")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val eGone = intercept[Exception](drift("ann.dfbn", Some(dir)))
+    assert(chainOf(eGone).exists(_.contains("no longer holds")),
+      chainOf(eGone))
+  }
+
+  private def chainOf(t: Throwable): Seq[String] =
+    if (t == null) Nil else Option(t.getMessage).toSeq ++ chainOf(t.getCause)
+
+  test("drift health ledger (round 17, VERDICT r16 #3): every committed " +
+    "ingest epoch of a COVERING index leaves one bounded _health " +
+    "sample; the ratio RISES in the ledger on a shifted slice; " +
+    "drift_warn pins a threshold that makes the ingest receipt carry a " +
+    "LOUD warning; unset = samples only; non-covering = no samples") {
+    val dir = Files.createTempDirectory("ann-health").toString
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    emb.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val idxDir = s"$warehouse/ann/hlt"
+    spark.sql("CALL graft_ix.system.build_ann_index(table => 'ann.hlt', " +
+      s"source_dir => '$dir', kind => 'ivf', k => 4, iters => 2, " +
+      "where => 'vec_id % 2 = 0', store_vectors => true)")
+    def update() = spark.sql("CALL graft_ix.system.update_ann_index(" +
+      s"table => 'ann.hlt', source_dir => '$dir')").head()
+    // healthy ingest (same distribution): one sample, empty warning
+    val u1 = update()
+    assert(u1.getAs[String]("health") == "", u1.toString)
+    val s1 = AnnIndex.healthSamples(spark, idxDir)
+    assert(s1.size == 1, s"one committed epoch -> one sample: $s1")
+    val r1 = s1.head._2
+    // shifted slice (negated embeddings under fresh ids): the ledger's
+    // next sample must read WORSE — the silent-recall-decay signal,
+    // now persistent instead of on-demand
+    val nmax = emb.agg(max(col("vec_id"))).head().getLong(0)
+    emb.unionAll(emb.select((col("vec_id") + nmax + 1).as("vec_id"),
+        transform(col("embedding"), x => -x).as("embedding"),
+        col("label")))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val u2 = update()
+    // property unset: samples accumulate, receipts never warn
+    assert(u2.getAs[String]("health") == "", u2.toString)
+    val s2 = AnnIndex.healthSamples(spark, idxDir)
+    assert(s2.size == 2 && s2.map(_._1) == s2.map(_._1).sorted, s2.toString)
+    val r2 = s2.last._2
+    assert(r2 > r1, s"the shifted slice must worsen the ledger: $r1 -> $r2")
+    // a no-novel-rows update commits no epoch and samples nothing
+    assert(update().getAs[Long]("encoded") == 0L)
+    assert(AnnIndex.healthSamples(spark, idxDir).size == 2)
+
+    // drift_warn pinned BETWEEN the two measured ratios: the healthy
+    // ingest stays quiet, the shifted one trips the receipt warning
+    val warnAt = (r1 + r2) / 2
+    emb.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    spark.sql("CALL graft_ix.system.build_ann_index(table => 'ann.hltw', " +
+      s"source_dir => '$dir', kind => 'ivf', k => 4, iters => 2, " +
+      s"where => 'vec_id % 2 = 0', store_vectors => true, " +
+      s"drift_warn => $warnAt)")
+    def updateW() = spark.sql("CALL graft_ix.system.update_ann_index(" +
+      s"table => 'ann.hltw', source_dir => '$dir')").head()
+    assert(updateW().getAs[String]("health") == "",
+      "a same-distribution ingest must not warn")
+    emb.unionAll(emb.select((col("vec_id") + nmax + 1).as("vec_id"),
+        transform(col("embedding"), x => -x).as("embedding"),
+        col("label")))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val w = updateW().getAs[String]("health")
+    assert(w.contains("DRIFT WARNING") && w.contains("build_ann_index"),
+      s"the shifted ingest must trip drift_warn=$warnAt: '$w'")
+
+    // non-covering: no samples, no warning — no behavior change
+    emb.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    spark.sql("CALL graft_ix.system.build_ann_index(table => 'ann.hltn', " +
+      s"source_dir => '$dir', kind => 'ivf', k => 4, iters => 1, " +
+      "where => 'vec_id % 2 = 0')")
+    val un = spark.sql("CALL graft_ix.system.update_ann_index(" +
+      s"table => 'ann.hltn', source_dir => '$dir')").head()
+    assert(un.getAs[String]("health") == "" &&
+      AnnIndex.healthSamples(spark, s"$warehouse/ann/hltn").isEmpty)
+
+    // the series is BOUNDED: seed a 70-sample _health row on a fresh
+    // covering index (epoch-stamped like real samples), then ONE more
+    // sample evicts down to the HealthSamples cap and survives itself
+    spark.sql("CALL graft_ix.system.build_ann_index(table => 'ann.hltb', " +
+      s"source_dir => '$dir', kind => 'ivf', k => 4, iters => 1, " +
+      "where => 'vec_id % 2 = 0', store_vectors => true)")
+    val idxDirB = s"$warehouse/ann/hltb"
+    val sv = "graft_ann_health_seed"
+    spark.range(1).select(lit("_health").cast("binary").as("key"),
+        array((10 until 80).map { e =>
+          struct(lit(f"h:$e%06d").cast("binary").as("name"),
+            lit("NORMAL").as("state"),
+            lit("10000,1").cast("binary").as("value"),
+            lit(e.toLong).as("timestamp"),
+            lit(0L).as("ttlSecs"), lit(0L).as("expiresMillis"))
+        }: _*).as("columns"),
+        lit(null).cast("struct<localDeletionTime: int, " +
+          "markedForDeleteAt: bigint>").as("rowTombstone"))
+      .createOrReplaceTempView(sv)
+    spark.sql(s"INSERT INTO graft_ix.ann.hltb SELECT * FROM $sv")
+    assert(AnnIndex.healthSamples(spark, idxDirB).size == 70)
+    AnnIndex.appendHealthSample(spark, "bound-test", idxDirB,
+      graft.sources.sstable.LocalStorage, 100,
+      AnnIndex.meta(spark, idxDirB), { hr =>
+        val hv = "graft_ann_health_one"
+        hr.createOrReplaceTempView(hv)
+        spark.sql(s"INSERT INTO graft_ix.ann.hltb SELECT * FROM $hv")
+      })
+    val bounded = AnnIndex.healthSamples(spark, idxDirB)
+    assert(bounded.size == AnnIndex.HealthSamples,
+      s"the ledger must stay bounded at ${AnnIndex.HealthSamples}: " +
+        s"${bounded.size}")
+    assert(bounded.map(_._1).max == 100,
+      "the newest sample must survive the eviction")
+  }
+
   test("q_ann_rerank: exact re-scoring of the ADC shortlist from the " +
     "covering index recovers recall — per-query hits are >= the " +
     "un-reranked served IVF+PQ's, and total recall strictly improves " +

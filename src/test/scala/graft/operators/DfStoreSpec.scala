@@ -471,6 +471,22 @@ class DfStoreSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).filter(_.startsWith("n:F"))
     assert(offTags.isEmpty,
       s"autoconsolidate => 0 must disable the volunteer fold: ${offTags.mkString(", ")}")
+    // loud pin (ADVICE r16): on an EXISTING store a different explicit
+    // bound refuses naming the pinned value instead of being silently
+    // ignored (the table property always wins)
+    val pinErr = intercept[Exception] { spark.sql(
+      s"CALL graft_dfs.system.update_doc_freqs(table => 'ts.dfauto', " +
+        s"source_dir => '$sfDir', where => 'doc_id % 8 = 0', " +
+        "autocompact => 3, autoconsolidate => 5)").head() }
+    assert(pinErr.getMessage.contains("pins autoconsolidate=3"),
+      s"expected the pinned-bound refusal, got: ${pinErr.getMessage}")
+    // ...and the pinned-at-off store refuses a late non-default bound too
+    val pinErr0 = intercept[Exception] { spark.sql(
+      s"CALL graft_dfs.system.update_doc_freqs(table => 'ts.dfauto0', " +
+        s"source_dir => '$sfDir', where => 'doc_id % 5 = 0', " +
+        "autocompact => 3, autoconsolidate => 5)").head() }
+    assert(pinErr0.getMessage.contains("pins autoconsolidate=0"),
+      s"expected the pinned-off refusal, got: ${pinErr0.getMessage}")
   }
 
   test("point-read serving (round 15): docFreqsFor / nDocsProbe fetch " +

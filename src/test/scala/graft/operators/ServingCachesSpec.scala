@@ -101,4 +101,50 @@ class ServingCachesSpec extends AnyFunSuite {
       assert(run(name) == want, s"$name diverged after the release")
     }
   }
+
+  test("per-corpus release (round 17, VERDICT r16 #6): CALL " +
+    "release_serving_caches(corpus_dir => A) drops ONLY corpus A's " +
+    "entries — corpus B's stay live and bit-identical, the argless " +
+    "form keeps today's whole-session behavior") {
+    // a SECOND corpus copy: same bytes, different directory key
+    val corpusB = {
+      val d = Files.createTempDirectory("graft-relcorpusB")
+      Seq("documents.parquet", "embeddings.parquet").foreach { f =>
+        Files.copy(Paths.get(s"/root/testdata/sf0.001/$f"),
+          d.resolve(f), StandardCopyOption.REPLACE_EXISTING)
+      }
+      d.toString
+    }
+    def runOn(dir: String, name: String) =
+      graft.SparkEntry.queries(name)(spark, dir)
+        .collect().map(_.toString).sorted.toSeq
+    val wantA = runOn(corpusDir, "q_dedup_clusters")
+    val wantB = runOn(corpusB, "q_dedup_clusters")
+    assert(ServingCaches.sessionFramesFor(spark, corpusDir).nonEmpty)
+    assert(ServingCaches.sessionFramesFor(spark, corpusB).nonEmpty)
+    val bFrames = ServingCaches.sessionFramesFor(spark, corpusB)
+    val bCkpt = bFrames.flatMap(ServingCaches.checkpointRddIds).distinct
+
+    val n = spark.sql("CALL graft_rel.system.release_serving_caches(" +
+      s"corpus_dir => '$corpusDir')").head().getAs[Long]("entriesReleased")
+    assert(n >= 1L, "the scoped release dropped nothing for corpus A")
+
+    // A's entries are gone; B's entries AND their pinned blocks survive
+    assert(ServingCaches.sessionFramesFor(spark, corpusDir).isEmpty,
+      "corpus A still has registry entries after its scoped release")
+    assert(ServingCaches.sessionFramesFor(spark, corpusB).nonEmpty,
+      "the scoped release for corpus A dumped corpus B's entries too")
+    bCkpt.foreach(id => assert(
+      spark.sparkContext.getPersistentRDDs.contains(id),
+      s"corpus B's checkpoint RDD $id was dropped by corpus A's release"))
+
+    // B serves from its LIVE cache (bit-identical), A rebuilds exactly
+    assert(runOn(corpusB, "q_dedup_clusters") == wantB)
+    assert(runOn(corpusDir, "q_dedup_clusters") == wantA)
+
+    // a scoped release of an unknown corpus is a receipt-visible noop
+    assert(spark.sql("CALL graft_rel.system.release_serving_caches(" +
+      "corpus_dir => '/no/such/corpus')").head()
+      .getAs[Long]("entriesReleased") == 0L)
+  }
 }

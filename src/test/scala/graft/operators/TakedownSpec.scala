@@ -70,6 +70,14 @@ class TakedownSpec extends AnyFunSuite {
   private def chain(t: Throwable): Seq[String] =
     if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
 
+  /** The ledger is warehouse-global BY DESIGN (round 17) — a takedown
+    * in one namespace refuses re-ingest of those ids everywhere in the
+    * catalog. These tests share one catalog, so each test that issues
+    * a takedown clears its entries afterwards (the explicit override),
+    * keeping later tests' store builds un-refused. */
+  private def readmitAll(): Unit =
+    spark.sql("CALL graft_td.system.readmit(where => 'true')")
+
   test("one CALL takedown retracts the slice from ALL THREE stores; " +
     "the end state equals never-ingested stores; a re-issue no-ops " +
     "every leg; the audit reads zero") {
@@ -95,6 +103,12 @@ class TakedownSpec extends AnyFunSuite {
     val again = takedown("full", "doc_id % 5 = 2")
     assert(again.values.forall(_._2 == "noop"), again.toString)
     assert(status("full", "doc_id % 5 = 2").values.forall(_ == 0L))
+    // the ledger recorded the removal durably (audited, then cleared
+    // so later tests' store builds are not refused)
+    assert(spark.sql("CALL graft_td.system.takedown_ledger()").count() ==
+      docs.count(_ % 5 == 2))
+    readmitAll()
+    assert(spark.sql("CALL graft_td.system.takedown_ledger()").count() == 0L)
   }
 
   test("crash-between-legs: EVERY prefix of completed legs converges by " +
@@ -119,6 +133,7 @@ class TakedownSpec extends AnyFunSuite {
     assert(r("doc_freqs")._2 == "noop" && r("signatures")._2 == "noop" &&
       r("ann_vectors")._2 == "retracted", r.toString)
     assert(status("crash", where).values.forall(_ == 0L))
+    readmitAll()
   }
 
   test("a refusing leg surfaces loudly and earlier legs stand; fixing " +
@@ -142,32 +157,61 @@ class TakedownSpec extends AnyFunSuite {
     // nothing landed anywhere: the df leg refused first, later legs
     // never ran
     assert(status("refuse", where).values.forall(_ > 0L))
-    // fixed payload -> full convergence
+    // fixed payload -> full convergence; the ledger leg no-ops (the
+    // intent was recorded BEFORE the refused attempt's df guard fired —
+    // write-ahead: the removal request is durable through a refusal)
     val r = takedown("refuse", where)
-    assert(r.values.forall(_._2 == "retracted"), r.toString)
+    assert(r("ledger")._2 == "noop", r.toString)
+    assert((r - "ledger").values.forall(_._2 == "retracted"), r.toString)
     assert(status("refuse", where).values.forall(_ == 0L))
+    readmitAll()
   }
 
-  test("re-admission after a takedown: the stores re-ingest the removed " +
-    "docs exactly once each and serve the full corpus again — " +
-    "membership can flip, in epoch order, across ALL THREE stores") {
+  test("re-admission after a takedown needs the EXPLICIT readmit " +
+    "override (round 17, the ledger): re-running the maintainers from " +
+    "the uncleaned corpus REFUSES naming the ledgered ids; after CALL " +
+    "readmit the stores re-ingest the removed docs exactly once each " +
+    "and serve the full corpus again — membership flips, in epoch " +
+    "order, across ALL THREE stores") {
     buildStores("readmit")
     val where = "doc_id % 11 = 5"
     takedown("readmit", where)
-    // the corpus still holds the docs (this test's takedown is a
-    // statistics removal); re-running the three maintainers re-admits
+    // the corpus still holds the docs; WITHOUT the override every
+    // maintainer refuses — this is the durability the ledger adds (a
+    // rebuild/re-ingest can no longer silently undo the takedown)
+    Seq(
+      "CALL graft_td.system.update_doc_freqs(table => 'readmit.df', " +
+        s"source_dir => '$sfDir', autocompact => 3)",
+      "CALL graft_td.system.update_signatures(table => 'readmit.sig', " +
+        s"source_dir => '$sfDir', autocompact => 3)",
+      "CALL graft_td.system.update_ann_index(table => 'readmit.ann', " +
+        s"source_dir => '$sfDir')").foreach { sql =>
+      val e = intercept[Exception](spark.sql(sql))
+      assert(chain(e).exists(m => m.contains("taken-down") &&
+        m.contains("readmit")), s"$sql must refuse via the ledger: ${chain(e)}")
+    }
+    // ...and membership is still the post-takedown state
+    val docsAll = graft.Tables.documents(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(members("readmit")("doc_freqs") == docsAll.filterNot(_ % 11 == 5))
+    // the explicit override clears the ledger entries (receipt-visible)
+    val rm = spark.sql(
+      s"CALL graft_td.system.readmit(where => '$where')").head()
+    assert(rm.getAs[Long]("readmitted") == docsAll.count(_ % 11 == 5), rm)
+    // idempotent: a second readmit matches nothing
+    assert(spark.sql(s"CALL graft_td.system.readmit(where => '$where')")
+      .head().getAs[Long]("readmitted") == 0L)
+    // now the maintainers re-admit
     spark.sql("CALL graft_td.system.update_doc_freqs(table => " +
       s"'readmit.df', source_dir => '$sfDir', autocompact => 3)")
     spark.sql("CALL graft_td.system.update_signatures(table => " +
       s"'readmit.sig', source_dir => '$sfDir', autocompact => 3)")
     spark.sql("CALL graft_td.system.update_ann_index(table => " +
       s"'readmit.ann', source_dir => '$sfDir')")
-    val docs = graft.Tables.documents(spark, sfDir)
-      .select("doc_id").collect().map(_.getLong(0)).toSet
     val vecs = graft.Tables.embeddings(spark, sfDir)
       .select("vec_id").collect().map(_.getLong(0)).toSet
     val m = members("readmit")
-    assert(m("doc_freqs") == docs && m("signatures") == docs &&
+    assert(m("doc_freqs") == docsAll && m("signatures") == docsAll &&
       m("ann_vectors") == vecs,
       "re-admission must restore full membership in every store")
   }
@@ -222,6 +266,57 @@ class TakedownSpec extends AnyFunSuite {
         "ann_table => 'strm.ann', " +
         s"source_dir => '$sfDir', where => 'true')"))
     assert(chain(neither).exists(_.contains("exactly one of")), chain(neither))
+    readmitAll()
+  }
+
+  test("array-valued legs (round 17, VERDICT r16 #4): TWO ANN indexes + " +
+    "one df + one sig in ONE CALL — a receipt row per (store, table); " +
+    "a crash between TABLE legs of the same kind converges on re-issue " +
+    "and the audit names the lagging TABLE, not just the store kind") {
+    buildStores("multi")
+    // a second ANN index over the same corpus (another 'embedding
+    // version'), plus a second signature store
+    spark.sql("CALL graft_td.system.build_ann_index(table => 'multi.ann2', " +
+      s"source_dir => '$sfDir', kind => 'pq', k => 4, iters => 1)")
+    spark.sql("CALL graft_td.system.update_signatures(table => " +
+      s"'multi.sig2', source_dir => '$sfDir', autocompact => 3)")
+    val where = "doc_id % 6 = 1"
+    // the crash model BETWEEN TABLE LEGS of one kind: the first ANN
+    // table's leg completed (primitive retraction), the second never ran
+    spark.sql("CALL graft_td.system.retract_ann_vectors(table => " +
+      s"'multi.ann', where => '$where')")
+    // the spanning audit names the lagging TABLE — ann is half-done
+    def statusMulti() = spark.sql(
+      "CALL graft_td.system.takedown_status(df_table => 'multi.df', " +
+        "sig_table => 'multi.sig', ann_table => 'multi.ann', " +
+        "ann_tables => array('multi.ann2'), " +
+        "sig_tables => array('multi.sig2'), " +
+        s"where => '$where')").collect()
+      .map(r => r.getAs[String]("table") -> r.getAs[Long]("members")).toMap
+    val mid = statusMulti()
+    assert(mid("`graft_td`.`multi`.`ann`") == 0L &&
+      mid("`graft_td`.`multi`.`ann2`") > 0L,
+      s"the audit must name the lagging TABLE: $mid")
+    // one CALL spans all six legs (ledger + df + 2 sigs + 2 anns):
+    // done tables no-op, lagging tables retract
+    def call() = spark.sql(
+      "CALL graft_td.system.takedown(df_table => 'multi.df', " +
+        "sig_table => 'multi.sig', sig_tables => array('multi.sig2'), " +
+        "ann_table => 'multi.ann', ann_tables => array('multi.ann2'), " +
+        s"source_dir => '$sfDir', where => '$where')").collect()
+      .map(r => (r.getAs[String]("store"), r.getAs[String]("table")) ->
+        r.getAs[String]("status")).toMap
+    val r1 = call()
+    assert(r1.size == 6, s"want 6 receipt rows (ledger+df+2sig+2ann): $r1")
+    assert(r1(("ann_vectors", "`graft_td`.`multi`.`ann`")) == "noop" &&
+      r1(("ann_vectors", "`graft_td`.`multi`.`ann2`")) == "retracted" &&
+      r1(("signatures", "`graft_td`.`multi`.`sig`")) == "retracted" &&
+      r1(("signatures", "`graft_td`.`multi`.`sig2`")) == "retracted" &&
+      r1(("doc_freqs", "`graft_td`.`multi`.`df`")) == "retracted", r1)
+    // converged: every table's members read 0, and a re-issue no-ops
+    assert(statusMulti().values.forall(_ == 0L))
+    assert(call().values.forall(_ == "noop"))
+    readmitAll()
   }
 
   test("the OPT-IN corpus leg (round 16): corpus_table DELETEs the " +
@@ -279,5 +374,6 @@ class TakedownSpec extends AnyFunSuite {
     // idempotent: the re-issue no-ops every leg including the corpus
     val r2 = call()
     assert(r2.values.forall(_._2 == "noop"), r2)
+    readmitAll()
   }
 }
