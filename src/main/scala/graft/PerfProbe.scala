@@ -996,5 +996,45 @@ object PerfProbe {
     val twarm = tdResults.drop(1)
     println(f"takedown slope at 10x stores: takedown ${twarm(0)._3 / twarm(1)._3}%.2fx, " +
       f"status ${twarm(0)._4 / twarm(1)._4}%.2fx (10x = linear)")
+
+    // ── takedown-LEDGER consult cost at 10x ledger size (round 17,
+    // VERDICT r16 #7): the ledger guard runs inside EVERY maintenance
+    // ingest, so its cost must not scale with the number of removal
+    // requests ever recorded. Expected shape: one driver-side existence
+    // check when no ledger exists; otherwise a key-only ledger read +
+    // size-gated broadcast semi-join against the slice's ids. Measured
+    // as the operator pays it — a full update_doc_freqs CALL over a
+    // CLEAN fixed-size slice with the ledger at 1x and 10x, plus the
+    // raw consult alone. Warm discipline: small (cold, discarded),
+    // big, small.
+    val ledgerResults = Seq(5000, 50000, 5000).zipWithIndex.map {
+      case (n, run) =>
+        // a corpus whose FIRST n ids are ledgered (taken down) and a
+        // disjoint, fixed-size CLEAN tail slice the maintainer ingests
+        val src = corpus(n + 2000)
+        val ledDir = s"${java.nio.file.Files
+          .createTempDirectory(s"retrled$n")}/ledger"
+        graft.operators.TakedownLedger.record(spark, ledDir, src,
+          s"doc_id < $n")
+        val cleanWhere = s"doc_id >= $n"
+        val t0 = System.nanoTime()
+        graft.operators.TakedownLedger.consult(spark, Some(ledDir),
+          spark.range(n, n + 2000L).select(col("id").as("doc_id")),
+          "probe", "probe")
+        val consultMs = (System.nanoTime() - t0) / 1e6
+        val t1 = System.nanoTime()
+        graft.operators.DfStore.update(spark, s"graft_rsc.p.ldf${n}_$run",
+          () => s"$wh/p/ldf${n}_$run", src, cleanWhere, 8,
+          ledgerDir = Some(ledDir))
+        val updateMs = (System.nanoTime() - t1) / 1e6
+        (n, run, consultMs, updateMs)
+    }
+    ledgerResults.foreach { case (n, run, c, u) =>
+      println(f"ledger n=$n%7d run=$run consult(2000ids)=$c%8.0f ms  " +
+        f"update_doc_freqs(2000docs, consult inside)=$u%8.0f ms")
+    }
+    val lwarm = ledgerResults.drop(1)
+    println(f"ledger slope at 10x entries: consult ${lwarm(0)._3 / lwarm(1)._3}%.2fx, " +
+      f"guarded update ${lwarm(0)._4 / lwarm(1)._4}%.2fx (10x = linear)")
   }
 }

@@ -625,6 +625,26 @@ object SSTableDemo {
       s"${dr.getAs[Long]("nBuild")}, nPost=${dr.getAs[Long]("nPost")}, " +
       s"driftRatio_e4=${dr.getAs[Long]("driftRatio_e4")} (want 10000 — " +
       "nothing ingested since build, nothing to drift)")
+
+    // takedown durability (r17): the takedown above recorded its ids in
+    // the persistent ledger, so a re-ingest from the uncleaned corpus
+    // REFUSES (the rebuild that used to silently undo the removal);
+    // CALL readmit is the explicit override, after which the maintainer
+    // re-admits exactly the removed docs
+    val ledgerRefusal =
+      try { dfCall("true"); "NOT refused" }
+      catch { case e: Exception =>
+        def chain(t: Throwable): Seq[String] =
+          if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+        if (chain(e).exists(_.contains("taken-down"))) "refused" else "wrong error"
+      }
+    val rmN = spark.sql("CALL graft.system.readmit(where => 'doc_id >= 36')")
+      .head().getAs[Long]("readmitted")
+    val backN = dfCall("true").getAs[Long]("novel")
+    println(s"== takedown ledger: post-takedown re-ingest from the " +
+      s"uncleaned corpus $ledgerRefusal (want refused — the ledger outlives " +
+      s"rebuilds); CALL readmit cleared $rmN entries (want 4); the " +
+      s"re-ingest then RE-ADMITTED $backN docs (want 4)")
     spark.stop()
   }
 }

@@ -132,6 +132,15 @@ object AnnIndex {
             ledgerDir: Option[String] = None,
             driftWarn: Long = 0L): (Long, Long, Long, Int, Long) = {
     require(driftWarn >= 0L, s"drift_warn must be >= 0, got $driftWarn")
+    // loud pin (review find, the autoconsolidate pattern): health
+    // samples are gated on the covering property, so a drift_warn on a
+    // non-covering build could never fire — refuse the silently-inert
+    // parameter instead of arming an alarm that does not exist
+    require(driftWarn == 0L || storeVectors,
+      s"drift_warn=$driftWarn is set but store_vectors is false — " +
+        "health samples (and so the warning) only run on a COVERING " +
+        "index; pass store_vectors => true, or upgrade later with " +
+        "CALL cover_ann_index and rebuild with the threshold")
     require(Set("ivf", "pq", "ivfpq").contains(kind),
       s"kind must be 'ivf', 'pq' or 'ivfpq', got '$kind'")
     val e = SimilarityQueries.embWithNorm(s, sourceDir).filter(expr(whereSql))
@@ -238,6 +247,17 @@ object AnnIndex {
 
     val all = (centroidRows.toSeq ++ codebookRows.toSeq :+ vectorRows :+ metaRows)
       .reduce(_ unionAll _)
+    // pre-commit ledger RE-consult (review find): a build has no store
+    // lease to serialize against a concurrent takedown (the table is
+    // being created), so the pre-training consult above is
+    // check-then-act across the whole training run. Re-consulting here
+    // shrinks the unguarded window from minutes of Lloyd iterations to
+    // the commit itself; a takedown landing inside that residual window
+    // is surfaced by its own audit (takedown_status) rather than this
+    // build, which is the documented limit of lease-free creation.
+    TakedownLedger.consult(s, ledgerDir,
+      e.select(col("vec_id").as("doc_id")), "build_ann_index (pre-commit)",
+      qualifiedTable)
     val view = s"graft_ann_build_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     all.createOrReplaceTempView(view)
     // autocompact: every update_ann_index ingest appends one generation,
@@ -524,12 +544,6 @@ object AnnIndex {
              sourceDir: String,
              ledgerDir: Option[String] = None): (Long, Long, Long, String) = {
     val e = SimilarityQueries.embWithNorm(s, sourceDir)
-    // takedown-ledger consult (round 17, VERDICT r16 #1): after a
-    // retraction the removed vectors are NOVEL again — an ingest from
-    // an uncleaned corpus would re-encode them; refuse up front.
-    TakedownLedger.consult(s, ledgerDir,
-      e.select(col("vec_id").as("doc_id")), "update_ann_index",
-      qualifiedTable)
     val seen = e.count()
     // probe-then-append under the index's maintenance lease (round 15,
     // VERDICT r14 #3): a concurrent updater refuses loudly up front —
@@ -540,6 +554,14 @@ object AnnIndex {
       s.sessionState.newHadoopConf())
     val receipt = graft.sources.sstable.MaintenanceLease.withLease(idxDir,
       idxStorage, "update_ann_index") { _ =>
+    // takedown-ledger consult (round 17, VERDICT r16 #1), UNDER the
+    // index's lease (review find): after a retraction the removed
+    // vectors are NOVEL again — an ingest from an uncleaned corpus
+    // would re-encode them, and a pre-acquire consult is check-then-act
+    // against a takedown whose ANN leg needs this same lease.
+    TakedownLedger.consult(s, ledgerDir,
+      e.select(col("vec_id").as("doc_id")), "update_ann_index",
+      qualifiedTable)
     // the epoch pin, read UNDER the lease (review finds, round 16): a
     // pre-lease snapshot could go stale against a CALL cover_ann_index
     // completing before our acquire — store_vectors (and everything
@@ -616,7 +638,7 @@ object AnnIndex {
       // ingest (measure on demand with ann_drift's source_dir).
       val health = if (encoded > 0 && m0.get("store_vectors").contains("true"))
         appendHealthSample(s, qualifiedTable, idxDir, idxStorage, epoch,
-          m0, { hr =>
+          m0, novel.select(col("vec_id"), col("v"), col("nrm")), { hr =>
             val hv = s"graft_ann_hlt_${java.util.UUID.randomUUID().toString.replace("-", "")}"
             hr.createOrReplaceTempView(hv)
             try s.sql(s"INSERT INTO $qualifiedTable SELECT * FROM $hv")
@@ -1013,6 +1035,16 @@ object AnnIndex {
           .join(src.select(col("vec_id"), col("v"), col("nrm")),
             Seq("vec_id"))
     }
+    scoreAssignments(s, idxDir, kind, pqM, vecs)
+  }
+
+  /** Best-assignment cosine of a `(vec_id, ts, v, nrm)` relation under
+    * the index's PERSISTED quantizers — the scoring shared by the full
+    * statistic above and the per-epoch health sample (which scores ONLY
+    * the committed batch: O(batch × k), never O(index)). */
+  private[graft] def scoreAssignments(s: SparkSession, idxDir: String,
+                                      kind: String, pqM: Int,
+                                      vecs: DataFrame): DataFrame = {
     if (kind != "pq") {
       val sim = vector_dot(col("v"), col("cv")) / (col("nrm") * col("cn"))
       vecs.crossJoin(broadcast(loadCoarseCentroids(s, idxDir)))
@@ -1039,17 +1071,20 @@ object AnnIndex {
     * was silent, the operator-memory defect class. Now every COVERING
     * index's maintainer appends a `_health` sample at each committed
     * ingest epoch (batch [[update]] and the streaming ingest alike):
-    * one `h:<epoch>` cell carrying `driftRatio_e4,nPost`, stamped with
-    * the epoch. Zero corpus IO (the statistic reads `vec` cells); a
-    * non-covering index skips silently (measure it on demand with the
-    * `source_dir` fallback). The series is BOUNDED: each append plants
-    * DELETED markers for samples beyond the newest [[HealthSamples]],
-    * so the row never becomes the unbounded-width defect the df store's
-    * consolidation exists to fix. A `drift_warn` threshold pinned at
-    * build (`_meta` cell, e4 units) additionally makes the ingest
-    * receipt carry a LOUD warning when the fresh sample exceeds it —
-    * the rebuild runbook's trigger, in the receipt the operator already
-    * reads. Unset = samples only, no warning (no behavior change). */
+    * one `h:<epoch>` cell carrying `driftRatio_e4,n`, stamped with the
+    * epoch. Each sample scores ONLY that epoch's batch against the
+    * pinned `health_base` baseline — O(batch × k), zero corpus AND
+    * zero index IO (the first sample per index pins the base with one
+    * full [[drift]] pass); a non-covering index skips silently
+    * (measure on demand with the `source_dir` fallback). The series is
+    * BOUNDED: each append plants DELETED markers for samples beyond
+    * the newest [[HealthSamples]], so the row never becomes the
+    * unbounded-width defect the df store's consolidation exists to
+    * fix. A `drift_warn` threshold pinned at build (`_meta` cell, e4
+    * units) additionally makes the ingest receipt carry a LOUD warning
+    * when the fresh sample exceeds it — the rebuild runbook's trigger,
+    * in the receipt the operator already reads. Unset = samples only,
+    * no warning (no behavior change). */
   val HealthSamples = 64
   private val HealthKey = "_health"
 
@@ -1065,27 +1100,61 @@ object AnnIndex {
       }.sortBy(_._1)
   }
 
-  /** Compute the drift statistic over the PUBLISHED fileset (the
-    * ingest's own commit included — runs after it, under the same
-    * lease) and append the bounded sample. Returns the receipt warning
-    * ("" unless `drift_warn` is pinned and exceeded). `write` is the
-    * caller's single-row append (the batch updater INSERTs into its
+  /** Append the bounded per-epoch health sample after a committed
+    * ingest (still under the maintainer's lease). Scale discipline
+    * (review find): scoring the WHOLE index per micro-batch would make
+    * ingest cost O(index × k) — instead the sample scores ONLY this
+    * epoch's committed slice (`novel`: the (vec_id, v, nrm) batch,
+    * O(batch × k), zero extra index IO) against a `health_base`
+    * baseline (the build slice's mean assignment sim, e4) pinned in
+    * `_meta`. The base is pinned LAZILY by the first sample — ONE full
+    * [[drift]] pass per index lifetime (which also serves as that
+    * first sample and covers indexes built or covered before the base
+    * existed); every later sample is batch-sized. Returns the receipt
+    * warning ("" unless `drift_warn` is pinned and exceeded). `write`
+    * is the caller's append (the batch updater INSERTs into its
     * catalog table; the streaming ingest saves with its replay-scoped
     * job tag). */
   private[graft] def appendHealthSample(s: SparkSession, qualifiedTable: String,
                                  idxDir: String,
                                  storage: graft.sources.sstable.Storage,
                                  epoch: Int, m0: Map[String, String],
+                                 novel: DataFrame,
                                  write: DataFrame => Unit): String = {
-    val (_, nPost, _, _, _, _, ratio) = drift(s, qualifiedTable, idxDir)
+    def e4(x: Double): Long = math.floor(x * 10000 + 0.5).toLong
+    val (ratio, nPost, pinBase) = m0.get("health_base") match {
+      case Some(b) =>
+        val baseMean = b.toLong / 10000.0
+        val st = scoreAssignments(s, idxDir, m0("kind"), m0("m").toInt,
+            novel.select(col("vec_id"), lit(epoch.toLong).as("ts"),
+              col("v"), col("nrm")))
+          .agg(count(lit(1)), avg(col("sim"))).head()
+        val n = st.getLong(0)
+        val mean = if (n == 0) 1.0 else st.getDouble(1)
+        val r = if (n == 0 || mean >= 1.0) 10000L
+          else e4((1.0 - mean) / math.max(1.0 - baseMean, 1e-4))
+        (r, n, None)
+      case None =>
+        val (_, nPost, mb, _, _, _, ratio) = drift(s, qualifiedTable, idxDir)
+        (ratio, nPost, Some(mb))
+    }
     val evict = graft.sources.sstable.SSTableReader
       .liveCellMap(idxDir, storage, HealthKey)
       .keys.filter(_.startsWith("h:")).toSeq.sorted.reverse
       .drop(HealthSamples - 1)
     val cells = strCell(f"h:$epoch%06d", lit(s"$ratio,$nPost"),
         epoch) +: evict.map(n => delCell(n, epoch))
-    write(s.range(1).select(lit(HealthKey).cast("binary").as("key"),
-      array(cells: _*).as("columns"), noTombstone))
+    val healthRow = s.range(1).select(
+      lit(HealthKey).cast("binary").as("key"),
+      array(cells: _*).as("columns"), noTombstone)
+    // the lazily-pinned base rides the same append as the sample that
+    // computed it (a _meta LWW cell — later samples read it and skip
+    // the full pass forever)
+    val rows = pinBase.map(mb => healthRow.unionAll(
+      s.range(1).select(lit("_meta").cast("binary").as("key"),
+        array(strCell("health_base", lit(mb), epoch)).as("columns"),
+        noTombstone))).getOrElse(healthRow)
+    write(rows)
     val warn = m0.get("drift_warn").map(_.toLong).filter(_ > 0)
     warn.filter(ratio > _).map(w =>
       s"DRIFT WARNING: driftRatio_e4=$ratio exceeds drift_warn=$w " +

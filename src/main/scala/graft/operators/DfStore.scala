@@ -487,13 +487,6 @@ object DfStore {
     if (seen > 0)
       requireDocIdRange(stats.getLong(2), stats.getLong(3),
         s"the ingest slice for $qualifiedTable")
-    // takedown-ledger consult (round 17, VERDICT r16 #1): an ingest
-    // slice still containing taken-down ids refuses — without this, a
-    // rebuild from an uncleaned corpus silently re-admits removed
-    // documents under a success receipt. Zero jobs when no ledger
-    // exists (the common case).
-    TakedownLedger.consult(s, ledgerDir, corpus.select(col("doc_id")),
-      "update_doc_freqs", qualifiedTable)
     val dir = storeDir()
     // epoch-pick → probe → append runs under the store's maintenance
     // lease (round 15, VERDICT r14 #3): every step of it is
@@ -506,6 +499,17 @@ object DfStore {
     val receipt = graft.sources.sstable.MaintenanceLease.withLease(dir,
       graft.sources.sstable.Storage.forPath(dir, s.sessionState.newHadoopConf()),
       "update_doc_freqs") { _ =>
+    // takedown-ledger consult (round 17, VERDICT r16 #1): an ingest
+    // slice still containing taken-down ids refuses — without this, a
+    // rebuild from an uncleaned corpus silently re-admits removed
+    // documents under a success receipt. UNDER the store's lease
+    // (review find): a consult before the acquire is check-then-act —
+    // a takedown (whose ledger record precedes its df leg, and whose
+    // df leg needs this same lease) completing between the consult and
+    // our append would be silently undone by the very ingest the
+    // ledger exists to refuse. Zero jobs when no ledger exists.
+    TakedownLedger.consult(s, ledgerDir, corpus.select(col("doc_id")),
+      "update_doc_freqs", qualifiedTable)
     val epoch = epochsOf(s, qualifiedTable).lastOption.getOrElse(0) + 1
     // empty-store fast path — also the honest backfill path (same
     // shape as SignatureStore.update); the fetch join's broadcast is

@@ -47,16 +47,10 @@ object ServingCaches {
     * the introspection hook specs use to assert that [[release]]
     * actually freed the backing storage (persisted AND checkpointed
     * RDDs all register in `sc.getPersistentRDDs`). */
-  private[graft] def sessionFrames(s: SparkSession) = {
+  private[graft] def sessionFrames(s: SparkSession,
+                                   corpusDir: Option[String] = None) = {
     import scala.jdk.CollectionConverters._
-    SessionCache.registry.asScala.toSeq.flatMap(_.sessionFrames(s))
-  }
-
-  /** The session's cached frames under ONE corpus key — the per-corpus
-    * release specs' introspection twin. */
-  private[graft] def sessionFramesFor(s: SparkSession, corpusDir: String) = {
-    import scala.jdk.CollectionConverters._
-    SessionCache.registry.asScala.toSeq.flatMap(_.sessionFramesFor(s, corpusDir))
+    SessionCache.registry.asScala.toSeq.flatMap(_.sessionFrames(s, corpusDir))
   }
 
   /** The `localCheckpoint` RDD ids a cached frame pins (empty for

@@ -81,24 +81,17 @@ private[graft] final class SessionCache[V] {
     n
   }
 
-  /** The session's live DataFrame values (recursing into tuples) — the
-    * introspection hook release specs use to assert the backing RDDs
-    * are actually gone afterwards. */
-  private[operators] def sessionFrames(s: SparkSession): Seq[DataFrame] = {
-    val sid = SessionCache.id(s)
-    import scala.jdk.CollectionConverters._
-    m.entrySet().asScala.toSeq.filter(_.getKey._1 == sid)
-      .flatMap(e => SessionCache.framesOf(e.getValue.value))
-  }
-
-  /** The session's live DataFrame values under ONE corpus key — the
-    * per-corpus release specs' introspection twin of [[sessionFrames]]. */
-  private[operators] def sessionFramesFor(s: SparkSession,
-                                          corpusKey: String): Seq[DataFrame] = {
+  /** The session's live DataFrame values (recursing into tuples),
+    * optionally under one corpus key — the introspection hook the
+    * release specs use to assert the backing RDDs are actually gone
+    * afterwards. Same filter shape as [[releaseSession]]. */
+  private[operators] def sessionFrames(s: SparkSession,
+                                       corpusKey: Option[String] = None)
+      : Seq[DataFrame] = {
     val sid = SessionCache.id(s)
     import scala.jdk.CollectionConverters._
     m.entrySet().asScala.toSeq
-      .filter(e => e.getKey._1 == sid && e.getKey._2 == corpusKey)
+      .filter(e => e.getKey._1 == sid && corpusKey.forall(_ == e.getKey._2))
       .flatMap(e => SessionCache.framesOf(e.getValue.value))
   }
 }

@@ -223,11 +223,6 @@ object SignatureStore {
     } else requireParams(s, qualifiedTable)
     val corpus = graft.Tables.documents(s, sourceDir)
       .filter(expr(whereSql)).select(col("doc_id"), col("text"))
-    // takedown-ledger consult (round 17, VERDICT r16 #1): refuse an
-    // ingest slice still containing taken-down ids — re-signing them
-    // would silently re-admit removed documents.
-    TakedownLedger.consult(s, ledgerDir, corpus.select(col("doc_id")),
-      "update_signatures", qualifiedTable)
     val seen = corpus.count()
     // empty-store fast path: everything is novel — no probe, no joins
     // (this is also the honest backfill path when ΔT is corpus-sized)
@@ -244,6 +239,13 @@ object SignatureStore {
       s.sessionState.newHadoopConf())
     val receipt = graft.sources.sstable.MaintenanceLease.withLease(dir,
       storage, "update_signatures") { _ =>
+      // takedown-ledger consult (round 17, VERDICT r16 #1), UNDER the
+      // store's lease (review find): a pre-acquire consult is
+      // check-then-act against a takedown whose signature leg needs
+      // this same lease — re-signing taken-down ids would silently
+      // re-admit removed documents.
+      TakedownLedger.consult(s, ledgerDir, corpus.select(col("doc_id")),
+        "update_signatures", qualifiedTable)
       val epoch = maxEpochOf(dir, storage) + 1
       val hasRows = !fresh && storedIds(s, dir).limit(1).count() > 0
       val (novelSrc, releaseIds) = if (hasRows)

@@ -141,8 +141,26 @@ object TakedownLedger {
   def record(s: SparkSession, dir: String, sourceDir: String,
              whereSql: String): (Long, Int) = {
     val storage = storageFor(s, dir)
-    val ids = graft.Tables.documents(s, sourceDir)
-      .filter(expr(whereSql)).select(col("doc_id"))
+    // the removal set spans BOTH id-bearing relations of the source
+    // (review find): the ANN legs retract by the same predicate over
+    // vec_id, and a corpus can hold vectors whose ids have no documents
+    // row (a purged-text modality) — ledgering only the documents slice
+    // would let a later ANN rebuild silently re-admit exactly the ids
+    // only the index held. doc_id and vec_id share one id domain.
+    val srcStorage = graft.sources.sstable.Storage.forPath(sourceDir,
+      s.sessionState.newHadoopConf())
+    val docIds = if (srcStorage.exists(s"$sourceDir/documents.parquet"))
+      Some(graft.Tables.documents(s, sourceDir)
+        .filter(expr(whereSql)).select(col("doc_id"))) else None
+    val vecIds = if (srcStorage.exists(s"$sourceDir/embeddings.parquet"))
+      Some(graft.Tables.embeddings(s, sourceDir)
+        .select(col("vec_id").as("doc_id"))
+        .filter(expr(whereSql)).select(col("doc_id"))) else None
+    require(docIds.nonEmpty || vecIds.nonEmpty,
+      s"the takedown payload at $sourceDir holds neither " +
+        "documents.parquet nor embeddings.parquet — nothing identifies " +
+        "the removed ids")
+    val ids = (docIds.toSeq ++ vecIds.toSeq).reduce(_ unionAll _)
       .dropDuplicates("doc_id")
     val stats = ids.agg(count(lit(1)), min(col("doc_id")),
       max(col("doc_id"))).head()

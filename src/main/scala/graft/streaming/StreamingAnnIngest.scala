@@ -75,12 +75,6 @@ object StreamingAnnIngest {
                    ledgerDir: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     val jobTag = f"annin$epochId%09d"
-    // takedown-ledger consult (round 17, VERDICT r16 #1, opt-in for
-    // streams): fail the micro-batch loudly rather than re-encode
-    // taken-down vectors arriving from an uncleaned source.
-    graft.operators.TakedownLedger.consult(spark, ledgerDir,
-      batch.select(col("vec_id").as("doc_id")),
-      "streaming_ann_ingest", idxDir)
 
     // pre-unpublish identity guard (ADVICE r16 medium): the replay
     // cleanup below UNPUBLISHES committed files whose suffix matches
@@ -146,6 +140,15 @@ object StreamingAnnIngest {
     val kind = m0("kind")
     val dim = m0("dim").toInt
     val pqM = m0("m").toInt
+
+    // takedown-ledger consult (round 17, VERDICT r16 #1, opt-in for
+    // streams), UNDER the index's lease (review find: a pre-acquire
+    // consult is check-then-act against a takedown whose ANN leg needs
+    // this same lease): fail the micro-batch loudly rather than
+    // re-encode taken-down vectors arriving from an uncleaned source.
+    graft.operators.TakedownLedger.consult(spark, ledgerDir,
+      batch.select(col("vec_id").as("doc_id")),
+      "streaming_ann_ingest", idxDir)
 
     // the registered write epoch stamps this batch's cells so a later
     // retraction mark / re-addition orders correctly; read AFTER the
@@ -223,6 +226,7 @@ object StreamingAnnIngest {
         if (storeVectors) {
           val warn = AnnIndex.appendHealthSample(spark,
             s"streaming ingest of $idxDir", idxDir, storage, epoch, m0,
+            novel.select(col("vec_id"), col("v"), col("nrm")),
             hr => hr.select(col("key"), col("columns"))
               .write.format("sstable")
               .option(graft.sources.sstable.spark.SSTableSource.JobTagOption,

@@ -106,14 +106,6 @@ object StreamingDfUpdate {
                    ledgerDir: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     val jobTag = f"dfs$epochId%09d"
-    // takedown-ledger consult (round 17, VERDICT r16 #1, opt-in for
-    // streams): a batch carrying taken-down ids fails the micro-batch
-    // LOUDLY — silently dropping the rows would hide a compliance
-    // violation in the source; the operator filters the source or
-    // CALLs readmit. Zero jobs when no ledger exists.
-    graft.operators.TakedownLedger.consult(spark, ledgerDir,
-      batch.select(org.apache.spark.sql.functions.col("doc_id")),
-      "streaming_df_update", storeDir)
     val tag = f"s$epochId%09d"
 
     // replay cleanup: a retried epoch removes its failed attempt's
@@ -209,6 +201,17 @@ object StreamingDfUpdate {
     // the lease itself).
     graft.sources.sstable.MaintenanceLease.withLeaseAwait(storeDir, storage,
       "streaming_df_update") { _ =>
+
+    // takedown-ledger consult (round 17, VERDICT r16 #1, opt-in for
+    // streams), UNDER the store's lease (review find: a pre-acquire
+    // consult is check-then-act against a takedown whose df leg needs
+    // this same lease): a batch carrying taken-down ids fails the
+    // micro-batch LOUDLY — silently dropping the rows would hide a
+    // compliance violation in the source; the operator filters the
+    // source or CALLs readmit. Zero jobs when no ledger exists.
+    graft.operators.TakedownLedger.consult(spark, ledgerDir,
+      batch.select(org.apache.spark.sql.functions.col("doc_id")),
+      "streaming_df_update", storeDir)
 
     // whether this batch CREATES the store — decided after the replay
     // unpublish, so a retried first epoch re-creates identically

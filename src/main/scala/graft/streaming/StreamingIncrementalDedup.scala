@@ -86,7 +86,12 @@ object StreamingIncrementalDedup {
     val jobTag = f"sigs$epochId%09d"
     // takedown-ledger consult (round 17, VERDICT r16 #1, opt-in for
     // streams): fail the micro-batch loudly rather than re-fingerprint
-    // taken-down documents arriving from an uncleaned source.
+    // taken-down documents arriving from an uncleaned source. Unlike
+    // the df/signature/ANN maintainers this consult is NOT under a
+    // store lease: the fingerprint store is not a takedown leg (it has
+    // no retraction — r15), so there is no takedown-vs-ingest
+    // interleave to serialize here; the guard is advisory on the
+    // SOURCE's cleanliness only.
     graft.operators.TakedownLedger.consult(spark, ledgerDir,
       batch.select(org.apache.spark.sql.functions.col("doc_id")),
       "streaming_incremental_dedup", storeDir)

@@ -653,7 +653,9 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(AnnIndex.healthSamples(spark, idxDirB).size == 70)
     AnnIndex.appendHealthSample(spark, "bound-test", idxDirB,
       graft.sources.sstable.LocalStorage, 100,
-      AnnIndex.meta(spark, idxDirB), { hr =>
+      AnnIndex.meta(spark, idxDirB),
+      SimilarityQueries.embWithNorm(spark, dir)
+        .select(col("vec_id"), col("v"), col("nrm")).limit(5), { hr =>
         val hv = "graft_ann_health_one"
         hr.createOrReplaceTempView(hv)
         spark.sql(s"INSERT INTO graft_ix.ann.hltb SELECT * FROM $hv")

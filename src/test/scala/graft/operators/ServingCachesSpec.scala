@@ -120,9 +120,9 @@ class ServingCachesSpec extends AnyFunSuite {
         .collect().map(_.toString).sorted.toSeq
     val wantA = runOn(corpusDir, "q_dedup_clusters")
     val wantB = runOn(corpusB, "q_dedup_clusters")
-    assert(ServingCaches.sessionFramesFor(spark, corpusDir).nonEmpty)
-    assert(ServingCaches.sessionFramesFor(spark, corpusB).nonEmpty)
-    val bFrames = ServingCaches.sessionFramesFor(spark, corpusB)
+    assert(ServingCaches.sessionFrames(spark, Some(corpusDir)).nonEmpty)
+    assert(ServingCaches.sessionFrames(spark, Some(corpusB)).nonEmpty)
+    val bFrames = ServingCaches.sessionFrames(spark, Some(corpusB))
     val bCkpt = bFrames.flatMap(ServingCaches.checkpointRddIds).distinct
 
     val n = spark.sql("CALL graft_rel.system.release_serving_caches(" +
@@ -130,9 +130,9 @@ class ServingCachesSpec extends AnyFunSuite {
     assert(n >= 1L, "the scoped release dropped nothing for corpus A")
 
     // A's entries are gone; B's entries AND their pinned blocks survive
-    assert(ServingCaches.sessionFramesFor(spark, corpusDir).isEmpty,
+    assert(ServingCaches.sessionFrames(spark, Some(corpusDir)).isEmpty,
       "corpus A still has registry entries after its scoped release")
-    assert(ServingCaches.sessionFramesFor(spark, corpusB).nonEmpty,
+    assert(ServingCaches.sessionFrames(spark, Some(corpusB)).nonEmpty,
       "the scoped release for corpus A dumped corpus B's entries too")
     bCkpt.foreach(id => assert(
       spark.sparkContext.getPersistentRDDs.contains(id),
