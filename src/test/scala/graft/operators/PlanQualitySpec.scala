@@ -400,6 +400,15 @@ class PlanQualitySpec extends AnyFunSuite {
         s"never a shuffle):\n$plan")
   }
 
+  test("q_takedown_ledger: the compliance record serves from the ledger " +
+    "directory ALONE — one sstable scan, zero corpus IO (round 17)") {
+    val plan = finalPlan("q_takedown_ledger")
+    assert(!plan.contains("Scan parquet"),
+      s"the ledger audit must not rescan the corpus:\n$plan")
+    assert(plan.contains("sstable"),
+      s"entries must come from the ledger's sstable scan:\n$plan")
+  }
+
   test("q_df_consolidated: ZERO corpus IO — the consolidated store's " +
     "fold-aware sum answers the top-k alone (round 15)") {
     val plan = finalPlan("q_df_consolidated")

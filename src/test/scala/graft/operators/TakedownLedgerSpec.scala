@@ -155,6 +155,80 @@ class TakedownLedgerSpec extends AnyFunSuite {
       batch.count())
   }
 
+  test("takedown RACING a looping maintainer ingest never silently " +
+    "re-admits (the review-find interleave, driven for real): every " +
+    "ingest outcome is legal (success before the record, ledger " +
+    "refusal, lease refusal), the takedown converges by re-issue, and " +
+    "the end state is always clean membership + a refusing ingest") {
+    spark.sql("CREATE NAMESPACE graft_lg.race")
+    spark.sql("CALL graft_lg.system.update_signatures(table => " +
+      s"'race.sig', source_dir => '$sfDir', autocompact => 3)")
+    spark.sql("CALL graft_lg.system.build_ann_index(table => 'race.ann', " +
+      s"source_dir => '$sfDir', kind => 'ivf', k => 4, iters => 1)")
+    spark.sql("CALL graft_lg.system.update_doc_freqs(table => 'race.df', " +
+      s"source_dir => '$sfDir', autocompact => 3)")
+    val where = "doc_id % 3 = 1"
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val illegal = new java.util.concurrent.atomic.AtomicReference[String]()
+    val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    // the maintainer: loops full-corpus re-ingests (post-retraction,
+    // the removed docs are novel again — the silent re-admission shape)
+    val ingester = new Thread(() => while (!stop.get()) {
+      try {
+        spark.sql("CALL graft_lg.system.update_doc_freqs(table => " +
+          s"'race.df', source_dir => '$sfDir', autocompact => 3)")
+        outcomes.add("ok")
+      } catch { case e: Throwable =>
+        val msgs = chain(e).mkString(" | ")
+        if (msgs.contains("taken-down")) outcomes.add("ledger-refusal")
+        else if (msgs.contains("lease") || msgs.contains("holds"))
+          outcomes.add("lease-refusal")
+        else illegal.compareAndSet(null, msgs)
+      }
+    })
+    ingester.start()
+    try {
+      // the takedown, re-issued through lease refusals until it lands
+      var done = false
+      var attempts = 0
+      while (!done && attempts < 50) {
+        attempts += 1
+        try {
+          spark.sql("CALL graft_lg.system.takedown(df_table => 'race.df', " +
+            "sig_table => 'race.sig', ann_table => 'race.ann', " +
+            s"source_dir => '$sfDir', where => '$where')")
+          done = true
+        } catch { case e: Throwable =>
+          val msgs = chain(e).mkString(" | ")
+          assert(msgs.contains("lease") || msgs.contains("holds"),
+            s"takedown died on a non-lease error: $msgs")
+          Thread.sleep(50)
+        }
+      }
+      assert(done, s"takedown never landed in $attempts attempts")
+      // let the ingester observe the post-takedown world a few times
+      Thread.sleep(500)
+    } finally { stop.set(true); ingester.join() }
+    assert(illegal.get() == null, s"illegal ingest outcome: ${illegal.get()}")
+    // convergence: one idempotent re-issue (an ingest BETWEEN the
+    // record and a leg may have re-admitted — the legs are epoch-
+    // ordered, so the re-issue retracts those too)
+    spark.sql("CALL graft_lg.system.takedown(df_table => 'race.df', " +
+      "sig_table => 'race.sig', ann_table => 'race.ann', " +
+      s"source_dir => '$sfDir', where => '$where')")
+    val st = spark.sql("CALL graft_lg.system.takedown_status(" +
+      "df_table => 'race.df', sig_table => 'race.sig', " +
+      s"ann_table => 'race.ann', where => '$where')").collect()
+      .map(r => r.getAs[String]("store") -> r.getAs[Long]("members")).toMap
+    assert(st.values.forall(_ == 0L), s"membership not clean: $st")
+    // and the ledger now refuses the very ingest that was racing
+    val e = intercept[Exception](spark.sql(
+      "CALL graft_lg.system.update_doc_freqs(table => 'race.df', " +
+        s"source_dir => '$sfDir', autocompact => 3)"))
+    assert(chain(e).exists(_.contains("taken-down")), chain(e))
+    spark.sql("CALL graft_lg.system.readmit(where => 'true')")
+  }
+
   test("record is idempotent and write-ahead: a re-record of the same " +
     "slice no-ops; a record for a DIFFERENT slice appends; entries " +
     "survive (and name) a refused takedown attempt") {
