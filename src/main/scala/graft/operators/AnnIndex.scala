@@ -148,8 +148,12 @@ object AnnIndex {
     // from a corpus that still contains taken-down vectors is the exact
     // hole the ledger closes — refuse before training. vec_id and
     // doc_id share one id domain (vectors are keyed by their document).
-    TakedownLedger.consult(s, ledgerDir,
-      e.select(col("vec_id").as("doc_id")), "build_ann_index",
+    // one persisted id projection serves BOTH consults (review find: a
+    // second corpus scan at pre-commit is avoidable — the ids are the
+    // same relation); released on every exit path by the try below
+    val eIds = e.select(col("vec_id").as("doc_id")).persist()
+    try {
+    TakedownLedger.consult(s, ledgerDir, eIds, "build_ann_index",
       qualifiedTable)
     val nvec = e.count()
     require(nvec > 0,
@@ -255,9 +259,8 @@ object AnnIndex {
     // the commit itself; a takedown landing inside that residual window
     // is surfaced by its own audit (takedown_status) rather than this
     // build, which is the documented limit of lease-free creation.
-    TakedownLedger.consult(s, ledgerDir,
-      e.select(col("vec_id").as("doc_id")), "build_ann_index (pre-commit)",
-      qualifiedTable)
+    TakedownLedger.consult(s, ledgerDir, eIds,
+      "build_ann_index (pre-commit)", qualifiedTable)
     val view = s"graft_ann_build_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     all.createOrReplaceTempView(view)
     // autocompact: every update_ann_index ingest appends one generation,
@@ -273,6 +276,7 @@ object AnnIndex {
     (centroidRows.map(_.count()).getOrElse(0L),
       codebookRows.map(_.count()).getOrElse(0L),
       nvec, dim, nvec)
+    } finally eIds.unpersist()
   }
 
   /** Concurrent-rebuild contract for the loaders below: each load is

@@ -152,10 +152,26 @@ object TakedownLedger {
     val docIds = if (srcStorage.exists(s"$sourceDir/documents.parquet"))
       Some(graft.Tables.documents(s, sourceDir)
         .filter(expr(whereSql)).select(col("doc_id"))) else None
-    val vecIds = if (srcStorage.exists(s"$sourceDir/embeddings.parquet"))
-      Some(graft.Tables.embeddings(s, sourceDir)
+    val vecIds = if (srcStorage.exists(s"$sourceDir/embeddings.parquet")) {
+      val rel = graft.Tables.embeddings(s, sourceDir)
         .select(col("vec_id").as("doc_id"))
-        .filter(expr(whereSql)).select(col("doc_id"))) else None
+      // the takedown contract writes the predicate over doc_id (the
+      // sig/ANN legs filter id-only relations), but the df-leg
+      // primitives also accept CONTENT predicates over the documents
+      // relation — such a predicate cannot resolve against this id-only
+      // relation (review find: a hard throw here would abort the whole
+      // takedown before any intent was recorded). Content predicates
+      // can only ever select document-bearing ids, so fall back to the
+      // documents slice semi-joined onto the embeddings ids; a
+      // vector-only corpus (no documents relation) has nothing to fall
+      // back to and the unresolved-column refusal stands.
+      Some(try rel.filter(expr(whereSql)).select(col("doc_id"))
+        catch {
+          case e: org.apache.spark.sql.AnalysisException =>
+            docIds.map(d => rel.join(d, Seq("doc_id"), "left_semi"))
+              .getOrElse(throw e)
+        })
+    } else None
     require(docIds.nonEmpty || vecIds.nonEmpty,
       s"the takedown payload at $sourceDir holds neither " +
         "documents.parquet nor embeddings.parquet — nothing identifies " +

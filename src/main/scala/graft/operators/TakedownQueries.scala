@@ -137,7 +137,14 @@ object TakedownQueries {
             WHERE NOT ($TakedownSlice)
           ) ORDER BY store, id""",
     "q_takedown_ledger" ->
+      // the oracle UNIONS both id-bearing relations like record() does
+      // (review find): a vec-only modality's ids are ledgered too, and
+      // the gate must recompute the same set
       s"""SELECT doc_id, '$TakedownSlice' AS predicate,
                  CAST(2 AS INTEGER) AS epoch
-          FROM documents WHERE $TakedownSlice ORDER BY doc_id""")
+          FROM (SELECT doc_id FROM documents WHERE $TakedownSlice
+                UNION
+                SELECT vec_id AS doc_id FROM embeddings
+                WHERE vec_id % 5 = 2)
+          ORDER BY doc_id""")
 }

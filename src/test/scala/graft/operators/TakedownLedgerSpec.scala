@@ -258,5 +258,14 @@ class TakedownLedgerSpec extends AnyFunSuite {
     TakedownLedger.consult(spark, Some(dir),
       spark.range(0, 10).select(col("id").as("doc_id")),
       "test_op", "test_target")
+
+    // CONTENT predicates (the df-leg primitives accept them) must not
+    // abort the record against the id-only embeddings relation (review
+    // find): the embeddings side falls back to the documents slice —
+    // content can only ever select document-bearing ids
+    val dir2 = s"${Files.createTempDirectory("lg-raw2").toString}/ledger"
+    val (nc, _) = TakedownLedger.record(spark, dir2, sfDir,
+      "length(text) >= 0 AND doc_id < 35")
+    assert(nc == 35, s"content-predicate record must fall back, got $nc")
   }
 }
