@@ -138,6 +138,28 @@ object TakedownLedger {
     * as ledger entries. Idempotent: already-ledgered ids are anti-joined
     * away, so a re-issued takedown records nothing. Returns
     * (newly ledgered, epoch); epoch 0 = nothing new. */
+  /** Write-triggered self-maintenance (the df/signature stores'
+    * shape): every [[record]]/[[readmit]] appends a generation, and
+    * [[consult]]'s ledger read costs O(generations) — without a fold
+    * a long takedown history would slowly tax every maintenance
+    * ingest. Runs AFTER the writer's lease released (autoCompact takes
+    * the lease itself; a concurrent holder makes it yield — the
+    * volunteer contract). */
+  private val AutoCompactAbove = 8
+  private def runAutocompact(s: SparkSession, dir: String,
+                             storage: graft.sources.sstable.Storage): Unit =
+    if (storage.listDataFiles(dir).length > AutoCompactAbove)
+      // full STCS, not the data-generation-only autoCompact shape:
+      // readmissions append DELETE-ONLY generations which that path
+      // deliberately withholds (and whose keys overlap live entries, so
+      // the isolated-tombstone compactor never picks them either) — a
+      // readmit-heavy ledger folds its whole history the way the
+      // catalog's DELETE + CALL compact pair does. Volunteer semantics:
+      // a held lease yields rather than failing the write that merely
+      // volunteered.
+      graft.sources.sstable.MaintenanceLease.volunteer(
+        SSTableOps.compactInPlace(s, dir, minThreshold = 4))
+
   def record(s: SparkSession, dir: String, sourceDir: String,
              whereSql: String): (Long, Int) = {
     val storage = storageFor(s, dir)
@@ -184,7 +206,7 @@ object TakedownLedger {
     DfStore.requireDocIdRange(stats.getLong(1), stats.getLong(2),
       s"the takedown slice for the ledger at $dir")
     storage.mkdirs(dir)
-    graft.sources.sstable.MaintenanceLease.withLease(dir, storage,
+    val receipt = graft.sources.sstable.MaintenanceLease.withLease(dir, storage,
       "takedown_ledger") { _ =>
       val fresh = storage.listDataFiles(dir).isEmpty
       val novel = (if (fresh) ids
@@ -219,6 +241,8 @@ object TakedownLedger {
         }
       } finally novel.unpersist()
     }
+    if (receipt._1 > 0) runAutocompact(s, dir, storage)
+    receipt
   }
 
   /** The explicit override: row-tombstone the ledger entries matching
@@ -230,7 +254,7 @@ object TakedownLedger {
     require(exists(s, dir),
       s"no takedown ledger at $dir — nothing to readmit")
     val storage = storageFor(s, dir)
-    graft.sources.sstable.MaintenanceLease.withLease(dir, storage,
+    val receipt = graft.sources.sstable.MaintenanceLease.withLease(dir, storage,
       "readmit") { _ =>
       val victims = ledgeredIds(s, dir).filter(expr(whereSql)).persist()
       try {
@@ -267,6 +291,8 @@ object TakedownLedger {
         }
       } finally victims.unpersist()
     }
+    if (receipt._1 > 0) runAutocompact(s, dir, storage)
+    receipt
   }
 
   /** The maintainers' guard: refuse when the ingest slice still

@@ -267,5 +267,26 @@ class TakedownLedgerSpec extends AnyFunSuite {
     val (nc, _) = TakedownLedger.record(spark, dir2, sfDir,
       "length(text) >= 0 AND doc_id < 35")
     assert(nc == 35, s"content-predicate record must fall back, got $nc")
+
+    // write-triggered self-maintenance: a long takedown/readmit history
+    // must not tax every future consult — generations stay bounded and
+    // the live entry set stays exact through the folds
+    val cycles = 10
+    (0 until cycles).foreach { i =>
+      TakedownLedger.record(spark, dir2,  sfDir,
+        s"doc_id >= ${100 + 10 * i} AND doc_id < ${110 + 10 * i}")
+      TakedownLedger.readmit(spark, dir2, s"doc_id >= ${105 + 10 * i}")
+    }
+    // each cycle appends 3 generations (1 record + flag + tombstones);
+    // the write-triggered STCS fold keeps the count WELL below the
+    // append total (size-tiered: a residue of unlike-sized files is
+    // normal, linear growth is the defect)
+    val appends = 1 + 3 * cycles
+    val gens = graft.sources.sstable.LocalStorage.listDataFiles(dir2).length
+    assert(gens <= appends / 2,
+      s"the ledger left $gens generations after $appends appends — " +
+        "write-triggered compaction is not bounding the history")
+    assert(TakedownLedger.ledgeredIds(spark, dir2).count() == 35 + cycles * 5,
+      "a fold lost or resurrected ledger entries")
   }
 }
