@@ -47,7 +47,8 @@ private[graft] final class SessionCache[V] {
     * (session, key). */
   def getOrCompute(s: SparkSession, key: String)(f: => V): V = {
     sweep()
-    m.computeIfAbsent((SessionCache.id(s), key), _ => Entry(s, f)).value
+    m.computeIfAbsent((SessionCache.id(s), SessionCache.normKey(key)),
+      _ => Entry(s, f)).value
   }
 
   /** Unconditional refresh: callers that must price a real recompute
@@ -59,7 +60,7 @@ private[graft] final class SessionCache[V] {
     * only the EXPLICIT release below disposes eagerly. */
   def put(s: SparkSession, key: String, v: V): Unit = {
     sweep()
-    m.put((SessionCache.id(s), key), Entry(s, v))
+    m.put((SessionCache.id(s), SessionCache.normKey(key)), Entry(s, v))
   }
 
   /** Drop (and dispose) one session's entries — all of them, or (round
@@ -74,7 +75,8 @@ private[graft] final class SessionCache[V] {
     val it = m.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      if (e.getKey._1 == sid && corpusKey.forall(_ == e.getKey._2)) {
+      if (e.getKey._1 == sid &&
+          corpusKey.forall(SessionCache.normKey(_) == e.getKey._2)) {
         it.remove(); SessionCache.dispose(e.getValue.value); n += 1
       }
     }
@@ -91,12 +93,24 @@ private[graft] final class SessionCache[V] {
     val sid = SessionCache.id(s)
     import scala.jdk.CollectionConverters._
     m.entrySet().asScala.toSeq
-      .filter(e => e.getKey._1 == sid && corpusKey.forall(_ == e.getKey._2))
+      .filter(e => e.getKey._1 == sid &&
+        corpusKey.forall(SessionCache.normKey(_) == e.getKey._2))
       .flatMap(e => SessionCache.framesOf(e.getValue.value))
   }
 }
 
 private[graft] object SessionCache {
+  /** Cache keys are corpus directories, and the corpus-scoped release
+    * (`CALL release_serving_caches(corpus_dir => ...)`) passes user
+    * input: a trailing-slash spelling variant would silently match 0
+    * entries while reporting success (ADVICE r17). Every key is
+    * normalized at entry-creation AND at the release/introspection
+    * filters, so all spellings of one directory address one entry. */
+  private[operators] def normKey(k: String): String = {
+    val trimmed = k.replaceAll("/+$", "")
+    if (trimmed.isEmpty) k else trimmed
+  }
+
   /** Stable unique id for a session: the classic runtime's random
     * per-instance UUID (`sessionUUID` is JVM-public but `private[sql]`
     * to Scala, hence the one-time reflective handle). The identity-hash

@@ -1101,8 +1101,9 @@ private[spark] object GraftProcedures {
               "of ann_table / ann_tables is required"),
           p("df_table", StringType, Some("NULL"),
             comment = "catalog-relative df store name, e.g. 'ns.df' — " +
-              "exactly one of df_table / df_stream_dir is required " +
-              "(df_tables adds more batch stores)"),
+              "at most one of df_table / df_stream_dir; at least one " +
+              "df leg overall (df_tables adds more batch stores and " +
+              "composes with either)"),
           p("df_stream_dir", StringType, Some("NULL"),
             comment = "a STREAM-maintained df store's directory — the " +
               "df leg then retracts in the stream's own epoch-tag " +
@@ -1148,13 +1149,13 @@ private[spark] object GraftProcedures {
           val dfNames = (if (in.isNullAt(4)) Seq.empty
             else Seq(in.getUTF8String(4).toString)) ++ strArrayArg(in, 9)
           require(in.isNullAt(4) || in.isNullAt(5),
-            "exactly one of df_table / df_stream_dir is required (a " +
+            "df_table and df_stream_dir are mutually exclusive (a " +
               "catalog-managed batch store vs a stream-maintained " +
-              "store directory); df_tables adds more batch stores")
+              "store directory); df_tables adds more batch stores " +
+              "and composes with either")
           require(dfNames.nonEmpty || !in.isNullAt(5),
-            "exactly one of df_table / df_stream_dir is required (a " +
-              "catalog-managed batch store vs a stream-maintained " +
-              "store directory); df_tables adds more batch stores")
+            "at least one df leg is required: df_table, df_tables, " +
+              "or df_stream_dir")
           val dfStores: Seq[Either[(String, String), String]] =
             dfNames.map(n => Left((qualified(n), resolveTable(n)))) ++
               (if (in.isNullAt(5)) Seq.empty
@@ -1194,9 +1195,9 @@ private[spark] object GraftProcedures {
           p("ann_table", StringType, Some("NULL"),
             comment = "at least one of ann_table / ann_tables is required"),
           p("df_table", StringType, Some("NULL"),
-            comment = "catalog-relative df store — exactly one of " +
-              "df_table / df_stream_dir is required (df_tables adds " +
-              "more)"),
+            comment = "catalog-relative df store — at most one of " +
+              "df_table / df_stream_dir; at least one df leg overall " +
+              "(df_tables adds more)"),
           p("df_stream_dir", StringType, Some("NULL"),
             comment = "a STREAM-maintained df store's directory " +
               "(membership reads are dir-based and identical)"),
@@ -1231,9 +1232,11 @@ private[spark] object GraftProcedures {
           val dfNames = (if (in.isNullAt(3)) Seq.empty
             else Seq(in.getUTF8String(3).toString)) ++ strArrayArg(in, 7)
           require(in.isNullAt(3) || in.isNullAt(4),
-            "exactly one of df_table / df_stream_dir is required")
+            "df_table and df_stream_dir are mutually exclusive; " +
+              "df_tables composes with either")
           require(dfNames.nonEmpty || !in.isNullAt(4),
-            "exactly one of df_table / df_stream_dir is required")
+            "at least one df leg is required: df_table, df_tables, " +
+              "or df_stream_dir")
           val dfDirs = dfNames.map(n =>
             (qualified(n), resolveTable(n))) ++
             (if (in.isNullAt(4)) Seq.empty
