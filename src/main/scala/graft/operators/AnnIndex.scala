@@ -154,7 +154,7 @@ object AnnIndex {
     val eIds = e.select(col("vec_id").as("doc_id")).persist()
     try {
     TakedownLedger.consult(s, ledgerDir, eIds, "build_ann_index",
-      qualifiedTable)
+      qualifiedTable, corpus = Some(sourceDir))
     val nvec = e.count()
     require(nvec > 0,
       s"build_ann_index: the corpus at $sourceDir has no vectors — an " +
@@ -260,7 +260,8 @@ object AnnIndex {
     // is surfaced by its own audit (takedown_status) rather than this
     // build, which is the documented limit of lease-free creation.
     TakedownLedger.consult(s, ledgerDir, eIds,
-      "build_ann_index (pre-commit)", qualifiedTable)
+      "build_ann_index (pre-commit)", qualifiedTable,
+      corpus = Some(sourceDir))
     val view = s"graft_ann_build_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     all.createOrReplaceTempView(view)
     // autocompact: every update_ann_index ingest appends one generation,
@@ -565,7 +566,7 @@ object AnnIndex {
     // against a takedown whose ANN leg needs this same lease.
     TakedownLedger.consult(s, ledgerDir,
       e.select(col("vec_id").as("doc_id")), "update_ann_index",
-      qualifiedTable)
+      qualifiedTable, corpus = Some(sourceDir))
     // the epoch pin, read UNDER the lease (review finds, round 16): a
     // pre-lease snapshot could go stale against a CALL cover_ann_index
     // completing before our acquire — store_vectors (and everything

@@ -509,7 +509,7 @@ object DfStore {
     // our append would be silently undone by the very ingest the
     // ledger exists to refuse. Zero jobs when no ledger exists.
     TakedownLedger.consult(s, ledgerDir, corpus.select(col("doc_id")),
-      "update_doc_freqs", qualifiedTable)
+      "update_doc_freqs", qualifiedTable, corpus = Some(sourceDir))
     val epoch = epochsOf(s, qualifiedTable).lastOption.getOrElse(0) + 1
     // empty-store fast path — also the honest backfill path (same
     // shape as SignatureStore.update); the fetch join's broadcast is

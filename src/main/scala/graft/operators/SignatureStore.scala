@@ -245,7 +245,7 @@ object SignatureStore {
       // this same lease — re-signing taken-down ids would silently
       // re-admit removed documents.
       TakedownLedger.consult(s, ledgerDir, corpus.select(col("doc_id")),
-        "update_signatures", qualifiedTable)
+        "update_signatures", qualifiedTable, corpus = Some(sourceDir))
       val epoch = maxEpochOf(dir, storage) + 1
       val hasRows = !fresh && storedIds(s, dir).limit(1).count() > 0
       val (novelSrc, releaseIds) = if (hasRows)

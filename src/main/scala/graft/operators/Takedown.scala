@@ -99,9 +99,11 @@ object Takedown {
                unit: String = "term",
                corpusTable: Option[String] = None,
                corpusWhere: Option[String] = None,
-               ledgerDir: Option[String] = None): Seq[Leg] = {
+               ledgerDir: Option[String] = None,
+               ledgerScope: Option[String] = None): Seq[Leg] = {
     val ledgerLeg = ledgerDir.map { dir =>
-      val (n, epoch) = TakedownLedger.record(s, dir, sourceDir, whereSql)
+      val (n, epoch) =
+        TakedownLedger.record(s, dir, sourceDir, whereSql, ledgerScope)
       Leg("ledger", n, if (epoch == 0) "" else f"$epoch%06d",
         if (n == 0) "noop" else "recorded", dir)
     }

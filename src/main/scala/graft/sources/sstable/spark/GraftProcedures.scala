@@ -1128,7 +1128,17 @@ private[spark] object GraftProcedures {
             comment = "more signature stores"),
           p("ann_tables", ArrayType(StringType), Some("NULL"),
             comment = "more ANN indexes (per modality / embedding " +
-              "version)")),
+              "version)"),
+          p("corpus", StringType, Some("NULL"),
+            comment = "SCOPE the ledger entries to one corpus's id " +
+              "domain (round 18, for multi-corpus warehouses): " +
+              "maintainers consult with their own ingest corpus, so " +
+              "an UNRELATED corpus sharing id values is not refused, " +
+              "and readmit scoped to it cannot clear this record. " +
+              "Absent (or '*') = warehouse-global entries that refuse " +
+              "the ids under every corpus — the single-corpus default; " +
+              "deliberately NOT inferred from source_dir (the payload " +
+              "is often detached from the corpus)")),
         StructType(Seq(
           StructField("store", StringType, nullable = false),
           StructField("matched", LongType, nullable = false),
@@ -1171,7 +1181,10 @@ private[spark] object GraftProcedures {
             annNames.map(n => (qualified(n), resolveTable(n))),
             in.getUTF8String(0).toString, in.getUTF8String(1).toString,
             unit, corpusTable.map(qualified), corpusWhere,
-            ledgerDir = Some(ledgerDir))
+            ledgerDir = Some(ledgerDir),
+            ledgerScope =
+              if (in.isNullAt(12)) None
+              else Some(in.getUTF8String(12).toString))
             .map(l => row(utf8(l.store), l.matched, utf8(l.epochTag),
               utf8(l.status), utf8(l.table)))
         }),
@@ -1277,29 +1290,39 @@ private[spark] object GraftProcedures {
         Array(
           p("where", StringType,
             comment = "SQL predicate over doc_id selecting ledger " +
-              "entries to clear, e.g. 'doc_id % 5 = 2'")),
+              "entries to clear, e.g. 'doc_id % 5 = 2'"),
+          p("source_dir", StringType, Some("NULL"),
+            comment = "SCOPE the readmission to one corpus's entries " +
+              "(round 18): only entries recorded under this corpus " +
+              "are cleared — another corpus's record of the same ids, " +
+              "and global entries, stay live. Absent = the global " +
+              "mode: clear every scope's matching entries")),
         StructType(Seq(
           StructField("readmitted", LongType, nullable = false),
           StructField("epoch", IntegerType, nullable = false))),
         (spark, in) => {
           require(!in.isNullAt(0), "argument 'where' is required")
           val (n, epoch) = graft.operators.TakedownLedger.readmit(
-            spark, ledgerDir, in.getUTF8String(0).toString)
+            spark, ledgerDir, in.getUTF8String(0).toString,
+            corpus = if (in.isNullAt(1)) None
+              else Some(in.getUTF8String(1).toString))
           Seq(row(n, epoch))
         }),
 
       "takedown_ledger" -> new Proc(
         "takedown_ledger",
         "audit the persistent takedown ledger: the live (not-readmitted) " +
-          "taken-down ids with the predicate and epoch each was recorded " +
-          "under. Read-only; an absent ledger returns no rows",
+          "taken-down ids with the predicate, epoch, and corpus scope " +
+          "each was recorded under ('*' = a global entry). Read-only; " +
+          "an absent ledger returns no rows",
         Array(
           p("where", StringType, Some("'true'"),
             comment = "SQL predicate over doc_id filtering the entries")),
         StructType(Seq(
           StructField("doc_id", LongType, nullable = false),
           StructField("predicate", StringType, nullable = false),
-          StructField("epoch", IntegerType, nullable = false))),
+          StructField("epoch", IntegerType, nullable = false),
+          StructField("src", StringType, nullable = false))),
         (spark, in) => {
           val pred = if (in.isNullAt(0)) "true"
             else in.getUTF8String(0).toString
@@ -1310,9 +1333,12 @@ private[spark] object GraftProcedures {
             Seq.empty
           else graft.operators.TakedownLedger.entries(spark, dir)
             .filter(org.apache.spark.sql.functions.expr(pred))
-            .orderBy("doc_id")
+            .orderBy("doc_id", "src")
             .collect().toSeq
-            .map(r => row(r.getLong(0), utf8(r.getString(1)), r.getInt(2)))
+            .map(r => row(r.getLong(0), utf8(r.getString(1)), r.getInt(2),
+              utf8(if (r.isNullAt(3))
+                graft.operators.TakedownLedger.GlobalScope
+              else r.getString(3))))
         }),
 
       "lookup" -> new Proc(

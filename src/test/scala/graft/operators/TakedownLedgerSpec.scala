@@ -289,4 +289,74 @@ class TakedownLedgerSpec extends AnyFunSuite {
     assert(TakedownLedger.ledgeredIds(spark, dir2).count() == 35 + cycles * 5,
       "a fold lost or resurrected ledger entries")
   }
+
+  test("CORPUS SCOPE (round 18): entries match (corpus, doc_id) — a " +
+    "takedown in corpus A does not refuse corpus B's unrelated ids; " +
+    "readmit scoped to B cannot clear A's record; global entries " +
+    "refuse everywhere and only an unscoped readmit clears them") {
+    val dir = s"${Files.createTempDirectory("lg-scope").toString}/ledger"
+    val corpusB = "/some/other/corpus"
+    val slice = spark.range(0, 15).select(col("id").as("doc_id"))
+
+    // takedown EXPLICITLY scoped to corpus A (the default is global —
+    // scoping is an opt-in declaration, never inferred from the
+    // payload dir)
+    val (nA, _) = TakedownLedger.record(spark, dir, sfDir, "doc_id < 15",
+      corpus = Some(sfDir))
+    assert(nA == 15)
+
+    // corpus B's ingest of the same id VALUES passes — its id domain is
+    // unrelated (the r17 false-positive refusal, closed)
+    TakedownLedger.consult(spark, Some(dir), slice, "op", "t",
+      corpus = Some(corpusB))
+    // corpus A refuses — and under any trailing-slash spelling
+    intercept[IllegalStateException](TakedownLedger.consult(
+      spark, Some(dir), slice, "op", "t", corpus = Some(sfDir)))
+    intercept[IllegalStateException](TakedownLedger.consult(
+      spark, Some(dir), slice, "op", "t", corpus = Some(sfDir + "/")))
+    // a consult that cannot name its corpus is refused by every entry
+    // (the conservative direction — streaming sources)
+    intercept[IllegalStateException](TakedownLedger.consult(
+      spark, Some(dir), slice, "op", "t"))
+
+    // corpus B's OWN takedown of the same id values is its own record —
+    // per-scope idempotence, not a global anti-join
+    val (nB, _) = TakedownLedger.record(spark, dir, sfDir, "doc_id < 15",
+      corpus = Some(corpusB))
+    assert(nB == 15, s"B's takedown must record its own entries, got $nB")
+    assert(TakedownLedger.entries(spark, dir).count() == 30)
+    assert(TakedownLedger.ledgeredIds(spark, dir).count() == 15)
+
+    // readmit scoped to B clears ONLY B's entries: B ingests again, A's
+    // record (and refusal) stays live — the r17 compliance hole, closed
+    val (rmB, _) = TakedownLedger.readmit(spark, dir, "true",
+      corpus = Some(corpusB))
+    assert(rmB == 15)
+    TakedownLedger.consult(spark, Some(dir), slice, "op", "t",
+      corpus = Some(corpusB))
+    intercept[IllegalStateException](TakedownLedger.consult(
+      spark, Some(dir), slice, "op", "t", corpus = Some(sfDir)))
+    val after = TakedownLedger.entries(spark, dir).collect()
+    assert(after.length == 15 &&
+      after.forall(r => r.getString(3) == sfDir),
+      "B's readmission must leave A's entries (and only A's) live")
+
+    // a GLOBAL entry ('*') refuses under every corpus; a SCOPED readmit
+    // does not touch it; the unscoped readmit clears everything
+    val (nG, _) = TakedownLedger.record(spark, dir, sfDir,
+      "doc_id >= 20 AND doc_id < 25", corpus = Some(TakedownLedger.GlobalScope))
+    assert(nG == 5)
+    val gSlice = spark.range(20, 25).select(col("id").as("doc_id"))
+    intercept[IllegalStateException](TakedownLedger.consult(
+      spark, Some(dir), gSlice, "op", "t", corpus = Some(corpusB)))
+    val (rmScoped, _) = TakedownLedger.readmit(spark, dir,
+      "doc_id >= 20", corpus = Some(corpusB))
+    assert(rmScoped == 0, "a scoped readmit must not clear global entries")
+    intercept[IllegalStateException](TakedownLedger.consult(
+      spark, Some(dir), gSlice, "op", "t", corpus = Some(corpusB)))
+    val (rmAll, _) = TakedownLedger.readmit(spark, dir, "true")
+    assert(rmAll == 20)
+    TakedownLedger.consult(spark, Some(dir),
+      slice.unionAll(gSlice), "op", "t")
+  }
 }

@@ -254,18 +254,20 @@ class TakedownSpec extends AnyFunSuite {
     assert(graft.streaming.StreamingDfUpdate.nDocs(spark, dfDir) == remaining)
     // idempotent re-issue
     assert(call().values.forall(_._3 == "noop"))
-    // exactly-one-of: both and neither refuse loudly
+    // at-most-one df_table/df_stream_dir, at-least-one df leg: both
+    // and neither refuse loudly (the reworded r18 messages)
     val both = intercept[Exception](spark.sql(
       "CALL graft_td.system.takedown(df_table => 'strm.df', " +
         "sig_table => 'strm.sig', ann_table => 'strm.ann', " +
         s"source_dir => '$sfDir', where => 'true', " +
         s"df_stream_dir => '$dfDir')"))
-    assert(chain(both).exists(_.contains("exactly one of")), chain(both))
+    assert(chain(both).exists(_.contains("mutually exclusive")), chain(both))
     val neither = intercept[Exception](spark.sql(
       "CALL graft_td.system.takedown(sig_table => 'strm.sig', " +
         "ann_table => 'strm.ann', " +
         s"source_dir => '$sfDir', where => 'true')"))
-    assert(chain(neither).exists(_.contains("exactly one of")), chain(neither))
+    assert(chain(neither).exists(_.contains("at least one df leg")),
+      chain(neither))
     readmitAll()
   }
 
