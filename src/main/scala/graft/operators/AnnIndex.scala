@@ -911,12 +911,15 @@ object AnnIndex {
     * retrains; serving swaps atomically).
     *
     * Returns (nBuild, nPost, buildMeanSim_e4, postMeanSim_e4,
-    * buildP05Sim_e4, postP05Sim_e4, driftRatio_e4) where ratio =
-    * (1 - postMean) / (1 - buildMean), 10000 = 1.0; nPost == 0 reports
-    * ratio 10000 (nothing ingested since build — nothing to drift). */
+    * buildP05Sim_e4, postP05Sim_e4, driftRatio_e4, missing) where
+    * ratio = (1 - postMean) / (1 - buildMean), 10000 = 1.0; nPost == 0
+    * reports ratio 10000 (nothing ingested since build — nothing to
+    * drift); missing is always 0 unless `tolerateMissing` accepted
+    * uncovered fallback vectors (see below). */
   def drift(s: SparkSession, qualifiedTable: String, idxDir: String,
-            sourceDir: Option[String] = None)
-      : (Long, Long, Long, Long, Long, Long, Long) = {
+            sourceDir: Option[String] = None,
+            tolerateMissing: Boolean = false)
+      : (Long, Long, Long, Long, Long, Long, Long, Long) = {
     val m0 = meta(s, idxDir)
     require(m0.nonEmpty && m0.contains("kind"),
       s"$qualifiedTable carries no ANN-index _meta row — build it with " +
@@ -943,29 +946,52 @@ object AnnIndex {
           "measure a different distribution)")
       SimilarityQueries.embWithNorm(s, src)
     }
-    val grouped = assignmentSims(s, idxDir, m0("kind"), m0("m").toInt,
-      corpus).persist()
+    // the fallback joins the index's epoch stamps LEFT onto the corpus
+    // and persists the ONE joined frame: the coverage guard and the
+    // statistic read the same materialized snapshot, so a concurrent
+    // ingest/retraction between two separate index reads can no longer
+    // make them disagree spuriously (ADVICE r17)
+    val base = corpus match {
+      case None => assignmentSims(s, idxDir, m0("kind"), m0("m").toInt, None)
+      case Some(src) =>
+        epochStamps(s, idxDir, m0("kind"))
+          .join(src.select(col("vec_id"), col("v"), col("nrm")),
+            Seq("vec_id"), "left")
+    }
+    val joined = base.persist()
     try {
       // fallback-coverage guard: every LIVE index vector must find its
       // corpus row — a silently-dropped vector would BIAS the statistic
       // (the drop is invisible in the means). Rows gone from the corpus
       // but live in the index are either pending retraction (do that
       // first) or a corpus rewrite (cover the index before it happens).
-      corpus.foreach { _ =>
-        val live = indexedVecIds(s, idxDir).count()
-        val got = grouped.count()
-        require(got == live,
-          s"the corpus no longer holds ${live - got} of the index's " +
+      // tolerate_missing (round 18, VERDICT r17 #5) measures over the
+      // covered subset instead and reports the dropped count in the
+      // receipt — unblocking measurement DURING live corpus churn at
+      // the honest price of a caveat.
+      val missing = if (corpus.isEmpty) 0L
+        else joined.filter(col("v").isNull).count()
+      if (missing > 0 && !tolerateMissing) {
+        val live = joined.count()
+        throw new IllegalArgumentException(
+          s"the corpus no longer holds $missing of the index's " +
             s"$live live vectors — their drift cannot be measured from " +
-            "corpus IO. Retract them (CALL retract_ann_vectors) or " +
-            "upgrade to a covering index before the corpus moves")
+            "corpus IO. Retract them (CALL retract_ann_vectors), " +
+            "upgrade to a covering index before the corpus moves, or " +
+            "pass tolerate_missing => true to measure over the covered " +
+            "subset (the receipt then reports the uncovered count)")
+      }
+      val grouped = corpus match {
+        case None => joined
+        case Some(_) => scoreAssignments(s, idxDir, m0("kind"),
+          m0("m").toInt, joined.filter(col("v").isNotNull))
       }
       // an index whose LIVE vector set is empty (a full takedown
       // retracted everything) has nothing to measure — a clean healthy
       // receipt, not an NPE on the null min(ts) (review find)
       val tsRow = grouped.agg(min(col("ts"))).head()
       if (tsRow.isNullAt(0))
-        return (0L, 0L, 10000L, 10000L, 10000L, 10000L, 10000L)
+        return (0L, 0L, 10000L, 10000L, 10000L, 10000L, 10000L, missing)
       val buildTs = tsRow.getLong(0)
       val stats = grouped
         .select(col("sim"), (col("ts") === buildTs).as("isBuild"))
@@ -988,8 +1014,27 @@ object AnnIndex {
       val ratio =
         if (nP == 0 || meanP >= 1.0) 10000L
         else e4((1.0 - meanP) / math.max(1.0 - meanB, 1e-4))
-      (nB, nP, e4(meanB), e4(meanP), e4(p05B), e4(p05P), ratio)
-    } finally grouped.unpersist()
+      (nB, nP, e4(meanB), e4(meanP), e4(p05B), e4(p05P), ratio, missing)
+    } finally joined.unpersist()
+  }
+
+  /** `(vec_id, ts)` ingest-epoch stamps of every live index vector,
+    * read from the assignment cells (every cell of a `v:` row carries
+    * its row's registered write epoch) — the corpus-IO fallback's
+    * index-side relation. */
+  private def epochStamps(s: SparkSession, idxDir: String,
+                          kind: String): DataFrame = {
+    val epochCell = if (kind == "pq") "code0" else "cell"
+    s.read.format("sstable")
+      .option(graft.sources.sstable.spark.SSTableSource.ApplyDeletesOption,
+        "true")
+      .load(idxDir)
+      .select(col("key").cast("string").as("k"),
+        explode(col("columns")).as("c"))
+      .filter(col("k").startsWith("v:") &&
+        col("c.name").cast("string") === epochCell)
+      .select(substring(col("k"), 3, 12).cast("long").as("vec_id"),
+        col("c.timestamp").as("ts"))
   }
 
   /** Per-vector best-assignment cosine `(vec_id, ts, sim)` under the
@@ -1026,17 +1071,7 @@ object AnnIndex {
           unpack_doubles(col("c.value")).as("v"))
         .withColumn("nrm", sqrt(vector_dot(col("v"), col("v"))))
       case Some(src) =>
-        val epochCell = if (kind == "pq") "code0" else "cell"
-        s.read.format("sstable")
-          .option(graft.sources.sstable.spark.SSTableSource.ApplyDeletesOption,
-            "true")
-          .load(idxDir)
-          .select(col("key").cast("string").as("k"),
-            explode(col("columns")).as("c"))
-          .filter(col("k").startsWith("v:") &&
-            col("c.name").cast("string") === epochCell)
-          .select(substring(col("k"), 3, 12).cast("long").as("vec_id"),
-            col("c.timestamp").as("ts"))
+        epochStamps(s, idxDir, kind)
           .join(src.select(col("vec_id"), col("v"), col("nrm")),
             Seq("vec_id"))
     }
@@ -1140,7 +1175,7 @@ object AnnIndex {
           else e4((1.0 - mean) / math.max(1.0 - baseMean, 1e-4))
         (r, n, None)
       case None =>
-        val (_, nPost, mb, _, _, _, ratio) = drift(s, qualifiedTable, idxDir)
+        val (_, nPost, mb, _, _, _, ratio, _) = drift(s, qualifiedTable, idxDir)
         (ratio, nPost, Some(mb))
     }
     val evict = graft.sources.sstable.SSTableReader

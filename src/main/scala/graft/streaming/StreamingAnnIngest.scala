@@ -41,12 +41,15 @@ object StreamingAnnIngest {
 
   def start(vecs: DataFrame, idxDir: String, checkpointDir: String,
             expectEpoch: Map[String, String] = Map.empty,
-            maintainAboveGenerations: Int = DefaultMaintainAbove): StreamingQuery =
+            maintainAboveGenerations: Int = DefaultMaintainAbove,
+            ledger: graft.operators.TakedownLedger.Mode =
+              graft.operators.TakedownLedger.Auto): StreamingQuery =
     vecs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         processBatch(batch, idxDir, epochId, expectEpoch = expectEpoch,
-          maintainAboveGenerations = maintainAboveGenerations)
+          maintainAboveGenerations = maintainAboveGenerations,
+          ledger = ledger)
       }
       .start()
 
@@ -72,9 +75,17 @@ object StreamingAnnIngest {
                    expectEpoch: Map[String, String] = Map.empty,
                    storage: Storage = LocalStorage,
                    maintainAboveGenerations: Int = DefaultMaintainAbove,
-                   ledgerDir: Option[String] = None): Unit = {
+                   ledger: graft.operators.TakedownLedger.Mode =
+                     graft.operators.TakedownLedger.Auto): Unit = {
     val spark = batch.sparkSession
     val jobTag = f"annin$epochId%09d"
+    // catalog-managed auto-wiring (round 18, VERDICT r17 #3): an index
+    // under a warehouse discovers the warehouse's takedown ledger with
+    // no argument; a bare-path index stays unguarded as before; Off
+    // opts out. (No registry registration here — the index registered
+    // itself when CALL build_ann_index created it.)
+    val ledgerDir = graft.operators.TakedownLedger.resolve(
+      ledger, idxDir, storage)
 
     // pre-unpublish identity guard (ADVICE r16 medium): the replay
     // cleanup below UNPUBLISHES committed files whose suffix matches

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
-import graft.operators.{Params, SSTableOps}
+import graft.operators.{DerivedRegistry, Params, SSTableOps, TakedownLedger}
 import graft.sources.sstable.{LocalStorage, SSTableFiles, Storage}
 
 /** Streaming maintenance of a document-frequency store — the streaming
@@ -48,13 +48,15 @@ object StreamingDfUpdate {
   def start(docs: DataFrame, storeDir: String, checkpointDir: String,
             unit: String = "term",
             maintainAboveGenerations: Int = DefaultMaintainAbove,
-            consolidateAboveEpochs: Int = DefaultConsolidateAbove): StreamingQuery =
+            consolidateAboveEpochs: Int = DefaultConsolidateAbove,
+            ledger: TakedownLedger.Mode = TakedownLedger.Auto): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         processBatch(batch, storeDir, epochId, unit = unit,
           maintainAboveGenerations = maintainAboveGenerations,
-          consolidateAboveEpochs = consolidateAboveEpochs)
+          consolidateAboveEpochs = consolidateAboveEpochs,
+          ledger = ledger)
       }
       .start()
 
@@ -103,10 +105,27 @@ object StreamingDfUpdate {
                    storage: Storage = LocalStorage,
                    maintainAboveGenerations: Int = DefaultMaintainAbove,
                    consolidateAboveEpochs: Int = DefaultConsolidateAbove,
-                   ledgerDir: Option[String] = None): Unit = {
+                   ledger: TakedownLedger.Mode = TakedownLedger.Auto): Unit = {
     val spark = batch.sparkSession
     val jobTag = f"dfs$epochId%09d"
     val tag = f"s$epochId%09d"
+
+    // catalog-managed auto-wiring (round 18, VERDICT r17 #3): a store
+    // under a warehouse discovers the warehouse's takedown ledger with
+    // no argument (the compliance surface the operator used to have to
+    // remember), and REGISTERS ITSELF in the warehouse's derived-store
+    // registry so a list-free CALL takedown spans this stream's store
+    // too. Corpus '*' — a stream's source is not a directory, so it
+    // conservatively matches every takedown; priced by the legs'
+    // idempotence. A bare-path store (no warehouse above) stays
+    // unguarded and unregistered exactly as before; Off opts out.
+    val ledgerDir = TakedownLedger.resolve(ledger, storeDir, storage)
+    if (ledger != TakedownLedger.Off)
+      TakedownLedger.discoverRoot(storeDir, storage).foreach { root =>
+        DerivedRegistry.register(spark, DerivedRegistry.dirUnder(root),
+          DerivedRegistry.AnyCorpus, DerivedRegistry.DocFreqs,
+          storeDir, storeDir, mode = "stream")
+      }
 
     // replay cleanup: a retried epoch removes its failed attempt's
     // output before deciding novelty — reproducible decisions. GUARDED

@@ -60,12 +60,15 @@ object StreamingIncrementalDedup {
 
   def start(docs: DataFrame, storeDir: String, checkpointDir: String,
             emit: (DataFrame, Long) => Unit,
-            maintainAboveGenerations: Int = DefaultMaintainAbove): StreamingQuery =
+            maintainAboveGenerations: Int = DefaultMaintainAbove,
+            ledger: graft.operators.TakedownLedger.Mode =
+              graft.operators.TakedownLedger.Auto): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         processBatch(batch, storeDir, epochId, emit,
-          maintainAboveGenerations = maintainAboveGenerations)
+          maintainAboveGenerations = maintainAboveGenerations,
+          ledger = ledger)
       }
       .start()
 
@@ -81,11 +84,18 @@ object StreamingIncrementalDedup {
                    emit: (DataFrame, Long) => Unit,
                    storage: Storage = LocalStorage,
                    maintainAboveGenerations: Int = DefaultMaintainAbove,
-                   ledgerDir: Option[String] = None): Unit = {
+                   ledger: graft.operators.TakedownLedger.Mode =
+                     graft.operators.TakedownLedger.Auto): Unit = {
     val spark = batch.sparkSession
     val jobTag = f"sigs$epochId%09d"
-    // takedown-ledger consult (round 17, VERDICT r16 #1, opt-in for
-    // streams): fail the micro-batch loudly rather than re-fingerprint
+    // catalog-managed auto-wiring (round 18, VERDICT r17 #3): a store
+    // under a warehouse discovers the warehouse's ledger with no
+    // argument; bare paths stay unguarded; Off opts out. (No registry
+    // registration — the fingerprint store is not a takedown leg.)
+    val ledgerDir = graft.operators.TakedownLedger.resolve(
+      ledger, storeDir, storage)
+    // takedown-ledger consult (round 17, VERDICT r16 #1, auto-wired
+    // r18): fail the micro-batch loudly rather than re-fingerprint
     // taken-down documents arriving from an uncleaned source. Unlike
     // the df/signature/ANN maintainers this consult is NOT under a
     // store lease: the fingerprint store is not a takedown leg (it has

@@ -551,6 +551,30 @@ class AnnIndexSpec extends AnyFunSuite {
     val eGone = intercept[Exception](drift("ann.dfbn", Some(dir)))
     assert(chainOf(eGone).exists(_.contains("no longer holds")),
       chainOf(eGone))
+    assert(chainOf(eGone).exists(_.contains("tolerate_missing")),
+      chainOf(eGone))
+    // tolerate_missing (round 18, VERDICT r17 #5): measurement during
+    // live corpus churn — the statistic over the COVERED subset, the
+    // dropped count honest in the receipt. Must equal (±e4 rounding) a
+    // twin whose missing vectors were PROPERLY retracted first.
+    val goneIds = graft.Tables.embeddings(spark, sfDir)
+      .filter("vec_id < 10").count()
+    val dTol = spark.sql(
+      s"CALL graft_ix.system.ann_drift(table => 'ann.dfbn', " +
+        s"source_dir => '$dir', tolerate_missing => true)").head()
+    assert(dTol.getAs[Long]("missing") == goneIds, dTol.toString)
+    spark.sql("CALL graft_ix.system.retract_ann_vectors(table => " +
+      "'ann.dfbc', where => 'vec_id < 10')")
+    val dRetr = drift("ann.dfbc", None)
+    assert(dRetr.getAs[Long]("missing") == 0L)
+    Seq("nBuild", "nPost").foreach(c =>
+      assert(dTol.getAs[Long](c) == dRetr.getAs[Long](c),
+        s"$c: tolerated=$dTol retracted-twin=$dRetr"))
+    Seq("buildMeanSim_e4", "postMeanSim_e4", "buildP05Sim_e4",
+        "postP05Sim_e4", "driftRatio_e4").foreach(c =>
+      assert(math.abs(dTol.getAs[Long](c) - dRetr.getAs[Long](c)) <= 1,
+        s"$c diverged beyond e4 rounding: tolerated=$dTol " +
+          s"retracted-twin=$dRetr"))
   }
 
   private def chainOf(t: Throwable): Seq[String] =

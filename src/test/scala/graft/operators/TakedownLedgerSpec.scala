@@ -11,8 +11,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * a corpus still containing ledgered ids refuses naming them), the
   * clean-corpus path (a slice without ledgered ids builds fine), the
   * explicit readmit override, epoch ordering (takedown → readmit →
-  * takedown again), the streaming maintainers' opt-in consult, and the
-  * write-ahead property (the intent survives a refused takedown). */
+  * takedown again), the streaming maintainers' consult (auto-wired
+  * under a warehouse, explicit At() anywhere, Off opt-out — round 18),
+  * corpus scoping (round 18), and the write-ahead property (the
+  * intent survives a refused takedown). */
 class TakedownLedgerSpec extends AnyFunSuite {
 
   private val sfDir = "/root/testdata/sf0.001"
@@ -115,9 +117,10 @@ class TakedownLedgerSpec extends AnyFunSuite {
     spark.sql("CALL graft_lg.system.readmit(where => 'true')")
   }
 
-  test("the streaming maintainers' opt-in consult: a micro-batch " +
-    "carrying ledgered ids fails LOUDLY; with no ledger dir passed the " +
-    "batch is unguarded (today's behavior); readmit unblocks") {
+  test("the streaming maintainers' consult on BARE-path stores (no " +
+    "warehouse above): explicit At(dir) refuses a micro-batch carrying " +
+    "ledgered ids LOUDLY; with nothing discoverable the batch is " +
+    "unguarded (r17's opt-in contract, preserved); readmit unblocks") {
     val ledgerDir = TakedownLedger.dirUnder(warehouse)
     // a clean slate regardless of earlier tests' ledger state (the
     // warehouse — and so the ledger — is shared by this suite)
@@ -133,7 +136,7 @@ class TakedownLedgerSpec extends AnyFunSuite {
     val batch = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
     val e = intercept[Exception](
       graft.streaming.StreamingDfUpdate.processBatch(
-        batch, storeDir, 0L, ledgerDir = Some(ledgerDir)))
+        batch, storeDir, 0L, ledger = TakedownLedger.At(ledgerDir)))
     assert(chain(e).exists(_.contains("taken-down")), chain(e))
     // nothing landed: the refusal fired before any write
     assert(graft.sources.sstable.LocalStorage.listDataFiles(storeDir).isEmpty)
@@ -145,12 +148,12 @@ class TakedownLedgerSpec extends AnyFunSuite {
     val storeDir2 = Files.createTempDirectory("lg-stream-df2").toString
     graft.streaming.StreamingDfUpdate.processBatch(
       batch.filter("doc_id % 10 != 3"), storeDir2, 0L,
-      ledgerDir = Some(ledgerDir))
+      ledger = TakedownLedger.At(ledgerDir))
     // readmit unblocks the full batch
     TakedownLedger.readmit(spark, ledgerDir, "true")
     val storeDir3 = Files.createTempDirectory("lg-stream-df3").toString
     graft.streaming.StreamingDfUpdate.processBatch(
-      batch, storeDir3, 0L, ledgerDir = Some(ledgerDir))
+      batch, storeDir3, 0L, ledger = TakedownLedger.At(ledgerDir))
     assert(graft.streaming.StreamingDfUpdate.nDocs(spark, storeDir3) ==
       batch.count())
   }
@@ -288,6 +291,50 @@ class TakedownLedgerSpec extends AnyFunSuite {
         "write-triggered compaction is not bounding the history")
     assert(TakedownLedger.ledgeredIds(spark, dir2).count() == 35 + cycles * 5,
       "a fold lost or resurrected ledger entries")
+  }
+
+  test("AUTO ledger wiring (round 18, VERDICT r17 #3): a streaming " +
+    "store under a catalog warehouse discovers the warehouse ledger " +
+    "with NO argument and refuses ledgered ids; Off is the explicit " +
+    "opt-out; the auto-wired df stream self-registers in the " +
+    "derived-store registry; bare paths stay unguarded (prior test)") {
+    val ledgerDir = TakedownLedger.dirUnder(warehouse)
+    if (graft.sources.sstable.LocalStorage.exists(ledgerDir) &&
+        graft.sources.sstable.LocalStorage.listDataFiles(ledgerDir).nonEmpty)
+      TakedownLedger.readmit(spark, ledgerDir, "true")
+    val (n, _) = TakedownLedger.record(spark, ledgerDir, sfDir,
+      "doc_id % 10 = 7")
+    assert(n > 0)
+    val batch = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+
+    // df stream under the warehouse: NO ledger argument — Auto
+    // discovers the warehouse ledger and refuses
+    val storeDir = s"$warehouse/lg/auto_stream_df"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(storeDir))
+    val e = intercept[Exception](
+      graft.streaming.StreamingDfUpdate.processBatch(batch, storeDir, 0L))
+    assert(chain(e).exists(_.contains("taken-down")), chain(e))
+    // ...and it already self-registered as a stream-maintained df store
+    // (registration is the intent to maintain — it precedes the consult)
+    val reg = DerivedRegistry.list(spark, DerivedRegistry.dirUnder(warehouse))
+    assert(reg.exists(r => r.kind == DerivedRegistry.DocFreqs &&
+      r.table == storeDir && r.mode == "stream" &&
+      r.corpus == DerivedRegistry.AnyCorpus), reg)
+
+    // the incremental-dedup stream auto-discovers too (advisory guard)
+    val sigDir = s"$warehouse/lg/auto_sig"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(sigDir))
+    val e2 = intercept[Exception](
+      graft.streaming.StreamingIncrementalDedup.processBatch(
+        batch, sigDir, 0L, (_, _) => ()))
+    assert(chain(e2).exists(_.contains("taken-down")), chain(e2))
+
+    // Off is the explicit opt-out: the same batch ingests unguarded
+    graft.streaming.StreamingDfUpdate.processBatch(batch, storeDir, 0L,
+      ledger = TakedownLedger.Off)
+    assert(graft.streaming.StreamingDfUpdate.nDocs(spark, storeDir) ==
+      batch.count())
+    TakedownLedger.readmit(spark, ledgerDir, "true")
   }
 
   test("CORPUS SCOPE (round 18): entries match (corpus, doc_id) — a " +
