@@ -49,6 +49,11 @@ object PerfProbe {
     if (args.headOption.contains("retractscale")) {
       retractScaleProbe(spark); spark.stop(); return
     }
+    // the 100x ledger-churn soak alone (it runs for several minutes —
+    // the full retractscale run times out ordinary harness windows)
+    if (args.headOption.contains("ledgerchurn")) {
+      retractScaleProbe(spark, churnOnly = true); spark.stop(); return
+    }
 
     val docs = Tables.documents(spark, sfDir)
 
@@ -848,7 +853,8 @@ object PerfProbe {
     * rows) — so the slope should sit FAR below 10×; the probe prints
     * the stages so a regression names itself. Warm-up discipline as in
     * [[lifecycleScaleProbe]]: small (cold, discarded), big, small. */
-  private def retractScaleProbe(spark: SparkSession): Unit = {
+  private def retractScaleProbe(spark: SparkSession,
+                                churnOnly: Boolean = false): Unit = {
     import org.apache.spark.sql.functions._
     val wh = java.nio.file.Files.createTempDirectory("retrscale").toString
     spark.conf.set("spark.sql.catalog.graft_rsc",
@@ -864,6 +870,7 @@ object PerfProbe {
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
       dir
     }
+    if (!churnOnly) {
     val retractN = 500
     val results = Seq(20000, 200000, 20000).zipWithIndex.map {
       case (n, run) =>
@@ -1036,5 +1043,94 @@ object PerfProbe {
     val lwarm = ledgerResults.drop(1)
     println(f"ledger slope at 10x entries: consult ${lwarm(0)._3 / lwarm(1)._3}%.2fx, " +
       f"guarded update ${lwarm(0)._4 / lwarm(1)._4}%.2fx (10x = linear)")
+    }
+
+    // ── ledger CHURN soak at 100x (round 18, VERDICT r17 #7): a
+    // 500k-entry ledger (100x the probe above) built by one record,
+    // then takedown/readmit churn cycles with TWO free-running GUARDED
+    // maintainers consulting through every write. Prices record,
+    // readmit and consult at 100x entries, proves the guarded
+    // maintainers never fail mid-churn, and proves the write-triggered
+    // full-STCS fold keeps the generation count bounded while the live
+    // entry set is conserved exactly. Warm discipline: small (cold,
+    // discarded), big, small.
+    val churn = Seq(5000, 500000, 5000).zipWithIndex.map { case (n, run) =>
+      val src = corpus(n + 2000)
+      val ledDir = s"${java.nio.file.Files
+        .createTempDirectory(s"churnled$n")}/ledger"
+      val t0 = System.nanoTime()
+      graft.operators.TakedownLedger.record(spark, ledDir, src,
+        s"doc_id < $n")
+      val recordMs = (System.nanoTime() - t0) / 1e6
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val errs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val loops = new java.util.concurrent.atomic.AtomicInteger(0)
+      val cleanWhere = s"doc_id >= $n"
+      val maintainers = Seq(
+        new Thread(() => while (!stop.get()) {
+          try {
+            graft.operators.DfStore.update(spark,
+              s"graft_rsc.p.cdf${n}_$run", () => s"$wh/p/cdf${n}_$run",
+              src, cleanWhere, 8, ledgerDir = Some(ledDir))
+            loops.incrementAndGet()
+          } catch { case _: Throwable => errs.incrementAndGet() }
+        }),
+        new Thread(() => while (!stop.get()) {
+          try {
+            graft.operators.SignatureStore.update(spark,
+              s"graft_rsc.p.csg${n}_$run", () => s"$wh/p/csg${n}_$run",
+              src, cleanWhere, 8, ledgerDir = Some(ledDir))
+            loops.incrementAndGet()
+          } catch { case _: Throwable => errs.incrementAndGet() }
+        }))
+      maintainers.foreach(_.start())
+      // churn: readmit a moving sub-slice, re-record it — the
+      // compliance traffic pattern at steady state
+      var readmitMs = 0.0
+      var rerecordMs = 0.0
+      val cycles = 5
+      (0 until cycles).foreach { i =>
+        val t1 = System.nanoTime()
+        graft.operators.TakedownLedger.readmit(spark, ledDir,
+          s"doc_id % 100 = $i")
+        readmitMs += (System.nanoTime() - t1) / 1e6
+        val t2 = System.nanoTime()
+        graft.operators.TakedownLedger.record(spark, ledDir, src,
+          s"doc_id < $n AND doc_id % 100 = $i")
+        rerecordMs += (System.nanoTime() - t2) / 1e6
+      }
+      val t3 = System.nanoTime()
+      graft.operators.TakedownLedger.consult(spark, Some(ledDir),
+        spark.range(n, n + 2000L).select(col("id").as("doc_id")),
+        "probe", "probe")
+      val consultMs = (System.nanoTime() - t3) / 1e6
+      stop.set(true)
+      maintainers.foreach(_.join())
+      require(errs.get() == 0,
+        s"${errs.get()} guarded maintenance loops FAILED during churn")
+      val gens = graft.sources.sstable.LocalStorage
+        .listDataFiles(ledDir).length
+      require(gens < 16,
+        s"the churned ledger left $gens generations after " +
+          s"${1 + 3 * cycles} appends — the fold is not bounding history")
+      val live = graft.operators.TakedownLedger.ledgeredIds(spark, ledDir)
+        .count()
+      require(live == n,
+        s"churn must conserve the live entry set: want $n, got $live")
+      (n, run, recordMs, readmitMs / cycles, rerecordMs / cycles,
+        consultMs, gens, loops.get())
+    }
+    churn.foreach { case (n, run, rec, rm, rr, c, g, l) =>
+      println(f"ledger-churn n=$n%7d run=$run record=$rec%8.0f ms  " +
+        f"readmit/cycle=$rm%8.0f ms  re-record/cycle=$rr%8.0f ms  " +
+        f"consult(2000ids)=$c%8.0f ms  generations=$g%3d  " +
+        f"guarded loops=$l%4d (0 errors)")
+    }
+    val cwarm = churn.drop(1)
+    println(f"ledger-churn slope at 100x entries: " +
+      f"consult ${cwarm(0)._6 / cwarm(1)._6}%.2fx, " +
+      f"record ${cwarm(0)._3 / cwarm(1)._3}%.2fx, " +
+      f"readmit ${cwarm(0)._4 / cwarm(1)._4}%.2fx (100x = linear); " +
+      f"generations ${cwarm(0)._7} vs ${cwarm(1)._7} (fold-bounded)")
   }
 }

@@ -518,10 +518,27 @@ object TakedownLedger {
     * global entries always do. A caller that cannot name its corpus
     * (a streaming source) passes None and every entry applies — the
     * conservative direction. */
+  /** A read raced the ledger's own write-triggered STCS fold
+    * unpublishing its inputs (consult is deliberately LEASE-FREE — a
+    * guard inside every maintenance ingest must not serialize the
+    * whole warehouse's maintainers through one ledger lock). The race
+    * window is one fold; re-entering the body re-plans against the
+    * folded fileset. Found by the 100x churn soak (round 18). */
+  private def retryVanished[T](attempts: Int)(body: => T): T = {
+    def vanished(t: Throwable): Boolean = t != null &&
+      (t.isInstanceOf[java.io.FileNotFoundException] ||
+        t.isInstanceOf[java.nio.file.NoSuchFileException] ||
+        vanished(t.getCause))
+    try body catch {
+      case e: Throwable if attempts > 1 && vanished(e) =>
+        retryVanished(attempts - 1)(body)
+    }
+  }
+
   def consult(s: SparkSession, ledgerDir: Option[String],
               sliceIds: DataFrame, operation: String,
               target: String, corpus: Option[String] = None): Unit =
-    ledgerDir.filter(exists(s, _)).foreach { dir =>
+    ledgerDir.filter(exists(s, _)).foreach { dir => retryVanished(4) {
       val led = (corpus match {
         case None => ledgeredIds(s, dir)
         case Some(c) => scopedIds(s, dir)
@@ -552,5 +569,5 @@ object TakedownLedger {
           } finally hits.unpersist()
         }
       } finally led.unpersist()
-    }
+    } }
 }

@@ -1463,10 +1463,14 @@ private[spark] object GraftProcedures {
         "audit the persistent takedown ledger: the live (not-readmitted) " +
           "taken-down ids with the predicate, epoch, and corpus scope " +
           "each was recorded under ('*' = a global entry). Read-only; " +
-          "an absent ledger returns no rows",
+          "an absent ledger returns no rows. The result is collected to " +
+          "the driver (bounded by O(taken-down ids) by design) — " +
+          "max_rows caps it for audits of very large ledgers",
         Array(
           p("where", StringType, Some("'true'"),
-            comment = "SQL predicate over doc_id filtering the entries")),
+            comment = "SQL predicate over doc_id filtering the entries"),
+          p("max_rows", IntegerType, Some("0"),
+            comment = "cap the returned (id-ordered) rows; 0 = all")),
         StructType(Seq(
           StructField("doc_id", LongType, nullable = false),
           StructField("predicate", StringType, nullable = false),
@@ -1480,10 +1484,14 @@ private[spark] object GraftProcedures {
             spark.sessionState.newHadoopConf())
           if (!storage.exists(dir) || storage.listDataFiles(dir).isEmpty)
             Seq.empty
-          else graft.operators.TakedownLedger.entries(spark, dir)
-            .filter(org.apache.spark.sql.functions.expr(pred))
-            .orderBy("doc_id", "src")
-            .collect().toSeq
+          else {
+            val filtered = graft.operators.TakedownLedger.entries(spark, dir)
+              .filter(org.apache.spark.sql.functions.expr(pred))
+              .orderBy("doc_id", "src")
+            val capped = intArg(in, 1, 0)
+            (if (capped > 0) filtered.limit(capped) else filtered)
+              .collect().toSeq
+          }
             .map(r => row(r.getLong(0), utf8(r.getString(1)), r.getInt(2),
               utf8(if (r.isNullAt(3))
                 graft.operators.TakedownLedger.GlobalScope
