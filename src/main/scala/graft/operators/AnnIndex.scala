@@ -452,6 +452,31 @@ object AnnIndex {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Per-vector PQ codes AND coarse cell `(vec_id, code0..code{m-1},
+    * cell)` from ONE index scan (r18 optimization): the IVFPQ serving
+    * shape previously inner-joined [[loadVectorCodes]] with
+    * [[loadVectorCells]] — a second full scan of the same table plus a
+    * corpus-sized shuffle join on vec_id at scale. One grouped pass
+    * yields both; the trailing filter reproduces the inner-join
+    * semantics exactly (keep a vector only when it has BOTH a cell
+    * cell and at least one code cell). */
+  def loadVectorCodesWithCells(s: SparkSession, idxDir: String,
+                               m: Int): DataFrame = {
+    val aggs = (0 until m).map(i =>
+      max(when(col("name") === s"code$i",
+        col("value").cast("string").cast("int"))).as(s"code$i")) ++ Seq(
+      max(when(col("name") === "cell",
+        col("value").cast("string").cast("int"))).as("cell"),
+      count(when(col("name").startsWith("code"), lit(1))).as("_ncodes"))
+    cellsOf(s, idxDir)
+      .filter(col("k").startsWith("v:") &&
+        (col("name").startsWith("code") || col("name") === "cell"))
+      .groupBy(substring(col("k"), 3, 12).cast("long").as("vec_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .filter(col("cell").isNotNull && col("_ncodes") > 0)
+      .drop("_ncodes")
+  }
+
   /** Coarse assignment of `vecs` (vec_id, v, nrm) under PERSISTED
     * centroids — the EXACT rule of training's final pass (max cosine;
     * exact tie → lowest cell id), so encoding a vector incrementally is

@@ -79,16 +79,30 @@ object SimilarityQueries {
   def kmediansCells(e: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
     require(iters >= 1, s"kmediansCells needs at least one Lloyd iteration, got $iters")
     trainingsRun.incrementAndGet()
-    // persist: every Lloyd iteration re-reads the vectors; the per-
-    // iteration localCheckpoint truncates lineage so plan size and
-    // recompute cost stay FLAT in `iters` (without it each iteration
-    // re-derives every prior one and analysis time grows superlinearly).
+    // persist: every Lloyd iteration re-reads the vectors. The loop is
+    // LAZY except for the final materializations (r18 optimization —
+    // guide §1.2 "remove unnecessary passes"): the iteration chain is
+    // strictly linear (cent_i feeds only assigned_i, assigned_i feeds
+    // only cent_{i+1}), so per-iteration localCheckpoints bought no
+    // reuse — they only paid `iters` eager write+read materializations
+    // of the full assignment (measured ~0.9 s of q_ann_kmeans's 3.4 s
+    // at sf0.1; at 100 TB it is `iters` needless round-trips of the
+    // corpus-sized assignment through block storage). Checkpointing the
+    // FINAL centroids materializes the whole chain exactly once; the
+    // final assignment then derives from the cached centroids in one
+    // linear pass, and both returned frames stay checkpoint-backed so
+    // consumers (and the session caches) reuse cached partitions with
+    // flat lineage exactly as before.
     val base = e.select(col("vec_id"), col("v"), col("nrm")).persist()
     var assigned = base.select(col("vec_id"), pmod(col("vec_id"), lit(k)).as("cell"),
       col("v"), col("nrm"))
     var lastCent: DataFrame = null
-    for (_ <- 1 to iters) {
-      val cent = medianCentroids(assigned)
+    for (i <- 1 to iters) {
+      // the LAST iteration's centroids are checkpointed BEFORE the final
+      // assignment is built from them — one materialization of the full
+      // training chain, reused by the assignment pass via the cache
+      val cent0 = medianCentroids(assigned)
+      val cent = if (i == iters) cent0.localCheckpoint() else cent0
       lastCent = cent
       val sim = dot(col("v"), col("cv")) / (col("nrm") * col("cn"))
       assigned = base
@@ -101,12 +115,11 @@ object SimilarityQueries {
           struct(col("csim"), -col("cell"))).as("_best"))
         .select(col("vec_id"), col("_best.cell").as("cell"),
           col("_best.v").as("v"), col("_best.nrm").as("nrm"))
-        .localCheckpoint()
     }
-    // centroids are k tiny rows: checkpoint them too, then release the
-    // persisted base — both returned frames are materialized and no
-    // longer reference it
-    lastCent = lastCent.localCheckpoint()
+    // one pass over the persisted base against the cached centroids,
+    // then release the base — both returned frames are materialized and
+    // no longer reference it
+    assigned = assigned.localCheckpoint()
     base.unpersist()
     (assigned, lastCent)
   }
@@ -131,8 +144,13 @@ object SimilarityQueries {
       .persist()
     var assigned = base.withColumn("cell", pmod(col("vec_id"), lit(k)))
     var lastCent: DataFrame = null
-    for (_ <- 1 to iters) {
-      val cent = medianCentroidsKeyed(assigned, Seq("sub", "cell"))
+    // same final-only checkpoint shape as [[kmediansCells]] (r18): the
+    // per-subspace chain is linear, so only the last centroids and the
+    // final code projection materialize — `iters` eager assignment
+    // round-trips through block storage removed, values unchanged
+    for (i <- 1 to iters) {
+      val cent0 = medianCentroidsKeyed(assigned, Seq("sub", "cell"))
+      val cent = if (i == iters) cent0.localCheckpoint() else cent0
       lastCent = cent
       val sim = dot(col("v"), col("cv")) / (col("nrm") * col("cn"))
       assigned = base.join(broadcast(cent), "sub")
@@ -143,11 +161,11 @@ object SimilarityQueries {
           struct(col("csim"), -col("cell"))).as("_best"))
         .select(col("sub"), col("vec_id"), col("_best.cell").as("cell"),
           col("_best.v").as("v"), col("_best.nrm").as("nrm"))
-        .localCheckpoint()
     }
-    lastCent = lastCent.localCheckpoint()
+    val codes = assigned.select(col("sub"), col("vec_id"), col("cell"))
+      .localCheckpoint()
     base.unpersist()
-    (assigned.select(col("sub"), col("vec_id"), col("cell")), lastCent)
+    (codes, lastCent)
   }
 
   /** One quantizer training per (session, corpus): `q_ann_kmeans` and
@@ -275,40 +293,79 @@ object SimilarityQueries {
       .select("q_id", "cell", "qv", "qn")
   }
 
+  /** Pivoted per-query ADC lookup table (r18 optimization, guide §1.2 /
+    * §3): ONE relation with, per query, a `cell → (query-subvector ·
+    * centroid, centroid norm)` map per subspace, built from a single
+    * q × codebooks pass. The previous shape built one LUT PER SUBSPACE
+    * — each re-deriving the query relation (an embeddings scan) and
+    * re-scanning the codebooks — and attached them with one broadcast
+    * join per subspace plus a final join against q for `qn`; scoring is
+    * now ONE broadcast join (the LUT carries `qn`) + per-subspace map
+    * lookups. The similarity stays the same fixed-order
+    * d0+d1+…+d{M-1} / (qn · sqrt(cn0²+…)) expression — no float
+    * aggregation anywhere, so values are bit-identical (the shared
+    * oracle SQL gates every consumer). Maps (not position-indexed
+    * arrays) because a Lloyd cell can end empty: lookups key on the
+    * cell id itself, and codes only ever reference cells that exist. */
+  private def adcLut(q: DataFrame, cents: DataFrame): DataFrame = {
+    val qLen = (size(col("qv")) / PqM).cast("int")
+    val entries = q.crossJoin(broadcast(cents))
+      .select(col("q_id"), col("qn"), col("sub"), col("cell"),
+        dot(slice(col("qv"), col("sub") * qLen + 1, qLen), col("cv")).as("d"),
+        col("cn"))
+    val perSub = entries.groupBy("q_id", "sub")
+      .agg(min(col("qn")).as("qn"), // constant per query — min is exact
+        map_from_entries(collect_list(struct(col("cell"),
+          struct(col("d").as("d"), col("cn").as("cn"))))).as("lm"))
+    // exactly one row per (q_id, sub): first(ignoreNulls) is exact
+    val aggs = min(col("qn")).as("qn") +:
+      (0 until PqM).map(m =>
+        first(when(col("sub") === m, col("lm")), ignoreNulls = true).as(s"lm$m"))
+    perSub.groupBy("q_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** ADC scoring of candidate code rows `(vec_id, code0..code{M-1}, …)`
+    * against [[adcLut]]'s relation: one broadcast join, map lookups,
+    * the same left-to-right similarity arithmetic as the per-subspace
+    * join fold it replaces. `cond` None scores every candidate against
+    * every query (the PQ twins — the LUT side is queries-sized, a
+    * broadcast-tiny cross join exactly like the old m=0 unconstrained
+    * leg); Some(c) equi-restricts (the IVF-probed shapes). */
+  private def adcScore(cand: DataFrame, lut: DataFrame,
+                       cond: Option[Column]): DataFrame = {
+    val joined = cond match {
+      case Some(c) => cand.join(broadcast(lut), c)
+      case None => cand.crossJoin(broadcast(lut))
+    }
+    val e = (m: Int) => element_at(col(s"lm$m"), col(s"code$m"))
+    val adot = (0 until PqM).map(m => e(m).getField("d")).reduceLeft(_ + _)
+    val rn = sqrt((0 until PqM).map { m =>
+      val cn = e(m).getField("cn"); cn * cn
+    }.reduceLeft(_ + _))
+    joined.filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("c_id"),
+        (adot / (col("qn") * rn)).as("sim"))
+  }
+
   /** The served-IVFPQ approximate scorer `(q_id, c_id, sim)` — coarse
     * centroids, PQ codebooks and 4-byte codes all LOADED from the
     * persisted index; candidates pruned to each query's NProbe cells;
     * asymmetric-distance scoring from the codes. Shared verbatim by
     * `q_ann_ivfpq_served` (top-k straight off the ADC scores) and
     * `q_ann_rerank` (top-RerankC shortlist, then exact re-scoring from
-    * the covering index's stored vectors). */
+    * the covering index's stored vectors). r18: codes + coarse cells
+    * arrive from ONE index scan (the former two-loader inner join on
+    * vec_id was a second full scan plus a corpus-sized shuffle join at
+    * scale), and scoring is the single-LUT broadcast join. */
   private def ivfpqServedApprox(s: SparkSession, idx: String,
                                 q: DataFrame): DataFrame = {
     val coarse = AnnIndex.loadCoarseCentroids(s, idx)
     val cents = AnnIndex.loadPqCodebooks(s, idx)
-    val codes = AnnIndex.loadVectorCodes(s, idx, PqM)
-      .join(AnnIndex.loadVectorCells(s, idx), "vec_id")
+    val codes = AnnIndex.loadVectorCodesWithCells(s, idx, PqM)
     val probes = probedCells(q, coarse, NProbe)
       .select(col("q_id").as("qp"), col("cell"))
     val cand = codes.join(broadcast(probes), "cell")
-    val luts = (0 until PqM).map { m =>
-      val qLen = (size(col("qv")) / PqM).cast("int")
-      q.crossJoin(broadcast(cents.filter(col("sub") === m)))
-        .select(col("q_id").as(s"q$m"), col("cell").as(s"cell$m"),
-          dot(slice(col("qv"), lit(m) * qLen + 1, qLen), col("cv"))
-            .as(s"d$m"), col("cn").as(s"cn$m"))
-    }
-    val scored = luts.zipWithIndex.foldLeft(cand) { case (acc, (lut, m)) =>
-      acc.join(broadcast(lut),
-        acc(s"code$m") === lut(s"cell$m") && acc("qp") === lut(s"q$m"))
-    }
-    val adot = col("d0") + col("d1") + col("d2") + col("d3")
-    val rn = sqrt(col("cn0") * col("cn0") + col("cn1") * col("cn1") +
-      col("cn2") * col("cn2") + col("cn3") * col("cn3"))
-    scored.join(broadcast(q), col("qp") === col("q_id"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("c_id"),
-        (adot / (col("qn") * rn)).as("sim"))
+    adcScore(cand, adcLut(q, cents), Some(col("qp") === col("q_id")))
   }
 
   private def topK(joined: DataFrame): DataFrame = {
@@ -421,29 +478,10 @@ object SimilarityQueries {
       val codes = assigned.groupBy("vec_id").agg(codeAggs.head, codeAggs.tail: _*)
       val q = e.filter(col("vec_id") < KnnQueryIds)
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-      // asymmetric-distance lookup tables: query subvector · each
-      // subspace centroid (queries × PqK rows per subspace — tiny)
-      val luts = (0 until PqM).map { m =>
-        val qLen = (size(col("qv")) / PqM).cast("int")
-        q.crossJoin(broadcast(cents.filter(col("sub") === m)))
-          .select(col("q_id").as(s"q$m"), col("cell").as(s"cell$m"),
-            dot(slice(col("qv"), lit(m) * qLen + 1, qLen), col("cv"))
-              .as(s"d$m"), col("cn").as(s"cn$m"))
-      }
-      // one broadcast join per code column; the approximate similarity is
-      // a single left-to-right expression, bit-identical to the oracle's
-      val scored = luts.zipWithIndex.foldLeft(codes) { case (acc, (lut, m)) =>
-        acc.join(broadcast(lut),
-          acc(s"code$m") === lut(s"cell$m") &&
-            (if (m == 0) lit(true) else acc("q0") === lut(s"q$m")))
-      }
-      val adot = col("d0") + col("d1") + col("d2") + col("d3")
-      val rn = sqrt(col("cn0") * col("cn0") + col("cn1") * col("cn1") +
-        col("cn2") * col("cn2") + col("cn3") * col("cn3"))
-      val approx = scored.join(broadcast(q), col("q0") === col("q_id"))
-        .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id").as("c_id"),
-          (adot / (col("qn") * rn)).as("sim"))
+      // asymmetric-distance scoring via the single pivoted LUT (r18 —
+      // see adcLut/adcScore): one broadcast join, same fixed-order
+      // similarity expression, bit-identical to the oracle's
+      val approx = adcScore(codes, adcLut(q, cents), None)
       val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
       val pq = approx.withColumn("rk", row_number().over(w))
         .filter(col("rk") <= KnnK)
@@ -484,26 +522,11 @@ object SimilarityQueries {
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
       val probes = probedCells(q, coarse, NProbe)
         .select(col("q_id").as("qp"), col("cell"))
-      // candidates: probed cells only — the IVF pruning step
+      // candidates: probed cells only — the IVF pruning step; scoring
+      // via the single pivoted LUT (r18 — see adcLut/adcScore)
       val cand = codes.join(broadcast(probes), "cell")
-      val luts = (0 until PqM).map { m =>
-        val qLen = (size(col("qv")) / PqM).cast("int")
-        q.crossJoin(broadcast(cents.filter(col("sub") === m)))
-          .select(col("q_id").as(s"q$m"), col("cell").as(s"cell$m"),
-            dot(slice(col("qv"), lit(m) * qLen + 1, qLen), col("cv"))
-              .as(s"d$m"), col("cn").as(s"cn$m"))
-      }
-      val scored = luts.zipWithIndex.foldLeft(cand) { case (acc, (lut, m)) =>
-        acc.join(broadcast(lut),
-          acc(s"code$m") === lut(s"cell$m") && acc("qp") === lut(s"q$m"))
-      }
-      val adot = col("d0") + col("d1") + col("d2") + col("d3")
-      val rn = sqrt(col("cn0") * col("cn0") + col("cn1") * col("cn1") +
-        col("cn2") * col("cn2") + col("cn3") * col("cn3"))
-      val approx = scored.join(broadcast(q), col("qp") === col("q_id"))
-        .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id").as("c_id"),
-          (adot / (col("qn") * rn)).as("sim"))
+      val approx = adcScore(cand, adcLut(q, cents),
+        Some(col("qp") === col("q_id")))
       val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
       val ivfpq = approx.withColumn("rk", row_number().over(w))
         .filter(col("rk") <= KnnK)
@@ -565,25 +588,8 @@ object SimilarityQueries {
       val e = embWithNorm(s, d)
       val q = e.filter(col("vec_id") < KnnQueryIds)
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-      val luts = (0 until PqM).map { m =>
-        val qLen = (size(col("qv")) / PqM).cast("int")
-        q.crossJoin(broadcast(cents.filter(col("sub") === m)))
-          .select(col("q_id").as(s"q$m"), col("cell").as(s"cell$m"),
-            dot(slice(col("qv"), lit(m) * qLen + 1, qLen), col("cv"))
-              .as(s"d$m"), col("cn").as(s"cn$m"))
-      }
-      val scored = luts.zipWithIndex.foldLeft(codes) { case (acc, (lut, m)) =>
-        acc.join(broadcast(lut),
-          acc(s"code$m") === lut(s"cell$m") &&
-            (if (m == 0) lit(true) else acc("q0") === lut(s"q$m")))
-      }
-      val adot = col("d0") + col("d1") + col("d2") + col("d3")
-      val rn = sqrt(col("cn0") * col("cn0") + col("cn1") * col("cn1") +
-        col("cn2") * col("cn2") + col("cn3") * col("cn3"))
-      val approx = scored.join(broadcast(q), col("q0") === col("q_id"))
-        .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id").as("c_id"),
-          (adot / (col("qn") * rn)).as("sim"))
+      // single-LUT ADC scoring (r18 — see adcLut/adcScore)
+      val approx = adcScore(codes, adcLut(q, cents), None)
       val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
       val pq = approx.withColumn("rk", row_number().over(w))
         .filter(col("rk") <= KnnK)

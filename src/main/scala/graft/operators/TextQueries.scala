@@ -207,9 +207,17 @@ object TextQueries {
     // Params.e4 scaladoc) — ranking semantics are what the operator is
     // for, and those are preserved.
     "q_tfidf_topk" -> ((s, d) => {
+      // persisted (r18): tf feeds BOTH the document-frequency aggregation
+      // and the score join's left side — without the cache the corpus is
+      // scanned + tokenized + exploded + aggregated twice per run (the
+      // join's pushed isnotnull(term) makes the two subtrees non-identical,
+      // so ReuseExchange cannot dedup them; plan showed two parquet scans
+      // of `documents`). Same per-run persist lifecycle as q_dedup_ngram's
+      // shingle relation. At 100 TB this halves the corpus passes.
       val tf = Tables.documents(s, d)
         .select(col("doc_id"), explode(docToks).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .persist()
       val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val n = Tables.documents(s, d)
         .agg(count_distinct(col("doc_id")).as("n_docs"))

@@ -139,6 +139,13 @@ object WideRowOps {
                          coarseMs: Long): DataFrame = {
     require(coarseMs > gapMs, s"coarse range $coarseMs must exceed gap $gapMs")
     val wcb = Window.partitionBy(col("_cb")).orderBy(col(posCol))
+    // NOT persisted, deliberately (r18 measured both): the flagged
+    // relation feeds the per-range summary AND the final bucket join,
+    // but caching it read ~1.2x SLOWER end-to-end (q_interval_join
+    // 0.61 s -> 1.10 s, q_range_splits 0.41 -> 0.48 at sf0.1) — the
+    // recompute is one narrow scan + lag window, cheaper than the
+    // materialize/read round-trip, and at 100 TB persisting a
+    // fact-table-sized relation trades a cheap second pass for spill.
     val withFlags = df
       .withColumn("_cb", expr(s"$posCol div $coarseMs"))
       .withColumn("_new",
