@@ -25,6 +25,10 @@ object PerfProbe {
       println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2fs")
     }
 
+    if (args.headOption.contains("kmeans")) {
+      kmeansProbe(spark, args.lift(1).getOrElse("/root/testdata/sf0.1"))
+      spark.stop(); return
+    }
     if (args.headOption.contains("skew")) { skewProbe(spark, time); spark.stop(); return }
     if (args.headOption.contains("lookup")) { lookupProbe(spark, time); spark.stop(); return }
     if (args.headOption.contains("probejoin")) { probeJoinProbe(spark, time); spark.stop(); return }
@@ -83,6 +87,88 @@ object PerfProbe {
         .groupBy("doc_id").agg(min(md5(col("sh"))).as("fp"))
     }
     spark.stop()
+  }
+
+  /** Lloyd-loop shape probe (r19, adjudicating the r18 "lazy loop" claim):
+    * times the k-medians training end-to-end under three checkpoint
+    * disciplines — `lazy` (final-only, the r18 shape), `centEvery`
+    * (checkpoint the tiny k-row centroids every iteration: shallow plans,
+    * negligible materialization), `assignEvery` (checkpoint the full
+    * assignment every iteration: the r17 shape) — plus the driver-side
+    * plan cost of the lazy chain in isolation. 3 reps each, warm JVM. */
+  private def kmeansProbe(spark: SparkSession, sfDir: String): Unit = {
+    import graft.operators.Params
+    import graft.functions.VectorExpressions
+    val k = Params.KMedK
+    val iters = Params.KMedIters
+    def emb: DataFrame = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(VectorExpressions.vector_dot(col("v"), col("v"))))
+    def medCent(assigned: DataFrame): DataFrame =
+      assigned.select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos")).agg(median(col("x")).as("av"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("av")))).as("pa"))
+        .select(col("cell"), transform(col("pa"), p => p.getField("av")).as("cv"))
+        .withColumn("cn", sqrt(VectorExpressions.vector_dot(col("cv"), col("cv"))))
+    def loop(mode: String): Unit = {
+      val t0 = System.nanoTime()
+      val base = emb.repartition(col("vec_id")).persist()
+      var assigned = base.select(col("vec_id"),
+        pmod(col("vec_id"), lit(k)).as("cell"), col("v"), col("nrm"))
+      var lastCent: DataFrame = null
+      for (i <- 1 to iters) {
+        val cent0 = medCent(assigned)
+        val cent = if (i == iters || mode == "centEvery") cent0.localCheckpoint()
+          else cent0
+        if (mode == "centEvery" || i == iters)
+          println(f"    [$mode] cent $i done at ${(System.nanoTime() - t0) / 1e9}%6.2fs")
+        lastCent = cent
+        val sim = VectorExpressions.vector_dot(col("v"), col("cv")) /
+          (col("nrm") * col("cn"))
+        assigned = base.crossJoin(broadcast(cent))
+          .select(col("vec_id"), col("v"), col("nrm"), col("cell"), sim.as("csim"))
+          .groupBy("vec_id")
+          .agg(max_by(struct(col("cell"), col("v"), col("nrm")),
+            struct(col("csim"), -col("cell"))).as("_best"))
+          .select(col("vec_id"), col("_best.cell").as("cell"),
+            col("_best.v").as("v"), col("_best.nrm").as("nrm"))
+        if (mode == "assignEvery") {
+          assigned = assigned.localCheckpoint()
+          println(f"    [$mode] assign $i done at ${(System.nanoTime() - t0) / 1e9}%6.2fs")
+        }
+      }
+      assigned = assigned.localCheckpoint()
+      base.unpersist()
+      println(f"  [$mode] total ${(System.nanoTime() - t0) / 1e9}%6.2fs")
+    }
+    // driver planning cost of the lazy chain alone: build it and force
+    // analysis + optimization + physical planning without executing
+    def planOnly(): Unit = {
+      val t0 = System.nanoTime()
+      val base = emb.repartition(col("vec_id")).persist()
+      var assigned = base.select(col("vec_id"),
+        pmod(col("vec_id"), lit(k)).as("cell"), col("v"), col("nrm"))
+      for (_ <- 1 to iters) {
+        val cent = medCent(assigned)
+        val sim = VectorExpressions.vector_dot(col("v"), col("cv")) /
+          (col("nrm") * col("cn"))
+        assigned = base.crossJoin(broadcast(cent))
+          .select(col("vec_id"), col("v"), col("nrm"), col("cell"), sim.as("csim"))
+          .groupBy("vec_id")
+          .agg(max_by(struct(col("cell"), col("v"), col("nrm")),
+            struct(col("csim"), -col("cell"))).as("_best"))
+          .select(col("vec_id"), col("_best.cell").as("cell"),
+            col("_best.v").as("v"), col("_best.nrm").as("nrm"))
+      }
+      assigned.queryExecution.executedPlan // force through physical planning
+      base.unpersist()
+      println(f"  [planOnly-lazy] ${(System.nanoTime() - t0) / 1e9}%6.2fs")
+    }
+    for (rep <- 1 to 3) {
+      println(s"rep $rep:")
+      loop("lazy"); loop("centEvery"); loop("assignEvery"); planOnly()
+    }
   }
 
   /** Columnar-vs-row boundary probe for the cells view (VERDICT r6

@@ -284,6 +284,38 @@ case class SimHash64(child: Expression, bits: Int)
     copy(child = newChild)
 }
 
+/** `true` iff the text has at least `n` lowercase-alpha tokens — the
+  * EARLY-EXIT twin of the tokenizer the sibling expressions share (a
+  * maximal `[a-z]+` run of the lowercased text is exactly one nonempty
+  * token of the `[^a-z]+` split). Exists so callers can pre-filter
+  * short docs CHEAPLY instead of filtering on the derived signature
+  * column: Catalyst pushes such a filter below the projection by
+  * re-inlining the full expression, so `filter(size(sig) > 0)` priced
+  * every doc's complete MinHash/SimHash TWICE (r19 plan evidence:
+  * `minhash_signature` appeared in both Filter and Project). This
+  * predicate stops scanning at the n-th token. */
+case class MinTokens(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, s"token threshold must be >= 1, got $n")
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "min_tokens"
+
+  @transient private lazy val runs: Pattern = Pattern.compile("[a-z]+")
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString.toLowerCase
+    val m = runs.matcher(text)
+    var found = 0
+    while (found < n && m.find()) found += 1
+    found >= n
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinTokens =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   /** `word_shingles(text, n)`: lowercase-alpha word n-gram shingles of a
     * text column, joined by single spaces. */
@@ -307,4 +339,11 @@ object TextExpressions {
     * in one narrow pass; NULL for token-less text. */
   def simhash64(c: Column, bits: Int): Column =
     GraftColumnBridge.column(SimHash64(GraftColumnBridge.expression(c), bits))
+
+  /** `min_tokens(text, n)`: true iff `text` has >= n lowercase-alpha
+    * tokens — the cheap early-exit pre-filter for the signature
+    * expressions (false/NULL rows are exactly those whose signature
+    * would be empty/NULL). */
+  def min_tokens(c: Column, n: Int): Column =
+    GraftColumnBridge.column(MinTokens(GraftColumnBridge.expression(c), n))
 }

@@ -459,7 +459,7 @@ object AnnIndex {
     * corpus-sized shuffle join on vec_id at scale. One grouped pass
     * yields both; the trailing filter reproduces the inner-join
     * semantics exactly (keep a vector only when it has BOTH a cell
-    * cell and at least one code cell). */
+    * column and at least one code column). */
   def loadVectorCodesWithCells(s: SparkSession, idxDir: String,
                                m: Int): DataFrame = {
     val aggs = (0 until m).map(i =>

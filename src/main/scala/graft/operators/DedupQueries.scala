@@ -65,8 +65,15 @@ object DedupQueries {
     val sig = graft.functions.TextExpressions.minhash_signature(
       col("text"), ShingleN,
       (0 until perms).map(permA), (0 until perms).map(permB), PermP)
-    val staged = docs.select(col("doc_id"), sig.as("_sig"))
-      .filter(size(col("_sig")) > 0)
+    // Pre-filter short docs with the early-exit min_tokens predicate
+    // instead of `filter(size(_sig) > 0)`: Catalyst pushed that filter
+    // below the projection by re-inlining the signature, so every doc
+    // paid the FULL 64-perm MinHash twice (r19 before-plan: the
+    // expression in both Filter and Project). min_tokens(text, n) is
+    // false exactly when the signature would be empty (< n tokens).
+    val staged = docs
+      .filter(graft.functions.TextExpressions.min_tokens(col("text"), ShingleN))
+      .select(col("doc_id"), sig.as("_sig"))
       .select(col("doc_id") +:
         (0 until perms).map(i => element_at(col("_sig"), i + 1).as(s"sig$i")): _*)
     val bandCols = (0 until bands).map { b =>
@@ -98,9 +105,14 @@ object DedupQueries {
     * Token-less docs hash to NULL and are dropped, matching the
     * aggregation form where they contribute no token rows. */
   def simhash(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
+    // pre-filter token-less docs with the early-exit min_tokens
+    // predicate: `filter(simhash.isNotNull)` was pushed below the
+    // projection as `isnotnull(simhash64(text))`, hashing every doc
+    // twice (r19 before-plan). simhash64 is NULL exactly when the doc
+    // has no tokens, i.e. min_tokens(text, 1) is false.
+    docs.filter(graft.functions.TextExpressions.min_tokens(col("text"), 1))
+      .select(col("doc_id"),
         graft.functions.TextExpressions.simhash64(col("text"), SimHashBits).as("simhash"))
-      .filter(col("simhash").isNotNull)
 
   private def sampleDocs(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).filter(col("doc_id") < PairSampleIds)
@@ -318,16 +330,9 @@ object DedupQueries {
     // the digest — the corpus is never shuffled by content. Clean text is
     // compared as (md5, length) like q_pii_redact.
     "q_para_dedup" -> ((s, d) => {
-      val words = Tables.documents(s, d)
-        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
-      // paras feeds the frequency agg, the anti-join, and the per-doc
-      // totals — persist instead of recomputing the explode three times
-      val paras = words
-        .groupBy(col("doc_id"), floor(col("pos") / ParaWords).as("chunk"))
-        .agg(array_join(transform(array_sort(collect_list(struct(col("pos"), col("word")))),
-          x => x.getField("word")), " ").as("para"))
-        .withColumn("h", md5(col("para")))
-        .persist()
+      // paras feeds the frequency agg and the reassembly pass — persist
+      // instead of recomputing the unit split twice
+      val paras = paraUnits(Tables.documents(s, d)).persist()
       val boiler = paras.groupBy("h")
         .agg(countDistinct(col("doc_id")).as("n_docs"))
         .filter(col("n_docs") >= ParaMinDocs)
@@ -359,12 +364,7 @@ object DedupQueries {
     // re-aggregating the crawl.
     "q_para_dedup_served" -> ((s, d) => {
       val store = paraStoreFixture(s, d)
-      val paras = Tables.documents(s, d)
-        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
-        .groupBy(col("doc_id"), floor(col("pos") / ParaWords).as("chunk"))
-        .agg(array_join(transform(array_sort(collect_list(struct(col("pos"), col("word")))),
-          x => x.getField("word")), " ").as("para"))
-        .withColumn("h", md5(col("para")))
+      val paras = paraUnits(Tables.documents(s, d))
       val boiler = DfStore.docFreqs(s, store)
         .filter(col("df") >= ParaMinDocs)
         .select(col("term").as("h"))
@@ -399,35 +399,51 @@ object DedupQueries {
         .orderBy("doc_id", "span_start")),
     // The APPLY step: every duplicated span is scrubbed from every doc
     // (the CCNet-flavored removal; a keep-one-owner policy is a
-    // per-span arbitration on top of the same relation). One token
-    // posexplode, a per-doc containment join against the tiny span
-    // relation (few spans per doc), and the same digest-only emission
-    // as para-dedup — the corpus text is never shuffled whole. Per-doc
-    // totals come from size(split(...)) — a narrow projection, never a
-    // second explode of the corpus.
+    // per-span arbitration on top of the same relation). r19 shape
+    // (guide §2.4/§2.3): the tiny span relation aggregates to a per-doc
+    // span ARRAY and broadcast-joins onto the corpus; span removal and
+    // the clean-text rebuild are then a narrow per-row array filter —
+    // the r18 shape posexploded every corpus token, anti-joined each
+    // against the spans, and re-sorted + re-assembled them in a per-doc
+    // collect_list aggregation (a full corpus-tokens exchange + sort for
+    // an order the row already had). Digest-only emission as before;
+    // the corpus text is never shuffled at all now.
     "q_dup_spans_apply" -> ((s, d) => {
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
-      val spans = dupSpans(s, d)
-      val kept = toks.join(spans,
-          toks("doc_id") === spans("doc_id") &&
-            col("pos") >= col("span_start") && col("pos") <= col("span_end"),
-          "left_anti")
-      val cleaned = kept.groupBy("doc_id")
-        .agg(count(lit(1)).as("tokens_kept"),
-          md5(array_join(transform(
-            array_sort(collect_list(struct(col("pos"), col("word")))),
-            x => x.getField("word")), " ")).as("clean_md5"))
+      val spans = dupSpans(s, d).groupBy("doc_id")
+        .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
       Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .join(broadcast(spans), Seq("doc_id"), "left") // most docs: no spans
+        .select(col("doc_id"), col("ws"),
+          filter(col("ws"), (_, pos) => not(coalesce(exists(col("spans"),
+              sp => pos >= sp.getField("span_start") &&
+                pos <= sp.getField("span_end")), lit(false)))).as("kept"))
         .select(col("doc_id"),
-          size(split(col("text"), " ")).cast("long").as("tokens_total"))
-        .join(cleaned, Seq("doc_id"), "left") // a doc can lose every token
-        .select(col("doc_id"), col("tokens_total"),
-          coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"),
-          coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
+          size(col("ws")).cast("long").as("tokens_total"),
+          size(col("kept")).cast("long").as("tokens_kept"),
+          // a doc can lose every token: array_join(empty) = "" = the
+          // old coalesce(md5(''))
+          md5(array_join(col("kept"), " ")).as("clean_md5"))
         .orderBy("doc_id")
     })
   )
+
+  /** (doc_id, chunk, para, h): each document's [[Params.ParaWords]]-word
+    * paragraph units as a NARROW projection (r19, guide §2.4) — split the
+    * text once and slice each chunk from the word array. The r18 shape
+    * posexploded every word of the corpus and reassembled adjacent words
+    * with a per-(doc, chunk) collect_list aggregation: a full corpus-words
+    * exchange + sort-on-collect to compute something that never needed to
+    * leave the row. Unit boundaries, word order and the trailing partial
+    * chunk are bit-identical (same `split(text, ' ')` array, 0-based
+    * chunk = floor(pos / ParaWords)). */
+  private def paraUnits(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), floor((size(col("ws")) - 1) / lit(ParaWords)).cast("int")),
+        c => array_join(slice(col("ws"), c * ParaWords + 1, lit(ParaWords)), " ")))
+        .as(Seq("chunk", "para")))
+      .withColumn("h", md5(col("para")))
 
   /** Shared core of q_dup_spans / q_dup_spans_apply: maximal duplicated
     * token spans per document — windows digested, cross-doc-duplicated
@@ -444,9 +460,13 @@ object DedupQueries {
           md5(array_join(slice(col("ws"), i + 1, lit(DupSpanTokens)), " ")).as("h")))).as("w"))
       .select(col("doc_id"), col("w.start"), col("w.h"))
       .persist() // feeds the frequency agg AND the join back
+    // "appears in >= 2 DISTINCT docs" as min != max (r19, guide §2.3):
+    // the single-phase min/max agg replaces the two-layer distinct-count
+    // rewrite (Expand + dedup layer) and its wider partial state — for a
+    // >= 2 threshold the two are equivalent by definition
     val dup = wins.groupBy("h")
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2).select("h")
+      .agg(min(col("doc_id")).as("_mn"), max(col("doc_id")).as("_mx"))
+      .filter(col("_mn") =!= col("_mx")).select("h")
     val prevMax = W.partitionBy("doc_id").orderBy("start")
       .rowsBetween(W.unboundedPreceding, -1)
     val runSum = W.partitionBy("doc_id").orderBy("start")

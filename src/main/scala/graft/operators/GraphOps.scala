@@ -56,16 +56,24 @@ object GraphOps {
     * and converges in O(log n) passes from there. `pointerJumping =
     * false` pins the one-join-per-pass shape unconditionally.
     *
-    * Scale shape: each pass is one equi-join of the (persisted,
-    * symmetrized) edge list with the label relation plus a min hash-agg
-    * — O(E) shuffle per pass — and, once stalled, one additional
-    * labels⋈labels self-join (O(V), smaller side). No driver-side
-    * per-row state. Each pass materializes exactly ONE relation: the
-    * 3-column `(id, old, component)` step result is `localCheckpoint`ed
-    * (eager, cached, flat lineage — the k-medians pattern) and both the
+    * Scale shape (r19, guide §2.4/§2.3): the symmetrized edge list is
+    * hash-partitioned ONCE on the join key `v` and cached, so each
+    * pass's edges⋈labels equi-join never re-shuffles the edge list; the
+    * neighbor labels then union the vertices' own labels into a single
+    * min hash-agg — ONE narrow (id, component, own) exchange per pass —
+    * where the own label doubles as the `old` column for convergence
+    * counting (the r18 shape paid three exchanges per pass: edge
+    * re-shuffle, neighbor-min agg, and a second labels join to merge).
+    * Once stalled, one additional labels⋈labels self-join (O(V),
+    * smaller side). No driver-side per-row state. Each pass
+    * materializes exactly ONE relation: the 3-column
+    * `(id, old, component)` step result is `localCheckpoint`ed (eager,
+    * cached, flat lineage — the k-medians pattern) and both the
     * convergence count and the next pass's labels read those cached
-    * partitions (r6 persisted the step AND checkpointed a projection of
-    * it — two materializations per pass for no extra information).
+    * partitions. Initialization is FUSED with the first propagation
+    * pass: with identity labels, neighbor-min is min(v) per u, so one
+    * aggregation replaces the init distinct plus the first join pass
+    * (`onConverged`'s pass count therefore excludes that fused pass).
     * Non-convergence within `maxIters` still fails LOUDLY rather than
     * returning a half-merged clustering.
     *
@@ -79,25 +87,47 @@ object GraphOps {
                           maxIters: Int = 64,
                           pointerJumping: Boolean = true,
                           onConverged: (Int, Int) => Unit = (_, _) => ()): DataFrame = {
+    // Partitioned ONCE on the per-pass join key (r19, guide §2.4): every
+    // pass equi-joins sym on `v`, so hash-partitioning the edge list by
+    // `v` before caching makes the edge side of every pass's join
+    // exchange-free — the r18 shape cached the distinct()'s (u,v)
+    // partitioning and re-shuffled the FULL edge list every pass, the
+    // dominant per-pass bytes at scale. The v-partitioning also
+    // satisfies the (u,v) dedup's clustering requirement, so
+    // dropDuplicates adds no second exchange.
     val sym = edges.select(col(src).as("u"), col(dst).as("v"))
       .union(edges.select(col(dst).as("u"), col(src).as("v")))
-      .distinct().persist()
-    // localCheckpoint is eager and caches: flat lineage from pass zero
-    var labels = sym.select(col("u").as("id")).distinct()
-      .withColumn("component", col("id")).localCheckpoint()
+      .repartition(col("v"))
+      .dropDuplicates("u", "v")
+      .persist()
+    // Init fused with the first propagation pass (r19): with identity
+    // labels, neighbor-min is just min(v) per u, so ONE aggregation
+    // replaces the r18 init distinct AND its first join pass.
+    // localCheckpoint is eager and caches: flat lineage from pass zero.
+    var labels = sym.groupBy("u").agg(min(col("v")).as("nmin"))
+      .select(col("u").as("id"), least(col("u"), col("nmin")).as("component"))
+      .localCheckpoint()
     var it = 0
     var changed = 1L
     var prevChanged = Long.MaxValue
     var jumping = false
     var jumpPasses = 0
     while (changed > 0 && it < maxIters) {
-      val neighborMin = sym
+      // One join + ONE aggregation per pass (r19; the r18 shape was
+      // join + agg + second labels join): neighbor labels and each
+      // vertex's own label union into a single min-aggregation, with the
+      // own label carried through as `old` for convergence counting —
+      // every id appears exactly once with own=true, so max(when(own))
+      // reconstructs it. Exchanges per pass: ONE (the union agg on id) —
+      // sym is cache-partitioned on v and labels arrives checkpointed
+      // with its agg's id-partitioning.
+      val stepped = sym
         .join(labels, sym("v") === labels("id"))
-        .groupBy(col("u")).agg(min(col("component")).as("nmin"))
-      val stepped = labels.join(neighborMin, labels("id") === neighborMin("u"), "left")
-        .select(col("id"), col("component").as("old"),
-          least(col("component"), coalesce(col("nmin"), col("component")))
-            .as("component"))
+        .select(col("u").as("id"), col("component"), lit(false).as("own"))
+        .union(labels.select(col("id"), col("component"), lit(true).as("own")))
+        .groupBy("id")
+        .agg(min(col("component")).as("component"),
+          max(when(col("own"), col("component"))).as("old"))
       // pointer jump: component ← component's component. Every label value
       // is a vertex id present in `labels` (mins of ids are ids), so the
       // left join only misses when the chain already ends at a root.

@@ -129,6 +129,30 @@ class TextExpressionsSpec extends AnyFunSuite {
     assert(out(0).isNullAt(0) && !out(1).isNullAt(0))
   }
 
+  test("min_tokens(text, n) == the signature-emptiness conditions it pre-filters " +
+    "(r19: replaces filter-on-derived-column, which double-evaluated the signatures)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    // min_tokens(text, ShingleN) must equal size(minhash_signature) > 0
+    val mh = docs.select(
+      TextExpressions.min_tokens(col("text"), Params.ShingleN).as("cheap"),
+      (size(TextExpressions.minhash_signature(col("text"), Params.ShingleN,
+        (0 until 4).map(Params.minHashA), (0 until 4).map(Params.minHashB),
+        Params.MinHashP)) > 0).as("full"))
+    assert(mh.filter(col("cheap") =!= col("full")).count() == 0)
+    // min_tokens(text, 1) must equal simhash64.isNotNull
+    val sh = docs.select(
+      TextExpressions.min_tokens(col("text"), 1).as("cheap"),
+      TextExpressions.simhash64(col("text"), Params.SimHashBits).isNotNull.as("full"))
+    assert(sh.filter(col("cheap") =!= col("full")).count() == 0)
+    // edge cases: empty, punctuation-only, boundary token counts, nulls
+    import spark.implicits._
+    val edges = Seq("", "!!! 123 ...", "one", "one two", "one two three",
+      "ONE-two_three", "a b c d", null.asInstanceOf[String]).toDF("text")
+    val got = edges.select(TextExpressions.min_tokens(col("text"), 3).as("m"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getBoolean(0)).toSeq
+    assert(got == Seq(false, false, false, false, true, true, true, null))
+  }
+
   test("null text yields null (UnaryExpression null propagation)") {
     import spark.implicits._
     val df = Seq(Option("x y z w"), None).toDF("text")

@@ -216,26 +216,30 @@ class PlanQualitySpec extends AnyFunSuite {
       .findAllMatchIn(plan).map(_.group(1)).toSeq
     assert(exchanges.nonEmpty && exchanges.forall(!_.contains("text")),
       s"an exchange carries document text:\n$exchanges")
-    // frequency table is a map-side-combinable hash agg on the digest
-    assert(plan.contains("partial_count(distinct"),
-      s"no partial distinct-doc count on the digest table:\n$plan")
+    // frequency table is a SINGLE-PHASE map-side-combinable hash agg on
+    // the digest (r19: ">= 2 distinct docs" as min != max — the
+    // distinct-count rewrite's Expand + dedup layer must stay gone)
+    assert(plan.contains("partial_min") && plan.contains("partial_max"),
+      s"no partial min/max on the digest table:\n$plan")
+    assert(!plan.contains("partial_count(distinct"),
+      s"the two-layer distinct-count shape crept back:\n$plan")
   }
 
-  test("q_dup_spans_apply: one corpus explode; totals from a narrow projection") {
+  test("q_dup_spans_apply: corpus tokens never explode or shuffle — span " +
+    "removal is a narrow array filter under a broadcast span join (r19)") {
     val plan = finalPlan("q_dup_spans_apply")
-    // (ADVICE r7: precedence made the old one-liner vacuous) — no
-    // cartesian ever; BNLJ tolerated ONLY as the LeftAnti containment
-    // join whose broadcast side is the tiny span relation
     assert(!plan.contains("CartesianProduct"),
       s"unexpected cartesian over the corpus:\n$plan")
-    val bnlj = "BroadcastNestedLoopJoin[^\n]*".r.findAllIn(plan).toSeq
-    assert(bnlj.forall(_.contains("LeftAnti")),
-      s"non-anti BNLJ over the corpus:\n$bnlj\n$plan")
-    // the corpus text is exploded exactly once: the span-removal branch.
-    // totals come from size(split(...)) — a second Generate over the
-    // documents relation would double the heaviest stage
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"the per-token containment BNLJ is gone in the r19 shape:\n$plan")
+    // r19: the corpus text is never exploded at all — spans aggregate to
+    // a per-doc array, broadcast onto the documents scan, and the clean
+    // text rebuilds as a per-row array filter. A Generate over the
+    // documents relation would mean the corpus-tokens shuffle came back.
     val explodes = "Generate posexplode".r.findAllIn(plan).length
-    assert(explodes == 1, s"expected ONE corpus posexplode, got $explodes:\n$plan")
+    assert(explodes == 0, s"expected ZERO corpus posexplodes, got $explodes:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftOuter"),
+      s"spans must broadcast-left-join onto the corpus:\n$plan")
   }
 
   test("q_ann_*_served: serving NEVER trains — after the index fixture's " +
