@@ -29,6 +29,15 @@ object PerfProbe {
       kmeansProbe(spark, args.lift(1).getOrElse("/root/testdata/sf0.1"))
       spark.stop(); return
     }
+    if (args.headOption.contains("cc")) {
+      ccProbe(spark, args.lift(1).getOrElse("/root/testdata/sf0.1"))
+      spark.stop(); return
+    }
+    if (args.headOption.contains("loopplans")) {
+      loopPlans(spark, args.lift(1).getOrElse("/root/testdata/sf0.001"),
+        args.lift(2).getOrElse("plans/r19"))
+      spark.stop(); return
+    }
     if (args.headOption.contains("skew")) { skewProbe(spark, time); spark.stop(); return }
     if (args.headOption.contains("lookup")) { lookupProbe(spark, time); spark.stop(); return }
     if (args.headOption.contains("probejoin")) { probeJoinProbe(spark, time); spark.stop(); return }
@@ -169,6 +178,97 @@ object PerfProbe {
       println(s"rep $rep:")
       loop("lazy"); loop("centEvery"); loop("assignEvery"); planOnly()
     }
+  }
+
+  /** Writes the INTERNAL loop-body physical plans the checkpoint-backed
+    * declared queries hide (r19 evidence): one connected-components pass
+    * (the stepped relation, pre-materialization) and one k-medians Lloyd
+    * iteration (the assignment relation). Both reconstruct the loop body
+    * with the production code's exact operators so Exchange placement is
+    * inspectable — the declared queries' final plans only show the
+    * checkpointed RDD scan. */
+  private def loopPlans(spark: SparkSession, sfDir: String, outDir: String): Unit = {
+    import graft.operators.{DedupQueries, GraphOps, Params, SimilarityQueries}
+    import graft.functions.VectorExpressions
+    def dump(name: String, df: DataFrame): Unit = {
+      val txt = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(outDir, s"$name.txt"),
+        txt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      println(s"[loopplans] $name -> $outDir/$name.txt")
+    }
+    // ── one CC pass, exactly the GraphOps loop body
+    val edges = SparkEntry.queries("q_simhash_pairs")(spark, sfDir)
+      .select(col("a"), col("b"))
+    val sym = edges.select(col("a").as("u"), col("b").as("v"))
+      .union(edges.select(col("b").as("u"), col("a").as("v")))
+      .repartition(col("v"))
+      .dropDuplicates("u", "v")
+      .persist()
+    sym.count() // materialize the cache so the dumped plan reads as at runtime
+    val labels = sym.groupBy("u").agg(min(col("v")).as("nmin"))
+      .select(col("u").as("id"), least(col("u"), col("nmin")).as("component"))
+      .localCheckpoint()
+    val stepped = sym
+      .join(labels, sym("v") === labels("id"))
+      .select(col("u").as("id"), col("component"), lit(false).as("own"))
+      .union(labels.select(col("id"), col("component"), lit(true).as("own")))
+      .groupBy("id")
+      .agg(min(col("component")).as("component"),
+        max(when(col("own"), col("component"))).as("old"))
+    dump("internal_cc_pass", stepped)
+    sym.unpersist()
+    // ── one Lloyd iteration, exactly the kmediansCells loop body
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(VectorExpressions.vector_dot(col("v"), col("v"))))
+    val base = e.repartition(col("vec_id")).persist()
+    base.count() // materialize the cache so the dumped plan reads as at runtime
+    val assigned0 = base.select(col("vec_id"),
+      pmod(col("vec_id"), lit(Params.KMedK)).as("cell"), col("v"), col("nrm"))
+    val cent = assigned0.select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("cell"), col("pos")).agg(median(col("x")).as("av"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("av")))).as("pa"))
+      .select(col("cell"), transform(col("pa"), p => p.getField("av")).as("cv"))
+      .withColumn("cn", sqrt(VectorExpressions.vector_dot(col("cv"), col("cv"))))
+      .localCheckpoint()
+    val assigned1 = base
+      .crossJoin(broadcast(cent.select(
+        collect_list(struct(col("cell"), col("cv"), col("cn"))).as("cs"))))
+      .withColumn("_cands", transform(col("cs"), c =>
+        struct(c.getField("cell").as("cell"),
+          (VectorExpressions.vector_dot(col("v"), c.getField("cv")) /
+            (col("nrm") * c.getField("cn"))).as("csim"))))
+      .withColumn("_best", aggregate(col("_cands"),
+        struct(lit(Long.MaxValue).as("cell"),
+          lit(Double.NegativeInfinity).as("csim")),
+        (acc, c) => when(c.getField("csim") > acc.getField("csim") ||
+            (c.getField("csim") === acc.getField("csim") &&
+              c.getField("cell") < acc.getField("cell")), c).otherwise(acc)))
+      .select(col("vec_id"), col("_best.cell").as("cell"), col("v"), col("nrm"))
+    dump("internal_kmeans_iteration", assigned1)
+    base.unpersist()
+  }
+
+  /** Connected-components probe (r19): pass counts and wall time for the
+    * real bench edge relation (q_simhash_pairs output), 3 warm reps —
+    * what the clusters fixpoint actually pays per pass at this SF. */
+  private def ccProbe(spark: SparkSession, sfDir: String): Unit = {
+    import graft.operators.GraphOps
+    val edges = SparkEntry.queries("q_simhash_pairs")(spark, sfDir)
+      .select(col("a"), col("b")).persist()
+    println(s"edges: ${edges.count()}")
+    for (rep <- 1 to 3) {
+      val t0 = System.nanoTime()
+      GraphOps.connectedComponents(edges, "a", "b",
+        onConverged = (p, j) => println(f"  rep $rep passes=$p jump=$j " +
+          f"${(System.nanoTime() - t0) / 1e9}%6.2fs"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    edges.unpersist()
   }
 
   /** Columnar-vs-row boundary probe for the cells view (VERDICT r6

@@ -154,12 +154,15 @@ object PipelineQueries {
           graft.functions.TextExpressions.word_shingles(col("text"), ShingleN))).as("sh"))
       val eval_ = sh.filter(col("doc_id") < EvalDocIds).select("sh").distinct()
       val train = sh.filter(col("doc_id") >= EvalDocIds)
-      val overlap = train.join(broadcast(eval_), Seq("sh"), "left_semi")
-        .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
-      train.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-        .join(overlap, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_shingles"),
-          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      // ONE corpus shingle pass (r19, guide §1.2): the eval set is
+      // DISTINCT, so a broadcast left join marks each train shingle
+      // (never duplicates it) and a single per-doc aggregation counts
+      // totals + overlaps together — the r18 shape exploded the corpus
+      // twice (a semi-join overlap count and a separate totals agg,
+      // stitched by a third join)
+      train.join(broadcast(eval_.withColumn("hit", lit(1))), Seq("sh"), "left")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shingles"),
+          count(col("hit")).as("n_overlap"))
         .withColumn("contam_e4",
           e4(col("n_overlap").cast("double") / col("n_shingles")))
         .withColumn("flagged",
@@ -274,12 +277,18 @@ object PipelineQueries {
               lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
               lit(" ip 10.0."), (col("doc_id") % 256).cast("string"), lit(".7")))
             .otherwise(col("text")))
+        // the redacted text is NAMED in its own projection (r19): both
+        // consumers (md5 + length) referencing `redact(t2)` directly made
+        // the plan evaluate the 3-regex replace chain TWICE per row
+        // (CollapseProject keeps a multi-use non-cheap alias staged, so
+        // the named column evaluates once — same trap as minhash's _sig)
+        .withColumn("red", redact(col("t2")))
         .select(col("doc_id"),
           when(col("t2").rlike(emailRe), 1L).otherwise(0L).as("has_email"),
           when(col("t2").rlike(phoneRe), 1L).otherwise(0L).as("has_phone"),
           when(col("t2").rlike(ipRe), 1L).otherwise(0L).as("has_ip"),
-          md5(redact(col("t2"))).as("redacted_fp"),
-          length(redact(col("t2"))).cast("long").as("redacted_len"))
+          md5(col("red")).as("redacted_fp"),
+          length(col("red")).cast("long").as("redacted_len"))
         .orderBy("doc_id")
     })
   )

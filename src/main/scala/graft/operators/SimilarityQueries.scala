@@ -114,17 +114,33 @@ object SimilarityQueries {
       // broadcast centroids and materializes exactly once, at the end.
       val cent = medianCentroids(assigned).localCheckpoint()
       lastCent = cent
-      val sim = dot(col("v"), col("cv")) / (col("nrm") * col("cn"))
+      // Best cell as a NARROW per-row fold over the k broadcast
+      // centroids (r19): the r18 shape exploded every vector k ways
+      // (crossJoin) and re-grouped with max_by — whose struct-typed
+      // buffer cannot hash-aggregate, so every iteration paid a
+      // per-partition SORT of the n×k candidate rows (SortAggregate in
+      // the r19 internal plan dump). The fold computes the same
+      // (csim DESC, cell ASC) argmax — max cosine wins; exact-tie →
+      // lowest cell id, same rule as the oracle's — per row with zero
+      // row multiplication, zero sort, zero aggregation. Candidate
+      // similarities are the same fixed expression evaluated once per
+      // candidate (the `transform` stage), so values are bit-identical;
+      // cells are unique per centroid relation, so the fold's strict
+      // lexicographic improvement is order-independent.
       assigned = base
-        .crossJoin(broadcast(cent))
-        .select(col("vec_id"), col("v"), col("nrm"), col("cell"), sim.as("csim"))
-        .groupBy("vec_id")
-        // max cosine wins; exact-tie → lowest cell id (negated in the
-        // max_by ordering) — same rule as the oracle's (csim DESC, cell)
-        .agg(max_by(struct(col("cell"), col("v"), col("nrm")),
-          struct(col("csim"), -col("cell"))).as("_best"))
-        .select(col("vec_id"), col("_best.cell").as("cell"),
-          col("_best.v").as("v"), col("_best.nrm").as("nrm"))
+        .crossJoin(broadcast(cent.select(
+          collect_list(struct(col("cell"), col("cv"), col("cn"))).as("cs"))))
+        .withColumn("_cands", transform(col("cs"), c =>
+          struct(c.getField("cell").as("cell"),
+            (dot(col("v"), c.getField("cv")) / (col("nrm") * c.getField("cn")))
+              .as("csim"))))
+        .withColumn("_best", aggregate(col("_cands"),
+          struct(lit(Long.MaxValue).as("cell"),
+            lit(Double.NegativeInfinity).as("csim")),
+          (acc, c) => when(c.getField("csim") > acc.getField("csim") ||
+              (c.getField("csim") === acc.getField("csim") &&
+                c.getField("cell") < acc.getField("cell")), c).otherwise(acc)))
+        .select(col("vec_id"), col("_best.cell").as("cell"), col("v"), col("nrm"))
     }
     // one pass over the persisted base against the cached centroids,
     // then release the base — both returned frames are materialized and
@@ -168,15 +184,24 @@ object SimilarityQueries {
     for (i <- 1 to iters) {
       val cent = medianCentroidsKeyed(assigned, Seq("sub", "cell")).localCheckpoint()
       lastCent = cent
-      val sim = dot(col("v"), col("cv")) / (col("nrm") * col("cn"))
-      assigned = base.join(broadcast(cent), "sub")
-        .select(col("sub"), col("vec_id"), col("v"), col("nrm"), col("cell"),
-          sim.as("csim"))
-        .groupBy("sub", "vec_id")
-        .agg(max_by(struct(col("cell"), col("v"), col("nrm")),
-          struct(col("csim"), -col("cell"))).as("_best"))
+      // same narrow per-row fold as [[kmediansCells]] (r19): the m
+      // per-subspace codebooks broadcast as one array per `sub`, and
+      // the best cell folds per row — no k-way row explosion, no
+      // SortAggregate, no per-iteration sort
+      assigned = base.join(broadcast(cent.groupBy("sub").agg(
+          collect_list(struct(col("cell"), col("cv"), col("cn"))).as("cs"))), "sub")
+        .withColumn("_cands", transform(col("cs"), c =>
+          struct(c.getField("cell").as("cell"),
+            (dot(col("v"), c.getField("cv")) / (col("nrm") * c.getField("cn")))
+              .as("csim"))))
+        .withColumn("_best", aggregate(col("_cands"),
+          struct(lit(Long.MaxValue).as("cell"),
+            lit(Double.NegativeInfinity).as("csim")),
+          (acc, c) => when(c.getField("csim") > acc.getField("csim") ||
+              (c.getField("csim") === acc.getField("csim") &&
+                c.getField("cell") < acc.getField("cell")), c).otherwise(acc)))
         .select(col("sub"), col("vec_id"), col("_best.cell").as("cell"),
-          col("_best.v").as("v"), col("_best.nrm").as("nrm"))
+          col("v"), col("nrm"))
     }
     val codes = assigned.select(col("sub"), col("vec_id"), col("cell"))
       .localCheckpoint()

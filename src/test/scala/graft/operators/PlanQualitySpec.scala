@@ -175,12 +175,19 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("minhash_signature"), s"expected the native expression:\n$plan")
   }
 
-  test("q_decontaminate: eval shingles broadcast into a semi-join; no pairwise doc join") {
+  test("q_decontaminate: ONE corpus shingle pass — eval set broadcast into a " +
+    "marking left join, totals and overlaps from one aggregation (r19)") {
     val plan = finalPlan("q_decontaminate")
-    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
-      s"eval-set membership should be a broadcast left-semi join:\n$plan")
+    // r19: the semi-join + separate totals agg + stitch join (two corpus
+    // explodes) fused into one broadcast LEFT join over the distinct eval
+    // set plus one per-doc aggregation counting totals and hits together
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftOuter"),
+      s"eval-set marking should be a broadcast left join:\n$plan")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"decontamination must never go pairwise:\n$plan")
+    val trainExplodes = "Generate explode".r.findAllIn(plan).size
+    assert(trainExplodes <= 2, // one train-side + the tiny eval-side branch
+      s"the corpus shingle explode doubled up again ($trainExplodes):\n$plan")
   }
 
   test("q_json_extract: narrow extract + one aggregation shuffle") {
