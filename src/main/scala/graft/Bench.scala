@@ -207,6 +207,16 @@ object Bench {
     // three membership relations unioned
     "q_ann_drift" -> 0.369, "q_takedown" -> 0.416,
     "q_takedown_ledger" -> 0.108,
+    // r19 additions (VERDICT r18 Next #6) — the r18 build-round queries,
+    // frozen by the established protocol: per-query MIN of the round's
+    // full quiet sweeps (four sweeps, total_ratio 1.011/0.864/0.880/0.831,
+    // zero errors, zero contended; both queries' code untouched in r19 so
+    // all four sweeps count), min corroborated within 1.3x
+    // (ledger_scoped 0.589/0.480/0.707/0.549 — 0.480 corroborated 1.14x;
+    // takedown_span 0.487/0.475/0.785/0.445 — 0.445 corroborated 1.07x).
+    // Their 4-13 s Verify-time readings are FIXTURE-BUILD cost (the
+    // takedown stores build once per session), not the queries
+    "q_ledger_scoped" -> 0.480, "q_takedown_span" -> 0.445,
     "q_sstable_rollback" -> 0.218, "q_sstable_since" -> 0.238,
     "q_sstable_sync" -> 0.081, "q_sstable_topk" -> 0.044,
     "q_stratified" -> 0.191, "q_text_stats" -> 0.227,

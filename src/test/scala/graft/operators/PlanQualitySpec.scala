@@ -466,6 +466,19 @@ class PlanQualitySpec extends AnyFunSuite {
       s"the boilerplate set must broadcast into the corpus-side join:\n$plan")
   }
 
+  test("q_ledger_scoped / q_takedown_span: served entirely from the stores — " +
+    "zero corpus parquet IO (r19 pin for the r18 build-round queries)") {
+    for (q <- Seq("q_ledger_scoped", "q_takedown_span")) {
+      val plan = finalPlan(q)
+      assert(!plan.contains("Scan parquet"),
+        s"$q must serve from its sstable store(s), never rescan the corpus:\n$plan")
+      assert(plan.contains("BatchScan sstable"),
+        s"$q must read the sstable store:\n$plan")
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"$q must stay linear:\n$plan")
+    }
+  }
+
   test("q_quantiles: windows consume the (lang,tok) count relation, never full rows") {
     val plan = finalPlan("q_quantiles")
     // counting-sort form: the only full-data pass is a map-side-combinable
